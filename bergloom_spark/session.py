@@ -1,0 +1,56 @@
+"""SparkSession factory.
+
+Mirrors the reference's session bootstrap (DataFusion ``SessionConfig``
+with ``target_partitions`` / ``batch_size``,
+``core/src/executor/datafusion/datafusion_processor.rs:55-59``) but with
+Spark-native knobs: AQE for runtime re-planning, Arrow for the Python
+boundary, UTC session timezone so results compare bit-for-bit against
+DuckDB oracles.
+
+Scale note: these configs are written for a real cluster (executors set
+via spark-submit); local[N] is only the test harness. Shuffle partitions
+default to the local core count — on a 1000-executor cluster you would
+raise ``spark.sql.shuffle.partitions`` (or rely on AQE coalescing, which
+is enabled) rather than change code.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def default_cpus() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "bergloom-spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+    driver_memory: str | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    cpus = cpus if cpus is not None else default_cpus()
+    shuffle_partitions = shuffle_partitions or cpus
+    driver_memory = driver_memory or os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g")
+
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", driver_memory)
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for key, value in (extra_conf or {}).items():
+        builder = builder.config(key, value)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
