@@ -1,0 +1,175 @@
+"""Full-compaction orchestration — the reference's core deliverable.
+
+Reference: ``Compaction::{compact,full_compact}``
+(``core/src/compaction/mod.rs:191-352``):
+
+1. load table; early-return if no current snapshot;
+2. collect the snapshot's live files (remove set) and plan data /
+   pos-delete / eq-delete scan groups;
+3. run the MoR rewrite (here: one declarative DataFrame Spark executes
+   distributed — scan → anti joins → size-rolled fanout write);
+4. commit RewriteFiles with retry, pinning the starting sequence number;
+5. record metrics; optionally validate input vs output fingerprints.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+from bergloom_spark.config import CompactionConfig
+from bergloom_spark.lake import metadata as md
+from bergloom_spark.lake import writer as wr
+from bergloom_spark.lake.commit import RetryConfig, RewriteFilesCommitManager
+from bergloom_spark.lake.metrics import GLOBAL_REGISTRY, MetricsRegistry
+from bergloom_spark.lake.table import LakeTable
+from bergloom_spark.lake.validator import validate_compaction
+
+
+@dataclass
+class RewriteFilesStat:
+    """Mirror of ``RewriteFilesStat`` (executor/mod.rs:69-75)."""
+
+    rewritten_files_count: int = 0
+    added_files_count: int = 0
+    rewritten_bytes: int = 0
+    failed_data_files_count: int = 0
+
+
+@dataclass
+class CompactionResult:
+    stat: RewriteFilesStat = field(default_factory=RewriteFilesStat)
+    snapshot_id: int | None = None
+    validated: bool = False
+
+
+class Compaction:
+    """Compaction entry point (builder-style, compaction/mod.rs:124-163)."""
+
+    def __init__(
+        self,
+        table: LakeTable,
+        config: CompactionConfig | None = None,
+        catalog_name: str = "lake",
+        registry: MetricsRegistry | None = None,
+    ):
+        self.table = table
+        self.config = config or CompactionConfig()
+        self.catalog_name = catalog_name
+        self.registry = registry or GLOBAL_REGISTRY
+
+    def compact(self) -> CompactionResult:
+        """Full compaction (the only CompactionType, compaction/mod.rs:45-47)."""
+        metrics = self.registry.for_table(
+            self.catalog_name, self.table.meta.table_root
+        )
+        start = time.monotonic()
+        metrics.compaction_counter += 1
+        try:
+            result = self._full_compact()
+        except Exception:
+            metrics.compaction_error_counter += 1
+            raise
+        metrics.compaction_duration.observe(time.monotonic() - start)
+        metrics.compaction_rewritten_files_count += result.stat.rewritten_files_count
+        metrics.compaction_rewritten_bytes += result.stat.rewritten_bytes
+        metrics.compaction_added_files_count += result.stat.added_files_count
+        return result
+
+    def _full_compact(self) -> CompactionResult:
+        table = self.table.refresh()
+        snap = table.meta.current_snapshot()
+        # Skip-empty-table fast path (compaction/mod.rs:227-232).
+        if snap is None or not snap.entries:
+            return CompactionResult()
+
+        old_entries = list(snap.entries)  # data + both delete kinds
+        remove_paths = {e.file_path for e in old_entries}
+
+        # The MoR rewrite plan: one DataFrame, distributed end to end.
+        rewritten = table.read(snapshot_id=snap.snapshot_id)
+
+        add_entries = wr.write_data_files(
+            rewritten,
+            table.meta.table_root,
+            snap.sequence_number,  # provisional; commit manager re-pins
+            self.config.target_file_size,
+            partition_spec=table.meta.partition_spec or None,
+            compression=self.config.write_compression,
+        )
+
+        manager = RewriteFilesCommitManager(
+            table_root=table.meta.table_root,
+            starting_schema_id=table.meta.schema_id,
+            starting_sequence_number=snap.sequence_number,
+            use_starting_sequence_number=self.config.use_starting_sequence_number,
+            retry=RetryConfig.from_compaction(self.config),
+        )
+        metrics = self.registry.for_table(
+            self.catalog_name, self.table.meta.table_root
+        )
+        commit_start = time.monotonic()
+        try:
+            manager.rewrite_files(add_entries, remove_paths)
+        except Exception:
+            metrics.compaction_commit_failed_counter += 1
+            raise
+        metrics.compaction_commit_counter += 1
+        metrics.compaction_commit_duration.observe(time.monotonic() - commit_start)
+
+        table.refresh()
+        result = CompactionResult(
+            stat=RewriteFilesStat(
+                rewritten_files_count=len(old_entries),
+                added_files_count=len(add_entries),
+                rewritten_bytes=sum(e.file_size_bytes for e in old_entries),
+            ),
+            snapshot_id=table.meta.current_snapshot_id,
+        )
+
+        if self.config.enable_validate_compaction:
+            # Input plan: MoR read of the *old* snapshot; output plan:
+            # plain scan of the new one (validator.rs:44-165).
+            validate_compaction(
+                table.read(snapshot_id=snap.snapshot_id),
+                table.read(),
+            )
+            result.validated = True
+        return result
+
+
+def expire_snapshots(table: LakeTable, keep_last: int = 1) -> int:
+    """Drop old snapshot metadata (compaction/mod.rs:354-360).
+
+    Data files referenced only by expired snapshots are deleted from
+    disk. Returns the number of expired snapshots.
+    """
+    import os
+
+    meta = table.refresh().meta
+    if len(meta.snapshots) <= keep_last:
+        return 0
+    kept = meta.snapshots[-keep_last:]
+    expired = meta.snapshots[:-keep_last]
+    live_paths = {e.file_path for s in kept for e in s.entries}
+    dead_paths = {
+        e.file_path for s in expired for e in s.entries
+    } - live_paths
+    new_meta = md.TableMetadata(
+        table_root=meta.table_root,
+        schema=meta.schema,
+        schema_id=meta.schema_id,
+        partition_spec=list(meta.partition_spec),
+        properties=dict(meta.properties),
+        current_snapshot_id=meta.current_snapshot_id,
+        last_sequence_number=meta.last_sequence_number,
+        last_snapshot_id=meta.last_snapshot_id,
+        version=meta.version + 1,
+        snapshots=kept,
+    )
+    md.write_version(new_meta)
+    table.meta = new_meta
+    for path in dead_paths:
+        if os.path.exists(path):
+            os.unlink(path)
+    return len(expired)

@@ -1,0 +1,145 @@
+"""Table metadata: snapshots, manifest entries, atomic version chain.
+
+Semantics mirror Iceberg v2 as exercised by the reference:
+
+- every commit produces a new *snapshot* with a monotonically
+  increasing *sequence number* (``compaction/mod.rs:546-566`` pins
+  output files to the starting sequence number);
+- the manifest enumerates data files, positional-delete files and
+  equality-delete files (``compaction/mod.rs:363-392``);
+- commits are atomic and optimistic: writers race to create the next
+  ``v<N>.metadata.json`` via ``os.link`` (fails on EEXIST — a
+  compare-and-swap), losers reload and retry
+  (``compaction/mod.rs:465-614``).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import asdict, dataclass, field
+
+DATA = "data"
+POS_DELETE = "pos_delete"
+EQ_DELETE = "eq_delete"
+
+# Standard positional-delete layout (datafusion_processor.rs:455-473).
+POS_DELETE_SCHEMA = "file_path string, pos long"
+
+
+@dataclass
+class ManifestEntry:
+    """One file tracked by a snapshot (data or delete)."""
+
+    content: str  # DATA | POS_DELETE | EQ_DELETE
+    file_path: str
+    record_count: int
+    file_size_bytes: int
+    sequence_number: int
+    equality_ids: list[str] = field(default_factory=list)
+    partition: dict[str, str] = field(default_factory=dict)
+
+
+@dataclass
+class Snapshot:
+    snapshot_id: int
+    sequence_number: int
+    timestamp_ms: int
+    operation: str  # "append" | "delete" | "rewrite" ...
+    entries: list[ManifestEntry] = field(default_factory=list)
+
+    def files(self, content: str | None = None) -> list[ManifestEntry]:
+        if content is None:
+            return list(self.entries)
+        return [e for e in self.entries if e.content == content]
+
+
+@dataclass
+class TableMetadata:
+    table_root: str
+    schema: dict  # Spark StructType jsonValue()
+    schema_id: int = 0
+    partition_spec: list[str] = field(default_factory=list)
+    properties: dict[str, str] = field(default_factory=dict)
+    current_snapshot_id: int | None = None
+    last_sequence_number: int = 0
+    last_snapshot_id: int = 0
+    version: int = 0
+    snapshots: list[Snapshot] = field(default_factory=list)
+
+    def current_snapshot(self) -> Snapshot | None:
+        if self.current_snapshot_id is None:
+            return None
+        return self.snapshot_by_id(self.current_snapshot_id)
+
+    def snapshot_by_id(self, snapshot_id: int) -> Snapshot:
+        for snap in self.snapshots:
+            if snap.snapshot_id == snapshot_id:
+                return snap
+        raise KeyError(f"snapshot {snapshot_id} not found")
+
+    def to_json(self) -> str:
+        return json.dumps(asdict(self), indent=1)
+
+    @staticmethod
+    def from_json(text: str) -> "TableMetadata":
+        raw = json.loads(text)
+        snapshots = [
+            Snapshot(
+                snapshot_id=s["snapshot_id"],
+                sequence_number=s["sequence_number"],
+                timestamp_ms=s["timestamp_ms"],
+                operation=s["operation"],
+                entries=[ManifestEntry(**e) for e in s["entries"]],
+            )
+            for s in raw.pop("snapshots")
+        ]
+        return TableMetadata(snapshots=snapshots, **raw)
+
+
+def metadata_dir(table_root: str) -> str:
+    return os.path.join(table_root, "metadata")
+
+
+def version_path(table_root: str, version: int) -> str:
+    return os.path.join(metadata_dir(table_root), f"v{version}.metadata.json")
+
+
+def read_current(table_root: str) -> TableMetadata:
+    mdir = metadata_dir(table_root)
+    versions = [
+        int(f[1:].split(".")[0])
+        for f in os.listdir(mdir)
+        if f.startswith("v") and f.endswith(".metadata.json")
+    ]
+    if not versions:
+        raise FileNotFoundError(f"no metadata versions in {mdir}")
+    with open(version_path(table_root, max(versions))) as fh:
+        return TableMetadata.from_json(fh.read())
+
+
+class CommitConflict(Exception):
+    """Another writer committed the next version first (retryable)."""
+
+
+def write_version(meta: TableMetadata) -> None:
+    """Atomically publish ``meta`` as the next metadata version.
+
+    ``os.link`` onto the target fails with EEXIST if the version was
+    taken — the CAS the reference gets from its catalog's
+    ``commit_table`` (losers raise :class:`CommitConflict` and retry at
+    a higher level, ``compaction/mod.rs:595-611``).
+    """
+    mdir = metadata_dir(meta.table_root)
+    os.makedirs(mdir, exist_ok=True)
+    tmp = os.path.join(mdir, f".tmp-{os.getpid()}-{time.monotonic_ns()}.json")
+    with open(tmp, "w") as fh:
+        fh.write(meta.to_json())
+    target = version_path(meta.table_root, meta.version)
+    try:
+        os.link(tmp, target)
+    except FileExistsError as exc:
+        raise CommitConflict(f"version {meta.version} already committed") from exc
+    finally:
+        os.unlink(tmp)

@@ -1,0 +1,253 @@
+"""LakeTable: create / append / delete / scan / merge-on-read.
+
+The user-facing table object tying metadata (snapshots, sequence
+numbers) to Spark reads and writes. Scan semantics follow the
+reference's snapshot-pinned planning (``compaction/mod.rs:394-444``):
+a read targets exactly one snapshot; data files carry their commit's
+sequence number; delete files apply to data files with a *lower*
+sequence number (equality) or by exact ``(file_path, pos)`` match
+(positional).
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from bergloom_spark.lake import metadata as md
+from bergloom_spark.lake import writer as wr
+from bergloom_spark.operators import mor
+
+
+def _normalize_path(col):
+    """Map Spark's ``_metadata.file_path`` URI to a plain absolute path."""
+    return F.regexp_replace(col, "^file:/*", "/")
+
+
+class LakeTable:
+    def __init__(self, spark: SparkSession, meta: md.TableMetadata):
+        self.spark = spark
+        self.meta = meta
+
+    # ------------------------------------------------------------------
+    # lifecycle
+    # ------------------------------------------------------------------
+    @staticmethod
+    def create(
+        spark: SparkSession,
+        table_root: str,
+        schema: T.StructType,
+        partition_spec: list[str] | None = None,
+        properties: dict[str, str] | None = None,
+    ) -> "LakeTable":
+        meta = md.TableMetadata(
+            table_root=table_root,
+            schema=schema.jsonValue(),
+            partition_spec=list(partition_spec or []),
+            properties=dict(properties or {}),
+            version=0,
+        )
+        md.write_version(meta)
+        return LakeTable(spark, meta)
+
+    @staticmethod
+    def load(spark: SparkSession, table_root: str) -> "LakeTable":
+        return LakeTable(spark, md.read_current(table_root))
+
+    def refresh(self) -> "LakeTable":
+        self.meta = md.read_current(self.meta.table_root)
+        return self
+
+    @property
+    def schema(self) -> T.StructType:
+        return T.StructType.fromJson(self.meta.schema)
+
+    # ------------------------------------------------------------------
+    # commits (append paths used by tests/fixtures; rewrite lives in
+    # commit.py with the retry machinery)
+    # ------------------------------------------------------------------
+    def _next_commit(self, operation: str) -> tuple[md.TableMetadata, md.Snapshot]:
+        base = self.meta
+        snap = md.Snapshot(
+            snapshot_id=base.last_snapshot_id + 1,
+            sequence_number=base.last_sequence_number + 1,
+            timestamp_ms=int(time.time() * 1000),
+            operation=operation,
+            entries=[],
+        )
+        meta = md.TableMetadata(
+            table_root=base.table_root,
+            schema=base.schema,
+            schema_id=base.schema_id,
+            partition_spec=list(base.partition_spec),
+            properties=dict(base.properties),
+            current_snapshot_id=snap.snapshot_id,
+            last_sequence_number=snap.sequence_number,
+            last_snapshot_id=snap.snapshot_id,
+            version=base.version + 1,
+            snapshots=list(base.snapshots) + [snap],
+        )
+        return meta, snap
+
+    def _carry_forward(self, snap: md.Snapshot) -> None:
+        """New snapshot inherits the previous snapshot's live files."""
+        current = self.meta.current_snapshot()
+        if current is not None:
+            snap.entries.extend(current.entries)
+
+    def append(
+        self, df: DataFrame, target_file_size: int = 128 * 1024 * 1024
+    ) -> md.Snapshot:
+        meta, snap = self._next_commit("append")
+        self._carry_forward(snap)
+        snap.entries.extend(
+            wr.write_data_files(
+                df,
+                self.meta.table_root,
+                snap.sequence_number,
+                target_file_size,
+                partition_spec=self.meta.partition_spec or None,
+            )
+        )
+        md.write_version(meta)
+        self.meta = meta
+        return snap
+
+    def append_position_deletes(self, df: DataFrame) -> md.Snapshot:
+        """``df``: (file_path string, pos long) rows to delete."""
+        meta, snap = self._next_commit("delete")
+        self._carry_forward(snap)
+        snap.entries.extend(
+            wr.write_position_delete_files(
+                df, self.meta.table_root, snap.sequence_number
+            )
+        )
+        md.write_version(meta)
+        self.meta = meta
+        return snap
+
+    def append_equality_deletes(
+        self, df: DataFrame, equality_ids: list[str]
+    ) -> md.Snapshot:
+        meta, snap = self._next_commit("delete")
+        self._carry_forward(snap)
+        snap.entries.extend(
+            wr.write_equality_delete_files(
+                df, self.meta.table_root, snap.sequence_number, equality_ids
+            )
+        )
+        md.write_version(meta)
+        self.meta = meta
+        return snap
+
+    # ------------------------------------------------------------------
+    # reads
+    # ------------------------------------------------------------------
+    def _snapshot(self, snapshot_id: int | None) -> md.Snapshot | None:
+        if snapshot_id is not None:
+            return self.meta.snapshot_by_id(snapshot_id)
+        return self.meta.current_snapshot()
+
+    def scan_data(
+        self, snapshot_id: int | None = None, with_hidden: bool = False
+    ) -> DataFrame:
+        """Raw data-file scan (deletes NOT applied).
+
+        With ``with_hidden``, attaches ``sys_hidden_seq_num`` (joined
+        per file from the manifest — the reference attaches it per scan
+        task, ``iceberg_file_task_scan.rs:356-372``) plus
+        ``sys_hidden_file_path`` / ``sys_hidden_pos`` from ``_metadata``.
+        """
+        snap = self._snapshot(snapshot_id)
+        empty = self.spark.createDataFrame([], self.schema)
+        if snap is None:
+            return empty
+        data_files = snap.files(md.DATA)
+        if not data_files:
+            return empty
+        part_cols = [c for c in self.meta.partition_spec]
+        file_schema = T.StructType(
+            [f for f in self.schema.fields if f.name not in part_cols]
+        )
+        df = self.spark.read.schema(file_schema).parquet(
+            *[e.file_path for e in data_files]
+        )
+        # Capture _metadata immediately — the pseudo-column does not
+        # survive joins/projections reliably.
+        df = df.withColumn(
+            mor.SYS_HIDDEN_FILE_PATH, _normalize_path(F.col("_metadata.file_path"))
+        ).withColumn(mor.SYS_HIDDEN_POS, F.col("_metadata.row_index"))
+        if part_cols:
+            # Fanout writes store partition values in directory names, not
+            # file bodies (Hive layout); recover them from the manifest via
+            # a broadcast map keyed on file path — no shuffle on the scan.
+            part_fields = {f.name: f for f in self.schema.fields if f.name in part_cols}
+            part_map = self.spark.createDataFrame(
+                [tuple([e.file_path] + [e.partition.get(c) for c in part_cols])
+                 for e in data_files],
+                T.StructType(
+                    [T.StructField(mor.SYS_HIDDEN_FILE_PATH, T.StringType())]
+                    + [T.StructField(c, T.StringType()) for c in part_cols]
+                ),
+            ).select(
+                mor.SYS_HIDDEN_FILE_PATH,
+                *[F.col(c).cast(part_fields[c].dataType).alias(c) for c in part_cols],
+            )
+            df = df.join(F.broadcast(part_map), mor.SYS_HIDDEN_FILE_PATH, "left")
+        user_cols = [f.name for f in self.schema.fields]
+        if not with_hidden:
+            return df.select(*user_cols)
+        # Per-file sequence numbers: tiny manifest-derived map side,
+        # broadcast so the scan keeps its partitioning (no shuffle).
+        seq_map = self.spark.createDataFrame(
+            [(e.file_path, e.sequence_number) for e in data_files],
+            f"{mor.SYS_HIDDEN_FILE_PATH} string, {mor.SYS_HIDDEN_SEQ_NUM} long",
+        )
+        df = df.join(F.broadcast(seq_map), mor.SYS_HIDDEN_FILE_PATH, "left")
+        return df.select(
+            *user_cols,
+            mor.SYS_HIDDEN_SEQ_NUM,
+            mor.SYS_HIDDEN_FILE_PATH,
+            mor.SYS_HIDDEN_POS,
+        )
+
+    def _pos_delete_frame(self, snap: md.Snapshot) -> DataFrame | None:
+        files = snap.files(md.POS_DELETE)
+        if not files:
+            return None
+        return self.spark.read.schema(md.POS_DELETE_SCHEMA).parquet(
+            *[e.file_path for e in files]
+        )
+
+    def _eq_delete_groups(self, snap: md.Snapshot) -> list[mor.EqualityDeleteGroup]:
+        entries = []
+        for e in snap.files(md.EQ_DELETE):
+            frame = self.spark.read.parquet(e.file_path)
+            entries.append((frame, e.equality_ids, e.sequence_number))
+        return mor.group_equality_deletes(entries)
+
+    def read(self, snapshot_id: int | None = None) -> DataFrame:
+        """The MoR SELECT: data minus deletes, user schema only.
+
+        This is the reference's one query
+        (``datafusion_processor.rs:280-398``) — here a declarative
+        DataFrame Catalyst optimizes end to end.
+        """
+        snap = self._snapshot(snapshot_id)
+        if snap is None:
+            return self.spark.createDataFrame([], self.schema)
+        pos = self._pos_delete_frame(snap)
+        eq_groups = self._eq_delete_groups(snap)
+        need_hidden = pos is not None or bool(eq_groups)
+        data = self.scan_data(snapshot_id, with_hidden=need_hidden)
+        if not need_hidden:
+            return data
+        return mor.merge_on_read(
+            data,
+            pos_deletes=pos,
+            eq_delete_groups=eq_groups,
+            user_columns=[f.name for f in self.schema.fields],
+        )

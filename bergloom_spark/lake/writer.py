@@ -1,0 +1,187 @@
+"""Size-rolled, partition-fanned-out Parquet writing.
+
+Reference: ``RollingIcebergWriter`` (byte-threshold rolling,
+``rolling_iceberg_writer.rs:26-132``) and ``FanoutPartitionWriter``
+selection for partitioned tables (``executor/datafusion/mod.rs:157-169``).
+
+Spark's writer is distributed, so rolling is expressed as *planning*:
+pick the output file count from the input byte size and target file
+size, repartition to that count (hash on partition columns when
+fanning out so each task writes few files), and let executors write in
+parallel. ``spark.sql.files.maxRecordsPerFile`` is the hard guard.
+The reference's exact threshold function is kept (and unit-tested) as
+:func:`need_build_new_file` for parity, and used by
+:func:`plan_output_files` to simulate packing.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import uuid
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from bergloom_spark.config import (
+    ROLL_HARD_FRACTION,
+    ROLL_MIN_FRACTION,
+    ROLL_SOFT_FRACTION,
+)
+from bergloom_spark.lake.metadata import ManifestEntry
+
+
+def need_build_new_file(written: int, incoming: int, target: int) -> bool:
+    """The reference's rolling heuristic (rolling_iceberg_writer.rs:75-95).
+
+    Roll only if ≥10% of target already written AND
+    (written+incoming > 150% of target, OR written+incoming > target
+    AND written > 70% of target).
+    """
+    if written < target * ROLL_MIN_FRACTION:
+        return False
+    total = written + incoming
+    if total > target * ROLL_HARD_FRACTION:
+        return True
+    return total > target and written > target * ROLL_SOFT_FRACTION
+
+
+def plan_output_files(input_sizes: list[int], target: int) -> int:
+    """Simulate the rolling writer over a byte stream → output file count."""
+    files = 1
+    written = 0
+    for size in input_sizes:
+        if need_build_new_file(written, size, target):
+            files += 1
+            written = 0
+        written += size
+    return files
+
+
+def estimate_bytes(df: DataFrame) -> int:
+    """Catalyst's size estimate for the plan (no job triggered)."""
+    return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+
+
+def _collect_parquet_entries(
+    out_dir: str,
+    content: str,
+    sequence_number: int,
+    equality_ids: list[str] | None = None,
+    partition_cols: list[str] | None = None,
+) -> list[ManifestEntry]:
+    """Enumerate files Spark just wrote; record counts from parquet footers."""
+    import pyarrow.parquet as pq
+
+    entries = []
+    pattern = os.path.join(out_dir, "**", "*.parquet")
+    for path in sorted(glob.glob(pattern, recursive=True)):
+        meta = pq.read_metadata(path)
+        partition: dict[str, str] = {}
+        if partition_cols:
+            rel = os.path.relpath(path, out_dir)
+            for part in rel.split(os.sep)[:-1]:
+                if "=" in part:
+                    key, value = part.split("=", 1)
+                    partition[key] = value
+        entries.append(
+            ManifestEntry(
+                content=content,
+                file_path=os.path.abspath(path),
+                record_count=meta.num_rows,
+                file_size_bytes=os.path.getsize(path),
+                sequence_number=sequence_number,
+                equality_ids=list(equality_ids or []),
+                partition=partition,
+            )
+        )
+    return entries
+
+
+def write_data_files(
+    df: DataFrame,
+    table_root: str,
+    sequence_number: int,
+    target_file_size: int,
+    partition_spec: list[str] | None = None,
+    compression: str = "snappy",
+) -> list[ManifestEntry]:
+    """Write ``df`` as size-targeted parquet data files; return manifest entries.
+
+    Unpartitioned: repartition to ``ceil(bytes/target)`` round-robin.
+    Partitioned (fanout, S8): hash-repartition on the partition columns
+    so rows for one partition co-locate — each task then writes one
+    file per partition value it owns instead of one per (task,
+    partition) pair, which at 1000 executors is the difference between
+    `n_partitions` files and `n_tasks × n_partitions` small files.
+    """
+    out_dir = os.path.join(
+        table_root, "data", f"seq{sequence_number}-{uuid.uuid4().hex[:12]}"
+    )
+    est = max(1, estimate_bytes(df))
+    if est >= 1 << 50:
+        # Catalyst reports ~Long.MaxValue when stats are unknown (e.g.
+        # localRelation inputs); fall back to the plan's partitioning.
+        n_files = max(1, min(df.rdd.getNumPartitions(), 64))
+    else:
+        # Parquet compresses the in-memory estimate substantially; 3× is
+        # a conservative ratio so we don't under-fill target-size files.
+        n_files = max(1, (est // 3 + target_file_size - 1) // target_file_size)
+        n_files = int(min(n_files, 1 << 20))
+    writer = df
+    if partition_spec:
+        writer = df.repartition(n_files, *[F.col(c) for c in partition_spec])
+        (
+            writer.write.mode("error")
+            .option("compression", compression)
+            .partitionBy(*partition_spec)
+            .parquet(out_dir)
+        )
+    else:
+        writer = df.repartition(n_files)
+        writer.write.mode("error").option("compression", compression).parquet(out_dir)
+    return _collect_parquet_entries(
+        out_dir, "data", sequence_number, partition_cols=partition_spec
+    )
+
+
+def write_position_delete_files(
+    df: DataFrame, table_root: str, sequence_number: int
+) -> list[ManifestEntry]:
+    """Write a positional-delete file sorted by (file_path, pos).
+
+    The reference uses a sort-based pos-delete writer
+    (``SortPositionDeleteWriterBuilder``, compaction/mod.rs:780-795);
+    sorting gives run-length-friendly parquet and lets readers
+    range-skip.
+    """
+    out_dir = os.path.join(
+        table_root, "deletes", f"pos-seq{sequence_number}-{uuid.uuid4().hex[:12]}"
+    )
+    (
+        df.select(F.col("file_path"), F.col("pos").cast("long"))
+        .sort("file_path", "pos")
+        .coalesce(1)
+        .write.mode("error")
+        .parquet(out_dir)
+    )
+    return _collect_parquet_entries(out_dir, "pos_delete", sequence_number)
+
+
+def write_equality_delete_files(
+    df: DataFrame, table_root: str, sequence_number: int, equality_ids: list[str]
+) -> list[ManifestEntry]:
+    """Write an equality-delete file projecting only the key columns
+    (reference projects ``equality_ids`` only, compaction/mod.rs:429-434)."""
+    out_dir = os.path.join(
+        table_root, "deletes", f"eq-seq{sequence_number}-{uuid.uuid4().hex[:12]}"
+    )
+    (
+        df.select(*equality_ids)
+        .coalesce(1)
+        .write.mode("error")
+        .parquet(out_dir)
+    )
+    return _collect_parquet_entries(
+        out_dir, "eq_delete", sequence_number, equality_ids=equality_ids
+    )
