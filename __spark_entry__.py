@@ -1,38 +1,596 @@
-"""Driver contract for the spark-graft builder (PySpark target).
+"""Driver contract for the bergloom_spark engine.
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)``    — flagship: full lake compaction round trip on
+                      sf0.001 (scan → MoR anti-join cascade → rolled
+                      rewrite → commit → read back).
+``queries()``       — one entry per implemented operator
+                      (SURVEY.md §2 + training-data-pipeline
+                      extensions), each ``(spark, sf_dir) -> DataFrame``.
+``oracle_sql()``    — DuckDB-equivalent SQL per query (same column
+                      names/types; doubles rounded identically on both
+                      sides).
 """
 
 from __future__ import annotations
 
+import os
+import sys
+import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from bergloom_spark.functions import text as TX  # noqa: E402
+from bergloom_spark.functions.hashing import hash64, hash64_sql  # noqa: E402
+from bergloom_spark.operators import dedup, mor, similarity  # noqa: E402
+from bergloom_spark.operators.multimodal import (  # noqa: E402
+    attach_binary_payload,
+    extract_media_meta,
+)
+
+from bergloom_spark.io import load_table as T  # noqa: E402
+
+# Stable value-column subset for MoR queries (raw values pass through
+# both engines bit-identically — no float math involved).
+LI_COLS = ["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "l_quantity"]
 
 
+# ---------------------------------------------------------------------------
+# MoR parity queries: the reference's anti-join cascade over synthesized
+# hidden columns (deterministic functions of row values, so DuckDB can
+# replicate them exactly).
+# ---------------------------------------------------------------------------
+def _with_synth_hidden(li: DataFrame, seq_expr=None) -> DataFrame:
+    seq = seq_expr if seq_expr is not None else F.lit(1).cast("long")
+    return (
+        li.withColumn(mor.SYS_HIDDEN_SEQ_NUM, seq)
+        .withColumn(
+            mor.SYS_HIDDEN_FILE_PATH,
+            F.concat(F.lit("f"), (F.col("l_orderkey") % 8).cast("string")),
+        )
+        .withColumn(
+            mor.SYS_HIDDEN_POS, F.col("l_orderkey") * 10 + F.col("l_linenumber")
+        )
+    )
+
+
+def q_mor_pos_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1: positional-delete anti join (datafusion_processor.rs:315-345)."""
+    data = _with_synth_hidden(T(spark, sf_dir, "lineitem"))
+    deletes = data.filter(F.col("l_partkey") % 13 == 0).select(
+        F.col(mor.SYS_HIDDEN_FILE_PATH).alias("file_path"),
+        F.col(mor.SYS_HIDDEN_POS).alias("pos"),
+    )
+    return mor.merge_on_read(data, pos_deletes=deletes, user_columns=LI_COLS)
+
+
+def q_mor_eq_delete_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2: equality-delete anti join with seq gating (:347-386)."""
+    li = T(spark, sf_dir, "lineitem")
+    data = _with_synth_hidden(li, seq_expr=(1 + F.col("l_linenumber") % 3).cast("long"))
+    eq = (
+        T(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 11 == 0)
+        .select(F.col("o_orderkey").alias("l_orderkey"))
+        .distinct()
+    )
+    groups = mor.group_equality_deletes([(eq, ["l_orderkey"], 2)])
+    return mor.merge_on_read(data, eq_delete_groups=groups, user_columns=LI_COLS)
+
+
+def q_mor_multi_eq_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: two equality-id schemas → two chained anti joins (:481-504)."""
+    li = T(spark, sf_dir, "lineitem")
+    data = _with_synth_hidden(li, seq_expr=(1 + F.col("l_linenumber") % 3).cast("long"))
+    by_order = (
+        T(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 7 == 0)
+        .select(F.col("o_orderkey").alias("l_orderkey"))
+        .distinct()
+    )
+    by_part_supp = (
+        li.filter(F.col("l_tax") > 0.07)
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    groups = mor.group_equality_deletes(
+        [(by_order, ["l_orderkey"], 3), (by_part_supp, ["l_partkey", "l_suppkey"], 2)]
+    )
+    return mor.merge_on_read(data, eq_delete_groups=groups, user_columns=LI_COLS)
+
+
+def q_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full lifecycle: lake table → appends → pos+eq deletes → full
+    compaction (rolling write, seq-pinned commit, validation) → read."""
+    from bergloom_spark.config import CompactionConfig
+    from bergloom_spark.lake import Compaction, LakeTable
+
+    li = T(spark, sf_dir, "lineitem")
+    root = os.path.join(tempfile.mkdtemp(prefix="bergloom-entry-"), "li")
+    t = LakeTable.create(spark, root, li.schema)
+    t.append(li.filter(F.col("l_orderkey") % 2 == 0))
+    t.append(li.filter(F.col("l_orderkey") % 2 == 1))
+    hidden = t.scan_data(with_hidden=True)
+    t.append_position_deletes(
+        hidden.filter(F.col("l_partkey") % 13 == 0).select(
+            F.col(mor.SYS_HIDDEN_FILE_PATH).alias("file_path"),
+            F.col(mor.SYS_HIDDEN_POS).alias("pos"),
+        )
+    )
+    t.append_equality_deletes(
+        hidden.filter(F.col("l_suppkey") % 10 == 0).select("l_orderkey").distinct(),
+        ["l_orderkey"],
+    )
+    Compaction(
+        t,
+        CompactionConfig(
+            enable_validate_compaction=True, target_file_size=64 * 1024 * 1024
+        ),
+    ).compact()
+    return t.read().select(*LI_COLS)
+
+
+_MOR_ORACLES = {
+    "mor_pos_delete": f"""
+        SELECT {', '.join(LI_COLS)} FROM lineitem l
+        WHERE NOT EXISTS (
+          SELECT 1 FROM lineitem d
+          WHERE d.l_partkey % 13 = 0
+            AND 'f' || (d.l_orderkey % 8) = 'f' || (l.l_orderkey % 8)
+            AND d.l_orderkey * 10 + d.l_linenumber
+                = l.l_orderkey * 10 + l.l_linenumber)
+    """,
+    "mor_eq_delete_seq": f"""
+        SELECT {', '.join(LI_COLS)} FROM lineitem l
+        WHERE NOT ( (1 + l.l_linenumber % 3) < 2 AND EXISTS (
+          SELECT 1 FROM orders o
+          WHERE o.o_orderkey % 11 = 0 AND o.o_orderkey = l.l_orderkey))
+    """,
+    "mor_multi_eq_schema": f"""
+        SELECT {', '.join(LI_COLS)} FROM lineitem l
+        WHERE NOT ( (1 + l.l_linenumber % 3) < 3 AND EXISTS (
+          SELECT 1 FROM orders o
+          WHERE o.o_orderkey % 7 = 0 AND o.o_orderkey = l.l_orderkey))
+          AND NOT ( (1 + l.l_linenumber % 3) < 2 AND EXISTS (
+          SELECT 1 FROM lineitem d
+          WHERE d.l_tax > 0.07 AND d.l_partkey = l.l_partkey
+            AND d.l_suppkey = l.l_suppkey))
+    """,
+    "compact_roundtrip": f"""
+        SELECT {', '.join(LI_COLS)} FROM lineitem
+        WHERE l_partkey % 13 <> 0
+          AND l_orderkey NOT IN (
+            SELECT l_orderkey FROM lineitem WHERE l_suppkey % 10 = 0)
+    """,
+}
+
+
+# ---------------------------------------------------------------------------
+# Analytics (delegated-capability surface + bench headliners)
+# ---------------------------------------------------------------------------
+def q_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= "1999-09-02")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+        F.round(F.sum(charge), 2).alias("sum_charge"),
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+def q_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = T(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = T(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1998-03-15")
+    li = T(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1998-03-15")
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    )
+    return (
+        joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select(
+            "l_orderkey",
+            F.to_date("o_orderdate").alias("o_orderdate"),
+            "o_orderpriority",
+            "revenue",
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+def q_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = T(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = T(spark, sf_dir, "nation")
+    supp = T(spark, sf_dir, "supplier")
+    cust = T(spark, sf_dir, "customer")
+    orders = T(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1999-01-01")
+    )
+    li = T(spark, sf_dir, "lineitem")
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return joined.groupBy("n_name").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        )
+    )
+
+
+def q_q6_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01")
+        & (F.col("l_shipdate") < "1998-01-01")
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+            "revenue"
+        ),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+def q_top_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = T(spark, sf_dir, "lineitem")
+    part = T(spark, sf_dir, "part")
+    rev = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_partkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+    w = Window.partitionBy("p_brand").orderBy(F.desc("revenue"), F.asc("p_partkey"))
+    return (
+        rev.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 3)
+        .select("p_brand", "p_partkey", "revenue", "rnk")
+    )
+
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = T(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour"), F.col("event_type")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("value_sum"),
+    )
+
+
+_ANALYTICS_ORACLES = {
+    "q1_pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
+                   AS sum_charge,
+               round(avg(l_quantity), 4) AS avg_qty,
+               round(avg(l_extendedprice), 4) AS avg_price,
+               round(avg(l_discount), 4) AS avg_disc,
+               count(*) AS count_order
+        FROM lineitem WHERE l_shipdate <= TIMESTAMP '1999-09-02'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "q3_shipping_priority": """
+        SELECT l_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
+               o_orderpriority,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-03-15'
+          AND l_shipdate > TIMESTAMP '1998-03-15'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, l_orderkey ASC LIMIT 10
+    """,
+    "q5_local_supplier_volume": """
+        SELECT n_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE c_nationkey = s_nationkey AND r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1999-01-01'
+        GROUP BY n_name
+    """,
+    "q6_revenue_change": """
+        SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+               count(*) AS n_items
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'
+          AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+    """,
+    "top_parts_per_brand": """
+        WITH rev AS (
+          SELECT p_brand, p_partkey,
+                 round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          GROUP BY p_brand, p_partkey)
+        SELECT p_brand, p_partkey, revenue, rnk FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY p_brand ORDER BY revenue DESC, p_partkey) AS rnk
+          FROM rev) WHERE rnk <= 3
+    """,
+    "events_hourly": """
+        SELECT date_trunc('hour', ts) AS hour, event_type,
+               count(*) AS n, round(sum(value), 2) AS value_sum
+        FROM events GROUP BY 1, 2
+    """,
+}
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline extensions
+# ---------------------------------------------------------------------------
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_dedup_groups(
+        T(spark, sf_dir, "documents"), ["text"], "doc_id"
+    ).select(
+        hash64("text").alias("text_hash"), F.col("keeper_id"), F.col("copies")
+    )
+
+
+def q_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.fingerprint_dedup_groups(T(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        TX.token_count("text").alias("n_tokens"),
+        F.length("text").alias("n_chars_measured"),
+        F.round(TX.mean_token_length("text"), 6).alias("mean_token_len"),
+        F.round(TX.alpha_ratio("text"), 6).alias("alpha_ratio"),
+    )
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents")
+    return d.select("doc_id", F.col("lang").alias("lang_given"),
+                    TX.lang_id("text").alias("lang_pred"))
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents")
+    return d.select("doc_id", TX.quality_score("text").alias("quality"))
+
+
+def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        TX.fingerprint64("text").alias("fp64"),
+        TX.min_shingle_fingerprint("text").alias("shingle_fp"),
+    )
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents")
+    return d.select("doc_id", dedup.simhash("text").alias("simhash32"))
+
+
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_lsh_pairs(
+        T(spark, sf_dir, "documents"), "text", "doc_id", k=8, bands=4, threshold=0.25
+    )
+
+
+def q_ngram_jaccard_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.ngram_jaccard_top1(
+        T(spark, sf_dir, "documents"), "text", "doc_id", probe_ids=list(range(10))
+    )
+
+
+def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.knn_bruteforce(
+        T(spark, sf_dir, "embeddings"), probe_ids=list(range(10)), k=5
+    ).withColumn("rank", F.col("rank").cast("long"))
+
+
+def q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.embedding_dedup_pairs(
+        T(spark, sf_dir, "embeddings"), threshold=0.4
+    )
+
+
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents").select("doc_id", "text")
+    media = attach_binary_payload(d, "text")
+    extracted = extract_media_meta(media)
+    return extracted.select(
+        "doc_id",
+        F.col("media_meta.n_bytes").alias("n_bytes"),
+        F.col("media_meta.checksum").alias("checksum"),
+        "decoded_width",
+        "decoded_height",
+    )
+
+
+_TOKENS = TX.tokens_sql("text")
+_EXT_ORACLES = {
+    "dedup_exact": f"""
+        SELECT {hash64_sql('text')} AS text_hash, min(doc_id) AS keeper_id,
+               count(*) AS copies
+        FROM documents GROUP BY text
+    """,
+    "dedup_fingerprint": f"""
+        SELECT {hash64_sql('text')} AS fp, min(doc_id) AS keeper_id,
+               count(*) AS copies
+        FROM documents GROUP BY 1
+    """,
+    "text_token_stats": f"""
+        SELECT doc_id,
+               {TX.token_count_sql('text')} AS n_tokens,
+               length(text) AS n_chars_measured,
+               round({TX.mean_token_length_sql('text')}, 6) AS mean_token_len,
+               round({TX.alpha_ratio_sql('text')}, 6) AS alpha_ratio
+        FROM documents
+    """,
+    "lang_id": f"""
+        SELECT doc_id, lang AS lang_given, {TX.lang_id_sql('text')} AS lang_pred
+        FROM documents
+    """,
+    "text_quality": f"""
+        SELECT doc_id, {TX.quality_score_sql('text')} AS quality FROM documents
+    """,
+    "doc_fingerprints": f"""
+        SELECT doc_id, {TX.fingerprint64_sql('text')} AS fp64,
+               {TX.min_shingle_fingerprint_sql('text')} AS shingle_fp
+        FROM documents
+    """,
+    "simhash": f"""
+        SELECT doc_id, {dedup.simhash_sql('text')} AS simhash32 FROM documents
+    """,
+    "minhash_lsh_pairs": f"""
+        WITH sigs AS (
+          SELECT doc_id, {dedup.minhash_signature_sql('text', 8, 3)} AS sig
+          FROM documents),
+        banded AS (
+          SELECT doc_id, sig, b.range AS band,
+                 array_to_string(list_transform(
+                   list_slice(sig, b.range * 2 + 1, b.range * 2 + 2),
+                   x -> x::VARCHAR), ',') AS bkey
+          FROM sigs, range(0, 4) b),
+        pairs AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM banded a JOIN banded b
+            ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+        SELECT id_a, id_b,
+               round(len(list_filter(range(1, 9),
+                     i -> sa.sig[i] = sb.sig[i])) / 8.0, 6) AS est_jaccard
+        FROM pairs
+        JOIN sigs sa ON sa.doc_id = id_a
+        JOIN sigs sb ON sb.doc_id = id_b
+        WHERE round(len(list_filter(range(1, 9),
+              i -> sa.sig[i] = sb.sig[i])) / 8.0, 6) >= 0.25
+    """,
+    "ngram_jaccard_top1": f"""
+        WITH sh AS (
+          SELECT doc_id, list_distinct({TX.shingles_sql('text')}) AS s
+          FROM documents),
+        probes AS (SELECT doc_id AS probe_id, s AS ps FROM sh WHERE doc_id < 10),
+        scored AS (
+          SELECT probe_id, sh.doc_id AS match_id,
+                 round(len(list_intersect(s, ps))::DOUBLE
+                       / greatest(len(list_distinct(list_concat(s, ps))), 1),
+                       6) AS jaccard
+          FROM sh, probes WHERE sh.doc_id <> probe_id),
+        ranked AS (
+          SELECT *, row_number() OVER (
+            PARTITION BY probe_id ORDER BY jaccard DESC, match_id) AS rn
+          FROM scored)
+        SELECT probe_id, match_id, jaccard FROM ranked WHERE rn = 1
+    """,
+    "knn_bruteforce": f"""
+        WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        p AS (SELECT vec_id AS probe_id, embedding AS pv FROM e WHERE vec_id < 10),
+        scored AS (
+          SELECT probe_id, vec_id AS neighbor_id,
+                 round({similarity.cosine_sql('embedding', 'pv')}, 6) AS cosine_sim
+          FROM e, p WHERE vec_id <> probe_id),
+        ranked AS (
+          SELECT *, row_number() OVER (
+            PARTITION BY probe_id ORDER BY cosine_sim DESC, neighbor_id) AS rank
+          FROM scored)
+        SELECT probe_id, neighbor_id, cosine_sim, rank FROM ranked WHERE rank <= 5
+    """,
+    "embedding_dedup": f"""
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round({similarity.cosine_sql('a.embedding', 'b.embedding')}, 6)
+                   AS cosine_sim
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE round({similarity.cosine_sql('a.embedding', 'b.embedding')}, 6) >= 0.4
+    """,
+    "multimodal_meta": """
+        SELECT doc_id,
+               octet_length(encode(text)) AS n_bytes,
+               md5(text) AS checksum,
+               (16 + ('0x' || substr(md5(text), 1, 2))::INT % 1024)
+                   AS decoded_width,
+               (16 + ('0x' || substr(md5(text), 3, 2))::INT % 1024)
+                   AS decoded_height
+        FROM documents
+    """,
+}
+
+
+# ---------------------------------------------------------------------------
+# driver contract
+# ---------------------------------------------------------------------------
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return q_compact_roundtrip(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # MoR / compaction core (SURVEY.md §2)
+        "mor_pos_delete": q_mor_pos_delete,
+        "mor_eq_delete_seq": q_mor_eq_delete_seq,
+        "mor_multi_eq_schema": q_mor_multi_eq_schema,
+        "compact_roundtrip": q_compact_roundtrip,
+        # analytics (delegated-capability surface / bench headliners)
+        "q1_pricing_summary": q_q1_pricing_summary,
+        "q3_shipping_priority": q_q3_shipping_priority,
+        "q5_local_supplier_volume": q_q5_local_supplier_volume,
+        "q6_revenue_change": q_q6_revenue_change,
+        "top_parts_per_brand": q_top_parts_per_brand,
+        "events_hourly": q_events_hourly,
+        # training-data pipeline extensions
+        "dedup_exact": q_dedup_exact,
+        "dedup_fingerprint": q_dedup_fingerprint,
+        "text_token_stats": q_text_token_stats,
+        "lang_id": q_lang_id,
+        "text_quality": q_text_quality,
+        "doc_fingerprints": q_doc_fingerprints,
+        "simhash": q_simhash,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "ngram_jaccard_top1": q_ngram_jaccard_top1,
+        "knn_bruteforce": q_knn_bruteforce,
+        "embedding_dedup": q_embedding_dedup,
+        "multimodal_meta": q_multimodal_meta,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    out: dict[str, str] = {}
+    out.update(_MOR_ORACLES)
+    out.update(_ANALYTICS_ORACLES)
+    out.update(_EXT_ORACLES)
+    return out

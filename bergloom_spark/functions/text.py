@@ -1,0 +1,226 @@
+"""Text analysis for large-scale training-data pipelines.
+
+Everything here is built-in JVM expressions (no Python UDFs in the row
+path) so the operators whole-stage-codegen and scale linearly with
+executors. Each helper has a DuckDB SQL twin (``*_sql``) used by the
+driver's oracle checks.
+
+Operators: token counting (whitespace tokenizer), quality scoring
+(length / alphabetic ratio / stopword ratio / mean token length),
+n-gram-heuristic language ID, document fingerprinting (md5-based full
+hash + min-shingle rolling fingerprint), token shingles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from bergloom_spark.functions.hashing import HASH_MAX, hash64, hash64_sql
+
+# Tiny per-language stopword lists for the language-ID heuristic.
+# Deliberately small and hard-coded: the heuristic must be cheap, and
+# oracle parity requires the exact same lists on both engines.
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it", "that", "for"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "nicht", "mit", "sie", "zu"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "pas", "pour", "que"],
+    "es": ["el", "la", "los", "las", "y", "es", "un", "una", "no", "por"],
+}
+LANG_ORDER = ["en", "de", "fr", "es"]  # deterministic tie-break order
+ENGLISH_STOPWORDS = STOPWORDS["en"]
+
+
+# ---------------------------------------------------------------------------
+# tokens
+# ---------------------------------------------------------------------------
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokens with empties dropped (split-empty parity with
+    DuckDB's ``string_split_regex`` is guaranteed by the filter)."""
+    col = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(col, r"\s+"), lambda x: x != F.lit(""))
+
+
+def tokens_sql(expr: str) -> str:
+    return f"list_filter(string_split_regex({expr}, '\\s+'), x -> x <> '')"
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col))
+
+
+def token_count_sql(expr: str) -> str:
+    return f"len({tokens_sql(expr)})"
+
+
+# ---------------------------------------------------------------------------
+# quality scoring
+# ---------------------------------------------------------------------------
+def alpha_ratio(col: Column | str) -> Column:
+    """Fraction of characters that are ASCII letters or space."""
+    col = F.col(col) if isinstance(col, str) else col
+    kept = F.length(F.regexp_replace(col, "[^A-Za-z ]", ""))
+    return kept.cast("double") / F.greatest(F.length(col), F.lit(1)).cast("double")
+
+
+def alpha_ratio_sql(expr: str) -> str:
+    return (
+        f"length(regexp_replace({expr}, '[^A-Za-z ]', '', 'g'))::DOUBLE"
+        f" / greatest(length({expr}), 1)::DOUBLE"
+    )
+
+
+def _word_list(words: list[str]) -> Column:
+    return F.array(*[F.lit(w) for w in words])
+
+
+def stopword_ratio(col: Column | str, stopwords: list[str] | None = None) -> Column:
+    words = stopwords or ENGLISH_STOPWORDS
+    toks = tokens(col)
+    hits = F.size(
+        F.filter(toks, lambda x: F.array_contains(_word_list(words), F.lower(x)))
+    )
+    return hits.cast("double") / F.greatest(F.size(toks), F.lit(1)).cast("double")
+
+
+def stopword_ratio_sql(expr: str, stopwords: list[str] | None = None) -> str:
+    words = stopwords or ENGLISH_STOPWORDS
+    lst = "[" + ", ".join(f"'{w}'" for w in words) + "]"
+    toks = tokens_sql(expr)
+    return (
+        f"len(list_filter({toks}, x -> list_contains({lst}, lower(x))))::DOUBLE"
+        f" / greatest(len({toks}), 1)::DOUBLE"
+    )
+
+
+def mean_token_length(col: Column | str) -> Column:
+    toks = tokens(col)
+    total = F.aggregate(toks, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x))
+    return total.cast("double") / F.greatest(F.size(toks), F.lit(1)).cast("double")
+
+
+def mean_token_length_sql(expr: str) -> str:
+    toks = tokens_sql(expr)
+    return (
+        f"list_sum(list_transform({toks}, x -> length(x)))::DOUBLE"
+        f" / greatest(len({toks}), 1)::DOUBLE"
+    )
+
+
+def quality_score(col: Column | str) -> Column:
+    """Composite [0,1] quality heuristic: alphabetic ratio, English
+    stopword presence, and a token-length sweet spot (3-8 chars)."""
+    length_term = F.least(
+        F.lit(1.0), token_count(col).cast("double") / F.lit(50.0)
+    )
+    mtl = mean_token_length(col)
+    sweet = F.when((mtl >= 3.0) & (mtl <= 8.0), F.lit(1.0)).otherwise(F.lit(0.0))
+    return F.round(
+        0.35 * alpha_ratio(col)
+        + 0.25 * F.least(F.lit(1.0), 4.0 * stopword_ratio(col))
+        + 0.2 * length_term
+        + 0.2 * sweet,
+        6,
+    )
+
+
+def quality_score_sql(expr: str) -> str:
+    mtl = mean_token_length_sql(expr)
+    return (
+        "round("
+        f"0.35 * ({alpha_ratio_sql(expr)})"
+        f" + 0.25 * least(1.0, 4.0 * ({stopword_ratio_sql(expr)}))"
+        f" + 0.2 * least(1.0, ({token_count_sql(expr)})::DOUBLE / 50.0)"
+        f" + 0.2 * (CASE WHEN ({mtl}) BETWEEN 3.0 AND 8.0 THEN 1.0 ELSE 0.0 END)"
+        ", 6)"
+    )
+
+
+# ---------------------------------------------------------------------------
+# language ID (stopword-hit heuristic)
+# ---------------------------------------------------------------------------
+def lang_scores(col: Column | str) -> dict[str, Column]:
+    toks = tokens(col)
+
+    # NB: bind the word list via closure, not a defaulted second lambda
+    # parameter — F.filter treats a 2-arg lambda as (element, index).
+    def hit_counter(words: list[str]):
+        arr = _word_list(words)
+        return F.size(F.filter(toks, lambda x: F.array_contains(arr, F.lower(x))))
+
+    return {lang: hit_counter(words) for lang, words in STOPWORDS.items()}
+
+
+def lang_id(col: Column | str) -> Column:
+    """argmax over per-language stopword hits; ties break in LANG_ORDER;
+    zero hits everywhere → 'und' (undetermined)."""
+    scores = lang_scores(col)
+    best = F.greatest(*[scores[lang] for lang in LANG_ORDER])
+    expr = F.lit("und")
+    # Build the WHEN chain in reverse so earlier langs win ties.
+    for lang in reversed(LANG_ORDER):
+        expr = F.when((scores[lang] == best) & (best > 0), F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def lang_id_sql(expr: str) -> str:
+    toks = tokens_sql(expr)
+    scores = {}
+    for lang, words in STOPWORDS.items():
+        lst = "[" + ", ".join(f"'{w}'" for w in words) + "]"
+        scores[lang] = (
+            f"len(list_filter({toks}, x -> list_contains({lst}, lower(x))))"
+        )
+    best = "greatest(" + ", ".join(scores[lang] for lang in LANG_ORDER) + ")"
+    out = "'und'"
+    for lang in reversed(LANG_ORDER):
+        out = (
+            f"CASE WHEN {scores[lang]} = {best} AND {best} > 0"
+            f" THEN '{lang}' ELSE {out} END"
+        )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# fingerprinting
+# ---------------------------------------------------------------------------
+def fingerprint64(col: Column | str) -> Column:
+    """Whole-document content fingerprint (exact-dup detection)."""
+    return hash64(col)
+
+
+def fingerprint64_sql(expr: str) -> str:
+    return hash64_sql(expr)
+
+
+def shingles(col: Column | str, n: int = 3) -> Column:
+    """n-token shingles joined by single spaces (rolling window)."""
+    toks = tokens(col)
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+
+
+def shingles_sql(expr: str, n: int = 3) -> str:
+    toks = tokens_sql(expr)
+    return (
+        f"list_transform(range(1, greatest(len({toks}) - {n - 1}, 0) + 1),"
+        f" i -> array_to_string(list_slice({toks}, i, i + {n - 1}), ' '))"
+    )
+
+
+def min_shingle_fingerprint(col: Column | str, n: int = 3) -> Column:
+    """Rolling-hash document fingerprint: min hash over n-token shingles
+    (winnowing-style; robust to small edits unlike fingerprint64)."""
+    sh = shingles(col, n)
+    return F.coalesce(
+        F.array_min(F.transform(sh, lambda s: hash64(s))),
+        F.lit(HASH_MAX),
+    )
+
+
+def min_shingle_fingerprint_sql(expr: str, n: int = 3) -> str:
+    sh = shingles_sql(expr, n)
+    return (
+        f"coalesce(list_min(list_transform({sh}, s -> {hash64_sql('s')})),"
+        f" {HASH_MAX})"
+    )

@@ -1,0 +1,306 @@
+"""Deduplication operators for training-data pipelines.
+
+All variants are expressed as shuffle-conscious DataFrame plans:
+
+- **exact / fingerprint**: one hash-partitioned aggregation — the
+  minimal possible shuffle; at 100 TB the group key is a 60-bit hash,
+  not the full document, so shuffle payload stays small.
+- **MinHash + LSH**: signatures computed scan-side with built-in
+  higher-order functions (no Python), then a band-bucket shuffle whose
+  key cardinality (~n_docs × bands) keeps the self-join linear-ish;
+  candidate pairs are verified on estimated Jaccard from the full
+  signature. This is the scale path: brute-force pairwise never runs.
+- **SimHash**: per-doc 32-bit signature; near-dup candidates share a
+  band of the signature (4 × 8-bit bands ⇒ Hamming-distance ≤ ~3
+  pairs surface), verified on true Hamming distance.
+- **n-gram Jaccard**: exact similarity for a bounded probe set
+  (cross join probes × corpus — only for small probe sets or final
+  verification of LSH candidates).
+- **embedding cosine**: see ``operators.similarity``.
+
+Hashing uses the md5-based cross-engine primitive
+(``functions.hashing``) so every step has a DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from bergloom_spark.functions import text as TX
+from bergloom_spark.functions.hashing import HASH_MAX, hash64
+
+
+# ---------------------------------------------------------------------------
+# exact / fingerprint dedup
+# ---------------------------------------------------------------------------
+def exact_dedup_groups(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
+    """One row per distinct key: the kept (min) id and the copy count."""
+    return df.groupBy(*key_cols).agg(
+        F.min(id_col).alias("keeper_id"), F.count(F.lit(1)).alias("copies")
+    )
+
+
+def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
+    """Deduplicated rows: keep the min-id row per key.
+
+    Window-free formulation: an aggregation on the key (map-side
+    partial) + a semi join back, both on the same shuffle key, instead
+    of a global sort within partitions.
+    """
+    keepers = df.groupBy(*key_cols).agg(F.min(id_col).alias(id_col))
+    return df.join(keepers, on=key_cols + [id_col], how="left_semi")
+
+
+def fingerprint_dedup_groups(
+    df: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """Exact dedup keyed on the 60-bit content fingerprint instead of the
+    full text — the shuffle moves 8 bytes per row, not the document."""
+    return (
+        df.select(F.col(id_col), TX.fingerprint64(text_col).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias("keeper_id"), F.count(F.lit(1)).alias("copies"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+def minhash_signature(col: Column | str, k: int = 8, shingle_n: int = 3) -> Column:
+    """Array of k min-hashes over n-token shingles (seeds 0..k-1)."""
+    sh = TX.shingles(col, shingle_n)
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(k - 1)),
+        lambda i: F.coalesce(
+            F.array_min(
+                F.transform(
+                    sh, lambda s: hash64(F.concat(i.cast("string"), F.lit(":"), s))
+                )
+            ),
+            F.lit(HASH_MAX),
+        ),
+    )
+
+
+def minhash_signature_sql(expr: str, k: int = 8, shingle_n: int = 3) -> str:
+    from bergloom_spark.functions.hashing import hash64_sql
+
+    sh = TX.shingles_sql(expr, shingle_n)
+    inner = hash64_sql("(i::VARCHAR || ':' || s)")
+    return (
+        f"list_transform(range(0, {k}),"
+        f" i -> coalesce(list_min(list_transform({sh}, s -> {inner})), {HASH_MAX}))"
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 8,
+    bands: int = 4,
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Near-duplicate pairs via banded MinHash-LSH.
+
+    Plan shape: signature (scan-side, codegen) → explode bands →
+    shuffle on (band, band-signature) → within-bucket self-join →
+    distinct pairs → verify estimated Jaccard (= fraction of equal
+    signature slots) ≥ threshold. Output: (id_a, id_b, est_jaccard)
+    with id_a < id_b.
+    """
+    rows_per_band = k // bands
+    sigs = df.select(
+        F.col(id_col).alias("__id"),
+        minhash_signature(text_col, k, shingle_n).alias("__sig"),
+    )
+    banded = sigs.select(
+        "__id",
+        "__sig",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.slice(F.col("__sig"), b * rows_per_band + 1, rows_per_band)
+                    .cast("array<string>")
+                    .alias("bsig"),
+                ),
+            )
+        ).alias("bx"),
+    ).select(
+        "__id", "__sig", F.col("bx.band").alias("band"),
+        F.concat_ws(",", F.col("bx.bsig")).alias("bkey"),
+    )
+    left = banded.alias("a")
+    right = banded.alias("b")
+    pairs = (
+        left.join(
+            right,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            F.col("a.__sig").alias("sig_a"),
+            F.col("b.__sig").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
+                lambda eq: eq,
+            )
+        ).cast("double")
+        / F.lit(float(k))
+    )
+    return (
+        pairs.withColumn("est_jaccard", F.round(est, 6))
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+SIMHASH_BITS = 32
+
+
+def simhash(col: Column | str) -> Column:
+    """32-bit SimHash over whitespace tokens.
+
+    bit_i(simhash) = sign of Σ_tokens (±1 depending on bit_i(hash(t))).
+    Single-pass formulation: tokens are hashed ONCE (one md5 each),
+    then a fold accumulates a 32-slot counter array with ``zip_with`` —
+    pure higher-order-function expression, vectorized, no shuffle.
+    """
+    powers = F.array(*[F.lit(1 << i).cast("long") for i in range(SIMHASH_BITS)])
+    hashes = F.transform(TX.tokens(col), lambda t: hash64(t))
+    zero = F.array_repeat(F.lit(0).cast("long"), SIMHASH_BITS)
+    counters = F.aggregate(
+        hashes,
+        zero,
+        lambda acc, h: F.zip_with(
+            acc,
+            powers,
+            lambda a, p: a
+            + F.when(h.bitwiseAND(p) > 0, F.lit(1)).otherwise(F.lit(-1)),
+        ),
+    )
+    bits = F.zip_with(
+        counters, powers, lambda c, p: F.when(c >= 0, p).otherwise(F.lit(0).cast("long"))
+    )
+    return F.aggregate(bits, F.lit(0).cast("long"), lambda a, x: a + x)
+
+
+def simhash_sql(expr: str) -> str:
+    from bergloom_spark.functions.hashing import hash64_sql
+
+    toks = TX.tokens_sql(expr)
+    h = hash64_sql("t")
+    per_bit = (
+        f"list_sum(list_transform({toks},"
+        f" t -> CASE WHEN ({h} & (1::BIGINT << i)) > 0 THEN 1 ELSE -1 END))"
+    )
+    return (
+        f"list_sum(list_transform(range(0, {SIMHASH_BITS}),"
+        f" i -> CASE WHEN coalesce({per_bit}, 0) >= 0"
+        f" THEN (1::BIGINT << i) ELSE 0::BIGINT END))"
+    )
+
+
+def hamming32(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_pairs(
+    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by SimHash: candidates share one of 4 8-bit bands
+    (pigeonhole: Hamming ≤ 3 over 32 bits ⇒ some band is identical),
+    then verified on true Hamming distance."""
+    sigs = df.select(F.col(id_col).alias("__id"), simhash(text_col).alias("__sh"))
+    banded = sigs.select(
+        "__id",
+        "__sh",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(3)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.shiftright(F.col("__sh"), b * 8)
+                    .bitwiseAND(F.lit(0xFF))
+                    .alias("bval"),
+                ),
+            )
+        ).alias("bx"),
+    ).select("__id", "__sh", "bx.band", "bx.bval")
+    pairs = (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bval") == F.col("b.bval"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            F.col("a.__sh").alias("sh_a"),
+            F.col("b.__sh").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        pairs.withColumn("hamming", hamming32(F.col("sh_a"), F.col("sh_b")))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact n-gram Jaccard (probe set × corpus)
+# ---------------------------------------------------------------------------
+def ngram_jaccard_top1(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    probe_ids: list[int],
+    shingle_n: int = 3,
+) -> DataFrame:
+    """For each probe doc, its most-similar other doc by exact n-gram
+    Jaccard. Probe side is tiny → broadcast; corpus side streams."""
+    shingled = df.select(
+        F.col(id_col).alias("__id"),
+        F.array_distinct(TX.shingles(text_col, shingle_n)).alias("__sh"),
+    )
+    probes = shingled.filter(F.col("__id").isin(probe_ids)).select(
+        F.col("__id").alias("probe_id"), F.col("__sh").alias("probe_sh")
+    )
+    joined = shingled.crossJoin(F.broadcast(probes)).filter(
+        F.col("__id") != F.col("probe_id")
+    )
+    inter = F.size(F.array_intersect(F.col("__sh"), F.col("probe_sh")))
+    union = F.size(F.array_union(F.col("__sh"), F.col("probe_sh")))
+    scored = joined.select(
+        "probe_id",
+        F.col("__id").alias("match_id"),
+        F.round(inter.cast("double") / F.greatest(union, F.lit(1)), 6).alias(
+            "jaccard"
+        ),
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.desc("jaccard"), F.asc("match_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("probe_id", "match_id", "jaccard")
+    )

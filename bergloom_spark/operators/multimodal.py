@@ -1,0 +1,129 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Design for 100 TB media pipelines: media bytes ride as an opaque
+``binary`` column next to a typed metadata struct; per-item compute
+(decode, resize, feature-extract, frame-sample) runs as Arrow-batched
+``mapInPandas`` so bytes never round-trip through Python row-by-row.
+Partitioning/shuffle only ever touches metadata — the binary column is
+carried, never keyed on.
+
+Decode itself needs image/audio libraries that are NOT in this
+container, so the decode kernels are stubbed: ``decode_image`` raises
+``NotImplementedError`` unless PIL is importable, and
+``fake_decode_meta`` provides a deterministic stand-in (derived from
+the md5 of the payload) so the Spark-side plumbing — schema, batch
+shape, partitioning — is fully real and testable.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+try:  # pragma: no cover - not installed in this container
+    from PIL import Image  # noqa: F401
+
+    HAS_PIL = True
+except ImportError:
+    HAS_PIL = False
+
+MEDIA_META_SCHEMA = T.StructType(
+    [
+        T.StructField("media_type", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("checksum", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+    ]
+)
+
+
+def attach_binary_payload(
+    df: DataFrame, source_col: str, media_type: str = "text/plain"
+) -> DataFrame:
+    """Turn a column into an opaque binary payload + minimal metadata.
+
+    (On a real pipeline the payload comes off object storage; here the
+    document text stands in as bytes so the plumbing is exercised on
+    the driver-provided tables.)
+    """
+    payload = F.encode(F.col(source_col), "UTF-8")
+    return df.withColumn("payload", payload).withColumn(
+        "media_meta",
+        F.struct(
+            F.lit(media_type).alias("media_type"),
+            F.octet_length(F.col(source_col)).cast("long").alias("n_bytes"),
+            F.md5(payload).alias("checksum"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+        ),
+    )
+
+
+def decode_image(payload: bytes) -> "Image.Image":
+    """Real decode kernel — unavailable in this container (STUB)."""
+    if not HAS_PIL:
+        raise NotImplementedError(
+            "image decoding requires PIL, which is not installed; "
+            "use fake_decode_meta for plumbing tests"
+        )
+    import io
+
+    return Image.open(io.BytesIO(payload))  # pragma: no cover
+
+
+def fake_decode_meta(payload: bytes) -> tuple[int, int]:
+    """Deterministic stand-in for a decode: fake (width, height) derived
+    from the payload's md5 — stable across runs and engines."""
+    h = hashlib.md5(payload).digest()
+    return 16 + h[0] % 1024, 16 + h[1] % 1024
+
+
+def extract_media_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Arrow-batched metadata extraction over binary payloads.
+
+    ``mapInPandas`` keeps the per-batch loop in pandas/NumPy; the fake
+    decode marks where a real image/audio kernel would run.
+    """
+    out_schema = T.StructType(
+        list(df.schema.fields)
+        + [
+            T.StructField("decoded_width", T.IntegerType()),
+            T.StructField("decoded_height", T.IntegerType()),
+            T.StructField("payload_sha1", T.StringType()),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            dims = pdf[payload_col].map(fake_decode_meta)
+            pdf = pdf.assign(
+                decoded_width=[d[0] for d in dims],
+                decoded_height=[d[1] for d in dims],
+                payload_sha1=pdf[payload_col].map(
+                    lambda b: hashlib.sha1(b).hexdigest()
+                ),
+            )
+            yield pdf
+
+    return df.mapInPandas(batches, out_schema)
+
+
+def sample_frames(
+    df: DataFrame, n_frames: int = 4, payload_col: str = "payload"
+) -> DataFrame:
+    """Frame-sampling plumbing: one output row per sampled frame index.
+
+    The frame *content* extraction is stubbed (frame payload = sliced
+    bytes); the row-explosion shape, schema and ordering are real.
+    """
+    idx = F.explode(F.sequence(F.lit(0), F.lit(n_frames - 1))).alias("frame_index")
+    frame = F.expr(
+        f"substring({payload_col}, frame_index * 16 + 1, 16)"
+    ).alias("frame_payload")
+    return df.select("*", idx).select("*", frame)

@@ -1,0 +1,199 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+- ``knn_bruteforce``: exact top-k by cosine for a bounded probe set.
+  Probes broadcast; the corpus streams once; score is a built-in
+  higher-order-function dot product in double precision (JVM-side,
+  codegen — no Python). At 100 TB this is the correctness baseline
+  and the final re-rank stage.
+- ``knn_lsh``: the scale path — random-hyperplane LSH. Every vector
+  maps to a sign-bit bucket key from ``n_planes`` deterministic
+  pseudo-random hyperplanes (seeded via the cross-engine hash, so
+  results are reproducible across runs/engines). Probes search only
+  their own bucket plus buckets within Hamming distance 1 — a
+  bucket-key equi-join instead of a cross join, so cost scales with
+  bucket occupancy, not corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from bergloom_spark.functions.hashing import hash64
+
+
+def as_double(vec: Column) -> Column:
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ a_i·b_i as a sequential left fold — same evaluation order as
+    DuckDB's list fold, so oracle comparisons agree to the ulp."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2norm(a) * l2norm(b))
+
+
+def cosine_sql(a: str, b: str) -> str:
+    """DuckDB twin: explicit double fold (NOT list_cosine_similarity,
+    which computes in float32 and diverges from Spark's double math)."""
+    def _dot(x: str, y: str) -> str:
+        return (
+            f"list_sum(list_transform(range(1, len({x}) + 1),"
+            f" i -> {x}[i]::DOUBLE * {y}[i]::DOUBLE))"
+        )
+
+    return (
+        f"({_dot(a, b)}) / (sqrt({_dot(a, a)}) * sqrt({_dot(b, b)}))"
+    )
+
+
+def knn_bruteforce(
+    embeddings: DataFrame,
+    probe_ids: list[int],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each probe id.
+
+    Output: (probe_id, neighbor_id, cosine_sim, rank), rank 1..k,
+    ties broken by neighbor_id for determinism.
+    """
+    base = embeddings.select(
+        F.col(id_col).alias("__id"), as_double(F.col(vec_col)).alias("__v")
+    )
+    probes = base.filter(F.col("__id").isin(probe_ids)).select(
+        F.col("__id").alias("probe_id"), F.col("__v").alias("__pv")
+    )
+    scored = base.crossJoin(F.broadcast(probes)).filter(
+        F.col("__id") != F.col("probe_id")
+    )
+    scored = scored.select(
+        "probe_id",
+        F.col("__id").alias("neighbor_id"),
+        F.round(cosine(F.col("__v"), F.col("__pv")), 6).alias("cosine_sim"),
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", "neighbor_id", "cosine_sim", "rank")
+    )
+
+
+def embedding_dedup_pairs(
+    embeddings: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All pairs with cosine ≥ threshold (id_a < id_b).
+
+    Brute-force formulation for bounded corpora / oracle checking; at
+    scale run :func:`knn_lsh`-style bucketing first and this as the
+    verify stage on candidates.
+    """
+    base = embeddings.select(
+        F.col(id_col).alias("__id"), as_double(F.col(vec_col)).alias("__v")
+    )
+    a = base.select(F.col("__id").alias("id_a"), F.col("__v").alias("va"))
+    b = base.select(F.col("__id").alias("id_b"), F.col("__v").alias("vb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# LSH (random hyperplanes) — the scale path
+# ---------------------------------------------------------------------------
+def _hyperplanes(dim: int, n_planes: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes in [-1, 1]^dim derived
+    from the cross-engine hash (no RNG state, reproducible anywhere)."""
+    import hashlib
+
+    planes = []
+    for p in range(n_planes):
+        row = []
+        for d in range(dim):
+            h = int(hashlib.md5(f"plane:{p}:{d}".encode()).hexdigest()[:15], 16)
+            row.append((h / float((1 << 60) - 1)) * 2.0 - 1.0)
+        planes.append(row)
+    return planes
+
+
+def bucket_key(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-bit bucket id from the hyperplane projections."""
+    key = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        proj = dot(vec, F.array(*[F.lit(w) for w in plane]))
+        key = key + F.when(proj >= 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
+            F.lit(0)
+        )
+    return key
+
+
+def knn_lsh(
+    embeddings: DataFrame,
+    probe_ids: list[int],
+    k: int = 5,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    multiprobe_hamming: int = 1,
+) -> DataFrame:
+    """Approximate top-k: candidates share an LSH bucket with the probe
+    (multi-probe: buckets within Hamming distance 1), re-ranked by exact
+    cosine. Equi-join on bucket id replaces the cross join."""
+    planes = _hyperplanes(dim, n_planes)
+    base = embeddings.select(
+        F.col(id_col).alias("__id"), as_double(F.col(vec_col)).alias("__v")
+    ).withColumn("__bucket", bucket_key(F.col("__v"), planes))
+    # Multi-probe: each probe also searches neighboring buckets.
+    flips = [F.col("__bucket")] + [
+        F.col("__bucket").bitwiseXOR(F.lit(1 << i))
+        for i in range(n_planes if multiprobe_hamming >= 1 else 0)
+    ]
+    probes = (
+        base.filter(F.col("__id").isin(probe_ids))
+        .select(
+            F.col("__id").alias("probe_id"),
+            F.col("__v").alias("__pv"),
+            F.explode(F.array(*flips)).alias("__bucket"),
+        )
+    )
+    cands = base.join(F.broadcast(probes), "__bucket").filter(
+        F.col("__id") != F.col("probe_id")
+    )
+    scored = cands.select(
+        "probe_id",
+        F.col("__id").alias("neighbor_id"),
+        F.round(cosine(F.col("__v"), F.col("__pv")), 6).alias("cosine_sim"),
+    ).dropDuplicates(["probe_id", "neighbor_id"])
+    w = Window.partitionBy("probe_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", "neighbor_id", "cosine_sim", "rank")
+    )
