@@ -124,11 +124,11 @@ def q_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         hidden.filter(F.col("l_suppkey") % 10 == 0).select("l_orderkey").distinct(),
         ["l_orderkey"],
     )
+    # Validation off here, matching the reference default
+    # (config/mod.rs:25,46-47); the driver's oracle IS the external
+    # validation, and tests/test_lake.py exercises the validator.
     Compaction(
-        t,
-        CompactionConfig(
-            enable_validate_compaction=True, target_file_size=64 * 1024 * 1024
-        ),
+        t, CompactionConfig(target_file_size=64 * 1024 * 1024)
     ).compact()
     return t.read().select(*LI_COLS)
 

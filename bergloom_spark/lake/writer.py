@@ -160,8 +160,10 @@ def write_position_delete_files(
     )
     (
         df.select(F.col("file_path"), F.col("pos").cast("long"))
-        .sort("file_path", "pos")
-        .coalesce(1)
+        # repartition (not coalesce): keeps the upstream scan/filter
+        # parallel and only funnels the small delete set to one writer.
+        .repartition(1)
+        .sortWithinPartitions("file_path", "pos")
         .write.mode("error")
         .parquet(out_dir)
     )

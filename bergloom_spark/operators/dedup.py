@@ -67,31 +67,63 @@ def fingerprint_dedup_groups(
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------
-def minhash_signature(col: Column | str, k: int = 8, shingle_n: int = 3) -> Column:
-    """Array of k min-hashes over n-token shingles (seeds 0..k-1)."""
-    sh = TX.shingles(col, shingle_n)
+# Textbook min-wise permutation family: one base hash per shingle, then
+# k affine maps h -> (a_i*h + b_i) mod p over the Mersenne prime 2^31-1
+# (products stay < 2^62, so int64 arithmetic is exact and identical in
+# Spark and DuckDB). One md5 per shingle instead of k.
+MINHASH_PRIME = (1 << 31) - 1
+
+
+def _minhash_coeffs(k: int) -> list[tuple[int, int]]:
+    import hashlib
+
+    coeffs = []
+    for i in range(k):
+        a = int(hashlib.md5(f"minhash-a:{i}".encode()).hexdigest()[:15], 16)
+        b = int(hashlib.md5(f"minhash-b:{i}".encode()).hexdigest()[:15], 16)
+        coeffs.append((a % (MINHASH_PRIME - 1) + 1, b % MINHASH_PRIME))
+    return coeffs
+
+
+def shingle_hashes(col: Column | str, shingle_n: int = 3) -> Column:
+    """Base hashes of the n-token shingles (mod the minhash prime)."""
     return F.transform(
-        F.sequence(F.lit(0), F.lit(k - 1)),
-        lambda i: F.coalesce(
+        TX.shingles(col, shingle_n), lambda s: hash64(s) % MINHASH_PRIME
+    )
+
+
+def minhash_signature_from_hashes(hs: Column, k: int = 8) -> Column:
+    """k min-values of affine permutations of precomputed shingle hashes.
+
+    Takes the hash array as a (materialized) column so the md5 work is
+    done once per row, not once per permutation branch.
+    """
+    def perm_min(a: int, b: int) -> Column:
+        return F.coalesce(
             F.array_min(
-                F.transform(
-                    sh, lambda s: hash64(F.concat(i.cast("string"), F.lit(":"), s))
-                )
+                F.transform(hs, lambda h: (F.lit(a) * h + F.lit(b)) % MINHASH_PRIME)
             ),
             F.lit(HASH_MAX),
-        ),
-    )
+        )
+
+    return F.array(*[perm_min(a, b) for a, b in _minhash_coeffs(k)])
+
+
+def minhash_signature(col: Column | str, k: int = 8, shingle_n: int = 3) -> Column:
+    return minhash_signature_from_hashes(shingle_hashes(col, shingle_n), k)
 
 
 def minhash_signature_sql(expr: str, k: int = 8, shingle_n: int = 3) -> str:
     from bergloom_spark.functions.hashing import hash64_sql
 
     sh = TX.shingles_sql(expr, shingle_n)
-    inner = hash64_sql("(i::VARCHAR || ':' || s)")
-    return (
-        f"list_transform(range(0, {k}),"
-        f" i -> coalesce(list_min(list_transform({sh}, s -> {inner})), {HASH_MAX}))"
+    hs = f"list_transform({sh}, s -> {hash64_sql('s')} % {MINHASH_PRIME})"
+    mins = ", ".join(
+        f"coalesce(list_min(list_transform(hs, h -> ({a} * h + {b})"
+        f" % {MINHASH_PRIME})), {HASH_MAX})"
+        for a, b in _minhash_coeffs(k)
     )
+    return f"(SELECT list_value({mins}) FROM (SELECT {hs} AS hs))"
 
 
 def minhash_lsh_pairs(
@@ -112,10 +144,18 @@ def minhash_lsh_pairs(
     with id_a < id_b.
     """
     rows_per_band = k // bands
-    sigs = df.select(
+    # Two-stage select: the md5 shingle hashing materializes in stage 1
+    # so the k permutation branches in stage 2 reuse it; the signature
+    # table (id + k longs) is then cached — it is tiny relative to the
+    # corpus and feeds both sides of the self-join (without the cache
+    # the whole scan+hash subtree would run twice).
+    hashed = df.select(
         F.col(id_col).alias("__id"),
-        minhash_signature(text_col, k, shingle_n).alias("__sig"),
+        shingle_hashes(text_col, shingle_n).alias("__hs"),
     )
+    sigs = hashed.select(
+        "__id", minhash_signature_from_hashes(F.col("__hs"), k).alias("__sig")
+    ).cache()
     banded = sigs.select(
         "__id",
         "__sig",

@@ -1,0 +1,105 @@
+"""Streaming pipelines over the ``events`` table shape.
+
+Batch/stream parity: each builder takes any DataFrame (static or
+streaming) with the events schema and applies the SAME transformation,
+so the batch run is the oracle for the streaming run — the property the
+tests assert. Watermarks bound state for late data; windowed
+aggregations use ``F.window``/``F.session_window`` (incremental,
+state-store-backed at scale — no full materialization).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def hourly_rollup(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Tumbling 1-hour window per event type: count + value sum."""
+    if events.isStreaming:
+        events = events.withWatermark("ts", watermark)
+    return (
+        events.groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("value_sum"))
+        .select(
+            F.col("w.start").alias("hour"),
+            "event_type",
+            "n",
+            "value_sum",
+        )
+    )
+
+
+def sliding_user_activity(
+    events: DataFrame, window: str = "2 hours", slide: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Sliding-window distinct-ish user activity (approx at scale)."""
+    if events.isStreaming:
+        events = events.withWatermark("ts", watermark)
+    return (
+        events.groupBy(F.window("ts", window, slide).alias("w"))
+        .agg(
+            F.approx_count_distinct("user_id").alias("approx_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(F.col("w.start").alias("window_start"), "approx_users", "n_events")
+    )
+
+
+def sessionize(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Session windows per user (gap-based), count + duration."""
+    if events.isStreaming:
+        events = events.withWatermark("ts", watermark)
+    return (
+        events.groupBy(
+            F.session_window("ts", gap).alias("s"), F.col("user_id")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def read_events_stream(
+    spark: SparkSession, events_dir: str, max_files_per_trigger: int = 4
+) -> DataFrame:
+    """File-source stream over a directory of events parquet files."""
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(events_dir)
+    )
+
+
+def run_stream_to_memory(
+    result: DataFrame, query_name: str, output_mode: str = "append"
+) -> None:
+    """Drive a streaming DataFrame to completion against a memory sink
+    (test/driver harness; real deployments use a parquet/lake sink)."""
+    q = (
+        result.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
