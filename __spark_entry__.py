@@ -285,7 +285,138 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_purchase_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (Spark lacks a native one): each purchase matched to
+    the user's latest prior-or-equal view. Union-window formulation —
+    one shuffle, no row explosion. Oracle: DuckDB's native ASOF JOIN."""
+    from bergloom_spark.operators.joins import asof_join
+
+    ev = T(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id"), F.col("ts"), F.col("event_id").alias("view_event_id")
+    )
+    return asof_join(
+        purchases, views, on="user_id", right_value_cols=["view_event_id"]
+    ).select("event_id", "user_id", "view_event_id_asof", "ts_asof")
+
+
+def q_interval_error_context(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval/range join via time-bucketized equi-join: events of the
+    same user within 10 minutes before each error."""
+    from bergloom_spark.operators.joins import interval_count_join
+
+    return interval_count_join(
+        T(spark, sf_dir, "events"),
+        key="user_id",
+        ts_col="ts",
+        anchor_filter=(F.col("event_type") == "error"),
+        window_seconds=600,
+        id_col="event_id",
+    )
+
+
+def q_sales_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def q_orders_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders")
+    p = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+    )
+    return p.select(
+        "o_orderpriority",
+        F.coalesce(F.col("F"), F.lit(0)).alias("n_f"),
+        F.coalesce(F.col("O"), F.lit(0)).alias("n_o"),
+        F.coalesce(F.col("P"), F.lit(0)).alias("n_p"),
+    )
+
+
+def q_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.25)), 4).alias("p25"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.75)), 4).alias("p75"),
+    )
+
+
+def q_custkey_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders")
+    f = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    open_ = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    return f.intersect(open_)
+
+
+def q_custkey_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders")
+    f = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    open_ = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    return f.subtract(open_)  # EXCEPT DISTINCT semantics
+
+
+def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate ANN via random-hyperplane LSH (rows-only check; the
+    recall-vs-bruteforce property is asserted in tests)."""
+    return similarity.knn_lsh(
+        T(spark, sf_dir, "embeddings"), probe_ids=list(range(10)), k=5
+    ).withColumn("rank", F.col("rank").cast("long"))
+
+
 _ANALYTICS_ORACLES = {
+    "asof_purchase_view": """
+        SELECT p.event_id, p.user_id,
+               v.event_id AS view_event_id_asof, v.ts AS ts_asof
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+          ON p.user_id = v.user_id AND v.ts <= p.ts
+    """,
+    "interval_error_context": """
+        SELECT e.event_id,
+               (SELECT count(*) FROM events o
+                WHERE o.user_id = e.user_id
+                  AND o.ts >= e.ts - INTERVAL 10 MINUTE
+                  AND o.ts < e.ts) AS n_prior
+        FROM events e WHERE e.event_type = 'error'
+    """,
+    "sales_rollup": """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+        FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    "orders_pivot": """
+        SELECT o_orderpriority,
+               count(*) FILTER (o_orderstatus = 'F') AS n_f,
+               count(*) FILTER (o_orderstatus = 'O') AS n_o,
+               count(*) FILTER (o_orderstatus = 'P') AS n_p
+        FROM orders GROUP BY o_orderpriority
+    """,
+    "price_percentiles": """
+        SELECT l_returnflag,
+               round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+               round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+               round(quantile_cont(l_extendedprice, 0.75), 4) AS p75
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    "custkey_intersect": """
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        INTERSECT
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    """,
+    "custkey_except": """
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        EXCEPT
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    """,
     "q1_pricing_summary": """
         SELECT l_returnflag, l_linestatus,
                round(sum(l_quantity), 2) AS sum_qty,
@@ -572,6 +703,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q6_revenue_change": q_q6_revenue_change,
         "top_parts_per_brand": q_top_parts_per_brand,
         "events_hourly": q_events_hourly,
+        "asof_purchase_view": q_asof_purchase_view,
+        "interval_error_context": q_interval_error_context,
+        "sales_rollup": q_sales_rollup,
+        "orders_pivot": q_orders_pivot,
+        "price_percentiles": q_price_percentiles,
+        "custkey_intersect": q_custkey_intersect,
+        "custkey_except": q_custkey_except,
         # training-data pipeline extensions
         "dedup_exact": q_dedup_exact,
         "dedup_fingerprint": q_dedup_fingerprint,
@@ -583,6 +721,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "ngram_jaccard_top1": q_ngram_jaccard_top1,
         "knn_bruteforce": q_knn_bruteforce,
+        "knn_lsh": q_knn_lsh,
         "embedding_dedup": q_embedding_dedup,
         "multimodal_meta": q_multimodal_meta,
     }

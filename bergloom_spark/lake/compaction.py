@@ -52,11 +52,18 @@ class Compaction:
         config: CompactionConfig | None = None,
         catalog_name: str = "lake",
         registry: MetricsRegistry | None = None,
+        executor: str = "spark",
     ):
+        if executor not in ("spark", "mock"):
+            raise ValueError(f"unknown executor: {executor}")
         self.table = table
         self.config = config or CompactionConfig()
         self.catalog_name = catalog_name
         self.registry = registry or GLOBAL_REGISTRY
+        # "mock" = the reference's no-op MockExecutor (executor/mock.rs:
+        # 22-29): plans the rewrite but writes/commits nothing —
+        # a dry-run that reports default (empty) stats.
+        self.executor = executor
 
     def compact(self) -> CompactionResult:
         """Full compaction (the only CompactionType, compaction/mod.rs:45-47)."""
@@ -88,6 +95,9 @@ class Compaction:
 
         # The MoR rewrite plan: one DataFrame, distributed end to end.
         rewritten = table.read(snapshot_id=snap.snapshot_id)
+
+        if self.executor == "mock":
+            return CompactionResult(snapshot_id=snap.snapshot_id)
 
         add_entries = wr.write_data_files(
             rewritten,
@@ -136,6 +146,76 @@ class Compaction:
             )
             result.validated = True
         return result
+
+
+class BinpackCompaction(Compaction):
+    """Incremental small-file compaction (the reference's roadmap item,
+    README.md:46-56, modeled on Iceberg's ``rewrite_data_files``
+    binpack strategy).
+
+    Selects only data files below ``small_file_threshold``, groups them
+    into ``batch_parallelism`` byte-balanced groups (O3,
+    ``operators.tasks.split_n_vecs``), rewrites those with deletes
+    applied, and leaves large files and all delete files live (deletes
+    must stay: they may still reference the untouched files).
+    """
+
+    def __init__(self, *args, small_file_threshold: int | None = None, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.small_file_threshold = (
+            small_file_threshold
+            if small_file_threshold is not None
+            else self.config.target_file_size // 2
+        )
+
+    def _full_compact(self) -> CompactionResult:
+        from bergloom_spark.operators.tasks import split_n_vecs
+
+        table = self.table.refresh()
+        snap = table.meta.current_snapshot()
+        if snap is None or not snap.entries:
+            return CompactionResult()
+        small = [
+            e
+            for e in snap.files(md.DATA)
+            if e.file_size_bytes < self.small_file_threshold
+        ]
+        if len(small) < 2:
+            return CompactionResult(snapshot_id=snap.snapshot_id)
+        groups = split_n_vecs(
+            small, self.config.batch_parallelism, weight=lambda e: e.file_size_bytes
+        )
+        selected = [e for g in groups for e in g]
+        remove_paths = {e.file_path for e in selected}
+
+        rewritten = table.read_files(
+            [e.file_path for e in selected], snapshot_id=snap.snapshot_id
+        )
+        add_entries = wr.write_data_files(
+            rewritten,
+            table.meta.table_root,
+            snap.sequence_number,
+            self.config.target_file_size,
+            partition_spec=table.meta.partition_spec or None,
+            compression=self.config.write_compression,
+        )
+        manager = RewriteFilesCommitManager(
+            table_root=table.meta.table_root,
+            starting_schema_id=table.meta.schema_id,
+            starting_sequence_number=snap.sequence_number,
+            use_starting_sequence_number=self.config.use_starting_sequence_number,
+            retry=RetryConfig.from_compaction(self.config),
+        )
+        manager.rewrite_files(add_entries, remove_paths)
+        table.refresh()
+        return CompactionResult(
+            stat=RewriteFilesStat(
+                rewritten_files_count=len(selected),
+                added_files_count=len(add_entries),
+                rewritten_bytes=sum(e.file_size_bytes for e in selected),
+            ),
+            snapshot_id=table.meta.current_snapshot_id,
+        )
 
 
 def expire_snapshots(table: LakeTable, keep_last: int = 1) -> int:

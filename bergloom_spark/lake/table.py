@@ -152,7 +152,10 @@ class LakeTable:
         return self.meta.current_snapshot()
 
     def scan_data(
-        self, snapshot_id: int | None = None, with_hidden: bool = False
+        self,
+        snapshot_id: int | None = None,
+        with_hidden: bool = False,
+        data_paths: list[str] | None = None,
     ) -> DataFrame:
         """Raw data-file scan (deletes NOT applied).
 
@@ -166,6 +169,9 @@ class LakeTable:
         if snap is None:
             return empty
         data_files = snap.files(md.DATA)
+        if data_paths is not None:
+            keep = set(data_paths)
+            data_files = [e for e in data_files if e.file_path in keep]
         if not data_files:
             return empty
         part_cols = [c for c in self.meta.partition_spec]
@@ -229,12 +235,17 @@ class LakeTable:
             entries.append((frame, e.equality_ids, e.sequence_number))
         return mor.group_equality_deletes(entries)
 
-    def read(self, snapshot_id: int | None = None) -> DataFrame:
+    def read(
+        self,
+        snapshot_id: int | None = None,
+        data_paths: list[str] | None = None,
+    ) -> DataFrame:
         """The MoR SELECT: data minus deletes, user schema only.
 
         This is the reference's one query
         (``datafusion_processor.rs:280-398``) — here a declarative
-        DataFrame Catalyst optimizes end to end.
+        DataFrame Catalyst optimizes end to end. ``data_paths``
+        restricts the scan to a file subset (incremental compaction).
         """
         snap = self._snapshot(snapshot_id)
         if snap is None:
@@ -242,7 +253,9 @@ class LakeTable:
         pos = self._pos_delete_frame(snap)
         eq_groups = self._eq_delete_groups(snap)
         need_hidden = pos is not None or bool(eq_groups)
-        data = self.scan_data(snapshot_id, with_hidden=need_hidden)
+        data = self.scan_data(
+            snapshot_id, with_hidden=need_hidden, data_paths=data_paths
+        )
         if not need_hidden:
             return data
         return mor.merge_on_read(
@@ -251,3 +264,9 @@ class LakeTable:
             eq_delete_groups=eq_groups,
             user_columns=[f.name for f in self.schema.fields],
         )
+
+    def read_files(
+        self, data_paths: list[str], snapshot_id: int | None = None
+    ) -> DataFrame:
+        """MoR read restricted to a subset of data files."""
+        return self.read(snapshot_id=snapshot_id, data_paths=data_paths)

@@ -1,0 +1,132 @@
+"""Join operators Spark lacks natively: as-of and interval (range) joins.
+
+Both are built from shuffle-friendly primitives instead of the naive
+theta-join (which Spark would execute as a broadcast-nested-loop —
+quadratic and fatal at scale):
+
+- **as-of**: the union-window trick. Tag both sides, union, one
+  hash-partition shuffle on the key, sort by time within partitions,
+  and carry the latest right-side row forward with
+  ``last(..., ignorenulls=True)``. One shuffle, no row explosion,
+  works at any key cardinality. (The per-group ``pd.merge_asof``
+  alternative needs ``applyInPandas`` and breaks down on hot keys.)
+- **interval count**: bucketize time to the window width, equi-join on
+  (key, bucket) for the ~2 candidate buckets, then filter the exact
+  range — candidate set is bounded by bucket occupancy, not corpus
+  size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_value_cols: list[str] | None = None,
+    suffix: str = "_asof",
+) -> DataFrame:
+    """For each left row, the latest right row with
+    ``right.ts <= left.ts`` and equal key (left join: unmatched rows
+    keep nulls).
+
+    Output: all left columns + ``<right_value_col><suffix>`` columns.
+    """
+    right_value_cols = right_value_cols or [
+        c for c in right.columns if c not in (on, right_ts)
+    ]
+    lhs = left.select(
+        F.col(on).alias("__k"),
+        F.col(left_ts).alias("__t"),
+        F.lit(1).alias("__side"),
+        F.struct(*left.columns).alias("__l"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}")
+          for c in right_value_cols],
+        F.lit(None).cast(right.schema[right_ts].dataType).alias("__r_ts"),
+    )
+    rhs = right.select(
+        F.col(on).alias("__k"),
+        F.col(right_ts).alias("__t"),
+        F.lit(0).alias("__side"),
+        F.lit(None).cast(lhs.schema["__l"].dataType).alias("__l"),
+        *[F.col(c).alias(f"__r_{c}") for c in right_value_cols],
+        F.col(right_ts).alias("__r_ts"),
+    )
+    u = lhs.unionByName(rhs)
+    # Right rows sort before left rows at equal timestamps → the match
+    # is inclusive (right.ts <= left.ts); __r_ts breaks right-side ties
+    # deterministically (latest wins).
+    w = (
+        Window.partitionBy("__k")
+        .orderBy(F.col("__t").asc(), F.col("__side").asc(), F.col("__r_ts").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = [
+        F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"{c}{suffix}")
+        for c in right_value_cols
+    ] + [F.last("__r_ts", ignorenulls=True).over(w).alias(f"{right_ts}{suffix}")]
+    out = u.select("__side", "__l", *carried).filter(F.col("__side") == 1)
+    return out.select(
+        *[F.col(f"__l.{c}").alias(c) for c in left.columns],
+        *[F.col(f"{c}{suffix}") for c in right_value_cols],
+        F.col(f"{right_ts}{suffix}"),
+    )
+
+
+def _bucket(col_name: str, window_seconds: int):
+    # unix_micros requires TIMESTAMP; session TZ is pinned UTC so the
+    # NTZ→TZ cast is value-preserving.
+    return F.floor(
+        F.unix_micros(F.col(col_name).cast("timestamp"))
+        / F.lit(window_seconds * 1_000_000)
+    ).cast("long")
+
+
+def interval_count_join(
+    events: DataFrame,
+    key: str,
+    ts_col: str,
+    anchor_filter,
+    window_seconds: int,
+    id_col: str,
+) -> DataFrame:
+    """For each anchor row, count same-key rows in
+    ``[anchor.ts - window, anchor.ts)`` — a range join via time
+    bucketization: equi-join on (key, bucket) over the 2 candidate
+    buckets, then a conditional count applies the exact range (so
+    anchors with zero in-range matches still emit n_prior = 0).
+
+    Output: (``id_col``, n_prior).
+    """
+    anchors = events.filter(anchor_filter).select(
+        F.col(id_col).alias("__aid"),
+        F.col(key).alias("__k"),
+        F.col(ts_col).alias("__at"),
+        F.explode(
+            F.array(
+                _bucket(ts_col, window_seconds),
+                _bucket(ts_col, window_seconds) - 1,
+            )
+        ).alias("__bucket"),
+    )
+    others = events.select(
+        F.col(key).alias("__k"),
+        F.col(ts_col).alias("__ot"),
+        _bucket(ts_col, window_seconds).alias("__bucket"),
+    )
+    in_range = (
+        F.col("__ot").isNotNull()
+        & (F.col("__ot") >= F.col("__at") - F.expr(f"INTERVAL {window_seconds} SECOND"))
+        & (F.col("__ot") < F.col("__at"))
+    )
+    joined = anchors.join(others, ["__k", "__bucket"], "left")
+    return (
+        joined.groupBy("__aid")
+        .agg(F.sum(F.when(in_range, 1).otherwise(0)).alias("n_prior"))
+        .select(F.col("__aid").alias(id_col), "n_prior")
+    )

@@ -125,7 +125,7 @@ def embedding_dedup_pairs(
 # ---------------------------------------------------------------------------
 # LSH (random hyperplanes) — the scale path
 # ---------------------------------------------------------------------------
-def _hyperplanes(dim: int, n_planes: int) -> list[list[float]]:
+def _hyperplanes(dim: int, n_planes: int, table: int = 0) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes in [-1, 1]^dim derived
     from the cross-engine hash (no RNG state, reproducible anywhere)."""
     import hashlib
@@ -134,7 +134,9 @@ def _hyperplanes(dim: int, n_planes: int) -> list[list[float]]:
     for p in range(n_planes):
         row = []
         for d in range(dim):
-            h = int(hashlib.md5(f"plane:{p}:{d}".encode()).hexdigest()[:15], 16)
+            h = int(
+                hashlib.md5(f"plane:{table}:{p}:{d}".encode()).hexdigest()[:15], 16
+            )
             row.append((h / float((1 << 60) - 1)) * 2.0 - 1.0)
         planes.append(row)
     return planes
@@ -156,39 +158,66 @@ def knn_lsh(
     probe_ids: list[int],
     k: int = 5,
     n_planes: int = 8,
+    n_tables: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
     multiprobe_hamming: int = 1,
 ) -> DataFrame:
-    """Approximate top-k: candidates share an LSH bucket with the probe
-    (multi-probe: buckets within Hamming distance 1), re-ranked by exact
-    cosine. Equi-join on bucket id replaces the cross join."""
-    planes = _hyperplanes(dim, n_planes)
+    """Approximate top-k via multi-table random-hyperplane LSH.
+
+    ``n_tables`` independent hash tables (the standard recall lever);
+    within each, probes search their own bucket plus buckets at Hamming
+    distance 1 (multi-probe). Candidates union across tables, then
+    exact-cosine re-rank. Equi-join on (table, bucket) replaces the
+    cross join, so scan cost ∝ bucket occupancy — at 100 TB the
+    signature/bucket table is a secondary index a few per-mille of the
+    corpus size.
+    """
+    all_planes = [_hyperplanes(dim, n_planes, t) for t in range(n_tables)]
     base = embeddings.select(
         F.col(id_col).alias("__id"), as_double(F.col(vec_col)).alias("__v")
-    ).withColumn("__bucket", bucket_key(F.col("__v"), planes))
-    # Multi-probe: each probe also searches neighboring buckets.
-    flips = [F.col("__bucket")] + [
-        F.col("__bucket").bitwiseXOR(F.lit(1 << i))
+    )
+    bucketed = base.select(
+        "__id",
+        "__v",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("t"),
+                        bucket_key(F.col("__v"), planes).alias("b"),
+                    )
+                    for t, planes in enumerate(all_planes)
+                ]
+            )
+        ).alias("__tb"),
+    ).select("__id", "__v", F.col("__tb.t").alias("__t"), F.col("__tb.b").alias("__b"))
+    flips = [F.col("__b")] + [
+        F.col("__b").bitwiseXOR(F.lit(1 << i))
         for i in range(n_planes if multiprobe_hamming >= 1 else 0)
     ]
     probes = (
-        base.filter(F.col("__id").isin(probe_ids))
+        bucketed.filter(F.col("__id").isin(probe_ids))
         .select(
             F.col("__id").alias("probe_id"),
             F.col("__v").alias("__pv"),
-            F.explode(F.array(*flips)).alias("__bucket"),
+            "__t",
+            F.explode(F.array(*flips)).alias("__b"),
         )
     )
-    cands = base.join(F.broadcast(probes), "__bucket").filter(
-        F.col("__id") != F.col("probe_id")
+    cands = (
+        bucketed.join(F.broadcast(probes), ["__t", "__b"])
+        .filter(F.col("__id") != F.col("probe_id"))
+        # Union of tables/probe-buckets: dedup before the expensive
+        # cosine so each candidate is scored once.
+        .dropDuplicates(["probe_id", "__id"])
     )
     scored = cands.select(
         "probe_id",
         F.col("__id").alias("neighbor_id"),
         F.round(cosine(F.col("__v"), F.col("__pv")), 6).alias("cosine_sim"),
-    ).dropDuplicates(["probe_id", "neighbor_id"])
+    )
     w = Window.partitionBy("probe_id").orderBy(
         F.desc("cosine_sim"), F.asc("neighbor_id")
     )

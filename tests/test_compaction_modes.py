@@ -1,0 +1,116 @@
+"""Mock executor (S9) and binpack incremental compaction tests."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+from pyspark.sql import types as T
+
+from bergloom_spark.config import CompactionConfig
+from bergloom_spark.lake import Compaction, LakeTable
+from bergloom_spark.lake import metadata as md
+from bergloom_spark.lake.compaction import BinpackCompaction
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType(), False),
+        T.StructField("v", T.StringType(), False),
+    ]
+)
+
+
+def _table(spark, tmp_path):
+    return LakeTable.create(spark, str(tmp_path / "t"), SCHEMA)
+
+
+def _df(spark, n, tag):
+    return spark.range(n).select(
+        F.col("id"), F.concat(F.lit(tag), F.col("id")).alias("v")
+    )
+
+
+def test_mock_executor_dry_run(spark, tmp_path):
+    """MockExecutor parity (executor/mock.rs:22-29): plans but writes and
+    commits nothing; stats stay default."""
+    t = _table(spark, tmp_path)
+    t.append(_df(spark, 100, "a"))
+    version_before = t.meta.version
+    result = Compaction(t, executor="mock").compact()
+    assert result.stat.rewritten_files_count == 0
+    assert result.stat.added_files_count == 0
+    t.refresh()
+    assert t.meta.version == version_before
+    assert t.read().count() == 100
+
+
+def test_unknown_executor_rejected(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    with pytest.raises(ValueError):
+        Compaction(t, executor="quantum")
+
+
+def test_binpack_rewrites_only_small_files(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    t.append(_df(spark, 50_000, "big"))     # one large-ish file
+    t.append(_df(spark, 10, "s1"))          # tiny files
+    t.append(_df(spark, 10, "s2"))
+    t.append(_df(spark, 10, "s3"))
+    snap = t.meta.current_snapshot()
+    sizes = sorted(e.file_size_bytes for e in snap.files(md.DATA))
+    threshold = sizes[-1]  # everything below the biggest file is "small"
+    big_paths = {
+        e.file_path
+        for e in snap.files(md.DATA)
+        if e.file_size_bytes >= threshold
+    }
+    total_before = t.read().count()
+    result = BinpackCompaction(
+        t,
+        CompactionConfig(target_file_size=1 << 30),
+        small_file_threshold=threshold,
+    ).compact()
+    assert result.stat.rewritten_files_count == len(snap.files(md.DATA)) - len(
+        big_paths
+    )
+    t.refresh()
+    after = t.meta.current_snapshot()
+    # Large file untouched, small ones replaced by fewer files.
+    assert big_paths <= {e.file_path for e in after.files(md.DATA)}
+    assert len(after.files(md.DATA)) < len(snap.files(md.DATA))
+    assert t.read().count() == total_before
+
+
+def test_binpack_keeps_deletes_live_for_untouched_files(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    t.append(_df(spark, 50_000, "big"))
+    t.append(_df(spark, 10, "small"))
+    # Equality delete hitting rows in BOTH the big and small files.
+    t.append_equality_deletes(
+        spark.createDataFrame([(3,)], "id long"), ["id"]
+    )
+    before = sorted(
+        (r.id, r.v) for r in t.read().collect() if r.id < 6
+    )
+    snap = t.meta.current_snapshot()
+    threshold = max(e.file_size_bytes for e in snap.files(md.DATA))
+    BinpackCompaction(
+        t,
+        CompactionConfig(target_file_size=1 << 30),
+        small_file_threshold=threshold,
+    ).compact()
+    t.refresh()
+    after_snap = t.meta.current_snapshot()
+    # Delete files must still be live (they reference the big file too).
+    assert after_snap.files(md.EQ_DELETE)
+    after = sorted((r.id, r.v) for r in t.read().collect() if r.id < 6)
+    assert after == before
+    assert all(r.id != 3 for r in t.read().collect())
+
+
+def test_binpack_noop_with_single_small_file(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    t.append(_df(spark, 10, "only"))
+    version = t.meta.version
+    result = BinpackCompaction(t, small_file_threshold=10**9).compact()
+    assert result.stat.rewritten_files_count == 0
+    assert t.refresh().meta.version == version

@@ -1,0 +1,112 @@
+"""Behavioral tests for approximate dedup / ANN: do they actually find
+planted duplicates, and how does LSH recall compare to brute force?"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from bergloom_spark.io import load_table
+from bergloom_spark.operators import dedup, similarity
+
+
+def _docs_with_dups(spark, sf_dir):
+    """sf docs + planted near-duplicates: doc_id+10000 is doc_id's text
+    with one word appended (high shingle overlap)."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    dups = d.select(
+        (F.col("doc_id") + 10_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" appended")).alias("text"),
+    )
+    return d.select("doc_id", "text").unionByName(dups)
+
+
+def test_minhash_lsh_finds_planted_near_dups(spark, sf_dir):
+    docs = _docs_with_dups(spark, sf_dir)
+    pairs = dedup.minhash_lsh_pairs(
+        docs, "text", "doc_id", k=8, bands=4, threshold=0.5
+    )
+    found = {(r.id_a, r.id_b) for r in pairs.collect()}
+    planted = {(i, i + 10_000) for i in range(50)}
+    recall = len(found & planted) / len(planted)
+    assert recall >= 0.8, f"minhash recall {recall}"
+    # Unrelated docs shouldn't flood in: pairs are overwhelmingly planted.
+    assert len(found - planted) <= len(planted)
+
+
+def test_simhash_near_dups_have_small_hamming(spark, sf_dir):
+    docs = _docs_with_dups(spark, sf_dir)
+    sigs = {
+        r.doc_id: r.sh
+        for r in docs.select(
+            "doc_id", dedup.simhash("text").alias("sh")
+        ).collect()
+    }
+    close = sum(
+        1
+        for i in range(50)
+        if bin(sigs[i] ^ sigs[i + 10_000]).count("1") <= 6
+    )
+    assert close >= 45, f"only {close}/50 planted dups within hamming 6"
+
+
+def test_exact_dedup_keeps_min_id(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents").limit(30)
+    doubled = d.unionByName(
+        d.withColumn("doc_id", F.col("doc_id") + 500)
+    )
+    kept = dedup.exact_dedup(doubled, ["text"], "doc_id")
+    assert kept.count() == 30
+    assert kept.agg(F.max("doc_id")).first()[0] < 500
+
+
+def test_knn_lsh_finds_planted_twins(spark, sf_dir):
+    """The dedup use-case: planted near-identical vectors (tiny
+    perturbation ⇒ cosine ≈ 1) must be retrieved as top-1."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    twins = emb.filter(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 10_000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: (x * 0.99 + 0.001).cast("float")
+        ).alias("embedding"),
+        F.col("label"),
+    )
+    corpus = emb.unionByName(twins)
+    approx = similarity.knn_lsh(corpus, probe_ids=list(range(10)), k=1)
+    top1 = {r.probe_id: r.neighbor_id for r in approx.collect()}
+    hits = sum(1 for p, n in top1.items() if n == p + 10_000)
+    assert hits >= 8, f"only {hits}/10 planted twins found as top-1"
+
+
+def test_knn_lsh_recall_vs_bruteforce(spark, sf_dir):
+    """On near-uniform random vectors (no angular structure) recall is
+    bounded by theory, but multi-table LSH must still beat random
+    candidate sampling by a wide margin."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = list(range(10))
+    exact = similarity.knn_bruteforce(emb, probes, k=5)
+    approx = similarity.knn_lsh(emb, probes, k=5, n_tables=8)
+    exact_set = {(r.probe_id, r.neighbor_id) for r in exact.collect()}
+    approx_set = {(r.probe_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.4, f"LSH recall@5 = {recall}"
+
+
+def test_knn_lsh_candidate_reduction(spark, sf_dir):
+    """The point of LSH: the candidate set must be far smaller than the
+    corpus (here: bucket+multiprobe scan fraction)."""
+    from bergloom_spark.operators.similarity import (
+        _hyperplanes,
+        as_double,
+        bucket_key,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    planes = _hyperplanes(64, 8)
+    bucketed = emb.select(
+        F.col("vec_id"), bucket_key(as_double(F.col("embedding")), planes).alias("b")
+    )
+    sizes = bucketed.groupBy("b").count().collect()
+    n = emb.count()
+    avg_bucket = sum(r["count"] for r in sizes) / len(sizes)
+    # 9 probed buckets (own + 8 flips) out of up to 256.
+    assert 9 * avg_bucket < 0.5 * n, (avg_bucket, n)

@@ -1,0 +1,86 @@
+"""as-of and interval join tests (vs DuckDB ASOF JOIN / correlated SQL)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from bergloom_spark.io import load_table
+from bergloom_spark.operators.joins import asof_join, interval_count_join
+from tests.oracle_utils import compare, duck_connection
+
+
+def test_asof_join_semantics(spark):
+    quotes = spark.createDataFrame(
+        [("A", 1, 10.0), ("A", 5, 11.0), ("A", 9, 12.0), ("B", 3, 99.0)],
+        "sym string, t long, px double",
+    ).withColumn("ts", F.timestamp_seconds("t")).drop("t")
+    trades = spark.createDataFrame(
+        [("A", 4), ("A", 5), ("A", 20), ("B", 1), ("C", 7)],
+        "sym string, t long",
+    ).withColumn("ts", F.timestamp_seconds("t")).drop("t")
+    out = asof_join(trades, quotes, on="sym", right_value_cols=["px"])
+    got = {
+        (r.sym, r.ts.second if r.ts.second else r.ts.minute * 60): r.px_asof
+        for r in out.collect()
+    }
+    by_key = {(r.sym, int(r.ts.timestamp())): r.px_asof for r in out.collect()}
+    assert by_key[("A", 4)] == 10.0   # latest quote at t<=4 is t=1
+    assert by_key[("A", 5)] == 11.0   # inclusive: quote at t=5 matches
+    assert by_key[("A", 20)] == 12.0
+    assert by_key[("B", 1)] is None   # quote at t=3 is in the future
+    assert by_key[("C", 7)] is None   # no key match
+
+
+def test_asof_join_vs_duckdb_asof(spark, sf_dir):
+    # purchases matched to the latest prior-or-equal view of same user.
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id"), F.col("ts"), F.col("event_id").alias("view_event_id")
+    )
+    out = asof_join(
+        purchases, views, on="user_id", right_value_cols=["view_event_id"]
+    ).select("event_id", "user_id", "view_event_id_asof", F.col("ts_asof"))
+    con = duck_connection(sf_dir)
+    report = compare(
+        out,
+        con,
+        """
+        SELECT p.event_id, p.user_id,
+               v.event_id AS view_event_id_asof, v.ts AS ts_asof
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+          ON p.user_id = v.user_id AND v.ts <= p.ts
+        """,
+    )
+    con.close()
+    assert report["match"], report
+
+
+def test_interval_count_join_vs_duckdb(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    out = interval_count_join(
+        ev,
+        key="user_id",
+        ts_col="ts",
+        anchor_filter=(F.col("event_type") == "error"),
+        window_seconds=600,
+        id_col="event_id",
+    )
+    con = duck_connection(sf_dir)
+    report = compare(
+        out,
+        con,
+        """
+        SELECT e.event_id,
+               (SELECT count(*) FROM events o
+                WHERE o.user_id = e.user_id
+                  AND o.ts >= e.ts - INTERVAL 10 MINUTE
+                  AND o.ts < e.ts) AS n_prior
+        FROM events e WHERE e.event_type = 'error'
+        """,
+    )
+    con.close()
+    assert report["match"], report

@@ -1,0 +1,98 @@
+"""Plan-quality goldens: the Spark analog of the reference's SQL-string
+golden tests (datafusion_processor.rs:726-1196) — instead of comparing
+generated SQL text, assert the *physical plan properties* that matter
+at scale: anti-join chain shape, broadcast choices, filter pushdown,
+column pruning, codegen."""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+
+from bergloom_spark.io import load_table
+from bergloom_spark.operators import mor
+from bergloom_spark.plans import explain as X
+
+SF = "/root/testdata/sf0.001"
+
+
+def _synth(li):
+    return (
+        li.withColumn(mor.SYS_HIDDEN_SEQ_NUM, F.lit(1).cast("long"))
+        .withColumn(mor.SYS_HIDDEN_FILE_PATH, F.lit("f"))
+        .withColumn(mor.SYS_HIDDEN_POS, F.col("l_orderkey"))
+    )
+
+
+def test_mor_plan_shape_anti_join_chain(spark):
+    """Pos + two eq-delete schemas ⇒ exactly three anti joins, mirroring
+    the reference's chained RIGHT ANTI JOIN SQL golden (:904-962)."""
+    li = _synth(load_table(spark, SF, "lineitem"))
+    pos = spark.createDataFrame([("f", 1)], "file_path string, pos long")
+    e1 = spark.createDataFrame([(1,)], "l_orderkey long")
+    e2 = spark.createDataFrame([(1, 1)], "l_partkey long, l_suppkey long")
+    groups = mor.group_equality_deletes(
+        [(e1, ["l_orderkey"], 2), (e2, ["l_partkey", "l_suppkey"], 2)]
+    )
+    out = mor.merge_on_read(li, pos_deletes=pos, eq_delete_groups=groups)
+    assert X.anti_join_count(out) == 3
+
+
+def test_mor_deletes_are_broadcast(spark):
+    """Small delete sets must broadcast — the common compaction case
+    must never shuffle the data side."""
+    li = _synth(load_table(spark, SF, "lineitem"))
+    pos = spark.createDataFrame([("f", 1)], "file_path string, pos long")
+    out = mor.apply_position_deletes(li, pos, broadcast_deletes=True)
+    assert X.count_broadcast_joins(out) >= 1
+    assert X.count_sortmerge_joins(out) == 0
+
+
+def test_filter_pushdown_reaches_parquet(spark):
+    li = load_table(spark, SF, "lineitem")
+    q = li.filter(F.col("l_quantity") < 5).select("l_orderkey", "l_quantity")
+    pushed = X.pushed_filters(q)
+    assert any("l_quantity" in f for f in pushed), pushed
+
+
+def test_column_pruning_reaches_parquet(spark):
+    li = load_table(spark, SF, "lineitem")
+    q = li.groupBy("l_returnflag").agg(F.sum("l_quantity").alias("s"))
+    cols = X.read_schema_columns(q)
+    assert set(cols) == {"l_returnflag", "l_quantity"}, cols
+
+
+def test_q1_single_shuffle_and_codegen(spark):
+    """TPC-H Q1 shape: one aggregation exchange, whole-stage codegen."""
+    import __spark_entry__ as E
+
+    df = E.queries()["q1_pricing_summary"](spark, SF)
+    assert X.count_shuffles(df) <= 1
+    assert X.has_whole_stage_codegen(df)
+
+
+def test_dims_broadcast_in_q5(spark):
+    import __spark_entry__ as E
+
+    df = E.queries()["q5_local_supplier_volume"](spark, SF)
+    # nation/region (and at this SF, more) must come in as broadcasts.
+    assert X.count_broadcast_joins(df) >= 2
+
+
+def test_lake_seq_map_join_is_broadcast(spark, tmp_path):
+    """The per-file sequence-number manifest join must broadcast — a
+    shuffle there would reshuffle the whole table at every MoR read."""
+    from pyspark.sql import types as T
+
+    from bergloom_spark.lake import LakeTable
+
+    t = LakeTable.create(
+        spark,
+        str(tmp_path / "t"),
+        T.StructType([T.StructField("id", T.LongType(), False)]),
+    )
+    t.append(spark.range(100).select(F.col("id")))
+    df = t.scan_data(with_hidden=True)
+    assert X.count_broadcast_joins(df) >= 1
+    assert X.count_shuffles(df) == 0
