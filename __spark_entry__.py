@@ -133,7 +133,66 @@ def q_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.read().select(*LI_COLS)
 
 
+def q_compact_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fanout-writer path (S8): partitioned lake table → eq-delete →
+    full compaction → read; partition values recovered from manifests."""
+    from bergloom_spark.config import CompactionConfig
+    from bergloom_spark.lake import Compaction, LakeTable
+
+    li = T(spark, sf_dir, "lineitem").select(*LI_COLS, "l_returnflag")
+    root = os.path.join(tempfile.mkdtemp(prefix="bergloom-part-"), "li")
+    t = LakeTable.create(spark, root, li.schema, partition_spec=["l_returnflag"])
+    t.append(li)
+    t.append_equality_deletes(
+        T(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 5 == 0)
+        .select(F.col("o_orderkey").alias("l_orderkey"))
+        .distinct(),
+        ["l_orderkey"],
+    )
+    Compaction(t, CompactionConfig(target_file_size=64 * 1024 * 1024)).compact()
+    return t.read().select(*LI_COLS, "l_returnflag")
+
+
+def q_pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite training-data pipeline: quality filter → language
+    filter → fingerprint dedup → token stats. Filters prune rows before
+    the dedup shuffle; dedup keys on the 60-bit fingerprint."""
+    d = T(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        TX.quality_score("text").alias("quality"),
+        TX.lang_id("text").alias("lang_pred"),
+        TX.token_count("text").alias("n_tokens"),
+        TX.fingerprint64("text").alias("fp"),
+    )
+    filtered = scored.filter(
+        (F.col("quality") >= 0.6) & (F.col("lang_pred") == "en")
+    )
+    deduped = dedup.exact_dedup(filtered, ["fp"], "doc_id")
+    return deduped.select("doc_id", "n_tokens", "quality")
+
+
 _MOR_ORACLES = {
+    "compact_partitioned": f"""
+        SELECT {', '.join(LI_COLS)}, l_returnflag FROM lineitem l
+        WHERE l_orderkey NOT IN (
+          SELECT o_orderkey FROM orders WHERE o_orderkey % 5 = 0)
+    """,
+    "pipeline_clean_corpus": f"""
+        WITH scored AS (
+          SELECT doc_id,
+                 {TX.quality_score_sql('text')} AS quality,
+                 {TX.lang_id_sql('text')} AS lang_pred,
+                 {TX.token_count_sql('text')} AS n_tokens,
+                 {TX.fingerprint64_sql('text')} AS fp
+          FROM documents),
+        filtered AS (
+          SELECT * FROM scored WHERE quality >= 0.6 AND lang_pred = 'en'),
+        keep AS (SELECT fp, min(doc_id) AS doc_id FROM filtered GROUP BY fp)
+        SELECT f.doc_id, f.n_tokens, f.quality
+        FROM filtered f JOIN keep k ON f.doc_id = k.doc_id AND f.fp = k.fp
+    """,
     "mor_pos_delete": f"""
         SELECT {', '.join(LI_COLS)} FROM lineitem l
         WHERE NOT EXISTS (
@@ -696,6 +755,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mor_eq_delete_seq": q_mor_eq_delete_seq,
         "mor_multi_eq_schema": q_mor_multi_eq_schema,
         "compact_roundtrip": q_compact_roundtrip,
+        "compact_partitioned": q_compact_partitioned,
+        "pipeline_clean_corpus": q_pipeline_clean_corpus,
         # analytics (delegated-capability surface / bench headliners)
         "q1_pricing_summary": q_q1_pricing_summary,
         "q3_shipping_priority": q_q3_shipping_priority,
