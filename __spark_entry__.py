@@ -377,6 +377,34 @@ def q_interval_error_context(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_json_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar functions: extract props.k, aggregate per type."""
+    ev = T(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.sum(F.get_json_object("props", "$.k").cast("long")).alias("sum_k"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def q_distinct_parts_per_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact COUNT(DISTINCT) via the skew-safe two-phase pattern."""
+    from bergloom_spark.operators.agg import two_phase_distinct_count
+
+    return two_phase_distinct_count(
+        T(spark, sf_dir, "lineitem"), "l_suppkey", "l_partkey", "n_parts"
+    )
+
+
+def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ sketch counts (no oracle: estimator is engine-specific;
+    tests assert ±5% of exact)."""
+    from bergloom_spark.operators.agg import approx_distinct
+
+    return approx_distinct(
+        T(spark, sf_dir, "events"), "event_type", "user_id"
+    )
+
+
 def q_sales_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = T(spark, sf_dir, "lineitem")
     return li.rollup("l_returnflag", "l_linestatus").agg(
@@ -446,6 +474,16 @@ _ANALYTICS_ORACLES = {
                   AND o.ts >= e.ts - INTERVAL 10 MINUTE
                   AND o.ts < e.ts) AS n_prior
         FROM events e WHERE e.event_type = 'error'
+    """,
+    "events_json_rollup": """
+        SELECT event_type,
+               sum(json_extract_string(props, '$.k')::BIGINT) AS sum_k,
+               count(*) AS n
+        FROM events GROUP BY event_type
+    """,
+    "distinct_parts_per_supplier": """
+        SELECT l_suppkey, count(DISTINCT l_partkey) AS n_parts
+        FROM lineitem GROUP BY l_suppkey
     """,
     "sales_rollup": """
         SELECT l_returnflag, l_linestatus,
@@ -766,6 +804,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": q_events_hourly,
         "asof_purchase_view": q_asof_purchase_view,
         "interval_error_context": q_interval_error_context,
+        "events_json_rollup": q_events_json_rollup,
+        "distinct_parts_per_supplier": q_distinct_parts_per_supplier,
+        "approx_distinct_users": q_approx_distinct_users,
         "sales_rollup": q_sales_rollup,
         "orders_pivot": q_orders_pivot,
         "price_percentiles": q_price_percentiles,
