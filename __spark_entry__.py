@@ -377,6 +377,32 @@ def q_interval_error_context(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A REAL Structured Streaming run (file source → watermarked
+    windowed agg → memory sink, availableNow): once the source drains,
+    complete-mode output equals the batch answer, so the same SQL
+    oracle applies."""
+    import uuid
+
+    from bergloom_spark.streaming import events as SE
+
+    stream_dir = os.path.join(
+        tempfile.mkdtemp(prefix="bergloom-stream-"), "events"
+    )
+    T(spark, sf_dir, "events").repartition(4).write.parquet(stream_dir)
+    name = f"stream_hourly_{uuid.uuid4().hex[:8]}"
+    stream = SE.read_events_stream(spark, stream_dir, max_files_per_trigger=2)
+    SE.run_stream_to_memory(
+        SE.hourly_rollup(stream), name, output_mode="complete"
+    )
+    return spark.table(name).select(
+        F.col("hour").cast("timestamp_ntz").alias("hour"),
+        "event_type",
+        "n",
+        "value_sum",
+    )
+
+
 def q_events_json_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON scalar functions: extract props.k, aggregate per type."""
     ev = T(spark, sf_dir, "events")
@@ -474,6 +500,11 @@ _ANALYTICS_ORACLES = {
                   AND o.ts >= e.ts - INTERVAL 10 MINUTE
                   AND o.ts < e.ts) AS n_prior
         FROM events e WHERE e.event_type = 'error'
+    """,
+    "streaming_events_hourly": """
+        SELECT date_trunc('hour', ts) AS hour, event_type,
+               count(*) AS n, round(sum(value), 2) AS value_sum
+        FROM events GROUP BY 1, 2
     """,
     "events_json_rollup": """
         SELECT event_type,
@@ -804,6 +835,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": q_events_hourly,
         "asof_purchase_view": q_asof_purchase_view,
         "interval_error_context": q_interval_error_context,
+        "streaming_events_hourly": q_streaming_events_hourly,
         "events_json_rollup": q_events_json_rollup,
         "distinct_parts_per_supplier": q_distinct_parts_per_supplier,
         "approx_distinct_users": q_approx_distinct_users,
