@@ -159,6 +159,10 @@ def q_pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter → fingerprint dedup → token stats. Filters prune rows before
     the dedup shuffle; dedup keys on the 60-bit fingerprint."""
     d = T(spark, sf_dir, "documents")
+    # One projection: whole-stage-codegen subexpression elimination
+    # dedupes the identical tokenizer subtrees. (A two-stage select
+    # with a materialized token column is SLOWER here: ProjectCollapse
+    # re-inlines the array into every use site and defeats CSE.)
     scored = d.select(
         "doc_id",
         TX.quality_score("text").alias("quality"),
@@ -463,6 +467,36 @@ def q_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_orders_date_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time scalar functions over order dates."""
+    o = T(spark, sf_dir, "orders")
+    return (
+        o.select(
+            F.year("o_orderdate").alias("y"),
+            F.quarter("o_orderdate").alias("q"),
+            F.dayofweek("o_orderdate").alias("dow"),
+            "o_totalprice",
+        )
+        .groupBy("y", "q", "dow")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
+
+
+def q_part_name_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String scalar functions incl. edit distance vs brand."""
+    p = T(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.length("p_name").alias("name_len"),
+        F.upper(F.substring("p_name", 1, 3)).alias("prefix"),
+        F.levenshtein(F.col("p_type"), F.col("p_brand")).alias("type_brand_dist"),
+        F.size(F.split("p_name", " ")).alias("n_words"),
+    )
+
+
 def q_custkey_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = T(spark, sf_dir, "orders")
     f = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
@@ -534,6 +568,19 @@ _ANALYTICS_ORACLES = {
                round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
                round(quantile_cont(l_extendedprice, 0.75), 4) AS p75
         FROM lineitem GROUP BY l_returnflag
+    """,
+    "orders_date_features": """
+        SELECT year(o_orderdate) AS y, quarter(o_orderdate) AS q,
+               dayofweek(o_orderdate) + 1 AS dow,
+               count(*) AS n, round(sum(o_totalprice), 2) AS total
+        FROM orders GROUP BY 1, 2, 3
+    """,
+    "part_name_features": """
+        SELECT p_partkey, length(p_name) AS name_len,
+               upper(substr(p_name, 1, 3)) AS prefix,
+               levenshtein(p_type, p_brand) AS type_brand_dist,
+               len(string_split(p_name, ' ')) AS n_words
+        FROM part
     """,
     "custkey_intersect": """
         SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
@@ -842,6 +889,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sales_rollup": q_sales_rollup,
         "orders_pivot": q_orders_pivot,
         "price_percentiles": q_price_percentiles,
+        "orders_date_features": q_orders_date_features,
+        "part_name_features": q_part_name_features,
         "custkey_intersect": q_custkey_intersect,
         "custkey_except": q_custkey_except,
         # training-data pipeline extensions

@@ -26,7 +26,9 @@ HEADLINE = [
     "q5_local_supplier_volume",
     "top_parts_per_brand",
     "events_hourly",
+    "asof_purchase_view",
     "dedup_fingerprint",
+    "pipeline_clean_corpus",
     "simhash",
     "minhash_lsh_pairs",
     "knn_bruteforce",

@@ -45,8 +45,8 @@ def tokens_sql(expr: str) -> str:
     return f"list_filter(string_split_regex({expr}, '\\s+'), x -> x <> '')"
 
 
-def token_count(col: Column | str) -> Column:
-    return F.size(tokens(col))
+def token_count(col: Column | str, toks: Column | None = None) -> Column:
+    return F.size(toks if toks is not None else tokens(col))
 
 
 def token_count_sql(expr: str) -> str:
@@ -74,9 +74,13 @@ def _word_list(words: list[str]) -> Column:
     return F.array(*[F.lit(w) for w in words])
 
 
-def stopword_ratio(col: Column | str, stopwords: list[str] | None = None) -> Column:
+def stopword_ratio(
+    col: Column | str,
+    stopwords: list[str] | None = None,
+    toks: Column | None = None,
+) -> Column:
     words = stopwords or ENGLISH_STOPWORDS
-    toks = tokens(col)
+    toks = toks if toks is not None else tokens(col)
     hits = F.size(
         F.filter(toks, lambda x: F.array_contains(_word_list(words), F.lower(x)))
     )
@@ -93,8 +97,8 @@ def stopword_ratio_sql(expr: str, stopwords: list[str] | None = None) -> str:
     )
 
 
-def mean_token_length(col: Column | str) -> Column:
-    toks = tokens(col)
+def mean_token_length(col: Column | str, toks: Column | None = None) -> Column:
+    toks = toks if toks is not None else tokens(col)
     total = F.aggregate(toks, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x))
     return total.cast("double") / F.greatest(F.size(toks), F.lit(1)).cast("double")
 
@@ -107,17 +111,21 @@ def mean_token_length_sql(expr: str) -> str:
     )
 
 
-def quality_score(col: Column | str) -> Column:
+def quality_score(col: Column | str, toks: Column | None = None) -> Column:
     """Composite [0,1] quality heuristic: alphabetic ratio, English
-    stopword presence, and a token-length sweet spot (3-8 chars)."""
+    stopword presence, and a token-length sweet spot (3-8 chars).
+
+    Pass a materialized ``toks`` column in multi-score pipelines so the
+    tokenizer runs once per row instead of once per term.
+    """
     length_term = F.least(
-        F.lit(1.0), token_count(col).cast("double") / F.lit(50.0)
+        F.lit(1.0), token_count(col, toks).cast("double") / F.lit(50.0)
     )
-    mtl = mean_token_length(col)
+    mtl = mean_token_length(col, toks)
     sweet = F.when((mtl >= 3.0) & (mtl <= 8.0), F.lit(1.0)).otherwise(F.lit(0.0))
     return F.round(
         0.35 * alpha_ratio(col)
-        + 0.25 * F.least(F.lit(1.0), 4.0 * stopword_ratio(col))
+        + 0.25 * F.least(F.lit(1.0), 4.0 * stopword_ratio(col, toks=toks))
         + 0.2 * length_term
         + 0.2 * sweet,
         6,
@@ -139,8 +147,10 @@ def quality_score_sql(expr: str) -> str:
 # ---------------------------------------------------------------------------
 # language ID (stopword-hit heuristic)
 # ---------------------------------------------------------------------------
-def lang_scores(col: Column | str) -> dict[str, Column]:
-    toks = tokens(col)
+def lang_scores(
+    col: Column | str, toks: Column | None = None
+) -> dict[str, Column]:
+    toks = toks if toks is not None else tokens(col)
 
     # NB: bind the word list via closure, not a defaulted second lambda
     # parameter — F.filter treats a 2-arg lambda as (element, index).
@@ -151,10 +161,10 @@ def lang_scores(col: Column | str) -> dict[str, Column]:
     return {lang: hit_counter(words) for lang, words in STOPWORDS.items()}
 
 
-def lang_id(col: Column | str) -> Column:
+def lang_id(col: Column | str, toks: Column | None = None) -> Column:
     """argmax over per-language stopword hits; ties break in LANG_ORDER;
     zero hits everywhere → 'und' (undetermined)."""
-    scores = lang_scores(col)
+    scores = lang_scores(col, toks)
     best = F.greatest(*[scores[lang] for lang in LANG_ORDER])
     expr = F.lit("und")
     # Build the WHEN chain in reverse so earlier langs win ties.
