@@ -24,15 +24,22 @@ DEFAULT_SF_DIR = "/root/testdata/sf0.001"
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
-        # TIMESTAMP(NANOS) parquet read as long nanos (see session.py);
-        # integer-divide to micros to avoid double-precision loss.
-        df = df.withColumn(
+        # events.parquet carries TIMESTAMP(NANOS), which Spark rejects
+        # unless read as raw long nanos. Set the conf defensively (the
+        # driver's session may not come from session.get_spark), then
+        # convert nanos → NTZ via a timezone-independent timestampadd
+        # (timestamp_micros().cast() would bake in the session TZ).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        return df.withColumn(
             "ts",
-            F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
+            F.expr(
+                "timestampadd(MICROSECOND, ts div 1000,"
+                " TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+            ),
         )
-    return df
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
 def load_tables(

@@ -17,6 +17,9 @@ from pyspark.sql import types as T
 EVENTS_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
+        # LTZ (watermarks require TIMESTAMP, not NTZ): callers must pin
+        # the session timezone to UTC so NTZ-written sources and window
+        # boundaries stay wall-clock-stable — see read_events_stream.
         T.StructField("ts", T.TimestampType()),
         T.StructField("user_id", T.LongType()),
         T.StructField("event_type", T.StringType()),
@@ -82,7 +85,13 @@ def sessionize(
 def read_events_stream(
     spark: SparkSession, events_dir: str, max_files_per_trigger: int = 4
 ) -> DataFrame:
-    """File-source stream over a directory of events parquet files."""
+    """File-source stream over a directory of events parquet files.
+
+    Pins the session timezone to UTC: event-time columns must be LTZ
+    for watermarks, and only a UTC session keeps NTZ-written parquet
+    and tumbling-window boundaries wall-clock-deterministic.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return (
         spark.readStream.schema(EVENTS_SCHEMA)
         .option("maxFilesPerTrigger", max_files_per_trigger)
