@@ -154,6 +154,29 @@ def q_compact_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.read().select(*LI_COLS, "l_returnflag")
 
 
+def q_dml_upsert_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level MoR DML: MERGE-style upsert (equality-delete + append,
+    the reference's EqualityDeltaWriter pattern) followed by a
+    positional DELETE, read back through the anti-join cascade.
+
+    Note (l_orderkey, l_linenumber) is NOT unique in this synthetic
+    lineitem: the upsert removes every row sharing an updated key —
+    exactly what the oracle encodes.
+    """
+    from bergloom_spark.lake import LakeTable
+
+    base = T(spark, sf_dir, "lineitem").select(*LI_COLS)
+    root = os.path.join(tempfile.mkdtemp(prefix="bergloom-dml-"), "li")
+    t = LakeTable.create(spark, root, base.schema)
+    t.append(base)
+    updates = base.filter(F.col("l_partkey") % 17 == 0).withColumn(
+        "l_quantity", F.col("l_quantity") + 1000
+    )
+    t.upsert(updates, ["l_orderkey", "l_linenumber"])
+    t.delete_where(F.col("l_suppkey") % 9 == 0)
+    return t.read()
+
+
 def q_pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite training-data pipeline: quality filter → language
     filter → fingerprint dedup → token stats. Filters prune rows before
@@ -182,6 +205,20 @@ _MOR_ORACLES = {
         SELECT {', '.join(LI_COLS)}, l_returnflag FROM lineitem l
         WHERE l_orderkey NOT IN (
           SELECT o_orderkey FROM orders WHERE o_orderkey % 5 = 0)
+    """,
+    "dml_upsert_delete": f"""
+        WITH base AS (SELECT {', '.join(LI_COLS)} FROM lineitem),
+        upd AS (
+          SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+                 l_quantity + 1000 AS l_quantity
+          FROM base WHERE l_partkey % 17 = 0),
+        merged AS (
+          SELECT b.* FROM base b WHERE NOT EXISTS (
+            SELECT 1 FROM upd k
+            WHERE k.l_orderkey = b.l_orderkey
+              AND k.l_linenumber = b.l_linenumber)
+          UNION ALL SELECT * FROM upd)
+        SELECT * FROM merged WHERE NOT (l_suppkey % 9 = 0)
     """,
     "pipeline_clean_corpus": f"""
         WITH scored AS (
@@ -443,6 +480,16 @@ def q_sales_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sales_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        ),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 def q_orders_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = T(spark, sf_dir, "orders")
     p = (
@@ -554,6 +601,12 @@ _ANALYTICS_ORACLES = {
         SELECT l_returnflag, l_linestatus,
                round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    "sales_cube": """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               count(*) AS n
+        FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
     """,
     "orders_pivot": """
         SELECT o_orderpriority,
@@ -872,6 +925,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mor_multi_eq_schema": q_mor_multi_eq_schema,
         "compact_roundtrip": q_compact_roundtrip,
         "compact_partitioned": q_compact_partitioned,
+        "dml_upsert_delete": q_dml_upsert_delete,
         "pipeline_clean_corpus": q_pipeline_clean_corpus,
         # analytics (delegated-capability surface / bench headliners)
         "q1_pricing_summary": q_q1_pricing_summary,
@@ -887,6 +941,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_parts_per_supplier": q_distinct_parts_per_supplier,
         "approx_distinct_users": q_approx_distinct_users,
         "sales_rollup": q_sales_rollup,
+        "sales_cube": q_sales_cube,
         "orders_pivot": q_orders_pivot,
         "price_percentiles": q_price_percentiles,
         "orders_date_features": q_orders_date_features,

@@ -144,6 +144,44 @@ class LakeTable:
         return snap
 
     # ------------------------------------------------------------------
+    # row-level operations (MoR DML; the reference's EqualityDeltaWriter
+    # insert→delete→insert pattern, compaction/mod.rs:713-805)
+    # ------------------------------------------------------------------
+    def delete_where(self, predicate) -> md.Snapshot | None:
+        """Row-level DELETE as a positional-delete file: scan matching
+        rows' real (file, pos) and append them as deletes — no data
+        file is rewritten (that debt is what compaction later clears).
+
+        Returns the new snapshot, or None if nothing matched.
+        """
+        from pyspark.sql import functions as F
+
+        hidden = self.scan_data(with_hidden=True)
+        matches = hidden.filter(predicate).select(
+            F.col(mor.SYS_HIDDEN_FILE_PATH).alias("file_path"),
+            F.col(mor.SYS_HIDDEN_POS).alias("pos"),
+        )
+        # MoR semantics: a pos-delete only applies to rows already
+        # shadowed by it; rows already removed by live deletes must not
+        # be re-listed, which scan_data avoids by construction (it scans
+        # raw data files — re-deleting an already-deleted (file,pos) is
+        # harmless and idempotent).
+        if matches.isEmpty():
+            return None
+        return self.append_position_deletes(matches)
+
+    def upsert(self, df: DataFrame, key_cols: list[str]) -> md.Snapshot:
+        """MERGE-style upsert: equality-delete on the keys, then append.
+
+        Two commits mirroring the reference's equality-delta write path
+        (delete file with ``equality_ids`` = keys at seq N, data at
+        seq N+1): old rows with matching keys become invisible, new
+        rows land after the delete so the seq gate keeps them.
+        """
+        self.append_equality_deletes(df.select(*key_cols), key_cols)
+        return self.append(df)
+
+    # ------------------------------------------------------------------
     # reads
     # ------------------------------------------------------------------
     def _snapshot(self, snapshot_id: int | None) -> md.Snapshot | None:
