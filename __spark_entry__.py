@@ -764,6 +764,12 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", dedup.simhash("text").alias("simhash32"))
 
 
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash_pairs(
+        T(spark, sf_dir, "documents"), "text", "doc_id", max_hamming=3
+    )
+
+
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_pairs(
         T(spark, sf_dir, "documents"), "text", "doc_id", k=8, bands=4, threshold=0.25
@@ -835,6 +841,21 @@ _EXT_ORACLES = {
     """,
     "simhash": f"""
         SELECT doc_id, {dedup.simhash_sql('text')} AS simhash32 FROM documents
+    """,
+    "simhash_pairs": f"""
+        WITH sigs AS (
+          SELECT doc_id, {dedup.simhash_sql('text')} AS sh FROM documents),
+        banded AS (
+          SELECT doc_id, sh, b.range AS band,
+                 (sh >> (b.range * 8)) & 255 AS bval
+          FROM sigs, range(0, 4) b),
+        pairs AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                 a.sh AS sha, b.sh AS shb
+          FROM banded a JOIN banded b
+            ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id)
+        SELECT id_a, id_b, bit_count(xor(sha, shb)) AS hamming
+        FROM pairs WHERE bit_count(xor(sha, shb)) <= 3
     """,
     "minhash_lsh_pairs": f"""
         WITH sigs AS (
@@ -956,6 +977,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "doc_fingerprints": q_doc_fingerprints,
         "simhash": q_simhash,
+        "simhash_pairs": q_simhash_pairs,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "ngram_jaccard_top1": q_ngram_jaccard_top1,
         "knn_bruteforce": q_knn_bruteforce,

@@ -267,18 +267,22 @@ def simhash_pairs(
     (pigeonhole: Hamming ≤ 3 over 32 bits ⇒ some band is identical),
     then verified on true Hamming distance."""
     sigs = df.select(F.col(id_col).alias("__id"), simhash(text_col).alias("__sh"))
+    # Bands built in a Python loop: F.shiftright requires a literal int
+    # shift, and 4 is a constant anyway.
     banded = sigs.select(
         "__id",
         "__sh",
         F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(3)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.shiftright(F.col("__sh"), b * 8)
-                    .bitwiseAND(F.lit(0xFF))
-                    .alias("bval"),
-                ),
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("__sh"), b * 8)
+                        .bitwiseAND(F.lit(0xFF))
+                        .alias("bval"),
+                    )
+                    for b in range(4)
+                ]
             )
         ).alias("bx"),
     ).select("__id", "__sh", "bx.band", "bx.bval")

@@ -49,6 +49,18 @@ def test_simhash_near_dups_have_small_hamming(spark, sf_dir):
     assert close >= 45, f"only {close}/50 planted dups within hamming 6"
 
 
+def test_simhash_pairs_operator_finds_planted_dups(spark, sf_dir):
+    docs = _docs_with_dups(spark, sf_dir)
+    pairs = dedup.simhash_pairs(docs, "text", "doc_id", max_hamming=6)
+    found = {(r.id_a, r.id_b) for r in pairs.collect()}
+    planted = {(i, i + 10_000) for i in range(50)}
+    # Banding guarantees candidates only for hamming<=3 via pigeonhole;
+    # at max_hamming=6 some planted pairs may lack an identical band, so
+    # expect substantial-but-not-total recall and verified distances.
+    assert len(found & planted) >= 30
+    assert all(r.hamming <= 6 for r in pairs.collect())
+
+
 def test_exact_dedup_keeps_min_id(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents").limit(30)
     doubled = d.unionByName(

@@ -19,10 +19,6 @@ def test_asof_join_semantics(spark):
         "sym string, t long",
     ).withColumn("ts", F.timestamp_seconds("t")).drop("t")
     out = asof_join(trades, quotes, on="sym", right_value_cols=["px"])
-    got = {
-        (r.sym, r.ts.second if r.ts.second else r.ts.minute * 60): r.px_asof
-        for r in out.collect()
-    }
     by_key = {(r.sym, int(r.ts.timestamp())): r.px_asof for r in out.collect()}
     assert by_key[("A", 4)] == 10.0   # latest quote at t<=4 is t=1
     assert by_key[("A", 5)] == 11.0   # inclusive: quote at t=5 matches
