@@ -32,6 +32,15 @@ from bergloom_spark.operators.multimodal import (  # noqa: E402
 )
 
 from bergloom_spark.io import load_table as T  # noqa: E402
+from bergloom_spark.io import spread  # noqa: E402
+
+
+def TS(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load + fan out: the test tables are single-row-group parquet, so
+    a bare scan is ONE task; per-row-heavy operators (text hashing,
+    vector math) must spread across cores first. No-op when the input
+    already has enough splits (the 100 TB case)."""
+    return spread(T(spark, sf_dir, name))
 
 # Stable value-column subset for MoR queries (raw values pass through
 # both engines bit-identically — no float math involved).
@@ -181,16 +190,18 @@ def q_pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite training-data pipeline: quality filter → language
     filter → fingerprint dedup → token stats. Filters prune rows before
     the dedup shuffle; dedup keys on the 60-bit fingerprint."""
-    d = T(spark, sf_dir, "documents")
-    # One projection: whole-stage-codegen subexpression elimination
-    # dedupes the identical tokenizer subtrees. (A two-stage select
-    # with a materialized token column is SLOWER here: ProjectCollapse
-    # re-inlines the array into every use site and defeats CSE.)
-    scored = d.select(
+    d = TS(spark, sf_dir, "documents")
+    # Materialize the token array once and thread it through every
+    # scorer: a multi-referenced non-cheap alias blocks CollapseProject,
+    # so the tokenizer runs once per row AND the codegen'd expression
+    # tree shrinks ~2× (Janino compile time is part of query latency).
+    toked = d.select("doc_id", "text", TX.tokens("text").alias("__toks"))
+    tk = F.col("__toks")
+    scored = toked.select(
         "doc_id",
-        TX.quality_score("text").alias("quality"),
-        TX.lang_id("text").alias("lang_pred"),
-        TX.token_count("text").alias("n_tokens"),
+        TX.quality_score("text", toks=tk).alias("quality"),
+        TX.lang_id("text", toks=tk).alias("lang_pred"),
+        TX.token_count("text", toks=tk).alias("n_tokens"),
         TX.fingerprint64("text").alias("fp"),
     )
     filtered = scored.filter(
@@ -718,40 +729,46 @@ _ANALYTICS_ORACLES = {
 # ---------------------------------------------------------------------------
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.exact_dedup_groups(
-        T(spark, sf_dir, "documents"), ["text"], "doc_id"
+        TS(spark, sf_dir, "documents"), ["text"], "doc_id"
     ).select(
         hash64("text").alias("text_hash"), F.col("keeper_id"), F.col("copies")
     )
 
 
 def q_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.fingerprint_dedup_groups(T(spark, sf_dir, "documents"), "text", "doc_id")
+    return dedup.fingerprint_dedup_groups(TS(spark, sf_dir, "documents"), "text", "doc_id")
 
 
 def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = T(spark, sf_dir, "documents")
-    return d.select(
+    d = TS(spark, sf_dir, "documents")
+    toked = d.select("doc_id", "text", TX.tokens("text").alias("__toks"))
+    tk = F.col("__toks")
+    return toked.select(
         "doc_id",
-        TX.token_count("text").alias("n_tokens"),
+        TX.token_count("text", toks=tk).alias("n_tokens"),
         F.length("text").alias("n_chars_measured"),
-        F.round(TX.mean_token_length("text"), 6).alias("mean_token_len"),
+        F.round(TX.mean_token_length("text", toks=tk), 6).alias("mean_token_len"),
         F.round(TX.alpha_ratio("text"), 6).alias("alpha_ratio"),
     )
 
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = T(spark, sf_dir, "documents")
-    return d.select("doc_id", F.col("lang").alias("lang_given"),
-                    TX.lang_id("text").alias("lang_pred"))
+    d = TS(spark, sf_dir, "documents")
+    toked = d.select("doc_id", "lang", TX.tokens("text").alias("__toks"))
+    return toked.select("doc_id", F.col("lang").alias("lang_given"),
+                        TX.lang_id("text", toks=F.col("__toks")).alias("lang_pred"))
 
 
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = T(spark, sf_dir, "documents")
-    return d.select("doc_id", TX.quality_score("text").alias("quality"))
+    d = TS(spark, sf_dir, "documents")
+    toked = d.select("doc_id", "text", TX.tokens("text").alias("__toks"))
+    return toked.select(
+        "doc_id", TX.quality_score("text", toks=F.col("__toks")).alias("quality")
+    )
 
 
 def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = T(spark, sf_dir, "documents")
+    d = TS(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
         TX.fingerprint64("text").alias("fp64"),
@@ -760,42 +777,42 @@ def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = T(spark, sf_dir, "documents")
+    d = TS(spark, sf_dir, "documents")
     return d.select("doc_id", dedup.simhash("text").alias("simhash32"))
 
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_pairs(
-        T(spark, sf_dir, "documents"), "text", "doc_id", max_hamming=3
+        TS(spark, sf_dir, "documents"), "text", "doc_id", max_hamming=3
     )
 
 
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_pairs(
-        T(spark, sf_dir, "documents"), "text", "doc_id", k=8, bands=4, threshold=0.25
+        TS(spark, sf_dir, "documents"), "text", "doc_id", k=8, bands=4, threshold=0.25
     )
 
 
 def q_ngram_jaccard_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard_top1(
-        T(spark, sf_dir, "documents"), "text", "doc_id", probe_ids=list(range(10))
+        TS(spark, sf_dir, "documents"), "text", "doc_id", probe_ids=list(range(10))
     )
 
 
 def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.knn_bruteforce(
-        T(spark, sf_dir, "embeddings"), probe_ids=list(range(10)), k=5
+        TS(spark, sf_dir, "embeddings"), probe_ids=list(range(10)), k=5
     ).withColumn("rank", F.col("rank").cast("long"))
 
 
 def q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.embedding_dedup_pairs(
-        T(spark, sf_dir, "embeddings"), threshold=0.4
+        TS(spark, sf_dir, "embeddings"), threshold=0.4
     )
 
 
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = T(spark, sf_dir, "documents").select("doc_id", "text")
+    d = TS(spark, sf_dir, "documents").select("doc_id", "text")
     media = attach_binary_payload(d, "text")
     extracted = extract_media_meta(media)
     return extracted.select(

