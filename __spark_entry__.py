@@ -386,6 +386,158 @@ def q_top_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS / left-semi join: orders (one quarter) having a returned
+    line, counted by priority."""
+    orders = T(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1997-04-01")
+    )
+    returned = T(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    ).select(F.col("l_orderkey"))
+    return (
+        orders.join(returned, orders.o_orderkey == returned.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+def q_q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-nation trade volume by year — the double-nation-join shape
+    (supplier nation × customer nation) with a symmetric pair filter."""
+    nation = T(spark, sf_dir, "nation")
+    li = T(spark, sf_dir, "lineitem")
+    orders = T(spark, sf_dir, "orders")
+    supp = T(spark, sf_dir, "supplier")
+    cust = T(spark, sf_dir, "customer")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    )
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nkey"))
+        .filter(
+            (
+                (F.col("supp_nation") == "NATION_1")
+                & (F.col("cust_nation") == "NATION_2")
+            )
+            | (
+                (F.col("supp_nation") == "NATION_2")
+                & (F.col("cust_nation") == "NATION_1")
+            )
+        )
+    )
+    return joined.groupBy(
+        "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+    ).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        )
+    )
+
+
+def q_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 customers by revenue lost to returns in one quarter."""
+    cust = T(spark, sf_dir, "customer")
+    orders = T(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-10-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    li = T(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    joined = li.join(orders, li.l_orderkey == orders.o_orderkey).join(
+        cust, orders.o_custkey == cust.c_custkey
+    )
+    return (
+        joined.groupBy("c_custkey", "c_name", "c_acctbal")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+def q_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAVING-on-aggregate + join back: orders whose total quantity
+    exceeds 150 (the large-volume-customer shape)."""
+    li = T(spark, sf_dir, "lineitem")
+    orders = T(spark, sf_dir, "orders")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .filter(F.col("sum_qty") > 150)
+    )
+    return orders.join(big, orders.o_orderkey == big.l_orderkey).select(
+        "o_orderkey", "o_custkey", "o_totalprice", "sum_qty"
+    )
+
+
+def q_q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OR-of-ANDs predicate over a part join (the pushdown stress
+    shape: each disjunct constrains both sides)."""
+    li = T(spark, sf_dir, "lineitem")
+    part = T(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).filter(
+        (
+            (F.col("p_type") == "PROMO")
+            & (F.col("p_size") <= 20)
+            & (F.col("l_quantity") >= 10)
+        )
+        | (
+            (F.col("p_type") == "LARGE")
+            & (F.col("p_size") >= 30)
+            & (F.col("l_discount") >= 0.05)
+        )
+    )
+    return joined.agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        ),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+def q_q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join + scalar-aggregate broadcast: customers above the mean
+    account balance with no urgent orders, per market segment."""
+    cust = T(spark, sf_dir, "customer")
+    orders = T(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).select("o_custkey")
+    avg_bal = cust.agg(F.avg("c_acctbal").alias("__avg_bal"))
+    rich = cust.crossJoin(F.broadcast(avg_bal)).filter(
+        F.col("c_acctbal") > F.col("__avg_bal")
+    )
+    idle = rich.join(orders, rich.c_custkey == orders.o_custkey, "left_anti")
+    return idle.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+    )
+
+
+def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-pinned read (S1 parity: the reference scans exactly one
+    snapshot, compaction/mod.rs:394-401): two appends and a delete
+    later, read back snapshot 1 — the first append, unaffected by
+    everything after it."""
+    from bergloom_spark.lake import LakeTable
+
+    base = T(spark, sf_dir, "lineitem").select(*LI_COLS)
+    root = os.path.join(tempfile.mkdtemp(prefix="bergloom-tt-"), "li")
+    t = LakeTable.create(spark, root, base.schema)
+    first = t.append(base.filter(F.col("l_orderkey") % 2 == 0))
+    t.append(base.filter(F.col("l_orderkey") % 2 == 1))
+    t.delete_where(F.col("l_suppkey") % 3 == 0)
+    return t.read(snapshot_id=first.snapshot_id)
+
+
 def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = T(spark, sf_dir, "events")
     return ev.groupBy(
@@ -721,6 +873,68 @@ _ANALYTICS_ORACLES = {
                count(*) AS n, round(sum(value), 2) AS value_sum
         FROM events GROUP BY 1, 2
     """,
+    "q4_order_priority": """
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+          AND o_orderdate < TIMESTAMP '1997-04-01'
+          AND EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        GROUP BY o_orderpriority
+    """,
+    "q7_nation_volume": """
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               year(l_shipdate) AS l_year,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+           OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+        GROUP BY 1, 2, 3
+    """,
+    "q10_returned_items": """
+        SELECT c_custkey, c_name, c_acctbal,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE l_returnflag = 'R'
+          AND o_orderdate >= TIMESTAMP '1997-10-01'
+          AND o_orderdate < TIMESTAMP '1998-01-01'
+        GROUP BY 1, 2, 3
+        ORDER BY revenue DESC, c_custkey ASC LIMIT 20
+    """,
+    "q18_large_orders": """
+        SELECT o_orderkey, o_custkey, o_totalprice, sum_qty
+        FROM orders JOIN (
+          SELECT l_orderkey, round(sum(l_quantity), 2) AS sum_qty
+          FROM lineitem GROUP BY 1) b
+        ON o_orderkey = b.l_orderkey
+        WHERE sum_qty > 150
+    """,
+    "q19_disjunctive_revenue": """
+        SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               count(*) AS n_items
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE (p_type = 'PROMO' AND p_size <= 20 AND l_quantity >= 10)
+           OR (p_type = 'LARGE' AND p_size >= 30 AND l_discount >= 0.05)
+    """,
+    "q22_idle_customers": """
+        SELECT c_mktsegment, count(*) AS n_customers,
+               round(sum(c_acctbal), 2) AS total_bal
+        FROM customer
+        WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+          AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                          AND o_orderpriority = '1-URGENT')
+        GROUP BY 1
+    """,
+    "time_travel": f"""
+        SELECT {', '.join(LI_COLS)} FROM lineitem WHERE l_orderkey % 2 = 0
+    """,
 }
 
 
@@ -971,6 +1185,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q5_local_supplier_volume": q_q5_local_supplier_volume,
         "q6_revenue_change": q_q6_revenue_change,
         "top_parts_per_brand": q_top_parts_per_brand,
+        "q4_order_priority": q_q4_order_priority,
+        "q7_nation_volume": q_q7_nation_volume,
+        "q10_returned_items": q_q10_returned_items,
+        "q18_large_orders": q_q18_large_orders,
+        "q19_disjunctive_revenue": q_q19_disjunctive_revenue,
+        "q22_idle_customers": q_q22_idle_customers,
+        "time_travel": q_time_travel,
         "events_hourly": q_events_hourly,
         "asof_purchase_view": q_asof_purchase_view,
         "interval_error_context": q_interval_error_context,
