@@ -96,3 +96,45 @@ def test_lake_seq_map_join_is_broadcast(spark, tmp_path):
     df = t.scan_data(with_hidden=True)
     assert X.count_broadcast_joins(df) >= 1
     assert X.count_shuffles(df) == 0
+
+
+def test_q19_part_join_broadcasts(spark):
+    """The part side of the disjunctive-predicate join is a dimension;
+    it must broadcast (a shuffle of lineitem on partkey would dominate
+    the query at scale)."""
+    import __spark_entry__ as E
+
+    df = E.queries()["q19_disjunctive_revenue"](spark, SF)
+    assert X.count_broadcast_joins(df) >= 1
+    assert X.count_sortmerge_joins(df) == 0
+
+
+def test_q4_semi_join_shape(spark):
+    """EXISTS compiles to a semi join, not an inner join + distinct."""
+    import __spark_entry__ as E
+
+    df = E.queries()["q4_order_priority"](spark, SF)
+    assert "LeftSemi" in X.executed_plan(df)
+
+
+def test_q22_anti_join_shape(spark):
+    """NOT EXISTS compiles to an anti join; the scalar mean arrives by
+    broadcast, never a shuffle of the customer side."""
+    import __spark_entry__ as E
+
+    df = E.queries()["q22_idle_customers"](spark, SF)
+    plan = X.executed_plan(df)
+    assert "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" in plan or X.count_broadcast_joins(df) >= 1
+
+
+def test_time_travel_read_is_plain_scan(spark):
+    """A snapshot-pinned read of an append-only snapshot is a bare
+    parquet scan — no joins, no shuffles (S1 parity: the plan touches
+    exactly the pinned snapshot's files)."""
+    import __spark_entry__ as E
+
+    df = E.queries()["time_travel"](spark, SF)
+    plan = X.executed_plan(df)
+    assert X.count_shuffles(df) == 0
+    assert "Join" not in plan
