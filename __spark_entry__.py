@@ -1019,6 +1019,16 @@ def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("rank", F.col("rank").cast("long"))
 
 
+def q_knn_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow/NumPy top-k (mapInPandas matmul + distributed partial
+    top-k). No SQL oracle: BLAS pairwise summation differs from a
+    sequential fold in the last ulp; parity with knn_bruteforce is
+    asserted in tests/test_dedup_similarity.py instead."""
+    return similarity.knn_bruteforce_vectorized(
+        TS(spark, sf_dir, "embeddings"), probe_ids=list(range(10)), k=5
+    ).withColumn("rank", F.col("rank").cast("long"))
+
+
 def q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.embedding_dedup_pairs(
         TS(spark, sf_dir, "embeddings"), threshold=0.4
@@ -1220,6 +1230,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_top1": q_ngram_jaccard_top1,
         "knn_bruteforce": q_knn_bruteforce,
         "knn_lsh": q_knn_lsh,
+        "knn_vectorized": q_knn_vectorized,
         "embedding_dedup": q_embedding_dedup,
         "multimodal_meta": q_multimodal_meta,
     }

@@ -135,6 +135,76 @@ def embedding_dedup_pairs(
     )
 
 
+def knn_bruteforce_vectorized(
+    embeddings: DataFrame,
+    probe_ids: list[int],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors, Arrow-vectorized.
+
+    The compute-dense variant of :func:`knn_bruteforce`: scoring is one
+    NumPy matmul per Arrow batch inside ``mapInPandas`` (BLAS, not an
+    interpreted per-element fold), so per-pair cost drops ~two orders
+    of magnitude when probe sets grow. Plan shape is the distributed
+    top-k idiom: each partition emits only its LOCAL top-k per probe
+    (k × n_probes rows, independent of partition size), then one tiny
+    global shuffle re-ranks the candidates. The probe matrix rides
+    along as a closure broadcast — bounded by construction.
+
+    Same output contract as knn_bruteforce; float sums differ in the
+    last ulp (pairwise vs sequential summation), hence no DuckDB
+    oracle — parity with the fold-based operator is asserted in tests.
+    """
+    import numpy as np
+    import pandas as pd
+
+    probes_rows = (
+        embeddings.filter(F.col(id_col).isin(probe_ids))
+        .select(id_col, vec_col)
+        .collect()
+    )
+    probe_id_arr = np.array([r[id_col] for r in probes_rows], dtype=np.int64)
+    pm = np.array([r[vec_col] for r in probes_rows], dtype=np.float64)
+    pm /= np.linalg.norm(pm, axis=1, keepdims=True)
+
+    out_schema = "probe_id long, neighbor_id long, cosine_sim double"
+
+    def local_topk(batches):
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            m /= np.linalg.norm(m, axis=1, keepdims=True)
+            sims = m @ pm.T  # (batch, n_probes)
+            for j, pid in enumerate(probe_id_arr):
+                col = sims[:, j]
+                mask = ids != pid
+                cids, csims = ids[mask], col[mask]
+                if len(cids) == 0:
+                    continue
+                take = min(k, len(cids))
+                top = np.argpartition(-csims, take - 1)[:take]
+                yield pd.DataFrame(
+                    {
+                        "probe_id": np.full(take, pid, dtype=np.int64),
+                        "neighbor_id": cids[top],
+                        "cosine_sim": csims[top],
+                    }
+                )
+
+    cands = embeddings.select(id_col, vec_col).mapInPandas(local_topk, out_schema)
+    w = Window.partitionBy("probe_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        cands.withColumn("cosine_sim", F.round("cosine_sim", 6))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", "neighbor_id", "cosine_sim", "rank")
+    )
+
+
 # ---------------------------------------------------------------------------
 # LSH (random hyperplanes) — the scale path
 # ---------------------------------------------------------------------------

@@ -122,3 +122,29 @@ def test_knn_lsh_candidate_reduction(spark, sf_dir):
     avg_bucket = sum(r["count"] for r in sizes) / len(sizes)
     # 9 probed buckets (own + 8 flips) out of up to 256.
     assert 9 * avg_bucket < 0.5 * n, (avg_bucket, n)
+
+
+def test_knn_vectorized_matches_fold_based(spark, sf_dir):
+    """The Arrow/NumPy top-k must agree with the JVM fold-based exact
+    operator: same neighbor sets, same rounded similarities (ulp-level
+    float summation differences vanish at 6 decimals on this data)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = list(range(10))
+    exact = similarity.knn_bruteforce(emb, probes, k=5)
+    vec = similarity.knn_bruteforce_vectorized(emb, probes, k=5)
+    a = {(r.probe_id, r.neighbor_id): r.cosine_sim for r in exact.collect()}
+    b = {(r.probe_id, r.neighbor_id): r.cosine_sim for r in vec.collect()}
+    assert set(a) == set(b)
+    for key in a:
+        assert abs(a[key] - b[key]) < 1e-6, (key, a[key], b[key])
+
+
+def test_knn_vectorized_emits_local_topk_only(spark, sf_dir):
+    """Scale property: the candidate shuffle is k × n_probes per
+    partition, independent of corpus size."""
+    emb = load_table(spark, sf_dir, "embeddings").repartition(4)
+    probes = list(range(10))
+    out = similarity.knn_bruteforce_vectorized(emb, probes, k=3)
+    rows = out.collect()
+    assert len(rows) == 10 * 3
+    assert all(r.rank <= 3 for r in rows)

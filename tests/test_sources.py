@@ -21,3 +21,38 @@ def test_iceberg_calls_raise_clear_error_without_jar(spark):
         ib.rewrite_data_files(spark, "cat", "db.t")
     with pytest.raises(ib.IcebergUnavailable):
         ib.expire_snapshots(spark, "cat", "db.t")
+
+
+def test_bucketed_join_has_no_exchange_or_sort(spark, tmp_path):
+    """Co-bucketed tables join with zero shuffles and zero sorts — the
+    write-time shuffle is reused by every later join on the key."""
+    from pyspark.sql import functions as F
+
+    from bergloom_spark.plans import explain as X
+    from bergloom_spark.sources.bucketed import bucketed_join, write_bucketed
+
+    left = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("lv")
+    )
+    right = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("rv")
+    )
+    write_bucketed(left, "bj_left", str(tmp_path / "l"), ["k"], n_buckets=8)
+    write_bucketed(right, "bj_right", str(tmp_path / "r"), ["k"], n_buckets=8)
+    # Disable auto-broadcast: at test scale Spark would broadcast and
+    # hide the property under test (the fact-fact SMJ path).
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = bucketed_join(spark, "bj_left", "bj_right", on=["k"])
+        assert joined.count() == 1000
+        plan = X.executed_plan(joined)
+        assert X.count_shuffles(joined) == 0, plan
+        assert "SortMergeJoin" in plan, plan
+        # NB: the within-bucket Sort remains — Spark ≥3.0 ignores
+        # bucket sort order on read unless the legacy flag is set
+        # (SPARK-28632). The Exchange elision is the scale property.
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bj_left")
+        spark.sql("DROP TABLE IF EXISTS bj_right")
