@@ -35,7 +35,11 @@ HEADLINE = [
 ]
 
 
-WARMUP_SF_DIR = "/root/testdata/sf0.001"
+# sf0.01 (not 0.001): HotSpot only JIT-compiles the interpreted
+# higher-order-function paths after enough row iterations per thread;
+# 500 rows split over 32 tasks never crosses the threshold and the
+# timed run would still pay compilation.
+WARMUP_SF_DIR = "/root/testdata/sf0.01"
 
 
 def main() -> None:
