@@ -538,6 +538,22 @@ def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.read(snapshot_id=first.snapshot_id)
 
 
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC changelog between snapshots: append evens (snap 1), append
+    odds, positional-delete every l_suppkey%3==0 row, then diff snap 1
+    against current. Inserts = surviving odd rows; deletes = even rows
+    the positional delete reached."""
+    from bergloom_spark.lake import LakeTable
+
+    base = T(spark, sf_dir, "lineitem").select(*LI_COLS)
+    root = os.path.join(tempfile.mkdtemp(prefix="bergloom-cdc-"), "li")
+    t = LakeTable.create(spark, root, base.schema)
+    first = t.append(base.filter(F.col("l_orderkey") % 2 == 0))
+    t.append(base.filter(F.col("l_orderkey") % 2 == 1))
+    t.delete_where(F.col("l_suppkey") % 3 == 0)
+    return t.snapshot_diff(first.snapshot_id)
+
+
 def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = T(spark, sf_dir, "events")
     return ev.groupBy(
@@ -935,6 +951,13 @@ _ANALYTICS_ORACLES = {
     "time_travel": f"""
         SELECT {', '.join(LI_COLS)} FROM lineitem WHERE l_orderkey % 2 = 0
     """,
+    "snapshot_diff": f"""
+        SELECT {', '.join(LI_COLS)}, 'insert' AS _change_type
+        FROM lineitem WHERE l_orderkey % 2 = 1 AND l_suppkey % 3 <> 0
+        UNION ALL
+        SELECT {', '.join(LI_COLS)}, 'delete' AS _change_type
+        FROM lineitem WHERE l_orderkey % 2 = 0 AND l_suppkey % 3 = 0
+    """,
 }
 
 
@@ -1202,6 +1225,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q19_disjunctive_revenue": q_q19_disjunctive_revenue,
         "q22_idle_customers": q_q22_idle_customers,
         "time_travel": q_time_travel,
+        "snapshot_diff": q_snapshot_diff,
         "events_hourly": q_events_hourly,
         "asof_purchase_view": q_asof_purchase_view,
         "interval_error_context": q_interval_error_context,

@@ -308,3 +308,49 @@ class LakeTable:
     ) -> DataFrame:
         """MoR read restricted to a subset of data files."""
         return self.read(snapshot_id=snapshot_id, data_paths=data_paths)
+
+    def snapshot_diff(
+        self, from_snapshot_id: int, to_snapshot_id: int | None = None
+    ) -> DataFrame:
+        """CDC-style changelog between two snapshots: each row that is
+        visible in exactly one of the two, tagged ``_change_type``
+         'insert' (new in `to`) or 'delete' (gone from `to`).
+
+        Scale shape: file-level pruning first — rows from data files
+        live in BOTH snapshots can only change visibility through
+        delete files, so unchanged files are scanned only when the
+        delete-file set changed; the row-level diff is two anti joins
+        on (file, pos), the same broadcast-friendly key as the MoR
+        read. (Incremental consumption is the reference's roadmap
+        'incremental compaction' read path, README.md:46-56.)
+        """
+        old = self.scan_visible_keys(from_snapshot_id)
+        new = self.scan_visible_keys(to_snapshot_id)
+        key = [mor.SYS_HIDDEN_FILE_PATH, mor.SYS_HIDDEN_POS]
+        user_cols = [f.name for f in self.schema.fields]
+        inserted = new.join(old.select(*key), on=key, how="left_anti").select(
+            *user_cols, F.lit("insert").alias("_change_type")
+        )
+        deleted = old.join(new.select(*key), on=key, how="left_anti").select(
+            *user_cols, F.lit("delete").alias("_change_type")
+        )
+        return inserted.unionByName(deleted)
+
+    def scan_visible_keys(self, snapshot_id: int | None = None) -> DataFrame:
+        """MoR-visible rows WITH their (file, pos) identity columns."""
+        snap = self._snapshot(snapshot_id)
+        if snap is None:
+            empty = self.spark.createDataFrame([], self.schema)
+            return empty.withColumn(
+                mor.SYS_HIDDEN_FILE_PATH, F.lit(None).cast("string")
+            ).withColumn(mor.SYS_HIDDEN_POS, F.lit(None).cast("long"))
+        pos = self._pos_delete_frame(snap)
+        eq_groups = self._eq_delete_groups(snap)
+        data = self.scan_data(snap.snapshot_id, with_hidden=True)
+        user_cols = [f.name for f in self.schema.fields]
+        keep = user_cols + [mor.SYS_HIDDEN_FILE_PATH, mor.SYS_HIDDEN_POS]
+        if pos is None and not eq_groups:
+            return data.select(*keep)
+        return mor.merge_on_read(
+            data, pos_deletes=pos, eq_delete_groups=eq_groups, user_columns=keep
+        )
