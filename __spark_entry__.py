@@ -983,6 +983,7 @@ def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return toked.select(
         "doc_id",
         TX.token_count("text", toks=tk).alias("n_tokens"),
+        TX.subword_token_count("text").alias("n_subword_tokens"),
         F.length("text").alias("n_chars_measured"),
         F.round(TX.mean_token_length("text", toks=tk), 6).alias("mean_token_len"),
         F.round(TX.alpha_ratio("text"), 6).alias("alpha_ratio"),
@@ -1086,6 +1087,7 @@ _EXT_ORACLES = {
     "text_token_stats": f"""
         SELECT doc_id,
                {TX.token_count_sql('text')} AS n_tokens,
+               {TX.subword_token_count_sql('text')} AS n_subword_tokens,
                length(text) AS n_chars_measured,
                round({TX.mean_token_length_sql('text')}, 6) AS mean_token_len,
                round({TX.alpha_ratio_sql('text')}, 6) AS alpha_ratio

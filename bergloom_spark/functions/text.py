@@ -53,6 +53,34 @@ def token_count_sql(expr: str) -> str:
     return f"len({tokens_sql(expr)})"
 
 
+# GPT-style pre-tokenizer chunks: letter runs, single digits, punct
+# runs. Kept POSIX-simple so Java regex (Spark) and RE2 (DuckDB)
+# match byte-for-byte; real BPE merges happen downstream in a trainer,
+# but chunk count is the standard cheap token-budget estimator.
+SUBWORD_PATTERN = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]+"
+
+
+def subword_tokens(col: Column | str) -> Column:
+    """BPE-ish pre-tokenization (letter runs / digits / punct runs)."""
+    col = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(col, F.lit(SUBWORD_PATTERN), 0)
+
+
+def subword_tokens_sql(expr: str) -> str:
+    return f"regexp_extract_all({expr}, '{SUBWORD_PATTERN}')"
+
+
+def subword_token_count(col: Column | str) -> Column:
+    """Token-budget estimate: BPE output length ≥ this chunk count;
+    the ratio is stable per language, which is all a size-based
+    sampler/pricing pass needs."""
+    return F.size(subword_tokens(col))
+
+
+def subword_token_count_sql(expr: str) -> str:
+    return f"len({subword_tokens_sql(expr)})"
+
+
 # ---------------------------------------------------------------------------
 # quality scoring
 # ---------------------------------------------------------------------------

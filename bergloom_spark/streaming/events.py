@@ -112,3 +112,26 @@ def run_stream_to_memory(
         .start()
     )
     q.awaitTermination()
+
+
+def dedup_stream(
+    events: DataFrame,
+    key_cols: list[str] | None = None,
+    watermark: str = "1 hour",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming ingest dedup: drop rows whose key was already seen
+    within the watermark horizon (``dropDuplicatesWithinWatermark``).
+
+    The watermark bounds state: Spark keeps one entry per key only
+    until event time passes ``watermark``, so state is
+    O(keys-per-horizon), not O(stream). This is the standard front
+    door of a training-data ingest pipeline — exact dedup of re-sent /
+    at-least-once-delivered records before anything expensive runs.
+    Content-level near-dup (minhash/simhash) happens downstream in
+    batch over the deduped lake table.
+    """
+    key_cols = key_cols or ["event_id"]
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        key_cols
+    )

@@ -67,3 +67,24 @@ def test_sliding_window_stream_matches_batch(spark, events_dir):
     want = SE.sliding_user_activity(_batch(spark, events_dir))
     cols = ["window_start", "approx_users", "n_events"]
     assert rows(got, cols) == rows(want, cols)
+
+
+def test_dedup_stream_drops_resent_records(spark, events_dir, tmp_path):
+    """At-least-once delivery: duplicate the whole directory, stream it
+    through dedup_stream, and expect exactly the batch-distinct rows."""
+    dup_dir = str(tmp_path / "dup")
+    base = _batch(spark, events_dir)
+    base.write.mode("overwrite").parquet(dup_dir)
+    base.write.mode("append").parquet(dup_dir)  # every record twice
+
+    stream = SE.read_events_stream(spark, dup_dir)
+    deduped = SE.dedup_stream(stream, ["event_id"], watermark="365 days")
+    SE.run_stream_to_memory(
+        deduped.select("event_id", "user_id", "event_type"), "dedup_stream_t"
+    )
+    got = rows(spark.table("dedup_stream_t"), ["event_id", "user_id", "event_type"])
+    want = rows(
+        base.select("event_id", "user_id", "event_type").distinct(),
+        ["event_id", "user_id", "event_type"],
+    )
+    assert got == want
