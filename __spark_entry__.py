@@ -538,6 +538,33 @@ def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.read(snapshot_id=first.snapshot_id)
 
 
+def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located fact-fact join: both sides written bucketed on the
+    join key (the write-once shuffle), then joined with zero Exchange
+    (asserted in tests/test_sources.py) and aggregated."""
+    import uuid
+
+    from bergloom_spark.sources.bucketed import bucketed_join, write_bucketed
+
+    tag = uuid.uuid4().hex[:8]
+    root = tempfile.mkdtemp(prefix="bergloom-bkt-")
+    li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    orders = T(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), F.col("o_orderpriority")
+    )
+    write_bucketed(li, f"bkt_li_{tag}", os.path.join(root, "li"), ["l_orderkey"], 16)
+    write_bucketed(
+        orders, f"bkt_ord_{tag}", os.path.join(root, "ord"), ["l_orderkey"], 16
+    )
+    joined = bucketed_join(
+        spark, f"bkt_li_{tag}", f"bkt_ord_{tag}", on=["l_orderkey"]
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
 def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC changelog between snapshots: append evens (snap 1), append
     odds, positional-delete every l_suppkey%3==0 row, then diff snap 1
@@ -951,6 +978,12 @@ _ANALYTICS_ORACLES = {
     "time_travel": f"""
         SELECT {', '.join(LI_COLS)} FROM lineitem WHERE l_orderkey % 2 = 0
     """,
+    "bucketed_join": """
+        SELECT o_orderpriority, count(*) AS n_lines,
+               round(sum(l_quantity), 2) AS sum_qty
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderpriority
+    """,
     "snapshot_diff": f"""
         SELECT {', '.join(LI_COLS)}, 'insert' AS _change_type
         FROM lineitem WHERE l_orderkey % 2 = 1 AND l_suppkey % 3 <> 0
@@ -1228,6 +1261,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q22_idle_customers": q_q22_idle_customers,
         "time_travel": q_time_travel,
         "snapshot_diff": q_snapshot_diff,
+        "bucketed_join": q_bucketed_join,
         "events_hourly": q_events_hourly,
         "asof_purchase_view": q_asof_purchase_view,
         "interval_error_context": q_interval_error_context,
