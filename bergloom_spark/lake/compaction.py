@@ -218,6 +218,69 @@ class BinpackCompaction(Compaction):
         )
 
 
+class SortCompaction(Compaction):
+    """Sort-clustering rewrite (Iceberg's ``rewrite_data_files``
+    'sort' strategy; strategy choice is the reference's roadmap,
+    README.md:46-56).
+
+    Same MoR rewrite as full compaction, but the output is
+    range-partitioned and sorted on ``sort_cols`` before writing, so
+    each output file covers a narrow key range. At scale this is what
+    makes later predicate pushdown effective: parquet min/max on the
+    sort key prunes whole files, turning selective scans from
+    read-everything into read-one-file. Cost: one extra range shuffle
+    (with a sampled-boundaries pass) versus the round-robin write.
+    """
+
+    def __init__(self, *args, sort_cols: list[str], **kwargs):
+        super().__init__(*args, **kwargs)
+        if not sort_cols:
+            raise ValueError("sort_cols must be non-empty")
+        self.sort_cols = list(sort_cols)
+
+    def _full_compact(self) -> CompactionResult:
+        from pyspark.sql import functions as F
+
+        table = self.table.refresh()
+        snap = table.meta.current_snapshot()
+        if snap is None or not snap.entries:
+            return CompactionResult()
+        old_entries = list(snap.entries)
+        remove_paths = {e.file_path for e in old_entries}
+
+        rewritten = table.read(snapshot_id=snap.snapshot_id)
+        est = wr.estimate_bytes(rewritten)
+        n_files = max(
+            1, (est // 3 + self.config.target_file_size - 1)
+            // self.config.target_file_size,
+        ) if est < 1 << 50 else max(1, min(rewritten.rdd.getNumPartitions(), 64))
+        clustered = rewritten.repartitionByRange(
+            int(n_files), *[F.col(c) for c in self.sort_cols]
+        ).sortWithinPartitions(*self.sort_cols)
+
+        add_entries = wr.write_data_files_presized(
+            clustered, table.meta.table_root, snap.sequence_number,
+            compression=self.config.write_compression,
+        )
+        manager = RewriteFilesCommitManager(
+            table_root=table.meta.table_root,
+            starting_schema_id=table.meta.schema_id,
+            starting_sequence_number=snap.sequence_number,
+            use_starting_sequence_number=self.config.use_starting_sequence_number,
+            retry=RetryConfig.from_compaction(self.config),
+        )
+        manager.rewrite_files(add_entries, remove_paths)
+        table.refresh()
+        return CompactionResult(
+            stat=RewriteFilesStat(
+                rewritten_files_count=len(old_entries),
+                added_files_count=len(add_entries),
+                rewritten_bytes=sum(e.file_size_bytes for e in old_entries),
+            ),
+            snapshot_id=table.meta.current_snapshot_id,
+        )
+
+
 def expire_snapshots(table: LakeTable, keep_last: int = 1) -> int:
     """Drop old snapshot metadata (compaction/mod.rs:354-360).
 

@@ -145,6 +145,24 @@ def write_data_files(
     )
 
 
+def write_data_files_presized(
+    df: DataFrame,
+    table_root: str,
+    sequence_number: int,
+    compression: str = "snappy",
+) -> list[ManifestEntry]:
+    """Write a pre-partitioned DataFrame as data files, one file per
+    input partition. The caller owns the partitioning — used by the
+    sort-clustering rewrite, whose repartitionByRange + sort must
+    survive to the parquet files (a round-robin repartition here would
+    destroy the min/max clustering that makes file pruning work)."""
+    out_dir = os.path.join(
+        table_root, "data", f"seq{sequence_number}-{uuid.uuid4().hex[:12]}"
+    )
+    df.write.mode("error").option("compression", compression).parquet(out_dir)
+    return _collect_parquet_entries(out_dir, "data", sequence_number)
+
+
 def write_position_delete_files(
     df: DataFrame, table_root: str, sequence_number: int
 ) -> list[ManifestEntry]:

@@ -114,3 +114,41 @@ def test_binpack_noop_with_single_small_file(spark, tmp_path):
     result = BinpackCompaction(t, small_file_threshold=10**9).compact()
     assert result.stat.rewritten_files_count == 0
     assert t.refresh().meta.version == version
+
+
+def test_sort_compaction_clusters_output(spark, tmp_path):
+    """Sort-strategy rewrite: same visible rows, but output files carry
+    disjoint sort-key ranges so parquet min/max prunes whole files."""
+    import pyarrow.parquet as pq
+
+    from bergloom_spark.lake.compaction import SortCompaction
+
+    t = _table(spark, tmp_path)
+    # Interleaved appends: ids deliberately shuffled across files.
+    t.append(_df(spark, 3000, "a").filter(F.col("id") % 3 == 0))
+    t.append(_df(spark, 3000, "a").filter(F.col("id") % 3 == 1))
+    t.append(_df(spark, 3000, "a").filter(F.col("id") % 3 == 2))
+    before = sorted(r.id for r in t.read().collect())
+
+    result = SortCompaction(
+        t, CompactionConfig(target_file_size=2 * 1024), sort_cols=["id"]
+    ).compact()
+    assert result.stat.added_files_count >= 2
+
+    after = sorted(r.id for r in t.read().collect())
+    assert after == before
+
+    # Clustering property: per-file (min, max) ranges must not overlap.
+    snap = t.meta.current_snapshot()
+    ranges = []
+    for e in snap.files(md.DATA):
+        meta = pq.read_metadata(e.file_path)
+        mins, maxs = [], []
+        for rg in range(meta.num_row_groups):
+            col = meta.row_group(rg).column(0)
+            mins.append(col.statistics.min)
+            maxs.append(col.statistics.max)
+        ranges.append((min(mins), max(maxs)))
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, ranges
