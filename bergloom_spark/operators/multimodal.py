@@ -127,3 +127,64 @@ def sample_frames(
         f"substring({payload_col}, frame_index * 16 + 1, 16)"
     ).alias("frame_payload")
     return df.select("*", idx).select("*", frame)
+
+
+def fake_resize(payload: bytes, width: int, height: int) -> bytes:
+    """Deterministic stand-in for a resize kernel: output bytes are a
+    stable function of (payload, target dims) with length ∝ target
+    area, so batch shapes and size accounting behave like the real
+    thing."""
+    seed = hashlib.md5(payload + f":{width}x{height}".encode()).digest()
+    out_len = max(16, (width * height) // 64)
+    reps = out_len // len(seed) + 1
+    return (seed * reps)[:out_len]
+
+
+def resize_images(
+    df: DataFrame,
+    width: int,
+    height: int,
+    payload_col: str = "payload",
+    use_real_kernel: bool = False,
+) -> DataFrame:
+    """Arrow-batched image resize: payload in, resized payload +
+    updated dims out.
+
+    The Spark side (schema, mapInPandas batch loop, metadata update)
+    is real; the pixel kernel is `fake_resize` unless
+    ``use_real_kernel`` (requires PIL — STUB here, raises
+    NotImplementedError without it). At scale: payloads never become a
+    shuffle key; this stage is a pure map over whatever partitioning
+    the scan produced."""
+    import pandas as pd
+    from typing import Iterator
+
+    if use_real_kernel and not HAS_PIL:
+        raise NotImplementedError(
+            "real resize requires PIL, which is not installed; "
+            "run with use_real_kernel=False for the deterministic fake"
+        )
+
+    out_schema = T.StructType(
+        [f for f in df.schema.fields if f.name != payload_col]
+        + [
+            T.StructField(payload_col, T.BinaryType()),
+            T.StructField("resized_width", T.IntegerType()),
+            T.StructField("resized_height", T.IntegerType()),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            pdf = pdf.assign(
+                **{
+                    payload_col: pdf[payload_col].map(
+                        lambda b: fake_resize(b, width, height)
+                    )
+                },
+                resized_width=width,
+                resized_height=height,
+            )
+            yield pdf[[f.name for f in out_schema.fields]]
+
+    return df.mapInPandas(batches, out_schema)

@@ -48,3 +48,24 @@ def test_sample_frames_explosion(spark, sf_dir):
     assert idx == [0, 1, 2, 3]
     r = frames.filter(F.col("frame_index") == 1).first()
     assert bytes(r.frame_payload) == bytes(r.payload)[16:32]
+
+
+def test_resize_images_plumbing(spark, sf_dir):
+    from bergloom_spark.operators.multimodal import (
+        attach_binary_payload,
+        fake_resize,
+        resize_images,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text").limit(50)
+    media = attach_binary_payload(d, "text")
+    out = resize_images(media, 64, 48)
+    rows = out.collect()
+    assert len(rows) == 50
+    want_len = max(16, (64 * 48) // 64)
+    for r in rows:
+        assert len(r.payload) == want_len
+        assert (r.resized_width, r.resized_height) == (64, 48)
+    # Deterministic: same payload + dims → same bytes.
+    one = d.limit(1).collect()[0].text.encode()
+    assert fake_resize(one, 64, 48) == fake_resize(one, 64, 48)
