@@ -1076,6 +1076,16 @@ def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("rank", F.col("rank").cast("long"))
 
 
+def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat ANN: posting-list retrieval on an equi-join against a
+    broadcast probe map, exact re-rank. No SQL oracle (approximate);
+    recall vs the exact operator is asserted in tests."""
+    return similarity.knn_ivf(
+        TS(spark, sf_dir, "embeddings"),
+        probe_ids=list(range(10)), k=5, n_centroids=16, nprobe=4,
+    ).withColumn("rank", F.col("rank").cast("long"))
+
+
 def q_knn_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow/NumPy top-k (mapInPandas matmul + distributed partial
     top-k). No SQL oracle: BLAS pairwise summation differs from a
@@ -1291,6 +1301,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_bruteforce": q_knn_bruteforce,
         "knn_lsh": q_knn_lsh,
         "knn_vectorized": q_knn_vectorized,
+        "knn_ivf": q_knn_ivf,
         "embedding_dedup": q_embedding_dedup,
         "multimodal_meta": q_multimodal_meta,
     }

@@ -148,3 +148,26 @@ def test_knn_vectorized_emits_local_topk_only(spark, sf_dir):
     rows = out.collect()
     assert len(rows) == 10 * 3
     assert all(r.rank <= 3 for r in rows)
+
+
+def test_knn_ivf_recall_vs_bruteforce(spark, sf_dir):
+    """IVF with generous nprobe must recover most exact neighbors."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = list(range(10))
+    exact = similarity.knn_bruteforce(emb, probes, k=5)
+    approx = similarity.knn_ivf(emb, probes, k=5, n_centroids=16, nprobe=8)
+    a = {(r.probe_id, r.neighbor_id) for r in exact.collect()}
+    b = {(r.probe_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(a & b) / len(a)
+    assert recall >= 0.5, recall
+
+
+def test_knn_ivf_scans_fraction_of_corpus(spark, sf_dir):
+    """Candidate volume ∝ nprobe/n_centroids of the corpus."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cm = similarity.deterministic_centroids(emb, 16)
+    inverted = similarity.ivf_assign(emb, cm)
+    sizes = inverted.groupBy("centroid_id").count().collect()
+    n = emb.count()
+    avg = sum(r["count"] for r in sizes) / len(sizes)
+    assert 4 * avg < 0.6 * n  # nprobe=4 of 16 centroids
