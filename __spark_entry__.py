@@ -163,6 +163,28 @@ def q_compact_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.read().select(*LI_COLS, "l_returnflag")
 
 
+def q_compact_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sort-strategy rewrite (roadmap strategy split binpack|sort,
+    README.md:46-56): appends + positional delete, then a compaction
+    that range-clusters output files on l_orderkey so parquet min/max
+    prunes whole files on later selective scans."""
+    from bergloom_spark.config import CompactionConfig
+    from bergloom_spark.lake import LakeTable
+    from bergloom_spark.lake.compaction import SortCompaction
+
+    base = T(spark, sf_dir, "lineitem").select(*LI_COLS)
+    root = os.path.join(tempfile.mkdtemp(prefix="bergloom-sort-"), "li")
+    t = LakeTable.create(spark, root, base.schema)
+    t.append(base.filter(F.col("l_orderkey") % 2 == 0))
+    t.append(base.filter(F.col("l_orderkey") % 2 == 1))
+    t.delete_where(F.col("l_suppkey") % 7 == 0)
+    SortCompaction(
+        t, CompactionConfig(target_file_size=8 * 1024 * 1024),
+        sort_cols=["l_orderkey"],
+    ).compact()
+    return t.read()
+
+
 def q_dml_upsert_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-level MoR DML: MERGE-style upsert (equality-delete + append,
     the reference's EqualityDeltaWriter pattern) followed by a
@@ -216,6 +238,9 @@ _MOR_ORACLES = {
         SELECT {', '.join(LI_COLS)}, l_returnflag FROM lineitem l
         WHERE l_orderkey NOT IN (
           SELECT o_orderkey FROM orders WHERE o_orderkey % 5 = 0)
+    """,
+    "compact_sorted": f"""
+        SELECT {', '.join(LI_COLS)} FROM lineitem WHERE l_suppkey % 7 <> 0
     """,
     "dml_upsert_delete": f"""
         WITH base AS (SELECT {', '.join(LI_COLS)} FROM lineitem),
@@ -1256,6 +1281,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compact_roundtrip": q_compact_roundtrip,
         "compact_partitioned": q_compact_partitioned,
         "dml_upsert_delete": q_dml_upsert_delete,
+        "compact_sorted": q_compact_sorted,
         "pipeline_clean_corpus": q_pipeline_clean_corpus,
         # analytics (delegated-capability surface / bench headliners)
         "q1_pricing_summary": q_q1_pricing_summary,
