@@ -130,3 +130,39 @@ def interval_count_join(
         .agg(F.sum(F.when(in_range, 1).otherwise(0)).alias("n_prior"))
         .select(F.col("__aid").alias(id_col), "n_prior")
     )
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: list[str],
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-proof equi-join: spread each hot fact key over ``n_salts``
+    reducers.
+
+    The fact side gets a deterministic per-row salt (hash of all join
+    keys + a row-local component), the dim side is replicated
+    ``n_salts`` times, and the join runs on (keys, salt) — so one hot
+    key's rows land on n_salts tasks instead of one. Use when a single
+    key exceeds what AQE skew-splitting can rebalance (AQE splits
+    oversized *partitions*, but one monster key still hashes to one
+    partition on the build side of the next stage). Replication
+    multiplies the dim side: keep it for genuinely small-to-medium dim
+    tables, or pre-filter the dim to the hot keys and union with a
+    plain join for the rest.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how}")
+    salt = F.pmod(
+        F.xxhash64(*[F.col(c) for c in on], F.monotonically_increasing_id()),
+        F.lit(n_salts),
+    ).alias("__salt")
+    salted_fact = fact.withColumn("__salt", salt)
+    salts = F.explode(
+        F.sequence(F.lit(0), F.lit(n_salts - 1)).cast("array<long>")
+    ).alias("__salt")
+    salted_dim = dim.select("*", salts)
+    out = salted_fact.join(salted_dim, on=on + ["__salt"], how=how)
+    return out.drop("__salt")
