@@ -230,13 +230,30 @@ class SortCompaction(Compaction):
     sort key prunes whole files, turning selective scans from
     read-everything into read-one-file. Cost: one extra range shuffle
     (with a sampled-boundaries pass) versus the round-robin write.
+
+    With ``zorder=True`` the sort key is the Morton interleave of
+    ``sort_cols`` (``functions.zorder``): every listed column gets
+    min/max locality instead of just the first — multi-dimensional
+    file pruning at the price of weaker locality per dimension.
     """
 
-    def __init__(self, *args, sort_cols: list[str], **kwargs):
+    def __init__(
+        self,
+        *args,
+        sort_cols: list[str],
+        zorder: bool = False,
+        n_output_files: int | None = None,
+        **kwargs,
+    ):
         super().__init__(*args, **kwargs)
         if not sort_cols:
             raise ValueError("sort_cols must be non-empty")
         self.sort_cols = list(sort_cols)
+        self.zorder = zorder
+        # Explicit range-partition count; None = derive from the byte
+        # estimate and target_file_size (estimates can be coarse — pin
+        # this when the file count itself is the requirement).
+        self.n_output_files = n_output_files
 
     def _full_compact(self) -> CompactionResult:
         from pyspark.sql import functions as F
@@ -249,14 +266,29 @@ class SortCompaction(Compaction):
         remove_paths = {e.file_path for e in old_entries}
 
         rewritten = table.read(snapshot_id=snap.snapshot_id)
-        est = wr.estimate_bytes(rewritten)
-        n_files = max(
-            1, (est // 3 + self.config.target_file_size - 1)
-            // self.config.target_file_size,
-        ) if est < 1 << 50 else max(1, min(rewritten.rdd.getNumPartitions(), 64))
-        clustered = rewritten.repartitionByRange(
-            int(n_files), *[F.col(c) for c in self.sort_cols]
-        ).sortWithinPartitions(*self.sort_cols)
+        if self.n_output_files is not None:
+            n_files = self.n_output_files
+        else:
+            est = wr.estimate_bytes(rewritten)
+            n_files = max(
+                1, (est // 3 + self.config.target_file_size - 1)
+                // self.config.target_file_size,
+            ) if est < 1 << 50 else max(1, min(rewritten.rdd.getNumPartitions(), 64))
+        if self.zorder:
+            from bergloom_spark.functions.zorder import zorder_value
+
+            z = zorder_value(self.sort_cols)
+            user_cols = rewritten.columns
+            clustered = (
+                rewritten.withColumn("__z", z)
+                .repartitionByRange(int(n_files), F.col("__z"))
+                .sortWithinPartitions("__z")
+                .select(*user_cols)
+            )
+        else:
+            clustered = rewritten.repartitionByRange(
+                int(n_files), *[F.col(c) for c in self.sort_cols]
+            ).sortWithinPartitions(*self.sort_cols)
 
         add_entries = wr.write_data_files_presized(
             clustered, table.meta.table_root, snap.sequence_number,

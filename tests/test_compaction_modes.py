@@ -152,3 +152,52 @@ def test_sort_compaction_clusters_output(spark, tmp_path):
     ranges.sort()
     for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
         assert hi1 <= lo2, ranges
+
+
+def test_zorder_compaction_clusters_both_dims(spark, tmp_path):
+    """Z-order rewrite: rows preserved; EACH interleaved column's
+    per-file min/max extent is a fraction of its global range (the
+    multi-dimensional pruning property single-column sort lacks)."""
+    import pyarrow.parquet as pq
+
+    from bergloom_spark.lake.compaction import SortCompaction
+
+    schema = T.StructType(
+        [
+            T.StructField("x", T.LongType(), False),
+            T.StructField("y", T.LongType(), False),
+        ]
+    )
+    t = LakeTable.create(spark, str(tmp_path / "z"), schema)
+    grid = spark.range(64 * 64).select(
+        (F.col("id") % 64).alias("x"), (F.col("id") / 64).cast("long").alias("y")
+    )
+    t.append(grid.orderBy(F.rand(seed=7)))  # scrambled layout
+    before = sorted((r.x, r.y) for r in t.read().collect())
+
+    result = SortCompaction(
+        t,
+        CompactionConfig(target_file_size=256),
+        sort_cols=["x", "y"],
+        zorder=True,
+        n_output_files=4,
+    ).compact()
+    assert result.stat.added_files_count >= 4
+
+    after = sorted((r.x, r.y) for r in t.read().collect())
+    assert after == before
+
+    snap = t.meta.current_snapshot()
+    extents = {"x": [], "y": []}
+    for e in snap.files(md.DATA):
+        meta = pq.read_metadata(e.file_path)
+        for ci, name in enumerate(["x", "y"]):
+            mins, maxs = [], []
+            for rg in range(meta.num_row_groups):
+                st = meta.row_group(rg).column(ci).statistics
+                mins.append(st.min)
+                maxs.append(st.max)
+            extents[name].append(max(maxs) - min(mins))
+    for name in ("x", "y"):
+        avg_extent = sum(extents[name]) / len(extents[name])
+        assert avg_extent < 0.75 * 63, (name, extents[name])
