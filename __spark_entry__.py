@@ -547,6 +547,42 @@ def q_q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER join + two-level aggregation: how many customers have
+    k orders, for every k including zero (the outer-join shape)."""
+    cust = T(spark, sf_dir, "customer").select("c_custkey")
+    orders = T(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
+
+
+def q_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Max-of-aggregate (the revenue-view shape): suppliers whose
+    quarterly revenue equals the maximum."""
+    li = T(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1997-04-01")
+    )
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "total_revenue"
+        )
+    )
+    max_rev = revenue.agg(F.max("total_revenue").alias("__max_rev"))
+    top = revenue.crossJoin(F.broadcast(max_rev)).filter(
+        F.col("total_revenue") == F.col("__max_rev")
+    )
+    supp = T(spark, sf_dir, "supplier")
+    return top.join(supp, top.supplier_no == supp.s_suppkey).select(
+        "s_suppkey", "s_name", "total_revenue"
+    )
+
+
 def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot-pinned read (S1 parity: the reference scans exactly one
     snapshot, compaction/mod.rs:394-401): two appends and a delete
@@ -1000,6 +1036,26 @@ _ANALYTICS_ORACLES = {
                           AND o_orderpriority = '1-URGENT')
         GROUP BY 1
     """,
+    "q13_order_count_distribution": """
+        SELECT c_count, count(*) AS custdist FROM (
+          SELECT c_custkey, count(o_orderkey) AS c_count
+          FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+          GROUP BY c_custkey)
+        GROUP BY c_count
+    """,
+    "q15_top_supplier": """
+        WITH revenue AS (
+          SELECT l_suppkey AS supplier_no,
+                 round(sum(l_extendedprice * (1 - l_discount)), 2)
+                     AS total_revenue
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+            AND l_shipdate < TIMESTAMP '1997-04-01'
+          GROUP BY l_suppkey)
+        SELECT s_suppkey, s_name, total_revenue
+        FROM supplier JOIN revenue ON s_suppkey = supplier_no
+        WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+    """,
     "time_travel": f"""
         SELECT {', '.join(LI_COLS)} FROM lineitem WHERE l_orderkey % 2 = 0
     """,
@@ -1295,6 +1351,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q18_large_orders": q_q18_large_orders,
         "q19_disjunctive_revenue": q_q19_disjunctive_revenue,
         "q22_idle_customers": q_q22_idle_customers,
+        "q13_order_count_distribution": q_q13_order_count_distribution,
+        "q15_top_supplier": q_q15_top_supplier,
         "time_travel": q_time_travel,
         "snapshot_diff": q_snapshot_diff,
         "bucketed_join": q_bucketed_join,
