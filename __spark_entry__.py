@@ -856,7 +856,9 @@ _ANALYTICS_ORACLES = {
     """,
     "events_json_rollup": """
         SELECT event_type,
-               sum(json_extract_string(props, '$.k')::BIGINT) AS sum_k,
+               -- ::BIGINT: DuckDB sum(BIGINT) yields HUGEINT; Spark
+               -- yields BIGINT and the driver hash is type-sensitive
+               sum(json_extract_string(props, '$.k')::BIGINT)::BIGINT AS sum_k,
                count(*) AS n
         FROM events GROUP BY event_type
     """,
@@ -1130,7 +1132,7 @@ def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = TS(spark, sf_dir, "documents")
-    return d.select("doc_id", dedup.simhash("text").alias("simhash32"))
+    return d.select("doc_id", dedup.simhash("text").alias("simhash60"))
 
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1230,15 +1232,16 @@ _EXT_ORACLES = {
         FROM documents
     """,
     "simhash": f"""
-        SELECT doc_id, {dedup.simhash_sql('text')} AS simhash32 FROM documents
+        SELECT doc_id, {dedup.simhash_sql('text')} AS simhash60 FROM documents
     """,
     "simhash_pairs": f"""
         WITH sigs AS (
           SELECT doc_id, {dedup.simhash_sql('text')} AS sh FROM documents),
         banded AS (
           SELECT doc_id, sh, b.range AS band,
-                 (sh >> (b.range * 8)) & 255 AS bval
-          FROM sigs, range(0, 4) b),
+                 (sh >> (b.range * {dedup.SIMHASH_BAND_BITS}))
+                     & {dedup.SIMHASH_BAND_MASK} AS bval
+          FROM sigs, range(0, {dedup.SIMHASH_BANDS}) b),
         pairs AS (
           SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
                  a.sh AS sha, b.sh AS shb

@@ -224,15 +224,23 @@ def minhash_lsh_pairs(
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
-SIMHASH_BITS = 32
+# 60 bits (everything hash64 provides): four 15-bit bands give
+# 32,768 distinct values per band, so LSH bucket occupancy stays
+# ~n/32768 per band instead of the n/256 ceiling a 32-bit signature
+# with 8-bit bands would impose — the within-bucket self-join stays
+# near-linear at corpus scale.
+SIMHASH_BITS = 60
+SIMHASH_BANDS = 4
+SIMHASH_BAND_BITS = SIMHASH_BITS // SIMHASH_BANDS  # 15
+SIMHASH_BAND_MASK = (1 << SIMHASH_BAND_BITS) - 1
 
 
 def simhash(col: Column | str) -> Column:
-    """32-bit SimHash over whitespace tokens.
+    """60-bit SimHash over whitespace tokens.
 
     bit_i(simhash) = sign of Σ_tokens (±1 depending on bit_i(hash(t))).
     Single-pass formulation: tokens are hashed ONCE (one md5 each),
-    then a fold accumulates a 32-slot counter array with ``zip_with`` —
+    then a fold accumulates a 60-slot counter array with ``zip_with`` —
     pure higher-order-function expression, vectorized, no shuffle.
     """
     powers = F.array(*[F.lit(1 << i).cast("long") for i in range(SIMHASH_BITS)])
@@ -263,22 +271,29 @@ def simhash_sql(expr: str) -> str:
         f"list_sum(list_transform({toks},"
         f" t -> CASE WHEN ({h} & (1::BIGINT << i)) > 0 THEN 1 ELSE -1 END))"
     )
+    # Outer ::BIGINT: DuckDB list_sum returns HUGEINT, Spark returns
+    # BIGINT — the driver's value hash is type-sensitive, so the oracle
+    # must emit the same physical type.
     return (
         f"list_sum(list_transform(range(0, {SIMHASH_BITS}),"
         f" i -> CASE WHEN coalesce({per_bit}, 0) >= 0"
-        f" THEN (1::BIGINT << i) ELSE 0::BIGINT END))"
+        f" THEN (1::BIGINT << i) ELSE 0::BIGINT END))::BIGINT"
     )
 
 
-def hamming32(a: Column, b: Column) -> Column:
+def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
+
+
+# Back-compat alias (signature widened from 32 to 60 bits).
+hamming32 = hamming64
 
 
 def simhash_pairs(
     df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3
 ) -> DataFrame:
-    """Near-dup pairs by SimHash: candidates share one of 4 8-bit bands
-    (pigeonhole: Hamming ≤ 3 over 32 bits ⇒ some band is identical),
+    """Near-dup pairs by SimHash: candidates share one of 4 15-bit bands
+    (pigeonhole: Hamming ≤ 3 over 60 bits ⇒ some band is identical),
     then verified on true Hamming distance."""
     # Cache the signature table: it is tiny (id + one long per doc)
     # relative to the corpus and feeds both sides of the self-join —
@@ -287,7 +302,7 @@ def simhash_pairs(
         F.col(id_col).alias("__id"), simhash(text_col).alias("__sh")
     ).cache()
     # Bands built in a Python loop: F.shiftright requires a literal int
-    # shift, and 4 is a constant anyway.
+    # shift, and SIMHASH_BANDS is a constant anyway.
     banded = sigs.select(
         "__id",
         "__sh",
@@ -296,11 +311,11 @@ def simhash_pairs(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.shiftright(F.col("__sh"), b * 8)
-                        .bitwiseAND(F.lit(0xFF))
+                        F.shiftright(F.col("__sh"), b * SIMHASH_BAND_BITS)
+                        .bitwiseAND(F.lit(SIMHASH_BAND_MASK))
                         .alias("bval"),
                     )
-                    for b in range(4)
+                    for b in range(SIMHASH_BANDS)
                 ]
             )
         ).alias("bx"),

@@ -49,6 +49,42 @@ def test_simhash_near_dups_have_small_hamming(spark, sf_dir):
     assert close >= 45, f"only {close}/50 planted dups within hamming 6"
 
 
+def test_simhash_band_cardinality_exceeds_8bit_ceiling(spark, sf_dir):
+    """The 60-bit signature's 15-bit bands must be able to take more
+    than 256 distinct values (the old 32-bit/8-bit-band ceiling), so
+    LSH bucket occupancy scales as n/32768, not n/256."""
+    assert dedup.SIMHASH_BITS == 60
+    assert dedup.SIMHASH_BAND_BITS == 15
+    assert dedup.SIMHASH_BAND_MASK == 32767
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sigs = docs.select(dedup.simhash("text").alias("sh"))
+    bvals = sigs.select(
+        *[
+            F.shiftright("sh", b * dedup.SIMHASH_BAND_BITS)
+            .bitwiseAND(F.lit(dedup.SIMHASH_BAND_MASK))
+            .alias(f"b{b}")
+            for b in range(dedup.SIMHASH_BANDS)
+        ]
+    ).agg(
+        *[
+            F.countDistinct(f"b{b}").alias(f"n{b}")
+            for b in range(dedup.SIMHASH_BANDS)
+        ],
+        *[F.max(f"b{b}").alias(f"m{b}") for b in range(dedup.SIMHASH_BANDS)],
+    ).first()
+    # SimHash clusters similar docs by design, so per-band cardinality
+    # on a same-vocabulary corpus sits below the uniform-hash estimate;
+    # the claim under test is the value SPACE: bands take values far
+    # above the old 8-bit ceiling of 255, and the combined distinct
+    # count across bands could not fit in 4×256 buckets of the old
+    # scheme's occupancy curve.
+    total_distinct = 0
+    for b in range(dedup.SIMHASH_BANDS):
+        assert bvals[f"m{b}"] > 255, f"band {b} stuck under 8-bit range"
+        total_distinct += bvals[f"n{b}"]
+    assert total_distinct > 512, f"combined band cardinality {total_distinct}"
+
+
 def test_simhash_pairs_operator_finds_planted_dups(spark, sf_dir):
     docs = _docs_with_dups(spark, sf_dir)
     pairs = dedup.simhash_pairs(docs, "text", "doc_id", max_hamming=6)
