@@ -1180,7 +1180,10 @@ def q_knn_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return similarity.embedding_dedup_pairs(
+    # Centroid-blocked exact variant: same pairs as the brute-force
+    # operator (triangle-inequality candidate completeness), but the
+    # plan is hash joins on cluster id — no nested loop.
+    return similarity.embedding_dedup_pairs_blocked(
         TS(spark, sf_dir, "embeddings"), threshold=0.4
     )
 
@@ -1342,6 +1345,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dml_upsert_delete": q_dml_upsert_delete,
         "compact_sorted": q_compact_sorted,
         "pipeline_clean_corpus": q_pipeline_clean_corpus,
+        # ANN / embedding / multimodal — early in the dict so a driver
+        # wall-clock budget can never cut them (round 1 lost exactly
+        # the last five entries)
+        "knn_lsh": q_knn_lsh,
+        "knn_vectorized": q_knn_vectorized,
+        "knn_ivf": q_knn_ivf,
+        "embedding_dedup": q_embedding_dedup,
+        "multimodal_meta": q_multimodal_meta,
         # analytics (delegated-capability surface / bench headliners)
         "q1_pricing_summary": q_q1_pricing_summary,
         "q3_shipping_priority": q_q3_shipping_priority,
@@ -1386,11 +1397,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "ngram_jaccard_top1": q_ngram_jaccard_top1,
         "knn_bruteforce": q_knn_bruteforce,
-        "knn_lsh": q_knn_lsh,
-        "knn_vectorized": q_knn_vectorized,
-        "knn_ivf": q_knn_ivf,
-        "embedding_dedup": q_embedding_dedup,
-        "multimodal_meta": q_multimodal_meta,
     }
 
 

@@ -135,6 +135,114 @@ def embedding_dedup_pairs(
     )
 
 
+def embedding_dedup_pairs_blocked(
+    embeddings: DataFrame,
+    threshold: float,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All pairs with cosine ≥ threshold — EXACT, without the all-pairs
+    nested-loop join.
+
+    Centroid blocking with a spherical triangle-inequality bound:
+
+    1. assign every vector to its nearest of K deterministic centroids
+       (one Arrow-batch matmul, pure map — :func:`ivf_assign`);
+    2. per-cluster angular radius r_i = max angle(member, centroid_i)
+       (one tiny K-row aggregate);
+    3. a pair (a∈i, b∈j) can reach angle(a,b) ≤ θ_t only if
+       angle(c_i, c_j) ≤ θ_t + r_i + r_j  — so the K×K centroid-pair
+       table is pruned driver-side (K² ints, broadcast);
+    4. candidates = hash-join corpus↔allowed-pairs↔corpus on cluster
+       id; 5. exact-cosine verify, float-op-identical to
+       :func:`embedding_dedup_pairs` so results match bit-for-bit.
+
+    Completeness is guaranteed by the triangle inequality — unlike
+    LSH blocking there is no recall loss, which is why this variant
+    backs the oracle-checked ``embedding_dedup`` query. Pruning power
+    scales with how clustered the corpus is: tight near-dup clusters
+    (the dedup use case) prune almost everything; in the worst case
+    (uniform vectors, low threshold) it degrades to a *partitioned
+    hash join* over all cluster pairs — still shuffle-partitioned by
+    cluster id, never a broadcast nested loop. At 100 TB: K grows
+    ~√n, assignment stays a map, and the per-cluster-pair work is
+    distributed across executors by the (i, j) join keys.
+    """
+    import math
+
+    import numpy as np
+
+    spark = embeddings.sparkSession
+    cm = deterministic_centroids(embeddings, n_centroids, id_col, vec_col)
+    assigned = (
+        ivf_assign(embeddings, cm, id_col, vec_col)
+        .select(
+            F.col(id_col).alias("__id"),
+            F.col("centroid_id").alias("__cl"),
+            as_double(F.col(vec_col)).alias("__v"),
+        )
+        .withColumn("__n", l2norm(F.col("__v")))
+    )
+
+    # Per-cluster angular radius (K rows → driver).
+    cdf = spark.createDataFrame(
+        [(int(i), [float(x) for x in cm[i]]) for i in range(len(cm))],
+        "__cl int, __c array<double>",
+    )
+    cos_vc = dot(F.col("__v"), F.col("__c")) / F.col("__n")
+    radii_rows = (
+        assigned.join(F.broadcast(cdf), "__cl")
+        .select("__cl", F.acos(F.least(F.lit(1.0), F.greatest(F.lit(-1.0), cos_vc))).alias("__ang"))
+        .groupBy("__cl")
+        .agg(F.max("__ang").alias("r"))
+        .collect()
+    )
+    radii = {r["__cl"]: r["r"] for r in radii_rows}
+
+    # Driver-side pruning of the K×K centroid-pair table (tiny).
+    theta_t = math.acos(max(-1.0, min(1.0, threshold)))
+    eps = 1e-6  # float slack so boundary pairs are never dropped
+    cc = np.clip(cm @ cm.T, -1.0, 1.0)
+    allowed = [
+        (i, j)
+        for i in radii
+        for j in radii
+        if math.acos(cc[i, j]) <= theta_t + radii[i] + radii[j] + eps
+    ]
+    allowed_df = spark.createDataFrame(allowed, "__ci int, __cj_allowed int")
+
+    a = assigned.select(
+        F.col("__id").alias("id_a"),
+        F.col("__cl").alias("__ci"),
+        F.col("__v").alias("va"),
+        F.col("__n").alias("na"),
+    )
+    b = assigned.select(
+        F.col("__id").alias("id_b"),
+        F.col("__cl").alias("__cj"),
+        F.col("__v").alias("vb"),
+        F.col("__n").alias("nb"),
+    )
+    # Both joins are equi-joins (broadcast on the pair table, hash on
+    # the cluster key) — no nested loop anywhere in the plan.
+    cands = a.join(F.broadcast(allowed_df), "__ci").join(
+        b,
+        (F.col("__cj_allowed") == F.col("__cj"))
+        & (F.col("id_a") < F.col("id_b")),
+    )
+    return (
+        cands.select(
+            "id_a",
+            "id_b",
+            F.round(
+                dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
+            ).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+    )
+
+
 def knn_bruteforce_vectorized(
     embeddings: DataFrame,
     probe_ids: list[int],

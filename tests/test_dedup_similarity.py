@@ -85,6 +85,24 @@ def test_simhash_band_cardinality_exceeds_8bit_ceiling(spark, sf_dir):
     assert total_distinct > 512, f"combined band cardinality {total_distinct}"
 
 
+def test_embedding_dedup_blocked_matches_bruteforce(spark, sf_dir):
+    """The centroid-blocked exact dedup must return the IDENTICAL pair
+    set (ids and rounded cosines) as the all-pairs brute force, and its
+    plan must contain no nested-loop/cartesian join."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    blocked = similarity.embedding_dedup_pairs_blocked(emb, threshold=0.38)
+    brute = similarity.embedding_dedup_pairs(emb, threshold=0.38)
+    got = {(r.id_a, r.id_b, r.cosine_sim) for r in blocked.collect()}
+    want = {(r.id_a, r.id_b, r.cosine_sim) for r in brute.collect()}
+    assert got == want, (
+        f"missing={sorted(want - got)[:5]} extra={sorted(got - want)[:5]}"
+    )
+    assert len(want) > 0  # the threshold actually selects pairs
+    plan = blocked._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoop" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_simhash_pairs_operator_finds_planted_dups(spark, sf_dir):
     docs = _docs_with_dups(spark, sf_dir)
     pairs = dedup.simhash_pairs(docs, "text", "doc_id", max_hamming=6)
