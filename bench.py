@@ -39,7 +39,9 @@ HEADLINE = [
 # higher-order-function paths after enough row iterations per thread;
 # 500 rows split over 32 tasks never crosses the threshold and the
 # timed run would still pay compilation.
-WARMUP_SF_DIR = "/root/testdata/sf0.01"
+WARMUP_SF_DIR = os.environ.get(
+    "SPARK_GRAFT_WARMUP_SF_DIR", "/root/testdata/sf0.01"
+)
 
 
 def main() -> None:
@@ -50,9 +52,10 @@ def main() -> None:
     # generated code once so the timed section measures steady-state
     # throughput (what a 100 TB run is made of), not one-time Janino +
     # HotSpot compilation of each expression tree.
-    if os.environ.get("SPARK_GRAFT_NO_WARMUP") != "1":
+    warmup_dir = WARMUP_SF_DIR if os.path.isdir(WARMUP_SF_DIR) else sf_dir
+    if os.environ.get("SPARK_GRAFT_NO_WARMUP") != "1" and os.path.isdir(warmup_dir):
         for name in HEADLINE:
-            queries[name](spark, WARMUP_SF_DIR).write.format("noop").mode(
+            queries[name](spark, warmup_dir).write.format("noop").mode(
                 "overwrite"
             ).save()
     timings: dict[str, float] = {}

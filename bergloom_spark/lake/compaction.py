@@ -269,30 +269,35 @@ class SortCompaction(Compaction):
         if self.n_output_files is not None:
             n_files = self.n_output_files
         else:
-            est = wr.estimate_bytes(rewritten)
-            n_files = max(
-                1, (est // 3 + self.config.target_file_size - 1)
-                // self.config.target_file_size,
-            ) if est < 1 << 50 else max(1, min(rewritten.rdd.getNumPartitions(), 64))
+            n_files = wr.derive_n_files(rewritten, self.config.target_file_size)
+        # Partitioned tables: lead the range keys with the partition
+        # columns so rows of one partition value co-locate — each range
+        # task then writes ~one file per partition dir instead of the
+        # n_files × n_partition_values fanout explosion — while the
+        # sort keys still cluster within each partition value.
+        part_cols = list(table.meta.partition_spec or [])
         if self.zorder:
             from bergloom_spark.functions.zorder import zorder_value
 
             z = zorder_value(self.sort_cols)
             user_cols = rewritten.columns
+            range_keys = [F.col(c) for c in part_cols] + [F.col("__z")]
             clustered = (
                 rewritten.withColumn("__z", z)
-                .repartitionByRange(int(n_files), F.col("__z"))
-                .sortWithinPartitions("__z")
+                .repartitionByRange(int(n_files), *range_keys)
+                .sortWithinPartitions(*part_cols, "__z")
                 .select(*user_cols)
             )
         else:
+            keys = part_cols + [c for c in self.sort_cols if c not in part_cols]
             clustered = rewritten.repartitionByRange(
-                int(n_files), *[F.col(c) for c in self.sort_cols]
-            ).sortWithinPartitions(*self.sort_cols)
+                int(n_files), *[F.col(c) for c in keys]
+            ).sortWithinPartitions(*keys)
 
         add_entries = wr.write_data_files_presized(
             clustered, table.meta.table_root, snap.sequence_number,
             compression=self.config.write_compression,
+            partition_spec=part_cols or None,
         )
         manager = RewriteFilesCommitManager(
             table_root=table.meta.table_root,

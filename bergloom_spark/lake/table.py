@@ -23,8 +23,18 @@ from bergloom_spark.operators import mor
 
 
 def _normalize_path(col):
-    """Map Spark's ``_metadata.file_path`` URI to a plain absolute path."""
-    return F.regexp_replace(col, "^file:/*", "/")
+    """Map Spark's ``_metadata.file_path`` URI to the on-disk path.
+
+    The URI percent-encodes special characters (space → %20, and a
+    literal '%' — e.g. Hive's own ':' → '%3A' escape in partition dir
+    names — becomes %25), while manifest entries store raw filesystem
+    paths; without decoding, every file under an escaped partition dir
+    fails the manifest join and its partition/seq columns read NULL.
+    ``url_decode`` is form-decoding ('+' → space), so protect literal
+    '+' (legal, unencoded in URI paths) by pre-encoding it.
+    """
+    uri = F.regexp_replace(col, "^file:/*", "/")
+    return F.url_decode(F.replace(uri, F.lit("+"), F.lit("%2B")))
 
 
 class LakeTable:
@@ -153,7 +163,13 @@ class LakeTable:
         file is rewritten (that debt is what compaction later clears).
 
         Returns the new snapshot, or None if nothing matched.
+        One Spark job total: the match scan and the delete-file write
+        are the same job; emptiness is read from the written parquet
+        footer (driver-side) instead of a separate ``isEmpty()`` job,
+        and an all-empty write is rolled back without committing.
         """
+        import os
+
         from pyspark.sql import functions as F
 
         hidden = self.scan_data(with_hidden=True)
@@ -166,9 +182,20 @@ class LakeTable:
         # be re-listed, which scan_data avoids by construction (it scans
         # raw data files — re-deleting an already-deleted (file,pos) is
         # harmless and idempotent).
-        if matches.isEmpty():
+        meta, snap = self._next_commit("delete")
+        self._carry_forward(snap)
+        entries = wr.write_position_delete_files(
+            matches, self.meta.table_root, snap.sequence_number
+        )
+        if sum(e.record_count for e in entries) == 0:
+            for e in entries:  # nothing matched: discard, don't commit
+                if os.path.exists(e.file_path):
+                    os.unlink(e.file_path)
             return None
-        return self.append_position_deletes(matches)
+        snap.entries.extend(entries)
+        md.write_version(meta)
+        self.meta = meta
+        return snap
 
     def upsert(self, df: DataFrame, key_cols: list[str]) -> md.Snapshot:
         """MERGE-style upsert: equality-delete on the keys, then append.

@@ -40,14 +40,34 @@ def fingerprint(df: DataFrame) -> Fingerprint:
 
 
 def validate_compaction(input_df: DataFrame, output_df: DataFrame) -> Fingerprint:
-    """Raise :class:`ValidationError` unless both sides hold identical rows."""
+    """Raise :class:`ValidationError` unless both sides hold identical rows.
+
+    Both sides are fingerprinted in ONE Spark job: tag each side, union,
+    aggregate grouped by the tag — the expensive input-side MoR plan and
+    the output scan execute together instead of as two scheduled jobs.
+    """
     if sorted(input_df.columns) != sorted(output_df.columns):
         raise ValidationError(
             f"schema mismatch: {input_df.columns} vs {output_df.columns}"
         )
     cols = sorted(input_df.columns)
-    fin = fingerprint(input_df.select(*cols))
-    fout = fingerprint(output_df.select(*cols))
+    tagged = input_df.select(*cols).withColumn(
+        "__side", F.lit(0)
+    ).unionByName(output_df.select(*cols).withColumn("__side", F.lit(1)))
+    hash_cols = [F.col(c) for c in cols]
+    rows = tagged.groupBy("__side").agg(
+        F.count(F.lit(1)).alias("rows"),
+        # Sum in decimal(38) so 2^63-magnitude hashes can't overflow.
+        F.coalesce(
+            F.sum(F.xxhash64(*hash_cols).cast("decimal(38,0)")), F.lit(0)
+        ).alias("hash_sum"),
+    ).collect()
+    by_side = {
+        int(r["__side"]): Fingerprint(rows=int(r["rows"]), hash_sum=int(r["hash_sum"]))
+        for r in rows
+    }
+    fin = by_side.get(0, Fingerprint(rows=0, hash_sum=0))
+    fout = by_side.get(1, Fingerprint(rows=0, hash_sum=0))
     if fin != fout:
         raise ValidationError(
             f"compaction validation failed: input {fin} != output {fout}"

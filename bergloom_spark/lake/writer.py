@@ -63,6 +63,26 @@ def estimate_bytes(df: DataFrame) -> int:
     return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
 
 
+def derive_n_files(df: DataFrame, target_file_size: int) -> int:
+    """Output-file count from the plan's byte estimate and target size.
+
+    Shared by the round-robin and sort-clustered writers so both apply
+    the same unknown-stats fallback and the same 2^20 cap (a huge
+    estimate with a small target must not request millions of shuffle
+    partitions — repartitionByRange's boundary sampling scales with the
+    partition count).
+    """
+    est = max(1, estimate_bytes(df))
+    if est >= 1 << 50:
+        # Catalyst reports ~Long.MaxValue when stats are unknown (e.g.
+        # localRelation inputs); fall back to the plan's partitioning.
+        return max(1, min(df.rdd.getNumPartitions(), 64))
+    # Parquet compresses the in-memory estimate substantially; 3× is
+    # a conservative ratio so we don't under-fill target-size files.
+    n_files = max(1, (est // 3 + target_file_size - 1) // target_file_size)
+    return int(min(n_files, 1 << 20))
+
+
 def _collect_parquet_entries(
     out_dir: str,
     content: str,
@@ -79,11 +99,19 @@ def _collect_parquet_entries(
         meta = pq.read_metadata(path)
         partition: dict[str, str] = {}
         if partition_cols:
+            from urllib.parse import unquote
+
             rel = os.path.relpath(path, out_dir)
             for part in rel.split(os.sep)[:-1]:
                 if "=" in part:
                     key, value = part.split("=", 1)
-                    partition[key] = value
+                    # Hive escapes special chars in dir names (':' in
+                    # timestamps → %3A); store the real value so the
+                    # scan-side cast back to the column type works.
+                    value = unquote(value)
+                    partition[key] = (
+                        None if value == "__HIVE_DEFAULT_PARTITION__" else value
+                    )
         entries.append(
             ManifestEntry(
                 content=content,
@@ -118,16 +146,7 @@ def write_data_files(
     out_dir = os.path.join(
         table_root, "data", f"seq{sequence_number}-{uuid.uuid4().hex[:12]}"
     )
-    est = max(1, estimate_bytes(df))
-    if est >= 1 << 50:
-        # Catalyst reports ~Long.MaxValue when stats are unknown (e.g.
-        # localRelation inputs); fall back to the plan's partitioning.
-        n_files = max(1, min(df.rdd.getNumPartitions(), 64))
-    else:
-        # Parquet compresses the in-memory estimate substantially; 3× is
-        # a conservative ratio so we don't under-fill target-size files.
-        n_files = max(1, (est // 3 + target_file_size - 1) // target_file_size)
-        n_files = int(min(n_files, 1 << 20))
+    n_files = derive_n_files(df, target_file_size)
     writer = df
     if partition_spec:
         writer = df.repartition(n_files, *[F.col(c) for c in partition_spec])
@@ -150,17 +169,29 @@ def write_data_files_presized(
     table_root: str,
     sequence_number: int,
     compression: str = "snappy",
+    partition_spec: list[str] | None = None,
 ) -> list[ManifestEntry]:
     """Write a pre-partitioned DataFrame as data files, one file per
     input partition. The caller owns the partitioning — used by the
     sort-clustering rewrite, whose repartitionByRange + sort must
     survive to the parquet files (a round-robin repartition here would
-    destroy the min/max clustering that makes file pruning work)."""
+    destroy the min/max clustering that makes file pruning work).
+
+    For tables with a ``partition_spec`` the write fans out Hive-style
+    (``partitionBy``) and the manifest entries record the partition
+    values — ``scan_data`` re-attaches partition columns from the
+    manifest, so skipping this would read them back as NULL.
+    """
     out_dir = os.path.join(
         table_root, "data", f"seq{sequence_number}-{uuid.uuid4().hex[:12]}"
     )
-    df.write.mode("error").option("compression", compression).parquet(out_dir)
-    return _collect_parquet_entries(out_dir, "data", sequence_number)
+    w = df.write.mode("error").option("compression", compression)
+    if partition_spec:
+        w = w.partitionBy(*partition_spec)
+    w.parquet(out_dir)
+    return _collect_parquet_entries(
+        out_dir, "data", sequence_number, partition_cols=partition_spec
+    )
 
 
 def write_position_delete_files(

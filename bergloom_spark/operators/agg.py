@@ -29,7 +29,12 @@ def two_phase_distinct_count(
 def salted_group_count(
     df: DataFrame, key: str, n_salts: int = 16, out_col: str = "n"
 ) -> DataFrame:
-    salt = (F.xxhash64(F.monotonically_increasing_id()) % n_salts).alias("__salt")
+    """Salt from ``spark_partition_id`` — deterministic on task retry
+    (a recomputed partition re-derives the same id; rand/
+    monotonically_increasing_id in a shuffle key is the SPARK-23207
+    bug class) and spreads a hot key across exactly the partitions
+    that hold it, which is the skew being treated."""
+    salt = F.pmod(F.spark_partition_id().cast("long"), F.lit(n_salts)).alias("__salt")
     partial = (
         df.select(F.col(key), salt)
         .groupBy(key, "__salt")

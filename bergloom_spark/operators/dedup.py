@@ -148,6 +148,7 @@ def minhash_lsh_pairs(
     bands: int = 4,
     threshold: float = 0.5,
     shingle_n: int = 3,
+    cache: bool = True,
 ) -> DataFrame:
     """Near-duplicate pairs via banded MinHash-LSH.
 
@@ -156,6 +157,12 @@ def minhash_lsh_pairs(
     distinct pairs → verify estimated Jaccard (= fraction of equal
     signature slots) ≥ threshold. Output: (id_a, id_b, est_jaccard)
     with id_a < id_b.
+
+    Cache lifetime: with ``cache=True`` the signature table stays
+    pinned in executor storage until the session ends or the caller
+    runs ``spark.catalog.clearCache()`` — in a long-lived session
+    processing many corpora pass ``cache=False`` (the signature
+    subtree then computes once per join side instead).
     """
     rows_per_band = k // bands
     # Two-stage select: the md5 shingle hashing materializes in stage 1
@@ -169,7 +176,9 @@ def minhash_lsh_pairs(
     )
     sigs = hashed.select(
         "__id", minhash_signature_from_hashes(F.col("__hs"), k).alias("__sig")
-    ).cache()
+    )
+    if cache:
+        sigs = sigs.cache()
     banded = sigs.select(
         "__id",
         "__sig",
@@ -290,17 +299,22 @@ hamming32 = hamming64
 
 
 def simhash_pairs(
-    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3
+    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3,
+    cache: bool = True,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: candidates share one of 4 15-bit bands
     (pigeonhole: Hamming ≤ 3 over 60 bits ⇒ some band is identical),
-    then verified on true Hamming distance."""
-    # Cache the signature table: it is tiny (id + one long per doc)
-    # relative to the corpus and feeds both sides of the self-join —
-    # without it the token-hash fold would run twice over every doc.
+    then verified on true Hamming distance.
+
+    ``cache=True`` pins the signature table (tiny: id + one long per
+    doc, feeds both sides of the self-join) until the session ends or
+    ``spark.catalog.clearCache()`` — pass ``cache=False`` in
+    long-lived sessions that call this repeatedly."""
     sigs = df.select(
         F.col(id_col).alias("__id"), simhash(text_col).alias("__sh")
-    ).cache()
+    )
+    if cache:
+        sigs = sigs.cache()
     # Bands built in a Python loop: F.shiftright requires a literal int
     # shift, and SIMHASH_BANDS is a constant anyway.
     banded = sigs.select(

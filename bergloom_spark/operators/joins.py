@@ -138,28 +138,42 @@ def salted_join(
     on: list[str],
     n_salts: int = 16,
     how: str = "inner",
+    salt_col: str | None = None,
 ) -> DataFrame:
     """Skew-proof equi-join: spread each hot fact key over ``n_salts``
     reducers.
 
-    The fact side gets a deterministic per-row salt (hash of all join
-    keys + a row-local component), the dim side is replicated
-    ``n_salts`` times, and the join runs on (keys, salt) — so one hot
-    key's rows land on n_salts tasks instead of one. Use when a single
-    key exceeds what AQE skew-splitting can rebalance (AQE splits
-    oversized *partitions*, but one monster key still hashes to one
-    partition on the build side of the next stage). Replication
-    multiplies the dim side: keep it for genuinely small-to-medium dim
-    tables, or pre-filter the dim to the hot keys and union with a
-    plain join for the rest.
+    The fact side gets a deterministic per-row salt, the dim side is
+    replicated ``n_salts`` times, and the join runs on (keys, salt) —
+    so one hot key's rows land on n_salts tasks instead of one. Use
+    when a single key exceeds what AQE skew-splitting can rebalance
+    (AQE splits oversized *partitions*, but one monster key still
+    hashes to one partition on the build side of the next stage).
+    Replication multiplies the dim side: keep it for genuinely
+    small-to-medium dim tables, or pre-filter the dim to the hot keys
+    and union with a plain join for the rest.
+
+    The salt feeds the join's shuffle key, so it must be deterministic
+    under task/stage retry — a nondeterministic expression there
+    (``rand``, ``monotonically_increasing_id``) is the SPARK-23207
+    class of bug: retried tasks re-salt rows differently and rows are
+    duplicated or lost. Default salt: ``xxhash64(spark_partition_id,
+    *fact columns) % n_salts`` — stable on recompute as long as the
+    upstream partitioning is deterministic (hash/range/file-based, not
+    round-robin), and the partition-id term spreads even
+    fully-duplicate hot rows sitting in different partitions. Pass
+    ``salt_col`` (a unique row-id column) for strict determinism
+    independent of upstream layout.
     """
     if how not in ("inner", "left"):
         raise ValueError(f"salted_join supports inner/left, got {how}")
-    salt = F.pmod(
-        F.xxhash64(*[F.col(c) for c in on], F.monotonically_increasing_id()),
-        F.lit(n_salts),
-    ).alias("__salt")
-    salted_fact = fact.withColumn("__salt", salt)
+    if salt_col is not None:
+        salt_src = F.xxhash64(F.col(salt_col))
+    else:
+        salt_src = F.xxhash64(
+            F.spark_partition_id(), *[F.col(c) for c in fact.columns]
+        )
+    salted_fact = fact.withColumn("__salt", F.pmod(salt_src, F.lit(n_salts)))
     salts = F.explode(
         F.sequence(F.lit(0), F.lit(n_salts - 1)).cast("array<long>")
     ).alias("__salt")

@@ -99,23 +99,29 @@ def embedding_dedup_pairs(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    cache: bool = True,
 ) -> DataFrame:
     """All pairs with cosine ≥ threshold (id_a < id_b).
 
     Brute-force formulation for bounded corpora / oracle checking; at
-    scale run :func:`knn_lsh`-style bucketing first and this as the
-    verify stage on candidates.
+    scale use :func:`embedding_dedup_pairs_blocked`.
+
+    ``cache=True`` pins the prepped (vector, norm) table until the
+    session ends or ``spark.catalog.clearCache()`` — pass
+    ``cache=False`` in long-lived sessions that call this repeatedly.
     """
     # Precompute each vector's norm ONCE per row, then the O(n²) pair
     # stage is one dot fold + a scalar divide instead of three folds
     # (cosine = dot/(norm·norm) — float-op-identical to cosine(), so
-    # the DuckDB oracle is unchanged). Cache the prepped table — it is
-    # tiny and feeds both sides of the self-join.
+    # the DuckDB oracle is unchanged). The prepped table is tiny and
+    # feeds both sides of the self-join.
     base = embeddings.select(
         F.col(id_col).alias("__id"),
         as_double(F.col(vec_col)).alias("__v"),
         l2norm(as_double(F.col(vec_col))).alias("__n"),
-    ).cache()
+    )
+    if cache:
+        base = base.cache()
     a = base.select(
         F.col("__id").alias("id_a"), F.col("__v").alias("va"), F.col("__n").alias("na")
     )
