@@ -670,6 +670,29 @@ def q_asof_purchase_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_id", "user_id", "view_event_id_asof", "ts_asof")
 
 
+def q_asof_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key-safe as-of join: window partitioned on (key, time
+    bucket) with per-bucket carry state, so one monster key no longer
+    serializes on a single task. Same semantics (and oracle) as
+    asof_purchase_view."""
+    from bergloom_spark.operators.joins import asof_join_bucketed
+
+    ev = T(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id"), F.col("ts"), F.col("event_id").alias("view_event_id")
+    )
+    return asof_join_bucketed(
+        purchases,
+        views,
+        on="user_id",
+        right_value_cols=["view_event_id"],
+        bucket_seconds=86400,
+    ).select("event_id", "user_id", "view_event_id_asof", "ts_asof")
+
+
 def q_interval_error_context(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval/range join via time-bucketized equi-join: events of the
     same user within 10 minutes before each error."""
@@ -835,6 +858,13 @@ def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ANALYTICS_ORACLES = {
     "asof_purchase_view": """
+        SELECT p.event_id, p.user_id,
+               v.event_id AS view_event_id_asof, v.ts AS ts_asof
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+          ON p.user_id = v.user_id AND v.ts <= p.ts
+    """,
+    "asof_bucketed": """
         SELECT p.event_id, p.user_id,
                v.event_id AS view_event_id_asof, v.ts AS ts_asof
         FROM (SELECT * FROM events WHERE event_type = 'purchase') p
@@ -1372,6 +1402,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bucketed_join": q_bucketed_join,
         "events_hourly": q_events_hourly,
         "asof_purchase_view": q_asof_purchase_view,
+        "asof_bucketed": q_asof_bucketed,
         "interval_error_context": q_interval_error_context,
         "streaming_events_hourly": q_streaming_events_hourly,
         "events_json_rollup": q_events_json_rollup,

@@ -78,6 +78,140 @@ def asof_join(
     )
 
 
+def asof_join_bucketed(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_value_cols: list[str] | None = None,
+    suffix: str = "_asof",
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """:func:`asof_join` semantics, hot-key-safe: the window partitions
+    on (key, time-bucket) instead of key alone.
+
+    The plain union-window as-of puts EVERY row of a key into one
+    window partition — one monster key (a bot user, a default id)
+    serializes on one task. Here time is split into ``bucket_seconds``
+    buckets and the carry state crossing bucket boundaries is computed
+    on a per-(key, bucket) aggregate table first:
+
+    1. per (key, bucket): the latest right row — one map-side-combined
+       aggregation, output is one row per (key, bucket);
+    2. a window over THAT table (rows per key = number of buckets, not
+       number of events) carries the latest right row strictly before
+       each bucket;
+    3. the carry-in is injected as one synthetic right row per
+       (key, bucket) sorting before everything in its bucket, and the
+       union-window as-of runs partitioned by (key, bucket).
+
+    Identical output to :func:`asof_join` (ties included — same
+    ordering inside each bucket, and the synthetic row is exactly the
+    row the carry would have produced). Cost: one extra small shuffle
+    over the per-bucket aggregate. Pick ``bucket_seconds`` so a hot
+    key's densest bucket fits a task comfortably.
+    """
+    right_value_cols = right_value_cols or [
+        c for c in right.columns if c not in (on, right_ts)
+    ]
+    bseconds = int(bucket_seconds)
+
+    def bucket_of(col):
+        return F.floor(
+            F.unix_micros(col.cast("timestamp")) / F.lit(bseconds * 1_000_000)
+        ).cast("long")
+
+    # 1. Latest right row per (key, bucket).
+    rstruct = F.struct(
+        F.col(right_ts).alias("__ts"),
+        *[F.col(c).alias(c) for c in right_value_cols],
+    )
+    rb = (
+        right.select(
+            F.col(on).alias("__k"),
+            bucket_of(F.col(right_ts)).alias("__b"),
+            rstruct.alias("__s"),
+        )
+        .groupBy("__k", "__b")
+        .agg(F.max_by("__s", F.col("__s.__ts")).alias("__last"))
+    )
+    # 2. Carry = latest right row in any strictly-earlier bucket, over
+    # the union of buckets either side touches (left-only buckets must
+    # inherit carry state too).
+    lb = left.select(
+        F.col(on).alias("__k"), bucket_of(F.col(left_ts)).alias("__b")
+    ).distinct()
+    all_b = (
+        lb.join(rb, ["__k", "__b"], "full")
+        .select("__k", "__b", "__last")
+    )
+    wc = (
+        Window.partitionBy("__k")
+        .orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = all_b.withColumn(
+        "__carry", F.last("__last", ignorenulls=True).over(wc)
+    )
+    # Synthetic carry-in rows: only for buckets the left actually has,
+    # and only when there is something to carry. NULL __t + nulls-first
+    # ordering makes them sort before every real row in their bucket.
+    synth = carry.join(lb, ["__k", "__b"], "left_semi").filter(
+        F.col("__carry").isNotNull()
+    )
+    # 3. Union-window as-of inside each (key, bucket).
+    lhs = left.select(
+        F.col(on).alias("__k"),
+        bucket_of(F.col(left_ts)).alias("__b"),
+        F.col(left_ts).alias("__t"),
+        F.lit(1).alias("__side"),
+        F.struct(*left.columns).alias("__l"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}")
+          for c in right_value_cols],
+        F.lit(None).cast(right.schema[right_ts].dataType).alias("__r_ts"),
+    )
+    rhs = right.select(
+        F.col(on).alias("__k"),
+        bucket_of(F.col(right_ts)).alias("__b"),
+        F.col(right_ts).alias("__t"),
+        F.lit(0).alias("__side"),
+        F.lit(None).cast(lhs.schema["__l"].dataType).alias("__l"),
+        *[F.col(c).alias(f"__r_{c}") for c in right_value_cols],
+        F.col(right_ts).alias("__r_ts"),
+    )
+    synth_rows = synth.select(
+        "__k",
+        "__b",
+        F.lit(None).cast(left.schema[left_ts].dataType).alias("__t"),
+        F.lit(-1).alias("__side"),
+        F.lit(None).cast(lhs.schema["__l"].dataType).alias("__l"),
+        *[F.col("__carry").getField(c).alias(f"__r_{c}")
+          for c in right_value_cols],
+        F.col("__carry.__ts").alias("__r_ts"),
+    )
+    u = lhs.unionByName(rhs).unionByName(synth_rows)
+    w = (
+        Window.partitionBy("__k", "__b")
+        .orderBy(
+            F.col("__t").asc_nulls_first(),
+            F.col("__side").asc(),
+            F.col("__r_ts").asc(),
+        )
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = [
+        F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"{c}{suffix}")
+        for c in right_value_cols
+    ] + [F.last("__r_ts", ignorenulls=True).over(w).alias(f"{right_ts}{suffix}")]
+    out = u.select("__side", "__l", *carried).filter(F.col("__side") == 1)
+    return out.select(
+        *[F.col(f"__l.{c}").alias(c) for c in left.columns],
+        *[F.col(f"{c}{suffix}") for c in right_value_cols],
+        F.col(f"{right_ts}{suffix}"),
+    )
+
+
 def _bucket(col_name: str, window_seconds: int):
     # unix_micros requires TIMESTAMP; session TZ is pinned UTC so the
     # NTZ→TZ cast is value-preserving.

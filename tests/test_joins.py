@@ -111,3 +111,59 @@ def test_salted_join_spreads_hot_key(spark):
     salt = F.pmod(F.xxhash64(F.col("k"), F.monotonically_increasing_id()), F.lit(8))
     n_distinct = hot.select(salt.alias("s")).distinct().count()
     assert n_distinct == 8
+
+
+def test_asof_join_bucketed_parity(spark, sf_dir):
+    """Bucketed (hot-key-safe) as-of must equal the plain as-of on real
+    events — including tight buckets that force many carry boundaries."""
+    from bergloom_spark.operators.joins import asof_join_bucketed
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id"), F.col("ts"), F.col("event_id").alias("view_event_id")
+    )
+    plain = asof_join(
+        purchases, views, on="user_id", right_value_cols=["view_event_id"]
+    ).select("event_id", "user_id", "view_event_id_asof", "ts_asof")
+    for bucket_seconds in (3600, 86400 * 30):
+        bucketed = asof_join_bucketed(
+            purchases,
+            views,
+            on="user_id",
+            right_value_cols=["view_event_id"],
+            bucket_seconds=bucket_seconds,
+        ).select("event_id", "user_id", "view_event_id_asof", "ts_asof")
+        assert sorted(map(tuple, bucketed.collect())) == sorted(
+            map(tuple, plain.collect())
+        ), f"bucket_seconds={bucket_seconds}"
+
+
+def test_asof_join_bucketed_hot_key(spark):
+    """One monster key: every left row still gets the right carry value
+    even when its bucket holds no right rows at all."""
+    import datetime
+
+    from bergloom_spark.operators.joins import asof_join_bucketed
+
+    base = datetime.datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [(i, "hot", base + datetime.timedelta(minutes=i)) for i in range(500)]
+        + [(9000, "cold", base + datetime.timedelta(hours=3))],
+        "event_id long, user_id string, ts timestamp_ntz",
+    )
+    # Right rows only in the first hour → later buckets rely on carry.
+    right = spark.createDataFrame(
+        [("hot", base + datetime.timedelta(minutes=m), m) for m in (0, 30, 59)],
+        "user_id string, ts timestamp_ntz, v long",
+    )
+    out = asof_join_bucketed(
+        left, right, on="user_id", right_value_cols=["v"], bucket_seconds=600
+    )
+    got = {r.event_id: r.v_asof for r in out.collect()}
+    assert got[9000] is None  # cold key: nothing to match
+    assert got[0] == 0 and got[29] == 0 and got[30] == 30
+    assert got[59] == 59 if 59 in got else True
+    assert got[60] == 59 and got[499] == 59  # carried across empty buckets
