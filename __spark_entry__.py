@@ -583,6 +583,212 @@ def q_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """National market share (the 8-table share-of-total shape):
+    NATION_3's fraction of ECONOMY-part volume sold to AMERICA-region
+    customers, per year. All dims broadcast; one shuffle on the fact
+    aggregation."""
+    li = T(spark, sf_dir, "lineitem")
+    part = T(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    orders = T(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    cust = T(spark, sf_dir, "customer")
+    supp = T(spark, sf_dir, "supplier")
+    nation = T(spark, sf_dir, "nation")
+    region = T(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    n_cust = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_rkey")
+    )
+    n_supp = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n_cust), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(region), F.col("cn_rkey") == F.col("r_regionkey"))
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n_supp), F.col("s_nationkey") == F.col("sn_key"))
+    )
+    return joined.groupBy(F.year("o_orderdate").alias("o_year")).agg(
+        F.round(
+            F.sum(F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(F.lit(0.0)))
+            / F.sum(vol),
+            6,
+        ).alias("mkt_share")
+    )
+
+
+def q_q9_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Profit by supplier nation and year over a part-name substring
+    filter (TPC-H Q9 adapted: this data set has no partsupp, so profit
+    is discounted revenue)."""
+    li = T(spark, sf_dir, "lineitem")
+    part = T(spark, sf_dir, "part").filter(F.col("p_name").contains("widget"))
+    supp = T(spark, sf_dir, "supplier")
+    nation = T(spark, sf_dir, "nation")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"), F.year("l_shipdate").alias("o_year")
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("profit")
+        )
+    )
+
+
+def q_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global-threshold filter (TPC-H Q11 shape): parts whose NATION_5
+    supply value exceeds a fraction of the total — per-group agg
+    crossed with a broadcast 1-row global scalar."""
+    li = T(spark, sf_dir, "lineitem")
+    supp = T(spark, sf_dir, "supplier")
+    nation = T(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_5")
+    value = F.col("l_extendedprice") * F.col("l_quantity")
+    base = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(F.col("l_partkey"), value.alias("__v"))
+    )
+    per_part = base.groupBy("l_partkey").agg(F.sum("__v").alias("__pv"))
+    total = base.agg(F.sum("__v").alias("__tv"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("__pv") > F.col("__tv") * 0.001)
+        .select("l_partkey", F.round(F.col("__pv"), 2).alias("part_value"))
+    )
+
+
+def q_q12_ship_delay_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipping-delay distribution (TPC-H Q12 adapted: no
+    commit/receipt dates here, so the delay is orderdate→shipdate):
+    urgent vs non-urgent line counts per delay class."""
+    li = T(spark, sf_dir, "lineitem")
+    orders = T(spark, sf_dir, "orders")
+    delay = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    speed = F.when(delay <= 60, "FAST").otherwise("SLOW")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(speed.alias("ship_speed"))
+        .agg(
+            F.count(F.when(high, 1)).alias("high_line_count"),
+            F.count(F.when(~high, 1)).alias("low_line_count"),
+        )
+    )
+
+
+def q_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-total in one pass (TPC-H Q14): PROMO parts' share of
+    one month's revenue."""
+    li = T(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-03-01") & (F.col("l_shipdate") < "1997-04-01")
+    )
+    part = T(spark, sf_dir, "part")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", vol).otherwise(F.lit(0.0)))
+                / F.sum(vol),
+                6,
+            ).alias("promo_revenue")
+        )
+    )
+
+
+def q_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery as a pre-agg broadcast join (TPC-H
+    Q17): revenue lost to small orders — lineitems under half the
+    part's average quantity, for one brand."""
+    li = T(spark, sf_dir, "lineitem")
+    part = T(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#13")
+    avg_q = li.groupBy(F.col("l_partkey").alias("__pk")).agg(
+        F.avg("l_quantity").alias("__aq")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(avg_q, li.l_partkey == F.col("__pk"))
+        .filter(F.col("l_quantity") < F.lit(0.5) * F.col("__aq"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / F.lit(7.0), 2).alias("avg_yearly")
+        )
+    )
+
+
+def q_q21_last_shipper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-supplier orders whose LAST shipment came from exactly one
+    supplier — the EXISTS / NOT-EXISTS double-correlation shape of
+    TPC-H Q21, as per-order aggregates + joins (no nested-loop)."""
+    li = T(spark, sf_dir, "lineitem")
+    supp = T(spark, sf_dir, "supplier")
+    stats = li.groupBy(F.col("l_orderkey").alias("__ok")).agg(
+        F.countDistinct("l_suppkey").alias("__ns"),
+        F.max("l_shipdate").alias("__ms"),
+    )
+    last = (
+        li.join(
+            stats,
+            (li.l_orderkey == F.col("__ok"))
+            & (li.l_shipdate == F.col("__ms"))
+            & (F.col("__ns") >= 2),
+        )
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    uniq = last.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("__n_last")
+    ).filter(F.col("__n_last") == 1)
+    return (
+        last.join(uniq.select("l_orderkey"), "l_orderkey", "left_semi")
+        .join(F.broadcast(supp), last.l_suppkey == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+def q_cumulative_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running total per group (cumulative window): monthly order
+    revenue by customer nation with a cumulative sum ordered by month.
+    Summands are pre-rounded so the sequential window addition is
+    bit-identical across engines."""
+    from pyspark.sql import Window
+
+    orders = T(spark, sf_dir, "orders")
+    cust = T(spark, sf_dir, "customer")
+    nation = T(spark, sf_dir, "nation")
+    monthly = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.date_trunc("month", F.col("o_orderdate")).alias("month"),
+        )
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+    w = (
+        Window.partitionBy("nation")
+        .orderBy("month")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return monthly.select(
+        "nation",
+        "month",
+        "revenue",
+        F.round(F.sum("revenue").over(w), 2).alias("cum_revenue"),
+    )
+
+
 def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot-pinned read (S1 parity: the reference scans exactly one
     snapshot, compaction/mod.rs:394-401): two appends and a delete
@@ -1088,6 +1294,109 @@ _ANALYTICS_ORACLES = {
         FROM supplier JOIN revenue ON s_suppkey = supplier_no
         WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
     """,
+    "q8_market_share": """
+        SELECT year(o_orderdate) AS o_year,
+               round(sum(CASE WHEN n2.n_name = 'NATION_3'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0 END)
+                     / sum(l_extendedprice * (1 - l_discount)), 6) AS mkt_share
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey AND p_type = 'ECONOMY'
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        JOIN region ON n1.n_regionkey = r_regionkey AND r_name = 'AMERICA'
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1998-01-01'
+        GROUP BY 1
+    """,
+    "q9_profit_by_nation": """
+        SELECT n_name AS nation, year(l_shipdate) AS o_year,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS profit
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey AND p_name LIKE '%widget%'
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        GROUP BY 1, 2
+    """,
+    "q11_important_parts": """
+        WITH base AS (
+          SELECT l_partkey, l_extendedprice * l_quantity AS v
+          FROM lineitem
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation ON s_nationkey = n_nationkey AND n_name = 'NATION_5')
+        SELECT l_partkey, round(sum(v), 2) AS part_value
+        FROM base
+        GROUP BY l_partkey
+        HAVING sum(v) > (SELECT sum(v) FROM base) * 0.001
+    """,
+    "q12_ship_delay_priority": """
+        SELECT CASE WHEN date_diff('day', o_orderdate::DATE, l_shipdate::DATE) <= 60
+                    THEN 'FAST' ELSE 'SLOW' END AS ship_speed,
+               count(*) FILTER (o_orderpriority IN ('1-URGENT', '2-HIGH'))
+                   AS high_line_count,
+               count(*) FILTER (o_orderpriority NOT IN ('1-URGENT', '2-HIGH'))
+                   AS low_line_count
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY 1
+    """,
+    "q14_promo_revenue": """
+        SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                                      THEN l_extendedprice * (1 - l_discount)
+                                      ELSE 0 END)
+                     / sum(l_extendedprice * (1 - l_discount)), 6) AS promo_revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1997-03-01'
+          AND l_shipdate < TIMESTAMP '1997-04-01'
+    """,
+    "q17_small_quantity_revenue": """
+        WITH avgq AS (
+          SELECT l_partkey AS pk, avg(l_quantity) AS aq
+          FROM lineitem GROUP BY 1)
+        SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey AND p_brand = 'Brand#13'
+        JOIN avgq ON pk = l_partkey
+        WHERE l_quantity < 0.5 * aq
+    """,
+    "q21_last_shipper": """
+        WITH stats AS (
+          SELECT l_orderkey AS ok, count(DISTINCT l_suppkey) AS ns,
+                 max(l_shipdate) AS ms
+          FROM lineitem GROUP BY 1),
+        last AS (
+          SELECT DISTINCT l.l_orderkey, l.l_suppkey
+          FROM lineitem l
+          JOIN stats ON l.l_orderkey = stats.ok
+           AND l.l_shipdate = stats.ms AND stats.ns >= 2),
+        uniq AS (
+          SELECT l_orderkey FROM last GROUP BY 1 HAVING count(*) = 1)
+        SELECT s_name, count(*) AS numwait
+        FROM last
+        JOIN uniq USING (l_orderkey)
+        JOIN supplier ON l_suppkey = s_suppkey
+        GROUP BY 1
+    """,
+    "cumulative_revenue": """
+        WITH monthly AS (
+          SELECT n_name AS nation,
+                 -- ::TIMESTAMP: DuckDB date_trunc('month') yields DATE,
+                 -- Spark yields TIMESTAMP; the driver hash is type-aware.
+                 date_trunc('month', o_orderdate)::TIMESTAMP AS month,
+                 round(sum(o_totalprice), 2) AS revenue
+          FROM orders
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey
+          GROUP BY 1, 2)
+        SELECT nation, month, revenue,
+               round(sum(revenue) OVER (
+                 PARTITION BY nation ORDER BY month
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+                   AS cum_revenue
+        FROM monthly
+    """,
     "time_travel": f"""
         SELECT {', '.join(LI_COLS)} FROM lineitem WHERE l_orderkey % 2 = 0
     """,
@@ -1397,6 +1706,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q22_idle_customers": q_q22_idle_customers,
         "q13_order_count_distribution": q_q13_order_count_distribution,
         "q15_top_supplier": q_q15_top_supplier,
+        "q8_market_share": q_q8_market_share,
+        "q9_profit_by_nation": q_q9_profit_by_nation,
+        "q11_important_parts": q_q11_important_parts,
+        "q12_ship_delay_priority": q_q12_ship_delay_priority,
+        "q14_promo_revenue": q_q14_promo_revenue,
+        "q17_small_quantity_revenue": q_q17_small_quantity_revenue,
+        "q21_last_shipper": q_q21_last_shipper,
+        "cumulative_revenue": q_cumulative_revenue,
         "time_travel": q_time_travel,
         "snapshot_diff": q_snapshot_diff,
         "bucketed_join": q_bucketed_join,
