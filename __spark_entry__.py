@@ -876,6 +876,20 @@ def q_asof_purchase_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_id", "user_id", "view_event_id_asof", "ts_asof")
 
 
+def q_sessionize_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based session windows per user (F.session_window — the
+    state-store-backed streaming primitive, here on the batch path;
+    batch/stream parity is asserted in tests/test_streaming.py). The
+    SQL oracle replays the semantics as lag + cumulative-sum session
+    ids."""
+    from bergloom_spark.streaming.events import sessionize
+
+    ev = T(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    return sessionize(ev, gap="30 minutes")
+
+
 def q_asof_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hot-key-safe as-of join: window partitioned on (key, time
     bucket) with per-bucket carry state, so one monster key no longer
@@ -1069,6 +1083,32 @@ _ANALYTICS_ORACLES = {
         FROM (SELECT * FROM events WHERE event_type = 'purchase') p
         ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
           ON p.user_id = v.user_id AND v.ts <= p.ts
+    """,
+    "sessionize_gap": """
+        WITH ordered AS (
+          SELECT user_id, ts, event_id,
+                 lag(ts) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_ts
+          FROM events),
+        flagged AS (
+          SELECT user_id, ts, event_id,
+                 CASE WHEN prev_ts IS NULL
+                        OR ts - prev_ts >= INTERVAL 30 MINUTE
+                      THEN 1 ELSE 0 END AS new_s
+          FROM ordered),
+        sess AS (
+          -- (ts, event_id) tiebreak matches the lag ordering: tied
+          -- timestamps must land in the SAME session as the row that
+          -- raised the new-session flag.
+          SELECT user_id, ts,
+                 sum(new_s) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS sid
+          FROM flagged)
+        SELECT user_id, min(ts) AS session_start,
+               max(ts) + INTERVAL 30 MINUTE AS session_end,
+               count(*) AS n_events
+        FROM sess GROUP BY user_id, sid
     """,
     "asof_bucketed": """
         SELECT p.event_id, p.user_id,
@@ -1486,6 +1526,20 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_near_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply near-dup pairs as an actual dedup decision: keep-first
+    policy — a doc survives unless it is the HIGHER id of some
+    near-dup pair (greedy, deterministic; the standard first-wins
+    dedup a training pipeline runs after pair generation). One
+    anti-join against the distinct drop set."""
+    docs = TS(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(
+        docs, "text", "doc_id", k=8, bands=4, threshold=0.25
+    )
+    drop = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    return docs.join(drop, "doc_id", "left_anti").select("doc_id")
+
+
 def q_ngram_jaccard_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard_top1(
         TS(spark, sf_dir, "documents"), "text", "doc_id", probe_ids=list(range(10))
@@ -1541,7 +1595,37 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _TOKENS = TX.tokens_sql("text")
+# Shared by minhash_lsh_pairs and dedup_near_keep_first (which applies
+# the keep-first policy over the same pair set).
+_MINHASH_PAIRS_SQL = f"""
+        WITH sigs AS (
+          SELECT doc_id, {dedup.minhash_signature_sql('text', 8, 3)} AS sig
+          FROM documents),
+        banded AS (
+          SELECT doc_id, sig, b.range AS band,
+                 array_to_string(list_transform(
+                   list_slice(sig, b.range * 2 + 1, b.range * 2 + 2),
+                   x -> x::VARCHAR), ',') AS bkey
+          FROM sigs, range(0, 4) b),
+        pairs AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM banded a JOIN banded b
+            ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+        SELECT id_a, id_b,
+               round(len(list_filter(range(1, 9),
+                     i -> sa.sig[i] = sb.sig[i])) / 8.0, 6) AS est_jaccard
+        FROM pairs
+        JOIN sigs sa ON sa.doc_id = id_a
+        JOIN sigs sb ON sb.doc_id = id_b
+        WHERE round(len(list_filter(range(1, 9),
+              i -> sa.sig[i] = sb.sig[i])) / 8.0, 6) >= 0.25
+"""
+
 _EXT_ORACLES = {
+    "dedup_near_keep_first": f"""
+        SELECT doc_id FROM documents
+        WHERE doc_id NOT IN (SELECT id_b FROM ({_MINHASH_PAIRS_SQL}))
+    """,
     "dedup_exact": f"""
         SELECT {hash64_sql('text')} AS text_hash, min(doc_id) AS keeper_id,
                count(*) AS copies
@@ -1592,29 +1676,7 @@ _EXT_ORACLES = {
         SELECT id_a, id_b, bit_count(xor(sha, shb)) AS hamming
         FROM pairs WHERE bit_count(xor(sha, shb)) <= 3
     """,
-    "minhash_lsh_pairs": f"""
-        WITH sigs AS (
-          SELECT doc_id, {dedup.minhash_signature_sql('text', 8, 3)} AS sig
-          FROM documents),
-        banded AS (
-          SELECT doc_id, sig, b.range AS band,
-                 array_to_string(list_transform(
-                   list_slice(sig, b.range * 2 + 1, b.range * 2 + 2),
-                   x -> x::VARCHAR), ',') AS bkey
-          FROM sigs, range(0, 4) b),
-        pairs AS (
-          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-          FROM banded a JOIN banded b
-            ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
-        SELECT id_a, id_b,
-               round(len(list_filter(range(1, 9),
-                     i -> sa.sig[i] = sb.sig[i])) / 8.0, 6) AS est_jaccard
-        FROM pairs
-        JOIN sigs sa ON sa.doc_id = id_a
-        JOIN sigs sb ON sb.doc_id = id_b
-        WHERE round(len(list_filter(range(1, 9),
-              i -> sa.sig[i] = sb.sig[i])) / 8.0, 6) >= 0.25
-    """,
+    "minhash_lsh_pairs": _MINHASH_PAIRS_SQL,
     "ngram_jaccard_top1": f"""
         WITH sh AS (
           SELECT doc_id, list_distinct({TX.shingles_sql('text')}) AS s
@@ -1720,6 +1782,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": q_events_hourly,
         "asof_purchase_view": q_asof_purchase_view,
         "asof_bucketed": q_asof_bucketed,
+        "sessionize_gap": q_sessionize_gap,
         "interval_error_context": q_interval_error_context,
         "streaming_events_hourly": q_streaming_events_hourly,
         "events_json_rollup": q_events_json_rollup,
@@ -1743,6 +1806,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "simhash_pairs": q_simhash_pairs,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "dedup_near_keep_first": q_dedup_near_keep_first,
         "ngram_jaccard_top1": q_ngram_jaccard_top1,
         "knn_bruteforce": q_knn_bruteforce,
     }
