@@ -1526,6 +1526,55 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval for a fixed query over the documents corpus: one
+    corpus scan (per-term tf as HOF expressions), one 1-row global
+    stats aggregate broadcast back, top-k on the rounded score."""
+    from bergloom_spark.operators.search import bm25_score
+
+    return bm25_score(
+        TS(spark, sf_dir, "documents"),
+        query_terms=["vector", "stream", "hash"],
+        top_k=20,
+    )
+
+
+def q_fuzzy_part_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-probe Levenshtein matching with a length-band prefilter:
+    for 10 probe part names, every other part within edit distance 2."""
+    from bergloom_spark.operators.search import fuzzy_match
+
+    part = T(spark, sf_dir, "part")
+    probes = part.filter(F.col("p_partkey") <= 10).select(
+        F.col("p_partkey").alias("pk"), F.col("p_name").alias("pn")
+    )
+    return fuzzy_match(
+        part,
+        probes,
+        text_col="p_name",
+        id_col="p_partkey",
+        probe_text_col="pn",
+        probe_id_col="pk",
+        max_dist=2,
+    )
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-gated stratified sampling (engine- and
+    layout-reproducible, unlike df.sample): downsample common event
+    types, keep all errors."""
+    from bergloom_spark.operators.sampling import stratified_sample_hash
+
+    ev = T(spark, sf_dir, "events")
+    return stratified_sample_hash(
+        ev,
+        strata_col="event_type",
+        id_col="event_id",
+        fractions={"view": 0.1, "click": 0.25, "error": 1.0},
+        default_fraction=0.5,
+    ).select("event_id", "user_id", "event_type")
+
+
 def q_dedup_near_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Apply near-dup pairs as an actual dedup decision: keep-first
     policy — a doc survives unless it is the HIGHER id of some
@@ -1621,7 +1670,36 @@ _MINHASH_PAIRS_SQL = f"""
               i -> sa.sig[i] = sb.sig[i])) / 8.0, 6) >= 0.25
 """
 
+def _bm25_oracle() -> str:
+    from bergloom_spark.operators.search import bm25_sql
+
+    return bm25_sql(["vector", "stream", "hash"], top_k=20)
+
+
+def _stratified_oracle() -> str:
+    from bergloom_spark.operators.sampling import stratified_sample_sql
+
+    where = stratified_sample_sql(
+        "event_type",
+        "event_id",
+        {"view": 0.1, "click": 0.25, "error": 1.0},
+        default_fraction=0.5,
+    )
+    return f"SELECT event_id, user_id, event_type FROM events WHERE {where}"
+
+
 _EXT_ORACLES = {
+    "bm25_search": _bm25_oracle(),
+    "stratified_sample": _stratified_oracle(),
+    "fuzzy_part_match": """
+        SELECT p.p_partkey AS probe_id, c.p_partkey AS match_id,
+               levenshtein(c.p_name, p.p_name) AS dist
+        FROM part c
+        JOIN (SELECT p_partkey, p_name FROM part WHERE p_partkey <= 10) p
+          ON abs(length(c.p_name) - length(p.p_name)) <= 2
+         AND c.p_partkey <> p.p_partkey
+        WHERE levenshtein(c.p_name, p.p_name) <= 2
+    """,
     "dedup_near_keep_first": f"""
         SELECT doc_id FROM documents
         WHERE doc_id NOT IN (SELECT id_b FROM ({_MINHASH_PAIRS_SQL}))
@@ -1807,6 +1885,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "dedup_near_keep_first": q_dedup_near_keep_first,
+        "bm25_search": q_bm25_search,
+        "fuzzy_part_match": q_fuzzy_part_match,
+        "stratified_sample": q_stratified_sample,
         "ngram_jaccard_top1": q_ngram_jaccard_top1,
         "knn_bruteforce": q_knn_bruteforce,
     }

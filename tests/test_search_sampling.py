@@ -1,0 +1,79 @@
+"""BM25 retrieval, fuzzy matching, and deterministic sampling tests."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bergloom_spark.operators.sampling import stratified_sample_hash
+from bergloom_spark.operators.search import bm25_score, fuzzy_match
+
+
+def test_bm25_ranks_term_matches_higher(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "vector vector stream other words here"),
+            (2, "vector alone in a longer document with many other words"),
+            (3, "nothing relevant at all in this one"),
+            (4, "stream stream stream"),
+        ],
+        "doc_id long, text string",
+    )
+    out = bm25_score(docs, ["vector", "stream"], top_k=10).collect()
+    ids = [r.doc_id for r in out]
+    assert 3 not in ids  # zero-score docs are dropped
+    assert ids[0] == 1  # matches both terms, twice each
+    assert all(out[i].bm25 >= out[i + 1].bm25 for i in range(len(out) - 1))
+
+
+def test_bm25_empty_terms_rejected(spark):
+    docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        bm25_score(docs, [])
+
+
+def test_fuzzy_match_distance_semantics(spark):
+    corpus = spark.createDataFrame(
+        [(1, "red widget"), (2, "red widgat"), (3, "blue bolt"), (4, "red midget")],
+        "id long, name string",
+    )
+    probes = corpus.filter(F.col("id") == 1)
+    out = {
+        (r.probe_id, r.match_id): r.dist
+        for r in fuzzy_match(
+            corpus, probes, "name", "id", "name", "id", max_dist=2
+        ).collect()
+    }
+    assert (1, 1) not in out  # self excluded
+    assert out[(1, 2)] == 1 and out[(1, 4)] == 1
+    assert (1, 3) not in out  # too far
+
+
+def test_stratified_sample_deterministic_and_exact_strata(spark, sf_dir):
+    from bergloom_spark.io import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    frac = {"error": 1.0, "view": 0.0}
+    s1 = stratified_sample_hash(ev, "event_type", "event_id", frac)
+    s2 = stratified_sample_hash(ev, "event_type", "event_id", frac)
+    r1 = sorted(r.event_id for r in s1.select("event_id").collect())
+    assert r1 == sorted(r.event_id for r in s2.select("event_id").collect())
+    # fraction 1.0 keeps every error row; 0.0 keeps no view rows
+    n_err = ev.filter(F.col("event_type") == "error").count()
+    got = s1.groupBy("event_type").count().collect()
+    by_type = {r.event_type: r["count"] for r in got}
+    assert by_type.get("error") == n_err
+    assert "view" not in by_type
+    # default_fraction=0.0 drops unlisted strata entirely
+    assert set(by_type) <= {"error"} | (set(by_type) - {"view"})
+
+
+def test_stratified_sample_rate_roughly_respected(spark, sf_dir):
+    from bergloom_spark.io import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    n_all = ev.count()
+    kept = stratified_sample_hash(
+        ev, "event_type", "event_id", {}, default_fraction=0.5
+    ).count()
+    assert 0.35 * n_all < kept < 0.65 * n_all
