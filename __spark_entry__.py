@@ -1616,8 +1616,13 @@ def q_knn_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-k). No SQL oracle: BLAS pairwise summation differs from a
     sequential fold in the last ulp; parity with knn_bruteforce is
     asserted in tests/test_dedup_similarity.py instead."""
+    # min_partitions=8 (not all cores): each mapInPandas partition pays
+    # a Python-worker + numpy cold start (~1 s) — below ~10k rows per
+    # worker the startup dominates the matmul, so small inputs fan out
+    # to 8 workers; real-scale inputs already have ≥8 splits (no-op).
     return similarity.knn_bruteforce_vectorized(
-        TS(spark, sf_dir, "embeddings"), probe_ids=list(range(10)), k=5
+        spread(T(spark, sf_dir, "embeddings"), min_partitions=8),
+        probe_ids=list(range(10)), k=5
     ).withColumn("rank", F.col("rank").cast("long"))
 
 
