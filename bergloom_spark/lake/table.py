@@ -296,7 +296,14 @@ class LakeTable:
     def _eq_delete_groups(self, snap: md.Snapshot) -> list[mor.EqualityDeleteGroup]:
         entries = []
         for e in snap.files(md.EQ_DELETE):
-            frame = self.spark.read.parquet(e.file_path)
+            # Eq-delete files contain exactly the equality_ids columns
+            # (writer projects them, writer.py:200); reading with that
+            # schema skips the per-file schema-inference job a bare
+            # spark.read.parquet would launch.
+            file_schema = T.StructType(
+                [f for f in self.schema.fields if f.name in set(e.equality_ids)]
+            )
+            frame = self.spark.read.schema(file_schema).parquet(e.file_path)
             entries.append((frame, e.equality_ids, e.sequence_number))
         return mor.group_equality_deletes(entries)
 
