@@ -138,3 +138,44 @@ def test_time_travel_read_is_plain_scan(spark):
     plan = X.executed_plan(df)
     assert X.count_shuffles(df) == 0
     assert "Join" not in plan
+
+
+def test_asof_bucketed_no_nested_loop(spark):
+    """The hot-key-safe as-of must stay on hash/sort-merge exchanges —
+    a nested-loop join would mean the bucketing degenerated."""
+    import __spark_entry__ as E
+
+    df = E.queries()["asof_bucketed"](spark, SF)
+    plan = X.executed_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bm25_stats_join_is_broadcast(spark):
+    """BM25's global stats row must ride in as a broadcast (a
+    conditionless 1-row side plans as BroadcastNestedLoopJoin — right
+    here: one row × corpus is linear) — never a sort-merge exchange,
+    which would reshuffle the corpus scan."""
+    import __spark_entry__ as E
+
+    df = E.queries()["bm25_search"](spark, SF)
+    plan = X.executed_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan or X.count_broadcast_joins(df) >= 1
+    assert X.count_sortmerge_joins(df) == 0
+
+
+def test_fuzzy_match_corpus_scan_pruned(spark):
+    """Fuzzy match must read only the id + text columns of the corpus."""
+    import __spark_entry__ as E
+
+    df = E.queries()["fuzzy_part_match"](spark, SF)
+    cols = X.read_schema_columns(df)
+    assert set(cols) <= {"p_partkey", "p_name"}, cols
+
+
+def test_stratified_sample_is_scan_side_filter(spark):
+    """The hash gate must be a pure filter: no exchange anywhere."""
+    import __spark_entry__ as E
+
+    df = E.queries()["stratified_sample"](spark, SF)
+    assert X.count_shuffles(df) == 0
