@@ -789,6 +789,30 @@ def q_cumulative_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Add-column schema evolution: metadata-only commit (schema_id+1,
+    no rewrite) — rows appended before the evolution scan back NULL for
+    the new column, rows after carry values. The schema-id bump is what
+    aborts in-flight compactions (reference guard,
+    compaction/mod.rs:532-541; evolution itself is the reference's
+    roadmap, README.md:52-54)."""
+    from pyspark.sql import types as ST
+
+    from bergloom_spark.lake import LakeTable
+
+    base = T(spark, sf_dir, "lineitem").select(*LI_COLS)
+    root = os.path.join(tempfile.mkdtemp(prefix="bergloom-evo-"), "li")
+    t = LakeTable.create(spark, root, base.schema)
+    t.append(base.filter(F.col("l_orderkey") % 2 == 0))
+    t.add_columns([ST.StructField("source", ST.StringType(), True)])
+    t.append(
+        base.filter(F.col("l_orderkey") % 2 == 1).withColumn(
+            "source", F.lit("round2")
+        )
+    )
+    return t.read()
+
+
 def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot-pinned read (S1 parity: the reference scans exactly one
     snapshot, compaction/mod.rs:394-401): two appends and a delete
@@ -1440,6 +1464,13 @@ _ANALYTICS_ORACLES = {
     "time_travel": f"""
         SELECT {', '.join(LI_COLS)} FROM lineitem WHERE l_orderkey % 2 = 0
     """,
+    "schema_evolution": f"""
+        SELECT {', '.join(LI_COLS)}, NULL::VARCHAR AS source
+        FROM lineitem WHERE l_orderkey % 2 = 0
+        UNION ALL
+        SELECT {', '.join(LI_COLS)}, 'round2' AS source
+        FROM lineitem WHERE l_orderkey % 2 = 1
+    """,
     "bucketed_join": """
         SELECT o_orderpriority, count(*) AS n_lines,
                round(sum(l_quantity), 2) AS sum_qty
@@ -1860,6 +1891,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q21_last_shipper": q_q21_last_shipper,
         "cumulative_revenue": q_cumulative_revenue,
         "time_travel": q_time_travel,
+        "schema_evolution": q_schema_evolution,
         "snapshot_diff": q_snapshot_diff,
         "bucketed_join": q_bucketed_join,
         "events_hourly": q_events_hourly,

@@ -154,6 +154,99 @@ class LakeTable:
         return snap
 
     # ------------------------------------------------------------------
+    # schema evolution (the reference's roadmap item, README.md:52-54;
+    # its schema-id commit guard, compaction/mod.rs:532-541, is what
+    # makes evolution safe against in-flight rewrites)
+    # ------------------------------------------------------------------
+    def _evolve_schema(self, new_schema: T.StructType, dropped: list[str]) -> None:
+        """Metadata-only commit: same snapshots, new schema, schema_id+1.
+        Any compaction that started under the old schema_id aborts at
+        commit time via the schema guard."""
+        base = self.meta
+        props = dict(base.properties)
+        if dropped:
+            prev = [c for c in props.get("dropped_columns", "").split(",") if c]
+            props["dropped_columns"] = ",".join(prev + dropped)
+        meta = md.TableMetadata(
+            table_root=base.table_root,
+            schema=new_schema.jsonValue(),
+            schema_id=base.schema_id + 1,
+            partition_spec=list(base.partition_spec),
+            properties=props,
+            current_snapshot_id=base.current_snapshot_id,
+            last_sequence_number=base.last_sequence_number,
+            last_snapshot_id=base.last_snapshot_id,
+            version=base.version + 1,
+            snapshots=list(base.snapshots),
+        )
+        md.write_version(meta)
+        self.meta = meta
+
+    def add_columns(self, fields: list[T.StructField]) -> None:
+        """Append nullable columns to the schema. Files written before
+        the evolution simply lack the column and scan back as NULL (the
+        scan passes an explicit schema, so no rewrite is needed); new
+        appends must carry it.
+
+        New columns must be nullable (old rows have no value), must not
+        collide with live columns, and must not reuse a previously
+        dropped name — this format matches columns BY NAME (no Iceberg
+        field ids), so reusing a dropped name would resurrect the old
+        files' values.
+        """
+        cur = self.schema
+        live = {f.name for f in cur.fields}
+        dropped_before = {
+            c
+            for c in self.meta.properties.get("dropped_columns", "").split(",")
+            if c
+        }
+        for f in fields:
+            if f.name in live:
+                raise ValueError(f"column already exists: {f.name}")
+            if f.name in dropped_before:
+                raise ValueError(
+                    f"column name was dropped earlier and cannot be reused "
+                    f"(name-based mapping would resurrect old values): {f.name}"
+                )
+            if not f.nullable:
+                raise ValueError(f"new column must be nullable: {f.name}")
+        self._evolve_schema(
+            T.StructType(list(cur.fields) + list(fields)), dropped=[]
+        )
+
+    def drop_columns(self, names: list[str]) -> None:
+        """Remove columns from the schema. Data files are untouched —
+        the column stops being projected (reads prune it at the scan).
+
+        Refuses to drop partition columns, columns referenced by live
+        equality-delete files (their anti-join keys would vanish), or
+        the last remaining column.
+        """
+        cur = self.schema
+        live = {f.name for f in cur.fields}
+        missing = [n for n in names if n not in live]
+        if missing:
+            raise ValueError(f"no such columns: {missing}")
+        in_part = [n for n in names if n in self.meta.partition_spec]
+        if in_part:
+            raise ValueError(f"cannot drop partition columns: {in_part}")
+        snap = self.meta.current_snapshot()
+        if snap is not None:
+            referenced = {
+                c for e in snap.files(md.EQ_DELETE) for c in e.equality_ids
+            }
+            blocked = [n for n in names if n in referenced]
+            if blocked:
+                raise ValueError(
+                    f"columns referenced by live equality-delete files: {blocked}"
+                )
+        remaining = [f for f in cur.fields if f.name not in set(names)]
+        if not remaining:
+            raise ValueError("cannot drop every column")
+        self._evolve_schema(T.StructType(remaining), dropped=list(names))
+
+    # ------------------------------------------------------------------
     # row-level operations (MoR DML; the reference's EqualityDeltaWriter
     # insert→delete→insert pattern, compaction/mod.rs:713-805)
     # ------------------------------------------------------------------

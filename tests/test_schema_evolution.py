@@ -1,0 +1,105 @@
+"""Schema evolution: add/drop columns as metadata-only commits, with
+the schema-id guard protecting in-flight compactions."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+from pyspark.sql import types as T
+
+from bergloom_spark.config import CompactionConfig
+from bergloom_spark.lake import Compaction, LakeTable
+from bergloom_spark.lake.commit import CommitFailed, RewriteFilesCommitManager
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType(), False),
+        T.StructField("v", T.StringType(), True),
+    ]
+)
+
+
+def _table(spark, tmp_path, partition_spec=None):
+    t = LakeTable.create(spark, str(tmp_path / "t"), SCHEMA, partition_spec)
+    t.append(spark.createDataFrame([(1, "a"), (2, "b")], SCHEMA))
+    return t
+
+
+def test_add_column_old_rows_null_new_rows_valued(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    t.add_columns([T.StructField("score", T.DoubleType(), True)])
+    assert t.meta.schema_id == 1
+    t.append(
+        spark.createDataFrame([(3, "c", 0.5)], t.schema)
+    )
+    got = {r.id: r.score for r in t.read().collect()}
+    assert got == {1: None, 2: None, 3: 0.5}
+    # Full MoR lifecycle (compact + validate) under the evolved schema.
+    Compaction(t, CompactionConfig(enable_validate_compaction=True)).compact()
+    got = {r.id: r.score for r in t.read().collect()}
+    assert got == {1: None, 2: None, 3: 0.5}
+
+
+def test_add_column_guards(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    with pytest.raises(ValueError, match="nullable"):
+        t.add_columns([T.StructField("x", T.LongType(), False)])
+    with pytest.raises(ValueError, match="already exists"):
+        t.add_columns([T.StructField("v", T.LongType(), True)])
+    t.drop_columns(["v"])
+    with pytest.raises(ValueError, match="dropped earlier"):
+        t.add_columns([T.StructField("v", T.StringType(), True)])
+
+
+def test_drop_column_stops_projection(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    t.drop_columns(["v"])
+    assert t.read().columns == ["id"]
+    assert sorted(r.id for r in t.read().collect()) == [1, 2]
+    with pytest.raises(ValueError, match="every column"):
+        t.drop_columns(["id"])
+
+
+def test_drop_partition_column_refused(spark, tmp_path):
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType(), False),
+            T.StructField("bucket", T.IntegerType(), True),
+        ]
+    )
+    t = LakeTable.create(spark, str(tmp_path / "p"), schema, ["bucket"])
+    with pytest.raises(ValueError, match="partition"):
+        t.drop_columns(["bucket"])
+
+
+def test_drop_eq_delete_key_refused(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    t.append_equality_deletes(spark.createDataFrame([("a",)], "v string"), ["v"])
+    with pytest.raises(ValueError, match="equality-delete"):
+        t.drop_columns(["v"])
+
+
+def test_inflight_compaction_aborts_on_evolution(spark, tmp_path):
+    """The reference's schema guard (compaction/mod.rs:532-541): a
+    rewrite that started under schema_id 0 must fail cleanly if the
+    schema evolved before it commits."""
+    t = _table(spark, tmp_path)
+    snap = t.meta.current_snapshot()
+    manager = RewriteFilesCommitManager(
+        table_root=t.meta.table_root,
+        starting_schema_id=t.meta.schema_id,
+        starting_sequence_number=snap.sequence_number,
+    )
+    t.add_columns([T.StructField("late", T.LongType(), True)])
+    with pytest.raises(CommitFailed, match="schema changed"):
+        manager.rewrite_files([], set())
+    # Table unharmed: still readable under the new schema.
+    assert sorted(r.id for r in t.read().collect()) == [1, 2]
+
+
+def test_evolution_then_delete_where(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    t.add_columns([T.StructField("flag", T.BooleanType(), True)])
+    t.append(spark.createDataFrame([(9, "z", True)], t.schema))
+    t.delete_where(F.col("flag") == True)  # noqa: E712
+    assert sorted(r.id for r in t.read().collect()) == [1, 2]
