@@ -813,6 +813,23 @@ def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.read()
 
 
+def q_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition evolution: spec changes are metadata-only; a snapshot
+    then mixes files written under different specs and the scan groups
+    them by each file's virtualized-column set (manifest partition
+    dict). Old layout files keep correct values; compaction later
+    converges the layout."""
+    from bergloom_spark.lake import LakeTable
+
+    base = T(spark, sf_dir, "lineitem").select(*LI_COLS, "l_returnflag")
+    root = os.path.join(tempfile.mkdtemp(prefix="bergloom-pe-"), "li")
+    t = LakeTable.create(spark, root, base.schema, ["l_returnflag"])
+    t.append(base.filter(F.col("l_orderkey") % 2 == 0))
+    t.set_partition_spec([])  # unpartitioned from here on
+    t.append(base.filter(F.col("l_orderkey") % 2 == 1))
+    return t.read()
+
+
 def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot-pinned read (S1 parity: the reference scans exactly one
     snapshot, compaction/mod.rs:394-401): two appends and a delete
@@ -1471,6 +1488,9 @@ _ANALYTICS_ORACLES = {
         SELECT {', '.join(LI_COLS)}, 'round2' AS source
         FROM lineitem WHERE l_orderkey % 2 = 1
     """,
+    "partition_evolution": f"""
+        SELECT {', '.join(LI_COLS)}, l_returnflag FROM lineitem
+    """,
     "bucketed_join": """
         SELECT o_orderpriority, count(*) AS n_lines,
                round(sum(l_quantity), 2) AS sum_qty
@@ -1871,6 +1891,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # lake semantics beyond the rewrite (unique coverage — early)
         "time_travel": q_time_travel,
         "schema_evolution": q_schema_evolution,
+        "partition_evolution": q_partition_evolution,
         "snapshot_diff": q_snapshot_diff,
         # operators Spark lacks + streaming (unique coverage — early)
         "asof_purchase_view": q_asof_purchase_view,

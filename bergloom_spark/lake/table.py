@@ -215,6 +215,37 @@ class LakeTable:
             T.StructType(list(cur.fields) + list(fields)), dropped=[]
         )
 
+    def set_partition_spec(self, new_spec: list[str]) -> None:
+        """Partition evolution: change how FUTURE writes fan out.
+
+        Metadata-only commit — existing files keep their old layout and
+        the scan handles the mixture (each manifest entry records which
+        columns were virtualized into directory names for that file;
+        ``scan_data`` groups files by that set). A subsequent full
+        compaction rewrites everything under the new spec, converging
+        the layout. Bumps schema_id so in-flight rewrites abort at the
+        commit guard, same as column evolution.
+        """
+        live = {f.name for f in self.schema.fields}
+        missing = [c for c in new_spec if c not in live]
+        if missing:
+            raise ValueError(f"partition columns not in schema: {missing}")
+        base = self.meta
+        meta = md.TableMetadata(
+            table_root=base.table_root,
+            schema=base.schema,
+            schema_id=base.schema_id + 1,
+            partition_spec=list(new_spec),
+            properties=dict(base.properties),
+            current_snapshot_id=base.current_snapshot_id,
+            last_sequence_number=base.last_sequence_number,
+            last_snapshot_id=base.last_snapshot_id,
+            version=base.version + 1,
+            snapshots=list(base.snapshots),
+        )
+        md.write_version(meta)
+        self.meta = meta
+
     def drop_columns(self, names: list[str]) -> None:
         """Remove columns from the schema. Data files are untouched —
         the column stops being projected (reads prune it at the scan).
@@ -232,6 +263,19 @@ class LakeTable:
         if in_part:
             raise ValueError(f"cannot drop partition columns: {in_part}")
         snap = self.meta.current_snapshot()
+        if snap is not None:
+            # After partition evolution, old files may still virtualize a
+            # column the current spec no longer lists — their scan group
+            # needs it in the schema to recover values.
+            virtual = {
+                c for e in snap.files(md.DATA) for c in e.partition.keys()
+            }
+            still_virtual = [n for n in names if n in virtual]
+            if still_virtual:
+                raise ValueError(
+                    f"columns virtualized in live data files (compact to the "
+                    f"current spec first): {still_virtual}"
+                )
         if snap is not None:
             referenced = {
                 c for e in snap.files(md.EQ_DELETE) for c in e.equality_ids
@@ -332,36 +376,25 @@ class LakeTable:
             data_files = [e for e in data_files if e.file_path in keep]
         if not data_files:
             return empty
-        part_cols = [c for c in self.meta.partition_spec]
-        file_schema = T.StructType(
-            [f for f in self.schema.fields if f.name not in part_cols]
-        )
-        df = self.spark.read.schema(file_schema).parquet(
-            *[e.file_path for e in data_files]
-        )
-        # Capture _metadata immediately — the pseudo-column does not
-        # survive joins/projections reliably.
-        df = df.withColumn(
-            mor.SYS_HIDDEN_FILE_PATH, _normalize_path(F.col("_metadata.file_path"))
-        ).withColumn(mor.SYS_HIDDEN_POS, F.col("_metadata.row_index"))
-        if part_cols:
-            # Fanout writes store partition values in directory names, not
-            # file bodies (Hive layout); recover them from the manifest via
-            # a broadcast map keyed on file path — no shuffle on the scan.
-            part_fields = {f.name: f for f in self.schema.fields if f.name in part_cols}
-            part_map = self.spark.createDataFrame(
-                [tuple([e.file_path] + [e.partition.get(c) for c in part_cols])
-                 for e in data_files],
-                T.StructType(
-                    [T.StructField(mor.SYS_HIDDEN_FILE_PATH, T.StringType())]
-                    + [T.StructField(c, T.StringType()) for c in part_cols]
-                ),
-            ).select(
-                mor.SYS_HIDDEN_FILE_PATH,
-                *[F.col(c).cast(part_fields[c].dataType).alias(c) for c in part_cols],
-            )
-            df = df.join(F.broadcast(part_map), mor.SYS_HIDDEN_FILE_PATH, "left")
+        # Which columns live in directory names (not file bodies) is a
+        # PER-FILE property recorded by each manifest entry's partition
+        # dict — after partition evolution a snapshot legally mixes
+        # files written under different specs, so files group by their
+        # virtualized-column set and each group scans with its own
+        # schema; groups union by name. Pre-evolution tables have
+        # exactly one group (zero extra plan nodes).
+        groups: dict[tuple[str, ...], list[md.ManifestEntry]] = {}
+        for e in data_files:
+            key = tuple(sorted(e.partition.keys()))
+            groups.setdefault(key, []).append(e)
         user_cols = [f.name for f in self.schema.fields]
+        parts = [
+            self._scan_file_group(list(key), files)
+            for key, files in groups.items()
+        ]
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
         if not with_hidden:
             return df.select(*user_cols)
         # Per-file sequence numbers: tiny manifest-derived map side,
@@ -376,6 +409,46 @@ class LakeTable:
             mor.SYS_HIDDEN_SEQ_NUM,
             mor.SYS_HIDDEN_FILE_PATH,
             mor.SYS_HIDDEN_POS,
+        )
+
+    def _scan_file_group(
+        self, part_cols: list[str], data_files: list[md.ManifestEntry]
+    ) -> DataFrame:
+        """Scan files sharing one virtualized-column set; returns user
+        columns + hidden file_path/pos."""
+        file_schema = T.StructType(
+            [f for f in self.schema.fields if f.name not in set(part_cols)]
+        )
+        df = self.spark.read.schema(file_schema).parquet(
+            *[e.file_path for e in data_files]
+        )
+        # Capture _metadata immediately — the pseudo-column does not
+        # survive joins/projections reliably.
+        df = df.withColumn(
+            mor.SYS_HIDDEN_FILE_PATH, _normalize_path(F.col("_metadata.file_path"))
+        ).withColumn(mor.SYS_HIDDEN_POS, F.col("_metadata.row_index"))
+        if part_cols:
+            # Fanout writes store partition values in directory names, not
+            # file bodies (Hive layout); recover them from the manifest via
+            # a broadcast map keyed on file path — no shuffle on the scan.
+            part_fields = {
+                f.name: f for f in self.schema.fields if f.name in set(part_cols)
+            }
+            part_map = self.spark.createDataFrame(
+                [tuple([e.file_path] + [e.partition.get(c) for c in part_cols])
+                 for e in data_files],
+                T.StructType(
+                    [T.StructField(mor.SYS_HIDDEN_FILE_PATH, T.StringType())]
+                    + [T.StructField(c, T.StringType()) for c in part_cols]
+                ),
+            ).select(
+                mor.SYS_HIDDEN_FILE_PATH,
+                *[F.col(c).cast(part_fields[c].dataType).alias(c) for c in part_cols],
+            )
+            df = df.join(F.broadcast(part_map), mor.SYS_HIDDEN_FILE_PATH, "left")
+        user_cols = [f.name for f in self.schema.fields]
+        return df.select(
+            *user_cols, mor.SYS_HIDDEN_FILE_PATH, mor.SYS_HIDDEN_POS
         )
 
     def _pos_delete_frame(self, snap: md.Snapshot) -> DataFrame | None:

@@ -103,3 +103,80 @@ def test_evolution_then_delete_where(spark, tmp_path):
     t.append(spark.createDataFrame([(9, "z", True)], t.schema))
     t.delete_where(F.col("flag") == True)  # noqa: E712
     assert sorted(r.id for r in t.read().collect()) == [1, 2]
+
+
+# ---------------------------------------------------------------------------
+# partition evolution
+# ---------------------------------------------------------------------------
+PART_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType(), False),
+        T.StructField("a", T.IntegerType(), True),
+        T.StructField("b", T.IntegerType(), True),
+    ]
+)
+
+
+def _rows(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        "id",
+        (F.col("id") % 3).cast("int").alias("a"),
+        (F.col("id") % 5).cast("int").alias("b"),
+    )
+
+
+def test_partition_evolution_mixed_specs_scan(spark, tmp_path):
+    """Files written under [a], then [b], then unpartitioned must all
+    scan back with full, correct column values."""
+    t = LakeTable.create(spark, str(tmp_path / "pe"), PART_SCHEMA, ["a"])
+    t.append(_rows(spark, 0, 300))
+    t.set_partition_spec(["b"])
+    t.append(_rows(spark, 300, 600))
+    t.set_partition_spec([])
+    t.append(_rows(spark, 600, 900))
+    got = sorted(map(tuple, t.read().collect()))
+    want = sorted(map(tuple, _rows(spark, 0, 900).collect()))
+    assert got == want
+
+
+def test_partition_evolution_compaction_converges_layout(spark, tmp_path):
+    t = LakeTable.create(spark, str(tmp_path / "pc"), PART_SCHEMA, ["a"])
+    t.append(_rows(spark, 0, 300))
+    t.set_partition_spec(["b"])
+    t.append(_rows(spark, 300, 600))
+    Compaction(t, CompactionConfig(enable_validate_compaction=True)).compact()
+    snap = t.meta.current_snapshot()
+    # Every live data file now carries the NEW spec's partition dict.
+    from bergloom_spark.lake import metadata as md
+
+    assert all(
+        set(e.partition.keys()) == {"b"} for e in snap.files(md.DATA)
+    )
+    got = sorted(map(tuple, t.read().collect()))
+    want = sorted(map(tuple, _rows(spark, 0, 600).collect()))
+    assert got == want
+
+
+def test_partition_evolution_mor_deletes_across_specs(spark, tmp_path):
+    """Row-level deletes must keep working across a spec change."""
+    t = LakeTable.create(spark, str(tmp_path / "pm"), PART_SCHEMA, ["a"])
+    t.append(_rows(spark, 0, 300))
+    t.set_partition_spec(["b"])
+    t.append(_rows(spark, 300, 600))
+    t.delete_where(F.col("id") % 2 == 0)
+    got = sorted(r.id for r in t.read().collect())
+    assert got == [i for i in range(600) if i % 2 == 1]
+
+
+def test_partition_evolution_guards(spark, tmp_path):
+    t = LakeTable.create(spark, str(tmp_path / "pg"), PART_SCHEMA, ["a"])
+    t.append(_rows(spark, 0, 100))
+    with pytest.raises(ValueError, match="not in schema"):
+        t.set_partition_spec(["nope"])
+    t.set_partition_spec(["b"])
+    # 'a' is still virtualized in live files -> cannot drop yet.
+    with pytest.raises(ValueError, match="virtualized"):
+        t.drop_columns(["a"])
+    Compaction(t).compact()  # rewrites under ["b"]
+    t.drop_columns(["a"])  # now legal
+    assert t.read().columns == ["id", "b"]
