@@ -318,6 +318,46 @@ class SortCompaction(Compaction):
         )
 
 
+def remove_orphan_files(
+    table: LakeTable, older_than_s: float = 3 * 24 * 3600
+) -> int:
+    """Delete parquet files under the table root referenced by NO
+    snapshot (debris from crashed writes and failed commits) — the
+    analog of Iceberg's ``remove_orphan_files`` maintenance procedure.
+
+    ``older_than_s`` protects in-flight writers: a concurrent append
+    writes its files BEFORE committing the snapshot that references
+    them, so only files older than the horizon are eligible. Returns
+    the number of files removed.
+    """
+    import glob
+    import os
+    import time as _time
+
+    meta = table.refresh().meta
+    referenced = {
+        os.path.abspath(e.file_path)
+        for s in meta.snapshots
+        for e in s.entries
+    }
+    cutoff = _time.time() - older_than_s
+    removed = 0
+    for sub in ("data", "deletes"):
+        pattern = os.path.join(meta.table_root, sub, "**", "*.parquet")
+        for path in glob.glob(pattern, recursive=True):
+            apath = os.path.abspath(path)
+            if apath in referenced:
+                continue
+            try:
+                if os.path.getmtime(apath) > cutoff:
+                    continue
+                os.unlink(apath)
+                removed += 1
+            except FileNotFoundError:
+                continue  # raced with another cleaner
+    return removed
+
+
 def expire_snapshots(table: LakeTable, keep_last: int = 1) -> int:
     """Drop old snapshot metadata (compaction/mod.rs:354-360).
 

@@ -201,3 +201,30 @@ def test_zorder_compaction_clusters_both_dims(spark, tmp_path):
     for name in ("x", "y"):
         avg_extent = sum(extents[name]) / len(extents[name])
         assert avg_extent < 0.75 * 63, (name, extents[name])
+
+
+def test_remove_orphan_files(spark, tmp_path):
+    """Unreferenced parquet debris is deleted; referenced and
+    too-recent files survive."""
+    import os
+    import time
+
+    from bergloom_spark.lake.compaction import remove_orphan_files
+
+    t = _table(spark, tmp_path)
+    t.append(_df(spark, 100, "a"))
+    data_dir = os.path.join(t.meta.table_root, "data")
+    orphan_old = os.path.join(data_dir, "orphan-old.parquet")
+    orphan_new = os.path.join(data_dir, "orphan-new.parquet")
+    for p in (orphan_old, orphan_new):
+        with open(p, "wb") as fh:
+            fh.write(b"PAR1junkPAR1")
+    old = time.time() - 10 * 24 * 3600
+    os.utime(orphan_old, (old, old))
+    removed = remove_orphan_files(t)  # default 3-day horizon
+    assert removed == 1
+    assert not os.path.exists(orphan_old)
+    assert os.path.exists(orphan_new)  # too recent: in-flight protection
+    assert t.read().count() == 100  # referenced files untouched
+    assert remove_orphan_files(t, older_than_s=0) == 1  # horizon 0 takes it
+    assert t.read().count() == 100
