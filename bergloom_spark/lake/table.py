@@ -154,6 +154,84 @@ class LakeTable:
         return snap
 
     # ------------------------------------------------------------------
+    # snapshot management
+    # ------------------------------------------------------------------
+    def rollback_to(self, snapshot_id: int) -> None:
+        """Point the table back at an older snapshot (Iceberg's
+        ``rollback_to_snapshot``). Metadata-only: nothing is deleted,
+        the abandoned snapshots stay readable by id until
+        ``expire_snapshots`` drops them, and sequence numbers keep
+        increasing from where they were (a later re-append can never
+        collide with the rolled-back commits)."""
+        base = self.meta
+        base.snapshot_by_id(snapshot_id)  # KeyError if unknown
+        meta = md.TableMetadata(
+            table_root=base.table_root,
+            schema=base.schema,
+            schema_id=base.schema_id,
+            partition_spec=list(base.partition_spec),
+            properties=dict(base.properties),
+            current_snapshot_id=snapshot_id,
+            last_sequence_number=base.last_sequence_number,
+            last_snapshot_id=base.last_snapshot_id,
+            version=base.version + 1,
+            snapshots=list(base.snapshots),
+        )
+        md.write_version(meta)
+        self.meta = meta
+
+    # ------------------------------------------------------------------
+    # metadata tables (Iceberg's `table.snapshots` / `table.files` /
+    # `table.history` introspection surface, as DataFrames)
+    # ------------------------------------------------------------------
+    def snapshots_df(self) -> DataFrame:
+        rows = [
+            (
+                s.snapshot_id,
+                s.sequence_number,
+                s.timestamp_ms,
+                s.operation,
+                len(s.entries),
+                s.snapshot_id == self.meta.current_snapshot_id,
+            )
+            for s in self.meta.snapshots
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            "snapshot_id long, sequence_number long, timestamp_ms long, "
+            "operation string, n_entries long, is_current boolean",
+        )
+
+    def files_df(self, snapshot_id: int | None = None) -> DataFrame:
+        snap = self._snapshot(snapshot_id)
+        entries = snap.entries if snap else []
+        rows = [
+            (
+                e.content,
+                e.file_path,
+                e.record_count,
+                e.file_size_bytes,
+                e.sequence_number,
+                list(e.equality_ids),
+                {k: (v if v is not None else "") for k, v in e.partition.items()},
+            )
+            for e in entries
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            "content string, file_path string, record_count long, "
+            "file_size_bytes long, sequence_number long, "
+            "equality_ids array<string>, partition map<string,string>",
+        )
+
+    def history_df(self) -> DataFrame:
+        """Commit log in order: every snapshot with whether it is an
+        ancestor of (i.e. reachable as) the current state."""
+        return self.snapshots_df().select(
+            "timestamp_ms", "snapshot_id", "operation", "is_current"
+        )
+
+    # ------------------------------------------------------------------
     # schema evolution (the reference's roadmap item, README.md:52-54;
     # its schema-id commit guard, compaction/mod.rs:532-541, is what
     # makes evolution safe against in-flight rewrites)

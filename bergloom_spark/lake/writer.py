@@ -97,6 +97,12 @@ def _collect_parquet_entries(
     pattern = os.path.join(out_dir, "**", "*.parquet")
     for path in sorted(glob.glob(pattern, recursive=True)):
         meta = pq.read_metadata(path)
+        if meta.num_rows == 0:
+            # A repartition wider than the data leaves empty part
+            # files; registering them would pollute the manifest (and
+            # every scan's file list) forever.
+            os.unlink(path)
+            continue
         partition: dict[str, str] = {}
         if partition_cols:
             from urllib.parse import unquote

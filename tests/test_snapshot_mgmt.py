@@ -1,0 +1,57 @@
+"""Rollback and metadata-table introspection."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+from pyspark.sql import types as T
+
+from bergloom_spark.lake import LakeTable
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType(), False),
+        T.StructField("v", T.StringType(), True),
+    ]
+)
+
+
+def _table(spark, tmp_path):
+    t = LakeTable.create(spark, str(tmp_path / "t"), SCHEMA)
+    t.append(spark.createDataFrame([(1, "a")], SCHEMA))
+    t.append(spark.createDataFrame([(2, "b")], SCHEMA))
+    return t
+
+
+def test_rollback_restores_old_state(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    first = t.meta.snapshots[0].snapshot_id
+    t.rollback_to(first)
+    assert sorted(r.id for r in t.read().collect()) == [1]
+    # Abandoned snapshot still readable by id; re-append continues the
+    # sequence without colliding.
+    second = t.meta.snapshots[1].snapshot_id
+    assert sorted(r.id for r in t.read(snapshot_id=second).collect()) == [1, 2]
+    t.append(spark.createDataFrame([(3, "c")], SCHEMA))
+    assert sorted(r.id for r in t.read().collect()) == [1, 3]
+    seqs = [s.sequence_number for s in t.meta.snapshots]
+    assert len(set(seqs)) == len(seqs)
+
+
+def test_rollback_unknown_snapshot(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    with pytest.raises(KeyError):
+        t.rollback_to(999)
+
+
+def test_metadata_tables(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    t.delete_where(F.col("id") == 1)
+    snaps = t.snapshots_df().collect()
+    assert [s.operation for s in snaps] == ["append", "append", "delete"]
+    assert sum(1 for s in snaps if s.is_current) == 1
+    files = t.files_df().collect()
+    assert {f.content for f in files} == {"data", "pos_delete"}
+    assert all(f.record_count > 0 for f in files)
+    hist = t.history_df().collect()
+    assert len(hist) == 3
