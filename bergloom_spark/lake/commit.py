@@ -123,6 +123,7 @@ class RewriteFilesCommitManager:
             timestamp_ms=int(time.time() * 1000),
             operation="rewrite",
             entries=[e for e in live if e.file_path not in remove_paths] + adds,
+            parent_snapshot_id=base.current_snapshot_id,
         )
         meta = md.TableMetadata(
             table_root=base.table_root,

@@ -369,8 +369,15 @@ def expire_snapshots(table: LakeTable, keep_last: int = 1) -> int:
     meta = table.refresh().meta
     if len(meta.snapshots) <= keep_last:
         return 0
-    kept = meta.snapshots[-keep_last:]
-    expired = meta.snapshots[:-keep_last]
+    kept_ids = {s.snapshot_id for s in meta.snapshots[-keep_last:]}
+    # The current snapshot must survive regardless of its position —
+    # after rollback_to it may not be among the newest keep_last.
+    if meta.current_snapshot_id is not None:
+        kept_ids.add(meta.current_snapshot_id)
+    kept = [s for s in meta.snapshots if s.snapshot_id in kept_ids]
+    expired = [s for s in meta.snapshots if s.snapshot_id not in kept_ids]
+    if not expired:
+        return 0
     live_paths = {e.file_path for s in kept for e in s.entries}
     dead_paths = {
         e.file_path for s in expired for e in s.entries

@@ -48,6 +48,11 @@ class Snapshot:
     timestamp_ms: int
     operation: str  # "append" | "delete" | "rewrite" ...
     entries: list[ManifestEntry] = field(default_factory=list)
+    # Snapshot this one was built on (None for the first commit).
+    # Written by every commit; the write-audit-publish path uses it to
+    # refuse publishing a staged snapshot whose parent is no longer
+    # current.
+    parent_snapshot_id: int | None = None
 
     def files(self, content: str | None = None) -> list[ManifestEntry]:
         if content is None:
@@ -92,6 +97,7 @@ class TableMetadata:
                 timestamp_ms=s["timestamp_ms"],
                 operation=s["operation"],
                 entries=[ManifestEntry(**e) for e in s["entries"]],
+                parent_snapshot_id=s.get("parent_snapshot_id"),
             )
             for s in raw.pop("snapshots")
         ]

@@ -79,7 +79,9 @@ class LakeTable:
     # commits (append paths used by tests/fixtures; rewrite lives in
     # commit.py with the retry machinery)
     # ------------------------------------------------------------------
-    def _next_commit(self, operation: str) -> tuple[md.TableMetadata, md.Snapshot]:
+    def _next_commit(
+        self, operation: str, staged: bool = False
+    ) -> tuple[md.TableMetadata, md.Snapshot]:
         base = self.meta
         snap = md.Snapshot(
             snapshot_id=base.last_snapshot_id + 1,
@@ -87,6 +89,7 @@ class LakeTable:
             timestamp_ms=int(time.time() * 1000),
             operation=operation,
             entries=[],
+            parent_snapshot_id=base.current_snapshot_id,
         )
         meta = md.TableMetadata(
             table_root=base.table_root,
@@ -94,7 +97,11 @@ class LakeTable:
             schema_id=base.schema_id,
             partition_spec=list(base.partition_spec),
             properties=dict(base.properties),
-            current_snapshot_id=snap.snapshot_id,
+            # Staged (write-audit-publish): the snapshot is recorded but
+            # the table keeps pointing at its parent until publish().
+            current_snapshot_id=(
+                base.current_snapshot_id if staged else snap.snapshot_id
+            ),
             last_sequence_number=snap.sequence_number,
             last_snapshot_id=snap.snapshot_id,
             version=base.version + 1,
@@ -125,6 +132,62 @@ class LakeTable:
         md.write_version(meta)
         self.meta = meta
         return snap
+
+    def stage_append(
+        self, df: DataFrame, target_file_size: int = 128 * 1024 * 1024
+    ) -> md.Snapshot:
+        """Write-audit-publish step 1: commit the data as a snapshot the
+        table does NOT yet point at. Audit it via
+        ``read(snapshot_id=...)``, then :meth:`publish` it (or leave it
+        for ``expire_snapshots`` to reap). Files are fully written and
+        durable — publish is a metadata flip."""
+        meta, snap = self._next_commit("stage-append", staged=True)
+        self._carry_forward(snap)
+        snap.entries.extend(
+            wr.write_data_files(
+                df,
+                self.meta.table_root,
+                snap.sequence_number,
+                target_file_size,
+                partition_spec=self.meta.partition_spec or None,
+            )
+        )
+        md.write_version(meta)
+        self.meta = meta
+        return snap
+
+    def publish(self, snapshot_id: int) -> None:
+        """Write-audit-publish step 3: make a staged snapshot current.
+
+        Refuses (CommitFailed) if the table advanced past the staged
+        snapshot's parent — the stage carried forward the parent's
+        files, so publishing over a newer state would silently drop the
+        intervening commits. Re-stage on top of the new current instead.
+        """
+        from bergloom_spark.lake.commit import CommitFailed
+
+        base = self.meta
+        snap = base.snapshot_by_id(snapshot_id)
+        if snap.parent_snapshot_id != base.current_snapshot_id:
+            raise CommitFailed(
+                f"staged snapshot {snapshot_id} was built on "
+                f"{snap.parent_snapshot_id}, but current is "
+                f"{base.current_snapshot_id}; re-stage and retry"
+            )
+        meta = md.TableMetadata(
+            table_root=base.table_root,
+            schema=base.schema,
+            schema_id=base.schema_id,
+            partition_spec=list(base.partition_spec),
+            properties=dict(base.properties),
+            current_snapshot_id=snapshot_id,
+            last_sequence_number=base.last_sequence_number,
+            last_snapshot_id=base.last_snapshot_id,
+            version=base.version + 1,
+            snapshots=list(base.snapshots),
+        )
+        md.write_version(meta)
+        self.meta = meta
 
     def append_position_deletes(self, df: DataFrame) -> md.Snapshot:
         """``df``: (file_path string, pos long) rows to delete."""

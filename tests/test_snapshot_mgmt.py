@@ -55,3 +55,54 @@ def test_metadata_tables(spark, tmp_path):
     assert all(f.record_count > 0 for f in files)
     hist = t.history_df().collect()
     assert len(hist) == 3
+
+
+# ---------------------------------------------------------------------------
+# write-audit-publish
+# ---------------------------------------------------------------------------
+def test_wap_stage_audit_publish(spark, tmp_path):
+    from bergloom_spark.lake.commit import CommitFailed  # noqa: F401
+
+    t = _table(spark, tmp_path)
+    staged = t.stage_append(spark.createDataFrame([(3, "c")], SCHEMA))
+    # Not visible before publish.
+    assert sorted(r.id for r in t.read().collect()) == [1, 2]
+    # Audit: the staged snapshot is readable by id.
+    assert sorted(r.id for r in t.read(snapshot_id=staged.snapshot_id).collect()) == [
+        1, 2, 3,
+    ]
+    t.publish(staged.snapshot_id)
+    assert sorted(r.id for r in t.read().collect()) == [1, 2, 3]
+
+
+def test_wap_publish_refused_after_concurrent_commit(spark, tmp_path):
+    from bergloom_spark.lake.commit import CommitFailed
+
+    t = _table(spark, tmp_path)
+    staged = t.stage_append(spark.createDataFrame([(3, "c")], SCHEMA))
+    t.append(spark.createDataFrame([(4, "d")], SCHEMA))  # table advances
+    with pytest.raises(CommitFailed, match="re-stage"):
+        t.publish(staged.snapshot_id)
+    # The concurrent commit is intact; staged rows never leaked.
+    assert sorted(r.id for r in t.read().collect()) == [1, 2, 4]
+
+
+def test_wap_unpublished_stage_is_expirable(spark, tmp_path):
+    from bergloom_spark.lake.compaction import expire_snapshots
+
+    t = _table(spark, tmp_path)
+    t.stage_append(spark.createDataFrame([(3, "c")], SCHEMA))
+    t.append(spark.createDataFrame([(4, "d")], SCHEMA))
+    assert expire_snapshots(t, keep_last=1) > 0
+    assert sorted(r.id for r in t.read().collect()) == [1, 2, 4]
+
+
+def test_expire_preserves_current_after_rollback(spark, tmp_path):
+    from bergloom_spark.lake.compaction import expire_snapshots
+
+    t = _table(spark, tmp_path)
+    first = t.meta.snapshots[0].snapshot_id
+    t.rollback_to(first)
+    expire_snapshots(t, keep_last=1)
+    # Rolled-back-to snapshot (current) must survive expiration.
+    assert sorted(r.id for r in t.read().collect()) == [1]
