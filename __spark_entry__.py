@@ -757,6 +757,108 @@ def q_q21_last_shipper(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-min over a derived part-supplier relation (TPC-H Q2
+    adapted: this data set has no partsupp, so supply cost is the
+    cheapest observed unit price per (part, supplier) from lineitem):
+    for LARGE size-15 parts, the EUROPE supplier(s) matching the
+    part's minimum cost. min() is order-independent and the division
+    is elementwise, so no float-accumulation divergence vs the oracle."""
+    li = T(spark, sf_dir, "lineitem")
+    part = T(spark, sf_dir, "part").filter(
+        F.col("p_size").between(10, 20) & (F.col("p_type") == "LARGE")
+    )
+    supp = T(spark, sf_dir, "supplier")
+    nation = T(spark, sf_dir, "nation")
+    region = T(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eu_supp = (
+        supp.join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    cost = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.round(F.min(F.col("l_extendedprice") / F.col("l_quantity")), 4).alias(
+            "supply_cost"
+        )
+    )
+    cand = cost.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey")).join(
+        F.broadcast(eu_supp), F.col("l_suppkey") == F.col("s_suppkey")
+    )
+    best = cand.groupBy(F.col("l_partkey").alias("__pk")).agg(
+        F.min("supply_cost").alias("__mc")
+    )
+    return cand.join(
+        best,
+        (F.col("l_partkey") == F.col("__pk"))
+        & (F.col("supply_cost") == F.col("__mc")),
+    ).select("s_acctbal", "s_name", "n_name", "p_partkey", "p_brand", "supply_cost")
+
+
+def q_q16_supplier_part_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-supplier counts per part attribute with a NOT-IN
+    exclusion (TPC-H Q16 adapted: no partsupp/s_comment here, so the
+    part-supplier relation is derived from lineitem and the excluded
+    suppliers are those with negative account balance). The NOT IN is
+    a broadcast anti-join, never a nested loop."""
+    li = T(spark, sf_dir, "lineitem")
+    part = T(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 24, 29, 34)
+    )
+    bad_supp = T(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            F.broadcast(bad_supp),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+def q_q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated two-aggregate semi-join chain (TPC-H Q20 adapted: no
+    ps_availqty, so the predicate compares a supplier's 1997 widget
+    shipments against 16% of their all-time widget shipments).
+    Quantities are integral doubles cast to bigint so both engines sum
+    exactly and the threshold compare cannot flip on float order.
+    One shuffle: the conditional aggregate computes both sums in a
+    single pass over the joined fact."""
+    li = T(spark, sf_dir, "lineitem")
+    part = T(spark, sf_dir, "part").filter(F.col("p_name").contains("widget"))
+    supp = T(spark, sf_dir, "supplier")
+    nation = T(spark, sf_dir, "nation")
+    qty = F.col("l_quantity").cast("long")
+    in97 = (F.col("l_shipdate") >= "1997-01-01") & (
+        F.col("l_shipdate") < "1998-01-01"
+    )
+    per_supp = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(F.col("l_suppkey").alias("__sk"))
+        .agg(
+            F.sum(qty).alias("tot_qty"),
+            F.sum(F.when(in97, qty).otherwise(F.lit(0))).alias("y97_qty"),
+        )
+    )
+    big = per_supp.filter(
+        F.col("y97_qty").cast("double") > 0.16 * F.col("tot_qty").cast("double")
+    )
+    return (
+        supp.join(
+            F.broadcast(big.select("__sk")),
+            F.col("s_suppkey") == F.col("__sk"),
+            "left_semi",
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+
+
 def q_cumulative_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Running total per group (cumulative window): monthly order
     revenue by customer nation with a cumulative sum ordered by month.
@@ -1460,6 +1562,60 @@ _ANALYTICS_ORACLES = {
         JOIN supplier ON l_suppkey = s_suppkey
         GROUP BY 1
     """,
+    "q2_min_cost_supplier": """
+        WITH cost AS (
+          SELECT l_partkey, l_suppkey,
+                 round(min(l_extendedprice / l_quantity), 4) AS supply_cost
+          FROM lineitem GROUP BY 1, 2),
+        eu_supp AS (
+          SELECT s_suppkey, s_name, s_acctbal, n_name
+          FROM supplier
+          JOIN nation ON s_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+          WHERE r_name = 'EUROPE'),
+        cand AS (
+          SELECT *
+          FROM cost
+          JOIN part ON l_partkey = p_partkey
+          JOIN eu_supp ON l_suppkey = s_suppkey
+          WHERE p_size BETWEEN 10 AND 20 AND p_type = 'LARGE'),
+        best AS (
+          SELECT l_partkey AS pk, min(supply_cost) AS mc
+          FROM cand GROUP BY 1)
+        SELECT s_acctbal, s_name, n_name, p_partkey, p_brand, supply_cost
+        FROM cand
+        JOIN best ON l_partkey = pk AND supply_cost = mc
+    """,
+    "q16_supplier_part_count": """
+        SELECT p_brand, p_type, p_size,
+               count(DISTINCT l_suppkey) AS supplier_cnt
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+          AND p_size IN (1, 4, 9, 14, 19, 24, 29, 34)
+          AND l_suppkey NOT IN (
+            SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        GROUP BY 1, 2, 3
+    """,
+    "q20_excess_suppliers": """
+        WITH per_supp AS (
+          SELECT l_suppkey AS sk,
+                 sum(l_quantity::BIGINT)::BIGINT AS tot_qty,
+                 sum(CASE WHEN l_shipdate >= '1997-01-01'
+                           AND l_shipdate < '1998-01-01'
+                          THEN l_quantity::BIGINT ELSE 0 END)::BIGINT
+                     AS y97_qty
+          FROM lineitem
+          JOIN part ON l_partkey = p_partkey
+          WHERE p_name LIKE '%widget%'
+          GROUP BY 1)
+        SELECT s_suppkey, s_name, s_acctbal, n_name
+        FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE s_suppkey IN (
+          SELECT sk FROM per_supp
+          WHERE y97_qty::DOUBLE > 0.16 * tot_qty::DOUBLE)
+    """,
     "cumulative_revenue": """
         WITH monthly AS (
           SELECT n_name AS nation,
@@ -1939,6 +2095,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q14_promo_revenue": q_q14_promo_revenue,
         "q17_small_quantity_revenue": q_q17_small_quantity_revenue,
         "q21_last_shipper": q_q21_last_shipper,
+        "q2_min_cost_supplier": q_q2_min_cost_supplier,
+        "q16_supplier_part_count": q_q16_supplier_part_count,
+        "q20_excess_suppliers": q_q20_excess_suppliers,
         "cumulative_revenue": q_cumulative_revenue,
         "events_hourly": q_events_hourly,
         "events_json_rollup": q_events_json_rollup,
