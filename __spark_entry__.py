@@ -1796,6 +1796,48 @@ def q_dedup_near_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.join(drop, "doc_id", "left_anti").select("doc_id")
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag corpus docs sharing any 4-gram
+    shingle with a (deterministic) probe/benchmark subset. Probe
+    shingle hashes broadcast; corpus never shuffles by shingle."""
+    docs = TS(spark, sf_dir, "documents")
+    probes = docs.filter(F.col("doc_id") % 41 == 0)
+    corpus = docs.filter(F.col("doc_id") % 41 != 0)
+    return dedup.decontaminate_flags(
+        corpus, probes, text_col="text", id_col="doc_id", shingle_n=4
+    )
+
+
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-family repetition signals per doc: top-2-gram share and
+    duplicate-3-gram share — scan-side HOF expressions, no shuffle."""
+    d = TS(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        TX.top_ngram_frac("text", 2).alias("top_2gram_frac"),
+        TX.dup_ngram_frac("text", 3).alias("dup_3gram_frac"),
+    )
+
+
+def q_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (pure hash of doc_id:
+    stable under reruns, engines, and corpus growth), summarized per
+    (split, source) with doc and char counts."""
+    from bergloom_spark.operators.sampling import split_assign
+
+    docs = T(spark, sf_dir, "documents")
+    return (
+        split_assign(
+            docs, "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05}
+        )
+        .groupBy("split", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+    )
+
+
 def q_ngram_jaccard_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard_top1(
         TS(spark, sf_dir, "documents"), "text", "doc_id", probe_ids=list(range(10))
@@ -1900,6 +1942,16 @@ def _stratified_oracle() -> str:
     return f"SELECT event_id, user_id, event_type FROM events WHERE {where}"
 
 
+def _split_sql() -> str:
+    from bergloom_spark.operators.sampling import split_assign_sql
+
+    return split_assign_sql(
+        "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05}
+    )
+
+
+_SPLIT_SQL = _split_sql()
+
 _EXT_ORACLES = {
     "bm25_search": _bm25_oracle(),
     "stratified_sample": _stratified_oracle(),
@@ -1946,6 +1998,40 @@ _EXT_ORACLES = {
         SELECT doc_id, {TX.fingerprint64_sql('text')} AS fp64,
                {TX.min_shingle_fingerprint_sql('text')} AS shingle_fp
         FROM documents
+    """,
+    "decontaminate": f"""
+        WITH probe_h AS (
+          SELECT DISTINCT {hash64_sql('s')} AS h
+          FROM (SELECT unnest(list_distinct({TX.shingles_sql('text', 4)})) AS s
+                FROM documents WHERE doc_id % 41 = 0)),
+        doc_sh AS (
+          SELECT doc_id, {hash64_sql('s')} AS h
+          FROM (SELECT doc_id,
+                       unnest(list_distinct({TX.shingles_sql('text', 4)})) AS s
+                FROM documents WHERE doc_id % 41 <> 0)),
+        matched AS (
+          SELECT doc_id, count(*) AS n FROM doc_sh
+          WHERE h IN (SELECT h FROM probe_h) GROUP BY 1)
+        SELECT d.doc_id, coalesce(n, 0)::BIGINT AS n_matched,
+               coalesce(n, 0) > 0 AS contaminated
+        FROM documents d LEFT JOIN matched USING (doc_id)
+        WHERE doc_id % 41 <> 0
+    """,
+    "text_repetition": f"""
+        WITH t AS (
+          SELECT doc_id, {TX.shingles_sql('text', 2)} AS sh2,
+                 {TX.shingles_sql('text', 3)} AS sh3
+          FROM documents)
+        SELECT doc_id,
+               {TX.top_ngram_frac_sql_on_list('sh2')} AS top_2gram_frac,
+               {TX.dup_ngram_frac_sql_on_list('sh3')} AS dup_3gram_frac
+        FROM t
+    """,
+    "corpus_split": f"""
+        SELECT {_SPLIT_SQL} AS split, source,
+               count(*)::BIGINT AS n_docs,
+               sum(n_chars)::BIGINT AS total_chars
+        FROM documents GROUP BY 1, 2
     """,
     "simhash": f"""
         SELECT doc_id, {dedup.simhash_sql('text')} AS simhash60 FROM documents
@@ -2067,6 +2153,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "dedup_near_keep_first": q_dedup_near_keep_first,
+        "decontaminate": q_decontaminate,
+        "text_repetition": q_text_repetition,
+        "corpus_split": q_corpus_split,
         "bm25_search": q_bm25_search,
         "fuzzy_part_match": q_fuzzy_part_match,
         "stratified_sample": q_stratified_sample,

@@ -396,3 +396,61 @@ def ngram_jaccard_top1(
         .filter(F.col("rn") == 1)
         .select("probe_id", "match_id", "jaccard")
     )
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination (n-gram overlap vs a probe set)
+# ---------------------------------------------------------------------------
+def decontaminate_flags(
+    corpus: DataFrame,
+    probes: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_n: int = 4,
+) -> DataFrame:
+    """Per corpus doc: how many of its distinct ``shingle_n``-gram
+    shingles also occur in the probe (benchmark) set — the standard
+    train-set decontamination test (a doc with any overlap is dropped
+    or flagged before training).
+
+    Shape for 100 TB: the probe side (a benchmark suite: thousands of
+    docs, not billions) collapses to a DISTINCT set of 60-bit shingle
+    hashes and is broadcast; the corpus side explodes its shingles,
+    hash-matches against the broadcast set, and re-aggregates per doc.
+    The explode and semi-join pipeline inside one stage, so the only
+    shuffle is the per-doc count aggregation keyed on ``id_col`` — and
+    it carries just (id, count) for docs that matched at all.
+
+    Returns every corpus row's id with ``n_matched`` (0 = clean) and a
+    boolean ``contaminated`` — callers drop flagged ids with an
+    anti-join or filter.
+    """
+    probe_hashes = (
+        probes.select(
+            F.explode(F.array_distinct(TX.shingles(text_col, shingle_n))).alias(
+                "__s"
+            )
+        )
+        .select(hash64(F.col("__s")).alias("__h"))
+        .distinct()
+    )
+    doc_shingles = corpus.select(
+        F.col(id_col).alias("__id"),
+        F.explode_outer(F.array_distinct(TX.shingles(text_col, shingle_n))).alias(
+            "__s"
+        ),
+    ).select("__id", hash64(F.col("__s")).alias("__h"))
+    matched = (
+        doc_shingles.join(F.broadcast(probe_hashes), "__h", "left_semi")
+        .groupBy("__id")
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    return (
+        corpus.select(F.col(id_col).alias("__id"))
+        .join(matched, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.coalesce(F.col("__n"), F.lit(0)).cast("long").alias("n_matched"),
+            (F.coalesce(F.col("__n"), F.lit(0)) > 0).alias("contaminated"),
+        )
+    )

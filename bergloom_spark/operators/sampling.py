@@ -66,3 +66,43 @@ def stratified_sample_sql(
     )
     gate = f"CASE {strata_expr} {whens} ELSE {int(default_fraction * SCALE)} END"
     return f"({hash64_sql(f'({id_expr})::VARCHAR')}) % {SCALE} < {gate}"
+
+
+def split_assign(
+    df: DataFrame,
+    id_col: str,
+    splits: dict[str, float],
+    seed: int = 0,
+) -> DataFrame:
+    """Attach a ``split`` column partitioning the corpus into named
+    fractions (e.g. ``{"train": 0.9, "val": 0.05, "test": 0.05}``) —
+    the train/val/test assignment every dataset release needs.
+
+    The split is a pure function of ``hash64(seed, id)``: stable under
+    re-runs, engine changes, repartitioning, and corpus growth (a row's
+    split never changes when other rows are added — the property that
+    prevents test-set leakage across dataset versions). Cumulative
+    thresholds over one hash draw the boundaries, so fractions sum to
+    at most 1; any remainder gets split ``None``.
+
+    At 100 TB this is a scan-side codegen expression: no shuffle, no
+    RNG state, no driver involvement.
+    """
+    bucket = F.pmod(hash64(F.col(id_col).cast("string"), seed=seed), F.lit(SCALE))
+    expr = None
+    acc = 0
+    for name, frac in splits.items():
+        acc += int(frac * SCALE)
+        cond = bucket < F.lit(acc)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    return df.withColumn("split", expr)
+
+
+def split_assign_sql(id_expr: str, splits: dict[str, float], seed: int = 0) -> str:
+    """DuckDB SELECT-expression twin of :func:`split_assign`."""
+    bucket = f"({hash64_sql(f'({id_expr})::VARCHAR', seed=seed)}) % {SCALE}"
+    whens, acc = [], 0
+    for name, frac in splits.items():
+        acc += int(frac * SCALE)
+        whens.append(f"WHEN {bucket} < {acc} THEN '{name}'")
+    return "CASE " + " ".join(whens) + " END"

@@ -1,0 +1,97 @@
+"""Decontamination, repetition metrics, and train/val/test split tests."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bergloom_spark.functions.text import dup_ngram_frac, top_ngram_frac
+from bergloom_spark.operators.dedup import decontaminate_flags
+from bergloom_spark.operators.sampling import split_assign
+
+
+def test_decontaminate_flags_exact_copy_and_clean_doc(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "alpha beta gamma delta epsilon zeta"),  # copy of probe
+            (3, "totally unrelated words about ships and anchors"),
+            (4, "delta epsilon zeta eta theta iota"),  # 4-gram overlap? no
+        ],
+        "doc_id long, text string",
+    )
+    probes = docs.filter(F.col("doc_id") == 1)
+    corpus = docs.filter(F.col("doc_id") != 1)
+    out = {
+        r.doc_id: r
+        for r in decontaminate_flags(
+            corpus, probes, "text", "doc_id", shingle_n=4
+        ).collect()
+    }
+    assert set(out) == {2, 3, 4}
+    assert out[2].contaminated and out[2].n_matched == 3  # 6 tokens → 3 4-grams
+    assert not out[3].contaminated and out[3].n_matched == 0
+    # doc 4 shares the tokens "delta epsilon zeta" (a 3-run) but no
+    # 4-token window, so 4-gram decontamination must NOT flag it
+    assert not out[4].contaminated
+
+
+def test_decontaminate_every_corpus_row_reported(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"), (2, ""), (3, "x")], "doc_id long, text string"
+    )
+    probes = docs.filter(F.col("doc_id") == 1)
+    corpus = docs.filter(F.col("doc_id") != 1)
+    rows = decontaminate_flags(corpus, probes, "text", "doc_id").collect()
+    # short/empty docs have no shingles at all but still get a row
+    assert {r.doc_id for r in rows} == {2, 3}
+    assert all(r.n_matched == 0 for r in rows)
+
+
+def test_repetition_metrics_values(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam"),  # 3 identical 2-grams
+            (2, "all four tokens differ"),  # all 2-grams distinct
+            (3, ""),  # no shingles at all
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in docs.select(
+            "doc_id",
+            top_ngram_frac("text", 2).alias("top2"),
+            dup_ngram_frac("text", 2).alias("dup2"),
+        ).collect()
+    }
+    assert out[1].top2 == 1.0  # "spam spam" is every 2-gram
+    assert abs(out[1].dup2 - (1 - 1 / 3)) < 1e-6
+    assert out[2].top2 == round(1 / 3, 6) and out[2].dup2 == 0.0
+    assert out[3].top2 == 0.0 and out[3].dup2 == 0.0
+
+
+def test_split_assign_deterministic_partition_and_growth_stable(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    splits = {"train": 0.8, "val": 0.1, "test": 0.1}
+    full = {
+        r.doc_id: r.split
+        for r in split_assign(docs, "doc_id", splits).collect()
+    }
+    assert set(full.values()) <= {"train", "val", "test"}  # fractions sum to 1
+    n = len(full)
+    share = sum(1 for s in full.values() if s == "train") / n
+    assert 0.7 < share < 0.9
+    # growth stability: assignments computed on a subset are identical
+    subset = {
+        r.doc_id: r.split
+        for r in split_assign(
+            docs.filter(F.col("doc_id") % 3 == 0), "doc_id", splits
+        ).collect()
+    }
+    assert all(full[k] == v for k, v in subset.items())
+    # layout independence: a different partitioning gives the same map
+    reparted = {
+        r.doc_id: r.split
+        for r in split_assign(docs.repartition(7), "doc_id", splits).collect()
+    }
+    assert reparted == full
