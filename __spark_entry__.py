@@ -1838,6 +1838,21 @@ def q_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy token-budget sequence packing (contexts of ≤512 tokens):
+    hash-bucketed, id-ordered first-fit inside Arrow-batched
+    applyInPandas; oracle is the same recurrence as a recursive CTE."""
+    from bergloom_spark.operators.packing import pack_sequences
+
+    docs = TS(spark, sf_dir, "documents")
+    toked = docs.select(
+        "doc_id", TX.token_count("text").cast("long").alias("n_tokens")
+    )
+    return pack_sequences(
+        toked, "doc_id", "n_tokens", max_tokens=512, n_buckets=8
+    )
+
+
 def q_ngram_jaccard_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard_top1(
         TS(spark, sf_dir, "documents"), "text", "doc_id", probe_ids=list(range(10))
@@ -1952,7 +1967,22 @@ def _split_sql() -> str:
 
 _SPLIT_SQL = _split_sql()
 
+
+def _packing_oracle() -> str:
+    from bergloom_spark.operators.packing import pack_sql
+
+    inner = (
+        "(SELECT doc_id, "
+        f"({TX.token_count_sql('text')})::BIGINT AS n_tokens FROM documents)"
+    )
+    return pack_sql(
+        inner, "doc_id", "n_tokens", max_tokens=512, n_buckets=8,
+        token_name="n_tokens",
+    )
+
+
 _EXT_ORACLES = {
+    "sequence_packing": _packing_oracle(),
     "bm25_search": _bm25_oracle(),
     "stratified_sample": _stratified_oracle(),
     "fuzzy_part_match": """
@@ -2156,6 +2186,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "text_repetition": q_text_repetition,
         "corpus_split": q_corpus_split,
+        "sequence_packing": q_sequence_packing,
         "bm25_search": q_bm25_search,
         "fuzzy_part_match": q_fuzzy_part_match,
         "stratified_sample": q_stratified_sample,

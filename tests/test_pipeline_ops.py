@@ -95,3 +95,43 @@ def test_split_assign_deterministic_partition_and_growth_stable(spark, sf_dir):
         for r in split_assign(docs.repartition(7), "doc_id", splits).collect()
     }
     assert reparted == full
+
+
+def test_pack_sequences_budget_and_determinism(spark):
+    from bergloom_spark.operators.packing import pack_sequences
+
+    rows = [(i, (i * 37) % 300 + 1) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    out = pack_sequences(df, "doc_id", "n_tokens", max_tokens=512, n_buckets=4)
+    pdf = out.toPandas()
+    # every doc exactly once
+    assert sorted(pdf.doc_id) == [r[0] for r in rows]
+    # budget respected (no doc here exceeds it alone)
+    sums = pdf.groupby("pack_id").n_tokens.sum()
+    assert (sums <= 512).all()
+    # packs never span buckets
+    assert (pdf.pack_id // (1 << 40) == pdf.bucket).all()
+    # layout-independent: same assignment from a different partitioning
+    again = (
+        pack_sequences(
+            df.repartition(13), "doc_id", "n_tokens", 512, n_buckets=4
+        )
+        .toPandas()
+        .set_index("doc_id")
+        .pack_id.to_dict()
+    )
+    assert again == pdf.set_index("doc_id").pack_id.to_dict()
+
+
+def test_pack_sequences_oversized_doc_gets_own_pack(spark):
+    from bergloom_spark.operators.packing import pack_sequences
+
+    df = spark.createDataFrame(
+        [(1, 100), (2, 9000), (3, 100)], "doc_id long, n_tokens long"
+    )
+    pdf = pack_sequences(
+        df, "doc_id", "n_tokens", max_tokens=512, n_buckets=1
+    ).toPandas()
+    big = pdf[pdf.doc_id == 2].pack_id.iloc[0]
+    # the oversized doc shares its pack with nobody
+    assert (pdf[pdf.pack_id == big].doc_id == 2).all()
