@@ -1097,6 +1097,33 @@ def q_streaming_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A REAL stream-stream event-time join run (two file-source
+    streams over the same directory, watermarks both sides, bounded
+    state via the time-range condition, availableNow): append-mode
+    output after drain equals the batch interval join, so a plain SQL
+    oracle applies."""
+    import uuid
+
+    from bergloom_spark.streaming import events as SE
+
+    stream_dir = os.path.join(
+        tempfile.mkdtemp(prefix="bergloom-attr-"), "events"
+    )
+    T(spark, sf_dir, "events").repartition(4).write.parquet(stream_dir)
+    views = SE.read_events_stream(spark, stream_dir, max_files_per_trigger=2).filter(
+        F.col("event_type") == "view"
+    )
+    purchases = SE.read_events_stream(
+        spark, stream_dir, max_files_per_trigger=2
+    ).filter(F.col("event_type") == "purchase")
+    name = f"stream_attr_{uuid.uuid4().hex[:8]}"
+    SE.run_stream_to_memory(
+        SE.attribute_purchases(views, purchases), name, output_mode="append"
+    )
+    return spark.table(name)
+
+
 def q_events_json_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON scalar functions: extract props.k, aggregate per type."""
     ev = T(spark, sf_dir, "events")
@@ -1392,6 +1419,15 @@ _ANALYTICS_ORACLES = {
           SELECT *, row_number() OVER (
             PARTITION BY p_brand ORDER BY revenue DESC, p_partkey) AS rnk
           FROM rev) WHERE rnk <= 3
+    """,
+    "streaming_attribution": """
+        SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id,
+               date_diff('second', v.ts, p.ts)::BIGINT AS delay_s
+        FROM events v
+        JOIN events p
+          ON v.user_id = p.user_id
+         AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 30 MINUTE
+        WHERE v.event_type = 'view' AND p.event_type = 'purchase'
     """,
     "events_hourly": """
         SELECT date_trunc('hour', ts) AS hour, event_type,
@@ -2171,6 +2207,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_gap": q_sessionize_gap,
         "interval_error_context": q_interval_error_context,
         "streaming_events_hourly": q_streaming_events_hourly,
+        "streaming_attribution": q_streaming_attribution,
         "bucketed_join": q_bucketed_join,
         # training-data pipeline extensions (unique coverage — early)
         "dedup_exact": q_dedup_exact,

@@ -135,3 +135,49 @@ def dedup_stream(
     return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         key_cols
     )
+
+
+def attribute_purchases(
+    views: DataFrame,
+    purchases: DataFrame,
+    max_delay: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream event-time join: every (view, purchase) pair for
+    one user where the purchase lands within ``max_delay`` after the
+    view — the attribution primitive.
+
+    Streaming inputs get watermarks on BOTH sides plus the time-range
+    join condition, which is exactly what lets Spark bound the join
+    state: each side's buffered rows expire once the other side's
+    watermark passes ``ts + max_delay``. Batch inputs run the same
+    join, so the batch result is the streaming oracle (append-mode
+    output equals it once an availableNow source drains).
+    """
+    if views.isStreaming:
+        views = views.withWatermark("ts", watermark)
+    if purchases.isStreaming:
+        purchases = purchases.withWatermark("ts", watermark)
+    v = views.select(
+        F.col("user_id").alias("v_user"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    p = purchases.select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    cond = (
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("view_ts"))
+        & (F.col("purchase_ts") <= F.col("view_ts") + F.expr(f"INTERVAL {max_delay}"))
+    )
+    delay = F.col("purchase_ts").cast("long") - F.col("view_ts").cast("long")
+    return v.join(p, cond).select(
+        F.col("p_user").alias("user_id"),
+        "view_id",
+        "purchase_id",
+        delay.alias("delay_s"),
+    )

@@ -88,3 +88,26 @@ def test_dedup_stream_drops_resent_records(spark, events_dir, tmp_path):
         ["event_id", "user_id", "event_type"],
     )
     assert got == want
+
+
+def test_stream_stream_attribution_matches_batch(spark, events_dir):
+    views_s = SE.read_events_stream(spark, events_dir).filter(
+        F.col("event_type") == "view"
+    )
+    purch_s = SE.read_events_stream(spark, events_dir).filter(
+        F.col("event_type") == "purchase"
+    )
+    SE.run_stream_to_memory(
+        SE.attribute_purchases(views_s, purch_s),
+        "attr_out",
+        output_mode="append",
+    )
+    got = spark.table("attr_out")
+    b = _batch(spark, events_dir)
+    want = SE.attribute_purchases(
+        b.filter(F.col("event_type") == "view"),
+        b.filter(F.col("event_type") == "purchase"),
+    )
+    cols = ["user_id", "view_id", "purchase_id", "delay_s"]
+    assert rows(got, cols) == rows(want, cols)
+    assert got.count() > 0  # the fixture data does contain attributions
