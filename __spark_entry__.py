@@ -1874,6 +1874,15 @@ def q_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping character-window chunking (embedding/RAG prep):
+    scan-side sequence+explode, one row per (doc, chunk)."""
+    docs = TS(spark, sf_dir, "documents")
+    return TX.chunk_documents(
+        docs, "text", "doc_id", chunk_chars=400, overlap=80
+    )
+
+
 def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy token-budget sequence packing (contexts of ≤512 tokens):
     hash-bucketed, id-ordered first-fit inside Arrow-batched
@@ -2019,6 +2028,9 @@ def _packing_oracle() -> str:
 
 _EXT_ORACLES = {
     "sequence_packing": _packing_oracle(),
+    "doc_chunks": TX.chunk_documents_sql(
+        "documents", "text", "doc_id", chunk_chars=400, overlap=80
+    ),
     "bm25_search": _bm25_oracle(),
     "stratified_sample": _stratified_oracle(),
     "fuzzy_part_match": """
@@ -2224,6 +2236,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": q_text_repetition,
         "corpus_split": q_corpus_split,
         "sequence_packing": q_sequence_packing,
+        "doc_chunks": q_doc_chunks,
         "bm25_search": q_bm25_search,
         "fuzzy_part_match": q_fuzzy_part_match,
         "stratified_sample": q_stratified_sample,

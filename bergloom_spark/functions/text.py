@@ -371,3 +371,77 @@ def dup_ngram_frac_sql_on_list(sh: str) -> str:
         f" ELSE 1.0 - len(list_distinct({sh}))::DOUBLE"
         f" / greatest(len({sh}), 1) END, 6)"
     )
+
+
+# ---------------------------------------------------------------------------
+# chunking (overlapping character windows for embedding / RAG prep)
+# ---------------------------------------------------------------------------
+def chunk_count(col: Column | str, chunk_chars: int, overlap: int) -> Column:
+    """Number of overlapping windows covering the doc (≥ 1; a short or
+    empty doc yields exactly one chunk)."""
+    col = F.col(col) if isinstance(col, str) else col
+    step = chunk_chars - overlap
+    return F.greatest(
+        F.ceil((F.length(col) - F.lit(overlap)) / F.lit(step)).cast("long"),
+        F.lit(1).cast("long"),
+    )
+
+
+def chunk_documents(
+    df,
+    text_col: str,
+    id_col: str,
+    chunk_chars: int = 500,
+    overlap: int = 100,
+):
+    """Explode each doc into overlapping character windows: one row per
+    (doc, chunk_id) with the chunk text. Scan-side explode — at 100 TB
+    the expansion streams through the scan stage with no shuffle; chunk
+    count is a per-row expression, never driver state."""
+    if overlap >= chunk_chars:
+        raise ValueError("overlap must be smaller than chunk_chars")
+    step = chunk_chars - overlap
+    n = chunk_count(text_col, chunk_chars, overlap)
+    idx = F.explode(F.sequence(F.lit(0).cast("long"), n - 1))
+    return (
+        df.select(F.col(id_col), F.col(text_col), idx.alias("chunk_id"))
+        .select(
+            id_col,
+            "chunk_id",
+            F.col(text_col)
+            .substr(
+                (F.col("chunk_id") * step + 1).cast("int"),
+                F.lit(chunk_chars).cast("int"),
+            )
+            .alias("chunk_text"),
+        )
+        .withColumn("chunk_len", F.length("chunk_text").cast("long"))
+    )
+
+
+def chunk_documents_sql(
+    table: str,
+    text_col: str,
+    id_col: str,
+    chunk_chars: int = 500,
+    overlap: int = 100,
+) -> str:
+    """DuckDB twin (lateral range + substr; 1-based, length-clamped
+    substring semantics match Spark's)."""
+    step = chunk_chars - overlap
+    n = (
+        f"greatest(ceil((length({text_col}) - {overlap})::DOUBLE"
+        f" / {step})::BIGINT, 1)"
+    )
+    # scalar range() + unnest, not a LATERAL table function — DuckDB's
+    # range table function rejects lateral column parameters.
+    return f"""
+        SELECT {id_col}, i::BIGINT AS chunk_id,
+               substr({text_col}, (i * {step} + 1)::INTEGER,
+                      {chunk_chars}) AS chunk_text,
+               length(substr({text_col}, (i * {step} + 1)::INTEGER,
+                      {chunk_chars}))::BIGINT AS chunk_len
+        FROM (SELECT {id_col}, {text_col},
+                     unnest(range(0, {n})) AS i
+              FROM {table})
+    """

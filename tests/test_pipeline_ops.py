@@ -135,3 +135,29 @@ def test_pack_sequences_oversized_doc_gets_own_pack(spark):
     big = pdf[pdf.doc_id == 2].pack_id.iloc[0]
     # the oversized doc shares its pack with nobody
     assert (pdf[pdf.pack_id == big].doc_id == 2).all()
+
+
+def test_chunk_documents_cover_and_overlap(spark):
+    import pytest
+
+    from bergloom_spark.functions.text import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, "a" * 950), (2, "b" * 10), (3, "")], "doc_id long, text string"
+    )
+    pdf = chunk_documents(
+        df, "text", "doc_id", chunk_chars=400, overlap=100
+    ).toPandas()
+    d1 = pdf[pdf.doc_id == 1].sort_values("chunk_id")
+    # ceil((950-100)/300) = 3 chunks; windows start every 300 chars
+    assert list(d1.chunk_id) == [0, 1, 2]
+    assert list(d1.chunk_len) == [400, 400, 350]
+    # reassembly: stripping the 100-char overlap re-covers the doc
+    joined = d1.chunk_text.iloc[0] + "".join(
+        t[100:] for t in d1.chunk_text.iloc[1:]
+    )
+    assert joined == "a" * 950
+    # short and empty docs produce exactly one chunk
+    assert len(pdf[pdf.doc_id == 2]) == 1 and len(pdf[pdf.doc_id == 3]) == 1
+    with pytest.raises(ValueError):
+        chunk_documents(df, "text", "doc_id", chunk_chars=100, overlap=100)
