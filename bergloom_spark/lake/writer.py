@@ -163,7 +163,18 @@ def write_data_files(
             .parquet(out_dir)
         )
     else:
-        writer = df.repartition(n_files)
+        # coalesce, NOT repartition: merge-only, no shuffle — the Spark
+        # analog of the reference's rolling writer, which also never
+        # redistributes rows (each scan task rolls its own output,
+        # rolling_iceberg_writer.rs:47-95). A repartition here would
+        # add a full round-trip of the data through the shuffle service
+        # on EVERY write — at 100 TB that's the difference between two
+        # I/O passes (scan, write) and three. ``n_files`` acts as a
+        # CEILING on output files (the small-input / post-delete case);
+        # when the plan has fewer partitions than ``n_files`` the
+        # coalesce is a no-op and per-file size stays bounded by the
+        # scan's ``maxPartitionBytes`` (~the target size) anyway.
+        writer = df.coalesce(n_files)
         writer.write.mode("error").option("compression", compression).parquet(out_dir)
     return _collect_parquet_entries(
         out_dir, "data", sequence_number, partition_cols=partition_spec
