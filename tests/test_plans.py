@@ -179,3 +179,49 @@ def test_stratified_sample_is_scan_side_filter(spark):
 
     df = E.queries()["stratified_sample"](spark, SF)
     assert X.count_shuffles(df) == 0
+
+
+def test_decontaminate_probe_side_broadcasts(spark):
+    """The benchmark shingle set must broadcast; the corpus must never
+    be shuffled by shingle — the only exchange is the per-doc count."""
+    from bergloom_spark.operators.dedup import decontaminate_flags
+
+    docs = load_table(spark, SF, "documents")
+    probes = docs.filter(F.col("doc_id") % 41 == 0)
+    corpus = docs.filter(F.col("doc_id") % 41 != 0)
+    df = decontaminate_flags(corpus, probes, "text", "doc_id")
+    plan = X.executed_plan(df)
+    assert X.count_broadcast_joins(df) >= 1
+    assert X.count_sortmerge_joins(df) == 0
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_split_assign_is_scan_side_expression(spark):
+    from bergloom_spark.operators.sampling import split_assign
+
+    docs = load_table(spark, SF, "documents")
+    df = split_assign(docs, "doc_id", {"train": 0.9, "val": 0.1})
+    assert X.count_shuffles(df) == 0
+    assert "Join" not in X.executed_plan(df)
+
+
+def test_doc_chunks_no_shuffle(spark):
+    from bergloom_spark.functions.text import chunk_documents
+
+    docs = load_table(spark, SF, "documents")
+    df = chunk_documents(docs, "text", "doc_id")
+    assert X.count_shuffles(df) == 0
+
+
+def test_pack_sequences_single_shuffle(spark):
+    """Packing moves (id, token-count) pairs exactly once — the bucket
+    exchange feeding applyInPandas."""
+    from bergloom_spark.functions.text import token_count
+    from bergloom_spark.operators.packing import pack_sequences
+
+    docs = load_table(spark, SF, "documents").select(
+        "doc_id", token_count("text").cast("long").alias("n_tokens")
+    )
+    df = pack_sequences(docs, "doc_id", "n_tokens", max_tokens=512)
+    assert X.count_shuffles(df) <= 1
