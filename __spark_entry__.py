@@ -1832,6 +1832,19 @@ def q_dedup_near_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.join(drop, "doc_id", "left_anti").select("doc_id")
 
 
+def q_dedup_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup clusters: MinHash-LSH pairs form a graph;
+    connected components (alternating large-star/small-star) map every
+    edge-touched doc to its cluster's min doc_id — the canonical
+    keeper. This is what a training pipeline actually dedups on; the
+    greedy keep-first policy above is not transitive-closed."""
+    docs = TS(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(
+        docs, "text", "doc_id", k=8, bands=4, threshold=0.25
+    )
+    return dedup.connected_components(pairs, "id_a", "id_b")
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: flag corpus docs sharing any 4-gram
     shingle with a (deterministic) probe/benchmark subset. Probe
@@ -2046,6 +2059,7 @@ _EXT_ORACLES = {
         SELECT doc_id FROM documents
         WHERE doc_id NOT IN (SELECT id_b FROM ({_MINHASH_PAIRS_SQL}))
     """,
+    "dedup_cc_clusters": dedup.cc_sql(_MINHASH_PAIRS_SQL, "id_a", "id_b"),
     "dedup_exact": f"""
         SELECT {hash64_sql('text')} AS text_hash, min(doc_id) AS keeper_id,
                count(*) AS copies
@@ -2232,6 +2246,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "dedup_near_keep_first": q_dedup_near_keep_first,
+        "dedup_cc_clusters": q_dedup_cc_clusters,
         "decontaminate": q_decontaminate,
         "text_repetition": q_text_repetition,
         "corpus_split": q_corpus_split,

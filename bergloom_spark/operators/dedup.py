@@ -454,3 +454,126 @@ def decontaminate_flags(
             (F.coalesce(F.col("__n"), F.lit(0)) > 0).alias("contaminated"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# connected components (near-dup pairs -> clusters)
+# ---------------------------------------------------------------------------
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components of an undirected graph of integer node ids,
+    via the alternating large-star / small-star algorithm (Kiveris et
+    al., "Connected Components in MapReduce and Beyond", SoCC'14).
+
+    This is the step a real dedup pipeline runs AFTER pair generation:
+    near-dup pairs (from MinHash-LSH / SimHash / embedding blocking)
+    form a graph; the unit of deduplication is the *transitive* cluster,
+    and the canonical keep policy is min-id-per-component. A greedy
+    drop-the-higher-id-of-each-pair policy is not transitive-closed
+    (a doc whose only pair partner is a larger id survives even when
+    that partner chains down to a smaller keeper).
+
+    Shape for 100 TB: each half-round is one hash-partitioned
+    ``groupBy(node).agg(min(...))`` plus an equi-join back on the same
+    key — no collects, no per-node adjacency lists materialized on one
+    task (the min-aggregate replaces ``collect_set``). The edge set
+    provably converges to a star forest in O(log n) rounds; per-round
+    lineage is cut with ``localCheckpoint`` so the plan stays flat.
+    Convergence is detected with one tiny aggregate per round (count +
+    order-independent xxhash fingerprint of the edge multiset).
+
+    Returns ``(node, component)`` — one row per node that appears in
+    any edge; ``component`` is the min node id reachable from ``node``.
+    Callers union in singletons (nodes with no edges map to themselves).
+    """
+    u, v = F.col("__u"), F.col("__v")
+
+    # Normalize: undirected, no self-loops, deduped, ids as long.
+    e = (
+        edges.select(
+            F.col(src).cast("long").alias("__u"),
+            F.col(dst).cast("long").alias("__v"),
+        )
+        .where(u != v)
+        .select(F.least(u, v).alias("__u"), F.greatest(u, v).alias("__v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _fingerprint(df: DataFrame) -> tuple[int, int]:
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(
+                F.bit_xor(F.xxhash64(F.col("__u"), F.col("__v"))), F.lit(0)
+            ).alias("h"),
+        ).collect()[0]
+        return int(row["n"]), int(row["h"])
+
+    def _large_star(df: DataFrame) -> DataFrame:
+        # For each node, m = min over its neighborhood incl. itself;
+        # connect every strictly-larger neighbor to m.
+        sym = df.union(df.select(v.alias("__u"), u.alias("__v")))
+        mins = sym.groupBy("__u").agg(F.min("__v").alias("__mv"))
+        mins = mins.select("__u", F.least(F.col("__mv"), u).alias("__m"))
+        return (
+            sym.join(mins, "__u")
+            .where(v > u)
+            .select(v.alias("__u"), F.col("__m").alias("__v"))
+            .distinct()
+        )
+
+    def _small_star(df: DataFrame) -> DataFrame:
+        # Orient edges toward the smaller endpoint: u > v for every
+        # edge; connect all of u's smaller neighbors (and u) to the min.
+        oriented = df.select(
+            F.greatest(u, v).alias("__u"), F.least(u, v).alias("__v")
+        )
+        mins = oriented.groupBy("__u").agg(F.min("__v").alias("__m"))
+        joined = oriented.join(mins, "__u")
+        links = joined.where(v != F.col("__m")).select(
+            v.alias("__u"), F.col("__m").alias("__v")
+        )
+        selfs = mins.select(u.alias("__u"), F.col("__m").alias("__v"))
+        return links.union(selfs).where(u != v).distinct()
+
+    prev = _fingerprint(e)
+    for _ in range(max_iter):
+        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        cur = _fingerprint(e)
+        if cur == prev:
+            break
+        prev = cur
+
+    # At fixpoint the edges form a star forest: (node, component-min).
+    comp = e.select(u.alias("node"), v.alias("component"))
+    roots = e.select(v.alias("node")).distinct().withColumn(
+        "component", F.col("node")
+    )
+    return comp.union(roots).distinct()
+
+
+def cc_sql(pairs_sql: str, src: str = "id_a", dst: str = "id_b") -> str:
+    """DuckDB oracle twin for :func:`connected_components`: recursive
+    min-label propagation over the symmetric closure of ``pairs_sql``.
+    The recursive UNION (distinct) bounds the worked set by reachable
+    (node, label) pairs, so it terminates; the outer min-aggregate
+    picks each node's smallest reachable label = its component."""
+    return f"""
+        WITH RECURSIVE
+        p AS MATERIALIZED ({pairs_sql}),
+        edges AS (
+          SELECT {src}::BIGINT AS u, {dst}::BIGINT AS v FROM p
+          UNION
+          SELECT {dst}::BIGINT AS u, {src}::BIGINT AS v FROM p
+        ),
+        reach(node, lbl) AS (
+          SELECT u, u FROM edges
+          UNION
+          SELECT e.v, r.lbl FROM reach r JOIN edges e ON e.u = r.node
+        )
+        SELECT node, min(lbl) AS component FROM reach GROUP BY node
+    """

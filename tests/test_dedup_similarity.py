@@ -225,3 +225,55 @@ def test_knn_ivf_scans_fraction_of_corpus(spark, sf_dir):
     n = emb.count()
     avg = sum(r["count"] for r in sizes) / len(sizes)
     assert 4 * avg < 0.6 * n  # nprobe=4 of 16 centroids
+
+
+def test_connected_components_matches_union_find(spark):
+    """Alternating-star CC vs a driver-side union-find on a graph with
+    a chain, a star, a cycle, and random edges (exercises multi-round
+    convergence: the 30-node chain needs several star rounds)."""
+    import random
+
+    random.seed(11)
+    n = 300
+    edges = [(random.randrange(n), random.randrange(n)) for _ in range(150)]
+    edges += [(i, i + 1) for i in range(40, 70)]        # chain
+    edges += [(100, x) for x in range(101, 130)]        # star
+    edges += [(200, 201), (201, 202), (202, 200)]       # cycle
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    touched = set()
+    for a, b in edges:
+        if a != b:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+            touched |= {a, b}
+    comp_min: dict[int, int] = {}
+    for x in touched:
+        r = find(x)
+        comp_min[r] = min(comp_min.get(r, x), x)
+    expected = {x: comp_min[find(x)] for x in touched}
+
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    got = {
+        r["node"]: r["component"]
+        for r in dedup.connected_components(df).collect()
+    }
+    assert got == expected
+
+
+def test_cc_clusters_transitive_vs_keep_first(spark):
+    """CC closes chains transitively: in a->b->c with only pairwise
+    edges (a,b),(b,c), all three land in one component keyed by a."""
+    df = spark.createDataFrame([(1, 5), (5, 9)], ["id_a", "id_b"])
+    got = {
+        r["node"]: r["component"]
+        for r in dedup.connected_components(df).collect()
+    }
+    assert got == {1: 1, 5: 1, 9: 1}
