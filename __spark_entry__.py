@@ -1868,6 +1868,47 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: emails / IPv4 / phone-shaped numbers replaced by
+    typed tokens, counts surfaced per doc. The corpus is synthetic, so
+    PII is planted deterministically per row (doc_id-derived email +
+    IP + a phone) — redaction provably fires on every row and the
+    DuckDB twin builds the identical augmented text. Pure scan-side
+    regexp chain: zero shuffle, zero Python."""
+    d = TS(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com at 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7 or 555-123-4567"),
+    )
+    return d.select(
+        "doc_id",
+        TX.redact_pii(aug).alias("redacted"),
+        TX.pii_count(aug, "email").alias("n_emails"),
+        TX.pii_count(aug, "ipv4").alias("n_ips"),
+        TX.pii_count(aug, "phone").alias("n_phones"),
+    )
+
+
+_MIXTURE_WEIGHTS = {"en": 0.3, "de": 0.2, "es": 0.2, "fr": 0.2, "zh": 0.1}
+
+
+def q_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resample the corpus to a target language mixture (the data-recipe
+    step: cap dominant languages, keep rare ones whole). Per-domain
+    counts are a bounded policy collect; the keep gate is the same
+    deterministic scan-side hash as stratified sampling."""
+    from bergloom_spark.operators.sampling import mixture_resample
+
+    docs = T(spark, sf_dir, "documents")
+    return mixture_resample(docs, "lang", "doc_id", _MIXTURE_WEIGHTS).select(
+        "doc_id", "lang", "source"
+    )
+
+
 def q_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test assignment (pure hash of doc_id:
     stable under reruns, engines, and corpus growth), summarized per
@@ -2026,6 +2067,15 @@ def _split_sql() -> str:
 _SPLIT_SQL = _split_sql()
 
 
+def _mixture_oracle() -> str:
+    from bergloom_spark.operators.sampling import mixture_resample_sql
+
+    inner = mixture_resample_sql(
+        "documents", "lang", "doc_id", _MIXTURE_WEIGHTS
+    )
+    return f"SELECT doc_id, lang, source FROM ({inner})"
+
+
 def _packing_oracle() -> str:
     from bergloom_spark.operators.packing import pack_sql
 
@@ -2046,6 +2096,17 @@ _EXT_ORACLES = {
     ),
     "bm25_search": _bm25_oracle(),
     "stratified_sample": _stratified_oracle(),
+    "mixture_resample": _mixture_oracle(),
+    "pii_redact": (lambda aug: f"""
+        SELECT doc_id, {TX.redact_pii_sql(aug)} AS redacted,
+               {TX.pii_count_sql(aug, 'email')} AS n_emails,
+               {TX.pii_count_sql(aug, 'ipv4')} AS n_ips,
+               {TX.pii_count_sql(aug, 'phone')} AS n_phones
+        FROM documents
+    """)(
+        "(text || ' contact user' || doc_id::VARCHAR || '@example.com at 10.0.'"
+        " || (doc_id % 256)::VARCHAR || '.7 or 555-123-4567')"
+    ),
     "fuzzy_part_match": """
         SELECT p.p_partkey AS probe_id, c.p_partkey AS match_id,
                levenshtein(c.p_name, p.p_name) AS dist
@@ -2249,6 +2310,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cc_clusters": q_dedup_cc_clusters,
         "decontaminate": q_decontaminate,
         "text_repetition": q_text_repetition,
+        "pii_redact": q_pii_redact,
+        "mixture_resample": q_mixture_resample,
         "corpus_split": q_corpus_split,
         "sequence_packing": q_sequence_packing,
         "doc_chunks": q_doc_chunks,

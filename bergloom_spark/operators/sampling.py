@@ -106,3 +106,124 @@ def split_assign_sql(id_expr: str, splits: dict[str, float], seed: int = 0) -> s
         acc += int(frac * SCALE)
         whens.append(f"WHEN {bucket} < {acc} THEN '{name}'")
     return "CASE " + " ".join(whens) + " END"
+
+
+def mixture_thresholds(
+    counts: dict[str, int], weights: dict[str, float]
+) -> dict[str, int]:
+    """Integer hash-gate thresholds (0..SCALE) realizing a target
+    domain mixture without upsampling.
+
+    Budget: ``t = min over weighted domains of n_d / w_d`` — the
+    limiting domain is kept whole; every other domain keeps
+    ``w_d * t / n_d`` of its rows, so the OUTPUT proportions equal the
+    target weights (up to the no-upsampling cap). Domains without a
+    weight are dropped.
+
+    Float ops are written in exactly the order the SQL twin uses
+    (``n/w`` then ``w*t/n`` then ``least(.,1.0)`` then
+    ``floor(.*SCALE)``) so both engines compute bit-identical IEEE
+    doubles and therefore identical integer thresholds.
+    """
+    import math
+
+    t = min(
+        counts[d] / w for d, w in weights.items() if w > 0 and d in counts
+    )
+    thr = {}
+    for d, w in weights.items():
+        if w > 0 and d in counts:
+            thr[d] = math.floor(min(w * t / counts[d], 1.0) * SCALE)
+    return thr
+
+
+def mixture_resample(
+    df: DataFrame,
+    domain_col: str,
+    id_col: str,
+    weights: dict[str, float],
+) -> DataFrame:
+    """Resample a multi-domain corpus to a target mixture (the
+    "data recipe" step of a training pipeline: e.g. cap web crawl at
+    60%, keep all code and rare-language text).
+
+    Per-domain counts are one hash-partitioned aggregation whose
+    result is bounded by the number of domains (dozens) — the single
+    driver-side collect here is a policy computation, not data
+    movement. The keep decision is then the same scan-side
+    deterministic hash gate as :func:`stratified_sample_hash`: no
+    second shuffle, reproducible on any engine/partitioning.
+    """
+    counts = {
+        r["d"]: r["n"]
+        for r in df.groupBy(F.col(domain_col).alias("d"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    thr = mixture_thresholds(counts, weights)
+    gate = None
+    for d, k in thr.items():
+        gate = (
+            F.when(F.col(domain_col) == d, F.lit(k))
+            if gate is None
+            else gate.when(F.col(domain_col) == d, F.lit(k))
+        )
+    gate = gate.otherwise(F.lit(0)) if gate is not None else F.lit(0)
+    bucket = F.pmod(hash64(F.col(id_col).cast("string")), F.lit(SCALE))
+    return df.filter(bucket < gate)
+
+
+def mixture_resample_sql(
+    table: str, domain_expr: str, id_expr: str, weights: dict[str, float]
+) -> str:
+    """DuckDB twin of :func:`mixture_resample` — recomputes counts,
+    budget, and thresholds in SQL with the identical float op order."""
+    values = ", ".join(f"('{d}', {w!r}::DOUBLE)" for d, w in weights.items())
+    bucket = f"({hash64_sql(f'({id_expr})::VARCHAR')}) % {SCALE}"
+    return f"""
+        WITH counts AS (
+          SELECT {domain_expr} AS d, count(*) AS n FROM {table} GROUP BY 1),
+        w(d, wt) AS (SELECT * FROM (VALUES {values}) v(d, wt)),
+        budget AS (
+          SELECT min(n / wt) AS t FROM counts JOIN w USING (d) WHERE wt > 0),
+        thr AS (
+          SELECT d, floor(least(wt * t / n, 1.0) * {SCALE}) AS k
+          FROM counts JOIN w USING (d) CROSS JOIN budget WHERE wt > 0)
+        SELECT s.* FROM {table} s
+        JOIN thr ON {domain_expr} = thr.d
+        WHERE {bucket} < thr.k
+    """
+
+
+def top_frac_per_group(
+    df: DataFrame,
+    group_col: str,
+    score_col: str,
+    id_col: str,
+    frac: float,
+) -> DataFrame:
+    """Keep the top ``frac`` of rows per group by score (quality
+    curation: e.g. the best 30% of docs per language). Rank-based, not
+    threshold-based, so the kept COUNT per group is exact and the
+    decision is integer-reproducible across engines (ties broken by
+    id).
+
+    Plan: one shuffle on ``group_col`` feeding two window functions
+    over the same sort — Catalyst evaluates both in a single Window
+    node. Groups here are coarse (languages, sources), so a per-group
+    sort is the right tool; for millions-of-groups or monster groups,
+    switch to an approx-quantile threshold join (percentile_approx per
+    group, broadcast, filter) and give up exact counts.
+    """
+    from pyspark.sql import Window
+
+    order = Window.partitionBy(group_col).orderBy(
+        F.col(score_col).desc(), F.col(id_col)
+    )
+    whole = Window.partitionBy(group_col)
+    return (
+        df.withColumn("__rn", F.row_number().over(order))
+        .withColumn("__n", F.count(F.lit(1)).over(whole))
+        .filter(F.col("__rn") <= F.ceil(F.col("__n") * F.lit(frac)))
+        .drop("__rn", "__n")
+    )

@@ -161,3 +161,58 @@ def test_chunk_documents_cover_and_overlap(spark):
     assert len(pdf[pdf.doc_id == 2]) == 1 and len(pdf[pdf.doc_id == 3]) == 1
     with pytest.raises(ValueError):
         chunk_documents(df, "text", "doc_id", chunk_chars=100, overlap=100)
+
+
+def test_redact_pii_planted_cases(spark):
+    """Redaction hits emails/IPs/phones, leaves lookalikes alone, and
+    Spark output equals the DuckDB twin on the same strings (regex
+    dialect parity — the whole point of the restricted pattern set)."""
+    import duckdb
+
+    from bergloom_spark.functions.text import (
+        pii_count,
+        pii_count_sql,
+        redact_pii,
+        redact_pii_sql,
+    )
+
+    cases = [
+        (0, "mail a.b+tag@x-corp.example.co now"),
+        (1, "server at 192.168.001.1 port 8080"),
+        (2, "call 555-123-4567 or 555 1234 5678"),
+        (3, "semver 1.2.3 is not an ip, v10.0.0.1b neither"),
+        (4, "two mails a@b.io c@d.org one ip 8.8.8.8"),
+        (5, "clean text with no pii at all"),
+    ]
+    df = spark.createDataFrame(cases, ["id", "t"])
+    got = {
+        r["id"]: (r["red"], r["ne"], r["ni"], r["np"])
+        for r in df.select(
+            "id",
+            redact_pii("t").alias("red"),
+            pii_count("t", "email").alias("ne"),
+            pii_count("t", "ipv4").alias("ni"),
+            pii_count("t", "phone").alias("np"),
+        ).collect()
+    }
+    assert got[0][0] == "mail <EMAIL> now" and got[0][1] == 1
+    assert got[1][0] == "server at <IP> port 8080" and got[1][2] == 1
+    assert got[2] == ("call <PHONE> or <PHONE>", 0, 0, 2)
+    # 1.2.3 has three octets; v10.0.0.1b breaks both \b boundaries —
+    # ...but '10.0.0.1' inside 'v10...1b' still word-bounds at v|1 and
+    # 1|b? No: \b requires a \w/\W transition; 'v1' and '1b' are \w\w,
+    # so no boundary — no match.
+    assert got[3] == ("semver 1.2.3 is not an ip, v10.0.0.1b neither", 0, 0, 0)
+    assert got[4][1] == 2 and got[4][2] == 1
+    assert got[5] == ("clean text with no pii at all", 0, 0, 0)
+
+    con = duckdb.connect()
+    for i, t in cases:
+        lit = "'" + t.replace("'", "''") + "'"
+        row = con.execute(
+            "SELECT " + redact_pii_sql(lit) + ", "
+            + pii_count_sql(lit, "email") + ", "
+            + pii_count_sql(lit, "ipv4") + ", "
+            + pii_count_sql(lit, "phone")
+        ).fetchone()
+        assert (row[0], row[1], row[2], row[3]) == got[i], (i, row, got[i])

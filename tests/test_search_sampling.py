@@ -77,3 +77,48 @@ def test_stratified_sample_rate_roughly_respected(spark, sf_dir):
         ev, "event_type", "event_id", {}, default_fraction=0.5
     ).count()
     assert 0.35 * n_all < kept < 0.65 * n_all
+
+
+def test_mixture_resample_hits_target_proportions(spark, sf_dir):
+    """Output language shares track the target weights (the limiting
+    domain is kept whole; others are hash-gated down), and the gate is
+    deterministic across invocations."""
+    from bergloom_spark.io import load_table
+    from bergloom_spark.operators.sampling import (
+        mixture_resample,
+        mixture_thresholds,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    weights = {"en": 0.3, "de": 0.2, "es": 0.2, "fr": 0.2, "zh": 0.1}
+    out = mixture_resample(docs, "lang", "doc_id", weights)
+    got = {r["lang"]: r["n"] for r in
+           out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    total = sum(got.values())
+    # Small-sample hash noise: each share within 6 points of target.
+    for lang, w in weights.items():
+        assert abs(got.get(lang, 0) / total - w) < 0.06, (lang, got, total)
+    # Limiting domain kept (nearly) whole: its threshold is SCALE-ish.
+    counts = {r["lang"]: r["n"] for r in
+              docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    thr = mixture_thresholds(counts, weights)
+    limiting = min(counts, key=lambda d: counts[d] / weights[d])
+    assert thr[limiting] == 1_000_000
+    # Deterministic: second run selects the identical id set.
+    a = {r["doc_id"] for r in out.select("doc_id").collect()}
+    b = {r["doc_id"] for r in
+         mixture_resample(docs, "lang", "doc_id", weights)
+         .select("doc_id").collect()}
+    assert a == b
+
+
+def test_mixture_resample_drops_unweighted_domains(spark):
+    from bergloom_spark.operators.sampling import mixture_resample
+
+    df = spark.createDataFrame(
+        [(i, "keep" if i % 2 else "drop") for i in range(100)],
+        ["id", "dom"],
+    )
+    out = mixture_resample(df, "dom", "id", {"keep": 1.0})
+    assert out.filter(F.col("dom") == "drop").count() == 0
+    assert out.filter(F.col("dom") == "keep").count() == 50
