@@ -6,6 +6,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
 
 TABLES = (
     "region",
@@ -25,20 +26,26 @@ DEFAULT_SF_DIR = "/root/testdata/sf0.001"
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
-        # events.parquet carries TIMESTAMP(NANOS), which Spark rejects
-        # unless read as raw long nanos. Set the conf defensively (the
-        # driver's session may not come from session.get_spark), then
-        # convert nanos → NTZ via a timezone-independent timestampadd
-        # (timestamp_micros().cast() would bake in the session TZ).
+        # events.parquet has shipped with two ts encodings across data
+        # generations: TIMESTAMP(NANOS) — which Spark only reads as raw
+        # long nanos under the legacy flag — and plain TIMESTAMP(MICROS).
+        # Set the conf defensively (the driver's session may not come
+        # from session.get_spark), then branch on the type that actually
+        # materialized. Long nanos → NTZ via a timezone-independent
+        # timestampadd (timestamp_micros().cast() would bake in the
+        # session TZ); native timestamps pass through (Spark already
+        # reads isAdjustedToUTC=false as TIMESTAMP_NTZ).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-        return df.withColumn(
-            "ts",
-            F.expr(
-                "timestampadd(MICROSECOND, ts div 1000,"
-                " TIMESTAMP_NTZ '1970-01-01 00:00:00')"
-            ),
-        )
+        if isinstance(df.schema["ts"].dataType, LongType):
+            df = df.withColumn(
+                "ts",
+                F.expr(
+                    "timestampadd(MICROSECOND, ts div 1000,"
+                    " TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+                ),
+            )
+        return df
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
