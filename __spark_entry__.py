@@ -1001,6 +1001,33 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style time_bucket_gapfill: 15-minute buckets per
+    event type densified to the full grid, gaps carried forward."""
+    from bergloom_spark.operators import timeseries as TS
+
+    ev = T(spark, sf_dir, "events")
+    return TS.gapfill(
+        ev, ["event_type"], "ts", "value", bucket_minutes=15, method="locf"
+    )
+
+
+def q_gapfill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-fill with linear interpolation between the neighboring
+    observed buckets; edges fall back to nearest observation."""
+    from bergloom_spark.operators import timeseries as TS
+
+    ev = T(spark, sf_dir, "events")
+    return TS.gapfill(
+        ev,
+        ["event_type"],
+        "ts",
+        "value",
+        bucket_minutes=15,
+        method="interpolate",
+    )
+
+
 def q_asof_purchase_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (Spark lacks a native one): each purchase matched to
     the user's latest prior-or-equal view. Union-window formulation —
@@ -2255,6 +2282,20 @@ _EXT_ORACLES = {
     """,
 }
 
+from bergloom_spark.operators import timeseries as _TS  # noqa: E402
+
+_EXT_ORACLES["gapfill_locf"] = _TS.gapfill_sql(
+    ["event_type"], "ts", "value", "events", bucket_minutes=15, method="locf"
+)
+_EXT_ORACLES["gapfill_interp"] = _TS.gapfill_sql(
+    ["event_type"],
+    "ts",
+    "value",
+    "events",
+    bucket_minutes=15,
+    method="interpolate",
+)
+
 
 # ---------------------------------------------------------------------------
 # driver contract
@@ -2292,6 +2333,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_purchase_view": q_asof_purchase_view,
         "asof_bucketed": q_asof_bucketed,
         "sessionize_gap": q_sessionize_gap,
+        "gapfill_locf": q_gapfill_locf,
+        "gapfill_interp": q_gapfill_interp,
         "interval_error_context": q_interval_error_context,
         "streaming_events_hourly": q_streaming_events_hourly,
         "streaming_attribution": q_streaming_attribution,

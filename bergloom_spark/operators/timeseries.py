@@ -1,0 +1,209 @@
+"""Time-series gap-fill: dense bucket grid + LOCF / linear interpolation.
+
+Hypertable-style ``time_bucket_gapfill`` semantics (the reference's
+rollup surface stops at plain windowed aggregation; this extends it the
+way TimescaleDB/InfluxDB users expect): bucket an event stream to a
+fixed interval, densify each series to the full grid between its first
+and last observation, then fill the holes — carry-forward (``locf``) or
+linear interpolation (``interpolate``).
+
+Plan shape, built for scale:
+
+1. Bucket aggregation — one hash shuffle on (keys, bucket), with
+   map-side partial aggregation.
+2. Per-key range — a tiny re-aggregation of the bucketed output on a
+   prefix of the same keys (no new wide shuffle).
+3. Grid — ``sequence(min_idx, max_idx)`` exploded per key; generated
+   rows are (keys, long) pairs, never materialized on the driver.
+4. Left join grid↔buckets on (keys, idx) — both sides hash-partitioned
+   on the same keys.
+5. Fill — a window per key ordered by bucket index. Running
+   ``last(ignorenulls)`` / ``first(ignorenulls)`` frames; no self-join.
+
+The integer bucket index (minutes-since-epoch ÷ width) is the join and
+interpolation axis: pure integer arithmetic sidesteps timestamp
+timezone semantics entirely and keeps the DuckDB oracle twin
+expressible with ``generate_series``. One caveat at 100 TB: each key's
+series must fit one task for the fill window — for series longer than
+~10^8 buckets, pre-split the key by coarse time range and stitch the
+boundary rows.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_EPOCH = "TIMESTAMP_NTZ '1970-01-01 00:00:00'"
+
+
+def _bucket_idx(ts_col: str, bucket_minutes: int) -> Column:
+    # Integer-divide minutes-since-epoch: timezone-independent on NTZ.
+    return F.expr(
+        f"timestampdiff(MINUTE, {_EPOCH}, {ts_col})"
+    ) / F.lit(bucket_minutes)
+
+
+def bucket_series(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    bucket_minutes: int,
+) -> DataFrame:
+    """Aggregate to (keys, bucket_idx) with the bucket's mean value."""
+    return (
+        df.withColumn(
+            "bucket_idx", F.floor(_bucket_idx(ts_col, bucket_minutes))
+        )
+        .groupBy(*keys, "bucket_idx")
+        .agg(F.round(F.avg(value_col), 6).alias("v"))
+    )
+
+
+def gapfill(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    bucket_minutes: int = 15,
+    method: str = "locf",
+) -> DataFrame:
+    """Densify each key's series and fill missing buckets.
+
+    Returns (keys..., bucket_ts, v, v_filled): ``v`` is the observed
+    bucket mean (null in gaps), ``v_filled`` the filled value. Leading
+    gaps stay null under ``locf``; under ``interpolate`` edges fall
+    back to the nearest observed value.
+    """
+    if method not in ("locf", "interpolate"):
+        raise ValueError(f"unknown fill method: {method}")
+    keys = list(keys)
+    b = bucket_series(df, keys, ts_col, value_col, bucket_minutes)
+    rng = b.groupBy(*keys).agg(
+        F.min("bucket_idx").alias("mn"), F.max("bucket_idx").alias("mx")
+    )
+    grid = rng.select(
+        *keys, F.explode(F.sequence("mn", "mx")).alias("bucket_idx")
+    )
+    j = grid.join(b, [*keys, "bucket_idx"], "left")
+
+    w = Window.partitionBy(*keys).orderBy("bucket_idx")
+    prec = w.rowsBetween(Window.unboundedPreceding, 0)
+    foll = w.rowsBetween(0, Window.unboundedFollowing)
+    if method == "locf":
+        filled = F.last("v", ignorenulls=True).over(prec)
+    else:
+        # Interpolate in integer micro-units so Spark and any SQL twin
+        # produce BIT-IDENTICAL doubles: the 6dp-rounded v scales to an
+        # exact BIGINT, the linear combination stays integral, and the
+        # single closing division is one IEEE op — no cross-engine
+        # round-half noise at the 7th digit.
+        obs_idx = F.when(
+            F.col("v").isNotNull(), F.col("bucket_idx")
+        )
+        vm = F.round(F.col("v") * F.lit(1_000_000.0)).cast("long")
+        pv = F.last("v", ignorenulls=True).over(prec)
+        nv = F.first("v", ignorenulls=True).over(foll)
+        pvm = F.last(vm, ignorenulls=True).over(prec)
+        pi = F.last(obs_idx, ignorenulls=True).over(prec)
+        nvm = F.first(vm, ignorenulls=True).over(foll)
+        ni = F.first(obs_idx, ignorenulls=True).over(foll)
+        idx = F.col("bucket_idx")
+        filled = (
+            F.when(F.col("v").isNotNull(), F.col("v"))
+            .when(pvm.isNull(), nv)
+            .when(nvm.isNull(), pv)
+            .otherwise(
+                (pvm * (ni - idx) + nvm * (idx - pi))
+                / ((ni - pi) * F.lit(1_000_000.0))
+            )
+        )
+    return j.select(
+        *keys,
+        F.expr(
+            f"timestampadd(MINUTE, int(bucket_idx * {bucket_minutes}),"
+            f" {_EPOCH})"
+        ).alias("bucket_ts"),
+        "v",
+        filled.alias("v_filled"),
+    )
+
+
+def gapfill_sql(
+    keys: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    table: str,
+    bucket_minutes: int = 15,
+    method: str = "locf",
+    where: str = "TRUE",
+) -> str:
+    """DuckDB twin of :func:`gapfill` (same grid, same fill rules)."""
+    keylist = ", ".join(keys)
+    if method == "locf":
+        fill = (
+            "last_value(v IGNORE NULLS) OVER "
+            f"(PARTITION BY {keylist} ORDER BY bucket_idx "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+        )
+    else:
+        # Same integer micro-unit scheme as the DataFrame path: BIGINT
+        # linear combination, one closing IEEE division — bit-identical
+        # doubles across engines.
+        over_p = (
+            f"OVER (PARTITION BY {keylist} ORDER BY bucket_idx "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+        )
+        over_f = (
+            f"OVER (PARTITION BY {keylist} ORDER BY bucket_idx "
+            "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)"
+        )
+        pv = f"last_value(v IGNORE NULLS) {over_p}"
+        nv = f"first_value(v IGNORE NULLS) {over_f}"
+        vm = "CAST(round(v * 1000000.0) AS BIGINT)"
+        pvm = f"last_value({vm} IGNORE NULLS) {over_p}"
+        nvm = f"first_value({vm} IGNORE NULLS) {over_f}"
+        pi = (
+            "last_value(CASE WHEN v IS NOT NULL THEN bucket_idx END"
+            f" IGNORE NULLS) {over_p}"
+        )
+        ni = (
+            "first_value(CASE WHEN v IS NOT NULL THEN bucket_idx END"
+            f" IGNORE NULLS) {over_f}"
+        )
+        fill = f"""
+          CASE
+            WHEN v IS NOT NULL THEN v
+            WHEN {pvm} IS NULL THEN {nv}
+            WHEN {nvm} IS NULL THEN {pv}
+            ELSE ({pvm} * ({ni} - bucket_idx)
+                  + {nvm} * (bucket_idx - {pi}))
+                 / (({ni} - {pi}) * 1000000.0)
+          END"""
+    return f"""
+      WITH b AS (
+        SELECT {keylist},
+               CAST(floor(datediff('minute', TIMESTAMP '1970-01-01',
+                                   {ts_col}) / {bucket_minutes}) AS BIGINT)
+                 AS bucket_idx,
+               round(avg({value_col}), 6) AS v
+        FROM {table} WHERE {where}
+        GROUP BY ALL
+      ), rng AS (
+        SELECT {keylist}, min(bucket_idx) AS mn, max(bucket_idx) AS mx
+        FROM b GROUP BY ALL
+      ), grid AS (
+        SELECT {keylist}, unnest(generate_series(mn, mx)) AS bucket_idx
+        FROM rng
+      )
+      SELECT {keylist},
+             TIMESTAMP '1970-01-01'
+               + to_minutes(CAST(bucket_idx * {bucket_minutes} AS BIGINT))
+               AS bucket_ts,
+             v,
+             {fill} AS v_filled
+      FROM grid LEFT JOIN b USING ({keylist}, bucket_idx)
+    """

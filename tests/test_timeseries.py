@@ -1,0 +1,85 @@
+from __future__ import annotations
+
+import datetime as dt
+
+import duckdb
+import pytest
+
+from bergloom_spark.io import load_table
+from bergloom_spark.operators import timeseries as TS
+from tests.oracle_utils import compare
+
+
+def _mk_series(spark):
+    # One key, observations at 15-min buckets 0, 2, 5 (values 1, 5, 11):
+    # gaps at 1, 3, 4 exercise both fill modes deterministically.
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        ("a", base + dt.timedelta(minutes=15 * i + 3), float(v))
+        for i, v in [(0, 1), (2, 5), (5, 11)]
+    ]
+    return spark.createDataFrame(rows, "k string, ts timestamp_ntz, value double")
+
+
+def _vals(df):
+    return {
+        (r.k, r.bucket_ts.isoformat()): (r.v, r.v_filled)
+        for r in df.collect()
+    }
+
+
+def test_locf_carries_forward(spark):
+    out = TS.gapfill(
+        _mk_series(spark), ["k"], "ts", "value", 15, method="locf"
+    )
+    got = _vals(out)
+    assert len(got) == 6  # dense grid buckets 0..5
+    assert got[("a", "2024-01-01T00:15:00")] == (None, 1.0)
+    assert got[("a", "2024-01-01T00:45:00")] == (None, 5.0)
+    assert got[("a", "2024-01-01T01:00:00")] == (None, 5.0)
+    assert got[("a", "2024-01-01T01:15:00")] == (11.0, 11.0)
+
+
+def test_interpolate_is_linear_between_neighbors(spark):
+    out = TS.gapfill(
+        _mk_series(spark), ["k"], "ts", "value", 15, method="interpolate"
+    )
+    got = _vals(out)
+    # Between (0, 1.0) and (2, 5.0): bucket 1 = 3.0.
+    assert got[("a", "2024-01-01T00:15:00")] == (None, 3.0)
+    # Between (2, 5.0) and (5, 11.0): buckets 3, 4 = 7.0, 9.0.
+    assert got[("a", "2024-01-01T00:45:00")] == (None, 7.0)
+    assert got[("a", "2024-01-01T01:00:00")] == (None, 9.0)
+
+
+def test_interpolate_edges_fall_back_to_nearest(spark):
+    base = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [
+            ("a", base + dt.timedelta(minutes=20), 4.0),
+            ("a", base + dt.timedelta(minutes=50), 8.0),
+        ],
+        "k string, ts timestamp_ntz, value double",
+    )
+    out = TS.gapfill(df, ["k"], "ts", "value", 15, method="interpolate")
+    got = _vals(out)
+    assert got[("a", "2024-01-01T00:30:00")] == (None, 6.0)
+
+
+@pytest.mark.parametrize("method", ["locf", "interpolate"])
+def test_gapfill_matches_duckdb_on_events(spark, sf_dir, method):
+    ev = load_table(spark, sf_dir, "events")
+    out = TS.gapfill(
+        ev, ["event_type"], "ts", "value", bucket_minutes=15, method=method
+    )
+    sql = TS.gapfill_sql(
+        ["event_type"], "ts", "value", "events",
+        bucket_minutes=15, method=method,
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/events.parquet')"
+    )
+    report = compare(out, con, sql)
+    assert report["match"], report
