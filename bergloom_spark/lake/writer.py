@@ -174,7 +174,26 @@ def write_data_files(
         # when the plan has fewer partitions than ``n_files`` the
         # coalesce is a no-op and per-file size stays bounded by the
         # scan's ``maxPartitionBytes`` (~the target size) anyway.
-        writer = df.coalesce(n_files)
+        #
+        # Parallelism floor: coalescing BELOW the cluster's core count
+        # serializes the whole final stage — parquet encode included —
+        # onto n_files tasks (coalesce(1) = a one-task write no matter
+        # how many executors). When the data supports multiple
+        # ≥ target/8 files, keep the write at least as wide as the
+        # smaller of the plan and the cluster; the reference's rolling
+        # writer has the same behavior (per-task streams, never merged
+        # across tasks). At 100 TB n_files >> cores and the floor is
+        # inert.
+        # (coalesce above the plan's real partition count is a no-op,
+        # so the floor needs no partition-count probe — rdd.
+        # getNumPartitions() would rebuild the physical plan, ~0.5 s
+        # of pure planning overhead per write.)
+        spark = df.sparkSession
+        min_file = max(1, target_file_size // 8)
+        est = max(1, estimate_bytes(df))
+        by_min_size = max(1, (est // 3) // min_file)
+        floor = min(spark.sparkContext.defaultParallelism, by_min_size)
+        writer = df.coalesce(max(n_files, floor))
         writer.write.mode("error").option("compression", compression).parquet(out_dir)
     return _collect_parquet_entries(
         out_dir, "data", sequence_number, partition_cols=partition_spec
