@@ -1028,6 +1028,60 @@ def q_gapfill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered event funnel (view → click → purchase): users counted at
+    step k only if they performed step k strictly after their earliest
+    ordered completion of step k-1. Single shuffle keyed by user —
+    composed conditional mins, no per-step self-joins."""
+    from bergloom_spark.operators.funnel import funnel_counts
+
+    ev = T(spark, sf_dir, "events")
+    return funnel_counts(ev, ["view", "click", "purchase"])
+
+
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix: users bucketed by first-active
+    week; per (cohort, day-offset) active-user counts."""
+    from bergloom_spark.operators.funnel import retention_matrix
+
+    ev = T(spark, sf_dir, "events")
+    return retention_matrix(ev, period="week")
+
+
+def q_moving_avg_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day moving window over daily revenue per event type —
+    a RANGE frame on an integer day index (not ROWS: gaps in the daily
+    series must widen the window's row count, not its day span).
+    Daily sums pre-round to 2dp so the sequential frame addition is
+    bit-identical across engines."""
+    from pyspark.sql import Window
+
+    ev = T(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(
+            F.col("event_type"),
+            F.datediff(
+                F.col("ts"), F.expr("TIMESTAMP_NTZ '1970-01-01 00:00:00'")
+            ).alias("day_idx"),
+        )
+        .agg(F.round(F.sum("value"), 2).alias("rev"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day_idx")
+        .rangeBetween(-6, 0)
+    )
+    return daily.select(
+        "event_type",
+        F.expr(
+            "timestampadd(DAY, day_idx, TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+        ).alias("day"),
+        "rev",
+        F.round(F.sum("rev").over(w), 2).alias("rev_7d"),
+        F.count(F.lit(1)).over(w).alias("days_present_7d"),
+    )
+
+
 def q_asof_purchase_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (Spark lacks a native one): each purchase matched to
     the user's latest prior-or-equal view. Union-window formulation —
@@ -2282,8 +2336,30 @@ _EXT_ORACLES = {
     """,
 }
 
+from bergloom_spark.operators import funnel as _FN  # noqa: E402
 from bergloom_spark.operators import timeseries as _TS  # noqa: E402
 
+_EXT_ORACLES["funnel_conversion"] = _FN.funnel_counts_sql(
+    ["view", "click", "purchase"]
+)
+_EXT_ORACLES["retention_cohorts"] = _FN.retention_matrix_sql(period="week")
+_EXT_ORACLES["moving_avg_range"] = """
+    WITH daily AS (
+      SELECT event_type,
+             datediff('day', TIMESTAMP '1970-01-01', ts) AS day_idx,
+             round(sum(value), 2) AS rev
+      FROM events GROUP BY ALL)
+    SELECT event_type,
+           TIMESTAMP '1970-01-01' + to_days(day_idx::INT) AS day,
+           rev,
+           round(sum(rev) OVER (
+             PARTITION BY event_type ORDER BY day_idx
+             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 2) AS rev_7d,
+           count(*) OVER (
+             PARTITION BY event_type ORDER BY day_idx
+             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS days_present_7d
+    FROM daily
+"""
 _EXT_ORACLES["gapfill_locf"] = _TS.gapfill_sql(
     ["event_type"], "ts", "value", "events", bucket_minutes=15, method="locf"
 )
@@ -2335,6 +2411,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_gap": q_sessionize_gap,
         "gapfill_locf": q_gapfill_locf,
         "gapfill_interp": q_gapfill_interp,
+        "funnel_conversion": q_funnel_conversion,
+        "retention_cohorts": q_retention_cohorts,
+        "moving_avg_range": q_moving_avg_range,
         "interval_error_context": q_interval_error_context,
         "streaming_events_hourly": q_streaming_events_hourly,
         "streaming_attribution": q_streaming_attribution,

@@ -42,24 +42,31 @@ def funnel_depths(
     """
     if not steps:
         raise ValueError("steps must be non-empty")
-    agg = events.groupBy(user_col)
-    # t0 = min ts of step0; tk = min ts of step k AFTER t(k-1).
-    t_prev = F.min(F.when(F.col(type_col) == steps[0], F.col(ts_col)))
-    t_cols = [t_prev.alias("__t0")]
-    for i, step in enumerate(steps[1:], start=1):
-        t_prev = F.min(
-            F.when(
-                (F.col(type_col) == step)
-                & (F.col(ts_col) > t_prev),
-                F.col(ts_col),
-            )
-        )
-        t_cols.append(t_prev.alias(f"__t{i}"))
-    per_user = agg.agg(*t_cols)
-    depth = sum(
-        (F.col(f"__t{i}").isNotNull().cast("int") for i in range(len(steps))),
-        F.lit(0),
+    # One aggregation collects each step's timestamps per user (nested
+    # aggregates are illegal, so the ordered-min chain runs as scalar
+    # array expressions on the aggregated row: t0 = min(step0 times),
+    # tk = min(step k times AFTER t(k-1)) via filter + array_min —
+    # null propagation gives "never reached" for free). Per-user array
+    # size is the user's per-step event count — bounded by the same
+    # per-key skew every groupBy(user) already has.
+    per_user = events.groupBy(user_col).agg(
+        *[
+            F.collect_list(
+                F.when(F.col(type_col) == step, F.col(ts_col))
+            ).alias(f"__s{i}")
+            for i, step in enumerate(steps)
+        ]
     )
+    def _after(lo):
+        # Closure, not a default arg: F.filter reads the lambda's arity
+        # and a defaulted second parameter would become a (x, i) lambda.
+        return lambda x: x > lo
+
+    t_prev = F.array_min(F.col("__s0"))
+    depth = t_prev.isNotNull().cast("int")
+    for i in range(1, len(steps)):
+        t_prev = F.array_min(F.filter(F.col(f"__s{i}"), _after(t_prev)))
+        depth = depth + t_prev.isNotNull().cast("int")
     return per_user.select(F.col(user_col), depth.alias("depth"))
 
 
@@ -78,27 +85,16 @@ def funnel_counts(
     by_depth = depths.filter(F.col("depth") > 0).groupBy("depth").agg(
         F.count(F.lit(1)).alias("n")
     )
-    # Cumulative ≥-depth counts over a table whose size = len(steps):
-    # a window over at most a handful of rows, then label the steps.
-    from pyspark.sql import Window
-
-    w = (
-        Window.orderBy(F.col("depth").desc())
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    cum = by_depth.select(
-        "depth", F.sum("n").over(w).alias("users")
-    )
+    # users(step) = Σ n over observed depths ≥ step — a ≥-join against
+    # the depth histogram (≤ len(steps) rows; an exact-depth join would
+    # drop steps no user stopped at exactly).
     steps_df = events.sparkSession.createDataFrame(
         [(i + 1, s) for i, s in enumerate(steps)], "step int, step_name string"
     )
     return (
-        steps_df.join(cum, steps_df.step == cum.depth, "left")
-        .select(
-            "step",
-            "step_name",
-            F.coalesce("users", F.lit(0)).alias("users"),
-        )
+        steps_df.join(by_depth, by_depth.depth >= steps_df.step, "left")
+        .groupBy("step", "step_name")
+        .agg(F.coalesce(F.sum("n"), F.lit(0)).alias("users"))
     )
 
 
@@ -109,19 +105,23 @@ def funnel_counts_sql(
     ts_col: str = "ts",
     type_col: str = "event_type",
 ) -> str:
-    """DuckDB twin of :func:`funnel_counts` (same ordered-min
-    construction, same strict-inequality tie rule)."""
-    t_exprs = [
-        f"min(CASE WHEN {type_col} = '{steps[0]}' THEN {ts_col} END) AS t0"
-    ]
-    prev = f"min(CASE WHEN {type_col} = '{steps[0]}' THEN {ts_col} END)"
-    for i, step in enumerate(steps[1:], start=1):
-        cur = (
-            f"min(CASE WHEN {type_col} = '{step}' AND {ts_col} > {prev} "
-            f"THEN {ts_col} END)"
+    """DuckDB twin of :func:`funnel_counts` (same collected-array
+    ordered-min construction, same strict-inequality tie rule)."""
+    collects = ", ".join(
+        f"list({ts_col}) FILTER (WHERE {type_col} = '{step}') AS s{i}"
+        for i, step in enumerate(steps)
+    )
+    # Chain the ordered mins through CTE stages (t(k) references
+    # t(k-1), which a single SELECT list cannot do).
+    stages = ["SELECT *, list_min(s0) AS t0 FROM per_user"]
+    for i in range(1, len(steps)):
+        stages.append(
+            f"SELECT *, list_min(list_filter(s{i}, x -> x > t{i - 1}))"
+            f" AS t{i} FROM stage{i - 1}"
         )
-        t_exprs.append(f"{cur} AS t{i}")
-        prev = cur
+    stage_ctes = ", ".join(
+        f"stage{i} AS ({sql})" for i, sql in enumerate(stages)
+    )
     depth = " + ".join(
         f"(t{i} IS NOT NULL)::INT" for i in range(len(steps))
     )
@@ -130,10 +130,11 @@ def funnel_counts_sql(
     )
     return f"""
       WITH per_user AS (
-        SELECT {user_col}, {', '.join(t_exprs)}
+        SELECT {user_col}, {collects}
         FROM {table} GROUP BY {user_col}
-      ), depths AS (
-        SELECT {depth} AS depth FROM per_user
+      ), {stage_ctes},
+      depths AS (
+        SELECT {depth} AS depth FROM stage{len(steps) - 1}
       ), steps(step, step_name) AS (VALUES {names})
       SELECT s.step, s.step_name,
              (SELECT count(*) FROM depths d WHERE d.depth >= s.step)
@@ -182,8 +183,10 @@ def retention_matrix_sql(
     """DuckDB twin of :func:`retention_matrix`."""
     return f"""
       WITH active AS (
+        -- ::TIMESTAMP: DuckDB date_trunc yields DATE, Spark yields
+        -- TIMESTAMP; the driver hash is type-aware.
         SELECT DISTINCT {user_col} AS u,
-               date_trunc('{period}', {ts_col}) AS p
+               date_trunc('{period}', {ts_col})::TIMESTAMP AS p
         FROM {table}
       ), with_cohort AS (
         SELECT u, p, min(p) OVER (PARTITION BY u) AS cohort
