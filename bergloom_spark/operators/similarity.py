@@ -371,37 +371,63 @@ def knn_lsh(
     signature/bucket table is a secondary index a few per-mille of the
     corpus size.
     """
+    import numpy as np
+    import pandas as pd
+
+    spark = embeddings.sparkSession
     all_planes = [_hyperplanes(dim, n_planes, t) for t in range(n_tables)]
-    base = embeddings.select(
-        F.col(id_col).alias("__id"), as_double(F.col(vec_col)).alias("__v")
+    # One (n_tables·n_planes, dim) matrix: the whole signature pass is
+    # a single BLAS matmul per Arrow batch. The expression formulation
+    # (bucket_key) stays as the small-N/oracle-checkable twin; at 32
+    # plane-dots per row an interpreted HOF fold costs ~100× the
+    # matmul and was the dominant term of the whole query.
+    pm = np.array([p for planes in all_planes for p in planes], dtype=np.float64)
+    bits = (1 << np.arange(n_planes, dtype=np.int64))
+
+    out_schema = f"__id long, __v array<double>, __t int, __b long"
+
+    def signatures(batches):
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            proj = m @ pm.T >= 0  # (batch, n_tables·n_planes)
+            for t in range(n_tables):
+                sl = proj[:, t * n_planes : (t + 1) * n_planes]
+                b = (sl * bits).sum(axis=1)
+                yield pd.DataFrame(
+                    {
+                        "__id": ids,
+                        "__v": list(m),
+                        "__t": np.full(len(ids), t, dtype=np.int32),
+                        "__b": b,
+                    }
+                )
+
+    bucketed = embeddings.select(id_col, vec_col).mapInPandas(
+        signatures, out_schema
     )
-    bucketed = base.select(
-        "__id",
-        "__v",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(t).alias("t"),
-                        bucket_key(F.col("__v"), planes).alias("b"),
-                    )
-                    for t, planes in enumerate(all_planes)
-                ]
+    # Probe buckets (+ Hamming-1 flips) computed driver-side from the
+    # bounded probe set — the corpus-wide signature pass runs ONCE.
+    probe_rows = (
+        embeddings.filter(F.col(id_col).isin(probe_ids))
+        .select(id_col, vec_col)
+        .collect()
+    )
+    entries = []
+    for r in probe_rows:
+        v = np.array(r[vec_col], dtype=np.float64)
+        proj = pm @ v >= 0
+        for t in range(n_tables):
+            b = int((proj[t * n_planes : (t + 1) * n_planes] * bits).sum())
+            buckets = [b] + (
+                [b ^ (1 << i) for i in range(n_planes)]
+                if multiprobe_hamming >= 1
+                else []
             )
-        ).alias("__tb"),
-    ).select("__id", "__v", F.col("__tb.t").alias("__t"), F.col("__tb.b").alias("__b"))
-    flips = [F.col("__b")] + [
-        F.col("__b").bitwiseXOR(F.lit(1 << i))
-        for i in range(n_planes if multiprobe_hamming >= 1 else 0)
-    ]
-    probes = (
-        bucketed.filter(F.col("__id").isin(probe_ids))
-        .select(
-            F.col("__id").alias("probe_id"),
-            F.col("__v").alias("__pv"),
-            "__t",
-            F.explode(F.array(*flips)).alias("__b"),
-        )
+            for bb in buckets:
+                entries.append((int(r[id_col]), [float(x) for x in v], t, bb))
+    probes = spark.createDataFrame(
+        entries, "probe_id long, __pv array<double>, __t int, __b long"
     )
     cands = (
         bucketed.join(F.broadcast(probes), ["__t", "__b"])
