@@ -1028,6 +1028,46 @@ def q_gapfill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_length_quantile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum-style decile binning: ntile(10) over document length
+    per language (tie-broken by doc_id so the assignment is total-order
+    deterministic across engines), then per-bucket stats."""
+    from pyspark.sql import Window
+
+    docs = T(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    return (
+        docs.select("lang", "n_chars", F.ntile(10).over(w).alias("decile"))
+        .groupBy("lang", "decile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+    )
+
+
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of event values: bucket index from pure
+    double arithmetic (identical in both engines), counts + sums per
+    bucket — the one-pass distributed histogram shape."""
+    ev = T(spark, sf_dir, "events")
+    lo, hi, nbins = 0.0, 500.0, 20
+    step = (hi - lo) / nbins
+    bucket = F.least(
+        F.lit(nbins - 1),
+        F.greatest(F.lit(0), F.floor((F.col("value") - F.lit(lo)) / F.lit(step))),
+    ).cast("int")
+    return (
+        ev.select(bucket.alias("bucket"), "value")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("value_sum"),
+        )
+    )
+
+
 def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered event funnel (view → click → purchase): users counted at
     step k only if they performed step k strictly after their earliest
@@ -2339,6 +2379,21 @@ _EXT_ORACLES = {
 from bergloom_spark.operators import funnel as _FN  # noqa: E402
 from bergloom_spark.operators import timeseries as _TS  # noqa: E402
 
+_EXT_ORACLES["length_quantile_buckets"] = """
+    SELECT lang, decile, count(*) AS n,
+           min(n_chars) AS min_chars, max(n_chars) AS max_chars
+    FROM (SELECT lang, n_chars,
+                 ntile(10) OVER (PARTITION BY lang
+                                 ORDER BY n_chars, doc_id) AS decile
+          FROM documents)
+    GROUP BY ALL
+"""
+_EXT_ORACLES["value_histogram"] = """
+    SELECT least(19, greatest(0, floor((value - 0.0) / 25.0)))::INT
+             AS bucket,
+           count(*) AS n, round(sum(value), 2) AS value_sum
+    FROM events GROUP BY ALL
+"""
 _EXT_ORACLES["funnel_conversion"] = _FN.funnel_counts_sql(
     ["view", "click", "purchase"]
 )
@@ -2414,6 +2469,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_conversion": q_funnel_conversion,
         "retention_cohorts": q_retention_cohorts,
         "moving_avg_range": q_moving_avg_range,
+        "length_quantile_buckets": q_length_quantile_buckets,
+        "value_histogram": q_value_histogram,
         "interval_error_context": q_interval_error_context,
         "streaming_events_hourly": q_streaming_events_hourly,
         "streaming_attribution": q_streaming_attribution,
