@@ -221,15 +221,21 @@ def q_pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     tk = F.col("__toks")
     scored = toked.select(
         "doc_id",
+        "text",
         TX.quality_score("text", toks=tk).alias("quality"),
         TX.lang_id("text", toks=tk).alias("lang_pred"),
         TX.token_count("text", toks=tk).alias("n_tokens"),
-        TX.fingerprint64("text").alias("fp"),
     )
     filtered = scored.filter(
         (F.col("quality") >= 0.6) & (F.col("lang_pred") == "en")
     )
-    deduped = dedup.exact_dedup(filtered, ["fp"], "doc_id")
+    # Fingerprint AFTER the quality/language gate: the md5 shingle fold
+    # is the most expensive scorer and ~90% of rows never reach the
+    # dedup — same results, fraction of the hash work.
+    with_fp = filtered.select(
+        "doc_id", "quality", "n_tokens", TX.fingerprint64("text").alias("fp")
+    )
+    deduped = dedup.exact_dedup(with_fp, ["fp"], "doc_id")
     return deduped.select("doc_id", "n_tokens", "quality")
 
 
@@ -1065,6 +1071,53 @@ def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
             F.round(F.sum("value"), 2).alias("value_sum"),
         )
+    )
+
+
+def q_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key anomaly scoring: each (event_type, day) daily total
+    z-scored against ITS KEY's own distribution. The moments come from
+    exact integer micro-unit sums (decimal(38,0) — no float summation
+    order anywhere), so both engines derive z from identical integers
+    with the same literal double-op sequence: bit-identical output.
+    Plan: one partial-agg shuffle to days, one tiny window per key."""
+    from pyspark.sql import Window
+
+    ev = T(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "event_type",
+            F.datediff(
+                F.col("ts"), F.expr("TIMESTAMP_NTZ '1970-01-01 00:00:00'")
+            ).alias("day_idx"),
+            F.round(F.col("value") * 1_000_000)
+            .cast("decimal(38,0)")
+            .alias("vm"),
+        )
+        .groupBy("event_type", "day_idx")
+        .agg(F.sum("vm").alias("dm"))
+    )
+    w = Window.partitionBy("event_type")
+    n = F.count(F.lit(1)).over(w)
+    s1 = F.sum("dm").over(w)
+    s2 = F.sum(F.col("dm") * F.col("dm")).over(w)
+    # All-double from exact ints, same op sequence as the SQL twin:
+    # mean = s1/n; var = (s2 - s1²/n)/n; z = (dm - mean)/sqrt(var).
+    mean = s1.cast("double") / n.cast("double")
+    var = (
+        s2.cast("double") - s1.cast("double") * s1.cast("double") / n.cast("double")
+    ) / n.cast("double")
+    z = (F.col("dm").cast("double") - mean) / F.sqrt(var)
+    return (
+        daily.select(
+            "event_type",
+            F.expr(
+                "timestampadd(DAY, day_idx, TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+            ).alias("day"),
+            (F.col("dm").cast("double") / F.lit(1_000_000.0)).alias("day_total"),
+            F.round(z, 6).alias("zscore"),
+        )
+        .filter(F.abs(F.col("zscore")) >= 2.0)
     )
 
 
@@ -2379,6 +2432,31 @@ _EXT_ORACLES = {
 from bergloom_spark.operators import funnel as _FN  # noqa: E402
 from bergloom_spark.operators import timeseries as _TS  # noqa: E402
 
+_EXT_ORACLES["zscore_anomalies"] = """
+    WITH daily AS (
+      SELECT event_type,
+             datediff('day', TIMESTAMP '1970-01-01', ts) AS day_idx,
+             -- exact integer micro-units; HUGEINT keeps dm² exact
+             sum(round(value * 1000000)::BIGINT)::HUGEINT AS dm
+      FROM events GROUP BY ALL
+    ), stats AS (
+      SELECT event_type, day_idx, dm,
+             count(*) OVER (PARTITION BY event_type) AS n,
+             sum(dm) OVER (PARTITION BY event_type) AS s1,
+             sum(dm * dm) OVER (PARTITION BY event_type) AS s2
+      FROM daily
+    )
+    SELECT event_type,
+           TIMESTAMP '1970-01-01' + to_days(day_idx::INT) AS day,
+           dm::DOUBLE / 1000000.0 AS day_total,
+           round((dm::DOUBLE - s1::DOUBLE / n::DOUBLE)
+                 / sqrt((s2::DOUBLE - s1::DOUBLE * s1::DOUBLE / n::DOUBLE)
+                        / n::DOUBLE), 6) AS zscore
+    FROM stats
+    WHERE abs(round((dm::DOUBLE - s1::DOUBLE / n::DOUBLE)
+                    / sqrt((s2::DOUBLE - s1::DOUBLE * s1::DOUBLE / n::DOUBLE)
+                           / n::DOUBLE), 6)) >= 2.0
+"""
 _EXT_ORACLES["length_quantile_buckets"] = """
     SELECT lang, decile, count(*) AS n,
            min(n_chars) AS min_chars, max(n_chars) AS max_chars
@@ -2471,6 +2549,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "moving_avg_range": q_moving_avg_range,
         "length_quantile_buckets": q_length_quantile_buckets,
         "value_histogram": q_value_histogram,
+        "zscore_anomalies": q_zscore_anomalies,
         "interval_error_context": q_interval_error_context,
         "streaming_events_hourly": q_streaming_events_hourly,
         "streaming_attribution": q_streaming_attribution,

