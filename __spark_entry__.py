@@ -1074,6 +1074,41 @@ def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance: a (returnflag,
+    linestatus) rollup refreshed from snapshot CHANGELOGS (file-pruned
+    diff + signed delta aggregation + group upsert), never by
+    rescanning the fact table. Lifecycle: load evens → refresh →
+    append odds + positional delete → refresh; the driver's oracle is
+    the from-scratch aggregation — incremental must equal recompute."""
+    from bergloom_spark.lake import LakeTable
+    from bergloom_spark.operators.rollup import IncrementalRollup
+
+    cols = [*LI_COLS, "l_extendedprice", "l_returnflag", "l_linestatus"]
+    li = T(spark, sf_dir, "lineitem").select(*cols)
+    base = os.path.join(tempfile.mkdtemp(prefix="bergloom-ivm-"))
+    t = LakeTable.create(spark, os.path.join(base, "fact"), li.schema)
+    r = IncrementalRollup(
+        t,
+        os.path.join(base, "rollup"),
+        keys=["l_returnflag", "l_linestatus"],
+        sum_cols=["l_quantity", "l_extendedprice"],
+    )
+    t.append(li.filter(F.col("l_orderkey") % 2 == 0))
+    r.refresh()
+    t = t.refresh()
+    t.append(li.filter(F.col("l_orderkey") % 2 == 1))
+    t.delete_where(F.col("l_suppkey") % 7 == 0)
+    rollup = r.refresh()
+    return rollup.read().select(
+        "l_returnflag",
+        "l_linestatus",
+        "cnt",
+        F.round("sum_l_quantity", 2).alias("sum_qty"),
+        F.round("sum_l_extendedprice", 2).alias("sum_price"),
+    )
+
+
 def q_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-key anomaly scoring: each (event_type, day) daily total
     z-scored against ITS KEY's own distribution. The moments come from
@@ -2432,6 +2467,16 @@ _EXT_ORACLES = {
 from bergloom_spark.operators import funnel as _FN  # noqa: E402
 from bergloom_spark.operators import timeseries as _TS  # noqa: E402
 
+_EXT_ORACLES["incremental_rollup"] = """
+    -- from-scratch recompute of the final fact state: all rows except
+    -- the positional-delete targets (l_suppkey % 7 = 0)
+    SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_price
+    FROM lineitem
+    WHERE l_suppkey % 7 <> 0
+    GROUP BY ALL
+"""
 _EXT_ORACLES["zscore_anomalies"] = """
     WITH daily AS (
       SELECT event_type,
@@ -2550,6 +2595,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_quantile_buckets": q_length_quantile_buckets,
         "value_histogram": q_value_histogram,
         "zscore_anomalies": q_zscore_anomalies,
+        "incremental_rollup": q_incremental_rollup,
         "interval_error_context": q_interval_error_context,
         "streaming_events_hourly": q_streaming_events_hourly,
         "streaming_attribution": q_streaming_attribution,
