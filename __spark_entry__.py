@@ -2185,9 +2185,10 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_knn_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow/NumPy top-k (mapInPandas matmul + distributed partial
-    top-k). No SQL oracle: BLAS pairwise summation differs from a
-    sequential fold in the last ulp; parity with knn_bruteforce is
-    asserted in tests/test_dedup_similarity.py instead."""
+    top-k). Oracle-checked like knn_bruteforce: float64 scoring plus
+    the oracle's own (round(sim,6) DESC, id ASC) tie-break at BOTH the
+    local and global top-k make the result exactly the brute-force
+    answer; parity is also asserted in tests/test_dedup_similarity.py."""
     # min_partitions=8 (not all cores): each mapInPandas partition pays
     # a Python-worker + numpy cold start (~1 s) — below ~10k rows per
     # worker the startup dominates the matmul, so small inputs fan out
@@ -2433,6 +2434,22 @@ _EXT_ORACLES = {
         SELECT probe_id, match_id, jaccard FROM ranked WHERE rn = 1
     """,
     "knn_bruteforce": f"""
+        WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        p AS (SELECT vec_id AS probe_id, embedding AS pv FROM e WHERE vec_id < 10),
+        scored AS (
+          SELECT probe_id, vec_id AS neighbor_id,
+                 round({similarity.cosine_sql('embedding', 'pv')}, 6) AS cosine_sim
+          FROM e, p WHERE vec_id <> probe_id),
+        ranked AS (
+          SELECT *, row_number() OVER (
+            PARTITION BY probe_id ORDER BY cosine_sim DESC, neighbor_id) AS rank
+          FROM scored)
+        SELECT probe_id, neighbor_id, cosine_sim, rank FROM ranked WHERE rank <= 5
+    """,
+    # Same oracle as knn_bruteforce: the vectorized kernel is exact
+    # (float64 matmul; local AND global top-k share the oracle's
+    # (round(sim,6) DESC, id ASC) ordering), so results are identical.
+    "knn_vectorized": f"""
         WITH e AS (SELECT vec_id, embedding FROM embeddings),
         p AS (SELECT vec_id AS probe_id, embedding AS pv FROM e WHERE vec_id < 10),
         scored AS (

@@ -267,9 +267,14 @@ def knn_bruteforce_vectorized(
     global shuffle re-ranks the candidates. The probe matrix rides
     along as a closure broadcast — bounded by construction.
 
-    Same output contract as knn_bruteforce; float sums differ in the
-    last ulp (pairwise vs sequential summation), hence no DuckDB
-    oracle — parity with the fold-based operator is asserted in tests.
+    Same output contract as knn_bruteforce — including the DuckDB
+    oracle: scores are float64 end-to-end (float32 inputs widen
+    exactly, so pairwise-vs-sequential summation differs only ~1e-15)
+    and BOTH the local per-partition top-k and the global re-rank
+    order by (round(sim, 6) DESC, neighbor_id ASC), the oracle's exact
+    tie-break. Local selection keeps a small buffer past k so a
+    rounded tie straddling the k boundary can never evict the
+    candidate the global ordering would pick.
     """
     import numpy as np
     import pandas as pd
@@ -297,8 +302,10 @@ def knn_bruteforce_vectorized(
                 cids, csims = ids[mask], col[mask]
                 if len(cids) == 0:
                     continue
-                take = min(k, len(cids))
-                top = np.argpartition(-csims, take - 1)[:take]
+                take = min(k + 4, len(cids))
+                # lexsort: last key is primary — rank by rounded sim
+                # desc, then id asc, mirroring the global window.
+                top = np.lexsort((cids, -np.round(csims, 6)))[:take]
                 yield pd.DataFrame(
                     {
                         "probe_id": np.full(take, pid, dtype=np.int64),
