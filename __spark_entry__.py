@@ -2299,7 +2299,107 @@ def _packing_oracle() -> str:
     )
 
 
+def q_quality_top_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-based quality curation: keep the best 30% of docs per
+    language by the composite quality score (exact kept-count per
+    group, deterministic ties — unlike a global score threshold)."""
+    from bergloom_spark.operators.sampling import top_frac_per_group
+
+    docs = TS(spark, sf_dir, "documents")
+    toked = docs.select("doc_id", "lang", "text", TX.tokens("text").alias("__toks"))
+    scored = toked.select(
+        "doc_id",
+        "lang",
+        F.round(TX.quality_score("text", toks=F.col("__toks")), 6).alias("quality"),
+    )
+    return top_frac_per_group(scored, "lang", "quality", "doc_id", 0.3)
+
+
+def q_per_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap (no single site dominates the corpus):
+    keep each source's first 40 docs by doc_id via the skew-safe
+    two-phase salted window."""
+    from bergloom_spark.operators.sampling import per_key_quota
+
+    docs = T(spark, sf_dir, "documents")
+    return per_key_quota(docs, "source", "doc_id", 40).select(
+        "doc_id", "source", "lang"
+    )
+
+
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (keyword extraction): explode →
+    one (doc,term) agg → df as a window over term (no self-join, no
+    recompute) → per-doc top-k."""
+    from bergloom_spark.operators.search import tfidf_top_terms
+
+    return tfidf_top_terms(TS(spark, sf_dir, "documents"), "text", "doc_id", k=3)
+
+
+def q_bigram_top50(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide 50 most frequent bigrams (boilerplate/phrase
+    mining). Integer-only: explode shingles → map-side-combined count →
+    TakeOrderedAndProject top-k, no global sort."""
+    from bergloom_spark.operators.search import corpus_top_ngrams
+
+    return corpus_top_ngrams(TS(spark, sf_dir, "documents"), "text", n=2, top_k=50)
+
+
+def q_centroid_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF posting-list size histogram — oracle-checks the exact
+    centroid-assignment kernel (deterministic md5 seed selection +
+    cosine argmax) that knn_ivf and blocked embedding-dedup run on."""
+    from bergloom_spark.operators.similarity import centroid_histogram
+
+    return centroid_histogram(TS(spark, sf_dir, "embeddings"), n_centroids=16)
+
+
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of every embedding (the 4× storage
+    cut ANN candidate stages read); scan-side per-row HOF expressions,
+    zero shuffle."""
+    from bergloom_spark.operators.similarity import quantize_int8
+
+    return quantize_int8(TS(spark, sf_dir, "embeddings"))
+
+
+def _quality_top_frac_oracle() -> str:
+    from bergloom_spark.functions.text import quality_score_sql
+
+    return f"""
+        WITH scored AS (
+          SELECT doc_id, lang, round({quality_score_sql('text')}, 6) AS quality
+          FROM documents),
+        ranked AS (
+          SELECT *,
+                 row_number() OVER (
+                   PARTITION BY lang ORDER BY quality DESC, doc_id) AS rn,
+                 count(*) OVER (PARTITION BY lang) AS n
+          FROM scored)
+        SELECT doc_id, lang, quality FROM ranked WHERE rn <= ceil(n * 0.3)
+    """
+
+
+from bergloom_spark.operators.sampling import per_key_quota_sql  # noqa: E402
+from bergloom_spark.operators.search import (  # noqa: E402
+    corpus_top_ngrams_sql,
+    tfidf_sql,
+)
+from bergloom_spark.operators.similarity import (  # noqa: E402
+    centroid_histogram_sql,
+    quantize_int8_sql,
+)
+
 _EXT_ORACLES = {
+    "quality_top_frac": _quality_top_frac_oracle(),
+    "per_source_quota": f"""
+        SELECT doc_id, source, lang FROM (
+          {per_key_quota_sql('documents', 'source', 'doc_id', 40)})
+    """,
+    "tfidf_top_terms": tfidf_sql("text", "doc_id", "documents", k=3),
+    "bigram_top50": corpus_top_ngrams_sql("text", "documents", n=2, top_k=50),
+    "centroid_histogram": centroid_histogram_sql(16),
+    "embedding_quantize": quantize_int8_sql(),
     "sequence_packing": _packing_oracle(),
     "doc_chunks": TX.chunk_documents_sql(
         "documents", "text", "doc_id", chunk_chars=400, overlap=80
@@ -2595,6 +2695,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_ivf": q_knn_ivf,
         "embedding_dedup": q_embedding_dedup,
         "multimodal_meta": q_multimodal_meta,
+        "centroid_histogram": q_centroid_histogram,
+        "embedding_quantize": q_embedding_quantize,
+        # corpus curation (unique coverage — early)
+        "quality_top_frac": q_quality_top_frac,
+        "per_source_quota": q_per_source_quota,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "bigram_top50": q_bigram_top50,
         # lake semantics beyond the rewrite (unique coverage — early)
         "time_travel": q_time_travel,
         "schema_evolution": q_schema_evolution,

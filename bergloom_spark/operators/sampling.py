@@ -195,6 +195,58 @@ def mixture_resample_sql(
     """
 
 
+def per_key_quota(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    quota: int,
+    salt_buckets: int = 32,
+) -> DataFrame:
+    """Cap each key at ``quota`` rows, keeping the first by
+    ``order_col`` (deterministic) — the per-domain/per-source cap every
+    crawl-derived corpus applies so no single site dominates training.
+
+    Skew-safe two-phase plan: a naive ``row_number() OVER (PARTITION BY
+    key)`` sends a hot key's ENTIRE row set to one task. Phase 1
+    partitions by (key, salt) — salt a deterministic hash of the order
+    column, never a nondeterministic expression in a shuffle key
+    (SPARK-23207) — and locally keeps each bucket's first ``quota``
+    rows: any row in the key's global first-``quota`` ranks ≤ quota
+    within its bucket too, so phase 1 never drops a final keeper while
+    bounding every key's survivors to ``salt_buckets × quota`` rows.
+    Phase 2 is the exact window on the now-tiny candidate set. At
+    100 TB a billion-row domain costs a bucket-parallel pass instead of
+    one straggler task.
+    """
+    from pyspark.sql import Window
+
+    salt = F.pmod(hash64(F.col(order_col).cast("string")), F.lit(salt_buckets))
+    w1 = Window.partitionBy(F.col(key_col), salt).orderBy(F.col(order_col))
+    w2 = Window.partitionBy(key_col).orderBy(F.col(order_col))
+    return (
+        df.withColumn("__rn1", F.row_number().over(w1))
+        .filter(F.col("__rn1") <= quota)
+        .withColumn("__rn", F.row_number().over(w2))
+        .filter(F.col("__rn") <= quota)
+        .drop("__rn1", "__rn")
+    )
+
+
+def per_key_quota_sql(
+    table: str, key_expr: str, order_expr: str, quota: int
+) -> str:
+    """DuckDB twin of :func:`per_key_quota` — the single-window
+    formulation (results are identical; the two-phase plan is purely a
+    skew optimization)."""
+    return f"""
+        SELECT * EXCLUDE (__rn) FROM (
+          SELECT s.*, row_number() OVER (
+            PARTITION BY {key_expr} ORDER BY {order_expr}) AS __rn
+          FROM {table} s)
+        WHERE __rn <= {quota}
+    """
+
+
 def top_frac_per_group(
     df: DataFrame,
     group_col: str,

@@ -138,6 +138,140 @@ def bm25_sql(
     """
 
 
+def tfidf_top_terms(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Top-``k`` terms per document by TF-IDF (keyword extraction /
+    doc-signature step of a corpus pipeline).
+
+    score = tf × (ln((N + 1) / (df + 1)) + 1), rounded to 6 — the
+    smoothed-idf variant, computed in the same float op order as the
+    DuckDB twin (ln parity across engines is already exercised by the
+    BM25 oracle). Ties broken by term asc so the top-k set is unique.
+
+    Plan at scale: explode → ONE map-side-combined aggregation to
+    per-(doc,term) tf, then df as ``count() OVER (PARTITION BY term)``
+    on that same table — a window, not a self-join, so the exploded
+    corpus is scanned and aggregated exactly once. Corpus size N
+    arrives via a broadcast 1-row aggregate, never a driver collect.
+    The final top-k window partitions by doc_id (bounded groups: a
+    doc's distinct terms).
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(TX.tokens(F.col(text_col))).alias("term"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    tf = tf.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("term"))
+    )
+    n = docs.agg(F.count(F.lit(1)).alias("__n"))
+    scored = tf.join(F.broadcast(n)).select(
+        "doc_id",
+        "term",
+        F.round(
+            F.col("tf").cast("double")
+            * (
+                F.log(
+                    (F.col("__n").cast("double") + F.lit(1.0))
+                    / (F.col("df").cast("double") + F.lit(1.0))
+                )
+                + F.lit(1.0)
+            ),
+            6,
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "term", "tfidf", "rank")
+    )
+
+
+def tfidf_sql(
+    text_expr: str = "text",
+    id_expr: str = "doc_id",
+    table: str = "documents",
+    k: int = 3,
+) -> str:
+    """DuckDB twin of :func:`tfidf_top_terms`."""
+    return f"""
+        WITH toks AS (
+          SELECT {id_expr} AS doc_id, unnest({TX.tokens_sql(text_expr)}) AS term
+          FROM {table}),
+        tf AS (
+          SELECT doc_id, term, count(*)::BIGINT AS tf
+          FROM toks GROUP BY doc_id, term),
+        dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+        n AS (SELECT count(*)::BIGINT AS n FROM {table}),
+        scored AS (
+          SELECT doc_id, term,
+                 round(tf::DOUBLE * (ln((n::DOUBLE + 1.0) / (df::DOUBLE + 1.0))
+                       + 1.0), 6) AS tfidf
+          FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+        ranked AS (
+          SELECT *, row_number() OVER (
+            PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rank
+          FROM scored)
+        SELECT doc_id, term, tfidf, rank FROM ranked WHERE rank <= {k}
+    """
+
+
+def corpus_top_ngrams(
+    docs: DataFrame,
+    text_col: str = "text",
+    n: int = 2,
+    top_k: int = 50,
+) -> DataFrame:
+    """Corpus-wide most frequent n-grams (phrase mining / boilerplate
+    discovery: the recurring n-grams a cleaning pass should inspect).
+
+    Pure integer pipeline — explode per-row shingles, one map-side-
+    combined count, one top-k — so cross-engine parity is exact with no
+    float concerns. Rank (count desc, ngram asc) makes the cut
+    deterministic. At 100 TB the count agg shuffles only distinct
+    n-grams after partial aggregation; the final top-k is a single
+    ordered limit (Spark's TakeOrderedAndProject — per-partition heap,
+    driver merges top_k × n_partitions rows, no global sort).
+    """
+    grams = docs.select(
+        F.explode(TX.shingles(F.col(text_col), n)).alias("ngram")
+    )
+    counts = grams.groupBy("ngram").agg(F.count(F.lit(1)).alias("n_occurrences"))
+    return (
+        counts.orderBy(F.desc("n_occurrences"), F.asc("ngram"))
+        .limit(top_k)
+        .select(
+            "ngram",
+            "n_occurrences",
+        )
+    )
+
+
+def corpus_top_ngrams_sql(
+    text_expr: str = "text",
+    table: str = "documents",
+    n: int = 2,
+    top_k: int = 50,
+) -> str:
+    """DuckDB twin of :func:`corpus_top_ngrams`."""
+    return f"""
+        WITH grams AS (
+          SELECT unnest({TX.shingles_sql(text_expr, n)}) AS ngram
+          FROM {table})
+        SELECT ngram, count(*)::BIGINT AS n_occurrences
+        FROM grams GROUP BY ngram
+        ORDER BY n_occurrences DESC, ngram ASC
+        LIMIT {top_k}
+    """
+
+
 def fuzzy_match(
     corpus: DataFrame,
     probes: DataFrame,

@@ -574,3 +574,124 @@ def knn_ivf(
         .filter(F.col("rank") <= k)
         .select("probe_id", "neighbor_id", "cosine_sim", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Vector utilities: quantization + assignment diagnostics
+# ---------------------------------------------------------------------------
+def quantize_int8(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Symmetric int8 quantization per vector (4× storage/bandwidth cut
+    for ANN candidate stages; re-rank on the float originals).
+
+    q_i = round(x_i × 127 / max|x|), emitted with the rounded scale so
+    the original is recoverable to quantization precision. Pure per-row
+    JVM HOF expression — zero shuffle, scan-side at any scale. The
+    scale is computed ONCE per row in a prior projection so both
+    engines multiply by the same IEEE double.
+    """
+    v = as_double(F.col(vec_col))
+    prepped = embeddings.select(
+        F.col(id_col),
+        v.alias("__v"),
+        (
+            F.lit(127.0)
+            / F.array_max(F.transform(v, lambda x: F.abs(x)))
+        ).alias("__s"),
+    )
+    return prepped.select(
+        id_col,
+        F.transform(
+            F.col("__v"),
+            lambda x: F.round(x * F.col("__s")).cast("int"),
+        ).alias("q"),
+        F.round(F.col("__s"), 6).alias("scale"),
+    )
+
+
+def quantize_int8_sql(
+    id_expr: str = "vec_id",
+    vec_expr: str = "embedding",
+    table: str = "embeddings",
+) -> str:
+    """DuckDB twin of :func:`quantize_int8` (same op order: one scale
+    per row, then per-element multiply/round)."""
+    return f"""
+        WITH prepped AS (
+          SELECT {id_expr} AS vec_id,
+                 list_transform({vec_expr}, x -> x::DOUBLE) AS v,
+                 127.0 / list_max(list_transform({vec_expr},
+                                  x -> abs(x::DOUBLE))) AS s
+          FROM {table})
+        SELECT vec_id,
+               list_transform(v, x -> round(x * s)::INT) AS q,
+               round(s, 6) AS scale
+        FROM prepped
+    """
+
+
+def centroid_histogram(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Vectors per nearest centroid — the IVF posting-list size
+    histogram (the balance diagnostic that decides whether an IVF
+    index needs more centroids or re-training).
+
+    Composes :func:`deterministic_centroids` + :func:`ivf_assign`, so a
+    SQL oracle on this operator exercises the exact assignment kernel
+    the knn_ivf scale path uses: seed selection by the cross-engine
+    md5 hash, cosine argmax with first-wins tie-break (= cosine desc,
+    centroid_id asc). One matmul map pass + one K-row aggregate.
+    """
+    cm = deterministic_centroids(embeddings, n_centroids, id_col, vec_col)
+    return (
+        ivf_assign(embeddings, cm, id_col, vec_col)
+        .groupBy("centroid_id")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+    )
+
+
+def centroid_histogram_sql(
+    n_centroids: int = 16,
+    id_expr: str = "vec_id",
+    vec_expr: str = "embedding",
+    table: str = "embeddings",
+) -> str:
+    """DuckDB twin of :func:`centroid_histogram`.
+
+    Centroid ids follow deterministic_centroids' order (md5-hash asc,
+    id asc); assignment maximizes cosine — the matmul operates on unit
+    vectors, and dot(v̂, ĉ) ranks identically to cosine(v, c), so the
+    SQL computes plain cosine and breaks exact ties by centroid id
+    exactly like numpy argmax's first-wins.
+    """
+    from bergloom_spark.functions.hashing import hash64_sql
+
+    h = hash64_sql(f"({id_expr})::VARCHAR")
+    return f"""
+        WITH seeds AS (
+          SELECT {vec_expr} AS cv,
+                 row_number() OVER (ORDER BY {h}, {id_expr}) - 1
+                     AS centroid_id
+          FROM {table}
+          ORDER BY {h}, {id_expr}
+          LIMIT {n_centroids}),
+        assigned AS (
+          SELECT vec_id, centroid_id,
+                 row_number() OVER (
+                   PARTITION BY vec_id
+                   ORDER BY {cosine_sql("e_emb", "cv")} DESC,
+                            centroid_id ASC) AS rn
+          FROM (SELECT {id_expr} AS vec_id, {vec_expr} AS e_emb
+                FROM {table}) e
+          CROSS JOIN seeds)
+        SELECT centroid_id, count(*)::BIGINT AS n_vectors
+        FROM assigned WHERE rn = 1
+        GROUP BY centroid_id
+    """
