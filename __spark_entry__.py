@@ -1448,8 +1448,12 @@ def q_custkey_except(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate ANN via random-hyperplane LSH (rows-only check; the
-    recall-vs-bruteforce property is asserted in tests)."""
+    """Approximate ANN via random-hyperplane LSH — oracle-checked:
+    approximate ≠ nondeterministic. The md5-derived hyperplanes,
+    bucket bit-packing, Hamming-1 multiprobe, and exact re-rank are
+    all reproducible in SQL (knn_lsh_sql), so the driver hash-verifies
+    the full approximate pipeline; recall-vs-bruteforce is additionally
+    asserted in tests."""
     return similarity.knn_lsh(
         T(spark, sf_dir, "embeddings"), probe_ids=list(range(10)), k=5
     ).withColumn("rank", F.col("rank").cast("long"))
@@ -2175,8 +2179,11 @@ def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-flat ANN: posting-list retrieval on an equi-join against a
-    broadcast probe map, exact re-rank. No SQL oracle (approximate);
-    recall vs the exact operator is asserted in tests."""
+    broadcast probe map, exact re-rank. Oracle-checked (knn_ivf_sql):
+    seed selection, assignment argmax, and the nprobe expansion are
+    deterministic with explicit tie-breaks, so the approximate result
+    reproduces exactly in SQL; recall vs the exact operator is
+    additionally asserted in tests."""
     return similarity.knn_ivf(
         TS(spark, sf_dir, "embeddings"),
         probe_ids=list(range(10)), k=5, n_centroids=16, nprobe=4,
@@ -2387,6 +2394,8 @@ from bergloom_spark.operators.search import (  # noqa: E402
 )
 from bergloom_spark.operators.similarity import (  # noqa: E402
     centroid_histogram_sql,
+    knn_ivf_sql,
+    knn_lsh_sql,
     quantize_int8_sql,
 )
 
@@ -2400,6 +2409,8 @@ _EXT_ORACLES = {
     "bigram_top50": corpus_top_ngrams_sql("text", "documents", n=2, top_k=50),
     "centroid_histogram": centroid_histogram_sql(16),
     "embedding_quantize": quantize_int8_sql(),
+    "knn_lsh": knn_lsh_sql(),
+    "knn_ivf": knn_ivf_sql(),
     "sequence_packing": _packing_oracle(),
     "doc_chunks": TX.chunk_documents_sql(
         "documents", "text", "doc_id", chunk_chars=400, overlap=80

@@ -695,3 +695,128 @@ def centroid_histogram_sql(
         FROM assigned WHERE rn = 1
         GROUP BY centroid_id
     """
+
+
+def knn_lsh_sql(
+    k: int = 5,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    dim: int = 64,
+    n_probes: int = 10,
+    table: str = "embeddings",
+) -> str:
+    """DuckDB twin of :func:`knn_lsh` (multiprobe_hamming=1, probes =
+    ids < n_probes) — the approximate path is still DETERMINISTIC, so
+    it oracles exactly.
+
+    The plane coefficients are re-derived inside SQL from the same
+    md5 recipe as :func:`_hyperplanes`: h/2^60 (the float64 rounding of
+    (1<<60)-1) * 2 - 1, identical IEEE op order. Projection signs,
+    bucket bit-packing, Hamming-1 multiprobe expansion, candidate
+    dedup, and the exact-cosine re-rank all mirror the Spark plan.
+    Sign flips require |dot| < ~1e-13 (pairwise-vs-sequential float
+    summation) — probability ~1e-8 across the whole corpus.
+    """
+    denom = float((1 << 60) - 1)  # == 2.0**60 after float64 rounding
+    flips = ", ".join(str(f) for f in range(-1, n_planes))
+    return f"""
+        WITH coefs AS (
+          SELECT t.t, p.p, d.d,
+                 (('0x' || substr(md5('plane:' || t.t || ':' || p.p || ':'
+                       || d.d), 1, 15))::BIGINT::DOUBLE
+                  / {denom!r}) * 2.0 - 1.0 AS coef
+          FROM (SELECT unnest(range(0, {n_tables})) AS t) t,
+               (SELECT unnest(range(0, {n_planes})) AS p) p,
+               (SELECT unnest(range(0, {dim})) AS d) d),
+        pl AS (
+          SELECT t, p, list(coef ORDER BY d) AS coef
+          FROM coefs GROUP BY t, p),
+        sig AS (
+          SELECT v.vec_id, pl.t,
+                 sum(CASE WHEN list_sum(list_transform(range(1, {dim} + 1),
+                       i -> v.embedding[i]::DOUBLE * pl.coef[i])) >= 0.0
+                     THEN (1::BIGINT << pl.p) ELSE 0 END)::BIGINT AS b
+          FROM {table} v CROSS JOIN pl
+          GROUP BY v.vec_id, pl.t),
+        pb AS (
+          SELECT s.vec_id AS probe_id, s.t,
+                 CASE WHEN f.f = -1 THEN s.b
+                      ELSE xor(s.b, 1::BIGINT << f.f) END AS b
+          FROM sig s, (SELECT unnest([{flips}]) AS f) f
+          WHERE s.vec_id < {n_probes}),
+        cands AS (
+          SELECT DISTINCT pb.probe_id, s.vec_id AS neighbor_id
+          FROM pb JOIN sig s ON s.t = pb.t AND s.b = pb.b
+          WHERE s.vec_id <> pb.probe_id),
+        scored AS (
+          SELECT c.probe_id, c.neighbor_id,
+                 round({cosine_sql('a.embedding', 'b.embedding')}, 6)
+                     AS cosine_sim
+          FROM cands c
+          JOIN {table} a ON a.vec_id = c.neighbor_id
+          JOIN {table} b ON b.vec_id = c.probe_id),
+        ranked AS (
+          SELECT *, row_number() OVER (
+            PARTITION BY probe_id ORDER BY cosine_sim DESC, neighbor_id)
+              AS rank
+          FROM scored)
+        SELECT probe_id, neighbor_id, cosine_sim, rank
+        FROM ranked WHERE rank <= {k}
+    """
+
+
+def knn_ivf_sql(
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    n_probes: int = 10,
+    table: str = "embeddings",
+) -> str:
+    """DuckDB twin of :func:`knn_ivf` (probes = ids < n_probes).
+
+    Seed selection, nearest-centroid assignment (first-wins argmax =
+    cosine desc, centroid_id asc), the probe-side nprobe expansion
+    (numpy stable argsort = same tie-break), posting-list retrieval,
+    and the exact re-rank are all deterministic, so the approximate
+    operator oracles exactly.
+    """
+    from bergloom_spark.functions.hashing import hash64_sql
+
+    h = hash64_sql("(vec_id)::VARCHAR")
+    return f"""
+        WITH seeds AS (
+          SELECT embedding AS cv,
+                 row_number() OVER (ORDER BY {h}, vec_id) - 1 AS centroid_id
+          FROM {table}
+          ORDER BY {h}, vec_id
+          LIMIT {n_centroids}),
+        nearness AS (
+          SELECT e.vec_id, s.centroid_id,
+                 row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY {cosine_sql('e.embedding', 's.cv')} DESC,
+                            s.centroid_id ASC) AS rn
+          FROM {table} e CROSS JOIN seeds s),
+        assigned AS (SELECT vec_id, centroid_id FROM nearness WHERE rn = 1),
+        probe_map AS (
+          SELECT vec_id AS probe_id, centroid_id FROM nearness
+          WHERE vec_id < {n_probes} AND rn <= {nprobe}),
+        cands AS (
+          SELECT p.probe_id, a.vec_id AS neighbor_id
+          FROM probe_map p JOIN assigned a USING (centroid_id)
+          WHERE a.vec_id <> p.probe_id),
+        scored AS (
+          SELECT c.probe_id, c.neighbor_id,
+                 round({cosine_sql('a.embedding', 'b.embedding')}, 6)
+                     AS cosine_sim
+          FROM cands c
+          JOIN {table} a ON a.vec_id = c.neighbor_id
+          JOIN {table} b ON b.vec_id = c.probe_id),
+        ranked AS (
+          SELECT *, row_number() OVER (
+            PARTITION BY probe_id ORDER BY cosine_sim DESC, neighbor_id)
+              AS rank
+          FROM scored)
+        SELECT probe_id, neighbor_id, cosine_sim, rank
+        FROM ranked WHERE rank <= {k}
+    """

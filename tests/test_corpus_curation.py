@@ -125,6 +125,8 @@ def test_new_queries_match_oracles(spark, sf_dir):
         "centroid_histogram",
         "embedding_quantize",
         "knn_vectorized",
+        "knn_lsh",
+        "knn_ivf",
     ):
         rep = compare(q[name](spark, sf_dir), con, o[name])
         assert rep["match"], (name, rep)
