@@ -185,6 +185,34 @@ def q_compact_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.read()
 
 
+def q_stats_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest min/max data skipping end to end: sort-compaction
+    range-clusters the files, an equality delete adds MoR debt, then a
+    selective read prunes whole files from the manifest stats BEFORE
+    Spark lists them (lake/skipping.py) and still applies the
+    anti-join cascade on what survives. Results are exactly the
+    unpruned scan + filter — the oracle proves it."""
+    from bergloom_spark.config import CompactionConfig
+    from bergloom_spark.lake import LakeTable
+    from bergloom_spark.lake.compaction import SortCompaction
+
+    base = T(spark, sf_dir, "lineitem").select(*LI_COLS)
+    root = os.path.join(tempfile.mkdtemp(prefix="bergloom-skip-"), "li")
+    t = LakeTable.create(spark, root, base.schema)
+    t.append(base)
+    SortCompaction(
+        t,
+        CompactionConfig(target_file_size=4 * 1024 * 1024),
+        sort_cols=["l_orderkey"],
+        n_output_files=8,
+    ).compact()
+    t.append_equality_deletes(
+        base.filter(F.col("l_suppkey") % 9 == 0).select("l_orderkey").distinct(),
+        ["l_orderkey"],
+    )
+    return t.read(filters=[("l_orderkey", "<", 3000)])
+
+
 def q_dml_upsert_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-level MoR DML: MERGE-style upsert (equality-delete + append,
     the reference's EqualityDeltaWriter pattern) followed by a
@@ -247,6 +275,12 @@ _MOR_ORACLES = {
     """,
     "compact_sorted": f"""
         SELECT {', '.join(LI_COLS)} FROM lineitem WHERE l_suppkey % 7 <> 0
+    """,
+    "stats_pruned_scan": f"""
+        SELECT {', '.join(LI_COLS)} FROM lineitem
+        WHERE l_orderkey < 3000
+          AND l_orderkey NOT IN (
+            SELECT l_orderkey FROM lineitem WHERE l_suppkey % 9 = 0)
     """,
     "dml_upsert_delete": f"""
         WITH base AS (SELECT {', '.join(LI_COLS)} FROM lineitem),
@@ -2714,6 +2748,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": q_tfidf_top_terms,
         "bigram_top50": q_bigram_top50,
         # lake semantics beyond the rewrite (unique coverage — early)
+        "stats_pruned_scan": q_stats_pruned_scan,
         "time_travel": q_time_travel,
         "schema_evolution": q_schema_evolution,
         "partition_evolution": q_partition_evolution,

@@ -114,6 +114,7 @@ class RewriteFilesCommitManager:
                 sequence_number=seq,
                 equality_ids=list(e.equality_ids),
                 partition=dict(e.partition),
+                column_stats=dict(e.column_stats),
             )
             for e in add_entries
         ]

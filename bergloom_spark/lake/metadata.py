@@ -39,6 +39,10 @@ class ManifestEntry:
     sequence_number: int
     equality_ids: list[str] = field(default_factory=list)
     partition: dict[str, str] = field(default_factory=dict)
+    # Per-column [min, max] from the parquet footer (skipping.py) —
+    # JSON-native values only; absent for pre-stats metadata versions
+    # (defaults keep old v<N>.metadata.json loadable).
+    column_stats: dict[str, list] = field(default_factory=dict)
 
 
 @dataclass

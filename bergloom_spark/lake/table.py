@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from bergloom_spark.lake import metadata as md
+from bergloom_spark.lake import skipping as sk
 from bergloom_spark.lake import writer as wr
 from bergloom_spark.operators import mor
 
@@ -494,11 +495,29 @@ class LakeTable:
             return self.meta.snapshot_by_id(snapshot_id)
         return self.meta.current_snapshot()
 
+    def plan_files(
+        self,
+        filters: sk.Filters | None = None,
+        snapshot_id: int | None = None,
+    ) -> tuple[list[md.ManifestEntry], int]:
+        """Data files a filtered scan would read: (kept entries, total
+        count before pruning). The scan-planning half of ``read`` —
+        exposed for tests/metrics so pruning is observable."""
+        snap = self._snapshot(snapshot_id)
+        if snap is None:
+            return [], 0
+        data_files = snap.files(md.DATA)
+        total = len(data_files)
+        if filters:
+            data_files = sk.prune_entries(data_files, filters)
+        return data_files, total
+
     def scan_data(
         self,
         snapshot_id: int | None = None,
         with_hidden: bool = False,
         data_paths: list[str] | None = None,
+        filters: sk.Filters | None = None,
     ) -> DataFrame:
         """Raw data-file scan (deletes NOT applied).
 
@@ -506,17 +525,23 @@ class LakeTable:
         per file from the manifest — the reference attaches it per scan
         task, ``iceberg_file_task_scan.rs:356-372``) plus
         ``sys_hidden_file_path`` / ``sys_hidden_pos`` from ``_metadata``.
+
+        ``filters`` ((col, op, literal) triples, ANDed) prune whole
+        files via manifest min/max stats AND apply as a row filter —
+        results are exactly the unpruned scan + filter, only cheaper.
         """
         snap = self._snapshot(snapshot_id)
         empty = self.spark.createDataFrame([], self.schema)
         if snap is None:
-            return empty
+            return self._apply_filters(empty, filters)
         data_files = snap.files(md.DATA)
         if data_paths is not None:
             keep = set(data_paths)
             data_files = [e for e in data_files if e.file_path in keep]
+        if filters:
+            data_files = sk.prune_entries(data_files, filters)
         if not data_files:
-            return empty
+            return self._apply_filters(empty, filters)
         # Which columns live in directory names (not file bodies) is a
         # PER-FILE property recorded by each manifest entry's partition
         # dict — after partition evolution a snapshot legally mixes
@@ -536,6 +561,10 @@ class LakeTable:
         df = parts[0]
         for p in parts[1:]:
             df = df.unionByName(p)
+        # Row-level filter on top of the file pruning: exactness never
+        # depends on stats (and Catalyst pushes these to the parquet
+        # row-group level inside surviving files).
+        df = self._apply_filters(df, filters)
         if not with_hidden:
             return df.select(*user_cols)
         # Per-file sequence numbers: tiny manifest-derived map side,
@@ -551,6 +580,21 @@ class LakeTable:
             mor.SYS_HIDDEN_FILE_PATH,
             mor.SYS_HIDDEN_POS,
         )
+
+    _FILTER_OPS = {
+        "=": lambda c, v: c == v,
+        "<": lambda c, v: c < v,
+        "<=": lambda c, v: c <= v,
+        ">": lambda c, v: c > v,
+        ">=": lambda c, v: c >= v,
+    }
+
+    def _apply_filters(
+        self, df: DataFrame, filters: sk.Filters | None
+    ) -> DataFrame:
+        for col, op, value in filters or ():
+            df = df.filter(self._FILTER_OPS[op](F.col(col), F.lit(value)))
+        return df
 
     def _scan_file_group(
         self, part_cols: list[str], data_files: list[md.ManifestEntry]
@@ -618,6 +662,7 @@ class LakeTable:
         self,
         snapshot_id: int | None = None,
         data_paths: list[str] | None = None,
+        filters: sk.Filters | None = None,
     ) -> DataFrame:
         """The MoR SELECT: data minus deletes, user schema only.
 
@@ -625,6 +670,10 @@ class LakeTable:
         (``datafusion_processor.rs:280-398``) — here a declarative
         DataFrame Catalyst optimizes end to end. ``data_paths``
         restricts the scan to a file subset (incremental compaction).
+        ``filters`` prune whole data files via manifest min/max stats
+        before Spark lists them (skipping.py), then apply as a row
+        filter. Filtering data BEFORE delete application is safe —
+        deletes only remove rows — and shrinks the anti-join probe side.
         """
         snap = self._snapshot(snapshot_id)
         if snap is None:
@@ -633,7 +682,10 @@ class LakeTable:
         eq_groups = self._eq_delete_groups(snap)
         need_hidden = pos is not None or bool(eq_groups)
         data = self.scan_data(
-            snapshot_id, with_hidden=need_hidden, data_paths=data_paths
+            snapshot_id,
+            with_hidden=need_hidden,
+            data_paths=data_paths,
+            filters=filters,
         )
         if not need_hidden:
             return data

@@ -29,6 +29,7 @@ from bergloom_spark.config import (
     ROLL_SOFT_FRACTION,
 )
 from bergloom_spark.lake.metadata import ManifestEntry
+from bergloom_spark.lake.skipping import footer_column_stats
 
 
 def need_build_new_file(written: int, incoming: int, target: int) -> bool:
@@ -127,6 +128,8 @@ def _collect_parquet_entries(
                 sequence_number=sequence_number,
                 equality_ids=list(equality_ids or []),
                 partition=partition,
+                # Footer already in hand — min/max harvest is free.
+                column_stats=footer_column_stats(meta),
             )
         )
     return entries

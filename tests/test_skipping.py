@@ -1,0 +1,173 @@
+"""Manifest min/max stats + file-level data skipping (lake/skipping.py)."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from bergloom_spark.config import CompactionConfig
+from bergloom_spark.lake import LakeTable
+from bergloom_spark.lake import metadata as md
+from bergloom_spark.lake.compaction import SortCompaction
+from bergloom_spark.lake.skipping import entry_may_match, prune_entries
+
+
+def _sorted_table(spark, sf_dir, root):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "l_quantity"
+    )
+    t = LakeTable.create(spark, os.path.join(root, "li"), li.schema)
+    t.append(li)
+    SortCompaction(
+        t,
+        CompactionConfig(target_file_size=1 * 1024 * 1024),
+        sort_cols=["l_orderkey"],
+        n_output_files=6,
+    ).compact()
+    return t, li
+
+
+def test_append_records_column_stats(spark, sf_dir):
+    with tempfile.TemporaryDirectory() as root:
+        t, li = _sorted_table(spark, sf_dir, root)
+        entries = t.meta.current_snapshot().files(md.DATA)
+        assert entries and all(e.column_stats for e in entries)
+        lo = min(e.column_stats["l_orderkey"][0] for e in entries)
+        hi = max(e.column_stats["l_orderkey"][1] for e in entries)
+        row = li.agg(
+            F.min("l_orderkey").alias("lo"), F.max("l_orderkey").alias("hi")
+        ).collect()[0]
+        assert (lo, hi) == (row.lo, row.hi)
+
+
+def test_pruned_read_matches_plain_filter(spark, sf_dir):
+    with tempfile.TemporaryDirectory() as root:
+        t, li = _sorted_table(spark, sf_dir, root)
+        cut = int(li.agg(F.expr("percentile(l_orderkey, 0.2)")).collect()[0][0])
+        kept, total = t.plan_files([("l_orderkey", "<", cut)])
+        assert total >= 4
+        assert len(kept) < total  # files really skipped
+        got = sorted(
+            (r.l_orderkey, r.l_linenumber, r.l_partkey)
+            for r in t.read(filters=[("l_orderkey", "<", cut)]).collect()
+        )
+        want = sorted(
+            (r.l_orderkey, r.l_linenumber, r.l_partkey)
+            for r in t.read().filter(F.col("l_orderkey") < cut).collect()
+        )
+        assert got == want
+
+
+def test_pruning_composes_with_equality_deletes(spark, sf_dir):
+    with tempfile.TemporaryDirectory() as root:
+        t, li = _sorted_table(spark, sf_dir, root)
+        t.append_equality_deletes(
+            li.filter(F.col("l_suppkey") % 5 == 0)
+            .select("l_orderkey")
+            .distinct(),
+            ["l_orderkey"],
+        )
+        cut = int(li.agg(F.expr("percentile(l_orderkey, 0.3)")).collect()[0][0])
+        got = {
+            (r.l_orderkey, r.l_linenumber)
+            for r in t.read(filters=[("l_orderkey", "<", cut)]).collect()
+        }
+        want = {
+            (r.l_orderkey, r.l_linenumber)
+            for r in t.read().filter(F.col("l_orderkey") < cut).collect()
+        }
+        assert got == want
+
+
+def test_temporal_stats_prune(spark, sf_dir):
+    with tempfile.TemporaryDirectory() as root:
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+            "o_orderkey", "o_orderdate", "o_totalprice"
+        )
+        t = LakeTable.create(spark, os.path.join(root, "ord"), orders.schema)
+        t.append(orders)
+        SortCompaction(
+            t,
+            CompactionConfig(target_file_size=1 * 1024 * 1024),
+            sort_cols=["o_orderdate"],
+            n_output_files=4,
+        ).compact()
+        row = orders.agg(
+            F.min("o_orderdate").alias("lo"), F.max("o_orderdate").alias("hi")
+        ).collect()[0]
+        cut_dt = row.lo + (row.hi - row.lo) / 4
+        kept, total = t.plan_files([("o_orderdate", "<", cut_dt)])
+        assert len(kept) < total
+        got = {
+            r.o_orderkey
+            for r in t.read(filters=[("o_orderdate", "<", cut_dt)]).collect()
+        }
+        want = {
+            r.o_orderkey
+            for r in t.read().filter(F.col("o_orderdate") < cut_dt).collect()
+        }
+        assert got == want
+
+
+def test_entry_without_stats_never_prunes():
+    e = md.ManifestEntry(
+        content=md.DATA,
+        file_path="/x.parquet",
+        record_count=1,
+        file_size_bytes=10,
+        sequence_number=1,
+    )
+    assert entry_may_match(e, "k", "=", 42)
+    assert prune_entries([e], [("k", "<", 0)]) == [e]
+
+
+def test_range_semantics():
+    e = md.ManifestEntry(
+        content=md.DATA,
+        file_path="/x.parquet",
+        record_count=1,
+        file_size_bytes=10,
+        sequence_number=1,
+        column_stats={"k": [10, 20]},
+    )
+    assert entry_may_match(e, "k", "=", 10)
+    assert entry_may_match(e, "k", "=", 20)
+    assert not entry_may_match(e, "k", "=", 9)
+    assert not entry_may_match(e, "k", "<", 10)
+    assert entry_may_match(e, "k", "<=", 10)
+    assert not entry_may_match(e, "k", ">", 20)
+    assert entry_may_match(e, "k", ">=", 20)
+
+
+def test_old_metadata_without_stats_loads():
+    meta = md.TableMetadata(
+        table_root="/tmp/x",
+        schema={"type": "struct", "fields": []},
+        snapshots=[
+            md.Snapshot(
+                snapshot_id=1,
+                sequence_number=1,
+                timestamp_ms=0,
+                operation="append",
+                entries=[
+                    md.ManifestEntry(
+                        content=md.DATA,
+                        file_path="/x.parquet",
+                        record_count=1,
+                        file_size_bytes=10,
+                        sequence_number=1,
+                    )
+                ],
+            )
+        ],
+    )
+    text = meta.to_json()
+    # simulate a pre-stats metadata file on disk
+    import json
+
+    raw = json.loads(text)
+    raw["snapshots"][0]["entries"][0].pop("column_stats")
+    loaded = md.TableMetadata.from_json(json.dumps(raw))
+    assert loaded.snapshots[0].entries[0].column_stats == {}
