@@ -988,6 +988,25 @@ def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.read(snapshot_id=first.snapshot_id)
 
 
+def q_tagged_release_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named refs (Iceberg-style tags): tag the snapshot a dataset
+    release trained on, keep committing (append + delete), then expire
+    old snapshots — the tag retains its snapshot through expiry and the
+    release stays byte-identically readable."""
+    from bergloom_spark.lake import LakeTable
+    from bergloom_spark.lake.compaction import expire_snapshots
+
+    base = T(spark, sf_dir, "lineitem").select(*LI_COLS)
+    root = os.path.join(tempfile.mkdtemp(prefix="bergloom-refs-"), "li")
+    t = LakeTable.create(spark, root, base.schema)
+    t.append(base.filter(F.col("l_orderkey") % 2 == 0))
+    t.create_tag("release-1")
+    t.append(base.filter(F.col("l_orderkey") % 2 == 1))
+    t.delete_where(F.col("l_suppkey") % 3 == 0)
+    expire_snapshots(t, keep_last=1)
+    return t.read(ref="release-1")
+
+
 def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Co-located fact-fact join: both sides written bucketed on the
     join key (the write-once shuffle), then joined with zero Exchange
@@ -1920,6 +1939,9 @@ _ANALYTICS_ORACLES = {
     "time_travel": f"""
         SELECT {', '.join(LI_COLS)} FROM lineitem WHERE l_orderkey % 2 = 0
     """,
+    "tagged_release_read": f"""
+        SELECT {', '.join(LI_COLS)} FROM lineitem WHERE l_orderkey % 2 = 0
+    """,
     "schema_evolution": f"""
         SELECT {', '.join(LI_COLS)}, NULL::VARCHAR AS source
         FROM lineitem WHERE l_orderkey % 2 = 0
@@ -2749,6 +2771,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_top50": q_bigram_top50,
         # lake semantics beyond the rewrite (unique coverage — early)
         "stats_pruned_scan": q_stats_pruned_scan,
+        "tagged_release_read": q_tagged_release_read,
         "time_travel": q_time_travel,
         "schema_evolution": q_schema_evolution,
         "partition_evolution": q_partition_evolution,

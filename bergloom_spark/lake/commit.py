@@ -132,6 +132,7 @@ class RewriteFilesCommitManager:
             schema_id=base.schema_id,
             partition_spec=list(base.partition_spec),
             properties=dict(base.properties),
+            refs=dict(base.refs),
             current_snapshot_id=snap.snapshot_id,
             last_sequence_number=snap.sequence_number,
             last_snapshot_id=snap.snapshot_id,

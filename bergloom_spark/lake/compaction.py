@@ -374,6 +374,10 @@ def expire_snapshots(table: LakeTable, keep_last: int = 1) -> int:
     # after rollback_to it may not be among the newest keep_last.
     if meta.current_snapshot_id is not None:
         kept_ids.add(meta.current_snapshot_id)
+    # Named refs retain their snapshots (Iceberg semantics): a tagged
+    # release stays readable until the tag is dropped, no matter how
+    # aggressive the expiry policy.
+    kept_ids.update(r["snapshot_id"] for r in meta.refs.values())
     kept = [s for s in meta.snapshots if s.snapshot_id in kept_ids]
     expired = [s for s in meta.snapshots if s.snapshot_id not in kept_ids]
     if not expired:
@@ -388,6 +392,7 @@ def expire_snapshots(table: LakeTable, keep_last: int = 1) -> int:
         schema_id=meta.schema_id,
         partition_spec=list(meta.partition_spec),
         properties=dict(meta.properties),
+        refs=dict(meta.refs),
         current_snapshot_id=meta.current_snapshot_id,
         last_sequence_number=meta.last_sequence_number,
         last_snapshot_id=meta.last_snapshot_id,

@@ -76,6 +76,11 @@ class TableMetadata:
     last_snapshot_id: int = 0
     version: int = 0
     snapshots: list[Snapshot] = field(default_factory=list)
+    # Named snapshot refs (Iceberg-style): {name: {"snapshot_id": int,
+    # "type": "tag" | "branch"}}. Tags are immutable release markers
+    # ("the snapshot model X trained on"); branches are movable
+    # pointers. Defaulted so pre-refs metadata versions load.
+    refs: dict = field(default_factory=dict)
 
     def current_snapshot(self) -> Snapshot | None:
         if self.current_snapshot_id is None:

@@ -98,6 +98,7 @@ class LakeTable:
             schema_id=base.schema_id,
             partition_spec=list(base.partition_spec),
             properties=dict(base.properties),
+            refs=dict(base.refs),
             # Staged (write-audit-publish): the snapshot is recorded but
             # the table keeps pointing at its parent until publish().
             current_snapshot_id=(
@@ -181,6 +182,7 @@ class LakeTable:
             schema_id=base.schema_id,
             partition_spec=list(base.partition_spec),
             properties=dict(base.properties),
+            refs=dict(base.refs),
             current_snapshot_id=snapshot_id,
             last_sequence_number=base.last_sequence_number,
             last_snapshot_id=base.last_snapshot_id,
@@ -220,6 +222,62 @@ class LakeTable:
     # ------------------------------------------------------------------
     # snapshot management
     # ------------------------------------------------------------------
+    # ------------------------------------------------------------------
+    # named refs (Iceberg-style tags & branches)
+    # ------------------------------------------------------------------
+    def _commit_refs(self, refs: dict) -> None:
+        import dataclasses
+
+        meta = dataclasses.replace(
+            self.meta, refs=refs, version=self.meta.version + 1
+        )
+        md.write_version(meta)
+        self.meta = meta
+
+    def create_tag(self, name: str, snapshot_id: int | None = None) -> None:
+        """Immutable named pointer to a snapshot (defaults to current) —
+        the dataset-release primitive: tag the exact snapshot a model
+        trained on and it stays readable (and exempt from
+        ``expire_snapshots``) until the tag is dropped."""
+        self._create_ref(name, "tag", snapshot_id)
+
+    def create_branch(self, name: str, snapshot_id: int | None = None) -> None:
+        """Movable named pointer; advance it with :meth:`set_branch`."""
+        self._create_ref(name, "branch", snapshot_id)
+
+    def _create_ref(self, name: str, kind: str, snapshot_id: int | None) -> None:
+        if name in self.meta.refs:
+            raise ValueError(f"ref {name!r} already exists")
+        if snapshot_id is None:
+            snapshot_id = self.meta.current_snapshot_id
+        if snapshot_id is None:
+            raise ValueError("table has no snapshot to reference")
+        self.meta.snapshot_by_id(snapshot_id)  # KeyError if unknown
+        refs = dict(self.meta.refs)
+        refs[name] = {"snapshot_id": int(snapshot_id), "type": kind}
+        self._commit_refs(refs)
+
+    def set_branch(self, name: str, snapshot_id: int) -> None:
+        ref = self.meta.refs.get(name)
+        if ref is None or ref["type"] != "branch":
+            raise ValueError(f"{name!r} is not a branch")
+        self.meta.snapshot_by_id(snapshot_id)
+        refs = dict(self.meta.refs)
+        refs[name] = {"snapshot_id": int(snapshot_id), "type": "branch"}
+        self._commit_refs(refs)
+
+    def drop_ref(self, name: str) -> None:
+        if name not in self.meta.refs:
+            raise KeyError(f"ref {name!r} not found")
+        refs = {k: v for k, v in self.meta.refs.items() if k != name}
+        self._commit_refs(refs)
+
+    def ref_snapshot_id(self, name: str) -> int:
+        ref = self.meta.refs.get(name)
+        if ref is None:
+            raise KeyError(f"ref {name!r} not found")
+        return int(ref["snapshot_id"])
+
     def rollback_to(self, snapshot_id: int) -> None:
         """Point the table back at an older snapshot (Iceberg's
         ``rollback_to_snapshot``). Metadata-only: nothing is deleted,
@@ -235,6 +293,7 @@ class LakeTable:
             schema_id=base.schema_id,
             partition_spec=list(base.partition_spec),
             properties=dict(base.properties),
+            refs=dict(base.refs),
             current_snapshot_id=snapshot_id,
             last_sequence_number=base.last_sequence_number,
             last_snapshot_id=base.last_snapshot_id,
@@ -315,6 +374,7 @@ class LakeTable:
             schema_id=base.schema_id + 1,
             partition_spec=list(base.partition_spec),
             properties=props,
+            refs=dict(base.refs),
             current_snapshot_id=base.current_snapshot_id,
             last_sequence_number=base.last_sequence_number,
             last_snapshot_id=base.last_snapshot_id,
@@ -379,6 +439,7 @@ class LakeTable:
             schema_id=base.schema_id + 1,
             partition_spec=list(new_spec),
             properties=dict(base.properties),
+            refs=dict(base.refs),
             current_snapshot_id=base.current_snapshot_id,
             last_sequence_number=base.last_sequence_number,
             last_snapshot_id=base.last_snapshot_id,
@@ -663,6 +724,7 @@ class LakeTable:
         snapshot_id: int | None = None,
         data_paths: list[str] | None = None,
         filters: sk.Filters | None = None,
+        ref: str | None = None,
     ) -> DataFrame:
         """The MoR SELECT: data minus deletes, user schema only.
 
@@ -674,7 +736,12 @@ class LakeTable:
         before Spark lists them (skipping.py), then apply as a row
         filter. Filtering data BEFORE delete application is safe —
         deletes only remove rows — and shrinks the anti-join probe side.
+        ``ref`` reads a named tag/branch (exclusive with snapshot_id).
         """
+        if ref is not None:
+            if snapshot_id is not None:
+                raise ValueError("pass either snapshot_id or ref, not both")
+            snapshot_id = self.ref_snapshot_id(ref)
         snap = self._snapshot(snapshot_id)
         if snap is None:
             return self.spark.createDataFrame([], self.schema)
