@@ -2178,6 +2178,37 @@ def q_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_report_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dataset release report: per-(lang, source) doc/char/token
+    counts, mean quality, and exact-dup document counts, with ROLLUP
+    subtotals — one scan, one fingerprint window, one multi-level agg.
+    At 100 TB: the window shuffles on the 8-byte fingerprint, the
+    rollup is map-side combined per grouping set."""
+    from pyspark.sql import Window
+
+    docs = TS(spark, sf_dir, "documents")
+    tk = F.col("__toks")
+    feat = docs.select(
+        "doc_id", "lang", "source", "n_chars",
+        TX.tokens("text").alias("__toks"), "text",
+    ).select(
+        "lang", "source", "n_chars",
+        TX.token_count("text", toks=tk).alias("n_tokens"),
+        TX.quality_score("text", toks=tk).alias("q"),
+        TX.fingerprint64("text").alias("fp"),
+    )
+    d = feat.withColumn(
+        "fpn", F.count(F.lit(1)).over(Window.partitionBy("fp"))
+    )
+    return d.rollup("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.round(F.avg("q"), 6).alias("avg_quality"),
+        F.sum((F.col("fpn") > 1).cast("long")).alias("n_dup_docs"),
+    )
+
+
 def q_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test assignment (pure hash of doc_id:
     stable under reruns, engines, and corpus growth), summarized per
@@ -2460,6 +2491,21 @@ _EXT_ORACLES = {
     "per_source_quota": f"""
         SELECT doc_id, source, lang FROM (
           {per_key_quota_sql('documents', 'source', 'doc_id', 40)})
+    """,
+    "corpus_report_card": f"""
+        WITH feat AS (
+          SELECT lang, source, n_chars,
+                 {TX.token_count_sql('text')} AS n_tokens,
+                 {TX.quality_score_sql('text')} AS q,
+                 {hash64_sql('text')} AS fp
+          FROM documents),
+        d AS (SELECT *, count(*) OVER (PARTITION BY fp) AS fpn FROM feat)
+        SELECT lang, source, count(*)::BIGINT AS n_docs,
+               sum(n_chars)::BIGINT AS total_chars,
+               sum(n_tokens)::BIGINT AS total_tokens,
+               round(avg(q), 6) AS avg_quality,
+               sum(CASE WHEN fpn > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup_docs
+        FROM d GROUP BY ROLLUP (lang, source)
     """,
     "tfidf_top_terms": tfidf_sql("text", "doc_id", "documents", k=3),
     "bigram_top50": corpus_top_ngrams_sql("text", "documents", n=2, top_k=50),
@@ -2769,6 +2815,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "per_source_quota": q_per_source_quota,
         "tfidf_top_terms": q_tfidf_top_terms,
         "bigram_top50": q_bigram_top50,
+        "corpus_report_card": q_corpus_report_card,
         # lake semantics beyond the rewrite (unique coverage — early)
         "stats_pruned_scan": q_stats_pruned_scan,
         "tagged_release_read": q_tagged_release_read,

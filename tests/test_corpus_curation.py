@@ -127,6 +127,7 @@ def test_new_queries_match_oracles(spark, sf_dir):
         "knn_vectorized",
         "knn_lsh",
         "knn_ivf",
+        "corpus_report_card",
     ):
         rep = compare(q[name](spark, sf_dir), con, o[name])
         assert rep["match"], (name, rep)
