@@ -35,6 +35,36 @@ from bergloom_spark.io import load_table as T  # noqa: E402
 from bergloom_spark.io import spread  # noqa: E402
 
 
+_SCRATCH_KEEP = 8
+_scratch_roots: list[str] = []
+
+
+def _reap_scratch(keep: int) -> None:
+    import shutil
+
+    while len(_scratch_roots) > keep:
+        shutil.rmtree(_scratch_roots.pop(0), ignore_errors=True)
+
+
+def _scratch(prefix: str) -> str:
+    """mkdtemp with deferred cleanup. Lifecycle queries write real lake
+    tables whose DataFrames are consumed by the caller AFTER return, so
+    a dir can't be reaped inside its own query — instead each new
+    scratch dir reaps the oldest beyond a keep-window, and atexit reaps
+    the rest. Without this a long driver/bench session accumulates
+    unbounded dead parquet in /tmp (OS writeback pressure that shows up
+    as multi-second write stalls in later queries)."""
+    root = tempfile.mkdtemp(prefix=prefix)
+    _scratch_roots.append(root)
+    _reap_scratch(_SCRATCH_KEEP)
+    return root
+
+
+import atexit  # noqa: E402
+
+atexit.register(lambda: _reap_scratch(0))
+
+
 def TS(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load + fan out: the test tables are single-row-group parquet, so
     a bare scan is ONE task; per-row-heavy operators (text hashing,
@@ -118,7 +148,7 @@ def q_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bergloom_spark.lake import Compaction, LakeTable
 
     li = T(spark, sf_dir, "lineitem")
-    root = os.path.join(tempfile.mkdtemp(prefix="bergloom-entry-"), "li")
+    root = os.path.join(_scratch(prefix="bergloom-entry-"), "li")
     t = LakeTable.create(spark, root, li.schema)
     t.append(li.filter(F.col("l_orderkey") % 2 == 0))
     t.append(li.filter(F.col("l_orderkey") % 2 == 1))
@@ -149,7 +179,7 @@ def q_compact_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bergloom_spark.lake import Compaction, LakeTable
 
     li = T(spark, sf_dir, "lineitem").select(*LI_COLS, "l_returnflag")
-    root = os.path.join(tempfile.mkdtemp(prefix="bergloom-part-"), "li")
+    root = os.path.join(_scratch(prefix="bergloom-part-"), "li")
     t = LakeTable.create(spark, root, li.schema, partition_spec=["l_returnflag"])
     t.append(li)
     t.append_equality_deletes(
@@ -173,7 +203,7 @@ def q_compact_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bergloom_spark.lake.compaction import SortCompaction
 
     base = T(spark, sf_dir, "lineitem").select(*LI_COLS)
-    root = os.path.join(tempfile.mkdtemp(prefix="bergloom-sort-"), "li")
+    root = os.path.join(_scratch(prefix="bergloom-sort-"), "li")
     t = LakeTable.create(spark, root, base.schema)
     t.append(base.filter(F.col("l_orderkey") % 2 == 0))
     t.append(base.filter(F.col("l_orderkey") % 2 == 1))
@@ -197,7 +227,7 @@ def q_stats_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bergloom_spark.lake.compaction import SortCompaction
 
     base = T(spark, sf_dir, "lineitem").select(*LI_COLS)
-    root = os.path.join(tempfile.mkdtemp(prefix="bergloom-skip-"), "li")
+    root = os.path.join(_scratch(prefix="bergloom-skip-"), "li")
     t = LakeTable.create(spark, root, base.schema)
     t.append(base)
     SortCompaction(
@@ -225,7 +255,7 @@ def q_dml_upsert_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bergloom_spark.lake import LakeTable
 
     base = T(spark, sf_dir, "lineitem").select(*LI_COLS)
-    root = os.path.join(tempfile.mkdtemp(prefix="bergloom-dml-"), "li")
+    root = os.path.join(_scratch(prefix="bergloom-dml-"), "li")
     t = LakeTable.create(spark, root, base.schema)
     t.append(base)
     updates = base.filter(F.col("l_partkey") % 17 == 0).withColumn(
@@ -943,7 +973,7 @@ def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bergloom_spark.lake import LakeTable
 
     base = T(spark, sf_dir, "lineitem").select(*LI_COLS)
-    root = os.path.join(tempfile.mkdtemp(prefix="bergloom-evo-"), "li")
+    root = os.path.join(_scratch(prefix="bergloom-evo-"), "li")
     t = LakeTable.create(spark, root, base.schema)
     t.append(base.filter(F.col("l_orderkey") % 2 == 0))
     t.add_columns([ST.StructField("source", ST.StringType(), True)])
@@ -964,7 +994,7 @@ def q_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bergloom_spark.lake import LakeTable
 
     base = T(spark, sf_dir, "lineitem").select(*LI_COLS, "l_returnflag")
-    root = os.path.join(tempfile.mkdtemp(prefix="bergloom-pe-"), "li")
+    root = os.path.join(_scratch(prefix="bergloom-pe-"), "li")
     t = LakeTable.create(spark, root, base.schema, ["l_returnflag"])
     t.append(base.filter(F.col("l_orderkey") % 2 == 0))
     t.set_partition_spec([])  # unpartitioned from here on
@@ -980,7 +1010,7 @@ def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bergloom_spark.lake import LakeTable
 
     base = T(spark, sf_dir, "lineitem").select(*LI_COLS)
-    root = os.path.join(tempfile.mkdtemp(prefix="bergloom-tt-"), "li")
+    root = os.path.join(_scratch(prefix="bergloom-tt-"), "li")
     t = LakeTable.create(spark, root, base.schema)
     first = t.append(base.filter(F.col("l_orderkey") % 2 == 0))
     t.append(base.filter(F.col("l_orderkey") % 2 == 1))
@@ -997,7 +1027,7 @@ def q_tagged_release_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bergloom_spark.lake.compaction import expire_snapshots
 
     base = T(spark, sf_dir, "lineitem").select(*LI_COLS)
-    root = os.path.join(tempfile.mkdtemp(prefix="bergloom-refs-"), "li")
+    root = os.path.join(_scratch(prefix="bergloom-refs-"), "li")
     t = LakeTable.create(spark, root, base.schema)
     t.append(base.filter(F.col("l_orderkey") % 2 == 0))
     t.create_tag("release-1")
@@ -1016,7 +1046,7 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bergloom_spark.sources.bucketed import bucketed_join, write_bucketed
 
     tag = uuid.uuid4().hex[:8]
-    root = tempfile.mkdtemp(prefix="bergloom-bkt-")
+    root = _scratch(prefix="bergloom-bkt-")
     li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
     orders = T(spark, sf_dir, "orders").select(
         F.col("o_orderkey").alias("l_orderkey"), F.col("o_orderpriority")
@@ -1042,7 +1072,7 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bergloom_spark.lake import LakeTable
 
     base = T(spark, sf_dir, "lineitem").select(*LI_COLS)
-    root = os.path.join(tempfile.mkdtemp(prefix="bergloom-cdc-"), "li")
+    root = os.path.join(_scratch(prefix="bergloom-cdc-"), "li")
     t = LakeTable.create(spark, root, base.schema)
     first = t.append(base.filter(F.col("l_orderkey") % 2 == 0))
     t.append(base.filter(F.col("l_orderkey") % 2 == 1))
@@ -1139,7 +1169,7 @@ def q_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cols = [*LI_COLS, "l_extendedprice", "l_returnflag", "l_linestatus"]
     li = T(spark, sf_dir, "lineitem").select(*cols)
-    base = os.path.join(tempfile.mkdtemp(prefix="bergloom-ivm-"))
+    base = os.path.join(_scratch(prefix="bergloom-ivm-"))
     t = LakeTable.create(spark, os.path.join(base, "fact"), li.schema)
     r = IncrementalRollup(
         t,
@@ -1333,6 +1363,25 @@ def q_interval_error_context(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_lake_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming front door of the lake: a REAL availableNow stream
+    over the events files drains through an exactly-once foreachBatch
+    sink (batch id committed atomically with the rows in one
+    metadata-version CAS), one snapshot per micro-batch, then the table
+    reads back all events — the oracle is the plain events table."""
+    from bergloom_spark.lake import LakeTable
+    from bergloom_spark.streaming.events import read_events_stream
+    from bergloom_spark.streaming.ingest import ingest_stream
+
+    root = _scratch(prefix="bergloom-ingest-")
+    stream_dir = os.path.join(root, "in")
+    T(spark, sf_dir, "events").repartition(4).write.parquet(stream_dir)
+    stream = read_events_stream(spark, stream_dir, max_files_per_trigger=2)
+    t = LakeTable.create(spark, os.path.join(root, "tbl"), stream.schema)
+    ingest_stream(stream, t, os.path.join(root, "ckpt"))
+    return t.read().select("event_id", "user_id", "event_type", "value")
+
+
 def q_streaming_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A REAL Structured Streaming run (file source → watermarked
     windowed agg → memory sink, availableNow): once the source drains,
@@ -1343,7 +1392,7 @@ def q_streaming_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bergloom_spark.streaming import events as SE
 
     stream_dir = os.path.join(
-        tempfile.mkdtemp(prefix="bergloom-stream-"), "events"
+        _scratch(prefix="bergloom-stream-"), "events"
     )
     T(spark, sf_dir, "events").repartition(4).write.parquet(stream_dir)
     name = f"stream_hourly_{uuid.uuid4().hex[:8]}"
@@ -1370,7 +1419,7 @@ def q_streaming_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bergloom_spark.streaming import events as SE
 
     stream_dir = os.path.join(
-        tempfile.mkdtemp(prefix="bergloom-attr-"), "events"
+        _scratch(prefix="bergloom-attr-"), "events"
     )
     T(spark, sf_dir, "events").repartition(4).write.parquet(stream_dir)
     views = SE.read_events_stream(spark, stream_dir, max_files_per_trigger=2).filter(
@@ -1565,6 +1614,9 @@ _ANALYTICS_ORACLES = {
         SELECT date_trunc('hour', ts) AS hour, event_type,
                count(*) AS n, round(sum(value), 2) AS value_sum
         FROM events GROUP BY 1, 2
+    """,
+    "streaming_lake_ingest": """
+        SELECT event_id, user_id, event_type, value FROM events
     """,
     "events_json_rollup": """
         SELECT event_type,
@@ -2838,6 +2890,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_rollup": q_incremental_rollup,
         "interval_error_context": q_interval_error_context,
         "streaming_events_hourly": q_streaming_events_hourly,
+        "streaming_lake_ingest": q_streaming_lake_ingest,
         "streaming_attribution": q_streaming_attribution,
         "bucketed_join": q_bucketed_join,
         # training-data pipeline extensions (unique coverage — early)

@@ -118,9 +118,18 @@ class LakeTable:
             snap.entries.extend(current.entries)
 
     def append(
-        self, df: DataFrame, target_file_size: int = 128 * 1024 * 1024
+        self,
+        df: DataFrame,
+        target_file_size: int = 128 * 1024 * 1024,
+        properties_update: dict[str, str] | None = None,
     ) -> md.Snapshot:
+        """Append ``df`` as a new snapshot. ``properties_update`` merges
+        into table properties ATOMICALLY with the data commit (same
+        metadata-version CAS) — what a streaming sink needs to record
+        its batch id exactly-once alongside the rows it wrote."""
         meta, snap = self._next_commit("append")
+        if properties_update:
+            meta.properties.update(properties_update)
         self._carry_forward(snap)
         snap.entries.extend(
             wr.write_data_files(

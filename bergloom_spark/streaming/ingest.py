@@ -1,0 +1,63 @@
+"""Streaming ingest into a LakeTable — exactly-once per micro-batch.
+
+``foreachBatch`` delivers micro-batches at-least-once with DETERMINISTIC
+batch ids (Spark replays a batch with the same id after a failure).
+Exactly-once therefore reduces to idempotence: record the last committed
+batch id in table properties ATOMICALLY with the data commit (one
+metadata-version CAS, ``LakeTable.append(properties_update=...)``) and
+skip any batch id at or below it. If the process dies between the table
+commit and the checkpoint advance, the replayed batch hits the guard
+and is dropped — no duplicates, no data loss.
+
+This is the lake-sink half of the reference's ecosystem (the reference
+compacts tables that such an ingest produces); at scale it is the
+standard "streaming front door": watermark/dedup upstream
+(``streaming/events.py``), small frequent appends here, compaction
+(``lake/compaction.py``) folding the small files behind.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from bergloom_spark.lake.table import LakeTable
+
+LAST_BATCH_PROP = "streaming.last_batch_id"
+
+
+def make_batch_sink(table: LakeTable, target_file_size: int = 128 * 1024 * 1024):
+    """The idempotent ``foreachBatch`` function (exposed for tests /
+    custom triggers)."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        t = table.refresh()
+        last = int(t.meta.properties.get(LAST_BATCH_PROP, "-1"))
+        if batch_id <= last:
+            return  # replayed batch — already committed
+        t.append(
+            batch_df,
+            target_file_size=target_file_size,
+            properties_update={LAST_BATCH_PROP: str(batch_id)},
+        )
+
+    return sink
+
+
+def ingest_stream(
+    stream_df: DataFrame,
+    table: LakeTable,
+    checkpoint_dir: str,
+    target_file_size: int = 128 * 1024 * 1024,
+) -> LakeTable:
+    """Drain ``stream_df`` into ``table`` (availableNow) and return the
+    refreshed table. Each micro-batch becomes one snapshot; restarts
+    resume from the checkpoint and replays are dropped by the batch-id
+    guard."""
+    q = (
+        stream_df.writeStream.foreachBatch(make_batch_sink(table, target_file_size))
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return table.refresh()

@@ -1,0 +1,82 @@
+"""Exactly-once streaming ingest into a LakeTable."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from bergloom_spark.lake import LakeTable
+from bergloom_spark.lake import metadata as md
+from bergloom_spark.streaming.events import read_events_stream
+from bergloom_spark.streaming.ingest import (
+    LAST_BATCH_PROP,
+    ingest_stream,
+    make_batch_sink,
+)
+
+
+def _events(spark, sf_dir):
+    from bergloom_spark.io import load_table
+
+    return load_table(spark, sf_dir, "events")
+
+
+def test_ingest_drains_stream_in_batches(spark, sf_dir):
+    with tempfile.TemporaryDirectory() as root:
+        ev = _events(spark, sf_dir)
+        stream_dir = os.path.join(root, "in")
+        ev.repartition(4).write.parquet(stream_dir)
+        stream = read_events_stream(spark, stream_dir, max_files_per_trigger=2)
+        t = LakeTable.create(spark, os.path.join(root, "tbl"), stream.schema)
+        t = ingest_stream(stream, t, os.path.join(root, "ckpt"))
+        assert t.read().count() == ev.count()
+        # one snapshot per micro-batch, and >1 batch given the trigger cap
+        appends = [s for s in t.meta.snapshots if s.operation == "append"]
+        assert len(appends) >= 2
+        assert int(t.meta.properties[LAST_BATCH_PROP]) == len(appends) - 1
+
+
+def test_restart_with_same_checkpoint_adds_nothing(spark, sf_dir):
+    with tempfile.TemporaryDirectory() as root:
+        ev = _events(spark, sf_dir)
+        stream_dir = os.path.join(root, "in")
+        ev.repartition(2).write.parquet(stream_dir)
+        ckpt = os.path.join(root, "ckpt")
+        t = LakeTable.create(
+            spark,
+            os.path.join(root, "tbl"),
+            read_events_stream(spark, stream_dir).schema,
+        )
+        t = ingest_stream(read_events_stream(spark, stream_dir), t, ckpt)
+        n1 = t.read().count()
+        v1 = t.meta.version
+        # restart: source exhausted + batch-id guard → no new snapshots
+        t = ingest_stream(read_events_stream(spark, stream_dir), t, ckpt)
+        assert t.read().count() == n1
+        assert t.meta.version == v1
+
+
+def test_replayed_batch_is_dropped(spark, sf_dir):
+    with tempfile.TemporaryDirectory() as root:
+        ev = _events(spark, sf_dir).limit(100)
+        t = LakeTable.create(spark, os.path.join(root, "tbl"), ev.schema)
+        sink = make_batch_sink(t)
+        sink(ev, 0)
+        n = t.refresh().read().count()
+        sink(ev, 0)  # exact replay — must be idempotent
+        assert t.refresh().read().count() == n
+        sink(ev, 1)  # genuinely new batch — appends
+        assert t.refresh().read().count() == 2 * n
+        assert t.meta.properties[LAST_BATCH_PROP] == "1"
+
+
+def test_batch_id_commit_is_atomic_with_rows(spark, sf_dir):
+    """The batch id lands in the SAME metadata version as the snapshot
+    — no window where rows are committed but the guard isn't."""
+    with tempfile.TemporaryDirectory() as root:
+        ev = _events(spark, sf_dir).limit(50)
+        t = LakeTable.create(spark, os.path.join(root, "tbl"), ev.schema)
+        make_batch_sink(t)(ev, 7)
+        reloaded = md.read_current(t.meta.table_root)
+        assert reloaded.properties[LAST_BATCH_PROP] == "7"
+        assert reloaded.current_snapshot().operation == "append"
