@@ -2252,11 +2252,22 @@ def q_corpus_report_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = feat.withColumn(
         "fpn", F.count(F.lit(1)).over(Window.partitionBy("fp"))
     )
+    # avg(double) is merge-order-dependent (partial sums combine in
+    # task-completion order), which flips the 6th decimal on boundary
+    # values run-to-run. Quantize per row to integer micro-units
+    # (deterministic — per-row q is bit-identical on both engines),
+    # sum exactly (integer addition is associative), divide once.
+    d = d.withColumn("q6", F.round(F.col("q") * F.lit(1e6)).cast("long"))
     return d.rollup("lang", "source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("total_chars"),
         F.sum("n_tokens").alias("total_tokens"),
-        F.round(F.avg("q"), 6).alias("avg_quality"),
+        F.round(
+            F.sum("q6").cast("double")
+            / F.count(F.lit(1)).cast("double")
+            / F.lit(1e6),
+            6,
+        ).alias("avg_quality"),
         F.sum((F.col("fpn") > 1).cast("long")).alias("n_dup_docs"),
     )
 
@@ -2551,11 +2562,14 @@ _EXT_ORACLES = {
                  {TX.quality_score_sql('text')} AS q,
                  {hash64_sql('text')} AS fp
           FROM documents),
-        d AS (SELECT *, count(*) OVER (PARTITION BY fp) AS fpn FROM feat)
+        d AS (SELECT *, count(*) OVER (PARTITION BY fp) AS fpn,
+                     round(q * 1000000.0)::BIGINT AS q6
+              FROM feat)
         SELECT lang, source, count(*)::BIGINT AS n_docs,
                sum(n_chars)::BIGINT AS total_chars,
                sum(n_tokens)::BIGINT AS total_tokens,
-               round(avg(q), 6) AS avg_quality,
+               round(sum(q6)::DOUBLE / count(*)::DOUBLE / 1000000.0, 6)
+                   AS avg_quality,
                sum(CASE WHEN fpn > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup_docs
         FROM d GROUP BY ROLLUP (lang, source)
     """,

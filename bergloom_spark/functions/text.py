@@ -179,12 +179,18 @@ def lang_scores(
     col: Column | str, toks: Column | None = None
 ) -> dict[str, Column]:
     toks = toks if toks is not None else tokens(col)
+    # Lower each token ONCE, shared by every language's counter — the
+    # per-language formulation would lower the whole array L times
+    # (HOFs are interpreted, not codegen'd; redundant passes are the
+    # dominant cost of this scorer). Values are unchanged, so the
+    # DuckDB twin (which the optimizer there handles) stays as-is.
+    lowered = F.transform(toks, lambda x: F.lower(x))
 
     # NB: bind the word list via closure, not a defaulted second lambda
     # parameter — F.filter treats a 2-arg lambda as (element, index).
     def hit_counter(words: list[str]):
         arr = _word_list(words)
-        return F.size(F.filter(toks, lambda x: F.array_contains(arr, F.lower(x))))
+        return F.size(F.filter(lowered, lambda x: F.array_contains(arr, x)))
 
     return {lang: hit_counter(words) for lang, words in STOPWORDS.items()}
 

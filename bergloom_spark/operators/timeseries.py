@@ -59,7 +59,22 @@ def bucket_series(
             "bucket_idx", F.floor(_bucket_idx(ts_col, bucket_minutes))
         )
         .groupBy(*keys, "bucket_idx")
-        .agg(F.round(F.avg(value_col), 6).alias("v"))
+        # NOT round(avg(value), 6): avg(double) merges partial sums in
+        # task-completion order, so a bucket whose true mean sits on a
+        # 6th-decimal boundary flips run-to-run (and against the
+        # oracle). Quantize per row to integer micro-units (per-row
+        # doubles are bit-identical across engines), sum exactly,
+        # divide once — deterministic on any partitioning.
+        .agg(
+            F.round(
+                F.sum(
+                    F.round(F.col(value_col) * F.lit(1e6)).cast("long")
+                ).cast("double")
+                / F.count(F.lit(1)).cast("double")
+                / F.lit(1e6),
+                6,
+            ).alias("v")
+        )
     )
 
 
@@ -189,7 +204,8 @@ def gapfill_sql(
                CAST(floor(datediff('minute', TIMESTAMP '1970-01-01',
                                    {ts_col}) / {bucket_minutes}) AS BIGINT)
                  AS bucket_idx,
-               round(avg({value_col}), 6) AS v
+               round(sum(round({value_col} * 1000000.0)::BIGINT)::DOUBLE
+                     / count(*)::DOUBLE / 1000000.0, 6) AS v
         FROM {table} WHERE {where}
         GROUP BY ALL
       ), rng AS (
