@@ -2511,6 +2511,20 @@ def q_centroid_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return centroid_histogram(TS(spark, sf_dir, "embeddings"), n_centroids=16)
 
 
+def q_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two Lloyd rounds of spherical k-means (assign = Arrow matmul
+    map; update = per-partition integer-microunit partial sums, K×P
+    bounded collect) — the iterative-algorithm showcase, and still
+    hash-oracled: integer sums are associative, so every round's
+    centroids are bit-reproducible and DuckDB replays the whole
+    iteration exactly (kmeans_refine_sql unrolls the rounds as CTEs)."""
+    from bergloom_spark.operators.similarity import kmeans_refine
+
+    return kmeans_refine(
+        TS(spark, sf_dir, "embeddings"), n_centroids=8, iters=2
+    )
+
+
 def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric int8 quantization of every embedding (the 4× storage
     cut ANN candidate stages read); scan-side per-row HOF expressions,
@@ -2544,6 +2558,7 @@ from bergloom_spark.operators.search import (  # noqa: E402
 )
 from bergloom_spark.operators.similarity import (  # noqa: E402
     centroid_histogram_sql,
+    kmeans_refine_sql,
     knn_ivf_sql,
     knn_lsh_sql,
     quantize_int8_sql,
@@ -2579,6 +2594,7 @@ _EXT_ORACLES = {
     "embedding_quantize": quantize_int8_sql(),
     "knn_lsh": knn_lsh_sql(),
     "knn_ivf": knn_ivf_sql(),
+    "kmeans_refine": kmeans_refine_sql(n_centroids=8, iters=2),
     "sequence_packing": _packing_oracle(),
     "doc_chunks": TX.chunk_documents_sql(
         "documents", "text", "doc_id", chunk_chars=400, overlap=80
@@ -2876,6 +2892,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_meta": q_multimodal_meta,
         "centroid_histogram": q_centroid_histogram,
         "embedding_quantize": q_embedding_quantize,
+        "kmeans_refine": q_kmeans_refine,
         # corpus curation (unique coverage — early)
         "quality_top_frac": q_quality_top_frac,
         "per_source_quota": q_per_source_quota,

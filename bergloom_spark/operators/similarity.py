@@ -820,3 +820,172 @@ def knn_ivf_sql(
         SELECT probe_id, neighbor_id, cosine_sim, rank
         FROM ranked WHERE rank <= {k}
     """
+
+
+# ---------------------------------------------------------------------------
+# K-means (Lloyd) refinement — iterative algorithms, reproducibly
+# ---------------------------------------------------------------------------
+def kmeans_refine(
+    embeddings: DataFrame,
+    n_centroids: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Spherical k-means: ``iters`` Lloyd rounds from the deterministic
+    seed centroids; returns the final (centroid_id, n_vectors)
+    partition of the corpus.
+
+    Distributed shape per round — the classic two-phase reduce:
+
+    1. ASSIGN: one Arrow-batch matmul map (same kernel family as
+       :func:`ivf_assign`) — no shuffle;
+    2. UPDATE: each partition emits per-cluster PARTIAL sums (K rows ×
+       dim, independent of partition size — map-side combine), and the
+       K×P partial table is a bounded driver collect (like the
+       mixture_resample policy collect: K·P ≪ corpus).
+
+    Reproducibility is the hard part of distributed k-means: float
+    partial sums combine in task-completion order, so naive means
+    drift between runs/cluster sizes and an oracle can't replay them.
+    Here each normalized component quantizes to INTEGER micro-units
+    inside the kernel (round(v̂_d·1e6) — per-row, bit-identical on any
+    engine); integer sums are associative, so the reduction order
+    cannot matter, and the mean back in float64 is one deterministic
+    division. Empty clusters keep their previous centroid. Ties break
+    first-wins = (cosine desc, centroid_id asc), matching the SQL twin.
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = embeddings.sparkSession
+    cm = deterministic_centroids(embeddings, n_centroids, id_col, vec_col)
+    k = len(cm)
+
+    for _ in range(iters):
+        cm_iter = cm  # bind for closure
+
+        out_schema = "cid int, n long, sums array<long>"
+
+        def partials(batches, _c=cm_iter, _k=k):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+                m /= np.linalg.norm(m, axis=1, keepdims=True)
+                cid = np.argmax(m @ _c.T, axis=1)
+                q = np.round(m * 1e6).astype(np.int64)
+                rows = []
+                for c in np.unique(cid):
+                    mask = cid == c
+                    rows.append(
+                        {
+                            "cid": int(c),
+                            "n": int(mask.sum()),
+                            "sums": q[mask].sum(axis=0).tolist(),
+                        }
+                    )
+                yield pd.DataFrame(rows)
+
+        part = (
+            embeddings.select(id_col, vec_col)
+            .mapInPandas(partials, out_schema)
+            .collect()
+        )
+        sums = {}
+        counts = {}
+        for r in part:
+            c = r["cid"]
+            counts[c] = counts.get(c, 0) + r["n"]
+            acc = sums.get(c)
+            s = np.array(r["sums"], dtype=np.int64)
+            sums[c] = s if acc is None else acc + s
+        new_cm = np.array(cm, dtype=np.float64)
+        for c, s in sums.items():
+            mean = s.astype(np.float64) / (counts[c] * 1e6)
+            norm = np.linalg.norm(mean)
+            if norm > 0:
+                new_cm[c] = mean / norm
+        cm = new_cm
+
+    return (
+        ivf_assign(embeddings, cm, id_col, vec_col)
+        .groupBy("centroid_id")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+    )
+
+
+def kmeans_refine_sql(
+    n_centroids: int = 8,
+    iters: int = 2,
+    id_expr: str = "vec_id",
+    vec_expr: str = "embedding",
+    table: str = "embeddings",
+    dim: int = 64,
+) -> str:
+    """DuckDB twin of :func:`kmeans_refine` — the Lloyd rounds unroll
+    into chained CTEs; integer micro-unit sums make every round's
+    centroids bit-reproducible, so even an iterative algorithm oracles
+    exactly."""
+    from bergloom_spark.functions.hashing import hash64_sql
+
+    h = hash64_sql(f"({id_expr})::VARCHAR")
+    # normalized corpus (v̂ per row) — reused by every round
+    sql = f"""
+        WITH nv AS (
+          SELECT {id_expr} AS vid,
+                 list_transform({vec_expr},
+                   x -> x::DOUBLE / sqrt(list_sum(list_transform({vec_expr},
+                        y -> y::DOUBLE * y::DOUBLE)))) AS v
+          FROM {table}),
+        c0 AS (
+          SELECT row_number() OVER (ORDER BY {h}, {id_expr}) - 1 AS cid,
+                 (SELECT v FROM nv WHERE vid = {id_expr}) AS cv
+          FROM {table}
+          ORDER BY {h}, {id_expr}
+          LIMIT {n_centroids})"""
+    prev = "c0"
+    for i in range(1, iters + 1):
+        sql += f""",
+        a{i} AS (
+          SELECT vid, cid, v FROM (
+            SELECT nv.vid, c.cid, nv.v,
+                   row_number() OVER (
+                     PARTITION BY nv.vid
+                     ORDER BY list_sum(list_transform(range(1, {dim} + 1),
+                              j -> nv.v[j] * c.cv[j])) DESC, c.cid ASC
+                   ) AS rn
+            FROM nv CROSS JOIN {prev} c) WHERE rn = 1),
+        u{i} AS (
+          SELECT cid, d.d AS d,
+                 sum(round(v[d.d] * 1000000.0)::BIGINT) AS s,
+                 count(*) AS n
+          FROM a{i}, (SELECT unnest(range(1, {dim} + 1)) AS d) d
+          GROUP BY cid, d.d),
+        m{i} AS (
+          SELECT cid,
+                 list(s::DOUBLE / (n * 1000000.0) ORDER BY d) AS mv
+          FROM u{i} GROUP BY cid),
+        c{i} AS (
+          SELECT p.cid,
+                 CASE WHEN m.cid IS NULL THEN p.cv
+                      ELSE list_transform(m.mv,
+                        x -> x / sqrt(list_sum(list_transform(m.mv,
+                             y -> y * y))))
+                 END AS cv
+          FROM {prev} p LEFT JOIN m{i} m ON p.cid = m.cid)"""
+        prev = f"c{i}"
+    sql += f""",
+        final_assign AS (
+          SELECT vid, cid FROM (
+            SELECT nv.vid, c.cid,
+                   row_number() OVER (
+                     PARTITION BY nv.vid
+                     ORDER BY list_sum(list_transform(range(1, {dim} + 1),
+                              j -> nv.v[j] * c.cv[j])) DESC, c.cid ASC
+                   ) AS rn
+            FROM nv CROSS JOIN {prev} c) WHERE rn = 1)
+        SELECT cid AS centroid_id, count(*)::BIGINT AS n_vectors
+        FROM final_assign GROUP BY cid
+    """
+    return sql

@@ -101,6 +101,47 @@ def test_quantize_int8_bounds_and_recovery(spark, sf_dir):
     )
 
 
+def test_kmeans_refine_matches_local_lloyd(spark, sf_dir):
+    """The distributed operator must equal a naive single-process
+    NumPy Lloyd run (same seeds, same integer-microunit means) — the
+    distribution strategy is pure plumbing, never semantics."""
+    import numpy as np
+
+    from bergloom_spark.operators.similarity import (
+        deterministic_centroids,
+        kmeans_refine,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    k, iters = 4, 2
+    out = {
+        r.centroid_id: r.n_vectors
+        for r in kmeans_refine(emb, n_centroids=k, iters=iters).collect()
+    }
+    assert sum(out.values()) == emb.count()
+
+    m = np.stack([r.embedding for r in emb.select("embedding").collect()]).astype(
+        np.float64
+    )
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    cm = deterministic_centroids(emb, k)
+    for _ in range(iters):
+        cid = np.argmax(m @ cm.T, axis=1)
+        q = np.round(m * 1e6).astype(np.int64)
+        new = np.array(cm)
+        for c in range(k):
+            mask = cid == c
+            if mask.any():
+                mean = q[mask].sum(axis=0).astype(np.float64) / (
+                    mask.sum() * 1e6
+                )
+                new[c] = mean / np.linalg.norm(mean)
+        cm = new
+    cid = np.argmax(m @ cm.T, axis=1)
+    want = {int(c): int((cid == c).sum()) for c in np.unique(cid)}
+    assert out == want
+
+
 def test_centroid_histogram_partitions_corpus(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     out = centroid_histogram(emb, n_centroids=8).collect()
@@ -128,6 +169,7 @@ def test_new_queries_match_oracles(spark, sf_dir):
         "knn_lsh",
         "knn_ivf",
         "corpus_report_card",
+        "kmeans_refine",
     ):
         rep = compare(q[name](spark, sf_dir), con, o[name])
         assert rep["match"], (name, rep)
