@@ -1496,6 +1496,30 @@ def q_orders_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_order_gaps_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer order cadence analytics: lag() inter-order gap in
+    days plus percent_rank/cume_dist of order value within the
+    customer — the offset+distribution window battery. One shuffle on
+    o_custkey feeds all three window functions (two sorts share the
+    partition)."""
+    from pyspark.sql import Window
+
+    orders = T(spark, sf_dir, "orders")
+    w_time = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_price = Window.partitionBy("o_custkey").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff(
+            F.col("o_orderdate"), F.lag("o_orderdate").over(w_time)
+        ).alias("days_since_prev"),
+        F.round(F.percent_rank().over(w_price), 6).alias("price_pr"),
+        F.round(F.cume_dist().over(w_price), 6).alias("price_cd"),
+    )
+
+
 def q_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = T(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
@@ -1647,6 +1671,20 @@ _ANALYTICS_ORACLES = {
                count(*) FILTER (o_orderstatus = 'O') AS n_o,
                count(*) FILTER (o_orderstatus = 'P') AS n_p
         FROM orders GROUP BY o_orderpriority
+    """,
+    "order_gaps_ranks": """
+        SELECT o_custkey, o_orderkey,
+               date_diff('day',
+                 lag(o_orderdate) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+                 o_orderdate) AS days_since_prev,
+               round(percent_rank() OVER (
+                 PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey),
+                 6) AS price_pr,
+               round(cume_dist() OVER (
+                 PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey),
+                 6) AS price_cd
+        FROM orders
     """,
     "price_percentiles": """
         SELECT l_returnflag,
@@ -2982,6 +3020,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sales_rollup": q_sales_rollup,
         "sales_cube": q_sales_cube,
         "orders_pivot": q_orders_pivot,
+        "order_gaps_ranks": q_order_gaps_ranks,
         "price_percentiles": q_price_percentiles,
         "orders_date_features": q_orders_date_features,
         "part_name_features": q_part_name_features,
