@@ -1018,6 +1018,48 @@ def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.read(snapshot_id=first.snapshot_id)
 
 
+def q_compact_binpack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binpack strategy: six small appends build small-file debt, an
+    equality delete adds MoR work, then binpack rewrites ONLY the
+    small files (balanced into batch groups by the reference's
+    split_n_vecs heuristic) — large files stay put, deletes still
+    apply on read via sequence pinning."""
+    from bergloom_spark.config import CompactionConfig
+    from bergloom_spark.lake import LakeTable
+    from bergloom_spark.lake.compaction import BinpackCompaction
+
+    base = T(spark, sf_dir, "lineitem").select(*LI_COLS)
+    root = os.path.join(_scratch(prefix="bergloom-binpack-"), "li")
+    t = LakeTable.create(spark, root, base.schema)
+    for i in range(6):
+        t.append(base.filter(F.col("l_orderkey") % 6 == i))
+    t.append_equality_deletes(
+        base.filter(F.col("l_suppkey") % 11 == 0).select("l_orderkey").distinct(),
+        ["l_orderkey"],
+    )
+    BinpackCompaction(
+        t, CompactionConfig(target_file_size=64 * 1024 * 1024)
+    ).compact()
+    return t.read()
+
+
+def q_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-audit-publish: stage the odd half as an invisible
+    snapshot, audit it (a real count gate on the staged read), publish
+    the metadata flip, read the union back."""
+    from bergloom_spark.lake import LakeTable
+
+    base = T(spark, sf_dir, "lineitem").select(*LI_COLS)
+    root = os.path.join(_scratch(prefix="bergloom-wap-"), "li")
+    t = LakeTable.create(spark, root, base.schema)
+    t.append(base.filter(F.col("l_orderkey") % 2 == 0))
+    staged = t.stage_append(base.filter(F.col("l_orderkey") % 2 == 1))
+    audited = t.read(snapshot_id=staged.snapshot_id)
+    if audited.filter(F.col("l_quantity") < 0).count() == 0:  # the audit
+        t.publish(staged.snapshot_id)
+    return t.read()
+
+
 def q_tagged_release_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Named refs (Iceberg-style tags): tag the snapshot a dataset
     release trained on, keep committing (append + delete), then expire
@@ -2032,6 +2074,14 @@ _ANALYTICS_ORACLES = {
     "tagged_release_read": f"""
         SELECT {', '.join(LI_COLS)} FROM lineitem WHERE l_orderkey % 2 = 0
     """,
+    "compact_binpack": f"""
+        SELECT {', '.join(LI_COLS)} FROM lineitem
+        WHERE l_orderkey NOT IN (
+          SELECT l_orderkey FROM lineitem WHERE l_suppkey % 11 = 0)
+    """,
+    "wap_publish": f"""
+        SELECT {', '.join(LI_COLS)} FROM lineitem
+    """,
     "schema_evolution": f"""
         SELECT {', '.join(LI_COLS)}, NULL::VARCHAR AS source
         FROM lineitem WHERE l_orderkey % 2 = 0
@@ -2940,6 +2990,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # lake semantics beyond the rewrite (unique coverage — early)
         "stats_pruned_scan": q_stats_pruned_scan,
         "tagged_release_read": q_tagged_release_read,
+        "compact_binpack": q_compact_binpack,
+        "wap_publish": q_wap_publish,
         "time_travel": q_time_travel,
         "schema_evolution": q_schema_evolution,
         "partition_evolution": q_partition_evolution,
