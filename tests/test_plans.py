@@ -225,3 +225,64 @@ def test_pack_sequences_single_shuffle(spark):
     )
     df = pack_sequences(docs, "doc_id", "n_tokens", max_tokens=512)
     assert X.count_shuffles(df) <= 1
+
+
+def test_per_key_quota_two_windows_no_extra_scan(spark):
+    """Two-phase salted quota: exactly two exchanges (salted window,
+    exact window) over ONE scan of the input."""
+    from bergloom_spark.operators.sampling import per_key_quota
+
+    docs = load_table(spark, SF, "documents")
+    df = per_key_quota(docs, "source", "doc_id", 5)
+    assert X.count_shuffles(df) == 2
+    plan = X.executed_plan(df)
+    assert plan.count("FileScan") == 1
+
+
+def test_tfidf_single_scan_no_self_join(spark):
+    """df-as-window formulation: the exploded corpus is scanned and
+    aggregated once — no join back onto itself."""
+    from bergloom_spark.operators.search import tfidf_top_terms
+
+    docs = load_table(spark, SF, "documents")
+    df = tfidf_top_terms(docs, "text", "doc_id", k=3)
+    plan = X.executed_plan(df)
+    # one corpus scan for tf/df + one count-only scan for N
+    assert plan.count("FileScan") == 2
+    assert X.count_sortmerge_joins(df) == 0
+    assert "CartesianProduct" not in plan
+
+
+def test_blocked_embedding_dedup_no_nested_loop(spark):
+    from bergloom_spark.operators.similarity import (
+        embedding_dedup_pairs_blocked,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    df = embedding_dedup_pairs_blocked(emb, threshold=0.4, n_centroids=4)
+    plan = X.executed_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_stats_pruned_scan_reads_fewer_files(spark, tmp_path):
+    """File pruning must be visible in the PLAN: the filtered read's
+    scan lists fewer files than the full read's."""
+    import re
+
+    from bergloom_spark.config import CompactionConfig
+    from bergloom_spark.lake import LakeTable
+    from bergloom_spark.lake.compaction import SortCompaction
+
+    li = load_table(spark, SF, "lineitem").select("l_orderkey", "l_quantity")
+    t = LakeTable.create(spark, str(tmp_path / "li"), li.schema)
+    t.append(li)
+    SortCompaction(
+        t,
+        CompactionConfig(target_file_size=256 * 1024),
+        sort_cols=["l_orderkey"],
+        n_output_files=5,
+    ).compact()
+
+    kept, total = t.plan_files([("l_orderkey", "<", 100)])
+    assert 0 < len(kept) < total
