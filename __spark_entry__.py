@@ -1060,6 +1060,30 @@ def q_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.read()
 
 
+def q_compact_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order rewrite: files cluster on the Morton interleave of
+    (l_partkey, l_suppkey) so BOTH columns get per-file min/max
+    locality — multi-dimensional pruning, where a plain sort favors
+    only its leading column. Same rows out, different file layout; the
+    oracle proves rewrite invariance."""
+    from bergloom_spark.config import CompactionConfig
+    from bergloom_spark.lake import LakeTable
+    from bergloom_spark.lake.compaction import SortCompaction
+
+    base = T(spark, sf_dir, "lineitem").select(*LI_COLS)
+    root = os.path.join(_scratch(prefix="bergloom-zorder-"), "li")
+    t = LakeTable.create(spark, root, base.schema)
+    t.append(base)
+    t.delete_where(F.col("l_linenumber") % 4 == 0)
+    SortCompaction(
+        t,
+        CompactionConfig(target_file_size=8 * 1024 * 1024),
+        sort_cols=["l_partkey", "l_suppkey"],
+        zorder=True,
+    ).compact()
+    return t.read()
+
+
 def q_tagged_release_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Named refs (Iceberg-style tags): tag the snapshot a dataset
     release trained on, keep committing (append + delete), then expire
@@ -2074,6 +2098,9 @@ _ANALYTICS_ORACLES = {
     "tagged_release_read": f"""
         SELECT {', '.join(LI_COLS)} FROM lineitem WHERE l_orderkey % 2 = 0
     """,
+    "compact_zorder": f"""
+        SELECT {', '.join(LI_COLS)} FROM lineitem WHERE l_linenumber % 4 <> 0
+    """,
     "compact_binpack": f"""
         SELECT {', '.join(LI_COLS)} FROM lineitem
         WHERE l_orderkey NOT IN (
@@ -2991,6 +3018,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_pruned_scan": q_stats_pruned_scan,
         "tagged_release_read": q_tagged_release_read,
         "compact_binpack": q_compact_binpack,
+        "compact_zorder": q_compact_zorder,
         "wap_publish": q_wap_publish,
         "time_travel": q_time_travel,
         "schema_evolution": q_schema_evolution,

@@ -279,7 +279,27 @@ class SortCompaction(Compaction):
         if self.zorder:
             from bergloom_spark.functions.zorder import zorder_value
 
-            z = zorder_value(self.sort_cols)
+            # Range-normalize each z-column from manifest min/max stats
+            # (free — no extra scan): raw-bit interleave degenerates to
+            # leading-column order when column domains differ in width.
+            ranges = []
+            for c in self.sort_cols:
+                los = [
+                    e.column_stats[c][0]
+                    for e in snap.files(md.DATA)
+                    if c in (e.column_stats or {})
+                ]
+                his = [
+                    e.column_stats[c][1]
+                    for e in snap.files(md.DATA)
+                    if c in (e.column_stats or {})
+                ]
+                if los and len(los) == len(snap.files(md.DATA)):
+                    ranges.append((float(min(los)), float(max(his))))
+                else:
+                    ranges = None  # some file lacks stats → raw masking
+                    break
+            z = zorder_value(self.sort_cols, ranges=ranges)
             user_cols = rewritten.columns
             range_keys = [F.col(c) for c in part_cols] + [F.col("__z")]
             clustered = (

@@ -171,3 +171,29 @@ def test_old_metadata_without_stats_loads():
     raw["snapshots"][0]["entries"][0].pop("column_stats")
     loaded = md.TableMetadata.from_json(json.dumps(raw))
     assert loaded.snapshots[0].entries[0].column_stats == {}
+
+
+def test_zorder_normalized_prunes_both_dimensions(spark, sf_dir):
+    """Range-normalized Morton interleave: BOTH z-columns must get file
+    locality (raw-bit interleave degenerates to the wider column)."""
+    with tempfile.TemporaryDirectory() as root:
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+            "l_orderkey", "l_partkey", "l_suppkey", "l_quantity"
+        )
+        t = LakeTable.create(spark, os.path.join(root, "li"), li.schema)
+        t.append(li)
+        SortCompaction(
+            t,
+            CompactionConfig(target_file_size=64 * 1024),
+            sort_cols=["l_partkey", "l_suppkey"],
+            zorder=True,
+            n_output_files=8,
+        ).compact()
+        row = li.agg(
+            F.expr("percentile(l_partkey, 0.1)").alias("pk"),
+            F.expr("percentile(l_suppkey, 0.1)").alias("sk"),
+        ).collect()[0]
+        kp, total = t.plan_files([("l_partkey", "<", int(row.pk))])
+        ks, _ = t.plan_files([("l_suppkey", "<", int(row.sk))])
+        assert len(kp) < total
+        assert len(ks) < total
