@@ -2493,6 +2493,27 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing over binary payloads: one row per
+    (doc, frame index), frame bytes sliced from the payload — the
+    row-explosion shape and binary-column handling are the real thing
+    (the pixel decode would slot into the same kernel seam). Binary
+    never becomes a shuffle key."""
+    from bergloom_spark.operators.multimodal import sample_frames
+
+    d = TS(spark, sf_dir, "documents").select("doc_id", "text")
+    media = attach_binary_payload(d, "text")
+    # Frames compare as hex: DuckDB 1.0 cannot substring a BLOB, so
+    # the byte-exact comparison rides through hex strings on both
+    # engines (same bytes, printable encoding).
+    return sample_frames(media, n_frames=4).select(
+        "doc_id",
+        F.col("frame_index").cast("long").alias("frame_index"),
+        F.hex("frame_payload").alias("frame_hex"),
+        F.octet_length("frame_payload").cast("long").alias("frame_bytes"),
+    )
+
+
 _TOKENS = TX.tokens_sql("text")
 # Shared by minhash_lsh_pairs and dedup_near_keep_first (which applies
 # the keep-first policy over the same pair set).
@@ -2879,6 +2900,13 @@ _EXT_ORACLES = {
         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         WHERE round({similarity.cosine_sql('a.embedding', 'b.embedding')}, 6) >= 0.4
     """,
+    "multimodal_frames": """
+        SELECT doc_id, f.i AS frame_index,
+               substring(hex(encode(text)), f.i * 32 + 1, 32) AS frame_hex,
+               (length(substring(hex(encode(text)), f.i * 32 + 1, 32)) // 2
+                   )::BIGINT AS frame_bytes
+        FROM documents, (SELECT unnest(range(0, 4)) AS i) f
+    """,
     "multimodal_meta": """
         SELECT doc_id,
                octet_length(encode(text)) AS n_bytes,
@@ -3005,6 +3033,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_ivf": q_knn_ivf,
         "embedding_dedup": q_embedding_dedup,
         "multimodal_meta": q_multimodal_meta,
+        "multimodal_frames": q_multimodal_frames,
         "centroid_histogram": q_centroid_histogram,
         "embedding_quantize": q_embedding_quantize,
         "kmeans_refine": q_kmeans_refine,
