@@ -2514,6 +2514,26 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Arrow-batched Python kernel seam, hash-verified end to end:
+    resize_images runs the deterministic fake kernel (md5-derived
+    bytes) inside mapInPandas, and because the fake is a pure md5
+    recipe DuckDB reproduces the exact output bytes — the driver
+    oracle-checks the mapInPandas plumbing itself, not just JVM
+    expressions. 32×32 → 16-byte payload = exactly one md5 digest."""
+    from bergloom_spark.operators.multimodal import resize_images
+
+    d = TS(spark, sf_dir, "documents").select("doc_id", "text")
+    media = attach_binary_payload(d, "text").select("doc_id", "payload")
+    out = resize_images(media, 32, 32)
+    return out.select(
+        "doc_id",
+        F.hex("payload").alias("resized_hex"),
+        F.col("resized_width").cast("long").alias("resized_width"),
+        F.col("resized_height").cast("long").alias("resized_height"),
+    )
+
+
 _TOKENS = TX.tokens_sql("text")
 # Shared by minhash_lsh_pairs and dedup_near_keep_first (which applies
 # the keep-first policy over the same pair set).
@@ -2907,6 +2927,13 @@ _EXT_ORACLES = {
                    )::BIGINT AS frame_bytes
         FROM documents, (SELECT unnest(range(0, 4)) AS i) f
     """,
+    "multimodal_resize": """
+        SELECT doc_id,
+               upper(md5(text || ':32x32')) AS resized_hex,
+               32::BIGINT AS resized_width,
+               32::BIGINT AS resized_height
+        FROM documents
+    """,
     "multimodal_meta": """
         SELECT doc_id,
                octet_length(encode(text)) AS n_bytes,
@@ -3034,6 +3061,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dedup": q_embedding_dedup,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_frames": q_multimodal_frames,
+        "multimodal_resize": q_multimodal_resize,
         "centroid_histogram": q_centroid_histogram,
         "embedding_quantize": q_embedding_quantize,
         "kmeans_refine": q_kmeans_refine,
