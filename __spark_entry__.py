@@ -1474,6 +1474,27 @@ def q_streaming_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandasWithState, driver-verified: per-key first-seen
+    emission (streaming exact dedup) over a REAL multi-batch
+    availableNow stream. The emitted KEY SET is batch-invariant — each
+    distinct key fires exactly once no matter how the source splits
+    into micro-batches — so the oracle is plain SELECT DISTINCT."""
+    import uuid
+
+    from bergloom_spark.streaming import events as SE
+    from bergloom_spark.streaming.stateful import streaming_first_seen
+
+    stream_dir = os.path.join(_scratch(prefix="bergloom-fseen-"), "events")
+    T(spark, sf_dir, "events").repartition(4).write.parquet(stream_dir)
+    name = f"stream_fseen_{uuid.uuid4().hex[:8]}"
+    stream = SE.read_events_stream(spark, stream_dir, max_files_per_trigger=2)
+    SE.run_stream_to_memory(
+        streaming_first_seen(stream, "user_id"), name, output_mode="append"
+    )
+    return spark.table(name).select("user_id")
+
+
 def q_streaming_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A REAL stream-stream event-time join run (two file-source
     streams over the same directory, watermarks both sides, bounded
@@ -1707,6 +1728,9 @@ _ANALYTICS_ORACLES = {
     """,
     "streaming_lake_ingest": """
         SELECT event_id, user_id, event_type, value FROM events
+    """,
+    "streaming_first_seen": """
+        SELECT DISTINCT user_id FROM events
     """,
     "events_json_rollup": """
         SELECT event_type,
@@ -3097,6 +3121,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_error_context": q_interval_error_context,
         "streaming_events_hourly": q_streaming_events_hourly,
         "streaming_lake_ingest": q_streaming_lake_ingest,
+        "streaming_first_seen": q_streaming_first_seen,
         "streaming_attribution": q_streaming_attribution,
         "bucketed_join": q_bucketed_join,
         # training-data pipeline extensions (unique coverage — early)
