@@ -1495,6 +1495,36 @@ def q_streaming_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name).select("user_id")
 
 
+def q_streaming_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful running totals across micro-batches: the op emits one
+    row per (key, batch); the FINAL row per key (max total_rows) is
+    batch-invariant — count and sum over the whole stream — so it
+    oracles against the plain batch aggregate."""
+    import uuid
+
+    from pyspark.sql import Window
+
+    from bergloom_spark.streaming import events as SE
+    from bergloom_spark.streaming.stateful import streaming_running_total
+
+    stream_dir = os.path.join(_scratch(prefix="bergloom-rtot-"), "events")
+    T(spark, sf_dir, "events").repartition(4).write.parquet(stream_dir)
+    name = f"stream_rtot_{uuid.uuid4().hex[:8]}"
+    stream = SE.read_events_stream(spark, stream_dir, max_files_per_trigger=2)
+    SE.run_stream_to_memory(
+        streaming_running_total(stream, "event_type", "value"),
+        name,
+        output_mode="append",
+    )
+    w = Window.partitionBy("event_type").orderBy(F.desc("total_rows"))
+    return (
+        spark.table(name)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("event_type", "total_rows", "total_value")
+    )
+
+
 def q_streaming_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A REAL stream-stream event-time join run (two file-source
     streams over the same directory, watermarks both sides, bounded
@@ -1731,6 +1761,11 @@ _ANALYTICS_ORACLES = {
     """,
     "streaming_first_seen": """
         SELECT DISTINCT user_id FROM events
+    """,
+    "streaming_running_total": """
+        SELECT event_type, count(*)::BIGINT AS total_rows,
+               round(sum(value), 2) AS total_value
+        FROM events GROUP BY event_type
     """,
     "events_json_rollup": """
         SELECT event_type,
@@ -3122,6 +3157,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_events_hourly": q_streaming_events_hourly,
         "streaming_lake_ingest": q_streaming_lake_ingest,
         "streaming_first_seen": q_streaming_first_seen,
+        "streaming_running_total": q_streaming_running_total,
         "streaming_attribution": q_streaming_attribution,
         "bucketed_join": q_bucketed_join,
         # training-data pipeline extensions (unique coverage — early)
