@@ -197,3 +197,44 @@ def test_zorder_normalized_prunes_both_dimensions(spark, sf_dir):
         ks, _ = t.plan_files([("l_suppkey", "<", int(row.sk))])
         assert len(kp) < total
         assert len(ks) < total
+
+
+def test_prune_is_conservative_property():
+    """entry_may_match may only return False when NO value in [lo, hi]
+    satisfies the predicate — checked over a generated grid of ranges,
+    ops, and probe literals (hypothesis-style exhaustive small-domain
+    sweep: 5 ops × ranges × values, including boundaries)."""
+    from itertools import product
+
+    from bergloom_spark.lake.skipping import OPS
+
+    def op_eval(op, x, v):
+        return {
+            "=": x == v,
+            "<": x < v,
+            "<=": x <= v,
+            ">": x > v,
+            ">=": x >= v,
+        }[op]
+
+    domain = range(-3, 8)
+    for lo, hi in product(domain, domain):
+        if lo > hi:
+            continue
+        e = md.ManifestEntry(
+            content=md.DATA,
+            file_path="/x",
+            record_count=1,
+            file_size_bytes=1,
+            sequence_number=1,
+            column_stats={"k": [lo, hi]},
+        )
+        for op, v in product(OPS, domain):
+            keep = entry_may_match(e, "k", op, v)
+            any_match = any(
+                op_eval(op, x, v) for x in range(lo, hi + 1)
+            )
+            # conservative: never drop a file that could match
+            assert keep or not any_match, (lo, hi, op, v)
+            # and tight on integer-dense ranges: keep implies possible
+            assert any_match or not keep, (lo, hi, op, v)
