@@ -2340,6 +2340,30 @@ def q_dedup_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.connected_components(pairs, "id_a", "id_b")
 
 
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup resolution, production policy: transitive clusters
+    (MinHash-LSH pairs → connected components) each keep their
+    HIGHEST-QUALITY member, singletons keep themselves — quality-aware
+    dedup rather than keep-min-id."""
+    docs = TS(spark, sf_dir, "documents")
+    toked = docs.select(
+        "doc_id", "text", TX.tokens("text").alias("__toks")
+    )
+    scored = toked.select(
+        "doc_id",
+        "text",
+        F.round(
+            TX.quality_score("text", toks=F.col("__toks")), 6
+        ).alias("score"),
+    )
+    pairs = dedup.minhash_lsh_pairs(
+        docs, "text", "doc_id", k=8, bands=4, threshold=0.25
+    )
+    return dedup.keep_best_per_cluster(
+        scored.select("doc_id", "score"), pairs, "score"
+    )
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: flag corpus docs sharing any 4-gram
     shingle with a (deterministic) probe/benchmark subset. Probe
@@ -2841,6 +2865,10 @@ _EXT_ORACLES = {
         WHERE doc_id NOT IN (SELECT id_b FROM ({_MINHASH_PAIRS_SQL}))
     """,
     "dedup_cc_clusters": dedup.cc_sql(_MINHASH_PAIRS_SQL, "id_a", "id_b"),
+    "dedup_keep_best": dedup.keep_best_sql(
+        _MINHASH_PAIRS_SQL,
+        f"round({TX.quality_score_sql('text')}, 6)",
+    ),
     "dedup_exact": f"""
         SELECT {hash64_sql('text')} AS text_hash, min(doc_id) AS keeper_id,
                count(*) AS copies
@@ -3172,6 +3200,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "dedup_near_keep_first": q_dedup_near_keep_first,
         "dedup_cc_clusters": q_dedup_cc_clusters,
+        "dedup_keep_best": q_dedup_keep_best,
         "decontaminate": q_decontaminate,
         "text_repetition": q_text_repetition,
         "pii_redact": q_pii_redact,

@@ -577,3 +577,65 @@ def cc_sql(pairs_sql: str, src: str = "id_a", dst: str = "id_b") -> str:
         )
         SELECT node, min(lbl) AS component FROM reach GROUP BY node
     """
+
+
+def keep_best_per_cluster(
+    docs: DataFrame,
+    pairs: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Resolve near-dup clusters by KEEPING THE BEST member — the
+    production dedup policy (keep-min-id discards quality information;
+    a pipeline wants the highest-quality representative of each
+    duplicate cluster).
+
+    Compose: transitive components over the pair graph
+    (:func:`connected_components`), left-join back to the corpus
+    (untouched docs are their own singleton cluster), then one window
+    per cluster ranked by (score desc, id asc). Shapes: the CC rounds
+    are hash-partitioned aggs; the final pass is one shuffle on the
+    cluster label. ``score_col`` must be deterministic per row (e.g. a
+    ROUNDED quality score) so the rank is engine-reproducible.
+    """
+    from pyspark.sql import Window
+
+    cc = connected_components(pairs, src, dst)
+    labeled = docs.join(
+        cc, docs[id_col] == cc["node"], "left"
+    ).withColumn("cluster", F.coalesce(F.col("component"), F.col(id_col)))
+    w = Window.partitionBy("cluster").orderBy(
+        F.desc(score_col), F.asc(id_col)
+    )
+    return (
+        labeled.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(id_col, score_col, "cluster")
+    )
+
+
+def keep_best_sql(
+    pairs_sql: str,
+    score_expr: str,
+    id_expr: str = "doc_id",
+    table: str = "documents",
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> str:
+    """DuckDB twin of :func:`keep_best_per_cluster`."""
+    cc = cc_sql(pairs_sql, src, dst)
+    return f"""
+        WITH scored AS (
+          SELECT {id_expr} AS doc_id, {score_expr} AS score FROM {table}),
+        labeled AS (
+          SELECT s.doc_id, s.score,
+                 coalesce(cc.component, s.doc_id) AS cluster
+          FROM scored s LEFT JOIN ({cc}) cc ON cc.node = s.doc_id),
+        ranked AS (
+          SELECT *, row_number() OVER (
+            PARTITION BY cluster ORDER BY score DESC, doc_id ASC) AS rn
+          FROM labeled)
+        SELECT doc_id, score, cluster FROM ranked WHERE rn = 1
+    """
