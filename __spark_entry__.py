@@ -2470,6 +2470,17 @@ def q_corpus_report_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible training-order shuffle: every doc gets a stable
+    pseudo-random (bucket, pos_in_bucket) position from the
+    cross-engine hash — resumable mid-epoch, auditable, and never a
+    single-task global sort (position is a per-bucket window)."""
+    from bergloom_spark.operators.sampling import deterministic_shuffle
+
+    docs = T(spark, sf_dir, "documents")
+    return deterministic_shuffle(docs, "doc_id", seed=7, n_buckets=64)
+
+
 def q_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test assignment (pure hash of doc_id:
     stable under reruns, engines, and corpus growth), summarized per
@@ -2790,7 +2801,10 @@ def _quality_top_frac_oracle() -> str:
     """
 
 
-from bergloom_spark.operators.sampling import per_key_quota_sql  # noqa: E402
+from bergloom_spark.operators.sampling import (  # noqa: E402
+    deterministic_shuffle_sql,
+    per_key_quota_sql,
+)
 from bergloom_spark.operators.search import (  # noqa: E402
     corpus_top_ngrams_sql,
     tfidf_sql,
@@ -2827,6 +2841,9 @@ _EXT_ORACLES = {
                sum(CASE WHEN fpn > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup_docs
         FROM d GROUP BY ROLLUP (lang, source)
     """,
+    "corpus_shuffle": deterministic_shuffle_sql(
+        "documents", "doc_id", seed=7, n_buckets=64
+    ),
     "tfidf_top_terms": tfidf_sql("text", "doc_id", "documents", k=3),
     "bigram_top50": corpus_top_ngrams_sql("text", "documents", n=2, top_k=50),
     "centroid_histogram": centroid_histogram_sql(16),
@@ -3206,6 +3223,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": q_pii_redact,
         "mixture_resample": q_mixture_resample,
         "corpus_split": q_corpus_split,
+        "corpus_shuffle": q_corpus_shuffle,
         "sequence_packing": q_sequence_packing,
         "doc_chunks": q_doc_chunks,
         "bm25_search": q_bm25_search,

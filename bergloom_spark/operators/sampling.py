@@ -279,3 +279,50 @@ def top_frac_per_group(
         .filter(F.col("__rn") <= F.ceil(F.col("__n") * F.lit(frac)))
         .drop("__rn", "__n")
     )
+
+
+def deterministic_shuffle(
+    df: DataFrame,
+    id_col: str,
+    seed: int = 0,
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Reproducible corpus shuffling for training order: every row gets
+    a pseudo-random but engine- and run-stable position, as
+    (bucket, pos_in_bucket) — global order is the pair, lexicographic.
+
+    Training-data releases need the SHUFFLE itself to be reproducible
+    (resume mid-epoch, compare runs, audit order-sensitive effects);
+    ``df.orderBy(rand(seed))`` is partition-layout-dependent, and a
+    global ``row_number() OVER (ORDER BY ...)`` funnels the whole
+    corpus through one task. Here the order key is ``hash64(seed, id)``
+    (md5-based, cross-engine), the bucket is its modulus, and the
+    position is a per-bucket window — shuffle-partitioned by bucket, no
+    global sort, no single-task stage. Readers stream buckets in
+    id order, rows in pos order.
+    """
+    key = hash64(F.col(id_col).cast("string"), seed=seed)
+    bucket = F.pmod(key, F.lit(n_buckets))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(bucket).orderBy(key, F.col(id_col))
+    return df.select(
+        bucket.alias("bucket"),
+        F.row_number().over(w).cast("long").alias("pos_in_bucket"),
+        F.col(id_col),
+    )
+
+
+def deterministic_shuffle_sql(
+    table: str, id_expr: str, seed: int = 0, n_buckets: int = 1024
+) -> str:
+    """DuckDB twin of :func:`deterministic_shuffle`."""
+    key = hash64_sql(f"({id_expr})::VARCHAR", seed=seed)
+    return f"""
+        SELECT ({key}) % {n_buckets} AS bucket,
+               row_number() OVER (
+                 PARTITION BY ({key}) % {n_buckets}
+                 ORDER BY {key}, {id_expr})::BIGINT AS pos_in_bucket,
+               {id_expr}
+        FROM {table}
+    """
