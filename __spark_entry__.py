@@ -2376,6 +2376,28 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact blacklist anti-join with Bloom pre-pruning
+    (operators/bloom.py): keep lineitem rows whose order is NOT in the
+    urgent-order blacklist. The broadcast bitset routes
+    definitely-clean rows around the join (map-only); only the
+    maybe-slice is verified exactly, so the result equals the plain
+    anti join — the manual form of Spark's runtime bloom-filter join
+    pruning, usable when the blacklist is too big to broadcast as a
+    hash relation."""
+    from bergloom_spark.operators.bloom import bloom_anti_join
+
+    li = T(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    bad = (
+        T(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey")
+    )
+    return bloom_anti_join(li, bad, "l_orderkey", "o_orderkey")
+
+
 def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-family repetition signals per doc: top-2-gram share and
     duplicate-3-gram share — scan-side HOF expressions, no shuffle."""
@@ -2917,6 +2939,12 @@ _EXT_ORACLES = {
                {TX.min_shingle_fingerprint_sql('text')} AS shingle_fp
         FROM documents
     """,
+    "bloom_decontaminate": """
+        SELECT l_orderkey, l_linenumber, l_extendedprice
+        FROM lineitem
+        WHERE l_orderkey NOT IN (
+          SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+    """,
     "decontaminate": f"""
         WITH probe_h AS (
           SELECT DISTINCT {hash64_sql('s')} AS h
@@ -3219,6 +3247,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cc_clusters": q_dedup_cc_clusters,
         "dedup_keep_best": q_dedup_keep_best,
         "decontaminate": q_decontaminate,
+        "bloom_decontaminate": q_bloom_decontaminate,
         "text_repetition": q_text_repetition,
         "pii_redact": q_pii_redact,
         "mixture_resample": q_mixture_resample,
