@@ -2571,6 +2571,31 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("rank", F.col("rank").cast("long"))
 
 
+def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encode (operators/pq.py): each 64-dim
+    float vector compresses to 4 subspace codes (64× byte cut for the
+    ANN candidate stage). Pure scan-side HOF projection, zero shuffle;
+    left-to-right distance folds make the DuckDB twin IEEE-exact."""
+    from bergloom_spark.operators.pq import pq_codebook, pq_encode
+
+    emb = TS(spark, sf_dir, "embeddings")
+    return pq_encode(emb, pq_codebook(emb))
+
+
+def q_knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance top-k (operators/pq.py): corpus side
+    carries only its 4 codes; probes score exactly against code words —
+    the bandwidth shape (bytes/row, not rows) that keeps exhaustive
+    candidate scoring viable at corpus scale, composable with IVF
+    routing. Deterministic (first-wins argmin, id tie-breaks), so the
+    approximate result reproduces exactly in SQL."""
+    from bergloom_spark.operators.pq import knn_pq_adc
+
+    return knn_pq_adc(
+        TS(spark, sf_dir, "embeddings"), probe_ids=[7, 77, 177, 277, 377], k=5
+    ).withColumn("rank", F.col("rank").cast("long"))
+
+
 def q_knn_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow/NumPy top-k (mapInPandas matmul + distributed partial
     top-k). Oracle-checked like knn_bruteforce: float64 scoring plus
@@ -2831,6 +2856,10 @@ from bergloom_spark.operators.search import (  # noqa: E402
     corpus_top_ngrams_sql,
     tfidf_sql,
 )
+from bergloom_spark.operators.pq import (  # noqa: E402
+    knn_pq_adc_sql,
+    pq_encode_sql,
+)
 from bergloom_spark.operators.similarity import (  # noqa: E402
     centroid_histogram_sql,
     kmeans_refine_sql,
@@ -2870,6 +2899,8 @@ _EXT_ORACLES = {
     "bigram_top50": corpus_top_ngrams_sql("text", "documents", n=2, top_k=50),
     "centroid_histogram": centroid_histogram_sql(16),
     "embedding_quantize": quantize_int8_sql(),
+    "pq_codes": pq_encode_sql(),
+    "knn_pq_adc": knn_pq_adc_sql([7, 77, 177, 277, 377], k=5),
     "knn_lsh": knn_lsh_sql(),
     "knn_ivf": knn_ivf_sql(),
     "kmeans_refine": kmeans_refine_sql(n_centroids=8, iters=2),
@@ -3190,6 +3221,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_lsh": q_knn_lsh,
         "knn_vectorized": q_knn_vectorized,
         "knn_ivf": q_knn_ivf,
+        "pq_codes": q_pq_codes,
+        "knn_pq_adc": q_knn_pq_adc,
         "embedding_dedup": q_embedding_dedup,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_frames": q_multimodal_frames,
