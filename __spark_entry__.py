@@ -2376,6 +2376,19 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Steady-state dedup: check an arriving batch (doc_id % 5 == 0)
+    against the standing corpus index instead of re-deduping
+    corpus-vs-corpus — band-signature equi-join of the increment
+    against the (storable, precomputable) index signature table."""
+    docs = TS(spark, sf_dir, "documents")
+    return dedup.minhash_incremental_pairs(
+        docs.filter(F.col("doc_id") % 5 == 0),
+        docs.filter(F.col("doc_id") % 5 != 0),
+        text_col="text", id_col="doc_id", threshold=0.25,
+    )
+
+
 def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact blacklist anti-join with Bloom pre-pruning
     (operators/bloom.py): keep lineitem rows whose order is NOT in the
@@ -2970,6 +2983,39 @@ _EXT_ORACLES = {
                {TX.min_shingle_fingerprint_sql('text')} AS shingle_fp
         FROM documents
     """,
+    "dedup_incremental": f"""
+        WITH sigs_new AS (
+          SELECT doc_id, {dedup.minhash_signature_sql('text', 8, 3)} AS sig
+          FROM documents WHERE doc_id % 5 = 0),
+        sigs_idx AS (
+          SELECT doc_id, {dedup.minhash_signature_sql('text', 8, 3)} AS sig
+          FROM documents WHERE doc_id % 5 <> 0),
+        banded_new AS (
+          SELECT doc_id, sig, b.range AS band,
+                 array_to_string(list_transform(
+                   list_slice(sig, b.range * 2 + 1, b.range * 2 + 2),
+                   x -> x::VARCHAR), ',') AS bkey
+          FROM sigs_new, range(0, 4) b),
+        banded_idx AS (
+          SELECT doc_id, sig, b.range AS band,
+                 array_to_string(list_transform(
+                   list_slice(sig, b.range * 2 + 1, b.range * 2 + 2),
+                   x -> x::VARCHAR), ',') AS bkey
+          FROM sigs_idx, range(0, 4) b),
+        pairs AS (
+          SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS index_id
+          FROM banded_new a JOIN banded_idx b
+            ON a.band = b.band AND a.bkey = b.bkey
+               AND a.doc_id <> b.doc_id)
+        SELECT new_id, index_id,
+               round(len(list_filter(range(1, 9),
+                     i -> sa.sig[i] = sb.sig[i])) / 8.0, 6) AS est_jaccard
+        FROM pairs
+        JOIN sigs_new sa ON sa.doc_id = new_id
+        JOIN sigs_idx sb ON sb.doc_id = index_id
+        WHERE round(len(list_filter(range(1, 9),
+              i -> sa.sig[i] = sb.sig[i])) / 8.0, 6) >= 0.25
+    """,
     "bloom_decontaminate": """
         SELECT l_orderkey, l_linenumber, l_extendedprice
         FROM lineitem
@@ -3281,6 +3327,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_best": q_dedup_keep_best,
         "decontaminate": q_decontaminate,
         "bloom_decontaminate": q_bloom_decontaminate,
+        "dedup_incremental": q_dedup_incremental,
         "text_repetition": q_text_repetition,
         "pii_redact": q_pii_redact,
         "mixture_resample": q_mixture_resample,

@@ -140,6 +140,107 @@ def minhash_signature_sql(expr: str, k: int = 8, shingle_n: int = 3) -> str:
     return f"(SELECT list_value({mins}) FROM (SELECT {hs} AS hs))"
 
 
+def _band_signatures(sigs: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
+    """Explode a (__id, __sig) signature table into one row per LSH
+    band with a joinable string band-key."""
+    return sigs.select(
+        "__id",
+        "__sig",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.slice(F.col("__sig"), b * rows_per_band + 1, rows_per_band)
+                    .cast("array<string>")
+                    .alias("bsig"),
+                ),
+            )
+        ).alias("bx"),
+    ).select(
+        "__id", "__sig", F.col("bx.band").alias("band"),
+        F.concat_ws(",", F.col("bx.bsig")).alias("bkey"),
+    )
+
+
+def _minhash_sigs(
+    df: DataFrame, text_col: str, id_col: str, k: int, shingle_n: int
+) -> DataFrame:
+    hashed = df.select(
+        F.col(id_col).alias("__id"),
+        shingle_hashes(text_col, shingle_n).alias("__hs"),
+    )
+    return hashed.select(
+        "__id", minhash_signature_from_hashes(F.col("__hs"), k).alias("__sig")
+    )
+
+
+def minhash_incremental_pairs(
+    new_df: DataFrame,
+    index_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 8,
+    bands: int = 4,
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Near-dup pairs of an INCREMENT against a standing corpus — the
+    steady-state dedup shape at 100 TB: the full corpus is deduped
+    once, then each arriving batch is checked against the index, never
+    corpus-vs-corpus again.
+
+    Plan: band signatures for both sides, equi-join new×index on
+    (band, band-key), verify estimated Jaccard. The index side's
+    signature table is ``(id, k longs)`` — in production it is
+    precomputed once and stored columnar next to the corpus, so the
+    per-batch cost is hashing the increment plus a shuffle of the two
+    *signature* tables on band keys (bytes ∝ ids + signatures, not
+    documents). Ids may overlap across sides; same-id pairs are
+    dropped (a re-submitted doc is "already present", not a near-dup).
+
+    Returns (new_id, index_id, est_jaccard), distinct.
+    """
+    rows_per_band = k // bands
+    nb = _band_signatures(
+        _minhash_sigs(new_df, text_col, id_col, k, shingle_n),
+        bands, rows_per_band,
+    ).alias("a")
+    ib = _band_signatures(
+        _minhash_sigs(index_df, text_col, id_col, k, shingle_n),
+        bands, rows_per_band,
+    ).alias("b")
+    pairs = (
+        nb.join(
+            ib,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.__id") != F.col("b.__id")),
+        )
+        .select(
+            F.col("a.__id").alias("new_id"),
+            F.col("b.__id").alias("index_id"),
+            F.col("a.__sig").alias("sig_a"),
+            F.col("b.__sig").alias("sig_b"),
+        )
+        .dropDuplicates(["new_id", "index_id"])
+    )
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
+                lambda eq: eq,
+            )
+        ).cast("double")
+        / F.lit(float(k))
+    )
+    return (
+        pairs.withColumn("est_jaccard", F.round(est, 6))
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("new_id", "index_id", "est_jaccard")
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str,
@@ -165,38 +266,16 @@ def minhash_lsh_pairs(
     subtree then computes once per join side instead).
     """
     rows_per_band = k // bands
-    # Two-stage select: the md5 shingle hashing materializes in stage 1
-    # so the k permutation branches in stage 2 reuse it; the signature
-    # table (id + k longs) is then cached — it is tiny relative to the
-    # corpus and feeds both sides of the self-join (without the cache
-    # the whole scan+hash subtree would run twice).
-    hashed = df.select(
-        F.col(id_col).alias("__id"),
-        shingle_hashes(text_col, shingle_n).alias("__hs"),
-    )
-    sigs = hashed.select(
-        "__id", minhash_signature_from_hashes(F.col("__hs"), k).alias("__sig")
-    )
+    # _minhash_sigs is a two-stage select: the md5 shingle hashing
+    # materializes in stage 1 so the k permutation branches in stage 2
+    # reuse it; the signature table (id + k longs) is then cached — it
+    # is tiny relative to the corpus and feeds both sides of the
+    # self-join (without the cache the whole scan+hash subtree would
+    # run twice).
+    sigs = _minhash_sigs(df, text_col, id_col, k, shingle_n)
     if cache:
         sigs = sigs.cache()
-    banded = sigs.select(
-        "__id",
-        "__sig",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.slice(F.col("__sig"), b * rows_per_band + 1, rows_per_band)
-                    .cast("array<string>")
-                    .alias("bsig"),
-                ),
-            )
-        ).alias("bx"),
-    ).select(
-        "__id", "__sig", F.col("bx.band").alias("band"),
-        F.concat_ws(",", F.col("bx.bsig")).alias("bkey"),
-    )
+    banded = _band_signatures(sigs, bands, rows_per_band)
     left = banded.alias("a")
     right = banded.alias("b")
     pairs = (

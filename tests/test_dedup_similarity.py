@@ -3,10 +3,13 @@ planted duplicates, and how does LSH recall compare to brute force?"""
 
 from __future__ import annotations
 
+import os
+
 import pyspark.sql.functions as F
 
 from bergloom_spark.io import load_table
 from bergloom_spark.operators import dedup, similarity
+from tests.oracle_utils import compare, duck_connection
 
 
 def _docs_with_dups(spark, sf_dir):
@@ -277,3 +280,52 @@ def test_cc_clusters_transitive_vs_keep_first(spark):
         for r in dedup.connected_components(df).collect()
     }
     assert got == {1: 1, 5: 1, 9: 1}
+
+
+def test_minhash_incremental_consistent_with_self_join(spark, sf_dir):
+    """Splitting the corpus and running new-vs-index must recover
+    exactly the cross-split subset of the full self-join's pairs
+    (within-split pairs are out of scope by construction)."""
+    from bergloom_spark.operators.dedup import (
+        minhash_incremental_pairs,
+        minhash_lsh_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    idx = docs.filter(F.col("doc_id") % 5 != 0)
+    inc = minhash_incremental_pairs(
+        new, idx, "text", "doc_id", threshold=0.25
+    )
+    got = {(r.new_id, r.index_id) for r in inc.collect()}
+    full = minhash_lsh_pairs(
+        docs, "text", "doc_id", threshold=0.25, cache=False
+    )
+    want = set()
+    for r in full.collect():
+        a_new, b_new = r.id_a % 5 == 0, r.id_b % 5 == 0
+        if a_new and not b_new:
+            want.add((r.id_a, r.id_b))
+        elif b_new and not a_new:
+            want.add((r.id_b, r.id_a))
+    assert got == want
+    assert got, "expected at least one cross-split near-dup pair"
+
+
+def test_minhash_incremental_vs_duckdb(spark, sf_dir):
+    from bergloom_spark.operators.dedup import minhash_incremental_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = minhash_incremental_pairs(
+        docs.filter(F.col("doc_id") % 5 == 0),
+        docs.filter(F.col("doc_id") % 5 != 0),
+        "text", "doc_id", threshold=0.25,
+    )
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "entry_mod", os.path.join(os.path.dirname(__file__), "..", "__spark_entry__.py")
+    )
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    report = compare(out, duck_connection(sf_dir), m.oracle_sql()["dedup_incremental"])
+    assert report["match"], report
