@@ -107,7 +107,17 @@ def gapfill(
 
     w = Window.partitionBy(*keys).orderBy("bucket_idx")
     prec = w.rowsBetween(Window.unboundedPreceding, 0)
-    foll = w.rowsBetween(0, Window.unboundedFollowing)
+    # "Next observation" = running last() over a DESCENDING sort, not
+    # first() over a [current, unboundedFollowing] frame: Spark's
+    # UnboundedFollowingWindowFunctionFrame re-aggregates the remaining
+    # rows for EVERY row — O(n²) per partition (measured 26 s vs 0.9 s
+    # at sf0.01). The descending running frame is O(n) and reuses the
+    # same hash exchange; only the in-partition sort runs twice.
+    foll = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("bucket_idx").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
     if method == "locf":
         filled = F.last("v", ignorenulls=True).over(prec)
     else:
@@ -121,11 +131,11 @@ def gapfill(
         )
         vm = F.round(F.col("v") * F.lit(1_000_000.0)).cast("long")
         pv = F.last("v", ignorenulls=True).over(prec)
-        nv = F.first("v", ignorenulls=True).over(foll)
+        nv = F.last("v", ignorenulls=True).over(foll)
         pvm = F.last(vm, ignorenulls=True).over(prec)
         pi = F.last(obs_idx, ignorenulls=True).over(prec)
-        nvm = F.first(vm, ignorenulls=True).over(foll)
-        ni = F.first(obs_idx, ignorenulls=True).over(foll)
+        nvm = F.last(vm, ignorenulls=True).over(foll)
+        ni = F.last(obs_idx, ignorenulls=True).over(foll)
         idx = F.col("bucket_idx")
         filled = (
             F.when(F.col("v").isNotNull(), F.col("v"))
