@@ -148,9 +148,14 @@ def bloom_maybe_contains(
 
 
 # Above this, ship the filter as a broadcast relation instead of a
-# task-serialized literal (a literal rides along in every task binary;
-# a broadcast is fetched once per executor).
-_LITERAL_MAX_BYTES = 4 << 20
+# literal. The cutoff is NOT about shipping bytes: a Python-list
+# literal lowers to CreateArray with one Literal child per element, so
+# a 2^20-bit filter (16,384 longs) bloats every expression tree that
+# references it — measured 10 s vs 1.2 s warm for the same anti join
+# at sf0.01. Only genuinely tiny filters (≤1k words) stay literal;
+# everything else attaches via the one-row broadcast (one fetch per
+# executor, constant-size plan).
+_LITERAL_MAX_BYTES = 8 << 10
 
 
 def _with_filter(
