@@ -82,22 +82,28 @@ def _sub_sqdist(
     vec: Column, seed: Column, m: Column, sub_dim: int
 ) -> Column:
     """||vec_m − seed_m||² as a left-to-right fold from 0.0 (ties the
-    IEEE addition order down for the oracle)."""
-    return F.aggregate(
-        F.sequence(F.lit(0), F.lit(sub_dim - 1)),
-        F.lit(0.0),
-        lambda acc, i: acc
-        + (
-            (
-                F.element_at(vec, (m * sub_dim + i + 1).cast("int"))
-                - F.element_at(seed, (m * sub_dim + i + 1).cast("int"))
-            )
-            * (
-                F.element_at(vec, (m * sub_dim + i + 1).cast("int"))
-                - F.element_at(seed, (m * sub_dim + i + 1).cast("int"))
-            )
-        ),
+    IEEE addition order down for the oracle).
+
+    Shape matters: HOF lambdas run interpreted, so the fold iterates a
+    pre-built squared-diff array (slice → zip_with → aggregate, one
+    pass per element) instead of re-evaluating four indexed
+    ``element_at`` calls per term. Same values in the same IEEE order
+    (0.0 + d₀ == d₀ exactly), ~4× fewer interpreted ops."""
+    start = (m * sub_dim + 1).cast("int")
+    diffs = F.zip_with(
+        F.slice(vec, start, sub_dim),
+        F.slice(seed, start, sub_dim),
+        lambda x, y: x - y,
     )
+    return F.aggregate(diffs, F.lit(0.0), lambda acc, d: acc + d * d)
+
+
+def _let1(value: Column, body) -> Column:
+    """Single-evaluation let-binding: HOFs lack ``let``, but a
+    ``transform`` over a one-element array evaluates ``value`` once and
+    binds it to the lambda variable — the body can then reference it
+    many times without re-computation."""
+    return F.element_at(F.transform(F.array(value), body), 1)
 
 
 def pq_encode(
@@ -117,28 +123,21 @@ def pq_encode(
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     codes = F.transform(
         F.sequence(F.lit(0), F.lit(n_subspaces - 1)),
-        lambda m: (
-            F.array_position(
-                F.transform(
-                    F.sequence(F.lit(0), F.lit(len(codebook) - 1)),
-                    lambda j: _sub_sqdist(
-                        v, F.element_at(cb, (j + 1).cast("int")), m, sub_dim
-                    ),
+        # The distance list is computed ONCE per subspace (_let1), then
+        # argmin = position of its min — the naive form re-evaluates
+        # the whole K-entry distance list for array_position and again
+        # for array_min.
+        lambda m: _let1(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(len(codebook) - 1)),
+                lambda j: _sub_sqdist(
+                    v, F.element_at(cb, (j + 1).cast("int")), m, sub_dim
                 ),
-                F.array_min(
-                    F.transform(
-                        F.sequence(F.lit(0), F.lit(len(codebook) - 1)),
-                        lambda j: _sub_sqdist(
-                            v,
-                            F.element_at(cb, (j + 1).cast("int")),
-                            m,
-                            sub_dim,
-                        ),
-                    )
-                ),
-            )
-            - 1
-        ).cast("int"),
+            ),
+            lambda ds: (F.array_position(ds, F.array_min(ds)) - 1).cast(
+                "int"
+            ),
+        ),
     )
     return embeddings.select(F.col(id_col), codes.alias("codes"))
 
