@@ -2565,6 +2565,32 @@ def q_ngram_jaccard_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring (window-hash) intra-corpus dedup, the Lee et
+    al. ACL'22 signal: per doc, the fraction of its 20-token spans
+    (stride 10) whose hash occurs in ≥2 distinct docs. Only 8-byte
+    span hashes ever shuffle; see operators/spans.py for the 100 TB
+    layout."""
+    from bergloom_spark.operators.spans import duplicate_spans
+
+    return duplicate_spans(
+        TS(spark, sf_dir, "documents"), "text", "doc_id",
+        window=20, stride=10, min_docs=2,
+    )
+
+
+def q_containment_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-dup: per probe, the doc with max containment
+    |S(p)∩S(d)| / |S(p)| — catches a short doc copied into a long one,
+    which symmetric Jaccard drowns in the union term."""
+    from bergloom_spark.operators.spans import containment_top1
+
+    return containment_top1(
+        TS(spark, sf_dir, "documents"), "text", "doc_id",
+        probe_ids=list(range(10)),
+    )
+
+
 def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.knn_bruteforce(
         TS(spark, sf_dir, "embeddings"), probe_ids=list(range(10)), k=5
@@ -3241,6 +3267,15 @@ _EXT_ORACLES["gapfill_interp"] = _TS.gapfill_sql(
     method="interpolate",
 )
 
+from bergloom_spark.operators import spans as _SP  # noqa: E402
+
+_EXT_ORACLES["duplicate_spans"] = _SP.duplicate_spans_sql(
+    "documents", window=20, stride=10, min_docs=2
+)
+_EXT_ORACLES["containment_top1"] = _SP.containment_top1_sql(
+    "documents", probe_ids=list(range(10))
+)
+
 
 # ---------------------------------------------------------------------------
 # driver contract
@@ -3339,6 +3374,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_part_match": q_fuzzy_part_match,
         "stratified_sample": q_stratified_sample,
         "ngram_jaccard_top1": q_ngram_jaccard_top1,
+        "duplicate_spans": q_duplicate_spans,
+        "containment_top1": q_containment_top1,
         "knn_bruteforce": q_knn_bruteforce,
         # analytics (delegated-capability surface / bench headliners;
         # LAST: standard SQL shapes carry the least unique information

@@ -1,0 +1,263 @@
+"""Span-level (exact-substring) intra-corpus dedup + containment.
+
+Document-level dedup (exact / minhash / simhash, ``dedup.py``) misses
+the regime Lee et al., "Deduplicating Training Data Makes Language
+Models Better" (ACL 2022) showed matters most: long spans repeated
+ACROSS otherwise-distinct documents (boilerplate, licenses, templated
+paragraphs). The exact-substring pass there finds repeated token
+windows corpus-wide; the standard scalable approximation is rolling
+window fingerprints:
+
+- each doc emits hashes of its ``window``-token spans at ``stride``
+  offsets (scan-side expression, no Python);
+- a span hash occurring in ≥ ``min_docs`` distinct docs is
+  "duplicated text";
+- per doc, the fraction of its spans that are duplicated is the
+  curation signal (drop, or trim the flagged spans).
+
+Scale shape at 100 TB: the corpus text never shuffles — the exchange
+carries (span_hash: 8 B, doc_id) pairs, ~tokens/stride rows per doc.
+The hot-span aggregation is map-side combinable on the hash, and the
+per-doc rollup is a second combinable aggregation on doc_id; both are
+the same two-shuffle layout as minhash-LSH banding. A boilerplate
+span shared by millions of docs is ONE group post-combine per task —
+skew-bounded the same way a distinct() is.
+
+Containment (``containment_top1``) is the asymmetric companion:
+Jaccard misses a short doc copied INTO a long one (the union term
+drowns it); containment |S(a) ∩ S(b)| / |S(a)| scores 1.0 for a true
+subset regardless of the host's size. Bounded-probe form here
+(broadcast, exact, oracle-checkable); the corpus-scale candidate
+generator is the same banded MinHash index (`minhash_lsh_pairs`) —
+LSH on the SHORTER side's signature approximates containment when
+bands are computed per-side.
+
+Reference scope note: the reference engine (BergLoom) has no text
+operators; this module extends the rebuild's curation surface the way
+`dedup.py` does, with every result DuckDB-twinned.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from bergloom_spark.functions import text as TX
+from bergloom_spark.functions.hashing import hash64, hash64_sql
+
+__all__ = [
+    "span_hashes",
+    "duplicate_spans",
+    "duplicate_spans_sql",
+    "containment_top1",
+    "containment_top1_sql",
+]
+
+
+def span_hashes(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    window: int = 20,
+    stride: int = 10,
+) -> DataFrame:
+    """(doc_id, start, span_hash) for every ``window``-token span at
+    ``stride`` offsets. 1-based token starts; docs shorter than
+    ``window`` tokens emit nothing (no partial windows — a partial
+    span's hash would never match a full one anyway)."""
+    toks = TX.tokens(text_col)
+    max_start = F.size(toks) - (window - 1)
+    starts = F.when(
+        max_start >= 1,
+        F.sequence(F.lit(1), max_start, F.lit(stride)),
+    ).otherwise(F.array().cast("array<int>"))
+    spans = F.transform(
+        starts,
+        lambda i: F.struct(
+            i.cast("int").alias("start"),
+            hash64(F.concat_ws(" ", F.slice(toks, i, window))).alias("h"),
+        ),
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"), F.explode(spans).alias("__s")
+    ).select("doc_id", F.col("__s.start").alias("start"), F.col("__s.h").alias("h"))
+
+
+def duplicate_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    window: int = 20,
+    stride: int = 10,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Per-doc duplicated-span report: (doc_id, n_spans, n_dup_spans,
+    dup_span_frac), where a span is duplicated iff its hash occurs in
+    ≥ ``min_docs`` DISTINCT docs. Docs with zero spans report 0/0/0.
+
+    Plan: span scan (map) → distinct-doc count per hash (combinable
+    shuffle #1, 8-byte keys) → semi-join spans against hot hashes →
+    per-doc count (combinable shuffle #2). The doc text stays in the
+    scan stage; nothing row-sized crosses an exchange."""
+    spans = span_hashes(df, text_col, id_col, window, stride)
+    hot = (
+        spans.select("h", "doc_id")
+        .groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("__nd"))
+        .filter(F.col("__nd") >= min_docs)
+        .select("h")
+    )
+    dup_counts = (
+        spans.join(hot, "h", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_dup_spans"))
+    )
+    toks = TX.tokens(text_col)
+    max_start = F.size(toks) - (window - 1)
+    n_spans = F.when(
+        max_start >= 1,
+        ((max_start - 1) / F.lit(stride)).cast("long") + 1,
+    ).otherwise(F.lit(0))
+    per_doc = df.select(
+        F.col(id_col).alias("doc_id"), n_spans.alias("n_spans")
+    )
+    return per_doc.join(dup_counts, "doc_id", "left").select(
+        "doc_id",
+        "n_spans",
+        F.coalesce("n_dup_spans", F.lit(0)).alias("n_dup_spans"),
+        F.round(
+            F.coalesce("n_dup_spans", F.lit(0)).cast("double")
+            / F.greatest("n_spans", F.lit(1)).cast("double"),
+            6,
+        ).alias("dup_span_frac"),
+    )
+
+
+def _span_hashes_sql(
+    table: str,
+    text_expr: str,
+    id_expr: str,
+    window: int,
+    stride: int,
+) -> str:
+    toks = TX.tokens_sql(text_expr)
+    return f"""
+        SELECT {id_expr} AS doc_id,
+               unnest(list_transform(
+                 range(1, greatest(len({toks}) - {window - 1}, 0) + 1,
+                       {stride}),
+                 i -> {hash64_sql(
+                     f"array_to_string(list_slice({toks}, i, i + {window - 1}), ' ')"
+                 )})) AS h
+        FROM {table}"""
+
+
+def duplicate_spans_sql(
+    table: str,
+    text_expr: str = "text",
+    id_expr: str = "doc_id",
+    window: int = 20,
+    stride: int = 10,
+    min_docs: int = 2,
+) -> str:
+    """DuckDB twin of :func:`duplicate_spans` (same hash, same grid)."""
+    toks = TX.tokens_sql(text_expr)
+    spans = _span_hashes_sql(table, text_expr, id_expr, window, stride)
+    return f"""
+      WITH spans AS ({spans}),
+      hot AS (
+        SELECT h FROM spans GROUP BY h
+        HAVING count(DISTINCT doc_id) >= {min_docs}
+      ),
+      dup_counts AS (
+        SELECT doc_id, count(*)::BIGINT AS n_dup_spans
+        FROM spans WHERE h IN (SELECT h FROM hot)
+        GROUP BY doc_id
+      ),
+      per_doc AS (
+        SELECT {id_expr} AS doc_id,
+               CASE WHEN len({toks}) - {window - 1} >= 1
+                    THEN ((len({toks}) - {window - 1} - 1) // {stride})::BIGINT + 1
+                    ELSE 0 END AS n_spans
+        FROM {table}
+      )
+      SELECT p.doc_id, p.n_spans,
+             coalesce(d.n_dup_spans, 0)::BIGINT AS n_dup_spans,
+             round(coalesce(d.n_dup_spans, 0)::DOUBLE
+                   / greatest(p.n_spans, 1)::DOUBLE, 6) AS dup_span_frac
+      FROM per_doc p LEFT JOIN dup_counts d USING (doc_id)"""
+
+
+def containment_top1(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    probe_ids: list[int],
+    shingle_n: int = 3,
+) -> DataFrame:
+    """For each probe doc, the other doc with the highest CONTAINMENT
+    of the probe: |S(probe) ∩ S(doc)| / |S(probe)| over distinct
+    n-gram shingles — 1.0 whenever the probe's text is wholly embedded
+    in the match, however long the host. Ties break to the smaller
+    match id. Probe side broadcasts (bounded set); corpus streams."""
+    shingled = df.select(
+        F.col(id_col).alias("__id"),
+        F.array_distinct(TX.shingles(text_col, shingle_n)).alias("__sh"),
+    )
+    probes = shingled.filter(F.col("__id").isin(probe_ids)).select(
+        F.col("__id").alias("probe_id"), F.col("__sh").alias("probe_sh")
+    )
+    joined = shingled.crossJoin(F.broadcast(probes)).filter(
+        F.col("__id") != F.col("probe_id")
+    )
+    inter = F.size(F.array_intersect(F.col("__sh"), F.col("probe_sh")))
+    scored = joined.select(
+        "probe_id",
+        F.col("__id").alias("match_id"),
+        F.round(
+            inter.cast("double")
+            / F.greatest(F.size("probe_sh"), F.lit(1)).cast("double"),
+            6,
+        ).alias("containment"),
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.desc("containment"), F.asc("match_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("probe_id", "match_id", "containment")
+    )
+
+
+def containment_top1_sql(
+    table: str,
+    probe_ids: list[int],
+    text_expr: str = "text",
+    id_expr: str = "doc_id",
+    shingle_n: int = 3,
+) -> str:
+    """DuckDB twin of :func:`containment_top1`."""
+    sh = TX.shingles_sql(text_expr, shingle_n)
+    ids = ", ".join(str(i) for i in probe_ids)
+    return f"""
+      WITH shingled AS (
+        SELECT {id_expr} AS id, list_distinct({sh}) AS sh FROM {table}
+      ),
+      probes AS (
+        SELECT id AS probe_id, sh AS probe_sh FROM shingled
+        WHERE id IN ({ids})
+      ),
+      scored AS (
+        SELECT p.probe_id, s.id AS match_id,
+               round(len(list_intersect(s.sh, p.probe_sh))::DOUBLE
+                     / greatest(len(p.probe_sh), 1)::DOUBLE, 6)
+                 AS containment
+        FROM shingled s CROSS JOIN probes p
+        WHERE s.id <> p.probe_id
+      )
+      SELECT probe_id, match_id, containment
+      FROM (SELECT *, row_number() OVER (PARTITION BY probe_id
+                       ORDER BY containment DESC, match_id) AS rn
+            FROM scored)
+      WHERE rn = 1"""
