@@ -2422,6 +2422,37 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style rule battery per doc: word-count bounds, mean-word-
+    length window, alpha share, stopword evidence, repetition caps, and
+    the combined keep flag — one shared token array, one codegen'd map
+    pass, no shuffle (thresholds in functions/text.py, adapted from
+    Rae et al. 2021 table A1)."""
+    d = TS(spark, sf_dir, "documents")
+    toked = d.select("doc_id", "text", TX.tokens("text").alias("__toks"))
+    flags = TX.gopher_flags("text", toks=F.col("__toks"))
+    return toked.select(
+        "doc_id", *[c.alias(name) for name, c in flags.items()]
+    )
+
+
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-unigram LM score per doc (CCNet-style quality signal):
+    vocab aggregation + broadcast token→logp join + per-doc avg. The
+    only row-proportional exchange carries (doc_id, logp) pairs."""
+    from bergloom_spark.operators import lm
+
+    return lm.unigram_logprob(TS(spark, sf_dir, "documents"))
+
+
+def q_source_unigram_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source KL(source ‖ corpus) over unigrams — mixture-drift
+    diagnostic; exchanges carry (source, token) partial counts only."""
+    from bergloom_spark.operators import lm
+
+    return lm.source_unigram_kl(TS(spark, sf_dir, "documents"))
+
+
 def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrubbing: emails / IPv4 / phone-shaped numbers replaced by
     typed tokens, counts surfaced per doc. The corpus is synthetic, so
@@ -3076,6 +3107,11 @@ _EXT_ORACLES = {
                {TX.dup_ngram_frac_sql_on_list('sh3')} AS dup_3gram_frac
         FROM t
     """,
+    "gopher_rules": f"""
+        SELECT doc_id,
+               {', '.join(f'{sql} AS {name}' for name, sql in TX.gopher_flags_sql('text').items())}
+        FROM documents
+    """,
     "corpus_split": f"""
         SELECT {_SPLIT_SQL} AS split, source,
                count(*)::BIGINT AS n_docs,
@@ -3276,6 +3312,11 @@ _EXT_ORACLES["containment_top1"] = _SP.containment_top1_sql(
     "documents", probe_ids=list(range(10))
 )
 
+from bergloom_spark.operators import lm as _LM  # noqa: E402
+
+_EXT_ORACLES["unigram_logprob"] = _LM.unigram_logprob_sql("documents")
+_EXT_ORACLES["source_unigram_kl"] = _LM.source_unigram_kl_sql("documents")
+
 
 # ---------------------------------------------------------------------------
 # driver contract
@@ -3364,6 +3405,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_decontaminate": q_bloom_decontaminate,
         "dedup_incremental": q_dedup_incremental,
         "text_repetition": q_text_repetition,
+        "gopher_rules": q_gopher_rules,
+        "unigram_logprob": q_unigram_logprob,
+        "source_unigram_kl": q_source_unigram_kl,
         "pii_redact": q_pii_redact,
         "mixture_resample": q_mixture_resample,
         "corpus_split": q_corpus_split,

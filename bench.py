@@ -67,7 +67,7 @@ def main() -> None:
     # steady-state throughput, and a single pass is hostage to one-off
     # host-level stalls (VM CPU steal, writeback storms) that say
     # nothing about the plan being measured.
-    passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2"))
+    passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries[name]

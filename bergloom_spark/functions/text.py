@@ -496,3 +496,74 @@ def pii_count(col: Column | str, kind: str) -> Column:
 def pii_count_sql(expr: str, kind: str) -> str:
     pat = PII_PATTERNS[kind][0]
     return f"len(regexp_extract_all({expr}, '{pat}'))::BIGINT"
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style rule battery (document-level quality gates)
+# ---------------------------------------------------------------------------
+# Rule thresholds adapted from the Gopher paper's C4/MassiveWeb filters
+# (Rae et al. 2021, table A1): word-count bounds, mean-word-length
+# sweet spot, symbol/alpha share, minimum stopword evidence, and the
+# repetition caps that top_ngram_frac / dup_ngram_frac implement. Every
+# rule is a scan-side codegen expression over one shared token array —
+# the full battery is a single map pass at any corpus size.
+GOPHER_MIN_WORDS = 25
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MEAN_LEN_LO = 3.0
+GOPHER_MEAN_LEN_HI = 10.0
+GOPHER_MIN_ALPHA = 0.8
+GOPHER_MIN_STOP_HITS = 2
+GOPHER_MAX_TOP2 = 0.20
+GOPHER_MAX_DUP3 = 0.60
+
+
+def gopher_flags(
+    col: Column | str, toks: Column | None = None
+) -> dict[str, Column]:
+    """Per-rule booleans + overall ``keep``, as named Columns.
+
+    Pass a materialized ``toks`` column so the tokenizer runs once per
+    row; every rule below folds over that one array in the same
+    whole-stage-codegen stage (no shuffle, no Python).
+    """
+    toks = toks if toks is not None else tokens(col)
+    n = token_count(col, toks)
+    mtl = mean_token_length(col, toks)
+    stop_hits = F.size(
+        F.filter(
+            toks,
+            lambda x: F.array_contains(_word_list(ENGLISH_STOPWORDS), F.lower(x)),
+        )
+    )
+    flags = {
+        "pass_words": (n >= GOPHER_MIN_WORDS) & (n <= GOPHER_MAX_WORDS),
+        "pass_mean_len": (mtl >= GOPHER_MEAN_LEN_LO) & (mtl <= GOPHER_MEAN_LEN_HI),
+        "pass_alpha": alpha_ratio(col) >= GOPHER_MIN_ALPHA,
+        "pass_stopwords": stop_hits >= GOPHER_MIN_STOP_HITS,
+        "pass_rep_2gram": top_ngram_frac(col, 2) <= GOPHER_MAX_TOP2,
+        "pass_rep_3gram": dup_ngram_frac(col, 3) <= GOPHER_MAX_DUP3,
+    }
+    keep = None
+    for c in flags.values():
+        keep = c if keep is None else (keep & c)
+    flags["keep"] = keep
+    return flags
+
+
+def gopher_flags_sql(expr: str) -> dict[str, str]:
+    """DuckDB twins of :func:`gopher_flags`, same rule names."""
+    toks = tokens_sql(expr)
+    n = f"len({toks})"
+    mtl = mean_token_length_sql(expr)
+    lst = "[" + ", ".join(f"'{w}'" for w in ENGLISH_STOPWORDS) + "]"
+    stop_hits = f"len(list_filter({toks}, x -> list_contains({lst}, lower(x))))"
+    flags = {
+        "pass_words": f"({n} BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS})",
+        "pass_mean_len": f"(({mtl}) BETWEEN {GOPHER_MEAN_LEN_LO} AND {GOPHER_MEAN_LEN_HI})",
+        "pass_alpha": f"(({alpha_ratio_sql(expr)}) >= {GOPHER_MIN_ALPHA})",
+        "pass_stopwords": f"({stop_hits} >= {GOPHER_MIN_STOP_HITS})",
+        "pass_rep_2gram": f"(({top_ngram_frac_sql(expr, 2)}) <= {GOPHER_MAX_TOP2})",
+        "pass_rep_3gram": f"(({dup_ngram_frac_sql(expr, 3)}) <= {GOPHER_MAX_DUP3})",
+    }
+    flags["keep"] = "(" + " AND ".join(flags.values()) + ")"
+    return flags
