@@ -49,6 +49,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+_spread_seq = 0
+
+
 def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """Fan a narrow scan out to the cluster's cores before per-row-heavy
     compute (text hashing, vector math).
@@ -60,12 +63,26 @@ def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     executors the cluster has. The shuffle it introduces moves only the
     projected columns, and only when the input is too small for the
     shuffle to matter.
+
+    The ``observe`` below is a deliberate predicate-pushdown barrier:
+    Catalyst pushes filters through a bare Repartition, which would
+    land expensive text/vector predicates BACK on the single pre-fanout
+    task (measured 2.5× on the corpus-pipeline query). CollectMetrics
+    is not a node PushDownPredicates crosses, costs one accumulator,
+    and — unlike the nondeterministic-column tricks — keeps the plan
+    deterministic and column pruning intact. Scale note: the barrier
+    only exists on the small-input path; real multi-split scans return
+    above, so scan-level filter pushdown at 100 TB is unaffected.
     """
     spark = df.sparkSession
     target = min_partitions or spark.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() >= target:
         return df
-    return df.repartition(target)
+    global _spread_seq
+    _spread_seq += 1
+    return df.repartition(target).observe(
+        f"__spread_barrier_{_spread_seq}", F.count(F.lit(1)).alias("rows")
+    )
 
 
 def load_tables(
