@@ -2641,6 +2641,36 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("rank", F.col("rank").cast("long"))
 
 
+def q_knn_ivf_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-filtered ANN (the "search within label/tenant/split"
+    case): the predicate applies BEFORE index build and retrieval —
+    pushed to the scan, so posting lists only ever hold matching rows.
+    Pure composition: knn_ivf over a filtered DataFrame; the probe set
+    is the filtered ids < 50 (bounded driver collect, = a user-supplied
+    query set)."""
+    emb = TS(spark, sf_dir, "embeddings").filter(F.col("label") == 3)
+    probe_ids = sorted(
+        r.vec_id
+        for r in emb.filter(F.col("vec_id") < 50).select("vec_id").collect()
+    )
+    return similarity.knn_ivf(
+        emb, probe_ids=probe_ids, k=5, n_centroids=4, nprobe=2,
+    ).withColumn("rank", F.col("rank").cast("long"))
+
+
+def q_embedding_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic decontamination: corpus vectors too close (cosine) to a
+    held-out benchmark slice get flagged — embedding-space counterpart
+    of the shingle-hash decontaminate query, for paraphrased leakage.
+    Probe slice broadcasts; corpus scanned once map-only."""
+    emb = TS(spark, sf_dir, "embeddings")
+    return similarity.semantic_contamination(
+        emb.filter(F.col("vec_id") % 41 != 0),
+        emb.filter(F.col("vec_id") % 41 == 0),
+        threshold=0.8,
+    )
+
+
 def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization encode (operators/pq.py): each 64-dim
     float vector compresses to 4 subspace codes (64× byte cut for the
@@ -2973,6 +3003,13 @@ _EXT_ORACLES = {
     "knn_pq_adc": knn_pq_adc_sql([7, 77, 177, 277, 377], k=5),
     "knn_lsh": knn_lsh_sql(),
     "knn_ivf": knn_ivf_sql(),
+    "knn_ivf_filtered": knn_ivf_sql(
+        k=5, n_centroids=4, nprobe=2, n_probes=50,
+        table="(SELECT * FROM embeddings WHERE label = 3)",
+    ),
+    "embedding_decontaminate": similarity.semantic_contamination_sql(
+        "vec_id % 41 <> 0", "vec_id % 41 = 0", threshold=0.8
+    ),
     "kmeans_refine": kmeans_refine_sql(n_centroids=8, iters=2),
     "sequence_packing": _packing_oracle(),
     "doc_chunks": TX.chunk_documents_sql(
@@ -3343,6 +3380,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_lsh": q_knn_lsh,
         "knn_vectorized": q_knn_vectorized,
         "knn_ivf": q_knn_ivf,
+        "knn_ivf_filtered": q_knn_ivf_filtered,
+        "embedding_decontaminate": q_embedding_decontaminate,
         "pq_codes": q_pq_codes,
         "knn_pq_adc": q_knn_pq_adc,
         "embedding_dedup": q_embedding_dedup,

@@ -989,3 +989,74 @@ def kmeans_refine_sql(
         FROM final_assign GROUP BY cid
     """
     return sql
+
+
+def semantic_contamination(
+    corpus: DataFrame,
+    probes: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Flag corpus vectors semantically too close to a benchmark set:
+    the embedding-space counterpart of n-gram decontamination
+    (``decontaminate_flags``) for paraphrased leakage that shares no
+    shingles.
+
+    Output: (id_col, max_sim, contaminated) — max cosine to ANY probe
+    (rounded to 6 before the max so the fold is order-independent and
+    oracle-exact), flagged at ``threshold``.
+
+    Scale shape: the probe side is a bounded benchmark set, so it
+    broadcasts and the corpus is scanned ONCE map-only — no shuffle at
+    all except the per-id max aggregate, which is map-side combinable
+    to one row per corpus vector. At extreme probe counts route
+    candidates through ``knn_lsh``-style bucketing first and exact-
+    verify only bucket mates.
+    """
+    base = corpus.select(
+        F.col(id_col).alias("__id"),
+        as_double(F.col(vec_col)).alias("__v"),
+        l2norm(as_double(F.col(vec_col))).alias("__n"),
+    )
+    p = probes.select(
+        as_double(F.col(vec_col)).alias("__pv"),
+        l2norm(as_double(F.col(vec_col))).alias("__pn"),
+    )
+    sim = F.round(
+        dot(F.col("__v"), F.col("__pv")) / (F.col("__n") * F.col("__pn")), 6
+    )
+    return (
+        base.crossJoin(F.broadcast(p))
+        .select("__id", sim.alias("__sim"))
+        .groupBy("__id")
+        .agg(F.max("__sim").alias("max_sim"))
+        .select(
+            F.col("__id").alias(id_col),
+            "max_sim",
+            (F.col("max_sim") >= threshold).alias("contaminated"),
+        )
+    )
+
+
+def semantic_contamination_sql(
+    corpus_pred: str,
+    probe_pred: str,
+    threshold: float = 0.95,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB twin of :func:`semantic_contamination` with corpus/probe
+    split expressed as predicates over one table."""
+    return f"""
+        WITH p AS (SELECT {vec_col} AS pv FROM {table} WHERE {probe_pred}),
+        c AS (SELECT {id_col}, {vec_col} FROM {table} WHERE {corpus_pred}),
+        scored AS (
+          SELECT {id_col},
+                 round({cosine_sql(vec_col, 'pv')}, 6) AS sim
+          FROM c CROSS JOIN p)
+        SELECT {id_col}, max(sim) AS max_sim,
+               max(sim) >= {threshold} AS contaminated
+        FROM scored GROUP BY {id_col}
+    """

@@ -329,3 +329,49 @@ def test_minhash_incremental_vs_duckdb(spark, sf_dir):
     spec.loader.exec_module(m)
     report = compare(out, duck_connection(sf_dir), m.oracle_sql()["dedup_incremental"])
     assert report["match"], report
+
+
+def test_semantic_contamination_flags_probe_neighbors(spark):
+    from bergloom_spark.operators.similarity import semantic_contamination
+
+    rows = [
+        (1, [1.0, 0.0, 0.0]),   # == probe
+        (2, [0.8, 0.6, 0.0]),   # cos = 0.8: close but below threshold
+        (3, [0.0, 1.0, 0.0]),   # orthogonal
+    ]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    probes = spark.createDataFrame(
+        [(99, [1.0, 0.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    out = {r.vec_id: r for r in semantic_contamination(
+        corpus, probes, threshold=0.95).collect()}
+    assert out[1].contaminated and out[1].max_sim == 1.0
+    assert not out[2].contaminated and out[2].max_sim == 0.8
+    assert not out[3].contaminated and out[3].max_sim == 0.0
+
+
+def test_semantic_contamination_max_over_probes(spark):
+    from bergloom_spark.operators.similarity import semantic_contamination
+
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 1.0])], "vec_id long, embedding array<float>"
+    )
+    probes = spark.createDataFrame(
+        [(90, [1.0, 0.0]), (91, [1.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    [r] = semantic_contamination(corpus, probes, threshold=0.99).collect()
+    assert r.max_sim == 1.0 and r.contaminated  # best probe wins
+
+
+def test_knn_ivf_filtered_neighbors_share_label(spark, sf_dir):
+    """Filtered ANN must never return a neighbor outside the predicate:
+    every returned id exists in the filtered set."""
+    from bergloom_spark.operators.similarity import knn_ivf
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("label") == 3)
+    ids = {r.vec_id for r in emb.select("vec_id").collect()}
+    probes = sorted(i for i in ids if i < 50)
+    out = knn_ivf(emb, probe_ids=probes, k=5, n_centroids=4, nprobe=2)
+    for r in out.collect():
+        assert r.neighbor_id in ids and r.probe_id in ids
