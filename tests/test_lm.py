@@ -13,6 +13,7 @@ from bergloom_spark.operators.lm import (
     unigram_logprob_sql,
 )
 
+from bergloom_spark.session import get_spark
 from oracle_utils import compare, duck_connection
 
 
@@ -132,3 +133,35 @@ def test_gopher_rules_oracle(spark, sf_dir):
     ) + " FROM documents"
     rep = compare(spark_df, con, sql)
     assert rep["match"], rep
+
+
+# ---------------------------------------------------------------------------
+# property tests (hypothesis): information-theoretic invariants
+# ---------------------------------------------------------------------------
+from hypothesis import given, settings, strategies as st
+
+_corpus = st.lists(
+    st.tuples(
+        st.sampled_from(["a", "b", "c"]),
+        st.lists(st.sampled_from(["x", "y", "z", "w"]), min_size=1, max_size=6),
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(_corpus)
+def test_kl_nonnegative_and_logprob_nonpositive(data):
+    """Gibbs' inequality: KL(source ‖ corpus) ≥ 0 for every source;
+    unigram probabilities ≤ 1 so every avg log10 prob ≤ 0."""
+    spark = get_spark(app_name="bergloom-tests")
+    rows = [
+        (i, " ".join(toks), src) for i, (src, toks) in enumerate(data)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    for r in source_unigram_kl(df).collect():
+        assert r.kl_bits >= 0.0, r
+    for r in unigram_logprob(df).collect():
+        assert r.avg_logprob <= 0.0, r
+        assert r.n_tokens >= 1
