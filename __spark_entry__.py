@@ -2610,6 +2610,19 @@ def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_remove_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REMOVE step of exact-substring dedup: excise every
+    20-token block duplicated across ≥2 docs and rebuild the cleaned
+    text from the survivors (Lee et al. ACL'22). Text never shuffles;
+    only (hash, doc_id) and (doc_id, start) pairs cross exchanges."""
+    from bergloom_spark.operators.spans import remove_duplicate_spans
+
+    return remove_duplicate_spans(
+        TS(spark, sf_dir, "documents"), "text", "doc_id",
+        window=20, min_docs=2,
+    )
+
+
 def q_containment_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric near-dup: per probe, the doc with max containment
     |S(p)∩S(d)| / |S(p)| — catches a short doc copied into a long one,
@@ -3348,6 +3361,9 @@ _EXT_ORACLES["duplicate_spans"] = _SP.duplicate_spans_sql(
 _EXT_ORACLES["containment_top1"] = _SP.containment_top1_sql(
     "documents", probe_ids=list(range(10))
 )
+_EXT_ORACLES["dedup_remove_spans"] = _SP.remove_duplicate_spans_sql(
+    "documents", window=20, min_docs=2
+)
 
 from bergloom_spark.operators import lm as _LM  # noqa: E402
 
@@ -3458,6 +3474,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "ngram_jaccard_top1": q_ngram_jaccard_top1,
         "duplicate_spans": q_duplicate_spans,
+        "dedup_remove_spans": q_dedup_remove_spans,
         "containment_top1": q_containment_top1,
         "knn_bruteforce": q_knn_bruteforce,
         # analytics (delegated-capability surface / bench headliners;

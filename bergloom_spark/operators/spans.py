@@ -49,6 +49,8 @@ __all__ = [
     "span_hashes",
     "duplicate_spans",
     "duplicate_spans_sql",
+    "remove_duplicate_spans",
+    "remove_duplicate_spans_sql",
     "containment_top1",
     "containment_top1_sql",
 ]
@@ -186,6 +188,142 @@ def duplicate_spans_sql(
              round(coalesce(d.n_dup_spans, 0)::DOUBLE
                    / greatest(p.n_spans, 1)::DOUBLE, 6) AS dup_span_frac
       FROM per_doc p LEFT JOIN dup_counts d USING (doc_id)"""
+
+
+def _block_starts(toks, window: int):
+    """1-based starts of the non-overlapping ``window``-token blocks of
+    a token array (the trailing partial block included)."""
+    return F.when(
+        F.size(toks) >= 1,
+        F.sequence(F.lit(1), F.size(toks), F.lit(window)),
+    ).otherwise(F.array().cast("array<int>"))
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    window: int = 20,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Exact-substring dedup with text RECONSTRUCTION: excise every
+    non-overlapping ``window``-token block whose content occurs in
+    ≥ ``min_docs`` distinct docs, and rebuild the cleaned text from
+    the surviving blocks (Lee et al. 2022's remove step; the
+    ``duplicate_spans`` report is the detect step).
+
+    Policy: remove EVERY occurrence of a cross-doc duplicated block
+    (boilerplate/license text should survive in no document). A
+    keep-one-copy policy is a one-line variant: rank occurrences per
+    hash and semi-join all but the min-(doc_id, start).
+
+    Output: (doc_id, clean_text, n_blocks, n_removed). ``clean_text``
+    is whitespace-normalized (single spaces) on BOTH engines, so the
+    rebuild is deterministic.
+
+    Scale shape: the corpus text never crosses an exchange — shuffles
+    carry (block_hash, doc_id) then (doc_id, start) pairs; the
+    rebuild joins each doc against only its own (tiny) sorted
+    removed-starts array and re-slices the token array scan-side.
+    """
+    toks = TX.tokens(text_col)
+    starts = _block_starts(toks, window)
+    spans = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.transform(
+                starts,
+                lambda i: F.struct(
+                    i.cast("int").alias("start"),
+                    hash64(
+                        F.concat_ws(" ", F.slice(toks, i, window))
+                    ).alias("h"),
+                ),
+            )
+        ).alias("__s"),
+    ).select("doc_id", F.col("__s.start").alias("start"), F.col("__s.h").alias("h"))
+    hot = (
+        spans.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("__nd"))
+        .filter(F.col("__nd") >= min_docs)
+        .select("h")
+    )
+    removed = (
+        spans.join(hot, "h", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_set("start")).alias("__rs"))
+    )
+    toks2 = TX.tokens(F.col("__text"))
+    starts2 = _block_starts(toks2, window)
+    kept_starts = F.filter(
+        starts2,
+        lambda i: ~F.coalesce(
+            F.array_contains(F.col("__rs"), i.cast("int")), F.lit(False)
+        ),
+    )
+    clean = F.concat_ws(
+        " ",
+        F.flatten(F.transform(kept_starts, lambda i: F.slice(toks2, i, window))),
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text"))
+        .join(removed, "doc_id", "left")
+        .select(
+            "doc_id",
+            clean.alias("clean_text"),
+            F.size(starts2).cast("long").alias("n_blocks"),
+            F.coalesce(F.size("__rs"), F.lit(0)).cast("long").alias("n_removed"),
+        )
+    )
+
+
+def remove_duplicate_spans_sql(
+    table: str,
+    text_expr: str = "text",
+    id_expr: str = "doc_id",
+    window: int = 20,
+    min_docs: int = 2,
+) -> str:
+    """DuckDB twin of :func:`remove_duplicate_spans` (same hash, same
+    non-overlapping block grid, same remove-all policy)."""
+    toks = TX.tokens_sql(text_expr)
+    h = hash64_sql(
+        f"array_to_string(list_slice(toks, start, start + {window - 1}), ' ')"
+    )
+    return f"""
+      WITH base AS (
+        SELECT {id_expr} AS doc_id, {toks} AS toks FROM {table}
+      ),
+      spans AS (
+        SELECT doc_id, start, {h} AS h
+        FROM (
+          SELECT doc_id, toks,
+                 unnest(range(1, greatest(len(toks), 0) + 1, {window})) AS start
+          FROM base
+        )
+      ),
+      hot AS (
+        SELECT h FROM spans GROUP BY h
+        HAVING count(DISTINCT doc_id) >= {min_docs}
+      ),
+      removed AS (
+        SELECT doc_id, list_sort(list(start)) AS rs
+        FROM spans WHERE h IN (SELECT h FROM hot)
+        GROUP BY doc_id
+      )
+      SELECT b.doc_id,
+             -- coalesce: array_to_string of an empty list is NULL in
+             -- DuckDB; Spark's concat_ws yields '' for a fully-excised
+             -- doc
+             coalesce(array_to_string(
+               flatten(list_transform(
+                 list_filter(range(1, greatest(len(b.toks), 0) + 1, {window}),
+                             i -> r.rs IS NULL OR NOT list_contains(r.rs, i)),
+                 i -> list_slice(b.toks, i, i + {window - 1}))), ' '), '')
+               AS clean_text,
+             ((len(b.toks) + {window - 1}) // {window})::BIGINT AS n_blocks,
+             coalesce(len(r.rs), 0)::BIGINT AS n_removed
+      FROM base b LEFT JOIN removed r USING (doc_id)"""
 
 
 def containment_top1(

@@ -105,3 +105,106 @@ def test_containment_is_asymmetric(spark):
     # every probe shingle occurs in doc 2 -> containment exactly 1.0,
     # though Jaccard would be ~8/96.
     assert out[0]["containment"] == 1.0
+
+
+# ---------------------------------------------------------------------------
+# remove_duplicate_spans: the excise-and-rebuild step
+# ---------------------------------------------------------------------------
+def test_remove_duplicate_spans_excises_shared_blocks(spark):
+    from bergloom_spark.operators.spans import remove_duplicate_spans
+
+    shared = _words("s", 20)  # one full block, duplicated across docs
+    docs = _docs(
+        spark,
+        [
+            (1, shared + " " + _words("a", 20)),
+            (2, shared + " " + _words("b", 20)),
+            (3, _words("c", 30)),  # 2 blocks (one partial), unique
+            (4, ""),  # zero tokens
+        ],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in remove_duplicate_spans(
+            docs, "text", "doc_id", window=20, min_docs=2
+        ).collect()
+    }
+    # Docs 1/2: block 1 (shared) removed from BOTH, block 2 survives.
+    assert out[1]["clean_text"] == _words("a", 20)
+    assert out[2]["clean_text"] == _words("b", 20)
+    assert (out[1]["n_blocks"], out[1]["n_removed"]) == (2, 1)
+    # Doc 3 untouched, whitespace-normalized rebuild equals original.
+    assert out[3]["clean_text"] == _words("c", 30)
+    assert (out[3]["n_blocks"], out[3]["n_removed"]) == (2, 0)
+    # Empty doc: no blocks, empty text (not NULL).
+    assert out[4]["clean_text"] == ""
+    assert (out[4]["n_blocks"], out[4]["n_removed"]) == (0, 0)
+
+
+def test_remove_duplicate_spans_fully_excised_doc_is_empty_string(spark):
+    from bergloom_spark.operators.spans import remove_duplicate_spans
+
+    blk = _words("z", 20)
+    docs = _docs(spark, [(1, blk), (2, blk)])
+    out = {
+        r["doc_id"]: r
+        for r in remove_duplicate_spans(
+            docs, "text", "doc_id", window=20, min_docs=2
+        ).collect()
+    }
+    assert out[1]["clean_text"] == ""
+    assert out[1]["n_removed"] == 1
+
+
+def test_remove_duplicate_spans_partial_tail_block_matches(spark):
+    from bergloom_spark.operators.spans import remove_duplicate_spans
+
+    # 30 tokens: blocks [1..20] and [21..30]; the 10-token tail is a
+    # real block and two docs sharing it get it excised.
+    tail = _words("t", 10)
+    docs = _docs(
+        spark,
+        [
+            (1, _words("a", 20) + " " + tail),
+            (2, _words("b", 20) + " " + tail),
+        ],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in remove_duplicate_spans(
+            docs, "text", "doc_id", window=20, min_docs=2
+        ).collect()
+    }
+    assert out[1]["clean_text"] == _words("a", 20)
+    assert (out[1]["n_blocks"], out[1]["n_removed"]) == (2, 1)
+
+
+def test_remove_duplicate_spans_oracle_parity(spark, tmp_path):
+    import duckdb
+
+    from bergloom_spark.operators.spans import (
+        remove_duplicate_spans,
+        remove_duplicate_spans_sql,
+    )
+    from tests.oracle_utils import compare
+
+    shared = _words("s", 20)
+    rows = [
+        (1, shared + " " + _words("a", 25)),
+        (2, shared + " " + _words("b", 5)),
+        (3, _words("c", 41)),
+        (4, shared),
+        (5, ""),
+    ]
+    docs = _docs(spark, rows)
+    p = str(tmp_path / "docs.parquet")
+    docs.write.mode("overwrite").parquet(p)
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{p}/*.parquet'")
+    compare(
+        remove_duplicate_spans(
+            spark.read.parquet(p), "text", "doc_id", window=20, min_docs=2
+        ),
+        con,
+        remove_duplicate_spans_sql("documents", window=20, min_docs=2),
+    )
