@@ -2238,6 +2238,22 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick linear (fasttext-shaped) quality model applied
+    scan-side: integer milli-logit over hashed unigram+bigram buckets
+    (dim 256, deterministic stand-in weights), keep = logit > 0. Pure
+    expression — no shuffle, no Python; see operators/classifier.py
+    for the broadcast-weight-table path at fasttext scale."""
+    from bergloom_spark.operators import classifier as CL
+
+    w = CL.default_weights_millis(256)
+    d = TS(spark, sf_dir, "documents")
+    logit = CL.hashed_linear_logit_millis("text", w).alias("logit_millis")
+    return d.select("doc_id", logit).select(
+        "doc_id", "logit_millis", (F.col("logit_millis") > 0).alias("keep")
+    )
+
+
 def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = TS(spark, sf_dir, "documents")
     return d.select(
@@ -3365,6 +3381,16 @@ _EXT_ORACLES["dedup_remove_spans"] = _SP.remove_duplicate_spans_sql(
     "documents", window=20, min_docs=2
 )
 
+from bergloom_spark.operators import classifier as _CL  # noqa: E402
+
+_EXT_ORACLES["quality_classifier"] = f"""
+    SELECT doc_id, logit_millis, (logit_millis > 0) AS keep
+    FROM (SELECT doc_id,
+                 {_CL.hashed_linear_logit_millis_sql(
+                     'text', _CL.default_weights_millis(256))} AS logit_millis
+          FROM documents)
+"""
+
 from bergloom_spark.operators import lm as _LM  # noqa: E402
 
 _EXT_ORACLES["unigram_logprob"] = _LM.unigram_logprob_sql("documents")
@@ -3449,6 +3475,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_stats": q_text_token_stats,
         "lang_id": q_lang_id,
         "text_quality": q_text_quality,
+        "quality_classifier": q_quality_classifier,
         "doc_fingerprints": q_doc_fingerprints,
         "simhash": q_simhash,
         "simhash_pairs": q_simhash_pairs,
