@@ -106,6 +106,13 @@ class Compaction:
             self.config.target_file_size,
             partition_spec=table.meta.partition_spec or None,
             compression=self.config.write_compression,
+            # The manifest already records the physical input size —
+            # skip the optimizer stats pass (and its ~0.4 s re-plan of
+            # the MoR tree). Deletes only shrink the output, so this
+            # is a safe (slightly high) file-count bound.
+            parquet_bytes_hint=sum(
+                e.file_size_bytes for e in snap.files(md.DATA)
+            ),
         )
 
         manager = RewriteFilesCommitManager(
@@ -198,6 +205,7 @@ class BinpackCompaction(Compaction):
             self.config.target_file_size,
             partition_spec=table.meta.partition_spec or None,
             compression=self.config.write_compression,
+            parquet_bytes_hint=sum(e.file_size_bytes for e in selected),
         )
         manager = RewriteFilesCommitManager(
             table_root=table.meta.table_root,
@@ -269,7 +277,11 @@ class SortCompaction(Compaction):
         if self.n_output_files is not None:
             n_files = self.n_output_files
         else:
-            n_files = wr.derive_n_files(rewritten, self.config.target_file_size)
+            n_files = wr.derive_n_files(
+                rewritten,
+                self.config.target_file_size,
+                parquet_bytes=sum(e.file_size_bytes for e in snap.files(md.DATA)),
+            )
         # Partitioned tables: lead the range keys with the partition
         # columns so rows of one partition value co-locate — each range
         # task then writes ~one file per partition dir instead of the

@@ -11,6 +11,7 @@ sequence number (equality) or by exact ``(file_path, pos)`` match
 
 from __future__ import annotations
 
+import re
 import time
 
 from pyspark.sql import DataFrame, SparkSession
@@ -33,9 +34,61 @@ def _normalize_path(col):
     fails the manifest join and its partition/seq columns read NULL.
     ``url_decode`` is form-decoding ('+' → space), so protect literal
     '+' (legal, unencoded in URI paths) by pre-encoding it.
+
+    This is the PER-ROW fallback: regexp + replace + decode on a
+    ~100-byte string per row costs ~0.4 s per million rows of pure
+    expression time. The scan prefers the per-FILE dictionary built by
+    :func:`_uri_path_map` (one literal-map probe per row) and only
+    falls back here when the dictionary can't be verified.
     """
     uri = F.regexp_replace(col, "^file:/*", "/")
     return F.url_decode(F.replace(uri, F.lit("+"), F.lit("%2B")))
+
+
+def _normalize_path_py(uri: str) -> str:
+    """Driver-side twin of :func:`_normalize_path` (``unquote`` does
+    not form-decode '+', so no protection step is needed here)."""
+    from urllib.parse import unquote
+
+    return unquote(re.sub("^file:/*", "/", uri))
+
+
+# Above this many files in one scan group, per-file literal maps give
+# way to broadcast joins: a map literal rides inside every task's
+# serialized plan, so its size must stay bounded; a broadcast hash
+# relation is built once per executor and is the right shape for a
+# 100 TB table with 10^5-10^6 files.
+_MAP_LITERAL_CAP = 1024
+
+
+def _uri_path_map(df: DataFrame, expected_paths: list[str]) -> dict[str, str] | None:
+    """Exact {``_metadata.file_path`` URI → on-disk path} dictionary,
+    built driver-side with NO Spark job.
+
+    ``df.inputFiles()`` exposes the scan's resolved file URIs from the
+    already-built file index; ``_metadata.file_path`` renders the same
+    URI with a ``file:/`` (single-slash) scheme instead of
+    ``file:///``. Decoding each URI with the Python twin of the
+    engine-side normalizer and checking the result is a BIJECTION onto
+    the manifest's path set proves the dictionary correct — any
+    mismatch (scheme drift across Spark versions, an undecodable
+    path) returns None and the caller keeps the per-row decode, so
+    this is strictly an optimization, never a semantics change.
+    """
+    try:
+        uris = list(df.inputFiles())
+    except Exception:
+        return None
+    mapping: dict[str, str] = {}
+    for u in uris:
+        if u.startswith("file:///"):
+            u = "file:/" + u[len("file:///"):]
+        mapping[u] = _normalize_path_py(u)
+    if len(mapping) != len(expected_paths):
+        return None
+    if set(mapping.values()) != set(expected_paths):
+        return None
+    return mapping
 
 
 class LakeTable:
@@ -637,13 +690,28 @@ class LakeTable:
         df = self._apply_filters(df, filters)
         if not with_hidden:
             return df.select(*user_cols)
-        # Per-file sequence numbers: tiny manifest-derived map side,
-        # broadcast so the scan keeps its partitioning (no shuffle).
-        seq_map = self.spark.createDataFrame(
-            [(e.file_path, e.sequence_number) for e in data_files],
-            f"{mor.SYS_HIDDEN_FILE_PATH} string, {mor.SYS_HIDDEN_SEQ_NUM} long",
-        )
-        df = df.join(F.broadcast(seq_map), mor.SYS_HIDDEN_FILE_PATH, "left")
+        # Per-file sequence numbers from the manifest. Small file
+        # counts: a literal-map probe (one hash per row, zero join
+        # nodes). Large: broadcast join, which keeps the scan's
+        # partitioning (no shuffle) at any file count.
+        if len(data_files) <= _MAP_LITERAL_CAP:
+            smap = F.create_map(
+                *[
+                    F.lit(x)
+                    for e in data_files
+                    for x in (e.file_path, e.sequence_number)
+                ]
+            )
+            df = df.withColumn(
+                mor.SYS_HIDDEN_SEQ_NUM,
+                F.try_element_at(smap, F.col(mor.SYS_HIDDEN_FILE_PATH)).cast("long"),
+            )
+        else:
+            seq_map = self.spark.createDataFrame(
+                [(e.file_path, e.sequence_number) for e in data_files],
+                f"{mor.SYS_HIDDEN_FILE_PATH} string, {mor.SYS_HIDDEN_SEQ_NUM} long",
+            )
+            df = df.join(F.broadcast(seq_map), mor.SYS_HIDDEN_FILE_PATH, "left")
         return df.select(
             *user_cols,
             mor.SYS_HIDDEN_SEQ_NUM,
@@ -677,30 +745,70 @@ class LakeTable:
         df = self.spark.read.schema(file_schema).parquet(
             *[e.file_path for e in data_files]
         )
+        # Per-file dictionary: resolve the URI→path mapping ONCE per
+        # file on the driver instead of regex+url-decoding a ~100-byte
+        # string per ROW (that decode is ~0.4 s/M rows of pure
+        # expression cost, paid on every MoR pass). Verified-exact or
+        # ignored — see _uri_path_map.
+        uri_map = (
+            _uri_path_map(df, [e.file_path for e in data_files])
+            if len(data_files) <= _MAP_LITERAL_CAP
+            else None
+        )
         # Capture _metadata immediately — the pseudo-column does not
         # survive joins/projections reliably.
-        df = df.withColumn(
-            mor.SYS_HIDDEN_FILE_PATH, _normalize_path(F.col("_metadata.file_path"))
-        ).withColumn(mor.SYS_HIDDEN_POS, F.col("_metadata.row_index"))
+        if uri_map is not None:
+            path_lit = F.create_map(
+                *[F.lit(x) for kv in uri_map.items() for x in kv]
+            )
+            fp = F.try_element_at(path_lit, F.col("_metadata.file_path"))
+        else:
+            fp = _normalize_path(F.col("_metadata.file_path"))
+        df = df.withColumn(mor.SYS_HIDDEN_FILE_PATH, fp).withColumn(
+            mor.SYS_HIDDEN_POS, F.col("_metadata.row_index")
+        )
         if part_cols:
-            # Fanout writes store partition values in directory names, not
-            # file bodies (Hive layout); recover them from the manifest via
-            # a broadcast map keyed on file path — no shuffle on the scan.
+            # Fanout writes store partition values in directory names,
+            # not file bodies (Hive layout); recover them from the
+            # manifest. Small groups: one literal-map probe per column
+            # (no join node at all). Large groups: broadcast join —
+            # the map literal would otherwise ride in every task's
+            # serialized plan.
             part_fields = {
                 f.name: f for f in self.schema.fields if f.name in set(part_cols)
             }
-            part_map = self.spark.createDataFrame(
-                [tuple([e.file_path] + [e.partition.get(c) for c in part_cols])
-                 for e in data_files],
-                T.StructType(
-                    [T.StructField(mor.SYS_HIDDEN_FILE_PATH, T.StringType())]
-                    + [T.StructField(c, T.StringType()) for c in part_cols]
-                ),
-            ).select(
-                mor.SYS_HIDDEN_FILE_PATH,
-                *[F.col(c).cast(part_fields[c].dataType).alias(c) for c in part_cols],
-            )
-            df = df.join(F.broadcast(part_map), mor.SYS_HIDDEN_FILE_PATH, "left")
+            if uri_map is not None:
+                for c in part_cols:
+                    entries = [
+                        (e.file_path, e.partition.get(c))
+                        for e in data_files
+                        if e.partition.get(c) is not None
+                    ]
+                    if entries:
+                        cmap = F.create_map(
+                            *[F.lit(x) for kv in entries for x in kv]
+                        )
+                        val = F.try_element_at(cmap, F.col(mor.SYS_HIDDEN_FILE_PATH))
+                    else:
+                        # All-null partition value (__HIVE_DEFAULT_…).
+                        val = F.lit(None)
+                    df = df.withColumn(c, val.cast(part_fields[c].dataType))
+            else:
+                part_map = self.spark.createDataFrame(
+                    [tuple([e.file_path] + [e.partition.get(c) for c in part_cols])
+                     for e in data_files],
+                    T.StructType(
+                        [T.StructField(mor.SYS_HIDDEN_FILE_PATH, T.StringType())]
+                        + [T.StructField(c, T.StringType()) for c in part_cols]
+                    ),
+                ).select(
+                    mor.SYS_HIDDEN_FILE_PATH,
+                    *[
+                        F.col(c).cast(part_fields[c].dataType).alias(c)
+                        for c in part_cols
+                    ],
+                )
+                df = df.join(F.broadcast(part_map), mor.SYS_HIDDEN_FILE_PATH, "left")
         user_cols = [f.name for f in self.schema.fields]
         return df.select(
             *user_cols, mor.SYS_HIDDEN_FILE_PATH, mor.SYS_HIDDEN_POS

@@ -64,8 +64,32 @@ def estimate_bytes(df: DataFrame) -> int:
     return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
 
 
-def derive_n_files(df: DataFrame, target_file_size: int) -> int:
-    """Output-file count from the plan's byte estimate and target size.
+def parquet_bytes_estimate(df: DataFrame) -> int | None:
+    """Estimated on-disk parquet bytes of ``df``, or None when stats
+    are unknown.
+
+    This runs Catalyst's optimizer over the plan (~0.4 s for a complex
+    MoR plan) purely for its sizeInBytes — callers that already KNOW
+    the input's physical size (compaction: sum of manifest
+    ``file_size_bytes``) should pass that instead via
+    ``parquet_bytes_hint`` and skip this pass entirely.
+    """
+    est = max(1, estimate_bytes(df))
+    if est >= 1 << 50:
+        # Catalyst reports ~Long.MaxValue when stats are unknown (e.g.
+        # localRelation inputs).
+        return None
+    # Parquet compresses the in-memory estimate substantially; 3× is
+    # a conservative ratio so we don't under-fill target-size files.
+    return est // 3
+
+
+def derive_n_files(
+    df: DataFrame,
+    target_file_size: int,
+    parquet_bytes: int | None = None,
+) -> int:
+    """Output-file count from a byte estimate and the target size.
 
     Shared by the round-robin and sort-clustered writers so both apply
     the same unknown-stats fallback and the same 2^20 cap (a huge
@@ -73,14 +97,12 @@ def derive_n_files(df: DataFrame, target_file_size: int) -> int:
     partitions — repartitionByRange's boundary sampling scales with the
     partition count).
     """
-    est = max(1, estimate_bytes(df))
-    if est >= 1 << 50:
-        # Catalyst reports ~Long.MaxValue when stats are unknown (e.g.
-        # localRelation inputs); fall back to the plan's partitioning.
+    if parquet_bytes is None:
+        parquet_bytes = parquet_bytes_estimate(df)
+    if parquet_bytes is None:
+        # Unknown stats: fall back to the plan's partitioning.
         return max(1, min(df.rdd.getNumPartitions(), 64))
-    # Parquet compresses the in-memory estimate substantially; 3× is
-    # a conservative ratio so we don't under-fill target-size files.
-    n_files = max(1, (est // 3 + target_file_size - 1) // target_file_size)
+    n_files = max(1, (parquet_bytes + target_file_size - 1) // target_file_size)
     return int(min(n_files, 1 << 20))
 
 
@@ -142,6 +164,7 @@ def write_data_files(
     target_file_size: int,
     partition_spec: list[str] | None = None,
     compression: str = "snappy",
+    parquet_bytes_hint: int | None = None,
 ) -> list[ManifestEntry]:
     """Write ``df`` as size-targeted parquet data files; return manifest entries.
 
@@ -155,7 +178,16 @@ def write_data_files(
     out_dir = os.path.join(
         table_root, "data", f"seq{sequence_number}-{uuid.uuid4().hex[:12]}"
     )
-    n_files = derive_n_files(df, target_file_size)
+    # One stats pass, shared by the file-count and parallelism-floor
+    # decisions below (estimate_bytes re-optimizes the whole plan — it
+    # must not run twice, and not at all when the caller knows the
+    # physical input size from manifests).
+    pq_bytes = (
+        parquet_bytes_hint
+        if parquet_bytes_hint is not None
+        else parquet_bytes_estimate(df)
+    )
+    n_files = derive_n_files(df, target_file_size, parquet_bytes=pq_bytes)
     writer = df
     if partition_spec:
         writer = df.repartition(n_files, *[F.col(c) for c in partition_spec])
@@ -193,8 +225,7 @@ def write_data_files(
         # of pure planning overhead per write.)
         spark = df.sparkSession
         min_file = max(1, target_file_size // 8)
-        est = max(1, estimate_bytes(df))
-        by_min_size = max(1, (est // 3) // min_file)
+        by_min_size = max(1, (pq_bytes if pq_bytes is not None else 0) // min_file)
         floor = min(spark.sparkContext.defaultParallelism, by_min_size)
         writer = df.coalesce(max(n_files, floor))
         writer.write.mode("error").option("compression", compression).parquet(out_dir)

@@ -234,3 +234,65 @@ def test_time_travel_reads(spark, tmp_path):
     t.append_equality_deletes(spark.createDataFrame([(1,)], "id int"), ["id"])
     assert rows(t.read(snapshot_id=s1.snapshot_id)) == sorted(SEED)
     assert rows(t.read()) == [(2, "Bob"), (3, "Charlie")]
+
+
+# ---------------------------------------------------------------------------
+# per-file URI dictionary (round 2): the hidden-column scan must not
+# pay a per-row url_decode when the driver can prove the file mapping
+# ---------------------------------------------------------------------------
+def test_hidden_scan_uses_file_dictionary_not_per_row_decode(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    from bergloom_spark.lake import LakeTable
+
+    df = spark.range(100).select(
+        F.col("id"), (F.col("id") % 7).alias("v")
+    )
+    t = LakeTable.create(spark, str(tmp_path / "t"), df.schema)
+    t.append(df)
+    scan = t.scan_data(with_hidden=True)
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    assert "url_decode" not in plan  # dictionary path engaged
+    # and the dictionary resolves to the exact manifest paths
+    snap = t.meta.current_snapshot()
+    paths = {r["sys_hidden_file_path"] for r in scan.collect()}
+    assert paths == {e.file_path for e in snap.entries}
+
+
+def test_uri_path_map_rejects_mismatch(spark, tmp_path):
+    from bergloom_spark.lake.table import _uri_path_map
+
+    p = str(tmp_path / "d.parquet")
+    spark.range(10).write.parquet(p)
+    df = spark.read.parquet(p)
+    real = [u.replace("file://", "") for u in df.inputFiles()]
+    assert _uri_path_map(df, real) is not None
+    assert _uri_path_map(df, ["/nonexistent/file.parquet"]) is None
+    assert _uri_path_map(df, real + ["/extra.parquet"]) is None
+
+
+def test_hidden_scan_special_char_paths_roundtrip(spark, tmp_path):
+    """Partition dirs with Hive-escaped chars: whichever path the scan
+    picks (dictionary or per-row decode), hidden file paths must match
+    the manifest byte-for-byte."""
+    import pyspark.sql.functions as F
+
+    from bergloom_spark.lake import LakeTable
+
+    df = spark.range(40).select(
+        F.col("id"),
+        F.when(F.col("id") % 2 == 0, F.lit("12:30 p+q"))
+        .otherwise(F.lit("a b%c"))
+        .alias("part"),
+    )
+    t = LakeTable.create(
+        spark, str(tmp_path / "pt"), df.schema, partition_spec=["part"]
+    )
+    t.append(df)
+    scan = t.scan_data(with_hidden=True)
+    snap = t.meta.current_snapshot()
+    paths = {r["sys_hidden_file_path"] for r in scan.collect()}
+    assert paths == {e.file_path for e in snap.entries}
+    # partition values recovered exactly through the escaped dirs
+    vals = {r["part"] for r in t.read().collect()}
+    assert vals == {"12:30 p+q", "a b%c"}
