@@ -296,3 +296,29 @@ def test_hidden_scan_special_char_paths_roundtrip(spark, tmp_path):
     # partition values recovered exactly through the escaped dirs
     vals = {r["part"] for r in t.read().collect()}
     assert vals == {"12:30 p+q", "a b%c"}
+
+
+def test_hidden_scan_join_fallback_above_map_cap(spark, tmp_path, monkeypatch):
+    """Above _MAP_LITERAL_CAP files the scan must use the broadcast-join
+    path and produce identical results."""
+    import pyspark.sql.functions as F
+
+    from bergloom_spark.lake import LakeTable
+    from bergloom_spark.lake import table as table_mod
+
+    df = spark.range(200).select(
+        F.col("id"), (F.col("id") % 3).alias("v")
+    )
+    t = LakeTable.create(spark, str(tmp_path / "t"), df.schema)
+    t.append(df)
+    t.append_equality_deletes(
+        spark.range(10).select(F.col("id")), ["id"]
+    )
+    expected = sorted(map(tuple, t.read().collect()))
+    monkeypatch.setattr(table_mod, "_MAP_LITERAL_CAP", 0)
+    scan = t.scan_data(with_hidden=True)
+    # join fallback engaged: seq map comes from a broadcast relation
+    # (the literal-map path has no ExistingRDD scan)
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    assert "ExistingRDD" in plan
+    assert sorted(map(tuple, t.read().collect())) == expected
