@@ -266,6 +266,51 @@ def q_dml_upsert_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.read()
 
 
+def q_dml_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC changelog apply: one atomic equality-delta commit (delete
+    file + data files at the SAME sequence number). Latest change per
+    key wins (order_col); D removes, I/U replace. The changelog is the
+    only thing shuffled — the table is never rewritten."""
+    from bergloom_spark.lake import LakeTable
+
+    base = T(spark, sf_dir, "lineitem").select(*LI_COLS)
+    root = os.path.join(_scratch(prefix="bergloom-cdc-"), "li")
+    t = LakeTable.create(spark, root, base.schema)
+    t.append(base)
+    # Synthetic changelog: two ordered rounds over overlapping keys so
+    # latest-wins is exercised (round 2's deletes supersede round 1's
+    # updates). One row per (key, round) — values derived from the key
+    # so the oracle can reconstruct them — because (orderkey,
+    # linenumber) is not unique in this synthetic lineitem and an
+    # update replaces ALL rows sharing the key with the one new row.
+    keys1 = base.filter(F.col("l_partkey") % 19 == 0).select(
+        "l_orderkey", "l_linenumber"
+    ).distinct()
+    r1 = keys1.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_orderkey") % 1000).cast("long").alias("l_partkey"),
+        (F.col("l_orderkey") % 100).cast("long").alias("l_suppkey"),
+        (F.col("l_linenumber") + 500.0).cast("double").alias("l_quantity"),
+        F.lit("U").alias("op"),
+        F.lit(1).alias("ord"),
+    )
+    r2 = base.filter(F.col("l_partkey") % 38 == 0).select(
+        "l_orderkey", "l_linenumber"
+    ).distinct().select(
+        "l_orderkey",
+        "l_linenumber",
+        F.lit(0).cast("long").alias("l_partkey"),
+        F.lit(0).cast("long").alias("l_suppkey"),
+        F.lit(0.0).alias("l_quantity"),
+        F.lit("D").alias("op"),
+        F.lit(2).alias("ord"),
+    )
+    t.apply_changes(r1.unionByName(r2), ["l_orderkey", "l_linenumber"],
+                    op_col="op", order_col="ord")
+    return t.read()
+
+
 def q_pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite training-data pipeline: quality filter → language
     filter → fingerprint dedup → token stats. Filters prune rows before
@@ -3381,6 +3426,30 @@ _EXT_ORACLES["dedup_remove_spans"] = _SP.remove_duplicate_spans_sql(
     "documents", window=20, min_docs=2
 )
 
+_EXT_ORACLES["dml_apply_changes"] = """
+    WITH base AS (
+      SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity
+      FROM lineitem
+    ),
+    k1 AS (SELECT DISTINCT l_orderkey, l_linenumber FROM base
+           WHERE l_partkey % 19 = 0),
+    k2 AS (SELECT DISTINCT l_orderkey, l_linenumber FROM base
+           WHERE l_partkey % 38 = 0),
+    affected AS (SELECT * FROM k1 UNION SELECT * FROM k2),
+    survivors AS (
+      SELECT b.* FROM base b
+      ANTI JOIN affected a USING (l_orderkey, l_linenumber)
+    ),
+    updates AS (
+      SELECT k.l_orderkey, k.l_linenumber,
+             (k.l_orderkey % 1000)::BIGINT AS l_partkey,
+             (k.l_orderkey % 100)::BIGINT AS l_suppkey,
+             (k.l_linenumber + 500.0)::DOUBLE AS l_quantity
+      FROM (SELECT * FROM k1 ANTI JOIN k2 USING (l_orderkey, l_linenumber)) k
+    )
+    SELECT * FROM survivors UNION ALL SELECT * FROM updates
+"""
+
 from bergloom_spark.operators import classifier as _CL  # noqa: E402
 
 _EXT_ORACLES["quality_classifier"] = f"""
@@ -3414,6 +3483,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compact_roundtrip": q_compact_roundtrip,
         "compact_partitioned": q_compact_partitioned,
         "dml_upsert_delete": q_dml_upsert_delete,
+        "dml_apply_changes": q_dml_apply_changes,
         "compact_sorted": q_compact_sorted,
         "pipeline_clean_corpus": q_pipeline_clean_corpus,
         # ANN / embedding / multimodal — early in the dict so a driver

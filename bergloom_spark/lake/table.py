@@ -610,6 +610,80 @@ class LakeTable:
         self.append_equality_deletes(df.select(*key_cols), key_cols)
         return self.append(df)
 
+    def apply_changes(
+        self,
+        changes: DataFrame,
+        key_cols: list[str],
+        op_col: str = "op",
+        order_col: str | None = None,
+        target_file_size: int = 128 * 1024 * 1024,
+    ) -> md.Snapshot:
+        """CDC changelog apply (Debezium/Iceberg "apply changes" MERGE).
+
+        ``changes`` carries the table's columns plus ``op_col``
+        ('I' insert, 'U' update, 'D' delete) and optionally
+        ``order_col`` (a per-key monotonic version — LSN, commit ts).
+        Per key the HIGHEST-ordered change wins; the winner's op
+        decides: D removes the key, I/U replace it (upsert-style — an
+        I on an existing key replaces it rather than erroring).
+
+        ONE atomic commit, the Iceberg equality-delta pattern: an
+        equality-delete file over every affected key and the data
+        files for surviving rows land in the SAME snapshot at the same
+        sequence number — the delete shadows only strictly-older data
+        (seq gate), so the new rows survive their own commit, and a
+        reader never observes the deleted-but-not-yet-reinserted
+        intermediate state that two-commit upsert exposes.
+
+        Determinism: ties (same key, same order) break by op then a
+        hash of the value columns, so retried tasks pick the same
+        winner; give each key a unique ``order_col`` to make the
+        outcome order-independent by construction.
+
+        Scale shape: one window shuffle over the CHANGE batch (≪ the
+        table), no table rewrite — the shadowed rows are compaction's
+        debt, exactly like :meth:`upsert`.
+        """
+        from pyspark.sql import Window
+
+        user_cols = [f.name for f in self.schema.fields]
+        value_cols = [c for c in user_cols if c not in set(key_cols)]
+        order_exprs = (
+            [F.col(order_col).desc()] if order_col is not None else []
+        )
+        order_exprs += [
+            F.col(op_col).asc(),
+            F.xxhash64(*[F.col(c) for c in value_cols]).asc(),
+        ]
+        w = Window.partitionBy(*key_cols).orderBy(*order_exprs)
+        winners = (
+            changes.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        meta, snap = self._next_commit("merge")
+        self._carry_forward(snap)
+        snap.entries.extend(
+            wr.write_equality_delete_files(
+                winners.select(*key_cols),
+                self.meta.table_root,
+                snap.sequence_number,
+                key_cols,
+            )
+        )
+        snap.entries.extend(
+            wr.write_data_files(
+                winners.filter(F.col(op_col) != F.lit("D")).select(*user_cols),
+                self.meta.table_root,
+                snap.sequence_number,
+                target_file_size,
+                partition_spec=self.meta.partition_spec or None,
+            )
+        )
+        md.write_version(meta)
+        self.meta = meta
+        return snap
+
     # ------------------------------------------------------------------
     # reads
     # ------------------------------------------------------------------

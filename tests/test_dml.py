@@ -73,3 +73,66 @@ def test_upsert_survives_compaction(spark, tmp_path):
     assert after == before
     assert (7, "SEVEN") in after
     assert all(i != 8 for i, _ in after)
+
+
+# ---------------------------------------------------------------------------
+# apply_changes: CDC changelog MERGE (round 2)
+# ---------------------------------------------------------------------------
+def test_apply_changes_latest_wins_and_atomic(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    from bergloom_spark.lake import LakeTable
+
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id: long, v: string"
+    )
+    t = LakeTable.create(spark, str(tmp_path / "t"), base.schema)
+    t.append(base)
+    n_snaps = len(t.meta.snapshots)
+    changes = spark.createDataFrame(
+        [
+            (2, "b1", "U", 1),   # superseded by the later delete
+            (2, "b2", "D", 2),   # wins for key 2 -> delete
+            (3, "c1", "U", 1),   # update key 3
+            (4, "d0", "I", 1),   # superseded
+            (4, "d1", "U", 2),   # wins for key 4 -> insert-as-update
+            (9, "zz", "D", 1),   # delete of a missing key: no-op
+        ],
+        "id: long, v: string, op: string, ord: long",
+    )
+    t.apply_changes(changes, ["id"], op_col="op", order_col="ord")
+    # exactly ONE new snapshot (atomic delete+insert)
+    assert len(t.meta.snapshots) == n_snaps + 1
+    got = sorted(map(tuple, t.read().collect()))
+    assert got == [(1, "a"), (3, "c1"), (4, "d1")]
+    # the commit carries both entry kinds at the same sequence number
+    snap = t.meta.current_snapshot()
+    kinds = {e.content for e in snap.entries
+             if e.sequence_number == snap.sequence_number}
+    assert kinds == {"eq_delete", "data"}
+
+
+def test_apply_changes_then_compact_clears_debt(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    from bergloom_spark.config import CompactionConfig
+    from bergloom_spark.lake import Compaction, LakeTable
+
+    base = spark.range(100).select(
+        F.col("id"), (F.col("id") * 2).alias("v")
+    )
+    t = LakeTable.create(spark, str(tmp_path / "t"), base.schema)
+    t.append(base)
+    changes = spark.range(10).select(
+        F.col("id"),
+        (F.col("id") * 100).alias("v"),
+        F.when(F.col("id") % 2 == 0, "U").otherwise("D").alias("op"),
+        F.lit(1).alias("ord"),
+    )
+    t.apply_changes(changes, ["id"], op_col="op", order_col="ord")
+    expected = sorted(map(tuple, t.read().collect()))
+    Compaction(t, CompactionConfig(enable_validate_compaction=True)).compact()
+    assert sorted(map(tuple, t.read().collect())) == expected
+    # post-compaction: no delete files remain live
+    snap = t.meta.current_snapshot()
+    assert all(e.content == "data" for e in snap.entries)
