@@ -2388,6 +2388,42 @@ def q_dedup_near_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.join(drop, "doc_id", "left_anti").select("doc_id")
 
 
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-proportional corpus sampling: per source, the 20 docs
+    with the smallest u/weight priority key (sequential Poisson —
+    inclusion ∝ n_chars). One IEEE division per row, exact on both
+    engines; one window shuffle on the stratum."""
+    from bergloom_spark.operators.sampling import weighted_sample
+
+    d = TS(spark, sf_dir, "documents")
+    return weighted_sample(
+        d, weight_col="n_chars", n=20, id_col="doc_id",
+        strata_cols=["source"],
+    )
+
+
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-aware train/val/test assignment: near-dup docs must
+    land in the SAME split or held-out evaluation leaks through
+    paraphrases. Compose: MinHash-LSH pairs → connected components →
+    every doc keyed by its cluster label (singletons by their own id)
+    → hash-split on the CLUSTER key, not the doc id."""
+    from bergloom_spark.operators.sampling import split_assign
+
+    docs = TS(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(
+        docs, "text", "doc_id", k=8, bands=4, threshold=0.25
+    )
+    comp = dedup.connected_components(pairs, "id_a", "id_b")
+    labeled = docs.select("doc_id").join(comp, on=F.col("doc_id") == F.col("node"), how="left").select(
+        "doc_id",
+        F.coalesce(F.col("component"), F.col("doc_id")).alias("cluster"),
+    )
+    return split_assign(
+        labeled, "cluster", {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+
+
 def q_dedup_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive near-dup clusters: MinHash-LSH pairs form a graph;
     connected components (alternating large-star/small-star) map every
@@ -3426,6 +3462,23 @@ _EXT_ORACLES["dedup_remove_spans"] = _SP.remove_duplicate_spans_sql(
     "documents", window=20, min_docs=2
 )
 
+from bergloom_spark.operators import sampling as _SAMP  # noqa: E402
+
+_EXT_ORACLES["weighted_sample"] = _SAMP.weighted_sample_sql(
+    "documents", "n_chars", 20, "doc_id", ["source"]
+)
+
+_EXT_ORACLES["leakage_safe_split"] = f"""
+    WITH comp AS ({dedup.cc_sql(_MINHASH_PAIRS_SQL, "id_a", "id_b")})
+    SELECT d.doc_id,
+           coalesce(c.component, d.doc_id) AS cluster,
+           {_SAMP.split_assign_sql(
+               'coalesce(c.component, d.doc_id)',
+               {"train": 0.8, "val": 0.1, "test": 0.1},
+           )} AS split
+    FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+"""
+
 _EXT_ORACLES["dml_apply_changes"] = """
     WITH base AS (
       SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity
@@ -3569,6 +3622,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_search": q_bm25_search,
         "fuzzy_part_match": q_fuzzy_part_match,
         "stratified_sample": q_stratified_sample,
+        "weighted_sample": q_weighted_sample,
+        "leakage_safe_split": q_leakage_safe_split,
         "ngram_jaccard_top1": q_ngram_jaccard_top1,
         "duplicate_spans": q_duplicate_spans,
         "dedup_remove_spans": q_dedup_remove_spans,

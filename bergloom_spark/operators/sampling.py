@@ -14,10 +14,10 @@ state, prunes before anything expensive.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from bergloom_spark.functions.hashing import hash64, hash64_sql
+from bergloom_spark.functions.hashing import HASH_MAX, hash64, hash64_sql
 
 SCALE = 1_000_000
 
@@ -66,6 +66,76 @@ def stratified_sample_sql(
     )
     gate = f"CASE {strata_expr} {whens} ELSE {int(default_fraction * SCALE)} END"
     return f"({hash64_sql(f'({id_expr})::VARCHAR')}) % {SCALE} < {gate}"
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    n: int,
+    id_col: str,
+    strata_cols: list[str] | None = None,
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement: the ``n``
+    rows with the smallest priority key ``u / w`` per stratum, where
+    ``u = (hash64(id)+1) / 2^60`` is the row's uniform draw and ``w``
+    its (positive) weight — sequential Poisson / priority sampling
+    (Ohlsson; Duffield-Lund-Thorup): inclusion probability ∝ weight in
+    the small-fraction regime. The pipeline use: sample a corpus
+    proportionally to a quality score instead of uniformly.
+
+    Cross-engine exactness: ``u`` is an exact rational from the shared
+    md5 hash and the key is ONE IEEE double division — both engines
+    round it identically, so ranks (ties broken by id) agree exactly;
+    no ``ln``/``pow`` whose libm rounding could differ.
+
+    Scale shape: key computed scan-side; one window shuffle on the
+    strata (or a single global top-n via TakeOrderedAndProject when
+    unstratified — still no full sort).
+    """
+    u = (hash64(F.col(id_col).cast("string")) + F.lit(1)).cast("double") / F.lit(
+        float(HASH_MAX + 1)
+    )
+    key = u / F.col(weight_col).cast("double")
+    keyed = df.withColumn("__wkey", key)
+    if strata_cols:
+        w = Window.partitionBy(*strata_cols).orderBy(
+            F.col("__wkey").asc(), F.col(id_col).asc()
+        )
+        return (
+            keyed.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= n)
+            .drop("__rn", "__wkey")
+        )
+    return (
+        keyed.orderBy(F.col("__wkey").asc(), F.col(id_col).asc())
+        .limit(n)
+        .drop("__wkey")
+    )
+
+
+def weighted_sample_sql(
+    table: str,
+    weight_expr: str,
+    n: int,
+    id_expr: str,
+    strata_exprs: list[str] | None = None,
+) -> str:
+    """DuckDB twin of :func:`weighted_sample` (same hash, same single
+    division, same tie-break)."""
+    u = f"(({hash64_sql(f'({id_expr})::VARCHAR')}) + 1)::DOUBLE / {float(HASH_MAX + 1)!r}"
+    key = f"({u}) / ({weight_expr})::DOUBLE"
+    if strata_exprs:
+        part = ", ".join(strata_exprs)
+        return f"""
+            SELECT * EXCLUDE (__rn) FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY {part} ORDER BY {key} ASC, {id_expr} ASC
+              ) AS __rn
+              FROM {table}
+            ) WHERE __rn <= {n}"""
+    return f"""
+        SELECT * FROM {table}
+        ORDER BY {key} ASC, {id_expr} ASC LIMIT {n}"""
 
 
 def split_assign(

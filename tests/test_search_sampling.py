@@ -122,3 +122,94 @@ def test_mixture_resample_drops_unweighted_domains(spark):
     out = mixture_resample(df, "dom", "id", {"keep": 1.0})
     assert out.filter(F.col("dom") == "drop").count() == 0
     assert out.filter(F.col("dom") == "keep").count() == 50
+
+
+# ---------------------------------------------------------------------------
+# weighted_sample (round 2): sequential Poisson, weight-proportional
+# ---------------------------------------------------------------------------
+def test_weighted_sample_deterministic_and_weight_biased(spark):
+    import pyspark.sql.functions as F
+
+    from bergloom_spark.operators.sampling import weighted_sample
+
+    # 100 light rows (w=1) + 100 heavy rows (w=50): a 50-row sample
+    # should be dominated by heavy rows.
+    df = spark.range(200).select(
+        F.col("id"),
+        F.when(F.col("id") < 100, 1.0).otherwise(50.0).alias("w"),
+    )
+    s1 = sorted(r["id"] for r in weighted_sample(df, "w", 50, "id").collect())
+    s2 = sorted(r["id"] for r in weighted_sample(df, "w", 50, "id").collect())
+    assert s1 == s2  # deterministic
+    assert len(s1) == 50
+    heavy = sum(1 for i in s1 if i >= 100)
+    assert heavy >= 40  # inclusion ∝ weight (50:1 odds per row)
+
+
+def test_weighted_sample_stratified_counts(spark):
+    import pyspark.sql.functions as F
+
+    from bergloom_spark.operators.sampling import weighted_sample
+
+    df = spark.range(90).select(
+        F.col("id"),
+        (F.col("id") % 3).cast("string").alias("s"),
+        F.lit(1.0).alias("w"),
+    )
+    out = weighted_sample(df, "w", 5, "id", strata_cols=["s"])
+    counts = {
+        r["s"]: r["n"]
+        for r in out.groupBy("s").agg(F.count("*").alias("n")).collect()
+    }
+    assert counts == {"0": 5, "1": 5, "2": 5}
+
+
+def test_weighted_sample_oracle_parity(spark, tmp_path):
+    import duckdb
+    import pyspark.sql.functions as F
+
+    from bergloom_spark.operators.sampling import (
+        weighted_sample,
+        weighted_sample_sql,
+    )
+    from tests.oracle_utils import compare
+
+    p = str(tmp_path / "d.parquet")
+    spark.range(300).select(
+        F.col("id"),
+        ((F.col("id") % 13) + 1).cast("double").alias("w"),
+        (F.col("id") % 4).cast("string").alias("s"),
+    ).write.parquet(p)
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW t AS SELECT * FROM '{p}/*.parquet'")
+    compare(
+        weighted_sample(
+            spark.read.parquet(p), "w", 10, "id", strata_cols=["s"]
+        ),
+        con,
+        weighted_sample_sql("t", "w", 10, "id", ["s"]),
+    )
+
+
+def test_leakage_safe_split_keeps_clusters_together(spark):
+    import pyspark.sql.functions as F
+
+    from bergloom_spark.operators import dedup
+    from bergloom_spark.operators.sampling import split_assign
+
+    # Planted pair graph: clusters {1,2,3}, {7,8}; singletons 4,5,6.
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 8)], "id_a: long, id_b: long"
+    )
+    docs = spark.range(1, 9).select(F.col("id").alias("doc_id"))
+    comp = dedup.connected_components(pairs, "id_a", "id_b")
+    labeled = docs.join(
+        comp, on=F.col("doc_id") == F.col("node"), how="left"
+    ).select(
+        "doc_id",
+        F.coalesce(F.col("component"), F.col("doc_id")).alias("cluster"),
+    )
+    out = split_assign(labeled, "cluster", {"train": 0.5, "val": 0.5})
+    splits = {r["doc_id"]: r["split"] for r in out.collect()}
+    assert splits[1] == splits[2] == splits[3]
+    assert splits[7] == splits[8]
