@@ -2672,6 +2672,19 @@ def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking: rolling-hash boundaries so an edit
+    reshapes only nearby chunks — chunk-level dedup across crawl
+    snapshots matches every untouched chunk. Stateless basic CDC =
+    one scan-side expression, no shuffle."""
+    from bergloom_spark.operators.spans import cdc_chunks
+
+    return cdc_chunks(
+        TS(spark, sf_dir, "documents"), "text", "doc_id",
+        avg_tokens=16, window=4,
+    )
+
+
 def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy token-budget sequence packing (contexts of ≤512 tokens):
     hash-bucketed, id-ordered first-fit inside Arrow-batched
@@ -3461,6 +3474,9 @@ _EXT_ORACLES["containment_top1"] = _SP.containment_top1_sql(
 _EXT_ORACLES["dedup_remove_spans"] = _SP.remove_duplicate_spans_sql(
     "documents", window=20, min_docs=2
 )
+_EXT_ORACLES["cdc_chunks"] = _SP.cdc_chunks_sql(
+    "documents", avg_tokens=16, window=4
+)
 
 from bergloom_spark.operators import sampling as _SAMP  # noqa: E402
 
@@ -3619,6 +3635,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_shuffle": q_corpus_shuffle,
         "sequence_packing": q_sequence_packing,
         "doc_chunks": q_doc_chunks,
+        "cdc_chunks": q_cdc_chunks,
         "bm25_search": q_bm25_search,
         "fuzzy_part_match": q_fuzzy_part_match,
         "stratified_sample": q_stratified_sample,

@@ -51,6 +51,8 @@ __all__ = [
     "duplicate_spans_sql",
     "remove_duplicate_spans",
     "remove_duplicate_spans_sql",
+    "cdc_chunks",
+    "cdc_chunks_sql",
     "containment_top1",
     "containment_top1_sql",
 ]
@@ -324,6 +326,125 @@ def remove_duplicate_spans_sql(
              ((len(b.toks) + {window - 1}) // {window})::BIGINT AS n_blocks,
              coalesce(len(r.rs), 0)::BIGINT AS n_removed
       FROM base b LEFT JOIN removed r USING (doc_id)"""
+
+
+def cdc_chunks(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    avg_tokens: int = 32,
+    window: int = 4,
+) -> DataFrame:
+    """Content-defined chunking: split each doc at rolling-hash
+    boundaries instead of fixed offsets — a boundary falls AFTER token
+    ``i`` iff ``hash(tokens[i-window+1..i]) % avg_tokens == 0``
+    (expected chunk length ≈ ``avg_tokens``).
+
+    Why content-defined: chunk boundaries depend only on LOCAL token
+    context, so inserting or deleting text reshapes chunks near the
+    edit and nowhere else — chunk-level dedup across crawl snapshots
+    then recognizes every untouched chunk (fixed-size chunking shifts
+    every downstream boundary and matches nothing after the edit).
+
+    This is the STATELESS basic-CDC variant: boundary eligibility does
+    not depend on the previous boundary, so the whole computation is
+    one scan-side expression — boundary positions as a filtered
+    sequence, chunks as slices between consecutive boundaries, O(n)
+    array work per doc, no shuffle, no Python. (FastCDC-style min/max
+    chunk clamps need sequential per-doc state — a ``mapInPandas``
+    per-doc kernel if ever required.)
+
+    Output: (doc_id, chunk_idx, chunk_text, n_tokens, chunk_hash) —
+    ``chunk_hash`` is the cross-engine 60-bit hash of the chunk text,
+    ready for chunk-level dedup joins.
+    """
+    toks = TX.tokens(text_col)
+    n = F.size(toks)
+    bpos = F.filter(
+        F.when(n >= window, F.sequence(F.lit(window), n)).otherwise(
+            F.array().cast("array<int>")
+        ),
+        lambda i: F.pmod(
+            hash64(F.concat_ws(" ", F.slice(toks, i - (window - 1), window))),
+            F.lit(avg_tokens),
+        )
+        == 0,
+    )
+    starts = F.concat(F.array(F.lit(0)), bpos)
+    ends = F.concat(bpos, F.array(n))
+    pieces = F.filter(
+        F.zip_with(
+            starts,
+            ends,
+            lambda s, e: F.struct(
+                s.alias("s"),
+                F.concat_ws(" ", F.slice(toks, s + 1, e - s)).alias("txt"),
+                (e - s).cast("long").alias("nt"),
+            ),
+        ),
+        lambda p: p["nt"] > 0,
+    )
+    exploded = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(pieces).alias("chunk_idx", "__p"),
+    )
+    return exploded.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.col("__p.txt").alias("chunk_text"),
+        F.col("__p.nt").alias("n_tokens"),
+        hash64(F.col("__p.txt")).alias("chunk_hash"),
+    )
+
+
+def cdc_chunks_sql(
+    table: str,
+    text_expr: str = "text",
+    id_expr: str = "doc_id",
+    avg_tokens: int = 32,
+    window: int = 4,
+) -> str:
+    """DuckDB twin of :func:`cdc_chunks` (same hash, same boundary
+    rule, same slices)."""
+    toks = TX.tokens_sql(text_expr)
+    bh = hash64_sql(
+        f"array_to_string(list_slice(toks, i - {window - 1}, i), ' ')"
+    )
+    return f"""
+      WITH base AS (
+        SELECT {id_expr} AS doc_id, {toks} AS toks FROM {table}
+      ),
+      bounded AS (
+        SELECT doc_id, toks,
+               list_prepend(0, bpos) AS starts,
+               list_append(bpos, len(toks)) AS ends
+        FROM (
+          SELECT doc_id, toks,
+                 CASE WHEN len(toks) >= {window} THEN
+                   list_filter(range({window}, len(toks) + 1),
+                               i -> ({bh}) % {avg_tokens} = 0)
+                 ELSE [] END AS bpos
+          FROM base
+        )
+      ),
+      exploded AS (
+        SELECT doc_id, unnest(range(1, len(starts) + 1)) AS k,
+               toks, starts, ends
+        FROM bounded
+      )
+      SELECT doc_id,
+             (row_number() OVER (PARTITION BY doc_id ORDER BY k) - 1)
+               AS chunk_idx,
+             chunk_text,
+             n_tokens,
+             {hash64_sql('chunk_text')} AS chunk_hash
+      FROM (
+        SELECT doc_id, k,
+               array_to_string(
+                 list_slice(toks, starts[k] + 1, ends[k]), ' ') AS chunk_text,
+               (ends[k] - starts[k])::BIGINT AS n_tokens
+        FROM exploded
+      ) WHERE n_tokens > 0"""
 
 
 def containment_top1(

@@ -208,3 +208,58 @@ def test_remove_duplicate_spans_oracle_parity(spark, tmp_path):
         con,
         remove_duplicate_spans_sql("documents", window=20, min_docs=2),
     )
+
+
+# ---------------------------------------------------------------------------
+# cdc_chunks: content-defined chunking
+# ---------------------------------------------------------------------------
+def test_cdc_chunks_reconstruct_and_size(spark):
+    from bergloom_spark.operators.spans import cdc_chunks
+
+    docs = _docs(spark, [(i, _words(f"d{i}_", 200)) for i in range(5)])
+    out = cdc_chunks(docs, "text", "doc_id", avg_tokens=16, window=4)
+    rows = out.collect()
+    # Reconstruction: chunks in order concatenate back to the doc.
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append((r["chunk_idx"], r["chunk_text"]))
+    for i in range(5):
+        chunks = [t for _, t in sorted(by_doc[i])]
+        assert " ".join(chunks) == _words(f"d{i}_", 200)
+    # Expected size: 200 tokens / avg 16 → somewhere sane.
+    n_chunks = len(rows) / 5
+    assert 4 <= n_chunks <= 40
+    assert all(r["n_tokens"] >= 1 for r in rows)
+
+
+def test_cdc_chunks_edit_locality(spark):
+    """The content-defined property: editing one token must leave
+    chunks outside the edit's hash window untouched (fixed-size
+    chunking would shift every later boundary)."""
+    from bergloom_spark.operators.spans import cdc_chunks
+
+    base_text = _words("w", 300)
+    toks = base_text.split()
+    toks[150] = "EDITED"
+    edited_text = " ".join(toks)
+    docs = _docs(spark, [(1, base_text), (2, edited_text)])
+    out = cdc_chunks(docs, "text", "doc_id", avg_tokens=16, window=4)
+    hashes = {1: set(), 2: set()}
+    for r in out.collect():
+        hashes[r["doc_id"]].add(r["chunk_hash"])
+    shared = hashes[1] & hashes[2]
+    # all chunks except the few touching the edit survive
+    assert len(shared) >= len(hashes[1]) - 3
+    assert hashes[1] != hashes[2]  # the edited chunk did change
+
+
+def test_cdc_chunks_empty_and_short_docs(spark):
+    from bergloom_spark.operators.spans import cdc_chunks
+
+    docs = _docs(spark, [(1, ""), (2, "one two")])
+    rows = cdc_chunks(docs, "text", "doc_id", avg_tokens=16, window=4).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert 1 not in by_doc  # empty doc -> no chunks
+    assert len(by_doc[2]) == 1 and by_doc[2][0]["chunk_text"] == "one two"
