@@ -1493,6 +1493,64 @@ def q_streaming_lake_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.read().select("event_id", "user_id", "event_type", "value")
 
 
+def q_streaming_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming MERGE (Debezium → lakehouse): a REAL availableNow
+    stream of changelog files drains through an idempotent foreachBatch
+    CDC sink — one atomic equality-delta commit per micro-batch, batch
+    id in the same metadata CAS. Changelog: round 1 updates quantity
+    for l_partkey%23==0 keys (distinct, values derived from the key),
+    round 2 deletes l_partkey%29==0 keys anti-joined against round 1's
+    key set — DISJOINT at the KEY level (one key spans rows with
+    different partkeys, so a row-predicate split would overlap) so the
+    final state is micro-batch-order independent (the file source's
+    mod-time ordering is not part of the contract)."""
+    from bergloom_spark.lake import LakeTable
+    from bergloom_spark.streaming.ingest import apply_changes_stream
+
+    base = T(spark, sf_dir, "lineitem").select(*LI_COLS)
+    root = _scratch(prefix="bergloom-cdcstream-")
+    t = LakeTable.create(spark, os.path.join(root, "tbl"), base.schema)
+    t.append(base)
+    keys1 = base.filter(F.col("l_partkey") % 23 == 0).select(
+        "l_orderkey", "l_linenumber"
+    ).distinct()
+    r1 = keys1.select(
+        "l_orderkey", "l_linenumber",
+        (F.col("l_orderkey") % 500).cast("long").alias("l_partkey"),
+        (F.col("l_orderkey") % 50).cast("long").alias("l_suppkey"),
+        (F.col("l_linenumber") + 900.0).cast("double").alias("l_quantity"),
+        F.lit("U").alias("op"), F.lit(1).cast("long").alias("ord"),
+    )
+    r2 = base.filter(F.col("l_partkey") % 29 == 0).select(
+        "l_orderkey", "l_linenumber"
+    ).distinct().join(
+        keys1, ["l_orderkey", "l_linenumber"], "left_anti"
+    ).select(
+        "l_orderkey", "l_linenumber",
+        F.lit(0).cast("long").alias("l_partkey"),
+        F.lit(0).cast("long").alias("l_suppkey"),
+        F.lit(0.0).alias("l_quantity"),
+        F.lit("D").alias("op"), F.lit(2).cast("long").alias("ord"),
+    )
+    cdc_dir = os.path.join(root, "cdc")
+    # Two files → at least two micro-batches under maxFilesPerTrigger=1.
+    r1.coalesce(1).write.mode("append").parquet(cdc_dir)
+    r2.coalesce(1).write.mode("append").parquet(cdc_dir)
+    stream = (
+        spark.readStream.schema(
+            "l_orderkey long, l_linenumber int, l_partkey long,"
+            " l_suppkey long, l_quantity double, op string, ord long"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(cdc_dir)
+    )
+    t = apply_changes_stream(
+        stream, t, os.path.join(root, "ckpt"),
+        ["l_orderkey", "l_linenumber"], op_col="op", order_col="ord",
+    )
+    return t.read()
+
+
 def q_streaming_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A REAL Structured Streaming run (file source → watermarked
     windowed agg → memory sink, availableNow): once the source drains,
@@ -3495,6 +3553,33 @@ _EXT_ORACLES["leakage_safe_split"] = f"""
     FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
 """
 
+_EXT_ORACLES["streaming_cdc_apply"] = """
+    WITH base AS (
+      SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity
+      FROM lineitem
+    ),
+    k1 AS (SELECT DISTINCT l_orderkey, l_linenumber FROM base
+           WHERE l_partkey % 23 = 0),
+    k2 AS (
+      SELECT * FROM (SELECT DISTINCT l_orderkey, l_linenumber FROM base
+                     WHERE l_partkey % 29 = 0) r
+      ANTI JOIN k1 USING (l_orderkey, l_linenumber)
+    ),
+    affected AS (SELECT * FROM k1 UNION SELECT * FROM k2),
+    survivors AS (
+      SELECT b.* FROM base b
+      ANTI JOIN affected a USING (l_orderkey, l_linenumber)
+    ),
+    updates AS (
+      SELECT l_orderkey, l_linenumber,
+             (l_orderkey % 500)::BIGINT AS l_partkey,
+             (l_orderkey % 50)::BIGINT AS l_suppkey,
+             (l_linenumber + 900.0)::DOUBLE AS l_quantity
+      FROM k1
+    )
+    SELECT * FROM survivors UNION ALL SELECT * FROM updates
+"""
+
 _EXT_ORACLES["dml_apply_changes"] = """
     WITH base AS (
       SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity
@@ -3604,6 +3689,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_error_context": q_interval_error_context,
         "streaming_events_hourly": q_streaming_events_hourly,
         "streaming_lake_ingest": q_streaming_lake_ingest,
+        "streaming_cdc_apply": q_streaming_cdc_apply,
         "streaming_first_seen": q_streaming_first_seen,
         "streaming_running_total": q_streaming_running_total,
         "streaming_attribution": q_streaming_attribution,

@@ -617,6 +617,7 @@ class LakeTable:
         op_col: str = "op",
         order_col: str | None = None,
         target_file_size: int = 128 * 1024 * 1024,
+        properties_update: dict[str, str] | None = None,
     ) -> md.Snapshot:
         """CDC changelog apply (Debezium/Iceberg "apply changes" MERGE).
 
@@ -662,6 +663,10 @@ class LakeTable:
             .drop("__rn")
         )
         meta, snap = self._next_commit("merge")
+        if properties_update:
+            # Merged atomically with the CDC commit (same CAS) — the
+            # streaming sink's exactly-once batch-id guard.
+            meta.properties.update(properties_update)
         self._carry_forward(snap)
         snap.entries.extend(
             wr.write_equality_delete_files(

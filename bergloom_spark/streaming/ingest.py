@@ -61,3 +61,57 @@ def ingest_stream(
     )
     q.awaitTermination()
     return table.refresh()
+
+
+def make_cdc_sink(
+    table: LakeTable,
+    key_cols: list[str],
+    op_col: str = "op",
+    order_col: str | None = None,
+    target_file_size: int = 128 * 1024 * 1024,
+):
+    """Idempotent ``foreachBatch`` CDC sink: each micro-batch is a
+    changelog applied via :meth:`LakeTable.apply_changes` — one atomic
+    equality-delta commit per batch, the batch-id guard merged into the
+    SAME metadata CAS, so replays after a crash are dropped and a
+    reader always sees whole batches (streaming MERGE, the Debezium →
+    lakehouse pattern)."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        t = table.refresh()
+        last = int(t.meta.properties.get(LAST_BATCH_PROP, "-1"))
+        if batch_id <= last:
+            return  # replayed batch — already applied
+        t.apply_changes(
+            batch_df,
+            key_cols,
+            op_col=op_col,
+            order_col=order_col,
+            target_file_size=target_file_size,
+            properties_update={LAST_BATCH_PROP: str(batch_id)},
+        )
+
+    return sink
+
+
+def apply_changes_stream(
+    stream_df: DataFrame,
+    table: LakeTable,
+    checkpoint_dir: str,
+    key_cols: list[str],
+    op_col: str = "op",
+    order_col: str | None = None,
+) -> LakeTable:
+    """Drain a CDC changelog stream into ``table`` (availableNow):
+    every micro-batch becomes one merge snapshot; restarts resume from
+    the checkpoint and replays hit the batch-id guard."""
+    q = (
+        stream_df.writeStream.foreachBatch(
+            make_cdc_sink(table, key_cols, op_col=op_col, order_col=order_col)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return table.refresh()

@@ -80,3 +80,52 @@ def test_batch_id_commit_is_atomic_with_rows(spark, sf_dir):
         reloaded = md.read_current(t.meta.table_root)
         assert reloaded.properties[LAST_BATCH_PROP] == "7"
         assert reloaded.current_snapshot().operation == "append"
+
+
+# ---------------------------------------------------------------------------
+# streaming CDC apply (round 2)
+# ---------------------------------------------------------------------------
+def test_cdc_stream_applies_batches_exactly_once(spark):
+    import pyspark.sql.functions as F
+
+    from bergloom_spark.streaming.ingest import apply_changes_stream, make_cdc_sink
+
+    with tempfile.TemporaryDirectory() as root:
+        base = spark.range(50).select(
+            F.col("id"), (F.col("id") * 10).alias("v")
+        )
+        t = LakeTable.create(spark, os.path.join(root, "tbl"), base.schema)
+        t.append(base)
+        # changelog stream: two parquet files = at least two batches
+        ch1 = spark.range(10).select(
+            F.col("id"), F.lit(-1).cast("long").alias("v"),
+            F.lit("U").alias("op"), F.lit(1).cast("long").alias("ord"),
+        )
+        ch2 = spark.range(5).select(
+            (F.col("id") + 100).alias("id"), F.lit(7).cast("long").alias("v"),
+            F.lit("I").alias("op"), F.lit(2).cast("long").alias("ord"),
+        )
+        stream_dir = os.path.join(root, "cdc")
+        ch1.coalesce(1).write.mode("append").parquet(stream_dir)
+        ch2.coalesce(1).write.mode("append").parquet(stream_dir)
+        stream = (
+            spark.readStream.schema("id long, v long, op string, ord long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stream_dir)
+        )
+        t = apply_changes_stream(
+            stream, t, os.path.join(root, "ckpt"), ["id"],
+            op_col="op", order_col="ord",
+        )
+        got = {r["id"]: r["v"] for r in t.read().collect()}
+        assert len(got) == 55
+        assert all(got[i] == -1 for i in range(10))
+        assert all(got[i] == i * 10 for i in range(10, 50))
+        assert all(got[i + 100] == 7 for i in range(5))
+        merges = [s for s in t.meta.snapshots if s.operation == "merge"]
+        assert len(merges) >= 2
+        # replaying an already-applied batch id is a no-op
+        n_snaps = len(t.meta.snapshots)
+        sink = make_cdc_sink(t, ["id"], op_col="op", order_col="ord")
+        sink(ch1, 0)
+        assert len(t.refresh().meta.snapshots) == n_snaps
