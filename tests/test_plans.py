@@ -80,12 +80,14 @@ def test_dims_broadcast_in_q5(spark):
     assert X.count_broadcast_joins(df) >= 2
 
 
-def test_lake_seq_map_join_is_broadcast(spark, tmp_path):
-    """The per-file sequence-number manifest join must broadcast — a
-    shuffle there would reshuffle the whole table at every MoR read."""
+def test_lake_seq_attach_never_shuffles(spark, tmp_path, monkeypatch):
+    """Per-file sequence numbers must attach with ZERO shuffles at any
+    file count: below the map cap as a literal-map probe (no join node
+    at all), above it as a broadcast join."""
     from pyspark.sql import types as T
 
     from bergloom_spark.lake import LakeTable
+    from bergloom_spark.lake import table as table_mod
 
     t = LakeTable.create(
         spark,
@@ -93,9 +95,15 @@ def test_lake_seq_map_join_is_broadcast(spark, tmp_path):
         T.StructType([T.StructField("id", T.LongType(), False)]),
     )
     t.append(spark.range(100).select(F.col("id")))
+    # dictionary path: no join, no shuffle
     df = t.scan_data(with_hidden=True)
-    assert X.count_broadcast_joins(df) >= 1
+    assert X.count_broadcast_joins(df) == 0
     assert X.count_shuffles(df) == 0
+    # above-cap fallback: broadcast join, still no shuffle
+    monkeypatch.setattr(table_mod, "_MAP_LITERAL_CAP", 0)
+    df2 = t.scan_data(with_hidden=True)
+    assert X.count_broadcast_joins(df2) >= 1
+    assert X.count_shuffles(df2) == 0
 
 
 def test_q19_part_join_broadcasts(spark):
@@ -329,3 +337,73 @@ def test_spread_cheap_filter_semantics_unchanged(spark):
         for r in spread(d).filter(F.col("doc_id") % 7 == 0).collect()
     }
     assert got == base
+
+
+# ---------------------------------------------------------------------------
+# round-2 operators
+# ---------------------------------------------------------------------------
+def test_cdc_chunks_no_shuffle(spark):
+    """Content-defined chunking is one scan-side expression: boundary
+    grid, slicing, and explode all inside the scan stage."""
+    from bergloom_spark.operators.spans import cdc_chunks
+
+    docs = load_table(spark, SF, "documents")
+    df = cdc_chunks(docs, "text", "doc_id", avg_tokens=16, window=4)
+    assert X.count_shuffles(df) == 0
+    assert X.has_whole_stage_codegen(df)
+
+
+def test_quality_classifier_scan_side(spark):
+    """Inline-weights classifier: zero shuffles, zero joins."""
+    from bergloom_spark.operators import classifier as CL
+
+    docs = load_table(spark, SF, "documents")
+    w = CL.default_weights_millis(64)
+    df = docs.select(
+        "doc_id", CL.hashed_linear_logit_millis("text", w).alias("l")
+    )
+    assert X.count_shuffles(df) == 0
+    assert X.count_broadcast_joins(df) == 0
+
+
+def test_classifier_weight_table_broadcasts(spark):
+    """Large-model path: the weight table must come in as a broadcast
+    join, and the only exchange is the per-doc re-aggregation."""
+    import pyspark.sql.functions as F
+
+    from bergloom_spark.operators import classifier as CL
+
+    docs = load_table(spark, SF, "documents")
+    wdf = spark.createDataFrame(
+        [(b, b % 7) for b in range(64)], "bucket: long, w_milli: long"
+    )
+    df = CL.score_with_weight_table(docs, "text", "doc_id", wdf, 64)
+    assert X.count_broadcast_joins(df) >= 1
+    assert X.count_sortmerge_joins(df) == 0
+
+
+def test_weighted_sample_single_window_shuffle(spark):
+    from bergloom_spark.operators.sampling import weighted_sample
+
+    docs = load_table(spark, SF, "documents")
+    df = weighted_sample(
+        docs, "n_chars", 10, "doc_id", strata_cols=["source"]
+    )
+    assert X.count_shuffles(df) <= 1
+
+
+def test_remove_duplicate_spans_text_stays_scan_side(spark):
+    """The detect+rebuild pipeline shuffles only hashes/positions; the
+    rebuild side joins a tiny per-doc start list — broadcastable or
+    shuffled, but never a nested loop, and the doc text column never
+    appears in an exchange's output schema."""
+    from bergloom_spark.operators.spans import remove_duplicate_spans
+
+    docs = load_table(spark, SF, "documents")
+    df = remove_duplicate_spans(docs, "text", "doc_id", window=20)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    for m in re.finditer(r"Exchange hashpartitioning[^\n]*", plan):
+        assert "__text" not in m.group(0)
+    assert X.count_sortmerge_joins(df) <= 2  # hot-hash semi + rebuild join
