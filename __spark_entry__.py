@@ -2357,6 +2357,22 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quality_classifier_joined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fasttext-SCALE application path: weights as a broadcast
+    (bucket, w_milli) table, features exploded and re-aggregated per
+    doc. Same model, same exact integer logits as the inline path —
+    the oracle is shared — but the plan survives 2M-bucket models
+    where an inline literal would bloat every task."""
+    from bergloom_spark.operators import classifier as CL
+
+    w = CL.default_weights_millis(256)
+    wdf = spark.createDataFrame(
+        [(b, int(x)) for b, x in enumerate(w)], "bucket: long, w_milli: long"
+    )
+    d = TS(spark, sf_dir, "documents")
+    return CL.score_with_weight_table(d, "text", "doc_id", wdf, 256)
+
+
 def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = TS(spark, sf_dir, "documents")
     return d.select(
@@ -3613,6 +3629,9 @@ _EXT_ORACLES["quality_classifier"] = f"""
                      'text', _CL.default_weights_millis(256))} AS logit_millis
           FROM documents)
 """
+# The weight-table path computes the SAME exact integer logits (the
+# parity is also pinned by a unit test), so the oracle is shared.
+_EXT_ORACLES["quality_classifier_joined"] = _EXT_ORACLES["quality_classifier"]
 
 from bergloom_spark.operators import lm as _LM  # noqa: E402
 
@@ -3701,6 +3720,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "text_quality": q_text_quality,
         "quality_classifier": q_quality_classifier,
+        "quality_classifier_joined": q_quality_classifier_joined,
         "doc_fingerprints": q_doc_fingerprints,
         "simhash": q_simhash,
         "simhash_pairs": q_simhash_pairs,
