@@ -2616,6 +2616,17 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm.unigram_logprob(TS(spark, sf_dir, "documents"))
 
 
+def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated corpus-bigram LM score per doc — the transition-
+    typicality upgrade of the unigram signal (word salad of common
+    words scores high on unigrams, low here). Add-α backoff to the
+    corpus unigram prior; model table broadcast at this scale, shuffled
+    hash join beyond broadcast range."""
+    from bergloom_spark.operators import lm
+
+    return lm.bigram_logprob(TS(spark, sf_dir, "documents"))
+
+
 def q_source_unigram_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source KL(source ‖ corpus) over unigrams — mixture-drift
     diagnostic; exchanges carry (source, token) partial counts only."""
@@ -3636,6 +3647,7 @@ _EXT_ORACLES["quality_classifier_joined"] = _EXT_ORACLES["quality_classifier"]
 from bergloom_spark.operators import lm as _LM  # noqa: E402
 
 _EXT_ORACLES["unigram_logprob"] = _LM.unigram_logprob_sql("documents")
+_EXT_ORACLES["bigram_logprob"] = _LM.bigram_logprob_sql("documents")
 _EXT_ORACLES["source_unigram_kl"] = _LM.source_unigram_kl_sql("documents")
 
 
@@ -3734,6 +3746,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": q_text_repetition,
         "gopher_rules": q_gopher_rules,
         "unigram_logprob": q_unigram_logprob,
+        "bigram_logprob": q_bigram_logprob,
         "source_unigram_kl": q_source_unigram_kl,
         "pii_redact": q_pii_redact,
         "mixture_resample": q_mixture_resample,

@@ -152,3 +152,128 @@ def source_unigram_kl_sql(
         FROM st JOIN s_tot USING (source) JOIN corpus USING (tok) CROSS JOIN tot
         GROUP BY source
     """
+
+
+def bigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 1.0,
+    broadcast_model: bool = True,
+) -> DataFrame:
+    """Per-document mean log10 INTERPOLATED bigram probability under
+    the corpus's own bigram distribution:
+
+        p(w_i | w_{i-1}) = (c(w_{i-1} w_i) + α·p_uni(w_i))
+                           / (c(w_{i-1}) + α)
+
+    — add-α interpolation with the corpus unigram as the prior, so
+    unseen transitions back off smoothly instead of scoring -inf. A
+    sharper "typicality" signal than :func:`unigram_logprob`: word
+    salad with common words scores high on unigrams but low here
+    (its TRANSITIONS are atypical).
+
+    Output: (id_col, n_transitions, avg_logprob) — transitions are
+    token positions 2..n; docs with < 2 tokens report 0 transitions
+    and NULL avg_logprob. Rounded to 6 (repo float convention).
+
+    Scale shape: transition explosion is scan-side; the bigram count
+    table is map-side-combinable with ~distinct-bigram rows (≈ corpus
+    tokens in the worst case — for open web corpora pass
+    ``broadcast_model=False`` and the probe join becomes a shuffled
+    hash join on (prev, cur) planned by AQE, the standard layout for
+    n-gram LM scoring at scale).
+    """
+    toks = TX.tokens(text_col)
+    n = F.size(toks)
+    trans = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(
+            F.when(
+                n >= 2,
+                F.transform(
+                    F.sequence(F.lit(2), n),
+                    lambda i: F.struct(
+                        F.element_at(toks, i - 1).alias("prev"),
+                        F.element_at(toks, i).alias("cur"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<prev:string,cur:string>>"))
+        ).alias("__t"),
+    ).select("__id", F.col("__t.prev").alias("prev"), F.col("__t.cur").alias("cur"))
+
+    big = trans.groupBy("prev", "cur").agg(F.count("*").alias("__cb"))
+    uni = trans.groupBy("cur").agg(F.count("*").alias("__cu"))
+    # context counts and the unigram total derive from the same tables
+    ctx = trans.groupBy("prev").agg(F.count("*").alias("__cc"))
+    tot = uni.agg(F.sum("__cu").alias("__t"))
+    uni_p = uni.crossJoin(F.broadcast(tot)).select(
+        "cur", (F.col("__cu").cast("double") / F.col("__t").cast("double")).alias("__pu")
+    )
+    model = (
+        big.join(uni_p, "cur")
+        .join(ctx, "prev")
+        .select(
+            "prev",
+            "cur",
+            F.log10(
+                (F.col("__cb").cast("double") + F.lit(alpha) * F.col("__pu"))
+                / (F.col("__cc").cast("double") + F.lit(alpha))
+            ).alias("__logp"),
+        )
+    )
+    if broadcast_model:
+        model = F.broadcast(model)
+    scored = trans.join(model, ["prev", "cur"]).groupBy("__id").agg(
+        F.count("*").alias("n_transitions"),
+        F.round(F.avg("__logp"), 6).alias("avg_logprob"),
+    )
+    ids = df.select(F.col(id_col).alias("__id"))
+    return (
+        ids.join(scored, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.coalesce("n_transitions", F.lit(0)).cast("long").alias("n_transitions"),
+            "avg_logprob",
+        )
+    )
+
+
+def bigram_logprob_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 1.0,
+) -> str:
+    """DuckDB twin of :func:`bigram_logprob` (same interpolation, same
+    rounding)."""
+    toks = TX.tokens_sql(text_col)
+    return f"""
+        WITH base AS (SELECT {id_col} AS id, {toks} AS toks FROM {table}),
+        trans AS (
+          SELECT id, toks[i - 1] AS prev, toks[i] AS cur
+          FROM (SELECT id, toks,
+                       unnest(range(2, len(toks) + 1)) AS i
+                FROM base)
+        ),
+        big AS (SELECT prev, cur, count(*) AS cb FROM trans GROUP BY 1, 2),
+        uni AS (SELECT cur, count(*) AS cu FROM trans GROUP BY 1),
+        ctx AS (SELECT prev, count(*) AS cc FROM trans GROUP BY 1),
+        tot AS (SELECT sum(cu)::DOUBLE AS t FROM uni),
+        model AS (
+          SELECT b.prev, b.cur,
+                 log10((b.cb::DOUBLE + {alpha!r} * (u.cu::DOUBLE / tot.t))
+                       / (c.cc::DOUBLE + {alpha!r})) AS logp
+          FROM big b JOIN uni u USING (cur) JOIN ctx c USING (prev)
+          CROSS JOIN tot
+        ),
+        scored AS (
+          SELECT id, count(*)::BIGINT AS n_transitions,
+                 round(avg(logp), 6) AS avg_logprob
+          FROM trans JOIN model USING (prev, cur) GROUP BY id
+        )
+        SELECT b.id AS {id_col},
+               coalesce(s.n_transitions, 0)::BIGINT AS n_transitions,
+               s.avg_logprob
+        FROM base b LEFT JOIN scored s ON s.id = b.id
+    """

@@ -165,3 +165,42 @@ def test_kl_nonnegative_and_logprob_nonpositive(data):
     for r in unigram_logprob(df).collect():
         assert r.avg_logprob <= 0.0, r
         assert r.n_tokens >= 1
+
+
+# ---------------------------------------------------------------------------
+# bigram LM (round 2)
+# ---------------------------------------------------------------------------
+def test_bigram_logprob_invariants_and_transition_counts(spark):
+    from bergloom_spark.operators import lm
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b a b a b"),
+            (2, "a b a b"),
+            (3, "x"),      # 1 token: no transitions
+            (4, ""),       # empty
+        ],
+        "doc_id: long, text: string",
+    )
+    out = {r["doc_id"]: r for r in lm.bigram_logprob(docs).collect()}
+    assert out[1]["n_transitions"] == 7
+    assert out[2]["n_transitions"] == 3
+    assert out[3]["n_transitions"] == 0 and out[3]["avg_logprob"] is None
+    assert out[4]["n_transitions"] == 0 and out[4]["avg_logprob"] is None
+    # log-probabilities of events with probability <= 1
+    assert out[1]["avg_logprob"] <= 0.0
+
+
+def test_bigram_scores_transition_typicality(spark):
+    """Word salad built from COMMON tokens fools the unigram score but
+    not the bigram score: a doc whose transitions never occur in the
+    rest of the corpus must score lower than an in-pattern doc."""
+    from bergloom_spark.operators import lm
+
+    pattern_docs = [(i, "the cat sat on the mat " * 5) for i in range(10)]
+    salad = (99, "mat the on sat cat the " * 5)
+    docs = spark.createDataFrame(
+        pattern_docs + [salad], "doc_id: long, text: string"
+    )
+    out = {r["doc_id"]: r["avg_logprob"] for r in lm.bigram_logprob(docs).collect()}
+    assert out[99] < out[0]
