@@ -2616,6 +2616,24 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm.unigram_logprob(TS(spark, sf_dir, "documents"))
 
 
+_KEYWORD_TAGS = {
+    "perf_terms": ["slow", "fast table", "hash"],
+    "exec_terms": ["scan", "merge batch"],
+    "sql_pairs": ["table value", "sort window"],
+}
+
+
+def q_keyword_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FlashText-style phrase tagging: per-doc counts for named phrase
+    lists (blocklists, topic lexicons) — token-aligned, overlapping,
+    every tag folding over shared n-gram arrays in one codegen pass."""
+    from bergloom_spark.operators.search import keyword_tag_counts
+
+    return keyword_tag_counts(
+        TS(spark, sf_dir, "documents"), "text", "doc_id", _KEYWORD_TAGS
+    )
+
+
 def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interpolated corpus-bigram LM score per doc — the transition-
     typicality upgrade of the unigram signal (word salad of common
@@ -3648,6 +3666,12 @@ from bergloom_spark.operators import lm as _LM  # noqa: E402
 
 _EXT_ORACLES["unigram_logprob"] = _LM.unigram_logprob_sql("documents")
 _EXT_ORACLES["bigram_logprob"] = _LM.bigram_logprob_sql("documents")
+
+from bergloom_spark.operators import search as _SRCH  # noqa: E402
+
+_EXT_ORACLES["keyword_tags"] = _SRCH.keyword_tag_counts_sql(
+    "documents", "text", "doc_id", _KEYWORD_TAGS
+)
 _EXT_ORACLES["source_unigram_kl"] = _LM.source_unigram_kl_sql("documents")
 
 
@@ -3756,6 +3780,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunks": q_doc_chunks,
         "cdc_chunks": q_cdc_chunks,
         "bm25_search": q_bm25_search,
+        "keyword_tags": q_keyword_tags,
         "fuzzy_part_match": q_fuzzy_part_match,
         "stratified_sample": q_stratified_sample,
         "weighted_sample": q_weighted_sample,

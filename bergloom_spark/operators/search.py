@@ -308,3 +308,97 @@ def fuzzy_match(
         )
         .filter(F.col("dist") <= max_dist)
     )
+
+
+def keyword_tag_counts(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    tags: dict[str, list[str]],
+) -> DataFrame:
+    """Per-doc occurrence counts for named phrase lists (FlashText-
+    style tagging): ``tags`` maps a tag name to token-aligned phrases
+    ("bad word", "click here"); output is one long column per tag —
+    the blocklist/topic gate every curation pipeline runs.
+
+    Matching is whitespace-token-aligned and overlapping occurrences
+    count (each n-gram start position is tested independently).
+
+    Scale shape: phrases ride the plan as literals and every tag's
+    count folds over the SAME shared n-gram arrays in one codegen map
+    pass — zero shuffles, zero Python. Right for bounded dictionaries
+    (10²-10⁴ phrases); a 10⁶-phrase dictionary wants the explode +
+    broadcast-join layout of ``classifier.score_with_weight_table``
+    instead.
+    """
+    toks = TX.tokens(text_col)
+    lengths = sorted(
+        {len(p.split()) for phrases in tags.values() for p in phrases}
+    )
+
+    # Single-arg closures: a bound-default second parameter would make
+    # Spark pass the (element, index) HOF form and bind the index over
+    # the default.
+    def _gram_fn(length):
+        return lambda i: F.concat_ws(" ", F.slice(toks, i, length))
+
+    def _eq_fn(phrase):
+        return lambda x: x == F.lit(phrase)
+
+    grams = {}
+    for length in lengths:
+        if length == 1:
+            grams[length] = toks
+        else:
+            n = F.size(toks)
+            grams[length] = F.when(
+                n >= length,
+                F.transform(
+                    F.sequence(F.lit(1), n - (length - 1)), _gram_fn(length)
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+    cols = [F.col(id_col).alias("doc_id")]
+    for tag, phrases in tags.items():
+        total = None
+        for p in phrases:
+            length = len(p.split())
+            cnt = F.size(F.filter(grams[length], _eq_fn(p)))
+            total = cnt if total is None else total + cnt
+        cols.append(
+            (total if total is not None else F.lit(0)).cast("long").alias(tag)
+        )
+    return df.select(*cols)
+
+
+def keyword_tag_counts_sql(
+    table: str,
+    text_expr: str,
+    id_expr: str,
+    tags: dict[str, list[str]],
+) -> str:
+    """DuckDB twin of :func:`keyword_tag_counts` (same grams, same
+    overlap semantics)."""
+    toks = TX.tokens_sql(text_expr)
+
+    def gram(length: int) -> str:
+        if length == 1:
+            return toks
+        return (
+            f"CASE WHEN len({toks}) >= {length} THEN "
+            f"list_transform(range(1, len({toks}) - {length - 2}), "
+            f"i -> array_to_string(list_slice({toks}, i, i + {length - 1}), ' ')) "
+            f"ELSE [] END"
+        )
+
+    parts = []
+    for tag, phrases in tags.items():
+        terms = []
+        for p in phrases:
+            esc = p.replace("'", "''")
+            terms.append(
+                f"len(list_filter({gram(len(p.split()))}, x -> x = '{esc}'))"
+            )
+        expr = " + ".join(terms) if terms else "0"
+        parts.append(f"({expr})::BIGINT AS \"{tag}\"")
+    cols = ", ".join(parts)
+    return f"SELECT {id_expr} AS doc_id, {cols} FROM {table}"

@@ -213,3 +213,42 @@ def test_leakage_safe_split_keeps_clusters_together(spark):
     splits = {r["doc_id"]: r["split"] for r in out.collect()}
     assert splits[1] == splits[2] == splits[3]
     assert splits[7] == splits[8]
+
+
+# ---------------------------------------------------------------------------
+# keyword_tag_counts (round 2)
+# ---------------------------------------------------------------------------
+def test_keyword_tag_counts_token_aligned_and_overlapping(spark):
+    from bergloom_spark.operators.search import keyword_tag_counts
+
+    docs = spark.createDataFrame(
+        [
+            (1, "bad word here and bad word again"),
+            (2, "badword is one token"),        # no token-aligned match
+            (3, "x x x"),                        # overlapping "x x" twice
+            (4, ""),
+        ],
+        "doc_id: long, text: string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in keyword_tag_counts(
+            docs, "text", "doc_id",
+            {"block": ["bad word"], "rep": ["x x"], "uni": ["token"]},
+        ).collect()
+    }
+    assert out[1]["block"] == 2 and out[1]["rep"] == 0
+    assert out[2]["block"] == 0 and out[2]["uni"] == 1
+    assert out[3]["rep"] == 2  # overlapping starts both count
+    assert out[4]["block"] == 0 and out[4]["rep"] == 0 and out[4]["uni"] == 0
+
+
+def test_keyword_tag_counts_plan_is_scan_side(spark):
+    from bergloom_spark.operators.search import keyword_tag_counts
+    from bergloom_spark.plans import explain as X
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    df = keyword_tag_counts(
+        docs, "text", "doc_id", {"t": ["slow", "fast table"]}
+    )
+    assert X.count_shuffles(df) == 0
