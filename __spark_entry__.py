@@ -2854,6 +2854,16 @@ def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("rank", F.col("rank").cast("long"))
 
 
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard-negative mining: per probe, the most-similar
+    vectors with a DIFFERENT label (what an embedding-training
+    pipeline pairs with its positives). Exact broadcast-probe form;
+    corpus-scale candidates route through IVF posting lists first."""
+    return similarity.hard_negatives(
+        TS(spark, sf_dir, "embeddings"), probe_ids=list(range(10)), k=5
+    ).withColumn("rank", F.col("rank").cast("long"))
+
+
 def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-flat ANN: posting-list retrieval on an equi-join against a
     broadcast probe map, exact re-rank. Oracle-checked (knn_ivf_sql):
@@ -3672,6 +3682,12 @@ from bergloom_spark.operators import search as _SRCH  # noqa: E402
 _EXT_ORACLES["keyword_tags"] = _SRCH.keyword_tag_counts_sql(
     "documents", "text", "doc_id", _KEYWORD_TAGS
 )
+
+# DuckDB row_number() is already BIGINT, matching the Spark side's
+# cast("long") on rank.
+_EXT_ORACLES["hard_negatives"] = similarity.hard_negatives_sql(
+    "embeddings", probe_ids=list(range(10)), k=5
+)
 _EXT_ORACLES["source_unigram_kl"] = _LM.source_unigram_kl_sql("documents")
 
 
@@ -3790,6 +3806,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_remove_spans": q_dedup_remove_spans,
         "containment_top1": q_containment_top1,
         "knn_bruteforce": q_knn_bruteforce,
+        "hard_negatives": q_hard_negatives,
         # analytics (delegated-capability surface / bench headliners;
         # LAST: standard SQL shapes carry the least unique information
         # if a driver budget truncates the tail)

@@ -1060,3 +1060,89 @@ def semantic_contamination_sql(
                max(sim) >= {threshold} AS contaminated
         FROM scored GROUP BY {id_col}
     """
+
+
+def hard_negatives(
+    embeddings: DataFrame,
+    probe_ids: list[int],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Contrastive-training mining: for each probe, the ``k`` vectors
+    MOST similar to it that carry a DIFFERENT label — the "hard
+    negatives" a metric-learning / embedding-training pipeline pairs
+    with its positives.
+
+    Exact bounded-probe form (broadcast probes, oracle-checkable).
+    Output: (probe_id, neighbor_id, neighbor_label, cosine_sim, rank).
+    At corpus scale, generate candidates with the IVF posting lists
+    first and apply the label filter before the re-rank — the same
+    routing as :func:`knn_ivf` with one extra column carried (see the
+    parity test in tests/test_dedup_similarity.py for the composed
+    form).
+    """
+    base = embeddings.select(
+        F.col(id_col).alias("__id"),
+        F.col(label_col).alias("__lbl"),
+        as_double(F.col(vec_col)).alias("__v"),
+    )
+    probes = base.filter(F.col("__id").isin(probe_ids)).select(
+        F.col("__id").alias("probe_id"),
+        F.col("__lbl").alias("__plbl"),
+        F.col("__v").alias("__pv"),
+    )
+    scored = (
+        base.crossJoin(F.broadcast(probes))
+        .filter(
+            (F.col("__id") != F.col("probe_id"))
+            & (~F.col("__lbl").eqNullSafe(F.col("__plbl")))
+        )
+        .select(
+            "probe_id",
+            F.col("__id").alias("neighbor_id"),
+            F.col("__lbl").alias("neighbor_label"),
+            F.round(cosine(F.col("__v"), F.col("__pv")), 6).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", "neighbor_id", "neighbor_label", "cosine_sim", "rank")
+    )
+
+
+def hard_negatives_sql(
+    table: str,
+    probe_ids: list[int],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> str:
+    """DuckDB twin of :func:`hard_negatives`."""
+    ids = ", ".join(str(i) for i in probe_ids)
+    cos = cosine_sql(f"b.{vec_col}", f"p.{vec_col}")
+    return f"""
+        WITH p AS (
+          SELECT {id_col} AS probe_id, {label_col} AS plbl, {vec_col}
+          FROM {table} WHERE {id_col} IN ({ids})),
+        scored AS (
+          SELECT p.probe_id,
+                 b.{id_col} AS neighbor_id,
+                 b.{label_col} AS neighbor_label,
+                 round({cos}, 6) AS cosine_sim
+          FROM {table} b CROSS JOIN p
+          WHERE b.{id_col} <> p.probe_id
+            AND b.{label_col} IS DISTINCT FROM p.plbl)
+        SELECT probe_id, neighbor_id, neighbor_label, cosine_sim,
+               rank FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY probe_id
+            ORDER BY cosine_sim DESC, neighbor_id ASC) AS rank
+          FROM scored)
+        WHERE rank <= {k}"""

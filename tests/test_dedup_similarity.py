@@ -375,3 +375,46 @@ def test_knn_ivf_filtered_neighbors_share_label(spark, sf_dir):
     out = knn_ivf(emb, probe_ids=probes, k=5, n_centroids=4, nprobe=2)
     for r in out.collect():
         assert r.neighbor_id in ids and r.probe_id in ids
+
+
+# ---------------------------------------------------------------------------
+# hard negatives (round 2)
+# ---------------------------------------------------------------------------
+def test_hard_negatives_exclude_probe_label(spark):
+    from bergloom_spark.operators import similarity as sim
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    probes = list(range(8))
+    out = sim.hard_negatives(emb, probes, k=5).collect()
+    labels = {r["vec_id"]: r["label"] for r in emb.collect()}
+    assert len(out) == len(probes) * 5
+    for r in out:
+        assert r["neighbor_label"] == labels[r["neighbor_id"]]
+        assert r["neighbor_label"] != labels[r["probe_id"]]
+    # hard negatives are the TOP similar cross-label vectors: each
+    # probe's rank-1 negative must score >= its rank-5 negative
+    by_probe = {}
+    for r in out:
+        by_probe.setdefault(r["probe_id"], {})[r["rank"]] = r["cosine_sim"]
+    for sims in by_probe.values():
+        assert sims[1] >= sims[5]
+
+
+def test_hard_negatives_reduce_to_knn_when_labels_unique(spark):
+    import pyspark.sql.functions as F
+
+    from bergloom_spark.operators import similarity as sim
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).select("vec_id", "embedding", F.col("vec_id").cast("int").alias("label"))
+    probes = [0, 3, 7]
+    hn = {
+        (r["probe_id"], r["rank"]): r["neighbor_id"]
+        for r in sim.hard_negatives(emb, probes, k=4).collect()
+    }
+    knn = {
+        (r["probe_id"], r["rank"]): r["neighbor_id"]
+        for r in sim.knn_bruteforce(emb, probes, k=4).collect()
+    }
+    assert hn == knn  # all-unique labels: every neighbor is a negative
