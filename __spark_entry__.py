@@ -2341,6 +2341,20 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading ease per doc (vowel-group syllable proxy): one
+    scan-side expression over the shared token array — the classic
+    readability gate alongside the Gopher battery."""
+    d = TS(spark, sf_dir, "documents")
+    toked = d.select("doc_id", "text", TX.tokens("text").alias("__toks"))
+    return toked.select(
+        "doc_id",
+        TX.syllable_count("text", toks=F.col("__toks")).alias("n_syllables"),
+        TX.sentence_count("text").alias("n_sentences"),
+        TX.flesch_reading_ease("text", toks=F.col("__toks")).alias("flesch"),
+    )
+
+
 def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hashing-trick linear (fasttext-shaped) quality model applied
     scan-side: integer milli-logit over hashed unigram+bigram buckets
@@ -3308,6 +3322,13 @@ _EXT_ORACLES = {
     "text_quality": f"""
         SELECT doc_id, {TX.quality_score_sql('text')} AS quality FROM documents
     """,
+    "readability": f"""
+        SELECT doc_id,
+               {TX.syllable_count_sql('text')} AS n_syllables,
+               {TX.sentence_count_sql('text')} AS n_sentences,
+               {TX.flesch_reading_ease_sql('text')} AS flesch
+        FROM documents
+    """,
     "doc_fingerprints": f"""
         SELECT doc_id, {TX.fingerprint64_sql('text')} AS fp64,
                {TX.min_shingle_fingerprint_sql('text')} AS shingle_fp
@@ -3771,6 +3792,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_stats": q_text_token_stats,
         "lang_id": q_lang_id,
         "text_quality": q_text_quality,
+        "readability": q_readability,
         "quality_classifier": q_quality_classifier,
         "quality_classifier_joined": q_quality_classifier_joined,
         "doc_fingerprints": q_doc_fingerprints,

@@ -567,3 +567,65 @@ def gopher_flags_sql(expr: str) -> dict[str, str]:
     }
     flags["keep"] = "(" + " AND ".join(flags.values()) + ")"
     return flags
+
+
+# ---------------------------------------------------------------------------
+# readability (Flesch reading ease with vowel-group syllables)
+# ---------------------------------------------------------------------------
+def syllable_count(col: Column | str, toks: Column | None = None) -> Column:
+    """Approximate syllables: vowel groups ([aeiouy]+, case-folded) per
+    token, summed — the standard cheap proxy (no CMU dict at 100 TB)."""
+    toks = toks if toks is not None else tokens(col)
+    return F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: acc
+        + F.size(F.regexp_extract_all(F.lower(t), F.lit("[aeiouy]+"), 0)),
+    )
+
+
+def syllable_count_sql(expr: str) -> str:
+    toks = tokens_sql(expr)
+    return (
+        f"coalesce(list_sum(list_transform({toks}, "
+        f"t -> len(regexp_extract_all(lower(t), '[aeiouy]+')))), 0)::BIGINT"
+    )
+
+
+def sentence_count(col: Column | str) -> Column:
+    """Sentences ≈ non-empty [.!?]-delimited segments, floored at 1."""
+    col = F.col(col) if isinstance(col, str) else col
+    segs = F.filter(
+        F.split(col, r"[.!?]+"), lambda s: F.trim(s) != F.lit("")
+    )
+    return F.greatest(F.size(segs).cast("long"), F.lit(1).cast("long"))
+
+
+def sentence_count_sql(expr: str) -> str:
+    return (
+        f"greatest(len(list_filter(string_split_regex({expr}, '[.!?]+'), "
+        f"s -> trim(s) <> '')), 1)::BIGINT"
+    )
+
+
+def flesch_reading_ease(col: Column | str, toks: Column | None = None) -> Column:
+    """Flesch reading ease: 206.835 − 1.015·(words/sentences)
+    − 84.6·(syllables/words); rounded to 4 (repo float convention).
+    Single scan-side expression over the shared token array."""
+    toks = toks if toks is not None else tokens(col)
+    words = F.greatest(F.size(toks).cast("double"), F.lit(1.0))
+    sents = sentence_count(col).cast("double")
+    sylls = syllable_count(col, toks=toks).cast("double")
+    return F.round(
+        F.lit(206.835) - F.lit(1.015) * (words / sents) - F.lit(84.6) * (sylls / words),
+        4,
+    )
+
+
+def flesch_reading_ease_sql(expr: str) -> str:
+    toks = tokens_sql(expr)
+    words = f"greatest(len({toks}), 1)::DOUBLE"
+    return (
+        f"round(206.835 - 1.015 * (({words}) / ({sentence_count_sql(expr)})::DOUBLE)"
+        f" - 84.6 * (({syllable_count_sql(expr)})::DOUBLE / ({words})), 4)"
+    )

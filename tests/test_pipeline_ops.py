@@ -216,3 +216,37 @@ def test_redact_pii_planted_cases(spark):
             + pii_count_sql(lit, "phone")
         ).fetchone()
         assert (row[0], row[1], row[2], row[3]) == got[i], (i, row, got[i])
+
+
+# ---------------------------------------------------------------------------
+# readability (round 2)
+# ---------------------------------------------------------------------------
+def test_flesch_readability_semantics(spark):
+    import pyspark.sql.functions as F
+
+    from bergloom_spark.functions import text as TX
+
+    docs = spark.createDataFrame(
+        [
+            (1, "The cat sat. The dog ran!"),
+            (2, "Incomprehensibility notwithstanding, "
+                "antidisestablishmentarianism perseveres."),
+            (3, ""),
+        ],
+        "doc_id: long, text: string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in docs.select(
+            "doc_id",
+            TX.sentence_count("text").alias("ns"),
+            TX.syllable_count("text").alias("sy"),
+            TX.flesch_reading_ease("text").alias("f"),
+        ).collect()
+    }
+    assert out[1]["ns"] == 2
+    # "The cat sat." = 3 syllables; "The dog ran!" = 3
+    assert out[1]["sy"] == 6
+    # simple short sentences read easier than sesquipedalian prose
+    assert out[1]["f"] > out[2]["f"]
+    assert out[3]["ns"] == 1 and out[3]["sy"] == 0
