@@ -2396,6 +2396,20 @@ def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on CANONICALIZED text (case-fold, punct-strip,
+    whitespace-collapse before hashing) — trivial re-encodings collapse
+    to one key. Same single-pass min_by aggregation as dedup_exact."""
+    from bergloom_spark.operators.dedup import exact_dedup
+
+    d = TS(spark, sf_dir, "documents").withColumn(
+        "__canon", TX.canonical_text("text")
+    )
+    return exact_dedup(d, ["__canon"], "doc_id").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = TS(spark, sf_dir, "documents")
     return d.select("doc_id", dedup.simhash("text").alias("simhash60"))
@@ -3704,6 +3718,16 @@ _EXT_ORACLES["keyword_tags"] = _SRCH.keyword_tag_counts_sql(
     "documents", "text", "doc_id", _KEYWORD_TAGS
 )
 
+_EXT_ORACLES["dedup_canonical"] = f"""
+    WITH c AS (
+      SELECT doc_id, lang, source, n_chars,
+             {TX.canonical_text_sql('text')} AS canon
+      FROM documents),
+    k AS (SELECT min(doc_id) AS doc_id FROM c GROUP BY canon)
+    SELECT c.doc_id, c.lang, c.source, c.n_chars
+    FROM c SEMI JOIN k USING (doc_id)
+"""
+
 # DuckDB row_number() is already BIGINT, matching the Spark side's
 # cast("long") on rank.
 _EXT_ORACLES["hard_negatives"] = similarity.hard_negatives_sql(
@@ -3788,6 +3812,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bucketed_join": q_bucketed_join,
         # training-data pipeline extensions (unique coverage — early)
         "dedup_exact": q_dedup_exact,
+        "dedup_canonical": q_dedup_canonical,
         "dedup_fingerprint": q_dedup_fingerprint,
         "text_token_stats": q_text_token_stats,
         "lang_id": q_lang_id,

@@ -250,6 +250,25 @@ def fingerprint64_sql(expr: str) -> str:
     return hash64_sql(expr)
 
 
+def canonical_text(col: Column | str) -> Column:
+    """Dedup canonicalization: case-fold, strip non-alphanumerics (to
+    spaces), collapse whitespace, trim — so trivial re-encodings
+    ("Hello,  World!" vs "hello world") collapse to one exact-dup key.
+    The standard pre-hash normalization in exact-dedup pipelines;
+    fingerprint ``canonical_text(...)`` instead of the raw text."""
+    col = F.col(col) if isinstance(col, str) else col
+    lowered = F.lower(col)
+    stripped = F.regexp_replace(lowered, r"[^a-z0-9]+", " ")
+    return F.trim(F.regexp_replace(stripped, r" +", " "))
+
+
+def canonical_text_sql(expr: str) -> str:
+    return (
+        f"trim(regexp_replace(regexp_replace(lower({expr}), "
+        f"'[^a-z0-9]+', ' ', 'g'), ' +', ' ', 'g'))"
+    )
+
+
 def shingles(col: Column | str, n: int = 3) -> Column:
     """n-token shingles joined by single spaces (rolling window).
 

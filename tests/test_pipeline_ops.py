@@ -250,3 +250,23 @@ def test_flesch_readability_semantics(spark):
     # simple short sentences read easier than sesquipedalian prose
     assert out[1]["f"] > out[2]["f"]
     assert out[3]["ns"] == 1 and out[3]["sy"] == 0
+
+
+def test_canonical_text_collapses_reencodings(spark):
+    from bergloom_spark.functions import text as TX
+    from bergloom_spark.operators.dedup import exact_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "Hello,  World!"),
+            (2, "hello world"),
+            (3, "HELLO ... WORLD"),
+            (4, "goodbye world"),
+        ],
+        "doc_id: long, text: string",
+    )
+    d = docs.withColumn("__c", TX.canonical_text("text"))
+    vals = {r["doc_id"]: r["__c"] for r in d.collect()}
+    assert vals[1] == vals[2] == vals[3] == "hello world"
+    kept = exact_dedup(d, ["__c"], "doc_id")
+    assert sorted(r["doc_id"] for r in kept.collect()) == [1, 4]
