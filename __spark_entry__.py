@@ -2662,6 +2662,32 @@ def q_keyword_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PRICE_TIERS = [
+    (0.0, 9999.99, "low"),
+    (10000.0, 39999.99, "mid"),
+    (40000.0, 79999.99, "high"),
+    (80000.0, 10_000_000.0, "lux"),
+]
+
+
+def q_range_lookup_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-vs-interval dimension lookup as a HASH join: the number
+    line is bucketized, the tier dim explodes per covered bucket, and
+    the BETWEEN is a residual filter — never a broadcast-nested-loop.
+    Aggregated per tier for a compact driver row."""
+    from bergloom_spark.operators.joins import range_lookup
+
+    li = T(spark, sf_dir, "lineitem").select("l_extendedprice", "l_quantity")
+    tiers = spark.createDataFrame(_PRICE_TIERS, "lo: double, hi: double, tier: string")
+    joined = range_lookup(
+        li, tiers, "l_extendedprice", bucket_width=10000.0, how="left"
+    )
+    return joined.groupBy("tier").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
 def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interpolated corpus-bigram LM score per doc — the transition-
     typicality upgrade of the unigram signal (word salad of common
@@ -3718,6 +3744,18 @@ _EXT_ORACLES["keyword_tags"] = _SRCH.keyword_tag_counts_sql(
     "documents", "text", "doc_id", _KEYWORD_TAGS
 )
 
+_EXT_ORACLES["range_lookup_tiers"] = f"""
+    WITH tiers (lo, hi, tier) AS (
+      VALUES {", ".join(f"({lo!r}, {hi!r}, '{t}')" for lo, hi, t in _PRICE_TIERS)}
+    )
+    SELECT t.tier, count(*)::BIGINT AS n_rows,
+           round(sum(l.l_quantity), 2) AS sum_qty
+    FROM lineitem l
+    LEFT JOIN tiers t
+      ON l.l_extendedprice BETWEEN t.lo AND t.hi
+    GROUP BY t.tier
+"""
+
 _EXT_ORACLES["dedup_canonical"] = f"""
     WITH c AS (
       SELECT doc_id, lang, source, n_chars,
@@ -3803,6 +3841,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zscore_anomalies": q_zscore_anomalies,
         "incremental_rollup": q_incremental_rollup,
         "interval_error_context": q_interval_error_context,
+        "range_lookup_tiers": q_range_lookup_tiers,
         "streaming_events_hourly": q_streaming_events_hourly,
         "streaming_lake_ingest": q_streaming_lake_ingest,
         "streaming_cdc_apply": q_streaming_cdc_apply,

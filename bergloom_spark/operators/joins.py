@@ -314,3 +314,47 @@ def salted_join(
     salted_dim = dim.select("*", salts)
     out = salted_fact.join(salted_dim, on=on + ["__salt"], how=how)
     return out.drop("__salt")
+
+
+def range_lookup(
+    fact: DataFrame,
+    dim: DataFrame,
+    value_col: str,
+    lo_col: str = "lo",
+    hi_col: str = "hi",
+    bucket_width: float = 1000.0,
+    how: str = "left",
+) -> DataFrame:
+    """Scalar-against-interval dimension lookup (IP→geo, price→tier,
+    ts→fiscal period): each fact row joins the dim rows whose
+    ``[lo, hi]`` (inclusive) contains its value.
+
+    The naive plan for a range predicate is a broadcast-nested-loop —
+    O(facts × dim) compares, the classic silent scale-killer. Here the
+    number line is cut into ``bucket_width`` buckets: the dim side
+    explodes to one row per bucket its range covers, the fact side
+    computes its single bucket, and the join is an EQUI-join on the
+    bucket with the exact ``BETWEEN`` as a residual filter — a hash
+    join at any scale. Pick ``bucket_width`` ≈ typical range width, so
+    the dim explosion factor stays ~2 (a dim of B buckets per range
+    replicates B×; facts never replicate).
+
+    Overlapping ranges yield one output row per match (standard range
+    join semantics); ``how="left"`` keeps fact rows with no match.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"range_lookup supports inner/left, got {how}")
+    w = float(bucket_width)
+    fb = F.floor(F.col(value_col).cast("double") / F.lit(w)).cast("long")
+    db_lo = F.floor(F.col(lo_col).cast("double") / F.lit(w)).cast("long")
+    db_hi = F.floor(F.col(hi_col).cast("double") / F.lit(w)).cast("long")
+    exploded = dim.filter(F.col(hi_col) >= F.col(lo_col)).select(
+        "*", F.explode(F.sequence(db_lo, db_hi)).alias("__bucket")
+    )
+    match = (
+        (F.col("__bucket") == fb)
+        & (F.col(value_col) >= F.col(lo_col))
+        & (F.col(value_col) <= F.col(hi_col))
+    )
+    joined = fact.join(exploded, match, how)
+    return joined.drop("__bucket")

@@ -167,3 +167,58 @@ def test_asof_join_bucketed_hot_key(spark):
     assert got[0] == 0 and got[29] == 0 and got[30] == 30
     assert got[59] == 59 if 59 in got else True
     assert got[60] == 59 and got[499] == 59  # carried across empty buckets
+
+
+# ---------------------------------------------------------------------------
+# range_lookup (round 2): bucketized scalar-vs-interval join
+# ---------------------------------------------------------------------------
+def test_range_lookup_semantics_and_plan(spark):
+    import pyspark.sql.functions as F
+
+    from bergloom_spark.operators.joins import range_lookup
+    from bergloom_spark.plans import explain as X
+
+    fact = spark.createDataFrame(
+        [(1, 5.0), (2, 10.0), (3, 25.0), (4, 99.0), (5, -3.0)],
+        "id: long, v: double",
+    )
+    dim = spark.createDataFrame(
+        [
+            (0.0, 9.99, "a"),
+            (10.0, 19.99, "b"),
+            (15.0, 30.0, "c"),   # overlaps b
+        ],
+        "lo: double, hi: double, tag: string",
+    )
+    out = range_lookup(fact, dim, "v", bucket_width=10.0, how="left")
+    rows = sorted((r["id"], r["tag"]) for r in out.collect())
+    # 1→a; 2→b (10.0 inclusive lo); 3→c; 4→no match; 5→no match
+    assert rows == [(1, "a"), (2, "b"), (3, "c"), (4, None), (5, None)]
+    # the plan must be a hash join on the bucket, not a nested loop
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_range_lookup_overlapping_ranges_emit_per_match(spark):
+    from bergloom_spark.operators.joins import range_lookup
+
+    fact = spark.createDataFrame([(1, 17.0)], "id: long, v: double")
+    dim = spark.createDataFrame(
+        [(10.0, 19.99, "b"), (15.0, 30.0, "c")],
+        "lo: double, hi: double, tag: string",
+    )
+    out = range_lookup(fact, dim, "v", bucket_width=10.0, how="inner")
+    assert sorted(r["tag"] for r in out.collect()) == ["b", "c"]
+
+
+def test_range_lookup_wide_range_spans_buckets(spark):
+    from bergloom_spark.operators.joins import range_lookup
+
+    fact = spark.createDataFrame(
+        [(1, 5.0), (2, 95.0)], "id: long, v: double"
+    )
+    dim = spark.createDataFrame(
+        [(0.0, 100.0, "all")], "lo: double, hi: double, tag: string"
+    )
+    out = range_lookup(fact, dim, "v", bucket_width=10.0, how="inner")
+    assert sorted(r["id"] for r in out.collect()) == [1, 2]
