@@ -2341,6 +2341,42 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_token_frequency_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary frequency-of-frequencies (Zipf diagnostics / Good-
+    Turing input): how many distinct tokens occur exactly f times.
+    Two map-side-combinable shuffles — (token) then (freq) — both
+    carrying counts, never text beyond the token itself."""
+    d = TS(spark, sf_dir, "documents")
+    toks = d.select(F.explode(TX.tokens("text")).alias("tok"))
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("freq"))
+    return freq.groupBy("freq").agg(
+        F.count(F.lit(1)).alias("n_tokens")
+    )
+
+
+def q_winsorized_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile winsorization (outlier clamping for feature columns):
+    clamp l_extendedprice to its exact [p01, p99] and report per-flag
+    aggregates. The percentile pass is one aggregation; the clamp is a
+    scan-side expression against the broadcast 2-value row."""
+    li = T(spark, sf_dir, "lineitem").select("l_extendedprice", "l_returnflag")
+    pcts = li.agg(
+        F.percentile("l_extendedprice", F.lit(0.01)).alias("p01"),
+        F.percentile("l_extendedprice", F.lit(0.99)).alias("p99"),
+    )
+    clamped = li.crossJoin(F.broadcast(pcts)).select(
+        "l_returnflag",
+        F.least(F.greatest(F.col("l_extendedprice"), F.col("p01")), F.col("p99")).alias(
+            "__w"
+        ),
+    )
+    return clamped.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.avg("__w"), 4).alias("avg_winsorized"),
+        F.round(F.max("__w"), 4).alias("max_winsorized"),
+    )
+
+
 def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flesch reading ease per doc (vowel-group syllable proxy): one
     scan-side expression over the shared token array — the classic
@@ -3362,6 +3398,27 @@ _EXT_ORACLES = {
     "text_quality": f"""
         SELECT doc_id, {TX.quality_score_sql('text')} AS quality FROM documents
     """,
+    "token_frequency_spectrum": f"""
+        SELECT freq, count(*)::BIGINT AS n_tokens
+        FROM (
+          SELECT tok, count(*)::BIGINT AS freq
+          FROM (SELECT unnest({TX.tokens_sql('text')}) AS tok FROM documents)
+          GROUP BY tok)
+        GROUP BY freq
+    """,
+    "winsorized_prices": """
+        WITH p AS (
+          SELECT quantile_cont(l_extendedprice, 0.01) AS p01,
+                 quantile_cont(l_extendedprice, 0.99) AS p99
+          FROM lineitem)
+        SELECT l_returnflag, count(*)::BIGINT AS n_rows,
+               round(avg(least(greatest(l_extendedprice, p01), p99)), 4)
+                 AS avg_winsorized,
+               round(max(least(greatest(l_extendedprice, p01), p99)), 4)
+                 AS max_winsorized
+        FROM lineitem CROSS JOIN p
+        GROUP BY l_returnflag
+    """,
     "readability": f"""
         SELECT doc_id,
                {TX.syllable_count_sql('text')} AS n_syllables,
@@ -3857,6 +3914,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "text_quality": q_text_quality,
         "readability": q_readability,
+        "token_frequency_spectrum": q_token_frequency_spectrum,
+        "winsorized_prices": q_winsorized_prices,
         "quality_classifier": q_quality_classifier,
         "quality_classifier_joined": q_quality_classifier_joined,
         "doc_fingerprints": q_doc_fingerprints,
