@@ -2878,6 +2878,20 @@ def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-learned BPE: 10 merge rounds (each ONE distributed agg
+    over the word vocabulary), then Arrow-batched encode. Iterative
+    algorithm — not SQL-expressible without one CTE layer per merge,
+    so the driver records the rows-only check; the learn loop and the
+    encoder are pinned against a pure-Python reference in
+    tests/test_bpe.py."""
+    from bergloom_spark.operators.bpe import bpe_encode, bpe_learn
+
+    d = TS(spark, sf_dir, "documents")
+    merges = bpe_learn(d, "text", n_merges=10)
+    return bpe_encode(d, merges).select("doc_id", "n_bpe_tokens")
+
+
 def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy token-budget sequence packing (contexts of ≤512 tokens):
     hash-bucketed, id-ordered first-fit inside Arrow-batched
@@ -3938,6 +3952,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_split": q_corpus_split,
         "corpus_shuffle": q_corpus_shuffle,
         "sequence_packing": q_sequence_packing,
+        "bpe_token_stats": q_bpe_token_stats,
         "doc_chunks": q_doc_chunks,
         "cdc_chunks": q_cdc_chunks,
         "bm25_search": q_bm25_search,

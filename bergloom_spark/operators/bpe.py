@@ -1,0 +1,217 @@
+"""Byte-pair-encoding: learn merges from the corpus, encode with them.
+
+The real tokenizer-training loop (Sennrich et al. 2016), expressed
+Spark-first:
+
+- :func:`bpe_learn` — each merge round is ONE distributed aggregation:
+  explode per-word symbol-pair counts (weighted by word frequency),
+  map-side combine, take the argmax pair on the driver, append it to
+  the merge list. The corpus text itself is pre-reduced to a (word,
+  count) vocabulary ONCE — the classic trick that makes BPE training
+  cheap: rounds iterate over the vocabulary (10⁴-10⁶ rows), never the
+  corpus. Driver state per round is one (pair, count) row.
+
+- :func:`bpe_encode` — apply the learned merges to each word: an
+  Arrow-batched ``mapInPandas`` kernel with the (tiny, ordered) merge
+  list broadcast in the closure; per word the standard greedy
+  lowest-rank-merge-first loop. Python-side by design: the per-word
+  loop is data-dependent iteration that SQL/HOFs cannot express
+  without materializing one plan layer per merge. Word-level caching
+  inside each batch (dict by word) keeps the kernel ~O(distinct
+  words), the same reduction the learn side uses.
+
+Like ``kmeans_refine``, this is an ITERATIVE algorithm — the driver
+sequences rounds, Spark does each round's heavy lifting. The learn
+result is deterministic (ties broken by pair lexicographic order), so
+tests pin it against a pure-Python reference implementation; the
+driver records the rows-only check (the loop is not SQL-expressible —
+an N-merge oracle would need N chained CTE layers).
+
+Reference scope note: BergLoom has no tokenizer; this extends the
+training-data surface (token counting / packing feed on it).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from bergloom_spark.functions import text as TX
+
+__all__ = ["bpe_learn", "bpe_encode", "bpe_encode_py"]
+
+END = "</w>"  # end-of-word marker, standard BPE
+
+
+def _word_vocab(df: DataFrame, text_col: str) -> DataFrame:
+    """(word, count) vocabulary — the one corpus-sized pass."""
+    return (
+        df.select(F.explode(TX.tokens(text_col)).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def bpe_learn(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 30,
+) -> list[tuple[str, str]]:
+    """Learn ``n_merges`` BPE merges from the corpus. Deterministic:
+    the best pair each round is (max count, then lexicographically
+    smallest pair)."""
+    # The vocabulary is orders of magnitude smaller than the corpus;
+    # narrow its partitioning so the per-round jobs don't pay 32-way
+    # task scheduling on kilobytes (at a 10^6-word web vocabulary,
+    # raise or drop the coalesce — each round is still one agg).
+    vocab = _word_vocab(df, text_col).coalesce(4).cache()
+    try:
+        # symbols per word as an array column, evolved each round
+        cur = vocab.select(
+            "n",
+            F.concat(
+                F.split(F.col("w"), ""), F.array(F.lit(END))
+            ).alias("syms"),
+        )
+        merges: list[tuple[str, str]] = []
+        for _ in range(n_merges):
+            pairs = cur.select(
+                "n",
+                F.explode(
+                    F.when(
+                        F.size("syms") >= 2,
+                        F.transform(
+                            F.sequence(F.lit(1), F.size("syms") - 1),
+                            lambda i: F.struct(
+                                F.element_at("syms", i).alias("a"),
+                                F.element_at("syms", i + 1).alias("b"),
+                            ),
+                        ),
+                    ).otherwise(
+                        F.array().cast("array<struct<a:string,b:string>>")
+                    )
+                ).alias("p"),
+            )
+            top = (
+                pairs.groupBy("p.a", "p.b")
+                .agg(F.sum("n").alias("cnt"))
+                .orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
+                .limit(1)
+                .collect()
+            )
+            if not top or top[0]["cnt"] < 2:
+                break
+            a, b = top[0]["a"], top[0]["b"]
+            merges.append((a, b))
+            merged = a + b
+            # merge every adjacent (a, b) left-to-right via an array
+            # fold (no Python: the accumulator carries the out array +
+            # a skip flag for the consumed right symbol)
+            cur = cur.select(
+                "n",
+                F.filter(
+                    F.aggregate(
+                        F.zip_with(
+                            F.col("syms"),
+                            F.concat(
+                                F.slice(
+                                    F.col("syms"), 2, F.size("syms")
+                                ),
+                                F.array(F.lit("")),
+                            ),
+                            lambda x, y: F.struct(
+                                x.alias("s"), y.alias("nx")
+                            ),
+                        ),
+                        F.struct(
+                            F.array().cast("array<string>").alias("out"),
+                            F.lit(False).alias("skip"),
+                        ),
+                        lambda acc, e: F.struct(
+                            F.when(acc["skip"], acc["out"])
+                            .when(
+                                (e["s"] == F.lit(a))
+                                & (e["nx"] == F.lit(b)),
+                                F.concat(
+                                    acc["out"], F.array(F.lit(merged))
+                                ),
+                            )
+                            .otherwise(
+                                F.concat(acc["out"], F.array(e["s"]))
+                            )
+                            .alias("out"),
+                            (
+                                (~acc["skip"])
+                                & (e["s"] == F.lit(a))
+                                & (e["nx"] == F.lit(b))
+                            ).alias("skip"),
+                        ),
+                        lambda acc: acc["out"],
+                    ),
+                    lambda s: s != F.lit(""),
+                ).alias("syms"),
+            ).localCheckpoint(eager=False)
+        return merges
+    finally:
+        vocab.unpersist()
+
+
+def _encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    syms = list(word) + [END]
+    while len(syms) >= 2:
+        best = None
+        for i in range(len(syms) - 1):
+            r = ranks.get((syms[i], syms[i + 1]))
+            if r is not None and (best is None or r < best[0]):
+                best = (r, i)
+        if best is None:
+            break
+        _, i = best
+        syms = syms[:i] + [syms[i] + syms[i + 1]] + syms[i + 2 :]
+    return syms
+
+
+def bpe_encode_py(text: str, merges: list[tuple[str, str]]) -> list[str]:
+    """Pure-Python reference encoder (test oracle)."""
+    ranks = {tuple(m): i for i, m in enumerate(merges)}
+    out: list[str] = []
+    for w in text.split():
+        out.extend(_encode_word(w, ranks))
+    return out
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Encode each doc with the learned merges; output
+    (id_col, n_bpe_tokens, bpe_tokens array<string>). Arrow-batched
+    kernel with a per-batch word cache (distinct-word work, like the
+    learn side)."""
+    import pandas as pd
+
+    ranks = {tuple(m): i for i, m in enumerate(merges)}
+    schema = f"{id_col} long, n_bpe_tokens long, bpe_tokens array<string>"
+
+    def encode(batches):
+        for pdf in batches:
+            cache: dict[str, list[str]] = {}
+            ids, counts, toks = [], [], []
+            for rid, text in zip(pdf[id_col], pdf[text_col]):
+                out: list[str] = []
+                for w in str(text).split():
+                    got = cache.get(w)
+                    if got is None:
+                        got = _encode_word(w, ranks)
+                        cache[w] = got
+                    out.extend(got)
+                ids.append(rid)
+                counts.append(len(out))
+                toks.append(out)
+            yield pd.DataFrame(
+                {id_col: ids, "n_bpe_tokens": counts, "bpe_tokens": toks}
+            )
+
+    return df.select(id_col, text_col).mapInPandas(encode, schema)

@@ -1,0 +1,104 @@
+"""BPE learn/encode vs a pure-Python reference implementation."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pyspark.sql.functions as F
+
+from bergloom_spark.operators.bpe import (
+    END,
+    bpe_encode,
+    bpe_encode_py,
+    bpe_learn,
+)
+
+
+def _py_learn(texts: list[str], n_merges: int) -> list[tuple[str, str]]:
+    """Reference BPE trainer (Sennrich): all-occurrence pair counts
+    over the word vocabulary, argmax with (count desc, pair asc)."""
+    vocab = Counter()
+    for t in texts:
+        for w in t.split():
+            vocab[w] += 1
+    words = {w: list(w) + [END] for w in vocab}
+    merges = []
+    for _ in range(n_merges):
+        pairs: Counter = Counter()
+        for w, syms in words.items():
+            n = vocab[w]
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += n
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        if best[1] < 2:
+            break
+        a, b = best[0]
+        merges.append((a, b))
+        for w, syms in words.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            words[w] = out
+    return merges
+
+
+TEXTS = [
+    "low lower lowest newer new news",
+    "low low lower newest wide wider widest",
+    "new newer news low wide",
+]
+
+
+def test_bpe_learn_matches_python_reference(spark):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(TEXTS)], "doc_id: long, text: string"
+    )
+    got = bpe_learn(df, "text", n_merges=12)
+    expected = _py_learn(TEXTS, 12)
+    assert got == expected
+
+
+def test_bpe_encode_matches_python_reference(spark):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(TEXTS)], "doc_id: long, text: string"
+    )
+    merges = _py_learn(TEXTS, 10)
+    out = {
+        r["doc_id"]: (r["n_bpe_tokens"], list(r["bpe_tokens"]))
+        for r in bpe_encode(df, merges).collect()
+    }
+    for i, t in enumerate(TEXTS):
+        expected = bpe_encode_py(t, merges)
+        assert out[i] == (len(expected), expected)
+    # learned merges compress: fewer BPE tokens than characters
+    assert out[0][0] < sum(len(w) + 1 for w in TEXTS[0].split())
+
+
+def test_bpe_on_real_corpus_compresses(spark):
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).limit(100)
+    merges = bpe_learn(docs, "text", n_merges=15)
+    assert len(merges) == 15
+    enc = bpe_encode(docs, merges)
+    row = enc.agg(
+        F.sum("n_bpe_tokens").alias("bpe"),
+    ).collect()[0]
+    # baseline symbol count before any merge: chars + end-of-word marks
+    from bergloom_spark.functions import text as TX
+
+    base = docs.select(
+        (
+            F.sum(F.length(F.regexp_replace("text", r"\s+", "")))
+            + F.sum(TX.token_count("text"))
+        ).alias("c")
+    ).collect()[0]["c"]
+    # 15 merges on this small vocab: real but modest compression
+    assert row["bpe"] < base * 0.8
