@@ -3061,6 +3061,27 @@ def q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_embed_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multimodal→vector pipeline end-to-end: binary payloads →
+    (deterministic fake) embedding column → exact cosine top-3 against
+    probe payloads. A real pipeline swaps the fake for an encoder
+    kernel (same Arrow seam as extract_media_meta); every downstream
+    shape — embedding schema, broadcast probes, re-rank window — is
+    the production one, and the chained-md5 fake makes the WHOLE path
+    oracle-verifiable, which a random-weights stub would not be."""
+    from bergloom_spark.operators.multimodal import attach_binary_payload, fake_embed
+
+    d = TS(spark, sf_dir, "documents")
+    media = attach_binary_payload(d, "text")
+    emb = media.select(
+        F.col("doc_id").alias("vec_id"),
+        fake_embed("payload", dim=16).alias("embedding"),
+    )
+    return similarity.knn_bruteforce(
+        emb, probe_ids=list(range(5)), k=3
+    ).withColumn("rank", F.col("rank").cast("long"))
+
+
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = TS(spark, sf_dir, "documents").select("doc_id", "text")
     media = attach_binary_payload(d, "text")
@@ -3827,6 +3848,26 @@ _EXT_ORACLES["range_lookup_tiers"] = f"""
     GROUP BY t.tier
 """
 
+from bergloom_spark.operators import multimodal as _MM  # noqa: E402
+
+_EXT_ORACLES["multimodal_embed_search"] = f"""
+    WITH emb AS (
+      SELECT doc_id AS vec_id, {_MM.fake_embed_sql('text', 16)} AS embedding
+      FROM documents),
+    p AS (SELECT vec_id AS probe_id, embedding AS pv
+          FROM emb WHERE vec_id IN (0, 1, 2, 3, 4)),
+    scored AS (
+      SELECT p.probe_id, e.vec_id AS neighbor_id,
+             round({similarity.cosine_sql('e.embedding', 'p.pv')}, 6)
+               AS cosine_sim
+      FROM emb e CROSS JOIN p WHERE e.vec_id <> p.probe_id)
+    SELECT probe_id, neighbor_id, cosine_sim, rank FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY probe_id ORDER BY cosine_sim DESC, neighbor_id ASC
+      ) AS rank FROM scored)
+    WHERE rank <= 3
+"""
+
 _EXT_ORACLES["dedup_canonical"] = f"""
     WITH c AS (
       SELECT doc_id, lang, source, n_chars,
@@ -3877,6 +3918,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_pq_adc": q_knn_pq_adc,
         "embedding_dedup": q_embedding_dedup,
         "multimodal_meta": q_multimodal_meta,
+        "multimodal_embed_search": q_multimodal_embed_search,
         "multimodal_frames": q_multimodal_frames,
         "multimodal_resize": q_multimodal_resize,
         "centroid_histogram": q_centroid_histogram,

@@ -188,3 +188,56 @@ def resize_images(
             yield pdf[[f.name for f in out_schema.fields]]
 
     return df.mapInPandas(batches, out_schema)
+
+
+def fake_embed(
+    payload_col: str = "payload", dim: int = 16
+) -> "Column":
+    """Deterministic stand-in EMBEDDING of a binary payload: ``dim``
+    floats derived from chained md5 of the bytes, each in [-1, 1).
+
+    A real pipeline runs a vision/audio encoder here (an Arrow-batched
+    ``mapInPandas`` kernel, exactly like ``extract_media_meta``); this
+    fake keeps the downstream plumbing — embedding column shape, ANN
+    indexing, search — fully exercised AND cross-engine verifiable
+    (the same chained-md5 recipe is SQL-expressible, see
+    ``fake_embed_sql``), which a random-weights stub would not be.
+
+    Recipe: block j ∈ [0, dim) takes hex chars [8j, 8j+8) of
+    md5(payload ‖ md5-chain), chaining a fresh md5 every 4 blocks;
+    value = int(hex8)/2^31 − 1.
+    """
+    from pyspark.sql import functions as F
+
+    col = F.col(payload_col)
+    # one md5 per 4 blocks: md5_i = md5(payload ‖ repeat('x', i))
+    vals = []
+    for j in range(dim):
+        chain, off = divmod(j, 4)
+        digest = F.md5(
+            F.concat(col, F.encode(F.lit("x" * chain), "UTF-8"))
+        )
+        h8 = F.substring(digest, off * 8 + 1, 8)
+        vals.append(
+            (F.conv(h8, 16, 10).cast("double") / F.lit(float(1 << 31)) - F.lit(1.0))
+        )
+    return F.array(*vals)
+
+
+def fake_embed_sql(text_expr: str, dim: int = 16) -> str:
+    """DuckDB twin of :func:`fake_embed`. ``text_expr`` is the VARCHAR
+    whose UTF-8 bytes equal the Spark side's binary payload (md5 of a
+    string hashes its UTF-8 bytes in both engines)."""
+    vals = []
+    for j in range(dim):
+        chain, off = divmod(j, 4)
+        digest = (
+            f"md5({text_expr} || repeat('x', {chain}))"
+            if chain
+            else f"md5({text_expr})"
+        )
+        h8 = f"substr({digest}, {off * 8 + 1}, 8)"
+        vals.append(
+            f"(('0x' || {h8})::BIGINT::DOUBLE / {float(1 << 31)!r} - 1.0)"
+        )
+    return "[" + ", ".join(vals) + "]"

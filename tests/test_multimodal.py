@@ -69,3 +69,59 @@ def test_resize_images_plumbing(spark, sf_dir):
     # Deterministic: same payload + dims → same bytes.
     one = d.limit(1).collect()[0].text.encode()
     assert fake_resize(one, 64, 48) == fake_resize(one, 64, 48)
+
+
+# ---------------------------------------------------------------------------
+# fake_embed (round 2): deterministic payload embedding
+# ---------------------------------------------------------------------------
+def test_fake_embed_deterministic_and_bounded(spark):
+    import pyspark.sql.functions as F
+
+    from bergloom_spark.operators.multimodal import attach_binary_payload, fake_embed
+
+    docs = spark.createDataFrame(
+        [(1, "hello"), (2, "world"), (3, "hello")],
+        "doc_id: long, text: string",
+    )
+    media = attach_binary_payload(docs, "text")
+    out = media.select("doc_id", fake_embed("payload", dim=16).alias("e"))
+    rows = {r["doc_id"]: list(r["e"]) for r in out.collect()}
+    assert len(rows[1]) == 16
+    assert all(-1.0 <= v < 1.0 for v in rows[1])
+    assert rows[1] == rows[3]       # same bytes -> same embedding
+    assert rows[1] != rows[2]       # different bytes -> different
+    # run-to-run determinism
+    again = {r["doc_id"]: list(r["e"]) for r in out.collect()}
+    assert again == rows
+
+
+def test_fake_embed_matches_sql_twin(spark, tmp_path):
+    import duckdb
+
+    from bergloom_spark.operators.multimodal import (
+        attach_binary_payload,
+        fake_embed,
+        fake_embed_sql,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma")], "doc_id: long, text: string"
+    )
+    p = str(tmp_path / "d.parquet")
+    docs.write.parquet(p)
+    media = attach_binary_payload(spark.read.parquet(p), "text")
+    sp = {
+        r["doc_id"]: [round(v, 9) for v in r["e"]]
+        for r in media.select(
+            "doc_id", fake_embed("payload", dim=8).alias("e")
+        ).collect()
+    }
+    con = duckdb.connect()
+    ora = {
+        r[0]: [round(v, 9) for v in r[1]]
+        for r in con.sql(
+            f"SELECT doc_id, {fake_embed_sql('text', 8)} "
+            f"FROM '{p}/*.parquet'"
+        ).fetchall()
+    }
+    assert sp == ora
