@@ -2687,6 +2687,20 @@ _KEYWORD_TAGS = {
 }
 
 
+def q_salted_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof aggregation: a hot user's rows pre-aggregate under
+    (key, salt) on exactly the partitions holding them before the
+    final per-key reduce — the pattern for power-law keys AQE's
+    partition-splitting can't fix (one monster KEY still hashes to one
+    reducer without the salt). Deterministic on task retry
+    (spark_partition_id, not rand — SPARK-23207). Result is exactly
+    GROUP BY: the oracle is the plain aggregation."""
+    from bergloom_spark.operators.agg import salted_group_count
+
+    ev = T(spark, sf_dir, "events")
+    return salted_group_count(ev, "user_id", n_salts=16, out_col="n_events")
+
+
 def q_keyword_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FlashText-style phrase tagging: per-doc counts for named phrase
     lists (blocklists, topic lexicons) — token-aligned, overlapping,
@@ -3868,6 +3882,11 @@ _EXT_ORACLES["multimodal_embed_search"] = f"""
     WHERE rank <= 3
 """
 
+_EXT_ORACLES["salted_event_counts"] = """
+    SELECT user_id, count(*)::BIGINT AS n_events
+    FROM events GROUP BY user_id
+"""
+
 _EXT_ORACLES["dedup_canonical"] = f"""
     WITH c AS (
       SELECT doc_id, lang, source, n_chars,
@@ -4039,6 +4058,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": q_events_hourly,
         "events_json_rollup": q_events_json_rollup,
         "distinct_parts_per_supplier": q_distinct_parts_per_supplier,
+        "salted_event_counts": q_salted_event_counts,
         "approx_distinct_users": q_approx_distinct_users,
         "sales_rollup": q_sales_rollup,
         "sales_cube": q_sales_cube,
