@@ -1628,6 +1628,36 @@ def q_streaming_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming per-key ingestion cap (applyInPandasWithState): admit
+    ≤ 300 events per user over the stream. The last emission per key
+    carries total_taken = min(arrivals, quota) — batch-invariant, so
+    it oracles against the plain capped batch count."""
+    import uuid
+
+    from pyspark.sql import Window
+
+    from bergloom_spark.streaming import events as SE
+    from bergloom_spark.streaming.stateful import streaming_per_key_quota
+
+    stream_dir = os.path.join(_scratch(prefix="bergloom-quota-"), "events")
+    T(spark, sf_dir, "events").repartition(4).write.parquet(stream_dir)
+    name = f"stream_quota_{uuid.uuid4().hex[:8]}"
+    stream = SE.read_events_stream(spark, stream_dir, max_files_per_trigger=2)
+    SE.run_stream_to_memory(
+        streaming_per_key_quota(stream, "user_id", quota=300),
+        name,
+        output_mode="append",
+    )
+    w = Window.partitionBy("user_id").orderBy(F.desc("total_taken"))
+    return (
+        spark.table(name)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("user_id", "total_taken")
+    )
+
+
 def q_streaming_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A REAL stream-stream event-time join run (two file-source
     streams over the same directory, watermarks both sides, bounded
@@ -3882,6 +3912,11 @@ _EXT_ORACLES["multimodal_embed_search"] = f"""
     WHERE rank <= 3
 """
 
+_EXT_ORACLES["streaming_quota"] = """
+    SELECT user_id, least(count(*), 300)::BIGINT AS total_taken
+    FROM events GROUP BY user_id
+"""
+
 _EXT_ORACLES["salted_event_counts"] = """
     SELECT user_id, count(*)::BIGINT AS n_events
     FROM events GROUP BY user_id
@@ -3979,6 +4014,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_cdc_apply": q_streaming_cdc_apply,
         "streaming_first_seen": q_streaming_first_seen,
         "streaming_running_total": q_streaming_running_total,
+        "streaming_quota": q_streaming_quota,
         "streaming_attribution": q_streaming_attribution,
         "bucketed_join": q_bucketed_join,
         # training-data pipeline extensions (unique coverage — early)

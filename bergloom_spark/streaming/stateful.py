@@ -94,3 +94,48 @@ def streaming_running_total(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_per_key_quota(
+    df: DataFrame,
+    key_col: str,
+    quota: int,
+) -> DataFrame:
+    """Streaming ingestion cap: admit at most ``quota`` rows per key
+    over the stream's lifetime — the unbounded counterpart of the
+    batch ``per_key_quota`` (spam/flood control at the front door).
+
+    State per key: rows consumed so far. Each micro-batch in which a
+    key arrives emits one row (key, batch_taken, total_taken) with
+    ``total_taken`` capped at the quota. ``total_taken`` of a key's
+    LAST emission equals min(total_arrivals, quota) regardless of how
+    arrivals split into micro-batches — the batch-invariant projection
+    the oracle checks. State is one long per key; pair with a TTL
+    timeout when the key space is unbounded and the cap is per epoch.
+    """
+
+    def fn(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        arrived = 0
+        for pdf in pdfs:
+            arrived += len(pdf)
+        taken_before = state.get[0] if state.exists else 0
+        take = max(0, min(arrived, quota - taken_before))
+        total = taken_before + take
+        state.update((total,))
+        yield pd.DataFrame(
+            {
+                key_col: [key[0]],
+                "batch_taken": [take],
+                "total_taken": [total],
+            }
+        )
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        fn,
+        outputStructType=f"{key_col} long, batch_taken long, total_taken long",
+        stateStructType="taken long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -67,3 +67,52 @@ def test_running_total_accumulates_across_batches(spark, events_dir):
     for r in batch.collect():
         assert finals[r.event_type][0] == r.n
         assert abs(finals[r.event_type][1] - r.v) < 0.05
+
+
+# ---------------------------------------------------------------------------
+# streaming_per_key_quota (round 2)
+# ---------------------------------------------------------------------------
+def test_streaming_quota_caps_across_batches(spark):
+    import os
+    import tempfile
+    import uuid
+
+    import pyspark.sql.functions as F
+
+    from bergloom_spark.streaming import events as SE
+    from bergloom_spark.streaming.stateful import streaming_per_key_quota
+
+    with tempfile.TemporaryDirectory() as root:
+        # key 1: 10 arrivals split across files; key 2: 3 arrivals
+        a = spark.createDataFrame(
+            [(1, i) for i in range(6)] + [(2, 0)], "user_id: long, v: long"
+        )
+        b = spark.createDataFrame(
+            [(1, i) for i in range(4)] + [(2, 1), (2, 2)],
+            "user_id: long, v: long",
+        )
+        stream_dir = os.path.join(root, "in")
+        a.coalesce(1).write.mode("append").parquet(stream_dir)
+        b.coalesce(1).write.mode("append").parquet(stream_dir)
+        stream = (
+            spark.readStream.schema("user_id long, v long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stream_dir)
+        )
+        name = f"q_{uuid.uuid4().hex[:8]}"
+        SE.run_stream_to_memory(
+            streaming_per_key_quota(stream, "user_id", quota=7),
+            name,
+            output_mode="append",
+        )
+        rows = spark.table(name).collect()
+        final = {}
+        for r in rows:
+            final[r["user_id"]] = max(
+                final.get(r["user_id"], 0), r["total_taken"]
+            )
+        assert final == {1: 7, 2: 3}  # capped at 7; under-quota untouched
+        # admissions are monotone and never exceed the quota per batch
+        for r in rows:
+            assert 0 <= r["batch_taken"] <= 7
+            assert r["total_taken"] <= 7
