@@ -1063,6 +1063,23 @@ def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.read(snapshot_id=first.snapshot_id)
 
 
+def q_partition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg's `table.partitions` metadata table: per-partition
+    row totals straight from manifests — a driver-side O(n_files)
+    computation, no data scan. The oracle checks the row totals
+    against the source; file/byte totals are manifest-internal and
+    asserted in tests/test_snapshot_mgmt.py."""
+    from bergloom_spark.lake import LakeTable
+
+    li = T(spark, sf_dir, "lineitem").select(*LI_COLS, "l_returnflag")
+    root = os.path.join(_scratch(prefix="bergloom-pstats-"), "li")
+    t = LakeTable.create(spark, root, li.schema, partition_spec=["l_returnflag"])
+    t.append(li)
+    return t.partitions_df().select(
+        F.col("l_returnflag"), F.col("n_rows")
+    )
+
+
 def q_compact_binpack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binpack strategy: six small appends build small-file debt, an
     equality delete adds MoR work, then binpack rewrites ONLY the
@@ -3912,6 +3929,11 @@ _EXT_ORACLES["multimodal_embed_search"] = f"""
     WHERE rank <= 3
 """
 
+_EXT_ORACLES["partition_stats"] = """
+    SELECT l_returnflag, count(*)::BIGINT AS n_rows
+    FROM lineitem GROUP BY l_returnflag
+"""
+
 _EXT_ORACLES["streaming_quota"] = """
     SELECT user_id, least(count(*), 300)::BIGINT AS total_taken
     FROM events GROUP BY user_id
@@ -3988,6 +4010,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_pruned_scan": q_stats_pruned_scan,
         "tagged_release_read": q_tagged_release_read,
         "compact_binpack": q_compact_binpack,
+        "partition_stats": q_partition_stats,
         "compact_zorder": q_compact_zorder,
         "wap_publish": q_wap_publish,
         "time_travel": q_time_travel,

@@ -416,6 +416,47 @@ class LakeTable:
             "timestamp_ms", "snapshot_id", "operation", "is_current"
         )
 
+    def partitions_df(self, snapshot_id: int | None = None) -> DataFrame:
+        """Iceberg's ``table.partitions`` metadata table: per-partition
+        file/row/byte totals, straight from the manifests (driver-side,
+        no data scan). The planning input for binpack targeting and
+        skew diagnosis — "which partition value has 10k tiny files"."""
+        snap = self._snapshot(snapshot_id)
+        part_cols = list(self.meta.partition_spec)
+        agg: dict[tuple, list[int]] = {}
+        for e in (snap.entries if snap else []):
+            if e.content != md.DATA:
+                continue
+            key = tuple(e.partition.get(c) for c in part_cols)
+            cur = agg.setdefault(key, [0, 0, 0])
+            cur[0] += 1
+            cur[1] += e.record_count
+            cur[2] += e.file_size_bytes
+        rows = [
+            tuple(k) + (v[0], v[1], v[2]) for k, v in sorted(agg.items(),
+            key=lambda kv: tuple("" if x is None else str(x) for x in kv[0]))
+        ]
+        schema = ", ".join(
+            [f"{c} string" for c in part_cols]
+            + ["n_files long", "n_rows long", "total_bytes long"]
+        )
+        return self.spark.createDataFrame(rows, schema)
+
+    def fast_count(self, snapshot_id: int | None = None) -> int | None:
+        """``count(*)`` answered from manifest record counts — a
+        metadata-only O(n_files) driver computation, the aggregate
+        pushdown Iceberg performs for plain counts. Returns None when
+        the snapshot carries live DELETE files (their row impact is
+        not knowable without a scan — callers fall back to
+        ``read().count()``); after compaction clears the delete debt
+        it answers again."""
+        snap = self._snapshot(snapshot_id)
+        if snap is None:
+            return 0
+        if any(e.content != md.DATA for e in snap.entries):
+            return None
+        return sum(e.record_count for e in snap.entries)
+
     # ------------------------------------------------------------------
     # schema evolution (the reference's roadmap item, README.md:52-54;
     # its schema-id commit guard, compaction/mod.rs:532-541, is what

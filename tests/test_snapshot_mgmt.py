@@ -106,3 +106,44 @@ def test_expire_preserves_current_after_rollback(spark, tmp_path):
     expire_snapshots(t, keep_last=1)
     # Rolled-back-to snapshot (current) must survive expiration.
     assert sorted(r.id for r in t.read().collect()) == [1]
+
+
+# ---------------------------------------------------------------------------
+# partitions metadata table + manifest-answered count (round 2)
+# ---------------------------------------------------------------------------
+def test_partitions_df_totals_match_data(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    from bergloom_spark.lake import LakeTable
+
+    df = spark.range(300).select(
+        F.col("id"), (F.col("id") % 3).cast("string").alias("p")
+    )
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), df.schema, partition_spec=["p"]
+    )
+    t.append(df)
+    rows = {r["p"]: r for r in t.partitions_df().collect()}
+    assert set(rows) == {"0", "1", "2"}
+    assert all(rows[p]["n_rows"] == 100 for p in rows)
+    assert all(rows[p]["n_files"] >= 1 for p in rows)
+    assert all(rows[p]["total_bytes"] > 0 for p in rows)
+
+
+def test_fast_count_metadata_only_and_delete_fallback(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    from bergloom_spark.config import CompactionConfig
+    from bergloom_spark.lake import Compaction, LakeTable
+
+    df = spark.range(500).select(F.col("id"), (F.col("id") * 2).alias("v"))
+    t = LakeTable.create(spark, str(tmp_path / "t"), df.schema)
+    t.append(df)
+    assert t.fast_count() == 500
+    # live deletes: manifest counts can't answer — must refuse
+    t.append_equality_deletes(spark.range(10).select("id"), ["id"])
+    assert t.fast_count() is None
+    assert t.read().count() == 490
+    # compaction clears the delete debt: metadata answers again
+    Compaction(t, CompactionConfig()).compact()
+    assert t.fast_count() == 490
