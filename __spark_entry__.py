@@ -1387,6 +1387,19 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retention_matrix(ev, period="week")
 
 
+def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable time-weighted average (LOCF weighting, hourly
+    buckets) per event type — the right mean for irregular gauges.
+    Integer-second durations × micro-unit values keep the weighted sum
+    exact on any partitioning."""
+    from bergloom_spark.operators.timeseries import time_weighted_avg
+
+    ev = T(spark, sf_dir, "events")
+    return time_weighted_avg(
+        ev, ["event_type"], "ts", "value", bucket_minutes=60
+    )
+
+
 def q_moving_avg_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing 7-day moving window over daily revenue per event type —
     a RANGE frame on an integer day index (not ROWS: gaps in the daily
@@ -3929,6 +3942,12 @@ _EXT_ORACLES["multimodal_embed_search"] = f"""
     WHERE rank <= 3
 """
 
+from bergloom_spark.operators import timeseries as _TSER  # noqa: E402
+
+_EXT_ORACLES["time_weighted_avg"] = _TSER.time_weighted_avg_sql(
+    "events", ["event_type"], "ts", "value", bucket_minutes=60
+)
+
 _EXT_ORACLES["partition_stats"] = """
     SELECT l_returnflag, count(*)::BIGINT AS n_rows
     FROM lineitem GROUP BY l_returnflag
@@ -4026,6 +4045,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_conversion": q_funnel_conversion,
         "retention_cohorts": q_retention_cohorts,
         "moving_avg_range": q_moving_avg_range,
+        "time_weighted_avg": q_time_weighted_avg,
         "length_quantile_buckets": q_length_quantile_buckets,
         "value_histogram": q_value_histogram,
         "zscore_anomalies": q_zscore_anomalies,

@@ -233,3 +233,99 @@ def gapfill_sql(
              {fill} AS v_filled
       FROM grid LEFT JOIN b USING ({keylist}, bucket_idx)
     """
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    bucket_minutes: int = 60,
+) -> DataFrame:
+    """Hypertable-style time-weighted average (Timescale's
+    ``time_weight`` with LOCF weighting, bucket-local): each sample's
+    value holds until the NEXT sample in its bucket (the last sample
+    holds to the bucket's end), and the bucket's average weighs values
+    by held duration — the right mean for irregularly-sampled gauges,
+    where the arithmetic mean over-counts bursts of samples.
+
+    Semantics detail: weighting starts at each bucket's FIRST sample
+    (no carry-in from the previous bucket — composing the carry is the
+    ``asof_join_bucketed`` pattern if cross-bucket LOCF is needed).
+    Duplicate timestamps order by (ts, value): zero-duration earlier
+    duplicates weigh 0, the last one holds the remainder.
+
+    Determinism: durations are integer seconds and values quantize to
+    integer micro-units per row, so the weighted sum is EXACT integer
+    arithmetic — identical on any partitioning and on both engines
+    (a double sum here would be merge-order-dependent).
+
+    Output: (*keys, bucket_idx, twa). One window + one aggregation,
+    both on (keys, bucket).
+    """
+    sec = F.expr(f"timestampdiff(SECOND, {_EPOCH}, {ts_col})")
+    out = df.withColumn("__sec", sec).withColumn(
+        "bucket_idx", F.floor(_bucket_idx(ts_col, bucket_minutes))
+    )
+    w = Window.partitionBy(*keys, "bucket_idx").orderBy(
+        F.asc("__sec"), F.asc(value_col)
+    )
+    bucket_end = (F.col("bucket_idx") + 1) * F.lit(bucket_minutes * 60)
+    dur = (
+        F.coalesce(F.lead("__sec").over(w), bucket_end) - F.col("__sec")
+    ).cast("long")
+    vmicro = F.round(F.col(value_col) * F.lit(1e6)).cast("long")
+    weighted = out.withColumn("__dur", dur).withColumn("__vm", vmicro)
+    return (
+        weighted.groupBy(*keys, "bucket_idx")
+        .agg(
+            F.sum(F.col("__vm") * F.col("__dur")).alias("__ws"),
+            F.sum("__dur").alias("__td"),
+        )
+        .select(
+            *keys,
+            "bucket_idx",
+            F.round(
+                F.col("__ws").cast("double")
+                / F.col("__td").cast("double")
+                / F.lit(1e6),
+                6,
+            ).alias("twa"),
+        )
+    )
+
+
+def time_weighted_avg_sql(
+    table: str,
+    keys: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    bucket_minutes: int = 60,
+) -> str:
+    """DuckDB twin of :func:`time_weighted_avg` (same order, same
+    integer micro-unit arithmetic)."""
+    ks = ", ".join(keys)
+    bsec = bucket_minutes * 60
+    return f"""
+      WITH s AS (
+        SELECT {ks},
+               datediff('second', TIMESTAMP '1970-01-01', {ts_col}) AS sec,
+               (datediff('minute', TIMESTAMP '1970-01-01', {ts_col})
+                  // {bucket_minutes}) AS bucket_idx,
+               round({value_col} * 1000000)::BIGINT AS vm,
+               {value_col} AS v
+        FROM {table}
+      ),
+      d AS (
+        SELECT {ks}, bucket_idx, vm,
+               coalesce(
+                 lead(sec) OVER (PARTITION BY {ks}, bucket_idx
+                                 ORDER BY sec ASC, v ASC),
+                 (bucket_idx + 1) * {bsec}) - sec AS dur
+        FROM s
+      )
+      SELECT {ks}, bucket_idx,
+             round(sum(vm * dur)::DOUBLE / sum(dur)::DOUBLE / 1000000.0, 6)
+               AS twa
+      FROM d GROUP BY {ks}, bucket_idx
+    """

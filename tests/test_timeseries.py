@@ -83,3 +83,55 @@ def test_gapfill_matches_duckdb_on_events(spark, sf_dir, method):
     )
     report = compare(out, con, sql)
     assert report["match"], report
+
+
+# ---------------------------------------------------------------------------
+# time_weighted_avg (round 2)
+# ---------------------------------------------------------------------------
+def test_twa_weighs_by_held_duration(spark):
+    import datetime
+
+    from bergloom_spark.operators.timeseries import time_weighted_avg
+
+    t0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+
+    def at(m, s=0):
+        return t0 + datetime.timedelta(minutes=m, seconds=s)
+
+    # one key, one 60-min bucket: value 10 held 0:00→0:30 (1800 s),
+    # value 20 held 0:30→1:00 (1800 s) → twa = 15. The arithmetic mean
+    # of a burst-skewed series would be wrong; plant a burst to prove
+    # the weighting: three samples of 100 in the last minute hold
+    # almost no time.
+    rows = [
+        ("k", at(0), 10.0),
+        ("k", at(30), 20.0),
+        ("b", at(0), 10.0),
+        ("b", at(59), 100.0),
+        ("b", at(59, 20), 100.0),
+        ("b", at(59, 40), 100.0),
+    ]
+    df = spark.createDataFrame(rows, "key: string, ts: timestamp, value: double")
+    out = {
+        r["key"]: r["twa"]
+        for r in time_weighted_avg(df, ["key"], "ts", "value", 60).collect()
+    }
+    assert out["k"] == 15.0
+    # key b: 10 for 59 min, 100 for 1 min → (10*3540 + 100*60)/3600 = 11.5
+    assert out["b"] == 11.5
+    # the arithmetic mean would have said 77.5 — the burst dominates
+
+
+def test_twa_duplicate_timestamps_deterministic(spark):
+    import datetime
+
+    from bergloom_spark.operators.timeseries import time_weighted_avg
+
+    t0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        ("k", t0, 5.0),
+        ("k", t0, 7.0),  # same instant: 5.0 weighs 0, 7.0 holds on
+    ]
+    df = spark.createDataFrame(rows, "key: string, ts: timestamp, value: double")
+    out = time_weighted_avg(df, ["key"], "ts", "value", 60).collect()
+    assert out[0]["twa"] == 7.0
