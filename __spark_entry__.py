@@ -3089,11 +3089,21 @@ def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization encode (operators/pq.py): each 64-dim
     float vector compresses to 4 subspace codes (64× byte cut for the
     ANN candidate stage). Pure scan-side HOF projection, zero shuffle;
-    left-to-right distance folds make the DuckDB twin IEEE-exact."""
+    left-to-right distance folds make the DuckDB twin IEEE-exact.
+
+    The final projection serializes the codes array to CSV — the
+    driver's canonicalizer sorts rows with pandas, which cannot hash
+    list-typed cells (r02 `err` row)."""
     from bergloom_spark.operators.pq import pq_codebook, pq_encode
 
     emb = TS(spark, sf_dir, "embeddings")
-    return pq_encode(emb, pq_codebook(emb))
+    coded = pq_encode(emb, pq_codebook(emb))
+    return coded.select(
+        "vec_id",
+        F.concat_ws(
+            ",", F.transform(F.col("codes"), lambda x: x.cast("string"))
+        ).alias("codes_csv"),
+    )
 
 
 def q_knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3360,10 +3370,21 @@ def q_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric int8 quantization of every embedding (the 4× storage
     cut ANN candidate stages read); scan-side per-row HOF expressions,
-    zero shuffle."""
+    zero shuffle.
+
+    The final projection serializes the int8 vector to CSV — the
+    driver's canonicalizer sorts rows with pandas, which cannot hash
+    list-typed cells (r02 `err` row)."""
     from bergloom_spark.operators.similarity import quantize_int8
 
-    return quantize_int8(TS(spark, sf_dir, "embeddings"))
+    q = quantize_int8(TS(spark, sf_dir, "embeddings"))
+    return q.select(
+        "vec_id",
+        F.concat_ws(
+            ",", F.transform(F.col("q"), lambda x: x.cast("string"))
+        ).alias("q_csv"),
+        "scale",
+    )
 
 
 def _quality_top_frac_oracle() -> str:
@@ -3433,8 +3454,21 @@ _EXT_ORACLES = {
     "tfidf_top_terms": tfidf_sql("text", "doc_id", "documents", k=3),
     "bigram_top50": corpus_top_ngrams_sql("text", "documents", n=2, top_k=50),
     "centroid_histogram": centroid_histogram_sql(16),
-    "embedding_quantize": quantize_int8_sql(),
-    "pq_codes": pq_encode_sql(),
+    # Arrays serialized to CSV in the outer SELECT: the driver's pandas
+    # canonicalizer cannot sort list-typed cells (r02 err rows).
+    "embedding_quantize": f"""
+        SELECT vec_id,
+               array_to_string(list_transform(q, x -> x::VARCHAR), ',')
+                   AS q_csv,
+               scale
+        FROM ({quantize_int8_sql()})
+    """,
+    "pq_codes": f"""
+        SELECT vec_id,
+               array_to_string(list_transform(codes, x -> x::VARCHAR), ',')
+                   AS codes_csv
+        FROM ({pq_encode_sql()})
+    """,
     "knn_pq_adc": knn_pq_adc_sql([7, 77, 177, 277, 377], k=5),
     "knn_lsh": knn_lsh_sql(),
     "knn_ivf": knn_ivf_sql(),
@@ -3989,7 +4023,102 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_compact_roundtrip(spark, "/root/testdata/sf0.001")
 
 
+# The driver verifies only the FIRST 50 queries() entries per round
+# (r01+r02 each recorded exactly 50 rows). Rotation policy (VERDICT r2
+# #1): spend the budget on queries that have never had a driver row —
+# the already-green 84 move behind the window and rotate back in later
+# rounds. Order within the window: fixed err/red rows first (need
+# reconfirmation), then new round-3 queries, then never-verified by
+# family, then 3 cheap §2 sentinels as canaries at the window's tail.
+_R3_PRIORITY = [
+    # r02 driver-err rows, outputs now CSV-serialized — reconfirm
+    "pq_codes",
+    "embedding_quantize",
+    # r01 red rows, fixed in r2 but never driver-reconfirmed
+    "simhash",
+    "events_json_rollup",
+    # new in round 3
+    "multimodal_decode_real",
+    "hard_negatives_ivf",
+    # never-verified: streaming surface
+    "streaming_lake_ingest",
+    "streaming_cdc_apply",
+    "streaming_first_seen",
+    "streaming_running_total",
+    "streaming_quota",
+    "streaming_attribution",
+    # never-verified: quality classifier pair
+    "quality_classifier",
+    "quality_classifier_joined",
+    # never-verified: TPC-H remainder
+    "q2_min_cost_supplier",
+    "q8_market_share",
+    "q9_profit_by_nation",
+    "q11_important_parts",
+    "q12_ship_delay_priority",
+    "q14_promo_revenue",
+    "q16_supplier_part_count",
+    "q17_small_quantity_revenue",
+    "q20_excess_suppliers",
+    "q21_last_shipper",
+    # never-verified: dedup / span / decontamination family
+    "dedup_near_keep_first",
+    "dedup_cc_clusters",
+    "dedup_keep_best",
+    "dedup_incremental",
+    "dedup_canonical",
+    "duplicate_spans",
+    "dedup_remove_spans",
+    "containment_top1",
+    "decontaminate",
+    "bloom_decontaminate",
+    "hard_negatives",
+    # never-verified: text quality / LM signals
+    "gopher_rules",
+    "text_repetition",
+    "readability",
+    "unigram_logprob",
+    "bigram_logprob",
+    "source_unigram_kl",
+    "token_frequency_spectrum",
+    # never-verified: search / sampling / misc analytics
+    "bm25_search",
+    "keyword_tags",
+    "weighted_sample",
+    "leakage_safe_split",
+    "sequence_packing",
+    # §2 sentinels (cheap canaries kept inside the window)
+    "mor_pos_delete",
+    "mor_eq_delete_seq",
+    "dml_apply_changes",
+    # --- window boundary (~50) — below here rotates in r4+ ---
+    "winsorized_prices",
+    "zscore_anomalies",
+    "incremental_rollup",
+    "range_lookup_tiers",
+    "fuzzy_part_match",
+    "stratified_sample",
+    "pii_redact",
+    "mixture_resample",
+    "corpus_split",
+    "corpus_shuffle",
+    "bpe_token_stats",
+    "doc_chunks",
+    "cdc_chunks",
+    "cumulative_revenue",
+    "salted_event_counts",
+    "order_gaps_ranks",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    all_q = _all_queries()
+    out = {n: all_q[n] for n in _R3_PRIORITY if n in all_q}
+    out.update({n: f for n, f in all_q.items() if n not in out})
+    return out
+
+
+def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # MoR / compaction core (SURVEY.md §2)
         "mor_pos_delete": q_mor_pos_delete,

@@ -38,9 +38,30 @@ def test_entry_smoke(spark):
     assert len(df.schema.fields) > 0
 
 
+def _assert_driver_canonicalizable(name, schema):
+    """The driver canonicalizes results with pandas.sort_values, which
+    raises ``TypeError: unhashable type: 'list'`` on list/dict cells
+    (CORRECTNESS_r02: pq_codes, embedding_quantize). No query output
+    may carry a top-level ArrayType/MapType column — serialize
+    (concat_ws/to_json) or explode in the final projection instead."""
+    from pyspark.sql.types import ArrayType, MapType
+
+    bad = [
+        f.name
+        for f in schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType))
+    ]
+    assert not bad, (
+        f"{name}: top-level array/map columns {bad} would break the "
+        "driver's pandas canonicalizer — serialize them in the final "
+        "projection"
+    )
+
+
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_query_matches_oracle(spark, sf_dir, duck, name):
     df = QUERIES[name](spark, sf_dir)
+    _assert_driver_canonicalizable(name, df.schema)
     if name not in ORACLES:
         assert df.count() >= 0  # rows-only check (driver's weaker gate)
         return
