@@ -693,10 +693,14 @@ class LakeTable:
         order_exprs = (
             [F.col(order_col).desc()] if order_col is not None else []
         )
-        order_exprs += [
-            F.col(op_col).asc(),
-            F.xxhash64(*[F.col(c) for c in value_cols]).asc(),
-        ]
+        order_exprs.append(F.col(op_col).asc())
+        if value_cols:
+            # Tie-break on the value hash — but xxhash64() with zero
+            # args is an AnalysisException, so a key-only table (every
+            # column a key column) relies on the op tie-break alone.
+            order_exprs.append(
+                F.xxhash64(*[F.col(c) for c in value_cols]).asc()
+            )
         w = Window.partitionBy(*key_cols).orderBy(*order_exprs)
         winners = (
             changes.withColumn("__rn", F.row_number().over(w))
@@ -881,7 +885,19 @@ class LakeTable:
             path_lit = F.create_map(
                 *[F.lit(x) for kv in uri_map.items() for x in kv]
             )
-            fp = F.try_element_at(path_lit, F.col("_metadata.file_path"))
+            # coalesce fallback: _uri_path_map validates inputFiles()
+            # URIs on the DRIVER, but the runtime rendering of
+            # _metadata.file_path is Spark-version-dependent (e.g. the
+            # 3.4 switch to URL-encoded paths). On a dictionary miss
+            # the per-row decode runs — drift degrades to the old
+            # correct-but-slower path instead of silent NULLs that
+            # would skip MoR delete application. The partition-value
+            # probes below key on this (already corrected) column, so
+            # they inherit the safety.
+            fp = F.coalesce(
+                F.try_element_at(path_lit, F.col("_metadata.file_path")),
+                _normalize_path(F.col("_metadata.file_path")),
+            )
         else:
             fp = _normalize_path(F.col("_metadata.file_path"))
         df = df.withColumn(mor.SYS_HIDDEN_FILE_PATH, fp).withColumn(

@@ -74,17 +74,23 @@ def hashed_features(col: Column | str) -> Column:
             lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return F.concat(toks, bigrams)
+    # NULL text must yield an EMPTY feature list, not NULL: the inline
+    # fold and the weight-table explode_outer path must both score
+    # bias-only on NULL/empty docs (ADVICE r2 — a NULL here made the
+    # inline logit NULL while the join path scored bias_millis).
+    return F.coalesce(
+        F.concat(toks, bigrams), F.array().cast("array<string>")
+    )
 
 
 def hashed_features_sql(expr: str) -> str:
     toks = TX.tokens_sql(expr)
     return (
-        f"list_concat({toks}, "
+        f"coalesce(list_concat({toks}, "
         f"CASE WHEN len({toks}) >= 2 THEN "
         f"list_transform(range(1, len({toks})), "
         f"i -> {toks}[i] || ' ' || {toks}[i + 1]) "
-        f"ELSE [] END)"
+        f"ELSE [] END), [])"
     )
 
 

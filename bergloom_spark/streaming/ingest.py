@@ -18,6 +18,9 @@ standard "streaming front door": watermark/dedup upstream
 
 from __future__ import annotations
 
+import hashlib
+import os
+
 from pyspark.sql import DataFrame
 
 from bergloom_spark.lake.table import LakeTable
@@ -25,22 +28,56 @@ from bergloom_spark.lake.table import LakeTable
 LAST_BATCH_PROP = "streaming.last_batch_id"
 
 
-def make_batch_sink(table: LakeTable, target_file_size: int = 128 * 1024 * 1024):
-    """The idempotent ``foreachBatch`` function (exposed for tests /
-    custom triggers)."""
+def guard_key(query_id: str | None) -> str:
+    """Table-property key of the exactly-once batch-id guard.
 
+    Namespaced per query (the Delta ``txnAppId``+``txnVersion``
+    pattern): batch ids are only monotonic WITHIN one streaming query's
+    checkpoint lineage, so two streams into the same table — or one
+    stream restarted with a fresh checkpoint dir, where batch ids reset
+    to 0 — must not share a guard, or live batches get dropped as
+    'replays'. ``None`` keeps the legacy un-namespaced key for
+    single-writer tables."""
+    return LAST_BATCH_PROP if query_id is None else f"{LAST_BATCH_PROP}.{query_id}"
+
+
+def checkpoint_query_id(checkpoint_dir: str) -> str:
+    """Query id derived from the checkpoint location — the id travels
+    with the batch-id lineage it protects: a NEW checkpoint dir (reset
+    batch ids) automatically gets a new guard."""
+    return hashlib.sha1(
+        os.path.abspath(checkpoint_dir).encode()
+    ).hexdigest()[:12]
+
+
+def guard_key_for_checkpoint(checkpoint_dir: str) -> str:
+    return guard_key(checkpoint_query_id(checkpoint_dir))
+
+
+def _append_sink(table: LakeTable, target_file_size: int, prop: str):
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         t = table.refresh()
-        last = int(t.meta.properties.get(LAST_BATCH_PROP, "-1"))
+        last = int(t.meta.properties.get(prop, "-1"))
         if batch_id <= last:
             return  # replayed batch — already committed
         t.append(
             batch_df,
             target_file_size=target_file_size,
-            properties_update={LAST_BATCH_PROP: str(batch_id)},
+            properties_update={prop: str(batch_id)},
         )
 
     return sink
+
+
+def make_batch_sink(
+    table: LakeTable,
+    target_file_size: int = 128 * 1024 * 1024,
+    query_id: str | None = None,
+):
+    """The idempotent ``foreachBatch`` function (exposed for tests /
+    custom triggers). Pass ``query_id`` whenever more than one stream
+    may ever write this table (see :func:`guard_key`)."""
+    return _append_sink(table, target_file_size, guard_key(query_id))
 
 
 def ingest_stream(
@@ -52,9 +89,13 @@ def ingest_stream(
     """Drain ``stream_df`` into ``table`` (availableNow) and return the
     refreshed table. Each micro-batch becomes one snapshot; restarts
     resume from the checkpoint and replays are dropped by the batch-id
-    guard."""
+    guard (keyed per checkpoint lineage — see
+    :func:`guard_key_for_checkpoint`)."""
+    sink = _append_sink(
+        table, target_file_size, guard_key_for_checkpoint(checkpoint_dir)
+    )
     q = (
-        stream_df.writeStream.foreachBatch(make_batch_sink(table, target_file_size))
+        stream_df.writeStream.foreachBatch(sink)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
@@ -63,23 +104,17 @@ def ingest_stream(
     return table.refresh()
 
 
-def make_cdc_sink(
+def _cdc_sink(
     table: LakeTable,
     key_cols: list[str],
-    op_col: str = "op",
-    order_col: str | None = None,
-    target_file_size: int = 128 * 1024 * 1024,
+    op_col: str,
+    order_col: str | None,
+    target_file_size: int,
+    prop: str,
 ):
-    """Idempotent ``foreachBatch`` CDC sink: each micro-batch is a
-    changelog applied via :meth:`LakeTable.apply_changes` — one atomic
-    equality-delta commit per batch, the batch-id guard merged into the
-    SAME metadata CAS, so replays after a crash are dropped and a
-    reader always sees whole batches (streaming MERGE, the Debezium →
-    lakehouse pattern)."""
-
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         t = table.refresh()
-        last = int(t.meta.properties.get(LAST_BATCH_PROP, "-1"))
+        last = int(t.meta.properties.get(prop, "-1"))
         if batch_id <= last:
             return  # replayed batch — already applied
         t.apply_changes(
@@ -88,10 +123,32 @@ def make_cdc_sink(
             op_col=op_col,
             order_col=order_col,
             target_file_size=target_file_size,
-            properties_update={LAST_BATCH_PROP: str(batch_id)},
+            properties_update={prop: str(batch_id)},
         )
 
     return sink
+
+
+def make_cdc_sink(
+    table: LakeTable,
+    key_cols: list[str],
+    op_col: str = "op",
+    order_col: str | None = None,
+    target_file_size: int = 128 * 1024 * 1024,
+    query_id: str | None = None,
+):
+    """Idempotent ``foreachBatch`` CDC sink: each micro-batch is a
+    changelog applied via :meth:`LakeTable.apply_changes` — one atomic
+    equality-delta commit per batch, the batch-id guard merged into the
+    SAME metadata CAS, so replays after a crash are dropped and a
+    reader always sees whole batches (streaming MERGE, the Debezium →
+    lakehouse pattern). Pass ``query_id`` whenever another stream (or
+    the append sink) may also write this table — guards are per-query
+    (see :func:`guard_key`)."""
+    return _cdc_sink(
+        table, key_cols, op_col, order_col, target_file_size,
+        guard_key(query_id),
+    )
 
 
 def apply_changes_stream(
@@ -104,11 +161,14 @@ def apply_changes_stream(
 ) -> LakeTable:
     """Drain a CDC changelog stream into ``table`` (availableNow):
     every micro-batch becomes one merge snapshot; restarts resume from
-    the checkpoint and replays hit the batch-id guard."""
+    the checkpoint and replays hit the batch-id guard (keyed per
+    checkpoint lineage)."""
+    sink = _cdc_sink(
+        table, key_cols, op_col, order_col, 128 * 1024 * 1024,
+        guard_key_for_checkpoint(checkpoint_dir),
+    )
     q = (
-        stream_df.writeStream.foreachBatch(
-            make_cdc_sink(table, key_cols, op_col=op_col, order_col=order_col)
-        )
+        stream_df.writeStream.foreachBatch(sink)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()

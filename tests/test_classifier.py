@@ -52,6 +52,31 @@ def test_zero_token_doc_scores_bias(spark):
     assert row["l"] == 42
 
 
+def test_null_doc_scores_bias_on_both_paths(spark):
+    """ADVICE r2: NULL text made the inline fold return a NULL logit
+    while the weight-table explode_outer path scored bias_millis —
+    both paths must agree (bias-only) on NULL docs."""
+    docs = _docs(spark, [(1, None), (2, "alpha beta")])
+    inline = {
+        r["doc_id"]: r["l"]
+        for r in docs.select(
+            "doc_id",
+            CL.hashed_linear_logit_millis("text", W, bias_millis=5).alias("l"),
+        ).collect()
+    }
+    assert inline[1] == 5
+    weights = docs.sparkSession.createDataFrame(
+        [(b, w) for b, w in enumerate(W)], "bucket: long, w_milli: long"
+    )
+    joined = {
+        r["doc_id"]: r["logit_millis"]
+        for r in CL.score_with_weight_table(
+            docs, "text", "doc_id", weights, DIM, bias_millis=5
+        ).collect()
+    }
+    assert joined == inline
+
+
 def test_weight_table_path_matches_literal_path(spark):
     docs = _docs(
         spark,

@@ -10,6 +10,8 @@ from bergloom_spark.lake import metadata as md
 from bergloom_spark.streaming.events import read_events_stream
 from bergloom_spark.streaming.ingest import (
     LAST_BATCH_PROP,
+    checkpoint_query_id,
+    guard_key_for_checkpoint,
     ingest_stream,
     make_batch_sink,
 )
@@ -28,12 +30,14 @@ def test_ingest_drains_stream_in_batches(spark, sf_dir):
         ev.repartition(4).write.parquet(stream_dir)
         stream = read_events_stream(spark, stream_dir, max_files_per_trigger=2)
         t = LakeTable.create(spark, os.path.join(root, "tbl"), stream.schema)
-        t = ingest_stream(stream, t, os.path.join(root, "ckpt"))
+        ckpt = os.path.join(root, "ckpt")
+        t = ingest_stream(stream, t, ckpt)
         assert t.read().count() == ev.count()
         # one snapshot per micro-batch, and >1 batch given the trigger cap
         appends = [s for s in t.meta.snapshots if s.operation == "append"]
         assert len(appends) >= 2
-        assert int(t.meta.properties[LAST_BATCH_PROP]) == len(appends) - 1
+        prop = guard_key_for_checkpoint(ckpt)
+        assert int(t.meta.properties[prop]) == len(appends) - 1
 
 
 def test_restart_with_same_checkpoint_adds_nothing(spark, sf_dir):
@@ -124,8 +128,39 @@ def test_cdc_stream_applies_batches_exactly_once(spark):
         assert all(got[i + 100] == 7 for i in range(5))
         merges = [s for s in t.meta.snapshots if s.operation == "merge"]
         assert len(merges) >= 2
-        # replaying an already-applied batch id is a no-op
+        # replaying an already-applied batch id is a no-op — the sink
+        # must share the STREAM's guard (keyed by checkpoint lineage)
         n_snaps = len(t.meta.snapshots)
-        sink = make_cdc_sink(t, ["id"], op_col="op", order_col="ord")
+        sink = make_cdc_sink(
+            t, ["id"], op_col="op", order_col="ord",
+            query_id=checkpoint_query_id(os.path.join(root, "ckpt")),
+        )
         sink(ch1, 0)
         assert len(t.refresh().meta.snapshots) == n_snaps
+
+
+def test_guard_is_namespaced_per_query(spark, sf_dir):
+    """Two streams (or a restart with a FRESH checkpoint dir, where
+    batch ids reset to 0) into the same table must not share the
+    exactly-once guard — ADVICE r2: a shared global property silently
+    dropped live batches as 'replays'."""
+    with tempfile.TemporaryDirectory() as root:
+        ev = _events(spark, sf_dir).limit(100)
+        t = LakeTable.create(spark, os.path.join(root, "tbl"), ev.schema)
+        # writer A commits batches 0..1 under its own guard
+        a = make_batch_sink(t, query_id="stream-a")
+        a(ev, 0)
+        a(ev, 1)
+        n = t.refresh().read().count()
+        # writer B starts at batch 0 — must NOT be dropped as a replay
+        b = make_batch_sink(t, query_id="stream-b")
+        b(ev, 0)
+        assert t.refresh().read().count() == n + 100
+        # but B's own replay IS dropped
+        b(ev, 0)
+        assert t.refresh().read().count() == n + 100
+        # fresh-checkpoint restart shape: ingest_stream derives the id
+        # from the checkpoint dir, so a new dir = a new guard
+        assert guard_key_for_checkpoint(
+            os.path.join(root, "c1")
+        ) != guard_key_for_checkpoint(os.path.join(root, "c2"))
