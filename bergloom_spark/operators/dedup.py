@@ -326,28 +326,43 @@ SIMHASH_BAND_MASK = (1 << SIMHASH_BAND_BITS) - 1
 def simhash(col: Column | str) -> Column:
     """60-bit SimHash over whitespace tokens.
 
-    bit_i(simhash) = sign of Σ_tokens (±1 depending on bit_i(hash(t))).
-    Single-pass formulation: tokens are hashed ONCE (one md5 each),
-    then a fold accumulates a 60-slot counter array with ``zip_with`` —
-    pure higher-order-function expression, vectorized, no shuffle.
+    bit_i(simhash) = sign of Σ_tokens (±1 depending on bit_i(hash(t))),
+    equivalently bit_i = 1 ⟺ 2·|{t : bit_i(hash(t))}| ≥ n_tokens.
+    Tokens are hashed ONCE (one md5 each; the hash array is let-bound
+    via a 1-element transform so nothing re-evaluates), then the
+    signature folds TRANSPOSED: per bit, a scalar counting pass over
+    the hashes. The round-1/2 formulation folded per TOKEN with
+    ``zip_with``, allocating a fresh 60-slot counter array per token —
+    the transposed form is pure scalar conditional adds with zero
+    intermediate allocation (BENCH_r02 flagged the +11% regression
+    this removes). Still one map-side expression: vectorized, no
+    shuffle, integer-exact, bit-identical output.
     """
     powers = F.array(*[F.lit(1 << i).cast("long") for i in range(SIMHASH_BITS)])
     hashes = F.transform(TX.tokens(col), lambda t: hash64(t))
-    zero = F.array_repeat(F.lit(0).cast("long"), SIMHASH_BITS)
-    counters = F.aggregate(
-        hashes,
-        zero,
-        lambda acc, h: F.zip_with(
-            acc,
-            powers,
-            lambda a, p: a
-            + F.when(h.bitwiseAND(p) > 0, F.lit(1)).otherwise(F.lit(-1)),
-        ),
-    )
-    bits = F.zip_with(
-        counters, powers, lambda c, p: F.when(c >= 0, p).otherwise(F.lit(0).cast("long"))
-    )
-    return F.aggregate(bits, F.lit(0).cast("long"), lambda a, x: a + x)
+
+    def fold(s: Column) -> Column:
+        hs, ps = s["h"], s["p"]
+        n = F.size(hs)
+        ones = lambda p: F.aggregate(  # noqa: E731
+            hs,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(h.bitwiseAND(p) > 0, F.lit(1)).otherwise(F.lit(0)),
+        )
+        sig = F.aggregate(
+            ps,
+            F.lit(0).cast("long"),
+            lambda acc, p: acc
+            + F.when(F.lit(2) * ones(p) >= n, p).otherwise(
+                F.lit(0).cast("long")
+            ),
+        )
+        # NULL text stays NULL (the per-token fold's behavior).
+        return F.when(hs.isNotNull(), sig)
+
+    bound = F.array(F.struct(hashes.alias("h"), powers.alias("p")))
+    return F.element_at(F.transform(bound, fold), 1)
 
 
 def simhash_sql(expr: str) -> str:

@@ -94,22 +94,39 @@ def knn_bruteforce(
     )
 
 
+BRUTE_PAIRS_MAX_ROWS = 100_000
+
+
 def embedding_dedup_pairs(
     embeddings: DataFrame,
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     cache: bool = True,
+    max_rows: int | None = BRUTE_PAIRS_MAX_ROWS,
 ) -> DataFrame:
     """All pairs with cosine ≥ threshold (id_a < id_b).
 
     Brute-force formulation for bounded corpora / oracle checking; at
-    scale use :func:`embedding_dedup_pairs_blocked`.
+    scale use :func:`embedding_dedup_pairs_blocked`. Because the plan
+    is an O(n²) nested-loop self-join, the input is guarded: above
+    ``max_rows`` (one cheap count) this raises instead of silently
+    launching a quadratic job — callers that genuinely want the brute
+    path on a bigger corpus pass ``max_rows=None`` (VERDICT r2 #4).
 
     ``cache=True`` pins the prepped (vector, norm) table until the
     session ends or ``spark.catalog.clearCache()`` — pass
     ``cache=False`` in long-lived sessions that call this repeatedly.
     """
+    if max_rows is not None:
+        n = embeddings.count()
+        if n > max_rows:
+            raise ValueError(
+                f"embedding_dedup_pairs is O(n²) and got {n} rows "
+                f"(> max_rows={max_rows}); use "
+                "embedding_dedup_pairs_blocked for large corpora, or "
+                "pass max_rows=None to force the brute-force plan"
+            )
     # Precompute each vector's norm ONCE per row, then the O(n²) pair
     # stage is one dot fold + a scalar divide instead of three folds
     # (cosine = dot/(norm·norm) — float-op-identical to cosine(), so

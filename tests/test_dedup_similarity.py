@@ -106,6 +106,21 @@ def test_embedding_dedup_blocked_matches_bruteforce(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_embedding_dedup_pairs_guard_fires(spark, sf_dir):
+    """The O(n²) brute path refuses oversized inputs instead of
+    silently launching a quadratic job (VERDICT r2 #4)."""
+    import pytest
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    with pytest.raises(ValueError, match="O\\(n²\\)|max_rows"):
+        similarity.embedding_dedup_pairs(emb, threshold=0.38, max_rows=10)
+    # explicit opt-out still works
+    df = similarity.embedding_dedup_pairs(
+        emb.limit(20), threshold=0.38, max_rows=None, cache=False
+    )
+    assert df.count() >= 0
+
+
 def test_simhash_pairs_operator_finds_planted_dups(spark, sf_dir):
     docs = _docs_with_dups(spark, sf_dir)
     pairs = dedup.simhash_pairs(docs, "text", "doc_id", max_hamming=6)
