@@ -3042,6 +3042,19 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("rank", F.col("rank").cast("long"))
 
 
+def q_hard_negatives_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE path of hard-negative mining, itself oracle-checked
+    (round 3): IVF posting-list candidate routing with the cross-label
+    filter applied before the exact cosine re-rank — nprobe of 16
+    centroids ⇒ the corpus scan cost is nprobe/16 of exhaustive. The
+    label rides through the assignment kernel, so no join recovers
+    it."""
+    return similarity.hard_negatives_ivf(
+        TS(spark, sf_dir, "embeddings"),
+        probe_ids=list(range(10)), k=5, n_centroids=16, nprobe=4,
+    ).withColumn("rank", F.col("rank").cast("long"))
+
+
 def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-flat ANN: posting-list retrieval on an equi-join against a
     broadcast probe map, exact re-rank. Oracle-checked (knn_ivf_sql):
@@ -3218,6 +3231,123 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("resized_width").cast("long").alias("resized_width"),
         F.col("resized_height").cast("long").alias("resized_height"),
     )
+
+
+def q_kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-count sketch (round 3, operators/sketches.py): the
+    k smallest distinct md5-hashes of user_id — a mergeable Θ-sketch
+    whose (k−1)/u_k estimate reproduces bit-for-bit in the oracle, so
+    the driver hash-checks the APPROXIMATE answer itself. Scale: per-
+    partition top-k + merge (TakeOrderedAndProject), k longs on the
+    wire; per-source sketches union without rescanning."""
+    from bergloom_spark.operators.sketches import kmv_distinct
+
+    return kmv_distinct(TS(spark, sf_dir, "events"), "user_id", k=64)
+
+
+def q_kmv_click_purchase_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV set-operation estimates: union/intersection/Jaccard of the
+    click-user and purchase-user sets from two k-long sketches alone —
+    no distinct-join of the full sets. Deterministic ⇒ oracle-exact."""
+    from bergloom_spark.operators.sketches import kmv_overlap
+
+    ev = TS(spark, sf_dir, "events")
+    return kmv_overlap(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "purchase"),
+        "user_id",
+        k=32,
+    )
+
+
+def q_cm_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min heavy hitters over corpus tokens: the sketch is ONE
+    combinable (row, bucket) aggregate bounded at d·w rows regardless
+    of corpus size; candidate estimates are d broadcast probes of that
+    tiny table (min over rows). Over-count-only by construction; the
+    deterministic hash makes the sketch estimates themselves
+    hash-checkable against the oracle."""
+    from bergloom_spark.operators.sketches import cm_heavy_hitters
+
+    return cm_heavy_hitters(
+        TS(spark, sf_dir, "documents"), "text", d=3, w=4096, top_k=50
+    )
+
+
+def q_multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode, no PIL and no fakes (round 3): per doc a
+    synthetic image (pixel byte i = (doc_id·31 + i) mod 256, dims a
+    function of doc_id) is ENCODED to actual P6-PPM (even ids) or
+    24-bit BMP (odd ids) bytes in one mapInPandas stage, then a second
+    Arrow-batched stage parses those bytes back with the pure-numpy
+    codecs (operators/imagecodec.py) and emits header dims + exact
+    per-channel pixel sums. The oracle recomputes the sums
+    arithmetically — a header-parse, BGR-order, or row-padding bug
+    breaks the hash. Both stages are maps over the scan partitioning;
+    bytes never cross a shuffle."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as ST
+
+    from bergloom_spark.operators.imagecodec import encode_bmp, encode_ppm
+    from bergloom_spark.operators.multimodal import decode_images
+
+    d = TS(spark, sf_dir, "documents").select("doc_id")
+    payload_schema = ST.StructType(
+        [
+            ST.StructField("doc_id", ST.LongType()),
+            ST.StructField("fmt", ST.StringType()),
+            ST.StructField("payload", ST.BinaryType()),
+        ]
+    )
+
+    def make_payloads(it):
+        for pdf in it:
+            fmts, payloads = [], []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                w, h = 8 + i % 13, 8 + (i * 7) % 11
+                pix = (
+                    (i * 31 + np.arange(w * h * 3, dtype=np.int64)) % 256
+                ).astype(np.uint8).reshape(h, w, 3)
+                if i % 2 == 0:
+                    fmts.append("ppm")
+                    payloads.append(encode_ppm(pix))
+                else:
+                    fmts.append("bmp")
+                    payloads.append(encode_bmp(pix))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "fmt": fmts, "payload": payloads}
+            )
+
+    media = d.mapInPandas(make_payloads, payload_schema)
+    return decode_images(media, "payload").select(
+        "doc_id",
+        "fmt",
+        F.col("decoded_width").cast("long").alias("decoded_width"),
+        F.col("decoded_height").cast("long").alias("decoded_height"),
+        "sum_r",
+        "sum_g",
+        "sum_b",
+    )
+
+
+_MULTIMODAL_DECODE_REAL_SQL = """
+    WITH dims AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 2 = 0 THEN 'ppm' ELSE 'bmp' END AS fmt,
+             (8 + doc_id % 13)::BIGINT AS decoded_width,
+             (8 + (doc_id * 7) % 11)::BIGINT AS decoded_height
+      FROM documents)
+    SELECT doc_id, fmt, decoded_width, decoded_height,
+           list_sum(list_transform(range(0, decoded_width * decoded_height),
+             k -> (doc_id * 31 + 3 * k) % 256))::BIGINT AS sum_r,
+           list_sum(list_transform(range(0, decoded_width * decoded_height),
+             k -> (doc_id * 31 + 3 * k + 1) % 256))::BIGINT AS sum_g,
+           list_sum(list_transform(range(0, decoded_width * decoded_height),
+             k -> (doc_id * 31 + 3 * k + 2) % 256))::BIGINT AS sum_b
+    FROM dims
+"""
 
 
 _TOKENS = TX.tokens_sql("text")
@@ -3749,7 +3879,32 @@ _EXT_ORACLES = {
                    AS decoded_height
         FROM documents
     """,
+    "multimodal_decode_real": _MULTIMODAL_DECODE_REAL_SQL,
 }
+
+
+def _sketch_oracles() -> dict[str, str]:
+    from bergloom_spark.operators.sketches import (
+        cm_heavy_hitters_sql,
+        kmv_distinct_sql,
+        kmv_overlap_sql,
+    )
+
+    return {
+        "kmv_distinct_users": kmv_distinct_sql("events", "user_id", k=64),
+        "kmv_click_purchase_overlap": kmv_overlap_sql(
+            "(SELECT * FROM events WHERE event_type = 'click')",
+            "(SELECT * FROM events WHERE event_type = 'purchase')",
+            "user_id",
+            k=32,
+        ),
+        "cm_heavy_hitters": cm_heavy_hitters_sql(
+            "documents", "text", d=3, w=4096, top_k=50
+        ),
+    }
+
+
+_EXT_ORACLES.update(_sketch_oracles())
 
 from bergloom_spark.operators import funnel as _FN  # noqa: E402
 from bergloom_spark.operators import timeseries as _TS  # noqa: E402
@@ -4012,6 +4167,9 @@ _EXT_ORACLES["dedup_canonical"] = f"""
 _EXT_ORACLES["hard_negatives"] = similarity.hard_negatives_sql(
     "embeddings", probe_ids=list(range(10)), k=5
 )
+_EXT_ORACLES["hard_negatives_ivf"] = similarity.hard_negatives_ivf_sql(
+    probe_ids=list(range(10)), k=5, n_centroids=16, nprobe=4
+)
 _EXT_ORACLES["source_unigram_kl"] = _LM.source_unigram_kl_sql("documents")
 
 
@@ -4040,6 +4198,9 @@ _R3_PRIORITY = [
     # new in round 3
     "multimodal_decode_real",
     "hard_negatives_ivf",
+    "kmv_distinct_users",
+    "kmv_click_purchase_overlap",
+    "cm_heavy_hitters",
     # never-verified: streaming surface
     "streaming_lake_ingest",
     "streaming_cdc_apply",
@@ -4084,14 +4245,14 @@ _R3_PRIORITY = [
     # never-verified: search / sampling / misc analytics
     "bm25_search",
     "keyword_tags",
-    "weighted_sample",
-    "leakage_safe_split",
-    "sequence_packing",
     # §2 sentinels (cheap canaries kept inside the window)
     "mor_pos_delete",
     "mor_eq_delete_seq",
     "dml_apply_changes",
     # --- window boundary (~50) — below here rotates in r4+ ---
+    "weighted_sample",
+    "leakage_safe_split",
+    "sequence_packing",
     "winsorized_prices",
     "zscore_anomalies",
     "incremental_rollup",
@@ -4145,6 +4306,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_embed_search": q_multimodal_embed_search,
         "multimodal_frames": q_multimodal_frames,
         "multimodal_resize": q_multimodal_resize,
+        "multimodal_decode_real": q_multimodal_decode_real,
         "centroid_histogram": q_centroid_histogram,
         "embedding_quantize": q_embedding_quantize,
         "kmeans_refine": q_kmeans_refine,
@@ -4236,6 +4398,10 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment_top1": q_containment_top1,
         "knn_bruteforce": q_knn_bruteforce,
         "hard_negatives": q_hard_negatives,
+        "hard_negatives_ivf": q_hard_negatives_ivf,
+        "kmv_distinct_users": q_kmv_distinct_users,
+        "kmv_click_purchase_overlap": q_kmv_click_purchase_overlap,
+        "cm_heavy_hitters": q_cm_heavy_hitters,
         # analytics (delegated-capability surface / bench headliners;
         # LAST: standard SQL shapes carry the least unique information
         # if a driver budget truncates the tail)

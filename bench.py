@@ -32,6 +32,13 @@ HEADLINE = [
     "simhash",
     "minhash_lsh_pairs",
     "knn_bruteforce",
+    # round-2/3 operator surface (perf regression tracking, VERDICT r2 #6)
+    "quality_classifier",
+    "dedup_remove_spans",
+    "embedding_dedup",
+    "bpe_token_stats",
+    "hard_negatives_ivf",
+    "multimodal_decode_real",
 ]
 
 

@@ -505,31 +505,44 @@ def ivf_assign(
     centroids,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Assign every vector to its nearest centroid (one matmul per
-    Arrow batch). Output: (vec_id, centroid_id, embedding) — the
-    inverted file, stored clustered by centroid_id at scale."""
+    Arrow batch). Output: (vec_id, centroid_id, embedding[, carried
+    columns]) — the inverted file, stored clustered by centroid_id at
+    scale. ``carry_cols`` ride through the kernel (e.g. a label for
+    filtered / hard-negative retrieval) so no post-hoc join is needed
+    to recover them."""
     import numpy as np
     import pandas as pd
 
     cm = centroids  # (n_centroids, dim), unit rows
 
-    out_schema = f"{id_col} long, centroid_id int, {vec_col} array<float>"
+    carried_ddl = "".join(
+        f", {c} {embeddings.schema[c].dataType.simpleString()}"
+        for c in carry_cols
+    )
+    out_schema = (
+        f"{id_col} long, centroid_id int, {vec_col} array<float>{carried_ddl}"
+    )
 
     def assign(batches):
         for pdf in batches:
             m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
             m /= np.linalg.norm(m, axis=1, keepdims=True)
             cid = np.argmax(m @ cm.T, axis=1).astype(np.int32)
-            yield pd.DataFrame(
-                {
-                    id_col: pdf[id_col].to_numpy(),
-                    "centroid_id": cid,
-                    vec_col: pdf[vec_col],
-                }
-            )
+            out = {
+                id_col: pdf[id_col].to_numpy(),
+                "centroid_id": cid,
+                vec_col: pdf[vec_col],
+            }
+            for c in carry_cols:
+                out[c] = pdf[c]
+            yield pd.DataFrame(out)
 
-    return embeddings.select(id_col, vec_col).mapInPandas(assign, out_schema)
+    return embeddings.select(id_col, vec_col, *carry_cols).mapInPandas(
+        assign, out_schema
+    )
 
 
 def knn_ivf(
@@ -1163,3 +1176,140 @@ def hard_negatives_sql(
             ORDER BY cosine_sim DESC, neighbor_id ASC) AS rank
           FROM scored)
         WHERE rank <= {k}"""
+
+
+def hard_negatives_ivf(
+    embeddings: DataFrame,
+    probe_ids: list[int],
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining at corpus scale: IVF posting-list routing
+    (the :func:`knn_ivf` candidate generator) with the cross-label
+    filter applied BEFORE the exact re-rank — the documented scale
+    path for :func:`hard_negatives`, now a first-class operator
+    (VERDICT r2 #8).
+
+    The inverted file carries the label through the assignment kernel
+    (``ivf_assign(carry_cols=...)``), so candidate retrieval is one
+    equi-join on centroid_id against a broadcast probe map, the label
+    inequality prunes candidates map-side, and only the survivors pay
+    the cosine fold. Scan cost ≈ nprobe/n_centroids of the corpus.
+    Output: (probe_id, neighbor_id, neighbor_label, cosine_sim, rank);
+    null-safe label inequality, ties by neighbor id — identical
+    contract to the exact form, recall governed by nprobe.
+    """
+    import numpy as np
+
+    spark = embeddings.sparkSession
+    cm = deterministic_centroids(embeddings, n_centroids, id_col, vec_col)
+    inverted = ivf_assign(
+        embeddings, cm, id_col, vec_col, carry_cols=(label_col,)
+    )
+
+    label_type = embeddings.schema[label_col].dataType.simpleString()
+    probe_rows = (
+        embeddings.filter(F.col(id_col).isin(probe_ids))
+        .select(id_col, vec_col, label_col)
+        .collect()
+    )
+    entries = []
+    for r in probe_rows:
+        v = np.array(r[vec_col], dtype=np.float64)
+        v /= np.linalg.norm(v)
+        order = np.argsort(-(cm @ v))[:nprobe]
+        for cid in order:
+            entries.append(
+                (int(r[id_col]), int(cid), [float(x) for x in v], r[label_col])
+            )
+    probe_map = spark.createDataFrame(
+        entries,
+        f"probe_id long, centroid_id int, __pv array<double>, "
+        f"__plbl {label_type}",
+    )
+
+    cands = inverted.join(F.broadcast(probe_map), "centroid_id").filter(
+        (F.col(id_col) != F.col("probe_id"))
+        & (~F.col(label_col).eqNullSafe(F.col("__plbl")))
+    )
+    sim = dot(as_double(F.col(vec_col)), F.col("__pv")) / l2norm(
+        as_double(F.col(vec_col))
+    )
+    scored = cands.select(
+        "probe_id",
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).alias("neighbor_label"),
+        F.round(sim, 6).alias("cosine_sim"),
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "probe_id", "neighbor_id", "neighbor_label", "cosine_sim", "rank"
+        )
+    )
+
+
+def hard_negatives_ivf_sql(
+    probe_ids: list[int],
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> str:
+    """DuckDB twin of :func:`hard_negatives_ivf` — the deterministic
+    seeds/assignment/nprobe expansion replay exactly (same recipe as
+    :func:`knn_ivf_sql`), plus the null-safe label filter."""
+    from bergloom_spark.functions.hashing import hash64_sql
+
+    h = hash64_sql(f"({id_col})::VARCHAR")
+    ids = ", ".join(str(i) for i in probe_ids)
+    return f"""
+        WITH seeds AS (
+          SELECT {vec_col} AS cv,
+                 row_number() OVER (ORDER BY {h}, {id_col}) - 1 AS centroid_id
+          FROM {table}
+          ORDER BY {h}, {id_col}
+          LIMIT {n_centroids}),
+        nearness AS (
+          SELECT e.{id_col}, s.centroid_id,
+                 row_number() OVER (
+                   PARTITION BY e.{id_col}
+                   ORDER BY {cosine_sql(f'e.{vec_col}', 's.cv')} DESC,
+                            s.centroid_id ASC) AS rn
+          FROM {table} e CROSS JOIN seeds s),
+        assigned AS (SELECT {id_col}, centroid_id FROM nearness WHERE rn = 1),
+        probe_map AS (
+          SELECT {id_col} AS probe_id, centroid_id FROM nearness
+          WHERE {id_col} IN ({ids}) AND rn <= {nprobe}),
+        cands AS (
+          SELECT DISTINCT p.probe_id, a.{id_col} AS neighbor_id
+          FROM probe_map p JOIN assigned a USING (centroid_id)
+          WHERE a.{id_col} <> p.probe_id),
+        scored AS (
+          SELECT c.probe_id, c.neighbor_id,
+                 b.{label_col} AS neighbor_label,
+                 round({cosine_sql(f'b.{vec_col}', f'p.{vec_col}')}, 6)
+                     AS cosine_sim
+          FROM cands c
+          JOIN {table} b ON b.{id_col} = c.neighbor_id
+          JOIN {table} p ON p.{id_col} = c.probe_id
+          WHERE b.{label_col} IS DISTINCT FROM p.{label_col}),
+        ranked AS (
+          SELECT *, row_number() OVER (
+            PARTITION BY probe_id ORDER BY cosine_sim DESC, neighbor_id)
+              AS rank
+          FROM scored)
+        SELECT probe_id, neighbor_id, neighbor_label, cosine_sim, rank
+        FROM ranked WHERE rank <= {k}
+    """

@@ -1,0 +1,269 @@
+"""Mergeable sketches with deterministic, oracle-replayable estimates.
+
+Approximate distinct counting and heavy-hitter detection are the two
+sketch workloads a 100 TB curation pipeline leans on (per-source
+cardinalities, vocabulary heavy hitters, cross-set overlap without a
+giant distinct shuffle). Spark's built-ins (``approx_count_distinct``
+HLL, ``count_min_sketch``) use engine-private hashing, so their
+estimates cannot be cross-checked by an independent engine. These
+implementations use the shared md5-derived ``hash64`` — the SAME
+estimate reproduces bit-for-bit in DuckDB, so the driver's
+hash-equality gate applies to the *approximate* answers themselves,
+not just to exact queries.
+
+Scale shapes:
+- KMV (k minimum values): the sketch is the k smallest distinct hash
+  values — per partition a top-k, merged associatively (Spark's
+  TakeOrderedAndProject); one narrow shuffle of ≤ k·P longs. Union of
+  sketches = k smallest of the concatenation, so per-source sketches
+  compose without rescanning (the Θ-sketch family).
+- Count-Min: d hashed counter rows of width w; one combinable
+  ``groupBy (row, bucket)`` shuffle whose output is ≤ d·w rows no
+  matter the corpus size. Point estimates are d broadcast probes.
+
+References: Bar-Yossef et al., "Counting distinct elements in a data
+stream" (KMV); Cormode & Muthukrishnan, "An improved data stream
+summary: the count-min sketch and its applications".
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from bergloom_spark.functions import text as TX
+from bergloom_spark.functions.hashing import HASH_BITS, hash64, hash64_sql
+
+__all__ = [
+    "cm_heavy_hitters",
+    "cm_heavy_hitters_sql",
+    "kmv_distinct",
+    "kmv_distinct_sql",
+    "kmv_overlap",
+    "kmv_overlap_sql",
+]
+
+_HASH_SPAN = float(1 << HASH_BITS)
+
+
+def _kmv_hashes(df: DataFrame, key_col: str, k: int) -> DataFrame:
+    """The sketch itself: k smallest DISTINCT key hashes, one column."""
+    return (
+        df.select(hash64(F.col(key_col).cast("string")).alias("__h"))
+        .where(F.col("__h").isNotNull())
+        .distinct()
+        .orderBy("__h")
+        .limit(k)
+    )
+
+
+def _kmv_estimate(kth: Column, k: int) -> Column:
+    # (k-1)/u_k with u_k = kth/2^60 — same op order as the SQL twin.
+    return F.round(F.lit(float(k - 1)) / (kth.cast("double") / F.lit(_HASH_SPAN)), 4)
+
+
+def kmv_distinct(df: DataFrame, key_col: str, k: int = 64) -> DataFrame:
+    """KMV distinct-count estimate of ``key_col``.
+
+    Output (1 row): (k, kth_hash, est_distinct). The estimate is
+    (k−1)/u_k where u_k is the k-th smallest normalized hash —
+    unbiased, stderr ≈ 1/√(k−2). Deterministic: same data ⇒ same
+    hashes ⇒ same estimate, on any engine and any partitioning.
+    """
+    sketch = _kmv_hashes(df, key_col, k)
+    # Below-k rule: if fewer than k distinct hashes exist the sketch
+    # holds ALL of them and the count is exact, not an estimate.
+    return sketch.agg(
+        F.lit(k).cast("long").alias("k"),
+        F.max("__h").alias("kth_hash"),
+        F.when(
+            F.count(F.lit(1)) < k, F.count(F.lit(1)).cast("double")
+        )
+        .otherwise(_kmv_estimate(F.max("__h"), k))
+        .alias("est_distinct"),
+    )
+
+
+def kmv_distinct_sql(table: str, key_expr: str, k: int = 64) -> str:
+    """DuckDB twin of :func:`kmv_distinct`."""
+    h = hash64_sql(f"({key_expr})::VARCHAR")
+    return f"""
+        WITH sketch AS (
+          SELECT DISTINCT {h} AS h FROM {table}
+          WHERE {key_expr} IS NOT NULL
+          ORDER BY h LIMIT {k})
+        SELECT {k}::BIGINT AS k,
+               max(h) AS kth_hash,
+               CASE WHEN count(*) < {k} THEN count(*)::DOUBLE
+                    ELSE round({float(k - 1)!r}
+                               / (max(h)::DOUBLE / {_HASH_SPAN!r}), 4)
+               END AS est_distinct
+        FROM sketch
+    """
+
+
+def kmv_overlap(
+    df_a: DataFrame, df_b: DataFrame, key_col: str, k: int = 64
+) -> DataFrame:
+    """KMV set-operation estimates over two keyed sets WITHOUT a
+    distinct-join: union and intersection cardinalities from the two
+    sketches alone (the Θ-sketch composition rule).
+
+    K = k smallest hashes of A ∪ B (merge of the two sketches);
+    ρ = |{h ∈ K : h ∈ A ∧ h ∈ B}| / k;  est_inter = ρ · est_union.
+    Output (1 row): (k, est_union, est_intersection, est_jaccard).
+    At scale each side's sketch is k longs — the overlap of two 10 TB
+    sources is estimated from 2·k values.
+    """
+    a = _kmv_hashes(df_a, key_col, k).withColumn("__in_a", F.lit(1))
+    b = _kmv_hashes(df_b, key_col, k).withColumn("__in_b", F.lit(1))
+    merged = (
+        a.join(b, "__h", "full")
+        .select(
+            "__h",
+            F.coalesce(F.col("__in_a"), F.lit(0)).alias("in_a"),
+            F.coalesce(F.col("__in_b"), F.lit(0)).alias("in_b"),
+        )
+        .orderBy("__h")
+        .limit(k)
+    )
+    agg = merged.agg(
+        F.max("__h").alias("kth"),
+        F.sum(F.col("in_a") * F.col("in_b")).alias("n_both"),
+        F.count(F.lit(1)).alias("n_k"),
+    )
+    est_union = F.when(
+        F.col("n_k") < k, F.col("n_k").cast("double")
+    ).otherwise(_kmv_estimate(F.col("kth"), k))
+    return agg.select(
+        F.lit(k).cast("long").alias("k"),
+        est_union.alias("est_union"),
+        F.round(
+            (F.col("n_both").cast("double") / F.col("n_k").cast("double"))
+            * est_union,
+            4,
+        ).alias("est_intersection"),
+        F.round(
+            F.col("n_both").cast("double") / F.col("n_k").cast("double"), 4
+        ).alias("est_jaccard"),
+    )
+
+
+def kmv_overlap_sql(
+    table_a: str, table_b: str, key_expr: str, k: int = 64
+) -> str:
+    """DuckDB twin of :func:`kmv_overlap`."""
+    h = hash64_sql(f"({key_expr})::VARCHAR")
+    est_union = (
+        f"CASE WHEN n_k < {k} THEN n_k::DOUBLE "
+        f"ELSE round({float(k - 1)!r} / (kth::DOUBLE / {_HASH_SPAN!r}), 4) END"
+    )
+    return f"""
+        WITH sa AS (
+          SELECT DISTINCT {h} AS h FROM {table_a}
+          WHERE {key_expr} IS NOT NULL ORDER BY h LIMIT {k}),
+        sb AS (
+          SELECT DISTINCT {h} AS h FROM {table_b}
+          WHERE {key_expr} IS NOT NULL ORDER BY h LIMIT {k}),
+        merged AS (
+          SELECT coalesce(sa.h, sb.h) AS h,
+                 CASE WHEN sa.h IS NULL THEN 0 ELSE 1 END AS in_a,
+                 CASE WHEN sb.h IS NULL THEN 0 ELSE 1 END AS in_b
+          FROM sa FULL JOIN sb ON sa.h = sb.h
+          ORDER BY h LIMIT {k}),
+        agg AS (
+          SELECT max(h) AS kth,
+                 sum(in_a * in_b) AS n_both,
+                 count(*) AS n_k
+          FROM merged)
+        SELECT {k}::BIGINT AS k,
+               {est_union} AS est_union,
+               round((n_both::DOUBLE / n_k::DOUBLE) * {est_union}, 4)
+                   AS est_intersection,
+               round(n_both::DOUBLE / n_k::DOUBLE, 4) AS est_jaccard
+        FROM agg
+    """
+
+
+def cm_heavy_hitters(
+    df: DataFrame,
+    text_col: str,
+    d: int = 3,
+    w: int = 4096,
+    top_k: int = 50,
+) -> DataFrame:
+    """Count-Min heavy hitters over whitespace tokens.
+
+    Build: every token occurrence increments one bucket in each of the
+    ``d`` counter rows (bucket_i = hash64("cm{i}:" ‖ token) mod w) —
+    ONE combinable ``groupBy (row, bucket)`` shuffle whose result is at
+    most ``d·w`` rows regardless of corpus size (the sketch; mergeable
+    across corpora by addition). Probe: each candidate token's estimate
+    is min_i counter[i][bucket_i] — ``d`` BROADCAST joins against the
+    tiny counter table, never a corpus-sized build side. The estimate
+    over-counts only (collisions), never under-counts.
+
+    Output: (token, cm_count) for the ``top_k`` tokens by estimate
+    (ties by token), exactly reproducible in SQL because the hash and
+    the tie-break are both deterministic.
+    """
+    toks = df.select(F.explode(TX.tokens(text_col)).alias("token"))
+    hits = toks.select(
+        "token",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row"),
+                        F.pmod(hash64(F.col("token"), seed=1000 + i), F.lit(w))
+                        .cast("int")
+                        .alias("bucket"),
+                    )
+                    for i in range(d)
+                ]
+            )
+        ).alias("rb"),
+    ).select("token", "rb.row", "rb.bucket")
+    counters = hits.groupBy("row", "bucket").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    vocab = hits.select("token", "row", "bucket").distinct()
+    est = (
+        vocab.join(F.broadcast(counters), ["row", "bucket"])
+        .groupBy("token")
+        .agg(F.min("cnt").alias("cm_count"))
+    )
+    return est.orderBy(F.desc("cm_count"), F.asc("token")).limit(top_k)
+
+
+def cm_heavy_hitters_sql(
+    table: str,
+    text_expr: str,
+    d: int = 3,
+    w: int = 4096,
+    top_k: int = 50,
+) -> str:
+    """DuckDB twin of :func:`cm_heavy_hitters`."""
+    toks = TX.tokens_sql(text_expr)
+    branches = " ".join(
+        f"WHEN {i} THEN {hash64_sql('token', seed=1000 + i)} % {w}"
+        for i in range(d)
+    )
+    return f"""
+        WITH toks AS (
+          SELECT unnest({toks}) AS token FROM {table}),
+        hits AS (
+          SELECT token, t.range AS row,
+                 (CASE t.range {branches} END)::INT AS bucket
+          FROM toks, range(0, {d}) t),
+        counters AS (
+          SELECT row, bucket, count(*) AS cnt FROM hits
+          GROUP BY row, bucket),
+        vocab AS (SELECT DISTINCT token, row, bucket FROM hits),
+        est AS (
+          SELECT token, min(cnt)::BIGINT AS cm_count
+          FROM vocab JOIN counters USING (row, bucket)
+          GROUP BY token)
+        SELECT token, cm_count FROM est
+        ORDER BY cm_count DESC, token ASC LIMIT {top_k}
+    """

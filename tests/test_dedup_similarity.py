@@ -106,6 +106,21 @@ def test_embedding_dedup_blocked_matches_bruteforce(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_hard_negatives_ivf_full_probe_matches_exact(spark, sf_dir):
+    """With nprobe = n_centroids the IVF router scans every posting
+    list, so the composed operator must equal the exact broadcast-probe
+    form row for row."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = list(range(8))
+    exact = similarity.hard_negatives(emb, probes, k=5)
+    routed = similarity.hard_negatives_ivf(
+        emb, probes, k=5, n_centroids=8, nprobe=8
+    )
+    a = {tuple(r) for r in exact.collect()}
+    b = {tuple(r) for r in routed.collect()}
+    assert a == b
+
+
 def test_embedding_dedup_pairs_guard_fires(spark, sf_dir):
     """The O(n²) brute path refuses oversized inputs instead of
     silently launching a quadratic job (VERDICT r2 #4)."""

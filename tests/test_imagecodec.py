@@ -1,0 +1,110 @@
+"""Pure-numpy PPM/BMP codecs + the REAL decode/resize path (no PIL)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from bergloom_spark.operators import imagecodec as IC
+from bergloom_spark.operators import multimodal as MM
+
+
+def _img(w: int, h: int, seed: int = 0) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+
+
+@pytest.mark.parametrize("w,h", [(1, 1), (3, 2), (16, 16), (13, 7)])
+def test_ppm_roundtrip(w, h):
+    a = _img(w, h, seed=w * 100 + h)
+    assert np.array_equal(IC.decode_ppm(IC.encode_ppm(a)), a)
+
+
+@pytest.mark.parametrize("w,h", [(1, 1), (3, 2), (16, 16), (13, 7), (5, 4)])
+def test_bmp_roundtrip(w, h):
+    # odd widths exercise the 4-byte row padding
+    a = _img(w, h, seed=w * 100 + h)
+    assert np.array_equal(IC.decode_bmp(IC.encode_bmp(a)), a)
+
+
+def test_ppm_header_comments():
+    a = _img(4, 3)
+    raw = IC.encode_ppm(a)
+    body = raw.split(b"\n", 3)[3]
+    with_comments = b"P6\n# made by a test\n4 3\n# maxval next\n255\n" + body
+    assert np.array_equal(IC.decode_ppm(with_comments), a)
+
+
+def test_dispatch_and_cross_format_equality():
+    a = _img(9, 5, seed=7)
+    via_ppm = IC.decode_image_array(IC.encode_ppm(a))
+    via_bmp = IC.decode_image_array(IC.encode_bmp(a))
+    assert np.array_equal(via_ppm, via_bmp)
+    with pytest.raises(ValueError, match="magic"):
+        IC.decode_image_array(b"\x89PNG\r\n")
+
+
+def test_bmp_rejects_unsupported():
+    a = _img(4, 4)
+    raw = bytearray(IC.encode_bmp(a))
+    raw[28] = 8  # bpp 24 -> 8
+    with pytest.raises(ValueError, match="24-bit"):
+        IC.decode_bmp(bytes(raw))
+
+
+def test_truncated_payloads_raise():
+    a = _img(6, 6)
+    with pytest.raises(ValueError, match="truncated"):
+        IC.decode_ppm(IC.encode_ppm(a)[:-5])
+    with pytest.raises(ValueError, match="truncated"):
+        IC.decode_bmp(IC.encode_bmp(a)[:-5])
+
+
+def test_resize_nearest_matches_index_math():
+    a = _img(10, 6, seed=3)
+    out = IC.resize_nearest(a, 4, 3)
+    assert out.shape == (3, 4, 3)
+    for y in range(3):
+        for x in range(4):
+            assert np.array_equal(out[y, x], a[(y * 6) // 3, (x * 10) // 4])
+    # upscale repeats pixels
+    up = IC.resize_nearest(a, 20, 12)
+    assert np.array_equal(up[::2, ::2], a)
+
+
+# ---------------------------------------------------------------------------
+# the Arrow seam, driven for real (no PIL anywhere in this path)
+# ---------------------------------------------------------------------------
+def _payload_df(spark, n=20):
+    import pandas as pd
+
+    rows = []
+    for i in range(n):
+        a = _img(4 + i % 5, 3 + i % 4, seed=i)
+        payload = IC.encode_ppm(a) if i % 2 == 0 else IC.encode_bmp(a)
+        rows.append((i, payload, a.reshape(-1, 3).sum(0, dtype="int64")))
+    pdf = pd.DataFrame(
+        {"img_id": [r[0] for r in rows], "payload": [r[1] for r in rows]}
+    )
+    return spark.createDataFrame(pdf), {r[0]: r[2] for r in rows}
+
+
+def test_decode_images_real_sums(spark):
+    df, expected = _payload_df(spark)
+    got = {
+        r.img_id: (r.sum_r, r.sum_g, r.sum_b)
+        for r in MM.decode_images(df, "payload").collect()
+    }
+    assert got == {
+        i: (int(s[0]), int(s[1]), int(s[2])) for i, s in expected.items()
+    }
+
+
+def test_resize_images_real_kernel_roundtrips(spark):
+    df, _ = _payload_df(spark, n=8)
+    out = MM.resize_images(df, 5, 4, use_real_kernel=True)
+    rows = out.collect()
+    assert len(rows) == 8
+    for r in rows:
+        arr = IC.decode_ppm(bytes(r.payload))
+        assert arr.shape == (4, 5, 3)

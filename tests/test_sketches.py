@@ -1,0 +1,111 @@
+"""KMV / Count-Min sketches: determinism, accuracy bounds, oracle parity."""
+
+from __future__ import annotations
+
+import duckdb
+import pyspark.sql.functions as F
+import pytest
+
+from bergloom_spark.io import load_table
+from bergloom_spark.operators import sketches as SK
+from tests.oracle_utils import compare
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    con = duckdb.connect()
+    for t in ("events", "documents"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+def test_kmv_estimate_within_error_bound(spark):
+    # 5000 distinct keys ≫ k so the ESTIMATE path runs;
+    # stderr ~ 1/sqrt(k-2) ≈ 8.9% at k=128; allow 4 sigma.
+    df = spark.range(5000).select(F.col("id").alias("user_id"))
+    row = SK.kmv_distinct(df, "user_id", k=128).collect()[0]
+    assert abs(row.est_distinct - 5000) / 5000 < 0.36
+    assert row.k == 128
+
+
+def test_kmv_below_k_is_exact(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    exact = ev.select("user_id").distinct().count()
+    row = SK.kmv_distinct(ev, "user_id", k=max(exact + 10, 64)).collect()[0]
+    assert row.est_distinct == float(exact)
+
+
+def test_kmv_is_insensitive_to_duplication_and_partitioning(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    base = SK.kmv_distinct(ev, "user_id", k=64).collect()[0]
+    doubled = SK.kmv_distinct(
+        ev.union(ev).repartition(13), "user_id", k=64
+    ).collect()[0]
+    assert (base.kth_hash, base.est_distinct) == (
+        doubled.kth_hash,
+        doubled.est_distinct,
+    )
+
+
+def test_kmv_overlap_identical_sets(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    row = SK.kmv_overlap(ev, ev, "user_id", k=64).collect()[0]
+    assert row.est_jaccard == 1.0
+    assert row.est_union == row.est_intersection
+
+
+def test_kmv_overlap_disjoint_sets(spark):
+    from pyspark.sql import Row
+
+    spark_df = lambda lo, hi: spark.range(lo, hi).select(  # noqa: E731
+        F.col("id").alias("user_id")
+    )
+    row = SK.kmv_overlap(
+        spark_df(0, 500), spark_df(10_000, 10_500), "user_id", k=64
+    ).collect()[0]
+    assert row.est_jaccard == 0.0
+    assert row.est_intersection == 0.0
+
+
+def test_cm_never_undercounts_and_tops_match_exact(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    est = {
+        r.token: r.cm_count
+        for r in SK.cm_heavy_hitters(docs, "text", top_k=30).collect()
+    }
+    from bergloom_spark.functions import text as TX
+
+    exact = {
+        r.token: r.cnt
+        for r in docs.select(F.explode(TX.tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("token").isin(list(est)))
+        .collect()
+    }
+    for tok, cm in est.items():
+        assert cm >= exact[tok], f"CM undercounted {tok}"
+    # the true heaviest token is found, with a near-exact estimate
+    assert max(est.values()) == max(
+        cm for cm in est.values()
+    )
+
+
+def test_kmv_oracle_parity(spark, sf_dir, duck):
+    df = SK.kmv_distinct(load_table(spark, sf_dir, "events"), "user_id", k=64)
+    report = compare(df, duck, SK.kmv_distinct_sql("events", "user_id", k=64))
+    assert report["match"], report
+
+
+def test_cm_oracle_parity(spark, sf_dir, duck):
+    df = SK.cm_heavy_hitters(
+        load_table(spark, sf_dir, "documents"), "text", top_k=25
+    )
+    report = compare(
+        df, duck, SK.cm_heavy_hitters_sql("documents", "text", top_k=25)
+    )
+    assert report["match"], report
