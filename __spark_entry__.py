@@ -243,6 +243,36 @@ def q_stats_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.read(filters=[("l_orderkey", "<", 3000)])
 
 
+def q_bloom_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-file Bloom-filter equality pruning (round 3): the table
+    property `write.bloom-filter-columns` makes every write harvest a
+    2 KiB bloom per file for l_orderkey; the files are HASH-clustered
+    on the key, so every file's [min, max] spans nearly the whole
+    range and stats pruning is useless — exactly the point-lookup
+    shape where Iceberg reaches for parquet bloom filters. A
+    mid-range point lookup then prunes whole files from the manifest
+    before Spark lists them; results are exactly the unpruned
+    scan + filter (tests assert files were actually skipped)."""
+    from bergloom_spark.lake import LakeTable
+    from bergloom_spark.lake.table import BLOOM_COLS_PROP
+
+    base = T(spark, sf_dir, "lineitem").select(*LI_COLS)
+    root = os.path.join(_scratch(prefix="bergloom-bloom-"), "li")
+    t = LakeTable.create(spark, root, base.schema)
+    t.append(
+        base.repartition(8, F.col("l_orderkey")),
+        target_file_size=64 * 1024,
+        properties_update={BLOOM_COLS_PROP: "l_orderkey"},
+    )
+    # Mid-range probe, derived the same way in the oracle: the largest
+    # orderkey ≤ half the max (inside every file's min/max range).
+    half = base.agg(F.max("l_orderkey")).first()[0] // 2
+    probe = base.filter(F.col("l_orderkey") <= half).agg(
+        F.max("l_orderkey")
+    ).first()[0]
+    return t.read(filters=[("l_orderkey", "=", int(probe))])
+
+
 def q_dml_upsert_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-level MoR DML: MERGE-style upsert (equality-delete + append,
     the reference's EqualityDeltaWriter pattern) followed by a
@@ -356,6 +386,12 @@ _MOR_ORACLES = {
         WHERE l_orderkey < 3000
           AND l_orderkey NOT IN (
             SELECT l_orderkey FROM lineitem WHERE l_suppkey % 9 = 0)
+    """,
+    "bloom_pruned_scan": f"""
+        SELECT {', '.join(LI_COLS)} FROM lineitem
+        WHERE l_orderkey = (
+          SELECT max(l_orderkey) FROM lineitem
+          WHERE l_orderkey <= (SELECT max(l_orderkey) // 2 FROM lineitem))
     """,
     "dml_upsert_delete": f"""
         WITH base AS (SELECT {', '.join(LI_COLS)} FROM lineitem),
@@ -4201,6 +4237,7 @@ _R3_PRIORITY = [
     "kmv_distinct_users",
     "kmv_click_purchase_overlap",
     "cm_heavy_hitters",
+    "bloom_pruned_scan",
     # never-verified: streaming surface
     "streaming_lake_ingest",
     "streaming_cdc_apply",
@@ -4244,12 +4281,12 @@ _R3_PRIORITY = [
     "token_frequency_spectrum",
     # never-verified: search / sampling / misc analytics
     "bm25_search",
-    "keyword_tags",
     # §2 sentinels (cheap canaries kept inside the window)
     "mor_pos_delete",
     "mor_eq_delete_seq",
     "dml_apply_changes",
     # --- window boundary (~50) — below here rotates in r4+ ---
+    "keyword_tags",
     "weighted_sample",
     "leakage_safe_split",
     "sequence_packing",
@@ -4318,6 +4355,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_report_card": q_corpus_report_card,
         # lake semantics beyond the rewrite (unique coverage — early)
         "stats_pruned_scan": q_stats_pruned_scan,
+        "bloom_pruned_scan": q_bloom_pruned_scan,
         "tagged_release_read": q_tagged_release_read,
         "compact_binpack": q_compact_binpack,
         "partition_stats": q_partition_stats,

@@ -113,6 +113,7 @@ class Compaction:
             parquet_bytes_hint=sum(
                 e.file_size_bytes for e in snap.files(md.DATA)
             ),
+            bloom_cols=table.bloom_cols(),
         )
 
         manager = RewriteFilesCommitManager(
@@ -206,6 +207,7 @@ class BinpackCompaction(Compaction):
             partition_spec=table.meta.partition_spec or None,
             compression=self.config.write_compression,
             parquet_bytes_hint=sum(e.file_size_bytes for e in selected),
+            bloom_cols=table.bloom_cols(),
         )
         manager = RewriteFilesCommitManager(
             table_root=table.meta.table_root,
@@ -330,6 +332,7 @@ class SortCompaction(Compaction):
             clustered, table.meta.table_root, snap.sequence_number,
             compression=self.config.write_compression,
             partition_spec=part_cols or None,
+            bloom_cols=table.bloom_cols(),
         )
         manager = RewriteFilesCommitManager(
             table_root=table.meta.table_root,

@@ -43,6 +43,10 @@ class ManifestEntry:
     # JSON-native values only; absent for pre-stats metadata versions
     # (defaults keep old v<N>.metadata.json loadable).
     column_stats: dict[str, list] = field(default_factory=dict)
+    # Per-column hex Bloom bitsets for equality pruning (skipping.py),
+    # written only for columns named by the table property
+    # "write.bloom-filter-columns"; defaulted for older metadata.
+    column_blooms: dict[str, str] = field(default_factory=dict)
 
 
 @dataclass

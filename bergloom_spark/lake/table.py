@@ -60,6 +60,11 @@ def _normalize_path_py(uri: str) -> str:
 # 100 TB table with 10^5-10^6 files.
 _MAP_LITERAL_CAP = 1024
 
+# Comma-separated column names that get a per-file equality Bloom
+# filter in the manifest at write time (skipping.py) — the Iceberg
+# "write.parquet.bloom-filter-enabled.column.*" analog, table-level.
+BLOOM_COLS_PROP = "write.bloom-filter-columns"
+
 
 def _uri_path_map(df: DataFrame, expected_paths: list[str]) -> dict[str, str] | None:
     """Exact {``_metadata.file_path`` URI → on-disk path} dictionary,
@@ -191,6 +196,7 @@ class LakeTable:
                 snap.sequence_number,
                 target_file_size,
                 partition_spec=self.meta.partition_spec or None,
+                bloom_cols=self.bloom_cols(meta),
             )
         )
         md.write_version(meta)
@@ -214,6 +220,7 @@ class LakeTable:
                 snap.sequence_number,
                 target_file_size,
                 partition_spec=self.meta.partition_spec or None,
+                bloom_cols=self.bloom_cols(),
             )
         )
         md.write_version(meta)
@@ -728,11 +735,24 @@ class LakeTable:
                 snap.sequence_number,
                 target_file_size,
                 partition_spec=self.meta.partition_spec or None,
+                bloom_cols=self.bloom_cols(meta),
             )
         )
         md.write_version(meta)
         self.meta = meta
         return snap
+
+    def bloom_cols(self, meta: md.TableMetadata | None = None) -> list[str] | None:
+        """Columns that get per-file equality Bloom filters at write
+        time (the ``write.bloom-filter-columns`` table property). Write
+        paths pass their IN-FLIGHT metadata so a property set in the
+        same commit (``properties_update``) applies to that commit's
+        own files."""
+        props = (meta or self.meta).properties
+        prop = props.get(BLOOM_COLS_PROP, "").strip()
+        if not prop:
+            return None
+        return [c.strip() for c in prop.split(",") if c.strip()]
 
     # ------------------------------------------------------------------
     # reads

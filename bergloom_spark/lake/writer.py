@@ -112,8 +112,14 @@ def _collect_parquet_entries(
     sequence_number: int,
     equality_ids: list[str] | None = None,
     partition_cols: list[str] | None = None,
+    bloom_cols: list[str] | None = None,
 ) -> list[ManifestEntry]:
-    """Enumerate files Spark just wrote; record counts from parquet footers."""
+    """Enumerate files Spark just wrote; record counts from parquet
+    footers. ``bloom_cols`` additionally re-reads those columns (one
+    column-chunk read per file, local to the just-written bytes) to
+    build per-file equality Bloom filters — opt-in via the
+    "write.bloom-filter-columns" table property because it is the one
+    harvest that costs more than the already-open footer."""
     import pyarrow.parquet as pq
 
     entries = []
@@ -141,6 +147,21 @@ def _collect_parquet_entries(
                     partition[key] = (
                         None if value == "__HIVE_DEFAULT_PARTITION__" else value
                     )
+        column_blooms: dict[str, str] = {}
+        if bloom_cols:
+            from bergloom_spark.lake.skipping import build_bloom
+
+            present = [
+                c
+                for c in bloom_cols
+                if c in meta.schema.to_arrow_schema().names
+            ]
+            if present:
+                tbl = pq.read_table(path, columns=present)
+                for c in present:
+                    bloom = build_bloom(tbl.column(c).to_pylist())
+                    if bloom is not None:
+                        column_blooms[c] = bloom
         entries.append(
             ManifestEntry(
                 content=content,
@@ -152,6 +173,7 @@ def _collect_parquet_entries(
                 partition=partition,
                 # Footer already in hand — min/max harvest is free.
                 column_stats=footer_column_stats(meta),
+                column_blooms=column_blooms,
             )
         )
     return entries
@@ -165,6 +187,7 @@ def write_data_files(
     partition_spec: list[str] | None = None,
     compression: str = "snappy",
     parquet_bytes_hint: int | None = None,
+    bloom_cols: list[str] | None = None,
 ) -> list[ManifestEntry]:
     """Write ``df`` as size-targeted parquet data files; return manifest entries.
 
@@ -230,7 +253,8 @@ def write_data_files(
         writer = df.coalesce(max(n_files, floor))
         writer.write.mode("error").option("compression", compression).parquet(out_dir)
     return _collect_parquet_entries(
-        out_dir, "data", sequence_number, partition_cols=partition_spec
+        out_dir, "data", sequence_number, partition_cols=partition_spec,
+        bloom_cols=bloom_cols,
     )
 
 
@@ -240,6 +264,7 @@ def write_data_files_presized(
     sequence_number: int,
     compression: str = "snappy",
     partition_spec: list[str] | None = None,
+    bloom_cols: list[str] | None = None,
 ) -> list[ManifestEntry]:
     """Write a pre-partitioned DataFrame as data files, one file per
     input partition. The caller owns the partitioning — used by the
@@ -260,7 +285,8 @@ def write_data_files_presized(
         w = w.partitionBy(*partition_spec)
     w.parquet(out_dir)
     return _collect_parquet_entries(
-        out_dir, "data", sequence_number, partition_cols=partition_spec
+        out_dir, "data", sequence_number, partition_cols=partition_spec,
+        bloom_cols=bloom_cols,
     )
 
 
