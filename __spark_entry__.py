@@ -273,6 +273,31 @@ def q_bloom_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.read(filters=[("l_orderkey", "=", int(probe))])
 
 
+def q_rewrite_pos_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete-file compaction (round 3): three separate delete_where
+    commits leave three positional-delete files (MoR debt on the
+    delete side); rewrite_position_deletes folds them into ONE sorted
+    file, dropping dangling rows — Iceberg's
+    rewrite_position_delete_files. The read after the rewrite must
+    equal the read before it (and the oracle): delete maintenance can
+    never change visible rows."""
+    from bergloom_spark.lake import LakeTable
+    from bergloom_spark.lake import metadata as lmd
+    from bergloom_spark.lake.compaction import rewrite_position_deletes
+
+    base = T(spark, sf_dir, "lineitem").select(*LI_COLS)
+    root = os.path.join(_scratch(prefix="bergloom-posrw-"), "li")
+    t = LakeTable.create(spark, root, base.schema)
+    t.append(base)
+    t.delete_where(F.col("l_suppkey") % 11 == 0)
+    t.delete_where(F.col("l_partkey") % 13 == 0)
+    t.delete_where(F.col("l_quantity") > 45)
+    assert len(t.meta.current_snapshot().files(lmd.POS_DELETE)) == 3
+    rewrite_position_deletes(t)
+    assert len(t.meta.current_snapshot().files(lmd.POS_DELETE)) == 1
+    return t.read()
+
+
 def q_dml_upsert_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-level MoR DML: MERGE-style upsert (equality-delete + append,
     the reference's EqualityDeltaWriter pattern) followed by a
@@ -392,6 +417,12 @@ _MOR_ORACLES = {
         WHERE l_orderkey = (
           SELECT max(l_orderkey) FROM lineitem
           WHERE l_orderkey <= (SELECT max(l_orderkey) // 2 FROM lineitem))
+    """,
+    "rewrite_pos_deletes": f"""
+        SELECT {', '.join(LI_COLS)} FROM lineitem
+        WHERE l_suppkey % 11 <> 0
+          AND l_partkey % 13 <> 0
+          AND l_quantity <= 45
     """,
     "dml_upsert_delete": f"""
         WITH base AS (SELECT {', '.join(LI_COLS)} FROM lineitem),
@@ -4238,6 +4269,7 @@ _R3_PRIORITY = [
     "kmv_click_purchase_overlap",
     "cm_heavy_hitters",
     "bloom_pruned_scan",
+    "rewrite_pos_deletes",
     # never-verified: streaming surface
     "streaming_lake_ingest",
     "streaming_cdc_apply",
@@ -4280,12 +4312,12 @@ _R3_PRIORITY = [
     "source_unigram_kl",
     "token_frequency_spectrum",
     # never-verified: search / sampling / misc analytics
-    "bm25_search",
     # §2 sentinels (cheap canaries kept inside the window)
     "mor_pos_delete",
     "mor_eq_delete_seq",
     "dml_apply_changes",
     # --- window boundary (~50) — below here rotates in r4+ ---
+    "bm25_search",
     "keyword_tags",
     "weighted_sample",
     "leakage_safe_split",
@@ -4356,6 +4388,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # lake semantics beyond the rewrite (unique coverage — early)
         "stats_pruned_scan": q_stats_pruned_scan,
         "bloom_pruned_scan": q_bloom_pruned_scan,
+        "rewrite_pos_deletes": q_rewrite_pos_deletes,
         "tagged_release_read": q_tagged_release_read,
         "compact_binpack": q_compact_binpack,
         "partition_stats": q_partition_stats,

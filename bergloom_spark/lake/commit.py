@@ -115,6 +115,7 @@ class RewriteFilesCommitManager:
                 equality_ids=list(e.equality_ids),
                 partition=dict(e.partition),
                 column_stats=dict(e.column_stats),
+                column_blooms=dict(getattr(e, "column_blooms", {}) or {}),
             )
             for e in add_entries
         ]

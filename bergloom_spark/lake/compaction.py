@@ -353,6 +353,87 @@ class SortCompaction(Compaction):
         )
 
 
+def rewrite_position_deletes(
+    table: LakeTable, config: CompactionConfig | None = None
+) -> CompactionResult:
+    """Fold the current snapshot's positional-delete files into one
+    sorted file and drop DANGLING deletes — the analog of Iceberg's
+    ``rewrite_position_delete_files`` maintenance procedure, the other
+    half of MoR-debt compaction (many tiny delete files slow every MoR
+    read exactly like many tiny data files do).
+
+    Dropped as dangling:
+    - pos-delete rows naming a data file no longer live in the
+      snapshot (the row they deleted was already rewritten away);
+    - whole equality-delete files whose sequence number is ≤ every
+      live data file's (the seq gate ``data.seq < delete.seq`` can
+      never select them again).
+
+    Scale shape: the delete set is ≪ the table; one broadcast
+    semi-join against the live-path list + a dedup, then one sorted
+    write. Data files are untouched — this is a metadata-plus-small-IO
+    operation, committed with the same retrying CAS as data rewrites.
+    Readers see identical rows before and after (oracle-proved by the
+    ``rewrite_pos_deletes`` driver query).
+    """
+    from pyspark.sql import functions as F
+
+    config = config or CompactionConfig()
+    table.refresh()
+    snap = table.meta.current_snapshot()
+    if snap is None:
+        return CompactionResult()
+    pos_entries = snap.files(md.POS_DELETE)
+    eq_entries = snap.files(md.EQ_DELETE)
+    data_entries = snap.files(md.DATA)
+    min_data_seq = min(
+        (e.sequence_number for e in data_entries), default=0
+    )
+    dangling_eq = [
+        e for e in eq_entries if e.sequence_number <= min_data_seq
+    ]
+    if not pos_entries and not dangling_eq:
+        return CompactionResult(snapshot_id=snap.snapshot_id)
+
+    add_entries: list[md.ManifestEntry] = []
+    remove_paths = {e.file_path for e in dangling_eq}
+    if pos_entries:
+        spark = table.spark
+        deletes = spark.read.schema(md.POS_DELETE_SCHEMA).parquet(
+            *[e.file_path for e in pos_entries]
+        )
+        live_paths = spark.createDataFrame(
+            [(e.file_path,) for e in data_entries], "file_path string"
+        )
+        kept = deletes.join(
+            F.broadcast(live_paths), "file_path", "left_semi"
+        ).dropDuplicates(["file_path", "pos"])
+        add_entries = wr.write_position_delete_files(
+            kept, table.meta.table_root, snap.sequence_number
+        )
+        remove_paths |= {e.file_path for e in pos_entries}
+
+    manager = RewriteFilesCommitManager(
+        table_root=table.meta.table_root,
+        starting_schema_id=table.meta.schema_id,
+        starting_sequence_number=snap.sequence_number,
+        use_starting_sequence_number=config.use_starting_sequence_number,
+        retry=RetryConfig.from_compaction(config),
+    )
+    manager.rewrite_files(add_entries, remove_paths)
+    table.refresh()
+    return CompactionResult(
+        stat=RewriteFilesStat(
+            rewritten_files_count=len(pos_entries) + len(dangling_eq),
+            added_files_count=len(add_entries),
+            rewritten_bytes=sum(
+                e.file_size_bytes for e in pos_entries
+            ),
+        ),
+        snapshot_id=table.meta.current_snapshot_id,
+    )
+
+
 def remove_orphan_files(
     table: LakeTable, older_than_s: float = 3 * 24 * 3600
 ) -> int:
