@@ -17,7 +17,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import __spark_entry__ as entry_mod  # noqa: E402
 from bergloom_spark.session import get_spark  # noqa: E402
 
-HEADLINE = [
+# The r01/r02 headline set — kept as its own list so the JSON can
+# report a subtotal comparable across ALL rounds' BENCH files.
+HEADLINE_R1 = [
     "compact_roundtrip",
     "mor_pos_delete",
     "mor_eq_delete_seq",
@@ -32,7 +34,10 @@ HEADLINE = [
     "simhash",
     "minhash_lsh_pairs",
     "knn_bruteforce",
-    # round-2/3 operator surface (perf regression tracking, VERDICT r2 #6)
+]
+
+# Round-2/3 operator surface (perf regression tracking, VERDICT r2 #6).
+HEADLINE = HEADLINE_R1 + [
     "quality_classifier",
     "dedup_remove_spans",
     "embedding_dedup",
@@ -95,6 +100,10 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf else None,
+                # apples-to-apples vs BENCH_r01/r02 (their 14-query set)
+                "r1_comparable_total": round(
+                    sum(timings[n] for n in HEADLINE_R1 if n in timings), 3
+                ),
             }
         )
     )

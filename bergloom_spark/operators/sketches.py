@@ -227,9 +227,12 @@ def cm_heavy_hitters(
     counters = hits.groupBy("row", "bucket").agg(
         F.count(F.lit(1)).alias("cnt")
     )
-    vocab = hits.select("token", "row", "bucket").distinct()
+    # No distinct-vocab shuffle: min over the repeated (occurrence ×
+    # row) multiset equals min over each token's d distinct probes, so
+    # the broadcast probe join runs straight off the exploded hits and
+    # the per-token min is one combinable aggregate.
     est = (
-        vocab.join(F.broadcast(counters), ["row", "bucket"])
+        hits.join(F.broadcast(counters), ["row", "bucket"])
         .groupBy("token")
         .agg(F.min("cnt").alias("cm_count"))
     )

@@ -407,3 +407,59 @@ def test_remove_duplicate_spans_text_stays_scan_side(spark):
     for m in re.finditer(r"Exchange hashpartitioning[^\n]*", plan):
         assert "__text" not in m.group(0)
     assert X.count_sortmerge_joins(df) <= 2  # hot-hash semi + rebuild join
+
+
+# ---------------------------------------------------------------------------
+# round-3 operators
+# ---------------------------------------------------------------------------
+def test_kmv_sketch_is_top_k_not_full_sort(spark):
+    """The KMV sketch must be a TakeOrdered (per-partition top-k +
+    merge), never a full global sort of the distinct hash set."""
+    from bergloom_spark.operators.sketches import kmv_distinct
+
+    ev = load_table(spark, SF, "events")
+    df = kmv_distinct(ev, "user_id", k=64)
+    plan = X.executed_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert X.count_shuffles(df) <= 2  # distinct + the k-row merge
+
+
+def test_cm_counters_broadcast_no_nested_loop(spark):
+    from bergloom_spark.operators.sketches import cm_heavy_hitters
+
+    docs = load_table(spark, SF, "documents")
+    df = cm_heavy_hitters(docs, "text", top_k=20)
+    plan = X.executed_plan(df)
+    assert X.count_broadcast_joins(df) >= 1  # d·w counter table
+    assert "BroadcastNestedLoop" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_hard_negatives_ivf_routing_is_equi_join(spark):
+    """IVF routing = equi-join on centroid_id against a broadcast
+    probe map; no nested-loop candidate generation anywhere."""
+    from bergloom_spark.operators.similarity import hard_negatives_ivf
+
+    emb = load_table(spark, SF, "embeddings")
+    df = hard_negatives_ivf(emb, probe_ids=list(range(4)), k=3,
+                            n_centroids=4, nprobe=2)
+    plan = X.executed_plan(df)
+    assert X.count_broadcast_joins(df) >= 1
+    assert "BroadcastNestedLoop" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_multimodal_decode_payload_never_in_exchange(spark):
+    """Decode is a pure map chain: image bytes must never cross a
+    shuffle (no Exchange at all in the decode pipeline)."""
+    import importlib.util
+    import os as _os
+
+    spec = importlib.util.spec_from_file_location(
+        "entry_plan_t", _os.path.join(_os.path.dirname(_os.path.dirname(
+            _os.path.abspath(__file__))), "__spark_entry__.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    df = mod.queries()["multimodal_decode_real"](spark, SF)
+    assert X.count_shuffles(df) <= 1  # only the tiny final projection agg
