@@ -424,6 +424,9 @@ _MOR_ORACLES = {
           AND l_partkey % 13 <> 0
           AND l_quantity <= 45
     """,
+    "table_clone_isolation": f"""
+        SELECT {', '.join(LI_COLS)} FROM lineitem WHERE l_suppkey % 5 <> 0
+    """,
     "dml_upsert_delete": f"""
         WITH base AS (SELECT {', '.join(LI_COLS)} FROM lineitem),
         upd AS (
@@ -3300,6 +3303,39 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_table_clone_isolation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-copy shallow clone (round 3): clone a lake table (metadata
+    write, no bytes move), row-delete in the CLONE, append to the
+    ORIGINAL — each side must see only its own change. Returns the
+    clone's read; the original's isolation is asserted in-query."""
+    from bergloom_spark.lake import LakeTable
+
+    base = T(spark, sf_dir, "lineitem").select(*LI_COLS)
+    scratch = _scratch(prefix="bergloom-clone-")
+    t = LakeTable.create(spark, os.path.join(scratch, "src"), base.schema)
+    t.append(base)
+    n_src = t.read().count()
+    c = t.clone_to(os.path.join(scratch, "clone"))
+    c.delete_where(F.col("l_suppkey") % 5 == 0)
+    t.append(base.limit(7))  # original diverges independently
+    assert t.refresh().read().count() == n_src + 7
+    return c.read()
+
+
+def q_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style stats (round 3, operators/sketches.py): per-column
+    rows / nulls / KMV-estimated NDV in one scan-plus-sketch pass —
+    deterministic, so the optimizer-facing estimates themselves are
+    oracle-checked."""
+    from bergloom_spark.operators.sketches import column_profile
+
+    return column_profile(
+        T(spark, sf_dir, "lineitem"),
+        ["l_orderkey", "l_partkey", "l_suppkey"],
+        k=64,
+    )
+
+
 def q_kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV distinct-count sketch (round 3, operators/sketches.py): the
     k smallest distinct md5-hashes of user_id — a mergeable Θ-sketch
@@ -3953,6 +3989,7 @@ _EXT_ORACLES = {
 def _sketch_oracles() -> dict[str, str]:
     from bergloom_spark.operators.sketches import (
         cm_heavy_hitters_sql,
+        column_profile_sql,
         kmv_distinct_sql,
         kmv_overlap_sql,
     )
@@ -3967,6 +4004,9 @@ def _sketch_oracles() -> dict[str, str]:
         ),
         "cm_heavy_hitters": cm_heavy_hitters_sql(
             "documents", "text", d=3, w=4096, top_k=50
+        ),
+        "column_profile": column_profile_sql(
+            "lineitem", ["l_orderkey", "l_partkey", "l_suppkey"], k=64
         ),
     }
 
@@ -4270,6 +4310,8 @@ _R3_PRIORITY = [
     "cm_heavy_hitters",
     "bloom_pruned_scan",
     "rewrite_pos_deletes",
+    "table_clone_isolation",
+    "column_profile",
     # never-verified: streaming surface
     "streaming_lake_ingest",
     "streaming_cdc_apply",
@@ -4309,14 +4351,13 @@ _R3_PRIORITY = [
     "readability",
     "unigram_logprob",
     "bigram_logprob",
-    "source_unigram_kl",
-    "token_frequency_spectrum",
-    # never-verified: search / sampling / misc analytics
     # §2 sentinels (cheap canaries kept inside the window)
     "mor_pos_delete",
     "mor_eq_delete_seq",
     "dml_apply_changes",
     # --- window boundary (~50) — below here rotates in r4+ ---
+    "source_unigram_kl",
+    "token_frequency_spectrum",
     "bm25_search",
     "keyword_tags",
     "weighted_sample",
@@ -4389,6 +4430,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_pruned_scan": q_stats_pruned_scan,
         "bloom_pruned_scan": q_bloom_pruned_scan,
         "rewrite_pos_deletes": q_rewrite_pos_deletes,
+        "table_clone_isolation": q_table_clone_isolation,
+        "column_profile": q_column_profile,
         "tagged_release_read": q_tagged_release_read,
         "compact_binpack": q_compact_binpack,
         "partition_stats": q_partition_stats,

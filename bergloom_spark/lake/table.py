@@ -372,6 +372,49 @@ class LakeTable:
         md.write_version(meta)
         self.meta = meta
 
+    def clone_to(self, new_root: str) -> "LakeTable":
+        """Zero-copy (shallow) clone at the current snapshot — the
+        Delta ``SHALLOW CLONE`` / Iceberg snapshot-table pattern: the
+        clone's metadata references the SOURCE's data/delete files by
+        absolute path; no bytes move. Future commits diverge
+        independently (the clone's new files land under ``new_root``).
+
+        At 100 TB this is how experiment branches are made: a clone is
+        a metadata write, not a copy job. Caveat (same as the
+        production systems'): the source's ``expire_snapshots`` /
+        orphan cleanup does not know about clones — keep a tag on the
+        cloned snapshot in the source, or expire conservatively.
+        """
+        import copy
+        import time as _time
+
+        snap = self.meta.current_snapshot()
+        entries = copy.deepcopy(snap.entries) if snap else []
+        clone_snap = md.Snapshot(
+            snapshot_id=1,
+            # Preserve sequence numbers: the carried entries' seq gates
+            # (eq-delete visibility) must keep meaning what they meant.
+            sequence_number=snap.sequence_number if snap else 0,
+            timestamp_ms=int(_time.time() * 1000),
+            operation="clone",
+            entries=entries,
+            parent_snapshot_id=None,
+        )
+        meta = md.TableMetadata(
+            table_root=new_root,
+            schema=self.meta.schema,
+            schema_id=self.meta.schema_id,
+            partition_spec=list(self.meta.partition_spec),
+            properties=dict(self.meta.properties),
+            current_snapshot_id=clone_snap.snapshot_id,
+            last_sequence_number=self.meta.last_sequence_number,
+            last_snapshot_id=clone_snap.snapshot_id,
+            version=0,
+            snapshots=[clone_snap],
+        )
+        md.write_version(meta)
+        return LakeTable(self.spark, meta)
+
     # ------------------------------------------------------------------
     # metadata tables (Iceberg's `table.snapshots` / `table.files` /
     # `table.history` introspection surface, as DataFrames)

@@ -164,6 +164,7 @@ def embedding_dedup_pairs_blocked(
     n_centroids: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    cache: bool = True,
 ) -> DataFrame:
     """All pairs with cosine ≥ threshold — EXACT, without the all-pairs
     nested-loop join.
@@ -207,6 +208,12 @@ def embedding_dedup_pairs_blocked(
         )
         .withColumn("__n", l2norm(F.col("__v")))
     )
+    if cache:
+        # The Arrow-batch assignment otherwise re-runs three times
+        # (radii aggregate + both self-join sides). Same cache=
+        # contract as embedding_dedup_pairs: pinned until the session
+        # ends or spark.catalog.clearCache().
+        assigned = assigned.cache()
 
     # Per-cluster angular radius (K rows → driver).
     cdf = spark.createDataFrame(

@@ -37,6 +37,8 @@ from bergloom_spark.functions.hashing import HASH_BITS, hash64, hash64_sql
 __all__ = [
     "cm_heavy_hitters",
     "cm_heavy_hitters_sql",
+    "column_profile",
+    "column_profile_sql",
     "kmv_distinct",
     "kmv_distinct_sql",
     "kmv_overlap",
@@ -183,6 +185,62 @@ def kmv_overlap_sql(
                round(n_both::DOUBLE / n_k::DOUBLE, 4) AS est_jaccard
         FROM agg
     """
+
+
+def column_profile(
+    df: DataFrame, cols: list[str], k: int = 64
+) -> DataFrame:
+    """ANALYZE-style per-column statistics: (column, n_rows, n_nulls,
+    est_ndv) — the numbers a cost-based optimizer or a curation audit
+    reads first. NDV comes from the KMV sketch (deterministic, so the
+    whole profile oracle-checks); nulls/rows are one shared aggregate
+    pass. Scale shape: one full-scan agg + one k-row sketch per
+    profiled column — profile the key columns, not all 400.
+    """
+    counts_row = df.agg(
+        F.count(F.lit(1)).alias("__n"),
+        *[
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias(f"__nn_{i}")
+            for i, c in enumerate(cols)
+        ],
+    )
+    out = None
+    for i, c in enumerate(cols):
+        est = kmv_distinct(df, c, k).select(
+            F.lit(c).alias("column"),
+            F.col("est_distinct").alias("est_ndv"),
+        )
+        piece = counts_row.crossJoin(est).select(
+            "column",
+            F.col("__n").alias("n_rows"),
+            F.col(f"__nn_{i}").alias("n_nulls"),
+            "est_ndv",
+        )
+        out = piece if out is None else out.unionByName(piece)
+    return out
+
+
+def column_profile_sql(table: str, cols: list[str], k: int = 64) -> str:
+    """DuckDB twin of :func:`column_profile`."""
+    pieces = []
+    for c in cols:
+        h = hash64_sql(f"({c})::VARCHAR")
+        pieces.append(
+            f"""
+        SELECT '{c}' AS column,
+               (SELECT count(*) FROM {table})::BIGINT AS n_rows,
+               (SELECT count(*) FROM {table} WHERE {c} IS NULL)::BIGINT
+                   AS n_nulls,
+               (SELECT CASE WHEN count(*) < {k} THEN count(*)::DOUBLE
+                       ELSE round({float(k - 1)!r}
+                                  / (max(h)::DOUBLE / {_HASH_SPAN!r}), 4) END
+                FROM (SELECT DISTINCT {h} AS h FROM {table}
+                      WHERE {c} IS NOT NULL ORDER BY h LIMIT {k}))
+                   AS est_ndv"""
+        )
+    return " UNION ALL ".join(pieces)
 
 
 def cm_heavy_hitters(

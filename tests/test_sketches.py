@@ -109,3 +109,19 @@ def test_cm_oracle_parity(spark, sf_dir, duck):
         df, duck, SK.cm_heavy_hitters_sql("documents", "text", top_k=25)
     )
     assert report["match"], report
+
+
+def test_column_profile_oracle_parity(spark, sf_dir, duck):
+    from bergloom_spark.io import load_table as LT
+
+    duck.execute(
+        f"CREATE VIEW IF NOT EXISTS lineitem AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/lineitem.parquet')"
+    )
+    df = SK.column_profile(
+        LT(spark, sf_dir, "lineitem"), ["l_orderkey", "l_suppkey"], k=64
+    )
+    report = compare(
+        df, duck, SK.column_profile_sql("lineitem", ["l_orderkey", "l_suppkey"], k=64)
+    )
+    assert report["match"], report

@@ -147,3 +147,35 @@ def test_fast_count_metadata_only_and_delete_fallback(spark, tmp_path):
     # compaction clears the delete debt: metadata answers again
     Compaction(t, CompactionConfig()).compact()
     assert t.fast_count() == 490
+
+
+def test_clone_is_zero_copy_and_isolated(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    from bergloom_spark.lake import LakeTable
+    from bergloom_spark.lake import metadata as md
+
+    base = spark.range(100).select(F.col("id"), (F.col("id") * 2).alias("v"))
+    src = LakeTable.create(spark, str(tmp_path / "src"), base.schema)
+    src.append(base)
+    clone = src.clone_to(str(tmp_path / "clone"))
+    # zero-copy: clone references the SOURCE's files
+    src_paths = {e.file_path for e in src.meta.current_snapshot().entries}
+    clone_paths = {e.file_path for e in clone.meta.current_snapshot().entries}
+    assert clone_paths == src_paths
+    assert clone.read().count() == 100
+    # divergence: delete in clone, append in source — no cross-talk
+    clone.delete_where(F.col("id") < 10)
+    src.append(base.limit(5))
+    assert clone.read().count() == 90
+    assert src.refresh().read().count() == 105
+    # clone survives a reload from disk
+    reloaded = LakeTable.load(spark, str(tmp_path / "clone"))
+    assert reloaded.read().count() == 90
+    assert reloaded.meta.current_snapshot().operation != ""
+    # clone's own commits land under the clone root
+    new_files = {
+        e.file_path
+        for e in reloaded.meta.current_snapshot().files(md.POS_DELETE)
+    }
+    assert all(str(tmp_path / "clone") in p for p in new_files)
