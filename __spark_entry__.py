@@ -427,6 +427,14 @@ _MOR_ORACLES = {
     "table_clone_isolation": f"""
         SELECT {', '.join(LI_COLS)} FROM lineitem WHERE l_suppkey % 5 <> 0
     """,
+    "manifest_aggregates": """
+        SELECT count(*)::BIGINT AS n_rows,
+               min(l_orderkey) AS min_orderkey,
+               max(l_orderkey) AS max_orderkey,
+               round(min(l_quantity), 6) AS min_quantity,
+               round(max(l_quantity), 6) AS max_quantity
+        FROM lineitem
+    """,
     "dml_upsert_delete": f"""
         WITH base AS (SELECT {', '.join(LI_COLS)} FROM lineitem),
         upd AS (
@@ -1147,6 +1155,28 @@ def q_partition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     t.append(li)
     return t.partitions_df().select(
         F.col("l_returnflag"), F.col("n_rows")
+    )
+
+
+def q_manifest_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only aggregate pushdown (round 3): COUNT(*)/MIN/MAX
+    answered purely from manifest record counts and column stats — a
+    driver-side O(n_files) fold, no data scan. Refuses (and the
+    refusal is tested) under live delete files, where survivors'
+    extremes aren't knowable from stats."""
+    from bergloom_spark.lake import LakeTable
+
+    base = T(spark, sf_dir, "lineitem").select(*LI_COLS)
+    root = os.path.join(_scratch(prefix="bergloom-magg-"), "li")
+    t = LakeTable.create(spark, root, base.schema)
+    t.append(base, target_file_size=512 * 1024)  # several files
+    cnt = t.fast_count()
+    lo, hi = t.fast_min_max("l_orderkey")
+    qlo, qhi = t.fast_min_max("l_quantity")
+    return spark.createDataFrame(
+        [(int(cnt), int(lo), int(hi), round(float(qlo), 6), round(float(qhi), 6))],
+        "n_rows long, min_orderkey long, max_orderkey long, "
+        "min_quantity double, max_quantity double",
     )
 
 
@@ -4312,6 +4342,7 @@ _R3_PRIORITY = [
     "rewrite_pos_deletes",
     "table_clone_isolation",
     "column_profile",
+    "manifest_aggregates",
     # never-verified: streaming surface
     "streaming_lake_ingest",
     "streaming_cdc_apply",
@@ -4350,12 +4381,12 @@ _R3_PRIORITY = [
     "text_repetition",
     "readability",
     "unigram_logprob",
-    "bigram_logprob",
     # §2 sentinels (cheap canaries kept inside the window)
     "mor_pos_delete",
     "mor_eq_delete_seq",
     "dml_apply_changes",
     # --- window boundary (~50) — below here rotates in r4+ ---
+    "bigram_logprob",
     "source_unigram_kl",
     "token_frequency_spectrum",
     "bm25_search",
@@ -4432,6 +4463,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rewrite_pos_deletes": q_rewrite_pos_deletes,
         "table_clone_isolation": q_table_clone_isolation,
         "column_profile": q_column_profile,
+        "manifest_aggregates": q_manifest_aggregates,
         "tagged_release_read": q_tagged_release_read,
         "compact_binpack": q_compact_binpack,
         "partition_stats": q_partition_stats,

@@ -507,6 +507,35 @@ class LakeTable:
             return None
         return sum(e.record_count for e in snap.entries)
 
+    def fast_min_max(
+        self, col: str, snapshot_id: int | None = None
+    ) -> tuple | None:
+        """(min, max) of ``col`` answered from manifest column stats —
+        the metadata-only aggregate pushdown for MIN/MAX. Refuses
+        (None) when the snapshot carries live delete files (a delete
+        might remove the extreme row — min/max of survivors is not
+        knowable from stats) or when any data file lacks safe stats
+        for the column (strings never have them — parquet truncation).
+
+        Valid because file-level [min, max] are exact bounds attained
+        by some row in the file; the fold over files is exact.
+        """
+        snap = self._snapshot(snapshot_id)
+        if snap is None:
+            return None
+        if any(e.content != md.DATA for e in snap.entries):
+            return None
+        los, his = [], []
+        for e in snap.entries:
+            stored = (e.column_stats or {}).get(col)
+            if not stored:
+                return None
+            los.append(stored[0])
+            his.append(stored[1])
+        if not los:
+            return None
+        return min(los), max(his)
+
     # ------------------------------------------------------------------
     # schema evolution (the reference's roadmap item, README.md:52-54;
     # its schema-id commit guard, compaction/mod.rs:532-541, is what

@@ -179,3 +179,26 @@ def test_clone_is_zero_copy_and_isolated(spark, tmp_path):
         for e in reloaded.meta.current_snapshot().files(md.POS_DELETE)
     }
     assert all(str(tmp_path / "clone") in p for p in new_files)
+
+
+def test_fast_min_max_metadata_only_and_refusals(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    from bergloom_spark.lake import LakeTable
+
+    base = spark.range(1000).select(
+        F.col("id"), (F.col("id") % 7).alias("grp"),
+        F.concat(F.lit("s"), F.col("id")).alias("s"),
+    )
+    t = LakeTable.create(spark, str(tmp_path / "t"), base.schema)
+    t.append(base, target_file_size=16 * 1024)
+    assert t.fast_min_max("id") == (0, 999)
+    assert t.fast_min_max("grp") == (0, 6)
+    # strings never have safe stats -> refuse
+    assert t.fast_min_max("s") is None
+    # unknown column -> refuse
+    assert t.fast_min_max("nope") is None
+    # live deletes -> refuse (the extreme row might be deleted)
+    t.delete_where(F.col("id") == 999)
+    assert t.fast_min_max("id") is None
+    assert t.read().agg(F.max("id")).first()[0] == 998
