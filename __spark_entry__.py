@@ -427,6 +427,45 @@ _MOR_ORACLES = {
     "table_clone_isolation": f"""
         SELECT {', '.join(LI_COLS)} FROM lineitem WHERE l_suppkey % 5 <> 0
     """,
+    "merge_into": f"""
+        WITH src AS (
+          SELECT l_orderkey, l_linenumber,
+                 max(l_partkey) AS l_partkey, max(l_suppkey) AS l_suppkey,
+                 max(l_quantity) + 500.0 AS l_quantity
+          FROM lineitem WHERE l_partkey % 19 = 0
+          GROUP BY l_orderkey, l_linenumber
+          UNION ALL
+          SELECT 90000000 + r.range, 1::BIGINT, 1::BIGINT, 1::BIGINT, 7.0
+          FROM range(0, 5) r
+        ),
+        unmatched_t AS (
+          SELECT {', '.join('t.' + c for c in LI_COLS)} FROM lineitem t
+          WHERE NOT EXISTS (
+            SELECT 1 FROM src s
+            WHERE s.l_orderkey = t.l_orderkey
+              AND s.l_linenumber = t.l_linenumber)
+        ),
+        matched AS (
+          SELECT t.l_orderkey, t.l_linenumber, t.l_partkey, t.l_suppkey,
+                 s.l_quantity, s.l_suppkey AS s_suppkey
+          FROM lineitem t
+          JOIN src s ON s.l_orderkey = t.l_orderkey
+                    AND s.l_linenumber = t.l_linenumber
+        ),
+        inserts AS (
+          SELECT {', '.join('s.' + c for c in LI_COLS)} FROM src s
+          WHERE NOT EXISTS (
+            SELECT 1 FROM lineitem t
+            WHERE t.l_orderkey = s.l_orderkey
+              AND t.l_linenumber = s.l_linenumber)
+        )
+        SELECT * FROM unmatched_t
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity
+        FROM matched WHERE s_suppkey % 23 <> 0
+        UNION ALL
+        SELECT * FROM inserts
+    """,
     "manifest_aggregates": """
         SELECT count(*)::BIGINT AS n_rows,
                min(l_orderkey) AS min_orderkey,
@@ -1156,6 +1195,50 @@ def q_partition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.partitions_df().select(
         F.col("l_returnflag"), F.col("n_rows")
     )
+
+
+def q_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full SQL-shaped MERGE INTO (round 3): one statement with
+    UPDATE-on-match (expression over both sides), DELETE-on-match
+    (condition), and INSERT-not-matched — committed as ONE equality-
+    delta snapshot (delete + data at the same sequence number), so no
+    reader observes a half-applied merge. Source: every lineitem with
+    l_partkey % 19 == 0 (quantity bumped by 500), minus deletions for
+    l_suppkey % 23 == 0, plus 5 brand-new synthetic rows."""
+    from bergloom_spark.lake import LakeTable
+
+    base = T(spark, sf_dir, "lineitem").select(*LI_COLS)
+    root = os.path.join(_scratch(prefix="bergloom-merge-"), "li")
+    t = LakeTable.create(spark, root, base.schema)
+    t.append(base)
+    # (l_orderkey, l_linenumber) is NOT unique in the synthetic data;
+    # SQL MERGE forbids duplicate source keys, so the source is a
+    # keyed aggregate (and the duplicate-key guard is exercised in
+    # tests/test_dml.py).
+    changed = (
+        base.filter(F.col("l_partkey") % 19 == 0)
+        .groupBy("l_orderkey", "l_linenumber")
+        .agg(
+            F.max("l_partkey").alias("l_partkey"),
+            F.max("l_suppkey").alias("l_suppkey"),
+            (F.max("l_quantity") + F.lit(500.0)).alias("l_quantity"),
+        )
+    )
+    fresh = spark.range(5).select(
+        (F.col("id") + 90_000_000).alias("l_orderkey"),
+        F.lit(1).cast("long").alias("l_linenumber"),
+        F.lit(1).cast("long").alias("l_partkey"),
+        F.lit(1).cast("long").alias("l_suppkey"),
+        F.lit(7.0).alias("l_quantity"),
+    )
+    t.merge_into(
+        changed.unionByName(fresh),
+        key_cols=["l_orderkey", "l_linenumber"],
+        when_matched_update={"l_quantity": "s.l_quantity"},
+        when_matched_delete="s.l_suppkey % 23 = 0",
+        when_not_matched_insert=True,
+    )
+    return t.read()
 
 
 def q_manifest_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4343,6 +4426,7 @@ _R3_PRIORITY = [
     "table_clone_isolation",
     "column_profile",
     "manifest_aggregates",
+    "merge_into",
     # never-verified: streaming surface
     "streaming_lake_ingest",
     "streaming_cdc_apply",
@@ -4380,12 +4464,12 @@ _R3_PRIORITY = [
     "gopher_rules",
     "text_repetition",
     "readability",
-    "unigram_logprob",
     # §2 sentinels (cheap canaries kept inside the window)
     "mor_pos_delete",
     "mor_eq_delete_seq",
     "dml_apply_changes",
     # --- window boundary (~50) — below here rotates in r4+ ---
+    "unigram_logprob",
     "bigram_logprob",
     "source_unigram_kl",
     "token_frequency_spectrum",
@@ -4464,6 +4548,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_clone_isolation": q_table_clone_isolation,
         "column_profile": q_column_profile,
         "manifest_aggregates": q_manifest_aggregates,
+        "merge_into": q_merge_into,
         "tagged_release_read": q_tagged_release_read,
         "compact_binpack": q_compact_binpack,
         "partition_stats": q_partition_stats,

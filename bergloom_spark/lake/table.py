@@ -730,6 +730,123 @@ class LakeTable:
         self.append_equality_deletes(df.select(*key_cols), key_cols)
         return self.append(df)
 
+    def merge_into(
+        self,
+        source: DataFrame,
+        key_cols: list[str],
+        when_matched_update: dict[str, str] | None = None,
+        when_matched_delete: str | None = None,
+        when_not_matched_insert: bool = True,
+        validate_unique_keys: bool = True,
+        target_file_size: int = 128 * 1024 * 1024,
+    ) -> md.Snapshot:
+        """General MERGE INTO (equi-merge on ``key_cols``), the SQL
+        shape::
+
+            MERGE INTO target t USING source s ON <keys equal>
+            WHEN MATCHED AND <when_matched_delete>   THEN DELETE
+            WHEN MATCHED                             THEN UPDATE SET
+                 col = <when_matched_update[col]>    -- exprs over t/s
+            WHEN NOT MATCHED [AND insert]            THEN INSERT *
+
+        Conditions/assignments are SQL expression strings over aliases
+        ``t`` (target) and ``s`` (source) — e.g. ``{"l_quantity":
+        "t.l_quantity + s.l_quantity"}``; columns missing from the
+        update map keep their target value.
+
+        ONE atomic commit, equality-delta style (same as
+        :meth:`apply_changes`): every matched key gets an equality
+        delete, surviving/updated rows plus inserts land as data files
+        in the SAME snapshot — the seq gate keeps the new rows while
+        shadowing the old, so no intermediate state is observable.
+
+        Like SQL MERGE, multiple source rows per key are an error
+        (``validate_unique_keys``) — nondeterministic merges never
+        commit. Scale shape: one equi-join keyed on the merge keys +
+        one anti join; the rewrite touches only matched keys' rows
+        (shadowed, not rewritten — compaction's debt), never the
+        table.
+        """
+        user_cols = [f.name for f in self.schema.fields]
+        if validate_unique_keys:
+            dup = (
+                source.groupBy(*key_cols)
+                .count()
+                .filter(F.col("count") > 1)
+                .limit(1)
+                .collect()
+            )
+            if dup:
+                raise ValueError(
+                    f"source has multiple rows for key "
+                    f"{[dup[0][k] for k in key_cols]}: SQL MERGE "
+                    "semantics forbid updating one row twice"
+                )
+        target = self.read().alias("t")
+        src = source.alias("s")
+        key_cond = [F.col(f"t.{k}") == F.col(f"s.{k}") for k in key_cols]
+        joined = target.join(src, key_cond, "inner")
+        if when_matched_delete is not None:
+            survivors = joined.filter(f"NOT ({when_matched_delete})")
+        else:
+            survivors = joined
+        update = when_matched_update or {}
+        updated = survivors.select(
+            *[
+                F.expr(update[c]).alias(c)
+                if c in update
+                else F.col(f"t.{c}").alias(c)
+                for c in user_cols
+            ]
+        )
+        new_rows = updated
+        if when_not_matched_insert:
+            tkeys = target.select(
+                *[F.col(f"t.{k}").alias(k) for k in key_cols]
+            ).alias("tk")
+            inserts = src.join(
+                tkeys,
+                [F.col(f"s.{k}") == F.col(f"tk.{k}") for k in key_cols],
+                "left_anti",
+            ).select(*[F.col(f"s.{c}").alias(c) for c in user_cols])
+            new_rows = updated.unionByName(inserts)
+        # SQL-INSERT-style store assignment: coerce to the table schema
+        # (a wider source type would otherwise corrupt the parquet
+        # column type for every later reader).
+        new_rows = new_rows.select(
+            *[
+                F.col(f.name).cast(f.dataType).alias(f.name)
+                for f in self.schema.fields
+            ]
+        )
+        matched_keys = joined.select(
+            *[F.col(f"t.{k}").alias(k) for k in key_cols]
+        ).distinct()
+
+        meta, snap = self._next_commit("merge")
+        self._carry_forward(snap)
+        snap.entries.extend(
+            wr.write_equality_delete_files(
+                matched_keys,
+                self.meta.table_root,
+                snap.sequence_number,
+                key_cols,
+            )
+        )
+        snap.entries.extend(
+            wr.write_data_files(
+                new_rows,
+                self.meta.table_root,
+                snap.sequence_number,
+                target_file_size,
+                partition_spec=self.meta.partition_spec or None,
+                bloom_cols=self.bloom_cols(meta),
+            )
+        )
+        md.write_version(meta)
+        self.meta = meta
+        return snap
+
     def apply_changes(
         self,
         changes: DataFrame,

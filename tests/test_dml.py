@@ -136,3 +136,70 @@ def test_apply_changes_then_compact_clears_debt(spark, tmp_path):
     # post-compaction: no delete files remain live
     snap = t.meta.current_snapshot()
     assert all(e.content == "data" for e in snap.entries)
+
+
+# ---------------------------------------------------------------------------
+# merge_into: general MERGE (round 3)
+# ---------------------------------------------------------------------------
+def test_merge_into_update_delete_insert(spark, tmp_path):
+    t = _t(spark, tmp_path)  # ids 0..99, v = "v{id}"
+    source = spark.createDataFrame(
+        [
+            (3, "UPDATED"),      # matched -> update
+            (4, "DELETE_ME"),    # matched -> delete (condition below)
+            (500, "NEW"),        # not matched -> insert
+        ],
+        SCHEMA,
+    )
+    t.merge_into(
+        source,
+        key_cols=["id"],
+        when_matched_update={"v": "s.v"},
+        when_matched_delete="s.v = 'DELETE_ME'",
+        when_not_matched_insert=True,
+    )
+    rows = {r.id: r.v for r in t.read().collect()}
+    assert rows[3] == "UPDATED"
+    assert 4 not in rows
+    assert rows[500] == "NEW"
+    assert rows[5] == "v5"  # untouched
+    assert len(rows) == 100  # 100 - 1 deleted + 1 inserted
+    # single atomic snapshot
+    assert t.meta.current_snapshot().operation == "merge"
+
+
+def test_merge_into_expression_update(spark, tmp_path):
+    t = _t(spark, tmp_path)
+    source = spark.createDataFrame([(7, "x"), (8, "y")], SCHEMA)
+    t.merge_into(
+        source,
+        key_cols=["id"],
+        when_matched_update={"v": "concat(t.v, ':', s.v)"},
+        when_not_matched_insert=False,
+    )
+    rows = {r.id: r.v for r in t.read().collect()}
+    assert rows[7] == "v7:x"
+    assert rows[8] == "v8:y"
+    assert len(rows) == 100
+
+
+def test_merge_into_rejects_duplicate_source_keys(spark, tmp_path):
+    import pytest
+
+    t = _t(spark, tmp_path)
+    dup = spark.createDataFrame([(1, "a"), (1, "b")], SCHEMA)
+    with pytest.raises(ValueError, match="multiple rows"):
+        t.merge_into(dup, key_cols=["id"], when_matched_update={"v": "s.v"})
+
+
+def test_merge_into_no_insert_clause(spark, tmp_path):
+    t = _t(spark, tmp_path)
+    source = spark.createDataFrame([(1, "one"), (1000, "ghost")], SCHEMA)
+    t.merge_into(
+        source, key_cols=["id"],
+        when_matched_update={"v": "s.v"},
+        when_not_matched_insert=False,
+    )
+    rows = {r.id: r.v for r in t.read().collect()}
+    assert rows[1] == "one"
+    assert 1000 not in rows
