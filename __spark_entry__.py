@@ -427,6 +427,10 @@ _MOR_ORACLES = {
     "table_clone_isolation": f"""
         SELECT {', '.join(LI_COLS)} FROM lineitem WHERE l_suppkey % 5 <> 0
     """,
+    "auto_maintenance": f"""
+        SELECT {', '.join(LI_COLS)} FROM lineitem
+        WHERE l_suppkey % 17 <> 0 AND l_partkey % 29 <> 0
+    """,
     "merge_into": f"""
         WITH src AS (
           SELECT l_orderkey, l_linenumber,
@@ -1195,6 +1199,41 @@ def q_partition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.partitions_df().select(
         F.col("l_returnflag"), F.col("n_rows")
     )
+
+
+def q_auto_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold-driven maintenance loop (round 3,
+    lake/maintenance.py — the compaction-DAEMON decision logic the
+    reference deploys as): five small appends + two delete commits
+    build debt; one run folds the delete files, binpacks the small
+    files, and expires old snapshots — asserted in-query — and the
+    read afterwards is provably the same rows (the oracle)."""
+    from bergloom_spark.lake import LakeTable
+    from bergloom_spark.lake import metadata as lmd
+    from bergloom_spark.lake.maintenance import (
+        MaintenancePolicy,
+        run_maintenance,
+    )
+
+    base = T(spark, sf_dir, "lineitem").select(*LI_COLS)
+    root = os.path.join(_scratch(prefix="bergloom-maint-"), "li")
+    t = LakeTable.create(spark, root, base.schema)
+    for i in range(5):
+        t.append(base.filter(F.col("l_orderkey") % 5 == i))
+    t.delete_where(F.col("l_suppkey") % 17 == 0)
+    t.delete_where(F.col("l_partkey") % 29 == 0)
+    report = run_maintenance(
+        t,
+        MaintenancePolicy(
+            min_small_files=3,
+            max_delete_files=1,
+            expire_keep_last=1,
+        ),
+    )
+    assert report.deletes_rewritten and report.binpacked
+    assert report.snapshots_expired > 0
+    assert len(t.meta.current_snapshot().files(lmd.POS_DELETE)) <= 1
+    return t.read()
 
 
 def q_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4427,6 +4466,7 @@ _R3_PRIORITY = [
     "column_profile",
     "manifest_aggregates",
     "merge_into",
+    "auto_maintenance",
     # never-verified: streaming surface
     "streaming_lake_ingest",
     "streaming_cdc_apply",
@@ -4463,12 +4503,12 @@ _R3_PRIORITY = [
     # never-verified: text quality / LM signals
     "gopher_rules",
     "text_repetition",
-    "readability",
     # §2 sentinels (cheap canaries kept inside the window)
     "mor_pos_delete",
     "mor_eq_delete_seq",
     "dml_apply_changes",
     # --- window boundary (~50) — below here rotates in r4+ ---
+    "readability",
     "unigram_logprob",
     "bigram_logprob",
     "source_unigram_kl",
@@ -4549,6 +4589,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "column_profile": q_column_profile,
         "manifest_aggregates": q_manifest_aggregates,
         "merge_into": q_merge_into,
+        "auto_maintenance": q_auto_maintenance,
         "tagged_release_read": q_tagged_release_read,
         "compact_binpack": q_compact_binpack,
         "partition_stats": q_partition_stats,

@@ -1,0 +1,71 @@
+"""Threshold-driven maintenance loop (lake/maintenance.py)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from bergloom_spark.lake import LakeTable
+from bergloom_spark.lake import metadata as md
+from bergloom_spark.lake.maintenance import MaintenancePolicy, run_maintenance
+
+
+def _debt_table(spark, tmp_path, n_appends=5):
+    base = spark.range(500).select(F.col("id"), (F.col("id") * 2).alias("v"))
+    t = LakeTable.create(spark, str(tmp_path / "t"), base.schema)
+    per = 500 // n_appends
+    for i in range(n_appends):
+        t.append(base.filter((F.col("id") >= i * per) & (F.col("id") < (i + 1) * per)))
+    return t, base
+
+
+def test_below_thresholds_is_noop(spark, tmp_path):
+    t, _ = _debt_table(spark, tmp_path, n_appends=2)
+    v = t.meta.version
+    report = run_maintenance(
+        t, MaintenancePolicy(min_small_files=10, max_delete_files=5)
+    )
+    assert not report.binpacked and not report.deletes_rewritten
+    assert t.meta.version == v
+
+
+def test_binpack_fires_on_small_file_debt(spark, tmp_path):
+    t, _ = _debt_table(spark, tmp_path, n_appends=5)
+    before = sorted(r.id for r in t.read().collect())
+    n_files = len(t.meta.current_snapshot().files(md.DATA))
+    assert n_files >= 5
+    report = run_maintenance(t, MaintenancePolicy(min_small_files=4))
+    assert report.binpacked
+    assert len(t.meta.current_snapshot().files(md.DATA)) < n_files
+    assert sorted(r.id for r in t.read().collect()) == before
+
+
+def test_delete_rewrite_fires_then_binpack(spark, tmp_path):
+    t, _ = _debt_table(spark, tmp_path, n_appends=5)
+    for m in (7, 11, 13):
+        t.delete_where(F.col("id") % m == 0)
+    before = sorted(r.id for r in t.read().collect())
+    report = run_maintenance(
+        t, MaintenancePolicy(min_small_files=4, max_delete_files=2)
+    )
+    assert report.deletes_rewritten and report.binpacked
+    assert report.delete_files_before == 3
+    snap = t.meta.current_snapshot()
+    assert len(snap.files(md.POS_DELETE)) <= 1
+    assert sorted(r.id for r in t.read().collect()) == before
+
+
+def test_retention_runs_when_configured(spark, tmp_path):
+    t, _ = _debt_table(spark, tmp_path, n_appends=4)
+    report = run_maintenance(
+        t,
+        MaintenancePolicy(
+            min_small_files=3,
+            expire_keep_last=1,
+            orphan_older_than_s=0.0,
+        ),
+    )
+    assert report.binpacked
+    assert report.snapshots_expired > 0
+    assert len(t.refresh().meta.snapshots) >= 1
+    # the table still reads fine after expiry + orphan sweep
+    assert t.read().count() == 500
