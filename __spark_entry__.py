@@ -431,6 +431,11 @@ _MOR_ORACLES = {
         SELECT {', '.join(LI_COLS)} FROM lineitem
         WHERE l_suppkey % 17 <> 0 AND l_partkey % 29 <> 0
     """,
+    "rename_column_read": """
+        SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+               l_quantity AS qty
+        FROM lineitem WHERE l_suppkey % 7 <> 0
+    """,
     "merge_into": f"""
         WITH src AS (
           SELECT l_orderkey, l_linenumber,
@@ -1199,6 +1204,29 @@ def q_partition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.partitions_df().select(
         F.col("l_returnflag"), F.col("n_rows")
     )
+
+
+def q_rename_column_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column rename without rewrite (round 3): files written BEFORE
+    the rename store the old name, files after store the new one; the
+    scan resolves both via the rename history (coalesce over
+    historical names under an explicit schema). Delete application
+    keeps working across the rename — the final read mixes old-name
+    files, new-name files, and a positional delete."""
+    from bergloom_spark.lake import LakeTable
+
+    base = T(spark, sf_dir, "lineitem").select(*LI_COLS)
+    root = os.path.join(_scratch(prefix="bergloom-ren-"), "li")
+    t = LakeTable.create(spark, root, base.schema)
+    t.append(base.filter(F.col("l_orderkey") % 2 == 0))
+    t.rename_column("l_quantity", "qty")
+    t.append(
+        base.filter(F.col("l_orderkey") % 2 == 1).withColumnRenamed(
+            "l_quantity", "qty"
+        )
+    )
+    t.delete_where(F.col("l_suppkey") % 7 == 0)
+    return t.read()
 
 
 def q_auto_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4467,6 +4495,7 @@ _R3_PRIORITY = [
     "manifest_aggregates",
     "merge_into",
     "auto_maintenance",
+    "rename_column_read",
     # never-verified: streaming surface
     "streaming_lake_ingest",
     "streaming_cdc_apply",
@@ -4502,12 +4531,12 @@ _R3_PRIORITY = [
     "hard_negatives",
     # never-verified: text quality / LM signals
     "gopher_rules",
-    "text_repetition",
     # §2 sentinels (cheap canaries kept inside the window)
     "mor_pos_delete",
     "mor_eq_delete_seq",
     "dml_apply_changes",
     # --- window boundary (~50) — below here rotates in r4+ ---
+    "text_repetition",
     "readability",
     "unigram_logprob",
     "bigram_logprob",
@@ -4590,6 +4619,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "manifest_aggregates": q_manifest_aggregates,
         "merge_into": q_merge_into,
         "auto_maintenance": q_auto_maintenance,
+        "rename_column_read": q_rename_column_read,
         "tagged_release_read": q_tagged_release_read,
         "compact_binpack": q_compact_binpack,
         "partition_stats": q_partition_stats,

@@ -541,7 +541,12 @@ class LakeTable:
     # its schema-id commit guard, compaction/mod.rs:532-541, is what
     # makes evolution safe against in-flight rewrites)
     # ------------------------------------------------------------------
-    def _evolve_schema(self, new_schema: T.StructType, dropped: list[str]) -> None:
+    def _evolve_schema(
+        self,
+        new_schema: T.StructType,
+        dropped: list[str],
+        extra_props: dict[str, str] | None = None,
+    ) -> None:
         """Metadata-only commit: same snapshots, new schema, schema_id+1.
         Any compaction that started under the old schema_id aborts at
         commit time via the schema guard."""
@@ -550,6 +555,8 @@ class LakeTable:
         if dropped:
             prev = [c for c in props.get("dropped_columns", "").split(",") if c]
             props["dropped_columns"] = ",".join(prev + dropped)
+        if extra_props:
+            props.update(extra_props)
         meta = md.TableMetadata(
             table_root=base.table_root,
             schema=new_schema.jsonValue(),
@@ -585,18 +592,95 @@ class LakeTable:
             for c in self.meta.properties.get("dropped_columns", "").split(",")
             if c
         }
+        historical = {
+            h for hs in self._rename_history().values() for h in hs
+        }
         for f in fields:
             if f.name in live:
                 raise ValueError(f"column already exists: {f.name}")
-            if f.name in dropped_before:
+            if f.name in dropped_before or f.name in historical:
                 raise ValueError(
-                    f"column name was dropped earlier and cannot be reused "
-                    f"(name-based mapping would resurrect old values): {f.name}"
+                    f"column name was dropped/renamed earlier and cannot be "
+                    f"reused (name-based mapping would resurrect old "
+                    f"values): {f.name}"
                 )
             if not f.nullable:
                 raise ValueError(f"new column must be nullable: {f.name}")
         self._evolve_schema(
             T.StructType(list(cur.fields) + list(fields)), dropped=[]
+        )
+
+    def _rename_history(self) -> dict[str, list[str]]:
+        """{current column name: [historical names, oldest first]}."""
+        import json as _json
+
+        raw = self.meta.properties.get("column_renames", "")
+        return _json.loads(raw) if raw else {}
+
+    def rename_column(self, old: str, new: str) -> None:
+        """Rename a column — metadata-only, no file rewrite (Iceberg's
+        ``rename_column``). This format matches columns BY NAME, so the
+        rename history rides in table properties and the scan resolves
+        each data file's value as ``coalesce(current, *historical)`` —
+        any given file carries exactly one of the names, the rest read
+        NULL under the explicit scan schema.
+
+        Refused for partition / virtualized columns and columns
+        referenced by live equality-delete files (their file contents
+        are keyed by the old name — compact first), and name reuse is
+        blocked in both directions so history can never be ambiguous.
+        """
+        import json as _json
+
+        cur = self.schema
+        live = {f.name for f in cur.fields}
+        if old not in live:
+            raise ValueError(f"no such column: {old}")
+        if new in live:
+            raise ValueError(f"column already exists: {new}")
+        dropped_before = {
+            c
+            for c in self.meta.properties.get("dropped_columns", "").split(",")
+            if c
+        }
+        hist = self._rename_history()
+        historical = {h for hs in hist.values() for h in hs}
+        if new in dropped_before or new in historical:
+            raise ValueError(
+                f"name was used before and cannot be reused "
+                f"(name-based mapping would resurrect old values): {new}"
+            )
+        if old in self.meta.partition_spec:
+            raise ValueError(f"cannot rename partition column: {old}")
+        snap = self.meta.current_snapshot()
+        if snap is not None:
+            virtual = {
+                c for e in snap.files(md.DATA) for c in e.partition.keys()
+            }
+            if old in virtual:
+                raise ValueError(
+                    f"column virtualized in live data files (compact to the "
+                    f"current spec first): {old}"
+                )
+            referenced = {
+                c for e in snap.files(md.EQ_DELETE) for c in e.equality_ids
+            }
+            if old in referenced:
+                raise ValueError(
+                    f"column referenced by live equality-delete files "
+                    f"(compact first): {old}"
+                )
+        hist[new] = hist.pop(old, []) + [old]
+        new_fields = [
+            T.StructField(new, f.dataType, f.nullable, f.metadata)
+            if f.name == old
+            else f
+            for f in cur.fields
+        ]
+        self._evolve_schema(
+            T.StructType(new_fields),
+            dropped=[],
+            extra_props={"column_renames": _json.dumps(hist)},
         )
 
     def set_partition_spec(self, new_spec: list[str]) -> None:
@@ -1072,12 +1156,29 @@ class LakeTable:
     ) -> DataFrame:
         """Scan files sharing one virtualized-column set; returns user
         columns + hidden file_path/pos."""
-        file_schema = T.StructType(
-            [f for f in self.schema.fields if f.name not in set(part_cols)]
-        )
-        df = self.spark.read.schema(file_schema).parquet(
+        renames = self._rename_history()
+        file_fields: list[T.StructField] = []
+        for f in self.schema.fields:
+            if f.name in set(part_cols):
+                continue
+            file_fields.append(f)
+            # Files written before a rename store the column under a
+            # historical name; read those too (NULL where absent) and
+            # coalesce below — each file has exactly one of the names.
+            for h in renames.get(f.name, []):
+                file_fields.append(T.StructField(h, f.dataType, True))
+        df = self.spark.read.schema(T.StructType(file_fields)).parquet(
             *[e.file_path for e in data_files]
         )
+        for f in self.schema.fields:
+            hs = renames.get(f.name, [])
+            if hs and f.name not in set(part_cols):
+                df = df.withColumn(
+                    f.name,
+                    F.coalesce(
+                        F.col(f.name), *[F.col(h) for h in reversed(hs)]
+                    ),
+                )
         # Per-file dictionary: resolve the URI→path mapping ONCE per
         # file on the driver instead of regex+url-decoding a ~100-byte
         # string per ROW (that decode is ~0.4 s/M rows of pure

@@ -47,7 +47,7 @@ def test_add_column_guards(spark, tmp_path):
     with pytest.raises(ValueError, match="already exists"):
         t.add_columns([T.StructField("v", T.LongType(), True)])
     t.drop_columns(["v"])
-    with pytest.raises(ValueError, match="dropped earlier"):
+    with pytest.raises(ValueError, match="dropped/renamed earlier"):
         t.add_columns([T.StructField("v", T.StringType(), True)])
 
 
@@ -180,3 +180,96 @@ def test_partition_evolution_guards(spark, tmp_path):
     Compaction(t).compact()  # rewrites under ["b"]
     t.drop_columns(["a"])  # now legal
     assert t.read().columns == ["id", "b"]
+
+
+# ---------------------------------------------------------------------------
+# rename_column (round 3)
+# ---------------------------------------------------------------------------
+def test_rename_reads_old_and_new_files(spark, tmp_path):
+    import pyspark.sql.functions as F
+    from pyspark.sql import types as T
+
+    from bergloom_spark.lake import LakeTable
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType(), False),
+            T.StructField("amount", T.LongType(), True),
+        ]
+    )
+    t = LakeTable.create(spark, str(tmp_path / "t"), schema)
+    t.append(spark.range(10).select(F.col("id"), (F.col("id") * 2).alias("amount")))
+    t.rename_column("amount", "value")
+    assert [f.name for f in t.schema.fields] == ["id", "value"]
+    # old files resolve under the historical name
+    got = {r.id: r.value for r in t.read().collect()}
+    assert got == {i: i * 2 for i in range(10)}
+    # new files write the NEW name; mixed old+new files both resolve
+    t.append(
+        spark.range(10, 20).select(F.col("id"), (F.col("id") * 3).alias("value"))
+    )
+    got = {r.id: r.value for r in t.read().collect()}
+    assert got == {**{i: i * 2 for i in range(10)}, **{i: i * 3 for i in range(10, 20)}}
+    # chained rename keeps the whole history readable
+    t.rename_column("value", "amount_v2")
+    got = {r.id: r.amount_v2 for r in t.read().collect()}
+    assert len(got) == 20 and got[0] == 0 and got[19] == 57
+    # survives a reload
+    reloaded = LakeTable.load(spark, str(tmp_path / "t"))
+    assert reloaded.read().count() == 20
+
+
+def test_rename_guards(spark, tmp_path):
+    import pyspark.sql.functions as F
+    import pytest
+    from pyspark.sql import types as T
+
+    from bergloom_spark.lake import LakeTable
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType(), False),
+            T.StructField("v", T.LongType(), True),
+        ]
+    )
+    t = LakeTable.create(spark, str(tmp_path / "t"), schema)
+    t.append(spark.range(5).select(F.col("id"), F.col("id").alias("v")))
+    with pytest.raises(ValueError, match="no such column"):
+        t.rename_column("nope", "x")
+    with pytest.raises(ValueError, match="already exists"):
+        t.rename_column("v", "id")
+    t.rename_column("v", "w")
+    # reusing the historical name is blocked in both directions
+    with pytest.raises(ValueError, match="reused"):
+        t.rename_column("w", "v")
+    with pytest.raises(ValueError, match="reused"):
+        t.add_columns([T.StructField("v", T.LongType(), True)])
+    # eq-delete-referenced columns refuse to rename
+    t.append_equality_deletes(spark.range(2).select(F.col("id")), ["id"])
+    with pytest.raises(ValueError, match="equality-delete"):
+        t.rename_column("id", "pk")
+
+
+def test_rename_then_compact_converges_files(spark, tmp_path):
+    import pyspark.sql.functions as F
+    from pyspark.sql import types as T
+
+    from bergloom_spark.config import CompactionConfig
+    from bergloom_spark.lake import Compaction, LakeTable
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType(), False),
+            T.StructField("v", T.LongType(), True),
+        ]
+    )
+    t = LakeTable.create(spark, str(tmp_path / "t"), schema)
+    t.append(spark.range(50).select(F.col("id"), (F.col("id") + 1).alias("v")))
+    t.rename_column("v", "w")
+    before = sorted(map(tuple, t.read().collect()))
+    Compaction(t, CompactionConfig(enable_validate_compaction=True)).compact()
+    assert sorted(map(tuple, t.read().collect())) == before
+    # compaction rewrote under the NEW name: resolution no longer needed
+    # for these files, but history stays harmless
+    t.append(spark.range(50, 60).select(F.col("id"), (F.col("id") + 1).alias("w")))
+    assert t.read().count() == 60
