@@ -436,6 +436,9 @@ _MOR_ORACLES = {
                l_quantity AS qty
         FROM lineitem WHERE l_suppkey % 7 <> 0
     """,
+    "time_travel_as_of": f"""
+        SELECT {', '.join(LI_COLS)} FROM lineitem WHERE l_orderkey % 2 = 0
+    """,
     "merge_into": f"""
         WITH src AS (
           SELECT l_orderkey, l_linenumber,
@@ -1227,6 +1230,22 @@ def q_rename_column_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     t.delete_where(F.col("l_suppkey") % 7 == 0)
     return t.read()
+
+
+def q_time_travel_as_of(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timestamp-based time travel (round 3): FOR TIMESTAMP AS OF
+    resolves the latest snapshot at-or-before a wall-clock time —
+    here the commit time of snapshot 1, so later appends and deletes
+    are invisible to the read."""
+    from bergloom_spark.lake import LakeTable
+
+    base = T(spark, sf_dir, "lineitem").select(*LI_COLS)
+    root = os.path.join(_scratch(prefix="bergloom-asof-"), "li")
+    t = LakeTable.create(spark, root, base.schema)
+    first = t.append(base.filter(F.col("l_orderkey") % 2 == 0))
+    t.append(base.filter(F.col("l_orderkey") % 2 == 1))
+    t.delete_where(F.col("l_suppkey") % 3 == 0)
+    return t.read(as_of_ms=first.timestamp_ms)
 
 
 def q_auto_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4496,6 +4515,7 @@ _R3_PRIORITY = [
     "merge_into",
     "auto_maintenance",
     "rename_column_read",
+    "time_travel_as_of",
     # never-verified: streaming surface
     "streaming_lake_ingest",
     "streaming_cdc_apply",
@@ -4530,12 +4550,12 @@ _R3_PRIORITY = [
     "bloom_decontaminate",
     "hard_negatives",
     # never-verified: text quality / LM signals
-    "gopher_rules",
     # §2 sentinels (cheap canaries kept inside the window)
     "mor_pos_delete",
     "mor_eq_delete_seq",
     "dml_apply_changes",
     # --- window boundary (~50) — below here rotates in r4+ ---
+    "gopher_rules",
     "text_repetition",
     "readability",
     "unigram_logprob",
@@ -4620,6 +4640,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_into": q_merge_into,
         "auto_maintenance": q_auto_maintenance,
         "rename_column_read": q_rename_column_read,
+        "time_travel_as_of": q_time_travel_as_of,
         "tagged_release_read": q_tagged_release_read,
         "compact_binpack": q_compact_binpack,
         "partition_stats": q_partition_stats,

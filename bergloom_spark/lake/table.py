@@ -1282,12 +1282,25 @@ class LakeTable:
             entries.append((frame, e.equality_ids, e.sequence_number))
         return mor.group_equality_deletes(entries)
 
+    def snapshot_as_of(self, timestamp_ms: int) -> md.Snapshot | None:
+        """Latest snapshot committed at or before ``timestamp_ms`` —
+        SQL ``FOR TIMESTAMP AS OF`` resolution. Rolled-back snapshots
+        still resolve (they existed at that time); None if the table
+        had no snapshot yet."""
+        eligible = [
+            s for s in self.meta.snapshots if s.timestamp_ms <= timestamp_ms
+        ]
+        if not eligible:
+            return None
+        return max(eligible, key=lambda s: (s.timestamp_ms, s.snapshot_id))
+
     def read(
         self,
         snapshot_id: int | None = None,
         data_paths: list[str] | None = None,
         filters: sk.Filters | None = None,
         ref: str | None = None,
+        as_of_ms: int | None = None,
     ) -> DataFrame:
         """The MoR SELECT: data minus deletes, user schema only.
 
@@ -1299,12 +1312,22 @@ class LakeTable:
         before Spark lists them (skipping.py), then apply as a row
         filter. Filtering data BEFORE delete application is safe —
         deletes only remove rows — and shrinks the anti-join probe side.
-        ``ref`` reads a named tag/branch (exclusive with snapshot_id).
+        ``ref`` reads a named tag/branch; ``as_of_ms`` reads the
+        latest snapshot at-or-before a wall-clock time (``FOR
+        TIMESTAMP AS OF``). snapshot_id / ref / as_of_ms are mutually
+        exclusive.
         """
+        if sum(x is not None for x in (snapshot_id, ref, as_of_ms)) > 1:
+            raise ValueError(
+                "pass at most one of snapshot_id, ref, as_of_ms"
+            )
         if ref is not None:
-            if snapshot_id is not None:
-                raise ValueError("pass either snapshot_id or ref, not both")
             snapshot_id = self.ref_snapshot_id(ref)
+        if as_of_ms is not None:
+            snap_at = self.snapshot_as_of(as_of_ms)
+            if snap_at is None:
+                return self.spark.createDataFrame([], self.schema)
+            snapshot_id = snap_at.snapshot_id
         snap = self._snapshot(snapshot_id)
         if snap is None:
             return self.spark.createDataFrame([], self.schema)

@@ -202,3 +202,27 @@ def test_fast_min_max_metadata_only_and_refusals(spark, tmp_path):
     t.delete_where(F.col("id") == 999)
     assert t.fast_min_max("id") is None
     assert t.read().agg(F.max("id")).first()[0] == 998
+
+
+def test_read_as_of_timestamp(spark, tmp_path):
+    import time
+
+    import pyspark.sql.functions as F
+    import pytest
+
+    from bergloom_spark.lake import LakeTable
+
+    base = spark.range(10).select(F.col("id"))
+    t = LakeTable.create(spark, str(tmp_path / "t"), base.schema)
+    t.append(base)
+    ts1 = t.meta.current_snapshot().timestamp_ms
+    time.sleep(0.01)
+    t.append(spark.range(10, 20).select(F.col("id")))
+    ts2 = t.meta.current_snapshot().timestamp_ms
+    # before any snapshot -> empty
+    assert t.read(as_of_ms=ts1 - 1000).count() == 0
+    assert t.read(as_of_ms=ts1).count() == 10
+    assert t.read(as_of_ms=ts2).count() == 20
+    assert t.read(as_of_ms=ts2 + 10_000).count() == 20
+    with pytest.raises(ValueError, match="at most one"):
+        t.read(snapshot_id=1, as_of_ms=ts1)
