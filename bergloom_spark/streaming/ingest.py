@@ -54,7 +54,13 @@ def guard_key_for_checkpoint(checkpoint_dir: str) -> str:
     return guard_key(checkpoint_query_id(checkpoint_dir))
 
 
-def _append_sink(table: LakeTable, target_file_size: int, prop: str):
+def _append_sink(
+    table: LakeTable,
+    target_file_size: int,
+    prop: str,
+    maintenance=None,
+    maintain_every: int = 0,
+):
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         t = table.refresh()
         last = int(t.meta.properties.get(prop, "-1"))
@@ -65,6 +71,16 @@ def _append_sink(table: LakeTable, target_file_size: int, prop: str):
             target_file_size=target_file_size,
             properties_update={prop: str(batch_id)},
         )
+        if maintain_every and (batch_id + 1) % maintain_every == 0:
+            # Inline compaction-daemon tick: streaming appends are THE
+            # small-file factory; folding debt every N batches keeps
+            # reader cost flat without a separate scheduler. The
+            # maintenance commit is separate from the data commit, so
+            # a crash between them only delays folding (the guard
+            # already recorded the batch).
+            from bergloom_spark.lake.maintenance import run_maintenance
+
+            run_maintenance(t, maintenance)
 
     return sink
 
@@ -85,14 +101,23 @@ def ingest_stream(
     table: LakeTable,
     checkpoint_dir: str,
     target_file_size: int = 128 * 1024 * 1024,
+    maintenance=None,
+    maintain_every: int = 0,
 ) -> LakeTable:
     """Drain ``stream_df`` into ``table`` (availableNow) and return the
     refreshed table. Each micro-batch becomes one snapshot; restarts
     resume from the checkpoint and replays are dropped by the batch-id
     guard (keyed per checkpoint lineage — see
-    :func:`guard_key_for_checkpoint`)."""
+    :func:`guard_key_for_checkpoint`). With ``maintain_every`` = N,
+    every Nth batch additionally runs the threshold-driven maintenance
+    loop (``lake/maintenance.py``) so streaming small-file debt folds
+    inline."""
     sink = _append_sink(
-        table, target_file_size, guard_key_for_checkpoint(checkpoint_dir)
+        table,
+        target_file_size,
+        guard_key_for_checkpoint(checkpoint_dir),
+        maintenance=maintenance,
+        maintain_every=maintain_every,
     )
     q = (
         stream_df.writeStream.foreachBatch(sink)

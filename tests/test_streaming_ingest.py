@@ -164,3 +164,34 @@ def test_guard_is_namespaced_per_query(spark, sf_dir):
         assert guard_key_for_checkpoint(
             os.path.join(root, "c1")
         ) != guard_key_for_checkpoint(os.path.join(root, "c2"))
+
+
+def test_ingest_with_inline_maintenance(spark, sf_dir):
+    """Streaming appends are the small-file factory; maintain_every=N
+    folds the debt inline — the end state has far fewer data files
+    than micro-batches, with identical rows."""
+    from bergloom_spark.lake import metadata as md
+    from bergloom_spark.lake.maintenance import MaintenancePolicy
+
+    with tempfile.TemporaryDirectory() as root:
+        ev = _events(spark, sf_dir)
+        stream_dir = os.path.join(root, "in")
+        ev.repartition(6).write.parquet(stream_dir)
+        stream = read_events_stream(spark, stream_dir, max_files_per_trigger=1)
+        t = LakeTable.create(spark, os.path.join(root, "tbl"), stream.schema)
+        t = ingest_stream(
+            stream,
+            t,
+            os.path.join(root, "ckpt"),
+            maintenance=MaintenancePolicy(
+                small_file_threshold=1 << 30, min_small_files=3
+            ),
+            maintain_every=3,
+        )
+        assert t.read().count() == ev.count()
+        appends = [s for s in t.meta.snapshots if s.operation == "append"]
+        rewrites = [s for s in t.meta.snapshots if s.operation == "rewrite"]
+        assert len(appends) >= 6
+        assert rewrites, "inline maintenance never fired"
+        n_files = len(t.meta.current_snapshot().files(md.DATA))
+        assert n_files < len(appends)
