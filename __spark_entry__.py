@@ -439,6 +439,12 @@ _MOR_ORACLES = {
     "time_travel_as_of": f"""
         SELECT {', '.join(LI_COLS)} FROM lineitem WHERE l_orderkey % 2 = 0
     """,
+    "streaming_sliding_counts": """
+        SELECT date_trunc('hour', ts) - to_hours(o.range) AS window_start,
+               count(*)::BIGINT AS n_events
+        FROM events, range(0, 2) o
+        GROUP BY window_start
+    """,
     "merge_into": f"""
         WITH src AS (
           SELECT l_orderkey, l_linenumber,
@@ -1954,6 +1960,34 @@ def q_streaming_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .select("user_id", "total_taken")
+    )
+
+
+def q_streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLIDING-window streaming aggregation (round 3): 2-hour windows
+    sliding hourly — each event lands in TWO overlapping windows, the
+    shape tumbling rollups can't express. Real availableNow run to a
+    memory sink in complete mode; once drained it equals the batch
+    answer, so the overlap arithmetic oracles exactly (each event's
+    windows start at floor_hour(ts) and floor_hour(ts) − 1h)."""
+    import uuid
+
+    from bergloom_spark.streaming import events as SE
+
+    stream_dir = os.path.join(_scratch(prefix="bergloom-slide-"), "events")
+    T(spark, sf_dir, "events").repartition(4).write.parquet(stream_dir)
+    name = f"stream_slide_{uuid.uuid4().hex[:8]}"
+    stream = SE.read_events_stream(spark, stream_dir, max_files_per_trigger=2)
+    windowed = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "n_events")
+    )
+    SE.run_stream_to_memory(windowed, name, output_mode="complete")
+    return spark.table(name).select(
+        F.col("window_start").cast("timestamp_ntz").alias("window_start"),
+        "n_events",
     )
 
 
@@ -4516,6 +4550,7 @@ _R3_PRIORITY = [
     "auto_maintenance",
     "rename_column_read",
     "time_travel_as_of",
+    "streaming_sliding_counts",
     # never-verified: streaming surface
     "streaming_lake_ingest",
     "streaming_cdc_apply",
@@ -4548,13 +4583,13 @@ _R3_PRIORITY = [
     "containment_top1",
     "decontaminate",
     "bloom_decontaminate",
-    "hard_negatives",
     # never-verified: text quality / LM signals
     # §2 sentinels (cheap canaries kept inside the window)
     "mor_pos_delete",
     "mor_eq_delete_seq",
     "dml_apply_changes",
     # --- window boundary (~50) — below here rotates in r4+ ---
+    "hard_negatives",
     "gopher_rules",
     "text_repetition",
     "readability",
@@ -4641,6 +4676,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "auto_maintenance": q_auto_maintenance,
         "rename_column_read": q_rename_column_read,
         "time_travel_as_of": q_time_travel_as_of,
+        "streaming_sliding_counts": q_streaming_sliding_counts,
         "tagged_release_read": q_tagged_release_read,
         "compact_binpack": q_compact_binpack,
         "partition_stats": q_partition_stats,
