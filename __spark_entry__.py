@@ -445,6 +445,9 @@ _MOR_ORACLES = {
         FROM events, range(0, 2) o
         GROUP BY window_start
     """,
+    "lakestream_source": f"""
+        SELECT {', '.join(LI_COLS)} FROM lineitem
+    """,
     "merge_into": f"""
         WITH src AS (
           SELECT l_orderkey, l_linenumber,
@@ -1989,6 +1992,40 @@ def q_streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("window_start").cast("timestamp_ntz").alias("window_start"),
         "n_events",
     )
+
+
+def q_lakestream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LakeTable as a Structured Streaming SOURCE (round 3, Spark 4
+    Python Data Source API): two append snapshots stream out as
+    micro-batches — offsets are snapshot ids, partitions are the
+    manifest's new data files, rows come off parquet as Arrow batches
+    on executors. The drained feed must equal the batch union of both
+    appends (the oracle)."""
+    import uuid
+
+    from bergloom_spark.lake import LakeTable
+    from bergloom_spark.sources.lakestream import LakeStreamDataSource
+
+    spark.dataSource.register(LakeStreamDataSource)
+    base = T(spark, sf_dir, "lineitem").select(*LI_COLS)
+    scratch = _scratch(prefix="bergloom-lstream-")
+    root = os.path.join(scratch, "li")
+    t = LakeTable.create(spark, root, base.schema)
+    t.append(base.filter(F.col("l_orderkey") % 2 == 0))
+    t.append(base.filter(F.col("l_orderkey") % 2 == 1))
+    name = f"lakestream_{uuid.uuid4().hex[:8]}"
+    q = (
+        spark.readStream.format("lakestream")
+        .option("path", root)
+        .load()
+        .writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", os.path.join(scratch, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
 
 
 def q_streaming_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4551,6 +4588,7 @@ _R3_PRIORITY = [
     "rename_column_read",
     "time_travel_as_of",
     "streaming_sliding_counts",
+    "lakestream_source",
     # never-verified: streaming surface
     "streaming_lake_ingest",
     "streaming_cdc_apply",
@@ -4582,13 +4620,13 @@ _R3_PRIORITY = [
     "dedup_remove_spans",
     "containment_top1",
     "decontaminate",
-    "bloom_decontaminate",
     # never-verified: text quality / LM signals
     # §2 sentinels (cheap canaries kept inside the window)
     "mor_pos_delete",
     "mor_eq_delete_seq",
     "dml_apply_changes",
     # --- window boundary (~50) — below here rotates in r4+ ---
+    "bloom_decontaminate",
     "hard_negatives",
     "gopher_rules",
     "text_repetition",
@@ -4677,6 +4715,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rename_column_read": q_rename_column_read,
         "time_travel_as_of": q_time_travel_as_of,
         "streaming_sliding_counts": q_streaming_sliding_counts,
+        "lakestream_source": q_lakestream_source,
         "tagged_release_read": q_tagged_release_read,
         "compact_binpack": q_compact_binpack,
         "partition_stats": q_partition_stats,

@@ -1,0 +1,95 @@
+"""LakeTable as a streaming source (sources/lakestream.py)."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pyspark.sql.functions as F
+import pytest
+
+from bergloom_spark.lake import LakeTable
+from bergloom_spark.sources.lakestream import LakeStreamDataSource
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _register(spark):
+    spark.dataSource.register(LakeStreamDataSource)
+
+
+def _drain(spark, root, ckpt, name, **options):
+    # foreachBatch sink: supports checkpoint resume (memory sink does
+    # not), which is the whole point of an incremental source test.
+    rows: list = []
+
+    def sink(df, _bid):
+        rows.extend(df.collect())
+
+    q = (
+        spark.readStream.format("lakestream")
+        .option("path", root)
+        .options(**options)
+        .load()
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return rows
+
+
+def test_incremental_append_feed(spark):
+    with tempfile.TemporaryDirectory() as root:
+        tbl = os.path.join(root, "t")
+        base = spark.range(100).select(F.col("id"), (F.col("id") * 2).alias("v"))
+        t = LakeTable.create(spark, tbl, base.schema)
+        t.append(base.filter(F.col("id") < 50))
+        t.append(base.filter(F.col("id") >= 50))
+        ckpt = os.path.join(root, "ckpt")
+        out = _drain(spark, tbl, ckpt, "lakestream_t1")
+        assert sorted(r.id for r in out) == list(range(100))
+        # new append after the drain → ONLY the new rows arrive
+        t.append(
+            spark.range(100, 120).select(F.col("id"), (F.col("id") * 2).alias("v"))
+        )
+        out2 = _drain(spark, tbl, ckpt, "lakestream_t2")
+        assert sorted(r.id for r in out2) == list(range(100, 120))
+
+
+def test_non_append_refused_unless_opted_out(spark):
+    with tempfile.TemporaryDirectory() as root:
+        tbl = os.path.join(root, "t")
+        base = spark.range(50).select(F.col("id"), (F.col("id") * 2).alias("v"))
+        t = LakeTable.create(spark, tbl, base.schema)
+        t.append(base)
+        t.delete_where(F.col("id") < 5)
+        ckpt1 = os.path.join(root, "c1")
+        with pytest.raises(Exception, match="append"):
+            _drain(spark, tbl, ckpt1, "lakestream_refuse")
+        # appends-only opt-out streams the appended rows, pre-delete
+        out = _drain(
+            spark, tbl, os.path.join(root, "c2"), "lakestream_skip",
+            skipNonAppends="true",
+        )
+        assert len(out) == 50
+
+
+def test_compaction_between_batches_is_skippable(spark):
+    """After binpack/full compaction the rewritten files must NOT be
+    re-delivered under skipNonAppends (they carry no new rows)."""
+    from bergloom_spark.config import CompactionConfig
+    from bergloom_spark.lake import Compaction
+
+    with tempfile.TemporaryDirectory() as root:
+        tbl = os.path.join(root, "t")
+        base = spark.range(60).select(F.col("id"), (F.col("id") * 3).alias("v"))
+        t = LakeTable.create(spark, tbl, base.schema)
+        t.append(base.filter(F.col("id") < 30))
+        ckpt = os.path.join(root, "ckpt")
+        out = _drain(spark, tbl, ckpt, "lakestream_c1", skipNonAppends="true")
+        assert len(out) == 30
+        Compaction(t, CompactionConfig()).compact()
+        t.append(base.filter(F.col("id") >= 30))
+        out2 = _drain(spark, tbl, ckpt, "lakestream_c2", skipNonAppends="true")
+        assert sorted(r.id for r in out2) == list(range(30, 60))
