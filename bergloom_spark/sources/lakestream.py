@@ -46,6 +46,7 @@ __all__ = ["LakeStreamDataSource"]
 class _FilePartition(InputPartition):
     file_path: str
     columns: tuple
+    schema_json: str
 
 
 class LakeStreamDataSource(DataSource):
@@ -73,6 +74,7 @@ class _LakeStreamReader(DataSourceStreamReader):
         )
         self.max_files = int(options.get("maxfilesperbatch", 0))
         self.columns = tuple(f.name for f in schema.fields)
+        self.schema_json = schema.json()
         from bergloom_spark.lake import metadata as md
 
         meta = md.read_current(self.table_root)
@@ -126,18 +128,29 @@ class _LakeStreamReader(DataSourceStreamReader):
                 # entries carried forward from parents have an older
                 # sequence number; only THIS snapshot's new files count
                 if e.content == md.DATA and e.sequence_number == s.sequence_number:
-                    parts.append(_FilePartition(e.file_path, self.columns))
-        return parts or [_FilePartition("", self.columns)]
+                    parts.append(
+                        _FilePartition(
+                            e.file_path, self.columns, self.schema_json
+                        )
+                    )
+        return parts or [_FilePartition("", self.columns, self.schema_json)]
 
     def read(self, partition: _FilePartition):
         if not partition.file_path:
             return iter(())
         import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import to_arrow_schema
 
         table = pq.read_table(
             partition.file_path, columns=list(partition.columns)
         )
-        return iter(table.to_batches())
+        # Normalize to the DECLARED schema's Arrow form: parquet may
+        # surface e.g. nanosecond timestamps, which the Python source
+        # bridge refuses — cast (ns→µs etc.) before handing batches up.
+        target = to_arrow_schema(
+            T.StructType.fromJson(json.loads(partition.schema_json))
+        )
+        return iter(table.cast(target).to_batches())
 
     def commit(self, end: dict) -> None:
         pass
