@@ -197,7 +197,10 @@ def column_profile(
     pass. Scale shape: one full-scan agg + one k-row sketch per
     profiled column — profile the key columns, not all 400.
     """
-    counts_row = df.agg(
+    # One shared aggregate pass for rows/nulls; the 1-row result is a
+    # bounded driver collect attached as literals — a crossJoin of two
+    # 1-row frames would plan as a (harmless but noisy) nested loop.
+    counts = df.agg(
         F.count(F.lit(1)).alias("__n"),
         *[
             F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
@@ -205,18 +208,14 @@ def column_profile(
             .alias(f"__nn_{i}")
             for i, c in enumerate(cols)
         ],
-    )
+    ).first()
     out = None
     for i, c in enumerate(cols):
-        est = kmv_distinct(df, c, k).select(
+        piece = kmv_distinct(df, c, k).select(
             F.lit(c).alias("column"),
+            F.lit(int(counts["__n"])).cast("long").alias("n_rows"),
+            F.lit(int(counts[f"__nn_{i}"])).cast("long").alias("n_nulls"),
             F.col("est_distinct").alias("est_ndv"),
-        )
-        piece = counts_row.crossJoin(est).select(
-            "column",
-            F.col("__n").alias("n_rows"),
-            F.col(f"__nn_{i}").alias("n_nulls"),
-            "est_ndv",
         )
         out = piece if out is None else out.unionByName(piece)
     return out
