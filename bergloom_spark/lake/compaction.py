@@ -499,9 +499,20 @@ def expire_snapshots(table: LakeTable, keep_last: int = 1) -> int:
     if not expired:
         return 0
     live_paths = {e.file_path for s in kept for e in s.entries}
+    # Only delete files THIS table owns (under its root). A shallow
+    # clone (LakeTable.clone_to) carries the SOURCE's absolute paths in
+    # its manifests; after a rewrite on the clone those borrowed files
+    # become "dead" in the clone's metadata, but physically deleting
+    # them would corrupt the source table, which still references them.
+    # Borrowed entries are dropped from the clone's metadata only.
+    root = os.path.abspath(meta.table_root) + os.sep
     dead_paths = {
-        e.file_path for s in expired for e in s.entries
-    } - live_paths
+        p
+        for p in (
+            {e.file_path for s in expired for e in s.entries} - live_paths
+        )
+        if os.path.abspath(p).startswith(root)
+    }
     new_meta = md.TableMetadata(
         table_root=meta.table_root,
         schema=meta.schema,

@@ -51,27 +51,50 @@ def _bloom_positions(value: Any) -> list[int] | None:
 
 
 def build_bloom(values: Iterable[Any]) -> str | None:
-    """Hex-encoded Bloom bitset over ``values``; None if any value is
-    a type blooms can't canonicalize (the column then never prunes)."""
+    """Type-tagged hex Bloom bitset over ``values`` (``"i:<hex>"`` for
+    int columns, ``"s:<hex>"`` for string columns); None if any value is
+    a type blooms can't canonicalize — including a MIXED int/str column
+    (the column then never prunes). The build-type tag exists because
+    the read path's row filter uses Spark comparison semantics with
+    numeric coercion: a string column holding "5.0" probed with the int
+    literal 5 matches Spark's filter ('5.0' = 5 coerces true) but
+    str(5) = "5" would miss the bloom — so a probe whose literal type
+    differs from the build type must never prune."""
     bits = bytearray(BLOOM_M // 8)
+    tag = None
     for v in values:
         if v is None:
             continue
         pos = _bloom_positions(v)
         if pos is None:
             return None
+        vtag = "i" if isinstance(v, int) else "s"
+        if tag is None:
+            tag = vtag
+        elif tag != vtag:
+            return None  # mixed-type column: cross-coercion, no bloom
         for p in pos:
             bits[p >> 3] |= 1 << (p & 7)
-    return bits.hex()
+    return f"{tag or 's'}:{bits.hex()}"
 
 
 def bloom_may_contain(bloom_hex: str, value: Any) -> bool:
     """Conservative membership: False ONLY when the file provably does
-    not contain ``value``."""
+    not contain ``value``. Untagged (legacy-format) blooms and probes
+    whose literal type differs from the bloom's build type return True
+    — they carry no safe evidence under Spark's coercing comparisons."""
+    if ":" not in bloom_hex[:2]:
+        return True  # legacy untyped bloom: cannot prune safely
+    tag, _, hexbits = bloom_hex.partition(":")
+    if isinstance(value, bool):
+        return True
+    vtag = "i" if isinstance(value, int) else "s" if isinstance(value, str) else None
+    if vtag != tag:
+        return True  # type mismatch: Spark may coerce-match, don't prune
     pos = _bloom_positions(value)
     if pos is None:
         return True
-    bits = bytes.fromhex(bloom_hex)
+    bits = bytes.fromhex(hexbits)
     return all(bits[p >> 3] & (1 << (p & 7)) for p in pos)
 
 # (col, op, literal) triples, ANDed.

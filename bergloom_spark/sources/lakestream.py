@@ -100,7 +100,17 @@ class _LakeStreamReader(DataSourceStreamReader):
             # where it is refused or skipped per skipNonAppends —
             # silently stopping in front of it would stall the stream.
             if self.max_files and s.operation == "append":
-                n_files += len(s.entries)
+                # Count only the files THIS snapshot added (matching
+                # partitions()): entries also carry forward every live
+                # file from the parent, and counting those would blow
+                # through the cap immediately, degrading every batch to
+                # a single snapshot regardless of the option value.
+                n_files += sum(
+                    1
+                    for e in s.entries
+                    if e.content == md.DATA
+                    and e.sequence_number == s.sequence_number
+                )
                 if latest and n_files > self.max_files:
                     break
             latest = s.snapshot_id
@@ -111,6 +121,20 @@ class _LakeStreamReader(DataSourceStreamReader):
 
         lo, hi = start["last_snapshot_id"], end["last_snapshot_id"]
         meta = md.read_current(self.table_root)
+        # Expired-history guard (Iceberg streaming fails the same way):
+        # snapshot ids are consecutive, so any retained-minimum greater
+        # than lo+1 means snapshots in (lo, min_retained) were expired
+        # and their appended files would silently vanish from the feed.
+        if meta.snapshots:
+            min_retained = min(s.snapshot_id for s in meta.snapshots)
+            if min_retained > lo + 1 and min_retained <= hi:
+                raise ValueError(
+                    f"offset {lo} predates the oldest retained snapshot "
+                    f"{min_retained}: snapshots in between were expired "
+                    "and their appends are no longer streamable. Restart "
+                    "the stream from a fresh checkpoint (full snapshot) "
+                    "or expire less aggressively."
+                )
         parts: list[_FilePartition] = []
         for s in meta.snapshots:
             if not (lo < s.snapshot_id <= hi):

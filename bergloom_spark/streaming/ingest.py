@@ -54,6 +54,22 @@ def guard_key_for_checkpoint(checkpoint_dir: str) -> str:
     return guard_key(checkpoint_query_id(checkpoint_dir))
 
 
+def _last_committed(props: dict, prop: str) -> int:
+    """Last committed batch id under ``prop``, falling back to the
+    legacy un-namespaced key when the namespaced key is absent. Tables
+    written before guards were checkpoint-namespaced carry their batch
+    id under ``LAST_BATCH_PROP`` only; without the fallback, the first
+    restart-after-crash on such a table would miss the guard (last=-1)
+    and commit the replayed micro-batch twice. ``max`` of both keys is
+    safe: batch ids are monotonic within one checkpoint lineage, and a
+    genuinely new lineage writes its own namespaced key on first
+    commit, after which that key wins."""
+    namespaced = props.get(prop)
+    if namespaced is not None:
+        return int(namespaced)
+    return int(props.get(LAST_BATCH_PROP, "-1"))
+
+
 def _append_sink(
     table: LakeTable,
     target_file_size: int,
@@ -63,7 +79,7 @@ def _append_sink(
 ):
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         t = table.refresh()
-        last = int(t.meta.properties.get(prop, "-1"))
+        last = _last_committed(t.meta.properties, prop)
         if batch_id <= last:
             return  # replayed batch — already committed
         t.append(
@@ -139,7 +155,7 @@ def _cdc_sink(
 ):
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         t = table.refresh()
-        last = int(t.meta.properties.get(prop, "-1"))
+        last = _last_committed(t.meta.properties, prop)
         if batch_id <= last:
             return  # replayed batch — already applied
         t.apply_changes(
