@@ -37,6 +37,9 @@ HEADLINE_R1 = [
 ]
 
 # Round-2/3 operator surface (perf regression tracking, VERDICT r2 #6).
+# bpe_token_stats (the iterative learner) left the driver registry in
+# round 4 (no SQL oracle exists for an N-merge learn loop) but stays a
+# timed headline — resolved from the module directly below.
 HEADLINE = HEADLINE_R1 + [
     "quality_classifier",
     "dedup_remove_spans",
@@ -59,7 +62,8 @@ WARMUP_SF_DIR = os.environ.get("SPARK_GRAFT_WARMUP_SF_DIR", "")
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark(app_name="bergloom-bench")
-    queries = entry_mod.queries()
+    queries = dict(entry_mod.queries())
+    queries.setdefault("bpe_token_stats", entry_mod.q_bpe_token_stats)
     # JMH-style warmup at the smallest SF: compiles/JITs every query's
     # generated code once so the timed section measures steady-state
     # throughput (what a 100 TB run is made of), not one-time Janino +

@@ -38,7 +38,13 @@ from pyspark.sql import functions as F
 
 from bergloom_spark.functions import text as TX
 
-__all__ = ["bpe_learn", "bpe_encode", "bpe_encode_py"]
+__all__ = [
+    "bpe_learn",
+    "bpe_encode",
+    "bpe_encode_py",
+    "bpe_apply_fixed",
+    "bpe_apply_fixed_sql",
+]
 
 END = "</w>"  # end-of-word marker, standard BPE
 
@@ -154,6 +160,89 @@ def bpe_learn(
         return merges
     finally:
         vocab.unpersist()
+
+
+def bpe_apply_fixed(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply a FROZEN merge table in rank order — how production
+    tokenization runs at scale: the vocabulary is learned offline
+    (:func:`bpe_learn`) and shipped to the 100 TB encode job as a
+    literal table. Applying merges sequentially in rank order is the
+    HuggingFace-tokenizers BPE semantics; unlike the data-dependent
+    greedy loop in :func:`bpe_encode`, a fixed ordered list compiles to
+    ONE chain of JVM ``replace`` calls inside whole-stage codegen — no
+    Python, no shuffle, and exactly reproducible in ANSI SQL (the
+    driver hash-checks it; ``bpe_apply_fixed_sql`` is the twin).
+
+    Output: (id_col, n_bpe_tokens, n_chars) per document.
+
+    The framing that makes string replace BE the BPE merge: each
+    symbol is a ``|sym|`` cell with ``||`` between cells — "the cat" →
+    ``|t||h||e||</w>||c||a||t||</w>||``. Replace-all of
+    ``|a||b| → |ab|`` then consumes both cells whole (no partial-symbol
+    or cross-boundary matches) and re-closes the cell, so chains like
+    ``a a a a → aa aa`` keep merging left-to-right, exactly the BPE
+    adjacent-merge semantics in both engines."""
+    # pipes stripped (they're the frame), whitespace collapsed, then a
+    # sentinel trailing space so every word — including the last —
+    # closes with an explicit "</w>" cell (no $-anchor: engines
+    # disagree on empty-match-at-end replacement).
+    spaced = F.concat(
+        F.trim(F.regexp_replace(F.col(text_col), r"[|\s]+", " ")),
+        F.lit(" "),
+    )
+    framed = F.concat(
+        F.lit("|"),
+        F.regexp_replace(
+            F.regexp_replace(spaced, r"(\S)", r"$1||"), r"\s", "</w>||"
+        ),
+    )
+    col = framed
+    for a, b in merges:
+        col = F.replace(col, F.lit(f"|{a}||{b}|"), F.lit(f"|{a}{b}|"))
+    n_syms = (
+        (F.length(col) - F.length(F.replace(col, F.lit("||"), F.lit(""))))
+        / F.lit(2)
+    ).cast("long")
+    empty = F.trim(F.coalesce(F.col(text_col), F.lit(""))) == ""
+    return df.select(
+        F.col(id_col),
+        F.when(empty, F.lit(0)).otherwise(n_syms).alias("n_bpe_tokens"),
+        F.length(F.coalesce(F.col(text_col), F.lit(""))).cast("long").alias(
+            "n_chars"
+        ),
+    )
+
+
+def bpe_apply_fixed_sql(
+    table: str,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin of :func:`bpe_apply_fixed` — the same chain of
+    left-to-right replace-alls over the same framed symbol string."""
+    framed = (
+        "('|' || regexp_replace(regexp_replace("
+        f"(trim(regexp_replace({text_col}, '[|\\s]+', ' ', 'g')) || ' '), "
+        "'(\\S)', '\\1||', 'g'), '\\s', '</w>||', 'g'))"
+    )
+    expr = framed
+    for a, b in merges:
+        expr = f"replace({expr}, '|{a}||{b}|', '|{a}{b}|')"
+    return f"""
+        SELECT {id_col},
+               CASE WHEN trim(coalesce({text_col}, '')) = '' THEN 0
+                    ELSE (length({expr})
+                          - length(replace({expr}, '||', ''))) // 2
+               END::BIGINT AS n_bpe_tokens,
+               length(coalesce({text_col}, ''))::BIGINT AS n_chars
+        FROM {table}
+    """
 
 
 def _encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:

@@ -38,6 +38,8 @@ __all__ = [
     "cm_heavy_hitters",
     "cm_heavy_hitters_sql",
     "column_profile",
+    "kmv_distinct_by",
+    "kmv_distinct_by_sql",
     "column_profile_sql",
     "kmv_distinct",
     "kmv_distinct_sql",
@@ -101,6 +103,67 @@ def kmv_distinct_sql(table: str, key_expr: str, k: int = 64) -> str:
                                / (max(h)::DOUBLE / {_HASH_SPAN!r}), 4)
                END AS est_distinct
         FROM sketch
+    """
+
+
+def kmv_distinct_by(
+    df: DataFrame, group_col: str, key_col: str, k: int = 64
+) -> DataFrame:
+    """Per-group KMV distinct-count estimates — ``approx_count_distinct
+    OVER groups`` with a cross-engine-reproducible estimator (round 4,
+    replacing the registered HLL query whose engine-private hashing the
+    driver could never oracle-check; the HLL path stays available as
+    ``operators.agg.approx_distinct`` for Spark-only use).
+
+    Output (one row per group): (group, k, kth_hash, est_distinct).
+    Scale: one distinct on (group, hash) — 8-byte keys — then a
+    windowed top-k per group; state per group is k longs, mergeable
+    across sources like the global sketch."""
+    from pyspark.sql import Window
+
+    hashed = (
+        df.select(
+            F.col(group_col),
+            hash64(F.col(key_col).cast("string")).alias("__h"),
+        )
+        .where(F.col("__h").isNotNull() & F.col(group_col).isNotNull())
+        .distinct()
+    )
+    w = Window.partitionBy(group_col).orderBy("__h")
+    topk = hashed.withColumn("__rn", F.row_number().over(w)).where(
+        F.col("__rn") <= k
+    )
+    return topk.groupBy(group_col).agg(
+        F.lit(k).cast("long").alias("k"),
+        F.max("__h").alias("kth_hash"),
+        F.when(F.count(F.lit(1)) < k, F.count(F.lit(1)).cast("double"))
+        .otherwise(_kmv_estimate(F.max("__h"), k))
+        .alias("est_distinct"),
+    )
+
+
+def kmv_distinct_by_sql(
+    table: str, group_expr: str, key_expr: str, k: int = 64
+) -> str:
+    """DuckDB twin of :func:`kmv_distinct_by`."""
+    h = hash64_sql(f"({key_expr})::VARCHAR")
+    return f"""
+        WITH hashed AS (
+          SELECT DISTINCT {group_expr} AS g, {h} AS h FROM {table}
+          WHERE {key_expr} IS NOT NULL AND {group_expr} IS NOT NULL),
+        topk AS (
+          SELECT g, h,
+                 row_number() OVER (PARTITION BY g ORDER BY h) AS rn
+          FROM hashed)
+        SELECT g AS {group_expr},
+               {k}::BIGINT AS k,
+               max(h) AS kth_hash,
+               CASE WHEN count(*) < {k} THEN count(*)::DOUBLE
+                    ELSE round({float(k - 1)!r}
+                               / (max(h)::DOUBLE / {_HASH_SPAN!r}), 4)
+               END AS est_distinct
+        FROM topk WHERE rn <= {k}
+        GROUP BY g
     """
 
 
