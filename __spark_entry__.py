@@ -448,6 +448,25 @@ _MOR_ORACLES = {
     "lakestream_source": f"""
         SELECT {', '.join(LI_COLS)} FROM lineitem
     """,
+    # Replay of the four commits q_lakestream_changelog makes: insert
+    # the odd rows (snap 1), MERGE keys %50==1 (delete old + insert
+    # new, snaps 2/3), row-delete %10==5 (snap 4); the compaction
+    # snapshot emits nothing. %50==1 ⇒ %10==1, so the delete sets are
+    # disjoint by construction.
+    "lakestream_changelog": f"""
+        WITH odd AS (
+          SELECT {', '.join(LI_COLS)} FROM lineitem WHERE l_orderkey % 2 = 1)
+        SELECT *, 'insert' AS _change_type, 1::BIGINT AS _commit_snapshot_id
+        FROM odd
+        UNION ALL
+        SELECT *, 'delete', 2::BIGINT FROM odd WHERE l_orderkey % 50 = 1
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+               l_quantity + 1000.0, 'insert', 3::BIGINT
+        FROM odd WHERE l_orderkey % 50 = 1
+        UNION ALL
+        SELECT *, 'delete', 4::BIGINT FROM odd WHERE l_orderkey % 10 = 5
+    """,
     "merge_into": f"""
         WITH src AS (
           SELECT l_orderkey, l_linenumber,
@@ -2017,6 +2036,49 @@ def q_lakestream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = (
         spark.readStream.format("lakestream")
         .option("path", root)
+        .load()
+        .writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", os.path.join(scratch, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def q_lakestream_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CHANGELOG read (round 4, VERDICT r3 #3): append →
+    upsert (eq-delete + re-insert) → row-level delete → compaction,
+    then the feed drained with ``changelog=true`` — every snapshot
+    emits +/- rows (``_change_type``, ``_commit_snapshot_id``); the
+    compaction emits NOTHING (no logical change). The oracle replays
+    the same four commits in SQL, so the driver hash-checks the whole
+    change history, not just the end state."""
+    import uuid
+
+    from bergloom_spark.config import CompactionConfig
+    from bergloom_spark.lake import Compaction, LakeTable
+    from bergloom_spark.sources.lakestream import LakeStreamDataSource
+
+    spark.dataSource.register(LakeStreamDataSource)
+    base = T(spark, sf_dir, "lineitem").select(*LI_COLS)
+    odd = base.filter(F.col("l_orderkey") % 2 == 1)
+    ups = odd.filter(F.col("l_orderkey") % 50 == 1).withColumn(
+        "l_quantity", F.col("l_quantity") + 1000.0
+    )
+    scratch = _scratch(prefix="bergloom-lchangelog-")
+    root = os.path.join(scratch, "li")
+    t = LakeTable.create(spark, root, base.schema)
+    t.append(odd)                                       # snap 1: inserts
+    t.upsert(ups, ["l_orderkey", "l_linenumber"])       # snap 2+3: -/+
+    t.delete_where(F.col("l_orderkey") % 10 == 5)       # snap 4: deletes
+    Compaction(t, CompactionConfig()).compact()         # snap 5: silent
+    name = f"lchangelog_{uuid.uuid4().hex[:8]}"
+    q = (
+        spark.readStream.format("lakestream")
+        .option("path", root)
+        .option("changelog", "true")
         .load()
         .writeStream.format("memory")
         .queryName(name)
@@ -4757,6 +4819,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_travel_as_of": q_time_travel_as_of,
         "streaming_sliding_counts": q_streaming_sliding_counts,
         "lakestream_source": q_lakestream_source,
+        "lakestream_changelog": q_lakestream_changelog,
         "tagged_release_read": q_tagged_release_read,
         "compact_binpack": q_compact_binpack,
         "partition_stats": q_partition_stats,

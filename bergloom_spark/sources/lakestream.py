@@ -20,6 +20,20 @@ silently missing row removals is a correctness bug; pass
 existing rows, so skipping their snapshots keeps the feed
 exactly-the-appended-rows).
 
+Changelog mode (``option("changelog", "true")``, round 4 — the
+Iceberg "changelog scan" / Delta CDF analog): instead of refusing
+non-append snapshots, every snapshot in the batch range emits
+row-level change rows — ``_change_type`` ``insert`` for rows in files
+the snapshot added, ``delete`` for previously-live rows its new
+positional/equality delete files killed — plus the committing
+``_commit_snapshot_id``. Replaying the feed in snapshot order
+reconstructs the table: MERGE history becomes delete+insert pairs,
+``delete_where`` becomes deletes, and rewrites/compactions emit
+NOTHING (they change no logical row). Scale shape: one partition per
+(snapshot, data file); the small delete files are re-read per
+partition (the broadcast side), the data file is scanned once, and no
+row ever moves through the driver.
+
 Usage::
 
     spark.dataSource.register(LakeStreamDataSource)
@@ -49,20 +63,61 @@ class _FilePartition(InputPartition):
     schema_json: str
 
 
+@dataclasses.dataclass
+class _ChangePartition(InputPartition):
+    """One (snapshot, data file) changelog unit.
+
+    kind "insert": emit every row of ``file_path`` (a file the snapshot
+    added). kind "delete": emit the rows of ``file_path`` (a file live
+    in the PARENT snapshot) that were alive entering this snapshot
+    (``prior_pos`` / ``prior_eq`` applied) and are killed by the
+    snapshot's new delete files (``new_pos`` / ``new_eq``)."""
+
+    kind: str
+    file_path: str
+    file_seq: int
+    snapshot_id: int
+    prior_pos: tuple  # pos-delete file paths live in the parent
+    prior_eq: tuple  # (path, key-cols tuple, seq) live in the parent
+    new_pos: tuple  # pos-delete files this snapshot added
+    new_eq: tuple  # (path, key-cols tuple) this snapshot added
+    columns: tuple
+    schema_json: str
+
+
+def _table_schema(table_root: str) -> T.StructType:
+    from bergloom_spark.lake import metadata as md
+
+    meta = md.read_current(table_root)
+    return T.StructType.fromJson(
+        meta.schema if isinstance(meta.schema, dict) else json.loads(meta.schema)
+    )
+
+
+def _is_changelog(options) -> bool:
+    return str(options.get("changelog", "false")).lower() == "true"
+
+
 class LakeStreamDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
         return "lakestream"
 
     def schema(self):
-        from bergloom_spark.lake import metadata as md
-
-        meta = md.read_current(self.options["path"])
-        return T.StructType.fromJson(
-            meta.schema if isinstance(meta.schema, dict) else json.loads(meta.schema)
-        )
+        schema = _table_schema(self.options["path"])
+        if _is_changelog(self.options):
+            schema = T.StructType(
+                schema.fields
+                + [
+                    T.StructField("_change_type", T.StringType(), False),
+                    T.StructField("_commit_snapshot_id", T.LongType(), False),
+                ]
+            )
+        return schema
 
     def streamReader(self, schema):
+        if _is_changelog(self.options):
+            return _LakeChangelogReader(self.options, schema)
         return _LakeStreamReader(self.options, schema)
 
 
@@ -178,3 +233,169 @@ class _LakeStreamReader(DataSourceStreamReader):
 
     def commit(self, end: dict) -> None:
         pass
+
+
+# Snapshot operations that change no logical row: a compaction/binpack
+# rewrite shuffles the same rows into new files, and a clone's first
+# snapshot is borrowed initial state, not a change.
+_NO_CHANGE_OPS = {"rewrite", "clone"}
+
+
+class _LakeChangelogReader(_LakeStreamReader):
+    """Row-level change feed over the snapshot chain (see module doc)."""
+
+    def __init__(self, options, schema):
+        data_fields = [
+            f
+            for f in schema.fields
+            if f.name not in ("_change_type", "_commit_snapshot_id")
+        ]
+        data_schema = T.StructType(data_fields)
+        super().__init__(options, data_schema)
+        self.out_schema_json = schema.json()
+
+    def partitions(self, start: dict, end: dict):
+        from bergloom_spark.lake import metadata as md
+
+        lo, hi = start["last_snapshot_id"], end["last_snapshot_id"]
+        meta = md.read_current(self.table_root)
+        if meta.snapshots:
+            min_retained = min(s.snapshot_id for s in meta.snapshots)
+            if min_retained > lo + 1 and min_retained <= hi:
+                raise ValueError(
+                    f"offset {lo} predates the oldest retained snapshot "
+                    f"{min_retained}: expired history cannot be replayed "
+                    "as a changelog. Restart from a fresh checkpoint."
+                )
+        by_id = {s.snapshot_id: s for s in meta.snapshots}
+        parts: list[_ChangePartition] = []
+        for s in meta.snapshots:
+            if not (lo < s.snapshot_id <= hi):
+                continue
+            if s.operation in _NO_CHANGE_OPS:
+                continue
+            new_data = [
+                e
+                for e in s.entries
+                if e.content == md.DATA and e.sequence_number == s.sequence_number
+            ]
+            new_pos = tuple(
+                e.file_path
+                for e in s.entries
+                if e.content == md.POS_DELETE
+                and e.sequence_number == s.sequence_number
+            )
+            new_eq = tuple(
+                (e.file_path, tuple(e.equality_ids))
+                for e in s.entries
+                if e.content == md.EQ_DELETE
+                and e.sequence_number == s.sequence_number
+            )
+            for e in new_data:
+                parts.append(
+                    _ChangePartition(
+                        "insert", e.file_path, e.sequence_number,
+                        s.snapshot_id, (), (), (), (),
+                        self.columns, self.schema_json,
+                    )
+                )
+            if not (new_pos or new_eq):
+                continue
+            parent = by_id.get(s.parent_snapshot_id)
+            if parent is None:
+                continue
+            prior_pos = tuple(
+                e.file_path
+                for e in parent.entries
+                if e.content == md.POS_DELETE
+            )
+            for d in parent.entries:
+                if d.content != md.DATA:
+                    continue
+                # equality deletes only reach strictly-older rows; the
+                # per-file prior_eq list keeps the same seq gate the
+                # batch MoR reader applies (operators/mor.py J2).
+                prior_eq = tuple(
+                    (e.file_path, tuple(e.equality_ids), e.sequence_number)
+                    for e in parent.entries
+                    if e.content == md.EQ_DELETE
+                    and e.sequence_number > d.sequence_number
+                )
+                parts.append(
+                    _ChangePartition(
+                        "delete", d.file_path, d.sequence_number,
+                        s.snapshot_id, prior_pos, prior_eq, new_pos,
+                        new_eq, self.columns, self.schema_json,
+                    )
+                )
+        return parts or [
+            _ChangePartition(
+                "insert", "", 0, 0, (), (), (), (),
+                self.columns, self.schema_json,
+            )
+        ]
+
+    def read(self, partition: _ChangePartition):
+        if not partition.file_path:
+            return iter(())
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        tbl = pq.read_table(
+            partition.file_path, columns=list(partition.columns)
+        )
+        target = to_arrow_schema(
+            T.StructType.fromJson(json.loads(partition.schema_json))
+        )
+        tbl = tbl.cast(target)
+        if partition.kind == "delete":
+            pdf = tbl.to_pandas()
+            n = len(pdf)
+            alive = np.ones(n, dtype=bool)
+
+            def _positions(paths):
+                hit = np.zeros(n, dtype=bool)
+                for p in paths:
+                    dd = pq.read_table(p).to_pandas()
+                    pos = dd.loc[
+                        dd["file_path"] == partition.file_path, "pos"
+                    ].to_numpy()
+                    pos = pos[(pos >= 0) & (pos < n)].astype(int)
+                    hit[pos] = True
+                return hit
+
+            def _eq_match(eq_specs):
+                hit = np.zeros(n, dtype=bool)
+                for spec in eq_specs:
+                    path, cols = spec[0], list(spec[1])
+                    keys = pq.read_table(path, columns=cols).to_pandas()
+                    keys = keys.drop_duplicates()
+                    merged = pdf[cols].merge(
+                        keys, on=cols, how="left", indicator=True
+                    )
+                    hit |= (merged["_merge"] == "both").to_numpy()
+                return hit
+
+            alive &= ~_positions(partition.prior_pos)
+            # prior_eq entries are pre-filtered to seq > file_seq
+            alive &= ~_eq_match(partition.prior_eq)
+            killed = np.zeros(n, dtype=bool)
+            if partition.new_pos:
+                killed |= _positions(partition.new_pos)
+            if partition.new_eq:
+                killed |= _eq_match(partition.new_eq)
+            out = pdf[alive & killed]
+            tbl = pa.Table.from_pandas(
+                out, schema=target, preserve_index=False
+            )
+        n_rows = tbl.num_rows
+        tbl = tbl.append_column(
+            "_change_type",
+            pa.array([partition.kind] * n_rows, pa.string()),
+        ).append_column(
+            "_commit_snapshot_id",
+            pa.array([partition.snapshot_id] * n_rows, pa.int64()),
+        )
+        return iter(tbl.to_batches())
