@@ -250,15 +250,61 @@ def kmv_overlap_sql(
     """
 
 
+def _quantile_sample(df: DataFrame, col: str, k: int) -> DataFrame:
+    """Deterministic distinct-value sample for quantile estimation:
+    the ``k`` distinct values with the smallest md5 hashes, each
+    carrying its row count. A uniform sample of DISTINCT values
+    re-weighted by frequency (Gibbons' distinct sampling) — unlike a
+    row reservoir, it needs no random state, so the same sample (and
+    the same quantile estimate) reproduces on any engine."""
+    dv = (
+        df.where(F.col(col).isNotNull())
+        .groupBy(F.col(col).alias("__v0"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.col("__v0").cast("double").alias("v"),
+            hash64(F.col("__v0").cast("string")).alias("h"),
+            "cnt",
+        )
+    )
+    # TakeOrderedAndProject: per-partition top-k, merged — never a
+    # global sort of the distinct values.
+    return dv.orderBy("h", "v").limit(k)
+
+
+def _sample_quantiles(sample: DataFrame, ps: dict[str, float]) -> DataFrame:
+    """1-row frame: for each (alias, p), the smallest sampled value
+    whose cumulative weight reaches p·total."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = sample.select(
+        "v",
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(Window.partitionBy()).alias("tot"),
+    )
+    return cum.agg(
+        *[
+            F.min(
+                F.when(F.col("cum") >= F.lit(p) * F.col("tot"), F.col("v"))
+            ).alias(name)
+            for name, p in ps.items()
+        ]
+    )
+
+
 def column_profile(
     df: DataFrame, cols: list[str], k: int = 64
 ) -> DataFrame:
     """ANALYZE-style per-column statistics: (column, n_rows, n_nulls,
-    est_ndv) — the numbers a cost-based optimizer or a curation audit
-    reads first. NDV comes from the KMV sketch (deterministic, so the
-    whole profile oracle-checks); nulls/rows are one shared aggregate
-    pass. Scale shape: one full-scan agg + one k-row sketch per
-    profiled column — profile the key columns, not all 400.
+    est_ndv, est_p50, est_p99) — the numbers a cost-based optimizer or
+    a curation audit reads first. NDV comes from the KMV sketch;
+    p50/p99 from a count-weighted deterministic distinct-value sample
+    (round 4) — both reproduce bit-for-bit in the oracle, so the
+    driver hash-checks the approximations themselves. Scale shape: one
+    full-scan agg + one k-row sketch + one 4k-value sample per
+    profiled column — profile the key columns, not all 400. Quantiles
+    are NULL for non-numeric columns (the sample casts to double).
     """
     # One shared aggregate pass for rows/nulls; the 1-row result is a
     # bounded driver collect attached as literals — a crossJoin of two
@@ -274,11 +320,17 @@ def column_profile(
     ).first()
     out = None
     for i, c in enumerate(cols):
-        piece = kmv_distinct(df, c, k).select(
+        quants = _sample_quantiles(
+            _quantile_sample(df, c, 4 * k),
+            {"est_p50": 0.5, "est_p99": 0.99},
+        )
+        piece = kmv_distinct(df, c, k).crossJoin(F.broadcast(quants)).select(
             F.lit(c).alias("column"),
             F.lit(int(counts["__n"])).cast("long").alias("n_rows"),
             F.lit(int(counts[f"__nn_{i}"])).cast("long").alias("n_nulls"),
             F.col("est_distinct").alias("est_ndv"),
+            "est_p50",
+            "est_p99",
         )
         out = piece if out is None else out.unionByName(piece)
     return out
@@ -289,6 +341,18 @@ def column_profile_sql(table: str, cols: list[str], k: int = 64) -> str:
     pieces = []
     for c in cols:
         h = hash64_sql(f"({c})::VARCHAR")
+        sample = f"""
+            SELECT ({c})::DOUBLE AS v, count(*) AS cnt
+            FROM {table} WHERE {c} IS NOT NULL
+            GROUP BY {c}
+            ORDER BY {h}, ({c})::DOUBLE LIMIT {4 * k}"""
+        quant = """
+            SELECT min(CASE WHEN cum >= {p} * tot THEN v END)
+            FROM (SELECT v,
+                         sum(cnt) OVER (ORDER BY v
+                             ROWS UNBOUNDED PRECEDING) AS cum,
+                         sum(cnt) OVER () AS tot
+                  FROM samp)"""
         pieces.append(
             f"""
         SELECT '{c}' AS column,
@@ -300,7 +364,9 @@ def column_profile_sql(table: str, cols: list[str], k: int = 64) -> str:
                                   / (max(h)::DOUBLE / {_HASH_SPAN!r}), 4) END
                 FROM (SELECT DISTINCT {h} AS h FROM {table}
                       WHERE {c} IS NOT NULL ORDER BY h LIMIT {k}))
-                   AS est_ndv"""
+                   AS est_ndv,
+               (WITH samp AS ({sample}) {quant.format(p=0.5)}) AS est_p50,
+               (WITH samp AS ({sample}) {quant.format(p=0.99)}) AS est_p99"""
         )
     return " UNION ALL ".join(pieces)
 

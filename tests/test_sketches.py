@@ -125,3 +125,18 @@ def test_column_profile_oracle_parity(spark, sf_dir, duck):
         df, duck, SK.column_profile_sql("lineitem", ["l_orderkey", "l_suppkey"], k=64)
     )
     assert report["match"], report
+
+
+def test_column_profile_quantile_accuracy(spark):
+    """p50/p99 from the count-weighted distinct sample must land near
+    the true quantiles of a skewed distribution (id² over 0..1999:
+    true p50 ≈ 1000² = 1e6, p99 ≈ 1980² ≈ 3.92e6)."""
+    import pyspark.sql.functions as F
+
+    df = spark.range(2000).select((F.col("id") * F.col("id")).alias("x"))
+    row = SK.column_profile(df, ["x"], k=64).first()
+    assert row["n_rows"] == 2000 and row["n_nulls"] == 0
+    true_p50 = 1000.0**2
+    true_p99 = 1980.0**2
+    assert abs(row["est_p50"] - true_p50) / true_p50 < 0.15
+    assert abs(row["est_p99"] - true_p99) / true_p99 < 0.15
