@@ -4662,109 +4662,78 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver verifies only the FIRST 50 queries() entries per round
-# (r01+r02 each recorded exactly 50 rows). Rotation policy (VERDICT r2
-# #1): spend the budget on queries that have never had a driver row —
-# the already-green 84 move behind the window and rotate back in later
-# rounds. Order within the window: fixed err/red rows first (need
-# reconfirmation), then new round-3 queries, then never-verified by
-# family, then 3 cheap §2 sentinels as canaries at the window's tail.
-_R3_PRIORITY = [
-    # r02 driver-err rows, outputs now CSV-serialized — reconfirm
-    "pq_codes",
-    "embedding_quantize",
-    # r01 red rows, fixed in r2 but never driver-reconfirmed
-    "simhash",
-    "events_json_rollup",
-    # new in round 3
-    "multimodal_decode_real",
-    "hard_negatives_ivf",
-    "kmv_distinct_users",
-    "kmv_click_purchase_overlap",
-    "cm_heavy_hitters",
-    "bloom_pruned_scan",
-    "rewrite_pos_deletes",
-    "table_clone_isolation",
-    "column_profile",
-    "manifest_aggregates",
+# (r01+r02 each recorded exactly 50 rows). Round-4 fix for the r3
+# process bug (VERDICT r3 #1 — the hand-maintained priority list was
+# built for ONE round's run and silently went stale at HEAD): the
+# window is now COMPUTED. queries() reads the committed
+# CORRECTNESS_r*.json files and leads with every registered query that
+# has never had a green driver row, then the explicit recheck list
+# below (queries whose behavior changed this round + a rotation of
+# old greens + cheap §2 sentinels), then everything else. A new query
+# is never-verified by definition, so it enters the window the moment
+# it is registered; tests/test_registry_window.py pins the invariant.
+def _driver_verified() -> set:
+    """Names with at least one fully-green driver row across every
+    committed CORRECTNESS_r*.json."""
+    import glob as _glob
+    import json as _json
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    names: set = set()
+    for path in sorted(_glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+        try:
+            with open(path) as fh:
+                rows = _json.load(fh)
+        except (OSError, ValueError):
+            continue
+        for n, row in rows.items():
+            if (
+                row.get("err") is None
+                and row.get("rows_match")
+                and row.get("hash_match")
+            ):
+                names.add(n)
+    return names
+
+
+# Re-verification picks for THIS round's driver window, after the
+# never-verified block. Update each round: behavior-changed queries
+# first, then a rotation of the oldest greens, then the §2 sentinels.
+_RECHECK = [
+    # round-4 behavior changes
+    "column_profile",        # gained est_p50/est_p99 columns
+    "bloom_pruned_scan",     # blooms now type-tagged
+    "lakestream_source",     # back-pressure + expired-history guard
+    "streaming_lake_ingest",  # exactly-once guard legacy fallback
+    "streaming_cdc_apply",   # same guard path
+    "auto_maintenance",      # expire_snapshots ownership filter
+    "table_clone_isolation",  # clone + expiry interaction
     "merge_into",
-    "auto_maintenance",
-    "rename_column_read",
+    "rewrite_pos_deletes",
     "time_travel_as_of",
-    "streaming_sliding_counts",
-    "lakestream_source",
-    # never-verified: streaming surface
-    "streaming_lake_ingest",
-    "streaming_cdc_apply",
-    "streaming_first_seen",
-    "streaming_running_total",
-    "streaming_quota",
-    "streaming_attribution",
-    # never-verified: quality classifier pair
-    "quality_classifier",
-    "quality_classifier_joined",
-    # never-verified: TPC-H remainder
-    "q2_min_cost_supplier",
-    "q8_market_share",
-    "q9_profit_by_nation",
-    "q11_important_parts",
-    "q12_ship_delay_priority",
-    "q14_promo_revenue",
-    "q16_supplier_part_count",
-    "q17_small_quantity_revenue",
-    "q20_excess_suppliers",
-    "q21_last_shipper",
-    # never-verified: dedup / span / decontamination family
-    "dedup_near_keep_first",
-    "dedup_cc_clusters",
-    "dedup_keep_best",
-    "dedup_incremental",
-    "dedup_canonical",
-    "duplicate_spans",
-    "dedup_remove_spans",
-    "containment_top1",
-    "decontaminate",
-    # never-verified: text quality / LM signals
-    # §2 sentinels (cheap canaries kept inside the window)
+    # rotation: r01 greens, unverified since
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "compact_roundtrip",
+    "knn_bruteforce",
+    # §2 sentinels (cheap canaries at the window tail)
     "mor_pos_delete",
     "mor_eq_delete_seq",
     "dml_apply_changes",
-    # --- window boundary (~50) — below here rotates in r4+ ---
-    "bloom_decontaminate",
-    "hard_negatives",
-    "gopher_rules",
-    "text_repetition",
-    "readability",
-    "unigram_logprob",
-    "bigram_logprob",
-    "source_unigram_kl",
-    "token_frequency_spectrum",
-    "bm25_search",
-    "keyword_tags",
-    "weighted_sample",
-    "leakage_safe_split",
-    "sequence_packing",
-    "winsorized_prices",
-    "zscore_anomalies",
-    "incremental_rollup",
-    "range_lookup_tiers",
-    "fuzzy_part_match",
-    "stratified_sample",
-    "pii_redact",
-    "mixture_resample",
-    "corpus_split",
-    "corpus_shuffle",
-    "bpe_token_stats",
-    "doc_chunks",
-    "cdc_chunks",
-    "cumulative_revenue",
-    "salted_event_counts",
-    "order_gaps_ranks",
 ]
+
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     all_q = _all_queries()
-    out = {n: all_q[n] for n in _R3_PRIORITY if n in all_q}
+    verified = _driver_verified()
+    # 1. never-driver-verified first (the driver's budget confirms
+    #    something new), 2. this round's rechecks, 3. the long tail.
+    out = {n: f for n, f in all_q.items() if n not in verified}
+    for n in _RECHECK:
+        if n in all_q and n not in out:
+            out[n] = all_q[n]
     out.update({n: f for n, f in all_q.items() if n not in out})
     return out
 
