@@ -175,6 +175,71 @@ class LakeTable:
         if current is not None:
             snap.entries.extend(current.entries)
 
+    def _commit_with_retry(
+        self,
+        operation: str,
+        new_entries: list,
+        properties_update: dict[str, str] | None = None,
+        max_retries: int = 5,
+    ) -> md.Snapshot:
+        """Optimistic-retry commit of ALREADY-WRITTEN files (the
+        reference's retry semantics, compaction/mod.rs:595-611,
+        generalized to DML): on a version-CAS conflict the parquet is
+        NOT rewritten — the snapshot is rebuilt against the refreshed
+        base (new id/sequence number, entries re-stamped, live files
+        re-carried) and the CAS retried with jittered backoff.
+
+        Isolation is snapshot-level (Iceberg's default): a retried
+        delta commit lands AFTER concurrent appends, so its equality
+        deletes shadow them too. POSITIONAL deletes can't be re-based
+        that way — their (file, pos) pairs are meaningless against
+        rewritten files — so if any data file live at build time
+        vanished from the refreshed base, the retry raises
+        CommitFailed and the caller must re-run the delete."""
+        import random as _random
+
+        from bergloom_spark.lake.commit import CommitFailed
+
+        has_pos = any(e.content == md.POS_DELETE for e in new_entries)
+        cur = self.meta.current_snapshot()
+        base_data = {
+            e.file_path
+            for e in (cur.entries if cur is not None else [])
+            if e.content == md.DATA
+        }
+        attempt = 0
+        while True:
+            meta, snap = self._next_commit(operation)
+            if properties_update:
+                meta.properties.update(properties_update)
+            self._carry_forward(snap)
+            if attempt and has_pos:
+                live = {
+                    e.file_path
+                    for e in snap.entries
+                    if e.content == md.DATA
+                }
+                if not base_data <= live:
+                    raise CommitFailed(
+                        "concurrent rewrite removed data files this "
+                        "positional-delete commit references; re-run "
+                        "the delete against the current snapshot"
+                    )
+            for e in new_entries:
+                e.sequence_number = snap.sequence_number
+            snap.entries.extend(new_entries)
+            try:
+                md.write_version(meta)
+            except md.CommitConflict:
+                attempt += 1
+                if attempt > max_retries:
+                    raise
+                time.sleep(_random.uniform(0.0, 0.05 * attempt))
+                self.refresh()
+                continue
+            self.meta = meta
+            return snap
+
     def append(
         self,
         df: DataFrame,
@@ -185,23 +250,15 @@ class LakeTable:
         into table properties ATOMICALLY with the data commit (same
         metadata-version CAS) — what a streaming sink needs to record
         its batch id exactly-once alongside the rows it wrote."""
-        meta, snap = self._next_commit("append")
-        if properties_update:
-            meta.properties.update(properties_update)
-        self._carry_forward(snap)
-        snap.entries.extend(
-            wr.write_data_files(
-                df,
-                self.meta.table_root,
-                snap.sequence_number,
-                target_file_size,
-                partition_spec=self.meta.partition_spec or None,
-                bloom_cols=self.bloom_cols(meta),
-            )
+        entries = wr.write_data_files(
+            df,
+            self.meta.table_root,
+            self.meta.last_sequence_number + 1,
+            target_file_size,
+            partition_spec=self.meta.partition_spec or None,
+            bloom_cols=self.bloom_cols(),
         )
-        md.write_version(meta)
-        self.meta = meta
-        return snap
+        return self._commit_with_retry("append", entries, properties_update)
 
     def stage_append(
         self, df: DataFrame, target_file_size: int = 128 * 1024 * 1024
@@ -263,30 +320,21 @@ class LakeTable:
 
     def append_position_deletes(self, df: DataFrame) -> md.Snapshot:
         """``df``: (file_path string, pos long) rows to delete."""
-        meta, snap = self._next_commit("delete")
-        self._carry_forward(snap)
-        snap.entries.extend(
-            wr.write_position_delete_files(
-                df, self.meta.table_root, snap.sequence_number
-            )
+        entries = wr.write_position_delete_files(
+            df, self.meta.table_root, self.meta.last_sequence_number + 1
         )
-        md.write_version(meta)
-        self.meta = meta
-        return snap
+        return self._commit_with_retry("delete", entries)
 
     def append_equality_deletes(
         self, df: DataFrame, equality_ids: list[str]
     ) -> md.Snapshot:
-        meta, snap = self._next_commit("delete")
-        self._carry_forward(snap)
-        snap.entries.extend(
-            wr.write_equality_delete_files(
-                df, self.meta.table_root, snap.sequence_number, equality_ids
-            )
+        entries = wr.write_equality_delete_files(
+            df,
+            self.meta.table_root,
+            self.meta.last_sequence_number + 1,
+            equality_ids,
         )
-        md.write_version(meta)
-        self.meta = meta
-        return snap
+        return self._commit_with_retry("delete", entries)
 
     # ------------------------------------------------------------------
     # snapshot management
@@ -788,20 +836,15 @@ class LakeTable:
         # be re-listed, which scan_data avoids by construction (it scans
         # raw data files — re-deleting an already-deleted (file,pos) is
         # harmless and idempotent).
-        meta, snap = self._next_commit("delete")
-        self._carry_forward(snap)
         entries = wr.write_position_delete_files(
-            matches, self.meta.table_root, snap.sequence_number
+            matches, self.meta.table_root, self.meta.last_sequence_number + 1
         )
         if sum(e.record_count for e in entries) == 0:
             for e in entries:  # nothing matched: discard, don't commit
                 if os.path.exists(e.file_path):
                     os.unlink(e.file_path)
             return None
-        snap.entries.extend(entries)
-        md.write_version(meta)
-        self.meta = meta
-        return snap
+        return self._commit_with_retry("delete", entries)
 
     def upsert(self, df: DataFrame, key_cols: list[str]) -> md.Snapshot:
         """MERGE-style upsert: equality-delete on the keys, then append.
@@ -907,29 +950,21 @@ class LakeTable:
             *[F.col(f"t.{k}").alias(k) for k in key_cols]
         ).distinct()
 
-        meta, snap = self._next_commit("merge")
-        self._carry_forward(snap)
-        snap.entries.extend(
-            wr.write_equality_delete_files(
-                matched_keys,
-                self.meta.table_root,
-                snap.sequence_number,
-                key_cols,
-            )
+        seq = self.meta.last_sequence_number + 1
+        entries = wr.write_equality_delete_files(
+            matched_keys, self.meta.table_root, seq, key_cols
         )
-        snap.entries.extend(
+        entries.extend(
             wr.write_data_files(
                 new_rows,
                 self.meta.table_root,
-                snap.sequence_number,
+                seq,
                 target_file_size,
                 partition_spec=self.meta.partition_spec or None,
-                bloom_cols=self.bloom_cols(meta),
+                bloom_cols=self.bloom_cols(),
             )
         )
-        md.write_version(meta)
-        self.meta = meta
-        return snap
+        return self._commit_with_retry("merge", entries)
 
     def apply_changes(
         self,
@@ -987,33 +1022,23 @@ class LakeTable:
             .filter(F.col("__rn") == 1)
             .drop("__rn")
         )
-        meta, snap = self._next_commit("merge")
-        if properties_update:
-            # Merged atomically with the CDC commit (same CAS) — the
-            # streaming sink's exactly-once batch-id guard.
-            meta.properties.update(properties_update)
-        self._carry_forward(snap)
-        snap.entries.extend(
-            wr.write_equality_delete_files(
-                winners.select(*key_cols),
-                self.meta.table_root,
-                snap.sequence_number,
-                key_cols,
-            )
+        seq = self.meta.last_sequence_number + 1
+        entries = wr.write_equality_delete_files(
+            winners.select(*key_cols), self.meta.table_root, seq, key_cols
         )
-        snap.entries.extend(
+        entries.extend(
             wr.write_data_files(
                 winners.filter(F.col(op_col) != F.lit("D")).select(*user_cols),
                 self.meta.table_root,
-                snap.sequence_number,
+                seq,
                 target_file_size,
                 partition_spec=self.meta.partition_spec or None,
-                bloom_cols=self.bloom_cols(meta),
+                bloom_cols=self.bloom_cols(),
             )
         )
-        md.write_version(meta)
-        self.meta = meta
-        return snap
+        # properties merged atomically with the CDC commit (same CAS)
+        # — the streaming sink's exactly-once batch-id guard.
+        return self._commit_with_retry("merge", entries, properties_update)
 
     def bloom_cols(self, meta: md.TableMetadata | None = None) -> list[str] | None:
         """Columns that get per-file equality Bloom filters at write
