@@ -158,10 +158,95 @@ def embedding_dedup_pairs(
     )
 
 
+def embedding_dedup_pairs_matmul(
+    embeddings: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_resident_rows: int = 10_000_000,
+    a_block: int = 2048,
+    b_chunk: int = 16384,
+) -> DataFrame:
+    """All pairs with cosine ≥ threshold (id_a < id_b), BLAS-tiled.
+
+    Exact all-pairs at a LOW threshold is intrinsically Θ(n²) — no
+    blocking scheme can prune when the admissible angle is wide
+    (τ=0.4 ⇒ θ≈66°; the round-4 decade measurement clocked the
+    triangle-inequality blocked plan at exponent 1.7 because on 64-dim
+    data every cluster pair stays admissible and each candidate pair
+    paid an interpreted JVM fold). This variant accepts the quadratic
+    and drives the constant to BLAS speed: the normalized corpus
+    matrix is broadcast once, and each Arrow batch scores itself
+    against it as tiled matmuls (~10⁹ pair-dots/s/core instead of
+    ~10⁷ interpreted fold steps/s) — two orders of magnitude off the
+    constant, which is the only lever a Θ(n²) problem has.
+
+    Scale bounds, stated honestly: the resident side costs
+    rows × dim × 8 bytes of executor memory (10M × 64-d ≈ 5 GB — the
+    default cap; beyond it this raises). Past that, EXACT all-pairs at
+    low τ is not a feasible query on any engine; the scale paths are
+    :func:`embedding_dedup_pairs_blocked` (high τ / clustered data,
+    where pruning is real), minhash-LSH (approximate Jaccard), or
+    IVF/LSH ANN with bounded probes. Work distributes by the
+    streaming side's partitions; the tile sizes bound each task's
+    score buffer to a_block × b_chunk doubles (~256 MB default).
+
+    Float contract: float32 inputs widen exactly to float64; BLAS
+    pairwise summation differs from the oracle's sequential fold by
+    ~1e-15, absorbed by the shared round-to-6 before the ≥ filter
+    (same argument as knn_bruteforce_vectorized, driver-verified).
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = embeddings.sparkSession
+    rows_pdf = embeddings.select(id_col, vec_col).toPandas()
+    n = len(rows_pdf)
+    if n > max_resident_rows:
+        raise ValueError(
+            f"embedding_dedup_pairs_matmul broadcasts the corpus and got "
+            f"{n} rows (> max_resident_rows={max_resident_rows}); use "
+            "embedding_dedup_pairs_blocked (high threshold) or the "
+            "minhash/IVF approximate paths at this scale"
+        )
+    all_ids = rows_pdf[id_col].to_numpy(dtype=np.int64)
+    M = np.stack(rows_pdf[vec_col].to_numpy()).astype(np.float64)
+    M /= np.linalg.norm(M, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast((all_ids, M))
+
+    out_schema = "id_a long, id_b long, cosine_sim double"
+
+    def score(batches):
+        ids_b, Mb = bc.value
+        for pdf in batches:
+            ids_a = pdf[id_col].to_numpy(dtype=np.int64)
+            Ma = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            Ma /= np.linalg.norm(Ma, axis=1, keepdims=True)
+            for a0 in range(0, len(ids_a), a_block):
+                a1 = min(a0 + a_block, len(ids_a))
+                for b0 in range(0, len(ids_b), b_chunk):
+                    b1 = min(b0 + b_chunk, len(ids_b))
+                    sims = np.round(Ma[a0:a1] @ Mb[b0:b1].T, 6)
+                    keep = (sims >= threshold) & (
+                        ids_a[a0:a1, None] < ids_b[None, b0:b1]
+                    )
+                    ai, bi = np.nonzero(keep)
+                    if len(ai):
+                        yield pd.DataFrame(
+                            {
+                                "id_a": ids_a[a0 + ai],
+                                "id_b": ids_b[b0 + bi],
+                                "cosine_sim": sims[ai, bi],
+                            }
+                        )
+
+    return embeddings.select(id_col, vec_col).mapInPandas(score, out_schema)
+
+
 def embedding_dedup_pairs_blocked(
     embeddings: DataFrame,
     threshold: float,
-    n_centroids: int = 16,
+    n_centroids: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     cache: bool = True,
@@ -189,15 +274,34 @@ def embedding_dedup_pairs_blocked(
     (the dedup use case) prune almost everything; in the worst case
     (uniform vectors, low threshold) it degrades to a *partitioned
     hash join* over all cluster pairs — still shuffle-partitioned by
-    cluster id, never a broadcast nested loop. At 100 TB: K grows
-    ~√n, assignment stays a map, and the per-cluster-pair work is
-    distributed across executors by the (i, j) join keys.
+    cluster id, never a broadcast nested loop.
+
+    ``n_centroids=None`` (default) sizes K ≈ √n automatically — the
+    balance point where per-cluster-pair candidate work (n/K)² stays
+    linear in n *when pruning bites* (a FIXED K is always superlinear:
+    the round-4 decade run clocked K=16 at exponent 1.64). K is capped
+    at 2048 because the K×K pair pruning runs driver-side; the result
+    SET is K-invariant — blocking only prunes, never drops.
+
+    WHEN pruning bites: a cluster pair survives iff
+    angle(c_i, c_j) ≤ θ_τ + r_i + r_j, so the scheme needs
+    θ_τ (= acos τ) plus the cluster radii to be SMALLER than typical
+    centroid gaps — i.e. high thresholds over clustered data (the
+    near-dup regime, τ ≥ ~0.85). At a low threshold the admissible
+    angle swallows every pair (τ=0.4 ⇒ θ≈66°; measured: zero pairs
+    pruned on 64-dim data, exponent 1.7 — the same Θ(n²) as brute
+    force but with per-pair fold cost). For that regime use
+    :func:`embedding_dedup_pairs_matmul`, which accepts the quadratic
+    and pays BLAS constants instead.
     """
     import math
 
     import numpy as np
 
     spark = embeddings.sparkSession
+    if n_centroids is None:
+        n_rows = embeddings.select(id_col).count()
+        n_centroids = max(16, min(2048, int(math.isqrt(max(1, n_rows)))))
     cm = deterministic_centroids(embeddings, n_centroids, id_col, vec_col)
     assigned = (
         ivf_assign(embeddings, cm, id_col, vec_col)

@@ -106,6 +106,35 @@ def test_embedding_dedup_blocked_matches_bruteforce(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_embedding_dedup_matmul_matches_bruteforce(spark, sf_dir):
+    """The BLAS-tiled all-pairs (the low-threshold scale plan) must
+    return the IDENTICAL pair set as the fold-based brute force —
+    pairwise-vs-sequential float summation stays under the shared
+    round-to-6 — including with tile sizes small enough that a single
+    batch spans several (a_block, b_chunk) tiles."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    mat = similarity.embedding_dedup_pairs_matmul(
+        emb, threshold=0.38, a_block=64, b_chunk=100
+    )
+    brute = similarity.embedding_dedup_pairs(emb, threshold=0.38)
+    got = {(r.id_a, r.id_b, r.cosine_sim) for r in mat.collect()}
+    want = {(r.id_a, r.id_b, r.cosine_sim) for r in brute.collect()}
+    assert got == want, (
+        f"missing={sorted(want - got)[:5]} extra={sorted(got - want)[:5]}"
+    )
+    assert len(want) > 0
+
+
+def test_embedding_dedup_matmul_resident_guard(spark, sf_dir):
+    import pytest
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    with pytest.raises(ValueError, match="max_resident_rows"):
+        similarity.embedding_dedup_pairs_matmul(
+            emb, threshold=0.38, max_resident_rows=10
+        ).collect()
+
+
 def test_hard_negatives_ivf_full_probe_matches_exact(spark, sf_dir):
     """With nprobe = n_centroids the IVF router scans every posting
     list, so the composed operator must equal the exact broadcast-probe
