@@ -192,6 +192,67 @@ def make_cdc_sink(
     )
 
 
+def replicate_changelog(
+    spark,
+    source_root: str,
+    target: LakeTable,
+    checkpoint_dir: str,
+    key_cols: list[str],
+) -> LakeTable:
+    """Replicate a LakeTable into another via its CHANGELOG stream —
+    the cross-region / derived-table pattern: the source's row-level
+    +/- feed (``sources/lakestream.py`` changelog mode) is applied to
+    the target with :meth:`LakeTable.apply_changes`, exactly-once per
+    micro-batch (same batch-id guard as every sink here).
+
+    Ordering: ``_commit_snapshot_id`` orders changes per key; within
+    one source snapshot an insert outranks the delete of the row it
+    replaced (MoR equality deletes only shadow strictly-older rows, so
+    a same-snapshot upsert must land as the insert). Resumable from
+    the checkpoint; compactions on the source emit nothing and cost
+    the replica nothing."""
+    from pyspark.sql import functions as F
+
+    prop = guard_key_for_checkpoint(checkpoint_dir)
+
+    def sink(batch_df, batch_id: int) -> None:
+        t = target.refresh()
+        last = _last_committed(t.meta.properties, prop)
+        if batch_id <= last:
+            return
+        changes = batch_df.select(
+            *[c for c in batch_df.columns
+              if c not in ("_change_type", "_commit_snapshot_id")],
+            F.when(F.col("_change_type") == "delete", F.lit("D"))
+            .otherwise(F.lit("U"))
+            .alias("__op"),
+            (
+                F.col("_commit_snapshot_id") * 2
+                + F.when(F.col("_change_type") == "insert", 1).otherwise(0)
+            ).alias("__ord"),
+        )
+        t.apply_changes(
+            changes,
+            key_cols,
+            op_col="__op",
+            order_col="__ord",
+            properties_update={prop: str(batch_id)},
+        )
+
+    q = (
+        spark.readStream.format("lakestream")
+        .option("path", source_root)
+        .option("changelog", "true")
+        .load()
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return target.refresh()
+
+
 def apply_changes_stream(
     stream_df: DataFrame,
     table: LakeTable,
