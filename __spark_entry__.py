@@ -467,6 +467,22 @@ _MOR_ORACLES = {
         UNION ALL
         SELECT *, 'delete', 4::BIGINT FROM odd WHERE l_orderkey % 10 = 5
     """,
+    # Final replica state: odd rows, %50==1 re-inserted with +1000
+    # quantity, %10==5 deleted (disjoint sets — %50==1 ⇒ %10==1).
+    "lakestream_replicate": """
+        WITH odd AS (
+          SELECT l_orderkey, l_linenumber,
+                 max(l_partkey) AS l_partkey, max(l_suppkey) AS l_suppkey,
+                 max(l_quantity) AS l_quantity
+          FROM lineitem WHERE l_orderkey % 2 = 1
+          GROUP BY l_orderkey, l_linenumber)
+        SELECT * FROM (
+          SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+                 CASE WHEN l_orderkey % 50 = 1 THEN l_quantity + 1000.0
+                      ELSE l_quantity END AS l_quantity
+          FROM odd)
+        WHERE l_orderkey % 10 <> 5
+    """,
     "merge_into": f"""
         WITH src AS (
           SELECT l_orderkey, l_linenumber,
@@ -2090,6 +2106,52 @@ def q_lakestream_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def q_lakestream_replicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC replication (round 4): the source table's changelog stream
+    (append → MERGE → delete → compaction) applied to an EMPTY replica
+    via apply_changes, exactly-once per micro-batch. The replica's
+    final read must equal the source's — the oracle recomputes that
+    state straight from the raw parquet."""
+    from bergloom_spark.config import CompactionConfig
+    from bergloom_spark.lake import Compaction, LakeTable
+    from bergloom_spark.sources.lakestream import LakeStreamDataSource
+    from bergloom_spark.streaming.ingest import replicate_changelog
+
+    spark.dataSource.register(LakeStreamDataSource)
+    # CDC replication needs a genuinely unique key; the synthetic
+    # lineitem repeats (l_orderkey, l_linenumber), so the source is
+    # the key-deduped projection (max per value column — same shape
+    # as the merge_into oracle).
+    odd = (
+        T(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 2 == 1)
+        .groupBy("l_orderkey", "l_linenumber")
+        .agg(
+            F.max("l_partkey").alias("l_partkey"),
+            F.max("l_suppkey").alias("l_suppkey"),
+            F.max("l_quantity").alias("l_quantity"),
+        )
+    )
+    ups = odd.filter(F.col("l_orderkey") % 50 == 1).withColumn(
+        "l_quantity", F.col("l_quantity") + 1000.0
+    )
+    scratch = _scratch(prefix="bergloom-lreplicate-")
+    src_root = os.path.join(scratch, "src")
+    src = LakeTable.create(spark, src_root, odd.schema)
+    src.append(odd)
+    src.upsert(ups, ["l_orderkey", "l_linenumber"])
+    src.delete_where(F.col("l_orderkey") % 10 == 5)
+    Compaction(src, CompactionConfig()).compact()
+    dst = LakeTable.create(
+        spark, os.path.join(scratch, "dst"), odd.schema
+    )
+    dst = replicate_changelog(
+        spark, src_root, dst, os.path.join(scratch, "ckpt"),
+        ["l_orderkey", "l_linenumber"],
+    )
+    return dst.read()
+
+
 def q_streaming_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A REAL stream-stream event-time join run (two file-source
     streams over the same directory, watermarks both sides, bounded
@@ -3584,10 +3646,12 @@ def q_knn_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Centroid-blocked exact variant: same pairs as the brute-force
-    # operator (triangle-inequality candidate completeness), but the
-    # plan is hash joins on cluster id — no nested loop.
-    return similarity.embedding_dedup_pairs_blocked(
+    # Exact all-pairs at τ=0.4: the admissible angle (~66°) defeats
+    # any blocking scheme, so the right plan ACCEPTS the Θ(n²) and
+    # pays BLAS constants — tiled matmul per Arrow batch against the
+    # broadcast normalized corpus (measured 148 s → ~2 s at sf1 vs the
+    # centroid-blocked plan, whose regime is high-τ clustered data).
+    return similarity.embedding_dedup_pairs_matmul(
         TS(spark, sf_dir, "embeddings"), threshold=0.4
     )
 
@@ -4716,7 +4780,6 @@ _RECHECK = [
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "compact_roundtrip",
-    "knn_bruteforce",
     # §2 sentinels (cheap canaries at the window tail)
     "mor_pos_delete",
     "mor_eq_delete_seq",
@@ -4789,6 +4852,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_sliding_counts": q_streaming_sliding_counts,
         "lakestream_source": q_lakestream_source,
         "lakestream_changelog": q_lakestream_changelog,
+        "lakestream_replicate": q_lakestream_replicate,
         "tagged_release_read": q_tagged_release_read,
         "compact_binpack": q_compact_binpack,
         "partition_stats": q_partition_stats,

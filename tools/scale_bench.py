@@ -1,0 +1,92 @@
+"""One-decade scaling run (VERDICT r3 #4): time the heavy headline
+queries at sf0.1 and at the derived sf1 (tools/make_sf1.py), print the
+measured scaling exponent per query, and write BENCH_sf1.json.
+
+exponent = log10(t_sf1 / t_sf0.1): 1.0 = linear, < 1 = fixed costs
+still dominate at this size, > 1 = superlinear (a scale problem).
+
+Usage: python tools/scale_bench.py [sf1_dir]   (default /tmp/sfx1)
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import importlib.util  # noqa: E402
+
+from bergloom_spark.session import get_spark  # noqa: E402
+
+HEAVY = [
+    "compact_roundtrip",
+    "minhash_lsh_pairs",
+    "dedup_remove_spans",
+    "embedding_dedup",
+    "bpe_token_stats",
+]
+
+SF01 = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def main() -> None:
+    sf1 = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sfx1"
+    spec = importlib.util.spec_from_file_location(
+        "entry",
+        os.path.join(os.path.dirname(__file__), "..", "__spark_entry__.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    queries = dict(mod.queries())
+    queries["bpe_token_stats"] = mod.q_bpe_token_stats
+
+    spark = get_spark(app_name="scale-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def run(name, sf_dir, passes=2):
+        best = float("inf")
+        for _ in range(passes):
+            t0 = time.monotonic()
+            queries[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            best = min(best, time.monotonic() - t0)
+        return round(best, 3)
+
+    # warmup (JIT + caches) at the small SF
+    for name in HEAVY:
+        run(name, SF01, passes=1)
+
+    out = {"sf0.1": {}, "sf1": {}, "exponent": {}}
+    for name in HEAVY:
+        t_small = run(name, SF01)
+        t_big = run(name, sf1)
+        out["sf0.1"][name] = t_small
+        out["sf1"][name] = t_big
+        out["exponent"][name] = round(math.log10(t_big / t_small), 3)
+        print(
+            f"{name}: sf0.1={t_small}s sf1={t_big}s "
+            f"exponent={out['exponent'][name]}"
+        )
+    here = os.path.join(os.path.dirname(__file__), "..", "BENCH_sf1.json")
+    with open(here, "w") as fh:
+        json.dump(
+            {
+                "metric": "heavy_queries_decade_scaling",
+                "unit": "sec",
+                "sf1_dir": sf1,
+                **out,
+            },
+            fh,
+            indent=1,
+        )
+    print("wrote BENCH_sf1.json")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
