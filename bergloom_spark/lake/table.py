@@ -256,7 +256,7 @@ class LakeTable:
             self.meta.last_sequence_number + 1,
             target_file_size,
             partition_spec=self.meta.partition_spec or None,
-            bloom_cols=self.bloom_cols(),
+            bloom_cols=self.bloom_cols(pending=properties_update),
         )
         return self._commit_with_retry("append", entries, properties_update)
 
@@ -1033,20 +1033,28 @@ class LakeTable:
                 seq,
                 target_file_size,
                 partition_spec=self.meta.partition_spec or None,
-                bloom_cols=self.bloom_cols(),
+                bloom_cols=self.bloom_cols(pending=properties_update),
             )
         )
         # properties merged atomically with the CDC commit (same CAS)
         # — the streaming sink's exactly-once batch-id guard.
         return self._commit_with_retry("merge", entries, properties_update)
 
-    def bloom_cols(self, meta: md.TableMetadata | None = None) -> list[str] | None:
+    def bloom_cols(
+        self,
+        meta: md.TableMetadata | None = None,
+        pending: dict[str, str] | None = None,
+    ) -> list[str] | None:
         """Columns that get per-file equality Bloom filters at write
         time (the ``write.bloom-filter-columns`` table property). Write
-        paths pass their IN-FLIGHT metadata so a property set in the
-        same commit (``properties_update``) applies to that commit's
-        own files."""
-        props = (meta or self.meta).properties
+        paths pass their IN-FLIGHT metadata — or, with the retrying
+        commit (which merges properties only inside the CAS loop, after
+        files are written), the not-yet-committed ``properties_update``
+        as ``pending`` — so a property set in the same commit applies
+        to that commit's own files."""
+        props = dict((meta or self.meta).properties)
+        if pending:
+            props.update(pending)
         prop = props.get(BLOOM_COLS_PROP, "").strip()
         if not prop:
             return None
