@@ -431,6 +431,16 @@ _MOR_ORACLES = {
         SELECT {', '.join(LI_COLS)} FROM lineitem
         WHERE l_suppkey % 17 <> 0 AND l_partkey % 29 <> 0
     """,
+    # Two-table fleet: table a = all rows minus two delete passes,
+    # table b = the odd-orderkey half; scheduled maintenance must not
+    # change either table's rows.
+    "maintenance_fleet": f"""
+        SELECT {', '.join(LI_COLS)}, 'a' AS fleet_table FROM lineitem
+        WHERE l_suppkey % 13 <> 0 AND l_partkey % 31 <> 0
+        UNION ALL
+        SELECT {', '.join(LI_COLS)}, 'b' AS fleet_table FROM lineitem
+        WHERE l_orderkey % 2 = 1
+    """,
     "rename_column_read": """
         SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
                l_quantity AS qty
@@ -1325,6 +1335,61 @@ def q_auto_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     assert report.snapshots_expired > 0
     assert len(t.meta.current_snapshot().files(lmd.POS_DELETE)) <= 1
     return t.read()
+
+
+def q_maintenance_fleet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fleet maintenance scheduler (round 4, lake/scheduler.py — the
+    reference roadmap's STANDALONE SCHEDULER component,
+    README.md:50-52): two tables accumulate debt (one fragmented +
+    delete-laden, one merely fragmented); the scheduler, budgeted to
+    ONE table per cycle with cooldown, converges the fleet in debt
+    order. Budget/cooldown mechanics asserted in-query; the oracle
+    proves scheduled maintenance never changes either table's rows."""
+    from bergloom_spark.lake import LakeTable
+    from bergloom_spark.lake.maintenance import MaintenancePolicy
+    from bergloom_spark.lake.scheduler import (
+        MaintenanceScheduler,
+        SchedulerConfig,
+    )
+
+    li = T(spark, sf_dir, "lineitem").select(*LI_COLS)
+    scratch = _scratch(prefix="bergloom-fleet-")
+    ra, rb = os.path.join(scratch, "a"), os.path.join(scratch, "b")
+    a = LakeTable.create(spark, ra, li.schema)
+    for i in range(4):
+        a.append(li.filter(F.col("l_orderkey") % 4 == i))
+    a.delete_where(F.col("l_suppkey") % 13 == 0)
+    a.delete_where(F.col("l_partkey") % 31 == 0)
+    b = LakeTable.create(spark, rb, li.schema)
+    for i in range(3):
+        b.append(
+            li.filter(
+                (F.col("l_orderkey") % 2 == 1)
+                & (F.col("l_linenumber") % 3 == i)
+            )
+        )
+    sched = MaintenanceScheduler(
+        spark,
+        [ra, rb],
+        policy=MaintenancePolicy(min_small_files=3, max_delete_files=1),
+        config=SchedulerConfig(max_tables_per_cycle=1, cooldown_cycles=1),
+    )
+    reps = sched.run_until_clean()
+    done = [r for rep in reps for r in rep.scheduled]
+    # debt order: the delete-laden table outranks the merely-fragmented
+    assert done[0] == ra and rb in done, done
+    assert not any(rep.errors for rep in reps)
+    assert all(s.debt < 1.0 for s in sched.scores())
+    return (
+        LakeTable.load(spark, ra)
+        .read()
+        .withColumn("fleet_table", F.lit("a"))
+        .unionByName(
+            LakeTable.load(spark, rb)
+            .read()
+            .withColumn("fleet_table", F.lit("b"))
+        )
+    )
 
 
 def q_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4847,6 +4912,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "manifest_aggregates": q_manifest_aggregates,
         "merge_into": q_merge_into,
         "auto_maintenance": q_auto_maintenance,
+        "maintenance_fleet": q_maintenance_fleet,
         "rename_column_read": q_rename_column_read,
         "time_travel_as_of": q_time_travel_as_of,
         "streaming_sliding_counts": q_streaming_sliding_counts,
