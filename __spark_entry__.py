@@ -3548,6 +3548,27 @@ def q_ngram_jaccard_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT corpus-wide n-gram Jaccard pairs (round 4) — the
+    ground-truth twin of minhash_lsh_pairs: inverted shingle-posting
+    self-join counts intersections, so only 16-byte (hash, id) rows
+    shuffle and no candidate can be missed (a τ>0 pair shares ≥1
+    shingle). The oracle recomputes every pair brute-force."""
+    return dedup.ngram_jaccard_pairs(
+        TS(spark, sf_dir, "documents"), "text", "doc_id", threshold=0.2
+    )
+
+
+def q_dedup_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production near-dup pipeline (round 4): banded-LSH
+    candidate generation + exact n-gram Jaccard verification — output
+    threshold exact, corpus cost candidate-shaped. est_threshold =
+    τ/2 = 0.25 matches the driver-green minhash_lsh_pairs plan."""
+    return dedup.minhash_verified_pairs(
+        TS(spark, sf_dir, "documents"), "text", "doc_id", threshold=0.5
+    )
+
+
 def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-substring (window-hash) intra-corpus dedup, the Lee et
     al. ACL'22 signal: per doc, the fraction of its 20-token spans
@@ -4398,6 +4419,44 @@ _EXT_ORACLES = {
         FROM pairs WHERE bit_count(xor(sha, shb)) <= 3
     """,
     "minhash_lsh_pairs": _MINHASH_PAIRS_SQL,
+    # Brute-force ground truth: every doc pair's exact Jaccard over
+    # distinct shingle hashes (the same 60-bit md5 hash both engines
+    # share), rounded before the threshold compare like the Spark side.
+    "ngram_jaccard_pairs": f"""
+        WITH sh AS (
+          SELECT doc_id,
+                 list_distinct(list_transform({TX.shingles_sql('text', 3)},
+                   s -> {hash64_sql('s')} % {dedup.MINHASH_PRIME})) AS hs
+          FROM documents),
+        sized AS (SELECT doc_id, hs, len(hs) AS n FROM sh WHERE len(hs) > 0)
+        SELECT * FROM (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 round(len(list_intersect(a.hs, b.hs))::DOUBLE /
+                       (a.n + b.n - len(list_intersect(a.hs, b.hs))),
+                       6) AS jaccard
+          FROM sized a JOIN sized b ON a.doc_id < b.doc_id)
+        WHERE jaccard >= 0.2
+    """,
+    # LSH candidates (the minhash_lsh_pairs plan at est 0.25) refined
+    # by exact Jaccard ≥ 0.5 over the same shingle-hash sets.
+    "dedup_verified_pairs": f"""
+        WITH cands AS ({_MINHASH_PAIRS_SQL}),
+        sh AS (
+          SELECT doc_id,
+                 list_distinct(list_transform({TX.shingles_sql('text', 3)},
+                   s -> {hash64_sql('s')} % {dedup.MINHASH_PRIME})) AS hs
+          FROM documents)
+        SELECT * FROM (
+          SELECT id_a, id_b,
+                 round(len(list_intersect(sa.hs, sb.hs))::DOUBLE /
+                       greatest(len(sa.hs) + len(sb.hs)
+                                - len(list_intersect(sa.hs, sb.hs)), 1),
+                       6) AS jaccard
+          FROM cands
+          JOIN sh sa ON sa.doc_id = id_a
+          JOIN sh sb ON sb.doc_id = id_b)
+        WHERE jaccard >= 0.5
+    """,
     "ngram_jaccard_top1": f"""
         WITH sh AS (
           SELECT doc_id, list_distinct({TX.shingles_sql('text')}) AS s
@@ -4994,6 +5053,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": q_weighted_sample,
         "leakage_safe_split": q_leakage_safe_split,
         "ngram_jaccard_top1": q_ngram_jaccard_top1,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "dedup_verified_pairs": q_dedup_verified_pairs,
         "duplicate_spans": q_duplicate_spans,
         "dedup_remove_spans": q_dedup_remove_spans,
         "containment_top1": q_containment_top1,

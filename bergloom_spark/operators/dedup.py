@@ -492,6 +492,136 @@ def ngram_jaccard_top1(
     )
 
 
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float,
+    shingle_n: int = 3,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """All doc pairs with EXACT n-gram Jaccard ≥ threshold
+    (id_a < id_b). Output: (id_a, id_b, jaccard), jaccard rounded 6.
+
+    The exact twin of :func:`minhash_lsh_pairs`: one scan builds each
+    doc's DISTINCT shingle-hash set, an inverted (hash → doc) posting
+    table self-joins per hash to count every co-occurring pair's
+    intersection, and |A∩B| / (|A| + |B| - |A∩B|) filters. Exact by
+    construction: τ > 0 ⇒ a qualifying pair shares ≥ 1 shingle ⇒ it
+    appears in the posting join — no candidate can be missed.
+
+    Scale shape: the only corpus-proportional exchanges carry 16-byte
+    (hash, id) rows — text never shuffles — and the intersection agg
+    is map-side combinable on (id_a, id_b). The hazard is shingle
+    document frequency: a boilerplate shingle occurring in M docs
+    contributes M² candidate rows. ``max_doc_freq`` drops shingles
+    above the cap BEFORE pairing — the standard stop-shingle cut.
+    That is a SEMANTIC change (Jaccard over the pruned shingle
+    universe, sizes recomputed to match), so it is opt-in; at corpus
+    scale prefer :func:`minhash_verified_pairs`, which keeps the
+    output exact while only candidate pairs pay the set comparison.
+    """
+    hs = df.select(
+        F.col(id_col).alias("__id"),
+        F.array_distinct(shingle_hashes(text_col, shingle_n)).alias("__hs"),
+    )
+    postings = hs.select("__id", F.explode("__hs").alias("__h"))
+    if max_doc_freq is not None:
+        hot = (
+            postings.groupBy("__h")
+            .count()
+            .filter(F.col("count") > max_doc_freq)
+            .select("__h")
+        )
+        postings = postings.join(F.broadcast(hot), "__h", "left_anti")
+        sizes = postings.groupBy("__id").agg(F.count("*").alias("__n"))
+    else:
+        sizes = hs.select("__id", F.size("__hs").alias("__n")).filter(
+            F.col("__n") > 0
+        )
+    inter = (
+        postings.alias("a")
+        .join(
+            postings.alias("b"),
+            (F.col("a.__h") == F.col("b.__h"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .groupBy(
+            F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b")
+        )
+        .agg(F.count("*").alias("__i"))
+    )
+    na = sizes.select(F.col("__id").alias("id_a"), F.col("__n").alias("__na"))
+    nb = sizes.select(F.col("__id").alias("id_b"), F.col("__n").alias("__nb"))
+    return (
+        inter.join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("__i").cast("double")
+                / (F.col("__na") + F.col("__nb") - F.col("__i")),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_verified_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float,
+    est_threshold: float | None = None,
+    k: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """The production near-dup pipeline: banded MinHash-LSH generates
+    candidates (recall tuned by k/bands/``est_threshold``), then each
+    candidate pair is VERIFIED with exact n-gram Jaccard — so the
+    output threshold is exact (no est-Jaccard false positives) while
+    the corpus-shaped work stays the LSH plan's. Output:
+    (id_a, id_b, jaccard ≥ threshold) for LSH-surfaced pairs.
+
+    ``est_threshold`` (default: half the verify threshold) is the
+    recall knob: lower = more candidates = fewer missed pairs. The
+    verification join touches candidates only — each pair fetches its
+    two distinct-shingle-hash arrays by id and intersects them
+    scan-side, costing |candidates| set ops, not |corpus|².
+    """
+    if est_threshold is None:
+        est_threshold = threshold / 2
+    cands = minhash_lsh_pairs(
+        df, text_col, id_col, k, bands, est_threshold, shingle_n
+    ).select("id_a", "id_b")
+    hs = df.select(
+        F.col(id_col).alias("__id"),
+        F.array_distinct(shingle_hashes(text_col, shingle_n)).alias("__hs"),
+    )
+    joined = cands.join(
+        hs.select(F.col("__id").alias("id_a"), F.col("__hs").alias("__ha")),
+        "id_a",
+    ).join(
+        hs.select(F.col("__id").alias("id_b"), F.col("__hs").alias("__hb")),
+        "id_b",
+    )
+    inter = F.size(F.array_intersect(F.col("__ha"), F.col("__hb")))
+    union = F.size(F.col("__ha")) + F.size(F.col("__hb")) - inter
+    return (
+        joined.select(
+            "id_a",
+            "id_b",
+            F.round(
+                inter.cast("double") / F.greatest(union, F.lit(1)), 6
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 # ---------------------------------------------------------------------------
 # benchmark decontamination (n-gram overlap vs a probe set)
 # ---------------------------------------------------------------------------

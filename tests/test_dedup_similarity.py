@@ -106,6 +106,69 @@ def test_embedding_dedup_blocked_matches_bruteforce(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_ngram_jaccard_pairs_exact_and_verified_recall(spark, sf_dir):
+    """The posting-join exact pairs must equal a brute-force
+    formulation; the LSH-verified pipeline must be a SUBSET with the
+    same exact jaccard values (no est false positives) and high recall
+    on this corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    exact = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(
+            docs, "text", "doc_id", threshold=0.5
+        ).collect()
+    }
+    # brute force over collected shingle sets
+    shingled = docs.select(
+        "doc_id",
+        F.array_distinct(
+            dedup.shingle_hashes("text", 3)
+        ).alias("hs"),
+    ).collect()
+    sets = {r.doc_id: set(r.hs) for r in shingled if r.hs}
+    ids = sorted(sets)
+    want = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = len(sets[a] & sets[b])
+            if inter == 0:
+                continue
+            j = round(inter / (len(sets[a]) + len(sets[b]) - inter), 6)
+            if j >= 0.5:
+                want[(a, b)] = j
+    assert exact == want
+    assert len(want) > 0
+    verified = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.minhash_verified_pairs(
+            docs, "text", "doc_id", threshold=0.5
+        ).collect()
+    }
+    assert set(verified) <= set(exact)
+    for pair, j in verified.items():
+        assert j == exact[pair]
+    assert len(verified) >= 0.9 * len(exact)  # recall at est τ/2
+
+
+def test_ngram_jaccard_pairs_doc_freq_cap_noop_when_loose(spark, sf_dir):
+    """A cap above every shingle's document frequency must not change
+    the result (the pruned universe equals the full one)."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in dedup.ngram_jaccard_pairs(
+            docs, "text", "doc_id", threshold=0.3
+        ).collect()
+    }
+    capped = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in dedup.ngram_jaccard_pairs(
+            docs, "text", "doc_id", threshold=0.3, max_doc_freq=10**9
+        ).collect()
+    }
+    assert base == capped
+
+
 def test_embedding_dedup_matmul_matches_bruteforce(spark, sf_dir):
     """The BLAS-tiled all-pairs (the low-threshold scale plan) must
     return the IDENTICAL pair set as the fold-based brute force —
