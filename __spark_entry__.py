@@ -3949,6 +3949,131 @@ def q_multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_audio_features_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode, no audio libs (round 4): per doc a synthetic
+    PCM16 waveform (x_i = (doc_id·17 + i·13) mod 1024 − 512) is
+    ENCODED to actual RIFF/WAVE bytes in one mapInPandas stage, and a
+    second Arrow-batched stage chunk-walks those bytes back
+    (operators/avcodec.py) and emits integer signal features. The
+    oracle recomputes every feature arithmetically — a chunk-size,
+    sample-width, or padding bug breaks the hash. Bytes never cross a
+    shuffle; the WAV twin of multimodal_decode_real."""
+    import pandas as pd
+    from pyspark.sql import types as ST
+
+    from bergloom_spark.operators.avcodec import audio_features, encode_wav
+
+    d = TS(spark, sf_dir, "documents").select("doc_id")
+    schema = ST.StructType(
+        [
+            ST.StructField("doc_id", ST.LongType()),
+            ST.StructField("payload", ST.BinaryType()),
+        ]
+    )
+
+    def make_payloads(it):
+        import numpy as np
+
+        for pdf in it:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                rate = 8000 * (1 + i % 3)
+                n = 64 + i % 50
+                x = ((i * 17 + np.arange(n, dtype=np.int64) * 13) % 1024
+                     - 512).astype(np.int16)
+                payloads.append(encode_wav(x, rate))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    media = d.mapInPandas(make_payloads, schema)
+    return audio_features(media, "payload", "doc_id")
+
+
+def q_video_frames_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video frame-sampling, no video libs (round 4): per doc a
+    synthetic luma sequence (Y[f][p] = (doc_id·29 + f·7 + p) mod 256,
+    dims/frame-count functions of doc_id) is ENCODED to actual
+    YUV4MPEG2 bytes, then a second Arrow stage walks the FRAME markers
+    and emits every 2nd frame's dims + exact luma sum — the
+    frame-fan-out shape a vision preprocessing pipeline needs, with
+    the frame walk oracle-checked arithmetically."""
+    import pandas as pd
+    from pyspark.sql import types as ST
+
+    from bergloom_spark.operators.avcodec import (
+        encode_y4m,
+        sample_video_frames,
+    )
+
+    d = TS(spark, sf_dir, "documents").select("doc_id")
+    schema = ST.StructType(
+        [
+            ST.StructField("doc_id", ST.LongType()),
+            ST.StructField("payload", ST.BinaryType()),
+        ]
+    )
+
+    def make_payloads(it):
+        import numpy as np
+
+        for pdf in it:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                nf, w, h = 2 + i % 4, 8 + (i % 5) * 2, 6 + (i % 4) * 2
+                grid = (
+                    i * 29
+                    + np.arange(nf, dtype=np.int64)[:, None] * 7
+                    + np.arange(w * h, dtype=np.int64)[None, :]
+                ) % 256
+                payloads.append(
+                    encode_y4m(grid.astype(np.uint8).reshape(nf, h, w))
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    media = d.mapInPandas(make_payloads, schema)
+    return sample_video_frames(media, "payload", "doc_id", every_k=2)
+
+
+_AUDIO_FEATURES_REAL_SQL = """
+    WITH base AS (
+      SELECT doc_id,
+             (8000 * (1 + doc_id % 3))::BIGINT AS sample_rate,
+             (64 + doc_id % 50)::BIGINT AS n_samples,
+             list_transform(range(0, 64 + doc_id % 50),
+               i -> (doc_id * 17 + i * 13) % 1024 - 512) AS x
+      FROM documents)
+    SELECT doc_id, sample_rate, n_samples,
+           n_samples * 1000 // sample_rate AS duration_ms,
+           floor(sqrt(list_sum(list_transform(x, v -> v * v))::DOUBLE
+                      / n_samples) * 1000)::BIGINT AS rms_milli,
+           list_sum(list_transform(range(1, len(x)),
+             i -> CASE WHEN sign(x[i]) * sign(x[i + 1]) < 0
+                  THEN 1 ELSE 0 END))::BIGINT AS n_zero_cross,
+           list_max(list_transform(x, v -> abs(v)))::BIGINT AS peak
+    FROM base
+"""
+
+
+_VIDEO_FRAMES_REAL_SQL = """
+    WITH dims AS (
+      SELECT doc_id,
+             (2 + doc_id % 4)::BIGINT AS nf,
+             (8 + (doc_id % 5) * 2)::BIGINT AS width,
+             (6 + (doc_id % 4) * 2)::BIGINT AS height
+      FROM documents),
+    sampled AS (
+      SELECT doc_id, width, height, f.range AS frame_index
+      FROM dims, range(0, 6) f
+      WHERE f.range < nf AND f.range % 2 = 0)
+    SELECT doc_id, frame_index, width, height,
+           list_sum(list_transform(range(0, width * height),
+             p -> (doc_id * 29 + frame_index * 7 + p) % 256
+           ))::BIGINT AS y_sum
+    FROM sampled
+"""
+
+
 _MULTIMODAL_DECODE_REAL_SQL = """
     WITH dims AS (
       SELECT doc_id,
@@ -4535,6 +4660,8 @@ _EXT_ORACLES = {
         FROM documents
     """,
     "multimodal_decode_real": _MULTIMODAL_DECODE_REAL_SQL,
+    "audio_features_real": _AUDIO_FEATURES_REAL_SQL,
+    "video_frames_real": _VIDEO_FRAMES_REAL_SQL,
 }
 
 
@@ -4953,6 +5080,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frames": q_multimodal_frames,
         "multimodal_resize": q_multimodal_resize,
         "multimodal_decode_real": q_multimodal_decode_real,
+        "audio_features_real": q_audio_features_real,
+        "video_frames_real": q_video_frames_real,
         "centroid_histogram": q_centroid_histogram,
         "embedding_quantize": q_embedding_quantize,
         "kmeans_refine": q_kmeans_refine,

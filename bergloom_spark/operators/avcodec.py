@@ -1,0 +1,208 @@
+"""Pure-numpy audio/video codecs — multimodal plumbing made REAL for
+uncompressed formats.
+
+Same design stance as ``imagecodec.py`` (round 3 closed the image
+gap with P6-PPM/BMP): compressed media (MP3/AAC, H.264/VP9) stays
+honestly gated behind libraries absent from this environment, but
+PCM WAV and YUV4MPEG2 (Y4M) are simple enough to encode/parse with
+``struct`` + numpy — so the Spark-side multimodal pipeline (binary
+payload columns, Arrow-batched kernels, per-frame explode) runs
+against real container bytes and the DuckDB oracle checks exact
+sample/pixel arithmetic. A chunk-walk bug, sample-width bug, or
+frame-offset bug breaks the hash.
+
+At scale both kernels are map-only over the scan partitioning: bytes
+never cross a shuffle; every output row carries integers.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+from pyspark.sql import DataFrame
+
+__all__ = [
+    "encode_wav",
+    "decode_wav",
+    "encode_y4m",
+    "decode_y4m_frames",
+    "audio_features",
+    "sample_video_frames",
+]
+
+
+# ---------------------------------------------------------------------------
+# WAV (RIFF, PCM 16-bit mono)
+# ---------------------------------------------------------------------------
+def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
+    """Mono PCM16 WAV bytes (RIFF/WAVE, a real `fmt ` + `data` chunk
+    layout any audio tool accepts)."""
+    pcm = np.asarray(samples, dtype="<i2").tobytes()
+    byte_rate = sample_rate * 2
+    fmt = struct.pack(
+        "<4sIHHIIHH", b"fmt ", 16, 1, 1, sample_rate, byte_rate, 2, 16
+    )
+    data = struct.pack("<4sI", b"data", len(pcm)) + pcm
+    riff_size = 4 + len(fmt) + len(data)
+    return struct.pack("<4sI4s", b"RIFF", riff_size, b"WAVE") + fmt + data
+
+
+def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
+    """(sample_rate, int16 samples) from PCM WAV bytes via a proper
+    chunk walk (skips unknown chunks, honors chunk sizes — the parts
+    a naive fixed-offset reader gets wrong)."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, rate, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid, size = struct.unpack_from("<4sI", payload, pos)
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            audio_fmt, channels, rate = struct.unpack_from("<HHI", body, 0)
+            bits = struct.unpack_from("<H", body, 14)[0]
+            if (audio_fmt, channels, bits) != (1, 1, 16):
+                raise ValueError(
+                    f"only PCM16 mono supported, got fmt={audio_fmt} "
+                    f"ch={channels} bits={bits}"
+                )
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # RIFF chunks pad to even
+    if rate is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    return rate, np.frombuffer(data, dtype="<i2")
+
+
+# ---------------------------------------------------------------------------
+# Y4M (YUV4MPEG2, C420 with constant chroma)
+# ---------------------------------------------------------------------------
+def encode_y4m(frames: np.ndarray, fps: int = 25) -> bytes:
+    """YUV4MPEG2 bytes from (n_frames, h, w) uint8 luma planes (even
+    dims; chroma planes constant 128 = grayscale)."""
+    frames = np.asarray(frames, dtype=np.uint8)
+    n, h, w = frames.shape
+    if h % 2 or w % 2:
+        raise ValueError("Y4M C420 needs even dimensions")
+    out = [f"YUV4MPEG2 W{w} H{h} F{fps}:1 Ip A1:1 C420jpeg\n".encode()]
+    chroma = bytes([128]) * ((h // 2) * (w // 2))
+    for f in range(n):
+        out.append(b"FRAME\n")
+        out.append(frames[f].tobytes())
+        out.append(chroma)
+        out.append(chroma)
+    return b"".join(out)
+
+
+def decode_y4m_frames(payload: bytes) -> tuple[int, int, list[np.ndarray]]:
+    """(width, height, [luma planes]) from Y4M bytes — a sequential
+    frame walk honoring per-frame parameter strings."""
+    nl = payload.index(b"\n")
+    header = payload[:nl].decode()
+    if not header.startswith("YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 payload")
+    w = h = None
+    for tok in header.split()[1:]:
+        if tok[0] == "W":
+            w = int(tok[1:])
+        elif tok[0] == "H":
+            h = int(tok[1:])
+        elif tok[0] == "C" and not tok.startswith("C420"):
+            raise ValueError(f"only C420 supported, got {tok}")
+    if w is None or h is None:
+        raise ValueError("missing W/H in Y4M header")
+    frame_bytes = w * h + 2 * ((w // 2) * (h // 2))
+    frames, pos = [], nl + 1
+    while pos < len(payload):
+        if payload[pos : pos + 5] != b"FRAME":
+            raise ValueError(f"bad frame marker at {pos}")
+        pos = payload.index(b"\n", pos) + 1  # frames may carry params
+        luma = np.frombuffer(payload[pos : pos + w * h], dtype=np.uint8)
+        frames.append(luma.reshape(h, w))
+        pos += frame_bytes
+    return w, h, frames
+
+
+# ---------------------------------------------------------------------------
+# Spark operators
+# ---------------------------------------------------------------------------
+def audio_features(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-payload audio signal features from REAL WAV decode, one
+    Arrow-batched map pass (no shuffle): sample_rate, n_samples,
+    duration_ms (integer ms), rms_milli (⌊RMS·1000⌋ — IEEE sqrt is
+    exactly rounded, so the value is engine-independent), zero
+    crossings (strict sign flips), and peak |amplitude|."""
+    import pandas as pd
+
+    schema = (
+        f"{id_col} long, sample_rate long, n_samples long, "
+        "duration_ms long, rms_milli long, n_zero_cross long, peak long"
+    )
+
+    def kernel(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                rate, x = decode_wav(bytes(payload))
+                xi = x.astype(np.int64)
+                n = len(xi)
+                rms_milli = int(
+                    np.sqrt(np.sum(xi * xi) / n) * 1000.0
+                ) if n else 0
+                s = np.sign(xi)
+                rows.append(
+                    {
+                        id_col: int(doc_id),
+                        "sample_rate": rate,
+                        "n_samples": n,
+                        "duration_ms": n * 1000 // rate,
+                        "rms_milli": rms_milli,
+                        "n_zero_cross": int(np.sum(s[:-1] * s[1:] < 0)),
+                        "peak": int(np.max(np.abs(xi))) if n else 0,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(kernel, schema)
+
+
+def sample_video_frames(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    every_k: int = 2,
+) -> DataFrame:
+    """Frame sampling from REAL Y4M decode: one output row per kept
+    frame (index 0, k, 2k, …) with the luma sum — the shape a
+    vision-model preprocessing pipeline needs (sampled frames fan out
+    of the video row; downstream ops treat each frame as an image
+    row). Map-only; the explode happens inside the Arrow batch."""
+    import pandas as pd
+
+    schema = (
+        f"{id_col} long, frame_index long, width long, height long, "
+        "y_sum long"
+    )
+
+    def kernel(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                w, h, frames = decode_y4m_frames(bytes(payload))
+                for idx in range(0, len(frames), every_k):
+                    rows.append(
+                        {
+                            id_col: int(doc_id),
+                            "frame_index": idx,
+                            "width": w,
+                            "height": h,
+                            "y_sum": int(
+                                frames[idx].astype(np.int64).sum()
+                            ),
+                        }
+                    )
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(kernel, schema)

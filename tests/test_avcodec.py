@@ -1,0 +1,119 @@
+"""Pure-numpy WAV/Y4M codecs (operators/avcodec.py, round 4)."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from bergloom_spark.operators import avcodec as av
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    n=st.integers(min_value=1, max_value=500),
+    rate=st.sampled_from([8000, 16000, 44100]),
+    seed=st.integers(min_value=0, max_value=10**6),
+)
+def test_wav_roundtrip(n, rate, seed):
+    rng = np.random.default_rng(seed)
+    x = rng.integers(-(2**15), 2**15, size=n, dtype=np.int64).astype(
+        np.int16
+    )
+    got_rate, got = av.decode_wav(av.encode_wav(x, rate))
+    assert got_rate == rate
+    assert np.array_equal(got, x)
+
+
+def test_wav_chunk_walk_skips_unknown_chunks():
+    """A LIST chunk (odd-size, so RIFF padding applies) between fmt
+    and data must be skipped by size, not tripped over."""
+    x = np.arange(-5, 6, dtype=np.int16)
+    payload = av.encode_wav(x, 8000)
+    # splice an odd-sized junk chunk after the fmt chunk (ends at 36)
+    junk = struct.pack("<4sI", b"LIST", 3) + b"abc" + b"\x00"  # pad
+    hacked = payload[:36] + junk + payload[36:]
+    rate, got = av.decode_wav(hacked)
+    assert rate == 8000
+    assert np.array_equal(got, x)
+
+
+def test_wav_rejects_non_pcm16_and_garbage():
+    with pytest.raises(ValueError, match="RIFF"):
+        av.decode_wav(b"not audio at all")
+    # stereo header: fmt says 2 channels
+    x = np.zeros(4, dtype=np.int16)
+    p = bytearray(av.encode_wav(x, 8000))
+    p[22] = 2  # channel count lives at offset 22
+    with pytest.raises(ValueError, match="PCM16 mono"):
+        av.decode_wav(bytes(p))
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    nf=st.integers(min_value=1, max_value=6),
+    w=st.sampled_from([2, 8, 16]),
+    h=st.sampled_from([2, 6, 12]),
+    seed=st.integers(min_value=0, max_value=10**6),
+)
+def test_y4m_roundtrip(nf, w, h, seed):
+    rng = np.random.default_rng(seed)
+    frames = rng.integers(0, 256, size=(nf, h, w), dtype=np.int64).astype(
+        np.uint8
+    )
+    gw, gh, got = av.decode_y4m_frames(av.encode_y4m(frames))
+    assert (gw, gh, len(got)) == (w, h, nf)
+    for f in range(nf):
+        assert np.array_equal(got[f], frames[f])
+
+
+def test_y4m_frame_params_and_errors():
+    frames = np.zeros((2, 2, 2), dtype=np.uint8)
+    payload = av.encode_y4m(frames)
+    # frame-level parameter strings (allowed by the spec) must parse
+    hacked = payload.replace(b"FRAME\n", b"FRAME Ixyz\n", 1)
+    _, _, got = av.decode_y4m_frames(hacked)
+    assert len(got) == 2
+    with pytest.raises(ValueError, match="YUV4MPEG2"):
+        av.decode_y4m_frames(b"RIFFnope\n")
+    with pytest.raises(ValueError, match="even"):
+        av.encode_y4m(np.zeros((1, 3, 2), dtype=np.uint8))
+
+
+def test_audio_features_and_frame_sampling_spark(spark):
+    """End-to-end through the Arrow kernels: known waveform/video with
+    hand-computable features."""
+    import pandas as pd
+    from pyspark.sql import types as ST
+
+    x = np.array([100, -100, 200, -200, 0, 300], dtype=np.int16)
+    wav = av.encode_wav(x, 8000)
+    vid = av.encode_y4m(
+        np.arange(3 * 2 * 4, dtype=np.uint8).reshape(3, 2, 4)
+    )
+    schema = ST.StructType(
+        [
+            ST.StructField("doc_id", ST.LongType()),
+            ST.StructField("payload", ST.BinaryType()),
+        ]
+    )
+    adf = spark.createDataFrame(pd.DataFrame({"doc_id": [1], "payload": [wav]}), schema)
+    row = av.audio_features(adf).collect()[0]
+    assert row.n_samples == 6
+    assert row.sample_rate == 8000
+    assert row.peak == 300
+    # sign flips: +,-,+,-,0,+ → flips at 0-1, 1-2, 2-3; 4-5 has a zero
+    assert row.n_zero_cross == 3
+    assert row.rms_milli == int(np.sqrt((100**2 + 100**2 + 200**2 + 200**2 + 0 + 300**2) / 6) * 1000)
+
+    vdf = spark.createDataFrame(pd.DataFrame({"doc_id": [7], "payload": [vid]}), schema)
+    rows = av.sample_video_frames(vdf, every_k=2).collect()
+    assert [(r.frame_index, r.width, r.height) for r in rows] == [
+        (0, 4, 2),
+        (2, 4, 2),
+    ]
+    assert rows[0].y_sum == sum(range(0, 8))
+    assert rows[1].y_sum == sum(range(16, 24))
