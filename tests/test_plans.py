@@ -463,3 +463,57 @@ def test_multimodal_decode_payload_never_in_exchange(spark):
     spec.loader.exec_module(mod)
     df = mod.queries()["multimodal_decode_real"](spark, SF)
     assert X.count_shuffles(df) <= 1  # only the tiny final projection agg
+
+
+def test_ngram_jaccard_pairs_posting_join_no_text_in_exchange(spark):
+    """The exact-Jaccard posting plan must be hash joins on 8-byte
+    keys — no nested loop, no cartesian, and the text column must not
+    appear in any exchange (only hashes and ids shuffle)."""
+    from bergloom_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = load_table(spark, SF, "documents")
+    df = ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.2)
+    plan = X.executed_plan(df)
+    assert "BroadcastNestedLoop" not in plan
+    assert "CartesianProduct" not in plan
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "text" not in line, line
+
+
+def test_av_kernels_no_shuffle(spark):
+    """Audio features and video frame sampling are pure map chains —
+    payload bytes never cross an exchange."""
+    import importlib.util
+    import os as _os
+
+    spec = importlib.util.spec_from_file_location(
+        "entry_plan_av", _os.path.join(_os.path.dirname(_os.path.dirname(
+            _os.path.abspath(__file__))), "__spark_entry__.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    for name in ("audio_features_real", "video_frames_real"):
+        df = mod.queries()[name](spark, SF)
+        # one deliberate spread() repartition of the doc_id scan for
+        # parallelism — it runs BEFORE payloads exist, so no exchange
+        # ever carries media bytes
+        assert X.count_shuffles(df) <= 1, name
+        plan = X.executed_plan(df)
+        for line in plan.splitlines():
+            if "Exchange" in line:
+                assert "payload" not in line, (name, line)
+
+
+def test_embedding_dedup_matmul_single_pass(spark):
+    """The BLAS-tiled all-pairs is one map pass over the corpus — no
+    joins at all in the executed plan."""
+    from bergloom_spark.operators.similarity import (
+        embedding_dedup_pairs_matmul,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    df = embedding_dedup_pairs_matmul(emb, threshold=0.4)
+    plan = X.executed_plan(df)
+    assert X.count_shuffles(df) == 0
+    assert "Join" not in plan
