@@ -47,6 +47,11 @@ HEADLINE = HEADLINE_R1 + [
     "bpe_token_stats",
     "hard_negatives_ivf",
     "multimodal_decode_real",
+    # round-4 operator surface
+    "ngram_jaccard_pairs",
+    "dedup_verified_pairs",
+    "audio_features_real",
+    "video_frames_real",
 ]
 
 
