@@ -134,12 +134,21 @@ class MaintenanceScheduler:
     def _policy_for(self, root: str) -> MaintenancePolicy:
         return self.policies.get(root, self.policy)
 
-    def scores(self) -> list[TableDebt]:
-        """Current debt per table, highest first (driver-side only)."""
+    def scores(
+        self, errors: dict[str, str] | None = None
+    ) -> list[TableDebt]:
+        """Current debt per table, highest first (driver-side only).
+        A table that cannot even be scored (missing root, corrupt
+        metadata) is recorded in ``errors`` and skipped — one broken
+        table must not blind the scheduler to the rest of the fleet."""
         out = []
         for root in self.roots:
-            table = LakeTable.load(self.spark, root)
-            out.append(_score(table, self._policy_for(root)))
+            try:
+                table = LakeTable.load(self.spark, root)
+                out.append(_score(table, self._policy_for(root)))
+            except Exception as exc:  # noqa: BLE001 — isolate per table
+                if errors is not None:
+                    errors[root] = f"{type(exc).__name__}: {exc}"
         out.sort(key=lambda d: (-d.debt, d.root))
         return out
 
@@ -148,7 +157,7 @@ class MaintenanceScheduler:
         cfg = self.config
         report = CycleReport(cycle=self._cycle)
         spent_bytes = 0
-        for debt in self.scores():
+        for debt in self.scores(errors=report.errors):
             if self._cooldown_until.get(debt.root, 0) >= self._cycle:
                 report.skipped_cooldown.append(debt.root)
                 continue

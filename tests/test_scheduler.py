@@ -106,18 +106,18 @@ def test_byte_budget_defers_but_first_pick_always_runs(spark, tmp_path):
 
 
 def test_failure_isolated_per_table(spark, tmp_path):
+    """A root that cannot even be SCORED (missing/corrupt metadata)
+    lands in errors and the rest of the fleet still gets its cycle."""
     ok = _fragmented_table(spark, str(tmp_path / "ok"), 5)
     bogus = str(tmp_path / "missing")
+    with pytest.raises(Exception):
+        LakeTable.load(spark, bogus)
     sched = MaintenanceScheduler(
         spark, [bogus, ok.meta.table_root], policy=POLICY
     )
-    # the bogus root can't even be scored — scheduler must not die
-    with pytest.raises(Exception):
-        LakeTable.load(spark, bogus)
-    sched.roots = [ok.meta.table_root]
     rep = sched.run_cycle()
     assert rep.scheduled == [ok.meta.table_root]
-    assert not rep.errors
+    assert list(rep.errors) == [bogus]
 
 
 def test_run_until_clean_converges(spark, tmp_path):
