@@ -59,7 +59,8 @@ class SchedulerConfig:
     max_rewrite_bytes_per_cycle: int | None = None
     # a maintained table is not rescored for this many cycles
     cooldown_cycles: int = 1
-    # only tables at or past a threshold (debt >= 1) are candidates
+    # extra debt floor on top of actionability (raise above 1.0 to
+    # only service tables well past their thresholds)
     min_debt: float = 1.0
 
 
@@ -70,6 +71,12 @@ class TableDebt:
     est_rewrite_bytes: int
     small_files: int
     delete_files: int
+    # True iff run_maintenance would actually DO something — the
+    # scheduling gate mirrors the action triggers exactly, so a
+    # scheduled table always reduces its debt (a sum-of-fractions
+    # gate could otherwise schedule a table on which no action
+    # fires, rescheduling it forever)
+    actionable: bool = False
 
 
 @dataclass
@@ -107,8 +114,17 @@ def _score(table: LakeTable, policy: MaintenancePolicy) -> TableDebt:
     est = sum(e.file_size_bytes for e in small) + sum(
         e.file_size_bytes for e in deletes
     )
+    actionable = (
+        len(small) >= policy.min_small_files
+        or len(deletes) > policy.max_delete_files
+    )
     return TableDebt(
-        table.meta.table_root, debt, est, len(small), len(deletes)
+        table.meta.table_root,
+        debt,
+        est,
+        len(small),
+        len(deletes),
+        actionable,
     )
 
 
@@ -158,10 +174,10 @@ class MaintenanceScheduler:
         report = CycleReport(cycle=self._cycle)
         spent_bytes = 0
         for debt in self.scores(errors=report.errors):
+            if not debt.actionable or debt.debt < cfg.min_debt:
+                continue
             if self._cooldown_until.get(debt.root, 0) >= self._cycle:
                 report.skipped_cooldown.append(debt.root)
-                continue
-            if debt.debt < cfg.min_debt:
                 continue
             if (
                 cfg.max_tables_per_cycle is not None

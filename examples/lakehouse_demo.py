@@ -122,6 +122,51 @@ def main(sf_dir: str) -> None:
     # 5. time travel ----------------------------------------------------
     back_then = t.read(as_of_ms=pre_merge_ms).count()
     print(f"[5] FOR TIMESTAMP AS OF pre-merge: {back_then} rows")
+
+    # 6. changelog replication (round 4) --------------------------------
+    # a cross-region replica built purely from the source's row-level
+    # +/- change feed — appends, the MERGE, everything — exactly-once
+    from bergloom_spark.streaming.ingest import replicate_changelog
+
+    replica = LakeTable.create(
+        spark, os.path.join(root, "replica"), t.schema
+    )
+    replica = replicate_changelog(
+        spark,
+        table_root,
+        replica,
+        os.path.join(root, "ckpt-replica"),
+        ["event_id"],
+    )
+    print(
+        f"[6] changelog replica: {replica.read().count()} rows "
+        f"(source {t.refresh().read().count()})"
+    )
+
+    # 7. fleet maintenance scheduler (round 4) --------------------------
+    # the compaction service's outer loop: score the whole catalog's
+    # debt from manifests, maintain the worst offenders under a budget
+    from bergloom_spark.lake.scheduler import (
+        MaintenanceScheduler,
+        SchedulerConfig,
+    )
+
+    sched = MaintenanceScheduler(
+        spark,
+        [table_root, clone.meta.table_root, replica.meta.table_root],
+        policy=MaintenancePolicy(min_small_files=3, max_delete_files=1),
+        config=SchedulerConfig(max_tables_per_cycle=1, cooldown_cycles=1),
+    )
+    for rep in sched.run_until_clean():
+        for r in rep.scheduled:
+            print(f"[7] cycle {rep.cycle}: maintained {os.path.basename(r)}")
+    print(
+        "[7] fleet converged: "
+        + ", ".join(
+            f"{os.path.basename(s.root)} debt={s.debt:.2f}"
+            for s in sched.scores()
+        )
+    )
     spark.stop()
 
 

@@ -78,7 +78,9 @@ def test_budget_one_table_per_cycle_then_cooldown(spark, tmp_path):
 
     r2 = sched.run_cycle()
     assert r2.scheduled == [b.meta.table_root]
-    assert a.meta.table_root in r2.skipped_cooldown
+    # the maintained table is below its thresholds now, so it isn't
+    # even a candidate (actionability is checked before cooldown)
+    assert a.meta.table_root not in r2.scheduled
 
     for root, want in expected.items():
         got = {
@@ -120,6 +122,25 @@ def test_failure_isolated_per_table(spark, tmp_path):
     assert list(rep.errors) == [bogus]
 
 
+def test_sub_threshold_debt_never_scheduled(spark, tmp_path):
+    """A table whose fractional debt components SUM past 1.0 while
+    each stays below its action threshold (here 2/4 small + 2/3
+    deletes = 1.17) must not be scheduled — run_maintenance would do
+    nothing and the scheduler would reschedule it forever (caught by
+    the lakehouse demo's fleet converging loop)."""
+    t = _fragmented_table(spark, str(tmp_path / "t"), 2)
+    t.delete_where(F.col("id") % 10 == 3)
+    t.delete_where(F.col("id") % 10 == 4)
+    sched = MaintenanceScheduler(
+        spark, [t.meta.table_root], policy=POLICY,
+    )
+    score = sched.scores()[0]
+    assert score.debt > 1.0 and not score.actionable
+    reps = sched.run_until_clean(max_cycles=4)
+    assert all(not rep.scheduled for rep in reps)
+    assert len(reps) == 1  # terminates immediately, no cooldown churn
+
+
 def test_run_until_clean_converges(spark, tmp_path):
     a = _fragmented_table(spark, str(tmp_path / "a"), 6, deletes=True)
     b = _fragmented_table(spark, str(tmp_path / "b"), 5)
@@ -132,9 +153,9 @@ def test_run_until_clean_converges(spark, tmp_path):
     reps = sched.run_until_clean()
     maintained = [r for rep in reps for r in rep.scheduled]
     assert set(maintained) >= {a.meta.table_root, b.meta.table_root}
-    # converged: every table below every threshold
+    # converged: no table would trigger any maintenance action
     for score in sched.scores():
-        assert score.debt < 1.0
+        assert not score.actionable
     # delete files actually folded (rewrite merges N → 1; it never
     # applies deletes to data, so 1 file legitimately remains)
     snap = LakeTable.load(spark, a.meta.table_root).meta.current_snapshot()
