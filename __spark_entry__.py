@@ -2971,6 +2971,19 @@ def q_winsorized_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-distribution Shannon entropy per doc (round 4) — the
+    compression-ratio quality proxy without zlib: one sorted
+    equal-run fold per doc, scan-side, zero shuffles. Band-passed by
+    pipelines exactly like the other quality signals."""
+    d = TS(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        TX.char_entropy("text").alias("entropy_bits"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+
+
 def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flesch reading ease per doc (vowel-group syllable proxy): one
     scan-side expression over the shared token array — the classic
@@ -4434,6 +4447,12 @@ _EXT_ORACLES = {
         FROM lineitem CROSS JOIN p
         GROUP BY l_returnflag
     """,
+    "char_entropy": f"""
+        SELECT doc_id,
+               {TX.char_entropy_sql('text')} AS entropy_bits,
+               length(text)::BIGINT AS n_chars
+        FROM documents
+    """,
     "readability": f"""
         SELECT doc_id,
                {TX.syllable_count_sql('text')} AS n_syllables,
@@ -5148,6 +5167,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "text_quality": q_text_quality,
         "readability": q_readability,
+        "char_entropy": q_char_entropy,
         "token_frequency_spectrum": q_token_frequency_spectrum,
         "winsorized_prices": q_winsorized_prices,
         "quality_classifier": q_quality_classifier,

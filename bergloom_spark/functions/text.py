@@ -375,6 +375,76 @@ def top_ngram_frac_sql_on_list(sh: str) -> str:
     )
 
 
+def char_entropy(col: Column | str) -> Column:
+    """Shannon entropy of the doc's character distribution, bits/char
+    — the compression-ratio quality proxy (CCNet/RefinedWeb-style)
+    without a zlib dependency: near-zero marks repeated filler, ~3-4.5
+    is natural text, higher + uniform marks random noise. Pipelines
+    band-pass it like the other quality signals.
+
+    H = (ln n − Σ_c cnt_c·ln cnt_c / n) / ln 2 via one sorted
+    equal-run fold per doc (the ``top_ngram_frac`` idiom): O(t log t)
+    in the doc's own characters, zero shuffle, codegen'd. Rounded to
+    6; the oracle's histogram formulation sums the same integer-count
+    terms in a different order (≪ 1e-6 drift at doc sizes)."""
+    col = F.col(col) if isinstance(col, str) else col
+    chars = F.filter(F.split(col, ""), lambda x: x != F.lit(""))
+
+    def run_nlogn(run):
+        d = run.cast("double")
+        return d * F.log(d)
+
+    def step(acc, x):
+        is_new = acc.prev.isNull() | (acc.prev != x)
+        closed = F.when(
+            is_new & (acc.run > 0), acc.s + run_nlogn(acc.run)
+        ).otherwise(acc.s)
+        run = F.when(is_new, F.lit(1)).otherwise(acc.run + 1)
+        return F.struct(
+            x.alias("prev"), run.alias("run"), closed.alias("s")
+        )
+
+    s = F.aggregate(
+        F.array_sort(chars),
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0.0).alias("s"),
+        ),
+        step,
+        lambda acc: F.when(
+            acc.run > 0, acc.s + run_nlogn(acc.run)
+        ).otherwise(acc.s),
+    )
+    n = F.size(chars).cast("double")
+    import math as _math
+
+    return F.round(
+        F.when(
+            F.size(chars) > 0,
+            (F.log(n) - s / n) / F.lit(_math.log(2.0)),
+        ).otherwise(F.lit(0.0)),
+        6,
+    )
+
+
+def char_entropy_sql(expr: str) -> str:
+    """DuckDB twin — histogram counts instead of the run fold (same
+    integer terms; see :func:`top_ngram_frac_sql` for why the
+    filter-count formulation is avoided)."""
+    chars = (
+        f"list_transform(range(1, length({expr}) + 1),"
+        f" i -> substr({expr}, i, 1))"
+    )
+    counts = f"map_values(list_aggregate({chars}, 'histogram'))"
+    s = f"list_sum(list_transform({counts}, c -> c::DOUBLE * ln(c::DOUBLE)))"
+    return (
+        f"round(CASE WHEN length({expr}) > 0 THEN"
+        f" (ln(length({expr})::DOUBLE) - ({s}) / length({expr}))"
+        f" / ln(2.0) ELSE 0.0 END, 6)"
+    )
+
+
 def dup_ngram_frac(col: Column | str, n: int = 3) -> Column:
     """Fraction of a doc's n-grams that are repeats of an earlier one
     (1 - distinct/total): the duplicate-n-gram share, the other half of

@@ -270,3 +270,36 @@ def test_canonical_text_collapses_reencodings(spark):
     assert vals[1] == vals[2] == vals[3] == "hello world"
     kept = exact_dedup(d, ["__c"], "doc_id")
     assert sorted(r["doc_id"] for r in kept.collect()) == [1, 4]
+
+
+def test_char_entropy_known_values(spark):
+    """Hand-computable distributions: uniform over k chars = log2 k
+    bits; single-char runs = 0; empty = 0 by convention."""
+    import math
+
+    df = spark.createDataFrame(
+        [
+            (1, "aaaa"),          # 0 bits
+            (2, "abab"),          # 1 bit
+            (3, "abcdabcd"),      # 2 bits
+            (4, ""),              # empty -> 0
+            (5, "aab"),           # H = log2(3) - (2*log2(2))/3
+        ],
+        "doc_id long, text string",
+    )
+    import pyspark.sql.functions as F
+
+    from bergloom_spark.functions.text import char_entropy
+
+    got = {
+        r.doc_id: r.h
+        for r in df.select(
+            "doc_id", char_entropy(F.col("text")).alias("h")
+        ).collect()
+    }
+    assert got[1] == 0.0
+    assert got[2] == 1.0
+    assert got[3] == 2.0
+    assert got[4] == 0.0
+    expected5 = round(math.log2(3) - 2 * math.log2(2) / 3, 6)
+    assert abs(got[5] - expected5) < 1e-6
