@@ -28,6 +28,14 @@ HEAVY = [
     "dedup_remove_spans",
     "embedding_dedup",
     "bpe_token_stats",
+    # round-4 additions
+    "ngram_jaccard_pairs",
+    "dedup_verified_pairs",
+    "audio_features_real",
+    "video_frames_real",
+    "dedup_cc_clusters",
+    "q5_local_supplier_volume",
+    "quality_classifier",
 ]
 
 SF01 = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
