@@ -3663,6 +3663,46 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("rank", F.col("rank").cast("long"))
 
 
+def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured recall@k as a first-class QUERY (round 4): the ANN
+    quality gate the tests assert (tests/test_ann_recall.py), exposed
+    as data — per approximate method, the fraction of the exact top-k
+    it recovers. Because every approximate path here is DETERMINISTIC
+    (md5 hyperplanes, seeded centroids, explicit tie-breaks), recall
+    itself is an exactly-reproducible number the oracle recomputes —
+    the production pattern of shipping an index together with its
+    measured quality. nprobe 2 → 8 shows the recall lever moving."""
+    from functools import reduce
+
+    emb = TS(spark, sf_dir, "embeddings")
+    probes, k = list(range(10)), 5
+    exact = similarity.knn_bruteforce(emb, probes, k).select(
+        "probe_id", "neighbor_id"
+    )
+    denom = float(len(probes) * k)
+    outs = []
+    for method, adf in (
+        (
+            "ivf_nprobe2",
+            similarity.knn_ivf(emb, probes, k, n_centroids=16, nprobe=2),
+        ),
+        (
+            "ivf_nprobe8",
+            similarity.knn_ivf(emb, probes, k, n_centroids=16, nprobe=8),
+        ),
+        ("lsh_multiprobe", similarity.knn_lsh(emb, probes, k)),
+    ):
+        outs.append(
+            adf.select("probe_id", "neighbor_id")
+            .join(exact, ["probe_id", "neighbor_id"], "semi")
+            .agg(
+                F.round(F.count("*") / F.lit(denom), 6).alias("recall_at_k")
+            )
+            .select(F.lit(method).alias("method"), "recall_at_k")
+        )
+    return reduce(lambda a, b: a.unionByName(b), outs)
+
+
 def q_knn_ivf_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metadata-filtered ANN (the "search within label/tenant/split"
     case): the predicate applies BEFORE index build and retrieval —
@@ -4357,6 +4397,43 @@ _EXT_ORACLES = {
     "knn_pq_adc": knn_pq_adc_sql([7, 77, 177, 277, 377], k=5),
     "knn_lsh": knn_lsh_sql(),
     "knn_ivf": knn_ivf_sql(),
+    # Recall of each deterministic approximate path vs the exact top-k,
+    # every branch reusing the corresponding operator's own SQL twin.
+    "ann_recall_report": f"""
+        WITH exact AS (
+          SELECT probe_id, neighbor_id FROM (
+            WITH e AS (SELECT vec_id, embedding FROM embeddings),
+            p AS (SELECT vec_id AS probe_id, embedding AS pv
+                  FROM e WHERE vec_id < 10),
+            scored AS (
+              SELECT probe_id, vec_id AS neighbor_id,
+                     round({similarity.cosine_sql('embedding', 'pv')}, 6)
+                         AS cosine_sim
+              FROM e, p WHERE vec_id <> probe_id),
+            ranked AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY probe_id
+                ORDER BY cosine_sim DESC, neighbor_id) AS rank
+              FROM scored)
+            SELECT probe_id, neighbor_id FROM ranked WHERE rank <= 5)),
+        ivf2 AS (SELECT probe_id, neighbor_id
+                 FROM ({knn_ivf_sql(k=5, n_centroids=16, nprobe=2)})),
+        ivf8 AS (SELECT probe_id, neighbor_id
+                 FROM ({knn_ivf_sql(k=5, n_centroids=16, nprobe=8)})),
+        lsh AS (SELECT probe_id, neighbor_id FROM ({knn_lsh_sql()}))
+        SELECT 'ivf_nprobe2' AS method,
+               round((SELECT count(*) FROM ivf2 SEMI JOIN exact
+                      USING (probe_id, neighbor_id)) / 50.0, 6)
+                   AS recall_at_k
+        UNION ALL
+        SELECT 'ivf_nprobe8',
+               round((SELECT count(*) FROM ivf8 SEMI JOIN exact
+                      USING (probe_id, neighbor_id)) / 50.0, 6)
+        UNION ALL
+        SELECT 'lsh_multiprobe',
+               round((SELECT count(*) FROM lsh SEMI JOIN exact
+                      USING (probe_id, neighbor_id)) / 50.0, 6)
+    """,
     "knn_ivf_filtered": knn_ivf_sql(
         k=5, n_centroids=4, nprobe=2, n_probes=50,
         table="(SELECT * FROM embeddings WHERE label = 3)",
@@ -5090,6 +5167,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_vectorized": q_knn_vectorized,
         "knn_ivf": q_knn_ivf,
         "knn_ivf_filtered": q_knn_ivf_filtered,
+        "ann_recall_report": q_ann_recall_report,
         "embedding_decontaminate": q_embedding_decontaminate,
         "pq_codes": q_pq_codes,
         "knn_pq_adc": q_knn_pq_adc,
