@@ -25,7 +25,10 @@ def main() -> None:
     names = sys.argv[1:] or HEADLINE
     spark = get_spark(app_name="plan-report", cpus=8)
     spark.sparkContext.setLogLevel("ERROR")
-    queries = entry_mod.queries()
+    queries = dict(entry_mod.queries())
+    # timed headline but no longer in the driver registry (no SQL
+    # oracle exists for the N-merge learn loop) — resolve directly
+    queries.setdefault("bpe_token_stats", entry_mod.q_bpe_token_stats)
     print(f"{'query':32s} {'shuffles':>8s} {'bcast':>6s} {'smj':>4s} "
           f"{'anti':>4s} {'nloop':>5s} {'codegen':>7s}")
     for name in names:
