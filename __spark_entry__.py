@@ -431,6 +431,12 @@ _MOR_ORACLES = {
         SELECT {', '.join(LI_COLS)} FROM lineitem
         WHERE l_suppkey % 17 <> 0 AND l_partkey % 29 <> 0
     """,
+    "overwrite_partitions": f"""
+        SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+               CASE WHEN l_linenumber = 1 THEN l_quantity + 500.0
+                    ELSE l_quantity END AS l_quantity
+        FROM lineitem
+    """,
     # Two-table fleet: table a = all rows minus two delete passes,
     # table b = the odd-orderkey half; scheduled maintenance must not
     # change either table's rows.
@@ -1334,6 +1340,39 @@ def q_auto_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     assert report.deletes_rewritten and report.binpacked
     assert report.snapshots_expired > 0
     assert len(t.meta.current_snapshot().files(lmd.POS_DELETE)) <= 1
+    return t.read()
+
+
+def q_overwrite_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition overwrite (round 4) — Iceberg's INSERT
+    OVERWRITE / replacePartitions, the batch-backfill primitive: a
+    lineitem table partitioned by l_linenumber gets partition 1
+    replaced (quantity +500) in ONE atomic snapshot; untouched
+    partitions carry their physical files forward (asserted in-query).
+    The oracle recomputes the expected post-backfill state."""
+    from bergloom_spark.lake import LakeTable
+    from bergloom_spark.lake import metadata as lmd
+
+    base = T(spark, sf_dir, "lineitem").select(*LI_COLS)
+    root = os.path.join(_scratch(prefix="bergloom-ow-"), "li")
+    t = LakeTable.create(
+        spark, root, base.schema, partition_spec=["l_linenumber"]
+    )
+    t.append(base)
+    before = {
+        e.file_path: e.partition.get("l_linenumber")
+        for e in t.meta.current_snapshot().files(lmd.DATA)
+    }
+    repl = base.filter(F.col("l_linenumber") == 1).withColumn(
+        "l_quantity", F.col("l_quantity") + 500.0
+    )
+    t.overwrite_partitions(repl)
+    after = {
+        e.file_path for e in t.meta.current_snapshot().files(lmd.DATA)
+    }
+    assert all(
+        (p in after) == (ln != "1") for p, ln in before.items()
+    ), "overwrite touched the wrong partitions"
     return t.read()
 
 
@@ -5198,6 +5237,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_into": q_merge_into,
         "auto_maintenance": q_auto_maintenance,
         "maintenance_fleet": q_maintenance_fleet,
+        "overwrite_partitions": q_overwrite_partitions,
         "rename_column_read": q_rename_column_read,
         "time_travel_as_of": q_time_travel_as_of,
         "streaming_sliding_counts": q_streaming_sliding_counts,

@@ -60,12 +60,17 @@ class RewriteFilesCommitManager:
         self,
         add_entries: list[md.ManifestEntry],
         remove_paths: set[str],
+        operation: str = "rewrite",
     ) -> md.TableMetadata:
-        """Commit: current live files − removed + added, as a new snapshot."""
+        """Commit: current live files − removed + added, as a new
+        snapshot. ``operation`` labels the snapshot: "rewrite" (the
+        default) means no logical row changed and incremental readers
+        skip it; "overwrite" means the removed/added rows ARE the
+        change and the changelog reader emits them."""
         attempt = 0
         while True:
             try:
-                return self._try_commit(add_entries, remove_paths)
+                return self._try_commit(add_entries, remove_paths, operation)
             except md.CommitConflict:
                 if attempt >= self.retry.max_retries:
                     raise
@@ -80,6 +85,7 @@ class RewriteFilesCommitManager:
         self,
         add_entries: list[md.ManifestEntry],
         remove_paths: set[str],
+        operation: str = "rewrite",
     ) -> md.TableMetadata:
         base = md.read_current(self.table_root)
         # Schema-id guard: abort if the table schema changed mid-compaction
@@ -123,7 +129,7 @@ class RewriteFilesCommitManager:
             snapshot_id=base.last_snapshot_id + 1,
             sequence_number=base.last_sequence_number + 1,
             timestamp_ms=int(time.time() * 1000),
-            operation="rewrite",
+            operation=operation,
             entries=[e for e in live if e.file_path not in remove_paths] + adds,
             parent_snapshot_id=base.current_snapshot_id,
         )

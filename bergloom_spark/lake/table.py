@@ -846,6 +846,62 @@ class LakeTable:
             return None
         return self._commit_with_retry("delete", entries)
 
+    def overwrite_partitions(
+        self, df: DataFrame, target_file_size: int = 128 * 1024 * 1024
+    ) -> md.Snapshot:
+        """Dynamic partition overwrite — Iceberg's INSERT OVERWRITE /
+        ``replacePartitions``, the batch-backfill primitive: atomically
+        replace exactly the partitions ``df`` contains rows for. On an
+        unpartitioned table the new files' empty partition key matches
+        every live file, so this degenerates (correctly) to a full
+        INSERT OVERWRITE: truncate + load in one snapshot.
+
+        Plan: the new files are fully written FIRST (fanout by the
+        table's partition spec); the commit is one retrying CAS of
+        live − (data files in the touched partitions) + new files, so
+        a reader never observes a half-replaced partition and a crash
+        before commit leaves only orphans (reaped by maintenance).
+        Untouched partitions carry forward byte-identical. New files
+        take the NEW snapshot's sequence number — pre-existing
+        equality deletes (seq-gated ``data.seq < delete.seq``) can
+        never shadow the replacement rows; delete files left pointing
+        at removed data files dangle harmlessly until
+        ``rewrite_position_deletes`` drops them.
+        """
+        from bergloom_spark.lake.commit import (
+            RetryConfig,
+            RewriteFilesCommitManager,
+        )
+
+        add_entries = wr.write_data_files(
+            df,
+            self.meta.table_root,
+            self.meta.last_sequence_number + 1,
+            target_file_size,
+            partition_spec=self.meta.partition_spec or None,
+            bloom_cols=self.bloom_cols(),
+        )
+        touched = {tuple(sorted(e.partition.items())) for e in add_entries}
+        cur = self.meta.current_snapshot()
+        remove_paths = {
+            e.file_path
+            for e in (cur.entries if cur is not None else [])
+            if e.content == md.DATA
+            and tuple(sorted(e.partition.items())) in touched
+        }
+        manager = RewriteFilesCommitManager(
+            table_root=self.meta.table_root,
+            starting_schema_id=self.meta.schema_id,
+            starting_sequence_number=self.meta.last_sequence_number + 1,
+            # replacement rows must outrank every existing delete
+            use_starting_sequence_number=False,
+            retry=RetryConfig(),
+        )
+        self.meta = manager.rewrite_files(
+            add_entries, remove_paths, operation="overwrite"
+        )
+        return self.meta.current_snapshot()
+
     def upsert(self, df: DataFrame, key_cols: list[str]) -> md.Snapshot:
         """MERGE-style upsert: equality-delete on the keys, then append.
 

@@ -71,7 +71,10 @@ class _ChangePartition(InputPartition):
     added). kind "delete": emit the rows of ``file_path`` (a file live
     in the PARENT snapshot) that were alive entering this snapshot
     (``prior_pos`` / ``prior_eq`` applied) and are killed by the
-    snapshot's new delete files (``new_pos`` / ``new_eq``)."""
+    snapshot's new delete files (``new_pos`` / ``new_eq``). kind
+    "drop": the snapshot REMOVED ``file_path`` from the manifest
+    (INSERT OVERWRITE / replace-partitions) — every row still alive
+    entering the snapshot becomes a delete event."""
 
     kind: str
     file_path: str
@@ -299,8 +302,6 @@ class _LakeChangelogReader(_LakeStreamReader):
                         self.columns, self.schema_json,
                     )
                 )
-            if not (new_pos or new_eq):
-                continue
             parent = by_id.get(s.parent_snapshot_id)
             if parent is None:
                 continue
@@ -309,6 +310,9 @@ class _LakeChangelogReader(_LakeStreamReader):
                 for e in parent.entries
                 if e.content == md.POS_DELETE
             )
+            snap_data_paths = {
+                e.file_path for e in s.entries if e.content == md.DATA
+            }
             for d in parent.entries:
                 if d.content != md.DATA:
                     continue
@@ -321,13 +325,24 @@ class _LakeChangelogReader(_LakeStreamReader):
                     if e.content == md.EQ_DELETE
                     and e.sequence_number > d.sequence_number
                 )
-                parts.append(
-                    _ChangePartition(
-                        "delete", d.file_path, d.sequence_number,
-                        s.snapshot_id, prior_pos, prior_eq, new_pos,
-                        new_eq, self.columns, self.schema_json,
+                if d.file_path not in snap_data_paths:
+                    # the snapshot dropped this file from the manifest
+                    # (overwrite_partitions) — whole-file delete event
+                    parts.append(
+                        _ChangePartition(
+                            "drop", d.file_path, d.sequence_number,
+                            s.snapshot_id, prior_pos, prior_eq, (),
+                            (), self.columns, self.schema_json,
+                        )
                     )
-                )
+                elif new_pos or new_eq:
+                    parts.append(
+                        _ChangePartition(
+                            "delete", d.file_path, d.sequence_number,
+                            s.snapshot_id, prior_pos, prior_eq, new_pos,
+                            new_eq, self.columns, self.schema_json,
+                        )
+                    )
         return parts or [
             _ChangePartition(
                 "insert", "", 0, 0, (), (), (), (),
@@ -350,7 +365,7 @@ class _LakeChangelogReader(_LakeStreamReader):
             T.StructType.fromJson(json.loads(partition.schema_json))
         )
         tbl = tbl.cast(target)
-        if partition.kind == "delete":
+        if partition.kind in ("delete", "drop"):
             pdf = tbl.to_pandas()
             n = len(pdf)
             alive = np.ones(n, dtype=bool)
@@ -381,19 +396,23 @@ class _LakeChangelogReader(_LakeStreamReader):
             alive &= ~_positions(partition.prior_pos)
             # prior_eq entries are pre-filtered to seq > file_seq
             alive &= ~_eq_match(partition.prior_eq)
-            killed = np.zeros(n, dtype=bool)
-            if partition.new_pos:
-                killed |= _positions(partition.new_pos)
-            if partition.new_eq:
-                killed |= _eq_match(partition.new_eq)
+            if partition.kind == "drop":
+                killed = np.ones(n, dtype=bool)
+            else:
+                killed = np.zeros(n, dtype=bool)
+                if partition.new_pos:
+                    killed |= _positions(partition.new_pos)
+                if partition.new_eq:
+                    killed |= _eq_match(partition.new_eq)
             out = pdf[alive & killed]
             tbl = pa.Table.from_pandas(
                 out, schema=target, preserve_index=False
             )
         n_rows = tbl.num_rows
+        change_kind = "delete" if partition.kind == "drop" else partition.kind
         tbl = tbl.append_column(
             "_change_type",
-            pa.array([partition.kind] * n_rows, pa.string()),
+            pa.array([change_kind] * n_rows, pa.string()),
         ).append_column(
             "_commit_snapshot_id",
             pa.array([partition.snapshot_id] * n_rows, pa.int64()),

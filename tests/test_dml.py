@@ -203,3 +203,96 @@ def test_merge_into_no_insert_clause(spark, tmp_path):
     rows = {r.id: r.v for r in t.read().collect()}
     assert rows[1] == "one"
     assert 1000 not in rows
+
+
+def test_overwrite_partitions_dynamic(spark, tmp_path):
+    """INSERT OVERWRITE by partition: only partitions present in the
+    new frame are replaced; untouched partitions keep their exact
+    files (no rewrite amplification)."""
+    base = spark.range(100).select(
+        "id", (F.col("id") % 4).alias("bucket"),
+        (F.col("id") * 10).alias("v"),
+    )
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), base.schema, partition_spec=["bucket"]
+    )
+    t.append(base)
+    before = {
+        e.file_path: e.partition
+        for e in t.meta.current_snapshot().files(md.DATA)
+    }
+    # replace bucket 1 with halved rows, bucket 2 with nothing extra
+    repl = base.filter(F.col("bucket") == 1).withColumn(
+        "v", F.col("v") + 1
+    )
+    t.overwrite_partitions(repl)
+    snap = t.meta.current_snapshot()
+    assert snap.operation == "overwrite"
+    after = {e.file_path: e.partition for e in snap.files(md.DATA)}
+    # untouched partitions carry the same physical files
+    for p, part in before.items():
+        if part.get("bucket") != "1":
+            assert p in after, f"untouched file {part} was rewritten"
+        else:
+            assert p not in after
+    got = {(r.id, r.v) for r in t.read().collect()}
+    want = {
+        (i, i * 10 + 1) if i % 4 == 1 else (i, i * 10) for i in range(100)
+    }
+    assert got == want
+
+
+def test_overwrite_unpartitioned_is_full_replace(spark, tmp_path):
+    t = _t(spark, tmp_path)
+    t.delete_where(F.col("id") % 2 == 0)  # pre-existing delete files
+    repl = spark.range(10).select(
+        "id", F.concat(F.lit("new"), F.col("id")).alias("v")
+    )
+    t.overwrite_partitions(repl)
+    got = {(r.id, r.v) for r in t.read().collect()}
+    assert got == {(i, f"new{i}") for i in range(10)}
+
+
+def test_overwrite_rows_not_shadowed_by_old_eq_deletes(spark, tmp_path):
+    """Replacement rows take the NEW sequence number: an equality
+    delete committed before the overwrite must not shadow them."""
+    t = _t(spark, tmp_path)
+    t.upsert(
+        spark.range(5).select(
+            "id", F.concat(F.lit("u"), F.col("id")).alias("v")
+        ),
+        ["id"],
+    )  # leaves eq-delete files for ids 0-4
+    repl = spark.range(5).select(
+        "id", F.concat(F.lit("ow"), F.col("id")).alias("v")
+    )
+    t.overwrite_partitions(repl)
+    got = {(r.id, r.v) for r in t.read().collect()}
+    assert got == {(i, f"ow{i}") for i in range(5)}
+
+
+def test_overwrite_changelog_emits_drops_and_inserts(spark, tmp_path):
+    """The changelog feed for an overwrite snapshot: every previously
+    live row becomes a delete, every replacement row an insert —
+    replicating the feed reproduces the final state."""
+    from bergloom_spark.sources.lakestream import LakeStreamDataSource
+    from bergloom_spark.streaming.ingest import replicate_changelog
+
+    spark.dataSource.register(LakeStreamDataSource)
+    base = spark.range(30).select("id", (F.col("id") % 3).alias("v"))
+    src = LakeTable.create(spark, str(tmp_path / "src"), base.schema)
+    src.append(base)
+    src.delete_where(F.col("id") % 5 == 0)
+    src.overwrite_partitions(
+        spark.range(7).select("id", F.lit(99).cast("long").alias("v"))
+    )
+    dst = LakeTable.create(spark, str(tmp_path / "dst"), base.schema)
+    dst = replicate_changelog(
+        spark, src.meta.table_root, dst, str(tmp_path / "ck"), ["id"]
+    )
+    assert {tuple(r) for r in dst.read().collect()} == {
+        tuple(r) for r in src.read().collect()
+    }
+    assert {tuple(r) for r in src.read().collect()} == {
+        (i, 99) for i in range(7)
+    }
