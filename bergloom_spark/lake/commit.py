@@ -61,16 +61,30 @@ class RewriteFilesCommitManager:
         add_entries: list[md.ManifestEntry],
         remove_paths: set[str],
         operation: str = "rewrite",
+        overwritten_partitions: set[tuple] | None = None,
     ) -> md.TableMetadata:
         """Commit: current live files − removed + added, as a new
         snapshot. ``operation`` labels the snapshot: "rewrite" (the
         default) means no logical row changed and incremental readers
         skip it; "overwrite" means the removed/added rows ARE the
-        change and the changelog reader emits them."""
+        change and the changelog reader emits them.
+
+        ``overwritten_partitions`` (sorted partition-item tuples)
+        enables Iceberg-style overwrite conflict validation: if at
+        commit time a touched partition holds a live data file the
+        plan didn't account for (a concurrent append/merge landed
+        since the overwrite was planned), the commit FAILS instead of
+        silently keeping rows the caller believes replaced — the
+        caller must re-plan against the new state."""
         attempt = 0
         while True:
             try:
-                return self._try_commit(add_entries, remove_paths, operation)
+                return self._try_commit(
+                    add_entries,
+                    remove_paths,
+                    operation,
+                    overwritten_partitions,
+                )
             except md.CommitConflict:
                 if attempt >= self.retry.max_retries:
                     raise
@@ -86,6 +100,7 @@ class RewriteFilesCommitManager:
         add_entries: list[md.ManifestEntry],
         remove_paths: set[str],
         operation: str = "rewrite",
+        overwritten_partitions: set[tuple] | None = None,
     ) -> md.TableMetadata:
         base = md.read_current(self.table_root)
         # Schema-id guard: abort if the table schema changed mid-compaction
@@ -103,6 +118,22 @@ class RewriteFilesCommitManager:
             raise CommitFailed(
                 f"{len(missing)} input files no longer live (concurrent rewrite?)"
             )
+        if overwritten_partitions is not None:
+            conflicting = [
+                e
+                for e in live
+                if e.content == md.DATA
+                and tuple(sorted(e.partition.items()))
+                in overwritten_partitions
+                and e.file_path not in remove_paths
+            ]
+            if conflicting:
+                raise CommitFailed(
+                    f"{len(conflicting)} data files were committed "
+                    "concurrently into partitions this overwrite "
+                    "replaces; re-plan the overwrite against the "
+                    "current snapshot"
+                )
         # Pin output data files to the starting sequence number so delete
         # files committed *after* compaction started still apply to the
         # rewritten rows (compaction/mod.rs:546-566).

@@ -898,7 +898,10 @@ class LakeTable:
             retry=RetryConfig(),
         )
         self.meta = manager.rewrite_files(
-            add_entries, remove_paths, operation="overwrite"
+            add_entries,
+            remove_paths,
+            operation="overwrite",
+            overwritten_partitions=touched,
         )
         return self.meta.current_snapshot()
 

@@ -296,3 +296,68 @@ def test_overwrite_changelog_emits_drops_and_inserts(spark, tmp_path):
     assert {tuple(r) for r in src.read().collect()} == {
         (i, 99) for i in range(7)
     }
+
+
+def test_overwrite_detects_concurrent_append_in_touched_partition(
+    spark, tmp_path
+):
+    """Iceberg-style overwrite validation: a concurrent append into a
+    partition being replaced must FAIL the overwrite commit (not be
+    silently kept alongside the 'replacement')."""
+    import pytest
+
+    from bergloom_spark.lake import writer as wr
+    from bergloom_spark.lake.commit import (
+        CommitFailed,
+        RetryConfig,
+        RewriteFilesCommitManager,
+    )
+
+    base = spark.range(40).select(
+        "id", (F.col("id") % 2).alias("bucket"), (F.col("id") * 2).alias("v")
+    )
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), base.schema, partition_spec=["bucket"]
+    )
+    t.append(base)
+    # plan the overwrite of bucket 1 (files written, commit not yet)
+    repl = base.filter(F.col("bucket") == 1).withColumn("v", F.lit(0).cast("long"))
+    add_entries = wr.write_data_files(
+        repl, t.meta.table_root, t.meta.last_sequence_number + 1,
+        128 * 1024 * 1024, partition_spec=["bucket"],
+    )
+    touched = {tuple(sorted(e.partition.items())) for e in add_entries}
+    cur = t.meta.current_snapshot()
+    remove = {
+        e.file_path for e in cur.entries
+        if e.content == md.DATA
+        and tuple(sorted(e.partition.items())) in touched
+    }
+    # concurrent writer appends into bucket 1 before the commit lands
+    w2 = LakeTable.load(spark, t.meta.table_root)
+    w2.append(
+        spark.range(100, 105).select(
+            "id", F.lit(1).cast("long").alias("bucket"),
+            F.lit(7).cast("long").alias("v"),
+        )
+    )
+    manager = RewriteFilesCommitManager(
+        table_root=t.meta.table_root,
+        starting_schema_id=t.meta.schema_id,
+        starting_sequence_number=t.meta.last_sequence_number + 1,
+        use_starting_sequence_number=False,
+        retry=RetryConfig(),
+    )
+    with pytest.raises(CommitFailed, match="concurrently"):
+        manager.rewrite_files(
+            add_entries, remove, operation="overwrite",
+            overwritten_partitions=touched,
+        )
+    # and a re-planned overwrite against the current state succeeds
+    t = t.refresh()
+    t.overwrite_partitions(repl)
+    got = {(r.id, r.v) for r in t.read().collect()}
+    want = {(i, 0) for i in range(40) if i % 2 == 1} | {
+        (i, i * 2) for i in range(40) if i % 2 == 0
+    }
+    assert got == want
