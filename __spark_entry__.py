@@ -3403,6 +3403,33 @@ def q_source_unigram_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm.source_unigram_kl(TS(spark, sf_dir, "documents"))
 
 
+def q_strip_markup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-corpus markup stripping (round 4): the synthetic corpus is
+    wrapped in deterministic HTML per row (tags, a style block, a
+    comment, entities) and the stripper must recover clean text —
+    script/style/comment content dropped, tags removed, entities
+    decoded, whitespace collapsed. Pure scan-side regexp chain with
+    engine-portable patterns; the oracle builds the identical
+    augmented markup and strips it with the SQL twin."""
+    d = TS(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.lit("<html><head><style>p{x:"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit("}</style></head><body><h1>Doc &#39;"),
+        F.col("doc_id").cast("string"),
+        F.lit("&#39;</h1><p class=\"t\">"),
+        F.col("text"),
+        F.lit("</p><!-- id "),
+        F.col("doc_id").cast("string"),
+        F.lit(" --><div>&amp; more&nbsp;text</div></body></html>"),
+    )
+    return d.select(
+        "doc_id",
+        TX.strip_markup(aug).alias("clean"),
+        F.length(TX.strip_markup(aug)).cast("long").alias("n_chars"),
+    )
+
+
 def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrubbing: emails / IPv4 / phone-shaped numbers replaced by
     typed tokens, counts surfaced per doc. The corpus is synthetic, so
@@ -4488,6 +4515,17 @@ _EXT_ORACLES = {
     "bm25_search": _bm25_oracle(),
     "stratified_sample": _stratified_oracle(),
     "mixture_resample": _mixture_oracle(),
+    "strip_markup": (lambda aug: f"""
+        SELECT doc_id, {TX.strip_markup_sql(aug)} AS clean,
+               length({TX.strip_markup_sql(aug)})::BIGINT AS n_chars
+        FROM documents
+    """)(
+        "('<html><head><style>p{x:' || (doc_id % 7)::VARCHAR ||"
+        " '}</style></head><body><h1>Doc &#39;' || doc_id::VARCHAR ||"
+        " '&#39;</h1><p class=\"t\">' || text || '</p><!-- id ' ||"
+        " doc_id::VARCHAR ||"
+        " ' --><div>&amp; more&nbsp;text</div></body></html>')"
+    ),
     "pii_redact": (lambda aug: f"""
         SELECT doc_id, {TX.redact_pii_sql(aug)} AS redacted,
                {TX.pii_count_sql(aug, 'email')} AS n_emails,
@@ -5306,6 +5344,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_logprob": q_bigram_logprob,
         "source_unigram_kl": q_source_unigram_kl,
         "pii_redact": q_pii_redact,
+        "strip_markup": q_strip_markup,
         "mixture_resample": q_mixture_resample,
         "corpus_split": q_corpus_split,
         "corpus_shuffle": q_corpus_shuffle,

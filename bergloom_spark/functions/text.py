@@ -555,6 +555,54 @@ PII_PATTERNS: dict[str, tuple[str, str]] = {
 }
 
 
+# Markup stripping (web-corpus cleaning): patterns are deliberately
+# conservative constructs that Java regex (Spark) and RE2 (DuckDB)
+# interpret identically — no \s (the two engines' \s classes differ
+# on vertical tab), no backreferences, no lookaround.
+_MARKUP_STEPS: list[tuple[str, str]] = [
+    # script/style blocks go first, content and all ((?s) dot-all —
+    # the inline flag both Java regex and RE2 support; non-greedy
+    # body; closing tag required)
+    (r"(?s)<script[^>]*>.*?</script>", " "),
+    (r"(?s)<style[^>]*>.*?</style>", " "),
+    (r"(?s)<!--.*?-->", " "),  # comments
+    (r"<[^>]*>", " "),  # any remaining tag
+]
+_ENTITY_STEPS: list[tuple[str, str]] = [
+    (r"&nbsp;", " "),
+    (r"&lt;", "<"),
+    (r"&gt;", ">"),
+    (r"&quot;", '"'),
+    (r"&#39;", "'"),
+    (r"&amp;", "&"),  # last, so &amp;lt; decodes to &lt; not <
+]
+
+
+def strip_markup(col: Column | str) -> Column:
+    """HTML/markup → text (the web-corpus cleaning pass): drop
+    script/style/comment blocks with their content, strip remaining
+    tags, decode the common entities, collapse runs of whitespace.
+    Pure scan-side ``regexp_replace`` chain — zero shuffle, zero
+    Python, and every pattern is engine-portable (explicit whitespace
+    class, no ``\\s``: Java and RE2 disagree on vertical tab)."""
+    out = F.col(col) if isinstance(col, str) else col
+    for pat, repl in _MARKUP_STEPS + _ENTITY_STEPS:
+        out = F.regexp_replace(out, pat, repl)
+    out = F.regexp_replace(out, r"[ \t\n\r\f]+", " ")
+    return F.trim(out)
+
+
+def strip_markup_sql(expr: str) -> str:
+    """DuckDB twin — same patterns, same order, global flag."""
+    out = expr
+    for pat, repl in _MARKUP_STEPS + _ENTITY_STEPS:
+        out = (
+            f"regexp_replace({out}, '{pat}', "
+            f"'{repl.replace(chr(39), chr(39) * 2)}', 'g')"
+        )
+    return f"trim(regexp_replace({out}, '[ \\t\\n\\r\\f]+', ' ', 'g'))"
+
+
 def redact_pii(col: Column | str) -> Column:
     """Replace emails, IPv4 addresses, and phone-shaped numbers with
     typed placeholder tokens. Pure scan-side ``regexp_replace`` chain

@@ -303,3 +303,39 @@ def test_char_entropy_known_values(spark):
     assert got[4] == 0.0
     expected5 = round(math.log2(3) - 2 * math.log2(2) / 3, 6)
     assert abs(got[5] - expected5) < 1e-6
+
+
+def test_strip_markup_known_cases(spark):
+    """Script/style/comment content dropped, tags stripped, entities
+    decoded in the right order (&amp; last, so &amp;lt; -> &lt;),
+    whitespace collapsed — and the DuckDB twin agrees byte-for-byte."""
+    import duckdb
+    import pyspark.sql.functions as F
+
+    from bergloom_spark.functions.text import strip_markup, strip_markup_sql
+
+    samples = [
+        "<style>b{c:red}</style><p>Hello &amp;amp; <b>world</b></p>",
+        "<script>if (a &lt; b) { x > 1 }</script>kept",
+        "It&#39;s &quot;ok&quot;&nbsp;here",
+        "<!-- multi\nline -->text",
+        "",
+    ]
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(samples)], "i long, t string"
+    )
+    got = {
+        r.i: r.s
+        for r in df.select("i", strip_markup(F.col("t")).alias("s")).collect()
+    }
+    assert got[0] == "Hello &amp; world"
+    assert got[1] == "kept"
+    assert got[2] == "It's \"ok\" here"
+    assert got[3] == "text"
+    assert got[4] == ""
+    con = duckdb.connect()
+    for i, s in enumerate(samples):
+        want = con.execute(
+            f"SELECT {strip_markup_sql('t')} FROM (SELECT ? AS t)", [s]
+        ).fetchone()[0]
+        assert got[i] == want, (i, got[i], want)
