@@ -265,7 +265,6 @@ def minhash_lsh_pairs(
     processing many corpora pass ``cache=False`` (the signature
     subtree then computes once per join side instead).
     """
-    rows_per_band = k // bands
     # _minhash_sigs is a two-stage select: the md5 shingle hashing
     # materializes in stage 1 so the k permutation branches in stage 2
     # reuse it; the signature table (id + k longs) is then cached — it
@@ -275,7 +274,17 @@ def minhash_lsh_pairs(
     sigs = _minhash_sigs(df, text_col, id_col, k, shingle_n)
     if cache:
         sigs = sigs.cache()
-    banded = _band_signatures(sigs, bands, rows_per_band)
+    return minhash_lsh_pairs_from_sigs(sigs, k, bands, threshold)
+
+
+def minhash_lsh_pairs_from_sigs(
+    sigs: DataFrame, k: int, bands: int, threshold: float
+) -> DataFrame:
+    """The banded-pairing half of :func:`minhash_lsh_pairs`, over an
+    already-built (__id, __sig) signature table — the seam that lets
+    callers (the verified pipeline, the incremental index) share one
+    shingle pass across candidate generation and verification."""
+    banded = _band_signatures(sigs, bands, k // bands)
     left = banded.alias("a")
     right = banded.alias("b")
     pairs = (
@@ -578,6 +587,7 @@ def minhash_verified_pairs(
     k: int = 8,
     bands: int = 4,
     shingle_n: int = 3,
+    cache: bool = True,
 ) -> DataFrame:
     """The production near-dup pipeline: banded MinHash-LSH generates
     candidates (recall tuned by k/bands/``est_threshold``), then each
@@ -594,13 +604,26 @@ def minhash_verified_pairs(
     """
     if est_threshold is None:
         est_threshold = threshold / 2
-    cands = minhash_lsh_pairs(
-        df, text_col, id_col, k, bands, est_threshold, shingle_n
-    ).select("id_a", "id_b")
+    # ONE shingle pass feeds everything: the distinct-hash table backs
+    # both verification join sides AND the minhash signatures (min is
+    # duplicate-invariant, so signatures over the distinct set are
+    # identical to signatures over raw shingles). Without the shared
+    # cached table the corpus would be scanned+hashed three times.
     hs = df.select(
         F.col(id_col).alias("__id"),
         F.array_distinct(shingle_hashes(text_col, shingle_n)).alias("__hs"),
     )
+    if cache:
+        # same lifetime contract as minhash_lsh_pairs(cache=True):
+        # pinned until session end or spark.catalog.clearCache()
+        hs = hs.cache()
+    sigs = hs.select(
+        "__id",
+        minhash_signature_from_hashes(F.col("__hs"), k).alias("__sig"),
+    )
+    cands = minhash_lsh_pairs_from_sigs(
+        sigs, k, bands, est_threshold
+    ).select("id_a", "id_b")
     joined = cands.join(
         hs.select(F.col("__id").alias("id_a"), F.col("__hs").alias("__ha")),
         "id_a",
