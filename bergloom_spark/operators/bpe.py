@@ -190,15 +190,20 @@ def bpe_apply_fixed(
     # pipes stripped (they're the frame), whitespace collapsed, then a
     # sentinel trailing space so every word — including the last —
     # closes with an explicit "</w>" cell (no $-anchor: engines
-    # disagree on empty-match-at-end replacement).
+    # disagree on empty-match-at-end replacement). Whitespace is an
+    # EXPLICIT class, not \s: Java regex includes \x0B in \s, RE2
+    # does not, and a vertical tab in a doc would diverge the engines
+    # (review r4 — the same rule strip_markup documents).
     spaced = F.concat(
-        F.trim(F.regexp_replace(F.col(text_col), r"[|\s]+", " ")),
+        F.trim(
+            F.regexp_replace(F.col(text_col), r"[| \t\n\r\f\x0B]+", " ")
+        ),
         F.lit(" "),
     )
     framed = F.concat(
         F.lit("|"),
         F.regexp_replace(
-            F.regexp_replace(spaced, r"(\S)", r"$1||"), r"\s", "</w>||"
+            F.regexp_replace(spaced, r"([^ ])", r"$1||"), r" ", "</w>||"
         ),
     )
     col = framed
@@ -228,8 +233,9 @@ def bpe_apply_fixed_sql(
     left-to-right replace-alls over the same framed symbol string."""
     framed = (
         "('|' || regexp_replace(regexp_replace("
-        f"(trim(regexp_replace({text_col}, '[|\\s]+', ' ', 'g')) || ' '), "
-        "'(\\S)', '\\1||', 'g'), '\\s', '</w>||', 'g'))"
+        f"(trim(regexp_replace({text_col},"
+        " '[| \\t\\n\\r\\f\\x0B]+', ' ', 'g')) || ' '), "
+        "'([^ ])', '\\1||', 'g'), ' ', '</w>||', 'g'))"
     )
     expr = framed
     for a, b in merges:

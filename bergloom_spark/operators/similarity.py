@@ -200,8 +200,10 @@ def embedding_dedup_pairs_matmul(
     import pandas as pd
 
     spark = embeddings.sparkSession
-    rows_pdf = embeddings.select(id_col, vec_col).toPandas()
-    n = len(rows_pdf)
+    # Guard BEFORE collecting: the count is one cheap distributed job,
+    # whereas a toPandas() of an over-cap corpus would OOM the driver
+    # before any post-hoc check could fire (review r4).
+    n = embeddings.count()
     if n > max_resident_rows:
         raise ValueError(
             f"embedding_dedup_pairs_matmul broadcasts the corpus and got "
@@ -209,6 +211,7 @@ def embedding_dedup_pairs_matmul(
             "embedding_dedup_pairs_blocked (high threshold) or the "
             "minhash/IVF approximate paths at this scale"
         )
+    rows_pdf = embeddings.select(id_col, vec_col).toPandas()
     all_ids = rows_pdf[id_col].to_numpy(dtype=np.int64)
     M = np.stack(rows_pdf[vec_col].to_numpy()).astype(np.float64)
     M /= np.linalg.norm(M, axis=1, keepdims=True)

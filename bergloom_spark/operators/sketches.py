@@ -262,7 +262,10 @@ def _quantile_sample(df: DataFrame, col: str, k: int) -> DataFrame:
         .groupBy(F.col(col).alias("__v0"))
         .agg(F.count(F.lit(1)).alias("cnt"))
         .select(
-            F.col("__v0").cast("double").alias("v"),
+            # try_cast: ANSI cast THROWS on non-numeric strings (both
+            # Spark 4 and a strict DuckDB cast) — a string column must
+            # profile with NULL quantiles, not abort (review r4)
+            F.col("__v0").try_cast("double").alias("v"),
             hash64(F.col("__v0").cast("string")).alias("h"),
             "cnt",
         )
@@ -341,11 +344,15 @@ def column_profile_sql(table: str, cols: list[str], k: int = 64) -> str:
     pieces = []
     for c in cols:
         h = hash64_sql(f"({c})::VARCHAR")
+        # TRY_CAST, not ::DOUBLE: Spark's cast yields NULL for
+        # non-numeric strings while a strict DuckDB cast ERRORS, so a
+        # string column would abort the whole oracle query instead of
+        # profiling with NULL quantiles like the Spark side (review r4).
         sample = f"""
-            SELECT ({c})::DOUBLE AS v, count(*) AS cnt
+            SELECT TRY_CAST({c} AS DOUBLE) AS v, count(*) AS cnt
             FROM {table} WHERE {c} IS NOT NULL
             GROUP BY {c}
-            ORDER BY {h}, ({c})::DOUBLE LIMIT {4 * k}"""
+            ORDER BY {h}, TRY_CAST({c} AS DOUBLE) LIMIT {4 * k}"""
         quant = """
             SELECT min(CASE WHEN cum >= {p} * tot THEN v END)
             FROM (SELECT v,

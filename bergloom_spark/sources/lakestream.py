@@ -143,13 +143,26 @@ class _LakeStreamReader(DataSourceStreamReader):
             )
 
     # -- offsets ------------------------------------------------------
+    # _consumed_floor tracks how far the ENGINE has progressed (set by
+    # initialOffset on a fresh stream and advanced by partitions()/
+    # commit() on every planned batch). maxFilesPerBatch counts files
+    # from this floor, not from snapshot 1 — counting from the start
+    # of history made latestOffset return the same capped offset
+    # forever after the first batch, livelocking the stream (review
+    # r4). When the floor is unknown (a restart where the engine goes
+    # straight to latestOffset), the cap is waived for one call: an
+    # uncapped batch is safe, a stalled stream is not.
+    _consumed_floor: int | None = None
+
     def initialOffset(self) -> dict:
+        self._consumed_floor = 0
         return {"last_snapshot_id": 0}
 
     def latestOffset(self) -> dict:
         from bergloom_spark.lake import metadata as md
 
         meta = md.read_current(self.table_root)
+        floor = self._consumed_floor
         latest = 0
         n_files = 0
         for s in meta.snapshots:
@@ -157,7 +170,12 @@ class _LakeStreamReader(DataSourceStreamReader):
             # non-append inside the range must reach partitions(),
             # where it is refused or skipped per skipNonAppends —
             # silently stopping in front of it would stall the stream.
-            if self.max_files and s.operation == "append":
+            if (
+                self.max_files
+                and floor is not None
+                and s.snapshot_id > floor
+                and s.operation == "append"
+            ):
                 # Count only the files THIS snapshot added (matching
                 # partitions()): entries also carry forward every live
                 # file from the parent, and counting those would blow
@@ -169,7 +187,7 @@ class _LakeStreamReader(DataSourceStreamReader):
                     if e.content == md.DATA
                     and e.sequence_number == s.sequence_number
                 )
-                if latest and n_files > self.max_files:
+                if latest > floor and n_files > self.max_files:
                     break
             latest = s.snapshot_id
         return {"last_snapshot_id": latest}
@@ -178,14 +196,19 @@ class _LakeStreamReader(DataSourceStreamReader):
         from bergloom_spark.lake import metadata as md
 
         lo, hi = start["last_snapshot_id"], end["last_snapshot_id"]
+        self._consumed_floor = max(self._consumed_floor or 0, hi)
         meta = md.read_current(self.table_root)
         # Expired-history guard (Iceberg streaming fails the same way):
         # snapshot ids are consecutive, so any retained-minimum greater
         # than lo+1 means snapshots in (lo, min_retained) were expired
         # and their appended files would silently vanish from the feed.
-        if meta.snapshots:
+        # Gate on lo < hi, NOT min_retained <= hi: a range whose
+        # snapshots were ALL expired must also raise — otherwise the
+        # replay of a crashed batch comes back empty, the checkpoint
+        # advances, and those appends are lost silently (review r4).
+        if meta.snapshots and lo < hi:
             min_retained = min(s.snapshot_id for s in meta.snapshots)
-            if min_retained > lo + 1 and min_retained <= hi:
+            if min_retained > lo + 1:
                 raise ValueError(
                     f"offset {lo} predates the oldest retained snapshot "
                     f"{min_retained}: snapshots in between were expired "
@@ -235,7 +258,9 @@ class _LakeStreamReader(DataSourceStreamReader):
         return iter(table.cast(target).to_batches())
 
     def commit(self, end: dict) -> None:
-        pass
+        self._consumed_floor = max(
+            self._consumed_floor or 0, end["last_snapshot_id"]
+        )
 
 
 # Snapshot operations that change no logical row: a compaction/binpack
@@ -261,10 +286,11 @@ class _LakeChangelogReader(_LakeStreamReader):
         from bergloom_spark.lake import metadata as md
 
         lo, hi = start["last_snapshot_id"], end["last_snapshot_id"]
+        self._consumed_floor = max(self._consumed_floor or 0, hi)
         meta = md.read_current(self.table_root)
-        if meta.snapshots:
+        if meta.snapshots and lo < hi:
             min_retained = min(s.snapshot_id for s in meta.snapshots)
-            if min_retained > lo + 1 and min_retained <= hi:
+            if min_retained > lo + 1:
                 raise ValueError(
                     f"offset {lo} predates the oldest retained snapshot "
                     f"{min_retained}: expired history cannot be replayed "
@@ -304,6 +330,25 @@ class _LakeChangelogReader(_LakeStreamReader):
                 )
             parent = by_id.get(s.parent_snapshot_id)
             if parent is None:
+                if (
+                    s.parent_snapshot_id is not None
+                    and s.operation != "append"
+                ):
+                    # The snapshot's delete/drop events are computed
+                    # against the PARENT's live entries; with the
+                    # parent expired they cannot be reconstructed.
+                    # Emitting only the inserts would silently turn
+                    # deletes into no-ops downstream (review r4) —
+                    # same contract as expired-offset replay: fail,
+                    # keep one snapshot beyond the slowest consumer.
+                    raise ValueError(
+                        f"snapshot {s.snapshot_id} ({s.operation!r}) "
+                        "needs its parent snapshot "
+                        f"{s.parent_snapshot_id} to reconstruct "
+                        "delete events, but it was expired. Restart "
+                        "from a fresh checkpoint or expire less "
+                        "aggressively."
+                    )
                 continue
             prior_pos = tuple(
                 e.file_path

@@ -54,20 +54,27 @@ def guard_key_for_checkpoint(checkpoint_dir: str) -> str:
     return guard_key(checkpoint_query_id(checkpoint_dir))
 
 
-def _last_committed(props: dict, prop: str) -> int:
-    """Last committed batch id under ``prop``, falling back to the
-    legacy un-namespaced key when the namespaced key is absent. Tables
-    written before guards were checkpoint-namespaced carry their batch
-    id under ``LAST_BATCH_PROP`` only; without the fallback, the first
-    restart-after-crash on such a table would miss the guard (last=-1)
-    and commit the replayed micro-batch twice. ``max`` of both keys is
-    safe: batch ids are monotonic within one checkpoint lineage, and a
-    genuinely new lineage writes its own namespaced key on first
-    commit, after which that key wins."""
+def _is_replay(props: dict, prop: str, batch_id: int) -> bool:
+    """True iff ``batch_id`` was already committed and must be skipped.
+
+    Namespaced key present → the usual at-or-below check. Absent, the
+    LEGACY un-namespaced key covers tables written before guards were
+    checkpoint-namespaced: a crash-replay under the old regime
+    re-presents EXACTLY the last committed batch id, so only
+    ``batch_id == legacy`` is treated as a replay. A smaller id means
+    a genuinely NEW checkpoint lineage (batch ids restart at 0) whose
+    live batches must commit — an at-or-below fallback would silently
+    drop all of them, and since nothing would ever commit, the
+    namespaced key could never be written to self-heal. (Residual
+    collision: a new lineage's very first batch on a legacy table
+    whose last recorded id is exactly 0 — one skipped batch, against
+    guaranteed duplicates the other way.) After the first commit the
+    namespaced key exists and the legacy key is never consulted."""
     namespaced = props.get(prop)
     if namespaced is not None:
-        return int(namespaced)
-    return int(props.get(LAST_BATCH_PROP, "-1"))
+        return batch_id <= int(namespaced)
+    legacy = props.get(LAST_BATCH_PROP)
+    return legacy is not None and batch_id == int(legacy)
 
 
 def _append_sink(
@@ -79,8 +86,7 @@ def _append_sink(
 ):
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         t = table.refresh()
-        last = _last_committed(t.meta.properties, prop)
-        if batch_id <= last:
+        if _is_replay(t.meta.properties, prop, batch_id):
             return  # replayed batch — already committed
         t.append(
             batch_df,
@@ -155,8 +161,7 @@ def _cdc_sink(
 ):
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         t = table.refresh()
-        last = _last_committed(t.meta.properties, prop)
-        if batch_id <= last:
+        if _is_replay(t.meta.properties, prop, batch_id):
             return  # replayed batch — already applied
         t.apply_changes(
             batch_df,
@@ -217,8 +222,7 @@ def replicate_changelog(
 
     def sink(batch_df, batch_id: int) -> None:
         t = target.refresh()
-        last = _last_committed(t.meta.properties, prop)
-        if batch_id <= last:
+        if _is_replay(t.meta.properties, prop, batch_id):
             return
         changes = batch_df.select(
             *[c for c in batch_df.columns

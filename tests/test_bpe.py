@@ -126,3 +126,32 @@ def test_bpe_learn_200_merges_bounded_lineage(spark):
     expected = _py_learn(texts, 200)
     assert got == expected
     assert len(got) > 100  # the corpus really supports a deep vocab
+
+
+def test_bpe_encode_vertical_tab_cross_engine(spark):
+    """Review r4: \\x0B (vertical tab) is in Java's \\s but not RE2's —
+    the encode framing uses explicit whitespace classes so both
+    engines tokenize a vertical-tab doc identically."""
+    import duckdb
+
+    from bergloom_spark.operators.bpe import (
+        bpe_apply_fixed,
+        bpe_apply_fixed_sql,
+    )
+
+    texts = ["the\x0bthe cat", "a\x0b\x0bb", "tab\there", ""]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    merges = [("t", "h"), ("th", "e"), ("the", "</w>")]
+    got = {
+        r.doc_id: r.n_bpe_tokens for r in bpe_apply_fixed(df, merges).collect()
+    }
+    con = duckdb.connect()
+    con.register("docs", df.toPandas())
+    want = {
+        r[0]: r[1]
+        for r in con.execute(bpe_apply_fixed_sql("docs", merges)).fetchall()
+    }
+    assert got == want
+    assert got[0] == 6  # the</w> + the</w> + c,a,t,</w>

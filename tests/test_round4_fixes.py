@@ -152,11 +152,76 @@ def test_lakestream_max_files_counts_new_files_only(spark, tmp_path):
     # Cap = files of exactly two snapshots → batch must span two
     # snapshots even though snapshot 3 carries 3 snapshots' files.
     r = _reader(root, maxFilesPerBatch=str(2 * per_snap))
+    r.initialOffset()  # fresh stream: the engine sets the floor first
     off = r.latestOffset()
     assert off["last_snapshot_id"] == 2
-    # Second batch picks up the rest.
+    # The capped offset must PROGRESS once the engine consumes the
+    # batch (review r4: counting from snapshot 1 forever livelocked
+    # the stream at the first cap boundary).
+    assert r.latestOffset()["last_snapshot_id"] == 2  # not consumed yet
+    parts = r.partitions({"last_snapshot_id": 0}, off)
+    assert all(p.file_path for p in parts)
+    assert r.latestOffset()["last_snapshot_id"] == 3  # floor advanced
     parts = r.partitions({"last_snapshot_id": 2}, {"last_snapshot_id": 3})
     assert all(p.file_path for p in parts)
+
+
+def test_lakestream_restart_without_floor_waives_cap(spark, tmp_path):
+    """A restarted reader that goes straight to latestOffset (no
+    initialOffset, no replay) has no floor — the cap is waived for
+    that call instead of re-counting from snapshot 1, which could
+    return an offset BEHIND the checkpoint."""
+    root = str(tmp_path / "t")
+    t = _two_col_table(spark, root, n=10)
+    t.append(spark.range(10, 20).select("id", (F.col("id") * 2).alias("v")))
+    t.append(spark.range(20, 30).select("id", (F.col("id") * 2).alias("v")))
+    r = _reader(root, maxFilesPerBatch="1")
+    assert r.latestOffset()["last_snapshot_id"] == 3  # uncapped, safe
+
+
+def test_lakestream_fully_expired_replay_range_raises(spark, tmp_path):
+    """Review r4: a replayed batch whose WHOLE range was expired must
+    raise, not come back empty (the empty replay would advance the
+    checkpoint past appends that were never delivered)."""
+    root = str(tmp_path / "t")
+    t = _two_col_table(spark, root, n=10)
+    t.append(spark.range(10, 20).select("id", (F.col("id") * 2).alias("v")))
+    t.append(spark.range(20, 30).select("id", (F.col("id") * 2).alias("v")))
+    expire_snapshots(t, keep_last=1)  # only snapshot 3 retained
+    r = _reader(root)
+    with pytest.raises(ValueError, match="expired"):
+        r.partitions({"last_snapshot_id": 0}, {"last_snapshot_id": 2})
+
+
+def test_changelog_parent_expired_raises_not_silent_insert_only(
+    spark, tmp_path
+):
+    """Review r4: a delete-carrying snapshot whose parent was expired
+    cannot reconstruct its delete events — the changelog must fail
+    (emitting only the inserts would silently turn the deletes into
+    no-ops on a replica)."""
+    from bergloom_spark.lake import metadata as md
+    from bergloom_spark.sources.lakestream import _LakeChangelogReader
+
+    root = str(tmp_path / "t")
+    t = _two_col_table(spark, root, n=20)
+    t.append(spark.range(20, 40).select("id", (F.col("id") * 2).alias("v")))
+    t.delete_where(F.col("id") % 3 == 0)  # snapshot 3: deletes
+    expire_snapshots(t, keep_last=1)  # parent (snapshot 2) expired
+    meta = md.read_current(root)
+    schema = T.StructType.fromJson(
+        meta.schema if isinstance(meta.schema, dict) else json.loads(meta.schema)
+    )
+    out_schema = T.StructType(
+        list(schema.fields)
+        + [
+            T.StructField("_change_type", T.StringType()),
+            T.StructField("_commit_snapshot_id", T.LongType()),
+        ]
+    )
+    r = _LakeChangelogReader({"path": root}, out_schema)
+    with pytest.raises(ValueError, match="parent"):
+        r.partitions({"last_snapshot_id": 2}, {"last_snapshot_id": 3})
 
 
 def test_lakestream_expired_history_raises(spark, tmp_path):
@@ -171,3 +236,37 @@ def test_lakestream_expired_history_raises(spark, tmp_path):
     # An offset already at/after the retained horizon still streams.
     parts = r.partitions({"last_snapshot_id": 2}, {"last_snapshot_id": 3})
     assert parts
+
+
+def test_fresh_lineage_on_legacy_table_commits_its_batches(spark, tmp_path):
+    """Review r4: the legacy-key fallback must treat only an EXACT
+    batch-id match as a replay. A new checkpoint lineage (ids restart
+    at 0) writing to a table whose legacy key says 7 must commit its
+    live batches — the old at-or-below fallback silently dropped all
+    of 0..7 and the namespaced key could never self-heal."""
+    from bergloom_spark.streaming.ingest import (
+        LAST_BATCH_PROP,
+        _append_sink,
+        guard_key_for_checkpoint,
+    )
+
+    t = _two_col_table(spark, str(tmp_path / "t"), n=10)
+    t.append(
+        spark.range(10, 15).select("id", (F.col("id") * 2).alias("v")),
+        properties_update={LAST_BATCH_PROP: "7"},
+    )
+    base_count = t.refresh().read().count()
+    sink = _append_sink(
+        t, 128 * 1024 * 1024, guard_key_for_checkpoint(str(tmp_path / "ck"))
+    )
+    for b in range(3):
+        sink(
+            spark.range(100 + b * 10, 100 + b * 10 + 5).select(
+                "id", (F.col("id") * 2).alias("v")
+            ),
+            b,
+        )
+    assert t.refresh().read().count() == base_count + 15
+    # and the namespaced key now guards replays of those batches
+    sink(spark.range(900, 905).select("id", (F.col("id") * 2).alias("v")), 2)
+    assert t.refresh().read().count() == base_count + 15

@@ -140,3 +140,21 @@ def test_column_profile_quantile_accuracy(spark):
     true_p99 = 1980.0**2
     assert abs(row["est_p50"] - true_p50) / true_p50 < 0.15
     assert abs(row["est_p99"] - true_p99) / true_p99 < 0.15
+
+
+def test_column_profile_string_column_null_quantiles(spark):
+    """Review r4: profiling a STRING column must yield NULL quantiles
+    on both engines — ANSI cast (Spark 4) and strict DuckDB cast both
+    THROW on non-numeric strings, so both sides need try-casts."""
+    import duckdb
+
+    df = spark.createDataFrame(
+        [(i, f"s{i % 5}") for i in range(50)], "id long, name string"
+    )
+    row = SK.column_profile(df, ["name"]).collect()[0]
+    assert row.est_p50 is None and row.est_p99 is None
+    assert row.est_ndv == 5.0
+    con = duckdb.connect()
+    con.register("t", df.toPandas())
+    got = con.execute(SK.column_profile_sql("t", ["name"])).fetchall()[0]
+    assert got[-2] is None and got[-1] is None
