@@ -1163,7 +1163,22 @@ class LakeTable:
         results are exactly the unpruned scan + filter, only cheaper.
         """
         snap = self._snapshot(snapshot_id)
+        # Empty scans must still carry the hidden columns when asked:
+        # a snapshot can legally hold delete files but ZERO data files
+        # (delete-only history on an empty table, or every file
+        # pruned), and the MoR anti-joins downstream reference the
+        # hidden seq/path/pos columns unconditionally.
         empty = self.spark.createDataFrame([], self.schema)
+        if with_hidden:
+            empty = (
+                empty.withColumn(
+                    mor.SYS_HIDDEN_FILE_PATH, F.lit(None).cast("string")
+                )
+                .withColumn(mor.SYS_HIDDEN_POS, F.lit(None).cast("long"))
+                .withColumn(
+                    mor.SYS_HIDDEN_SEQ_NUM, F.lit(None).cast("long")
+                )
+            )
         if snap is None:
             return self._apply_filters(empty, filters)
         data_files = snap.files(md.DATA)

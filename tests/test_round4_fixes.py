@@ -270,3 +270,29 @@ def test_fresh_lineage_on_legacy_table_commits_its_batches(spark, tmp_path):
     # and the namespaced key now guards replays of those batches
     sink(spark.range(900, 905).select("id", (F.col("id") * 2).alias("v")), 2)
     assert t.refresh().read().count() == base_count + 15
+
+
+def test_read_delete_only_history_on_empty_table(spark, tmp_path):
+    """Hypothesis-found (round-2 property test): a snapshot holding
+    equality-delete files but ZERO data files (delete-only changes
+    applied to an empty table) must read as empty, not crash the MoR
+    anti-join on a missing hidden seq column."""
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType(), False),
+            T.StructField("v", T.LongType(), False),
+        ]
+    )
+    t = LakeTable.create(spark, str(tmp_path / "t"), schema)
+    changes = spark.createDataFrame(
+        [(1, 0, "D"), (2, 0, "D")], "id long, v long, op string"
+    )
+    t.apply_changes(changes, ["id"], op_col="op")
+    assert t.read().count() == 0
+    # and the table still works after a later real insert
+    t.apply_changes(
+        spark.createDataFrame([(5, 50, "I")], "id long, v long, op string"),
+        ["id"],
+        op_col="op",
+    )
+    assert [(r.id, r.v) for r in t.read().collect()] == [(5, 50)]
