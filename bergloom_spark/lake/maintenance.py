@@ -94,11 +94,25 @@ def run_maintenance(
         report.deletes_rewritten = True
 
     if report.small_files_before >= policy.min_small_files:
-        BinpackCompaction(
-            table,
-            policy.compaction,
-            small_file_threshold=policy.small_file_threshold,
-        ).compact()
+        order = table.sort_order()
+        if order is not None:
+            # The table declares a clustering (write.sort-order):
+            # honor it — the compaction both folds the small files AND
+            # re-clusters, so min/max pruning on the sort key stays
+            # effective as appends accumulate (Iceberg's sort-strategy
+            # rewrite_data_files driven by the table sort order).
+            from bergloom_spark.lake.compaction import SortCompaction
+
+            cols, zorder = order
+            SortCompaction(
+                table, policy.compaction, sort_cols=cols, zorder=zorder
+            ).compact()
+        else:
+            BinpackCompaction(
+                table,
+                policy.compaction,
+                small_file_threshold=policy.small_file_threshold,
+            ).compact()
         report.binpacked = True
 
     if policy.expire_keep_last is not None:

@@ -64,6 +64,10 @@ _MAP_LITERAL_CAP = 1024
 # filter in the manifest at write time (skipping.py) — the Iceberg
 # "write.parquet.bloom-filter-enabled.column.*" analog, table-level.
 BLOOM_COLS_PROP = "write.bloom-filter-columns"
+# Declared clustering for rewrites (Iceberg's table sort order):
+# "col_a,col_b" for lexicographic, "zorder(col_a,col_b)" for Morton
+# interleave. Maintenance picks the sort rewrite strategy when set.
+SORT_ORDER_PROP = "write.sort-order"
 
 
 def _uri_path_map(df: DataFrame, expected_paths: list[str]) -> dict[str, str] | None:
@@ -1118,6 +1122,27 @@ class LakeTable:
         if not prop:
             return None
         return [c.strip() for c in prop.split(",") if c.strip()]
+
+    def sort_order(self) -> tuple[list[str], bool] | None:
+        """Declared clustering from ``write.sort-order``:
+        (columns, zorder?) or None. Unknown columns raise — a silent
+        typo would quietly disable clustering forever."""
+        prop = self.meta.properties.get(SORT_ORDER_PROP, "").strip()
+        if not prop:
+            return None
+        zorder = False
+        if prop.lower().startswith("zorder(") and prop.endswith(")"):
+            zorder = True
+            prop = prop[len("zorder(") : -1]
+        cols = [c.strip() for c in prop.split(",") if c.strip()]
+        known = {f.name for f in self.schema.fields}
+        bad = [c for c in cols if c not in known]
+        if bad or not cols:
+            raise ValueError(
+                f"{SORT_ORDER_PROP}={self.meta.properties[SORT_ORDER_PROP]!r}"
+                f" names unknown columns {bad}"
+            )
+        return cols, zorder
 
     # ------------------------------------------------------------------
     # reads

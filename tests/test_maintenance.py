@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import pyspark.sql.functions as F
+import pytest
 
 from bergloom_spark.lake import LakeTable
 from bergloom_spark.lake import metadata as md
@@ -69,3 +70,45 @@ def test_retention_runs_when_configured(spark, tmp_path):
     assert len(t.refresh().meta.snapshots) >= 1
     # the table still reads fine after expiry + orphan sweep
     assert t.read().count() == 500
+
+
+def test_maintenance_honors_declared_sort_order(spark, tmp_path):
+    """A table with write.sort-order set re-clusters during the
+    maintenance compaction: post-maintenance file min/max ranges on
+    the sort key are disjoint (pruning-effective), and rows are
+    unchanged."""
+    from bergloom_spark.lake import metadata as md
+    from bergloom_spark.lake.table import SORT_ORDER_PROP
+
+    base = spark.range(2000).select(
+        "id", (F.col("id") % 97).alias("k"), (F.col("id") * 3).alias("v")
+    )
+    t = LakeTable.create(spark, str(tmp_path / "t"), base.schema)
+    # interleaved appends: every file spans nearly the full k range
+    for i in range(4):
+        t.append(
+            base.filter(F.col("id") % 4 == i),
+            properties_update={SORT_ORDER_PROP: "k"} if i == 0 else None,
+        )
+    before = {tuple(r) for r in t.read().collect()}
+    rep = run_maintenance(
+        t, MaintenancePolicy(min_small_files=2)
+    )
+    assert rep.binpacked
+    entries = t.refresh().meta.current_snapshot().files(md.DATA)
+    ranges = sorted(
+        (e.column_stats["k"][0], e.column_stats["k"][1]) for e in entries
+    )
+    for (lo1, hi1), (lo2, _hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, f"overlapping sorted ranges: {ranges}"
+    assert {tuple(r) for r in t.read().collect()} == before
+
+
+def test_sort_order_property_rejects_unknown_columns(spark, tmp_path):
+    from bergloom_spark.lake.table import SORT_ORDER_PROP
+
+    base = spark.range(10).select("id", (F.col("id") % 3).alias("k"))
+    t = LakeTable.create(spark, str(tmp_path / "t"), base.schema)
+    t.append(base, properties_update={SORT_ORDER_PROP: "nope"})
+    with pytest.raises(ValueError, match="unknown columns"):
+        t.sort_order()
