@@ -168,13 +168,29 @@ class BinpackCompaction(Compaction):
     must stay: they may still reference the untouched files).
     """
 
-    def __init__(self, *args, small_file_threshold: int | None = None, **kwargs):
+    def __init__(
+        self,
+        *args,
+        small_file_threshold: int | None = None,
+        sort_cols: list[str] | None = None,
+        zorder: bool = False,
+        **kwargs,
+    ):
         super().__init__(*args, **kwargs)
         self.small_file_threshold = (
             small_file_threshold
             if small_file_threshold is not None
             else self.config.target_file_size // 2
         )
+        # Optional clustering of the FOLDED OUTPUT (write.sort-order
+        # via maintenance): still rewrites only the small files —
+        # cost stays O(small-file debt) — but their merged rows land
+        # range-clustered on the sort key, so successive maintenance
+        # ticks converge the table toward sorted-ness without the
+        # full-table rewrite a SortCompaction pays. A periodic full
+        # re-cluster remains an explicit SortCompaction run.
+        self.sort_cols = list(sort_cols) if sort_cols else None
+        self.zorder = zorder
 
     def _full_compact(self) -> CompactionResult:
         from bergloom_spark.operators.tasks import split_n_vecs
@@ -199,16 +215,55 @@ class BinpackCompaction(Compaction):
         rewritten = table.read_files(
             [e.file_path for e in selected], snapshot_id=snap.snapshot_id
         )
-        add_entries = wr.write_data_files(
-            rewritten,
-            table.meta.table_root,
-            snap.sequence_number,
-            self.config.target_file_size,
-            partition_spec=table.meta.partition_spec or None,
-            compression=self.config.write_compression,
-            parquet_bytes_hint=sum(e.file_size_bytes for e in selected),
-            bloom_cols=table.bloom_cols(),
-        )
+        if self.sort_cols:
+            from pyspark.sql import functions as F
+
+            n_files = wr.derive_n_files(
+                rewritten,
+                self.config.target_file_size,
+                parquet_bytes=sum(e.file_size_bytes for e in selected),
+            )
+            part_cols = list(table.meta.partition_spec or [])
+            if self.zorder:
+                from bergloom_spark.functions.zorder import zorder_value
+
+                z = zorder_value(self.sort_cols, ranges=None)
+                user_cols = rewritten.columns
+                rewritten = (
+                    rewritten.withColumn("__z", z)
+                    .repartitionByRange(
+                        int(n_files),
+                        *[F.col(c) for c in part_cols], F.col("__z"),
+                    )
+                    .sortWithinPartitions(*part_cols, "__z")
+                    .select(*user_cols)
+                )
+            else:
+                keys = part_cols + [
+                    c for c in self.sort_cols if c not in part_cols
+                ]
+                rewritten = rewritten.repartitionByRange(
+                    int(n_files), *[F.col(c) for c in keys]
+                ).sortWithinPartitions(*keys)
+            add_entries = wr.write_data_files_presized(
+                rewritten,
+                table.meta.table_root,
+                snap.sequence_number,
+                compression=self.config.write_compression,
+                partition_spec=table.meta.partition_spec or None,
+                bloom_cols=table.bloom_cols(),
+            )
+        else:
+            add_entries = wr.write_data_files(
+                rewritten,
+                table.meta.table_root,
+                snap.sequence_number,
+                self.config.target_file_size,
+                partition_spec=table.meta.partition_spec or None,
+                compression=self.config.write_compression,
+                parquet_bytes_hint=sum(e.file_size_bytes for e in selected),
+                bloom_cols=table.bloom_cols(),
+            )
         manager = RewriteFilesCommitManager(
             table_root=table.meta.table_root,
             starting_schema_id=table.meta.schema_id,

@@ -59,6 +59,8 @@ class MaintenancePolicy:
 class MaintenanceReport:
     deletes_rewritten: bool = False
     binpacked: bool = False
+    # which compaction strategy the binpack step ran ("" = none)
+    strategy: str = ""
     snapshots_expired: int = 0
     orphans_removed: int = 0
     small_files_before: int = 0
@@ -94,26 +96,28 @@ def run_maintenance(
         report.deletes_rewritten = True
 
     if report.small_files_before >= policy.min_small_files:
-        order = table.sort_order()
-        if order is not None:
-            # The table declares a clustering (write.sort-order):
-            # honor it — the compaction both folds the small files AND
-            # re-clusters, so min/max pruning on the sort key stays
-            # effective as appends accumulate (Iceberg's sort-strategy
-            # rewrite_data_files driven by the table sort order).
-            from bergloom_spark.lake.compaction import SortCompaction
-
-            cols, zorder = order
-            SortCompaction(
-                table, policy.compaction, sort_cols=cols, zorder=zorder
-            ).compact()
-        else:
-            BinpackCompaction(
-                table,
-                policy.compaction,
-                small_file_threshold=policy.small_file_threshold,
-            ).compact()
+        # A declared clustering (write.sort-order) makes the fold
+        # write its output range-clustered on the sort key — the cost
+        # stays O(small-file debt), NEVER a full-table rewrite per
+        # tick (a streaming table with maintain_every would otherwise
+        # rewrite everything every N batches); a periodic full
+        # re-cluster remains an explicit SortCompaction run. A
+        # malformed property must not brick maintenance ("safe to run
+        # on any table at any time") — fall back to plain binpack.
+        try:
+            order = table.sort_order()
+        except ValueError:
+            order = None
+        cols, zorder = order if order is not None else (None, False)
+        BinpackCompaction(
+            table,
+            policy.compaction,
+            small_file_threshold=policy.small_file_threshold,
+            sort_cols=cols,
+            zorder=zorder,
+        ).compact()
         report.binpacked = True
+        report.strategy = "sorted-binpack" if cols else "binpack"
 
     if policy.expire_keep_last is not None:
         report.snapshots_expired = expire_snapshots(

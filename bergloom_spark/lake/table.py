@@ -70,6 +70,27 @@ BLOOM_COLS_PROP = "write.bloom-filter-columns"
 SORT_ORDER_PROP = "write.sort-order"
 
 
+def parse_sort_order(prop: str | None, schema) -> tuple[list[str], bool] | None:
+    """(columns, zorder?) from a ``write.sort-order`` value, or None
+    when unset. Unknown columns raise."""
+    prop = (prop or "").strip()
+    if not prop:
+        return None
+    raw = prop
+    zorder = False
+    if prop.lower().startswith("zorder(") and prop.endswith(")"):
+        zorder = True
+        prop = prop[len("zorder(") : -1]
+    cols = [c.strip() for c in prop.split(",") if c.strip()]
+    known = {f.name for f in schema.fields}
+    bad = [c for c in cols if c not in known]
+    if bad or not cols:
+        raise ValueError(
+            f"{SORT_ORDER_PROP}={raw!r} names unknown columns {bad}"
+        )
+    return cols, zorder
+
+
 def _uri_path_map(df: DataFrame, expected_paths: list[str]) -> dict[str, str] | None:
     """Exact {``_metadata.file_path`` URI → on-disk path} dictionary,
     built driver-side with NO Spark job.
@@ -204,6 +225,11 @@ class LakeTable:
 
         from bergloom_spark.lake.commit import CommitFailed
 
+        if properties_update and SORT_ORDER_PROP in properties_update:
+            # Validate at the write site — a typo'd column would
+            # otherwise commit cleanly and then fail every later
+            # maintenance run far from its cause.
+            parse_sort_order(properties_update[SORT_ORDER_PROP], self.schema)
         has_pos = any(e.content == md.POS_DELETE for e in new_entries)
         cur = self.meta.current_snapshot()
         base_data = {
@@ -1125,24 +1151,12 @@ class LakeTable:
 
     def sort_order(self) -> tuple[list[str], bool] | None:
         """Declared clustering from ``write.sort-order``:
-        (columns, zorder?) or None. Unknown columns raise — a silent
-        typo would quietly disable clustering forever."""
-        prop = self.meta.properties.get(SORT_ORDER_PROP, "").strip()
-        if not prop:
-            return None
-        zorder = False
-        if prop.lower().startswith("zorder(") and prop.endswith(")"):
-            zorder = True
-            prop = prop[len("zorder(") : -1]
-        cols = [c.strip() for c in prop.split(",") if c.strip()]
-        known = {f.name for f in self.schema.fields}
-        bad = [c for c in cols if c not in known]
-        if bad or not cols:
-            raise ValueError(
-                f"{SORT_ORDER_PROP}={self.meta.properties[SORT_ORDER_PROP]!r}"
-                f" names unknown columns {bad}"
-            )
-        return cols, zorder
+        (columns, zorder?) or None. Unknown columns raise — but the
+        write paths validate the property at COMMIT time (where the
+        typo happens), so a reader normally never sees a bad value."""
+        return parse_sort_order(
+            self.meta.properties.get(SORT_ORDER_PROP), self.schema
+        )
 
     # ------------------------------------------------------------------
     # reads

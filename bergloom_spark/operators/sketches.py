@@ -277,9 +277,17 @@ def _quantile_sample(df: DataFrame, col: str, k: int) -> DataFrame:
 
 def _sample_quantiles(sample: DataFrame, ps: dict[str, float]) -> DataFrame:
     """1-row frame: for each (alias, p), the smallest sampled value
-    whose cumulative weight reaches p·total."""
+    whose cumulative weight reaches p·total.
+
+    Non-castable values (v IS NULL on a mixed string column) are
+    EXCLUDED from the distribution: Spark windows sort NULLs first and
+    DuckDB's OVER (ORDER BY v) sorts them last, so including them
+    would weight the two engines' cumulative sums at opposite ends
+    (review r4) — quantiles are over the numeric values only, on both
+    sides."""
     from pyspark.sql import Window
 
+    sample = sample.where(F.col("v").isNotNull())
     w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
     cum = sample.select(
         "v",
@@ -353,13 +361,16 @@ def column_profile_sql(table: str, cols: list[str], k: int = 64) -> str:
             FROM {table} WHERE {c} IS NOT NULL
             GROUP BY {c}
             ORDER BY {h}, TRY_CAST({c} AS DOUBLE) LIMIT {4 * k}"""
+        # v IS NOT NULL mirrors _sample_quantiles: Spark and DuckDB
+        # sort NULLs at opposite ends, so non-castable values must be
+        # excluded from the cumulative weights on both sides.
         quant = """
             SELECT min(CASE WHEN cum >= {p} * tot THEN v END)
             FROM (SELECT v,
                          sum(cnt) OVER (ORDER BY v
                              ROWS UNBOUNDED PRECEDING) AS cum,
                          sum(cnt) OVER () AS tot
-                  FROM samp)"""
+                  FROM samp WHERE v IS NOT NULL)"""
         pieces.append(
             f"""
         SELECT '{c}' AS column,

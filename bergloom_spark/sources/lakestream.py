@@ -328,37 +328,53 @@ class _LakeChangelogReader(_LakeStreamReader):
                         self.columns, self.schema_json,
                     )
                 )
+            # The parent's live view: from the parent snapshot when it
+            # is still retained; otherwise RECONSTRUCTED from this
+            # snapshot's own carried-forward entries (everything with
+            # seq < s.seq IS the parent's live set — _carry_forward
+            # copies it verbatim). The reconstruction means a fully
+            # caught-up consumer whose last-consumed snapshot was just
+            # expired still streams (review r4: requiring the parent
+            # made the retention contract off by one). The single
+            # exception is a file the snapshot REMOVED
+            # (overwrite_partitions): removed entries are not carried
+            # forward, so only an overwrite with an expired parent
+            # must fail.
             parent = by_id.get(s.parent_snapshot_id)
-            if parent is None:
-                if (
-                    s.parent_snapshot_id is not None
-                    and s.operation != "append"
-                ):
-                    # The snapshot's delete/drop events are computed
-                    # against the PARENT's live entries; with the
-                    # parent expired they cannot be reconstructed.
-                    # Emitting only the inserts would silently turn
-                    # deletes into no-ops downstream (review r4) —
-                    # same contract as expired-offset replay: fail,
-                    # keep one snapshot beyond the slowest consumer.
+            if parent is not None:
+                prior_entries = list(parent.entries)
+                snap_data_paths = {
+                    e.file_path for e in s.entries if e.content == md.DATA
+                }
+                dropped_paths = {
+                    d.file_path
+                    for d in parent.entries
+                    if d.content == md.DATA
+                    and d.file_path not in snap_data_paths
+                }
+            else:
+                if s.parent_snapshot_id is None:
+                    continue  # genuine first snapshot: nothing prior
+                if s.operation == "overwrite":
                     raise ValueError(
-                        f"snapshot {s.snapshot_id} ({s.operation!r}) "
-                        "needs its parent snapshot "
-                        f"{s.parent_snapshot_id} to reconstruct "
-                        "delete events, but it was expired. Restart "
-                        "from a fresh checkpoint or expire less "
-                        "aggressively."
+                        f"snapshot {s.snapshot_id} (overwrite) removed "
+                        "data files whose content only its parent "
+                        f"snapshot {s.parent_snapshot_id} knew, and "
+                        "that parent was expired. Restart from a fresh "
+                        "checkpoint or expire less aggressively."
                     )
-                continue
+                prior_entries = [
+                    e
+                    for e in s.entries
+                    if e.sequence_number < s.sequence_number
+                ]
+                dropped_paths = set()
             prior_pos = tuple(
                 e.file_path
-                for e in parent.entries
+                for e in prior_entries
                 if e.content == md.POS_DELETE
             )
-            snap_data_paths = {
-                e.file_path for e in s.entries if e.content == md.DATA
-            }
-            for d in parent.entries:
+            for d in prior_entries:
                 if d.content != md.DATA:
                     continue
                 # equality deletes only reach strictly-older rows; the
@@ -366,11 +382,11 @@ class _LakeChangelogReader(_LakeStreamReader):
                 # batch MoR reader applies (operators/mor.py J2).
                 prior_eq = tuple(
                     (e.file_path, tuple(e.equality_ids), e.sequence_number)
-                    for e in parent.entries
+                    for e in prior_entries
                     if e.content == md.EQ_DELETE
                     and e.sequence_number > d.sequence_number
                 )
-                if d.file_path not in snap_data_paths:
+                if d.file_path in dropped_paths:
                     # the snapshot dropped this file from the manifest
                     # (overwrite_partitions) — whole-file delete event
                     parts.append(

@@ -104,11 +104,35 @@ def test_maintenance_honors_declared_sort_order(spark, tmp_path):
     assert {tuple(r) for r in t.read().collect()} == before
 
 
-def test_sort_order_property_rejects_unknown_columns(spark, tmp_path):
+def test_sort_order_typo_rejected_at_write_site(spark, tmp_path):
+    """Review r4: a typo'd sort-order column must fail the COMMIT that
+    sets it, not every later maintenance run far from the cause."""
     from bergloom_spark.lake.table import SORT_ORDER_PROP
 
     base = spark.range(10).select("id", (F.col("id") % 3).alias("k"))
     t = LakeTable.create(spark, str(tmp_path / "t"), base.schema)
-    t.append(base, properties_update={SORT_ORDER_PROP: "nope"})
     with pytest.raises(ValueError, match="unknown columns"):
-        t.sort_order()
+        t.append(base, properties_update={SORT_ORDER_PROP: "nope"})
+    # nothing committed
+    assert t.refresh().meta.current_snapshot() is None
+
+
+def test_maintenance_survives_preexisting_bad_sort_order(spark, tmp_path):
+    """A bad property that predates validation (or a column dropped by
+    schema evolution) must not brick maintenance — it falls back to
+    plain binpack."""
+    from bergloom_spark.lake.table import SORT_ORDER_PROP
+
+    base = spark.range(200).select("id", (F.col("id") % 7).alias("k"))
+    t = LakeTable.create(spark, str(tmp_path / "t"), base.schema)
+    for i in range(4):
+        t.append(base.filter(F.col("id") % 4 == i))
+    # plant the bad value behind the validator's back
+    t.meta.properties[SORT_ORDER_PROP] = "gone"
+    md.write_version(
+        md.TableMetadata(**{**t.meta.__dict__, "version": t.meta.version + 1})
+    )
+    t = LakeTable.load(spark, t.meta.table_root)
+    rep = run_maintenance(t, MaintenancePolicy(min_small_files=2))
+    assert rep.binpacked and rep.strategy == "binpack"
+    assert t.refresh().read().count() == 200

@@ -193,21 +193,10 @@ def test_lakestream_fully_expired_replay_range_raises(spark, tmp_path):
         r.partitions({"last_snapshot_id": 0}, {"last_snapshot_id": 2})
 
 
-def test_changelog_parent_expired_raises_not_silent_insert_only(
-    spark, tmp_path
-):
-    """Review r4: a delete-carrying snapshot whose parent was expired
-    cannot reconstruct its delete events — the changelog must fail
-    (emitting only the inserts would silently turn the deletes into
-    no-ops on a replica)."""
+def _changelog_reader(root):
     from bergloom_spark.lake import metadata as md
     from bergloom_spark.sources.lakestream import _LakeChangelogReader
 
-    root = str(tmp_path / "t")
-    t = _two_col_table(spark, root, n=20)
-    t.append(spark.range(20, 40).select("id", (F.col("id") * 2).alias("v")))
-    t.delete_where(F.col("id") % 3 == 0)  # snapshot 3: deletes
-    expire_snapshots(t, keep_last=1)  # parent (snapshot 2) expired
     meta = md.read_current(root)
     schema = T.StructType.fromJson(
         meta.schema if isinstance(meta.schema, dict) else json.loads(meta.schema)
@@ -219,8 +208,48 @@ def test_changelog_parent_expired_raises_not_silent_insert_only(
             T.StructField("_commit_snapshot_id", T.LongType()),
         ]
     )
-    r = _LakeChangelogReader({"path": root}, out_schema)
-    with pytest.raises(ValueError, match="parent"):
+    return _LakeChangelogReader({"path": root}, out_schema)
+
+
+def test_changelog_delete_events_survive_expired_parent(spark, tmp_path):
+    """Review r4 (two iterations): a delete snapshot whose parent was
+    expired must still emit its delete events — the parent's live view
+    is reconstructed from the snapshot's own carried-forward entries,
+    so a fully caught-up consumer isn't broken by keep-last retention.
+    (The first fix raised here, making the retention contract off by
+    one; emitting insert-only, the original bug, silently dropped the
+    deletes.)"""
+    root = str(tmp_path / "t")
+    t = _two_col_table(spark, root, n=20)
+    t.append(spark.range(20, 40).select("id", (F.col("id") * 2).alias("v")))
+    t.delete_where(F.col("id") % 3 == 0)  # snapshot 3: deletes
+    expire_snapshots(t, keep_last=1)  # parent (snapshot 2) expired
+    r = _changelog_reader(root)
+    parts = r.partitions({"last_snapshot_id": 2}, {"last_snapshot_id": 3})
+    kinds = {p.kind for p in parts}
+    assert "delete" in kinds, kinds
+    deleted = set()
+    for p in parts:
+        if p.kind != "delete":
+            continue
+        for batch in r.read(p):
+            deleted.update(batch.to_pydict()["id"])
+    assert deleted == {i for i in range(40) if i % 3 == 0}
+
+
+def test_changelog_overwrite_with_expired_parent_raises(spark, tmp_path):
+    """Only an OVERWRITE genuinely needs its parent (removed files are
+    not carried forward) — with the parent expired it must fail, not
+    emit insert-only."""
+    root = str(tmp_path / "t")
+    t = _two_col_table(spark, root, n=20)
+    t.append(spark.range(20, 40).select("id", (F.col("id") * 2).alias("v")))
+    t.overwrite_partitions(
+        spark.range(5).select("id", F.lit(0).cast("long").alias("v"))
+    )
+    expire_snapshots(t, keep_last=1)  # overwrite's parent expired
+    r = _changelog_reader(root)
+    with pytest.raises(ValueError, match="overwrite"):
         r.partitions({"last_snapshot_id": 2}, {"last_snapshot_id": 3})
 
 
