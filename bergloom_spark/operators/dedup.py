@@ -601,6 +601,14 @@ def minhash_verified_pairs(
     verification join touches candidates only — each pair fetches its
     two distinct-shingle-hash arrays by id and intersects them
     scan-side, costing |candidates| set ops, not |corpus|².
+
+    Cache footprint: ``cache=True`` pins the per-doc DISTINCT
+    shingle-hash ARRAYS (O(corpus tokens) — much larger than the
+    signature-only cache of ``minhash_lsh_pairs``) until session end
+    or ``spark.catalog.clearCache()``. That is the price of the single
+    shared shingle pass; in a long-lived session processing many
+    corpora pass ``cache=False`` (the shingle subtree then recomputes
+    per consumer).
     """
     if est_threshold is None:
         est_threshold = threshold / 2
