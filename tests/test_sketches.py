@@ -158,3 +158,22 @@ def test_column_profile_string_column_null_quantiles(spark):
     con.register("t", df.toPandas())
     got = con.execute(SK.column_profile_sql("t", ["name"])).fetchall()[0]
     assert got[-2] is None and got[-1] is None
+
+
+def test_column_profile_mixed_string_column_parity(spark):
+    """Review r4 second pass: a MIXED numeric/non-numeric string
+    column must produce IDENTICAL quantiles on both engines — Spark
+    windows sort NULLs first, DuckDB last, so the non-castable values
+    must be excluded from the cumulative weights on both sides."""
+    import duckdb
+
+    rows = [(i, str(i % 10)) for i in range(40)] + [
+        (100 + i, "x") for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "id long, mixed string")
+    got = column_row = SK.column_profile(df, ["mixed"]).collect()[0]
+    con = duckdb.connect()
+    con.register("t", df.toPandas())
+    want = con.execute(SK.column_profile_sql("t", ["mixed"])).fetchall()[0]
+    assert (column_row.est_p50, column_row.est_p99) == (want[-2], want[-1])
+    assert got.est_p50 is not None  # numeric slice actually profiled
