@@ -431,6 +431,10 @@ _MOR_ORACLES = {
         SELECT {', '.join(LI_COLS)} FROM lineitem
         WHERE l_suppkey % 17 <> 0 AND l_partkey % 29 <> 0
     """,
+    # Sorted maintenance only re-clusters physically; rows unchanged.
+    "sorted_maintenance": f"""
+        SELECT {', '.join(LI_COLS)} FROM lineitem
+    """,
     "overwrite_partitions": f"""
         SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
                CASE WHEN l_linenumber = 1 THEN l_quantity + 500.0
@@ -1340,6 +1344,45 @@ def q_auto_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     assert report.deletes_rewritten and report.binpacked
     assert report.snapshots_expired > 0
     assert len(t.meta.current_snapshot().files(lmd.POS_DELETE)) <= 1
+    return t.read()
+
+
+def q_sorted_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared-clustering maintenance (round 4): a table with
+    ``write.sort-order = l_partkey`` accumulates interleaved appends;
+    the maintenance tick folds the small files with RANGE-CLUSTERED
+    output (sorted binpack — cost stays O(small-file debt), never a
+    full-table rewrite). In-query asserts: the sorted strategy ran and
+    the rewritten files' l_partkey ranges are pairwise disjoint (what
+    makes min/max pruning effective). The oracle proves rows
+    unchanged."""
+    from bergloom_spark.lake import LakeTable
+    from bergloom_spark.lake import metadata as lmd
+    from bergloom_spark.lake.maintenance import (
+        MaintenancePolicy,
+        run_maintenance,
+    )
+    from bergloom_spark.lake.table import SORT_ORDER_PROP
+
+    base = T(spark, sf_dir, "lineitem").select(*LI_COLS)
+    root = os.path.join(_scratch(prefix="bergloom-sorted-"), "li")
+    t = LakeTable.create(spark, root, base.schema)
+    for i in range(4):
+        t.append(
+            base.filter(F.col("l_orderkey") % 4 == i),
+            properties_update=(
+                {SORT_ORDER_PROP: "l_partkey"} if i == 0 else None
+            ),
+        )
+    rep = run_maintenance(t, MaintenancePolicy(min_small_files=3))
+    assert rep.binpacked and rep.strategy == "sorted-binpack", rep
+    entries = t.refresh().meta.current_snapshot().files(lmd.DATA)
+    ranges = sorted(
+        (e.column_stats["l_partkey"][0], e.column_stats["l_partkey"][1])
+        for e in entries
+    )
+    for (_, hi1), (lo2, _) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, f"overlapping sorted ranges: {ranges}"
     return t.read()
 
 
@@ -5276,6 +5319,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "auto_maintenance": q_auto_maintenance,
         "maintenance_fleet": q_maintenance_fleet,
         "overwrite_partitions": q_overwrite_partitions,
+        "sorted_maintenance": q_sorted_maintenance,
         "rename_column_read": q_rename_column_read,
         "time_travel_as_of": q_time_travel_as_of,
         "streaming_sliding_counts": q_streaming_sliding_counts,
