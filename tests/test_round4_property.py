@@ -117,3 +117,91 @@ def test_replicate_changelog_idempotent(spark, tmp_path):
     dst = replicate_changelog(spark, src.meta.table_root, dst, ckpt, ["id"])
     assert {tuple(r) for r in dst.read().collect()} == rows1
     assert len(dst.meta.snapshots) == n_snaps1
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[
+        __import__("hypothesis").HealthCheck.function_scoped_fixture
+    ],
+)
+@given(
+    ops=st.lists(
+        st.tuples(
+            st.sampled_from(
+                ["append", "upsert", "delete", "overwrite", "compact"]
+            ),
+            st.integers(min_value=0, max_value=6),  # op parameter
+        ),
+        min_size=1,
+        max_size=5,
+    )
+)
+def test_changelog_replication_model_random_histories(
+    spark, tmp_path_factory, ops
+):
+    """Model-based end-to-end check of the lake + CDC stack: a random
+    history of appends / upserts / deletes / partition overwrites /
+    compactions is replayed through the CHANGELOG into an empty
+    replica, and the replica must equal both the source table AND a
+    pure-Python dict model of the ops. This is the test shape that
+    would have caught the round-4 changelog defects (drops skipped as
+    rewrites, insert-only emission on expired parents)."""
+    from bergloom_spark.config import CompactionConfig
+    from bergloom_spark.lake import Compaction, LakeTable
+    from bergloom_spark.sources.lakestream import LakeStreamDataSource
+    from bergloom_spark.streaming.ingest import replicate_changelog
+
+    spark.dataSource.register(LakeStreamDataSource)
+    root = str(tmp_path_factory.mktemp("hist"))
+    base = spark.range(30).select("id", (F.col("id") % 7).alias("v"))
+    src = LakeTable.create(spark, root + "/src", base.schema)
+    model: dict[int, int] = {}
+
+    next_id = 0
+    for op, p in ops:
+        if op == "append":
+            lo, hi = next_id, next_id + 8
+            next_id = hi
+            rows = {i: i % 7 for i in range(lo, hi)}
+            src.append(
+                spark.createDataFrame(
+                    list(rows.items()), "id long, v long"
+                )
+            )
+            model.update(rows)
+        elif op == "upsert":
+            keys = [k for k in sorted(model) if k % 3 == p % 3][:5]
+            if not keys:
+                continue
+            rows = {k: 100 + p for k in keys}
+            src.upsert(
+                spark.createDataFrame(
+                    list(rows.items()), "id long, v long"
+                ),
+                ["id"],
+            )
+            model.update(rows)
+        elif op == "delete":
+            src.delete_where(F.col("id") % 5 == p % 5)
+            model = {k: v for k, v in model.items() if k % 5 != p % 5}
+        elif op == "overwrite":
+            rows = {200 + p * 10 + i: p for i in range(3)}
+            src.overwrite_partitions(
+                spark.createDataFrame(
+                    list(rows.items()), "id long, v long"
+                )
+            )
+            model = dict(rows)  # unpartitioned → full replace
+        elif op == "compact":
+            Compaction(src, CompactionConfig()).compact()
+
+    dst = LakeTable.create(spark, root + "/dst", base.schema)
+    dst = replicate_changelog(
+        spark, src.meta.table_root, dst, root + "/ck", ["id"]
+    )
+    got = {r.id: r.v for r in dst.read().collect()}
+    src_state = {r.id: r.v for r in src.read().collect()}
+    assert src_state == model, "source diverged from the python model"
+    assert got == model, "replica diverged from the python model"
