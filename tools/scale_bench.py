@@ -36,6 +36,9 @@ HEAVY = [
     "dedup_cc_clusters",
     "q5_local_supplier_volume",
     "quality_classifier",
+    # lake write path (scratch tables built from lineitem)
+    "merge_into",
+    "overwrite_partitions",
 ]
 
 SF01 = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
