@@ -5193,25 +5193,32 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver verifies only the FIRST 50 queries() entries per round
-# (r01+r02 each recorded exactly 50 rows). Round-4 fix for the r3
-# process bug (VERDICT r3 #1 — the hand-maintained priority list was
-# built for ONE round's run and silently went stale at HEAD): the
-# window is now COMPUTED. queries() reads the committed
-# CORRECTNESS_r*.json files and leads with every registered query that
-# has never had a green driver row, then the explicit recheck list
-# below (queries whose behavior changed this round + a rotation of
-# old greens + cheap §2 sentinels), then everything else. A new query
-# is never-verified by definition, so it enters the window the moment
-# it is registered; tests/test_registry_window.py pins the invariant.
-def _driver_verified() -> set:
-    """Names with at least one fully-green driver row across every
-    committed CORRECTNESS_r*.json."""
+# (r01+r02 each recorded exactly 50 rows). Round-4 fixed the r3
+# process bug (VERDICT r3 #1 — a hand-maintained priority list went
+# stale) by computing the never-verified block; round 5 (VERDICT r4
+# "Next round" #1) removes the residual hand-kept _RECHECK list
+# entirely: the ordering is now FULLY computed by staleness. Every
+# name is keyed by the most recent round in which it had a fully
+# green driver row (never-verified = round 0, so new queries always
+# lead), ties broken by registration order. Each round's 50 slots
+# therefore automatically refresh the 50 longest-unverified rows
+# against HEAD behavior — no list to forget to update.
+# tests/test_registry_window.py pins the invariant.
+def _last_green_round() -> dict:
+    """name -> most recent round number (int, from the filename
+    CORRECTNESS_r{NN}.json) with a fully-green driver row; absent if
+    never verified."""
     import glob as _glob
     import json as _json
+    import re as _re
 
     here = os.path.dirname(os.path.abspath(__file__))
-    names: set = set()
+    last: dict = {}
     for path in sorted(_glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+        m = _re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
         try:
             with open(path) as fh:
                 rows = _json.load(fh)
@@ -5223,49 +5230,24 @@ def _driver_verified() -> set:
                 and row.get("rows_match")
                 and row.get("hash_match")
             ):
-                names.add(n)
-    return names
+                last[n] = max(last.get(n, 0), rnd)
+    return last
 
 
-# Re-verification picks for THIS round's driver window, after the
-# never-verified block. Update each round: behavior-changed queries
-# first, then a rotation of the oldest greens, then the §2 sentinels.
-_RECHECK = [
-    # round-4 behavior changes
-    "column_profile",        # gained est_p50/est_p99 columns
-    "bloom_pruned_scan",     # blooms now type-tagged
-    "lakestream_source",     # back-pressure + expired-history guard
-    "streaming_lake_ingest",  # exactly-once guard legacy fallback
-    "streaming_cdc_apply",   # same guard path
-    "auto_maintenance",      # expire_snapshots ownership filter
-    "table_clone_isolation",  # clone + expiry interaction
-    "merge_into",
-    "rewrite_pos_deletes",
-    "time_travel_as_of",
-    # rotation: r01 greens, unverified since
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "compact_roundtrip",
-    # §2 sentinels (cheap canaries at the window tail)
-    "mor_pos_delete",
-    "mor_eq_delete_seq",
-    "dml_apply_changes",
-]
-
+def _driver_verified() -> set:
+    """Names with at least one fully-green driver row across every
+    committed CORRECTNESS_r*.json."""
+    return set(_last_green_round())
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     all_q = _all_queries()
-    verified = _driver_verified()
-    # 1. never-driver-verified first (the driver's budget confirms
-    #    something new), 2. this round's rechecks, 3. the long tail.
-    out = {n: f for n, f in all_q.items() if n not in verified}
-    for n in _RECHECK:
-        if n in all_q and n not in out:
-            out[n] = all_q[n]
-    out.update({n: f for n, f in all_q.items() if n not in out})
-    return out
+    last = _last_green_round()
+    reg_index = {n: i for i, n in enumerate(all_q)}
+    # Stalest first: never-verified (round 0) lead, then oldest green
+    # rows; registration order breaks ties deterministically.
+    ordered = sorted(all_q, key=lambda n: (last.get(n, 0), reg_index[n]))
+    return {n: all_q[n] for n in ordered}
 
 
 def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

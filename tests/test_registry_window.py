@@ -36,7 +36,26 @@ def test_never_verified_queries_lead_the_window():
         "burn its budget re-verifying green rows"
     )
     # and they lead it: the first len(never) slots are exactly them
-    assert registered[: len(never)] == never
+    assert set(registered[: len(never)]) == set(never)
+
+
+def test_window_is_the_stalest_queries():
+    """VERDICT r4 #1: the first 50 slots must be exactly the 50
+    queries whose most recent green driver row is oldest (never-
+    verified counting as round 0) — no hand list, no dict-order
+    tail; the rotation refreshes the oldest rows every round."""
+    registered = list(entry.queries())
+    last = entry._last_green_round()
+    rounds = [last.get(n, 0) for n in registered]
+    # The staleness key must be non-decreasing over the whole order.
+    assert rounds == sorted(rounds), (
+        "queries() ordering is not staleness-sorted"
+    )
+    # And nothing outside the window is staler than anything inside.
+    if len(registered) > DRIVER_WINDOW:
+        max_in = max(rounds[:DRIVER_WINDOW])
+        min_out = min(rounds[DRIVER_WINDOW:])
+        assert max_in <= min_out
 
 
 def test_window_not_overfull():
