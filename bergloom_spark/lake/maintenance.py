@@ -109,15 +109,31 @@ def run_maintenance(
         except ValueError:
             order = None
         cols, zorder = order if order is not None else (None, False)
-        BinpackCompaction(
-            table,
-            policy.compaction,
-            small_file_threshold=policy.small_file_threshold,
-            sort_cols=cols,
-            zorder=zorder,
-        ).compact()
+        try:
+            BinpackCompaction(
+                table,
+                policy.compaction,
+                small_file_threshold=policy.small_file_threshold,
+                sort_cols=cols,
+                zorder=zorder,
+            ).compact()
+            report.strategy = "sorted-binpack" if cols else "binpack"
+        except Exception:
+            # Parse-time validation can't prove runtime viability
+            # (e.g. zorder over a parseable-but-non-interleavable
+            # column): a failing SORTED rewrite must degrade to plain
+            # binpack, not brick every maintenance tick for this table
+            # (advice r4). A failed attempt commits nothing (commit is
+            # the rewrite's last step), so the retry is clean.
+            if not cols:
+                raise
+            BinpackCompaction(
+                table,
+                policy.compaction,
+                small_file_threshold=policy.small_file_threshold,
+            ).compact()
+            report.strategy = "binpack(sorted-fallback)"
         report.binpacked = True
-        report.strategy = "sorted-binpack" if cols else "binpack"
 
     if policy.expire_keep_last is not None:
         report.snapshots_expired = expire_snapshots(

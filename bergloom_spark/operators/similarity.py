@@ -158,6 +158,11 @@ def embedding_dedup_pairs(
     )
 
 
+# The one live corpus broadcast of embedding_dedup_pairs_matmul (see
+# its docstring's lifetime contract) — destroyed by the next call.
+_matmul_prev_bc = None
+
+
 def embedding_dedup_pairs_matmul(
     embeddings: DataFrame,
     threshold: float,
@@ -195,6 +200,13 @@ def embedding_dedup_pairs_matmul(
     pairwise summation differs from the oracle's sequential fold by
     ~1e-15, absorbed by the shared round-to-6 before the ≥ filter
     (same argument as knn_bruteforce_vectorized, driver-verified).
+
+    Broadcast lifetime (advice r4): each call broadcasts the resident
+    corpus (up to ~5 GB at the default cap). The PREVIOUS call's
+    broadcast is destroyed on entry, so a long-lived session holds at
+    most one — the contract is therefore *consume the returned
+    DataFrame before calling again*; interleaving two un-consumed
+    results would break the older one.
     """
     import numpy as np
     import pandas as pd
@@ -215,7 +227,14 @@ def embedding_dedup_pairs_matmul(
     all_ids = rows_pdf[id_col].to_numpy(dtype=np.int64)
     M = np.stack(rows_pdf[vec_col].to_numpy()).astype(np.float64)
     M /= np.linalg.norm(M, axis=1, keepdims=True)
+    global _matmul_prev_bc
+    if _matmul_prev_bc is not None:
+        try:
+            _matmul_prev_bc.destroy()
+        except Exception:
+            pass
     bc = spark.sparkContext.broadcast((all_ids, M))
+    _matmul_prev_bc = bc
 
     out_schema = "id_a long, id_b long, cosine_sim double"
 

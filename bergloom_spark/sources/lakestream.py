@@ -101,6 +101,53 @@ def _is_changelog(options) -> bool:
     return str(options.get("changelog", "false")).lower() == "true"
 
 
+def _committed_chain(meta) -> list:
+    """Snapshots on the CURRENT lineage, oldest-retained → current.
+
+    Walks parent pointers from ``current_snapshot_id``. Snapshots off
+    this chain are write-audit-publish stages the table has never
+    pointed at (``stage_append`` records them but the pointer stays on
+    the parent until ``publish``) — they are uncommitted until
+    published and must not reach any stream: an abandoned stage would
+    otherwise leak phantom rows with no compensating delete (advice
+    r4). ``publish`` refuses once the table advanced past the stage's
+    parent, so on-chain snapshot ids are strictly increasing and a
+    snapshot can never join the chain behind a consumed offset."""
+    by_id = {s.snapshot_id: s for s in meta.snapshots}
+    chain = []
+    sid = meta.current_snapshot_id
+    while sid is not None and sid in by_id:
+        s = by_id[sid]
+        chain.append(s)
+        sid = s.parent_snapshot_id
+    chain.reverse()
+    return chain
+
+
+def _check_retained(chain, lo: int, hi: int) -> None:
+    """Raise if committed snapshots in (lo, hi] were expired: the
+    replay of that range would silently miss their changes. The range
+    is fully replayable iff walking the chain reaches ``lo`` itself or
+    a snapshot whose parent is ``lo`` (``lo`` may have been expired as
+    long as its direct child survives), or the chain extends to the
+    root for ``lo == 0``."""
+    if not chain or lo >= hi:
+        return
+    chain_ids = {s.snapshot_id for s in chain}
+    oldest_parent = chain[0].parent_snapshot_id
+    if lo in chain_ids or oldest_parent == lo:
+        return
+    if lo == 0 and oldest_parent is None:
+        return
+    raise ValueError(
+        f"offset {lo} predates the oldest retained snapshot "
+        f"{chain[0].snapshot_id}: snapshots in between were expired "
+        "and their changes are no longer streamable. Restart the "
+        "stream from a fresh checkpoint (full snapshot) or expire "
+        "less aggressively."
+    )
+
+
 class LakeStreamDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -165,16 +212,21 @@ class _LakeStreamReader(DataSourceStreamReader):
         floor = self._consumed_floor
         latest = 0
         n_files = 0
-        for s in meta.snapshots:
-            # Advance over EVERY snapshot (not only appends): a
-            # non-append inside the range must reach partitions(),
+        # Only COMMITTED snapshots (the current lineage) advance the
+        # offset: an unpublished write-audit-publish stage is not yet
+        # table state — if it publishes later it joins the chain with
+        # the same id and is consumed then; if it is abandoned it was
+        # never visible at all.
+        for s in _committed_chain(meta):
+            # Advance over EVERY committed snapshot (not only appends):
+            # a non-append inside the range must reach partitions(),
             # where it is refused or skipped per skipNonAppends —
             # silently stopping in front of it would stall the stream.
             if (
                 self.max_files
                 and floor is not None
                 and s.snapshot_id > floor
-                and s.operation == "append"
+                and s.operation in ("append", "stage-append")
             ):
                 # Count only the files THIS snapshot added (matching
                 # partitions()): entries also carry forward every live
@@ -199,28 +251,20 @@ class _LakeStreamReader(DataSourceStreamReader):
         self._consumed_floor = max(self._consumed_floor or 0, hi)
         meta = md.read_current(self.table_root)
         # Expired-history guard (Iceberg streaming fails the same way):
-        # snapshot ids are consecutive, so any retained-minimum greater
-        # than lo+1 means snapshots in (lo, min_retained) were expired
-        # and their appended files would silently vanish from the feed.
-        # Gate on lo < hi, NOT min_retained <= hi: a range whose
-        # snapshots were ALL expired must also raise — otherwise the
+        # a committed snapshot expired out of (lo, hi] means its
+        # appended files would silently vanish from the feed. Gate on
+        # lo < hi even when the WHOLE range expired — otherwise the
         # replay of a crashed batch comes back empty, the checkpoint
         # advances, and those appends are lost silently (review r4).
-        if meta.snapshots and lo < hi:
-            min_retained = min(s.snapshot_id for s in meta.snapshots)
-            if min_retained > lo + 1:
-                raise ValueError(
-                    f"offset {lo} predates the oldest retained snapshot "
-                    f"{min_retained}: snapshots in between were expired "
-                    "and their appends are no longer streamable. Restart "
-                    "the stream from a fresh checkpoint (full snapshot) "
-                    "or expire less aggressively."
-                )
+        chain = _committed_chain(meta)
+        _check_retained(chain, lo, hi)
         parts: list[_FilePartition] = []
-        for s in meta.snapshots:
+        for s in chain:
             if not (lo < s.snapshot_id <= hi):
                 continue
-            if s.operation != "append":
+            # A published stage-append IS an append (publish only flips
+            # the pointer; unpublished stages never enter the chain).
+            if s.operation not in ("append", "stage-append"):
                 if self.skip_non_appends:
                     continue
                 raise ValueError(
@@ -268,6 +312,104 @@ class _LakeStreamReader(DataSourceStreamReader):
 # snapshot is borrowed initial state, not a change.
 _NO_CHANGE_OPS = {"rewrite", "clone"}
 
+# Operations the changelog knows how to express as row-level change
+# events. ALLOW-list, not deny-list (advice r4): an operation this
+# reader has never seen must raise — silently interpreting it with
+# append semantics could corrupt every downstream replica. A published
+# stage-append is an append (unpublished stages never reach the
+# committed chain).
+_KNOWN_CHANGE_OPS = {"append", "stage-append", "delete", "merge", "overwrite"}
+
+
+# Driver-side pruning reads stay bounded: a delete file bigger than
+# this is not scanned on the driver — its partitions are simply not
+# pruned (correct either way; pruning only changes cost).
+_PRUNE_READ_CAP_ROWS = 2_000_000
+# Bloom probing is per-value; past this many distinct keys the range
+# check alone decides.
+_PRUNE_BLOOM_CAP_VALUES = 2_000
+
+
+def _pos_referenced_files(entries) -> dict:
+    """pos-delete path -> set of data file paths it references, or
+    None when unknowable (too big / unreadable → no pruning)."""
+    import pyarrow.parquet as pq
+
+    refs: dict = {}
+    for e in entries:
+        if e.record_count and e.record_count > _PRUNE_READ_CAP_ROWS:
+            refs[e.file_path] = None
+            continue
+        try:
+            col = pq.read_table(e.file_path, columns=["file_path"])
+            refs[e.file_path] = set(col.column("file_path").to_pylist())
+        except Exception:
+            refs[e.file_path] = None
+    return refs
+
+
+def _eq_key_probes(entries) -> list:
+    """Per eq-delete file: ({col: (min, max)} over NUMERIC key values,
+    {col: [distinct values]} capped for bloom probing) — ({}, {}) when
+    the file is too big or unreadable (→ no pruning)."""
+    import pyarrow.parquet as pq
+
+    probes = []
+    for e in entries:
+        stats: dict = {}
+        values: dict = {}
+        if not e.record_count or e.record_count <= _PRUNE_READ_CAP_ROWS:
+            try:
+                kt = pq.read_table(e.file_path, columns=list(e.equality_ids))
+                for c in e.equality_ids:
+                    vals = [
+                        v for v in kt.column(c).to_pylist() if v is not None
+                    ]
+                    if vals and all(
+                        isinstance(v, (int, float))
+                        and not isinstance(v, bool)
+                        for v in vals
+                    ):
+                        stats[c] = (min(vals), max(vals))
+                    distinct = set(vals)
+                    if 0 < len(distinct) <= _PRUNE_BLOOM_CAP_VALUES:
+                        values[c] = sorted(distinct, key=repr)
+            except Exception:
+                stats, values = {}, {}
+        probes.append((stats, values))
+    return probes
+
+
+def _eq_may_hit(entry, cols, probe) -> bool:
+    """Conservative: False only when the data file's manifest stats
+    PROVE no delete key matches (same contract as lake/skipping.py).
+    Any missing evidence — no stats, non-numeric keys, type-mismatched
+    bloom — keeps the file."""
+    from bergloom_spark.lake.skipping import bloom_may_contain
+
+    key_stats, key_values = probe
+    cstats = entry.column_stats or {}
+    cblooms = entry.column_blooms or {}
+    for c in cols:
+        ks = key_stats.get(c)
+        fs = cstats.get(c)
+        if (
+            ks
+            and fs
+            and isinstance(fs[0], (int, float))
+            and isinstance(fs[1], (int, float))
+            and not isinstance(fs[0], bool)
+            and not isinstance(fs[1], bool)
+        ):
+            if ks[1] < fs[0] or ks[0] > fs[1]:
+                return False
+        vals = key_values.get(c)
+        bloom = cblooms.get(c)
+        if vals and bloom:
+            if not any(bloom_may_contain(bloom, v) for v in vals):
+                return False
+    return True
+
 
 class _LakeChangelogReader(_LakeStreamReader):
     """Row-level change feed over the snapshot chain (see module doc)."""
@@ -288,38 +430,54 @@ class _LakeChangelogReader(_LakeStreamReader):
         lo, hi = start["last_snapshot_id"], end["last_snapshot_id"]
         self._consumed_floor = max(self._consumed_floor or 0, hi)
         meta = md.read_current(self.table_root)
-        if meta.snapshots and lo < hi:
-            min_retained = min(s.snapshot_id for s in meta.snapshots)
-            if min_retained > lo + 1:
-                raise ValueError(
-                    f"offset {lo} predates the oldest retained snapshot "
-                    f"{min_retained}: expired history cannot be replayed "
-                    "as a changelog. Restart from a fresh checkpoint."
-                )
+        chain = _committed_chain(meta)
+        _check_retained(chain, lo, hi)
         by_id = {s.snapshot_id: s for s in meta.snapshots}
         parts: list[_ChangePartition] = []
-        for s in meta.snapshots:
+        for s in chain:
             if not (lo < s.snapshot_id <= hi):
                 continue
             if s.operation in _NO_CHANGE_OPS:
                 continue
+            if s.operation not in _KNOWN_CHANGE_OPS:
+                raise ValueError(
+                    f"snapshot {s.snapshot_id} has unknown operation "
+                    f"{s.operation!r}: the changelog cannot guess its "
+                    "row-level semantics"
+                )
             new_data = [
                 e
                 for e in s.entries
                 if e.content == md.DATA and e.sequence_number == s.sequence_number
             ]
-            new_pos = tuple(
-                e.file_path
+            new_pos_entries = [
+                e
                 for e in s.entries
                 if e.content == md.POS_DELETE
                 and e.sequence_number == s.sequence_number
-            )
-            new_eq = tuple(
-                (e.file_path, tuple(e.equality_ids))
+            ]
+            new_pos = tuple(e.file_path for e in new_pos_entries)
+            new_eq_entries = [
+                e
                 for e in s.entries
                 if e.content == md.EQ_DELETE
                 and e.sequence_number == s.sequence_number
+            ]
+            new_eq = tuple(
+                (e.file_path, tuple(e.equality_ids)) for e in new_eq_entries
             )
+            # Delete-partition pruning (advice r4): without it, ONE new
+            # delete file fans out into a delete partition for EVERY
+            # data file live in the parent — a tiny delete on a wide
+            # table rescans the whole table per snapshot. The new
+            # delete files are this snapshot's change volume (small by
+            # definition), so read them once on the driver: pos-delete
+            # files name exactly the data files they touch, and
+            # eq-delete keys prune against the manifest's per-file
+            # min/max stats and blooms (conservative — a file is
+            # dropped only when no key can possibly hit it).
+            pos_refs = _pos_referenced_files(new_pos_entries)
+            eq_probes = _eq_key_probes(new_eq_entries)
             for e in new_data:
                 parts.append(
                     _ChangePartition(
@@ -396,12 +554,26 @@ class _LakeChangelogReader(_LakeStreamReader):
                             (), self.columns, self.schema_json,
                         )
                     )
-                elif new_pos or new_eq:
+                    continue
+                # Only the new delete files that can actually touch
+                # this data file justify a partition (and its read()
+                # only re-reads those).
+                d_pos = tuple(
+                    p
+                    for p in new_pos
+                    if pos_refs.get(p) is None or d.file_path in pos_refs[p]
+                )
+                d_eq = tuple(
+                    spec
+                    for spec, probe in zip(new_eq, eq_probes)
+                    if _eq_may_hit(d, spec[1], probe)
+                )
+                if d_pos or d_eq:
                     parts.append(
                         _ChangePartition(
                             "delete", d.file_path, d.sequence_number,
-                            s.snapshot_id, prior_pos, prior_eq, new_pos,
-                            new_eq, self.columns, self.schema_json,
+                            s.snapshot_id, prior_pos, prior_eq, d_pos,
+                            d_eq, self.columns, self.schema_json,
                         )
                     )
         return parts or [

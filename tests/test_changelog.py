@@ -170,3 +170,127 @@ def test_replicate_changelog_roundtrip(spark, tmp_path):
     assert {tuple(r) for r in dst.read().collect()} == {
         tuple(r) for r in src.read().collect()
     }
+
+
+def test_staged_snapshot_invisible_until_publish(spark, tmp_path):
+    """Write-audit-publish (advice r4): a staged snapshot is not table
+    state — neither stream mode may emit its rows before publish();
+    after publish they arrive as ordinary inserts."""
+    root = str(tmp_path / "t")
+    base = spark.range(40).select("id", (F.col("id") % 4).alias("v"))
+    t = LakeTable.create(spark, root, base.schema)
+    t.append(base.filter(F.col("id") < 30))
+    staged = t.stage_append(base.filter(F.col("id") >= 30))
+
+    ckpt = str(tmp_path / "ck")
+    first = _drain(spark, root, ckpt)
+    assert sorted(r["id"] for r in first) == list(range(30))
+    assert all(r["_change_type"] == "insert" for r in first)
+
+    t.publish(staged.snapshot_id)
+    second = _drain(spark, root, ckpt)  # resume: only the published rows
+    assert sorted(r["id"] for r in second) == list(range(30, 40))
+    assert {r["_commit_snapshot_id"] for r in second} == {staged.snapshot_id}
+
+
+def test_abandoned_stage_never_leaks(spark, tmp_path):
+    """A stage the table moved past (publish would now refuse) must
+    never appear in the feed, even as later commits land around its
+    snapshot id."""
+    from bergloom_spark.lake.commit import CommitFailed
+
+    root = str(tmp_path / "t")
+    base = spark.range(60).select("id", (F.col("id") % 4).alias("v"))
+    t = LakeTable.create(spark, root, base.schema)
+    t.append(base.filter(F.col("id") < 20))          # snapshot on chain
+    orphan = t.stage_append(base.filter(F.col("id") >= 40))  # abandoned
+    t.append(base.filter((F.col("id") >= 20) & (F.col("id") < 40)))
+    with pytest.raises(CommitFailed):
+        t.publish(orphan.snapshot_id)  # table advanced: refused forever
+
+    changes = _drain(spark, root, str(tmp_path / "ck"))
+    assert sorted(r["id"] for r in changes) == list(range(40))
+    assert orphan.snapshot_id not in {
+        r["_commit_snapshot_id"] for r in changes
+    }
+    # and the plain append feed agrees
+    rows: list = []
+    q = (
+        spark.readStream.format("lakestream")
+        .option("path", root)
+        .load()
+        .writeStream.foreachBatch(lambda df, _b: rows.extend(df.collect()))
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert sorted(r["id"] for r in rows) == list(range(40))
+
+
+def test_unknown_operation_raises(spark, tmp_path):
+    """Allow-list (advice r4): an operation the changelog has never
+    seen must raise, not be silently interpreted as an append."""
+    from bergloom_spark.lake import metadata as md
+
+    root = str(tmp_path / "t")
+    base = spark.range(10).select("id", (F.col("id") % 2).alias("v"))
+    t = LakeTable.create(spark, root, base.schema)
+    t.append(base)
+    meta = md.read_current(root)
+    meta.snapshots[-1].operation = "frobnicate"
+    meta.version += 1
+    md.write_version(meta)
+    with pytest.raises(Exception, match="unknown operation"):
+        _drain(spark, root, str(tmp_path / "ck"))
+
+
+def test_delete_partitions_pruned_to_referenced_files(spark, tmp_path):
+    """Advice r4: a delete touching one data file must not fan out
+    into a delete partition per live data file — pos-delete partitions
+    are pruned to the files the new delete files reference, eq-delete
+    partitions to files whose manifest stats admit a key."""
+    from bergloom_spark.sources.lakestream import _LakeChangelogReader
+    from pyspark.sql import types as T
+
+    root = str(tmp_path / "t")
+    base = spark.range(200).select("id", (F.col("id") % 4).alias("v"))
+    t = LakeTable.create(spark, root, base.schema)
+    t.append(base.filter(F.col("id") < 100))           # file A: ids 0..99
+    t.append(base.filter(F.col("id") >= 100))          # file B: ids 100..199
+    snap_pos = t.delete_where(F.col("id") == 5)        # pos-delete: file A only
+    snap_eq = t.upsert(                                 # eq-delete keys ≥150
+        spark.range(150, 155).select(
+            "id", F.lit(9).cast("long").alias("v")
+        ),
+        ["id"],
+    )
+
+    schema = T.StructType(
+        t.read().schema.fields
+        + [
+            T.StructField("_change_type", T.StringType(), False),
+            T.StructField("_commit_snapshot_id", T.LongType(), False),
+        ]
+    )
+    reader = _LakeChangelogReader({"path": root}, schema)
+
+    def _deletes(lo, hi):
+        return [
+            p
+            for p in reader.partitions(
+                {"last_snapshot_id": lo}, {"last_snapshot_id": hi}
+            )
+            if p.kind == "delete"
+        ]
+
+    pos_parts = _deletes(2, snap_pos.snapshot_id)
+    assert len(pos_parts) == 1  # file B pruned: not referenced
+    eq_parts = _deletes(snap_pos.snapshot_id, snap_eq.snapshot_id)
+    # file A (ids 0..99) pruned by min/max stats vs keys 150..154
+    assert len(eq_parts) == 1
+    assert pos_parts[0].file_path != eq_parts[0].file_path
+
+    # and pruning changed cost only: the feed still replays exactly
+    changes = _drain(spark, root, str(tmp_path / "ck"))
+    assert set(_replay(changes)) == {tuple(r) for r in t.read().collect()}

@@ -136,3 +136,34 @@ def test_maintenance_survives_preexisting_bad_sort_order(spark, tmp_path):
     rep = run_maintenance(t, MaintenancePolicy(min_small_files=2))
     assert rep.binpacked and rep.strategy == "binpack"
     assert t.refresh().read().count() == 200
+
+
+def test_sorted_rewrite_runtime_failure_degrades_to_binpack(
+    spark, tmp_path, monkeypatch
+):
+    """Advice r4: parse-time validation can't prove a sort order is
+    runtime-viable; a sorted rewrite that FAILS at execution must fall
+    back to plain binpack this tick instead of bricking every
+    maintenance cycle for the table."""
+    import bergloom_spark.lake.maintenance as mt
+    from bergloom_spark.lake.table import SORT_ORDER_PROP
+
+    base = spark.range(500).select(F.col("id"), (F.col("id") * 2).alias("v"))
+    t = LakeTable.create(spark, str(tmp_path / "t"), base.schema)
+    for i in range(4):
+        t.append(
+            base.filter(F.col("id") % 4 == i),
+            properties_update={SORT_ORDER_PROP: "id"} if i == 0 else None,
+        )
+
+    real_compact = mt.BinpackCompaction.compact
+
+    def flaky(self):
+        if getattr(self, "sort_cols", None):
+            raise RuntimeError("sorted rewrite exploded at runtime")
+        return real_compact(self)
+
+    monkeypatch.setattr(mt.BinpackCompaction, "compact", flaky)
+    rep = mt.run_maintenance(t, mt.MaintenancePolicy(min_small_files=2))
+    assert rep.binpacked and rep.strategy == "binpack(sorted-fallback)"
+    assert t.refresh().read().count() == 500
