@@ -85,6 +85,7 @@ def gapfill(
     value_col: str,
     bucket_minutes: int = 15,
     method: str = "locf",
+    range_buckets: int = 4096,
 ) -> DataFrame:
     """Densify each key's series and fill missing buckets.
 
@@ -92,6 +93,21 @@ def gapfill(
     bucket mean (null in gaps), ``v_filled`` the filled value. Leading
     gaps stay null under ``locf``; under ``interpolate`` edges fall
     back to the nearest observed value.
+
+    Scale shape (VERDICT r4 #4 — the hot-series pre-split): the fill
+    window partitions on (keys, range_idx), where ``range_idx`` is a
+    coarse block of ``range_buckets`` consecutive buckets — one key's
+    multi-year series is ``n_buckets / range_buckets`` parallel tasks,
+    never a single task holding the whole series. Fill state crosses
+    range edges via a tiny per-(key, range) carry frame: each range's
+    last/first observation is aggregated once (keys × ranges rows),
+    cumulative windows over THAT frame give every range its
+    carried-in previous and carried-out next observation, and the
+    in-range window coalesces to the carry when the range itself has
+    no earlier/later observation — the same boundary-stitch trick as
+    ``asof_bucketed``. The grid explode is two-level (ranges, then
+    buckets within range) so no task materializes a whole key's grid
+    either.
     """
     if method not in ("locf", "interpolate"):
         raise ValueError(f"unknown fill method: {method}")
@@ -100,12 +116,69 @@ def gapfill(
     rng = b.groupBy(*keys).agg(
         F.min("bucket_idx").alias("mn"), F.max("bucket_idx").alias("mx")
     )
-    grid = rng.select(
-        *keys, F.explode(F.sequence("mn", "mx")).alias("bucket_idx")
+    R = int(range_buckets)
+    # Per-key list of coarse ranges (small: n_buckets / R entries).
+    ranges = rng.select(
+        *keys,
+        "mn",
+        "mx",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("mn") / R), F.floor(F.col("mx") / R)
+            )
+        ).alias("range_idx"),
     )
-    j = grid.join(b, [*keys, "bucket_idx"], "left")
+    # Two-level grid: ≤ R buckets materialize per (key, range) row.
+    grid = ranges.select(
+        *keys,
+        "range_idx",
+        F.explode(
+            F.sequence(
+                F.greatest(F.col("mn"), F.col("range_idx") * R),
+                F.least(F.col("mx"), (F.col("range_idx") + 1) * R - 1),
+            )
+        ).alias("bucket_idx"),
+    )
+    # Carry frame: last/first observation per (key, range), then
+    # cumulative windows over the per-RANGE rows (tiny) hand every
+    # range what entered/left it. The (-inf, -1) frame excludes the
+    # range's own observations — those are the in-range window's job.
+    obs = b.filter(F.col("v").isNotNull()).withColumn(
+        "range_idx", F.floor(F.col("bucket_idx") / R)
+    )
+    ragg = obs.groupBy(*keys, "range_idx").agg(
+        F.max_by("v", "bucket_idx").alias("r_last_v"),
+        F.max("bucket_idx").alias("r_last_i"),
+        F.min_by("v", "bucket_idx").alias("r_first_v"),
+        F.min("bucket_idx").alias("r_first_i"),
+    )
+    wr = (
+        Window.partitionBy(*keys)
+        .orderBy("range_idx")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wrf = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("range_idx").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carries = (
+        ranges.select(*keys, "range_idx")
+        .join(ragg, [*keys, "range_idx"], "left")
+        .select(
+            *keys,
+            "range_idx",
+            F.last("r_last_v", ignorenulls=True).over(wr).alias("cp_v"),
+            F.last("r_last_i", ignorenulls=True).over(wr).alias("cp_i"),
+            F.last("r_first_v", ignorenulls=True).over(wrf).alias("cn_v"),
+            F.last("r_first_i", ignorenulls=True).over(wrf).alias("cn_i"),
+        )
+    )
+    j = grid.join(b, [*keys, "bucket_idx"], "left").join(
+        carries, [*keys, "range_idx"], "left"
+    )
 
-    w = Window.partitionBy(*keys).orderBy("bucket_idx")
+    w = Window.partitionBy(*keys, "range_idx").orderBy("bucket_idx")
     prec = w.rowsBetween(Window.unboundedPreceding, 0)
     # "Next observation" = running last() over a DESCENDING sort, not
     # first() over a [current, unboundedFollowing] frame: Spark's
@@ -114,28 +187,44 @@ def gapfill(
     # at sf0.01). The descending running frame is O(n) and reuses the
     # same hash exchange; only the in-partition sort runs twice.
     foll = (
-        Window.partitionBy(*keys)
+        Window.partitionBy(*keys, "range_idx")
         .orderBy(F.col("bucket_idx").desc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    micro = F.lit(1_000_000.0)
     if method == "locf":
-        filled = F.last("v", ignorenulls=True).over(prec)
+        filled = F.coalesce(
+            F.last("v", ignorenulls=True).over(prec), F.col("cp_v")
+        )
     else:
         # Interpolate in integer micro-units so Spark and any SQL twin
         # produce BIT-IDENTICAL doubles: the 6dp-rounded v scales to an
         # exact BIGINT, the linear combination stays integral, and the
         # single closing division is one IEEE op — no cross-engine
-        # round-half noise at the 7th digit.
-        obs_idx = F.when(
-            F.col("v").isNotNull(), F.col("bucket_idx")
+        # round-half noise at the 7th digit. Carries are v-values (6dp
+        # doubles), so their micro-scaling is exact too.
+        obs_idx = F.when(F.col("v").isNotNull(), F.col("bucket_idx"))
+        vm = F.round(F.col("v") * micro).cast("long")
+        pv = F.coalesce(
+            F.last("v", ignorenulls=True).over(prec), F.col("cp_v")
         )
-        vm = F.round(F.col("v") * F.lit(1_000_000.0)).cast("long")
-        pv = F.last("v", ignorenulls=True).over(prec)
-        nv = F.last("v", ignorenulls=True).over(foll)
-        pvm = F.last(vm, ignorenulls=True).over(prec)
-        pi = F.last(obs_idx, ignorenulls=True).over(prec)
-        nvm = F.last(vm, ignorenulls=True).over(foll)
-        ni = F.last(obs_idx, ignorenulls=True).over(foll)
+        nv = F.coalesce(
+            F.last("v", ignorenulls=True).over(foll), F.col("cn_v")
+        )
+        pvm = F.coalesce(
+            F.last(vm, ignorenulls=True).over(prec),
+            F.round(F.col("cp_v") * micro).cast("long"),
+        )
+        pi = F.coalesce(
+            F.last(obs_idx, ignorenulls=True).over(prec), F.col("cp_i")
+        )
+        nvm = F.coalesce(
+            F.last(vm, ignorenulls=True).over(foll),
+            F.round(F.col("cn_v") * micro).cast("long"),
+        )
+        ni = F.coalesce(
+            F.last(obs_idx, ignorenulls=True).over(foll), F.col("cn_i")
+        )
         idx = F.col("bucket_idx")
         filled = (
             F.when(F.col("v").isNotNull(), F.col("v"))
@@ -143,7 +232,7 @@ def gapfill(
             .when(nvm.isNull(), pv)
             .otherwise(
                 (pvm * (ni - idx) + nvm * (idx - pi))
-                / ((ni - pi) * F.lit(1_000_000.0))
+                / ((ni - pi) * micro)
             )
         )
     return j.select(

@@ -135,3 +135,76 @@ def test_twa_duplicate_timestamps_deterministic(spark):
     df = spark.createDataFrame(rows, "key: string, ts: timestamp, value: double")
     out = time_weighted_avg(df, ["key"], "ts", "value", 60).collect()
     assert out[0]["twa"] == 7.0
+
+
+# ---------------------------------------------------------------------------
+# hot-series pre-split (round 5, VERDICT r4 #4)
+# ---------------------------------------------------------------------------
+@pytest.mark.parametrize("method", ["locf", "interpolate"])
+def test_gapfill_range_presplit_stitches_boundaries(spark, sf_dir, method):
+    """With range_buckets small enough that every key spans MANY
+    coarse ranges (including fully-empty ones), fill state must carry
+    across range edges and match the range-agnostic DuckDB twin."""
+    ev = load_table(spark, sf_dir, "events")
+    out = TS.gapfill(
+        ev, ["event_type"], "ts", "value",
+        bucket_minutes=15, method=method, range_buckets=7,
+    )
+    sql = TS.gapfill_sql(
+        ["event_type"], "ts", "value", "events",
+        bucket_minutes=15, method=method,
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/events.parquet')"
+    )
+    report = compare(out, con, sql)
+    assert report["match"], report
+
+
+def test_gapfill_empty_range_carries_through(spark):
+    """A coarse range with ZERO observations sits between two observed
+    ones: locf must carry the older value through it, interpolate must
+    bridge across it."""
+    base = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [
+            ("a", base, 2.0),
+            # next observation 9 buckets later: with range_buckets=3
+            # ranges 0,1,2 exist and range 1 is fully empty
+            ("a", base + dt.timedelta(minutes=15 * 9), 20.0),
+        ],
+        "k string, ts timestamp_ntz, value double",
+    )
+    locf = _vals(
+        TS.gapfill(df, ["k"], "ts", "value", 15, "locf", range_buckets=3)
+    )
+    assert locf[("a", "2024-01-01T01:00:00")] == (None, 2.0)  # range 1
+    assert locf[("a", "2024-01-01T01:45:00")] == (None, 2.0)  # range 2
+    interp = _vals(
+        TS.gapfill(
+            df, ["k"], "ts", "value", 15, "interpolate", range_buckets=3
+        )
+    )
+    assert interp[("a", "2024-01-01T01:00:00")] == (None, 10.0)  # bucket 4
+    assert interp[("a", "2024-01-01T01:30:00")] == (None, 14.0)  # bucket 6
+
+
+def test_gapfill_fill_window_partitions_on_key_and_range(spark):
+    """The expensive per-bucket window must partition on
+    (keys, range_idx), not keys alone — one key's series is split
+    across tasks (VERDICT r4 #4's 'done' criterion)."""
+    out = TS.gapfill(
+        _mk_series(spark), ["k"], "ts", "value", 15, method="interpolate"
+    )
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    import re
+
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, plan
+    # every window ordered by bucket_idx partitions by k AND range_idx
+    ordered_by_bucket = [s for s in specs if "bucket_idx" in s]
+    assert ordered_by_bucket
+    for s in ordered_by_bucket:
+        assert "range_idx" in s, s
