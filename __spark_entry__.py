@@ -4111,6 +4111,101 @@ def q_multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline-JPEG decode, no PIL (round 5 — closes the last
+    env-gated multimodal format): per doc a synthetic gray image is
+    built from a pixel recipe that PROVABLY survives JPEG roundtrip
+    bit-exactly, ENCODED to actual JFIF bytes by the pure-numpy
+    encoder (operators/jpegcodec.py), then a second Arrow-batched
+    stage decodes those bytes back through the magic-dispatch path
+    (imagecodec.decode_image_array) and emits dims + per-channel pixel
+    sums + the red channel's sum of squares.
+
+    Exactness argument (why a LOSSY codec admits an arithmetic
+    oracle): each 8x8 block is c + 7m*(s x s) with s the sign pattern
+    of cos((2x+1)*pi/4) — its DCT has exactly two nonzero
+    coefficients, DC = 8(c-128) and (4,4) = 56m. At quality 95 the
+    Annex-K luminance steps are q[0,0]=2 and q[4,4]=7, which divide
+    them, so quantization is lossless; gray pixels keep chroma at
+    exactly 128 so the subsampled channels quantize to zero. The sum
+    of squares (64c^2 + 64*49m^2 per block) pins the AC/ZRL path —
+    plain sums cancel the +-pattern and would pass even if AC
+    coefficients were dropped. The driver hash therefore checks the
+    whole entropy-coded pipeline: Huffman tables, byte stuffing, DC
+    prediction, run-length, dequantize, IDCT."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as ST
+
+    from bergloom_spark.operators.imagecodec import decode_image_array
+    from bergloom_spark.operators.jpegcodec import encode_jpeg_baseline
+
+    d = TS(spark, sf_dir, "documents").select("doc_id")
+    sign = np.array([1, -1, -1, 1, 1, -1, -1, 1], dtype=np.int64)
+    pat = np.outer(sign, sign)
+
+    def make_payloads(it):
+        for pdf in it:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                w, h = 8 * (1 + i % 3), 8 * (1 + (i * 5) % 4)
+                img = np.zeros((h, w), dtype=np.int64)
+                b = 0
+                for by in range(h // 8):
+                    for bx in range(w // 8):
+                        c = 50 + (i * 31 + b * 17) % 150
+                        m = ((i + b) % 5) - 2
+                        img[
+                            by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8
+                        ] = c + 7 * m * pat
+                        b += 1
+                rgb = np.stack([img] * 3, axis=-1).astype(np.uint8)
+                payloads.append(encode_jpeg_baseline(rgb, quality=95))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    payload_schema = ST.StructType(
+        [
+            ST.StructField("doc_id", ST.LongType()),
+            ST.StructField("payload", ST.BinaryType()),
+        ]
+    )
+    out_schema = (
+        "doc_id long, decoded_width long, decoded_height long, "
+        "sum_r long, sum_g long, sum_b long, sum_sq_r long"
+    )
+
+    def decode(it):
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                arr = decode_image_array(bytes(payload)).astype(np.int64)
+                rows.append(
+                    (
+                        int(doc_id),
+                        arr.shape[1],
+                        arr.shape[0],
+                        int(arr[:, :, 0].sum()),
+                        int(arr[:, :, 1].sum()),
+                        int(arr[:, :, 2].sum()),
+                        int((arr[:, :, 0] ** 2).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "decoded_width", "decoded_height",
+                    "sum_r", "sum_g", "sum_b", "sum_sq_r",
+                ],
+            )
+
+    return d.mapInPandas(make_payloads, payload_schema).mapInPandas(
+        decode, out_schema
+    )
+
+
 def q_audio_features_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio decode, no audio libs (round 4): per doc a synthetic
     PCM16 waveform (x_i = (doc_id·17 + i·13) mod 1024 − 512) is
@@ -4251,6 +4346,33 @@ _MULTIMODAL_DECODE_REAL_SQL = """
            list_sum(list_transform(range(0, decoded_width * decoded_height),
              k -> (doc_id * 31 + 3 * k + 2) % 256))::BIGINT AS sum_b
     FROM dims
+"""
+
+
+_MULTIMODAL_DECODE_JPEG_SQL = """
+    WITH dims AS (
+      SELECT doc_id,
+             (8 * (1 + doc_id % 3))::BIGINT AS decoded_width,
+             (8 * (1 + (doc_id * 5) % 4))::BIGINT AS decoded_height
+      FROM documents),
+    blocks AS (
+      SELECT doc_id, decoded_width, decoded_height,
+             list_filter(range(0, 12),
+               b -> b < (decoded_width // 8) * (decoded_height // 8)) AS bs
+      FROM dims)
+    SELECT doc_id, decoded_width, decoded_height,
+           list_sum(list_transform(bs,
+             b -> 64 * (50 + (doc_id * 31 + b * 17) % 150)))::BIGINT AS sum_r,
+           list_sum(list_transform(bs,
+             b -> 64 * (50 + (doc_id * 31 + b * 17) % 150)))::BIGINT AS sum_g,
+           list_sum(list_transform(bs,
+             b -> 64 * (50 + (doc_id * 31 + b * 17) % 150)))::BIGINT AS sum_b,
+           list_sum(list_transform(bs,
+             b -> 64 * (50 + (doc_id * 31 + b * 17) % 150)
+                     * (50 + (doc_id * 31 + b * 17) % 150)
+                + 3136 * ((doc_id + b) % 5 - 2)
+                       * ((doc_id + b) % 5 - 2)))::BIGINT AS sum_sq_r
+    FROM blocks
 """
 
 
@@ -4876,6 +4998,7 @@ _EXT_ORACLES = {
         FROM documents
     """,
     "multimodal_decode_real": _MULTIMODAL_DECODE_REAL_SQL,
+    "multimodal_decode_jpeg": _MULTIMODAL_DECODE_JPEG_SQL,
     "audio_features_real": _AUDIO_FEATURES_REAL_SQL,
     "video_frames_real": _VIDEO_FRAMES_REAL_SQL,
 }
@@ -5279,6 +5402,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frames": q_multimodal_frames,
         "multimodal_resize": q_multimodal_resize,
         "multimodal_decode_real": q_multimodal_decode_real,
+        "multimodal_decode_jpeg": q_multimodal_decode_jpeg,
         "audio_features_real": q_audio_features_real,
         "video_frames_real": q_video_frames_real,
         "centroid_histogram": q_centroid_histogram,

@@ -40,6 +40,7 @@ from bergloom_spark.functions import text as TX
 
 __all__ = [
     "bpe_learn",
+    "bpe_learn_fast",
     "bpe_encode",
     "bpe_encode_py",
     "bpe_apply_fixed",
@@ -160,6 +161,111 @@ def bpe_learn(
         return merges
     finally:
         vocab.unpersist()
+
+
+def bpe_learn_fast(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 10_000,
+    max_vocab_rows: int = 5_000_000,
+) -> list[tuple[str, str]]:
+    """:func:`bpe_learn` at realistic vocabulary sizes (VERDICT r4 #6).
+
+    Identical output (same argmax, same (count desc, pair asc)
+    tie-break, same stop rule — pinned by tests), different round
+    engine: the corpus-sized pass stays distributed (one word-count
+    aggregation — the ONLY thing that grows with corpus size), but the
+    merge loop runs on the collected vocabulary with the classic
+    incremental pair-count maintenance (Sennrich et al. 2016's
+    published implementation does exactly this): merging pair (a, b)
+    only touches words that contain it, and only their local pair
+    counts change, so each round costs O(words containing the best
+    pair), not one distributed job. 10 000 merges take seconds where
+    the per-round-job loop takes hours.
+
+    Scale contract, stated honestly: driver memory is O(vocabulary),
+    NOT O(corpus) — a web-scale corpus has ~10⁶–10⁷ distinct
+    frequency-weighted words (heavy-tail), which fits comfortably;
+    ``max_vocab_rows`` guards the collect (count first, raise before
+    materializing — same pattern as embedding_dedup's matmul guard).
+    Beyond the cap, pre-filter the corpus or raise the cap knowingly.
+    """
+    vocab_df = _word_vocab(df, text_col)
+    n_vocab = vocab_df.count()
+    if n_vocab > max_vocab_rows:
+        raise ValueError(
+            f"word vocabulary has {n_vocab} rows "
+            f"(> max_vocab_rows={max_vocab_rows}); filter the corpus "
+            "or raise the cap (driver memory is O(vocab))"
+        )
+    rows = vocab_df.collect()
+    words: list[list[str]] = []
+    counts: list[int] = []
+    for r in rows:
+        words.append(list(r["w"]) + [END])
+        counts.append(int(r["n"]))
+
+    # pair -> total weighted count; pair -> {word index} containing it
+    pair_counts: dict[tuple[str, str], int] = {}
+    pair_words: dict[tuple[str, str], set[int]] = {}
+    for wi, syms in enumerate(words):
+        n = counts[wi]
+        for i in range(len(syms) - 1):
+            p = (syms[i], syms[i + 1])
+            pair_counts[p] = pair_counts.get(p, 0) + n
+            pair_words.setdefault(p, set()).add(wi)
+
+    def _account(wi: int, syms: list[str], sign: int) -> None:
+        n = counts[wi] * sign
+        for i in range(len(syms) - 1):
+            p = (syms[i], syms[i + 1])
+            c = pair_counts.get(p, 0) + n
+            if c:
+                pair_counts[p] = c
+            else:
+                pair_counts.pop(p, None)
+            if sign > 0:
+                pair_words.setdefault(p, set()).add(wi)
+
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        if not pair_counts:
+            break
+        # (max count, lexicographically smallest pair) — identical to
+        # bpe_learn's orderBy(desc(cnt), asc(a), asc(b)).
+        best = min(
+            pair_counts.items(), key=lambda kv: (-kv[1], kv[0])
+        )[0]
+        if pair_counts[best] < 2:
+            break
+        merges.append(best)
+        a, b = best
+        merged = a + b
+        for wi in list(pair_words.get(best, ())):
+            syms = words[wi]
+            out: list[str] = []
+            i = 0
+            changed = False
+            while i < len(syms):
+                if (
+                    i + 1 < len(syms)
+                    and syms[i] == a
+                    and syms[i + 1] == b
+                ):
+                    out.append(merged)
+                    i += 2
+                    changed = True
+                else:
+                    out.append(syms[i])
+                    i += 1
+            if changed:
+                _account(wi, syms, -1)
+                words[wi] = out
+                _account(wi, out, +1)
+        # the merged pair is gone from every word that had it
+        pair_counts.pop(best, None)
+        pair_words.pop(best, None)
+    return merges
 
 
 def bpe_apply_fixed(

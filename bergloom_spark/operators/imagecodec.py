@@ -123,14 +123,19 @@ def decode_bmp(payload: bytes) -> np.ndarray:
 
 
 def decode_image_array(payload: bytes) -> np.ndarray:
-    """Decode by magic bytes: P6 PPM or 24-bit BMP → (H, W, 3) uint8."""
+    """Decode by magic bytes: P6 PPM, 24-bit BMP, or baseline JPEG
+    (round 5, `jpegcodec.py`) → (H, W, 3) uint8."""
     if payload[:2] == b"P6":
         return decode_ppm(payload)
     if payload[:2] == b"BM":
         return decode_bmp(payload)
+    if payload[:2] == b"\xff\xd8":
+        from bergloom_spark.operators.jpegcodec import decode_jpeg_baseline
+
+        return decode_jpeg_baseline(payload)
     raise ValueError(
-        f"unrecognized image magic {payload[:2]!r}: only P6 PPM and "
-        "24-bit BMP decode without PIL"
+        f"unrecognized image magic {payload[:2]!r}: P6 PPM, 24-bit "
+        "BMP, and baseline JPEG decode without PIL"
     )
 
 

@@ -155,3 +155,43 @@ def test_bpe_encode_vertical_tab_cross_engine(spark):
     }
     assert got == want
     assert got[0] == 6  # the</w> + the</w> + c,a,t,</w>
+
+
+# ---------------------------------------------------------------------------
+# bpe_learn_fast (round 5, VERDICT r4 #6): realistic-vocab learner
+# ---------------------------------------------------------------------------
+def test_bpe_learn_fast_matches_python_reference(spark):
+    from bergloom_spark.operators.bpe import bpe_learn_fast
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(TEXTS)], "doc_id: long, text: string"
+    )
+    assert bpe_learn_fast(df, "text", n_merges=12) == _py_learn(TEXTS, 12)
+
+
+def test_bpe_learn_fast_matches_spark_loop_on_real_corpus(spark, sf_dir):
+    """The incremental driver loop must be output-identical to the
+    one-job-per-round Spark loop — same argmax, tie-break, stop rule —
+    on real document text."""
+    from bergloom_spark.io import load_table
+    from bergloom_spark.operators.bpe import bpe_learn_fast
+
+    docs = load_table(spark, sf_dir, "documents").limit(120)
+    slow = bpe_learn(docs, "text", n_merges=40)
+    fast = bpe_learn_fast(docs, "text", n_merges=40)
+    assert fast == slow
+
+
+def test_bpe_learn_fast_exhaustion_and_guard(spark):
+    from bergloom_spark.operators.bpe import bpe_learn_fast
+
+    df = spark.createDataFrame(
+        [(0, "ab ab cd")], "doc_id: long, text: string"
+    )
+    # runs to the stop rule (count < 2) well before n_merges
+    merges = bpe_learn_fast(df, "text", n_merges=10_000)
+    assert 0 < len(merges) < 10
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="max_vocab_rows"):
+        bpe_learn_fast(df, "text", n_merges=5, max_vocab_rows=1)

@@ -108,3 +108,75 @@ def test_resize_images_real_kernel_roundtrips(spark):
     for r in rows:
         arr = IC.decode_ppm(bytes(r.payload))
         assert arr.shape == (4, 5, 3)
+
+
+# ---------------------------------------------------------------------------
+# baseline JPEG (round 5, jpegcodec.py)
+# ---------------------------------------------------------------------------
+from bergloom_spark.operators import jpegcodec as JC  # noqa: E402
+
+
+@pytest.mark.parametrize("w,h", [(8, 8), (24, 16), (17, 23), (1, 1)])
+def test_jpeg_roundtrip_smooth_content_is_near_exact(w, h):
+    img = (
+        (np.add.outer(np.arange(h) * 3, np.arange(w) * 2)[:, :, None] % 256)
+        .astype(np.uint8)
+        .repeat(3, axis=2)
+    )
+    dec = JC.decode_jpeg_baseline(JC.encode_jpeg_baseline(img, quality=95))
+    assert dec.shape == img.shape
+    err = np.abs(dec.astype(int) - img.astype(int))
+    assert err.max() <= 2, err.max()
+
+
+def test_jpeg_roundtrip_noise_bounded_and_lossy():
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (24, 17, 3), dtype=np.uint8)
+    dec = JC.decode_jpeg_baseline(JC.encode_jpeg_baseline(img, quality=95))
+    err = np.abs(dec.astype(int) - img.astype(int))
+    # lossy but sane: the mean error at q95 stays small even on noise
+    assert err.mean() < 8, err.mean()
+
+
+def test_jpeg_grayscale_single_component():
+    g = (np.add.outer(np.arange(20) * 5, np.arange(30) * 4) % 256).astype(
+        np.uint8
+    )
+    dec = JC.decode_jpeg_baseline(JC.encode_jpeg_baseline(g, quality=95))
+    ref = np.stack([g] * 3, axis=-1)
+    assert np.abs(dec.astype(int) - ref.astype(int)).max() <= 1
+
+
+def test_jpeg_exact_block_recipe():
+    """The oracle's exactness argument (q_multimodal_decode_jpeg):
+    c + 7m*(s x s) blocks survive quality-95 roundtrip bit-exactly."""
+    s = np.array([1, -1, -1, 1, 1, -1, -1, 1])
+    pat = np.outer(s, s)
+    rng = np.random.default_rng(3)
+    img = np.zeros((32, 24), np.int64)
+    for by in range(4):
+        for bx in range(3):
+            c = int(rng.integers(50, 200))
+            m = int(rng.integers(-2, 3))
+            img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = c + 7 * m * pat
+    rgb = np.stack([img] * 3, axis=-1).astype(np.uint8)
+    dec = JC.decode_jpeg_baseline(JC.encode_jpeg_baseline(rgb, quality=95))
+    assert np.array_equal(dec, rgb)
+
+
+def test_jpeg_magic_dispatch():
+    img = np.full((8, 8, 3), 99, np.uint8)
+    enc = JC.encode_jpeg_baseline(img, 95)
+    assert enc[:2] == b"\xff\xd8"
+    assert np.array_equal(IC.decode_image_array(enc), img)
+
+
+def test_jpeg_rejects_progressive_and_garbage():
+    img = np.full((8, 8, 3), 99, np.uint8)
+    enc = bytearray(JC.encode_jpeg_baseline(img, 95))
+    sof = enc.find(b"\xff\xc0")
+    enc[sof + 1] = 0xC2  # masquerade as progressive
+    with pytest.raises(ValueError, match="baseline"):
+        JC.decode_jpeg_baseline(bytes(enc))
+    with pytest.raises(ValueError, match="SOI"):
+        JC.decode_jpeg_baseline(b"\x89PNG....")

@@ -14,6 +14,7 @@ from __future__ import annotations
 import threading
 
 import pyspark.sql.functions as F
+import pytest
 from pyspark.sql import types as T
 
 from bergloom_spark.lake import LakeTable
@@ -144,3 +145,181 @@ def test_concurrent_append_merge_compact(spark, tmp_path):
     assert sorted(r["k"] for r in merged) == list(range(10))
     assert all(0 <= r["writer"] < N_THREADS for r in merged)
     assert all(0 <= r["v"] < N_ROUNDS for r in merged)
+
+
+# ---------------------------------------------------------------------------
+# round 5 (VERDICT r4 #7): overwrites racing appends
+# ---------------------------------------------------------------------------
+def test_concurrent_partition_overwrites_and_appends(spark, tmp_path):
+    """N writers each own one partition: appends every round, a
+    dynamic partition overwrite every third round, a compacting
+    maintainer racing everyone. The CAS + conflict-validation must
+    serialize it all: final per-partition state is exactly the last
+    overwrite's rows plus the appends after it (thread order is
+    deterministic per partition because each partition has one
+    writer — the contention is all at the shared metadata tip)."""
+    import threading
+
+    from bergloom_spark.lake.commit import CommitFailed
+
+    schema = T.StructType(
+        [
+            T.StructField("p", T.LongType(), False),
+            T.StructField("k", T.LongType(), False),
+            T.StructField("round", T.LongType(), False),
+        ]
+    )
+    root = str(tmp_path / "t")
+    LakeTable.create(spark, root, schema, partition_spec=["p"])
+    n_threads, n_rounds = 5, 9
+    errors: list[BaseException] = []
+
+    def _df(wid, r, base, n):
+        return spark.range(base, base + n).select(
+            F.lit(wid).cast("long").alias("p"),
+            F.col("id").alias("k"),
+            F.lit(r).cast("long").alias("round"),
+        )
+
+    def _retry_any(fn, attempts=30):
+        for _ in range(attempts):
+            try:
+                return fn()
+            except (CommitConflict, CommitFailed):
+                continue
+        raise AssertionError("starved")
+
+    def writer(wid: int):
+        try:
+            t = LakeTable(spark, md.read_current(root))
+            for r in range(n_rounds):
+                if r % 3 == 2:
+                    # replace the whole partition with 10 fresh rows
+                    _retry_any(
+                        lambda: t.refresh().overwrite_partitions(
+                            _df(wid, r, 1000 * r, 10)
+                        )
+                    )
+                else:
+                    _retry_any(
+                        lambda: t.refresh().append(_df(wid, r, 100 * r, 5))
+                    )
+        except BaseException as exc:
+            errors.append(exc)
+
+    def maintainer():
+        try:
+            from bergloom_spark.config import CompactionConfig
+            from bergloom_spark.lake import Compaction
+
+            t = LakeTable(spark, md.read_current(root))
+            for _ in range(3):
+                try:
+                    Compaction(t.refresh(), CompactionConfig()).compact()
+                except (CommitConflict, CommitFailed):
+                    pass
+        except BaseException as exc:
+            errors.append(exc)
+
+    threads = [
+        threading.Thread(target=writer, args=(w,))
+        for w in range(n_threads)
+    ] + [threading.Thread(target=maintainer)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errors, errors
+
+    t = LakeTable(spark, md.read_current(root))
+    ids = [s.snapshot_id for s in t.meta.snapshots]
+    assert ids == list(range(1, len(ids) + 1))  # contiguous chain
+    assert len(ids) >= n_threads * n_rounds  # every commit landed
+
+    # last overwrite was round 8 (10 rows, k in [8000, 8010)); no
+    # appends after it per thread order
+    rows = t.read().collect()
+    by_p: dict[int, list] = {}
+    for r in rows:
+        by_p.setdefault(r["p"], []).append((r["k"], r["round"]))
+    assert set(by_p) == set(range(n_threads))
+    expected = sorted((k, 8) for k in range(8000, 8010))
+    for p, got in by_p.items():
+        assert sorted(got) == expected, (p, sorted(got)[:5])
+
+
+def test_overwrite_conflict_validation_is_precise(spark, tmp_path):
+    """The overwrite's conflict validation must reject EXACTLY the
+    unsafe interleavings: an append that slipped into a touched
+    partition between plan and commit fails the commit; an append
+    into an untouched partition does not."""
+    from bergloom_spark.lake import metadata as md2
+    from bergloom_spark.lake import writer as wr
+    from bergloom_spark.lake.commit import (
+        CommitFailed,
+        RetryConfig,
+        RewriteFilesCommitManager,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("p", T.LongType(), False),
+            T.StructField("k", T.LongType(), False),
+        ]
+    )
+
+    def _df(p, base, n):
+        return spark.range(base, base + n).select(
+            F.lit(p).cast("long").alias("p"), F.col("id").alias("k")
+        )
+
+    def _plan_overwrite(t, df):
+        """The write-files-then-commit split inside
+        overwrite_partitions (table.py), exposed so a concurrent
+        commit can land in the gap."""
+        add_entries = wr.write_data_files(
+            df, t.meta.table_root, t.meta.last_sequence_number + 1,
+            128 * 1024 * 1024, partition_spec=t.meta.partition_spec,
+        )
+        touched = {
+            tuple(sorted(e.partition.items())) for e in add_entries
+        }
+        cur = t.meta.current_snapshot()
+        remove = {
+            e.file_path
+            for e in (cur.entries if cur else [])
+            if e.content == md2.DATA
+            and tuple(sorted(e.partition.items())) in touched
+        }
+        mgr = RewriteFilesCommitManager(
+            table_root=t.meta.table_root,
+            starting_schema_id=t.meta.schema_id,
+            starting_sequence_number=t.meta.last_sequence_number + 1,
+            use_starting_sequence_number=False,
+            retry=RetryConfig(max_retries=2),
+        )
+        return lambda: mgr.rewrite_files(
+            add_entries, remove, operation="overwrite",
+            overwritten_partitions=touched,
+        )
+
+    # unsafe: append into the touched partition during the gap
+    root1 = str(tmp_path / "unsafe")
+    t1 = LakeTable.create(spark, root1, schema, partition_spec=["p"])
+    t1.append(_df(1, 0, 5))
+    commit = _plan_overwrite(t1.refresh(), _df(1, 100, 5))
+    t1.refresh().append(_df(1, 50, 3))  # races into p=1
+    with pytest.raises(CommitFailed, match="concurrently"):
+        commit()
+
+    # safe: append into a DIFFERENT partition during the gap
+    root2 = str(tmp_path / "safe")
+    t2 = LakeTable.create(spark, root2, schema, partition_spec=["p"])
+    t2.append(_df(1, 0, 5))
+    commit = _plan_overwrite(t2.refresh(), _df(1, 100, 5))
+    t2.refresh().append(_df(2, 50, 3))  # untouched partition
+    commit()  # must succeed
+    rows = {(r["p"], r["k"]) for r in t2.refresh().read().collect()}
+    assert rows == {(1, k) for k in range(100, 105)} | {
+        (2, k) for k in range(50, 53)
+    }

@@ -127,9 +127,31 @@ def main() -> None:
         f"{out}/lineitem.parquet"
     )
 
+    # events: 10x with shifted ids (round 5 — the streaming ingest /
+    # rollup exponents are meaningless against a same-size events
+    # table). Timestamps keep their range (density grows, the window
+    # count does not — matching how a busier service scales).
+    ev = spark.read.parquet(f"{SRC}/events.parquet")
+    n_ev = ev.agg(F.max("event_id")).first()[0] + 1
+    n_usr = ev.agg(F.max("user_id")).first()[0] + 1
+    evparts = [
+        ev.select(
+            (F.col("event_id") + F.lit(i * n_ev)).alias("event_id"),
+            (F.col("user_id") + F.lit(i * n_usr)).alias("user_id"),
+            *[c for c in ev.columns if c not in ("event_id", "user_id")],
+        )
+        for i in range(COPIES)
+    ]
+    evbig = evparts[0]
+    for p in evparts[1:]:
+        evbig = evbig.unionByName(p)
+    evbig.repartition(32).write.mode("overwrite").parquet(
+        f"{out}/events.parquet"
+    )
+
     # remaining tables: plain copies (only referenced for completeness)
     for t in (
-        "region nation customer supplier part orders events".split()
+        "region nation customer supplier part orders".split()
     ):
         spark.read.parquet(f"{SRC}/{t}.parquet").write.mode(
             "overwrite"

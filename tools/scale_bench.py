@@ -39,6 +39,13 @@ HEAVY = [
     # lake write path (scratch tables built from lineitem)
     "merge_into",
     "overwrite_partitions",
+    # round-5: streaming surfaces (VERDICT r4 #5) — each is a REAL
+    # availableNow run (exactly-once ingest / streaming MERGE /
+    # changelog replication), so the exponent measures the full
+    # stream machinery including the Arrow-batched lakestream read.
+    "streaming_lake_ingest",
+    "streaming_cdc_apply",
+    "lakestream_replicate",
 ]
 
 SF01 = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
