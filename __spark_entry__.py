@@ -5363,13 +5363,50 @@ def _driver_verified() -> set:
     return set(_last_green_round())
 
 
+# Queries whose CODE PATH changed this round (review r5: pure
+# staleness would park them at their last green round's position —
+# outside the window — exactly when fresh verification matters most).
+# This list ACCELERATES verification of changed code; it cannot
+# starve anything: it is capped (tests) so the staleness tail keeps
+# most of the window, and even a forgotten entry still rotates in by
+# age within a few rounds — the r3 hand-list failure mode (silent
+# permanent staleness) is structurally gone.
+_CHANGED_THIS_ROUND = [
+    # round 5: committed-chain readers + delete-partition pruning
+    "lakestream_source",
+    "lakestream_changelog",
+    "lakestream_replicate",
+    "streaming_lake_ingest",
+    "streaming_cdc_apply",
+    # sorted-fallback rework + scheduler interaction
+    "sorted_maintenance",
+    "auto_maintenance",
+    "maintenance_fleet",
+    # gapfill range pre-split rewrite
+    "gapfill_locf",
+    "gapfill_interp",
+    # matmul broadcast lifetime + image decode dispatch
+    "embedding_dedup",
+    "multimodal_decode_real",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     all_q = _all_queries()
     last = _last_green_round()
     reg_index = {n: i for i, n in enumerate(all_q)}
-    # Stalest first: never-verified (round 0) lead, then oldest green
-    # rows; registration order breaks ties deterministically.
-    ordered = sorted(all_q, key=lambda n: (last.get(n, 0), reg_index[n]))
+    # 1. never-verified (round 0 in the staleness key), 2. queries
+    # whose code changed this round, 3. everything else stalest-first;
+    # registration order breaks ties deterministically.
+    changed = {n for n in _CHANGED_THIS_ROUND if n in all_q}
+    ordered = sorted(
+        all_q,
+        key=lambda n: (
+            last.get(n, 0) if n not in changed else min(last.get(n, 0), 1),
+            n not in changed,
+            reg_index[n],
+        ),
+    )
     return {n: all_q[n] for n in ordered}
 
 

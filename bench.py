@@ -78,11 +78,16 @@ def _cpu_calibration() -> float:
     is the machine, not the plans."""
     import numpy as np
 
-    a = np.arange(1024 * 1024, dtype=np.float64).reshape(1024, 1024)
-    a /= a.max()
+    # Elementwise numpy only — a matmul would dispatch to OpenBLAS,
+    # whose thread count varies with host parallelism and would
+    # confound the single-core clock this probe exists to measure
+    # (review r5). Elementwise ufuncs and the Python loop are
+    # single-threaded by construction.
+    a = np.arange(4 * 1024 * 1024, dtype=np.float64) / (4 * 1024 * 1024)
     t0 = time.monotonic()
     for _ in range(8):
-        a = (a @ a) % 1.0 + 0.1
+        a = np.sin(a) * 1.1 + 0.1
+        a -= np.floor(a)
     acc = 0
     for i in range(2_000_000):
         acc += i * i % 7

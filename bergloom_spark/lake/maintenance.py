@@ -118,14 +118,24 @@ def run_maintenance(
                 zorder=zorder,
             ).compact()
             report.strategy = "sorted-binpack" if cols else "binpack"
-        except Exception:
+        except Exception as exc:
             # Parse-time validation can't prove runtime viability
             # (e.g. zorder over a parseable-but-non-interleavable
             # column): a failing SORTED rewrite must degrade to plain
             # binpack, not brick every maintenance tick for this table
             # (advice r4). A failed attempt commits nothing (commit is
             # the rewrite's last step), so the retry is clean.
-            if not cols:
+            # CAS losses are NOT sort-order problems (review r5):
+            # degrading on CommitConflict/CommitFailed would fold the
+            # debt unsorted and defer the declared clustering
+            # indefinitely — re-raise so the caller/scheduler retries
+            # the SORTED rewrite on its next tick.
+            from bergloom_spark.lake.commit import CommitFailed
+            from bergloom_spark.lake.metadata import CommitConflict
+
+            if not cols or isinstance(
+                exc, (CommitConflict, CommitFailed)
+            ):
                 raise
             BinpackCompaction(
                 table,

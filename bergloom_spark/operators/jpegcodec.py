@@ -475,6 +475,17 @@ def decode_jpeg_baseline(payload: bytes) -> np.ndarray:
                     c for c in frame["comps"] if c["id"] == cs
                 )
                 scan.append((comp, tdta >> 4, tdta & 0x0F))
+            if len(scan) != len(frame["comps"]):
+                # Legal baseline JPEGs may split components across
+                # multiple non-interleaved scans; decoding only the
+                # first would silently return color-shifted garbage —
+                # raise like the progressive path does (review r5).
+                raise ValueError(
+                    f"non-interleaved scan ({len(scan)} of "
+                    f"{len(frame['comps'])} components): only a "
+                    "single fully interleaved baseline scan is "
+                    "supported"
+                )
             pos += seglen
             return _decode_scan(
                 d, pos, frame, scan, qtables, htables, restart_interval

@@ -201,12 +201,14 @@ def embedding_dedup_pairs_matmul(
     ~1e-15, absorbed by the shared round-to-6 before the ≥ filter
     (same argument as knn_bruteforce_vectorized, driver-verified).
 
-    Broadcast lifetime (advice r4): each call broadcasts the resident
-    corpus (up to ~5 GB at the default cap). The PREVIOUS call's
-    broadcast is destroyed on entry, so a long-lived session holds at
-    most one — the contract is therefore *consume the returned
-    DataFrame before calling again*; interleaving two un-consumed
-    results would break the older one.
+    Broadcast lifetime (advice r4, refined review r5): each call
+    broadcasts the resident corpus (up to ~5 GB at the default cap).
+    The PREVIOUS call's broadcast is unpersisted (non-blocking) on
+    entry, so executor memory holds at most one resident copy in a
+    long-lived session; an older un-consumed result DataFrame stays
+    valid — its tasks transparently re-fetch from the driver. Driver
+    memory for a broadcast is released when the last DataFrame
+    referencing it is garbage collected.
     """
     import numpy as np
     import pandas as pd
@@ -230,7 +232,13 @@ def embedding_dedup_pairs_matmul(
     global _matmul_prev_bc
     if _matmul_prev_bc is not None:
         try:
-            _matmul_prev_bc.destroy()
+            # unpersist, NOT destroy (review r5): destroy would break
+            # a still-unconsumed DataFrame from the previous call with
+            # an opaque executor failure (Spark is lazy); unpersist
+            # reclaims the executor copies — the dominant cost — while
+            # tasks that still need the value re-fetch it from the
+            # driver transparently.
+            _matmul_prev_bc.unpersist(blocking=False)
         except Exception:
             pass
     bc = spark.sparkContext.broadcast((all_ids, M))

@@ -361,10 +361,21 @@ def _eq_key_probes(entries) -> list:
         if not e.record_count or e.record_count <= _PRUNE_READ_CAP_ROWS:
             try:
                 kt = pq.read_table(e.file_path, columns=list(e.equality_ids))
+                raw = {
+                    c: kt.column(c).to_pylist() for c in e.equality_ids
+                }
+                # A NULL anywhere in the key columns disables pruning
+                # for this ENTIRE file: the read path's pandas merge
+                # matches null==null, but manifest min/max stats and
+                # blooms carry no evidence about null rows — pruning
+                # on the non-null values would drop the delete events
+                # for null-key rows (review r5).
+                if any(
+                    v is None for vals in raw.values() for v in vals
+                ):
+                    raise ValueError("null key: no pruning evidence")
                 for c in e.equality_ids:
-                    vals = [
-                        v for v in kt.column(c).to_pylist() if v is not None
-                    ]
+                    vals = raw[c]
                     if vals and all(
                         isinstance(v, (int, float))
                         and not isinstance(v, bool)

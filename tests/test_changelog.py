@@ -326,3 +326,46 @@ def test_replicate_converges_through_overwrite(spark, tmp_path):
     assert {tuple(r) for r in dst.read().collect()} == {
         tuple(r) for r in src.read().collect()
     }
+
+
+def test_null_eq_keys_disable_pruning(spark, tmp_path):
+    """Review r5: stats/bloom evidence says nothing about NULL key
+    rows (the read path matches null==null), so an eq-delete file
+    containing any NULL key must disable pruning for that file."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from bergloom_spark.lake.metadata import ManifestEntry
+    from bergloom_spark.sources.lakestream import (
+        _eq_key_probes,
+        _eq_may_hit,
+    )
+
+    path = str(tmp_path / "eq.parquet")
+    pq.write_table(
+        pa.table({"id": pa.array([150, 151, None], pa.int64())}), path
+    )
+    entry = ManifestEntry(
+        content="eq_delete", file_path=path, record_count=3,
+        file_size_bytes=1, sequence_number=2, equality_ids=["id"],
+    )
+    probes = _eq_key_probes([entry])
+    assert probes == [({}, {})]
+    # a data file whose stats exclude 150..154 must still be kept
+    data = ManifestEntry(
+        content="data", file_path="x", record_count=10,
+        file_size_bytes=1, sequence_number=1,
+        column_stats={"id": [0, 99]},
+    )
+    assert _eq_may_hit(data, ("id",), probes[0])
+    # and WITHOUT the null, the same file prunes
+    path2 = str(tmp_path / "eq2.parquet")
+    pq.write_table(
+        pa.table({"id": pa.array([150, 151], pa.int64())}), path2
+    )
+    entry2 = ManifestEntry(
+        content="eq_delete", file_path=path2, record_count=2,
+        file_size_bytes=1, sequence_number=2, equality_ids=["id"],
+    )
+    probes2 = _eq_key_probes([entry2])
+    assert not _eq_may_hit(data, ("id",), probes2[0])

@@ -180,3 +180,22 @@ def test_jpeg_rejects_progressive_and_garbage():
         JC.decode_jpeg_baseline(bytes(enc))
     with pytest.raises(ValueError, match="SOI"):
         JC.decode_jpeg_baseline(b"\x89PNG....")
+
+
+def test_jpeg_rejects_non_interleaved_multi_scan():
+    """Review r5: a legal baseline JPEG may split components across
+    scans; decoding only the first would silently return color-shifted
+    garbage — it must raise instead."""
+    import struct
+
+    img = np.full((8, 8, 3), 99, np.uint8)
+    enc = JC.encode_jpeg_baseline(img, 95)
+    sos = enc.find(b"\xff\xda")
+    seglen = struct.unpack_from(">H", enc, sos + 2)[0]
+    single = (
+        b"\xff\xda" + struct.pack(">HB", 8, 1) + bytes([1, 0x00])
+        + b"\x00\x3f\x00"
+    )
+    hacked = enc[:sos] + single + enc[sos + 2 + seglen:]
+    with pytest.raises(ValueError, match="non-interleaved"):
+        JC.decode_jpeg_baseline(hacked)

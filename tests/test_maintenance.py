@@ -167,3 +167,30 @@ def test_sorted_rewrite_runtime_failure_degrades_to_binpack(
     rep = mt.run_maintenance(t, mt.MaintenancePolicy(min_small_files=2))
     assert rep.binpacked and rep.strategy == "binpack(sorted-fallback)"
     assert t.refresh().read().count() == 500
+
+
+def test_commit_conflict_does_not_degrade_sorted_rewrite(
+    spark, tmp_path, monkeypatch
+):
+    """Review r5: a CAS loss is not a sort-order problem — degrading
+    to unsorted binpack on CommitFailed would consume the small-file
+    debt unsorted and defer the declared clustering indefinitely.
+    Conflicts must re-raise for the caller's next tick."""
+    import bergloom_spark.lake.maintenance as mt
+    from bergloom_spark.lake.commit import CommitFailed
+    from bergloom_spark.lake.table import SORT_ORDER_PROP
+
+    base = spark.range(400).select(F.col("id"), (F.col("id") * 2).alias("v"))
+    t = LakeTable.create(spark, str(tmp_path / "t"), base.schema)
+    for i in range(4):
+        t.append(
+            base.filter(F.col("id") % 4 == i),
+            properties_update={SORT_ORDER_PROP: "id"} if i == 0 else None,
+        )
+
+    def conflicted(self):
+        raise CommitFailed("lost the CAS race")
+
+    monkeypatch.setattr(mt.BinpackCompaction, "compact", conflicted)
+    with pytest.raises(CommitFailed):
+        mt.run_maintenance(t, mt.MaintenancePolicy(min_small_files=2))

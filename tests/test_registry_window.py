@@ -40,22 +40,44 @@ def test_never_verified_queries_lead_the_window():
 
 
 def test_window_is_the_stalest_queries():
-    """VERDICT r4 #1: the first 50 slots must be exactly the 50
-    queries whose most recent green driver row is oldest (never-
-    verified counting as round 0) — no hand list, no dict-order
-    tail; the rotation refreshes the oldest rows every round."""
+    """VERDICT r4 #1 + review r5: never-verified lead, this round's
+    behavior-changed queries all sit inside the window, and the rest
+    of the order is staleness-sorted — the rotation refreshes the
+    oldest rows every round with no dict-order tail."""
     registered = list(entry.queries())
     last = entry._last_green_round()
-    rounds = [last.get(n, 0) for n in registered]
-    # The staleness key must be non-decreasing over the whole order.
-    assert rounds == sorted(rounds), (
-        "queries() ordering is not staleness-sorted"
+    changed = {
+        n for n in entry._CHANGED_THIS_ROUND if n in set(registered)
+    }
+    window = set(registered[:DRIVER_WINDOW])
+    missing = [n for n in changed if n not in window]
+    assert not missing, (
+        f"behavior-changed queries outside the window: {missing}"
     )
-    # And nothing outside the window is staler than anything inside.
-    if len(registered) > DRIVER_WINDOW:
-        max_in = max(rounds[:DRIVER_WINDOW])
-        min_out = min(rounds[DRIVER_WINDOW:])
-        assert max_in <= min_out
+    rest = [n for n in registered if n not in changed]
+    rounds = [last.get(n, 0) for n in rest]
+    # Excluding the changed block, staleness is non-decreasing.
+    assert rounds == sorted(rounds), (
+        "queries() tail ordering is not staleness-sorted"
+    )
+    # And among the rest, nothing outside the window is staler than
+    # anything inside.
+    in_rest = [last.get(n, 0) for n in rest if n in window]
+    out_rest = [last.get(n, 0) for n in rest if n not in window]
+    if in_rest and out_rest:
+        assert max(in_rest) <= min(out_rest)
+
+
+def test_changed_list_cannot_starve_the_staleness_tail():
+    """The changed-this-round boost is an accelerator, not a hand-
+    rotation: cap it so the staleness tail keeps most of the window
+    (the r3 failure mode was a hand list owning ALL the slots)."""
+    assert len(entry._CHANGED_THIS_ROUND) <= 20
+    # every entry must name a registered query (a typo'd entry would
+    # silently verify nothing)
+    registered = set(entry._all_queries())
+    bogus = [n for n in entry._CHANGED_THIS_ROUND if n not in registered]
+    assert not bogus, bogus
 
 
 def test_window_not_overfull():
