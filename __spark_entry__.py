@@ -489,6 +489,31 @@ _MOR_ORACLES = {
     """,
     # Final replica state: odd rows, %50==1 re-inserted with +1000
     # quantity, %10==5 deleted (disjoint sets — %50==1 ⇒ %10==1).
+    # Continuous aggregate: the rollup's incremental micro-unit state
+    # must equal the one-shot aggregation of the source's FINAL state
+    # (append %4==1 → MERGE +1000 on %100==1 → delete %10==5 →
+    # compaction → append %4==3; the delete precedes the second
+    # append, so %4==3 rows survive it).
+    "continuous_rollup": """
+        WITH odd AS (
+          SELECT l_orderkey, l_linenumber,
+                 max(l_suppkey) AS l_suppkey,
+                 max(l_quantity) AS l_quantity
+          FROM lineitem WHERE l_orderkey % 2 = 1
+          GROUP BY l_orderkey, l_linenumber),
+        final AS (
+          SELECT l_suppkey,
+                 CASE WHEN l_orderkey % 100 = 1
+                      THEN l_quantity + 1000.0
+                      ELSE l_quantity END AS q
+          FROM odd
+          WHERE (l_orderkey % 4 = 1 AND l_orderkey % 10 <> 5)
+             OR l_orderkey % 4 = 3)
+        SELECT l_suppkey, count(*)::BIGINT AS cnt,
+               round(sum(CAST(round(q * 1000000.0) AS BIGINT))::DOUBLE
+                     / 1000000.0, 6) AS sum_qty
+        FROM final GROUP BY l_suppkey
+    """,
     "lakestream_replicate": """
         WITH odd AS (
           SELECT l_orderkey, l_linenumber,
@@ -2251,6 +2276,79 @@ def q_lakestream_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+def q_continuous_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous aggregate (round 5): a per-supplier (count, sum)
+    rollup maintained INCREMENTALLY from the source table's changelog
+    (append → MERGE with +1000 bumps → delete → compaction, then a
+    second maintenance run over a further append) — the TimescaleDB
+    continuous-aggregate pattern on the lake substrate
+    (streaming/ingest.py maintain_rollup). The rollup's final state
+    must equal a one-shot aggregation of the source's final state,
+    which the oracle recomputes from raw parquet: the sum is held in
+    integer micro-units so incremental +/- folding in any order is
+    bit-equal to the one-shot sum. Cost per run ∝ change volume;
+    the compaction between runs emits nothing."""
+    from bergloom_spark.config import CompactionConfig
+    from bergloom_spark.lake import Compaction, LakeTable
+    from bergloom_spark.sources.lakestream import LakeStreamDataSource
+    from bergloom_spark.streaming.ingest import maintain_rollup
+    from pyspark.sql import types as ST
+
+    spark.dataSource.register(LakeStreamDataSource)
+    odd = (
+        T(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 2 == 1)
+        .groupBy("l_orderkey", "l_linenumber")
+        .agg(
+            F.max("l_partkey").alias("l_partkey"),
+            F.max("l_suppkey").alias("l_suppkey"),
+            F.max("l_quantity").alias("l_quantity"),
+        )
+        # materialize once: the history below reuses it four times
+        .localCheckpoint()
+    )
+    scratch = _scratch(prefix="bergloom-contagg-")
+    src_root = os.path.join(scratch, "src")
+    src = LakeTable.create(spark, src_root, odd.schema)
+    src.append(odd.filter(F.col("l_orderkey") % 4 == 1))
+    rollup_schema = ST.StructType(
+        [
+            ST.StructField("l_suppkey", ST.LongType()),
+            ST.StructField("cnt", ST.LongType()),
+            ST.StructField("sum_micro", ST.LongType()),
+        ]
+    )
+    agg = LakeTable.create(
+        spark, os.path.join(scratch, "agg"), rollup_schema
+    )
+    ckpt = os.path.join(scratch, "ckpt")
+    # first maintenance run over the initial append
+    agg = maintain_rollup(
+        spark, src_root, agg, ckpt, ["l_suppkey"], "l_quantity"
+    )
+    # more source history: MERGE bump (keys ⊂ the first append:
+    # %100==1 ⇒ %4==1, and %10==1 so never deleted below), delete,
+    # compaction, append
+    ups = odd.filter(F.col("l_orderkey") % 100 == 1).withColumn(
+        "l_quantity", F.col("l_quantity") + 1000.0
+    )
+    src.upsert(ups, ["l_orderkey", "l_linenumber"])
+    src.delete_where(F.col("l_orderkey") % 10 == 5)
+    Compaction(src, CompactionConfig()).compact()
+    src.append(odd.filter(F.col("l_orderkey") % 4 == 3))
+    # incremental second run folds ONLY the new changes
+    agg = maintain_rollup(
+        spark, src_root, agg, ckpt, ["l_suppkey"], "l_quantity"
+    )
+    return agg.read().select(
+        "l_suppkey",
+        "cnt",
+        F.round(F.col("sum_micro") / F.lit(1_000_000.0), 6).alias(
+            "sum_qty"
+        ),
+    )
 
 
 def q_lakestream_replicate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5469,6 +5567,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lakestream_source": q_lakestream_source,
         "lakestream_changelog": q_lakestream_changelog,
         "lakestream_replicate": q_lakestream_replicate,
+        "continuous_rollup": q_continuous_rollup,
         "tagged_release_read": q_tagged_release_read,
         "compact_binpack": q_compact_binpack,
         "partition_stats": q_partition_stats,

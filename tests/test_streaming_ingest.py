@@ -195,3 +195,78 @@ def test_ingest_with_inline_maintenance(spark, sf_dir):
         assert rewrites, "inline maintenance never fired"
         n_files = len(t.meta.current_snapshot().files(md.DATA))
         assert n_files < len(appends)
+
+
+def test_maintain_rollup_tracks_source_through_mixed_history(
+    spark, tmp_path
+):
+    """Continuous aggregate (round 5): after appends, a MERGE, a
+    delete, an INSERT OVERWRITE and a compaction, the incrementally
+    maintained rollup equals a one-shot aggregation of the source's
+    final state; a group whose last row is deleted leaves the rollup."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import types as T
+
+    from bergloom_spark.config import CompactionConfig
+    from bergloom_spark.lake import Compaction, LakeTable
+    from bergloom_spark.sources.lakestream import LakeStreamDataSource
+    from bergloom_spark.streaming.ingest import maintain_rollup
+
+    spark.dataSource.register(LakeStreamDataSource)
+    base = spark.range(100).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 7).alias("g"),
+        (F.col("id") * 1.5).alias("v"),
+    )
+    src_root = str(tmp_path / "src")
+    src = LakeTable.create(spark, src_root, base.schema)
+    src.append(base.filter(F.col("k") < 60))
+
+    agg_schema = T.StructType(
+        [
+            T.StructField("g", T.LongType()),
+            T.StructField("cnt", T.LongType()),
+            T.StructField("sum_micro", T.LongType()),
+        ]
+    )
+    agg = LakeTable.create(spark, str(tmp_path / "agg"), agg_schema)
+    ckpt = str(tmp_path / "ck")
+    agg = maintain_rollup(spark, src_root, agg, ckpt, ["g"], "v")
+
+    # mixed further history, then an incremental run
+    src.upsert(
+        spark.range(10, 20).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 7).alias("g"),
+            F.lit(500.0).alias("v"),
+        ),
+        ["k"],
+    )
+    src.delete_where(F.col("k") % 9 == 4)
+    Compaction(src, CompactionConfig()).compact()
+    src.append(base.filter(F.col("k") >= 60))
+    agg = maintain_rollup(spark, src_root, agg, ckpt, ["g"], "v")
+
+    got = {
+        r["g"]: (r["cnt"], r["sum_micro"])
+        for r in agg.read().collect()
+    }
+    expected = {
+        r["g"]: (r["cnt"], r["sum_micro"])
+        for r in src.read()
+        .groupBy("g")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+            F.sum(
+                F.round(F.col("v") * 1_000_000.0).cast("long")
+            ).cast("long").alias("sum_micro"),
+        )
+        .collect()
+    }
+    assert got == expected
+
+    # delete an entire group -> its rollup row must disappear
+    src.delete_where(F.col("g") == 3)
+    agg = maintain_rollup(spark, src_root, agg, ckpt, ["g"], "v")
+    assert 3 not in {r["g"] for r in agg.read().collect()}
+    assert {r["g"] for r in agg.read().collect()} == set(range(7)) - {3}
