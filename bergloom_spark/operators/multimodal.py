@@ -204,18 +204,21 @@ def resize_images(
     height: int,
     payload_col: str = "payload",
     use_real_kernel: bool = False,
+    preserve_format: bool = False,
 ) -> DataFrame:
     """Arrow-batched image resize: payload in, resized payload +
     updated dims out.
 
     The Spark side (schema, mapInPandas batch loop, metadata update)
     is real; the pixel kernel is `fake_resize` unless
-    ``use_real_kernel``. The real kernel decodes P6 PPM / 24-bit BMP
-    with the dependency-free numpy codec, nearest-neighbor resizes,
-    and re-encodes as PPM — no PIL needed for those formats (PIL
-    remains the gate for compressed inputs). At scale: payloads never
-    become a shuffle key; this stage is a pure map over whatever
-    partitioning the scan produced."""
+    ``use_real_kernel``. The real kernel decodes P6 PPM, 24-bit BMP,
+    or baseline JPEG (round 5, `jpegcodec.py`) with the
+    dependency-free numpy codecs, nearest-neighbor resizes, and
+    re-encodes — as PPM by default, or back into the input's own
+    format (BMP/JPEG-q90/PPM by magic bytes) with
+    ``preserve_format=True``. At scale: payloads never become a
+    shuffle key; this stage is a pure map over whatever partitioning
+    the scan produced."""
     import pandas as pd
     from typing import Iterator
 
@@ -231,14 +234,23 @@ def resize_images(
     if use_real_kernel:
         from bergloom_spark.operators.imagecodec import (
             decode_image_array,
+            encode_bmp,
             encode_ppm,
             resize_nearest,
         )
+        from bergloom_spark.operators.jpegcodec import (
+            encode_jpeg_baseline,
+        )
 
         def kernel(b: bytes) -> bytes:
-            return encode_ppm(
-                resize_nearest(decode_image_array(bytes(b)), width, height)
-            )
+            b = bytes(b)
+            arr = resize_nearest(decode_image_array(b), width, height)
+            if preserve_format:
+                if b[:2] == b"BM":
+                    return encode_bmp(arr)
+                if b[:2] == b"\xff\xd8":
+                    return encode_jpeg_baseline(arr, quality=90)
+            return encode_ppm(arr)
 
     else:
 

@@ -125,3 +125,39 @@ def test_fake_embed_matches_sql_twin(spark, tmp_path):
         ).fetchall()
     }
     assert sp == ora
+
+
+def test_resize_preserves_format_including_jpeg(spark):
+    """Round 5: with preserve_format=True the real resize kernel
+    re-encodes each payload in its own format — JPEG in, JPEG out."""
+    import numpy as np
+
+    from bergloom_spark.operators.imagecodec import (
+        decode_image_array,
+        encode_bmp,
+        encode_ppm,
+    )
+    from bergloom_spark.operators.jpegcodec import encode_jpeg_baseline
+    from bergloom_spark.operators.multimodal import resize_images
+
+    img = np.full((16, 16, 3), 120, np.uint8)
+    rows = [
+        (1, encode_ppm(img)),
+        (2, encode_bmp(img)),
+        (3, encode_jpeg_baseline(img, 95)),
+    ]
+    df = spark.createDataFrame(rows, "id long, payload binary")
+    out = {
+        r["id"]: bytes(r["payload"])
+        for r in resize_images(
+            df, 8, 8, use_real_kernel=True, preserve_format=True
+        ).collect()
+    }
+    assert out[1][:2] == b"P6"
+    assert out[2][:2] == b"BM"
+    assert out[3][:2] == b"\xff\xd8"
+    for i in (1, 2, 3):
+        arr = decode_image_array(out[i])
+        assert arr.shape == (8, 8, 3)
+        # flat image survives even the lossy path exactly at q90
+        assert int(arr[0, 0, 0]) == 120 or abs(int(arr[0, 0, 0]) - 120) <= 1
