@@ -46,6 +46,10 @@ HEAVY = [
     "streaming_lake_ingest",
     "streaming_cdc_apply",
     "lakestream_replicate",
+    # round-5: gapfill hot-series pre-split (VERDICT r4 #4) and the
+    # continuous aggregate (incremental changelog-fed rollup)
+    "gapfill_locf",
+    "continuous_rollup",
 ]
 
 SF01 = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
