@@ -2351,6 +2351,53 @@ def q_continuous_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_incremental_dedup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally maintained MinHash index (round 5): the corpus
+    lives in a LakeTable; a signature index table follows it through
+    append → append → delete → compaction via the changelog
+    (streaming/ingest.py maintain_minhash_index) — the shingle+hash
+    pass runs ONLY over changed documents, never the corpus, and the
+    compaction emits nothing. Near-dup pairs are then computed FROM
+    THE INDEX ALONE (dedup.minhash_lsh_pairs_from_sigs); the oracle
+    recomputes the same pairs one-shot over the corpus's final state
+    — index-fed pairs must be indistinguishable from freshly-computed
+    ones."""
+    from bergloom_spark.config import CompactionConfig
+    from bergloom_spark.lake import Compaction, LakeTable
+    from bergloom_spark.operators.dedup import minhash_lsh_pairs_from_sigs
+    from bergloom_spark.sources.lakestream import LakeStreamDataSource
+    from bergloom_spark.streaming.ingest import maintain_minhash_index
+    from pyspark.sql import types as ST
+
+    spark.dataSource.register(LakeStreamDataSource)
+    docs = TS(spark, sf_dir, "documents").select("doc_id", "text")
+    scratch = _scratch(prefix="bergloom-dedupindex-")
+    src_root = os.path.join(scratch, "src")
+    src = LakeTable.create(spark, src_root, docs.schema)
+    src.append(docs.filter(F.col("doc_id") % 2 == 0))
+    idx = LakeTable.create(
+        spark,
+        os.path.join(scratch, "idx"),
+        ST.StructType(
+            [
+                ST.StructField("doc_id", ST.LongType()),
+                ST.StructField("sig", ST.ArrayType(ST.LongType())),
+            ]
+        ),
+    )
+    ckpt = os.path.join(scratch, "ckpt")
+    idx = maintain_minhash_index(spark, src_root, idx, ckpt)
+    # corpus evolves: the rest arrives, some docs retire, compaction
+    src.append(docs.filter(F.col("doc_id") % 2 == 1))
+    src.delete_where(F.col("doc_id") % 7 == 3)
+    Compaction(src, CompactionConfig()).compact()
+    idx = maintain_minhash_index(spark, src_root, idx, ckpt)
+    sigs = idx.read().select(
+        F.col("doc_id").alias("__id"), F.col("sig").alias("__sig")
+    )
+    return minhash_lsh_pairs_from_sigs(sigs, k=8, bands=4, threshold=0.25)
+
+
 def q_lakestream_replicate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC replication (round 4): the source table's changelog stream
     (append → MERGE → delete → compaction) applied to an EMPTY replica
@@ -4501,6 +4548,34 @@ _MINHASH_PAIRS_SQL = f"""
               i -> sa.sig[i] = sb.sig[i])) / 8.0, 6) >= 0.25
 """
 
+# Incremental index parity: same pair pipeline, but over the corpus's
+# FINAL state after the evolve history (all docs minus doc_id%7==3 —
+# the delete lands after both appends).
+_INCREMENTAL_INDEX_SQL = f"""
+        WITH sigs AS (
+          SELECT doc_id, {dedup.minhash_signature_sql('text', 8, 3)} AS sig
+          FROM documents WHERE doc_id % 7 <> 3),
+        banded AS (
+          SELECT doc_id, sig, b.range AS band,
+                 array_to_string(list_transform(
+                   list_slice(sig, b.range * 2 + 1, b.range * 2 + 2),
+                   x -> x::VARCHAR), ',') AS bkey
+          FROM sigs, range(0, 4) b),
+        pairs AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM banded a JOIN banded b
+            ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+        SELECT id_a, id_b,
+               round(len(list_filter(range(1, 9),
+                     i -> sa.sig[i] = sb.sig[i])) / 8.0, 6) AS est_jaccard
+        FROM pairs
+        JOIN sigs sa ON sa.doc_id = id_a
+        JOIN sigs sb ON sb.doc_id = id_b
+        WHERE round(len(list_filter(range(1, 9),
+              i -> sa.sig[i] = sb.sig[i])) / 8.0, 6) >= 0.25
+"""
+
+
 def _bm25_oracle() -> str:
     from bergloom_spark.operators.search import bm25_sql
 
@@ -4980,6 +5055,7 @@ _EXT_ORACLES = {
         FROM pairs WHERE bit_count(xor(sha, shb)) <= 3
     """,
     "minhash_lsh_pairs": _MINHASH_PAIRS_SQL,
+    "incremental_dedup_index": _INCREMENTAL_INDEX_SQL,
     # Brute-force ground truth: every doc pair's exact Jaccard over
     # distinct shingle hashes (the same 60-bit md5 hash both engines
     # share), rounded before the threshold compare like the Spark side.
@@ -5568,6 +5644,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lakestream_changelog": q_lakestream_changelog,
         "lakestream_replicate": q_lakestream_replicate,
         "continuous_rollup": q_continuous_rollup,
+        "incremental_dedup_index": q_incremental_dedup_index,
         "tagged_release_read": q_tagged_release_read,
         "compact_binpack": q_compact_binpack,
         "partition_stats": q_partition_stats,

@@ -224,6 +224,11 @@ def replicate_changelog(
         t = target.refresh()
         if _is_replay(t.meta.properties, prop, batch_id):
             return
+        if not batch_df.take(1):
+            # a compaction/clone-only offset range emits no change
+            # rows — skip the empty commit (replaying an empty batch
+            # re-applies nothing, so the unadvanced guard is safe)
+            return
         changes = batch_df.select(
             *[c for c in batch_df.columns
               if c not in ("_change_type", "_commit_snapshot_id")],
@@ -387,3 +392,117 @@ def maintain_rollup(
     )
     q.awaitTermination()
     return target.refresh()
+
+
+def replicate_derived(
+    spark,
+    source_root: str,
+    target: LakeTable,
+    checkpoint_dir: str,
+    key_cols: list[str],
+    derive,
+) -> LakeTable:
+    """Maintain a DERIVED table from a source's changelog stream —
+    the materialized-view pattern for row-wise derivations (round 5).
+
+    ``derive(batch_df) -> DataFrame`` must be a ROW-PRESERVING map
+    (select/withColumn — no aggregation, no row count change) from
+    the source schema to the target's columns, passing
+    ``_change_type`` and ``_commit_snapshot_id`` through untouched.
+    Each source insert upserts the derived row, each delete removes
+    it by key, one atomic equality-delta commit per micro-batch with
+    the usual batch-id exactly-once guard. Cost ∝ change volume: the
+    derivation runs only over changed rows, never the corpus —
+    compactions emit nothing.
+
+    This is :func:`replicate_changelog` with a transform seam; the
+    flagship use is :func:`maintain_minhash_index` (a dedup signature
+    index that stays fresh as the corpus evolves, without ever
+    re-shingling unchanged documents).
+    """
+    from pyspark.sql import functions as F
+
+    prop = guard_key_for_checkpoint(checkpoint_dir)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        t = target.refresh()
+        if _is_replay(t.meta.properties, prop, batch_id):
+            return
+        if not batch_df.take(1):
+            return  # compaction-only range: nothing derived, no commit
+        derived = derive(batch_df)
+        changes = derived.select(
+            *[
+                c
+                for c in derived.columns
+                if c not in ("_change_type", "_commit_snapshot_id")
+            ],
+            F.when(F.col("_change_type") == "delete", F.lit("D"))
+            .otherwise(F.lit("U"))
+            .alias("__op"),
+            (
+                F.col("_commit_snapshot_id") * 2
+                + F.when(F.col("_change_type") == "insert", 1).otherwise(0)
+            ).alias("__ord"),
+        )
+        t.apply_changes(
+            changes,
+            list(key_cols),
+            op_col="__op",
+            order_col="__ord",
+            properties_update={prop: str(batch_id)},
+        )
+
+    q = (
+        spark.readStream.format("lakestream")
+        .option("path", source_root)
+        .option("changelog", "true")
+        .load()
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return target.refresh()
+
+
+def maintain_minhash_index(
+    spark,
+    source_root: str,
+    index: LakeTable,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    shingle_n: int = 3,
+) -> LakeTable:
+    """Incrementally maintained MinHash signature index (round 5):
+    the corpus-sized shingle+hash pass runs ONLY over changed
+    documents — the index follows the corpus through appends, MERGEs,
+    deletes, and overwrites without ever re-shingling an unchanged
+    row (compactions cost nothing). Pair queries then run from the
+    index alone via
+    :func:`bergloom_spark.operators.dedup.minhash_lsh_pairs_from_sigs`
+    — the batch-vs-index incremental dedup pattern with the index
+    itself kept fresh by the changelog.
+
+    Index schema: ``[id_col LONG, sig ARRAY<BIGINT>]``.
+    """
+    from pyspark.sql import functions as F
+
+    from bergloom_spark.operators.dedup import minhash_signature
+
+    def derive(batch_df: DataFrame) -> DataFrame:
+        return batch_df.select(
+            F.col(id_col),
+            minhash_signature(text_col, k=k, shingle_n=shingle_n).alias(
+                "sig"
+            ),
+            "_change_type",
+            "_commit_snapshot_id",
+        )
+
+    return replicate_derived(
+        spark, source_root, index, checkpoint_dir, [id_col], derive
+    )

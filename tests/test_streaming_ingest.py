@@ -270,3 +270,73 @@ def test_maintain_rollup_tracks_source_through_mixed_history(
     agg = maintain_rollup(spark, src_root, agg, ckpt, ["g"], "v")
     assert 3 not in {r["g"] for r in agg.read().collect()}
     assert {r["g"] for r in agg.read().collect()} == set(range(7)) - {3}
+
+
+def test_maintain_minhash_index_matches_fresh_signatures(spark, tmp_path):
+    """Round 5: the incrementally maintained signature index must be
+    byte-equal to freshly computed signatures of the corpus's final
+    state — through append, upsert (changed text ⇒ changed sig),
+    delete, and a compaction that must emit nothing."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import types as T
+
+    from bergloom_spark.config import CompactionConfig
+    from bergloom_spark.lake import Compaction, LakeTable
+    from bergloom_spark.operators.dedup import minhash_signature
+    from bergloom_spark.sources.lakestream import LakeStreamDataSource
+    from bergloom_spark.streaming.ingest import maintain_minhash_index
+
+    spark.dataSource.register(LakeStreamDataSource)
+    docs = spark.range(40).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("the quick brown fox number "), F.col("id").cast("string")
+        ).alias("text"),
+    )
+    src_root = str(tmp_path / "src")
+    src = LakeTable.create(spark, src_root, docs.schema)
+    src.append(docs.filter(F.col("doc_id") < 25))
+
+    idx = LakeTable.create(
+        spark,
+        str(tmp_path / "idx"),
+        T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("sig", T.ArrayType(T.LongType())),
+            ]
+        ),
+    )
+    ckpt = str(tmp_path / "ck")
+    idx = maintain_minhash_index(spark, src_root, idx, ckpt)
+    snaps_after_first = len(idx.meta.snapshots)
+
+    # evolve: new docs, one doc's text REWRITTEN, some retired, compact
+    src.append(docs.filter(F.col("doc_id") >= 25))
+    src.upsert(
+        spark.createDataFrame(
+            [(7, "completely different replacement text here")],
+            "doc_id long, text string",
+        ),
+        ["doc_id"],
+    )
+    src.delete_where(F.col("doc_id") % 9 == 2)
+    Compaction(src, CompactionConfig()).compact()
+    idx = maintain_minhash_index(spark, src_root, idx, ckpt)
+
+    got = {
+        r["doc_id"]: tuple(r["sig"]) for r in idx.read().collect()
+    }
+    fresh = {
+        r["doc_id"]: tuple(r["sig"])
+        for r in src.read()
+        .select("doc_id", minhash_signature("text").alias("sig"))
+        .collect()
+    }
+    assert got == fresh
+    # a third run over a compaction-only tail commits nothing
+    Compaction(src, CompactionConfig()).compact()
+    before = len(idx.refresh().meta.snapshots)
+    idx = maintain_minhash_index(spark, src_root, idx, ckpt)
+    assert len(idx.meta.snapshots) == before
+    assert snaps_after_first < before
