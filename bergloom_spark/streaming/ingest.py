@@ -355,7 +355,20 @@ def maintain_rollup(
             # nothing — replaying an empty batch re-applies nothing,
             # so skipping the guard write is safe and saves a snapshot
             return
-        cur = t.read().select(*group_cols, "cnt", "sum_micro")
+        # Only the TOUCHED groups' rollup rows flow: the delta is
+        # change-volume-sized, so broadcast it into a semi join — the
+        # rollup scan filters to touched rows before any exchange
+        # (with a clustered rollup the min/max file stats additionally
+        # prune whole files driver-side).
+        cur = (
+            t.read()
+            .select(*group_cols, "cnt", "sum_micro")
+            .join(
+                F.broadcast(delta.select(*group_cols)),
+                list(group_cols),
+                "left_semi",
+            )
+        )
         merged = delta.join(cur, list(group_cols), "left").select(
             *group_cols,
             (
