@@ -61,6 +61,10 @@ class _FilePartition(InputPartition):
     file_path: str
     columns: tuple
     schema_json: str
+    # ((col, value-or-None), ...) — the manifest's virtualized
+    # partition values for this file (Hive-style writes drop the
+    # partition columns from the parquet itself)
+    partition: tuple = ()
 
 
 @dataclasses.dataclass
@@ -86,6 +90,7 @@ class _ChangePartition(InputPartition):
     new_eq: tuple  # (path, key-cols tuple) this snapshot added
     columns: tuple
     schema_json: str
+    partition: tuple = ()  # virtualized partition values (see above)
 
 
 def _table_schema(table_root: str) -> T.StructType:
@@ -148,6 +153,41 @@ def _check_retained(chain, lo: int, hi: int) -> None:
     )
 
 
+def _read_data_file(file_path: str, columns, schema_json: str, partition):
+    """Read one data file as an Arrow table in the DECLARED schema,
+    reattaching virtualized partition columns from the manifest entry
+    (round 5 — partitioned-table support): Hive-style fanout writes
+    drop the partition columns from the parquet, so they come back as
+    constant arrays cast from the directory's string value. The full
+    cast also normalizes e.g. nanosecond timestamps, which the Python
+    source bridge refuses."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    target = to_arrow_schema(
+        T.StructType.fromJson(json.loads(schema_json))
+    )
+    pdict = dict(partition)
+    file_cols = [c for c in columns if c not in pdict]
+    tbl = pq.read_table(file_path, columns=file_cols)
+    n = tbl.num_rows
+    arrays = []
+    for name in columns:
+        field = target.field(name)
+        if name in pdict:
+            v = pdict[name]
+            if v is None:
+                arrays.append(pa.nulls(n, field.type))
+            else:
+                arrays.append(
+                    pa.array([v] * n, pa.string()).cast(field.type)
+                )
+        else:
+            arrays.append(tbl.column(name).cast(field.type))
+    return pa.Table.from_arrays(arrays, schema=target)
+
+
 class LakeStreamDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -180,14 +220,6 @@ class _LakeStreamReader(DataSourceStreamReader):
         self.max_files = int(options.get("maxfilesperbatch", 0))
         self.columns = tuple(f.name for f in schema.fields)
         self.schema_json = schema.json()
-        from bergloom_spark.lake import metadata as md
-
-        meta = md.read_current(self.table_root)
-        if meta.partition_spec:
-            raise ValueError(
-                "lakestream does not support partitioned tables yet "
-                "(virtualized partition columns live in the manifest)"
-            )
 
     # -- offsets ------------------------------------------------------
     # _consumed_floor tracks how far the ENGINE has progressed (set by
@@ -279,7 +311,8 @@ class _LakeStreamReader(DataSourceStreamReader):
                 if e.content == md.DATA and e.sequence_number == s.sequence_number:
                     parts.append(
                         _FilePartition(
-                            e.file_path, self.columns, self.schema_json
+                            e.file_path, self.columns, self.schema_json,
+                            tuple(sorted(e.partition.items())),
                         )
                     )
         return parts or [_FilePartition("", self.columns, self.schema_json)]
@@ -287,19 +320,14 @@ class _LakeStreamReader(DataSourceStreamReader):
     def read(self, partition: _FilePartition):
         if not partition.file_path:
             return iter(())
-        import pyarrow.parquet as pq
-        from pyspark.sql.pandas.types import to_arrow_schema
-
-        table = pq.read_table(
-            partition.file_path, columns=list(partition.columns)
+        return iter(
+            _read_data_file(
+                partition.file_path,
+                partition.columns,
+                partition.schema_json,
+                partition.partition,
+            ).to_batches()
         )
-        # Normalize to the DECLARED schema's Arrow form: parquet may
-        # surface e.g. nanosecond timestamps, which the Python source
-        # bridge refuses — cast (ns→µs etc.) before handing batches up.
-        target = to_arrow_schema(
-            T.StructType.fromJson(json.loads(partition.schema_json))
-        )
-        return iter(table.cast(target).to_batches())
 
     def commit(self, end: dict) -> None:
         self._consumed_floor = max(
@@ -495,6 +523,7 @@ class _LakeChangelogReader(_LakeStreamReader):
                         "insert", e.file_path, e.sequence_number,
                         s.snapshot_id, (), (), (), (),
                         self.columns, self.schema_json,
+                        tuple(sorted(e.partition.items())),
                     )
                 )
             # The parent's live view: from the parent snapshot when it
@@ -563,6 +592,7 @@ class _LakeChangelogReader(_LakeStreamReader):
                             "drop", d.file_path, d.sequence_number,
                             s.snapshot_id, prior_pos, prior_eq, (),
                             (), self.columns, self.schema_json,
+                            tuple(sorted(d.partition.items())),
                         )
                     )
                     continue
@@ -585,6 +615,7 @@ class _LakeChangelogReader(_LakeStreamReader):
                             "delete", d.file_path, d.sequence_number,
                             s.snapshot_id, prior_pos, prior_eq, d_pos,
                             d_eq, self.columns, self.schema_json,
+                            tuple(sorted(d.partition.items())),
                         )
                     )
         return parts or [
@@ -602,13 +633,15 @@ class _LakeChangelogReader(_LakeStreamReader):
         import pyarrow.parquet as pq
         from pyspark.sql.pandas.types import to_arrow_schema
 
-        tbl = pq.read_table(
-            partition.file_path, columns=list(partition.columns)
-        )
         target = to_arrow_schema(
             T.StructType.fromJson(json.loads(partition.schema_json))
         )
-        tbl = tbl.cast(target)
+        tbl = _read_data_file(
+            partition.file_path,
+            partition.columns,
+            partition.schema_json,
+            partition.partition,
+        )
         if partition.kind in ("delete", "drop"):
             pdf = tbl.to_pandas()
             n = len(pdf)

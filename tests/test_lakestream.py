@@ -93,3 +93,61 @@ def test_compaction_between_batches_is_skippable(spark):
         t.append(base.filter(F.col("id") >= 30))
         out2 = _drain(spark, tbl, ckpt, "lakestream_c2", skipNonAppends="true")
         assert sorted(r.id for r in out2) == list(range(30, 60))
+
+
+def test_partitioned_table_append_feed(spark, tmp_path):
+    """Round 5: partitioned tables stream — virtualized partition
+    columns come back from the manifest as typed constants."""
+    root = str(tmp_path / "t")
+    base = spark.range(60).select(
+        (F.col("id") % 3).alias("p"),
+        F.col("id").alias("k"),
+        (F.col("id") * 2).alias("v"),
+    )
+    t = LakeTable.create(spark, root, base.schema, partition_spec=["p"])
+    t.append(base.filter(F.col("k") < 40))
+    rows = _drain(spark, root, str(tmp_path / "ck"), "p1")
+    assert sorted((r["p"], r["k"], r["v"]) for r in rows) == sorted(
+        (i % 3, i, i * 2) for i in range(40)
+    )
+    # incremental batch carries partitions too
+    t.append(base.filter(F.col("k") >= 40))
+    rows = _drain(spark, root, str(tmp_path / "ck"), "p1")
+    assert sorted(r["k"] for r in rows) == list(range(40, 60))
+    assert all(r["p"] == r["k"] % 3 for r in rows)
+
+
+def test_partitioned_table_changelog_replays(spark, tmp_path):
+    """Changelog over a partitioned table: inserts, deletes, and a
+    dynamic partition overwrite all replay to the table's final
+    state, partition values intact."""
+    root = str(tmp_path / "t")
+    base = spark.range(90).select(
+        (F.col("id") % 3).alias("p"),
+        F.col("id").alias("k"),
+        (F.col("id") * 2).alias("v"),
+    )
+    t = LakeTable.create(spark, root, base.schema, partition_spec=["p"])
+    t.append(base)
+    t.delete_where(F.col("k") % 7 == 1)
+    # replace partition p=2 entirely
+    t.overwrite_partitions(
+        spark.range(1000, 1010).select(
+            F.lit(2).cast("long").alias("p"),
+            F.col("id").alias("k"),
+            F.lit(0).cast("long").alias("v"),
+        )
+    )
+    changes = _drain(
+        spark, root, str(tmp_path / "ck"), "c1", changelog="true"
+    )
+    state: dict = {}
+    for r in sorted(changes, key=lambda r: r["_commit_snapshot_id"]):
+        key = (r["p"], r["k"], r["v"])
+        if r["_change_type"] == "insert":
+            state[key] = state.get(key, 0) + 1
+        else:
+            state[key] = state.get(key, 0) - 1
+            if state[key] == 0:
+                del state[key]
+    assert set(state) == {tuple(r) for r in t.read().collect()}
