@@ -468,6 +468,9 @@ _MOR_ORACLES = {
     "lakestream_source": f"""
         SELECT {', '.join(LI_COLS)} FROM lineitem
     """,
+    "lakestream_partitioned": """
+        SELECT event_id, user_id, event_type, value FROM events
+    """,
     # Replay of the four commits q_lakestream_changelog makes: insert
     # the odd rows (snap 1), MERGE keys %50==1 (delete old + insert
     # new, snaps 2/3), row-delete %10==5 (snap 4); the compaction
@@ -2221,6 +2224,45 @@ def q_lakestream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     t.append(base.filter(F.col("l_orderkey") % 2 == 0))
     t.append(base.filter(F.col("l_orderkey") % 2 == 1))
     name = f"lakestream_{uuid.uuid4().hex[:8]}"
+    q = (
+        spark.readStream.format("lakestream")
+        .option("path", root)
+        .load()
+        .writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", os.path.join(scratch, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def q_lakestream_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming a PARTITIONED lake table (round 5): the table fans
+    out by event_type (Hive-style — the partition column is
+    virtualized into the manifest, absent from the parquet files),
+    and the stream reattaches it per file as a typed constant Arrow
+    array. The drained feed must equal the plain batch projection of
+    both appends, partition values intact — a reattachment or type
+    bug breaks the hash."""
+    import uuid
+
+    from bergloom_spark.lake import LakeTable
+    from bergloom_spark.sources.lakestream import LakeStreamDataSource
+
+    spark.dataSource.register(LakeStreamDataSource)
+    base = T(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    scratch = _scratch(prefix="bergloom-lspart-")
+    root = os.path.join(scratch, "ev")
+    t = LakeTable.create(
+        spark, root, base.schema, partition_spec=["event_type"]
+    )
+    t.append(base.filter(F.col("event_id") % 2 == 0))
+    t.append(base.filter(F.col("event_id") % 2 == 1))
+    name = f"lspart_{uuid.uuid4().hex[:8]}"
     q = (
         spark.readStream.format("lakestream")
         .option("path", root)
@@ -5642,6 +5684,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_sliding_counts": q_streaming_sliding_counts,
         "lakestream_source": q_lakestream_source,
         "lakestream_changelog": q_lakestream_changelog,
+        "lakestream_partitioned": q_lakestream_partitioned,
         "lakestream_replicate": q_lakestream_replicate,
         "continuous_rollup": q_continuous_rollup,
         "incremental_dedup_index": q_incremental_dedup_index,
