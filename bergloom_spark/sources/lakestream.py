@@ -169,7 +169,11 @@ def _read_data_file(file_path: str, columns, schema_json: str, partition):
         T.StructType.fromJson(json.loads(schema_json))
     )
     pdict = dict(partition)
-    file_cols = [c for c in columns if c not in pdict]
+    # Schema evolution: a file written before an add_column lacks the
+    # new column — project nulls for it (the batch reader's semantics)
+    # instead of failing the read.
+    present = set(pq.read_schema(file_path).names)
+    file_cols = [c for c in columns if c not in pdict and c in present]
     tbl = pq.read_table(file_path, columns=file_cols)
     n = tbl.num_rows
     arrays = []
@@ -183,6 +187,8 @@ def _read_data_file(file_path: str, columns, schema_json: str, partition):
                 arrays.append(
                     pa.array([v] * n, pa.string()).cast(field.type)
                 )
+        elif name not in present:
+            arrays.append(pa.nulls(n, field.type))
         else:
             arrays.append(tbl.column(name).cast(field.type))
     return pa.Table.from_arrays(arrays, schema=target)

@@ -151,3 +151,29 @@ def test_partitioned_table_changelog_replays(spark, tmp_path):
             if state[key] == 0:
                 del state[key]
     assert set(state) == {tuple(r) for r in t.read().collect()}
+
+
+def test_schema_evolved_history_streams_with_null_projection(
+    spark, tmp_path
+):
+    """Round 5: files written before an add_columns lack the new
+    column — the stream projects nulls for them (the batch reader's
+    semantics) instead of failing, and post-evolution appends carry
+    real values."""
+    from pyspark.sql import types as T
+
+    root = str(tmp_path / "t")
+    base = spark.range(20).select(F.col("id").alias("k"))
+    t = LakeTable.create(spark, root, base.schema)
+    t.append(base.filter(F.col("k") < 10))
+    t.add_columns([T.StructField("tag", T.StringType())])
+    t.append(
+        spark.range(10, 20).select(
+            F.col("id").alias("k"), F.lit("new").alias("tag")
+        )
+    )
+    rows = _drain(spark, root, str(tmp_path / "ck"), "ev1")
+    got = {r["k"]: r["tag"] for r in rows}
+    assert len(got) == 20
+    assert all(got[k] is None for k in range(10))
+    assert all(got[k] == "new" for k in range(10, 20))
