@@ -490,6 +490,21 @@ _MOR_ORACLES = {
         UNION ALL
         SELECT *, 'delete', 4::BIGINT FROM odd WHERE l_orderkey % 10 = 5
     """,
+    # Batch CDF sub-range: commits AFTER the initial load — the
+    # MERGE's -/+ pairs (snaps 2/3) and the row delete (snap 4); the
+    # compaction emits nothing.
+    "batch_table_changes": f"""
+        WITH odd AS (
+          SELECT {', '.join(LI_COLS)} FROM lineitem WHERE l_orderkey % 2 = 1)
+        SELECT *, 'delete' AS _change_type, 2::BIGINT AS _commit_snapshot_id
+        FROM odd WHERE l_orderkey % 50 = 1
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+               l_quantity + 1000.0, 'insert', 3::BIGINT
+        FROM odd WHERE l_orderkey % 50 = 1
+        UNION ALL
+        SELECT *, 'delete', 4::BIGINT FROM odd WHERE l_orderkey % 10 = 5
+    """,
     # Final replica state: odd rows, %50==1 re-inserted with +1000
     # quantity, %10==5 deleted (disjoint sets — %50==1 ⇒ %10==1).
     # Continuous aggregate: the rollup's incremental micro-unit state
@@ -2318,6 +2333,31 @@ def q_lakestream_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+def q_batch_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BATCH change query (round 5, lake/table.py read_changes — the
+    Delta CDF ``table_changes`` analog): same history as
+    lakestream_changelog (append → MERGE → delete → compaction), but
+    queried ad-hoc for the SUB-RANGE after the initial load — exactly
+    the MERGE's -/+ pairs and the delete's rows, no stream, no
+    checkpoint. The oracle replays just those commits."""
+    from bergloom_spark.config import CompactionConfig
+    from bergloom_spark.lake import Compaction, LakeTable
+
+    base = T(spark, sf_dir, "lineitem").select(*LI_COLS)
+    odd = base.filter(F.col("l_orderkey") % 2 == 1)
+    ups = odd.filter(F.col("l_orderkey") % 50 == 1).withColumn(
+        "l_quantity", F.col("l_quantity") + 1000.0
+    )
+    scratch = _scratch(prefix="bergloom-batchcdf-")
+    root = os.path.join(scratch, "li")
+    t = LakeTable.create(spark, root, base.schema)
+    loaded = t.append(odd)                              # snap 1
+    t.upsert(ups, ["l_orderkey", "l_linenumber"])       # snaps 2+3
+    t.delete_where(F.col("l_orderkey") % 10 == 5)       # snap 4
+    Compaction(t, CompactionConfig()).compact()         # snap 5: silent
+    return t.read_changes(from_snapshot_id=loaded.snapshot_id)
 
 
 def q_continuous_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5688,6 +5728,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lakestream_replicate": q_lakestream_replicate,
         "continuous_rollup": q_continuous_rollup,
         "incremental_dedup_index": q_incremental_dedup_index,
+        "batch_table_changes": q_batch_table_changes,
         "tagged_release_read": q_tagged_release_read,
         "compact_binpack": q_compact_binpack,
         "partition_stats": q_partition_stats,

@@ -369,3 +369,42 @@ def test_null_eq_keys_disable_pruning(spark, tmp_path):
     )
     probes2 = _eq_key_probes([entry2])
     assert not _eq_may_hit(data, ("id",), probes2[0])
+
+
+def test_batch_read_changes_matches_streaming_feed(spark, tmp_path):
+    """Round 5: LakeTable.read_changes (batch CDF) must emit exactly
+    the rows the streaming changelog emits for the same range, and a
+    sub-range query returns only that window's changes."""
+    root = str(tmp_path / "t")
+    base = spark.range(50).select("id", (F.col("id") % 5).alias("v"))
+    t = LakeTable.create(spark, root, base.schema)
+    s1 = t.append(base.filter(F.col("id") < 30))
+    t.upsert(
+        spark.range(5, 10).select("id", F.lit(77).cast("long").alias("v")),
+        ["id"],
+    )
+    s_del = t.delete_where(F.col("id") % 8 == 2)
+    from bergloom_spark.config import CompactionConfig
+    from bergloom_spark.lake import Compaction
+
+    Compaction(t, CompactionConfig()).compact()
+    t.append(base.filter(F.col("id") >= 30))
+
+    # full history: batch == streaming drain
+    streamed = _drain(spark, root, str(tmp_path / "ck"))
+    batch = t.refresh().read_changes().collect()
+    key = lambda r: (
+        r["_commit_snapshot_id"], r["_change_type"], r["id"], r["v"]
+    )
+    assert sorted(map(key, batch)) == sorted(map(key, streamed))
+    # sub-range: only the upsert + delete window
+    mid = t.read_changes(s1.snapshot_id, s_del.snapshot_id).collect()
+    assert {r["_commit_snapshot_id"] for r in mid} <= set(
+        range(s1.snapshot_id + 1, s_del.snapshot_id + 1)
+    )
+    assert {r["_change_type"] for r in mid} == {"insert", "delete"}
+    full_mid = [
+        r for r in batch
+        if s1.snapshot_id < r["_commit_snapshot_id"] <= s_del.snapshot_id
+    ]
+    assert sorted(map(key, mid)) == sorted(map(key, full_mid))
