@@ -1463,6 +1463,7 @@ class LakeTable:
 
         from bergloom_spark.sources.lakestream import (
             _LakeChangelogReader,
+            read_change_partition,
         )
 
         out_schema = T.StructType(
@@ -1494,9 +1495,7 @@ class LakeTable:
         def gen(batches):
             for pdf in batches:
                 for i in pdf["id"]:
-                    for rb in _LakeChangelogReader.read(
-                        None, parts[int(i)]
-                    ):
+                    for rb in read_change_partition(parts[int(i)]):
                         yield rb.to_pandas()
 
         idx = self.spark.range(len(parts)).repartition(

@@ -151,7 +151,13 @@ def apply_equality_deletes(
         )
         cond = F.lit(True)
         for k in keys:
-            cond = cond & (F.col(k) == F.col(f"__eq{i}_{k}"))
+            # NULL-SAFE equality (Iceberg's equality-delete contract:
+            # a null delete value matches null data values). A plain
+            # == would silently never delete null-key rows — the
+            # changelog read path and the continuous-aggregate
+            # maintenance both rely on null groups being shadowable
+            # (review r5).
+            cond = cond & F.col(k).eqNullSafe(F.col(f"__eq{i}_{k}"))
         cond = cond & (F.col(seq_col) < F.col(f"__eq{i}_seq"))
         out = out.join(_maybe_broadcast(agg, broadcast_deletes), cond, "left_anti")
     return out

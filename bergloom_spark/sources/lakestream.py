@@ -65,6 +65,9 @@ class _FilePartition(InputPartition):
     # partition values for this file (Hive-style writes drop the
     # partition columns from the parquet itself)
     partition: tuple = ()
+    # ((current, (historical, ...)), ...) — rename history for
+    # resolving columns stored under pre-rename names
+    renames: tuple = ()
 
 
 @dataclasses.dataclass
@@ -91,6 +94,7 @@ class _ChangePartition(InputPartition):
     columns: tuple
     schema_json: str
     partition: tuple = ()  # virtualized partition values (see above)
+    renames: tuple = ()  # rename history (see above)
 
 
 def _table_schema(table_root: str) -> T.StructType:
@@ -153,14 +157,49 @@ def _check_retained(chain, lo: int, hi: int) -> None:
     )
 
 
-def _read_data_file(file_path: str, columns, schema_json: str, partition):
+def _meta_renames(meta) -> tuple:
+    """Rename history from table properties, tuple-ified for partition
+    descriptors: ((current, (historical, ...)), ...)."""
+    raw = meta.properties.get("column_renames", "")
+    if not raw:
+        return ()
+    return tuple(
+        (cur, tuple(hist)) for cur, hist in json.loads(raw).items()
+    )
+
+
+def _cast_partition_scalar(value: str, field_type):
+    """One Hive directory-string partition value → typed Arrow scalar.
+    tz-aware timestamps need the two-step parse (Arrow refuses a
+    zone-less string against a tz-typed cast; Hive dir values are
+    written in the session zone, which this lake pins to UTC)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    arr = pa.array([value], pa.string())
+    if pa.types.is_timestamp(field_type) and field_type.tz is not None:
+        naive = arr.cast(pa.timestamp(field_type.unit))
+        return pc.assume_timezone(naive, field_type.tz)[0]
+    return arr.cast(field_type)[0]
+
+
+def _read_data_file(
+    file_path: str, columns, schema_json: str, partition, renames=()
+):
     """Read one data file as an Arrow table in the DECLARED schema,
     reattaching virtualized partition columns from the manifest entry
     (round 5 — partitioned-table support): Hive-style fanout writes
     drop the partition columns from the parquet, so they come back as
     constant arrays cast from the directory's string value. The full
     cast also normalizes e.g. nanosecond timestamps, which the Python
-    source bridge refuses."""
+    source bridge refuses.
+
+    Schema evolution: a column absent from the file under its CURRENT
+    name is first resolved through the table's rename history
+    (``renames`` = ((current, (historical, ...)), ...) — files written
+    before a rename store the old name; each file has exactly one of
+    the names, matching the batch reader's coalesce), and only then
+    projected as nulls (a file written before add_columns)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
     from pyspark.sql.pandas.types import to_arrow_schema
@@ -169,11 +208,21 @@ def _read_data_file(file_path: str, columns, schema_json: str, partition):
         T.StructType.fromJson(json.loads(schema_json))
     )
     pdict = dict(partition)
-    # Schema evolution: a file written before an add_column lacks the
-    # new column — project nulls for it (the batch reader's semantics)
-    # instead of failing the read.
+    rmap = {cur: tuple(hist) for cur, hist in renames}
     present = set(pq.read_schema(file_path).names)
-    file_cols = [c for c in columns if c not in pdict and c in present]
+
+    def stored_name(name: str) -> str | None:
+        if name in present:
+            return name
+        for h in rmap.get(name, ()):
+            if h in present:
+                return h
+        return None
+
+    stored = {
+        c: stored_name(c) for c in columns if c not in pdict
+    }
+    file_cols = sorted({s for s in stored.values() if s is not None})
     tbl = pq.read_table(file_path, columns=file_cols)
     n = tbl.num_rows
     arrays = []
@@ -185,12 +234,12 @@ def _read_data_file(file_path: str, columns, schema_json: str, partition):
                 arrays.append(pa.nulls(n, field.type))
             else:
                 arrays.append(
-                    pa.array([v] * n, pa.string()).cast(field.type)
+                    pa.repeat(_cast_partition_scalar(v, field.type), n)
                 )
-        elif name not in present:
+        elif stored[name] is None:
             arrays.append(pa.nulls(n, field.type))
         else:
-            arrays.append(tbl.column(name).cast(field.type))
+            arrays.append(tbl.column(stored[name]).cast(field.type))
     return pa.Table.from_arrays(arrays, schema=target)
 
 
@@ -296,6 +345,7 @@ class _LakeStreamReader(DataSourceStreamReader):
         # advances, and those appends are lost silently (review r4).
         chain = _committed_chain(meta)
         _check_retained(chain, lo, hi)
+        renames = _meta_renames(meta)
         parts: list[_FilePartition] = []
         for s in chain:
             if not (lo < s.snapshot_id <= hi):
@@ -318,7 +368,7 @@ class _LakeStreamReader(DataSourceStreamReader):
                     parts.append(
                         _FilePartition(
                             e.file_path, self.columns, self.schema_json,
-                            tuple(sorted(e.partition.items())),
+                            tuple(sorted(e.partition.items())), renames,
                         )
                     )
         return parts or [_FilePartition("", self.columns, self.schema_json)]
@@ -332,6 +382,7 @@ class _LakeStreamReader(DataSourceStreamReader):
                 partition.columns,
                 partition.schema_json,
                 partition.partition,
+                partition.renames,
             ).to_batches()
         )
 
@@ -456,6 +507,83 @@ def _eq_may_hit(entry, cols, probe) -> bool:
     return True
 
 
+def read_change_partition(partition: _ChangePartition):
+    """Executor kernel for one changelog unit — a MODULE-level
+    function (not a method) so the batch change query
+    (``LakeTable.read_changes``) shares it with the stream reader
+    without reaching into instance state (review r5)."""
+    if not partition.file_path:
+        return iter(())
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    target = to_arrow_schema(
+        T.StructType.fromJson(json.loads(partition.schema_json))
+    )
+    tbl = _read_data_file(
+        partition.file_path,
+        partition.columns,
+        partition.schema_json,
+        partition.partition,
+        partition.renames,
+    )
+    if partition.kind in ("delete", "drop"):
+        pdf = tbl.to_pandas()
+        n = len(pdf)
+        alive = np.ones(n, dtype=bool)
+
+        def _positions(paths):
+            hit = np.zeros(n, dtype=bool)
+            for p in paths:
+                dd = pq.read_table(p).to_pandas()
+                pos = dd.loc[
+                    dd["file_path"] == partition.file_path, "pos"
+                ].to_numpy()
+                pos = pos[(pos >= 0) & (pos < n)].astype(int)
+                hit[pos] = True
+            return hit
+
+        def _eq_match(eq_specs):
+            hit = np.zeros(n, dtype=bool)
+            for spec in eq_specs:
+                path, cols = spec[0], list(spec[1])
+                keys = pq.read_table(path, columns=cols).to_pandas()
+                keys = keys.drop_duplicates()
+                merged = pdf[cols].merge(
+                    keys, on=cols, how="left", indicator=True
+                )
+                hit |= (merged["_merge"] == "both").to_numpy()
+            return hit
+
+        alive &= ~_positions(partition.prior_pos)
+        # prior_eq entries are pre-filtered to seq > file_seq
+        alive &= ~_eq_match(partition.prior_eq)
+        if partition.kind == "drop":
+            killed = np.ones(n, dtype=bool)
+        else:
+            killed = np.zeros(n, dtype=bool)
+            if partition.new_pos:
+                killed |= _positions(partition.new_pos)
+            if partition.new_eq:
+                killed |= _eq_match(partition.new_eq)
+        out = pdf[alive & killed]
+        tbl = pa.Table.from_pandas(
+            out, schema=target, preserve_index=False
+        )
+    n_rows = tbl.num_rows
+    change_kind = "delete" if partition.kind == "drop" else partition.kind
+    tbl = tbl.append_column(
+        "_change_type",
+        pa.array([change_kind] * n_rows, pa.string()),
+    ).append_column(
+        "_commit_snapshot_id",
+        pa.array([partition.snapshot_id] * n_rows, pa.int64()),
+    )
+    return iter(tbl.to_batches())
+
+
 class _LakeChangelogReader(_LakeStreamReader):
     """Row-level change feed over the snapshot chain (see module doc)."""
 
@@ -478,6 +606,7 @@ class _LakeChangelogReader(_LakeStreamReader):
         chain = _committed_chain(meta)
         _check_retained(chain, lo, hi)
         by_id = {s.snapshot_id: s for s in meta.snapshots}
+        renames = _meta_renames(meta)
         parts: list[_ChangePartition] = []
         for s in chain:
             if not (lo < s.snapshot_id <= hi):
@@ -529,7 +658,7 @@ class _LakeChangelogReader(_LakeStreamReader):
                         "insert", e.file_path, e.sequence_number,
                         s.snapshot_id, (), (), (), (),
                         self.columns, self.schema_json,
-                        tuple(sorted(e.partition.items())),
+                        tuple(sorted(e.partition.items())), renames,
                     )
                 )
             # The parent's live view: from the parent snapshot when it
@@ -598,7 +727,7 @@ class _LakeChangelogReader(_LakeStreamReader):
                             "drop", d.file_path, d.sequence_number,
                             s.snapshot_id, prior_pos, prior_eq, (),
                             (), self.columns, self.schema_json,
-                            tuple(sorted(d.partition.items())),
+                            tuple(sorted(d.partition.items())), renames,
                         )
                     )
                     continue
@@ -621,7 +750,7 @@ class _LakeChangelogReader(_LakeStreamReader):
                             "delete", d.file_path, d.sequence_number,
                             s.snapshot_id, prior_pos, prior_eq, d_pos,
                             d_eq, self.columns, self.schema_json,
-                            tuple(sorted(d.partition.items())),
+                            tuple(sorted(d.partition.items())), renames,
                         )
                     )
         return parts or [
@@ -632,72 +761,4 @@ class _LakeChangelogReader(_LakeStreamReader):
         ]
 
     def read(self, partition: _ChangePartition):
-        if not partition.file_path:
-            return iter(())
-        import numpy as np
-        import pyarrow as pa
-        import pyarrow.parquet as pq
-        from pyspark.sql.pandas.types import to_arrow_schema
-
-        target = to_arrow_schema(
-            T.StructType.fromJson(json.loads(partition.schema_json))
-        )
-        tbl = _read_data_file(
-            partition.file_path,
-            partition.columns,
-            partition.schema_json,
-            partition.partition,
-        )
-        if partition.kind in ("delete", "drop"):
-            pdf = tbl.to_pandas()
-            n = len(pdf)
-            alive = np.ones(n, dtype=bool)
-
-            def _positions(paths):
-                hit = np.zeros(n, dtype=bool)
-                for p in paths:
-                    dd = pq.read_table(p).to_pandas()
-                    pos = dd.loc[
-                        dd["file_path"] == partition.file_path, "pos"
-                    ].to_numpy()
-                    pos = pos[(pos >= 0) & (pos < n)].astype(int)
-                    hit[pos] = True
-                return hit
-
-            def _eq_match(eq_specs):
-                hit = np.zeros(n, dtype=bool)
-                for spec in eq_specs:
-                    path, cols = spec[0], list(spec[1])
-                    keys = pq.read_table(path, columns=cols).to_pandas()
-                    keys = keys.drop_duplicates()
-                    merged = pdf[cols].merge(
-                        keys, on=cols, how="left", indicator=True
-                    )
-                    hit |= (merged["_merge"] == "both").to_numpy()
-                return hit
-
-            alive &= ~_positions(partition.prior_pos)
-            # prior_eq entries are pre-filtered to seq > file_seq
-            alive &= ~_eq_match(partition.prior_eq)
-            if partition.kind == "drop":
-                killed = np.ones(n, dtype=bool)
-            else:
-                killed = np.zeros(n, dtype=bool)
-                if partition.new_pos:
-                    killed |= _positions(partition.new_pos)
-                if partition.new_eq:
-                    killed |= _eq_match(partition.new_eq)
-            out = pdf[alive & killed]
-            tbl = pa.Table.from_pandas(
-                out, schema=target, preserve_index=False
-            )
-        n_rows = tbl.num_rows
-        change_kind = "delete" if partition.kind == "drop" else partition.kind
-        tbl = tbl.append_column(
-            "_change_type",
-            pa.array([change_kind] * n_rows, pa.string()),
-        ).append_column(
-            "_commit_snapshot_id",
-            pa.array([partition.snapshot_id] * n_rows, pa.int64()),
-        )
-        return iter(tbl.to_batches())
+        return read_change_partition(partition)

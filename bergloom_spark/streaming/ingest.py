@@ -215,51 +215,16 @@ def replicate_changelog(
     replaced (MoR equality deletes only shadow strictly-older rows, so
     a same-snapshot upsert must land as the insert). Resumable from
     the checkpoint; compactions on the source emit nothing and cost
-    the replica nothing."""
-    from pyspark.sql import functions as F
+    the replica nothing.
 
-    prop = guard_key_for_checkpoint(checkpoint_dir)
-
-    def sink(batch_df, batch_id: int) -> None:
-        t = target.refresh()
-        if _is_replay(t.meta.properties, prop, batch_id):
-            return
-        if not batch_df.take(1):
-            # a compaction/clone-only offset range emits no change
-            # rows — skip the empty commit (replaying an empty batch
-            # re-applies nothing, so the unadvanced guard is safe)
-            return
-        changes = batch_df.select(
-            *[c for c in batch_df.columns
-              if c not in ("_change_type", "_commit_snapshot_id")],
-            F.when(F.col("_change_type") == "delete", F.lit("D"))
-            .otherwise(F.lit("U"))
-            .alias("__op"),
-            (
-                F.col("_commit_snapshot_id") * 2
-                + F.when(F.col("_change_type") == "insert", 1).otherwise(0)
-            ).alias("__ord"),
-        )
-        t.apply_changes(
-            changes,
-            key_cols,
-            op_col="__op",
-            order_col="__ord",
-            properties_update={prop: str(batch_id)},
-        )
-
-    q = (
-        spark.readStream.format("lakestream")
-        .option("path", source_root)
-        .option("changelog", "true")
-        .load()
-        .writeStream.foreachBatch(sink)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
+    Implementation: :func:`replicate_derived` with the identity
+    derivation — one sink, one set of ordering/guard semantics
+    (review r5: the two copies had already diverged once).
+    """
+    return replicate_derived(
+        spark, source_root, target, checkpoint_dir, key_cols,
+        lambda batch_df: batch_df,
     )
-    q.awaitTermination()
-    return target.refresh()
 
 
 def apply_changes_stream(
@@ -338,6 +303,10 @@ def maintain_rollup(
             F.col("_change_type") == "delete", F.lit(-1)
         ).otherwise(F.lit(1))
         micro = F.round(F.col(value_col) * F.lit(1_000_000.0)).cast("long")
+        # Materialize once: the delta feeds the emptiness check, the
+        # semi-join build side, AND the merge probe side — without
+        # this the expensive changelog read would re-run per use
+        # (review r5).
         delta = (
             batch_df.select(
                 *group_cols,
@@ -349,6 +318,7 @@ def maintain_rollup(
                 F.sum("__sign").cast("long").alias("d_cnt"),
                 F.sum("__dmicro").cast("long").alias("d_sum"),
             )
+            .localCheckpoint()
         )
         if not delta.take(1):
             # nothing to fold (e.g. a compaction-only range): commit
@@ -359,17 +329,30 @@ def maintain_rollup(
         # change-volume-sized, so broadcast it into a semi join — the
         # rollup scan filters to touched rows before any exchange
         # (with a clustered rollup the min/max file stats additionally
-        # prune whole files driver-side).
-        cur = (
-            t.read()
-            .select(*group_cols, "cnt", "sum_micro")
-            .join(
-                F.broadcast(delta.select(*group_cols)),
-                list(group_cols),
-                "left_semi",
-            )
+        # prune whole files driver-side). Joins are NULL-SAFE: a null
+        # group key is a legitimate group, and a null-unsafe join
+        # would both miss its current row and fail to shadow it on
+        # commit (review r5; apply_changes' equality deletes are
+        # null-safe for the same reason).
+        cur = t.read().select(
+            *[F.col(c).alias(f"__cur_{c}") for c in group_cols],
+            "cnt",
+            "sum_micro",
         )
-        merged = delta.join(cur, list(group_cols), "left").select(
+        semi_cond = F.lit(True)
+        for c in group_cols:
+            semi_cond = semi_cond & F.col(f"__cur_{c}").eqNullSafe(
+                F.col(c)
+            )
+        cur = cur.join(
+            F.broadcast(delta.select(*group_cols)), semi_cond, "left_semi"
+        )
+        merge_cond = F.lit(True)
+        for c in group_cols:
+            merge_cond = merge_cond & F.col(c).eqNullSafe(
+                F.col(f"__cur_{c}")
+            )
+        merged = delta.join(cur, merge_cond, "left").select(
             *group_cols,
             (
                 F.coalesce(F.col("cnt"), F.lit(0)) + F.col("d_cnt")

@@ -177,3 +177,51 @@ def test_schema_evolved_history_streams_with_null_projection(
     assert len(got) == 20
     assert all(got[k] is None for k in range(10))
     assert all(got[k] == "new" for k in range(10, 20))
+
+
+def test_renamed_column_resolves_in_stream(spark, tmp_path):
+    """Review r5: files written before a rename store the historical
+    name — the stream must read them through the rename history like
+    the batch reader does, not project nulls."""
+    root = str(tmp_path / "t")
+    base = spark.range(10).select(F.col("id").alias("k"), (F.col("id") * 3).alias("v"))
+    t = LakeTable.create(spark, root, base.schema)
+    t.append(base.filter(F.col("k") < 5))
+    t.rename_column("v", "val")
+    t.append(
+        spark.range(5, 10).select(
+            F.col("id").alias("k"), (F.col("id") * 3).alias("val")
+        )
+    )
+    rows = _drain(spark, root, str(tmp_path / "ck"), "rn1")
+    got = {r["k"]: r["val"] for r in rows}
+    assert got == {i: i * 3 for i in range(10)}
+    # and through the batch CDF path (shares the kernel)
+    batch = {
+        r["k"]: r["val"]
+        for r in t.refresh().read_changes().collect()
+        if r["_change_type"] == "insert"
+    }
+    assert batch == got
+
+
+def test_timestamp_partitioned_table_streams(spark, tmp_path):
+    """Review r5: a timestamp partition column maps to a tz-aware
+    Arrow type; the Hive directory string must reattach through the
+    two-step naive-parse + assume-timezone cast."""
+    import datetime as dt
+
+    rows = [
+        (dt.datetime(2024, 1, 1, 12, 30), 1, 10.0),
+        (dt.datetime(2024, 1, 1, 12, 30), 2, 20.0),
+        (dt.datetime(2024, 6, 2, 8, 0), 3, 30.0),
+    ]
+    df = spark.createDataFrame(rows, "day timestamp, k long, v double")
+    root = str(tmp_path / "t")
+    t = LakeTable.create(spark, root, df.schema, partition_spec=["day"])
+    t.append(df)
+    out = _drain(spark, root, str(tmp_path / "ck"), "tsp1")
+    got = sorted((r["day"], r["k"], r["v"]) for r in out)
+    want = sorted(rows)
+    assert [(k, v) for _, k, v in got] == [(k, v) for _, k, v in want]
+    assert [d for d, _, _ in got] == [d for d, _, _ in want]

@@ -144,3 +144,26 @@ def test_anti_join_plan_is_broadcast_when_hinted(spark):
     out = apply_position_deletes(data, pos, broadcast_deletes=True)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_equality_delete_matches_null_keys(spark, tmp_path):
+    """Review r5 (Iceberg equality-delete contract): a null delete
+    value matches null data values — upserting/deleting the null key
+    must shadow the old null-key row, not duplicate it."""
+    import pyspark.sql.functions as F
+
+    from bergloom_spark.lake import LakeTable
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (None, 20.0), (3, 30.0)], "k long, v double"
+    )
+    t = LakeTable.create(spark, str(tmp_path / "t"), df.schema)
+    t.append(df)
+    t.upsert(
+        spark.createDataFrame([(None, 99.0)], "k long, v double"), ["k"]
+    )
+    rows = sorted(
+        ((r["k"] if r["k"] is not None else -1), r["v"])
+        for r in t.read().collect()
+    )
+    assert rows == [(-1, 99.0), (1, 10.0), (3, 30.0)]

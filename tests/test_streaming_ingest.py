@@ -340,3 +340,56 @@ def test_maintain_minhash_index_matches_fresh_signatures(spark, tmp_path):
     idx = maintain_minhash_index(spark, src_root, idx, ckpt)
     assert len(idx.meta.snapshots) == before
     assert snaps_after_first < before
+
+
+def test_maintain_rollup_null_group_key(spark, tmp_path):
+    """Review r5: NULL is a legitimate group — the rollup must
+    accumulate it across batches (null-safe joins + null-safe
+    equality deletes), never duplicate its row."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import types as T
+
+    from bergloom_spark.lake import LakeTable
+    from bergloom_spark.sources.lakestream import LakeStreamDataSource
+    from bergloom_spark.streaming.ingest import maintain_rollup
+
+    spark.dataSource.register(LakeStreamDataSource)
+    src_root = str(tmp_path / "src")
+    schema = "k long, g long, v double"
+    src = LakeTable.create(
+        spark, src_root, spark.createDataFrame([], schema).schema
+    )
+    src.append(
+        spark.createDataFrame(
+            [(1, None, 1.5), (2, 0, 2.0), (3, None, 3.0)], schema
+        )
+    )
+    agg = LakeTable.create(
+        spark,
+        str(tmp_path / "agg"),
+        T.StructType(
+            [
+                T.StructField("g", T.LongType()),
+                T.StructField("cnt", T.LongType()),
+                T.StructField("sum_micro", T.LongType()),
+            ]
+        ),
+    )
+    ckpt = str(tmp_path / "ck")
+    agg = maintain_rollup(spark, src_root, agg, ckpt, ["g"], "v")
+    # second batch touches the null group again
+    src.append(
+        spark.createDataFrame([(4, None, 10.0), (5, 0, 1.0)], schema)
+    )
+    agg = maintain_rollup(spark, src_root, agg, ckpt, ["g"], "v")
+    rows = agg.read().collect()
+    got = {
+        (r["g"] if r["g"] is not None else -1): (r["cnt"], r["sum_micro"])
+        for r in rows
+    }
+    assert len(rows) == 2  # exactly one row per group, no duplicates
+    assert got == {-1: (3, 14_500_000), 0: (2, 3_000_000)}
+    # delete every null-group source row -> rollup row disappears
+    src.delete_where(F.col("g").isNull())
+    agg = maintain_rollup(spark, src_root, agg, ckpt, ["g"], "v")
+    assert {r["g"] for r in agg.read().collect()} == {0}
