@@ -5644,6 +5644,11 @@ _CHANGED_THIS_ROUND = [
     # matmul broadcast lifetime + image decode dispatch
     "embedding_dedup",
     "multimodal_decode_real",
+    # null-safe equality deletes (J2) touch every MERGE/eq-delete path
+    "mor_eq_delete_seq",
+    "mor_multi_eq_schema",
+    "dml_apply_changes",
+    "merge_into",
 ]
 
 

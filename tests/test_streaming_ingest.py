@@ -393,3 +393,65 @@ def test_maintain_rollup_null_group_key(spark, tmp_path):
     src.delete_where(F.col("g").isNull())
     agg = maintain_rollup(spark, src_root, agg, ckpt, ["g"], "v")
     assert {r["g"] for r in agg.read().collect()} == {0}
+
+
+def test_maintain_rollup_over_partitioned_source(spark, tmp_path):
+    """Round 5: the continuous aggregate composes with partitioned
+    sources — the changelog reattaches the (virtualized) partition
+    column, which here IS the group key."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import types as T
+
+    from bergloom_spark.lake import LakeTable
+    from bergloom_spark.sources.lakestream import LakeStreamDataSource
+    from bergloom_spark.streaming.ingest import maintain_rollup
+
+    spark.dataSource.register(LakeStreamDataSource)
+    base = spark.range(60).select(
+        (F.col("id") % 4).alias("p"),
+        F.col("id").alias("k"),
+        (F.col("id") * 0.5).alias("v"),
+    )
+    src_root = str(tmp_path / "src")
+    src = LakeTable.create(
+        spark, src_root, base.schema, partition_spec=["p"]
+    )
+    src.append(base.filter(F.col("k") < 40))
+    agg = LakeTable.create(
+        spark,
+        str(tmp_path / "agg"),
+        T.StructType(
+            [
+                T.StructField("p", T.LongType()),
+                T.StructField("cnt", T.LongType()),
+                T.StructField("sum_micro", T.LongType()),
+            ]
+        ),
+    )
+    ckpt = str(tmp_path / "ck")
+    agg = maintain_rollup(spark, src_root, agg, ckpt, ["p"], "v")
+    src.append(base.filter(F.col("k") >= 40))
+    src.overwrite_partitions(
+        spark.range(3).select(
+            F.lit(1).cast("long").alias("p"),
+            (F.col("id") + 500).alias("k"),
+            F.lit(7.0).alias("v"),
+        )
+    )
+    agg = maintain_rollup(spark, src_root, agg, ckpt, ["p"], "v")
+    got = {
+        r["p"]: (r["cnt"], r["sum_micro"]) for r in agg.read().collect()
+    }
+    expected = {
+        r["p"]: (r["cnt"], r["sum_micro"])
+        for r in src.read()
+        .groupBy("p")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+            F.sum(
+                F.round(F.col("v") * 1_000_000.0).cast("long")
+            ).cast("long").alias("sum_micro"),
+        )
+        .collect()
+    }
+    assert got == expected
