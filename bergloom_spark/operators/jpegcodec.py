@@ -362,10 +362,23 @@ class _BitReader:
         return (self.acc >> self.nbits) & 1
 
     def bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.bit()
+        while self.nbits < n:
+            self._fill()
+        self.nbits -= n
+        v = (self.acc >> self.nbits) & ((1 << n) - 1)
+        self.acc &= (1 << self.nbits) - 1
         return v
+
+    def peek16(self) -> int:
+        """Next 16 bits without consuming (1-padded past the segment
+        end via the marker branch of _fill)."""
+        while self.nbits < 16:
+            self._fill()
+        return (self.acc >> (self.nbits - 16)) & 0xFFFF
+
+    def skip(self, n: int) -> None:
+        self.nbits -= n
+        self.acc &= (1 << self.nbits) - 1
 
     def restart(self) -> None:
         """Consume an RSTn marker at a byte boundary."""
@@ -385,6 +398,30 @@ def _extend(v: int, cat: int) -> int:
     if cat == 0:
         return 0
     return v if v >= (1 << (cat - 1)) else v - (1 << cat) + 1
+
+
+import functools
+
+
+@functools.lru_cache(maxsize=64)
+def _prefix_table_cached(items: tuple) -> list:
+    lut = [None] * (1 << 16)
+    for (length, code), sym in items:
+        base = code << (16 - length)
+        entry = (sym, length)
+        for i in range(1 << (16 - length)):
+            lut[base + i] = entry
+    return lut
+
+
+def _prefix_table(table: dict) -> list:
+    """(length, code) map → a 2^16 prefix lookup: index by the next
+    16 bits, get (symbol, code length) in one step instead of one
+    dict probe per bit — the classic JPEG entropy-decode fast path
+    (pure table construction, still dependency-free). Cached across
+    calls: a corpus decoded with the standard Annex-K tables builds
+    each lookup once, not once per image."""
+    return _prefix_table_cached(tuple(sorted(table.items())))
 
 
 def _huff_decode(br: _BitReader, table: dict) -> int:
@@ -510,6 +547,7 @@ def _decode_scan(d, pos, frame, scan, qtables, htables, restart_interval):
     pred = [0] * len(scan)
     idct = _DCT.T
     mcu_count = 0
+    luts = {k: _prefix_table(t) for k, t in htables.items()}
     for my in range(mcuy):
         for mx in range(mcux):
             if restart_interval and mcu_count and (
@@ -521,18 +559,26 @@ def _decode_scan(d, pos, frame, scan, qtables, htables, restart_interval):
             for si, (comp, td, ta) in enumerate(scan):
                 for by in range(comp["v"]):
                     for bx in range(comp["h"]):
-                        dc_tab = htables.get((0, td))
-                        ac_tab = htables.get((1, ta))
-                        if dc_tab is None or ac_tab is None:
+                        dc_lut = luts.get((0, td))
+                        ac_lut = luts.get((1, ta))
+                        if dc_lut is None or ac_lut is None:
                             raise ValueError("missing Huffman table")
-                        cat = _huff_decode(br, dc_tab)
+                        hit = dc_lut[br.peek16()]
+                        if hit is None:
+                            raise ValueError("invalid Huffman code")
+                        cat = hit[0]
+                        br.skip(hit[1])
                         diff = _extend(br.bits(cat), cat) if cat else 0
                         pred[si] += diff
                         zz = np.zeros(64, dtype=np.int64)
                         zz[0] = pred[si]
                         k = 1
                         while k < 64:
-                            rs = _huff_decode(br, ac_tab)
+                            hit = ac_lut[br.peek16()]
+                            if hit is None:
+                                raise ValueError("invalid Huffman code")
+                            rs = hit[0]
+                            br.skip(hit[1])
                             r, s = rs >> 4, rs & 0x0F
                             if s == 0:
                                 if r == 15:
