@@ -273,6 +273,15 @@ class _LakeStreamReader(DataSourceStreamReader):
             str(options.get("skipnonappends", "false")).lower() == "true"
         )
         self.max_files = int(options.get("maxfilesperbatch", 0))
+        # Delta's startingVersion analog: a FRESH stream begins after
+        # this snapshot instead of from the table's start — the
+        # "changes from now on" / catch-up-from-a-known-point pattern.
+        # Ignored on restart (the checkpointed offset wins, as in
+        # Delta). The expired-history guard still applies to the
+        # chosen start.
+        self.starting_snapshot_id = int(
+            options.get("startingsnapshotid", 0)
+        )
         self.columns = tuple(f.name for f in schema.fields)
         self.schema_json = schema.json()
 
@@ -289,8 +298,8 @@ class _LakeStreamReader(DataSourceStreamReader):
     _consumed_floor: int | None = None
 
     def initialOffset(self) -> dict:
-        self._consumed_floor = 0
-        return {"last_snapshot_id": 0}
+        self._consumed_floor = self.starting_snapshot_id
+        return {"last_snapshot_id": self.starting_snapshot_id}
 
     def latestOffset(self) -> dict:
         from bergloom_spark.lake import metadata as md

@@ -225,3 +225,37 @@ def test_timestamp_partitioned_table_streams(spark, tmp_path):
     want = sorted(rows)
     assert [(k, v) for _, k, v in got] == [(k, v) for _, k, v in want]
     assert [d for d, _, _ in got] == [d for d, _, _ in want]
+
+
+def test_starting_snapshot_id_skips_history(spark, tmp_path):
+    """Round 5 (Delta startingVersion analog): a fresh stream with
+    startingSnapshotId=N begins after snapshot N; the checkpointed
+    offset wins on restart; changelog mode honors it too."""
+    root = str(tmp_path / "t")
+    base = spark.range(30).select("id", (F.col("id") * 2).alias("v"))
+    t = LakeTable.create(spark, root, base.schema)
+    s1 = t.append(base.filter(F.col("id") < 10))
+    t.append(base.filter((F.col("id") >= 10) & (F.col("id") < 20)))
+
+    ckpt = str(tmp_path / "ck")
+    rows = _drain(
+        spark, root, ckpt, "ss1",
+        startingSnapshotId=str(s1.snapshot_id),
+    )
+    assert sorted(r["id"] for r in rows) == list(range(10, 20))
+    # restart: checkpoint wins, only NEW commits flow
+    t.append(base.filter(F.col("id") >= 20))
+    rows = _drain(
+        spark, root, ckpt, "ss1",
+        startingSnapshotId=str(s1.snapshot_id),
+    )
+    assert sorted(r["id"] for r in rows) == list(range(20, 30))
+    # changelog mode from the same starting point
+    t.delete_where(F.col("id") == 15)
+    changes = _drain(
+        spark, root, str(tmp_path / "ck2"), "ss2",
+        changelog="true", startingSnapshotId=str(s1.snapshot_id),
+    )
+    ids = sorted(r["id"] for r in changes if r["_change_type"] == "insert")
+    assert ids == list(range(10, 30))
+    assert [r["id"] for r in changes if r["_change_type"] == "delete"] == [15]
