@@ -27,6 +27,7 @@ amortizes the same way the other codecs' do.
 
 from __future__ import annotations
 
+import functools
 import struct
 
 import numpy as np
@@ -338,7 +339,15 @@ class _BitReader:
     def _fill(self) -> None:
         d = self.data
         if self.pos >= len(d):
-            raise ValueError("truncated entropy-coded segment")
+            # data ended without a trailing marker (e.g. a stripped
+            # EOI — common real-world truncation): feed 1-padding like
+            # the marker branch; a genuinely truncated stream then
+            # surfaces as an invalid Huffman code, while an image
+            # whose last code merely needs the padding decodes (the
+            # bit-by-bit reader's behavior before the 16-bit peek).
+            self.acc = (self.acc << 8) | 0xFF
+            self.nbits += 8
+            return
         b = d[self.pos]
         if b == 0xFF:
             nxt = d[self.pos + 1] if self.pos + 1 < len(d) else None
@@ -400,13 +409,17 @@ def _extend(v: int, cat: int) -> int:
     return v if v >= (1 << (cat - 1)) else v - (1 << cat) + 1
 
 
-import functools
-
-
-@functools.lru_cache(maxsize=64)
+@functools.lru_cache(maxsize=8)
 def _prefix_table_cached(items: tuple) -> list:
     lut = [None] * (1 << 16)
     for (length, code), sym in items:
+        if code >= (1 << length):
+            # overfull DHT (more codes at a length than the prefix
+            # space holds) — corrupt stream, not an internal error
+            raise ValueError(
+                f"corrupt Huffman table: code {code} does not fit "
+                f"{length} bits"
+            )
         base = code << (16 - length)
         entry = (sym, length)
         for i in range(1 << (16 - length)):
@@ -419,20 +432,11 @@ def _prefix_table(table: dict) -> list:
     16 bits, get (symbol, code length) in one step instead of one
     dict probe per bit — the classic JPEG entropy-decode fast path
     (pure table construction, still dependency-free). Cached across
-    calls: a corpus decoded with the standard Annex-K tables builds
-    each lookup once, not once per image."""
+    calls (small cache: one slot per DHT of a standard 4-table
+    stream, ~0.5 MB each): a corpus sharing tables builds each lookup
+    once; per-image optimized tables fall back to one build per
+    image."""
     return _prefix_table_cached(tuple(sorted(table.items())))
-
-
-def _huff_decode(br: _BitReader, table: dict) -> int:
-    code, length = 0, 0
-    while length < 16:
-        code = (code << 1) | br.bit()
-        length += 1
-        sym = table.get((length, code))
-        if sym is not None:
-            return sym
-    raise ValueError("invalid Huffman code")
 
 
 def decode_jpeg_baseline(payload: bytes) -> np.ndarray:

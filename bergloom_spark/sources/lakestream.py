@@ -282,6 +282,19 @@ class _LakeStreamReader(DataSourceStreamReader):
         self.starting_snapshot_id = int(
             options.get("startingsnapshotid", 0)
         )
+        if self.starting_snapshot_id:
+            # Fail fast on a nonexistent start (Delta does the same
+            # for startingVersion): a typo'd id past the tip would
+            # otherwise be silently rewound by the next latestOffset
+            # and deliver the very snapshots the user asked to skip.
+            from bergloom_spark.lake import metadata as md
+
+            tip = md.read_current(self.table_root).current_snapshot_id or 0
+            if self.starting_snapshot_id > tip:
+                raise ValueError(
+                    f"startingSnapshotId={self.starting_snapshot_id} is "
+                    f"beyond the table's current snapshot {tip}"
+                )
         self.columns = tuple(f.name for f in schema.fields)
         self.schema_json = schema.json()
 

@@ -199,3 +199,24 @@ def test_jpeg_rejects_non_interleaved_multi_scan():
     hacked = enc[:sos] + single + enc[sos + 2 + seglen:]
     with pytest.raises(ValueError, match="non-interleaved"):
         JC.decode_jpeg_baseline(hacked)
+
+
+def test_jpeg_corrupt_dht_raises_valueerror():
+    """Review r5: an overfull DHT must surface as ValueError (the
+    malformed-payload contract), not IndexError from the LUT build."""
+    from bergloom_spark.operators.jpegcodec import _prefix_table
+
+    with pytest.raises(ValueError, match="corrupt Huffman table"):
+        _prefix_table({(1, 0): 0, (1, 1): 1, (1, 2): 2})
+
+
+def test_jpeg_decodes_with_stripped_eoi():
+    """Review r5: a common real-world truncation (missing trailing
+    EOI) must still decode — the entropy segment 1-pads at end of
+    data like it does at a marker."""
+    img = (np.add.outer(np.arange(16) * 3, np.arange(16) * 2)[:, :, None]
+           % 256).astype(np.uint8).repeat(3, axis=2)
+    enc = JC.encode_jpeg_baseline(img, 95)
+    assert enc[-2:] == b"\xff\xd9"
+    dec = JC.decode_jpeg_baseline(enc[:-2])
+    assert np.abs(dec.astype(int) - img.astype(int)).max() <= 2

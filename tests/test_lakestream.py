@@ -259,3 +259,17 @@ def test_starting_snapshot_id_skips_history(spark, tmp_path):
     ids = sorted(r["id"] for r in changes if r["_change_type"] == "insert")
     assert ids == list(range(10, 30))
     assert [r["id"] for r in changes if r["_change_type"] == "delete"] == [15]
+
+
+def test_starting_snapshot_id_beyond_tip_fails_fast(spark, tmp_path):
+    """Review r5: a typo'd startingSnapshotId past the tip must raise
+    at stream start, not silently rewind to the tip later."""
+    root = str(tmp_path / "t")
+    base = spark.range(5).select("id")
+    t = LakeTable.create(spark, root, base.schema)
+    t.append(base)
+    with pytest.raises(Exception, match="beyond the table"):
+        _drain(
+            spark, root, str(tmp_path / "ck"), "ssb",
+            startingSnapshotId="99",
+        )
