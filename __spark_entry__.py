@@ -193,6 +193,33 @@ def q_compact_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.read().select(*LI_COLS, "l_returnflag")
 
 
+def q_compact_partition_scoped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-scoped binpack (round 5 — Iceberg's
+    ``rewrite_data_files ... where`` on partition predicates): two
+    appends create small-file debt in every l_returnflag partition;
+    the scoped rewrite folds ONLY flag 'R' (hot-partition maintenance
+    without touching the archive — verified structurally in tests);
+    rows must be unchanged across all partitions, which is what the
+    oracle checks."""
+    from bergloom_spark.config import CompactionConfig
+    from bergloom_spark.lake import LakeTable
+    from bergloom_spark.lake.compaction import BinpackCompaction
+
+    li = T(spark, sf_dir, "lineitem").select(*LI_COLS, "l_returnflag")
+    root = os.path.join(_scratch(prefix="bergloom-pscope-"), "li")
+    t = LakeTable.create(
+        spark, root, li.schema, partition_spec=["l_returnflag"]
+    )
+    t.append(li.filter(F.col("l_orderkey") % 2 == 0))
+    t.append(li.filter(F.col("l_orderkey") % 2 == 1))
+    BinpackCompaction(
+        t,
+        CompactionConfig(target_file_size=64 * 1024 * 1024),
+        partition_filter={"l_returnflag": "R"},
+    ).compact()
+    return t.read().select(*LI_COLS, "l_returnflag")
+
+
 def q_compact_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sort-strategy rewrite (roadmap strategy split binpack|sort,
     README.md:46-56): appends + positional delete, then a compaction
@@ -402,6 +429,9 @@ _MOR_ORACLES = {
         SELECT {', '.join(LI_COLS)}, l_returnflag FROM lineitem l
         WHERE l_orderkey NOT IN (
           SELECT o_orderkey FROM orders WHERE o_orderkey % 5 = 0)
+    """,
+    "compact_partition_scoped": f"""
+        SELECT {', '.join(LI_COLS)}, l_returnflag FROM lineitem
     """,
     "compact_sorted": f"""
         SELECT {', '.join(LI_COLS)} FROM lineitem WHERE l_suppkey % 7 <> 0
@@ -5679,6 +5709,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mor_multi_eq_schema": q_mor_multi_eq_schema,
         "compact_roundtrip": q_compact_roundtrip,
         "compact_partitioned": q_compact_partitioned,
+        "compact_partition_scoped": q_compact_partition_scoped,
         "dml_upsert_delete": q_dml_upsert_delete,
         "dml_apply_changes": q_dml_apply_changes,
         "compact_sorted": q_compact_sorted,

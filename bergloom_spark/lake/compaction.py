@@ -174,6 +174,7 @@ class BinpackCompaction(Compaction):
         small_file_threshold: int | None = None,
         sort_cols: list[str] | None = None,
         zorder: bool = False,
+        partition_filter: dict | None = None,
         **kwargs,
     ):
         super().__init__(*args, **kwargs)
@@ -182,6 +183,21 @@ class BinpackCompaction(Compaction):
             if small_file_threshold is not None
             else self.config.target_file_size // 2
         )
+        # Partition-scoped rewrite (Iceberg's ``rewrite_data_files ...
+        # where`` on partition predicates, round 5): only small files
+        # whose virtualized partition values match every (col, value)
+        # pair are selected — a hot partition's debt folds without
+        # touching the archive. Values are the manifest's Hive string
+        # form (what ``ManifestEntry.partition`` stores).
+        self.partition_filter = dict(partition_filter or {})
+        if self.partition_filter:
+            spec = set(self.table.meta.partition_spec or [])
+            bad = [k for k in self.partition_filter if k not in spec]
+            if bad:
+                raise ValueError(
+                    f"partition_filter keys {bad} are not partition "
+                    f"columns {sorted(spec)}"
+                )
         # Optional clustering of the FOLDED OUTPUT (write.sort-order
         # via maintenance): still rewrites only the small files —
         # cost stays O(small-file debt) — but their merged rows land
@@ -203,6 +219,10 @@ class BinpackCompaction(Compaction):
             e
             for e in snap.files(md.DATA)
             if e.file_size_bytes < self.small_file_threshold
+            and all(
+                e.partition.get(k) == v
+                for k, v in self.partition_filter.items()
+            )
         ]
         if len(small) < 2:
             return CompactionResult(snapshot_id=snap.snapshot_id)

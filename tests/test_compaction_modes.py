@@ -228,3 +228,63 @@ def test_remove_orphan_files(spark, tmp_path):
     assert t.read().count() == 100  # referenced files untouched
     assert remove_orphan_files(t, older_than_s=0) == 1  # horizon 0 takes it
     assert t.read().count() == 100
+
+
+def test_binpack_partition_scoped(spark, tmp_path):
+    """Round 5 (rewrite_data_files ... where): a partition_filter
+    folds only the matching partition's small files; other partitions'
+    files stay byte-identical, rows unchanged, and bad filter keys
+    are rejected."""
+    import pyspark.sql.functions as F
+    import pytest as _pytest
+
+    from bergloom_spark.config import CompactionConfig
+    from bergloom_spark.lake import LakeTable
+    from bergloom_spark.lake import metadata as md
+    from bergloom_spark.lake.compaction import BinpackCompaction
+
+    base = spark.range(400).select(
+        (F.col("id") % 2).alias("p"), F.col("id").alias("k")
+    )
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), base.schema, partition_spec=["p"]
+    )
+    for i in range(4):
+        t.append(base.filter(F.col("k") % 4 == i))
+    before = {tuple(r) for r in t.read().collect()}
+    snap = t.meta.current_snapshot()
+    files_p0 = {
+        e.file_path
+        for e in snap.files(md.DATA)
+        if e.partition.get("p") == "0"
+    }
+    files_p1 = {
+        e.file_path
+        for e in snap.files(md.DATA)
+        if e.partition.get("p") == "1"
+    }
+    assert len(files_p0) >= 2 and len(files_p1) >= 2
+
+    BinpackCompaction(
+        t, CompactionConfig(), partition_filter={"p": "1"}
+    ).compact()
+    snap2 = t.refresh().meta.current_snapshot()
+    after_p0 = {
+        e.file_path
+        for e in snap2.files(md.DATA)
+        if e.partition.get("p") == "0"
+    }
+    after_p1 = {
+        e.file_path
+        for e in snap2.files(md.DATA)
+        if e.partition.get("p") == "1"
+    }
+    assert after_p0 == files_p0          # untouched partition intact
+    assert after_p1.isdisjoint(files_p1)  # scoped partition rewritten
+    assert len(after_p1) < len(files_p1)
+    assert {tuple(r) for r in t.read().collect()} == before
+
+    with _pytest.raises(ValueError, match="not partition columns"):
+        BinpackCompaction(
+            t, CompactionConfig(), partition_filter={"nope": "1"}
+        )
