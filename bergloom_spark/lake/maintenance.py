@@ -125,17 +125,20 @@ def run_maintenance(
             # binpack, not brick every maintenance tick for this table
             # (advice r4). A failed attempt commits nothing (commit is
             # the rewrite's last step), so the retry is clean.
-            # CAS losses are NOT sort-order problems (review r5):
-            # degrading on CommitConflict/CommitFailed would fold the
-            # debt unsorted and defer the declared clustering
-            # indefinitely — re-raise so the caller/scheduler retries
-            # the SORTED rewrite on its next tick.
-            from bergloom_spark.lake.commit import CommitFailed
-            from bergloom_spark.lake.metadata import CommitConflict
+            # The fallback is for DETERMINISTIC planning/expression
+            # errors only (advice r5): a transient runtime failure
+            # (executor loss, OOM, filesystem hiccup) would succeed on
+            # a plain retry WITH the declared clustering — degrading it
+            # to unsorted binpack folds the debt without the sort, so
+            # re-raise those, exactly like the CAS-conflict path
+            # (CommitConflict/CommitFailed, which degrading would also
+            # defer indefinitely — review r5).
+            from pyspark.errors import AnalysisException
 
-            if not cols or isinstance(
-                exc, (CommitConflict, CommitFailed)
-            ):
+            deterministic = isinstance(
+                exc, (AnalysisException, ValueError, TypeError)
+            )
+            if not cols or not deterministic:
                 raise
             BinpackCompaction(
                 table,

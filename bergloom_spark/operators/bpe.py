@@ -226,6 +226,20 @@ def bpe_learn_fast(
                 pair_counts.pop(p, None)
             if sign > 0:
                 pair_words.setdefault(p, set()).add(wi)
+            else:
+                # drop membership on the un-account pass (advice r5):
+                # the +1 pass over the rewritten word re-adds every
+                # pair it still contains, so leaving stale entries
+                # here only grows the sets — each later merge would
+                # rescan every word that EVER held the pair, degrading
+                # the O(live occurrences) per-round cost on long-tail
+                # corpora. Selection order is untouched (it reads only
+                # pair_counts).
+                s = pair_words.get(p)
+                if s is not None:
+                    s.discard(wi)
+                    if not s:
+                        pair_words.pop(p, None)
 
     merges: list[tuple[str, str]] = []
     for _ in range(n_merges):

@@ -455,6 +455,14 @@ def decode_jpeg_baseline(payload: bytes) -> np.ndarray:
             raise ValueError("truncated JPEG stream")
         if d[pos] != 0xFF:
             raise ValueError(f"marker expected at {pos}")
+        # T.81 B.1.1.2: a marker may be preceded by any number of
+        # 0xFF FILL bytes (advice r5) — skip to the marker code, or a
+        # padded-but-legal foreign JPEG mis-parses (0xFF read as the
+        # code falls into the generic length skip).
+        while d[pos + 1] == 0xFF:
+            pos += 1
+            if pos + 4 > len(d):
+                raise ValueError("truncated JPEG stream")
         marker = d[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI

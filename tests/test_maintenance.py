@@ -141,10 +141,16 @@ def test_maintenance_survives_preexisting_bad_sort_order(spark, tmp_path):
 def test_sorted_rewrite_runtime_failure_degrades_to_binpack(
     spark, tmp_path, monkeypatch
 ):
-    """Advice r4: parse-time validation can't prove a sort order is
-    runtime-viable; a sorted rewrite that FAILS at execution must fall
-    back to plain binpack this tick instead of bricking every
-    maintenance cycle for the table."""
+    """Advice r4 + r5 refinement: parse-time validation can't prove a
+    sort order is runtime-viable; a sorted rewrite failing with a
+    DETERMINISTIC planning/expression error (AnalysisException /
+    ValueError — e.g. zorder over a non-interleavable column) must
+    fall back to plain binpack this tick instead of bricking every
+    maintenance cycle. A TRANSIENT runtime failure (executor loss,
+    OOM) must re-raise instead — a plain retry would have preserved
+    the declared clustering (advice r5)."""
+    import pytest
+
     import bergloom_spark.lake.maintenance as mt
     from bergloom_spark.lake.table import SORT_ORDER_PROP
 
@@ -157,13 +163,20 @@ def test_sorted_rewrite_runtime_failure_degrades_to_binpack(
         )
 
     real_compact = mt.BinpackCompaction.compact
+    boom: dict = {"exc": ValueError("zorder: non-interleavable column")}
 
     def flaky(self):
         if getattr(self, "sort_cols", None):
-            raise RuntimeError("sorted rewrite exploded at runtime")
+            raise boom["exc"]
         return real_compact(self)
 
     monkeypatch.setattr(mt.BinpackCompaction, "compact", flaky)
+    # transient failure first: must re-raise, debt untouched
+    boom["exc"] = RuntimeError("executor lost mid-rewrite")
+    with pytest.raises(RuntimeError, match="executor lost"):
+        mt.run_maintenance(t, mt.MaintenancePolicy(min_small_files=2))
+    # deterministic planning error: degrades to plain binpack
+    boom["exc"] = ValueError("zorder: non-interleavable column")
     rep = mt.run_maintenance(t, mt.MaintenancePolicy(min_small_files=2))
     assert rep.binpacked and rep.strategy == "binpack(sorted-fallback)"
     assert t.refresh().read().count() == 500
