@@ -4463,6 +4463,85 @@ def q_multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PNG decode, no PIL (round 6 — operators/pngcodec.py,
+    stdlib zlib + the five filter types): per doc a synthetic RGB
+    image is built from an arithmetic pixel recipe, ENCODED to actual
+    PNG bytes with the encoder's filter-CYCLING mode (row y uses
+    filter type y % 5, and every height here is ≥ 5, so None / Sub /
+    Up / Average / Paeth reconstruction paths are ALL on the hash
+    path), then a second Arrow-batched stage decodes through the
+    magic-dispatch (imagecodec.decode_image_array) and emits dims +
+    per-channel sums + the red channel's sum of squares. PNG is
+    lossless, so the DuckDB oracle recomputes the sums directly from
+    the recipe — any filter, zlib-framing, or CRC bug breaks the
+    hash. Bytes never cross a shuffle; pure map over the scan."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as ST
+
+    from bergloom_spark.operators.imagecodec import decode_image_array
+    from bergloom_spark.operators.pngcodec import encode_png
+
+    d = TS(spark, sf_dir, "documents").select("doc_id")
+
+    def make_payloads(it):
+        for pdf in it:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                w, h = 4 + i % 9, 5 + (i * 3) % 7
+                ys = np.arange(h).reshape(-1, 1, 1)
+                xs = np.arange(w).reshape(1, -1, 1)
+                cs = np.arange(3).reshape(1, 1, -1)
+                img = ((i * 7 + ys * 13 + xs * 5 + cs * 11) % 256).astype(
+                    np.uint8
+                )
+                payloads.append(encode_png(img, filters="cycle"))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    payload_schema = ST.StructType(
+        [
+            ST.StructField("doc_id", ST.LongType()),
+            ST.StructField("payload", ST.BinaryType()),
+        ]
+    )
+    out_schema = (
+        "doc_id long, decoded_width long, decoded_height long, "
+        "sum_r long, sum_g long, sum_b long, sum_sq_r long"
+    )
+
+    def decode(it):
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                arr = decode_image_array(bytes(payload)).astype(np.int64)
+                rows.append(
+                    (
+                        int(doc_id),
+                        arr.shape[1],
+                        arr.shape[0],
+                        int(arr[:, :, 0].sum()),
+                        int(arr[:, :, 1].sum()),
+                        int(arr[:, :, 2].sum()),
+                        int((arr[:, :, 0] ** 2).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "decoded_width", "decoded_height",
+                    "sum_r", "sum_g", "sum_b", "sum_sq_r",
+                ],
+            )
+
+    return d.mapInPandas(make_payloads, payload_schema).mapInPandas(
+        decode, out_schema
+    )
+
+
 def q_audio_features_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio decode, no audio libs (round 4): per doc a synthetic
     PCM16 waveform (x_i = (doc_id·17 + i·13) mod 1024 − 512) is
@@ -4630,6 +4709,28 @@ _MULTIMODAL_DECODE_JPEG_SQL = """
                 + 3136 * ((doc_id + b) % 5 - 2)
                        * ((doc_id + b) % 5 - 2)))::BIGINT AS sum_sq_r
     FROM blocks
+"""
+
+
+_MULTIMODAL_DECODE_PNG_SQL = """
+    WITH dims AS (
+      SELECT doc_id,
+             (4 + doc_id % 9)::BIGINT AS decoded_width,
+             (5 + (doc_id * 3) % 7)::BIGINT AS decoded_height
+      FROM documents),
+    px AS (
+      SELECT doc_id, decoded_width, decoded_height,
+             y.range AS y, x.range AS x
+      FROM dims, range(0, 11) y, range(0, 13) x
+      WHERE y.range < decoded_height AND x.range < decoded_width)
+    SELECT doc_id, decoded_width, decoded_height,
+           SUM((doc_id * 7 + y * 13 + x * 5) % 256)::BIGINT AS sum_r,
+           SUM((doc_id * 7 + y * 13 + x * 5 + 11) % 256)::BIGINT AS sum_g,
+           SUM((doc_id * 7 + y * 13 + x * 5 + 22) % 256)::BIGINT AS sum_b,
+           SUM(((doc_id * 7 + y * 13 + x * 5) % 256)
+             * ((doc_id * 7 + y * 13 + x * 5) % 256))::BIGINT AS sum_sq_r
+    FROM px
+    GROUP BY doc_id, decoded_width, decoded_height
 """
 
 
@@ -5285,6 +5386,7 @@ _EXT_ORACLES = {
     """,
     "multimodal_decode_real": _MULTIMODAL_DECODE_REAL_SQL,
     "multimodal_decode_jpeg": _MULTIMODAL_DECODE_JPEG_SQL,
+    "multimodal_decode_png": _MULTIMODAL_DECODE_PNG_SQL,
     "audio_features_real": _AUDIO_FEATURES_REAL_SQL,
     "video_frames_real": _VIDEO_FRAMES_REAL_SQL,
 }
@@ -5658,27 +5760,21 @@ def _driver_verified() -> set:
 # age within a few rounds — the r3 hand-list failure mode (silent
 # permanent staleness) is structurally gone.
 _CHANGED_THIS_ROUND = [
-    # round 5: committed-chain readers + delete-partition pruning
-    "lakestream_source",
+    # round 6: changelog planner/kernel rewrite (delete evidence
+    # inlined driver-side, per-data-file slices) — everything that
+    # reads the changelog, streaming or batch
     "lakestream_changelog",
     "lakestream_replicate",
-    "streaming_lake_ingest",
-    "streaming_cdc_apply",
-    # sorted-fallback rework + scheduler interaction
-    "sorted_maintenance",
-    "auto_maintenance",
-    "maintenance_fleet",
-    # gapfill range pre-split rewrite
-    "gapfill_locf",
-    "gapfill_interp",
-    # matmul broadcast lifetime + image decode dispatch
-    "embedding_dedup",
-    "multimodal_decode_real",
-    # null-safe equality deletes (J2) touch every MERGE/eq-delete path
-    "mor_eq_delete_seq",
-    "mor_multi_eq_schema",
-    "dml_apply_changes",
-    "merge_into",
+    "batch_table_changes",
+    "continuous_rollup",
+    "incremental_dedup_index",
+    # JPEG marker loop now skips 0xFF fill bytes (decode path change)
+    "multimodal_decode_jpeg",
+    # Deliberately SHORT this round (verdict r5 #1): the staleness
+    # rotation must reach the r1/r2-era tail; error-path-only changes
+    # (maintenance fallback narrowing, read_changes bound validation)
+    # and output-pinned internals (bpe_learn_fast membership pruning)
+    # are covered by unit tests, not window slots.
 ]
 
 
@@ -5732,6 +5828,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_resize": q_multimodal_resize,
         "multimodal_decode_real": q_multimodal_decode_real,
         "multimodal_decode_jpeg": q_multimodal_decode_jpeg,
+        "multimodal_decode_png": q_multimodal_decode_png,
         "audio_features_real": q_audio_features_real,
         "video_frames_real": q_video_frames_real,
         "centroid_histogram": q_centroid_histogram,

@@ -123,8 +123,9 @@ def decode_bmp(payload: bytes) -> np.ndarray:
 
 
 def decode_image_array(payload: bytes) -> np.ndarray:
-    """Decode by magic bytes: P6 PPM, 24-bit BMP, or baseline JPEG
-    (round 5, `jpegcodec.py`) → (H, W, 3) uint8."""
+    """Decode by magic bytes: P6 PPM, 24-bit BMP, baseline JPEG
+    (round 5, `jpegcodec.py`), or PNG (round 6, `pngcodec.py`)
+    → (H, W, 3) uint8."""
     if payload[:2] == b"P6":
         return decode_ppm(payload)
     if payload[:2] == b"BM":
@@ -133,9 +134,13 @@ def decode_image_array(payload: bytes) -> np.ndarray:
         from bergloom_spark.operators.jpegcodec import decode_jpeg_baseline
 
         return decode_jpeg_baseline(payload)
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        from bergloom_spark.operators.pngcodec import decode_png
+
+        return decode_png(payload)
     raise ValueError(
         f"unrecognized image magic {payload[:2]!r}: P6 PPM, 24-bit "
-        "BMP, and baseline JPEG decode without PIL"
+        "BMP, baseline JPEG, and PNG decode without PIL"
     )
 
 

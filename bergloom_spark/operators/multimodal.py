@@ -212,11 +212,11 @@ def resize_images(
     The Spark side (schema, mapInPandas batch loop, metadata update)
     is real; the pixel kernel is `fake_resize` unless
     ``use_real_kernel``. The real kernel decodes P6 PPM, 24-bit BMP,
-    or baseline JPEG (round 5, `jpegcodec.py`) with the
-    dependency-free numpy codecs, nearest-neighbor resizes, and
-    re-encodes — as PPM by default, or back into the input's own
-    format (BMP/JPEG-q90/PPM by magic bytes) with
-    ``preserve_format=True``. At scale: payloads never become a
+    baseline JPEG (round 5, `jpegcodec.py`), or PNG (round 6,
+    `pngcodec.py`) with the dependency-free numpy codecs,
+    nearest-neighbor resizes, and re-encodes — as PPM by default, or
+    back into the input's own format (BMP/JPEG-q90/PNG/PPM by magic
+    bytes) with ``preserve_format=True``. At scale: payloads never become a
     shuffle key; this stage is a pure map over whatever partitioning
     the scan produced."""
     import pandas as pd
@@ -250,6 +250,12 @@ def resize_images(
                     return encode_bmp(arr)
                 if b[:2] == b"\xff\xd8":
                     return encode_jpeg_baseline(arr, quality=90)
+                if b[:8] == b"\x89PNG\r\n\x1a\n":
+                    from bergloom_spark.operators.pngcodec import (
+                        encode_png,
+                    )
+
+                    return encode_png(arr)
             return encode_ppm(arr)
 
     else:
