@@ -2390,6 +2390,36 @@ def q_batch_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.read_changes(from_snapshot_id=loaded.snapshot_id)
 
 
+def q_changelog_delete_heavy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCALE-BENCH-ONLY scenario (VERDICT r5 #6) — deliberately NOT in
+    the driver registry: the changelog machinery's correctness is
+    already oracled by lakestream_changelog / batch_table_changes;
+    this shape exists to MEASURE the delete-partition path at decade
+    scale. History: one WIDE append (64 data files), then six
+    delete_where commits whose scattered predicates each produce
+    pos-delete files touching most of those data files — the D×P
+    amplification shape the r6 kernel fix de-amplified (each delete
+    file now read once on the driver, positions shipped as
+    per-data-file slices). The drain is the BATCH change query
+    (read_changes), so the decade row also covers verdict r5 #2's
+    cluster-width tasking."""
+    from bergloom_spark.lake import LakeTable
+
+    base = T(spark, sf_dir, "lineitem").select(*LI_COLS)
+    odd = base.filter(F.col("l_orderkey") % 2 == 1)
+    scratch = _scratch(prefix="bergloom-delheavy-")
+    root = os.path.join(scratch, "li")
+    t = LakeTable.create(spark, root, base.schema)
+    loaded = t.append(odd.repartition(64))
+    for k in range(6):
+        t.delete_where((F.col("l_orderkey") + 3 * k) % 17 == 0)
+    changes = t.read_changes(from_snapshot_id=loaded.snapshot_id)
+    return changes.groupBy("_commit_snapshot_id", "_change_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
 def q_continuous_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Continuous aggregate (round 5): a per-supplier (count, sum)
     rollup maintained INCREMENTALLY from the source table's changelog

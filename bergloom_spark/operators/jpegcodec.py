@@ -15,8 +15,9 @@ Scope, stated honestly:
   standard Annex K tables scaled by the libjpeg quality formula.
 - decode: baseline sequential DCT (SOF0), 8-bit, 1–3 components, any
   sampling factors 1–2 (nearest-neighbor chroma upsampling), restart
-  markers (DRI/RSTn) supported. Progressive (SOF2), arithmetic
-  coding, and 12-bit precision raise ``ValueError``.
+  markers (DRI/RSTn) supported. Progressive (SOF2) streams are
+  delegated to ``jpegprogressive.py`` (round 6); arithmetic coding
+  and 12-bit precision raise ``ValueError``.
 
 The per-block hot loops are numpy matrix ops (the 2-D DCT-II/III is
 two 8×8 matmuls); only the entropy coder is scalar Python, which is
@@ -507,9 +508,16 @@ def decode_jpeg_baseline(payload: bytes) -> np.ndarray:
                     {"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq}
                 )
             frame = {"h": h, "w": w, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+        elif marker == 0xC2:  # progressive: delegate (round 6)
+            from bergloom_spark.operators.jpegprogressive import (
+                decode_jpeg_progressive,
+            )
+
+            return decode_jpeg_progressive(payload)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise ValueError(
-                f"SOF{marker - 0xC0}: only baseline sequential supported"
+                f"SOF{marker - 0xC0}: only baseline sequential and "
+                "progressive (SOF2) supported"
             )
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack_from(">H", seg, 0)[0]

@@ -171,12 +171,17 @@ def test_jpeg_magic_dispatch():
     assert np.array_equal(IC.decode_image_array(enc), img)
 
 
-def test_jpeg_rejects_progressive_and_garbage():
+def test_jpeg_rejects_masquerade_and_garbage():
+    """Round 6: SOF2 streams now DELEGATE to the progressive decoder
+    (jpegprogressive.py) instead of raising — but a baseline stream
+    merely relabeled as SOF2 is malformed under progressive rules
+    (a full-band Ss=0..Se=63 scan is illegal there) and must still
+    raise, not decode to garbage."""
     img = np.full((8, 8, 3), 99, np.uint8)
     enc = bytearray(JC.encode_jpeg_baseline(img, 95))
     sof = enc.find(b"\xff\xc0")
     enc[sof + 1] = 0xC2  # masquerade as progressive
-    with pytest.raises(ValueError, match="baseline"):
+    with pytest.raises(ValueError, match="Se=0"):
         JC.decode_jpeg_baseline(bytes(enc))
     with pytest.raises(ValueError, match="SOI"):
         JC.decode_jpeg_baseline(b"\x89PNG....")

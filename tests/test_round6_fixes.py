@@ -147,6 +147,44 @@ def test_read_changes_width_scales_past_32(spark, tmp_path):
     assert df.count() == 160
 
 
+def test_replication_batches_snapshots_into_one_commit(spark, tmp_path):
+    """Verdict r5 #7 pinned as a property: one availableNow drain
+    over an N-snapshot source history applies as ONE replica commit
+    (apply_changes per micro-batch, and the drain is one micro-batch)
+    — the replica's write amplification is bounded by drain cadence,
+    not by the source's commit count."""
+    import pyspark.sql.functions as F
+
+    from bergloom_spark.sources.lakestream import LakeStreamDataSource
+    from bergloom_spark.streaming.ingest import replicate_changelog
+
+    spark.dataSource.register(LakeStreamDataSource)
+    base = spark.range(300).select("id", (F.col("id") % 5).alias("v"))
+    src = LakeTable.create(spark, str(tmp_path / "src"), base.schema)
+    for i in range(5):
+        src.append(
+            spark.range(i * 60, (i + 1) * 60).select(
+                "id", (F.col("id") % 5).alias("v")
+            )
+        )
+    src.delete_where(F.col("id") % 9 == 2)
+    src.upsert(
+        spark.range(7, 20, 3).select(
+            "id", F.lit(42).cast("long").alias("v")
+        ),
+        ["id"],
+    )
+    dst = LakeTable.create(spark, str(tmp_path / "dst"), base.schema)
+    dst = replicate_changelog(
+        spark, str(tmp_path / "src"), dst, str(tmp_path / "ck"), ["id"]
+    )
+    assert len(src.refresh().meta.snapshots) >= 7
+    assert len(dst.meta.snapshots) == 1  # 7+ source snapshots, 1 commit
+    assert {tuple(r) for r in dst.read().collect()} == {
+        tuple(r) for r in src.read().collect()
+    }
+
+
 def test_read_changes_rejects_offchain_bounds(spark, tmp_path):
     """Advice r5: a typo'd bound must raise, not silently truncate."""
     base = spark.range(10).select("id")

@@ -50,6 +50,11 @@ HEAVY = [
     # continuous aggregate (incremental changelog-fed rollup)
     "gapfill_locf",
     "continuous_rollup",
+    # round-6: change-query surfaces end-to-end (VERDICT r5 #6) —
+    # batch CDF over a mixed history, and the delete-heavy drain that
+    # measures the de-amplified delete-partition kernel (r5 #3)
+    "batch_table_changes",
+    "changelog_delete_heavy",
 ]
 
 SF01 = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -65,6 +70,7 @@ def main() -> None:
     spec.loader.exec_module(mod)
     queries = dict(mod.queries())
     queries["bpe_token_stats"] = mod.q_bpe_token_stats
+    queries["changelog_delete_heavy"] = mod.q_changelog_delete_heavy
 
     spark = get_spark(app_name="scale-bench")
     spark.sparkContext.setLogLevel("ERROR")
