@@ -111,23 +111,16 @@ def encode_png(arr: np.ndarray, filters: str = "cycle") -> bytes:
     )
 
 
-def _unfilter_row(ft, line, prev, cur, bpp, stride):
-    """Reconstruct one scanline IN PLACE into ``cur`` (python lists of
-    ints — faster than numpy scalar indexing for the serial filters)."""
-    if ft == 0:
-        cur[:] = line
-    elif ft == 1:  # Sub
-        for i in range(stride):
-            left = cur[i - bpp] if i >= bpp else 0
-            cur[i] = (line[i] + left) & 0xFF
-    elif ft == 2:  # Up
-        for i in range(stride):
-            cur[i] = (line[i] + prev[i]) & 0xFF
-    elif ft == 3:  # Average
+def _unfilter_serial(ft, line, prev, cur, bpp, stride):
+    """Average/Paeth reconstruction IN PLACE into ``cur`` (python
+    lists of ints — the just-reconstructed left neighbor makes these
+    two inherently serial; plain-int loops beat numpy scalar
+    indexing)."""
+    if ft == 3:  # Average
         for i in range(stride):
             left = cur[i - bpp] if i >= bpp else 0
             cur[i] = (line[i] + ((left + prev[i]) >> 1)) & 0xFF
-    elif ft == 4:  # Paeth
+    else:  # 4: Paeth
         for i in range(stride):
             a = cur[i - bpp] if i >= bpp else 0
             b = prev[i]
@@ -143,8 +136,6 @@ def _unfilter_row(ft, line, prev, cur, bpp, stride):
             else:
                 pred = c
             cur[i] = (line[i] + pred) & 0xFF
-    else:
-        raise ValueError(f"unknown PNG filter type {ft}")
 
 
 def decode_png(payload: bytes) -> np.ndarray:
@@ -202,16 +193,32 @@ def decode_png(payload: bytes) -> np.ndarray:
             f"{h * (1 + stride)}"
         )
     recon = np.empty((h, stride), dtype=np.uint8)
-    prev = [0] * stride
-    cur = [0] * stride
+    prev = np.zeros(stride, dtype=np.int64)
     p = 0
     for y in range(h):
         ft = raw[p]
-        line = list(raw[p + 1 : p + 1 + stride])
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=p + 1
+        ).astype(np.int64)
         p += 1 + stride
-        _unfilter_row(ft, line, prev, cur, bpp, stride)
+        if ft == 0:
+            cur = line
+        elif ft == 1:  # Sub: per-lane prefix sum (mod distributes)
+            cur = line.copy()
+            for lane in range(bpp):
+                cur[lane::bpp] = np.cumsum(cur[lane::bpp]) & 0xFF
+        elif ft == 2:  # Up
+            cur = (line + prev) & 0xFF
+        elif ft in (3, 4):
+            cl = [0] * stride
+            _unfilter_serial(
+                ft, line.tolist(), prev.tolist(), cl, bpp, stride
+            )
+            cur = np.array(cl, dtype=np.int64)
+        else:
+            raise ValueError(f"unknown PNG filter type {ft}")
         recon[y] = cur
-        prev, cur = cur, prev
+        prev = cur
     px = recon.reshape(h, w, bpp)
     if color_type == 0:
         return np.repeat(px, 3, axis=2).copy()
