@@ -15,8 +15,10 @@ Coverage, stated honestly:
   y % 5 precisely so a roundtrip oracle pins every reconstruction
   path, not just the easy ones.
 - chunk CRCs are verified; ancillary chunks are skipped.
-- REJECTED honestly (raise, never guess): interlace 1 (Adam7),
-  bit depths other than 8, nonzero compression/filter methods.
+- Adam7 interlacing (round 6): each of the seven passes is an
+  independently-filtered sub-image scattered into place.
+- REJECTED honestly (raise, never guess): bit depths other than 8,
+  nonzero compression/filter methods, unknown interlace methods.
 
 Scale shape: this is an executor-side kernel — called from
 Arrow-batched ``mapInPandas`` (operators/multimodal.py), one image
@@ -138,6 +140,49 @@ def _unfilter_serial(ft, line, prev, cur, bpp, stride):
             cur[i] = (line[i] + pred) & 0xFF
 
 
+# Adam7 pass geometry: (x0, y0, dx, dy) per pass.
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _unfilter_image(raw: bytes, offset: int, h: int, w: int, bpp: int):
+    """Reconstruct ``h`` scanlines of ``w`` pixels starting at
+    ``offset`` (each row: 1 filter byte + w*bpp data bytes) →
+    (h, w*bpp) uint8. The unit of filtering for both the sequential
+    image and each Adam7 pass (a pass's first row has no prior row)."""
+    stride = w * bpp
+    recon = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int64)
+    p = offset
+    for y in range(h):
+        ft = raw[p]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=p + 1
+        ).astype(np.int64)
+        p += 1 + stride
+        if ft == 0:
+            cur = line
+        elif ft == 1:  # Sub: per-lane prefix sum (mod distributes)
+            cur = line.copy()
+            for lane in range(bpp):
+                cur[lane::bpp] = np.cumsum(cur[lane::bpp]) & 0xFF
+        elif ft == 2:  # Up
+            cur = (line + prev) & 0xFF
+        elif ft in (3, 4):
+            cl = [0] * stride
+            _unfilter_serial(
+                ft, line.tolist(), prev.tolist(), cl, bpp, stride
+            )
+            cur = np.array(cl, dtype=np.int64)
+        else:
+            raise ValueError(f"unknown PNG filter type {ft}")
+        recon[y] = cur
+        prev = cur
+    return recon
+
+
 def decode_png(payload: bytes) -> np.ndarray:
     """PNG bytes → (H, W, 3) uint8 RGB (alpha dropped, gray/palette
     expanded). See the module docstring for the supported envelope."""
@@ -172,8 +217,8 @@ def decode_png(payload: bytes) -> np.ndarray:
     if header is None:
         raise ValueError("PNG stream has no IHDR chunk")
     w, h, depth, color_type, comp, filt_method, interlace = header
-    if interlace != 0:
-        raise ValueError("Adam7 interlaced PNG unsupported")
+    if interlace not in (0, 1):
+        raise ValueError(f"interlace method {interlace} unsupported")
     if depth != 8:
         raise ValueError(f"bit depth {depth} unsupported (8 only)")
     if comp != 0 or filt_method != 0:
@@ -185,41 +230,30 @@ def decode_png(payload: bytes) -> np.ndarray:
     if not idat:
         raise ValueError("PNG stream has no IDAT chunk")
     bpp = _CHANNELS[color_type]
-    stride = w * bpp
     raw = zlib.decompress(bytes(idat))
-    if len(raw) != h * (1 + stride):
-        raise ValueError(
-            f"scanline data is {len(raw)} bytes, expected "
-            f"{h * (1 + stride)}"
-        )
-    recon = np.empty((h, stride), dtype=np.uint8)
-    prev = np.zeros(stride, dtype=np.int64)
-    p = 0
-    for y in range(h):
-        ft = raw[p]
-        line = np.frombuffer(
-            raw, dtype=np.uint8, count=stride, offset=p + 1
-        ).astype(np.int64)
-        p += 1 + stride
-        if ft == 0:
-            cur = line
-        elif ft == 1:  # Sub: per-lane prefix sum (mod distributes)
-            cur = line.copy()
-            for lane in range(bpp):
-                cur[lane::bpp] = np.cumsum(cur[lane::bpp]) & 0xFF
-        elif ft == 2:  # Up
-            cur = (line + prev) & 0xFF
-        elif ft in (3, 4):
-            cl = [0] * stride
-            _unfilter_serial(
-                ft, line.tolist(), prev.tolist(), cl, bpp, stride
+    if interlace == 0:
+        if len(raw) != h * (1 + w * bpp):
+            raise ValueError(
+                f"scanline data is {len(raw)} bytes, expected "
+                f"{h * (1 + w * bpp)}"
             )
-            cur = np.array(cl, dtype=np.int64)
-        else:
-            raise ValueError(f"unknown PNG filter type {ft}")
-        recon[y] = cur
-        prev = cur
-    px = recon.reshape(h, w, bpp)
+        px = _unfilter_image(raw, 0, h, w, bpp).reshape(h, w, bpp)
+    else:  # Adam7 (round 6): seven independently-filtered sub-images
+        px = np.zeros((h, w, bpp), dtype=np.uint8)
+        p = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            need = ph * (1 + pw * bpp)
+            if len(raw) - p < need:
+                raise ValueError("truncated Adam7 scanline data")
+            sub = _unfilter_image(raw, p, ph, pw, bpp)
+            px[y0::dy, x0::dx] = sub.reshape(ph, pw, bpp)
+            p += need
+        if p != len(raw):
+            raise ValueError("trailing bytes after Adam7 passes")
     if color_type == 0:
         return np.repeat(px, 3, axis=2).copy()
     if color_type == 2:

@@ -118,6 +118,63 @@ def test_ancillary_chunks_skipped():
     assert np.array_equal(decode_png(spliced), img)
 
 
+def _adam7_stream(img, filters=False):
+    """Hand-built interlaced stream: slice the image into the seven
+    passes per the spec's geometry; optionally filter pass rows with
+    cycling types (via encode_png's own filter math on each pass)."""
+    from bergloom_spark.operators.pngcodec import _ADAM7, encode_png
+
+    h, w, _ = img.shape
+    raw = bytearray()
+    for x0, y0, dx, dy in _ADAM7:
+        sub = img[y0::dy, x0::dx]
+        if sub.size == 0:
+            continue
+        if filters:
+            # reuse the encoder's filter emission: strip its headers
+            # and take just the filtered scanline bytes
+            sub_png = encode_png(np.ascontiguousarray(sub))
+            # sig(8) + IHDR chunk(25) + IDAT len/type(8) .. crc(4) + IEND(12)
+            raw += zlib.decompress(sub_png[41:-16])
+        else:
+            for row in sub:
+                raw += b"\x00" + row.tobytes()
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1)
+    return (
+        PNG_SIGNATURE
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _chunk(b"IEND", b"")
+    )
+
+
+@pytest.mark.parametrize("h,w", [(16, 16), (13, 11), (3, 3), (1, 9)])
+def test_adam7_interlaced_decode(h, w):
+    img = _rng_img(h, w, seed=h * 17 + w)
+    assert np.array_equal(decode_png(_adam7_stream(img)), img)
+
+
+def test_adam7_with_filtered_passes():
+    img = _rng_img(21, 19, seed=9)
+    data = _adam7_stream(img, filters=True)
+    assert np.array_equal(decode_png(data), img)
+
+
+def test_adam7_truncated_raises():
+    img = _rng_img(16, 16, seed=2)
+    data = _adam7_stream(img)
+    # rebuild with IDAT shortened pre-compression
+    raw = zlib.decompress(data[41:-16])
+    short = (
+        PNG_SIGNATURE
+        + _chunk(b"IHDR", struct.pack(">IIBBBBB", 16, 16, 8, 2, 0, 0, 1))
+        + _chunk(b"IDAT", zlib.compress(raw[: len(raw) // 2]))
+        + _chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="Adam7"):
+        decode_png(short)
+
+
 def test_rejections_are_honest():
     img = _rng_img(4, 4)
     data = bytearray(encode_png(img))
@@ -126,15 +183,15 @@ def test_rejections_are_honest():
     bad[8 + 12 + 13 + 8 + 2] ^= 0xFF
     with pytest.raises(ValueError, match="CRC"):
         decode_png(bytes(bad))
-    # interlaced
-    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 1)
+    # unknown interlace method (Adam7 itself decodes since round 6)
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 2)
     stream = (
         PNG_SIGNATURE
         + _chunk(b"IHDR", ihdr)
         + _chunk(b"IDAT", zlib.compress(b"\x00" * 13))
         + _chunk(b"IEND", b"")
     )
-    with pytest.raises(ValueError, match="Adam7"):
+    with pytest.raises(ValueError, match="interlace"):
         decode_png(stream)
     # 16-bit depth
     ihdr16 = struct.pack(">IIBBBBB", 4, 4, 16, 2, 0, 0, 0)
