@@ -227,6 +227,12 @@ def main() -> None:
                     f"shuffled per pass (seed 20260814), System.gc() "
                     f"between passes, best of {passes}"
                 ),
+                "calibration_protocol": (
+                    "min of 3 probe runs (r6+). BENCH_r05's anchor was "
+                    "a SINGLE sample, so the r5→r6 ratio carries a "
+                    "one-time downward bias (min ≤ single draw); from "
+                    "r6 on the comparison is min-vs-min."
+                ),
                 # Single-thread CPU probe timed before Spark started:
                 # the r3->r4 r1-comparable drift reproduced in round 5
                 # as a UNIFORM +10-25% on all 14 queries (plans
