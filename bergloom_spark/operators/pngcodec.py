@@ -7,9 +7,12 @@ real decode path in this container. Implemented from the public spec
 (W3C PNG / RFC 2083) only.
 
 Coverage, stated honestly:
-- bit depth 8, color types 0 (gray), 2 (RGB), 3 (palette via PLTE),
-  4 (gray+alpha), 6 (RGBA); alpha is DROPPED (output is (H, W, 3)
-  uint8 RGB — same contract as the other codecs).
+- every legal (depth, color type) pair: 8/16-bit gray (0), RGB (2),
+  gray+alpha (4), RGBA (6); 1/2/4/8-bit palette (3) and gray. 16-bit
+  keeps the high byte (the standard 16→8 downconversion); sub-byte
+  gray scales by left-bit-replication (×255/×85/×17); alpha is
+  DROPPED (output is (H, W, 3) uint8 RGB — same contract as the
+  other codecs).
 - all five filter types (None/Sub/Up/Average/Paeth) on decode AND
   encode; the encoder's default "cycle" mode filters row y with type
   y % 5 precisely so a roundtrip oracle pins every reconstruction
@@ -17,8 +20,9 @@ Coverage, stated honestly:
 - chunk CRCs are verified; ancillary chunks are skipped.
 - Adam7 interlacing (round 6): each of the seven passes is an
   independently-filtered sub-image scattered into place.
-- REJECTED honestly (raise, never guess): bit depths other than 8,
-  nonzero compression/filter methods, unknown interlace methods.
+- REJECTED honestly (raise, never guess): illegal depth/color-type
+  pairs, nonzero compression/filter methods, unknown interlace
+  methods.
 
 Scale shape: this is an executor-side kernel — called from
 Arrow-batched ``mapInPandas`` (operators/multimodal.py), one image
@@ -147,12 +151,13 @@ _ADAM7 = (
 )
 
 
-def _unfilter_image(raw: bytes, offset: int, h: int, w: int, bpp: int):
-    """Reconstruct ``h`` scanlines of ``w`` pixels starting at
-    ``offset`` (each row: 1 filter byte + w*bpp data bytes) →
-    (h, w*bpp) uint8. The unit of filtering for both the sequential
-    image and each Adam7 pass (a pass's first row has no prior row)."""
-    stride = w * bpp
+def _unfilter_image(raw: bytes, offset: int, h: int, stride: int, bpp: int):
+    """Reconstruct ``h`` scanlines of ``stride`` bytes starting at
+    ``offset`` (each row: 1 filter byte + stride data bytes; ``bpp``
+    is the FILTER unit — whole bytes per pixel, min 1, per the spec's
+    sub-byte rule) → (h, stride) uint8. The unit of filtering for
+    both the sequential image and each Adam7 pass (a pass's first row
+    has no prior row)."""
     recon = np.empty((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.int64)
     p = offset
@@ -181,6 +186,24 @@ def _unfilter_image(raw: bytes, offset: int, h: int, w: int, bpp: int):
         recon[y] = cur
         prev = cur
     return recon
+
+
+def _extract_samples(rows, hgt, wid, channels, depth):
+    """(hgt, stride) filtered bytes → (hgt, wid, channels) uint8
+    samples. depth 16 keeps the high byte (the standard 16→8
+    downconversion); depths 1/2/4 unpack MSB-first bit groups
+    (single-channel only — gray or palette index, per the spec)."""
+    rows = np.asarray(rows, dtype=np.uint8)
+    if depth == 8:
+        return rows[:, : wid * channels].reshape(hgt, wid, channels)
+    if depth == 16:
+        return rows[:, : wid * channels * 2].reshape(
+            hgt, wid, channels, 2
+        )[..., 0]
+    bits = np.unpackbits(rows, axis=1)[:, : wid * depth]
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.int64)
+    vals = (bits.reshape(hgt, wid, depth) * weights).sum(axis=2)
+    return vals.astype(np.uint8).reshape(hgt, wid, 1)
 
 
 def decode_png(payload: bytes) -> np.ndarray:
@@ -219,41 +242,66 @@ def decode_png(payload: bytes) -> np.ndarray:
     w, h, depth, color_type, comp, filt_method, interlace = header
     if interlace not in (0, 1):
         raise ValueError(f"interlace method {interlace} unsupported")
-    if depth != 8:
-        raise ValueError(f"bit depth {depth} unsupported (8 only)")
+    if color_type not in _CHANNELS:
+        raise ValueError(f"color type {color_type} unsupported")
+    # Legal (depth, color type) combinations per the spec's table:
+    # sub-byte depths only for gray/palette; palette caps at 8.
+    if (
+        depth not in (1, 2, 4, 8, 16)
+        or (depth < 8 and color_type not in (0, 3))
+        or (depth == 16 and color_type == 3)
+    ):
+        raise ValueError(
+            f"bit depth {depth} with color type {color_type} "
+            "unsupported"
+        )
     if comp != 0 or filt_method != 0:
         raise ValueError(
             f"compression={comp}/filter={filt_method} unsupported"
         )
-    if color_type not in _CHANNELS:
-        raise ValueError(f"color type {color_type} unsupported")
     if not idat:
         raise ValueError("PNG stream has no IDAT chunk")
-    bpp = _CHANNELS[color_type]
+    channels = _CHANNELS[color_type]
+    # filter unit: whole bytes per pixel, min 1 (spec's sub-byte rule)
+    fbpp = max(1, channels * depth // 8)
+
+    def _stride(wid: int) -> int:
+        return (wid * channels * depth + 7) // 8
+
     raw = zlib.decompress(bytes(idat))
     if interlace == 0:
-        if len(raw) != h * (1 + w * bpp):
+        stride = _stride(w)
+        if len(raw) != h * (1 + stride):
             raise ValueError(
                 f"scanline data is {len(raw)} bytes, expected "
-                f"{h * (1 + w * bpp)}"
+                f"{h * (1 + stride)}"
             )
-        px = _unfilter_image(raw, 0, h, w, bpp).reshape(h, w, bpp)
+        rows = _unfilter_image(raw, 0, h, stride, fbpp)
+        px = _extract_samples(rows, h, w, channels, depth)
     else:  # Adam7 (round 6): seven independently-filtered sub-images
-        px = np.zeros((h, w, bpp), dtype=np.uint8)
+        px = np.zeros((h, w, channels), dtype=np.uint8)
         p = 0
         for x0, y0, dx, dy in _ADAM7:
             pw = (w - x0 + dx - 1) // dx
             ph = (h - y0 + dy - 1) // dy
             if pw <= 0 or ph <= 0:
                 continue
-            need = ph * (1 + pw * bpp)
+            stride = _stride(pw)
+            need = ph * (1 + stride)
             if len(raw) - p < need:
                 raise ValueError("truncated Adam7 scanline data")
-            sub = _unfilter_image(raw, p, ph, pw, bpp)
-            px[y0::dy, x0::dx] = sub.reshape(ph, pw, bpp)
+            rows = _unfilter_image(raw, p, ph, stride, fbpp)
+            px[y0::dy, x0::dx] = _extract_samples(
+                rows, ph, pw, channels, depth
+            )
             p += need
         if p != len(raw):
             raise ValueError("trailing bytes after Adam7 passes")
+    if color_type == 0 and depth < 8:
+        # left-bit-replication scaling: ×255, ×85, ×17 for 1/2/4-bit
+        px = (
+            px.astype(np.int64) * (255 // ((1 << depth) - 1))
+        ).astype(np.uint8)
     if color_type == 0:
         return np.repeat(px, 3, axis=2).copy()
     if color_type == 2:

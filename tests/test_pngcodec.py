@@ -118,6 +118,75 @@ def test_ancillary_chunks_skipped():
     assert np.array_equal(decode_png(spliced), img)
 
 
+def _raw_png_depth(w, h, color_type, depth, packed_rows, extra=b""):
+    """Spec-conformant stream at an arbitrary bit depth: caller packs
+    each row's sample bytes; filter-0 rows."""
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0, 0)
+    raw = b"".join(b"\x00" + r for r in packed_rows)
+    return (
+        PNG_SIGNATURE
+        + _chunk(b"IHDR", ihdr)
+        + extra
+        + _chunk(b"IDAT", zlib.compress(raw))
+        + _chunk(b"IEND", b"")
+    )
+
+
+@pytest.mark.parametrize("depth,scale", [(1, 255), (2, 85), (4, 17)])
+def test_subbyte_grayscale_depths(depth, scale):
+    w, h = 11, 4  # odd width → padded final byte per row
+    rng = np.random.RandomState(depth)
+    vals = rng.randint(0, 1 << depth, size=(h, w))
+    rows = []
+    for y in range(h):
+        bits = []
+        for v in vals[y]:
+            bits.extend(
+                (int(v) >> (depth - 1 - i)) & 1 for i in range(depth)
+            )
+        bits += [0] * (-len(bits) % 8)
+        rows.append(np.packbits(np.array(bits, np.uint8)).tobytes())
+    out = decode_png(_raw_png_depth(w, h, 0, depth, rows))
+    expect = (vals * scale).astype(np.uint8)
+    assert np.array_equal(out, np.repeat(expect[:, :, None], 3, axis=2))
+
+
+def test_subbyte_palette():
+    plte = np.array(
+        [[10, 20, 30], [200, 100, 0], [0, 0, 255], [9, 9, 9]], np.uint8
+    )
+    idx = np.array([[0, 1, 2, 3, 1], [3, 2, 1, 0, 2]], np.uint8)
+    rows = []
+    for y in range(2):  # 2-bit palette, 5 px → 10 bits → 2 bytes
+        bits = []
+        for v in idx[y]:
+            bits.extend(((int(v) >> 1) & 1, int(v) & 1))
+        bits += [0] * (-len(bits) % 8)
+        rows.append(np.packbits(np.array(bits, np.uint8)).tobytes())
+    data = _raw_png_depth(
+        5, 2, 3, 2, rows, extra=_chunk(b"PLTE", plte.tobytes())
+    )
+    assert np.array_equal(decode_png(data), plte[idx])
+
+
+def test_16bit_rgb_keeps_high_byte():
+    w, h = 4, 3
+    rng = np.random.RandomState(7)
+    px16 = rng.randint(0, 1 << 16, size=(h, w, 3))
+    rows = [
+        px16[y].astype(">u2").tobytes() for y in range(h)
+    ]
+    out = decode_png(_raw_png_depth(w, h, 2, 16, rows))
+    assert np.array_equal(out, (px16 >> 8).astype(np.uint8))
+
+
+def test_illegal_depth_combos_raise():
+    with pytest.raises(ValueError, match="bit depth"):
+        decode_png(_raw_png_depth(4, 1, 2, 4, [b"\x00" * 6]))  # RGB@4
+    with pytest.raises(ValueError, match="bit depth"):
+        decode_png(_raw_png_depth(4, 1, 3, 16, [b"\x00" * 8]))  # plte@16
+
+
 def _adam7_stream(img, filters=False):
     """Hand-built interlaced stream: slice the image into the seven
     passes per the spec's geometry; optionally filter pass rows with
@@ -193,16 +262,16 @@ def test_rejections_are_honest():
     )
     with pytest.raises(ValueError, match="interlace"):
         decode_png(stream)
-    # 16-bit depth
-    ihdr16 = struct.pack(">IIBBBBB", 4, 4, 16, 2, 0, 0, 0)
-    stream16 = (
+    # depth 3 is not a PNG bit depth (16-bit decodes since round 6)
+    ihdr3 = struct.pack(">IIBBBBB", 4, 4, 3, 2, 0, 0, 0)
+    stream3 = (
         PNG_SIGNATURE
-        + _chunk(b"IHDR", ihdr16)
+        + _chunk(b"IHDR", ihdr3)
         + _chunk(b"IDAT", zlib.compress(b"\x00"))
         + _chunk(b"IEND", b"")
     )
     with pytest.raises(ValueError, match="bit depth"):
-        decode_png(stream16)
+        decode_png(stream3)
     # not a PNG at all
     with pytest.raises(ValueError, match="signature"):
         decode_png(b"GIF89a" + bytes(16))
