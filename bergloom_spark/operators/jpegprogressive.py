@@ -122,9 +122,16 @@ class _ScanWriter:
         self.pending_bits = []
 
 
-def encode_jpeg_progressive(arr: np.ndarray, quality: int = 90) -> bytes:
+def encode_jpeg_progressive(
+    arr: np.ndarray, quality: int = 90, restart_interval: int = 0
+) -> bytes:
     """(H, W, 3) uint8 RGB (or (H, W) grayscale) → progressive (SOF2)
-    JFIF bytes, 4:4:4, Annex K quant tables at ``quality``."""
+    JFIF bytes, 4:4:4, Annex K quant tables at ``quality``.
+
+    ``restart_interval`` > 0 emits DRI + RSTn markers every N units
+    (MCUs in DC scans, blocks in AC scans), closing the pending EOB
+    run and byte-aligning first — exists mainly so the DECODER's
+    restart path (predictor + EOB-run reset) is roundtrip-pinned."""
     a = np.asarray(arr, dtype=np.uint8)
     gray = a.ndim == 2
     if not gray and (a.ndim != 3 or a.shape[2] != 3):
@@ -174,6 +181,8 @@ def encode_jpeg_progressive(arr: np.ndarray, quality: int = 90) -> bytes:
         out += b"\xff\xc4" + struct.pack(
             ">HB", 3 + 16 + len(values), tc_th
         ) + bytes(bits) + bytes(values)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
     dc_codes = _canonical_codes(*_DC_FLAT)
     ac_codes = _canonical_codes(*_AC_FLAT)
 
@@ -184,10 +193,34 @@ def encode_jpeg_progressive(arr: np.ndarray, quality: int = 90) -> bytes:
             out += struct.pack("BB", ci + 1, 0x00)
         out += struct.pack("BBB", ss, se, (ah << 4) | al)
         bw = _BitWriter()
+        rst = [0, 0]  # (units emitted, next RST index)
+
+        def _restart(sw=None) -> bool:
+            """Byte-align and emit RSTn at an interval boundary;
+            True when a marker was emitted (caller resets DC preds —
+            the EOB run is closed here since it cannot span a
+            restart)."""
+            emitted = False
+            if (
+                restart_interval
+                and rst[0]
+                and rst[0] % restart_interval == 0
+            ):
+                if sw is not None:
+                    sw.flush_eobrun()
+                bw.flush()
+                bw.buf += bytes((0xFF, 0xD0 + rst[1]))
+                rst[1] = (rst[1] + 1) % 8
+                emitted = True
+            rst[0] += 1
+            return emitted
+
         if ss == 0:  # DC scan (refine when ah > 0)
             pred = [0] * ncomp
             for by in range(bh):
                 for bx in range(bwid):
+                    if _restart():
+                        pred = [0] * ncomp
                     for ci in comp_idx:
                         dc = int(coefs[ci][by, bx, 0])
                         if ah == 0:
@@ -206,6 +239,7 @@ def encode_jpeg_progressive(arr: np.ndarray, quality: int = 90) -> bytes:
             sw = _ScanWriter(bw, ac_codes)
             for by in range(bh):
                 for bx in range(bwid):
+                    _restart(sw)
                     zz = coefs[ci][by, bx]
                     if ah == 0:
                         _encode_ac_first(sw, zz, ss, se, al)

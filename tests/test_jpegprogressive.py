@@ -113,6 +113,23 @@ def test_magic_dispatch_handles_progressive():
     assert np.array_equal(via_dispatch, direct)
 
 
+@pytest.mark.parametrize("interval", [1, 3, 7])
+def test_restart_markers_roundtrip(interval):
+    """DRI/RSTn in every scan: output must equal the marker-free
+    encoding (predictor + EOB-run resets are pure re-sync), pinning
+    the decoder's progressive restart path."""
+    img = _noise(24, 40, seed=interval)
+    plain = decode_jpeg_progressive(encode_jpeg_progressive(img, 90))
+    with_rst = encode_jpeg_progressive(
+        img, 90, restart_interval=interval
+    )
+    assert b"\xff\xdd" in with_rst
+    assert any(
+        bytes((0xFF, 0xD0 + i)) in with_rst for i in range(8)
+    )
+    assert np.array_equal(decode_jpeg_progressive(with_rst), plain)
+
+
 def test_progressive_rejects_are_honest():
     img = _noise(8, 8, seed=2)
     base = encode_jpeg_baseline(img)
