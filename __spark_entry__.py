@@ -4572,6 +4572,87 @@ def q_multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL GIF decode, no PIL (round 6 — operators/gifcodec.py, full
+    LZW with giflib width-growth + palette + interlace): per doc a
+    synthetic palette image is built from an arithmetic recipe
+    (palette[i] = (i, 2i%256, 7i%256); index(y,x) = (doc_id*3 + y*11
+    + x*5) % 256), ENCODED to actual GIF89a bytes — odd doc_ids
+    interlaced, so both row orders are on the hash path — then a
+    second Arrow-batched stage decodes through the magic dispatch and
+    emits dims + per-channel sums + red sum of squares. GIF's pixel
+    layer is lossless, so the DuckDB oracle recomputes the sums from
+    the recipe; an LZW width slip, palette remap, or interlace
+    reorder bug breaks the hash."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as ST
+
+    from bergloom_spark.operators.gifcodec import encode_gif
+    from bergloom_spark.operators.imagecodec import decode_image_array
+
+    d = TS(spark, sf_dir, "documents").select("doc_id")
+    i256 = np.arange(256, dtype=np.int64)
+    palette = np.stack(
+        [i256, (i256 * 2) % 256, (i256 * 7) % 256], axis=-1
+    ).astype(np.uint8)
+
+    def make_payloads(it):
+        for pdf in it:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                w, h = 5 + i % 8, 4 + (i * 3) % 9
+                ys = np.arange(h).reshape(-1, 1)
+                xs = np.arange(w).reshape(1, -1)
+                idx = (i * 3 + ys * 11 + xs * 5) % 256
+                payloads.append(
+                    encode_gif(palette[idx], interlace=bool(i % 2))
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    payload_schema = ST.StructType(
+        [
+            ST.StructField("doc_id", ST.LongType()),
+            ST.StructField("payload", ST.BinaryType()),
+        ]
+    )
+    out_schema = (
+        "doc_id long, decoded_width long, decoded_height long, "
+        "sum_r long, sum_g long, sum_b long, sum_sq_r long"
+    )
+
+    def decode(it):
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                arr = decode_image_array(bytes(payload)).astype(np.int64)
+                rows.append(
+                    (
+                        int(doc_id),
+                        arr.shape[1],
+                        arr.shape[0],
+                        int(arr[:, :, 0].sum()),
+                        int(arr[:, :, 1].sum()),
+                        int(arr[:, :, 2].sum()),
+                        int((arr[:, :, 0] ** 2).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "decoded_width", "decoded_height",
+                    "sum_r", "sum_g", "sum_b", "sum_sq_r",
+                ],
+            )
+
+    return d.mapInPandas(make_payloads, payload_schema).mapInPandas(
+        decode, out_schema
+    )
+
+
 def q_audio_features_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio decode, no audio libs (round 4): per doc a synthetic
     PCM16 waveform (x_i = (doc_id·17 + i·13) mod 1024 − 512) is
@@ -4759,6 +4840,27 @@ _MULTIMODAL_DECODE_PNG_SQL = """
            SUM((doc_id * 7 + y * 13 + x * 5 + 22) % 256)::BIGINT AS sum_b,
            SUM(((doc_id * 7 + y * 13 + x * 5) % 256)
              * ((doc_id * 7 + y * 13 + x * 5) % 256))::BIGINT AS sum_sq_r
+    FROM px
+    GROUP BY doc_id, decoded_width, decoded_height
+"""
+
+
+_MULTIMODAL_DECODE_GIF_SQL = """
+    WITH dims AS (
+      SELECT doc_id,
+             (5 + doc_id % 8)::BIGINT AS decoded_width,
+             (4 + (doc_id * 3) % 9)::BIGINT AS decoded_height
+      FROM documents),
+    px AS (
+      SELECT doc_id, decoded_width, decoded_height,
+             (doc_id * 3 + y.range * 11 + x.range * 5) % 256 AS i
+      FROM dims, range(0, 12) y, range(0, 13) x
+      WHERE y.range < decoded_height AND x.range < decoded_width)
+    SELECT doc_id, decoded_width, decoded_height,
+           SUM(i)::BIGINT AS sum_r,
+           SUM((i * 2) % 256)::BIGINT AS sum_g,
+           SUM((i * 7) % 256)::BIGINT AS sum_b,
+           SUM(i * i)::BIGINT AS sum_sq_r
     FROM px
     GROUP BY doc_id, decoded_width, decoded_height
 """
@@ -5417,6 +5519,7 @@ _EXT_ORACLES = {
     "multimodal_decode_real": _MULTIMODAL_DECODE_REAL_SQL,
     "multimodal_decode_jpeg": _MULTIMODAL_DECODE_JPEG_SQL,
     "multimodal_decode_png": _MULTIMODAL_DECODE_PNG_SQL,
+    "multimodal_decode_gif": _MULTIMODAL_DECODE_GIF_SQL,
     "audio_features_real": _AUDIO_FEATURES_REAL_SQL,
     "video_frames_real": _VIDEO_FRAMES_REAL_SQL,
 }
@@ -5859,6 +5962,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode_real": q_multimodal_decode_real,
         "multimodal_decode_jpeg": q_multimodal_decode_jpeg,
         "multimodal_decode_png": q_multimodal_decode_png,
+        "multimodal_decode_gif": q_multimodal_decode_gif,
         "audio_features_real": q_audio_features_real,
         "video_frames_real": q_video_frames_real,
         "centroid_histogram": q_centroid_histogram,

@@ -1,0 +1,292 @@
+"""Dependency-free GIF codec (pure numpy + python LZW).
+
+Round 6: with PPM/BMP (`imagecodec.py`), baseline+progressive JPEG
+(`jpegcodec.py`/`jpegprogressive.py`) and PNG (`pngcodec.py`), GIF
+closes out the still-image formats a web corpus actually contains —
+all implemented from the public specs (GIF87a/89a), no PIL.
+
+Coverage, stated honestly:
+- decode: GIF87a + GIF89a, global and local color tables, interlaced
+  images (the 4-pass row order), extension blocks skipped, full LZW
+  with clear-code resets and variable code widths up to 12 bits.
+  Animations: the FIRST frame is returned (frame disposal/composition
+  is an animation-player concern, not a corpus-decode one; the frame
+  count is exposed via :func:`gif_frame_count`). Transparency is
+  ignored (alpha dropped — same contract as the other codecs).
+- encode: single frame, exact palette built from the image's colors
+  (raises past 256 — this encoder exists for roundtrip oracles, not
+  for quantizing photos), optional interlace, standard LZW with
+  dictionary resets at 4096 codes.
+
+Executor-side kernel for Arrow-batched ``mapInPandas`` stages; LZW is
+scalar Python (the honest cost of a dependency-free entropy layer,
+same stance as the JPEG Huffman coder).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+__all__ = ["decode_gif", "encode_gif", "gif_frame_count"]
+
+
+# --------------------------------------------------------------------------
+# LZW (GIF variant: LSB-first bit packing, variable width 3..12)
+# --------------------------------------------------------------------------
+def _lzw_encode(indices, mcs: int) -> bytes:
+    clear = 1 << mcs
+    end = clear + 1
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    # Width growth follows the giflib/ncompress convention the real
+    # world writes and expects: after EMITTING a code (and before
+    # assigning this miss's new entry), grow when the next code to
+    # assign has reached 2^width; the decoder mirrors it by counting
+    # every code it reads. (The ±1 "early change" variant is TIFF's,
+    # not GIF's.)
+    table = {(i,): i for i in range(clear)}
+    next_code = end + 1
+    width = mcs + 1
+    emit(clear, width)
+    buf: tuple = ()
+
+    def bump() -> None:
+        nonlocal width
+        if next_code >= (1 << width) and width < 12:
+            width += 1
+
+    for sym in indices:
+        cand = buf + (int(sym),)
+        if cand in table:
+            buf = cand
+            continue
+        emit(table[buf], width)
+        bump()
+        if next_code >= 4095:  # stay inside every decoder's 12-bit cap
+            emit(clear, width)
+            table = {(i,): i for i in range(clear)}
+            next_code = end + 1
+            width = mcs + 1
+        else:
+            table[cand] = next_code
+            next_code += 1
+        buf = (int(sym),)
+    if buf:
+        emit(table[buf], width)
+        bump()
+    emit(end, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes, mcs: int, expected: int) -> np.ndarray:
+    clear = 1 << mcs
+    end = clear + 1
+    pos = 0
+    acc = 0
+    nbits = 0
+
+    def read(width: int) -> int:
+        nonlocal pos, acc, nbits
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("truncated GIF LZW stream")
+            acc |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        v = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        return v
+
+    out = np.empty(expected, dtype=np.uint8)
+    n = 0
+    table: list = [bytes((i,)) for i in range(clear)] + [b"", b""]
+    width = mcs + 1
+    running = clear + 2  # giflib sync: counts EVERY code read
+    prev: bytes | None = None
+    while n < expected:
+        code = read(width)
+        if running < 4097:
+            running += 1
+            if running > (1 << width) and width < 12:
+                width += 1
+        if code == clear:
+            table = [bytes((i,)) for i in range(clear)] + [b"", b""]
+            width = mcs + 1
+            running = clear + 2
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            if code >= len(table):
+                raise ValueError("bad first LZW code")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            if len(table) < 4096:
+                table.append(prev + entry[:1])
+        elif code == len(table):  # KwKwK
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError("LZW code out of range")
+        take = min(len(entry), expected - n)
+        out[n : n + take] = np.frombuffer(entry[:take], dtype=np.uint8)
+        n += take
+        prev = entry
+    if n < expected:
+        raise ValueError(
+            f"GIF pixel data ended early: {n} of {expected}"
+        )
+    return out
+
+
+# --------------------------------------------------------------------------
+# container
+# --------------------------------------------------------------------------
+_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def encode_gif(arr: np.ndarray, interlace: bool = False) -> bytes:
+    """(H, W, 3) uint8 RGB → single-frame GIF89a bytes. The palette
+    is the image's exact color set (≤ 256, else ValueError)."""
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim != 3 or a.shape[2] != 3:
+        raise ValueError(f"expected (H, W, 3), got {a.shape}")
+    h, w, _ = a.shape
+    flat = a.reshape(-1, 3)
+    palette, indices = np.unique(
+        flat, axis=0, return_inverse=True
+    )
+    if len(palette) > 256:
+        raise ValueError(
+            f"{len(palette)} distinct colors: this roundtrip encoder "
+            "does not quantize (max 256)"
+        )
+    # packed field stores N with 2^(N+1) table entries; smallest N
+    # with 2^(N+1) >= len(palette)
+    n_field = 0
+    while (1 << (n_field + 1)) < len(palette):
+        n_field += 1
+    table = np.zeros((1 << (n_field + 1), 3), dtype=np.uint8)
+    table[: len(palette)] = palette
+    out = bytearray()
+    out += b"GIF89a"
+    out += struct.pack("<HHBBB", w, h, 0x80 | (0x7 << 4) | n_field, 0, 0)
+    out += table.tobytes()
+    ipacked = 0x40 if interlace else 0x00
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, ipacked)
+    idx2d = indices.reshape(h, w)
+    if interlace:
+        order = [
+            y
+            for start, step in _INTERLACE_PASSES
+            for y in range(start, h, step)
+        ]
+        idx2d = idx2d[order]
+    mcs = max(2, n_field + 1)
+    out.append(mcs)
+    lzw = _lzw_encode(idx2d.reshape(-1), mcs)
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def _parse_frames(payload: bytes, first_only: bool):
+    """Yield decoded (H, W, 3) frames in stream order."""
+    d = payload
+    if d[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload (missing GIF87a/89a)")
+    w, h, packed, _bg, _ar = struct.unpack_from("<HHBBB", d, 6)
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 1 << ((packed & 0x07) + 1)
+        gct = np.frombuffer(d, np.uint8, n * 3, pos).reshape(-1, 3)
+        pos += n * 3
+    frames = []
+    while pos < len(d):
+        block = d[pos]
+        pos += 1
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension: label + sub-blocks
+            pos += 1
+            while d[pos] != 0:
+                pos += 1 + d[pos]
+            pos += 1
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+        left, top, fw, fh, ipk = struct.unpack_from("<HHHHB", d, pos)
+        pos += 9
+        ct = gct
+        if ipk & 0x80:  # local color table
+            n = 1 << ((ipk & 0x07) + 1)
+            ct = np.frombuffer(d, np.uint8, n * 3, pos).reshape(-1, 3)
+            pos += n * 3
+        if ct is None:
+            raise ValueError("GIF image with no color table")
+        mcs = d[pos]
+        pos += 1
+        data = bytearray()
+        while d[pos] != 0:
+            ln = d[pos]
+            data += d[pos + 1 : pos + 1 + ln]
+            pos += 1 + ln
+        pos += 1
+        idx = _lzw_decode(bytes(data), mcs, fw * fh).reshape(fh, fw)
+        if ipk & 0x40:  # interlaced: invert the 4-pass row order
+            order = [
+                y
+                for start, step in _INTERLACE_PASSES
+                for y in range(start, fh, step)
+            ]
+            un = np.empty_like(idx)
+            un[order] = idx
+            idx = un
+        if int(idx.max(initial=0)) >= len(ct):
+            raise ValueError("GIF index out of color-table range")
+        frames.append((left, top, fw, fh, ct[idx]))
+        if first_only:
+            break
+    if not frames:
+        raise ValueError("GIF stream has no image block")
+    return (w, h), frames
+
+
+def decode_gif(payload: bytes) -> np.ndarray:
+    """GIF bytes → (H, W, 3) uint8 RGB of the FIRST frame, placed on
+    a black canvas when the frame is smaller than the logical
+    screen."""
+    (w, h), frames = _parse_frames(payload, first_only=True)
+    left, top, fw, fh, px = frames[0]
+    if (left, top, fw, fh) == (0, 0, w, h):
+        return px.copy()
+    canvas = np.zeros((h, w, 3), dtype=np.uint8)
+    canvas[top : top + fh, left : left + fw] = px
+    return canvas
+
+
+def gif_frame_count(payload: bytes) -> int:
+    """Number of image blocks in the stream (animation length)."""
+    return len(_parse_frames(payload, first_only=False)[1])

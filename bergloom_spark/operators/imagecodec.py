@@ -138,9 +138,14 @@ def decode_image_array(payload: bytes) -> np.ndarray:
         from bergloom_spark.operators.pngcodec import decode_png
 
         return decode_png(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        from bergloom_spark.operators.gifcodec import decode_gif
+
+        return decode_gif(payload)
     raise ValueError(
         f"unrecognized image magic {payload[:2]!r}: P6 PPM, 24-bit "
-        "BMP, baseline JPEG, and PNG decode without PIL"
+        "BMP, JPEG (baseline + progressive), PNG, and GIF decode "
+        "without PIL"
     )
 
 

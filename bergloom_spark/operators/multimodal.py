@@ -256,6 +256,15 @@ def resize_images(
                     )
 
                     return encode_png(arr)
+                if b[:6] in (b"GIF87a", b"GIF89a"):
+                    from bergloom_spark.operators.gifcodec import (
+                        encode_gif,
+                    )
+
+                    # nearest-neighbor resize of palette pixels never
+                    # widens the color set, so the exact-palette
+                    # encoder always fits
+                    return encode_gif(arr)
             return encode_ppm(arr)
 
     else:

@@ -1,0 +1,135 @@
+"""GIF codec (operators/gifcodec.py, round 6).
+
+GIF's pixel layer is lossless (LZW + palette), so the contract is
+exact roundtrip. The LZW width-growth convention is the giflib one —
+the deep-table test forces codes past the 9/10/11-bit boundaries and
+a dictionary reset, which any ±1 "early change" slip breaks
+immediately.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from bergloom_spark.operators.gifcodec import (
+    decode_gif,
+    encode_gif,
+    gif_frame_count,
+)
+from bergloom_spark.operators.imagecodec import decode_image_array
+
+
+def _img(h, w, ncolors=16, seed=3):
+    rng = np.random.RandomState(seed)
+    palette = rng.randint(0, 256, size=(ncolors, 3)).astype(np.uint8)
+    idx = rng.randint(0, ncolors, size=(h, w))
+    return palette[idx]
+
+
+def test_roundtrip_basic_and_dispatch():
+    img = _img(17, 23)
+    data = encode_gif(img)
+    assert data[:6] == b"GIF89a" and data.endswith(b"\x3b")
+    out = decode_gif(data)
+    assert out.dtype == np.uint8 and np.array_equal(out, img)
+    assert np.array_equal(decode_image_array(data), img)
+
+
+@pytest.mark.parametrize("ncolors", [2, 3, 5, 17, 200, 256])
+def test_roundtrip_palette_sizes(ncolors):
+    img = _img(9, 13, ncolors=ncolors, seed=ncolors)
+    assert np.array_equal(decode_gif(encode_gif(img)), img)
+
+
+def test_roundtrip_interlaced():
+    for h in (1, 2, 4, 7, 13, 29):
+        img = _img(h, 11, seed=h)
+        data = encode_gif(img, interlace=True)
+        assert np.array_equal(decode_gif(data), img)
+
+
+def test_deep_lzw_table_and_reset():
+    """Enough distinct pixel transitions to march the code width
+    through 9, 10, 11, 12 bits and trip the 4095 dictionary reset."""
+    rng = np.random.RandomState(11)
+    img = rng.randint(0, 256, size=(80, 80, 3)).astype(np.uint8)
+    # 256 colors max: quantize channels to guarantee <= 256 colors
+    img = (img // 64) * 64  # 4 levels per channel -> <= 64 colors
+    data = encode_gif(img)
+    assert np.array_equal(decode_gif(data), img)
+    # a genuinely long low-color image (many table entries, reset hit)
+    grad = np.tile(
+        np.arange(200, dtype=np.uint8).reshape(1, -1) % 7 * 30, (150, 1)
+    )
+    img2 = np.stack([grad, grad // 2, grad * 0 + 5], axis=-1)
+    assert np.array_equal(decode_gif(encode_gif(img2)), img2)
+
+
+def test_single_color_and_tiny():
+    one = np.full((1, 1, 3), 7, np.uint8)
+    assert np.array_equal(decode_gif(encode_gif(one)), one)
+    flat = np.full((5, 9, 3), 200, np.uint8)
+    assert np.array_equal(decode_gif(encode_gif(flat)), flat)
+
+
+def test_multiframe_first_frame_and_count():
+    """Hand-spliced animation: two image blocks + a graphics-control
+    extension; decode returns frame 1, count sees both."""
+    a = _img(8, 8, seed=1)
+    b = _img(8, 8, seed=2)
+    da, db = encode_gif(a), encode_gif(b)
+    # strip header+LSD+GCT from db, keep its image block only
+    gct_len = 3 * (1 << ((da[10] & 0x07) + 1))
+    body_b = db[13 + gct_len : -1]  # image block (no trailer)
+    gce = b"\x21\xf9\x04\x00\x00\x00\x00\x00"  # graphics control ext
+    spliced = da[:-1] + gce + body_b + b"\x3b"
+    assert np.array_equal(decode_gif(spliced), a)
+    assert gif_frame_count(spliced) == 2
+    assert gif_frame_count(da) == 1
+
+
+def test_subrect_frame_lands_on_canvas():
+    img = _img(6, 6, seed=5)
+    data = bytearray(encode_gif(img))
+    # rewrite logical screen to 10x8, frame offset (2, 1)
+    struct.pack_into("<HH", data, 6, 10, 8)
+    gct_len = 3 * (1 << ((data[10] & 0x07) + 1))
+    idesc = 13 + gct_len
+    assert data[idesc] == 0x2C
+    struct.pack_into("<HHHH", data, idesc + 1, 2, 1, 6, 6)
+    out = decode_gif(bytes(data))
+    assert out.shape == (8, 10, 3)
+    assert np.array_equal(out[1:7, 2:8], img)
+    assert out[0].sum() == 0 and out[:, 0].sum() == 0
+
+
+def test_resize_preserves_gif_format(spark):
+    from bergloom_spark.operators.multimodal import resize_images
+
+    img = _img(8, 8, seed=11)
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_gif(img)))], "id long, payload binary"
+    )
+    out = resize_images(
+        df, 4, 4, use_real_kernel=True, preserve_format=True
+    ).collect()[0]
+    resized = bytes(out["payload"])
+    assert resized[:6] == b"GIF89a"
+    assert decode_gif(resized).shape == (4, 4, 3)
+
+
+def test_rejections_are_honest():
+    with pytest.raises(ValueError, match="GIF87a"):
+        decode_gif(b"NOTGIF" + bytes(20))
+    img = _img(4, 4)
+    data = encode_gif(img)
+    with pytest.raises(ValueError):
+        decode_gif(data[: len(data) // 2])  # truncated LZW
+    rng = np.random.RandomState(0)
+    too_many = rng.randint(0, 256, size=(32, 32, 3)).astype(np.uint8)
+    if len(np.unique(too_many.reshape(-1, 3), axis=0)) > 256:
+        with pytest.raises(ValueError, match="quantize"):
+            encode_gif(too_many)

@@ -185,6 +185,30 @@ def test_replication_batches_snapshots_into_one_commit(spark, tmp_path):
     }
 
 
+def test_read_changes_pins_its_range_against_later_commits(
+    spark, tmp_path
+):
+    """Snapshot isolation for the batch change query: the partition
+    set is planned at call time against the committed chain, so a
+    commit that lands between planning and collection neither appears
+    in the result nor disturbs it."""
+    base = spark.range(20).select("id", (F.col("id") % 3).alias("v"))
+    t = LakeTable.create(spark, str(tmp_path / "t"), base.schema)
+    t.append(base)
+    t.delete_where(F.col("id") % 5 == 0)
+    tip = t.meta.current_snapshot_id
+    df = t.read_changes(to_snapshot_id=tip)  # planned now
+    before = {tuple(r) for r in df.collect()}
+    # a later commit must not leak into a re-collection of the SAME df
+    t.append(spark.range(100, 120).select("id", (F.col("id") % 3).alias("v")))
+    rows = df.collect()
+    after = {tuple(r) for r in rows}
+    assert after == before
+    assert max(r["_commit_snapshot_id"] for r in rows) <= tip
+    # 20 inserts + 4 deletes
+    assert len(after) == 24
+
+
 def test_read_changes_rejects_offchain_bounds(spark, tmp_path):
     """Advice r5: a typo'd bound must raise, not silently truncate."""
     base = spark.range(10).select("id")
