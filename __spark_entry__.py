@@ -4653,6 +4653,84 @@ def q_multimodal_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_decode_tiff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL TIFF decode, no PIL (round 6 — operators/tiffcodec.py):
+    per doc a synthetic grayscale image from an arithmetic recipe is
+    ENCODED to actual multi-strip baseline TIFF bytes with the
+    compression CYCLING by doc_id (none / PackBits / LZW-early-change
+    — all three decode paths are on the hash path, as is the strip
+    reassembly), then decoded through the magic dispatch. All three
+    compressions are lossless, so the DuckDB oracle recomputes the
+    sums from the recipe; a PackBits run bug, an LZW width slip, or a
+    strip-boundary error breaks the hash."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as ST
+
+    from bergloom_spark.operators.imagecodec import decode_image_array
+    from bergloom_spark.operators.tiffcodec import encode_tiff
+
+    d = TS(spark, sf_dir, "documents").select("doc_id")
+    comps = ["none", "packbits", "lzw"]
+
+    def make_payloads(it):
+        for pdf in it:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                w, h = 6 + i % 7, 5 + (i * 2) % 8
+                ys = np.arange(h).reshape(-1, 1)
+                xs = np.arange(w).reshape(1, -1)
+                g = ((i * 13 + ys * 7 + xs * 3) % 256).astype(np.uint8)
+                payloads.append(
+                    encode_tiff(
+                        g, compression=comps[i % 3], rows_per_strip=3
+                    )
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    payload_schema = ST.StructType(
+        [
+            ST.StructField("doc_id", ST.LongType()),
+            ST.StructField("payload", ST.BinaryType()),
+        ]
+    )
+    out_schema = (
+        "doc_id long, decoded_width long, decoded_height long, "
+        "sum_r long, sum_g long, sum_b long, sum_sq_r long"
+    )
+
+    def decode(it):
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                arr = decode_image_array(bytes(payload)).astype(np.int64)
+                rows.append(
+                    (
+                        int(doc_id),
+                        arr.shape[1],
+                        arr.shape[0],
+                        int(arr[:, :, 0].sum()),
+                        int(arr[:, :, 1].sum()),
+                        int(arr[:, :, 2].sum()),
+                        int((arr[:, :, 0] ** 2).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "decoded_width", "decoded_height",
+                    "sum_r", "sum_g", "sum_b", "sum_sq_r",
+                ],
+            )
+
+    return d.mapInPandas(make_payloads, payload_schema).mapInPandas(
+        decode, out_schema
+    )
+
+
 def q_audio_features_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio decode, no audio libs (round 4): per doc a synthetic
     PCM16 waveform (x_i = (doc_id·17 + i·13) mod 1024 − 512) is
@@ -4861,6 +4939,27 @@ _MULTIMODAL_DECODE_GIF_SQL = """
            SUM((i * 2) % 256)::BIGINT AS sum_g,
            SUM((i * 7) % 256)::BIGINT AS sum_b,
            SUM(i * i)::BIGINT AS sum_sq_r
+    FROM px
+    GROUP BY doc_id, decoded_width, decoded_height
+"""
+
+
+_MULTIMODAL_DECODE_TIFF_SQL = """
+    WITH dims AS (
+      SELECT doc_id,
+             (6 + doc_id % 7)::BIGINT AS decoded_width,
+             (5 + (doc_id * 2) % 8)::BIGINT AS decoded_height
+      FROM documents),
+    px AS (
+      SELECT doc_id, decoded_width, decoded_height,
+             (doc_id * 13 + y.range * 7 + x.range * 3) % 256 AS g
+      FROM dims, range(0, 12) y, range(0, 12) x
+      WHERE y.range < decoded_height AND x.range < decoded_width)
+    SELECT doc_id, decoded_width, decoded_height,
+           SUM(g)::BIGINT AS sum_r,
+           SUM(g)::BIGINT AS sum_g,
+           SUM(g)::BIGINT AS sum_b,
+           SUM(g * g)::BIGINT AS sum_sq_r
     FROM px
     GROUP BY doc_id, decoded_width, decoded_height
 """
@@ -5520,6 +5619,7 @@ _EXT_ORACLES = {
     "multimodal_decode_jpeg": _MULTIMODAL_DECODE_JPEG_SQL,
     "multimodal_decode_png": _MULTIMODAL_DECODE_PNG_SQL,
     "multimodal_decode_gif": _MULTIMODAL_DECODE_GIF_SQL,
+    "multimodal_decode_tiff": _MULTIMODAL_DECODE_TIFF_SQL,
     "audio_features_real": _AUDIO_FEATURES_REAL_SQL,
     "video_frames_real": _VIDEO_FRAMES_REAL_SQL,
 }
@@ -5963,6 +6063,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode_jpeg": q_multimodal_decode_jpeg,
         "multimodal_decode_png": q_multimodal_decode_png,
         "multimodal_decode_gif": q_multimodal_decode_gif,
+        "multimodal_decode_tiff": q_multimodal_decode_tiff,
         "audio_features_real": q_audio_features_real,
         "video_frames_real": q_video_frames_real,
         "centroid_histogram": q_centroid_histogram,

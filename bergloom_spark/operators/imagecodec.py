@@ -142,10 +142,14 @@ def decode_image_array(payload: bytes) -> np.ndarray:
         from bergloom_spark.operators.gifcodec import decode_gif
 
         return decode_gif(payload)
+    if payload[:2] in (b"II", b"MM"):
+        from bergloom_spark.operators.tiffcodec import decode_tiff
+
+        return decode_tiff(payload)
     raise ValueError(
         f"unrecognized image magic {payload[:2]!r}: P6 PPM, 24-bit "
-        "BMP, JPEG (baseline + progressive), PNG, and GIF decode "
-        "without PIL"
+        "BMP, JPEG (baseline + progressive), PNG, GIF, and TIFF "
+        "decode without PIL"
     )
 
 
