@@ -4731,6 +4731,100 @@ def q_multimodal_decode_tiff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_video_decode_mjpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-video decode, no ffmpeg (round 6 —
+    operators/avcodec.py encode_mjpeg_avi/decode_mjpeg_frames): per
+    doc an MJPEG AVI is built — each frame a q95-lossless recipe image
+    (the jpegcodec oracle argument: DC + (4,4) are the only nonzero
+    coefficients and their q95 steps divide them) — then a second
+    Arrow-batched stage walks the RIFF tree, decodes every '00dc'
+    JPEG with the in-repo codec, and emits one row per frame with
+    exact pixel sums. The oracle replays the block recipe in SQL, so
+    the hash pins the AVI chunk walk AND the per-frame entropy
+    pipeline. H.264/VP9 stay honestly lib-gated; MJPEG is the
+    compressed video format this environment decodes end to end."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as ST
+
+    from bergloom_spark.operators.avcodec import (
+        decode_mjpeg_frames,
+        encode_mjpeg_avi,
+    )
+
+    d = TS(spark, sf_dir, "documents").select("doc_id")
+    sign = np.array([1, -1, -1, 1, 1, -1, -1, 1], dtype=np.int64)
+    pat = np.outer(sign, sign)
+
+    def make_payloads(it):
+        for pdf in it:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                w, h = 8 * (1 + i % 3), 8 * (1 + (i * 5) % 2)
+                n_frames = 2 + i % 3
+                frames = []
+                for fi in range(n_frames):
+                    img = np.zeros((h, w), dtype=np.int64)
+                    b = 0
+                    for by in range(h // 8):
+                        for bx in range(w // 8):
+                            c = 50 + (i * 31 + fi * 11 + b * 17) % 150
+                            m = ((i + fi + b) % 5) - 2
+                            img[
+                                by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8
+                            ] = c + 7 * m * pat
+                            b += 1
+                    frames.append(
+                        np.stack([img] * 3, axis=-1).astype(np.uint8)
+                    )
+                payloads.append(encode_mjpeg_avi(frames, quality=95))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    payload_schema = ST.StructType(
+        [
+            ST.StructField("doc_id", ST.LongType()),
+            ST.StructField("payload", ST.BinaryType()),
+        ]
+    )
+    out_schema = (
+        "doc_id long, frame_index long, decoded_width long, "
+        "decoded_height long, sum_r long, sum_sq_r long"
+    )
+
+    def decode(it):
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                for fi, arr in enumerate(
+                    decode_mjpeg_frames(bytes(payload))
+                ):
+                    a = arr.astype(np.int64)
+                    rows.append(
+                        (
+                            int(doc_id),
+                            fi,
+                            a.shape[1],
+                            a.shape[0],
+                            int(a[:, :, 0].sum()),
+                            int((a[:, :, 0] ** 2).sum()),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "frame_index", "decoded_width",
+                    "decoded_height", "sum_r", "sum_sq_r",
+                ],
+            )
+
+    return d.mapInPandas(make_payloads, payload_schema).mapInPandas(
+        decode, out_schema
+    )
+
+
 def q_audio_features_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio decode, no audio libs (round 4): per doc a synthetic
     PCM16 waveform (x_i = (doc_id·17 + i·13) mod 1024 − 512) is
@@ -4962,6 +5056,32 @@ _MULTIMODAL_DECODE_TIFF_SQL = """
            SUM(g * g)::BIGINT AS sum_sq_r
     FROM px
     GROUP BY doc_id, decoded_width, decoded_height
+"""
+
+
+_VIDEO_DECODE_MJPEG_SQL = """
+    WITH dims AS (
+      SELECT doc_id,
+             (8 * (1 + doc_id % 3))::BIGINT AS decoded_width,
+             (8 * (1 + (doc_id * 5) % 2))::BIGINT AS decoded_height,
+             (2 + doc_id % 3)::BIGINT AS n_frames
+      FROM documents),
+    fr AS (
+      SELECT doc_id, decoded_width, decoded_height, f.range AS frame_index,
+             (decoded_width // 8) * (decoded_height // 8) AS nb
+      FROM dims, range(0, 4) f
+      WHERE f.range < n_frames),
+    blk AS (
+      SELECT doc_id, frame_index, decoded_width, decoded_height,
+             50 + (doc_id * 31 + frame_index * 11 + b.range * 17) % 150 AS c,
+             (doc_id + frame_index + b.range) % 5 - 2 AS m
+      FROM fr, range(0, 6) b
+      WHERE b.range < nb)
+    SELECT doc_id, frame_index, decoded_width, decoded_height,
+           SUM(64 * c)::BIGINT AS sum_r,
+           SUM(64 * c * c + 3136 * m * m)::BIGINT AS sum_sq_r
+    FROM blk
+    GROUP BY doc_id, frame_index, decoded_width, decoded_height
 """
 
 
@@ -5620,6 +5740,7 @@ _EXT_ORACLES = {
     "multimodal_decode_png": _MULTIMODAL_DECODE_PNG_SQL,
     "multimodal_decode_gif": _MULTIMODAL_DECODE_GIF_SQL,
     "multimodal_decode_tiff": _MULTIMODAL_DECODE_TIFF_SQL,
+    "video_decode_mjpeg": _VIDEO_DECODE_MJPEG_SQL,
     "audio_features_real": _AUDIO_FEATURES_REAL_SQL,
     "video_frames_real": _VIDEO_FRAMES_REAL_SQL,
 }
@@ -6064,6 +6185,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode_png": q_multimodal_decode_png,
         "multimodal_decode_gif": q_multimodal_decode_gif,
         "multimodal_decode_tiff": q_multimodal_decode_tiff,
+        "video_decode_mjpeg": q_video_decode_mjpeg,
         "audio_features_real": q_audio_features_real,
         "video_frames_real": q_video_frames_real,
         "centroid_histogram": q_centroid_histogram,
