@@ -56,6 +56,27 @@ def test_gif_roundtrip_any_palette_image(hw, seed, ncolors):
 @given(
     hw=dims,
     seed=st.integers(0, 10**6),
+    compression=st.sampled_from(["none", "packbits", "lzw"]),
+    rps=st.integers(1, 12),
+)
+@settings(max_examples=40, deadline=None)
+def test_tiff_roundtrip_any_image(hw, seed, compression, rps):
+    from bergloom_spark.operators.tiffcodec import (
+        decode_tiff,
+        encode_tiff,
+    )
+
+    h, w = hw
+    img = np.random.RandomState(seed).randint(
+        0, 256, size=(h, w, 3)
+    ).astype(np.uint8)
+    data = encode_tiff(img, compression=compression, rows_per_strip=rps)
+    assert np.array_equal(decode_tiff(data), img)
+
+
+@given(
+    hw=dims,
+    seed=st.integers(0, 10**6),
     quality=st.sampled_from([35, 75, 90, 95]),
 )
 @settings(max_examples=25, deadline=None)
