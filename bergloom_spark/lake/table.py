@@ -1515,10 +1515,26 @@ class LakeTable:
         if not parts:
             return self.spark.createDataFrame([], out_schema)
 
+        # Ship each partition descriptor AS ROW DATA, not as a
+        # captured closure (review r6): the descriptors now carry the
+        # inlined delete evidence (position slices + pickled key
+        # frames, up to the inline budget) — capturing the whole list
+        # in `gen` would pickle ALL evidence into the mapInPandas
+        # command and ship it to every executor, undoing the
+        # de-amplification for the batch path. As rows, each task
+        # deserializes only its own units (the streaming twin gets
+        # this per-InputPartition for free).
+        import pickle
+
+        blobs = [
+            (pickle.dumps(p, protocol=5),) for p in parts
+        ]
+
         def gen(batches):
             for pdf in batches:
-                for i in pdf["id"]:
-                    for rb in read_change_partition(parts[int(i)]):
+                for blob in pdf["part"]:
+                    part = pickle.loads(bytes(blob))
+                    for rb in read_change_partition(part):
                         yield rb.to_pandas()
 
         # One (snapshot, file) change unit per task up to the
@@ -1533,7 +1549,9 @@ class LakeTable:
                 self.spark.sparkContext.defaultParallelism * 2,
             ),
         )
-        idx = self.spark.range(len(parts)).repartition(width)
+        idx = self.spark.createDataFrame(
+            blobs, "part binary"
+        ).repartition(width)
         return idx.mapInPandas(gen, out_schema)
 
     def read(

@@ -191,10 +191,19 @@ def decode_mjpeg_frames(payload: bytes) -> list[np.ndarray]:
     frames: list[np.ndarray] = []
 
     def walk(pos: int, end: int) -> None:
+        # clamp to actual bytes: a truncated payload's declared RIFF
+        # size would otherwise run unpack_from off the buffer
+        # (struct.error, not the documented ValueError — review r6)
+        end = min(end, len(d))
         while pos + 8 <= end:
             fourcc = d[pos : pos + 4]
             (size,) = struct.unpack_from("<I", d, pos + 4)
             data_start = pos + 8
+            if data_start + size > len(d):
+                raise ValueError(
+                    f"truncated AVI chunk {fourcc!r}: declares {size} "
+                    f"bytes past the payload end"
+                )
             if fourcc == b"LIST":
                 kind = d[data_start : data_start + 4]
                 inner = data_start + 4

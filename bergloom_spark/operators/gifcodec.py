@@ -212,7 +212,17 @@ def encode_gif(arr: np.ndarray, interlace: bool = False) -> bytes:
 
 
 def _parse_frames(payload: bytes, first_only: bool):
-    """Yield decoded (H, W, 3) frames in stream order."""
+    """Decoded (H, W, 3) frames in stream order. Truncation anywhere
+    (mid-sub-block, mid-descriptor) surfaces as ValueError — the
+    documented malformed-payload contract, not IndexError/struct.error
+    (review r6)."""
+    try:
+        return _parse_frames_unchecked(payload, first_only)
+    except (IndexError, struct.error) as exc:
+        raise ValueError(f"truncated GIF stream: {exc}") from exc
+
+
+def _parse_frames_unchecked(payload: bytes, first_only: bool):
     d = payload
     if d[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF payload (missing GIF87a/89a)")

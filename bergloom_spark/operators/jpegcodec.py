@@ -529,8 +529,13 @@ def decode_jpeg_baseline(payload: bytes) -> np.ndarray:
             for i in range(ns):
                 cs, tdta = seg[1 + 2 * i], seg[2 + 2 * i]
                 comp = next(
-                    c for c in frame["comps"] if c["id"] == cs
+                    (c for c in frame["comps"] if c["id"] == cs), None
                 )
+                if comp is None:  # StopIteration would escape the
+                    # generator-based decode stages as RuntimeError
+                    raise ValueError(
+                        f"SOS names component {cs} absent from SOF"
+                    )
                 scan.append((comp, tdta >> 4, tdta & 0x0F))
             if len(scan) != len(frame["comps"]):
                 # Legal baseline JPEGs may split components across

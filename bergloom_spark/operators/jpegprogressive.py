@@ -420,10 +420,17 @@ def decode_jpeg_progressive(payload: bytes) -> np.ndarray:
             for i in range(ns):
                 cs, tdta = seg[1 + 2 * i], seg[2 + 2 * i]
                 ci = next(
-                    j
-                    for j, c in enumerate(frame["comps"])
-                    if c["id"] == cs
+                    (
+                        j
+                        for j, c in enumerate(frame["comps"])
+                        if c["id"] == cs
+                    ),
+                    None,
                 )
+                if ci is None:
+                    raise ValueError(
+                        f"SOS names component {cs} absent from SOF2"
+                    )
                 scan.append((ci, tdta >> 4, tdta & 0x0F))
             ss, se, ahl = seg[1 + 2 * ns : 4 + 2 * ns]
             ah, al = ahl >> 4, ahl & 0x0F

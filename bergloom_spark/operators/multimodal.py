@@ -261,10 +261,23 @@ def resize_images(
                         encode_gif,
                     )
 
-                    # nearest-neighbor resize of palette pixels never
-                    # widens the color set, so the exact-palette
-                    # encoder always fits
-                    return encode_gif(arr)
+                    # Resize never widens the color set, but DECODE
+                    # can: a first frame smaller than the logical
+                    # screen lands on a black canvas, which may push a
+                    # full 256-color palette to 257 (review r6). GIF
+                    # cannot represent >256 colors without quantizing
+                    # (which this pipeline refuses to do silently), so
+                    # that rare shape falls back to lossless PPM.
+                    try:
+                        return encode_gif(arr)
+                    except ValueError:
+                        return encode_ppm(arr)
+                if b[:2] in (b"II", b"MM"):
+                    from bergloom_spark.operators.tiffcodec import (
+                        encode_tiff,
+                    )
+
+                    return encode_tiff(arr, compression="packbits")
             return encode_ppm(arr)
 
     else:

@@ -495,28 +495,6 @@ def _probe_from_raw(cols, raw: dict) -> tuple:
     return stats, values
 
 
-def _eq_key_probes(entries) -> list:
-    """Per eq-delete file: the pruning probe (see _probe_from_raw) —
-    ({}, {}) when the file is too big or unreadable (→ no pruning)."""
-    import pyarrow.parquet as pq
-
-    probes = []
-    for e in entries:
-        stats: dict = {}
-        values: dict = {}
-        if _driver_readable(e):
-            try:
-                kt = pq.read_table(e.file_path, columns=list(e.equality_ids))
-                raw = {
-                    c: kt.column(c).to_pylist() for c in e.equality_ids
-                }
-                stats, values = _probe_from_raw(e.equality_ids, raw)
-            except Exception:
-                stats, values = {}, {}
-        probes.append((stats, values))
-    return probes
-
-
 class _DeleteFileCache:
     """Per-planning-call memo: each delete file is read AT MOST once
     on the driver (verdict r5 #3 — the kernel previously re-read
@@ -580,11 +558,23 @@ class _DeleteFileCache:
                 keys = pickle.dumps(
                     kt.to_pandas().drop_duplicates(), protocol=5
                 )
-                self._budget -= len(keys)
+                # NOT debited here: unlike position slices (disjoint
+                # per data file), a key frame is COPIED into every
+                # partition it may hit — the budget is charged per
+                # ATTACHMENT (see charge()), so it bounds actual
+                # shipped bytes under fanout (review r6).
             except Exception:
                 keys, probe = None, ({}, {})
         self._eq[path] = (keys, probe)
         return keys, probe
+
+    def charge(self, nbytes: int) -> bool:
+        """Debit the inline budget for one shipped copy; False →
+        the caller must fall back to path shipping."""
+        if self._budget >= nbytes:
+            self._budget -= nbytes
+            return True
+        return False
 
 
 def _eq_may_hit(entry, cols, probe) -> bool:
@@ -780,6 +770,19 @@ class _LakeChangelogReader(_LakeStreamReader):
                 )
             return specs
 
+        def _attach_eq(gated):
+            """Per-PARTITION attachment of gated eq specs: inline
+            while the budget admits one more shipped COPY (key frames
+            duplicate across every partition they may hit — review
+            r6), else path fallback."""
+            inline, paths = [], []
+            for t in gated:
+                if t[2] is not None and cache.charge(len(t[2])):
+                    inline.append((t[0], t[2]))
+                else:
+                    paths.append((t[3], t[0]))
+            return tuple(inline), tuple(paths)
+
         parts: list[_ChangePartition] = []
         for s in chain:
             if not (lo < s.snapshot_id <= hi):
@@ -892,12 +895,7 @@ class _LakeChangelogReader(_LakeStreamReader):
                     if t[1] > d.sequence_number
                     and _eq_may_hit(d, t[0], t[4])
                 ]
-                prior_eq = tuple(
-                    (t[0], t[2]) for t in gated if t[2] is not None
-                )
-                prior_eq_paths = tuple(
-                    (t[3], t[0]) for t in gated if t[2] is None
-                )
+                prior_eq, prior_eq_paths = _attach_eq(gated)
                 d_prior_pos = prior_pos_slices.get(d.file_path, ())
                 if d.file_path in dropped_paths:
                     # the snapshot dropped this file from the manifest
@@ -916,15 +914,12 @@ class _LakeChangelogReader(_LakeStreamReader):
                 # this data file justify a partition (and its read()
                 # touches only this file's slices).
                 d_new_pos = new_pos_slices.get(d.file_path, ())
-                d_new_eq = tuple(
-                    (t[0], t[2])
-                    for t in new_eq_specs
-                    if t[2] is not None and _eq_may_hit(d, t[0], t[4])
-                )
-                d_new_eq_paths = tuple(
-                    (t[3], t[0])
-                    for t in new_eq_specs
-                    if t[2] is None and _eq_may_hit(d, t[0], t[4])
+                d_new_eq, d_new_eq_paths = _attach_eq(
+                    [
+                        t
+                        for t in new_eq_specs
+                        if _eq_may_hit(d, t[0], t[4])
+                    ]
                 )
                 if (
                     len(d_new_pos)

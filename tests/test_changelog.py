@@ -337,7 +337,7 @@ def test_null_eq_keys_disable_pruning(spark, tmp_path):
 
     from bergloom_spark.lake.metadata import ManifestEntry
     from bergloom_spark.sources.lakestream import (
-        _eq_key_probes,
+        _DeleteFileCache,
         _eq_may_hit,
     )
 
@@ -349,7 +349,7 @@ def test_null_eq_keys_disable_pruning(spark, tmp_path):
         content="eq_delete", file_path=path, record_count=3,
         file_size_bytes=1, sequence_number=2, equality_ids=["id"],
     )
-    probes = _eq_key_probes([entry])
+    probes = [_DeleteFileCache().eq_keys(entry)[1]]
     assert probes == [({}, {})]
     # a data file whose stats exclude 150..154 must still be kept
     data = ManifestEntry(
@@ -367,7 +367,7 @@ def test_null_eq_keys_disable_pruning(spark, tmp_path):
         content="eq_delete", file_path=path2, record_count=2,
         file_size_bytes=1, sequence_number=2, equality_ids=["id"],
     )
-    probes2 = _eq_key_probes([entry2])
+    probes2 = [_DeleteFileCache().eq_keys(entry2)[1]]
     assert not _eq_may_hit(data, ("id",), probes2[0])
 
 

@@ -121,6 +121,60 @@ def test_resize_preserves_gif_format(spark):
     assert decode_gif(resized).shape == (4, 4, 3)
 
 
+def test_every_truncation_point_is_valueerror_or_valid():
+    """Review r6: a GIF cut at ANY byte must either decode to the
+    exact image (cuts after the image block — the walk is liberal
+    about a missing trailer) or raise ValueError — never IndexError/
+    struct.error."""
+    img = _img(6, 7, seed=8)
+    data = encode_gif(img)
+    for cut in range(len(data)):
+        try:
+            out = decode_gif(data[:cut])
+        except ValueError:
+            continue
+        assert np.array_equal(out, img)
+
+
+def test_oversize_palette_resize_falls_back_to_ppm(spark):
+    """Review r6: decoding a subrect frame onto the black canvas can
+    push a 256-color palette to 257; preserve_format must fall back
+    to lossless PPM instead of crashing the batch."""
+    from bergloom_spark.operators.multimodal import resize_images
+
+    rng = np.random.RandomState(3)
+    # 256 distinct colors, none black
+    palette = np.stack(
+        [
+            np.arange(1, 257) % 256,
+            (np.arange(256) * 3 + 1) % 255 + 1,
+            (np.arange(256) * 7 + 1) % 255 + 1,
+        ],
+        axis=-1,
+    ).astype(np.uint8)
+    img = palette[np.arange(256).reshape(16, 16)]  # all 256 present
+    data = bytearray(encode_gif(img))
+    struct.pack_into("<HH", data, 6, 20, 20)  # screen 20x20
+    gct_len = 3 * (1 << ((data[10] & 0x07) + 1))
+    idesc = 13 + gct_len
+    struct.pack_into("<HHHH", data, idesc + 1, 1, 1, 16, 16)
+    decoded = decode_gif(bytes(data))
+    assert len(np.unique(decoded.reshape(-1, 3), axis=0)) > 256
+    df = spark.createDataFrame(
+        [(1, bytearray(bytes(data)))], "id long, payload binary"
+    )
+    # same-size "resize" keeps all 257 colors -> GIF can't hold them
+    out = resize_images(
+        df, 20, 20, use_real_kernel=True, preserve_format=True
+    ).collect()[0]
+    assert bytes(out["payload"])[:2] == b"P6"  # lossless fallback
+    # a SHRINKING resize that drops back under 256 colors stays GIF
+    out2 = resize_images(
+        df, 10, 10, use_real_kernel=True, preserve_format=True
+    ).collect()[0]
+    assert bytes(out2["payload"])[:6] == b"GIF89a"
+
+
 def test_rejections_are_honest():
     with pytest.raises(ValueError, match="GIF87a"):
         decode_gif(b"NOTGIF" + bytes(20))

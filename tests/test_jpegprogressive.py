@@ -141,3 +141,10 @@ def test_progressive_rejects_are_honest():
     prog = encode_jpeg_progressive(img)
     with pytest.raises(ValueError):
         decode_jpeg_progressive(prog[: len(prog) // 3])
+    # SOS naming a component absent from SOF2 (review r6): ValueError,
+    # not StopIteration (which generator-based stages rewrap weirdly)
+    bad = bytearray(prog)
+    sos = bad.index(b"\xff\xda")
+    bad[sos + 5] = 99  # first scan component id
+    with pytest.raises(ValueError, match="absent from SOF2"):
+        decode_jpeg_progressive(bytes(bad))

@@ -68,6 +68,15 @@ def test_junk_chunks_are_skipped():
     assert len(out) == 1 and np.array_equal(out[0], frames[0])
 
 
+def test_truncated_avi_raises_valueerror():
+    """Review r6: a payload cut mid-body (declared RIFF size intact)
+    must raise ValueError, not struct.error."""
+    avi = encode_mjpeg_avi([_frame(i, 16, 16) for i in range(4)])
+    for cut in (len(avi) - 10, len(avi) // 2, 40):
+        with pytest.raises(ValueError):
+            decode_mjpeg_frames(avi[:cut])
+
+
 def test_rejections_are_honest():
     with pytest.raises(ValueError, match="RIFF/AVI"):
         decode_mjpeg_frames(b"RIFF....WAVE" + bytes(8))

@@ -182,6 +182,23 @@ def test_predictor_horizontal_differencing():
     assert np.array_equal(decode_tiff(bytes(out)), img)
 
 
+def test_resize_preserves_tiff_format(spark):
+    """Review r6: TIFF was missing from the preserve_format dispatch
+    and silently came back as PPM."""
+    from bergloom_spark.operators.multimodal import resize_images
+
+    img = _img(8, 8, seed=12)
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_tiff(img)))], "id long, payload binary"
+    )
+    out = resize_images(
+        df, 4, 4, use_real_kernel=True, preserve_format=True
+    ).collect()[0]
+    resized = bytes(out["payload"])
+    assert resized[:2] == b"II"
+    assert decode_tiff(resized).shape == (4, 4, 3)
+
+
 def test_rejections_are_honest():
     with pytest.raises(ValueError, match="II/MM"):
         decode_tiff(b"PK\x03\x04" + bytes(16))
