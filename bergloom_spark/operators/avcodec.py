@@ -207,9 +207,9 @@ def decode_mjpeg_frames(payload: bytes) -> list[np.ndarray]:
             if fourcc == b"LIST":
                 kind = d[data_start : data_start + 4]
                 inner = data_start + 4
-                if kind == b"movi":
-                    walk(inner, data_start + size)
-                elif kind in (b"hdrl", b"strl"):
+                # 'rec ' = AVI 1.0 interleave groups INSIDE movi
+                # (review r6: capture tools wrap frame chunks in them)
+                if kind in (b"movi", b"rec ", b"hdrl", b"strl"):
                     walk(inner, data_start + size)
             elif fourcc[2:4] in (b"dc", b"db"):
                 frames.append(

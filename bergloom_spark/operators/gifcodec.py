@@ -298,5 +298,48 @@ def decode_gif(payload: bytes) -> np.ndarray:
 
 
 def gif_frame_count(payload: bytes) -> int:
-    """Number of image blocks in the stream (animation length)."""
-    return len(_parse_frames(payload, first_only=False)[1])
+    """Number of image blocks in the stream (animation length) — a
+    pure STRUCTURAL walk (length-prefixed sub-blocks skipped, no LZW
+    decode), so counting a long animation costs O(bytes) and corrupt
+    pixel data inside an intact block structure still counts (review
+    r6: the old implementation fully decoded every frame)."""
+    try:
+        return _count_image_blocks(payload)
+    except (IndexError, struct.error) as exc:
+        raise ValueError(f"truncated GIF stream: {exc}") from exc
+
+
+def _count_image_blocks(payload: bytes) -> int:
+    d = payload
+    if d[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload (missing GIF87a/89a)")
+    _w, _h, packed, _bg, _ar = struct.unpack_from("<HHBBB", d, 6)
+    pos = 13
+    if packed & 0x80:
+        pos += 3 * (1 << ((packed & 0x07) + 1))
+    n = 0
+    while pos < len(d):
+        block = d[pos]
+        pos += 1
+        if block == 0x3B:
+            break
+        if block == 0x21:
+            pos += 1
+            while d[pos] != 0:
+                pos += 1 + d[pos]
+            pos += 1
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+        ipk = d[pos + 8]
+        pos += 9
+        if ipk & 0x80:
+            pos += 3 * (1 << ((ipk & 0x07) + 1))
+        pos += 1  # LZW min code size
+        while d[pos] != 0:
+            pos += 1 + d[pos]
+        pos += 1
+        n += 1
+    if n == 0:
+        raise ValueError("GIF stream has no image block")
+    return n

@@ -190,7 +190,13 @@ def _lzw_encode_tiff(raw: bytes) -> bytes:
         buf = (b,)
     if buf:
         emit(table[buf], width)
-        if next_code >= (1 << width) and width < 12:
+        # Final-flush boundary (review r6): the DECODER adds one more
+        # table entry while processing this last data code (the
+        # one-entry lag), so it sits at next_code + 1 when it reads
+        # EOI — early change means it widens at 2^width - 1, i.e.
+        # exactly when next_code + 1 >= 2^width. The mid-loop check
+        # (after an assignment) is `next_code >= 2^width` and stays.
+        if next_code + 1 >= (1 << width) and width < 12:
             width += 1
     emit(EOI, width)
     if nbits:
@@ -260,6 +266,11 @@ def decode_tiff(payload: bytes) -> np.ndarray:
     d, e, t, _ = _first_ifd(payload)
     if 322 in t or 323 in t or 324 in t:
         raise ValueError("tiled TIFF unsupported (strips only)")
+    for req in (256, 257, 273, 279):  # review r6: KeyError is not the
+        # malformed-payload contract (an EXIF-only 'II*\\0' blob
+        # reaches here via the 2-byte magic dispatch)
+        if req not in t:
+            raise ValueError(f"TIFF IFD missing required tag {req}")
     w, h = int(t[256]), int(t[257])
     comp = int(t.get(259, 1))
     photo = int(t.get(262, 1))

@@ -530,7 +530,10 @@ class _DeleteFileCache:
                     fp: grp.to_numpy(dtype="int64", copy=True)
                     for fp, grp in dd.groupby("file_path")["pos"]
                 }
-                self._budget -= sum(a.nbytes for a in out.values())
+                # not debited here — slices are charged per shipped
+                # ATTACHMENT (a data file's slice re-ships for every
+                # snapshot whose prior set contains the delete file —
+                # review r6), same stance as eq key frames
             except Exception:
                 out = None
         self._pos[path] = out
@@ -735,14 +738,18 @@ class _LakeChangelogReader(_LakeStreamReader):
 
         def _pos_split(entries):
             """pos-delete entries -> ({data path: merged positions
-            ndarray}, [fallback paths])."""
+            ndarray}, [unreadable fallback paths], [paths whose
+            content WAS sliced] — needed to fall back per attachment
+            when the budget runs out)."""
             merged: dict = {}
             paths: list = []
+            inlined: list = []
             for e in entries:
                 sl = cache.pos_slices(e)
                 if sl is None:
                     paths.append(e.file_path)
                     continue
+                inlined.append(e.file_path)
                 for fp, arr in sl.items():
                     merged.setdefault(fp, []).append(arr)
             return (
@@ -751,7 +758,22 @@ class _LakeChangelogReader(_LakeStreamReader):
                     for fp, arrs in merged.items()
                 },
                 paths,
+                inlined,
             )
+
+        def _attach_pos(split, fp):
+            """Per-PARTITION attachment of one data file's position
+            slice: inline while the budget admits the copy (a slice
+            re-ships once per snapshot whose prior set carries it —
+            review r6), else ship the contributing file paths for the
+            executor to read."""
+            merged, paths, inlined = split
+            arr = merged.get(fp)
+            if arr is None or not len(arr):
+                return (), tuple(paths)
+            if cache.charge(arr.nbytes):
+                return arr, tuple(paths)
+            return (), tuple(paths) + tuple(inlined)
 
         def _eq_split(entries):
             """eq-delete entries -> [(cols, seq, keys|None, path,
@@ -822,7 +844,7 @@ class _LakeChangelogReader(_LakeStreamReader):
             # eq-delete keys prune against the manifest's per-file
             # min/max stats and blooms (conservative — a file is
             # dropped only when no key can possibly hit it).
-            new_pos_slices, new_pos_paths = _pos_split(new_pos_entries)
+            new_pos_split = _pos_split(new_pos_entries)
             new_eq_specs = _eq_split(new_eq_entries)
             for e in new_data:
                 parts.append(
@@ -874,21 +896,22 @@ class _LakeChangelogReader(_LakeStreamReader):
                     if e.sequence_number < s.sequence_number
                 ]
                 dropped_paths = set()
-            prior_pos_slices, prior_pos_paths = _pos_split(
+            prior_pos_split = _pos_split(
                 [e for e in prior_entries if e.content == md.POS_DELETE]
             )
             prior_eq_specs = _eq_split(
                 [e for e in prior_entries if e.content == md.EQ_DELETE]
             )
-            for d in prior_entries:
-                if d.content != md.DATA:
-                    continue
-                # equality deletes only reach strictly-older rows (the
-                # same seq gate the batch MoR reader applies,
-                # operators/mor.py J2); an eq file whose keys provably
-                # cannot hit this data file is a no-op there, so the
-                # conservative stats/bloom prune also applies to the
-                # PRIOR set — it only ever drops proven no-ops.
+
+            def _attach_prior(d):
+                """Attach prior evidence for an EMITTED partition —
+                called only after the emission decision so skipped
+                files never drain the budget (review r6). Equality
+                deletes only reach strictly-older rows (the same seq
+                gate the batch MoR reader applies, operators/mor.py
+                J2); an eq file whose keys provably cannot hit this
+                data file is a no-op there, so the conservative
+                stats/bloom prune also applies to the PRIOR set."""
                 gated = [
                     t
                     for t in prior_eq_specs
@@ -896,24 +919,38 @@ class _LakeChangelogReader(_LakeStreamReader):
                     and _eq_may_hit(d, t[0], t[4])
                 ]
                 prior_eq, prior_eq_paths = _attach_eq(gated)
-                d_prior_pos = prior_pos_slices.get(d.file_path, ())
+                d_prior_pos, d_prior_pos_paths = _attach_pos(
+                    prior_pos_split, d.file_path
+                )
+                return d_prior_pos, prior_eq, d_prior_pos_paths, prior_eq_paths
+
+            for d in prior_entries:
+                if d.content != md.DATA:
+                    continue
                 if d.file_path in dropped_paths:
                     # the snapshot dropped this file from the manifest
                     # (overwrite_partitions) — whole-file delete event
+                    ppos, peq, ppos_paths, peq_paths = _attach_prior(d)
                     parts.append(
                         _ChangePartition(
                             "drop", d.file_path, d.sequence_number,
-                            s.snapshot_id, d_prior_pos, prior_eq, (),
+                            s.snapshot_id, ppos, peq, (),
                             (), self.columns, self.schema_json,
                             tuple(sorted(d.partition.items())), renames,
-                            tuple(prior_pos_paths), prior_eq_paths,
+                            ppos_paths, peq_paths,
                         )
                     )
                     continue
                 # Only the new delete files that can actually touch
                 # this data file justify a partition (and its read()
-                # touches only this file's slices).
-                d_new_pos = new_pos_slices.get(d.file_path, ())
+                # touches only this file's slices). The emission
+                # decision precedes every budget-charging attachment:
+                # new pos slices charge only when present (⇒ emitted),
+                # new eq frames charge only when they may hit
+                # (⇒ emitted), and prior evidence attaches last.
+                d_new_pos, d_new_pos_paths = _attach_pos(
+                    new_pos_split, d.file_path
+                )
                 d_new_eq, d_new_eq_paths = _attach_eq(
                     [
                         t
@@ -923,19 +960,20 @@ class _LakeChangelogReader(_LakeStreamReader):
                 )
                 if (
                     len(d_new_pos)
-                    or new_pos_paths
+                    or d_new_pos_paths
                     or d_new_eq
                     or d_new_eq_paths
                 ):
+                    ppos, peq, ppos_paths, peq_paths = _attach_prior(d)
                     parts.append(
                         _ChangePartition(
                             "delete", d.file_path, d.sequence_number,
-                            s.snapshot_id, d_prior_pos, prior_eq,
+                            s.snapshot_id, ppos, peq,
                             d_new_pos, d_new_eq, self.columns,
                             self.schema_json,
                             tuple(sorted(d.partition.items())), renames,
-                            tuple(prior_pos_paths), prior_eq_paths,
-                            tuple(new_pos_paths), d_new_eq_paths,
+                            ppos_paths, peq_paths,
+                            d_new_pos_paths, d_new_eq_paths,
                         )
                     )
         return parts or [
