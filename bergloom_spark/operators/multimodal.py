@@ -211,12 +211,15 @@ def resize_images(
 
     The Spark side (schema, mapInPandas batch loop, metadata update)
     is real; the pixel kernel is `fake_resize` unless
-    ``use_real_kernel``. The real kernel decodes P6 PPM, 24-bit BMP,
-    baseline JPEG (round 5, `jpegcodec.py`), or PNG (round 6,
-    `pngcodec.py`) with the dependency-free numpy codecs,
-    nearest-neighbor resizes, and re-encodes — as PPM by default, or
-    back into the input's own format (BMP/JPEG-q90/PNG/PPM by magic
-    bytes) with ``preserve_format=True``. At scale: payloads never become a
+    ``use_real_kernel``. The real kernel decodes any format the
+    dependency-free codecs handle (P6 PPM, 24-bit BMP, baseline +
+    progressive JPEG, PNG, GIF, baseline TIFF — see
+    `imagecodec.decode_image_array`), nearest-neighbor resizes, and
+    re-encodes — as PPM by default, or back into the input's own
+    format with ``preserve_format=True`` (BMP / JPEG-q90 / PNG / GIF /
+    TIFF-packbits by magic bytes; a resized GIF whose decoded canvas
+    exceeds 256 colors falls back to lossless PPM rather than
+    quantizing silently). At scale: payloads never become a
     shuffle key; this stage is a pure map over whatever partitioning
     the scan produced."""
     import pandas as pd

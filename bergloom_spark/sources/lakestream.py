@@ -450,10 +450,12 @@ _PRUNE_READ_CAP_ROWS = 2_000_000
 # A missing/zero record_count must not bypass the cap (advice r5):
 # size gates the read instead.
 _DRIVER_READ_CAP_BYTES = 64 * 1024 * 1024
-# Total bytes of delete content inlined into partition descriptors
-# per planning call; past the budget, later files fall back to path
-# shipping so a pathological delete-heavy range cannot balloon the
-# driver or the task-serialization volume.
+# Per planning call, TWO independent bounds of this size (review r6):
+# a READ budget on delete-file bytes read+cached driver-side, and a
+# SHIP budget on bytes serialized into partition descriptors (content
+# re-ships per attached partition). Past either, later files fall
+# back to path shipping, so a pathological delete-heavy range can
+# balloon neither the driver nor the task-serialization volume.
 _INLINE_BUDGET_BYTES = 256 * 1024 * 1024
 # Bloom probing is per-value; past this many distinct keys the range
 # check alone decides.
@@ -510,7 +512,15 @@ class _DeleteFileCache:
     def __init__(self):
         self._pos: dict = {}  # path -> dict[data_path, np positions] | None
         self._eq: dict = {}  # path -> (pickled keys | None, probe)
-        self._budget = _INLINE_BUDGET_BYTES
+        # TWO separate bounds (review r6, third pass): the READ budget
+        # caps bytes read+cached on the driver (debited once per
+        # file); the SHIP budget caps bytes serialized into partition
+        # descriptors (charged once per shipped copy — slices and key
+        # frames re-ship across snapshots/partitions). Exhausting
+        # either flips to path fallback; neither can be bypassed by
+        # the other.
+        self._read_budget = _INLINE_BUDGET_BYTES
+        self._ship_budget = _INLINE_BUDGET_BYTES
 
     def pos_slices(self, entry):
         """pos-delete entry -> {data file path: sorted int64 positions
@@ -519,7 +529,7 @@ class _DeleteFileCache:
         if path in self._pos:
             return self._pos[path]
         out = None
-        if self._budget > 0 and _driver_readable(entry):
+        if self._read_budget > 0 and _driver_readable(entry):
             import pyarrow.parquet as pq
 
             try:
@@ -530,10 +540,9 @@ class _DeleteFileCache:
                     fp: grp.to_numpy(dtype="int64", copy=True)
                     for fp, grp in dd.groupby("file_path")["pos"]
                 }
-                # not debited here — slices are charged per shipped
-                # ATTACHMENT (a data file's slice re-ships for every
-                # snapshot whose prior set contains the delete file —
-                # review r6), same stance as eq key frames
+                # read budget caps driver memory/IO; shipping is
+                # charged separately per attachment (review r6)
+                self._read_budget -= sum(a.nbytes for a in out.values())
             except Exception:
                 out = None
         self._pos[path] = out
@@ -548,7 +557,7 @@ class _DeleteFileCache:
         if path in self._eq:
             return self._eq[path]
         keys, probe = None, ({}, {})
-        if self._budget > 0 and _driver_readable(entry):
+        if self._read_budget > 0 and _driver_readable(entry):
             import pickle
 
             import pyarrow.parquet as pq
@@ -561,21 +570,19 @@ class _DeleteFileCache:
                 keys = pickle.dumps(
                     kt.to_pandas().drop_duplicates(), protocol=5
                 )
-                # NOT debited here: unlike position slices (disjoint
-                # per data file), a key frame is COPIED into every
-                # partition it may hit — the budget is charged per
-                # ATTACHMENT (see charge()), so it bounds actual
-                # shipped bytes under fanout (review r6).
+                self._read_budget -= len(keys)
             except Exception:
                 keys, probe = None, ({}, {})
         self._eq[path] = (keys, probe)
         return keys, probe
 
     def charge(self, nbytes: int) -> bool:
-        """Debit the inline budget for one shipped copy; False →
-        the caller must fall back to path shipping."""
-        if self._budget >= nbytes:
-            self._budget -= nbytes
+        """Debit the SHIP budget for one serialized copy (a key frame
+        or position slice re-ships per partition/snapshot it is
+        attached to); False → the caller must fall back to path
+        shipping."""
+        if self._ship_budget >= nbytes:
+            self._ship_budget -= nbytes
             return True
         return False
 
@@ -738,42 +745,43 @@ class _LakeChangelogReader(_LakeStreamReader):
 
         def _pos_split(entries):
             """pos-delete entries -> ({data path: merged positions
-            ndarray}, [unreadable fallback paths], [paths whose
-            content WAS sliced] — needed to fall back per attachment
-            when the budget runs out)."""
+            ndarray}, [unreadable fallback paths], {data path:
+            (contributing delete paths)} — so a budget-denied
+            attachment ships only the files that actually hold
+            positions for that data file, review r6 third pass)."""
             merged: dict = {}
             paths: list = []
-            inlined: list = []
+            origins: dict = {}
             for e in entries:
                 sl = cache.pos_slices(e)
                 if sl is None:
                     paths.append(e.file_path)
                     continue
-                inlined.append(e.file_path)
                 for fp, arr in sl.items():
                     merged.setdefault(fp, []).append(arr)
+                    origins.setdefault(fp, []).append(e.file_path)
             return (
                 {
                     fp: arrs[0] if len(arrs) == 1 else np.concatenate(arrs)
                     for fp, arrs in merged.items()
                 },
                 paths,
-                inlined,
+                origins,
             )
 
         def _attach_pos(split, fp):
             """Per-PARTITION attachment of one data file's position
-            slice: inline while the budget admits the copy (a slice
-            re-ships once per snapshot whose prior set carries it —
-            review r6), else ship the contributing file paths for the
-            executor to read."""
-            merged, paths, inlined = split
+            slice: inline while the ship budget admits the copy (a
+            slice re-ships once per snapshot whose prior set carries
+            it — review r6), else ship exactly the delete files that
+            contain positions for THIS data file."""
+            merged, paths, origins = split
             arr = merged.get(fp)
             if arr is None or not len(arr):
                 return (), tuple(paths)
             if cache.charge(arr.nbytes):
                 return arr, tuple(paths)
-            return (), tuple(paths) + tuple(inlined)
+            return (), tuple(paths) + tuple(origins.get(fp, ()))
 
         def _eq_split(entries):
             """eq-delete entries -> [(cols, seq, keys|None, path,
