@@ -113,6 +113,15 @@ def _lzw_decode(data: bytes, mcs: int, expected: int) -> np.ndarray:
         nbits -= width
         return v
 
+    # Allocation sanity (review r6 fuzz): one LZW code is ≥ 3 bits
+    # and emits ≤ 4096 pixels, so data shorter than expected/10923
+    # bytes cannot be legitimate — reject corrupt dimensions before
+    # attempting a multi-GB buffer.
+    if expected > max(1, len(data)) * 10923:
+        raise ValueError(
+            f"GIF declares {expected} pixels but carries only "
+            f"{len(data)} LZW bytes"
+        )
     out = np.empty(expected, dtype=np.uint8)
     n = 0
     table: list = [bytes((i,)) for i in range(clear)] + [b"", b""]
@@ -292,6 +301,11 @@ def decode_gif(payload: bytes) -> np.ndarray:
     left, top, fw, fh, px = frames[0]
     if (left, top, fw, fh) == (0, 0, w, h):
         return px.copy()
+    if w * h > 1 << 26:  # corrupt LSD could demand a multi-GB canvas
+        raise ValueError(
+            f"implausible GIF logical screen {w}x{h} for a "
+            f"{fw}x{fh} frame"
+        )
     canvas = np.zeros((h, w, 3), dtype=np.uint8)
     canvas[top : top + fh, left : left + fw] = px
     return canvas

@@ -95,6 +95,8 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     """24-bit BI_RGB BMP bytes → (H, W, 3) uint8 RGB."""
     if payload[:2] != b"BM":
         raise ValueError("not a BMP payload")
+    if len(payload) < 34:  # file header + the DIB fields read below
+        raise ValueError("truncated BMP header")
     data_offset = struct.unpack_from("<I", payload, 10)[0]
     dib_size = struct.unpack_from("<I", payload, 14)[0]
     if dib_size < 40:

@@ -442,7 +442,16 @@ def _prefix_table(table: dict) -> list:
 
 def decode_jpeg_baseline(payload: bytes) -> np.ndarray:
     """Baseline sequential JFIF/JPEG bytes → (H, W, 3) uint8 RGB
-    (grayscale replicates to 3 channels)."""
+    (grayscale replicates to 3 channels). Malformed payloads raise
+    ValueError — never struct/Index/KeyError (corpus-decode contract,
+    review r6)."""
+    try:
+        return _decode_jpeg_baseline(payload)
+    except (struct.error, IndexError, KeyError) as exc:
+        raise ValueError(f"malformed JPEG stream: {exc!r}") from exc
+
+
+def _decode_jpeg_baseline(payload: bytes) -> np.ndarray:
     d = payload
     if d[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload (missing SOI)")
@@ -563,6 +572,17 @@ def _decode_scan(d, pos, frame, scan, qtables, htables, restart_interval):
         raise ValueError("sampling factors beyond 2 unsupported")
     mcux = (w + 8 * hmax - 1) // (8 * hmax)
     mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    # Allocation sanity BEFORE the plane buffers (review r6 fuzz): a
+    # block needs ≥1 bit of entropy data (one DC + one EOB code), so
+    # corrupt SOF dims demanding more blocks than the payload has
+    # bits cannot be legitimate — reject instead of attempting a
+    # multi-GB np.zeros.
+    blocks = mcux * mcuy * sum(c["h"] * c["v"] for c in frame["comps"])
+    if blocks > 8 * len(d):
+        raise ValueError(
+            f"frame declares {blocks} blocks but the payload has "
+            f"only {len(d)} bytes"
+        )
     planes = []
     for c in frame["comps"]:
         planes.append(

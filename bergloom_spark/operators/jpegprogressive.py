@@ -332,7 +332,16 @@ def _next_marker(d: bytes, p: int) -> int:
 
 def decode_jpeg_progressive(payload: bytes) -> np.ndarray:
     """Progressive (SOF2) JFIF/JPEG bytes → (H, W, 3) uint8 RGB
-    (grayscale replicates to 3 channels)."""
+    (grayscale replicates to 3 channels). Malformed payloads raise
+    ValueError — never struct/Index/KeyError (corpus-decode contract,
+    review r6)."""
+    try:
+        return _decode_jpeg_progressive(payload)
+    except (struct.error, IndexError, KeyError) as exc:
+        raise ValueError(f"malformed JPEG stream: {exc!r}") from exc
+
+
+def _decode_jpeg_progressive(payload: bytes) -> np.ndarray:
     d = payload
     if d[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload (missing SOI)")
@@ -401,6 +410,16 @@ def decode_jpeg_progressive(payload: bytes) -> np.ndarray:
                 )
             frame = {"h": h, "w": w, "comps": comps}
             geom = _geometry(frame)
+            # allocation sanity before the coefficient buffers (same
+            # ≥1-bit-per-block argument as the baseline decoder)
+            blocks = sum(
+                bhp * bwp for (bhp, bwp, _, _) in geom["per_comp"]
+            )
+            if blocks > 8 * len(d):
+                raise ValueError(
+                    f"frame declares {blocks} blocks but the payload "
+                    f"has only {len(d)} bytes"
+                )
             coefs = [
                 np.zeros((bhp, bwp, 64), dtype=np.int64)
                 for (bhp, bwp, _, _) in geom["per_comp"]

@@ -279,24 +279,32 @@ def decode_png(payload: bytes) -> np.ndarray:
         rows = _unfilter_image(raw, 0, h, stride, fbpp)
         px = _extract_samples(rows, h, w, channels, depth)
     else:  # Adam7 (round 6): seven independently-filtered sub-images
-        px = np.zeros((h, w, channels), dtype=np.uint8)
-        p = 0
+        passes = []
+        total = 0
         for x0, y0, dx, dy in _ADAM7:
             pw = (w - x0 + dx - 1) // dx
             ph = (h - y0 + dy - 1) // dy
             if pw <= 0 or ph <= 0:
                 continue
             stride = _stride(pw)
-            need = ph * (1 + stride)
-            if len(raw) - p < need:
-                raise ValueError("truncated Adam7 scanline data")
+            passes.append((x0, y0, dx, dy, pw, ph, stride))
+            total += ph * (1 + stride)
+        # validate the WHOLE budget before allocating the canvas:
+        # corrupt IHDR dims cannot demand more pixels than the actual
+        # decompressed bytes supply (review r6 fuzz)
+        if len(raw) != total:
+            raise ValueError(
+                f"Adam7 scanline data is {len(raw)} bytes, expected "
+                f"{total}"
+            )
+        px = np.zeros((h, w, channels), dtype=np.uint8)
+        p = 0
+        for x0, y0, dx, dy, pw, ph, stride in passes:
             rows = _unfilter_image(raw, p, ph, stride, fbpp)
             px[y0::dy, x0::dx] = _extract_samples(
                 rows, ph, pw, channels, depth
             )
-            p += need
-        if p != len(raw):
-            raise ValueError("trailing bytes after Adam7 passes")
+            p += ph * (1 + stride)
     if color_type == 0 and depth < 8:
         # left-bit-replication scaling: ×255, ×85, ×17 for 1/2/4-bit
         px = (

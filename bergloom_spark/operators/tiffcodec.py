@@ -211,7 +211,8 @@ def _ifd_entries(d: bytes, e: str, off: int) -> tuple[dict, int]:
     """One IFD at ``off`` → ({tag: value-or-list}, next IFD offset)."""
     try:
         return _ifd_entries_unchecked(d, e, off)
-    except struct.error as exc:
+    except (struct.error, IndexError) as exc:
+        # IndexError: a zero-count entry for a tag we index (fuzz r6)
         raise ValueError(f"truncated TIFF IFD: {exc}") from exc
 
 
@@ -243,6 +244,8 @@ def _first_ifd(payload: bytes) -> tuple[bytes, str, dict, int]:
         e = ">"
     else:
         raise ValueError("not a TIFF payload (missing II/MM)")
+    if len(d) < 8:
+        raise ValueError("truncated TIFF header")
     magic, off = struct.unpack_from(e + "HI", d, 2)
     if magic != 42:
         raise ValueError(f"bad TIFF magic {magic}")
@@ -271,12 +274,23 @@ def decode_tiff(payload: bytes) -> np.ndarray:
         # reaches here via the 2-byte magic dispatch)
         if req not in t:
             raise ValueError(f"TIFF IFD missing required tag {req}")
-    w, h = int(t[256]), int(t[257])
-    comp = int(t.get(259, 1))
-    photo = int(t.get(262, 1))
-    spp = int(t.get(277, 1))
-    planar = int(t.get(284, 1))
-    predictor = int(t.get(317, 1))
+
+    def one(tag: int, default=None) -> int:
+        """Scalar tag value — a multi-value count where the spec says
+        one is malformed, not a TypeError (fuzz r6)."""
+        v = t.get(tag, default)
+        if isinstance(v, list):
+            raise ValueError(
+                f"TIFF tag {tag} expects one value, got {len(v)}"
+            )
+        return int(v)
+
+    w, h = one(256), one(257)
+    comp = one(259, 1)
+    photo = one(262, 1)
+    spp = one(277, 1)
+    planar = one(284, 1)
+    predictor = one(317, 1)
     bits = t.get(258, 8)
     bits = bits if isinstance(bits, list) else [bits]
     if any(b != 8 for b in bits):
@@ -293,7 +307,7 @@ def decode_tiff(payload: bytes) -> np.ndarray:
     offs = offs if isinstance(offs, list) else [offs]
     lens = t[279]
     lens = lens if isinstance(lens, list) else [lens]
-    rps = int(t.get(278, h))
+    rps = one(278, h)
     stride = w * spp
     rows = bytearray()
     for si, (o, ln) in enumerate(zip(offs, lens)):
@@ -325,6 +339,8 @@ def decode_tiff(payload: bytes) -> np.ndarray:
         cmap = t.get(320)
         if cmap is None:
             raise ValueError("palette TIFF without ColorMap")
+        if not isinstance(cmap, list) or len(cmap) < 3:
+            raise ValueError("malformed TIFF ColorMap")
         n = len(cmap) // 3
         cm = (
             np.array(cmap, dtype=np.int64).reshape(3, n).T >> 8

@@ -1,0 +1,105 @@
+"""Malformed-payload robustness across ALL image codecs (round 6).
+
+The corpus-decode contract: any byte string either decodes or raises
+ValueError — never IndexError / struct.error / KeyError /
+StopIteration, which would escape a ``mapInPandas`` batch as a
+confusing non-ValueError failure and can't be handled uniformly by a
+skip-bad-records wrapper. Exercised three ways: pure random bytes,
+random bytes behind each codec's REAL magic, and valid payloads with
+point mutations / truncations (the shapes a damaged crawl actually
+produces).
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from bergloom_spark.operators.imagecodec import decode_image_array
+
+_OK_ERRORS = (ValueError, zlib.error)
+# zlib.error: PNG IDAT inflation of garbage — a stdlib error type with
+# a clear message; everything else must be ValueError.
+
+_MAGICS = [
+    b"P6",
+    b"BM",
+    b"\xff\xd8",
+    b"\x89PNG\r\n\x1a\n",
+    b"GIF89a",
+    b"GIF87a",
+    b"II",
+    b"MM",
+]
+
+
+def _check(payload: bytes) -> None:
+    try:
+        out = decode_image_array(payload)
+    except _OK_ERRORS:
+        return
+    assert out.dtype == np.uint8 and out.ndim == 3 and out.shape[2] == 3
+
+
+@given(data=st.binary(min_size=0, max_size=400))
+@settings(max_examples=120, deadline=None)
+def test_random_bytes_never_crash(data):
+    _check(data)
+
+
+@given(
+    magic=st.sampled_from(_MAGICS),
+    data=st.binary(min_size=0, max_size=400),
+)
+@settings(max_examples=200, deadline=None)
+def test_random_bytes_behind_real_magic_never_crash(magic, data):
+    _check(magic + data)
+
+
+def _valid_payloads():
+    from bergloom_spark.operators.gifcodec import encode_gif
+    from bergloom_spark.operators.imagecodec import encode_bmp, encode_ppm
+    from bergloom_spark.operators.jpegcodec import encode_jpeg_baseline
+    from bergloom_spark.operators.jpegprogressive import (
+        encode_jpeg_progressive,
+    )
+    from bergloom_spark.operators.pngcodec import encode_png
+    from bergloom_spark.operators.tiffcodec import encode_tiff
+
+    img = np.random.RandomState(5).randint(
+        0, 4, size=(9, 11, 3)
+    ).astype(np.uint8) * 80
+    return [
+        encode_ppm(img),
+        encode_bmp(img),
+        encode_jpeg_baseline(img, 90),
+        encode_jpeg_progressive(img, 90),
+        encode_png(img),
+        encode_gif(img),
+        encode_tiff(img, compression="packbits"),
+        encode_tiff(img, compression="lzw"),
+    ]
+
+
+@pytest.mark.parametrize("pi", range(8))
+def test_every_truncation_never_crashes(pi):
+    payload = _valid_payloads()[pi]
+    step = max(1, len(payload) // 150)
+    for cut in range(0, len(payload), step):
+        _check(payload[:cut])
+
+
+@given(
+    pi=st.integers(0, 7),
+    pos=st.integers(0, 10**6),
+    val=st.integers(0, 255),
+)
+@settings(max_examples=250, deadline=None)
+def test_point_mutations_never_crash(pi, pos, val):
+    payload = bytearray(_valid_payloads()[pi])
+    payload[pos % len(payload)] = val
+    _check(bytes(payload))
