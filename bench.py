@@ -102,17 +102,79 @@ def _cpu_calibration() -> float:
     return round(min(_one() for _ in range(3)), 3)
 
 
-def _calibration_anchor() -> dict | None:
-    """Newest committed BENCH_r*.json that carries a calibration
-    probe — the cross-round reference clock (verdict r5 #4): drift is
-    only REAL when the calibration-normalized total moves; a raw
-    total that shifted by the same ratio as the probe is the host."""
-    import glob
+def _cpu_calibration_parallel() -> float:
+    """All-cores probe beside the single-thread one (verdict r6 #3):
+    r6 saw a uniform +9% on untouched queries while the single-thread
+    probe said the host got FASTER — a one-core clock is blind to the
+    contention profile a 32-thread bench actually runs under (memory
+    bandwidth, LLC, SMT neighbors). This probe saturates every core
+    with the same bandwidth-bound ufunc chain (numpy releases the GIL
+    in the ufunc inner loops), so cross-round movement here that the
+    single-thread probe misses attributes uniform drift to the host's
+    PARALLEL capacity rather than to the plans."""
+    import numpy as np
+    from concurrent.futures import ThreadPoolExecutor
+
+    n = min(32, os.cpu_count() or 1)
+
+    def _one(_i) -> float:
+        a = np.arange(2 * 1024 * 1024, dtype=np.float64) / (
+            2 * 1024 * 1024
+        )
+        for _ in range(8):
+            a = np.sin(a) * 1.1 + 0.1
+            a -= np.floor(a)
+        return float(a[0])
+
+    def _run_once() -> float:
+        t0 = time.monotonic()
+        with ThreadPoolExecutor(max_workers=n) as ex:
+            list(ex.map(_one, range(n)))
+        return time.monotonic() - t0
+
+    return round(min(_run_once() for _ in range(3)), 3)
+
+
+def _current_round() -> int | None:
+    """Round number the CURRENT run belongs to — parsed from
+    VERDICT.md's title (written at the END of round N, so during
+    round N+1 it reads N). Overridable via SPARK_GRAFT_BENCH_ROUND."""
+    env = os.environ.get("SPARK_GRAFT_BENCH_ROUND")
+    if env and env.isdigit():
+        return int(env)
+    import re
 
     here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        with open(os.path.join(here, "VERDICT.md")) as f:
+            head = f.read(200)
+        m = re.search(r"round\s+(\d+)", head)
+        if m:
+            return int(m.group(1)) + 1
+    except OSError:
+        pass
+    return None
+
+
+def _calibration_anchor() -> dict | None:
+    """Newest committed BENCH_r*.json STRICTLY OLDER than the current
+    round that carries a calibration probe — the cross-round
+    reference clock (verdict r5 #4): drift is only REAL when the
+    calibration-normalized total moves; a raw total that shifted by
+    the same ratio as the probe is the host. The current round's own
+    file is excluded (advice r6: a re-run used to anchor against its
+    own probe, ratio ≈ 1, defeating the normalization)."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    cur = _current_round()
     for path in sorted(
         glob.glob(os.path.join(here, "BENCH_r*.json")), reverse=True
     ):
+        m = re.search(r"BENCH_r(\d+)\.json$", path)
+        if cur is not None and m and int(m.group(1)) >= cur:
+            continue
         try:
             with open(path) as f:
                 doc = json.load(f)
@@ -124,6 +186,9 @@ def _calibration_anchor() -> dict | None:
             return {
                 "file": os.path.basename(path),
                 "cpu_calibration_sec": doc["cpu_calibration_sec"],
+                "cpu_calibration_parallel_sec": doc.get(
+                    "cpu_calibration_parallel_sec"
+                ),
             }
     return None
 
@@ -131,6 +196,7 @@ def _calibration_anchor() -> dict | None:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     calibration = _cpu_calibration()
+    calibration_parallel = _cpu_calibration_parallel()
     spark = get_spark(app_name="bergloom-bench")
     queries = dict(entry_mod.queries())
     queries.setdefault("bpe_token_stats", entry_mod.q_bpe_token_stats)
@@ -165,9 +231,13 @@ def main() -> None:
     # debt, so best-of-N recovers each query's unperturbed time.
     import random
 
-    passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))
+    # 5 passes from r7 on (verdict r6 #3): with 3 passes a pair of
+    # correlated stalls still contaminates the min; 5 halves that
+    # odds and the median becomes a meaningful second estimator.
+    passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "5"))
     rng = random.Random(20260814)
     best: dict[str, float] = {n: float("inf") for n in HEADLINE}
+    samples: dict[str, list[float]] = {n: [] for n in HEADLINE}
     rest = [n for n in HEADLINE if n not in HEADLINE_R1]
     for group in (HEADLINE_R1, rest):
         if do_warmup:
@@ -187,8 +257,15 @@ def main() -> None:
                 start = time.monotonic()
                 df = queries[name](spark, sf_dir)
                 df.write.format("noop").mode("overwrite").save()
-                best[name] = min(best[name], time.monotonic() - start)
+                elapsed = time.monotonic() - start
+                best[name] = min(best[name], elapsed)
+                samples[name].append(elapsed)
+    import statistics
+
     timings = {n: round(best[n], 3) for n in HEADLINE}
+    medians = {
+        n: round(statistics.median(samples[n]), 3) for n in HEADLINE
+    }
     total = round(sum(timings.values()), 3)
     r1_total = round(
         sum(timings[n] for n in HEADLINE_R1 if n in timings), 3
@@ -210,6 +287,12 @@ def main() -> None:
                 r1_total / ratio, 3
             ),
         }
+        if anchor.get("cpu_calibration_parallel_sec"):
+            normalized["calibration_parallel_ratio_vs_anchor"] = round(
+                calibration_parallel
+                / anchor["cpu_calibration_parallel_sec"],
+                3,
+            )
     print(
         json.dumps(
             {
@@ -217,6 +300,12 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                # median-of-N beside best-of-N (verdict r6 #3): if
+                # the min and the median disagree on a cross-round
+                # delta, the min was contaminated by correlated
+                # stalls; if they agree, the delta is real.
+                "queries_median": medians,
+                "total_median": round(sum(medians.values()), 3),
                 "sf": float(sf) if sf else None,
                 # apples-to-apples vs BENCH_r01/r02 (their 14-query set)
                 "r1_comparable_total": r1_total,
@@ -231,7 +320,13 @@ def main() -> None:
                     "min of 3 probe runs (r6+). BENCH_r05's anchor was "
                     "a SINGLE sample, so the r5→r6 ratio carries a "
                     "one-time downward bias (min ≤ single draw); from "
-                    "r6 on the comparison is min-vs-min."
+                    "r6 on the comparison is min-vs-min. From r7 the "
+                    "anchor EXCLUDES the current round's own file "
+                    "(advice r6) and an all-cores parallel probe runs "
+                    "beside the single-thread one (verdict r6 #3: the "
+                    "one-core clock is blind to bandwidth/SMT "
+                    "contention a 32-thread bench runs under); its "
+                    "cross-round ratio starts at r7→r8."
                 ),
                 # Single-thread CPU probe timed before Spark started:
                 # the r3->r4 r1-comparable drift reproduced in round 5
@@ -241,6 +336,10 @@ def main() -> None:
                 # variation. Divide the subtotal by this to compare
                 # plan quality across rounds on unequal hosts/days.
                 "cpu_calibration_sec": calibration,
+                # All-cores probe (32-thread bandwidth-bound ufunc
+                # chain): the contention-profile clock the single-
+                # thread probe cannot see.
+                "cpu_calibration_parallel_sec": calibration_parallel,
             }
         )
     )

@@ -227,6 +227,10 @@ def decode_png(payload: bytes) -> np.ndarray:
             )
         pos += 12 + length
         if ctype == b"IHDR":
+            if length != 13:
+                raise ValueError(
+                    f"IHDR chunk length {length} != 13"
+                )
             header = struct.unpack(">IIBBBBB", data)
         elif ctype == b"PLTE":
             if length % 3:

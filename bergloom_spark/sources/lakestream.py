@@ -48,6 +48,7 @@ from __future__ import annotations
 
 import dataclasses
 import json
+import logging
 
 from pyspark.sql.datasource import (
     DataSource,
@@ -57,6 +58,13 @@ from pyspark.sql.datasource import (
 from pyspark.sql import types as T
 
 __all__ = ["LakeStreamDataSource"]
+
+_log = logging.getLogger("bergloom_spark.lakestream")
+
+# Budget-fallback observability (verdict r6 #2): the LAST changelog
+# planning call's delete-evidence stats, refreshed per call. Driver-
+# side only (plan/scale reports and tests read it); never shipped.
+LAST_PLAN_STATS: dict = {}
 
 
 @dataclasses.dataclass
@@ -463,14 +471,21 @@ _PRUNE_BLOOM_CAP_VALUES = 2_000
 
 
 def _driver_readable(entry) -> bool:
-    """May the driver read this delete file whole? record_count gates
-    when known; otherwise file_size_bytes; neither known → no (advice
-    r5: the unknown case used to bypass the cap entirely)."""
+    """May the driver read this delete file whole? BOTH known gates
+    must pass: record_count (when known) against the row cap AND
+    file_size_bytes (when known) against the byte cap; neither known
+    → no (advice r5: the unknown case used to bypass the cap
+    entirely; advice r6: a <=2M-row file of wide keys used to bypass
+    the byte cap because record_count alone decided)."""
     rc = entry.record_count
-    if rc:
-        return rc <= _PRUNE_READ_CAP_ROWS
     size = entry.file_size_bytes
-    return bool(size) and size <= _DRIVER_READ_CAP_BYTES
+    if not rc and not size:
+        return False
+    if rc and rc > _PRUNE_READ_CAP_ROWS:
+        return False
+    if size and size > _DRIVER_READ_CAP_BYTES:
+        return False
+    return True
 
 
 def _probe_from_raw(cols, raw: dict) -> tuple:
@@ -521,6 +536,23 @@ class _DeleteFileCache:
         # the other.
         self._read_budget = _INLINE_BUDGET_BYTES
         self._ship_budget = _INLINE_BUDGET_BYTES
+        # Observability (verdict r6 #2): when either budget runs out
+        # mid-plan, later files silently reverted to path shipping —
+        # correct but invisible. Count the denials so the planner can
+        # log them and the plan/scale reports can print them.
+        self.read_denied = 0  # files NOT read driver-side (cap/budget)
+        self.ship_denied = 0  # attachments refused by the SHIP budget
+
+    def _read_allowed(self, entry) -> bool:
+        """Cap AND remaining-budget gate for one driver-side read.
+        When the file size is known it must fit in the REMAINING read
+        budget (advice r6: >0-then-debit let one file overshoot)."""
+        if not _driver_readable(entry):
+            return False
+        if self._read_budget <= 0:
+            return False
+        size = entry.file_size_bytes
+        return not size or size <= self._read_budget
 
     def pos_slices(self, entry):
         """pos-delete entry -> {data file path: sorted int64 positions
@@ -529,7 +561,7 @@ class _DeleteFileCache:
         if path in self._pos:
             return self._pos[path]
         out = None
-        if self._read_budget > 0 and _driver_readable(entry):
+        if self._read_allowed(entry):
             import pyarrow.parquet as pq
 
             try:
@@ -545,6 +577,8 @@ class _DeleteFileCache:
                 self._read_budget -= sum(a.nbytes for a in out.values())
             except Exception:
                 out = None
+        if out is None:
+            self.read_denied += 1
         self._pos[path] = out
         return out
 
@@ -557,7 +591,7 @@ class _DeleteFileCache:
         if path in self._eq:
             return self._eq[path]
         keys, probe = None, ({}, {})
-        if self._read_budget > 0 and _driver_readable(entry):
+        if self._read_allowed(entry):
             import pickle
 
             import pyarrow.parquet as pq
@@ -573,6 +607,8 @@ class _DeleteFileCache:
                 self._read_budget -= len(keys)
             except Exception:
                 keys, probe = None, ({}, {})
+        if keys is None:
+            self.read_denied += 1
         self._eq[path] = (keys, probe)
         return keys, probe
 
@@ -584,6 +620,7 @@ class _DeleteFileCache:
         if self._ship_budget >= nbytes:
             self._ship_budget -= nbytes
             return True
+        self.ship_denied += 1
         return False
 
 
@@ -984,6 +1021,29 @@ class _LakeChangelogReader(_LakeStreamReader):
                             d_new_pos_paths, d_new_eq_paths,
                         )
                     )
+        # Surface budget-fallback degradation (verdict r6 #2): a
+        # delete-heavy range past the READ/SHIP budgets silently
+        # reverts later files to path shipping (per-task re-reads).
+        # Correct, but the operator must be able to SEE the slope.
+        LAST_PLAN_STATS.clear()
+        LAST_PLAN_STATS.update(
+            {
+                "partitions": len(parts),
+                "read_denied": cache.read_denied,
+                "ship_denied": cache.ship_denied,
+                "read_budget_left": cache._read_budget,
+                "ship_budget_left": cache._ship_budget,
+            }
+        )
+        if cache.read_denied or cache.ship_denied:
+            _log.warning(
+                "changelog plan [%s, %s]: inline budgets exhausted — "
+                "%d delete-file read(s) and %d attachment(s) fell "
+                "back to executor-side path reads (read budget left "
+                "%d B, ship budget left %d B)",
+                lo, hi, cache.read_denied, cache.ship_denied,
+                cache._read_budget, cache._ship_budget,
+            )
         return parts or [
             _ChangePartition(
                 "insert", "", 0, 0, (), (), (), (),
