@@ -2420,6 +2420,49 @@ def q_changelog_delete_heavy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_changelog_budget_exceeded(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SCALE-BENCH-ONLY scenario (verdict r6 #2) — NOT in the driver
+    registry: the same delete-heavy history as
+    ``q_changelog_delete_heavy``, but PLANNED with the inline
+    READ/SHIP budgets squeezed to zero, forcing every delete file
+    onto the path-shipping fallback (executors re-read delete files
+    per task — the pre-r6 shape a real plan degrades to once a
+    delete-heavy backfill exhausts the 256 MB budgets). The decade
+    row, read against ``changelog_delete_heavy``'s, MEASURES the
+    budget-exhaustion degradation slope instead of assuming it;
+    ``LAST_PLAN_STATS`` is asserted to prove the fallback actually
+    engaged. Planning happens eagerly inside ``read_changes`` so the
+    squeeze window closes before the action runs."""
+    import bergloom_spark.sources.lakestream as _ls
+    from bergloom_spark.lake import LakeTable
+
+    base = T(spark, sf_dir, "lineitem").select(*LI_COLS)
+    odd = base.filter(F.col("l_orderkey") % 2 == 1)
+    scratch = _scratch(prefix="bergloom-delbudget-")
+    root = os.path.join(scratch, "li")
+    t = LakeTable.create(spark, root, base.schema)
+    loaded = t.append(odd.repartition(64))
+    for k in range(6):
+        t.delete_where((F.col("l_orderkey") + 3 * k) % 17 == 0)
+    orig = _ls._INLINE_BUDGET_BYTES
+    try:
+        _ls._INLINE_BUDGET_BYTES = 0
+        changes = t.read_changes(from_snapshot_id=loaded.snapshot_id)
+    finally:
+        _ls._INLINE_BUDGET_BYTES = orig
+    if not _ls.LAST_PLAN_STATS.get("read_denied"):
+        raise AssertionError(
+            "budget squeeze did not engage the path fallback: "
+            f"{_ls.LAST_PLAN_STATS}"
+        )
+    return changes.groupBy("_commit_snapshot_id", "_change_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
 def q_continuous_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Continuous aggregate (round 5): a per-supplier (count, sum)
     rollup maintained INCREMENTALLY from the source table's changelog

@@ -55,6 +55,12 @@ HEAVY = [
     # measures the de-amplified delete-partition kernel (r5 #3)
     "batch_table_changes",
     "changelog_delete_heavy",
+    # round-7: the SAME delete-heavy drain planned with the inline
+    # budgets forced to zero — its exponent vs changelog_delete_heavy
+    # is the MEASURED budget-exhaustion degradation slope (verdict
+    # r6 #2): how much a delete-heavy backfill slows once the 256 MB
+    # READ/SHIP budgets run out and the tail path-ships.
+    "changelog_budget_exceeded",
 ]
 
 SF01 = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -71,6 +77,7 @@ def main() -> None:
     queries = dict(mod.queries())
     queries["bpe_token_stats"] = mod.q_bpe_token_stats
     queries["changelog_delete_heavy"] = mod.q_changelog_delete_heavy
+    queries["changelog_budget_exceeded"] = mod.q_changelog_budget_exceeded
 
     spark = get_spark(app_name="scale-bench")
     spark.sparkContext.setLogLevel("ERROR")
