@@ -243,16 +243,31 @@ def _parse_frames_unchecked(payload: bytes, first_only: bool):
         gct = np.frombuffer(d, np.uint8, n * 3, pos).reshape(-1, 3)
         pos += n * 3
     frames = []
+    gce = None  # (disposal, transparent index | None) — one-shot
     while pos < len(d):
         block = d[pos]
         pos += 1
         if block == 0x3B:  # trailer
             break
         if block == 0x21:  # extension: label + sub-blocks
+            label = d[pos]
             pos += 1
+            first_sub = None
             while d[pos] != 0:
-                pos += 1 + d[pos]
+                ln = d[pos]
+                if first_sub is None:
+                    first_sub = d[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
             pos += 1
+            if label == 0xF9 and first_sub and len(first_sub) >= 4:
+                # Graphic Control Extension: packed(disposal bits
+                # 2-4, transparency flag bit 0), delay, trans index.
+                # Applies to the NEXT image block only (GIF89a §23).
+                gpk = first_sub[0]
+                gce = (
+                    (gpk >> 2) & 0x7,
+                    first_sub[3] if gpk & 0x1 else None,
+                )
             continue
         if block != 0x2C:
             raise ValueError(f"unknown GIF block 0x{block:02x}")
@@ -285,7 +300,10 @@ def _parse_frames_unchecked(payload: bytes, first_only: bool):
             idx = un
         if int(idx.max(initial=0)) >= len(ct):
             raise ValueError("GIF index out of color-table range")
-        frames.append((left, top, fw, fh, ct[idx]))
+        disposal, trans = gce if gce is not None else (0, None)
+        gce = None
+        tmask = (idx == trans) if trans is not None else None
+        frames.append((left, top, fw, fh, ct[idx], disposal, tmask))
         if first_only:
             break
     if not frames:
@@ -298,7 +316,7 @@ def decode_gif(payload: bytes) -> np.ndarray:
     a black canvas when the frame is smaller than the logical
     screen."""
     (w, h), frames = _parse_frames(payload, first_only=True)
-    left, top, fw, fh, px = frames[0]
+    left, top, fw, fh, px = frames[0][:5]
     if (left, top, fw, fh) == (0, 0, w, h):
         return px.copy()
     if w * h > 1 << 26:  # corrupt LSD could demand a multi-GB canvas
@@ -309,6 +327,102 @@ def decode_gif(payload: bytes) -> np.ndarray:
     canvas = np.zeros((h, w, 3), dtype=np.uint8)
     canvas[top : top + fh, left : left + fw] = px
     return canvas
+
+
+def decode_gif_frames(payload: bytes) -> np.ndarray:
+    """GIF bytes → (n_frames, H, W, 3) uint8 RGB: the full animation
+    COMPOSITED per GIF89a §23 (round 7 — frames get the same one-row-
+    per-frame sampling path as video). Semantics implemented:
+
+    - each frame draws its sub-rectangle onto the running canvas;
+      pixels whose index equals the Graphic Control Extension's
+      transparent index leave the canvas unchanged;
+    - disposal 0/1 (unspecified / do not dispose): the drawn frame
+      stays; 2 (restore to background): the frame's rectangle is
+      cleared to black after display (the alpha-less reading every
+      corpus decoder uses — the logical "background color" is only
+      meaningful with a transparency channel we deliberately drop);
+      3 (restore to previous): the rectangle reverts to its
+      pre-draw contents.
+
+    The emitted array per frame is the canvas SNAPSHOT after that
+    frame's draw — what a player displays. Starts from a black
+    canvas, same contract as :func:`decode_gif`."""
+    (w, h), frames = _parse_frames(payload, first_only=False)
+    if w * h > 1 << 26:
+        raise ValueError(f"implausible GIF logical screen {w}x{h}")
+    canvas = np.zeros((h, w, 3), dtype=np.uint8)
+    out = []
+    for left, top, fw, fh, px, disposal, tmask in frames:
+        if top + fh > h or left + fw > w:
+            raise ValueError(
+                f"GIF frame {fw}x{fh}@({left},{top}) exceeds the "
+                f"{w}x{h} logical screen"
+            )
+        region = canvas[top : top + fh, left : left + fw]
+        saved = region.copy() if disposal == 3 else None
+        if tmask is None:
+            region[:] = px
+        else:
+            keep = ~tmask
+            region[keep] = px[keep]
+        out.append(canvas.copy())
+        if disposal == 2:
+            region[:] = 0
+        elif disposal == 3:
+            region[:] = saved
+    return np.stack(out)
+
+
+def encode_gif_frames(
+    size: tuple,
+    palette: np.ndarray,
+    frames,
+) -> bytes:
+    """Multi-frame GIF89a encoder for the animation roundtrip oracle.
+
+    ``size``: (W, H) logical screen; ``palette``: (N ≤ 256, 3) uint8
+    global color table; ``frames``: iterable of
+    ``(left, top, idx2d, disposal, transparent_index | None)`` — each
+    image block gets its own Graphic Control Extension carrying the
+    disposal method and transparency flag. Indices must be < N."""
+    w, h = size
+    pal = np.asarray(palette, dtype=np.uint8)
+    if pal.ndim != 2 or pal.shape[1] != 3 or len(pal) > 256:
+        raise ValueError(f"bad palette shape {pal.shape}")
+    n_field = 0
+    while (1 << (n_field + 1)) < len(pal):
+        n_field += 1
+    table = np.zeros((1 << (n_field + 1), 3), dtype=np.uint8)
+    table[: len(pal)] = pal
+    out = bytearray()
+    out += b"GIF89a"
+    out += struct.pack("<HHBBB", w, h, 0x80 | (0x7 << 4) | n_field, 0, 0)
+    out += table.tobytes()
+    mcs = max(2, n_field + 1)
+    for left, top, idx2d, disposal, trans in frames:
+        idx = np.asarray(idx2d)
+        fh, fw = idx.shape
+        if top + fh > h or left + fw > w:
+            raise ValueError(
+                f"frame {fw}x{fh}@({left},{top}) exceeds {w}x{h}"
+            )
+        if int(idx.max(initial=0)) >= len(table):
+            raise ValueError("frame index out of color-table range")
+        gpk = ((disposal & 0x7) << 2) | (1 if trans is not None else 0)
+        out += b"\x21\xf9\x04" + bytes(
+            (gpk, 0, 0, trans if trans is not None else 0)
+        ) + b"\x00"
+        out += b"\x2c" + struct.pack("<HHHHB", left, top, fw, fh, 0)
+        out.append(mcs)
+        lzw = _lzw_encode(idx.reshape(-1), mcs)
+        for i in range(0, len(lzw), 255):
+            chunk = lzw[i : i + 255]
+            out.append(len(chunk))
+            out += chunk
+        out.append(0)  # image-data sub-block terminator
+    out += b"\x3b"
+    return bytes(out)
 
 
 def gif_frame_count(payload: bytes) -> int:

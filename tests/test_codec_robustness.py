@@ -103,3 +103,53 @@ def test_point_mutations_never_crash(pi, pos, val):
     payload = bytearray(_valid_payloads()[pi])
     payload[pos % len(payload)] = val
     _check(bytes(payload))
+
+
+# ---- animated-GIF frame decode (round 7): same contract -------------
+def _animated_gif() -> bytes:
+    from bergloom_spark.operators.gifcodec import encode_gif_frames
+
+    pal = np.stack(
+        [np.arange(256)] * 3, axis=-1
+    ).astype(np.uint8)
+    base = (np.arange(6)[:, None] * 7 + np.arange(8)[None, :]) % 256
+    patch = np.array([[9, 255], [255, 11]])
+    return encode_gif_frames(
+        (8, 6),
+        pal,
+        [
+            (0, 0, base, 1, None),
+            (0, 1, patch, 3, 255),
+            (2, 2, patch, 2, 255),
+        ],
+    )
+
+
+def _check_frames(payload: bytes) -> None:
+    from bergloom_spark.operators.gifcodec import decode_gif_frames
+
+    try:
+        out = decode_gif_frames(payload)
+    except _OK_ERRORS:
+        return
+    assert out.dtype == np.uint8 and out.ndim == 4 and out.shape[3] == 3
+
+
+@given(data=st.binary(min_size=0, max_size=400))
+@settings(max_examples=120, deadline=None)
+def test_gif_frames_random_bytes_never_crash(data):
+    _check_frames(b"GIF89a" + data)
+
+
+@given(pos=st.integers(0, 10**6), val=st.integers(0, 255))
+@settings(max_examples=200, deadline=None)
+def test_gif_frames_point_mutations_never_crash(pos, val):
+    payload = bytearray(_animated_gif())
+    payload[pos % len(payload)] = val
+    _check_frames(bytes(payload))
+
+
+def test_gif_frames_truncations_never_crash():
+    payload = _animated_gif()
+    for cut in range(len(payload)):
+        _check_frames(payload[:cut])

@@ -187,3 +187,80 @@ def test_rejections_are_honest():
     if len(np.unique(too_many.reshape(-1, 3), axis=0)) > 256:
         with pytest.raises(ValueError, match="quantize"):
             encode_gif(too_many)
+
+
+def test_animation_composition_semantics():
+    """Round 7 (verdict r6 #7): decode_gif_frames composites per
+    GIF89a §23 — transparency leaves the canvas, disposal 1 keeps,
+    2 restores the rect to (black) background, 3 restores previous;
+    the emitted frame is the post-draw canvas snapshot."""
+    from bergloom_spark.operators.gifcodec import (
+        decode_gif,
+        decode_gif_frames,
+        encode_gif_frames,
+        gif_frame_count,
+    )
+
+    i256 = np.arange(256, dtype=np.int64)
+    pal = np.stack(
+        [i256, (i256 * 2) % 256, (i256 * 7) % 256], -1
+    ).astype(np.uint8)
+    W, H = 8, 6
+    base = (np.arange(H)[:, None] * 7 + np.arange(W)[None, :] * 3) % 256
+    p1 = np.array([[10, 255], [255, 20]])
+    p2 = np.array([[30, 255], [255, 40]])
+    p3 = np.array([[50, 255], [255, 60]])
+    payload = encode_gif_frames(
+        (W, H),
+        pal,
+        [
+            (0, 0, base, 1, None),
+            (0, 2, p1, 3, 255),   # restore-to-previous
+            (2, 1, p2, 2, 255),   # restore-to-background
+            (4, 3, p3, 3, 255),
+        ],
+    )
+    assert gif_frame_count(payload) == 4
+    dec = decode_gif_frames(payload)
+    assert dec.shape == (4, H, W, 3)
+
+    canvas = pal[base].copy()
+
+    def draw(cv, left, top, p):
+        out = cv.copy()
+        for dy in range(2):
+            for dx in range(2):
+                if p[dy, dx] != 255:  # checkerboard transparency
+                    out[top + dy, left + dx] = pal[p[dy, dx]]
+        return out
+
+    exp = [canvas.copy(), draw(canvas, 0, 2, p1), draw(canvas, 2, 1, p2)]
+    blacked = canvas.copy()
+    blacked[1:3, 2:4] = 0  # p2's rect restored to background
+    exp.append(draw(blacked, 4, 3, p3))
+    for i, e in enumerate(exp):
+        assert (dec[i] == e).all(), f"frame {i}"
+    # first-frame decode agrees with the animation's frame 0
+    assert (decode_gif(payload) == dec[0]).all()
+
+
+def test_animation_frame_exceeding_screen_rejected():
+    from bergloom_spark.operators.gifcodec import (
+        decode_gif_frames,
+        encode_gif_frames,
+    )
+
+    pal = np.zeros((4, 3), np.uint8)
+    with pytest.raises(ValueError, match="exceeds"):
+        encode_gif_frames(
+            (4, 4), pal, [(3, 3, np.zeros((2, 2), int), 0, None)]
+        )
+    # decoder-side: hand-build a descriptor past the screen
+    ok = encode_gif_frames(
+        (4, 4), pal, [(0, 0, np.zeros((4, 4), int), 0, None)]
+    )
+    data = bytearray(ok)
+    idesc = ok.index(b"\x2c")
+    struct.pack_into("<HH", data, idesc + 1, 3, 3)  # left=top=3
+    with pytest.raises(ValueError, match="exceeds"):
+        decode_gif_frames(bytes(data))
