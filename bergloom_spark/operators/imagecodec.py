@@ -148,10 +148,14 @@ def decode_image_array(payload: bytes) -> np.ndarray:
         from bergloom_spark.operators.tiffcodec import decode_tiff
 
         return decode_tiff(payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        from bergloom_spark.operators.webpcodec import decode_webp
+
+        return decode_webp(payload)
     raise ValueError(
         f"unrecognized image magic {payload[:2]!r}: P6 PPM, 24-bit "
-        "BMP, JPEG (baseline + progressive), PNG, GIF, and TIFF "
-        "decode without PIL"
+        "BMP, JPEG (baseline + progressive), PNG, GIF, TIFF, and "
+        "lossless WebP decode without PIL"
     )
 
 

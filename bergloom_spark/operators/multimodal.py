@@ -7,16 +7,17 @@ Design for 100 TB media pipelines: media bytes ride as an opaque
 Partitioning/shuffle only ever touches metadata — the binary column is
 carried, never keyed on.
 
-Compressed-format decode (JPEG/PNG/…) needs image libraries that are
-NOT in this container, so those kernels are gated: ``decode_image``
-raises ``NotImplementedError`` unless PIL is importable, and
-``fake_decode_meta`` provides a deterministic stand-in (derived from
-the md5 of the payload) so the Spark-side plumbing — schema, batch
-shape, partitioning — is fully real and testable. UNCOMPRESSED
-formats (binary P6 PPM, 24-bit BMP) decode for REAL via the
-dependency-free numpy codecs in ``operators/imagecodec.py`` —
-``decode_images`` and the real-resize path run end-to-end in this
-environment (VERDICT r2 #3).
+Every mainstream web-corpus image format now decodes for REAL via the
+dependency-free codecs behind ``imagecodec.decode_image_array``: P6
+PPM, 24-bit BMP, JPEG (baseline + progressive), PNG (incl. Adam7),
+GIF (incl. animation frames), baseline TIFF, and lossless WebP/VP8L
+(round 7). The PIL gate below remains only for formats with no
+in-repo decoder — lossy WebP (VP8 intra), HEIC, AVIF —
+``decode_image`` raises ``NotImplementedError`` unless PIL is
+importable, and ``fake_decode_meta`` provides a deterministic
+stand-in (derived from the md5 of the payload) so plumbing for even
+those formats — schema, batch shape, partitioning — stays real and
+testable (VERDICT r2 #3).
 """
 
 from __future__ import annotations

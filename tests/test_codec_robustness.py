@@ -34,6 +34,7 @@ _MAGICS = [
     b"GIF87a",
     b"II",
     b"MM",
+    b"RIFF\x20\x00\x00\x00WEBPVP8L",
 ]
 
 
@@ -69,6 +70,7 @@ def _valid_payloads():
     )
     from bergloom_spark.operators.pngcodec import encode_png
     from bergloom_spark.operators.tiffcodec import encode_tiff
+    from bergloom_spark.operators.webpcodec import encode_webp_lossless
 
     img = np.random.RandomState(5).randint(
         0, 4, size=(9, 11, 3)
@@ -82,10 +84,11 @@ def _valid_payloads():
         encode_gif(img),
         encode_tiff(img, compression="packbits"),
         encode_tiff(img, compression="lzw"),
+        encode_webp_lossless(img),
     ]
 
 
-@pytest.mark.parametrize("pi", range(8))
+@pytest.mark.parametrize("pi", range(9))
 def test_every_truncation_never_crashes(pi):
     payload = _valid_payloads()[pi]
     step = max(1, len(payload) // 150)
@@ -94,7 +97,7 @@ def test_every_truncation_never_crashes(pi):
 
 
 @given(
-    pi=st.integers(0, 7),
+    pi=st.integers(0, 8),
     pos=st.integers(0, 10**6),
     val=st.integers(0, 255),
 )

@@ -6,6 +6,9 @@ count, column names, and sorted values (floats rounded) — the same
 shape of comparison the driver's CORRECTNESS_r{N}.json records.
 
 Usage: python tools/driver_sim.py [query ...]
+       python tools/driver_sim.py --json SWEEP_rN.json   # full sweep
+                                  # + per-query JSON record (the
+                                  # round-closing gate, verdict r6 #2)
 """
 
 from __future__ import annotations
@@ -49,7 +52,14 @@ def main() -> None:
     spec.loader.exec_module(mod)
     queries = mod.queries()
     oracles = mod.oracle_sql()
-    only = set(sys.argv[1:])
+    args = sys.argv[1:]
+    json_path = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_path = args[i + 1]
+        args = args[:i] + args[i + 2 :]
+    only = set(args)
+    records: dict = {}
 
     spark = get_spark(app_name="driver-sim")
     spark.sparkContext.setLogLevel("ERROR")
@@ -74,10 +84,15 @@ def main() -> None:
             )
         except Exception as exc:  # noqa: BLE001
             failures.append(name)
+            records[name] = {"status": "spark_error", "err": str(exc)}
             print(f"FAIL {name}: spark error {type(exc).__name__}: {exc}")
             continue
         took = time.monotonic() - start
         if name not in oracles:
+            records[name] = {
+                "status": "rows_only", "rows": len(srows),
+                "secs": round(took, 1),
+            }
             print(f"ok   {name}: {len(srows)} rows (no oracle) [{took:.1f}s]")
             continue
         try:
@@ -93,16 +108,23 @@ def main() -> None:
             )
         except Exception as exc:  # noqa: BLE001
             failures.append(name)
+            records[name] = {"status": "oracle_error", "err": str(exc)}
             print(f"FAIL {name}: oracle error {type(exc).__name__}: {exc}")
             continue
         if cols != ocols:
             failures.append(name)
+            records[name] = {"status": "schema_mismatch"}
             print(f"FAIL {name}: schema {cols} vs {ocols}")
         elif len(srows) != len(orows):
             failures.append(name)
+            records[name] = {
+                "status": "row_mismatch",
+                "rows": [len(srows), len(orows)],
+            }
             print(f"FAIL {name}: rows {len(srows)} vs {len(orows)}")
         elif srows != orows:
             failures.append(name)
+            records[name] = {"status": "value_mismatch"}
             diff = next(
                 (i for i, (a, b) in enumerate(zip(srows, orows)) if a != b),
                 None,
@@ -113,9 +135,32 @@ def main() -> None:
                 f"  oracle: {orows[diff] if diff is not None else '?'}"
             )
         else:
+            records[name] = {
+                "status": "hash_equal", "rows": len(srows),
+                "secs": round(took, 1),
+            }
             print(f"ok   {name}: {len(srows)} rows hash-equal [{took:.1f}s]")
     spark.stop()
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
+    if json_path:
+        import json as _json
+
+        summary = {
+            "sf_dir": SF_DIR,
+            "n_queries": len(records),
+            "n_hash_equal": sum(
+                1 for r in records.values() if r["status"] == "hash_equal"
+            ),
+            "n_rows_only": sum(
+                1 for r in records.values() if r["status"] == "rows_only"
+            ),
+            "n_failures": len(failures),
+            "failures": failures,
+            "queries": records,
+        }
+        with open(json_path, "w") as fh:
+            _json.dump(summary, fh, indent=1)
+        print(f"wrote {json_path}")
     sys.exit(1 if failures else 0)
 
 
