@@ -2452,7 +2452,7 @@ def q_changelog_budget_exceeded(
         changes = t.read_changes(from_snapshot_id=loaded.snapshot_id)
     finally:
         _ls._INLINE_BUDGET_BYTES = orig
-    if not _ls.LAST_PLAN_STATS.get("read_denied"):
+    if not _ls.LAST_PLAN_STATS.get("budget_denied"):
         raise AssertionError(
             "budget squeeze did not engage the path fallback: "
             f"{_ls.LAST_PLAN_STATS}"

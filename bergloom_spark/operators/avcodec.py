@@ -383,9 +383,15 @@ def mp3_meta(payload: bytes) -> dict:
     """MP3 bytes → corpus-triage metadata without decoding audio:
     ``{n_frames, sample_rate, duration_ms, bitrate_kbps_mean, vbr,
     version, layer}``. Skips a leading ID3v2 tag (syncsafe size),
-    scans to the first valid sync whose implied next frame also
-    syncs (the standard false-sync filter), then walks frame lengths.
-    Raises ValueError when no frame sequence exists."""
+    scans to the first valid sync whose implied next frame ALSO syncs
+    — or whose length lands exactly at end-of-buffer (the standard
+    false-sync filter; a sync whose frame runs PAST the buffer is
+    garbage, review r7) — then walks frame lengths. A leading
+    Xing/Info tag frame (the LAME VBR header) is excluded from the
+    frame/bitrate/duration statistics, as every duration estimator
+    does. Duration accumulates per frame's own sample rate;
+    ``sample_rate``/``version``/``layer`` report the first audio
+    frame. Raises ValueError when no frame sequence exists."""
     d = payload
     pos = 0
     if d[:3] == b"ID3" and len(d) >= 10:
@@ -401,41 +407,59 @@ def mp3_meta(payload: bytes) -> dict:
         fr = _mp3_frame(d, pos)
         if fr is not None:
             nxt = pos + fr[0]
-            if nxt >= len(d) or _mp3_frame(d, nxt) is not None:
+            # a frame that runs past the buffer is a false sync; a
+            # frame ending exactly at EOF is a complete final frame
+            if nxt == len(d) or (
+                nxt < len(d) and _mp3_frame(d, nxt) is not None
+            ):
                 start = pos
                 break
         pos += 1
     if start is None:
         raise ValueError("no MP3 frame sync found")
-    b1 = d[start + 1]
-    version = (b1 >> 3) & 0x3
-    layer = 4 - ((b1 >> 1) & 0x3)
     n_frames = 0
-    total_samples = 0
+    duration_us = 0  # Σ samples/rate, integrated per frame's rate
     bitrates = []
-    rate = None
+    first = None  # (version, layer, rate) of the first AUDIO frame
     pos = start
     while pos + 4 <= len(d):
         fr = _mp3_frame(d, pos)
         if fr is None:
             break
         nbytes, samples, rate, kbps = fr
+        if n_frames == 0 and _is_xing(d, pos, nbytes):
+            pos += nbytes  # LAME Xing/Info header frame: not audio
+            continue
+        if first is None:
+            b1 = d[pos + 1]
+            first = ((b1 >> 3) & 0x3, 4 - ((b1 >> 1) & 0x3), rate)
         n_frames += 1
-        total_samples += samples
+        duration_us += samples * 1_000_000 // rate
         bitrates.append(kbps)
         pos += nbytes
     if n_frames == 0:
         raise ValueError("no MP3 frame sync found")
-    duration_ms = total_samples * 1000 // rate
+    version, layer, rate0 = first
     return {
         "n_frames": n_frames,
-        "sample_rate": rate,
-        "duration_ms": duration_ms,
+        "sample_rate": rate0,
+        "duration_ms": duration_us // 1000,
         "bitrate_kbps_mean": sum(bitrates) // len(bitrates),
         "vbr": len(set(bitrates)) > 1,
         "version": {3: "MPEG1", 2: "MPEG2", 0: "MPEG2.5"}[version],
         "layer": layer,
     }
+
+
+def _is_xing(d: bytes, pos: int, nbytes: int) -> bool:
+    """True when the frame at ``pos`` is a LAME Xing/Info VBR header
+    frame: the tag magic sits right after the Layer III side info
+    (32/17 bytes for MPEG1 stereo/mono, 17/9 for MPEG2/2.5)."""
+    frame = d[pos : pos + nbytes]
+    for off in (4 + 32, 4 + 17, 4 + 9):
+        if frame[off : off + 4] in (b"Xing", b"Info"):
+            return True
+    return False
 
 
 def make_mp3_stream(
@@ -464,6 +488,11 @@ def make_mp3_stream(
         out += bytes(body)
     table = _MP3_BITRATES[(mpeg1, layer)]
     for kbps in frame_bitrates:
+        if kbps == 0:
+            raise ValueError(
+                "free-format bitrate (0) unsupported — pick a table "
+                "bitrate"
+            )
         bri = table.index(kbps)
         b1 = 0xE0 | (version << 3) | ((4 - layer) << 1) | 1
         b2 = (bri << 4) | (sri << 2)

@@ -29,7 +29,13 @@ import struct
 
 import numpy as np
 
-__all__ = ["decode_gif", "encode_gif", "gif_frame_count"]
+__all__ = [
+    "decode_gif",
+    "encode_gif",
+    "decode_gif_frames",
+    "encode_gif_frames",
+    "gif_frame_count",
+]
 
 
 # --------------------------------------------------------------------------

@@ -32,8 +32,8 @@ Scale shape: executor-side kernel for Arrow-batched ``mapInPandas``
 or shuffled. The entropy layer is scalar Python (the honest cost of a
 dependency-free decoder, same stance as the GIF LZW and JPEG Huffman
 coders); transforms are numpy where they vectorize (palette,
-subtract-green) and per-pixel where the spec's data dependencies make
-them serial (predictor).
+subtract-green, cross-color) and per-pixel where the spec's data
+dependencies make them serial (predictor).
 
 VP8L is LOSSLESS, so the roundtrip oracle is arithmetic equality of
 pixel sums — no quantization argument needed.
@@ -259,18 +259,22 @@ def _prefix_encode(value: int) -> tuple:
 
 def _distance_map() -> list:
     """The spec's 120-entry 2D neighbor table for distance codes
-    1..120: (dx, dy) offsets ordered by increasing squared distance,
-    larger dy first within a tie, positive dx before negative.
-    Codes > 120 are linear (dist = code − 120). Our encoder emits
-    only linear codes; this table serves real-world streams."""
+    1..120: (dx, dy) offsets over the window dx ∈ [−7, 8], dy ∈
+    [0, 7] (exactly 120 valid cells), ordered by increasing squared
+    distance, larger dy first within a tie, positive dx before
+    negative. Codes > 120 are linear (dist = code − 120). Verified
+    against libwebp: all 120 codes agree (review r7 — the first cut
+    used a dy ≤ 8 / dx ≥ −8 box, which put codes 97–120 in the wrong
+    cells)."""
     cand = [
         (dx, dy)
-        for dy in range(9)
-        for dx in range(-8, 9)
+        for dy in range(8)
+        for dx in range(-7, 9)
         if (dy > 0 or dx > 0)
     ]
     cand.sort(key=lambda p: (p[0] * p[0] + p[1] * p[1], -p[1], -p[0]))
-    return cand[:120]
+    assert len(cand) == 120
+    return cand
 
 
 _DIST_MAP = _distance_map()
@@ -363,28 +367,28 @@ def _apply_inverse_predictor(img: np.ndarray, sub: np.ndarray, size_bits: int):
     img[:] = np.asarray(px, dtype=np.uint8)
 
 
-def _ct_delta(t: int, c: int) -> int:
-    """ColorTransformDelta: signed int8 transform element × signed
-    int8 channel value, arithmetic shift right 5 (spec)."""
-    t8 = t - 256 if t >= 128 else t
-    c8 = c - 256 if c >= 128 else c
-    return (t8 * c8) >> 5
-
-
 def _apply_inverse_cross_color(img: np.ndarray, sub: np.ndarray, size_bits: int):
+    """Fully vectorized (review r7): unlike the predictor transform,
+    each pixel's inverse depends only on its own channels and its
+    tile's transform element — whole-array int arithmetic, no loop.
+    ColorTransformElement channels (spec): green_to_red in BLUE,
+    green_to_blue in GREEN, red_to_blue in RED; elements and channel
+    values enter the delta as SIGNED int8, product >> 5 arithmetic."""
     h, w = img.shape[:2]
-    for y in range(h):
-        for x in range(w):
-            # ColorTransformElement channels (spec): green_to_red in
-            # BLUE, green_to_blue in GREEN, red_to_blue in RED
-            el = sub[y >> size_bits, x >> size_bits]
-            g2r, g2b, r2b = int(el[3]), int(el[2]), int(el[1])
-            a, r, g, b = (int(v) for v in img[y, x])
-            r = (r + _ct_delta(g2r, g)) & 0xFF
-            b = (b + _ct_delta(g2b, g)) & 0xFF
-            b = (b + _ct_delta(r2b, r)) & 0xFF
-            img[y, x, 1] = r
-            img[y, x, 3] = b
+    ys = np.arange(h) >> size_bits
+    xs = np.arange(w) >> size_bits
+    tiles = sub[ys[:, None], xs[None, :]].astype(np.int64)
+
+    def s8(v):
+        return np.where(v >= 128, v - 256, v)
+
+    g2r, g2b, r2b = s8(tiles[..., 3]), s8(tiles[..., 2]), s8(tiles[..., 1])
+    g = s8(img[:, :, 2].astype(np.int64))
+    r = (img[:, :, 1].astype(np.int64) + ((g2r * g) >> 5)) & 0xFF
+    b = img[:, :, 3].astype(np.int64) + ((g2b * g) >> 5)
+    b = (b + ((r2b * s8(r)) >> 5)) & 0xFF
+    img[:, :, 1] = r
+    img[:, :, 3] = b
 
 
 # --------------------------------------------------------------------------

@@ -536,23 +536,35 @@ class _DeleteFileCache:
         # the other.
         self._read_budget = _INLINE_BUDGET_BYTES
         self._ship_budget = _INLINE_BUDGET_BYTES
-        # Observability (verdict r6 #2): when either budget runs out
-        # mid-plan, later files silently reverted to path shipping —
-        # correct but invisible. Count the denials so the planner can
-        # log them and the plan/scale reports can print them.
-        self.read_denied = 0  # files NOT read driver-side (cap/budget)
-        self.ship_denied = 0  # attachments refused by the SHIP budget
+        # Observability (verdict r6 #2, cause-split in review r7): a
+        # fallback to path shipping has three UNRELATED causes and the
+        # operator's remedy differs per cause — budget tuning helps
+        # only budget_denied; cap_denied means one oversized delete
+        # file; io_failed means a corrupt/unreadable one. Conflating
+        # them (one counter) sent the warning down the wrong path.
+        self.cap_denied = 0     # per-file row/byte cap rejections
+        self.budget_denied = 0  # remaining-READ-budget rejections
+        self.io_failed = 0      # driver-side read raised
+        self.ship_denied = 0    # attachments refused by SHIP budget
 
-    def _read_allowed(self, entry) -> bool:
-        """Cap AND remaining-budget gate for one driver-side read.
-        When the file size is known it must fit in the REMAINING read
-        budget (advice r6: >0-then-debit let one file overshoot)."""
+    def _read_gate(self, entry) -> str | None:
+        """None = read allowed; else the denial cause. When the file
+        size is known it must fit in the REMAINING read budget
+        (advice r6: >0-then-debit let one file overshoot)."""
         if not _driver_readable(entry):
-            return False
-        if self._read_budget <= 0:
-            return False
+            return "cap"
         size = entry.file_size_bytes
-        return not size or size <= self._read_budget
+        if self._read_budget <= 0 or (size and size > self._read_budget):
+            return "budget"
+        return None
+
+    def _deny(self, cause: str) -> None:
+        if cause == "cap":
+            self.cap_denied += 1
+        elif cause == "budget":
+            self.budget_denied += 1
+        else:
+            self.io_failed += 1
 
     def pos_slices(self, entry):
         """pos-delete entry -> {data file path: sorted int64 positions
@@ -561,7 +573,8 @@ class _DeleteFileCache:
         if path in self._pos:
             return self._pos[path]
         out = None
-        if self._read_allowed(entry):
+        cause = self._read_gate(entry)
+        if cause is None:
             import pyarrow.parquet as pq
 
             try:
@@ -577,8 +590,9 @@ class _DeleteFileCache:
                 self._read_budget -= sum(a.nbytes for a in out.values())
             except Exception:
                 out = None
+                cause = "io"
         if out is None:
-            self.read_denied += 1
+            self._deny(cause)
         self._pos[path] = out
         return out
 
@@ -591,7 +605,8 @@ class _DeleteFileCache:
         if path in self._eq:
             return self._eq[path]
         keys, probe = None, ({}, {})
-        if self._read_allowed(entry):
+        cause = self._read_gate(entry)
+        if cause is None:
             import pickle
 
             import pyarrow.parquet as pq
@@ -607,8 +622,9 @@ class _DeleteFileCache:
                 self._read_budget -= len(keys)
             except Exception:
                 keys, probe = None, ({}, {})
+                cause = "io"
         if keys is None:
-            self.read_denied += 1
+            self._deny(cause)
         self._eq[path] = (keys, probe)
         return keys, probe
 
@@ -1029,20 +1045,31 @@ class _LakeChangelogReader(_LakeStreamReader):
         LAST_PLAN_STATS.update(
             {
                 "partitions": len(parts),
-                "read_denied": cache.read_denied,
+                "cap_denied": cache.cap_denied,
+                "budget_denied": cache.budget_denied,
+                "io_failed": cache.io_failed,
                 "ship_denied": cache.ship_denied,
                 "read_budget_left": cache._read_budget,
                 "ship_budget_left": cache._ship_budget,
             }
         )
-        if cache.read_denied or cache.ship_denied:
+        # Cause-specific warnings (review r7): budget exhaustion asks
+        # for budget tuning; an over-cap or unreadable file does not.
+        if cache.budget_denied or cache.ship_denied:
             _log.warning(
                 "changelog plan [%s, %s]: inline budgets exhausted — "
                 "%d delete-file read(s) and %d attachment(s) fell "
                 "back to executor-side path reads (read budget left "
                 "%d B, ship budget left %d B)",
-                lo, hi, cache.read_denied, cache.ship_denied,
+                lo, hi, cache.budget_denied, cache.ship_denied,
                 cache._read_budget, cache._ship_budget,
+            )
+        if cache.cap_denied or cache.io_failed:
+            _log.warning(
+                "changelog plan [%s, %s]: %d delete file(s) over the "
+                "per-file driver caps and %d unreadable driver-side — "
+                "each ships by path (executor-side reads)",
+                lo, hi, cache.cap_denied, cache.io_failed,
             )
         return parts or [
             _ChangePartition(

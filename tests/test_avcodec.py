@@ -161,11 +161,15 @@ def test_mp3_meta_id3_and_garbage_prefix():
 
 
 def test_mp3_meta_real_world_file():
-    """Independent sanity: a real MP3 shipped with the system SDK —
-    duration from the header walk must agree with size/bitrate."""
+    """Independent sanity: a real MP3 shipped with the system SDK.
+    Assertions stay robust to the file's particulars (review r7): the
+    walk must succeed, and for a CBR file without an ID3 tag the
+    walked duration must agree with size/bitrate to 20%."""
     import os
 
     import pytest as _pytest
+
+    from bergloom_spark.operators.avcodec import mp3_meta
 
     path = (
         "/usr/lib/google-cloud-sdk/platform/gsutil/gslib/tests/"
@@ -175,16 +179,11 @@ def test_mp3_meta_real_world_file():
         _pytest.skip("no system sample MP3")
     with open(path, "rb") as fh:
         d = fh.read()
-    m = mp3_meta_import()(d)
-    assert m["n_frames"] > 0 and not m["vbr"]
-    approx_ms = len(d) * 8 // m["bitrate_kbps_mean"]
-    assert abs(m["duration_ms"] - approx_ms) <= 100
-
-
-def mp3_meta_import():
-    from bergloom_spark.operators.avcodec import mp3_meta
-
-    return mp3_meta
+    m = mp3_meta(d)
+    assert m["n_frames"] > 0 and m["duration_ms"] > 0
+    if not m["vbr"] and d[:3] != b"ID3":
+        approx_ms = len(d) * 8 // m["bitrate_kbps_mean"]
+        assert abs(m["duration_ms"] - approx_ms) <= approx_ms // 5
 
 
 def test_mp3_meta_rejections():
@@ -196,3 +195,37 @@ def test_mp3_meta_rejections():
         mp3_meta(b"definitely not audio " * 20)
     with _pytest.raises(ValueError, match="sync"):
         mp3_meta(b"")
+
+
+def test_mp3_meta_review_r7_fixes():
+    """Review r7: mixed-rate duration, Xing/Info skip, trailing false
+    sync in garbage, free-format encoder rejection."""
+    import pytest as _pytest
+
+    from bergloom_spark.operators.avcodec import make_mp3_stream, mp3_meta
+
+    # mixed sample rates: duration integrates per frame's own rate
+    mixed = make_mp3_stream([128] * 5) + make_mp3_stream(
+        [64] * 5, sample_rate=22050
+    )
+    m = mp3_meta(mixed)
+    want = 5 * 1152 * 1_000_000 // 44100 + 5 * 576 * 1_000_000 // 22050
+    assert m["n_frames"] == 10
+    assert m["duration_ms"] == want // 1000
+    assert m["sample_rate"] == 44100  # first audio frame's
+
+    # a lone false sync whose frame runs past the buffer is garbage
+    with _pytest.raises(ValueError, match="sync"):
+        mp3_meta(bytes(50) + b"\xff\xfb\x92\x00" + bytes(10))
+
+    # Xing/Info header frame excluded from stats
+    audio = make_mp3_stream([128] * 4)
+    one = make_mp3_stream([64])
+    xing = bytearray(one)
+    xing[4 + 17 : 4 + 21] = b"Xing"  # MPEG1 mono side-info offset
+    m2 = mp3_meta(bytes(xing) + audio)
+    assert m2["n_frames"] == 4
+    assert m2["bitrate_kbps_mean"] == 128 and not m2["vbr"]
+
+    with _pytest.raises(ValueError, match="free-format"):
+        make_mp3_stream([0])

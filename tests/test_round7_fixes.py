@@ -26,10 +26,10 @@ from bergloom_spark.lake import LakeTable
 from bergloom_spark.lake.metadata import EQ_DELETE, ManifestEntry
 
 
-def _entry(rc: int, size: int) -> ManifestEntry:
+def _entry(rc: int, size: int, path: str = "eq-test") -> ManifestEntry:
     return ManifestEntry(
         content=EQ_DELETE,
-        file_path="/nonexistent/eq-test.parquet",
+        file_path=f"/nonexistent/{path}.parquet",
         record_count=rc,
         file_size_bytes=size,
         sequence_number=1,
@@ -56,11 +56,17 @@ def test_read_skipped_when_size_exceeds_remaining_budget():
     cache = ls._DeleteFileCache()
     cache._read_budget = 512
     e = _entry(10, 4096)  # readable per caps, but > remaining budget
-    assert not cache._read_allowed(e)
+    assert cache._read_gate(e) == "budget"
     assert cache.eq_keys(e) == (None, ({}, {}))
-    assert cache.read_denied == 1
+    assert cache.budget_denied == 1 and cache.cap_denied == 0
     # unknown size still admitted while budget > 0 (then debited)
-    assert cache._read_allowed(_entry(10, 0))
+    assert cache._read_gate(_entry(10, 0)) is None
+    # over-cap file attributed to the cap, not the budget (review r7;
+    # distinct path — the memo would swallow a repeat of the same file)
+    big = _entry(10, ls._DRIVER_READ_CAP_BYTES + 1, path="eq-big")
+    assert cache._read_gate(big) == "cap"
+    cache.eq_keys(big)
+    assert cache.cap_denied == 1 and cache.budget_denied == 1
 
 
 def test_ship_budget_denial_counted():
@@ -93,8 +99,8 @@ def test_plan_stats_surface_budget_fallbacks(spark, tmp_path, caplog):
     baseline = t.read_changes().count()
     stats = dict(ls.LAST_PLAN_STATS)
     assert stats["partitions"] > 0
-    assert stats["read_denied"] == 0
-    assert stats["ship_denied"] == 0
+    assert stats["budget_denied"] == 0 and stats["cap_denied"] == 0
+    assert stats["io_failed"] == 0 and stats["ship_denied"] == 0
 
     orig = ls._INLINE_BUDGET_BYTES
     try:
@@ -108,7 +114,8 @@ def test_plan_stats_surface_budget_fallbacks(spark, tmp_path, caplog):
             n = t2.read_changes().count()
         stats2 = dict(ls.LAST_PLAN_STATS)
         assert n == baseline  # results identical under fallback
-        assert stats2["read_denied"] > 0
+        assert stats2["budget_denied"] > 0
+        assert stats2["cap_denied"] == 0  # attributed correctly
         assert any(
             "inline budgets exhausted" in r.message
             for r in caplog.records

@@ -187,3 +187,71 @@ def test_dispatch_by_magic():
     img = np.arange(48, dtype=np.uint8).reshape(4, 4, 3)
     pay = encode_webp_lossless(img)
     assert (decode_image_array(pay) == img).all()
+
+
+def test_all_120_2d_distance_codes_match_libwebp():
+    """Review r7: the 2D neighbor table's tail (codes 97-120) was
+    generated from the wrong candidate box and silently corrupted
+    pixels. Pin every code with hand-crafted streams: a backref with
+    distance code k must decode exactly as libwebp decodes it."""
+    import ctypes
+
+    import bergloom_spark.operators.webpcodec as W
+
+    lib = _libwebp()
+    if lib is None:
+        pytest.skip("libwebp not present")
+
+    def craft(dist_code, width=16, height=12):
+        n = width * height
+        rng = np.random.default_rng(dist_code)
+        px = rng.integers(0, 256, (n, 3), dtype=np.int64)
+        bw = W._BitWriter()
+        bw.write(width - 1, 14)
+        bw.write(height - 1, 14)
+        bw.write(0, 1)
+        bw.write(0, 3)
+        bw.write(0, 1)  # no transforms
+        bw.write(0, 1)  # no cache
+        bw.write(0, 1)  # no meta
+        green = W._write_flat_code(bw, [8] * 232 + [9] * 48)
+        red = W._write_flat_code(bw, [8] * 256)
+        blue = W._write_flat_code(bw, [8] * 256)
+        W._write_simple_single(bw, 255)
+        dsym, dextra, dn = W._prefix_encode(dist_code)
+        W._write_simple_single(bw, dsym)
+        cut, L = 9 * width + 2, 16
+        for i in range(cut):
+            r, g, b = px[i]
+            for codes, v in ((green, g), (red, r), (blue, b)):
+                c, ln = codes[v]
+                bw.write_code(c, ln)
+        ls, lx, lxn = W._prefix_encode(L)
+        c, ln = green[256 + ls]
+        bw.write_code(c, ln)
+        if lxn:
+            bw.write(lx, lxn)
+        bw.write(dextra, dn)
+        for i in range(cut + L, n):
+            r, g, b = px[i]
+            for codes, v in ((green, g), (red, r), (blue, b)):
+                c, ln = codes[v]
+                bw.write_code(c, ln)
+        body = b"\x2f" + bw.finish()
+        chunk = b"VP8L" + len(body).to_bytes(4, "little") + body
+        if len(body) & 1:
+            chunk += b"\x00"
+        return (
+            b"RIFF" + (4 + len(chunk)).to_bytes(4, "little")
+            + b"WEBP" + chunk
+        )
+
+    for code in range(1, 121):
+        pay = craft(code)
+        Wd = ctypes.c_int()
+        Hd = ctypes.c_int()
+        p = lib.WebPDecodeRGB(pay, len(pay), ctypes.byref(Wd), ctypes.byref(Hd))
+        assert p, f"libwebp rejected crafted stream for code {code}"
+        ref = np.ctypeslib.as_array(p, shape=(Hd.value, Wd.value, 3)).copy()
+        mine = decode_webp(pay)
+        assert (mine == ref).all(), f"2D distance code {code} mismatch"

@@ -56,6 +56,8 @@ def main() -> None:
     json_path = None
     if "--json" in args:
         i = args.index("--json")
+        if i + 1 >= len(args):
+            sys.exit("usage: driver_sim.py [query ...] [--json PATH]")
         json_path = args[i + 1]
         args = args[:i] + args[i + 2 :]
     only = set(args)
