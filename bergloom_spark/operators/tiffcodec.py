@@ -6,9 +6,10 @@ baseline TIFFs; the encoder exists for roundtrip oracles (same stance
 as the GIF/PNG encoders).
 
 Decoder coverage, stated honestly:
-- both byte orders (II little / MM big endian), the FIRST IFD of a
-  multi-page file (page count via :func:`tiff_page_count` — page
-  composition is a viewer concern, not a corpus-decode one),
+- both byte orders (II little / MM big endian); multi-page files
+  decode page-by-page via :func:`decode_tiff_pages` (round 7 — the
+  multi-page sibling of GIF's frame explosion; :func:`decode_tiff`
+  returns the first page, :func:`tiff_page_count` counts),
 - strip organization (RowsPerStrip; tiled TIFFs raise),
 - compression 1 (none), 5 (LZW — TIFF's MSB-first, EARLY-CHANGE
   variant, unlike GIF's) and 32773 (PackBits), with horizontal
@@ -19,9 +20,9 @@ Decoder coverage, stated honestly:
 - RAISED honestly: tiles, planar=2, other bit depths/compressions
   (CCITT fax, JPEG-in-TIFF, Deflate), float samples.
 
-Encoder: little-endian, single IFD, RGB or gray 8-bit chunky,
-compression none / PackBits / LZW (early change), multi-strip via
-rows_per_strip.
+Encoder: little-endian, RGB or gray 8-bit chunky, compression none /
+PackBits / LZW (early change), multi-strip via rows_per_strip,
+multi-page via :func:`encode_tiff_pages` (chained IFDs).
 """
 
 from __future__ import annotations
@@ -30,7 +31,13 @@ import struct
 
 import numpy as np
 
-__all__ = ["decode_tiff", "encode_tiff", "tiff_page_count"]
+__all__ = [
+    "decode_tiff",
+    "encode_tiff",
+    "decode_tiff_pages",
+    "encode_tiff_pages",
+    "tiff_page_count",
+]
 
 
 # --------------------------------------------------------------------------
@@ -267,6 +274,27 @@ def tiff_page_count(payload: bytes) -> int:
 def decode_tiff(payload: bytes) -> np.ndarray:
     """TIFF bytes → (H, W, 3) uint8 RGB of the FIRST page."""
     d, e, t, _ = _first_ifd(payload)
+    return _decode_ifd(d, t)
+
+
+def decode_tiff_pages(payload: bytes) -> list:
+    """TIFF bytes → [(H, W, 3) uint8 RGB] for EVERY page (round 7 —
+    the multi-page sibling of GIF's frame explosion: each IFD in the
+    next-IFD chain decodes independently; pages may differ in size,
+    compression, and photometric). The chain walk carries the same
+    cycle guard as :func:`tiff_page_count`."""
+    d, e, t, nxt = _first_ifd(payload)
+    pages = [_decode_ifd(d, t)]
+    seen = set()
+    while nxt and nxt not in seen:
+        seen.add(nxt)
+        t, nxt = _ifd_entries(d, e, nxt)
+        pages.append(_decode_ifd(d, t))
+    return pages
+
+
+def _decode_ifd(d: bytes, t: dict) -> np.ndarray:
+    """One IFD's image → (H, W, 3) uint8 RGB."""
     if 322 in t or 323 in t or 324 in t:
         raise ValueError("tiled TIFF unsupported (strips only)")
     for req in (256, 257, 273, 279):  # review r6: KeyError is not the
@@ -363,7 +391,40 @@ def encode_tiff(
     rows_per_strip: int | None = None,
 ) -> bytes:
     """(H, W, 3) uint8 RGB (or (H, W) gray) → little-endian baseline
-    TIFF bytes; ``compression``: "none" or "packbits"."""
+    TIFF bytes; ``compression``: "none", "packbits" or "lzw"."""
+    return encode_tiff_pages([arr], compression, rows_per_strip)
+
+
+def encode_tiff_pages(
+    pages,
+    compression: str = "none",
+    rows_per_strip: int | None = None,
+) -> bytes:
+    """Multi-page little-endian TIFF: one IFD per image, chained via
+    the next-IFD pointer (round 7). Pages may differ in size and in
+    gray/RGB shape."""
+    if not pages:
+        raise ValueError("empty page list")
+    out = bytearray(struct.pack("<2sHI", b"II", 42, 0))
+    next_ptr_positions = []
+    for arr in pages:
+        section, ifd_off, next_pos = _encode_page(
+            arr, compression, rows_per_strip, base=len(out)
+        )
+        if next_ptr_positions:
+            # previous page's next-IFD pointer → this page's IFD
+            struct.pack_into("<I", out, next_ptr_positions[-1], ifd_off)
+        else:
+            struct.pack_into("<I", out, 4, ifd_off)  # header → IFD 1
+        out += section
+        next_ptr_positions.append(next_pos)
+    return bytes(out)
+
+
+def _encode_page(arr, compression, rows_per_strip, base):
+    """One page's section (strip data | extra values | IFD), laid out
+    at absolute offset ``base`` → (bytes, absolute IFD offset,
+    absolute position of the next-IFD pointer)."""
     a = np.asarray(arr, dtype=np.uint8)
     gray = a.ndim == 2
     if not gray and (a.ndim != 3 or a.shape[2] != 3):
@@ -386,17 +447,16 @@ def encode_tiff(
             raise ValueError(f"unsupported compression {compression!r}")
     comp_tag = {"none": 1, "lzw": 5, "packbits": 32773}[compression]
 
-    # layout: header(8) | strip data | extra value area | IFD
-    header = struct.pack("<2sHI", b"II", 42, 0)  # IFD offset patched
+    # section layout: strip data | extra value area | IFD
     data = bytearray()
     strip_offs = []
     for s in strips:
-        strip_offs.append(8 + len(data))
+        strip_offs.append(base + len(data))
         data += s
         if len(s) % 2:
             data += b"\x00"  # word-align next strip
     extra = bytearray()
-    extra_base = 8 + len(data)
+    extra_base = base + len(data)
 
     def _vals(typ_fmt, vals):
         """Return (packed inline value, or offset into extra)."""
@@ -430,8 +490,8 @@ def encode_tiff(
     ifd = (
         struct.pack("<H", len(entries))
         + b"".join(entries)
-        + struct.pack("<I", 0)
+        + struct.pack("<I", 0)  # next-IFD pointer (patched by caller)
     )
-    out = bytearray(header) + data + extra + ifd
-    struct.pack_into("<I", out, 4, ifd_off)
-    return bytes(out)
+    section = bytes(data) + bytes(extra) + ifd
+    next_pos = base + len(section) - 4
+    return section, ifd_off, next_pos

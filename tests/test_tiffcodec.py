@@ -215,3 +215,69 @@ def test_rejections_are_honest():
         decode_tiff(bytes(data))
     with pytest.raises(ValueError):
         decode_tiff(encode_tiff(img)[:30])  # truncated
+
+
+def test_multipage_roundtrip_every_compression():
+    """Round 7: decode_tiff_pages walks the next-IFD chain; pages may
+    differ in size and gray/RGB shape; decode_tiff still returns
+    page 1 byte-identically."""
+    from bergloom_spark.operators.tiffcodec import (
+        decode_tiff,
+        decode_tiff_pages,
+        encode_tiff_pages,
+        tiff_page_count,
+    )
+
+    rng = np.random.default_rng(2)
+    pages = [
+        rng.integers(0, 256, (5, 8, 3), dtype=np.uint8),
+        rng.integers(0, 256, (3, 4), dtype=np.uint8),  # gray page
+        rng.integers(0, 256, (9, 2, 3), dtype=np.uint8),
+    ]
+    want = [
+        pages[0],
+        np.repeat(pages[1][:, :, None], 3, axis=2),
+        pages[2],
+    ]
+    for comp in ("none", "packbits", "lzw"):
+        for rps in (None, 2):
+            pay = encode_tiff_pages(
+                pages, compression=comp, rows_per_strip=rps
+            )
+            assert tiff_page_count(pay) == 3
+            dec = decode_tiff_pages(pay)
+            assert len(dec) == 3
+            for got, exp in zip(dec, want):
+                assert (got == exp).all()
+            assert (decode_tiff(pay) == want[0]).all()
+
+
+def test_multipage_cycle_guard_and_contract():
+    """A next-IFD pointer looping back must terminate (same guard as
+    tiff_page_count), and malformed multi-page bytes stay inside the
+    decode-or-ValueError contract."""
+    import struct as _struct
+
+    from bergloom_spark.operators.tiffcodec import (
+        decode_tiff_pages,
+        encode_tiff_pages,
+    )
+
+    rng = np.random.default_rng(3)
+    pages = [
+        rng.integers(0, 256, (4, 4, 3), dtype=np.uint8)
+        for _ in range(2)
+    ]
+    pay = bytearray(encode_tiff_pages(pages))
+    # point the LAST page's next-IFD pointer back at the first IFD
+    (first_ifd,) = _struct.unpack_from("<I", pay, 4)
+    pay[-4:] = _struct.pack("<I", first_ifd)
+    dec = decode_tiff_pages(bytes(pay))
+    assert len(dec) >= 2  # terminated, no infinite loop
+    # truncations stay ValueError
+    good = bytes(encode_tiff_pages(pages, compression="lzw"))
+    for cut in range(0, len(good), 7):
+        try:
+            decode_tiff_pages(good[:cut])
+        except ValueError:
+            pass
