@@ -31,6 +31,7 @@ __all__ = [
     "decode_mjpeg_frames",
     "audio_features",
     "sample_video_frames",
+    "decode_media_frames",
     "mp3_meta",
     "make_mp3_stream",
 ]
@@ -272,17 +273,60 @@ def audio_features(
     return df.mapInPandas(kernel, schema)
 
 
+def decode_media_frames(payload: bytes) -> tuple:
+    """ANY multi-frame container → (width, height, [(H, W) int64 luma
+    planes]) — the uniform frame-explosion seam (round 7): Y4M yields
+    its real luma plane; MJPEG-AVI, animated GIF, and multi-page TIFF
+    decode to RGB and reduce to integer Rec.601 luma
+    ((77R + 150G + 29B) >> 8 — exact integer arithmetic, so oracles
+    can replay it). Unknown magic raises ValueError."""
+    d = payload
+    if d[:9] == b"YUV4MPEG2":
+        w, h, frames = decode_y4m_frames(d)
+        return w, h, [f.astype(np.int64) for f in frames]
+    if d[:4] == b"RIFF" and d[8:12] == b"AVI ":
+        rgb = decode_mjpeg_frames(d)
+    elif d[:6] in (b"GIF87a", b"GIF89a"):
+        from bergloom_spark.operators.gifcodec import decode_gif_frames
+
+        rgb = list(decode_gif_frames(d))
+    elif d[:2] in (b"II", b"MM"):
+        from bergloom_spark.operators.tiffcodec import decode_tiff_pages
+
+        rgb = decode_tiff_pages(d)
+    else:
+        raise ValueError(
+            f"unrecognized multi-frame magic {d[:4]!r}: Y4M, "
+            "MJPEG-AVI, animated GIF, and multi-page TIFF explode "
+            "to frames"
+        )
+    if not rgb:
+        raise ValueError("no frames decoded")
+    h, w = rgb[0].shape[:2]
+    lumas = []
+    for f in rgb:
+        a = f.astype(np.int64)
+        lumas.append(
+            (77 * a[:, :, 0] + 150 * a[:, :, 1] + 29 * a[:, :, 2]) >> 8
+        )
+    return w, h, lumas
+
+
 def sample_video_frames(
     df: DataFrame,
     payload_col: str = "payload",
     id_col: str = "doc_id",
     every_k: int = 2,
 ) -> DataFrame:
-    """Frame sampling from REAL Y4M decode: one output row per kept
-    frame (index 0, k, 2k, …) with the luma sum — the shape a
-    vision-model preprocessing pipeline needs (sampled frames fan out
-    of the video row; downstream ops treat each frame as an image
-    row). Map-only; the explode happens inside the Arrow batch."""
+    """Frame sampling from REAL decode of ANY multi-frame container
+    (Y4M / MJPEG-AVI / animated GIF / multi-page TIFF — round 7
+    unified the dispatch via :func:`decode_media_frames`): one output
+    row per kept frame (index 0, k, 2k, …) with the luma sum — the
+    shape a vision-model preprocessing pipeline needs (sampled frames
+    fan out of the video row; downstream ops treat each frame as an
+    image row). Map-only; the explode happens inside the Arrow
+    batch. Frame geometry may vary per frame for TIFF; the reported
+    width/height are frame 0's, each y_sum is its own frame's."""
     import pandas as pd
 
     schema = (
@@ -294,7 +338,7 @@ def sample_video_frames(
         for pdf in batches:
             rows = []
             for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
-                w, h, frames = decode_y4m_frames(bytes(payload))
+                w, h, frames = decode_media_frames(bytes(payload))
                 for idx in range(0, len(frames), every_k):
                     rows.append(
                         {
@@ -302,9 +346,7 @@ def sample_video_frames(
                             "frame_index": idx,
                             "width": w,
                             "height": h,
-                            "y_sum": int(
-                                frames[idx].astype(np.int64).sum()
-                            ),
+                            "y_sum": int(frames[idx].sum()),
                         }
                     )
             yield pd.DataFrame(rows)
