@@ -274,16 +274,16 @@ def audio_features(
 
 
 def decode_media_frames(payload: bytes) -> tuple:
-    """ANY multi-frame container → (width, height, [(H, W) int64 luma
+    """ANY multi-frame container → (width, height, [(H, W) uint8 luma
     planes]) — the uniform frame-explosion seam (round 7): Y4M yields
-    its real luma plane; MJPEG-AVI, animated GIF, and multi-page TIFF
-    decode to RGB and reduce to integer Rec.601 luma
-    ((77R + 150G + 29B) >> 8 — exact integer arithmetic, so oracles
-    can replay it). Unknown magic raises ValueError."""
+    its real luma plane (zero-copy); MJPEG-AVI, animated GIF, and
+    multi-page TIFF decode to RGB and reduce to integer Rec.601 luma
+    ((77R + 150G + 29B) >> 8 — exact integer arithmetic that fits
+    uint8, so oracles can replay it and a clip costs 1 byte/px, not 8
+    (review r7). Unknown magic raises ValueError."""
     d = payload
     if d[:9] == b"YUV4MPEG2":
-        w, h, frames = decode_y4m_frames(d)
-        return w, h, [f.astype(np.int64) for f in frames]
+        return decode_y4m_frames(d)
     if d[:4] == b"RIFF" and d[8:12] == b"AVI ":
         rgb = decode_mjpeg_frames(d)
     elif d[:6] in (b"GIF87a", b"GIF89a"):
@@ -307,7 +307,10 @@ def decode_media_frames(payload: bytes) -> tuple:
     for f in rgb:
         a = f.astype(np.int64)
         lumas.append(
-            (77 * a[:, :, 0] + 150 * a[:, :, 1] + 29 * a[:, :, 2]) >> 8
+            (
+                (77 * a[:, :, 0] + 150 * a[:, :, 1] + 29 * a[:, :, 2])
+                >> 8
+            ).astype(np.uint8)
         )
     return w, h, lumas
 
@@ -346,7 +349,9 @@ def sample_video_frames(
                             "frame_index": idx,
                             "width": w,
                             "height": h,
-                            "y_sum": int(frames[idx].sum()),
+                            "y_sum": int(
+                                frames[idx].astype(np.int64).sum()
+                            ),
                         }
                     )
             yield pd.DataFrame(rows)
@@ -469,6 +474,9 @@ def mp3_meta(payload: bytes) -> dict:
         if fr is None:
             break
         nbytes, samples, rate, kbps = fr
+        if pos + nbytes > len(d):
+            break  # truncated final frame: not a whole frame (r7 —
+            # the same rule the initial sync filter applies)
         if n_frames == 0 and _is_xing(d, pos, nbytes):
             pos += nbytes  # LAME Xing/Info header frame: not audio
             continue
@@ -495,13 +503,19 @@ def mp3_meta(payload: bytes) -> dict:
 
 def _is_xing(d: bytes, pos: int, nbytes: int) -> bool:
     """True when the frame at ``pos`` is a LAME Xing/Info VBR header
-    frame: the tag magic sits right after the Layer III side info
-    (32/17 bytes for MPEG1 stereo/mono, 17/9 for MPEG2/2.5)."""
-    frame = d[pos : pos + nbytes]
-    for off in (4 + 32, 4 + 17, 4 + 9):
-        if frame[off : off + 4] in (b"Xing", b"Info"):
-            return True
-    return False
+    frame. The tag magic sits at the ONE offset the header implies —
+    right after the Layer III side info (MPEG1: 32 bytes stereo / 17
+    mono; MPEG2/2.5: 17 / 9) — probing other offsets would misread
+    audio frames whose payload happens to contain the ASCII bytes
+    (review r7)."""
+    b1, b3 = d[pos + 1], d[pos + 3]
+    if 4 - ((b1 >> 1) & 0x3) != 3:
+        return False  # Xing tags exist only in Layer III frames
+    mpeg1 = ((b1 >> 3) & 0x3) == 3
+    mono = (b3 >> 6) == 3
+    side = (17 if mono else 32) if mpeg1 else (9 if mono else 17)
+    off = pos + 4 + side
+    return d[off : off + 4] in (b"Xing", b"Info")
 
 
 def make_mp3_stream(

@@ -180,50 +180,27 @@ _INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
 
 def encode_gif(arr: np.ndarray, interlace: bool = False) -> bytes:
     """(H, W, 3) uint8 RGB → single-frame GIF89a bytes. The palette
-    is the image's exact color set (≤ 256, else ValueError)."""
+    is the image's exact color set (≤ 256, else ValueError).
+    Delegates to :func:`encode_gif_frames` (review r7: the container
+    layout lived twice); a GCE-less single frame, so the byte layout
+    matches the classic single-frame form."""
     a = np.asarray(arr, dtype=np.uint8)
     if a.ndim != 3 or a.shape[2] != 3:
         raise ValueError(f"expected (H, W, 3), got {a.shape}")
     h, w, _ = a.shape
-    flat = a.reshape(-1, 3)
     palette, indices = np.unique(
-        flat, axis=0, return_inverse=True
+        a.reshape(-1, 3), axis=0, return_inverse=True
     )
     if len(palette) > 256:
         raise ValueError(
             f"{len(palette)} distinct colors: this roundtrip encoder "
             "does not quantize (max 256)"
         )
-    # packed field stores N with 2^(N+1) table entries; smallest N
-    # with 2^(N+1) >= len(palette)
-    n_field = 0
-    while (1 << (n_field + 1)) < len(palette):
-        n_field += 1
-    table = np.zeros((1 << (n_field + 1), 3), dtype=np.uint8)
-    table[: len(palette)] = palette
-    out = bytearray()
-    out += b"GIF89a"
-    out += struct.pack("<HHBBB", w, h, 0x80 | (0x7 << 4) | n_field, 0, 0)
-    out += table.tobytes()
-    ipacked = 0x40 if interlace else 0x00
-    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, ipacked)
-    idx2d = indices.reshape(h, w)
-    if interlace:
-        order = [
-            y
-            for start, step in _INTERLACE_PASSES
-            for y in range(start, h, step)
-        ]
-        idx2d = idx2d[order]
-    mcs = max(2, n_field + 1)
-    out.append(mcs)
-    lzw = _lzw_encode(idx2d.reshape(-1), mcs)
-    for i in range(0, len(lzw), 255):
-        chunk = lzw[i : i + 255]
-        out.append(len(chunk))
-        out += chunk
-    out += b"\x00\x3b"
-    return bytes(out)
+    return encode_gif_frames(
+        (w, h),
+        palette,
+        [(0, 0, indices.reshape(h, w), 0, None, interlace)],
+    )
 
 
 def _parse_frames(payload: bytes, first_only: bool):
@@ -355,8 +332,15 @@ def decode_gif_frames(payload: bytes) -> np.ndarray:
     frame's draw — what a player displays. Starts from a black
     canvas, same contract as :func:`decode_gif`."""
     (w, h), frames = _parse_frames(payload, first_only=False)
-    if w * h > 1 << 26:
-        raise ValueError(f"implausible GIF logical screen {w}x{h}")
+    # JOINT cap (review r7): the output is n_frames canvas COPIES, so
+    # a tiny payload declaring a big screen with many 1-px frames
+    # amplifies to gigabytes without it (the single-frame decoder's
+    # per-canvas cap alone does not bound the product).
+    if w * h * max(len(frames), 1) > 1 << 26:
+        raise ValueError(
+            f"implausible GIF animation: {len(frames)} frames on a "
+            f"{w}x{h} screen"
+        )
     canvas = np.zeros((h, w, 3), dtype=np.uint8)
     out = []
     for left, top, fw, fh, px, disposal, tmask in frames:
@@ -389,9 +373,11 @@ def encode_gif_frames(
 
     ``size``: (W, H) logical screen; ``palette``: (N ≤ 256, 3) uint8
     global color table; ``frames``: iterable of
-    ``(left, top, idx2d, disposal, transparent_index | None)`` — each
-    image block gets its own Graphic Control Extension carrying the
-    disposal method and transparency flag. Indices must be < N."""
+    ``(left, top, idx2d, disposal, transparent_index | None
+    [, interlace])`` — an image block gets a Graphic Control
+    Extension only when it needs one (disposal != 0 or transparency),
+    so a plain single frame encodes byte-identically to the classic
+    :func:`encode_gif` layout. Indices must be < N."""
     w, h = size
     pal = np.asarray(palette, dtype=np.uint8)
     if pal.ndim != 2 or pal.shape[1] != 3 or len(pal) > 256:
@@ -406,7 +392,9 @@ def encode_gif_frames(
     out += struct.pack("<HHBBB", w, h, 0x80 | (0x7 << 4) | n_field, 0, 0)
     out += table.tobytes()
     mcs = max(2, n_field + 1)
-    for left, top, idx2d, disposal, trans in frames:
+    for spec in frames:
+        left, top, idx2d, disposal, trans = spec[:5]
+        interlace = bool(spec[5]) if len(spec) > 5 else False
         idx = np.asarray(idx2d)
         fh, fw = idx.shape
         if top + fh > h or left + fw > w:
@@ -415,11 +403,23 @@ def encode_gif_frames(
             )
         if int(idx.max(initial=0)) >= len(table):
             raise ValueError("frame index out of color-table range")
-        gpk = ((disposal & 0x7) << 2) | (1 if trans is not None else 0)
-        out += b"\x21\xf9\x04" + bytes(
-            (gpk, 0, 0, trans if trans is not None else 0)
-        ) + b"\x00"
-        out += b"\x2c" + struct.pack("<HHHHB", left, top, fw, fh, 0)
+        if disposal or trans is not None:
+            gpk = ((disposal & 0x7) << 2) | (
+                1 if trans is not None else 0
+            )
+            out += b"\x21\xf9\x04" + bytes(
+                (gpk, 0, 0, trans if trans is not None else 0)
+            ) + b"\x00"
+        out += b"\x2c" + struct.pack(
+            "<HHHHB", left, top, fw, fh, 0x40 if interlace else 0
+        )
+        if interlace:
+            order = [
+                y
+                for start, step in _INTERLACE_PASSES
+                for y in range(start, fh, step)
+            ]
+            idx = idx[order]
         out.append(mcs)
         lzw = _lzw_encode(idx.reshape(-1), mcs)
         for i in range(0, len(lzw), 255):

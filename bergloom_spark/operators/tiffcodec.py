@@ -243,7 +243,7 @@ def _ifd_entries_unchecked(d: bytes, e: str, off: int):
     return tags, nxt
 
 
-def _first_ifd(payload: bytes) -> tuple[bytes, str, dict, int]:
+def _first_ifd(payload: bytes) -> tuple[bytes, str, dict, int, int]:
     d = payload
     if d[:2] == b"II":
         e = "<"
@@ -257,13 +257,15 @@ def _first_ifd(payload: bytes) -> tuple[bytes, str, dict, int]:
     if magic != 42:
         raise ValueError(f"bad TIFF magic {magic}")
     tags, nxt = _ifd_entries(d, e, off)
-    return d, e, tags, nxt
+    return d, e, tags, nxt, off
 
 
 def tiff_page_count(payload: bytes) -> int:
-    d, e, _, nxt = _first_ifd(payload)
+    d, e, _, nxt, off0 = _first_ifd(payload)
     n = 1
-    seen = set()
+    # seed with IFD0's own offset (review r7: a later next-pointer
+    # looping back to IFD0 counted page 0 twice)
+    seen = {off0}
     while nxt and nxt not in seen:
         seen.add(nxt)
         _, nxt = _ifd_entries(d, e, nxt)
@@ -273,7 +275,7 @@ def tiff_page_count(payload: bytes) -> int:
 
 def decode_tiff(payload: bytes) -> np.ndarray:
     """TIFF bytes → (H, W, 3) uint8 RGB of the FIRST page."""
-    d, e, t, _ = _first_ifd(payload)
+    d, e, t, _, _ = _first_ifd(payload)
     return _decode_ifd(d, t)
 
 
@@ -283,9 +285,9 @@ def decode_tiff_pages(payload: bytes) -> list:
     next-IFD chain decodes independently; pages may differ in size,
     compression, and photometric). The chain walk carries the same
     cycle guard as :func:`tiff_page_count`."""
-    d, e, t, nxt = _first_ifd(payload)
+    d, e, t, nxt, off0 = _first_ifd(payload)
     pages = [_decode_ifd(d, t)]
-    seen = set()
+    seen = {off0}
     while nxt and nxt not in seen:
         seen.add(nxt)
         t, nxt = _ifd_entries(d, e, nxt)

@@ -398,7 +398,12 @@ def _div_round_up(a: int, shift: int) -> int:
     return (a + (1 << shift) - 1) >> shift
 
 
-_MAX_PIXELS = 1 << 24  # 16M px decode guard (corrupt headers)
+# Decode guard: the format's own 14-bit dimensions cap at
+# 16384 × 16384 = 2^28 px, so admit exactly that (review r7: 1<<24
+# rejected legitimate 24 Mpx camera photos as "implausible"). The
+# guard still bounds SUB-image allocations driven by corrupt
+# transform/meta headers.
+_MAX_PIXELS = 1 << 28
 
 
 def _decode_image_stream(br: _BitReader, xsize: int, ysize: int, level0: bool):

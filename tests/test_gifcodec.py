@@ -264,3 +264,34 @@ def test_animation_frame_exceeding_screen_rejected():
     struct.pack_into("<HH", data, idesc + 1, 3, 3)  # left=top=3
     with pytest.raises(ValueError, match="exceeds"):
         decode_gif_frames(bytes(data))
+
+
+def test_animation_amplification_capped():
+    """Review r7: a tiny payload declaring a big screen with many
+    1-px frames must raise, not allocate n_frames x W x H canvases."""
+    from bergloom_spark.operators.gifcodec import (
+        decode_gif_frames,
+        encode_gif_frames,
+    )
+
+    pal = np.zeros((2, 3), np.uint8)
+    px = np.zeros((1, 1), int)
+    frames = [(0, 0, px, 1, None)] * 30
+    pay = encode_gif_frames((2000, 2000), pal, frames)
+    assert len(pay) < 2000  # the amplification shape: tiny payload
+    with pytest.raises(ValueError, match="implausible"):
+        decode_gif_frames(pay)
+
+
+def test_encode_gif_delegates_byte_identically():
+    """encode_gif now delegates to encode_gif_frames; a plain single
+    frame (no GCE) must keep the classic byte layout both plain and
+    interlaced."""
+    from bergloom_spark.operators.gifcodec import decode_gif, encode_gif
+
+    rng = np.random.RandomState(8)
+    img = (rng.randint(0, 4, (9, 7, 3)) * 60).astype(np.uint8)
+    for interlace in (False, True):
+        pay = encode_gif(img, interlace=interlace)
+        assert b"\x21\xf9" not in pay[:13]  # no GCE before the image
+        assert (decode_gif(pay) == img).all()

@@ -273,7 +273,9 @@ def test_multipage_cycle_guard_and_contract():
     (first_ifd,) = _struct.unpack_from("<I", pay, 4)
     pay[-4:] = _struct.pack("<I", first_ifd)
     dec = decode_tiff_pages(bytes(pay))
-    assert len(dec) >= 2  # terminated, no infinite loop
+    # review r7: the guard seeds IFD0's offset, so the loop-back
+    # terminates WITHOUT decoding page 0 twice
+    assert len(dec) == 2
     # truncations stay ValueError
     good = bytes(encode_tiff_pages(pages, compression="lzw"))
     for cut in range(0, len(good), 7):
