@@ -123,13 +123,29 @@ def _canonical_codes(lengths) -> dict:
     return codes
 
 
+# Bit-reversal table for the Huffman LUT fast path: the stream's next
+# 11 bits arrive LSB-first, but canonical codes compare MSB-first —
+# one table lookup reorders them.
+_LUT_BITS = 11
+_REV11 = np.zeros(1 << _LUT_BITS, dtype=np.int32)
+for _i in range(1 << _LUT_BITS):
+    _r = 0
+    for _b in range(_LUT_BITS):
+        _r |= ((_i >> _b) & 1) << (_LUT_BITS - 1 - _b)
+    _REV11[_i] = _r
+del _i, _r, _b
+
+
 class _HuffDecoder:
-    """Canonical Huffman decoder: first-code/count/offset per length,
-    O(code length) per symbol. A single-symbol code costs ZERO bits
-    (the spec's trivial-code case)."""
+    """Canonical Huffman decoder with an 11-bit one-shot LUT (review
+    r7 throughput pass): codes ≤ 11 bits (every code our encoder and
+    libwebp's typical output emit) decode with one table index
+    instead of a per-bit loop; longer codes fall back to the
+    first-code/count walk. A single-symbol code costs ZERO bits (the
+    spec's trivial-code case)."""
 
     __slots__ = ("single", "first_code", "first_idx", "counts",
-                 "symbols", "max_len")
+                 "symbols", "max_len", "lut_sym", "lut_len")
 
     def __init__(self, lengths):
         nz = [(ln, s) for s, ln in enumerate(lengths) if ln > 0]
@@ -162,10 +178,36 @@ class _HuffDecoder:
             self.first_idx[ln] = idx
             code = (code + self.counts[ln]) << 1
             idx += self.counts[ln]
+        # one-shot LUT over the next 11 stream bits: every prefix of
+        # a code with length L <= 11 maps to (symbol, L); prefixes of
+        # longer codes keep length 0 -> loop fallback
+        self.lut_sym = [0] * (1 << _LUT_BITS)
+        self.lut_len = [0] * (1 << _LUT_BITS)
+        for ln in range(1, min(self.max_len, _LUT_BITS) + 1):
+            c0 = self.first_code[ln]
+            for k in range(self.counts[ln]):
+                base = (c0 + k) << (_LUT_BITS - ln)
+                sym = self.symbols[self.first_idx[ln] + k]
+                for slot in range(base, base + (1 << (_LUT_BITS - ln))):
+                    self.lut_sym[slot] = sym
+                    self.lut_len[slot] = ln
 
     def decode(self, br: _BitReader) -> int:
         if self.single is not None:
             return self.single
+        # fast path: peek 11 bits (zero-padded past EOF), one lookup
+        while br.nbits < _LUT_BITS and br.pos < len(br.data):
+            br.acc |= br.data[br.pos] << br.nbits
+            br.pos += 1
+            br.nbits += 8
+        slot = int(_REV11[br.acc & 0x7FF])
+        ln = self.lut_len[slot]
+        if ln:
+            if ln > br.nbits:  # the padding zeros were load-bearing
+                raise ValueError("VP8L bitstream exhausted")
+            br.acc >>= ln
+            br.nbits -= ln
+            return self.lut_sym[slot]
         code = 0
         for ln in range(1, self.max_len + 1):
             code = (code << 1) | br.read_bit()
@@ -286,85 +328,134 @@ _DIST_MAP = _distance_map()
 _PREDICTOR, _CROSS_COLOR, _SUBTRACT_GREEN, _COLOR_INDEX = 0, 1, 2, 3
 
 
-def _avg2(a, b):
-    return tuple((x + y) >> 1 for x, y in zip(a, b))
+# SWAR constants: ARGB packed in one 32-bit int, per-byte arithmetic
+# without unpacking (review r7 throughput pass — the tuple-based
+# predictor loop was the decode hot spot).
+_M_LO = 0x00FF00FF
+_M_HI = 0xFF00FF00
 
 
-def _clip255(v: int) -> int:
-    return 0 if v < 0 else 255 if v > 255 else v
+def _add8(x: int, y: int) -> int:
+    """Per-byte addition mod 256 on packed ARGB."""
+    return (((x & _M_LO) + (y & _M_LO)) & _M_LO) | (
+        ((x & _M_HI) + (y & _M_HI)) & _M_HI
+    )
 
 
-def _predict(mode: int, L, T, TL, TR):
-    """ARGB 4-tuples in, predicted 4-tuple out (spec's 14 modes)."""
-    if mode == 0:
-        return (255, 0, 0, 0)
-    if mode == 1:
-        return L
-    if mode == 2:
-        return T
-    if mode == 3:
-        return TR
-    if mode == 4:
-        return TL
-    if mode == 5:
-        return _avg2(_avg2(L, TR), T)
-    if mode == 6:
-        return _avg2(L, TL)
-    if mode == 7:
-        return _avg2(L, T)
-    if mode == 8:
-        return _avg2(TL, T)
-    if mode == 9:
-        return _avg2(T, TR)
-    if mode == 10:
-        return _avg2(_avg2(L, TL), _avg2(T, TR))
-    if mode == 11:  # Select
-        p = tuple(l + t - tl for l, t, tl in zip(L, T, TL))
-        p_l = sum(abs(a - b) for a, b in zip(p, L))
-        p_t = sum(abs(a - b) for a, b in zip(p, T))
-        return L if p_l < p_t else T
-    if mode == 12:  # ClampAddSubtractFull
-        return tuple(
-            _clip255(l + t - tl) for l, t, tl in zip(L, T, TL)
-        )
-    if mode == 13:  # ClampAddSubtractHalf (C truncating /2)
-        a = _avg2(L, T)
-        return tuple(
-            _clip255(x + int((x - tl) / 2)) for x, tl in zip(a, TL)
-        )
-    raise ValueError(f"VP8L: predictor mode {mode} out of range")
+def _avg2(x: int, y: int) -> int:
+    """Per-byte (a + b) >> 1 on packed ARGB (carry-safe identity
+    (a & b) + ((a ^ b) >> 1), the xor masked so bits never cross a
+    byte lane)."""
+    return (x & y) + (((x ^ y) & 0xFEFEFEFE) >> 1)
+
+
+def _select(L: int, T: int, TL: int) -> int:
+    """Spec Select: p = L + T − TL per channel; pick whichever of
+    L/T is closer to p. |p − L| = |T − TL| and |p − T| = |L − TL|."""
+    pl = pt = 0
+    for sh in (24, 16, 8, 0):
+        t_tl = ((T >> sh) & 0xFF) - ((TL >> sh) & 0xFF)
+        l_tl = ((L >> sh) & 0xFF) - ((TL >> sh) & 0xFF)
+        pl += t_tl if t_tl >= 0 else -t_tl
+        pt += l_tl if l_tl >= 0 else -l_tl
+    return L if pl < pt else T
+
+
+def _cas_full(L: int, T: int, TL: int) -> int:
+    """ClampAddSubtractFull: clamp(L + T − TL) per channel."""
+    out = 0
+    for sh in (24, 16, 8, 0):
+        v = ((L >> sh) & 0xFF) + ((T >> sh) & 0xFF) - ((TL >> sh) & 0xFF)
+        out |= (0 if v < 0 else 255 if v > 255 else v) << sh
+    return out
+
+
+def _cas_half(L: int, T: int, TL: int) -> int:
+    """ClampAddSubtractHalf: a = Average2(L, T); clamp(a + (a−TL)/2)
+    per channel, with C's truncating division."""
+    out = 0
+    for sh in (24, 16, 8, 0):
+        a = (((L >> sh) & 0xFF) + ((T >> sh) & 0xFF)) >> 1
+        d = a - ((TL >> sh) & 0xFF)
+        v = a + (d // 2 if d >= 0 else -((-d) // 2))
+        out |= (0 if v < 0 else 255 if v > 255 else v) << sh
+    return out
 
 
 def _apply_inverse_predictor(img: np.ndarray, sub: np.ndarray, size_bits: int):
-    """img: (h, w, 4) uint8 residuals ARGB, modified in place."""
+    """img: (h, w, 4) uint8 residuals ARGB, modified in place. The
+    left-neighbor dependency makes this serial; rows are packed into
+    32-bit ints so the 14 predictor modes run as a handful of SWAR
+    int ops per pixel instead of per-channel tuple work."""
     h, w = img.shape[:2]
-    px = img.tolist()  # plain ints: the per-pixel loop is serial
+    p32 = img.astype(np.uint32)
+    rows = (
+        (p32[:, :, 0] << 24)
+        | (p32[:, :, 1] << 16)
+        | (p32[:, :, 2] << 8)
+        | p32[:, :, 3]
+    ).tolist()
+    modes = sub[:, :, 2].tolist()  # predictor id lives in GREEN
+    black = 0xFF000000
     for y in range(h):
-        row = px[y]
-        up = px[y - 1] if y else None
+        row = rows[y]
+        up = rows[y - 1] if y else None
+        mrow = modes[y >> size_bits]
         for x in range(w):
             if x == 0 and y == 0:
-                pred = (255, 0, 0, 0)
+                pred = black
             elif y == 0:
-                pred = tuple(row[x - 1])
+                pred = row[x - 1]
             elif x == 0:
-                pred = tuple(up[x])
+                pred = up[x]
             else:
-                # the predictor mode lives in the sub-image pixel's
-                # GREEN channel (ARGB index 2)
-                mode = int(sub[y >> size_bits, x >> size_bits, 2])
-                # rightmost column: TR = data[pos - w + 1] = the
-                # CURRENT row's leftmost (already reconstructed) —
-                # the spec's linear-array reading, no special case
-                tr = tuple(up[x + 1]) if x + 1 < w else tuple(row[0])
-                pred = _predict(
-                    mode, tuple(row[x - 1]), tuple(up[x]),
-                    tuple(up[x - 1]), tr,
-                )
-            cell = row[x]
-            for c in range(4):
-                cell[c] = (cell[c] + pred[c]) & 0xFF
-    img[:] = np.asarray(px, dtype=np.uint8)
+                mode = mrow[x >> size_bits]
+                L = row[x - 1]
+                T = up[x]
+                if mode == 1:
+                    pred = L
+                elif mode == 2:
+                    pred = T
+                elif mode == 7:
+                    pred = _avg2(L, T)
+                elif mode == 0:
+                    pred = black
+                else:
+                    # rightmost column: TR = data[pos − w + 1] = the
+                    # CURRENT row's leftmost (already reconstructed)
+                    # — the spec's linear-array reading
+                    TL = up[x - 1]
+                    TR = up[x + 1] if x + 1 < w else row[0]
+                    if mode == 3:
+                        pred = TR
+                    elif mode == 4:
+                        pred = TL
+                    elif mode == 5:
+                        pred = _avg2(_avg2(L, TR), T)
+                    elif mode == 6:
+                        pred = _avg2(L, TL)
+                    elif mode == 8:
+                        pred = _avg2(TL, T)
+                    elif mode == 9:
+                        pred = _avg2(T, TR)
+                    elif mode == 10:
+                        pred = _avg2(_avg2(L, TL), _avg2(T, TR))
+                    elif mode == 11:
+                        pred = _select(L, T, TL)
+                    elif mode == 12:
+                        pred = _cas_full(L, T, TL)
+                    elif mode == 13:
+                        pred = _cas_half(L, T, TL)
+                    else:
+                        raise ValueError(
+                            f"VP8L: predictor mode {mode} out of range"
+                        )
+            row[x] = _add8(row[x], pred)
+    packed = np.asarray(rows, dtype=np.uint32)
+    img[:, :, 0] = (packed >> 24) & 0xFF
+    img[:, :, 1] = (packed >> 16) & 0xFF
+    img[:, :, 2] = (packed >> 8) & 0xFF
+    img[:, :, 3] = packed & 0xFF
 
 
 def _apply_inverse_cross_color(img: np.ndarray, sub: np.ndarray, size_bits: int):
