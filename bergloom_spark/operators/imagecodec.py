@@ -29,6 +29,7 @@ __all__ = [
     "decode_ppm",
     "encode_bmp",
     "encode_ppm",
+    "image_meta",
     "resize_nearest",
 ]
 
@@ -168,3 +169,122 @@ def resize_nearest(arr: np.ndarray, width: int, height: int) -> np.ndarray:
     ys = (np.arange(height) * h) // height
     xs = (np.arange(width) * w) // width
     return a[ys][:, xs].copy()
+
+
+def image_meta(payload: bytes) -> dict:
+    """HEADER-ONLY metadata sniff (round 7): ``{format, width,
+    height}`` from the first few hundred bytes, NO pixel decode — the
+    corpus-triage pass that filters billions of images by size before
+    any decode compute is spent. Notably covers LOSSY WebP (VP8
+    keyframe dimensions) and extended WebP (VP8X canvas), whose full
+    pixel decode stays honestly gated — their dimensions don't.
+    Raises ValueError on unknown magic or malformed headers."""
+    try:
+        return _image_meta_unchecked(payload)
+    except (IndexError, struct.error) as exc:
+        raise ValueError(f"truncated image header: {exc}") from exc
+
+
+def _image_meta_unchecked(d: bytes) -> dict:
+    if d[:2] == b"P6":
+        # tokenise: three ints after the magic, '#' comments allowed
+        vals = []
+        i = 2
+        while len(vals) < 2 and i < min(len(d), 512):
+            c = d[i]
+            if c == 0x23:  # '#'
+                while i < len(d) and d[i] not in (10, 13):
+                    i += 1
+            elif 48 <= c <= 57:
+                j = i
+                while j < len(d) and 48 <= d[j] <= 57:
+                    j += 1
+                vals.append(int(d[i:j]))
+                i = j
+            else:
+                i += 1
+        if len(vals) < 2:
+            raise ValueError("P6 header missing dimensions")
+        return {"format": "ppm", "width": vals[0], "height": vals[1]}
+    if d[:2] == b"BM":
+        w, h = struct.unpack_from("<ii", d, 18)
+        return {"format": "bmp", "width": w, "height": abs(h)}
+    if d[:2] == b"\xff\xd8":
+        pos = 2
+        while pos + 4 <= len(d):
+            if d[pos] != 0xFF:
+                raise ValueError("bad JPEG marker stream")
+            marker = d[pos + 1]
+            if marker == 0xFF:
+                pos += 1
+                continue
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                pos += 2
+                continue
+            (ln,) = struct.unpack_from(">H", d, pos + 2)
+            if marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                          0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+                h, w = struct.unpack_from(">HH", d, pos + 5)
+                return {"format": "jpeg", "width": w, "height": h}
+            pos += 2 + ln
+        raise ValueError("JPEG stream has no SOF marker")
+    if d[:8] == b"\x89PNG\r\n\x1a\n":
+        if d[12:16] != b"IHDR":
+            raise ValueError("PNG first chunk is not IHDR")
+        w, h = struct.unpack_from(">II", d, 16)
+        return {"format": "png", "width": w, "height": h}
+    if d[:6] in (b"GIF87a", b"GIF89a"):
+        w, h = struct.unpack_from("<HH", d, 6)
+        return {"format": "gif", "width": w, "height": h}
+    if d[:2] in (b"II", b"MM"):
+        from bergloom_spark.operators.tiffcodec import _first_ifd
+
+        _, _, tags, _, _ = _first_ifd(d)
+        if 256 not in tags or 257 not in tags:
+            raise ValueError("TIFF IFD missing dimension tags")
+
+        def scalar(v):
+            if isinstance(v, list):
+                raise ValueError("TIFF dimension tag with many values")
+            return int(v)
+
+        return {
+            "format": "tiff",
+            "width": scalar(tags[256]),
+            "height": scalar(tags[257]),
+        }
+    if d[:4] == b"RIFF" and d[8:12] == b"WEBP":
+        pos = 12
+        while pos + 8 <= len(d):
+            fourcc = d[pos : pos + 4]
+            (size,) = struct.unpack_from("<I", d, pos + 4)
+            body = d[pos + 8 : pos + 8 + size]
+            if fourcc == b"VP8L" and len(body) >= 5:
+                if body[0] != 0x2F:
+                    raise ValueError("bad VP8L signature byte")
+                bits = int.from_bytes(body[1:5], "little")
+                return {
+                    "format": "webp-lossless",
+                    "width": (bits & 0x3FFF) + 1,
+                    "height": ((bits >> 14) & 0x3FFF) + 1,
+                }
+            if fourcc == b"VP8 " and len(body) >= 10:
+                # lossy keyframe: 3-byte frame tag, start code
+                # 9D 01 2A, then 14-bit width/height (u16le each)
+                if body[3:6] != b"\x9d\x01\x2a":
+                    raise ValueError("VP8 frame is not a keyframe")
+                w, h = struct.unpack_from("<HH", body, 6)
+                return {
+                    "format": "webp-lossy",
+                    "width": w & 0x3FFF,
+                    "height": h & 0x3FFF,
+                }
+            if fourcc == b"VP8X" and len(body) >= 10:
+                w = int.from_bytes(body[4:7], "little") + 1
+                h = int.from_bytes(body[7:10], "little") + 1
+                return {"format": "webp-extended", "width": w, "height": h}
+            pos += 8 + size + (size & 1)
+        raise ValueError("WebP container has no image chunk")
+    raise ValueError(
+        f"unrecognized image magic {d[:4]!r} for header sniff"
+    )

@@ -225,3 +225,77 @@ def test_jpeg_decodes_with_stripped_eoi():
     assert enc[-2:] == b"\xff\xd9"
     dec = JC.decode_jpeg_baseline(enc[:-2])
     assert np.abs(dec.astype(int) - img.astype(int)).max() <= 2
+
+
+def test_image_meta_header_sniff_every_format():
+    """Round 7: header-only dims for every dispatchable format plus
+    LOSSY and EXTENDED WebP (whose pixel decode stays gated — their
+    dimensions don't)."""
+    import struct
+
+    from bergloom_spark.operators.gifcodec import encode_gif
+    from bergloom_spark.operators.imagecodec import (
+        encode_bmp,
+        encode_ppm,
+        image_meta,
+    )
+    from bergloom_spark.operators.jpegcodec import encode_jpeg_baseline
+    from bergloom_spark.operators.jpegprogressive import (
+        encode_jpeg_progressive,
+    )
+    from bergloom_spark.operators.pngcodec import encode_png
+    from bergloom_spark.operators.tiffcodec import encode_tiff
+    from bergloom_spark.operators.webpcodec import encode_webp_lossless
+
+    img = (
+        np.arange(11 * 13 * 3, dtype=np.int64).reshape(11, 13, 3) % 251
+    ).astype(np.uint8)
+    cases = [
+        (encode_ppm(img), "ppm"),
+        (encode_bmp(img), "bmp"),
+        (encode_png(img), "png"),
+        (encode_gif(img // 32 * 32), "gif"),
+        (encode_tiff(img), "tiff"),
+        (encode_jpeg_baseline(img, 90), "jpeg"),
+        (encode_jpeg_progressive(img, 90), "jpeg"),
+        (encode_webp_lossless(img), "webp-lossless"),
+    ]
+    for pay, fmt in cases:
+        assert image_meta(pay) == {
+            "format": fmt, "width": 13, "height": 11,
+        }, fmt
+    # hand-built VP8X canvas header (extended WebP)
+    vp8x = (
+        b"RIFF" + (22).to_bytes(4, "little") + b"WEBP"
+        + b"VP8X" + (10).to_bytes(4, "little")
+        + bytes(4)
+        + (12).to_bytes(3, "little") + (10).to_bytes(3, "little")
+    )
+    assert image_meta(vp8x) == {
+        "format": "webp-extended", "width": 13, "height": 11,
+    }
+    # hand-built lossy VP8 keyframe header
+    tag = bytes(3) + b"\x9d\x01\x2a" + struct.pack("<HH", 13, 11)
+    vp8 = (
+        b"RIFF" + (4 + 8 + len(tag)).to_bytes(4, "little") + b"WEBP"
+        + b"VP8 " + len(tag).to_bytes(4, "little") + tag
+    )
+    assert image_meta(vp8) == {
+        "format": "webp-lossy", "width": 13, "height": 11,
+    }
+
+
+def test_image_meta_contract_on_garbage():
+    from bergloom_spark.operators.imagecodec import image_meta
+
+    rng = np.random.RandomState(9)
+    magics = [b"P6", b"BM", b"\xff\xd8", b"\x89PNG\r\n\x1a\n",
+              b"GIF89a", b"II", b"MM", b"RIFF\x10\x00\x00\x00WEBP"]
+    for t in range(400):
+        blob = bytes(rng.randint(0, 256, rng.randint(0, 80)).astype(np.uint8))
+        for pre in (b"", magics[t % len(magics)]):
+            try:
+                m = image_meta(pre + blob)
+                assert set(m) == {"format", "width", "height"}
+            except ValueError:
+                pass
