@@ -283,7 +283,10 @@ def decode_media_frames(payload: bytes) -> tuple:
     (review r7). Unknown magic raises ValueError."""
     d = payload
     if d[:9] == b"YUV4MPEG2":
-        return decode_y4m_frames(d)
+        w, h, frames = decode_y4m_frames(d)
+        if not frames:  # same contract as the RGB branches (r7)
+            raise ValueError("no frames decoded")
+        return w, h, frames
     if d[:4] == b"RIFF" and d[8:12] == b"AVI ":
         rgb = decode_mjpeg_frames(d)
     elif d[:6] in (b"GIF87a", b"GIF89a"):

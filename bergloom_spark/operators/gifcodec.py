@@ -177,6 +177,12 @@ def _lzw_decode(data: bytes, mcs: int, expected: int) -> np.ndarray:
 # --------------------------------------------------------------------------
 _INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
 
+# Absolute budget for a composited animation's decoded bytes (the
+# same shape as tiffcodec's page budget): ~620 VGA frames / a 25 s
+# 25 fps clip — generous for real corpora, refusing the multi-GB
+# crafted amplification payloads (review r7, 4th pass).
+_MAX_DECODED_BYTES = 1 << 29
+
 
 def encode_gif(arr: np.ndarray, interlace: bool = False) -> bytes:
     """(H, W, 3) uint8 RGB → single-frame GIF89a bytes. The palette
@@ -332,14 +338,18 @@ def decode_gif_frames(payload: bytes) -> np.ndarray:
     frame's draw — what a player displays. Starts from a black
     canvas, same contract as :func:`decode_gif`."""
     (w, h), frames = _parse_frames(payload, first_only=False)
-    # JOINT cap (review r7): the output is n_frames canvas COPIES, so
-    # a tiny payload declaring a big screen with many 1-px frames
-    # amplifies to gigabytes without it (the single-frame decoder's
-    # per-canvas cap alone does not bound the product).
-    if w * h * max(len(frames), 1) > 1 << 26:
+    # JOINT output bound (review r7, 4th pass): the output is
+    # n_frames canvas COPIES, so a tiny payload with many frames on a
+    # big screen amplifies enormously. The bound is an absolute
+    # decoded-bytes budget, NOT an amplification ratio — legitimate
+    # long animations amplify hugely too (a 20 s VGA GIF is ~600 MB
+    # decoded), so the budget admits those while refusing the
+    # multi-GB shapes only crafted payloads produce.
+    if 3 * w * h * max(len(frames), 1) > _MAX_DECODED_BYTES:
         raise ValueError(
-            f"implausible GIF animation: {len(frames)} frames on a "
-            f"{w}x{h} screen"
+            f"GIF animation too large to composite: {len(frames)} "
+            f"frames on a {w}x{h} screen exceeds the "
+            f"{_MAX_DECODED_BYTES >> 20} MiB decode budget"
         )
     canvas = np.zeros((h, w, 3), dtype=np.uint8)
     out = []

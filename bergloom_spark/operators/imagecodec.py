@@ -43,12 +43,11 @@ def encode_ppm(arr: np.ndarray) -> bytes:
     return f"P6\n{w} {h}\n255\n".encode("ascii") + a.tobytes()
 
 
-def decode_ppm(payload: bytes) -> np.ndarray:
-    """Binary P6 bytes → (H, W, 3) uint8 (handles ``#`` comments)."""
-    if payload[:2] != b"P6":
-        raise ValueError("not a P6 PPM payload")
-    # Tokenize the header byte-wise: three ints after the magic, with
-    # comment lines (# … \n) permitted anywhere whitespace is.
+def _ppm_header(payload: bytes) -> tuple[int, int, int, int]:
+    """(width, height, maxval, body offset) — the ONE P6 header
+    tokenizer (decode_ppm and image_meta share it, review r7: two
+    parsers for one header diverged on junk bytes). Three ints after
+    the magic, ``#`` comments permitted anywhere whitespace is."""
     pos, tokens = 2, []
     while len(tokens) < 3:
         while pos < len(payload) and payload[pos : pos + 1].isspace():
@@ -62,7 +61,14 @@ def decode_ppm(payload: bytes) -> np.ndarray:
             pos += 1
         tokens.append(int(payload[start:pos]))
     pos += 1  # exactly one whitespace byte after maxval
-    w, h, maxval = tokens
+    return tokens[0], tokens[1], tokens[2], pos
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Binary P6 bytes → (H, W, 3) uint8 (handles ``#`` comments)."""
+    if payload[:2] != b"P6":
+        raise ValueError("not a P6 PPM payload")
+    w, h, maxval, pos = _ppm_header(payload)
     if maxval > 255:
         raise ValueError(f"maxval {maxval} > 255 not supported")
     n = w * h * 3
@@ -187,26 +193,18 @@ def image_meta(payload: bytes) -> dict:
 
 def _image_meta_unchecked(d: bytes) -> dict:
     if d[:2] == b"P6":
-        # tokenise: three ints after the magic, '#' comments allowed
-        vals = []
-        i = 2
-        while len(vals) < 2 and i < min(len(d), 512):
-            c = d[i]
-            if c == 0x23:  # '#'
-                while i < len(d) and d[i] not in (10, 13):
-                    i += 1
-            elif 48 <= c <= 57:
-                j = i
-                while j < len(d) and 48 <= d[j] <= 57:
-                    j += 1
-                vals.append(int(d[i:j]))
-                i = j
-            else:
-                i += 1
-        if len(vals) < 2:
-            raise ValueError("P6 header missing dimensions")
-        return {"format": "ppm", "width": vals[0], "height": vals[1]}
+        try:
+            w, h, _, _ = _ppm_header(d)  # the decoder's own tokenizer
+        except ValueError as exc:
+            raise ValueError(f"bad P6 header: {exc}") from None
+        return {"format": "ppm", "width": w, "height": h}
     if d[:2] == b"BM":
+        # mirror decode_bmp's envelope: dims at 18 are only valid for
+        # BITMAPINFOHEADER-family DIBs (review r7: a BITMAPCOREHEADER
+        # would silently parse into garbage megapixel counts)
+        (dib_size,) = struct.unpack_from("<I", d, 14)
+        if dib_size < 40:
+            raise ValueError(f"unsupported DIB header size {dib_size}")
         w, h = struct.unpack_from("<ii", d, 18)
         return {"format": "bmp", "width": w, "height": abs(h)}
     if d[:2] == b"\xff\xd8":

@@ -214,6 +214,12 @@ def _lzw_encode_tiff(raw: bytes) -> bytes:
 # --------------------------------------------------------------------------
 # container
 # --------------------------------------------------------------------------
+# Absolute budget for a multi-page decode's output bytes (shared
+# shape with gifcodec's animation budget, review r7): chained IFDs
+# may legally alias one strip, so bytes-out is otherwise unbounded.
+_MAX_DECODED_BYTES = 1 << 29
+
+
 def _ifd_entries(d: bytes, e: str, off: int) -> tuple[dict, int]:
     """One IFD at ``off`` → ({tag: value-or-list}, next IFD offset)."""
     try:
@@ -287,11 +293,24 @@ def decode_tiff_pages(payload: bytes) -> list:
     cycle guard as :func:`tiff_page_count`."""
     d, e, t, nxt, off0 = _first_ifd(payload)
     pages = [_decode_ifd(d, t)]
+    total = pages[0].nbytes
     seen = {off0}
     while nxt and nxt not in seen:
         seen.add(nxt)
         t, nxt = _ifd_entries(d, e, nxt)
-        pages.append(_decode_ifd(d, t))
+        page = _decode_ifd(d, t)
+        total += page.nbytes
+        # absolute decoded-bytes budget (review r7, 4th pass): many
+        # IFDs may legally share ONE strip, so a KB-sized payload can
+        # otherwise explode to unbounded pages — same bound shape as
+        # gifcodec's animation budget
+        if total > _MAX_DECODED_BYTES:
+            raise ValueError(
+                f"multi-page TIFF too large to decode: past page "
+                f"{len(pages)} the output exceeds the "
+                f"{_MAX_DECODED_BYTES >> 20} MiB budget"
+            )
+        pages.append(page)
     return pages
 
 
@@ -408,18 +427,18 @@ def encode_tiff_pages(
     if not pages:
         raise ValueError("empty page list")
     out = bytearray(struct.pack("<2sHI", b"II", 42, 0))
-    next_ptr_positions = []
+    prev_next_pos = None
     for arr in pages:
         section, ifd_off, next_pos = _encode_page(
             arr, compression, rows_per_strip, base=len(out)
         )
-        if next_ptr_positions:
-            # previous page's next-IFD pointer → this page's IFD
-            struct.pack_into("<I", out, next_ptr_positions[-1], ifd_off)
-        else:
+        if prev_next_pos is None:
             struct.pack_into("<I", out, 4, ifd_off)  # header → IFD 1
+        else:
+            # previous page's next-IFD pointer → this page's IFD
+            struct.pack_into("<I", out, prev_next_pos, ifd_off)
         out += section
-        next_ptr_positions.append(next_pos)
+        prev_next_pos = next_pos
     return bytes(out)
 
 

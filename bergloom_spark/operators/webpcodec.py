@@ -127,13 +127,21 @@ def _canonical_codes(lengths) -> dict:
 # 11 bits arrive LSB-first, but canonical codes compare MSB-first —
 # one table lookup reorders them.
 _LUT_BITS = 11
-_REV11 = np.zeros(1 << _LUT_BITS, dtype=np.int32)
-for _i in range(1 << _LUT_BITS):
-    _r = 0
-    for _b in range(_LUT_BITS):
-        _r |= ((_i >> _b) & 1) << (_LUT_BITS - 1 - _b)
-    _REV11[_i] = _r
-del _i, _r, _b
+
+
+def _build_rev11() -> list:
+    out = []
+    for i in range(1 << _LUT_BITS):
+        r = 0
+        for b in range(_LUT_BITS):
+            r |= ((i >> b) & 1) << (_LUT_BITS - 1 - b)
+        out.append(r)
+    return out
+
+
+# plain list, NOT a numpy array: the per-symbol lookup is the hottest
+# line of the decoder, and a list index returns an unboxed int
+_REV11 = _build_rev11()
 
 
 class _HuffDecoder:
@@ -200,7 +208,7 @@ class _HuffDecoder:
             br.acc |= br.data[br.pos] << br.nbits
             br.pos += 1
             br.nbits += 8
-        slot = int(_REV11[br.acc & 0x7FF])
+        slot = _REV11[br.acc & 0x7FF]
         ln = self.lut_len[slot]
         if ln:
             if ln > br.nbits:  # the padding zeros were load-bearing
@@ -489,12 +497,13 @@ def _div_round_up(a: int, shift: int) -> int:
     return (a + (1 << shift) - 1) >> shift
 
 
-# Decode guard: the format's own 14-bit dimensions cap at
-# 16384 × 16384 = 2^28 px, so admit exactly that (review r7: 1<<24
-# rejected legitimate 24 Mpx camera photos as "implausible"). The
-# guard still bounds SUB-image allocations driven by corrupt
-# transform/meta headers.
-_MAX_PIXELS = 1 << 28
+# Decode guard (review r7, two passes): 1<<24 rejected legitimate
+# 24 Mpx camera photos; the format's own ceiling (2^28) would let a
+# few-KB crafted header drive a 268-Mpx serial-Python decode. 1<<26
+# (8192×8192) admits every real camera resolution incl. 50 Mpx while
+# bounding the worst-case pure-Python pixel loop to minutes, not
+# hours — the honest-cost envelope this decoder lives in.
+_MAX_PIXELS = 1 << 26
 
 
 def _decode_image_stream(br: _BitReader, xsize: int, ysize: int, level0: bool):

@@ -266,21 +266,33 @@ def test_animation_frame_exceeding_screen_rejected():
         decode_gif_frames(bytes(data))
 
 
-def test_animation_amplification_capped():
-    """Review r7: a tiny payload declaring a big screen with many
-    1-px frames must raise, not allocate n_frames x W x H canvases."""
+def test_animation_amplification_capped_but_long_gifs_decode():
+    """Review r7 (two passes): a tiny payload whose composited output
+    exceeds the absolute decode budget must raise — while a LEGIT
+    long animation (hundreds of delta frames on a VGA screen, the
+    optimized-GIF shape) stays inside it and decodes."""
     from bergloom_spark.operators.gifcodec import (
+        _MAX_DECODED_BYTES,
         decode_gif_frames,
         encode_gif_frames,
     )
 
     pal = np.zeros((2, 3), np.uint8)
     px = np.zeros((1, 1), int)
-    frames = [(0, 0, px, 1, None)] * 30
-    pay = encode_gif_frames((2000, 2000), pal, frames)
-    assert len(pay) < 2000  # the amplification shape: tiny payload
-    with pytest.raises(ValueError, match="implausible"):
+    over = _MAX_DECODED_BYTES // (3 * 2000 * 2000) + 1
+    pay = encode_gif_frames(
+        (2000, 2000), pal, [(0, 0, px, 1, None)] * over
+    )
+    assert len(pay) < 4000  # the amplification shape: tiny payload
+    with pytest.raises(ValueError, match="budget"):
         decode_gif_frames(pay)
+    # the pre-fix regression case: 219 one-pixel frames on 640x480
+    # (a ~9 s VGA animation) must decode — ~200 MB, inside budget
+    ok = encode_gif_frames(
+        (640, 480), pal, [(0, 0, px, 1, None)] * 219
+    )
+    dec = decode_gif_frames(ok)
+    assert dec.shape == (219, 480, 640, 3)
 
 
 def test_encode_gif_delegates_byte_identically():

@@ -283,3 +283,34 @@ def test_multipage_cycle_guard_and_contract():
             decode_tiff_pages(good[:cut])
         except ValueError:
             pass
+
+
+def test_multipage_decode_budget():
+    """Review r7 4th pass: chained IFDs may legally alias ONE strip,
+    so a KB-sized payload could otherwise decode to unbounded pages;
+    the absolute output budget refuses it."""
+    import struct as _struct
+
+    from bergloom_spark.operators.tiffcodec import (
+        _MAX_DECODED_BYTES,
+        decode_tiff_pages,
+        encode_tiff,
+        tiff_page_count,
+    )
+
+    img = np.zeros((1024, 1024, 3), dtype=np.uint8)  # LZW-tiny strip
+    one = bytearray(encode_tiff(img, compression="lzw"))
+    # duplicate the IFD (it sits at the end) enough times that the
+    # total decoded bytes exceed the budget, chaining next-pointers
+    (ifd0,) = _struct.unpack_from("<I", one, 4)
+    ifd_blob = bytes(one[ifd0:-4])  # entries without the next ptr
+    n_extra = _MAX_DECODED_BYTES // img.nbytes + 1
+    pay = bytearray(one)
+    for k in range(n_extra):
+        next_off = len(pay)
+        pay[-4:] = _struct.pack("<I", next_off)
+        pay += ifd_blob + _struct.pack("<I", 0)
+    assert tiff_page_count(bytes(pay)) == n_extra + 1
+    assert len(pay) < 200_000 + img.nbytes // 2  # amplification shape
+    with pytest.raises(ValueError, match="budget"):
+        decode_tiff_pages(bytes(pay))
