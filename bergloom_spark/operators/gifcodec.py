@@ -7,15 +7,20 @@ all implemented from the public specs (GIF87a/89a), no PIL.
 
 Coverage, stated honestly:
 - decode: GIF87a + GIF89a, global and local color tables, interlaced
-  images (the 4-pass row order), extension blocks skipped, full LZW
-  with clear-code resets and variable code widths up to 12 bits.
-  Animations: the FIRST frame is returned (frame disposal/composition
-  is an animation-player concern, not a corpus-decode one; the frame
-  count is exposed via :func:`gif_frame_count`). Transparency is
-  ignored (alpha dropped — same contract as the other codecs).
-- encode: single frame, exact palette built from the image's colors
-  (raises past 256 — this encoder exists for roundtrip oracles, not
-  for quantizing photos), optional interlace, standard LZW with
+  images (the 4-pass row order), full LZW with clear-code resets and
+  variable code widths up to 12 bits. Animations composite fully
+  (round 7): :func:`decode_gif_frames` honors the Graphic Control
+  Extension's transparency and disposal methods 1/2/3 per GIF89a §23
+  and emits one canvas snapshot per frame (bounded by an absolute
+  decode-bytes budget); :func:`decode_gif` returns the first frame,
+  :func:`gif_frame_count` counts structurally. Alpha is dropped
+  (same contract as the other codecs) — transparency only controls
+  which canvas pixels a frame leaves untouched.
+- encode: :func:`encode_gif_frames` writes multi-frame GIF89a with
+  per-frame GCEs (disposal/transparency/interlace);
+  :func:`encode_gif` is its single-frame wrapper. Exact palette from
+  the image's colors (raises past 256 — these encoders exist for
+  roundtrip oracles, not for quantizing photos), standard LZW with
   dictionary resets at 4096 codes.
 
 Executor-side kernel for Arrow-batched ``mapInPandas`` stages; LZW is
