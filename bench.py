@@ -180,6 +180,7 @@ def _calibration_anchor() -> dict | None:
                 doc = json.load(f)
         except Exception:
             continue
+        raw = doc if isinstance(doc, dict) else {}
         if isinstance(doc, dict):
             doc = doc.get("parsed", doc)
         if isinstance(doc, dict) and doc.get("cpu_calibration_sec"):
@@ -190,6 +191,25 @@ def _calibration_anchor() -> dict | None:
                     "cpu_calibration_parallel_sec"
                 ),
             }
+        # BENCH_r07 lesson (verdict r7 #1): the driver's finite tail
+        # buffer can cut the single giant JSON line mid-stream, leaving
+        # parsed=null — but the probe fields sit at the line's END and
+        # routinely survive in the raw "tail" text. Regex them out so a
+        # truncated record still anchors the cross-round clock.
+        tail = raw.get("tail")
+        if isinstance(tail, str):
+            m1 = re.search(r'"cpu_calibration_sec":\s*([\d.]+)', tail)
+            m2 = re.search(
+                r'"cpu_calibration_parallel_sec":\s*([\d.]+)', tail
+            )
+            if m1:
+                return {
+                    "file": os.path.basename(path),
+                    "cpu_calibration_sec": float(m1.group(1)),
+                    "cpu_calibration_parallel_sec": (
+                        float(m2.group(1)) if m2 else None
+                    ),
+                }
     return None
 
 
@@ -340,6 +360,43 @@ def main() -> None:
                 # chain): the contention-profile clock the single-
                 # thread probe cannot see.
                 "cpu_calibration_parallel_sec": calibration_parallel,
+                # Drift adjudication rule (verdict r7 #4), applied
+                # cross-round by whoever reads two BENCH files: a
+                # query's movement is EXPLAINED by a probe when its
+                # cross-round ratio is within ±5% of that probe's
+                # ratio. Uniform movement matching the PARALLEL ratio
+                # but not the single-thread one = host parallel
+                # capacity (the r6 episode); matching the single-
+                # thread ratio = host clock; matching neither while
+                # uniform across untouched queries = bisect the code.
+                "drift_decision_rule": (
+                    "explained-by-probe iff per-query ratio within "
+                    "±5% of the probe ratio; parallel-only → host "
+                    "parallel capacity; single-thread → host clock; "
+                    "neither & uniform → bisect"
+                ),
+            }
+        )
+    )
+    # Compact totals-only record as the VERY LAST stdout line (verdict
+    # r7 #1): the driver keeps a finite tail of stdout, and the full
+    # line above (24 best + 24 median entries + protocol prose) can be
+    # cut mid-line, losing the headline "value". This duplicate line
+    # is small enough to always survive the tail buffer; per-query
+    # timings live in the full line above.
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "sf": float(sf) if sf else None,
+                "total_median": round(sum(medians.values()), 3),
+                "r1_comparable_total": r1_total,
+                "cpu_calibration_sec": calibration,
+                "cpu_calibration_parallel_sec": calibration_parallel,
+                **normalized,
+                "compact_record": True,
             }
         )
     )
