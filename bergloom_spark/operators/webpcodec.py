@@ -769,6 +769,17 @@ def _decode_webp_frames_unchecked(
         raise ValueError("animated WebP without a valid VP8X chunk")
     cw = int.from_bytes(vp8x[4:7], "little") + 1
     ch = int.from_bytes(vp8x[7:10], "little") + 1
+    # The canvas itself must fit the per-image pixel guard BEFORE any
+    # allocation (advice r8: the budget below counts only the 3-byte
+    # output copies, but the RGBA canvas plus the flatten temporaries
+    # allocate ~6 bytes/pixel per snapshot — a KB-sized VP8X with a
+    # ~179M-pixel canvas and one 1x1 frame passed the output budget
+    # while transiently demanding GBs).
+    if cw * ch > _MAX_PIXELS:
+        raise ValueError(
+            f"WebP canvas {cw}x{ch} exceeds the {_MAX_PIXELS} pixel "
+            "decode guard"
+        )
     n_out = 1 if first_only else len(anmf)
     if 3 * cw * ch * n_out > _MAX_DECODED_BYTES:
         raise ValueError(
@@ -802,11 +813,13 @@ def _decode_webp_frames_unchecked(
         else:
             _blend_over(region, frame)
         # snapshot flattened over black: rgb·a/255 (exact for the
-        # binary alpha every oracle here uses; floor otherwise)
-        a = canvas[:, :, 3].astype(np.int64)
+        # binary alpha every oracle here uses; floor otherwise).
+        # uint16 keeps the flatten temporaries at 2 bytes/value —
+        # 255·255 fits — instead of int64's 8 (advice r8).
+        a = canvas[:, :, 3].astype(np.uint16)
         out.append(
             (
-                canvas[:, :, :3].astype(np.int64) * a[:, :, None] // 255
+                canvas[:, :, :3].astype(np.uint16) * a[:, :, None] // 255
             ).astype(np.uint8)
         )
         if dispose_bg:
@@ -931,14 +944,17 @@ def _run_length(flat: np.ndarray, start: int, max_len: int) -> int:
     return n
 
 
-def encode_webp_lossless(
+def _encode_vp8l_body(
     arr: np.ndarray,
     subtract_green: bool = True,
     use_backrefs: bool = True,
 ) -> bytes:
-    """(H, W, 3) uint8 RGB → lossless WebP (VP8L) bytes.
+    """(H, W, 3) RGB or (H, W, 4) RGBA uint8 → raw VP8L body bytes
+    (signature byte included, no RIFF framing). Shared by the still
+    encoder and the ANMF animation encoder.
 
-    Alpha is written as constant 255 via a zero-cost simple code.
+    Constant alpha (including the RGB case) costs zero bits/pixel via
+    a simple code; variable alpha goes through a flat 256×8-bit tree.
     Literals go through flat canonical Huffman codes (232×8-bit +
     48×9-bit green tree covering the 24 length symbols; 256×8-bit
     red/blue trees); runs of the previous pixel become LZ77
@@ -946,17 +962,26 @@ def encode_webp_lossless(
     any compliant decoder — libwebp included — just not size-optimal.
     """
     a = np.asarray(arr, dtype=np.uint8)
-    if a.ndim != 3 or a.shape[2] != 3:
-        raise ValueError(f"expected (H, W, 3), got {a.shape}")
-    h, w, _ = a.shape
+    if a.ndim != 3 or a.shape[2] not in (3, 4):
+        raise ValueError(f"expected (H, W, 3|4), got {a.shape}")
+    h, w, nch = a.shape
     if not (1 <= w <= 16384 and 1 <= h <= 16384):
         raise ValueError(f"VP8L size {w}x{h} out of the 14-bit range")
+    if nch == 4 and (a[:, :, 3] == a[0, 0, 3]).all():
+        # constant alpha: fold into the simple-code path below
+        const_alpha = int(a[0, 0, 3])
+        a = a[:, :, :3]
+        nch = 3
+    elif nch == 3:
+        const_alpha = 255
+    else:
+        const_alpha = None
     bw = _BitWriter()
     bw.write(w - 1, 14)
     bw.write(h - 1, 14)
-    bw.write(0, 1)  # no alpha
+    bw.write(0 if const_alpha == 255 else 1, 1)  # alpha-is-used hint
     bw.write(0, 3)  # version
-    px = a.reshape(-1, 3).astype(np.int64)
+    px = a.reshape(-1, nch).astype(np.int64)
     if subtract_green:
         bw.write(1, 1)
         bw.write(_SUBTRACT_GREEN, 2)
@@ -973,7 +998,11 @@ def encode_webp_lossless(
     green = _write_flat_code(bw, green_lengths)
     chan = _write_flat_code(bw, [8] * 256)  # red
     chan_b = _write_flat_code(bw, [8] * 256)  # blue
-    _write_simple_single(bw, 255)  # alpha: constant, zero bits/px
+    if nch == 4:
+        alpha_tree = _write_flat_code(bw, [8] * 256)
+    else:
+        alpha_tree = None
+        _write_simple_single(bw, const_alpha)  # zero bits/px
     # distance tree: single symbol = the prefix symbol whose range
     # covers distance_code 121 (linear dist 1, the previous pixel) —
     # zero bits per use, extra bits written inline per backref
@@ -994,16 +1023,103 @@ def encode_webp_lossless(
                 bw.write(dist_extra, dist_extra_n)
                 pos += run
                 continue
-        r, gch, b = (int(v) for v in px[pos])
+        vals = [int(v) for v in px[pos]]
+        r, gch, b = vals[0], vals[1], vals[2]
         c, ln = green[gch]
         bw.write_code(c, ln)
         c, ln = chan[r]
         bw.write_code(c, ln)
         c, ln = chan_b[b]
         bw.write_code(c, ln)
+        if alpha_tree is not None:
+            c, ln = alpha_tree[vals[3]]
+            bw.write_code(c, ln)
         pos += 1
-    body = b"\x2f" + bw.finish()
-    chunk = b"VP8L" + struct.pack("<I", len(body)) + body
+    return b"\x2f" + bw.finish()
+
+
+def _chunk(fourcc: bytes, body: bytes) -> bytes:
+    """RIFF chunk: fourcc + LE size + body + even-size pad byte."""
+    out = fourcc + struct.pack("<I", len(body)) + body
     if len(body) & 1:
-        chunk += b"\x00"
+        out += b"\x00"
+    return out
+
+
+def encode_webp_lossless(
+    arr: np.ndarray,
+    subtract_green: bool = True,
+    use_backrefs: bool = True,
+) -> bytes:
+    """(H, W, 3) uint8 RGB → lossless WebP (VP8L) bytes. See
+    :func:`_encode_vp8l_body` for the bitstream shape."""
+    body = _encode_vp8l_body(arr, subtract_green, use_backrefs)
+    chunk = _chunk(b"VP8L", body)
     return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+
+def encode_webp_frames(
+    canvas_size: tuple,
+    frames: list,
+    loop_count: int = 0,
+    duration_ms: int = 100,
+) -> bytes:
+    """Animated-WebP encoder (VP8X + ANIM + ANMF, each frame a
+    lossless VP8L sub-bitstream) for the roundtrip oracles and tests —
+    the encode twin of :func:`decode_webp_frames`.
+
+    ``canvas_size``: (width, height). ``frames``: list of
+    ``(fx, fy, arr, blend_none, dispose_bg)`` where ``arr`` is
+    (H, W, 3) RGB (opaque) or (H, W, 4) RGBA uint8, ``fx``/``fy`` are
+    the frame's canvas offset (MUST be even — ANMF stores offsets in
+    2-pixel units, the container spec's own constraint), ``blend_none``
+    selects blending method 1 (overwrite, alpha included) and
+    ``dispose_bg`` disposal method 1 (clear to transparent black after
+    display). Valid input for any compliant demuxer — libwebp
+    included — just not size-optimal."""
+    cw, ch = int(canvas_size[0]), int(canvas_size[1])
+    if not (1 <= cw <= 1 << 24 and 1 <= ch <= 1 << 24):
+        raise ValueError(f"VP8X canvas {cw}x{ch} out of 24-bit range")
+    if not frames:
+        raise ValueError("animated WebP needs at least one frame")
+    has_alpha = any(
+        np.asarray(f[2]).ndim == 3
+        and np.asarray(f[2]).shape[2] == 4
+        and (np.asarray(f[2])[:, :, 3] != 255).any()
+        for f in frames
+    )
+    flags = 0x02 | (0x10 if has_alpha else 0)  # ANIMATION (+ALPHA)
+    vp8x = (
+        bytes((flags, 0, 0, 0))
+        + (cw - 1).to_bytes(3, "little")
+        + (ch - 1).to_bytes(3, "little")
+    )
+    anim = struct.pack("<I", 0) + struct.pack("<H", loop_count & 0xFFFF)
+    chunks = _chunk(b"VP8X", vp8x) + _chunk(b"ANIM", anim)
+    for fx, fy, arr, blend_none, dispose_bg in frames:
+        a = np.asarray(arr, dtype=np.uint8)
+        fh, fw = a.shape[:2]
+        if fx % 2 or fy % 2 or fx < 0 or fy < 0:
+            raise ValueError(
+                f"ANMF offsets must be even and non-negative, got "
+                f"({fx},{fy})"
+            )
+        if fx + fw > cw or fy + fh > ch:
+            raise ValueError(
+                f"ANMF frame {fw}x{fh}@({fx},{fy}) exceeds the "
+                f"{cw}x{ch} canvas"
+            )
+        anmf_flags = (0x02 if blend_none else 0) | (
+            0x01 if dispose_bg else 0
+        )
+        hdr = (
+            (fx // 2).to_bytes(3, "little")
+            + (fy // 2).to_bytes(3, "little")
+            + (fw - 1).to_bytes(3, "little")
+            + (fh - 1).to_bytes(3, "little")
+            + int(duration_ms).to_bytes(3, "little")
+            + bytes((anmf_flags,))
+        )
+        anmf_body = hdr + _chunk(b"VP8L", _encode_vp8l_body(a))
+        chunks += _chunk(b"ANMF", anmf_body)
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WEBP" + chunks

@@ -229,3 +229,89 @@ def test_mp3_meta_review_r7_fixes():
 
     with _pytest.raises(ValueError, match="free-format"):
         make_mp3_stream([0])
+
+
+# ---------------------------------------------------------------------------
+# MP3 tail tags (round 9, verdict r8 #8) + FLAC STREAMINFO sniff (#7)
+# ---------------------------------------------------------------------------
+def test_mp3_meta_ignores_tail_tags():
+    from bergloom_spark.operators.avcodec import make_mp3_stream, mp3_meta
+
+    base = mp3_meta(make_mp3_stream([128, 64, 128], sample_rate=44100))
+    for tag in ("id3v1", "ape", "ape+id3v1"):
+        tagged = make_mp3_stream(
+            [128, 64, 128], sample_rate=44100, tail_tag=tag
+        )
+        assert mp3_meta(tagged) == base, tag
+
+
+def test_mp3_meta_truncated_final_frame_with_tail_tag():
+    # the advice-r8 scenario: stream cut mid-frame, then a 128-byte
+    # ID3v1 tag appended — the tag bytes must not be counted toward
+    # the final frame, so the truncated frame is dropped either way
+    from bergloom_spark.operators.avcodec import make_mp3_stream, mp3_meta
+
+    raw = make_mp3_stream([128] * 4, sample_rate=44100)
+    cut = raw[:-50]
+    m = mp3_meta(cut)
+    assert m["n_frames"] == 3
+    assert mp3_meta(cut + b"TAG" + bytes(125)) == m
+
+
+def test_flac_meta_roundtrip_fields():
+    from bergloom_spark.operators.avcodec import flac_meta, make_flac_stream
+
+    s = make_flac_stream(
+        48000, 2, 24, 480000, extra_blocks=3, audio_bytes=512
+    )
+    m = flac_meta(s)
+    assert m == {
+        "sample_rate": 48000,
+        "channels": 2,
+        "bits_per_sample": 24,
+        "total_samples": 480000,
+        "duration_ms": 10000,
+        "min_block_size": 4096,
+        "max_block_size": 4096,
+        "n_metadata_blocks": 4,
+    }
+    # unknown length: total_samples 0 → duration 0, not a guess
+    m0 = flac_meta(make_flac_stream(44100, 1, 16, 0))
+    assert m0["total_samples"] == 0 and m0["duration_ms"] == 0
+    # 36-bit boundary and odd rates floor-divide exactly
+    m1 = flac_meta(make_flac_stream(44100, 8, 32, 44100 * 7 + 22049))
+    assert m1["duration_ms"] == 7499
+
+
+def test_flac_meta_rejections():
+    import pytest
+
+    from bergloom_spark.operators.avcodec import flac_meta, make_flac_stream
+
+    with pytest.raises(ValueError, match="fLaC"):
+        flac_meta(b"OggS" + bytes(100))
+    with pytest.raises(ValueError, match="truncated"):
+        flac_meta(b"fLaC\x00")
+    good = make_flac_stream(44100, 2, 16, 1000)
+    with pytest.raises(ValueError, match="truncated"):
+        flac_meta(good[:-10])
+    # first block must be STREAMINFO
+    bad = bytearray(good)
+    bad[4] = 0x81  # type 1 (padding), last
+    with pytest.raises(ValueError, match="STREAMINFO"):
+        flac_meta(bytes(bad))
+    # zero sample rate is spec-invalid
+    packed_zero_rate = bytearray(good)
+    # rate occupies the top 20 bits of bytes 10..18 of the 34-byte body
+    for i in range(8 + 10, 8 + 13):
+        packed_zero_rate[i] &= 0x0F if i == 8 + 12 else 0x00
+    with pytest.raises(ValueError, match="sample rate"):
+        flac_meta(bytes(packed_zero_rate))
+
+
+def test_flac_meta_never_reads_audio_bytes():
+    from bergloom_spark.operators.avcodec import flac_meta, make_flac_stream
+
+    a = make_flac_stream(32000, 1, 16, 64000, audio_bytes=0)
+    b = make_flac_stream(32000, 1, 16, 64000, audio_bytes=4096)
+    assert flac_meta(a) == flac_meta(b)

@@ -156,3 +156,101 @@ def test_gif_frames_truncations_never_crash():
     payload = _animated_gif()
     for cut in range(len(payload)):
         _check_frames(payload[:cut])
+
+
+# ---- animated-WebP frame decode (round 9): same contract ------------
+def _animated_webp() -> bytes:
+    from bergloom_spark.operators.webpcodec import encode_webp_frames
+
+    rng = np.random.RandomState(99)
+    base = rng.randint(0, 256, (6, 8, 3)).astype(np.uint8)
+    patch = rng.randint(0, 256, (2, 2, 4)).astype(np.uint8)
+    patch[:, :, 3] = [[255, 0], [0, 255]]
+    return encode_webp_frames(
+        (8, 6),
+        [
+            (0, 0, base, True, False),
+            (2, 2, patch, False, True),
+            (4, 0, patch, True, False),
+        ],
+    )
+
+
+def _check_webp_frames(payload: bytes) -> None:
+    from bergloom_spark.operators.webpcodec import decode_webp_frames
+
+    try:
+        out = decode_webp_frames(payload)
+    except _OK_ERRORS:
+        return
+    for f in out:
+        assert f.dtype == np.uint8 and f.ndim == 3 and f.shape[2] == 3
+
+
+@given(data=st.binary(min_size=0, max_size=400))
+@settings(max_examples=120, deadline=None)
+def test_webp_frames_random_bytes_never_crash(data):
+    _check_webp_frames(b"RIFF\x20\x00\x00\x00WEBP" + data)
+
+
+@given(pos=st.integers(0, 10**6), val=st.integers(0, 255))
+@settings(max_examples=200, deadline=None)
+def test_webp_frames_point_mutations_never_crash(pos, val):
+    payload = bytearray(_animated_webp())
+    payload[pos % len(payload)] = val
+    _check_webp_frames(bytes(payload))
+
+
+def test_webp_frames_truncations_never_crash():
+    payload = _animated_webp()
+    for cut in range(len(payload)):
+        _check_webp_frames(payload[:cut])
+
+
+# ---- audio metadata sniffers (round 9): same contract ---------------
+def _check_flac(payload: bytes) -> None:
+    from bergloom_spark.operators.avcodec import flac_meta
+
+    try:
+        flac_meta(payload)
+    except ValueError:
+        return
+
+
+@given(data=st.binary(min_size=0, max_size=400))
+@settings(max_examples=120, deadline=None)
+def test_flac_meta_random_bytes_never_crash(data):
+    _check_flac(b"fLaC" + data)
+
+
+@given(pos=st.integers(0, 10**6), val=st.integers(0, 255))
+@settings(max_examples=150, deadline=None)
+def test_flac_meta_point_mutations_never_crash(pos, val):
+    from bergloom_spark.operators.avcodec import make_flac_stream
+
+    payload = bytearray(
+        make_flac_stream(44100, 2, 16, 88200, extra_blocks=2,
+                         audio_bytes=64)
+    )
+    payload[pos % len(payload)] = val
+    _check_flac(bytes(payload))
+
+
+def test_flac_meta_truncations_never_crash():
+    from bergloom_spark.operators.avcodec import make_flac_stream
+
+    payload = make_flac_stream(44100, 2, 16, 88200, extra_blocks=2)
+    for cut in range(len(payload)):
+        _check_flac(payload[:cut])
+
+
+@given(data=st.binary(min_size=0, max_size=300))
+@settings(max_examples=120, deadline=None)
+def test_mp3_meta_with_tail_bytes_never_crash(data):
+    from bergloom_spark.operators.avcodec import make_mp3_stream, mp3_meta
+
+    payload = make_mp3_stream([64, 128], sample_rate=22050) + data
+    try:
+        mp3_meta(payload)
+    except ValueError:
+        pass
