@@ -5071,6 +5071,197 @@ def q_gif_decode_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_webp_decode_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANIMATED-WebP frame explosion (round 9 — verdict r8 #4,
+    operators/webpcodec.py encode_webp_frames/decode_webp_frames):
+    the container-spec compositing semantics GIF cannot express —
+    per-frame ALPHA BLENDING vs overwrite, transparency HOLES punched
+    by blend-none frames, and dispose-to-transparent-background — all
+    exercised per doc. Frame 0 fills the canvas with the base recipe
+    (b0(y,x) = (doc_id·5 + y·7 + x·3) mod 256, channels (b0, 2b0,
+    7b0)); frames k=1.. are 2×2 RGBA patches at disjoint even column
+    bands with checkerboard alpha (0/255), alpha-BLENDED on odd k,
+    OVERWRITTEN (blend-none → transparent cells become holes) on even
+    k, and frame 2 disposes to background after display. A second
+    Arrow-batched stage decodes the animation and emits per frame the
+    flattened-canvas channel sums. VP8L is lossless and every alpha is
+    binary, so the oracle replays the composition arithmetic exactly:
+    paints persist (no GIF restore-to-previous here), so frame k =
+    base + Σ_{j≤k} paint-delta_j, minus frame 2's post-paint rect
+    (= its opaque patch sum) once k ≥ 3. A blend-formula, hole,
+    disposal, or offset-doubling bug breaks the hash."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as ST
+
+    from bergloom_spark.operators.webpcodec import (
+        decode_webp_frames,
+        encode_webp_frames,
+    )
+
+    d = TS(spark, sf_dir, "documents").select("doc_id")
+
+    def make_payloads(it):
+        for pdf in it:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                cw, ch = 8 + i % 6, 6 + (i * 2) % 6
+                n_frames = 2 + i % 3
+                ys = np.arange(ch).reshape(-1, 1)
+                xs = np.arange(cw).reshape(1, -1)
+                b0 = (i * 5 + ys * 7 + xs * 3) % 256
+                base = np.stack(
+                    [b0, (b0 * 2) % 256, (b0 * 7) % 256], axis=-1
+                ).astype(np.uint8)
+                frames = [(0, 0, base, True, False)]
+                for k in range(1, n_frames):
+                    dy = np.arange(2).reshape(-1, 1)
+                    dx = np.arange(2).reshape(1, -1)
+                    pv = (i * 11 + k * 13 + dy * 5 + dx * 2) % 255
+                    patch = np.stack(
+                        [pv, (pv * 2) % 256, (pv * 7) % 256,
+                         np.where((dy + dx) % 2 == 1, 0, 255)
+                         + np.zeros_like(pv)],
+                        axis=-1,
+                    ).astype(np.uint8)
+                    frames.append(
+                        (
+                            2 * (k - 1),                 # even, disjoint
+                            2 * ((i + k) % (ch // 2 - 1)),  # even row
+                            patch,
+                            k % 2 == 0,                  # blend-none
+                            k == 2,                      # dispose-bg
+                        )
+                    )
+                payloads.append(encode_webp_frames((cw, ch), frames))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    payload_schema = ST.StructType(
+        [
+            ST.StructField("doc_id", ST.LongType()),
+            ST.StructField("payload", ST.BinaryType()),
+        ]
+    )
+    out_schema = (
+        "doc_id long, frame_index long, decoded_width long, "
+        "decoded_height long, sum_r long, sum_g long, sum_b long"
+    )
+
+    def decode(it):
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                for fi, arr in enumerate(
+                    decode_webp_frames(bytes(payload))
+                ):
+                    a = arr.astype(np.int64)
+                    rows.append(
+                        (
+                            int(doc_id),
+                            fi,
+                            a.shape[1],
+                            a.shape[0],
+                            int(a[:, :, 0].sum()),
+                            int(a[:, :, 1].sum()),
+                            int(a[:, :, 2].sum()),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "frame_index", "decoded_width",
+                    "decoded_height", "sum_r", "sum_g", "sum_b",
+                ],
+            )
+
+    return d.mapInPandas(make_payloads, payload_schema).mapInPandas(
+        decode, out_schema
+    )
+
+
+def q_audio_meta_flac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAC corpus-triage metadata via the STREAMINFO metadata-chain
+    walk (round 9 — verdict r8 #7, operators/avcodec.py flac_meta):
+    per doc a spec-valid FLAC container is framed with
+    make_flac_stream — rate cycling nine common values, channel/depth
+    sweeps, every 11th doc an UNKNOWN length (total_samples = 0, the
+    spec's honest "don't guess" case), trailing PADDING blocks and
+    opaque audio bytes the sniffer must never touch — and a second
+    Arrow-batched stage reads only the metadata chain. The oracle
+    replays the framing arithmetic (duration = total·1000 // rate);
+    a bitfield-offset, block-walk, or duration bug breaks the hash."""
+    import pandas as pd
+    from pyspark.sql import types as ST
+
+    from bergloom_spark.operators.avcodec import flac_meta, make_flac_stream
+
+    d = TS(spark, sf_dir, "documents").select("doc_id")
+    rates = [8000, 16000, 22050, 24000, 32000, 44100, 48000, 88200, 96000]
+
+    def make_payloads(it):
+        for pdf in it:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                payloads.append(
+                    make_flac_stream(
+                        rates[i % 9],
+                        1 + i % 8,
+                        8 + (i % 3) * 8,
+                        0 if i % 11 == 0 else (i % 1000) * 1234 + i % 7,
+                        extra_blocks=i % 4,
+                        audio_bytes=i % 50,
+                    )
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    payload_schema = ST.StructType(
+        [
+            ST.StructField("doc_id", ST.LongType()),
+            ST.StructField("payload", ST.BinaryType()),
+        ]
+    )
+    out_schema = (
+        "doc_id long, sample_rate long, channels long, "
+        "bits_per_sample long, total_samples long, duration_ms long, "
+        "n_metadata_blocks long"
+    )
+
+    def sniff(it):
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                m = flac_meta(bytes(payload))
+                rows.append(
+                    (
+                        int(doc_id),
+                        m["sample_rate"],
+                        m["channels"],
+                        m["bits_per_sample"],
+                        m["total_samples"],
+                        m["duration_ms"],
+                        m["n_metadata_blocks"],
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "sample_rate", "channels",
+                    "bits_per_sample", "total_samples", "duration_ms",
+                    "n_metadata_blocks",
+                ],
+            )
+
+    return d.mapInPandas(make_payloads, payload_schema).mapInPandas(
+        sniff, out_schema
+    )
+
+
 def q_audio_meta_mp3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MP3 corpus-triage metadata via the frame-HEADER walk (round 8 —
     verdict r7 #1, operators/avcodec.py mp3_meta, validated in unit
@@ -5078,9 +5269,12 @@ def q_audio_meta_mp3(spark: SparkSession, sf_dir: str) -> DataFrame:
     framed with make_mp3_stream — sample rate cycling all nine
     MPEG1/2/2.5 rates, a leading ID3v2 tag every 4th doc (the syncsafe
     skip is on the hash path), CBR on doc_id%3==0 and a 64/128 kbps
-    VBR mix otherwise — then a second Arrow-batched stage walks the
-    headers and emits frame count, duration, mean bitrate, and VBR
-    flag. No PCM is decoded anywhere. The oracle replays the framing
+    VBR mix otherwise, and (round 9, verdict r8 #8) TRAILING tags —
+    APE+ID3v1 every 5th doc, bare ID3v1 every 7th — whose bytes must
+    be stripped before the walk or they skew the final frame — then a
+    second Arrow-batched stage walks the headers and emits frame
+    count, duration, mean bitrate, and VBR flag. No PCM is decoded
+    anywhere. The oracle replays the framing
     arithmetic (duration integrates per frame's own rate as
     samples·1e6//rate, floor-divided to ms at the end), so a bitrate-
     table, padding, version, or ID3-skip bug breaks the hash."""
@@ -5110,6 +5304,11 @@ def q_audio_meta_mp3(spark: SparkSession, sf_dir: str) -> DataFrame:
                         sample_rate=rates[i % 9],
                         layer=3,
                         id3_bytes=64 + i % 50 if i % 4 == 0 else 0,
+                        tail_tag=(
+                            "ape+id3v1" if i % 5 == 0
+                            else "id3v1" if i % 7 == 0
+                            else None
+                        ),
                     )
                 )
             yield pd.DataFrame(
@@ -5790,6 +5989,120 @@ _AUDIO_META_MP3_SQL = """
 
 # Header-sniff format cycle replayed as a CASE (round 8): all nine
 # formats share one dimension recipe, so only the format label varies.
+# Animated-WebP composition replayed arithmetically (round 9): paints
+# PERSIST (WebP has no GIF restore-to-previous), so frame k = base +
+# Σ_{j≤k} paint-delta_j; a paint delta replaces base with the patch at
+# opaque cells and (blend-none frames, even k) punches holes at
+# transparent cells; frame 2 disposes to background after display, so
+# k ≥ 3 additionally loses its post-paint rect — which after a
+# blend-none paint is exactly the opaque patch sum.
+_WEBP_DECODE_FRAMES_SQL = """
+    WITH dims AS (
+      SELECT doc_id,
+             (8 + doc_id % 6)::BIGINT AS decoded_width,
+             (6 + (doc_id * 2) % 6)::BIGINT AS decoded_height,
+             (2 + doc_id % 3)::BIGINT AS n_frames
+      FROM documents),
+    basepx AS (
+      SELECT doc_id,
+             (doc_id * 5 + y.range * 7 + x.range * 3) % 256 AS b0
+      FROM dims, range(0, 10) y, range(0, 14) x
+      WHERE y.range < decoded_height AND x.range < decoded_width),
+    base_sums AS (
+      SELECT doc_id, SUM(b0) AS br, SUM((b0 * 2) % 256) AS bg,
+             SUM((b0 * 7) % 256) AS bb
+      FROM basepx GROUP BY doc_id),
+    cells AS (
+      SELECT d.doc_id, k.range AS k,
+             2 * (k.range - 1) + dx.range AS px,
+             2 * ((d.doc_id + k.range) % (d.decoded_height // 2 - 1))
+               + dy.range AS py,
+             CASE WHEN (dy.range + dx.range) % 2 = 1 THEN NULL
+                  ELSE (d.doc_id * 11 + k.range * 13 + dy.range * 5
+                        + dx.range * 2) % 255 END AS pv
+      FROM dims d, range(1, 4) k, range(0, 2) dy, range(0, 2) dx
+      WHERE k.range < d.n_frames),
+    deltas AS (
+      SELECT doc_id, k,
+        SUM(CASE WHEN pv IS NOT NULL
+                 THEN pv - (doc_id * 5 + py * 7 + px * 3) % 256
+                 WHEN k % 2 = 0
+                 THEN -((doc_id * 5 + py * 7 + px * 3) % 256)
+                 ELSE 0 END) AS dr,
+        SUM(CASE WHEN pv IS NOT NULL
+                 THEN (pv * 2) % 256
+                      - ((doc_id * 5 + py * 7 + px * 3) % 256 * 2) % 256
+                 WHEN k % 2 = 0
+                 THEN -(((doc_id * 5 + py * 7 + px * 3) % 256 * 2) % 256)
+                 ELSE 0 END) AS dg,
+        SUM(CASE WHEN pv IS NOT NULL
+                 THEN (pv * 7) % 256
+                      - ((doc_id * 5 + py * 7 + px * 3) % 256 * 7) % 256
+                 WHEN k % 2 = 0
+                 THEN -(((doc_id * 5 + py * 7 + px * 3) % 256 * 7) % 256)
+                 ELSE 0 END) AS db,
+        SUM(CASE WHEN pv IS NOT NULL THEN pv ELSE 0 END) AS opq_r,
+        SUM(CASE WHEN pv IS NOT NULL THEN (pv * 2) % 256 ELSE 0 END)
+          AS opq_g,
+        SUM(CASE WHEN pv IS NOT NULL THEN (pv * 7) % 256 ELSE 0 END)
+          AS opq_b
+      FROM cells GROUP BY doc_id, k),
+    frames AS (
+      SELECT d.doc_id, f.range AS frame_index,
+             d.decoded_width, d.decoded_height
+      FROM dims d, range(0, 4) f WHERE f.range < d.n_frames),
+    cum AS (
+      SELECT f.doc_id, f.frame_index,
+             COALESCE(SUM(dk.dr), 0) AS cdr,
+             COALESCE(SUM(dk.dg), 0) AS cdg,
+             COALESCE(SUM(dk.db), 0) AS cdb
+      FROM frames f LEFT JOIN deltas dk
+        ON dk.doc_id = f.doc_id AND dk.k <= f.frame_index
+      GROUP BY f.doc_id, f.frame_index)
+    SELECT f.doc_id, f.frame_index, f.decoded_width, f.decoded_height,
+      (bs.br + c.cdr
+       - CASE WHEN f.frame_index >= 3 THEN d2.opq_r ELSE 0 END
+      )::BIGINT AS sum_r,
+      (bs.bg + c.cdg
+       - CASE WHEN f.frame_index >= 3 THEN d2.opq_g ELSE 0 END
+      )::BIGINT AS sum_g,
+      (bs.bb + c.cdb
+       - CASE WHEN f.frame_index >= 3 THEN d2.opq_b ELSE 0 END
+      )::BIGINT AS sum_b
+    FROM frames f
+    JOIN base_sums bs ON bs.doc_id = f.doc_id
+    JOIN cum c
+      ON c.doc_id = f.doc_id AND c.frame_index = f.frame_index
+    LEFT JOIN deltas d2 ON d2.doc_id = f.doc_id AND d2.k = 2
+"""
+
+
+# FLAC STREAMINFO framing replayed arithmetically (round 9): the
+# sniffer reads fixed big-endian bitfields, so every output is pure
+# integer arithmetic over the generator recipe.
+_AUDIO_META_FLAC_SQL = """
+    WITH cfg AS (
+      SELECT doc_id,
+             CASE doc_id % 9
+               WHEN 0 THEN 8000 WHEN 1 THEN 16000 WHEN 2 THEN 22050
+               WHEN 3 THEN 24000 WHEN 4 THEN 32000 WHEN 5 THEN 44100
+               WHEN 6 THEN 48000 WHEN 7 THEN 88200 ELSE 96000
+             END AS rate,
+             (1 + doc_id % 8)::BIGINT AS channels,
+             (8 + (doc_id % 3) * 8)::BIGINT AS bits_per_sample,
+             (CASE WHEN doc_id % 11 = 0 THEN 0
+                   ELSE (doc_id % 1000) * 1234 + doc_id % 7
+              END)::BIGINT AS total_samples,
+             (1 + doc_id % 4)::BIGINT AS n_metadata_blocks
+      FROM documents)
+    SELECT doc_id, rate::BIGINT AS sample_rate, channels,
+           bits_per_sample, total_samples,
+           (total_samples * 1000 // rate)::BIGINT AS duration_ms,
+           n_metadata_blocks
+    FROM cfg
+"""
+
+
 _IMAGE_META_SNIFF_SQL = """
     SELECT doc_id,
            CASE doc_id % 9
@@ -6490,6 +6803,8 @@ _EXT_ORACLES = {
     "audio_meta_mp3": _AUDIO_META_MP3_SQL,
     "image_meta_sniff": _IMAGE_META_SNIFF_SQL,
     "tiff_decode_pages": _TIFF_DECODE_PAGES_SQL,
+    "webp_decode_frames": _WEBP_DECODE_FRAMES_SQL,
+    "audio_meta_flac": _AUDIO_META_FLAC_SQL,
 }
 
 
@@ -6861,16 +7176,16 @@ def _driver_verified() -> set:
 # age within a few rounds — the r3 hand-list failure mode (silent
 # permanent staleness) is structurally gone.
 _CHANGED_THIS_ROUND = [
-    # round 7: EMPTY by design (verdict r6 #1): the 48 remaining
-    # r2/r3-era stale rows plus the 2 new registrations
-    # (gif_decode_frames, multimodal_decode_webp) fill the 50-row
-    # window exactly — any changed-entry would displace a stale row
-    # and leave the tail for another round. The round-7 code changes
-    # (PNG wavefront reconstruction, GIF GCE parsing, changelog
-    # budget gates) are pinned instead by (a) their unit/property/
-    # fuzz suites and (b) the NEW all-184 local oracle sweep gate
-    # (tools/driver_sim.py --all → SWEEP_r07.json) that re-verifies
-    # every registered query against DuckDB before handoff.
+    # round 9 (verdict r8 #1 budget: "39 + 3 recent-changes slack
+    # < 50"): 2 new registrations (webp_decode_frames,
+    # audio_meta_flac) + the 2 entries below + the 39 r5-era stale
+    # rows = 43 ≤ 50, so 7 r6-era rows also refresh and the rotation
+    # program completes — after r9 no row's latest green predates r6.
+    "audio_meta_mp3",  # generator now appends ID3v1/APE tail tags;
+    #                    mp3_meta strips them (avcodec.py r9)
+    "multimodal_decode_webp",  # decode_webp now routes through the
+    #                            hardened animation compositor (pixel
+    #                            guard before alloc, uint16 flatten)
 ]
 
 
@@ -6930,6 +7245,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_decode_mjpeg": q_video_decode_mjpeg,
         "gif_decode_frames": q_gif_decode_frames,
         "multimodal_decode_webp": q_multimodal_decode_webp,
+        "webp_decode_frames": q_webp_decode_frames,
+        "audio_meta_flac": q_audio_meta_flac,
         "audio_meta_mp3": q_audio_meta_mp3,
         "image_meta_sniff": q_image_meta_sniff,
         "tiff_decode_pages": q_tiff_decode_pages,

@@ -61,6 +61,12 @@ HEAVY = [
     # r6 #2): how much a delete-heavy backfill slows once the 256 MB
     # READ/SHIP budgets run out and the tail path-ships.
     "changelog_budget_exceeded",
+    # round-9: the frame-explosion media path (verdict r8 #5) —
+    # animated-GIF build+decode+composite per doc, the only SCALING
+    # claim that was asserted rather than measured ("map-only,
+    # exponent ≈ data growth"). gif_decode_frames is the heaviest
+    # media row (LZW decode + GCE composition per frame).
+    "gif_decode_frames",
 ]
 
 SF01 = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
