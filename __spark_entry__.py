@@ -5121,8 +5121,7 @@ def q_webp_decode_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
                     pv = (i * 11 + k * 13 + dy * 5 + dx * 2) % 255
                     patch = np.stack(
                         [pv, (pv * 2) % 256, (pv * 7) % 256,
-                         np.where((dy + dx) % 2 == 1, 0, 255)
-                         + np.zeros_like(pv)],
+                         np.where((dy + dx) % 2 == 1, 0, 255)],
                         axis=-1,
                     ).astype(np.uint8)
                     frames.append(
@@ -5254,6 +5253,176 @@ def q_audio_meta_flac(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "doc_id", "sample_rate", "channels",
                     "bits_per_sample", "total_samples", "duration_ms",
                     "n_metadata_blocks",
+                ],
+            )
+
+    return d.mapInPandas(make_payloads, payload_schema).mapInPandas(
+        sniff, out_schema
+    )
+
+
+def q_audio_meta_ogg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ogg-Vorbis corpus-triage metadata (round 9 —
+    operators/oggvorbis.py ogg_vorbis_meta): per doc a spec-valid Ogg
+    container is framed with make_ogg_vorbis_stream — rate/channel
+    sweeps, 1–4 audio pages of opaque bytes the sniffer never decodes,
+    real page CRCs — and a second Arrow-batched stage reads the
+    CRC-verified id header plus the EOS page's granule position (the
+    Vorbis I total-sample contract). The oracle replays the framing
+    arithmetic; a bitfield-offset, page-walk, granule, or CRC bug
+    breaks the hash."""
+    import pandas as pd
+    from pyspark.sql import types as ST
+
+    from bergloom_spark.operators.oggvorbis import (
+        make_ogg_vorbis_stream,
+        ogg_vorbis_meta,
+    )
+
+    d = TS(spark, sf_dir, "documents").select("doc_id")
+    rates = [8000, 16000, 22050, 44100, 48000, 96000]
+
+    def make_payloads(it):
+        for pdf in it:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                payloads.append(
+                    make_ogg_vorbis_stream(
+                        rates[i % 6],
+                        1 + i % 8,
+                        (i % 500) * 4410 + i % 13,
+                        nominal_bitrate=64000 + (i % 4) * 32000,
+                        n_audio_pages=1 + i % 4,
+                        audio_bytes_per_page=32 + i % 64,
+                    )
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    payload_schema = ST.StructType(
+        [
+            ST.StructField("doc_id", ST.LongType()),
+            ST.StructField("payload", ST.BinaryType()),
+        ]
+    )
+    out_schema = (
+        "doc_id long, sample_rate long, channels long, total_samples "
+        "long, duration_ms long, nominal_bitrate long, n_pages long"
+    )
+
+    def sniff(it):
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                m = ogg_vorbis_meta(bytes(payload))
+                rows.append(
+                    (
+                        int(doc_id),
+                        m["sample_rate"],
+                        m["channels"],
+                        m["total_samples"],
+                        m["duration_ms"],
+                        m["nominal_bitrate"],
+                        m["n_pages"],
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "sample_rate", "channels",
+                    "total_samples", "duration_ms", "nominal_bitrate",
+                    "n_pages",
+                ],
+            )
+
+    return d.mapInPandas(make_payloads, payload_schema).mapInPandas(
+        sniff, out_schema
+    )
+
+
+def q_video_meta_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HEADER-ONLY video metadata sniff (round 9 —
+    operators/avcodec.py video_meta): the video half of the triage
+    battery — geometry, frame count, and duration BEFORE any frame
+    decode is spent. Even docs build MJPEG-AVI containers (sniffed
+    from the avih main header, the movi list never entered), odd docs
+    Y4M streams (header fields + size-declared frame stepping). The
+    oracle replays the container cycle and timing arithmetic
+    (AVI: n·(10⁶//fps)//1000 ms, Y4M: n·1000//fps ms — the containers'
+    own integer semantics, deliberately not unified)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as ST
+
+    from bergloom_spark.operators.avcodec import (
+        encode_mjpeg_avi,
+        encode_y4m,
+        video_meta,
+    )
+
+    d = TS(spark, sf_dir, "documents").select("doc_id")
+
+    def make_payloads(it):
+        for pdf in it:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                if i % 2 == 0:
+                    fps = (10, 25, 30)[i % 3]
+                    n = 2 + i % 3
+                    payloads.append(
+                        encode_mjpeg_avi(
+                            [np.zeros((6, 8, 3), np.uint8)] * n,
+                            fps=fps,
+                        )
+                    )
+                else:
+                    fps = (24, 25, 30, 50)[i % 4]
+                    n = 1 + i % 5
+                    w, h = 6 + (i % 3) * 2, 4 + (i % 2) * 2
+                    payloads.append(
+                        encode_y4m(
+                            np.zeros((n, h, w), np.uint8), fps=fps
+                        )
+                    )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    payload_schema = ST.StructType(
+        [
+            ST.StructField("doc_id", ST.LongType()),
+            ST.StructField("payload", ST.BinaryType()),
+        ]
+    )
+    out_schema = (
+        "doc_id long, container string, width long, height long, "
+        "n_frames long, usec_per_frame long, duration_ms long"
+    )
+
+    def sniff(it):
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                m = video_meta(bytes(payload))
+                rows.append(
+                    (
+                        int(doc_id),
+                        m["container"],
+                        m["width"],
+                        m["height"],
+                        m["n_frames"],
+                        m["usec_per_frame"],
+                        m["duration_ms"],
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "container", "width", "height",
+                    "n_frames", "usec_per_frame", "duration_ms",
                 ],
             )
 
@@ -6077,6 +6246,61 @@ _WEBP_DECODE_FRAMES_SQL = """
 """
 
 
+# Ogg-Vorbis framing replayed arithmetically (round 9): id-header
+# fields and the EOS granule are generator inputs, so every output is
+# integer arithmetic; n_pages = audio pages + the BOS header page.
+_AUDIO_META_OGG_SQL = """
+    SELECT doc_id,
+           (CASE doc_id % 6
+              WHEN 0 THEN 8000 WHEN 1 THEN 16000 WHEN 2 THEN 22050
+              WHEN 3 THEN 44100 WHEN 4 THEN 48000 ELSE 96000
+            END)::BIGINT AS sample_rate,
+           (1 + doc_id % 8)::BIGINT AS channels,
+           ((doc_id % 500) * 4410 + doc_id % 13)::BIGINT
+             AS total_samples,
+           (((doc_id % 500) * 4410 + doc_id % 13) * 1000
+            // (CASE doc_id % 6
+                  WHEN 0 THEN 8000 WHEN 1 THEN 16000 WHEN 2 THEN 22050
+                  WHEN 3 THEN 44100 WHEN 4 THEN 48000 ELSE 96000
+                END))::BIGINT AS duration_ms,
+           (64000 + (doc_id % 4) * 32000)::BIGINT AS nominal_bitrate,
+           (2 + doc_id % 4)::BIGINT AS n_pages
+    FROM documents
+"""
+
+
+# Video-container timing replayed arithmetically (round 9): each
+# container keeps its OWN integer duration semantics — AVI stores
+# usec-per-frame (10^6 // fps, floored once), Y4M stores the F rate
+# fraction (duration floored once at the end).
+_VIDEO_META_SNIFF_SQL = """
+    WITH cfg AS (
+      SELECT doc_id,
+        CASE WHEN doc_id % 2 = 0 THEN 'avi' ELSE 'y4m' END AS container,
+        CASE WHEN doc_id % 2 = 0
+             THEN CASE doc_id % 3 WHEN 0 THEN 10 WHEN 1 THEN 25
+                  ELSE 30 END
+             ELSE CASE doc_id % 4 WHEN 0 THEN 24 WHEN 1 THEN 25
+                  WHEN 2 THEN 30 ELSE 50 END
+        END AS fps,
+        CASE WHEN doc_id % 2 = 0 THEN 2 + doc_id % 3
+             ELSE 1 + doc_id % 5 END AS n_frames,
+        CASE WHEN doc_id % 2 = 0 THEN 8
+             ELSE 6 + (doc_id % 3) * 2 END AS width,
+        CASE WHEN doc_id % 2 = 0 THEN 6
+             ELSE 4 + (doc_id % 2) * 2 END AS height
+      FROM documents)
+    SELECT doc_id, container, width::BIGINT AS width,
+           height::BIGINT AS height, n_frames::BIGINT AS n_frames,
+           (1000000 // fps)::BIGINT AS usec_per_frame,
+           (CASE WHEN container = 'avi'
+                 THEN n_frames * (1000000 // fps) // 1000
+                 ELSE n_frames * 1000 // fps
+            END)::BIGINT AS duration_ms
+    FROM cfg
+"""
+
+
 # FLAC STREAMINFO framing replayed arithmetically (round 9): the
 # sniffer reads fixed big-endian bitfields, so every output is pure
 # integer arithmetic over the generator recipe.
@@ -6805,6 +7029,8 @@ _EXT_ORACLES = {
     "tiff_decode_pages": _TIFF_DECODE_PAGES_SQL,
     "webp_decode_frames": _WEBP_DECODE_FRAMES_SQL,
     "audio_meta_flac": _AUDIO_META_FLAC_SQL,
+    "audio_meta_ogg": _AUDIO_META_OGG_SQL,
+    "video_meta_sniff": _VIDEO_META_SNIFF_SQL,
 }
 
 
@@ -7177,10 +7403,11 @@ def _driver_verified() -> set:
 # permanent staleness) is structurally gone.
 _CHANGED_THIS_ROUND = [
     # round 9 (verdict r8 #1 budget: "39 + 3 recent-changes slack
-    # < 50"): 2 new registrations (webp_decode_frames,
-    # audio_meta_flac) + the 2 entries below + the 39 r5-era stale
-    # rows = 43 ≤ 50, so 7 r6-era rows also refresh and the rotation
-    # program completes — after r9 no row's latest green predates r6.
+    # < 50"): 4 new registrations (webp_decode_frames,
+    # audio_meta_flac, audio_meta_ogg, video_meta_sniff) + the 2
+    # entries below + the 39 r5-era stale rows = 45 ≤ 50, so 5 r6-era
+    # rows also refresh and the rotation program completes — after r9
+    # no row's latest green predates r6.
     "audio_meta_mp3",  # generator now appends ID3v1/APE tail tags;
     #                    mp3_meta strips them (avcodec.py r9)
     "multimodal_decode_webp",  # decode_webp now routes through the
@@ -7247,6 +7474,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode_webp": q_multimodal_decode_webp,
         "webp_decode_frames": q_webp_decode_frames,
         "audio_meta_flac": q_audio_meta_flac,
+        "audio_meta_ogg": q_audio_meta_ogg,
+        "video_meta_sniff": q_video_meta_sniff,
         "audio_meta_mp3": q_audio_meta_mp3,
         "image_meta_sniff": q_image_meta_sniff,
         "tiff_decode_pages": q_tiff_decode_pages,

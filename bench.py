@@ -274,12 +274,16 @@ def main() -> None:
                     queries[name](spark, warmup_dir).write.format(
                         "noop"
                     ).mode("overwrite").save()
+        # key names deliberately differ from the top-level probe keys:
+        # _calibration_anchor()'s truncated-tail recovery regexes the
+        # raw tail for '"cpu_calibration_sec"', and the tail keeps the
+        # END of the line — where this block sits. Identical nested
+        # names would let a phase probe (sampled with the JVM live)
+        # masquerade as the pre-Spark anchor (review r9).
         phase_probes.append(
             {
-                "cpu_calibration_sec": _cpu_calibration(),
-                "cpu_calibration_parallel_sec": (
-                    _cpu_calibration_parallel()
-                ),
+                "single_thread_sec": _cpu_calibration(),
+                "parallel_sec": _cpu_calibration_parallel(),
             }
         )
         for _ in range(passes):

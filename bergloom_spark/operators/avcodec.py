@@ -36,6 +36,7 @@ __all__ = [
     "make_mp3_stream",
     "flac_meta",
     "make_flac_stream",
+    "video_meta",
 ]
 
 
@@ -105,7 +106,11 @@ def decode_y4m_frames(payload: bytes) -> tuple[int, int, list[np.ndarray]]:
     """(width, height, [luma planes]) from Y4M bytes — a sequential
     frame walk honoring per-frame parameter strings."""
     nl = payload.index(b"\n")
-    header = payload[:nl].decode()
+    try:
+        header = payload[:nl].decode()
+    except UnicodeDecodeError as exc:
+        # corpus contract: any bytes → decode or ValueError (r9)
+        raise ValueError(f"non-ASCII Y4M header: {exc}") from exc
     if not header.startswith("YUV4MPEG2"):
         raise ValueError("not a YUV4MPEG2 payload")
     w = h = None
@@ -654,6 +659,11 @@ def flac_meta(payload: bytes) -> dict:
         hdr = d[pos]
         last = bool(hdr & 0x80)
         btype = hdr & 0x7F
+        if btype == 127:
+            # spec-forbidden (collides with the frame-sync pattern):
+            # a frame-sync byte misread as a block header must reject,
+            # not walk on (review r9)
+            raise ValueError("FLAC metadata block type 127 is invalid")
         size = int.from_bytes(d[pos + 1 : pos + 4], "big")
         body = d[pos + 4 : pos + 4 + size]
         if len(body) != size:
@@ -735,3 +745,98 @@ def make_flac_stream(
         out += body
     out += bytes(audio_bytes)
     return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Video triage sniff (round 9): header-only width/height/frame-count/
+# duration for AVI (the avih main header) and Y4M (stream header +
+# size-declared frame stepping). The video half of the corpus-triage
+# battery (image_meta / mp3_meta / flac_meta / ogg_vorbis_meta): a
+# 100 TB pipeline filters by geometry and duration BEFORE any frame
+# is decoded, so this never touches a '00dc' payload or a luma plane.
+# ---------------------------------------------------------------------------
+def video_meta(payload: bytes) -> dict:
+    """Video container bytes → ``{container, width, height, n_frames,
+    usec_per_frame, duration_ms}`` with no frame decode.
+
+    AVI: the avih chunk's declared microseconds-per-frame,
+    total-frames, and geometry (RIFF tree walk, hdrl only — the movi
+    list is never entered). Y4M: the stream header's W/H/F fields;
+    frames are counted by stepping their declared sizes. Raises
+    ValueError on anything malformed."""
+    d = payload
+    if d[:4] == b"RIFF" and d[8:12] == b"AVI ":
+        avih = None
+
+        def walk(pos: int, end: int):
+            nonlocal avih
+            end = min(end, len(d))
+            while pos + 8 <= end and avih is None:
+                fourcc = d[pos : pos + 4]
+                (size,) = struct.unpack_from("<I", d, pos + 4)
+                data_start = pos + 8
+                if data_start + size > len(d):
+                    raise ValueError(
+                        f"truncated AVI chunk {fourcc!r}"
+                    )
+                if fourcc == b"LIST":
+                    if d[data_start : data_start + 4] == b"hdrl":
+                        walk(data_start + 4, data_start + size)
+                elif fourcc == b"avih":
+                    if size < 40:
+                        raise ValueError("avih chunk shorter than 40")
+                    avih = struct.unpack_from("<10I", d, data_start)
+                pos = data_start + size + (size & 1)
+
+        walk(12, 8 + struct.unpack_from("<I", d, 4)[0])
+        if avih is None:
+            raise ValueError("AVI stream has no avih header")
+        usec, n_frames, w, h = avih[0], avih[4], avih[8], avih[9]
+        return {
+            "container": "avi",
+            "width": w,
+            "height": h,
+            "n_frames": n_frames,
+            "usec_per_frame": usec,
+            "duration_ms": n_frames * usec // 1000,
+        }
+    if d[:9] == b"YUV4MPEG2":
+        nl = d.index(b"\n")
+        try:
+            header = d[:nl].decode()
+        except UnicodeDecodeError as exc:
+            raise ValueError(f"non-ASCII Y4M header: {exc}") from exc
+        w = h = None
+        num, den = 25, 1
+        for tok in header.split()[1:]:
+            if tok[0] == "W":
+                w = int(tok[1:])
+            elif tok[0] == "H":
+                h = int(tok[1:])
+            elif tok[0] == "F":
+                num, den = (int(v) for v in tok[1:].split(":"))
+            elif tok[0] == "C" and not tok.startswith("C420"):
+                raise ValueError(f"only C420 supported, got {tok}")
+        if w is None or h is None or num <= 0 or den <= 0:
+            raise ValueError("missing/invalid W/H/F in Y4M header")
+        frame_bytes = w * h + 2 * ((w // 2) * (h // 2))
+        n_frames, pos = 0, nl + 1
+        while pos < len(d):
+            if d[pos : pos + 5] != b"FRAME":
+                raise ValueError(f"bad frame marker at {pos}")
+            pos = d.index(b"\n", pos) + 1
+            if pos + frame_bytes > len(d):
+                raise ValueError("truncated Y4M frame")
+            n_frames += 1
+            pos += frame_bytes
+        return {
+            "container": "y4m",
+            "width": w,
+            "height": h,
+            "n_frames": n_frames,
+            "usec_per_frame": 1_000_000 * den // num,
+            "duration_ms": n_frames * 1000 * den // num,
+        }
+    raise ValueError(
+        f"unrecognized video magic {d[:4]!r}: AVI and Y4M sniff"
+    )

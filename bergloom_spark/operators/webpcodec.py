@@ -1051,8 +1051,8 @@ def encode_webp_lossless(
     subtract_green: bool = True,
     use_backrefs: bool = True,
 ) -> bytes:
-    """(H, W, 3) uint8 RGB → lossless WebP (VP8L) bytes. See
-    :func:`_encode_vp8l_body` for the bitstream shape."""
+    """(H, W, 3) RGB or (H, W, 4) RGBA uint8 → lossless WebP (VP8L)
+    bytes. See :func:`_encode_vp8l_body` for the bitstream shape."""
     body = _encode_vp8l_body(arr, subtract_green, use_backrefs)
     chunk = _chunk(b"VP8L", body)
     return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
@@ -1082,11 +1082,13 @@ def encode_webp_frames(
         raise ValueError(f"VP8X canvas {cw}x{ch} out of 24-bit range")
     if not frames:
         raise ValueError("animated WebP needs at least one frame")
+    frames = [
+        (fx, fy, np.asarray(arr, dtype=np.uint8), bn, db)
+        for fx, fy, arr, bn, db in frames
+    ]
     has_alpha = any(
-        np.asarray(f[2]).ndim == 3
-        and np.asarray(f[2]).shape[2] == 4
-        and (np.asarray(f[2])[:, :, 3] != 255).any()
-        for f in frames
+        a.ndim == 3 and a.shape[2] == 4 and (a[:, :, 3] != 255).any()
+        for _, _, a, _, _ in frames
     )
     flags = 0x02 | (0x10 if has_alpha else 0)  # ANIMATION (+ALPHA)
     vp8x = (
@@ -1096,8 +1098,7 @@ def encode_webp_frames(
     )
     anim = struct.pack("<I", 0) + struct.pack("<H", loop_count & 0xFFFF)
     chunks = _chunk(b"VP8X", vp8x) + _chunk(b"ANIM", anim)
-    for fx, fy, arr, blend_none, dispose_bg in frames:
-        a = np.asarray(arr, dtype=np.uint8)
+    for fx, fy, a, blend_none, dispose_bg in frames:
         fh, fw = a.shape[:2]
         if fx % 2 or fy % 2 or fx < 0 or fy < 0:
             raise ValueError(

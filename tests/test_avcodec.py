@@ -315,3 +315,55 @@ def test_flac_meta_never_reads_audio_bytes():
     a = make_flac_stream(32000, 1, 16, 64000, audio_bytes=0)
     b = make_flac_stream(32000, 1, 16, 64000, audio_bytes=4096)
     assert flac_meta(a) == flac_meta(b)
+
+
+def test_video_meta_avi_and_y4m():
+    import numpy as np
+
+    from bergloom_spark.operators.avcodec import (
+        encode_mjpeg_avi,
+        encode_y4m,
+        video_meta,
+    )
+
+    fr = [np.zeros((6, 8, 3), np.uint8) for _ in range(3)]
+    assert video_meta(encode_mjpeg_avi(fr, fps=25)) == {
+        "container": "avi", "width": 8, "height": 6, "n_frames": 3,
+        "usec_per_frame": 40000, "duration_ms": 120,
+    }
+    assert video_meta(encode_y4m(np.zeros((4, 6, 8), np.uint8), fps=30)) == {
+        "container": "y4m", "width": 8, "height": 6, "n_frames": 4,
+        "usec_per_frame": 33333, "duration_ms": 133,
+    }
+
+
+def test_video_meta_rejections_and_fuzz():
+    import numpy as np
+    import pytest
+
+    from bergloom_spark.operators.avcodec import (
+        encode_mjpeg_avi,
+        encode_y4m,
+        video_meta,
+    )
+
+    with pytest.raises(ValueError, match="magic"):
+        video_meta(b"fLaC" + bytes(40))
+    avi = encode_mjpeg_avi([np.zeros((6, 8, 3), np.uint8)] * 2)
+    y4m = encode_y4m(np.zeros((2, 4, 4), np.uint8))
+    for payload in (avi, y4m):
+        for cut in range(0, len(payload), max(1, len(payload) // 80)):
+            try:
+                video_meta(payload[:cut])
+            except ValueError:
+                pass
+    # point mutations
+    rng = np.random.RandomState(3)
+    for payload in (avi, y4m):
+        for _ in range(150):
+            b = bytearray(payload)
+            b[rng.randint(len(b))] = rng.randint(256)
+            try:
+                video_meta(bytes(b))
+            except ValueError:
+                pass  # the contract: sniff or ValueError, nothing else

@@ -24,12 +24,17 @@ import pytest
 from bergloom_spark.operators.avcodec import decode_media_frames
 from bergloom_spark.operators.webpcodec import (
     _MAX_PIXELS,
+    _chunk,
     _encode_vp8l_body,
     decode_webp,
     decode_webp_frames,
     encode_webp_frames,
     encode_webp_lossless,
 )
+
+
+def _riff(chunks: bytes) -> bytes:
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WEBP" + chunks
 
 
 def _libwebp():
@@ -145,13 +150,7 @@ def test_rgba_vp8l_accepted_by_real_libwebp():
         arr = rng.integers(0, 256, (h, w, 4), dtype=np.uint8)
         # mixture of binary and arbitrary alpha: the flat alpha tree
         # must carry ANY byte, not just 0/255
-        body = _encode_vp8l_body(arr)
-        chunk = b"VP8L" + struct.pack("<I", len(body)) + body
-        if len(body) & 1:
-            chunk += b"\x00"
-        pay = (
-            b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
-        )
+        pay = encode_webp_lossless(arr)
         Wd, Hd = ctypes.c_int(), ctypes.c_int()
         p = lib.WebPDecodeRGBA(
             pay, len(pay), ctypes.byref(Wd), ctypes.byref(Hd)
@@ -175,13 +174,7 @@ def test_lossy_anmf_payload_rejected():
         + b"\x02"
     )
     anmf = hdr + lossy
-
-    def chunk(fourcc, body):
-        out = fourcc + struct.pack("<I", len(body)) + body
-        return out + (b"\x00" if len(body) & 1 else b"")
-
-    chunks = chunk(b"VP8X", vp8x) + chunk(b"ANMF", anmf)
-    pay = b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WEBP" + chunks
+    pay = _riff(_chunk(b"VP8X", vp8x) + _chunk(b"ANMF", anmf))
     with pytest.raises(ValueError, match="lossy"):
         decode_webp_frames(pay)
 
@@ -201,14 +194,8 @@ def test_canvas_pixel_guard_fires_before_allocation():
         + (100).to_bytes(3, "little")
         + b"\x02"
     )
-    anmf = hdr + b"VP8L" + struct.pack("<I", len(tiny)) + tiny
-
-    def chunk(fourcc, body):
-        out = fourcc + struct.pack("<I", len(body)) + body
-        return out + (b"\x00" if len(body) & 1 else b"")
-
-    chunks = chunk(b"VP8X", vp8x) + chunk(b"ANMF", anmf)
-    pay = b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WEBP" + chunks
+    anmf = hdr + _chunk(b"VP8L", tiny)
+    pay = _riff(_chunk(b"VP8X", vp8x) + _chunk(b"ANMF", anmf))
     with pytest.raises(ValueError, match="pixel"):
         decode_webp_frames(pay)
 
@@ -227,16 +214,11 @@ def test_decode_budget_bounds_total_output():
         + (100).to_bytes(3, "little")
         + b"\x02"
     )
-    anmf_body = hdr + b"VP8L" + struct.pack("<I", len(tiny)) + tiny
-
-    def chunk(fourcc, body):
-        out = fourcc + struct.pack("<I", len(body)) + body
-        return out + (b"\x00" if len(body) & 1 else b"")
-
-    chunks = chunk(b"VP8X", vp8x)
+    anmf_body = hdr + _chunk(b"VP8L", tiny)
+    chunks = _chunk(b"VP8X", vp8x)
     for _ in range(n_frames):
-        chunks += chunk(b"ANMF", anmf_body)
-    pay = b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WEBP" + chunks
+        chunks += _chunk(b"ANMF", anmf_body)
+    pay = _riff(chunks)
     with pytest.raises(ValueError, match="budget"):
         decode_webp_frames(pay)
     # …but first_only (the decode_webp still path) stays within it
