@@ -102,9 +102,13 @@ def encode_y4m(frames: np.ndarray, fps: int = 25) -> bytes:
     return b"".join(out)
 
 
-def decode_y4m_frames(payload: bytes) -> tuple[int, int, list[np.ndarray]]:
-    """(width, height, [luma planes]) from Y4M bytes — a sequential
-    frame walk honoring per-frame parameter strings."""
+def _parse_y4m_header(payload: bytes):
+    """Shared Y4M stream-header parse → (w, h, fps or None, nl).
+    ``fps`` is the (num, den) pair when an F token is present. W/H
+    must be POSITIVE — a negative dimension would make the frame-walk
+    stride negative and spin the walk forever on a crafted payload
+    (review r9, confirmed hang); the corpus contract is decode or
+    ValueError, never a hang."""
     nl = payload.index(b"\n")
     try:
         header = payload[:nl].decode()
@@ -113,16 +117,28 @@ def decode_y4m_frames(payload: bytes) -> tuple[int, int, list[np.ndarray]]:
         raise ValueError(f"non-ASCII Y4M header: {exc}") from exc
     if not header.startswith("YUV4MPEG2"):
         raise ValueError("not a YUV4MPEG2 payload")
-    w = h = None
+    w = h = fps = None
     for tok in header.split()[1:]:
         if tok[0] == "W":
             w = int(tok[1:])
         elif tok[0] == "H":
             h = int(tok[1:])
+        elif tok[0] == "F":
+            num, den = (int(v) for v in tok[1:].split(":"))
+            if num <= 0 or den <= 0:
+                raise ValueError(f"invalid Y4M frame rate {tok}")
+            fps = (num, den)
         elif tok[0] == "C" and not tok.startswith("C420"):
             raise ValueError(f"only C420 supported, got {tok}")
-    if w is None or h is None:
-        raise ValueError("missing W/H in Y4M header")
+    if w is None or h is None or w <= 0 or h <= 0:
+        raise ValueError("missing or non-positive W/H in Y4M header")
+    return w, h, fps, nl
+
+
+def decode_y4m_frames(payload: bytes) -> tuple[int, int, list[np.ndarray]]:
+    """(width, height, [luma planes]) from Y4M bytes — a sequential
+    frame walk honoring per-frame parameter strings."""
+    w, h, _fps, nl = _parse_y4m_header(payload)
     frame_bytes = w * h + 2 * ((w // 2) * (h // 2))
     frames, pos = [], nl + 1
     while pos < len(payload):
@@ -801,24 +817,12 @@ def video_meta(payload: bytes) -> dict:
             "duration_ms": n_frames * usec // 1000,
         }
     if d[:9] == b"YUV4MPEG2":
-        nl = d.index(b"\n")
-        try:
-            header = d[:nl].decode()
-        except UnicodeDecodeError as exc:
-            raise ValueError(f"non-ASCII Y4M header: {exc}") from exc
-        w = h = None
-        num, den = 25, 1
-        for tok in header.split()[1:]:
-            if tok[0] == "W":
-                w = int(tok[1:])
-            elif tok[0] == "H":
-                h = int(tok[1:])
-            elif tok[0] == "F":
-                num, den = (int(v) for v in tok[1:].split(":"))
-            elif tok[0] == "C" and not tok.startswith("C420"):
-                raise ValueError(f"only C420 supported, got {tok}")
-        if w is None or h is None or num <= 0 or den <= 0:
-            raise ValueError("missing/invalid W/H/F in Y4M header")
+        w, h, fps, nl = _parse_y4m_header(d)
+        if fps is None:
+            # timing is the point of a video sniff: a missing F token
+            # must reject, not default (review r9)
+            raise ValueError("Y4M header has no F (frame rate) token")
+        num, den = fps
         frame_bytes = w * h + 2 * ((w // 2) * (h // 2))
         n_frames, pos = 0, nl + 1
         while pos < len(d):

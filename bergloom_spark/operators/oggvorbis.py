@@ -114,20 +114,20 @@ def ogg_vorbis_meta(payload: bytes) -> dict:
     nominal = int.from_bytes(body[20:24], "little", signed=True)
     if channels == 0 or rate == 0:
         raise ValueError("Vorbis id header has zero channels/rate")
-    # walk pages by declared sizes to the end of the physical stream
-    pos = 0
-    n_pages = 0
-    last = None
+    # walk the remaining pages by declared sizes to the end of the
+    # physical stream; only the first and last pages are CRC-verified
+    # (the two the metadata actually comes from), middle pages are
+    # walked by size only
+    pos = first["size"]
+    n_pages = 1
+    page, last_pos = first, 0
     while pos < len(d):
-        # only the first and last pages are CRC-verified (the two the
-        # metadata actually comes from); middle pages are walked by
-        # size only
         page = _parse_page(d, pos, verify_crc=False)
-        last = (page, pos)
+        last_pos = pos
         n_pages += 1
         pos += page["size"]
-    page, last_pos = last
-    _parse_page(d, last_pos, verify_crc=True)
+    if n_pages > 1:
+        _parse_page(d, last_pos, verify_crc=True)
     if not page["header_type"] & 0x04:
         raise ValueError("final Ogg page is not end-of-stream (EOS)")
     total = page["granule"]

@@ -78,10 +78,16 @@ def test_rejections():
     # non-vorbis BOS packet
     from bergloom_spark.operators.oggvorbis import _make_page
 
-    bad = _make_page(b"\x7fFLAC" + bytes(30), 0, 0, 0x02) + good[
-        len(_make_page(b"x" * 30, 0, 0, 0x02)) :
-    ]
-    with pytest.raises(ValueError):
+    # replace the BOS page with a non-vorbis one, keeping the
+    # downstream pages VALIDLY framed (splice at good's own first
+    # page boundary — review r9: a misaligned splice would make this
+    # test pass for the wrong reason if the id check ever moved)
+    from bergloom_spark.operators.oggvorbis import _parse_page
+
+    good_first_len = _parse_page(good, 0, verify_crc=True)["size"]
+    bad_bos = _make_page(b"\x7fFLAC" + bytes(30), 0, 0, 0x02)
+    bad = bad_bos + good[good_first_len:]
+    with pytest.raises(ValueError, match="Vorbis id header"):
         ogg_vorbis_meta(bad)
 
 
