@@ -375,7 +375,13 @@ def main() -> None:
                     "phase): the r8 phase-2 episode (+15-40% on "
                     "untouched round-2+ queries, r1 set flat, code "
                     "unchanged) sat in a contention window the "
-                    "once-per-bench probes straddled."
+                    "once-per-bench probes straddled. ADJUDICATED in "
+                    "the r9 local run: every watched phase-2 query "
+                    "reverted to its r7 level (ratios 0.68-0.90 vs "
+                    "r8, 0.86-1.04 vs r7) with the per-phase probes "
+                    "flat across phases — the r8 movement was host "
+                    "contention, same as the r6 episode; no bisect "
+                    "needed."
                 ),
                 # Single-thread CPU probe timed before Spark started:
                 # the r3->r4 r1-comparable drift reproduced in round 5
