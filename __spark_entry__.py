@@ -5431,6 +5431,109 @@ def q_video_meta_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_audio_meta_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MIXED-corpus audio triage through the unified dispatch (round 9
+    — operators/avcodec.py audio_meta): the realistic shape — a corpus
+    where every row may be a different container — triaged by ONE
+    kernel that magic-sniffs WAV / FLAC / Ogg-Vorbis / MP3 and routes
+    to the header-only readers. Per doc the container cycles on
+    doc_id%4; rates, channels, and lengths sweep per container. The
+    oracle replays the cycle and each container's own duration
+    arithmetic (WAV/FLAC/OGG: samples·1000//rate; MP3: per-frame
+    samples·10⁶//rate summed then //1000 — deliberately not unified,
+    these are the containers' semantics)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as ST
+
+    from bergloom_spark.operators.avcodec import (
+        audio_meta,
+        encode_wav,
+        make_flac_stream,
+        make_mp3_stream,
+    )
+    from bergloom_spark.operators.oggvorbis import make_ogg_vorbis_stream
+
+    d = TS(spark, sf_dir, "documents").select("doc_id")
+    rates6 = [8000, 16000, 22050, 32000, 44100, 48000]
+    rates9 = [44100, 48000, 32000, 22050, 24000, 16000, 11025, 12000,
+              8000]
+
+    def make_payloads(it):
+        for pdf in it:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                kind = i % 4
+                if kind == 0:
+                    n = (i % 200) * 100 + i % 7 + 1
+                    payloads.append(
+                        encode_wav(np.zeros(n, np.int16), rates6[i % 6])
+                    )
+                elif kind == 1:
+                    payloads.append(
+                        make_flac_stream(
+                            rates6[i % 6], 1 + i % 8, 16,
+                            (i % 300) * 441,
+                        )
+                    )
+                elif kind == 2:
+                    payloads.append(
+                        make_ogg_vorbis_stream(
+                            rates6[i % 6], 1 + i % 8, (i % 400) * 220,
+                            n_audio_pages=1 + i % 3,
+                        )
+                    )
+                else:
+                    payloads.append(
+                        make_mp3_stream(
+                            [128] * (2 + i % 4),
+                            sample_rate=rates9[i % 9],
+                            tail_tag="id3v1" if i % 3 == 0 else None,
+                        )
+                    )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    payload_schema = ST.StructType(
+        [
+            ST.StructField("doc_id", ST.LongType()),
+            ST.StructField("payload", ST.BinaryType()),
+        ]
+    )
+    out_schema = (
+        "doc_id long, container string, sample_rate long, "
+        "channels long, duration_ms long"
+    )
+
+    def sniff(it):
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                m = audio_meta(bytes(payload))
+                rows.append(
+                    (
+                        int(doc_id),
+                        m["container"],
+                        m["sample_rate"],
+                        m["channels"],
+                        m["duration_ms"],
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "container", "sample_rate", "channels",
+                    "duration_ms",
+                ],
+            )
+
+    return d.mapInPandas(make_payloads, payload_schema).mapInPandas(
+        sniff, out_schema
+    )
+
+
 def q_audio_meta_mp3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MP3 corpus-triage metadata via the frame-HEADER walk (round 8 —
     verdict r7 #1, operators/avcodec.py mp3_meta, validated in unit
@@ -6301,6 +6404,40 @@ _VIDEO_META_SNIFF_SQL = """
 """
 
 
+# Mixed-container audio triage replayed arithmetically (round 9):
+# the container cycles on doc_id%4; each branch replays its own
+# generator recipe and that container's native duration arithmetic.
+_AUDIO_META_MIXED_SQL = """
+    WITH cfg AS (
+      SELECT doc_id, doc_id % 4 AS kind,
+        CASE doc_id % 6 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+             WHEN 2 THEN 22050 WHEN 3 THEN 32000 WHEN 4 THEN 44100
+             ELSE 48000 END AS rate6,
+        CASE doc_id % 9 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+             WHEN 2 THEN 32000 WHEN 3 THEN 22050 WHEN 4 THEN 24000
+             WHEN 5 THEN 16000 WHEN 6 THEN 11025 WHEN 7 THEN 12000
+             ELSE 8000 END AS rate9,
+        CASE WHEN doc_id % 9 < 3 THEN 1152 ELSE 576 END AS mp3_samples
+      FROM documents)
+    SELECT doc_id,
+      CASE kind WHEN 0 THEN 'wav' WHEN 1 THEN 'flac'
+           WHEN 2 THEN 'ogg' ELSE 'mp3' END AS container,
+      (CASE WHEN kind = 3 THEN rate9 ELSE rate6 END)::BIGINT
+        AS sample_rate,
+      (CASE WHEN kind IN (1, 2) THEN 1 + doc_id % 8
+            ELSE 1 END)::BIGINT AS channels,
+      (CASE kind
+         WHEN 0 THEN ((doc_id % 200) * 100 + doc_id % 7 + 1) * 1000
+                     // rate6
+         WHEN 1 THEN ((doc_id % 300) * 441) * 1000 // rate6
+         WHEN 2 THEN ((doc_id % 400) * 220) * 1000 // rate6
+         ELSE ((2 + doc_id % 4) * (mp3_samples * 1000000 // rate9))
+              // 1000
+       END)::BIGINT AS duration_ms
+    FROM cfg
+"""
+
+
 # FLAC STREAMINFO framing replayed arithmetically (round 9): the
 # sniffer reads fixed big-endian bitfields, so every output is pure
 # integer arithmetic over the generator recipe.
@@ -7031,6 +7168,7 @@ _EXT_ORACLES = {
     "audio_meta_flac": _AUDIO_META_FLAC_SQL,
     "audio_meta_ogg": _AUDIO_META_OGG_SQL,
     "video_meta_sniff": _VIDEO_META_SNIFF_SQL,
+    "audio_meta_mixed": _AUDIO_META_MIXED_SQL,
 }
 
 
@@ -7403,11 +7541,11 @@ def _driver_verified() -> set:
 # permanent staleness) is structurally gone.
 _CHANGED_THIS_ROUND = [
     # round 9 (verdict r8 #1 budget: "39 + 3 recent-changes slack
-    # < 50"): 4 new registrations (webp_decode_frames,
-    # audio_meta_flac, audio_meta_ogg, video_meta_sniff) + the 2
-    # entries below + the 39 r5-era stale rows = 45 ≤ 50, so 5 r6-era
-    # rows also refresh and the rotation program completes — after r9
-    # no row's latest green predates r6.
+    # < 50"): 5 new registrations (webp_decode_frames,
+    # audio_meta_flac, audio_meta_ogg, video_meta_sniff,
+    # audio_meta_mixed) + the 2 entries below + the 39 r5-era stale
+    # rows = 46 ≤ 50, so 4 r6-era rows also refresh and the rotation
+    # program completes — after r9 no row's latest green predates r6.
     "audio_meta_mp3",  # generator now appends ID3v1/APE tail tags;
     #                    mp3_meta strips them (avcodec.py r9)
     "multimodal_decode_webp",  # decode_webp now routes through the
@@ -7476,6 +7614,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_meta_flac": q_audio_meta_flac,
         "audio_meta_ogg": q_audio_meta_ogg,
         "video_meta_sniff": q_video_meta_sniff,
+        "audio_meta_mixed": q_audio_meta_mixed,
         "audio_meta_mp3": q_audio_meta_mp3,
         "image_meta_sniff": q_image_meta_sniff,
         "tiff_decode_pages": q_tiff_decode_pages,

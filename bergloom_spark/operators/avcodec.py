@@ -37,6 +37,8 @@ __all__ = [
     "flac_meta",
     "make_flac_stream",
     "video_meta",
+    "wav_meta",
+    "audio_meta",
 ]
 
 
@@ -843,4 +845,107 @@ def video_meta(payload: bytes) -> dict:
         }
     raise ValueError(
         f"unrecognized video magic {d[:4]!r}: AVI and Y4M sniff"
+    )
+
+
+def wav_meta(payload: bytes) -> dict:
+    """Header-only WAV triage: ``{sample_rate, channels,
+    bits_per_sample, n_samples, duration_ms}`` from the fmt/data
+    chunk walk — PCM samples are never materialized (the data chunk
+    contributes only its SIZE). Unlike :func:`decode_wav` this
+    accepts any channel count / sample width, because triage must
+    report what's there, not what the decoder supports."""
+    d = payload
+    if d[:4] != b"RIFF" or d[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data_size = 12, None, None
+    while pos + 8 <= len(d):
+        cid, size = struct.unpack_from("<4sI", d, pos)
+        if pos + 8 + size > len(d):
+            raise ValueError(f"truncated WAV chunk {cid!r}")
+        if cid == b"fmt ":
+            if size < 16:
+                raise ValueError("fmt chunk shorter than 16 bytes")
+            fmt = struct.unpack_from("<HHIIHH", d, pos + 8)
+        elif cid == b"data":
+            data_size = size
+        pos += 8 + size + (size & 1)
+    if fmt is None or data_size is None:
+        raise ValueError("missing fmt/data chunk")
+    _audio_fmt, channels, rate, _brate, _align, bits = fmt
+    if channels == 0 or rate == 0 or bits == 0:
+        raise ValueError("WAV fmt chunk has zero channels/rate/bits")
+    bytes_per_frame = channels * ((bits + 7) // 8)
+    n_samples = data_size // bytes_per_frame
+    return {
+        "sample_rate": rate,
+        "channels": channels,
+        "bits_per_sample": bits,
+        "n_samples": n_samples,
+        "duration_ms": n_samples * 1000 // rate,
+    }
+
+
+def audio_meta(payload: bytes) -> dict:
+    """ANY audio container → uniform triage metadata
+    ``{container, sample_rate, channels, duration_ms}`` — the audio
+    twin of :func:`decode_media_frames`' dispatch (round 9): WAV,
+    FLAC, Ogg-Vorbis, and MP3 are sniffed by magic and routed to
+    their header-only readers, so a mixed 100 TB audio corpus triages
+    in one kernel without per-format branching in user code.
+    Channels for MP3 come from the first audio frame's mode field.
+    Unknown magic raises ValueError."""
+    d = payload
+    if d[:4] == b"RIFF" and d[8:12] == b"WAVE":
+        m = wav_meta(d)
+        return {
+            "container": "wav",
+            "sample_rate": m["sample_rate"],
+            "channels": m["channels"],
+            "duration_ms": m["duration_ms"],
+        }
+    if d[:4] == b"fLaC":
+        m = flac_meta(d)
+        return {
+            "container": "flac",
+            "sample_rate": m["sample_rate"],
+            "channels": m["channels"],
+            "duration_ms": m["duration_ms"],
+        }
+    if d[:4] == b"OggS":
+        from bergloom_spark.operators.oggvorbis import ogg_vorbis_meta
+
+        m = ogg_vorbis_meta(d)
+        return {
+            "container": "ogg",
+            "sample_rate": m["sample_rate"],
+            "channels": m["channels"],
+            "duration_ms": m["duration_ms"],
+        }
+    if d[:3] == b"ID3" or (len(d) >= 2 and d[0] == 0xFF
+                           and (d[1] & 0xE0) == 0xE0):
+        m = mp3_meta(d)
+        # channel count from the first frame's mode bits (11 = mono)
+        pos = 0
+        if d[:3] == b"ID3" and len(d) >= 10:
+            size = 0
+            for i in range(6, 10):
+                size = (size << 7) | (d[i] & 0x7F)
+            pos = 10 + size
+        channels = 2
+        scan_limit = min(len(d), pos + (1 << 16))
+        while pos + 4 <= scan_limit:
+            if _mp3_frame(d, pos) is not None:
+                channels = 1 if (d[pos + 3] >> 6) == 3 else 2
+                break
+            pos += 1
+        return {
+            "container": "mp3",
+            "sample_rate": m["sample_rate"],
+            "channels": channels,
+            "duration_ms": m["duration_ms"],
+        }
+    raise ValueError(
+        f"unrecognized audio magic {d[:4]!r}: WAV, FLAC, Ogg-Vorbis, "
+        "and MP3 sniff"
     )

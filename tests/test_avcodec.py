@@ -367,3 +367,65 @@ def test_video_meta_rejections_and_fuzz():
                 video_meta(bytes(b))
             except ValueError:
                 pass  # the contract: sniff or ValueError, nothing else
+
+
+def test_wav_meta_and_audio_meta_dispatch():
+    import numpy as np
+    import pytest
+
+    from bergloom_spark.operators.avcodec import (
+        audio_meta,
+        encode_wav,
+        make_flac_stream,
+        make_mp3_stream,
+        wav_meta,
+    )
+    from bergloom_spark.operators.oggvorbis import make_ogg_vorbis_stream
+
+    w = wav_meta(encode_wav(np.zeros(22050, np.int16), 44100))
+    assert w == {
+        "sample_rate": 44100, "channels": 1, "bits_per_sample": 16,
+        "n_samples": 22050, "duration_ms": 500,
+    }
+    assert audio_meta(encode_wav(np.zeros(100, np.int16), 8000)) == {
+        "container": "wav", "sample_rate": 8000, "channels": 1,
+        "duration_ms": 12,
+    }
+    assert audio_meta(make_flac_stream(48000, 5, 24, 48000)) == {
+        "container": "flac", "sample_rate": 48000, "channels": 5,
+        "duration_ms": 1000,
+    }
+    assert audio_meta(make_ogg_vorbis_stream(22050, 3, 44100)) == {
+        "container": "ogg", "sample_rate": 22050, "channels": 3,
+        "duration_ms": 2000,
+    }
+    m = audio_meta(make_mp3_stream([128, 128], sample_rate=44100,
+                                   id3_bytes=64, tail_tag="ape+id3v1"))
+    assert m["container"] == "mp3" and m["sample_rate"] == 44100
+    assert m["channels"] == 1  # the generator writes mode=11 (mono)
+    with pytest.raises(ValueError, match="magic"):
+        audio_meta(b"MThd" + bytes(40))
+
+
+def test_audio_meta_fuzz_contract():
+    import numpy as np
+
+    from bergloom_spark.operators.avcodec import audio_meta, encode_wav
+
+    rng = np.random.RandomState(17)
+    base = encode_wav(np.zeros(64, np.int16), 16000)
+    for _ in range(200):
+        b = bytearray(base)
+        b[rng.randint(len(b))] = rng.randint(256)
+        try:
+            audio_meta(bytes(b))
+        except ValueError:
+            pass
+    for magic in (b"RIFF\x10\x00\x00\x00WAVE", b"fLaC", b"OggS", b"ID3"):
+        for _ in range(100):
+            data = magic + bytes(rng.randint(0, 256, rng.randint(0, 200),
+                                             dtype=np.uint8))
+            try:
+                audio_meta(bytes(data))
+            except ValueError:
+                pass
