@@ -7543,14 +7543,19 @@ _CHANGED_THIS_ROUND = [
     # round 9 (verdict r8 #1 budget: "39 + 3 recent-changes slack
     # < 50"): 5 new registrations (webp_decode_frames,
     # audio_meta_flac, audio_meta_ogg, video_meta_sniff,
-    # audio_meta_mixed) + the 2 entries below + the 39 r5-era stale
-    # rows = 46 ≤ 50, so 4 r6-era rows also refresh and the rotation
+    # audio_meta_mixed) + the 3 entries below + the 39 r5-era stale
+    # rows = 47 ≤ 50, so 3 r6-era rows also refresh and the rotation
     # program completes — after r9 no row's latest green predates r6.
     "audio_meta_mp3",  # generator now appends ID3v1/APE tail tags;
-    #                    mp3_meta strips them (avcodec.py r9)
+    #                    mp3_meta strips them + reports channels
+    #                    (avcodec.py r9)
     "multimodal_decode_webp",  # decode_webp now routes through the
     #                            hardened animation compositor (pixel
     #                            guard before alloc, uint16 flatten)
+    "video_frames_real",  # routes through decode_media_frames →
+    #                       decode_y4m_frames, rewritten this round
+    #                       (shared _parse_y4m_header, DoS guards,
+    #                       WebP dispatch branch) — review r9
 ]
 
 

@@ -486,7 +486,8 @@ def _mp3_audio_end(d: bytes) -> int:
 def mp3_meta(payload: bytes) -> dict:
     """MP3 bytes → corpus-triage metadata without decoding audio:
     ``{n_frames, sample_rate, duration_ms, bitrate_kbps_mean, vbr,
-    version, layer}``. Skips a leading ID3v2 tag (syncsafe size) and
+    version, layer, channels}``. Skips a leading ID3v2 tag (syncsafe
+    size) and
     strips trailing ID3v1/APE tags (:func:`_mp3_audio_end`, r9),
     scans to the first valid sync whose implied next frame ALSO syncs
     — or whose length lands exactly at end-of-audio (the standard
@@ -542,14 +543,20 @@ def mp3_meta(payload: bytes) -> dict:
             continue
         if first is None:
             b1 = d[pos + 1]
-            first = ((b1 >> 3) & 0x3, 4 - ((b1 >> 1) & 0x3), rate)
+            # channel count from the mode field (bits 7-6 of byte 3;
+            # 11 = single channel) — read here, on the first AUDIO
+            # frame after the false-sync/Xing filtering, so dispatch
+            # callers never re-scan with weaker filters (review r9)
+            channels = 1 if (d[pos + 3] >> 6) == 3 else 2
+            first = ((b1 >> 3) & 0x3, 4 - ((b1 >> 1) & 0x3), rate,
+                     channels)
         n_frames += 1
         duration_us += samples * 1_000_000 // rate
         bitrates.append(kbps)
         pos += nbytes
     if n_frames == 0:
         raise ValueError("no MP3 frame sync found")
-    version, layer, rate0 = first
+    version, layer, rate0, channels = first
     return {
         "n_frames": n_frames,
         "sample_rate": rate0,
@@ -558,6 +565,7 @@ def mp3_meta(payload: bytes) -> dict:
         "vbr": len(set(bitrates)) > 1,
         "version": {3: "MPEG1", 2: "MPEG2", 0: "MPEG2.5"}[version],
         "layer": layer,
+        "channels": channels,
     }
 
 
@@ -925,24 +933,10 @@ def audio_meta(payload: bytes) -> dict:
     if d[:3] == b"ID3" or (len(d) >= 2 and d[0] == 0xFF
                            and (d[1] & 0xE0) == 0xE0):
         m = mp3_meta(d)
-        # channel count from the first frame's mode bits (11 = mono)
-        pos = 0
-        if d[:3] == b"ID3" and len(d) >= 10:
-            size = 0
-            for i in range(6, 10):
-                size = (size << 7) | (d[i] & 0x7F)
-            pos = 10 + size
-        channels = 2
-        scan_limit = min(len(d), pos + (1 << 16))
-        while pos + 4 <= scan_limit:
-            if _mp3_frame(d, pos) is not None:
-                channels = 1 if (d[pos + 3] >> 6) == 3 else 2
-                break
-            pos += 1
         return {
             "container": "mp3",
             "sample_rate": m["sample_rate"],
-            "channels": channels,
+            "channels": m["channels"],
             "duration_ms": m["duration_ms"],
         }
     raise ValueError(

@@ -429,3 +429,25 @@ def test_audio_meta_fuzz_contract():
                 audio_meta(bytes(data))
             except ValueError:
                 pass
+
+
+def test_mp3_channels_respect_false_sync_filter():
+    """Review r9: channels must come from the first AUDIO frame (the
+    one the false-sync/Xing filter accepts), not from the first raw
+    4-byte header match. A stereo-mode false sync before a mono
+    stream must not leak into the metadata."""
+    from bergloom_spark.operators.avcodec import (
+        audio_meta,
+        make_mp3_stream,
+        mp3_meta,
+    )
+
+    mono = make_mp3_stream([128, 128], sample_rate=44100)  # mode=11
+    # 4-byte valid-looking stereo header (mode bits 00) + junk: its
+    # implied next frame does not sync, so the walk must skip it
+    false_sync = b"\xff\xfb\x90\x00" + bytes(10)
+    payload = false_sync + mono
+    m = mp3_meta(payload)
+    assert m["channels"] == 1 and m["n_frames"] == 2
+    a = audio_meta(payload)
+    assert a["channels"] == 1 and a["sample_rate"] == 44100
