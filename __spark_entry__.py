@@ -5534,6 +5534,108 @@ def q_audio_meta_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_media_frame_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HEADER-ONLY frame-count triage (round 9 — operators/avcodec.py
+    media_frame_count): the decision input before a frame EXPLOSION
+    is committed — GIF image-descriptor walk (sub-block hops, no LZW
+    decompression), WebP ANMF chunk count, TIFF IFD chain length,
+    Y4M declared-size stepping — cycled per doc over real container
+    bytes built by the in-repo encoders. The oracle replays the
+    container cycle and frame-count recipes; a block-walk, sub-block,
+    chunk, or IFD-chain bug breaks the hash."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as ST
+
+    from bergloom_spark.operators.avcodec import (
+        encode_y4m,
+        media_frame_count,
+    )
+    from bergloom_spark.operators.gifcodec import encode_gif_frames
+    from bergloom_spark.operators.tiffcodec import encode_tiff_pages
+    from bergloom_spark.operators.webpcodec import encode_webp_frames
+
+    d = TS(spark, sf_dir, "documents").select("doc_id")
+    palette = np.stack(
+        [np.arange(256)] * 3, axis=-1
+    ).astype(np.uint8)
+
+    def make_payloads(it):
+        for pdf in it:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                kind = i % 4
+                if kind == 0:
+                    n = 1 + i % 4
+                    base = (np.arange(5)[:, None] * 7
+                            + np.arange(8)[None, :] + i) % 256
+                    patch = np.array([[(i + 3) % 255, 255],
+                                      [255, (i + 4) % 255]])
+                    frames = [(0, 0, base, 1, None)]
+                    for k in range(1, n):
+                        frames.append(
+                            ((2 * k) % 6, k % 3, patch, 2, 255)
+                        )
+                    payloads.append(
+                        encode_gif_frames((8, 5), palette, frames)
+                    )
+                elif kind == 1:
+                    n = 1 + i % 3
+                    rgb = np.full((4, 6, 3), i % 256, np.uint8)
+                    frames = [(0, 0, rgb, True, False)]
+                    for k in range(1, n):
+                        frames.append(
+                            (0, 0, np.full((2, 2, 3), k, np.uint8),
+                             False, False)
+                        )
+                    payloads.append(
+                        encode_webp_frames((6, 4), frames)
+                    )
+                elif kind == 2:
+                    n = 1 + i % 5
+                    payloads.append(
+                        encode_tiff_pages(
+                            [np.full((3, 4, 3), (i + p) % 256, np.uint8)
+                             for p in range(n)]
+                        )
+                    )
+                else:
+                    n = 1 + i % 5
+                    payloads.append(
+                        encode_y4m(
+                            np.zeros((n, 4, 4), np.uint8), fps=25
+                        )
+                    )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    payload_schema = ST.StructType(
+        [
+            ST.StructField("doc_id", ST.LongType()),
+            ST.StructField("payload", ST.BinaryType()),
+        ]
+    )
+    out_schema = "doc_id long, container string, n_frames long"
+
+    def sniff(it):
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                m = media_frame_count(bytes(payload))
+                rows.append(
+                    (int(doc_id), m["container"], m["n_frames"])
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "container", "n_frames"]
+            )
+
+    return d.mapInPandas(make_payloads, payload_schema).mapInPandas(
+        sniff, out_schema
+    )
+
+
 def q_audio_meta_mp3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MP3 corpus-triage metadata via the frame-HEADER walk (round 8 —
     verdict r7 #1, operators/avcodec.py mp3_meta, validated in unit
@@ -6404,6 +6506,22 @@ _VIDEO_META_SNIFF_SQL = """
 """
 
 
+# Frame-count triage replayed arithmetically (round 9): n_frames is a
+# generator input per container branch.
+_MEDIA_FRAME_COUNT_SQL = """
+    SELECT doc_id,
+      CASE doc_id % 4 WHEN 0 THEN 'gif' WHEN 1 THEN 'webp'
+           WHEN 2 THEN 'tiff' ELSE 'y4m' END AS container,
+      (CASE doc_id % 4
+         WHEN 0 THEN 1 + doc_id % 4
+         WHEN 1 THEN 1 + doc_id % 3
+         WHEN 2 THEN 1 + doc_id % 5
+         ELSE 1 + doc_id % 5
+       END)::BIGINT AS n_frames
+    FROM documents
+"""
+
+
 # Mixed-container audio triage replayed arithmetically (round 9):
 # the container cycles on doc_id%4; each branch replays its own
 # generator recipe and that container's native duration arithmetic.
@@ -7169,6 +7287,7 @@ _EXT_ORACLES = {
     "audio_meta_ogg": _AUDIO_META_OGG_SQL,
     "video_meta_sniff": _VIDEO_META_SNIFF_SQL,
     "audio_meta_mixed": _AUDIO_META_MIXED_SQL,
+    "media_frame_count": _MEDIA_FRAME_COUNT_SQL,
 }
 
 
@@ -7541,11 +7660,12 @@ def _driver_verified() -> set:
 # permanent staleness) is structurally gone.
 _CHANGED_THIS_ROUND = [
     # round 9 (verdict r8 #1 budget: "39 + 3 recent-changes slack
-    # < 50"): 5 new registrations (webp_decode_frames,
+    # < 50"): 6 new registrations (webp_decode_frames,
     # audio_meta_flac, audio_meta_ogg, video_meta_sniff,
-    # audio_meta_mixed) + the 3 entries below + the 39 r5-era stale
-    # rows = 47 ≤ 50, so 3 r6-era rows also refresh and the rotation
-    # program completes — after r9 no row's latest green predates r6.
+    # audio_meta_mixed, media_frame_count) + the 3 entries below +
+    # the 39 r5-era stale rows = 48 ≤ 50, so 2 r6-era rows also
+    # refresh and the rotation program completes — after r9 no row's
+    # latest green predates r6.
     "audio_meta_mp3",  # generator now appends ID3v1/APE tail tags;
     #                    mp3_meta strips them + reports channels
     #                    (avcodec.py r9)
@@ -7620,6 +7740,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_meta_ogg": q_audio_meta_ogg,
         "video_meta_sniff": q_video_meta_sniff,
         "audio_meta_mixed": q_audio_meta_mixed,
+        "media_frame_count": q_media_frame_count,
         "audio_meta_mp3": q_audio_meta_mp3,
         "image_meta_sniff": q_image_meta_sniff,
         "tiff_decode_pages": q_tiff_decode_pages,

@@ -451,3 +451,86 @@ def test_mp3_channels_respect_false_sync_filter():
     assert m["channels"] == 1 and m["n_frames"] == 2
     a = audio_meta(payload)
     assert a["channels"] == 1 and a["sample_rate"] == 44100
+
+
+def test_media_frame_count_all_containers():
+    import numpy as np
+    import pytest
+
+    from bergloom_spark.operators.avcodec import (
+        encode_mjpeg_avi,
+        encode_y4m,
+        media_frame_count,
+    )
+    from bergloom_spark.operators.gifcodec import encode_gif_frames
+    from bergloom_spark.operators.tiffcodec import encode_tiff_pages
+    from bergloom_spark.operators.webpcodec import (
+        encode_webp_frames,
+        encode_webp_lossless,
+    )
+
+    pal = np.stack([np.arange(256)] * 3, -1).astype(np.uint8)
+    base = (np.arange(5)[:, None] * 7 + np.arange(8)[None, :]) % 256
+    patch = np.array([[3, 255], [255, 4]])
+    gif = encode_gif_frames(
+        (8, 5), pal,
+        [(0, 0, base, 1, None), (0, 1, patch, 2, 255),
+         (2, 2, patch, 3, 255)],
+    )
+    assert media_frame_count(gif) == {"container": "gif", "n_frames": 3}
+    # frame count must agree with the real decode
+    from bergloom_spark.operators.gifcodec import decode_gif_frames
+
+    assert media_frame_count(gif)["n_frames"] == len(decode_gif_frames(gif))
+
+    rgb = np.zeros((4, 6, 3), np.uint8)
+    anim = encode_webp_frames(
+        (6, 4), [(0, 0, rgb, True, False), (0, 0, rgb, False, False)]
+    )
+    assert media_frame_count(anim) == {"container": "webp", "n_frames": 2}
+    assert media_frame_count(encode_webp_lossless(rgb)) == {
+        "container": "webp", "n_frames": 1,
+    }
+    tiff = encode_tiff_pages([np.zeros((3, 4, 3), np.uint8)] * 4)
+    assert media_frame_count(tiff) == {"container": "tiff", "n_frames": 4}
+    assert media_frame_count(encode_mjpeg_avi([rgb] * 3)) == {
+        "container": "avi", "n_frames": 3,
+    }
+    assert media_frame_count(encode_y4m(np.zeros((5, 4, 4), np.uint8))) == {
+        "container": "y4m", "n_frames": 5,
+    }
+    with pytest.raises(ValueError):
+        media_frame_count(b"fLaC" + bytes(40))
+
+
+def test_media_frame_count_fuzz_contract():
+    import numpy as np
+
+    from bergloom_spark.operators.avcodec import media_frame_count
+    from bergloom_spark.operators.gifcodec import encode_gif_frames
+    from bergloom_spark.operators.tiffcodec import encode_tiff_pages
+    from bergloom_spark.operators.webpcodec import encode_webp_frames
+
+    pal = np.stack([np.arange(256)] * 3, -1).astype(np.uint8)
+    base = np.zeros((4, 4), np.int64)
+    payloads = [
+        encode_gif_frames((4, 4), pal, [(0, 0, base, 1, None)]),
+        encode_webp_frames(
+            (4, 4), [(0, 0, np.zeros((4, 4, 3), np.uint8), True, False)]
+        ),
+        encode_tiff_pages([np.zeros((2, 2, 3), np.uint8)] * 2),
+    ]
+    rng = np.random.RandomState(23)
+    for payload in payloads:
+        for cut in range(len(payload)):
+            try:
+                media_frame_count(payload[:cut])
+            except ValueError:
+                pass
+        for _ in range(200):
+            b = bytearray(payload)
+            b[rng.randint(len(b))] = rng.randint(256)
+            try:
+                media_frame_count(bytes(b))
+            except ValueError:
+                pass
