@@ -953,84 +953,39 @@ def media_frame_count(payload: bytes) -> dict:
     10,000-frame animation and a 2-frame banner cost the same to
     sniff, and only the survivors reach :func:`decode_media_frames`.
 
-    GIF: image-descriptor count via the block walk (sub-block sizes
-    hop over LZW data — nothing is decompressed). WebP: ANMF chunk
-    count (1 for stills). TIFF: IFD chain length (cycle-guarded).
-    AVI/Y4M: delegate to :func:`video_meta`'s header reads. Raises
-    ValueError on anything malformed."""
+    GIF: :func:`gifcodec.gif_frame_count` (structural sub-block walk,
+    review-r6 hardening — no LZW decode). WebP: ANMF chunk count
+    (1 for stills). TIFF: :func:`tiffcodec.tiff_page_count` (cycle
+    semantics identical to the decoder's, review r7). AVI/Y4M:
+    :func:`video_meta`'s header reads. Delegating to the canonical
+    counters keeps the triage count in agreement with what
+    :func:`decode_media_frames` will actually decode (review r9: a
+    reimplemented walk rejected trailer-less GIFs and cycle-looped
+    TIFFs the decoders accept). Raises ValueError on anything
+    malformed."""
     d = payload
     if d[:6] in (b"GIF87a", b"GIF89a"):
-        if len(d) < 13:
-            raise ValueError("truncated GIF header")
-        flags = d[10]
-        pos = 13 + (3 * (2 << (flags & 0x07)) if flags & 0x80 else 0)
-        n = 0
-        while True:
-            if pos >= len(d):
-                raise ValueError("GIF stream ended without trailer")
-            b = d[pos]
-            if b == 0x3B:  # trailer
-                break
-            if b == 0x2C:  # image descriptor
-                if pos + 10 > len(d):
-                    raise ValueError("truncated GIF image descriptor")
-                lflags = d[pos + 9]
-                pos += 10 + (
-                    3 * (2 << (lflags & 0x07)) if lflags & 0x80 else 0
-                )
-                if pos >= len(d):
-                    raise ValueError("truncated GIF local table")
-                pos += 1  # LZW minimum code size
-                n += 1
-            elif b == 0x21:  # extension: label + sub-blocks
-                pos += 2
-            else:
-                raise ValueError(f"unknown GIF block 0x{b:02x}")
-            if b in (0x2C, 0x21):
-                while True:  # data sub-blocks until a 0 terminator
-                    if pos >= len(d):
-                        raise ValueError("truncated GIF sub-blocks")
-                    size = d[pos]
-                    pos += 1 + size
-                    if size == 0:
-                        break
-        if n == 0:
-            raise ValueError("GIF stream has no image descriptors")
-        return {"container": "gif", "n_frames": n}
+        from bergloom_spark.operators.gifcodec import gif_frame_count
+
+        return {"container": "gif", "n_frames": gif_frame_count(d)}
     if d[:4] == b"RIFF" and d[8:12] == b"WEBP":
         from bergloom_spark.operators.webpcodec import _riff_chunks
 
-        try:
-            chunks = _riff_chunks(d)
-        except (IndexError, struct.error) as exc:
-            raise ValueError(f"truncated WebP stream: {exc}") from exc
+        chunks = _riff_chunks(d)
         anmf = sum(1 for f, _ in chunks if f == b"ANMF")
         if anmf == 0 and not any(
             f in (b"VP8L", b"VP8 ") for f, _ in chunks
         ):
             raise ValueError("WebP container has no image chunk")
         return {"container": "webp", "n_frames": anmf or 1}
-    if d[:2] in (b"II", b"MM") and len(d) >= 8:
-        big = d[:2] == b"MM"
-        endian = ">" if big else "<"
-        magic, off = struct.unpack_from(endian + "HI", d, 2)
-        if magic != 42:
-            raise ValueError("bad TIFF magic")
-        n, seen = 0, set()
-        while off:
-            if off in seen:
-                raise ValueError("TIFF IFD chain cycle")
-            seen.add(off)
-            if off + 2 > len(d):
-                raise ValueError("truncated TIFF IFD")
-            (count,) = struct.unpack_from(endian + "H", d, off)
-            nxt_at = off + 2 + 12 * count
-            if nxt_at + 4 > len(d):
-                raise ValueError("truncated TIFF IFD entries")
-            (off,) = struct.unpack_from(endian + "I", d, nxt_at)
-            n += 1
-        if n == 0:
-            raise ValueError("TIFF has no IFD")
-        return {"container": "tiff", "n_frames": n}
-    m = video_meta(d)  # AVI avih / Y4M — already header-only
-    return {"container": m["container"], "n_frames": m["n_frames"]}
+    if d[:2] in (b"II", b"MM"):
+        from bergloom_spark.operators.tiffcodec import tiff_page_count
+
+        return {"container": "tiff", "n_frames": tiff_page_count(d)}
+    if (d[:4] == b"RIFF" and d[8:12] == b"AVI ") or d[:9] == b"YUV4MPEG2":
+        m = video_meta(d)  # already header-only
+        return {"container": m["container"], "n_frames": m["n_frames"]}
+    raise ValueError(
+        f"unrecognized media magic {d[:4]!r}: GIF, WebP, TIFF, AVI, "
+        "and Y4M frame-count sniff"
+    )

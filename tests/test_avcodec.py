@@ -534,3 +534,46 @@ def test_media_frame_count_fuzz_contract():
                 media_frame_count(bytes(b))
             except ValueError:
                 pass
+
+
+def test_media_frame_count_agrees_with_decoders_on_edge_shapes():
+    """Review r9: triage must accept exactly what the decoders accept
+    — a trailer-less GIF (common truncation) and a cycle-looped TIFF
+    both decode, so the count must match, not raise."""
+    import struct
+
+    import numpy as np
+
+    from bergloom_spark.operators.avcodec import media_frame_count
+    from bergloom_spark.operators.gifcodec import (
+        decode_gif_frames,
+        encode_gif,
+    )
+    from bergloom_spark.operators.tiffcodec import (
+        decode_tiff_pages,
+        encode_tiff_pages,
+    )
+
+    img = np.zeros((4, 4, 3), np.uint8)
+    gif = encode_gif(img)
+    assert gif[-1] == 0x3B
+    headless = gif[:-1]  # strip the trailer
+    n_dec = len(decode_gif_frames(headless))
+    assert media_frame_count(headless)["n_frames"] == n_dec == 1
+
+    tiff = bytearray(encode_tiff_pages([img, img]))
+    # point the LAST IFD's next-pointer back at IFD0 (offset word 4)
+    endian = "<" if tiff[:2] == b"II" else ">"
+    (off0,) = struct.unpack_from(endian + "I", tiff, 4)
+    off = off0
+    while True:
+        (count,) = struct.unpack_from(endian + "H", tiff, off)
+        nxt_at = off + 2 + 12 * count
+        (nxt,) = struct.unpack_from(endian + "I", tiff, nxt_at)
+        if nxt == 0:
+            struct.pack_into(endian + "I", tiff, nxt_at, off0)
+            break
+        off = nxt
+    looped = bytes(tiff)
+    n_dec = len(decode_tiff_pages(looped))
+    assert media_frame_count(looped)["n_frames"] == n_dec == 2
