@@ -513,6 +513,12 @@ def _decode_jpeg_baseline(payload: bytes) -> np.ndarray:
             comps = []
             for i in range(ncomp):
                 cid, hv, tq = struct.unpack_from("BBB", seg, 6 + 3 * i)
+                if not (1 <= hv >> 4 <= 4 and 1 <= (hv & 0x0F) <= 4):
+                    # spec bound (B.2.2); 0 would divide-by-zero in
+                    # the upsample step (fuzz r9)
+                    raise ValueError(
+                        f"invalid sampling factors 0x{hv:02x}"
+                    )
                 comps.append(
                     {"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq}
                 )
@@ -613,6 +619,15 @@ def _decode_scan(d, pos, frame, scan, qtables, htables, restart_interval):
                             raise ValueError("invalid Huffman code")
                         cat = hit[0]
                         br.skip(hit[1])
+                        if cat > 15:
+                            # DC categories are ≤ 11 (8-bit) / 15
+                            # (12-bit) per the spec; a corrupt DHT can
+                            # define any byte symbol, and br.bits(255)
+                            # would build a 255-bit Python int that
+                            # overflows the int64 block (fuzz r9)
+                            raise ValueError(
+                                f"invalid DC category {cat}"
+                            )
                         diff = _extend(br.bits(cat), cat) if cat else 0
                         pred[si] += diff
                         zz = np.zeros(64, dtype=np.int64)

@@ -405,6 +405,12 @@ def _decode_jpeg_progressive(payload: bytes) -> np.ndarray:
             comps = []
             for i in range(ncomp):
                 cid, hv, tq = struct.unpack_from("BBB", seg, 6 + 3 * i)
+                if not (1 <= hv >> 4 <= 4 and 1 <= (hv & 0x0F) <= 4):
+                    # spec bound (B.2.2); 0 would divide-by-zero in
+                    # the upsample step (fuzz r9)
+                    raise ValueError(
+                        f"invalid sampling factors 0x{hv:02x}"
+                    )
                 comps.append(
                     {"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq}
                 )
@@ -533,6 +539,11 @@ def _decode_dc_scan(
         block = coefs[ci][by, bx]
         if ah == 0:
             cat = _huff(br, luts[td])
+            if cat > 15:
+                # spec bound on DC categories — a corrupt DHT symbol
+                # would otherwise build a huge Python int that
+                # overflows the int64 coefficient store (fuzz r9)
+                raise ValueError(f"invalid DC category {cat}")
             diff = _extend(br.bits(cat), cat) if cat else 0
             pred[ci] += diff
             block[0] = pred[ci] << al
