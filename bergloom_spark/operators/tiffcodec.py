@@ -244,6 +244,13 @@ def _ifd_entries_unchecked(d: bytes, e: str, off: int):
                 struct.unpack_from(e + str(n) + type_fmt[typ], d, voff)
             )
             tags[tag] = vals if n > 1 else vals[0]
+        elif typ == 2 and n:  # ASCII (r9, for the EXIF sniff): NUL-
+            # terminated byte string; latin-1 never fails, preserving
+            # the decode-or-ValueError contract
+            raw = d[voff : voff + n]
+            if len(raw) != n:
+                raise ValueError("truncated TIFF ASCII value")
+            tags[tag] = raw.split(b"\x00")[0].decode("latin-1")
         p += 12
     (nxt,) = struct.unpack_from(e + "I", d, p)
     return tags, nxt

@@ -1,0 +1,87 @@
+"""EXIF sniff tests (round 9; driver rows in r10).
+
+Pins: field roundtrips through the in-repo writer for both carriers,
+decode-transparency (the injected APP1 must not change pixels),
+orientation bounds, rejections, and the fuzz contract.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from bergloom_spark.operators.exif import (
+    exif_meta,
+    make_exif_jpeg,
+    make_exif_tiff,
+)
+from bergloom_spark.operators.jpegcodec import (
+    decode_jpeg_baseline,
+    encode_jpeg_baseline,
+)
+
+
+def _jpeg():
+    img = np.random.RandomState(1).randint(
+        0, 256, (8, 8, 3)
+    ).astype(np.uint8)
+    return encode_jpeg_baseline(img, 90)
+
+
+def test_jpeg_roundtrip_and_decode_transparency():
+    base = _jpeg()
+    j = make_exif_jpeg(
+        base, orientation=6, datetime="2021:05:04 10:11:12",
+        datetime_original="2021:05:04 09:00:00", make="camX",
+    )
+    assert exif_meta(j) == {
+        "container": "jpeg", "orientation": 6,
+        "datetime": "2021:05:04 10:11:12",
+        "datetime_original": "2021:05:04 09:00:00",
+        "make": "camX", "model": None,
+    }
+    assert (decode_jpeg_baseline(j) == decode_jpeg_baseline(base)).all()
+
+
+def test_tiff_carrier_and_all_orientations():
+    for o in range(1, 9):
+        m = exif_meta(make_exif_tiff(orientation=o, make=f"m{o}"))
+        assert (m["container"], m["orientation"], m["make"]) == (
+            "tiff", o, f"m{o}",
+        )
+
+
+def test_rejections():
+    with pytest.raises(ValueError, match="no EXIF"):
+        exif_meta(_jpeg())  # plain JPEG: absent EXIF is a rejection
+    with pytest.raises(ValueError, match="magic"):
+        exif_meta(b"\x89PNG\r\n\x1a\n" + bytes(30))
+    bad = bytearray(make_exif_tiff(orientation=5))
+    # poke orientation to the out-of-spec value 9 (inline SHORT)
+    i = bytes(bad).find(b"\x12\x01\x03\x00\x01\x00\x00\x00\x05\x00")
+    assert i > 0
+    bad[i + 8] = 9
+    with pytest.raises(ValueError, match="orientation"):
+        exif_meta(bytes(bad))
+
+
+def test_fuzz_contract():
+    rng = np.random.RandomState(5)
+    payloads = [
+        make_exif_jpeg(_jpeg(), orientation=3),
+        make_exif_tiff(orientation=2),
+    ]
+    for payload in payloads:
+        for cut in range(0, len(payload), 3):
+            try:
+                exif_meta(payload[:cut])
+            except ValueError:
+                pass
+        for _ in range(400):
+            b = bytearray(payload)
+            for _ in range(1 + rng.randint(3)):
+                b[rng.randint(len(b))] = rng.randint(256)
+            try:
+                exif_meta(bytes(b))
+            except ValueError:
+                pass
