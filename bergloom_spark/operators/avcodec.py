@@ -973,10 +973,20 @@ def media_frame_count(payload: bytes) -> dict:
 
         chunks = _riff_chunks(d)
         anmf = sum(1 for f, _ in chunks if f == b"ANMF")
-        if anmf == 0 and not any(
-            f in (b"VP8L", b"VP8 ") for f, _ in chunks
-        ):
-            raise ValueError("WebP container has no image chunk")
+        if anmf == 0:
+            fourccs = {f for f, _ in chunks}
+            if b"VP8L" not in fourccs:
+                # a VP8-only (lossy) still is structurally 1 frame,
+                # but decode_webp_frames/decode_media_frames raise on
+                # lossy VP8 (no offline decoder) — a triage count
+                # must agree with what the explosion stage will
+                # actually decode, so reject here too (ADVICE r9)
+                raise ValueError(
+                    "WebP still carries no VP8L chunk: "
+                    + ("lossy VP8 stills are not decodable here"
+                       if b"VP8 " in fourccs
+                       else "container has no image chunk")
+                )
         return {"container": "webp", "n_frames": anmf or 1}
     if d[:2] in (b"II", b"MM"):
         from bergloom_spark.operators.tiffcodec import tiff_page_count

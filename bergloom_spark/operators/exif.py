@@ -67,9 +67,19 @@ def exif_meta(payload: bytes) -> dict:
         while pos + 4 <= len(d):
             if d[pos] != 0xFF:
                 raise ValueError(f"bad JPEG marker at {pos}")
-            marker = d[pos + 1]
-            if marker == 0xDA:  # SOS: no APP1 seen
+            # ITU-T T.81 §B.1.1.2: any number of 0xFF fill bytes may
+            # pad the space before a marker byte (ADVICE r9: these
+            # previously fell into the length-prefixed branch and
+            # spec-valid JPEGs were rejected)
+            while pos + 1 < len(d) and d[pos + 1] == 0xFF:
+                pos += 1
+            if pos + 4 > len(d):
                 break
+            marker = d[pos + 1]
+            if marker in (0xDA, 0xD9):  # SOS / EOI: no APP1 coming —
+                break  # EXIF precedes scan data by spec (ADVICE r9:
+                # EOI is standalone; reading length bytes after it
+                # read garbage)
             if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
                 pos += 2  # standalone markers have no length
                 continue

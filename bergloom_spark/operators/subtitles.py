@@ -84,6 +84,19 @@ def _parse_cue_blocks(
         ):
             continue
         timing_idx = 0 if "-->" in block[0] else 1
+        if timing_idx == 1 and what == "SRT":
+            # SubRip cue numbers are integers when present (not
+            # required to be sequential — renumbering tools break
+            # that); a non-numeric identifier line means the payload
+            # is not SRT framing (ADVICE r9: the docstring promised
+            # this validation — now implemented, not just claimed)
+            try:
+                int(head)
+            except ValueError:
+                raise ValueError(
+                    f"SRT cue identifier is not an integer: "
+                    f"{head[:40]!r}"
+                ) from None
         if timing_idx >= len(block) or "-->" not in block[timing_idx]:
             raise ValueError(
                 f"{what} cue block has no '-->' timing line: "

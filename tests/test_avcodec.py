@@ -577,3 +577,18 @@ def test_media_frame_count_agrees_with_decoders_on_edge_shapes():
     looped = bytes(tiff)
     n_dec = len(decode_tiff_pages(looped))
     assert media_frame_count(looped)["n_frames"] == n_dec == 2
+
+
+def test_media_frame_count_rejects_lossy_vp8_still():
+    """ADVICE r10: triage must agree with what decode_media_frames
+    will decode — a VP8-only (lossy) still raises in the decoder, so
+    the frame-count sniff rejects it too instead of green-lighting
+    a payload the explosion stage then rejects."""
+    import pytest
+
+    from bergloom_spark.operators.avcodec import media_frame_count
+
+    body = b"VP8 " + (4).to_bytes(4, "little") + bytes(4)
+    riff = b"RIFF" + (4 + len(body)).to_bytes(4, "little") + b"WEBP" + body
+    with pytest.raises(ValueError, match="lossy VP8"):
+        media_frame_count(riff)

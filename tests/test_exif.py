@@ -85,3 +85,22 @@ def test_fuzz_contract():
                 exif_meta(bytes(b))
             except ValueError:
                 pass
+
+
+def test_fill_bytes_and_eoi_are_spec_valid():
+    """ADVICE r10: 0xFF fill padding before a marker is legal
+    (ITU-T T.81 B.1.1.2) and EOI is standalone — neither may be
+    misread as a length-prefixed segment."""
+    base = _jpeg()
+    exif = make_exif_jpeg(base, orientation=7)
+    # inject 3 fill bytes between SOI and the APP1 marker
+    padded = exif[:2] + b"\xff\xff\xff" + exif[2:]
+    assert exif_meta(padded)["orientation"] == 7
+    # a JPEG that ends in EOI before any APP1 must reject cleanly
+    # (no EXIF), not read garbage length bytes past the EOI
+    eoi_only = b"\xff\xd8\xff\xd9"
+    with pytest.raises(ValueError, match="no EXIF"):
+        exif_meta(eoi_only)
+    # fill bytes then EOI: same clean rejection
+    with pytest.raises(ValueError, match="no EXIF"):
+        exif_meta(b"\xff\xd8\xff\xff\xff\xd9\x00\x00")

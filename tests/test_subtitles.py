@@ -103,3 +103,14 @@ def test_fuzz_point_mutations_never_crash(pos, val):
             fn(bytes(payload))
         except ValueError:
             pass
+
+
+def test_srt_cue_number_validated_as_integer():
+    """ADVICE r10: the docstring's 'validated as integers when
+    present' claim is now implemented — a non-numeric identifier
+    line rejects as not-SRT framing."""
+    good = b"12\n00:00:00,000 --> 00:00:01,000\nhi\n"
+    assert parse_srt(good) == [(0, 1000, "hi")]
+    bad = b"chapter-one\n00:00:00,000 --> 00:00:01,000\nhi\n"
+    with pytest.raises(ValueError, match="identifier"):
+        parse_srt(bad)
