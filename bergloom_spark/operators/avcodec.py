@@ -852,8 +852,22 @@ def video_meta(payload: bytes) -> dict:
             "usec_per_frame": 1_000_000 * den // num,
             "duration_ms": n_frames * 1000 * den // num,
         }
+    if len(d) >= 12 and d[4:8] == b"ftyp":
+        from bergloom_spark.operators.isobmff import mp4_meta
+
+        m = mp4_meta(d)
+        if m["n_frames"] is None:
+            raise ValueError("MP4 payload has no video track")
+        return {
+            "container": "mp4",
+            "width": m["width"],
+            "height": m["height"],
+            "n_frames": m["n_frames"],
+            "usec_per_frame": m["usec_per_frame"],
+            "duration_ms": m["duration_ms"],
+        }
     raise ValueError(
-        f"unrecognized video magic {d[:4]!r}: AVI and Y4M sniff"
+        f"unrecognized video magic {d[:4]!r}: AVI, Y4M, and MP4 sniff"
     )
 
 
@@ -992,10 +1006,14 @@ def media_frame_count(payload: bytes) -> dict:
         from bergloom_spark.operators.tiffcodec import tiff_page_count
 
         return {"container": "tiff", "n_frames": tiff_page_count(d)}
-    if (d[:4] == b"RIFF" and d[8:12] == b"AVI ") or d[:9] == b"YUV4MPEG2":
-        m = video_meta(d)  # already header-only
+    if (
+        (d[:4] == b"RIFF" and d[8:12] == b"AVI ")
+        or d[:9] == b"YUV4MPEG2"
+        or (len(d) >= 12 and d[4:8] == b"ftyp")
+    ):
+        m = video_meta(d)  # already header-only (incl. MP4, r10)
         return {"container": m["container"], "n_frames": m["n_frames"]}
     raise ValueError(
         f"unrecognized media magic {d[:4]!r}: GIF, WebP, TIFF, AVI, "
-        "and Y4M frame-count sniff"
+        "Y4M, and MP4 frame-count sniff"
     )

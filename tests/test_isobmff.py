@@ -1,0 +1,121 @@
+"""MP4/ISO-BMFF sniff tests (round 10, verdict r9 #2).
+
+Layers: exact roundtrips through the in-repo writer (v0 + v1 box
+versions, multi-track, varying movie timescales), dispatch through
+video_meta/media_frame_count, rejections, and the fuzz contract
+(any bytes → parse or ValueError, never a crash or hang).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from bergloom_spark.operators.avcodec import media_frame_count, video_meta
+from bergloom_spark.operators.isobmff import make_mp4_stream, mp4_meta
+
+
+def test_roundtrip_v0():
+    p = make_mp4_stream(640, 360, 25, 100, movie_timescale=600)
+    m = mp4_meta(p)
+    assert m == {
+        "container": "mp4",
+        "brand": "isom",
+        "n_tracks": 1,
+        "duration_ms": (100 * 600 // 25) * 1000 // 600,
+        "width": 640,
+        "height": 360,
+        "n_frames": 100,
+        "usec_per_frame": 1_000_000 // 25,
+        "video_codec": "avc1",
+    }
+
+
+def test_roundtrip_v1_and_audio_track():
+    p = make_mp4_stream(
+        1920, 1080, 30, 7, movie_timescale=90000, audio_track=True,
+        version1=True, codec="hvc1", mdat_bytes=64,
+    )
+    m = mp4_meta(p)
+    assert m["n_tracks"] == 2
+    assert (m["width"], m["height"]) == (1920, 1080)
+    assert m["n_frames"] == 7
+    assert m["video_codec"] == "hvc1"
+    assert m["duration_ms"] == (7 * 90000 // 30) * 1000 // 90000
+    assert m["usec_per_frame"] == 1_000_000 // 30
+
+
+def test_video_meta_dispatch_and_frame_count():
+    p = make_mp4_stream(320, 240, 24, 48)
+    v = video_meta(p)
+    assert v == {
+        "container": "mp4",
+        "width": 320,
+        "height": 240,
+        "n_frames": 48,
+        "usec_per_frame": 1_000_000 // 24,
+        "duration_ms": (48 * 1000 // 24) * 1000 // 1000,
+    }
+    assert media_frame_count(p) == {"container": "mp4", "n_frames": 48}
+
+
+def test_audio_only_mp4():
+    # strip the video trak by building audio_track-only via surgery:
+    # build with video, then ask video_meta to reject a soun-only
+    # file constructed by relabeling the handler
+    p = bytearray(make_mp4_stream(64, 48, 10, 5))
+    i = bytes(p).find(b"vide")
+    p[i : i + 4] = b"soun"
+    m = mp4_meta(bytes(p))
+    assert m["n_frames"] is None  # no vide track → audio-only file
+    with pytest.raises(ValueError, match="no video track"):
+        video_meta(bytes(p))
+
+
+def test_rejections():
+    with pytest.raises(ValueError, match="ftyp"):
+        mp4_meta(b"\x00" * 32)
+    # ftyp but no moov
+    ftyp = struct.pack(">I", 16) + b"ftypisom" + struct.pack(">I", 0)
+    with pytest.raises(ValueError, match="no moov"):
+        mp4_meta(ftyp)
+    # box size runs past the payload
+    bad = bytearray(make_mp4_stream(64, 48, 10, 5))
+    bad[0:4] = struct.pack(">I", len(bad) + 100)
+    with pytest.raises(ValueError, match="truncated|budget|size"):
+        mp4_meta(bytes(bad))
+    # box size < 8
+    bad2 = bytearray(make_mp4_stream(64, 48, 10, 5))
+    off = bytes(bad2).find(b"moov") - 4
+    bad2[off : off + 4] = struct.pack(">I", 4)
+    with pytest.raises(ValueError, match="< 8"):
+        mp4_meta(bytes(bad2))
+
+
+def test_zero_size_box_extends_to_parent_end():
+    p = bytearray(make_mp4_stream(64, 48, 10, 5, mdat_bytes=8))
+    off = bytes(p).rfind(b"mdat") - 4
+    p[off : off + 4] = struct.pack(">I", 0)  # mdat: to end of file
+    assert mp4_meta(bytes(p))["n_frames"] == 5
+
+
+def test_fuzz_contract():
+    rng = np.random.RandomState(10)
+    base = make_mp4_stream(
+        640, 360, 25, 12, movie_timescale=600, audio_track=True
+    )
+    for cut in range(0, len(base), 7):
+        try:
+            mp4_meta(base[:cut])
+        except ValueError:
+            pass
+    for _ in range(1500):
+        b = bytearray(base)
+        for _ in range(1 + rng.randint(4)):
+            b[rng.randint(len(b))] = rng.randint(256)
+        try:
+            mp4_meta(bytes(b))
+        except ValueError:
+            pass
