@@ -656,6 +656,147 @@ def make_mp3_stream(
 
 
 # ---------------------------------------------------------------------------
+# ID3v2 text-frame extraction (round 10, verdict r9 stretch #7 —
+# register the driver row in r11). mp3_meta deliberately SKIPS the
+# leading ID3v2 tag; title/artist/album live inside it and are the
+# audio analog of the EXIF make/model fields the image side extracts
+# — the source-stratification keys of an audio corpus. Header-only:
+# the walk never leaves the tag's syncsafe-declared byte range.
+# ---------------------------------------------------------------------------
+_ID3_TEXT_IDS = {
+    # (v2.3/v2.4 4-char id, v2.2 3-char id) -> output field
+    b"TIT2": "title", b"TT2": "title",
+    b"TPE1": "artist", b"TP1": "artist",
+    b"TALB": "album", b"TAL": "album",
+}
+_ID3_ENCODINGS = {0: "latin-1", 1: "utf-16", 2: "utf-16-be", 3: "utf-8"}
+
+
+def _syncsafe(d: bytes, pos: int, n: int = 4) -> int:
+    size = 0
+    for i in range(pos, pos + n):
+        if d[i] & 0x80:
+            raise ValueError("bad ID3v2 syncsafe byte (high bit set)")
+        size = (size << 7) | d[i]
+    return size
+
+
+def id3v2_tags(payload: bytes) -> dict:
+    """MP3 bytes → ``{version, title, artist, album}`` from the
+    leading ID3v2 tag's text frames (TIT2/TPE1/TALB; v2.2's
+    TT2/TP1/TAL 3-byte framing handled too). Fields absent from the
+    tag are None — absence is corpus signal, same stance as
+    :func:`exif.exif_meta`. Text frames decode per their declared
+    encoding byte (ISO-8859-1 / UTF-16+BOM / UTF-16BE / UTF-8) and
+    strip trailing NULs. A payload with no ID3v2 tag, an
+    unsynchronised tag (flag 0x80 — byte stuffing this walk does not
+    undo), or malformed framing raises ValueError."""
+    d = payload
+    if d[:3] != b"ID3" or len(d) < 10:
+        raise ValueError("payload carries no leading ID3v2 tag")
+    major = d[3]
+    if major not in (2, 3, 4):
+        raise ValueError(f"unsupported ID3v2.{major} tag")
+    flags = d[5]
+    if flags & 0x80:
+        raise ValueError("unsynchronised ID3v2 tag is not supported")
+    size = _syncsafe(d, 6)
+    end = 10 + size
+    if end > len(d):
+        raise ValueError("ID3v2 tag size runs past the payload")
+    pos = 10
+    if major in (3, 4) and flags & 0x40:  # extended header
+        if pos + 4 > end:
+            raise ValueError("truncated ID3v2 extended header")
+        if major == 4:
+            # v2.4: syncsafe size INCLUDES the 4 size bytes
+            ext = _syncsafe(d, pos)
+            if ext < 4:
+                raise ValueError("ID3v2.4 extended header size < 4")
+            pos += ext
+        else:
+            # v2.3: plain big-endian size EXCLUDES the 4 size bytes
+            pos += 4 + int.from_bytes(d[pos : pos + 4], "big")
+        if pos > end:
+            raise ValueError("ID3v2 extended header runs past tag")
+    out = {"version": f"2.{major}", "title": None, "artist": None,
+           "album": None}
+    id_len, sz_len, fl_len = (3, 3, 0) if major == 2 else (4, 4, 2)
+    while pos + id_len + sz_len + fl_len <= end:
+        fid = d[pos : pos + id_len]
+        if fid == bytes(id_len):  # zero padding: frames are over
+            break
+        if major == 4:
+            fsize = _syncsafe(d, pos + id_len)
+        else:
+            fsize = int.from_bytes(d[pos + id_len : pos + id_len + sz_len],
+                                   "big")
+        body = pos + id_len + sz_len + fl_len
+        if fsize < 0 or body + fsize > end:
+            raise ValueError(f"ID3v2 frame {fid!r} runs past the tag")
+        field = _ID3_TEXT_IDS.get(fid)
+        if field is not None and fsize >= 1:
+            enc = d[body]
+            codec = _ID3_ENCODINGS.get(enc)
+            if codec is None:
+                raise ValueError(f"bad ID3v2 text encoding byte {enc}")
+            try:
+                text = d[body + 1 : body + fsize].decode(codec)
+            except UnicodeDecodeError as exc:
+                raise ValueError(f"undecodable ID3v2 text: {exc}") from exc
+            out[field] = text.rstrip("\x00") or None
+        pos = body + fsize
+    return out
+
+
+def make_id3v2(
+    title: str | None = None,
+    artist: str | None = None,
+    album: str | None = None,
+    major: int = 4,
+    encoding: int = 3,
+    padding: int = 0,
+) -> bytes:
+    """Spec-layout ID3v2 tag bytes (for tests and oracles; prepend to
+    :func:`make_mp3_stream` output — mp3_meta's syncsafe skip and
+    :func:`id3v2_tags` must both accept it). ``major`` 2/3/4 selects
+    the frame framing; ``encoding`` is the text-frame encoding byte."""
+    if major not in (2, 3, 4):
+        raise ValueError("major must be 2, 3 or 4")
+    codec = _ID3_ENCODINGS[encoding]
+    ids = {
+        "title": b"TT2" if major == 2 else b"TIT2",
+        "artist": b"TP1" if major == 2 else b"TPE1",
+        "album": b"TAL" if major == 2 else b"TALB",
+    }
+    frames = bytearray()
+    for field, value in (("title", title), ("artist", artist),
+                         ("album", album)):
+        if value is None:
+            continue
+        body = bytes((encoding,)) + value.encode(codec)
+        fid = ids[field]
+        if major == 2:
+            frames += fid + len(body).to_bytes(3, "big") + body
+        elif major == 3:
+            frames += fid + len(body).to_bytes(4, "big") + bytes(2) + body
+        else:
+            n = len(body)
+            frames += fid + bytes(
+                (n >> 21 & 0x7F, n >> 14 & 0x7F, n >> 7 & 0x7F, n & 0x7F)
+            ) + bytes(2) + body
+    frames += bytes(padding)
+    n = len(frames)
+    if n >= 1 << 28:
+        raise ValueError("ID3v2 tag too large for a syncsafe size")
+    return (
+        b"ID3" + bytes((major, 0, 0))
+        + bytes((n >> 21 & 0x7F, n >> 14 & 0x7F, n >> 7 & 0x7F, n & 0x7F))
+        + frames
+    )
+
+
+# ---------------------------------------------------------------------------
 # FLAC STREAMINFO sniff (round 9, verdict r8 #7 — metadata only).
 # Corpus triage needs sample rate / channels / duration, not PCM: FLAC
 # puts all of it in the mandatory first metadata block (the format

@@ -592,3 +592,91 @@ def test_media_frame_count_rejects_lossy_vp8_still():
     riff = b"RIFF" + (4 + len(body)).to_bytes(4, "little") + b"WEBP" + body
     with pytest.raises(ValueError, match="lossy VP8"):
         media_frame_count(riff)
+
+
+# ---------------------------------------------------------------------------
+# ID3v2 text frames (round 10, verdict r9 stretch #7; driver row r11)
+# ---------------------------------------------------------------------------
+def test_id3v2_roundtrip_all_versions_and_encodings():
+    from bergloom_spark.operators.avcodec import id3v2_tags, make_id3v2
+
+    for major in (2, 3, 4):
+        for enc in (0, 1, 2, 3):
+            title = "Tïtle" if enc else "Title"  # latin-1-safe either way
+            tag = make_id3v2(
+                title=title, artist="Artist A", album="LP",
+                major=major, encoding=enc, padding=16,
+            )
+            got = id3v2_tags(tag)
+            assert got == {
+                "version": f"2.{major}", "title": title,
+                "artist": "Artist A", "album": "LP",
+            }
+
+
+def test_id3v2_absent_fields_and_mp3_meta_agreement():
+    from bergloom_spark.operators.avcodec import (
+        id3v2_tags,
+        make_id3v2,
+        make_mp3_stream,
+        mp3_meta,
+    )
+
+    tag = make_id3v2(title="only title")
+    got = id3v2_tags(tag)
+    assert (got["title"], got["artist"], got["album"]) == (
+        "only title", None, None,
+    )
+    # prepended to real framing: mp3_meta's syncsafe skip must land
+    # exactly past the tag and report identical audio metadata
+    audio = make_mp3_stream([128, 128, 64], sample_rate=44100)
+    assert mp3_meta(tag + audio) == mp3_meta(audio)
+    assert id3v2_tags(tag + audio)["title"] == "only title"
+
+
+def test_id3v2_rejections():
+    import pytest
+
+    from bergloom_spark.operators.avcodec import id3v2_tags, make_id3v2
+
+    with pytest.raises(ValueError, match="no leading ID3v2"):
+        id3v2_tags(b"\xff\xfb" + bytes(32))
+    bad = bytearray(make_id3v2(title="x"))
+    bad[3] = 5  # unsupported major version
+    with pytest.raises(ValueError, match="ID3v2.5"):
+        id3v2_tags(bytes(bad))
+    unsync = bytearray(make_id3v2(title="x"))
+    unsync[5] = 0x80
+    with pytest.raises(ValueError, match="unsynchronised"):
+        id3v2_tags(bytes(unsync))
+    # frame running past the tag boundary
+    overrun = bytearray(make_id3v2(title="abcdef"))
+    i = bytes(overrun).find(b"TIT2") + 4
+    overrun[i : i + 4] = bytes((0, 0, 0x7F, 0x7F))
+    with pytest.raises(ValueError, match="runs past"):
+        id3v2_tags(bytes(overrun))
+
+
+def test_id3v2_fuzz_contract():
+    import numpy as np
+
+    from bergloom_spark.operators.avcodec import id3v2_tags, make_id3v2
+
+    rng = np.random.RandomState(11)
+    base = make_id3v2(
+        title="fuzz", artist="aa", album="bb", major=3, encoding=1,
+        padding=8,
+    )
+    for cut in range(len(base)):
+        try:
+            id3v2_tags(base[:cut])
+        except ValueError:
+            pass
+    for _ in range(2000):
+        b = bytearray(base)
+        for _ in range(1 + rng.randint(4)):
+            b[rng.randint(len(b))] = rng.randint(256)
+        try:
+            id3v2_tags(bytes(b))
+        except ValueError:
+            pass
