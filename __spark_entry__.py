@@ -5071,6 +5071,67 @@ def q_gif_decode_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_gif_decode_heavy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DECODE-BOUND animated-GIF explosion (round 10, verdict r9 #5 —
+    scale-bench only, NOT registered: timing row, no oracle). The
+    registered gif_decode_frames decodes ~8×8×3 payloads, so its
+    decade exponent measured the per-query fixed overhead (≈0, the
+    honest "media floor" documented in SCALING.md r9) — this variant
+    scales the PER-DOC animation (128×128 canvas, 12 frames ≈ 196k
+    decoded px/doc, ~60 ms encode+decode/doc) so total media work
+    dominates the fixed costs at sf0.1 and the decade run measures
+    the data-dominated slope of the frame-explosion path itself.
+    Same kernels, same Arrow-batched map-only seam — only the payload
+    geometry differs."""
+    import numpy as np
+    import pandas as pd
+
+    from bergloom_spark.operators.gifcodec import (
+        decode_gif_frames,
+        encode_gif_frames,
+    )
+
+    d = TS(spark, sf_dir, "documents").select("doc_id")
+    i256 = np.arange(256, dtype=np.int64)
+    palette = np.stack(
+        [i256, (i256 * 2) % 256, (i256 * 7) % 256], axis=-1
+    ).astype(np.uint8)
+    w = h = 128
+    n_frames = 12
+
+    def explode(it):
+        ys = np.arange(h).reshape(-1, 1)
+        xs = np.arange(w).reshape(1, -1)
+        dy = np.arange(h // 2).reshape(-1, 1)
+        dx = np.arange(w // 2).reshape(1, -1)
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                base = (i * 5 + ys * 7 + xs * 3) % 256
+                frames = [(0, 0, base, 1, None)]
+                for k in range(1, n_frames):
+                    patch = (i * 11 + k * 13 + dy * 5 + dx * 2) % 255
+                    frames.append(
+                        (k % (w // 2), k % (h // 2), patch, 2, None)
+                    )
+                payload = encode_gif_frames((w, h), palette, frames)
+                for fi, arr in enumerate(decode_gif_frames(payload)):
+                    a = arr.astype(np.int64)
+                    rows.append(
+                        (i, fi, int(a.sum()), len(payload))
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "frame_index", "pix_sum", "n_bytes"],
+            )
+
+    return d.mapInPandas(
+        explode,
+        "doc_id long, frame_index long, pix_sum long, n_bytes long",
+    )
+
+
 def q_webp_decode_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANIMATED-WebP frame explosion (round 9 — verdict r8 #4,
     operators/webpcodec.py encode_webp_frames/decode_webp_frames):

@@ -67,6 +67,12 @@ HEAVY = [
     # exponent ≈ data growth"). gif_decode_frames is the heaviest
     # media row (LZW decode + GCE composition per frame).
     "gif_decode_frames",
+    # round-10: the decode-BOUND variant (verdict r9 #5) — the
+    # registered row's ≈0 exponent measured per-query fixed overhead
+    # (tiny payloads), so this scales the per-doc animation to
+    # 128x128x12 (~196k decoded px/doc) and measures the
+    # data-dominated slope of the frame-explosion path itself.
+    "gif_decode_heavy",
 ]
 
 SF01 = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -84,6 +90,7 @@ def main() -> None:
     queries["bpe_token_stats"] = mod.q_bpe_token_stats
     queries["changelog_delete_heavy"] = mod.q_changelog_delete_heavy
     queries["changelog_budget_exceeded"] = mod.q_changelog_budget_exceeded
+    queries["gif_decode_heavy"] = mod.q_gif_decode_heavy
 
     spark = get_spark(app_name="scale-bench")
     spark.sparkContext.setLogLevel("ERROR")
