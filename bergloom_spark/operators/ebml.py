@@ -98,12 +98,20 @@ def _uint(d: bytes, b: int, e: int) -> int:
 def _float(d: bytes, b: int, e: int) -> float:
     n = e - b
     if n == 4:
-        return struct.unpack(">f", d[b:e])[0]
-    if n == 8:
-        return struct.unpack(">d", d[b:e])[0]
-    if n == 0:
-        return 0.0
-    raise ValueError(f"EBML float of width {n} (must be 0/4/8)")
+        v = struct.unpack(">f", d[b:e])[0]
+    elif n == 8:
+        v = struct.unpack(">d", d[b:e])[0]
+    elif n == 0:
+        v = 0.0
+    else:
+        raise ValueError(f"EBML float of width {n} (must be 0/4/8)")
+    # inf/NaN float payloads previously reached int() and raised
+    # OverflowError — a corpus-contract violation (r10 fuzz campaign,
+    # 532k payloads: the only parser findings). Negative durations /
+    # rates are equally meaningless triage values.
+    if v != v or v in (float("inf"), float("-inf")) or v < 0:
+        raise ValueError(f"EBML float {v!r} is not a finite non-negative")
+    return v
 
 
 def _track(d: bytes, b: int, e: int, budget: list) -> dict:

@@ -90,3 +90,28 @@ def test_fuzz_contract():
             mkv_meta(bytes(b))
         except ValueError:
             pass
+
+
+def test_infinite_duration_rejects_not_overflows():
+    """r10 fuzz campaign (532k payloads): a mutated Duration float of
+    +inf reached int() and raised OverflowError instead of the
+    contract's ValueError. Exact finding bytes pinned."""
+    import os
+
+    path = os.path.join(
+        os.path.dirname(__file__), "fixtures", "mkv_inf_duration.bin"
+    )
+    with open(path, "rb") as fh:
+        payload = fh.read()
+    with pytest.raises(ValueError):
+        mkv_meta(payload)
+    # the synthetic class: inf, nan, and negative duration floats
+    import struct as _st
+
+    base = make_mkv_stream(1000)
+    for bad in (float("inf"), float("nan"), -1.0):
+        p = bytearray(base)
+        i = bytes(p).find(b"\x44\x89\x88") + 3  # Duration, 8-byte body
+        p[i : i + 8] = _st.pack(">d", bad)
+        with pytest.raises(ValueError, match="finite"):
+            mkv_meta(bytes(p))

@@ -1,0 +1,346 @@
+"""High-volume mutation-fuzz campaign over the corpus-contract
+parsers (round 10, verdict r9 #4 — the r9 campaign's 180k payloads
+found 2 latent JPEG bugs the 860-test suite missed, so this is now a
+standing per-round tool).
+
+Contract under test: ``bytes → result or ValueError`` — never any
+other exception, never a hang. Every target gets a seed corpus built
+by its own in-repo writer, then per seed: all truncations (stride),
+point mutations, multi-byte mutations, random splices, and random
+inserts. Findings are dumped as exact bytes under
+``/tmp/fuzz_findings/`` so each becomes a regression test
+(tests/test_codec_robustness.py style).
+
+Usage: python tools/fuzz_campaign.py [n_mutations_per_seed] [target ...]
+Defaults: 4000 mutations/seed, all targets, all CPUs.
+"""
+
+from __future__ import annotations
+
+import os
+import signal
+import sys
+import traceback
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np  # noqa: E402
+
+FINDINGS_DIR = "/tmp/fuzz_findings"
+# Adjudicated r10: a 10 s timer flagged a VP8X payload whose mutated
+# canvas (14 x 4.19M px) times 3 frames sat just UNDER the absolute
+# 512 MiB decode budget — the 11 s was materializing the budgeted
+# output (memory traffic), terminating, not a hang. The timer must
+# sit above the budget's worst-case wall time; true non-termination
+# (the r9 Y4M class) hits any value.
+HANG_SECONDS = 30.0
+
+
+# ---------------------------------------------------------------------------
+# Seed corpora — one builder per target, each returning (fn, [seeds]).
+# Builders run inside the worker so seeds never cross process pipes.
+# ---------------------------------------------------------------------------
+def _seeds_ogg():
+    from bergloom_spark.operators.oggvorbis import (
+        make_ogg_vorbis_stream,
+        ogg_vorbis_meta,
+    )
+
+    return ogg_vorbis_meta, [
+        make_ogg_vorbis_stream(44100, 2, 44100, n_audio_pages=2),
+        make_ogg_vorbis_stream(8000, 1, 0, n_audio_pages=1),
+        make_ogg_vorbis_stream(48000, 8, 123457, n_audio_pages=3),
+    ]
+
+
+def _seeds_flac():
+    from bergloom_spark.operators.avcodec import flac_meta, make_flac_stream
+
+    return flac_meta, [
+        make_flac_stream(44100, 2, 16, 44100),
+        make_flac_stream(8000, 1, 8, 0, extra_blocks=3, audio_bytes=64),
+        make_flac_stream(96000, 8, 24, (1 << 36) - 1),
+    ]
+
+
+def _seeds_exif():
+    from bergloom_spark.operators.exif import (
+        exif_meta,
+        make_exif_jpeg,
+        make_exif_tiff,
+    )
+    from bergloom_spark.operators.jpegcodec import encode_jpeg_baseline
+
+    img = (np.arange(8 * 8 * 3, dtype=np.uint8).reshape(8, 8, 3) * 3)
+    j = encode_jpeg_baseline(img, 90)
+    return exif_meta, [
+        make_exif_jpeg(j, orientation=6, make="fuzzcam"),
+        make_exif_tiff(orientation=3, make="ab"),
+        j[:2] + b"\xff\xff" + make_exif_jpeg(j, orientation=8)[2:],
+    ]
+
+
+def _seeds_subtitles():
+    from bergloom_spark.operators.subtitles import (
+        make_srt,
+        make_vtt,
+        parse_subtitles,
+    )
+
+    cues = [(0, 1500, "one"), (1200, 3700, "two\nlines"),
+            (3_661_001, 3_662_000, "hour mark")]
+    return parse_subtitles, [
+        make_srt(cues),
+        make_vtt(cues, note="n"),
+        b"\xef\xbb\xbf" + make_srt(cues),
+    ]
+
+
+def _seeds_webp_frames():
+    from bergloom_spark.operators.webpcodec import (
+        decode_webp_frames,
+        encode_webp_frames,
+    )
+
+    rng = np.random.RandomState(3)
+    canvas = rng.randint(0, 256, (12, 14, 4), np.uint8)
+    f1 = rng.randint(0, 256, (4, 6, 4), np.uint8)
+    f2 = rng.randint(0, 256, (5, 4, 4), np.uint8)
+    return decode_webp_frames, [
+        encode_webp_frames(
+            (14, 12),
+            [
+                (0, 0, canvas, False, False),
+                (2, 4, f1, True, False),
+                (6, 0, f2, False, True),
+            ],
+        ),
+    ]
+
+
+def _seeds_mp4():
+    from bergloom_spark.operators.isobmff import make_mp4_stream, mp4_meta
+
+    return mp4_meta, [
+        make_mp4_stream(640, 360, 25, 100, movie_timescale=600),
+        make_mp4_stream(
+            1920, 1080, 30, 7, movie_timescale=90000,
+            audio_track=True, version1=True, mdat_bytes=32,
+        ),
+    ]
+
+
+def _seeds_mkv():
+    from bergloom_spark.operators.ebml import make_mkv_stream, mkv_meta
+
+    return mkv_meta, [
+        make_mkv_stream(90_061, cluster_bytes=16),
+        make_mkv_stream(
+            5_120, webm=True, timestamp_scale=100_000,
+            unknown_segment_size=True,
+        ),
+        make_mkv_stream(None, video=None),
+    ]
+
+
+def _seeds_id3():
+    from bergloom_spark.operators.avcodec import id3v2_tags, make_id3v2
+
+    return id3v2_tags, [
+        make_id3v2(title="t", artist="a", album="b", major=4,
+                   encoding=3, padding=8),
+        make_id3v2(title="tï", artist="aa", major=3, encoding=1),
+        make_id3v2(album="zz", major=2, encoding=0),
+    ]
+
+
+def _seeds_mp3():
+    from bergloom_spark.operators.avcodec import make_mp3_stream, mp3_meta
+
+    return mp3_meta, [
+        make_mp3_stream([128, 64, 128], sample_rate=44100,
+                        id3_bytes=24, tail_tag="ape+id3v1"),
+        make_mp3_stream([32] * 5, sample_rate=8000, tail_tag="id3v1"),
+    ]
+
+
+def _seeds_video_meta():
+    from bergloom_spark.operators.avcodec import (
+        encode_mjpeg_avi,
+        encode_y4m,
+        video_meta,
+    )
+    from bergloom_spark.operators.isobmff import make_mp4_stream
+
+    return video_meta, [
+        encode_mjpeg_avi([np.zeros((6, 8, 3), np.uint8)] * 3, fps=25),
+        encode_y4m(np.zeros((2, 6, 8), np.uint8), fps=30),
+        make_mp4_stream(320, 240, 24, 48),
+    ]
+
+
+def _seeds_media_frame_count():
+    from bergloom_spark.operators.avcodec import media_frame_count
+    from bergloom_spark.operators.gifcodec import encode_gif_frames
+    from bergloom_spark.operators.tiffcodec import encode_tiff_pages
+    from bergloom_spark.operators.isobmff import make_mp4_stream
+
+    pal = np.stack([np.arange(256)] * 3, axis=-1).astype(np.uint8)
+    base = (np.arange(30).reshape(5, 6) * 7 % 256)
+    gif = encode_gif_frames(
+        (6, 5), pal,
+        [(0, 0, base, 1, None), (1, 1, base[:2, :2], 2, None)],
+    )
+    tif = encode_tiff_pages(
+        [np.zeros((4, 5), np.uint8), np.ones((3, 3), np.uint8)]
+    )
+    return media_frame_count, [
+        gif, tif, make_mp4_stream(64, 48, 10, 5),
+    ]
+
+
+def _seeds_audio_meta():
+    from bergloom_spark.operators.avcodec import (
+        audio_meta,
+        encode_wav,
+        make_flac_stream,
+    )
+    from bergloom_spark.operators.oggvorbis import make_ogg_vorbis_stream
+
+    return audio_meta, [
+        encode_wav(np.zeros(500, np.int16), 16000),
+        make_flac_stream(44100, 2, 16, 44100),
+        make_ogg_vorbis_stream(48000, 2, 4800, n_audio_pages=1),
+    ]
+
+
+TARGETS = {
+    "ogg": _seeds_ogg,
+    "flac": _seeds_flac,
+    "exif": _seeds_exif,
+    "subtitles": _seeds_subtitles,
+    "webp_frames": _seeds_webp_frames,
+    "mp4": _seeds_mp4,
+    "mkv": _seeds_mkv,
+    "id3": _seeds_id3,
+    "mp3": _seeds_mp3,
+    "video_meta": _seeds_video_meta,
+    "media_frame_count": _seeds_media_frame_count,
+    "audio_meta": _seeds_audio_meta,
+}
+
+
+def _alarm_handler(signum, frame):
+    raise TimeoutError("parser exceeded the hang budget")
+
+
+def _run_one(fn, payload: bytes):
+    signal.setitimer(signal.ITIMER_REAL, HANG_SECONDS)
+    try:
+        fn(payload)
+        return None
+    except ValueError:
+        return None  # the contract's rejection path
+    except TimeoutError:
+        return "HANG"
+    except BaseException as exc:  # noqa: BLE001 — the point of the fuzz
+        return f"{type(exc).__name__}: {exc}"
+    finally:
+        signal.setitimer(signal.ITIMER_REAL, 0)
+
+
+def _mutations(seed: bytes, n: int, rng) -> list:
+    out = []
+    ln = len(seed)
+    # all truncations at a stride that caps per-seed work
+    stride = max(1, ln // 500)
+    out.extend(seed[:c] for c in range(0, ln, stride))
+    for _ in range(n):
+        kind = rng.randint(5)
+        b = bytearray(seed)
+        if kind == 0:  # point mutations, 1..4 bytes
+            for _ in range(1 + rng.randint(4)):
+                b[rng.randint(ln)] = rng.randint(256)
+        elif kind == 1:  # flip bits
+            for _ in range(1 + rng.randint(8)):
+                b[rng.randint(ln)] ^= 1 << rng.randint(8)
+        elif kind == 2:  # splice a random window elsewhere
+            w = 1 + rng.randint(min(64, ln))
+            src = rng.randint(max(1, ln - w))
+            dst = rng.randint(max(1, ln - w))
+            b[dst : dst + w] = seed[src : src + w]
+        elif kind == 3:  # insert random bytes
+            at = rng.randint(ln + 1)
+            ins = bytes(rng.randint(0, 256, 1 + rng.randint(16),
+                                    dtype=np.uint8))
+            b[at:at] = ins
+        else:  # delete a window
+            w = 1 + rng.randint(min(64, ln))
+            at = rng.randint(max(1, ln - w))
+            del b[at : at + w]
+        out.append(bytes(b))
+    return out
+
+
+def _worker(args):
+    target, n_per_seed, worker_seed = args
+    signal.signal(signal.SIGALRM, _alarm_handler)
+    fn, seeds = TARGETS[target]()
+    rng = np.random.RandomState(worker_seed)
+    tested = 0
+    findings = []
+    for si, seed in enumerate(seeds):
+        for payload in _mutations(seed, n_per_seed, rng):
+            res = _run_one(fn, payload)
+            tested += 1
+            if res is not None:
+                os.makedirs(FINDINGS_DIR, exist_ok=True)
+                path = os.path.join(
+                    FINDINGS_DIR,
+                    f"{target}_s{si}_w{worker_seed}_{len(findings)}.bin",
+                )
+                with open(path, "wb") as fh:
+                    fh.write(payload)
+                findings.append((res, path))
+    return target, tested, findings
+
+
+def main() -> None:
+    import multiprocessing as mp
+
+    args = sys.argv[1:]
+    n_per_seed = 4000
+    if args and args[0].isdigit():
+        n_per_seed = int(args[0])
+        args = args[1:]
+    targets = args or list(TARGETS)
+    for t in targets:
+        if t not in TARGETS:
+            sys.exit(f"unknown target {t!r}; known: {sorted(TARGETS)}")
+    ncpu = os.cpu_count() or 8
+    # spread each target across several differently-seeded workers
+    per_target_workers = max(1, ncpu // max(1, len(targets)))
+    jobs = [
+        (t, n_per_seed, 1000 * ti + w)
+        for ti, t in enumerate(targets)
+        for w in range(per_target_workers)
+    ]
+    total = 0
+    all_findings = []
+    with mp.Pool(min(ncpu, len(jobs))) as pool:
+        for target, tested, findings in pool.imap_unordered(_worker, jobs):
+            total += tested
+            all_findings.extend((target, *f) for f in findings)
+            status = "clean" if not findings else f"{len(findings)} FINDINGS"
+            print(f"{target}: {tested} payloads, {status}", flush=True)
+    print(f"\nTOTAL: {total} payloads across {len(targets)} targets")
+    if all_findings:
+        print(f"{len(all_findings)} findings (exact bytes saved):")
+        for target, res, path in all_findings:
+            print(f"  [{target}] {res} -> {path}")
+        sys.exit(1)
+    print("campaign clean")
+
+
+if __name__ == "__main__":
+    main()
