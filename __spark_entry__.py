@@ -5732,7 +5732,7 @@ def _subtitle_payloads_pdf(pdf):
     return pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
 
-_SUBTITLE_PAYLOAD_SCHEMA = "doc_id long, payload binary"
+_PAYLOAD_STAGE_SCHEMA = "doc_id long, payload binary"  # generic payload-stage schema (subtitles/exif/mp4 rows)
 
 
 def q_subtitle_cues(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5775,7 +5775,7 @@ def q_subtitle_cues(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return d.mapInPandas(
-        make_payloads, _SUBTITLE_PAYLOAD_SCHEMA
+        make_payloads, _PAYLOAD_STAGE_SCHEMA
     ).mapInPandas(explode, out_schema)
 
 
@@ -5828,7 +5828,7 @@ def q_subtitle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return d.mapInPandas(
-        make_payloads, _SUBTITLE_PAYLOAD_SCHEMA
+        make_payloads, _PAYLOAD_STAGE_SCHEMA
     ).mapInPandas(stats, out_schema)
 
 
@@ -5916,7 +5916,7 @@ def q_exif_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return d.mapInPandas(
-        make_payloads, _SUBTITLE_PAYLOAD_SCHEMA
+        make_payloads, _PAYLOAD_STAGE_SCHEMA
     ).mapInPandas(sniff, out_schema)
 
 
@@ -5992,7 +5992,7 @@ def q_video_meta_mp4(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return d.mapInPandas(
-        make_payloads, _SUBTITLE_PAYLOAD_SCHEMA
+        make_payloads, _PAYLOAD_STAGE_SCHEMA
     ).mapInPandas(sniff, out_schema)
 
 

@@ -20,7 +20,6 @@ from __future__ import annotations
 import os
 import signal
 import sys
-import traceback
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -235,18 +234,27 @@ def _alarm_handler(signum, frame):
 
 
 def _run_one(fn, payload: bytes):
-    signal.setitimer(signal.ITIMER_REAL, HANG_SECONDS)
+    # Two-layer catch (review r10): the alarm can fire AFTER fn()
+    # returned but BEFORE the finally clears the itimer — inside the
+    # except/return machinery — where the inner TimeoutError clause
+    # no longer applies. The outer except absorbs that late alarm as
+    # "not a hang" instead of killing the pool worker (which would
+    # abort the whole campaign) or mis-reporting a finding.
     try:
-        fn(payload)
-        return None
-    except ValueError:
-        return None  # the contract's rejection path
+        signal.setitimer(signal.ITIMER_REAL, HANG_SECONDS)
+        try:
+            fn(payload)
+            return None
+        except ValueError:
+            return None  # the contract's rejection path
+        except TimeoutError:
+            return "HANG"
+        except BaseException as exc:  # noqa: BLE001 — the fuzz's point
+            return f"{type(exc).__name__}: {exc}"
+        finally:
+            signal.setitimer(signal.ITIMER_REAL, 0)
     except TimeoutError:
-        return "HANG"
-    except BaseException as exc:  # noqa: BLE001 — the point of the fuzz
-        return f"{type(exc).__name__}: {exc}"
-    finally:
-        signal.setitimer(signal.ITIMER_REAL, 0)
+        return None  # late alarm past fn() — the parse completed
 
 
 def _mutations(seed: bytes, n: int, rng) -> list:
