@@ -736,12 +736,43 @@ def id3v2_tags(payload: bytes) -> dict:
             raise ValueError(f"ID3v2 frame {fid!r} runs past the tag")
         field = _ID3_TEXT_IDS.get(fid)
         if field is not None and fsize >= 1:
-            enc = d[body]
+            raw = d[body : body + fsize]
+            if fl_len:
+                # format flags live in the SECOND flag byte; v2.4
+                # moved unsynchronisation to the frame level, so
+                # ignoring these returned stuffed/prefixed bytes as
+                # text (review r10)
+                fl2 = d[pos + id_len + sz_len + 1]
+                if major == 3:
+                    if fl2 & 0xC0:
+                        raise ValueError(
+                            "compressed/encrypted ID3v2.3 text frame "
+                            "is not supported"
+                        )
+                    if fl2 & 0x20:  # grouping identity byte
+                        raw = raw[1:]
+                else:  # major == 4
+                    if fl2 & 0x0C:
+                        raise ValueError(
+                            "compressed/encrypted ID3v2.4 text frame "
+                            "is not supported"
+                        )
+                    if fl2 & 0x40:  # grouping identity byte
+                        raw = raw[1:]
+                    if fl2 & 0x02:  # frame-level unsynchronisation
+                        raw = raw.replace(b"\xff\x00", b"\xff")
+                    if fl2 & 0x01:  # data length indicator (4 bytes)
+                        raw = raw[4:]
+            if not raw:
+                raise ValueError(
+                    f"ID3v2 text frame {fid!r} has no encoding byte"
+                )
+            enc = raw[0]
             codec = _ID3_ENCODINGS.get(enc)
             if codec is None:
                 raise ValueError(f"bad ID3v2 text encoding byte {enc}")
             try:
-                text = d[body + 1 : body + fsize].decode(codec)
+                text = raw[1:].decode(codec)
             except UnicodeDecodeError as exc:
                 raise ValueError(f"undecodable ID3v2 text: {exc}") from exc
             out[field] = text.rstrip("\x00") or None
@@ -999,6 +1030,20 @@ def video_meta(payload: bytes) -> dict:
         m = mp4_meta(d)
         if m["n_frames"] is None:
             raise ValueError("MP4 payload has no video track")
+        # the AVI/Y4M branches guarantee an all-int shape; mp4_meta's
+        # richer triage dict tolerates absent boxes (None fields), so
+        # enforce the contract here rather than leak None into
+        # arithmetic callers (review r10)
+        missing = [
+            k for k in
+            ("width", "height", "usec_per_frame", "duration_ms")
+            if m[k] is None
+        ]
+        if missing:
+            raise ValueError(
+                "MP4 video track lacks required header fields: "
+                + ", ".join(missing)
+            )
         return {
             "container": "mp4",
             "width": m["width"],

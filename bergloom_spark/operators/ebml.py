@@ -196,12 +196,23 @@ def mkv_meta(payload: bytes) -> dict:
             ]
     video = next((t for t in tracks if t["type"] == 1), None)
     audio = next((t for t in tracks if t["type"] == 2), None)
+    if duration is None:
+        duration_ms = None
+    else:
+        ns = duration * scale
+        # a FINITE-huge Duration (e.g. 1e307) times the scale can
+        # overflow float64 to inf even though _float accepted it —
+        # int(inf) would raise OverflowError, not the contract's
+        # ValueError (review r10, the gap the fuzz fix left open)
+        if ns == float("inf"):
+            raise ValueError(
+                f"Matroska duration {duration!r} x scale {scale} "
+                "overflows"
+            )
+        duration_ms = int(ns) // 1_000_000
     return {
         "container": "webm" if doctype == "webm" else "mkv",
-        "duration_ms": (
-            None if duration is None
-            else int(duration * scale) // 1_000_000
-        ),
+        "duration_ms": duration_ms,
         "n_tracks": len(tracks),
         "width": video["width"] if video else None,
         "height": video["height"] if video else None,

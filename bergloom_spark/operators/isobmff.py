@@ -62,8 +62,15 @@ def _boxes(d: bytes, pos: int, end: int, budget: list):
         pos = box_end
 
 
-def _find(d: bytes, pos: int, end: int, typ: bytes, budget: list):
-    for t, b, e in _boxes(d, pos, end, budget):
+def _children(d: bytes, pos: int, end: int, budget: list) -> list:
+    """Materialize the direct children of one parent in ONE walk —
+    repeated ``_find``-style rescans were re-counting the same boxes
+    against the shared budget several times over (review r10)."""
+    return list(_boxes(d, pos, end, budget))
+
+
+def _first(children: list, typ: bytes):
+    for t, b, e in children:
         if t == typ:
             return b, e
     return None
@@ -83,12 +90,21 @@ def _mvhd(d: bytes, body: int, end: int) -> tuple:
             raise ValueError("truncated mvhd v1")
         timescale = struct.unpack_from(">I", d, p + 16)[0]
         duration = struct.unpack_from(">Q", d, p + 20)[0]
+        if duration == (1 << 64) - 1:
+            duration = None
     elif v == 0:
         if p + 16 > end:
             raise ValueError("truncated mvhd v0")
         timescale, duration = struct.unpack_from(">II", d, p + 8)
+        if duration == (1 << 32) - 1:
+            duration = None
     else:
         raise ValueError(f"mvhd version {v} is not 0/1")
+    # ISO 14496-12 §8.2.2.3: an all-ones duration means "cannot be
+    # determined" (fragmented/streaming files) — reporting it as a
+    # real ~49.7-day duration would silently misclassify every such
+    # file in a duration-filtered corpus (review r10); mapped to
+    # None above.
     if timescale == 0:
         raise ValueError("mvhd timescale is 0 (invalid)")
     return timescale, duration
@@ -130,30 +146,33 @@ def _track_meta(d: bytes, body: int, end: int, budget: list) -> dict:
         "codec": None, "n_samples": None, "sample_delta": None,
         "media_timescale": None, "media_duration": None,
     }
-    tk = _find(d, body, end, b"tkhd", budget)
+    kids = _children(d, body, end, budget)
+    tk = _first(kids, b"tkhd")
     if tk is not None:
         out["width"], out["height"] = _tkhd(d, *tk)
-    mdia = _find(d, body, end, b"mdia", budget)
+    mdia = _first(kids, b"mdia")
     if mdia is None:
         raise ValueError("trak has no mdia box")
-    hd = _find(d, mdia[0], mdia[1], b"hdlr", budget)
+    mkids = _children(d, mdia[0], mdia[1], budget)
+    hd = _first(mkids, b"hdlr")
     if hd is not None:
         b, e = hd
         _, p = _fullbox(d, b)
         if p + 8 > e:
             raise ValueError("truncated hdlr")
         out["handler"] = d[p + 4 : p + 8].decode("latin-1")
-    md = _find(d, mdia[0], mdia[1], b"mdhd", budget)
+    md = _first(mkids, b"mdhd")
     if md is not None:
         ts, dur = _mdhd(d, *md)
         out["media_timescale"], out["media_duration"] = ts, dur
-    minf = _find(d, mdia[0], mdia[1], b"minf", budget)
+    minf = _first(mkids, b"minf")
     if minf is None:
         return out
-    stbl = _find(d, minf[0], minf[1], b"stbl", budget)
+    stbl = _first(_children(d, minf[0], minf[1], budget), b"stbl")
     if stbl is None:
         return out
-    sd = _find(d, stbl[0], stbl[1], b"stsd", budget)
+    skids = _children(d, stbl[0], stbl[1], budget)
+    sd = _first(skids, b"stsd")
     if sd is not None:
         b, e = sd
         _, p = _fullbox(d, b)
@@ -164,14 +183,14 @@ def _track_meta(d: bytes, body: int, end: int, budget: list) -> dict:
             if p + 12 > e:
                 raise ValueError("truncated stsd sample entry")
             out["codec"] = d[p + 8 : p + 12].decode("latin-1")
-    sz = _find(d, stbl[0], stbl[1], b"stsz", budget)
+    sz = _first(skids, b"stsz")
     if sz is not None:
         b, e = sz
         _, p = _fullbox(d, b)
         if p + 8 > e:
             raise ValueError("truncated stsz")
         out["n_samples"] = struct.unpack_from(">I", d, p + 4)[0]
-    st = _find(d, stbl[0], stbl[1], b"stts", budget)
+    st = _first(skids, b"stts")
     if st is not None:
         b, e = st
         _, p = _fullbox(d, b)
@@ -192,7 +211,10 @@ def mp4_meta(payload: bytes) -> dict:
 
     ``duration_ms`` is the movie-header quantity
     (``mvhd.duration * 1000 // mvhd.timescale`` — integer, the
-    container's own arithmetic). Geometry/codec/frame stats come
+    container's own arithmetic); an all-ones mvhd duration is the
+    spec's "cannot be determined" sentinel (ISO 14496-12 §8.2.2.3,
+    fragmented/streaming files) and reports as None, not as a
+    ~49.7-day value. Geometry/codec/frame stats come
     from the FIRST ``vide``-handler track (tkhd 16.16 integer part,
     stsd fourcc, stsz sample count); ``usec_per_frame`` is the first
     stts delta over the media timescale. A file with no video track
@@ -204,18 +226,24 @@ def mp4_meta(payload: bytes) -> dict:
             f"not an ISO-BMFF payload (no ftyp box): {d[4:8]!r}"
         )
     budget = [_MAX_BOXES]
-    ftyp = _find(d, 0, len(d), b"ftyp", budget)
+    top = _children(d, 0, len(d), budget)
+    ftyp = _first(top, b"ftyp")
+    if ftyp[1] - ftyp[0] < 4:
+        # slicing past the box end would read the NEXT box's size
+        # bytes as the brand (review r10)
+        raise ValueError("ftyp box too short to carry a major brand")
     brand = d[ftyp[0] : ftyp[0] + 4].decode("latin-1")
-    moov = _find(d, 0, len(d), b"moov", budget)
+    moov = _first(top, b"moov")
     if moov is None:
         raise ValueError("ISO-BMFF payload has no moov box")
-    mv = _find(d, moov[0], moov[1], b"mvhd", budget)
+    mkids = _children(d, moov[0], moov[1], budget)
+    mv = _first(mkids, b"mvhd")
     if mv is None:
         raise ValueError("moov has no mvhd box")
     timescale, duration = _mvhd(d, *mv)
     tracks = [
         _track_meta(d, b, e, budget)
-        for t, b, e in _boxes(d, moov[0], moov[1], budget)
+        for t, b, e in mkids
         if t == b"trak"
     ]
     video = next((t for t in tracks if t["handler"] == "vide"), None)
@@ -223,7 +251,9 @@ def mp4_meta(payload: bytes) -> dict:
         "container": "mp4",
         "brand": brand,
         "n_tracks": len(tracks),
-        "duration_ms": duration * 1000 // timescale,
+        "duration_ms": (
+            None if duration is None else duration * 1000 // timescale
+        ),
         "width": None,
         "height": None,
         "n_frames": None,

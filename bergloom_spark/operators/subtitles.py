@@ -90,13 +90,14 @@ def _parse_cue_blocks(
             # that); a non-numeric identifier line means the payload
             # is not SRT framing (ADVICE r9: the docstring promised
             # this validation — now implemented, not just claimed)
-            try:
-                int(head)
-            except ValueError:
+            # ASCII-digits-only: int()'s grammar also admits
+            # underscores, signs, whitespace, and unicode digits —
+            # none of which are SubRip cue-number framing (review r10)
+            if not (head.isascii() and head.isdigit()):
                 raise ValueError(
                     f"SRT cue identifier is not an integer: "
                     f"{head[:40]!r}"
-                ) from None
+                )
         if timing_idx >= len(block) or "-->" not in block[timing_idx]:
             raise ValueError(
                 f"{what} cue block has no '-->' timing line: "

@@ -680,3 +680,59 @@ def test_id3v2_fuzz_contract():
             id3v2_tags(bytes(b))
         except ValueError:
             pass
+
+
+def test_id3v24_frame_level_unsync_and_flags():
+    """Review r10: v2.4 frame-level unsynchronisation (flag 0x02)
+    must be reversed (stuffed 0x00 bytes were returned inside the
+    text), grouping/DLI prefixes skipped, and compressed/encrypted
+    frames rejected."""
+    import pytest
+
+    from bergloom_spark.operators.avcodec import id3v2_tags
+
+    def frame(fid, fl2, body):
+        n = len(body)
+        size = bytes((n >> 21 & 0x7F, n >> 14 & 0x7F,
+                      n >> 7 & 0x7F, n & 0x7F))
+        return fid + size + bytes((0, fl2)) + body
+
+    def tag(frames):
+        n = len(frames)
+        return (
+            b"ID3\x04\x00\x00"
+            + bytes((n >> 21 & 0x7F, n >> 14 & 0x7F,
+                     n >> 7 & 0x7F, n & 0x7F))
+            + frames
+        )
+
+    # latin-1 text whose bytes contain a 0xFF that the writer
+    # unsynchronises to 0xFF 0x00
+    text = b"\x00a\xffb"  # enc byte latin-1 + "a\xffb"
+    stuffed = text.replace(b"\xff", b"\xff\x00")
+    t = tag(frame(b"TIT2", 0x02, stuffed))
+    assert id3v2_tags(t)["title"] == "a\xffb"
+    # grouping byte + DLI + unsync combined
+    import struct as _st
+
+    dli = bytes((0, 0, 0, len(text)))
+    t2 = tag(frame(b"TPE1", 0x43, b"\x07" + (dli + text).replace(
+        b"\xff", b"\xff\x00")))
+    assert id3v2_tags(t2)["artist"] == "a\xffb"
+    # compressed / encrypted reject
+    for fl2 in (0x08, 0x04):
+        with pytest.raises(ValueError, match="not supported"):
+            id3v2_tags(tag(frame(b"TALB", fl2, text)))
+    # v2.3 compressed/encrypted reject + grouping skip
+    def frame3(fid, fl2, body):
+        return fid + len(body).to_bytes(4, "big") + bytes((0, fl2)) + body
+
+    t3 = (b"ID3\x03\x00\x00"
+          + bytes((0, 0, 0, len(frame3(b"TIT2", 0x20, b"\x07" + text)))))
+    t3 += frame3(b"TIT2", 0x20, b"\x07" + text)
+    assert id3v2_tags(t3)["title"] == "a\xffb"
+    bad3 = frame3(b"TIT2", 0x80, text)
+    t3b = (b"ID3\x03\x00\x00"
+           + bytes((0, 0, 0, len(bad3)))) + bad3
+    with pytest.raises(ValueError, match="not supported"):
+        id3v2_tags(t3b)

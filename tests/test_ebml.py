@@ -115,3 +115,16 @@ def test_infinite_duration_rejects_not_overflows():
         p[i : i + 8] = _st.pack(">d", bad)
         with pytest.raises(ValueError, match="finite"):
             mkv_meta(bytes(p))
+
+
+def test_finite_huge_duration_rejects_not_overflows():
+    """Review r10: a FINITE-huge Duration (1e307) passes the _float
+    guard but duration*scale overflows float64 to inf — int(inf)
+    raised OverflowError instead of the contract's ValueError."""
+    import struct as _st
+
+    p = bytearray(make_mkv_stream(1000))
+    i = bytes(p).find(b"\x44\x89\x88") + 3
+    p[i : i + 8] = _st.pack(">d", 1e307)
+    with pytest.raises(ValueError, match="overflows"):
+        mkv_meta(bytes(p))

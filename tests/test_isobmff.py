@@ -119,3 +119,54 @@ def test_fuzz_contract():
             mp4_meta(bytes(b))
         except ValueError:
             pass
+
+
+def test_all_ones_duration_sentinel_is_none():
+    """Review r10: ISO 14496-12 §8.2.2.3 — an all-ones mvhd duration
+    means 'cannot be determined' (fragmented/streaming files), not a
+    ~49.7-day movie."""
+    for v1 in (False, True):
+        p = bytearray(make_mp4_stream(64, 48, 10, 5, version1=v1))
+        i = bytes(p).find(b"mvhd") + 4  # version/flags
+        dur_off = i + 4 + (8 + 8 + 4) if v1 else i + 4 + (4 + 4 + 4)
+        width = 8 if v1 else 4
+        p[dur_off : dur_off + width] = b"\xff" * width
+        m = mp4_meta(bytes(p))
+        assert m["duration_ms"] is None, f"version1={v1}"
+        # the strict video_meta dispatch must reject rather than
+        # return a None field in its all-int shape
+        with pytest.raises(ValueError, match="duration_ms"):
+            video_meta(bytes(p))
+
+
+def test_short_ftyp_brand_bounds():
+    """Review r10: an ftyp body < 4 bytes must not read the next
+    box's size bytes as the brand."""
+    import struct as _st
+
+    good = make_mp4_stream(64, 48, 10, 5)
+    moov_off = good.find(b"moov") - 4
+    short_ftyp = _st.pack(">I", 8) + b"ftyp"  # empty body
+    with pytest.raises(ValueError, match="brand"):
+        mp4_meta(short_ftyp + good[moov_off:])
+
+
+def test_budget_survives_legit_many_track_moov():
+    """Review r10: _find-style rescans burned the shared box budget
+    ~3x per track; a legitimate many-track moov must parse."""
+    import struct as _st
+
+    base = make_mp4_stream(64, 48, 10, 5, audio_track=True)
+    # splice 120 extra copies of the audio trak into moov
+    a0 = base.find(b"trak", base.find(b"trak") + 4) - 4
+    trak_size = _st.unpack_from(">I", base, a0)[0]
+    trak = base[a0 : a0 + trak_size]
+    moov_off = base.find(b"moov") - 4
+    moov_size = _st.unpack_from(">I", base, moov_off)[0]
+    insert_at = moov_off + moov_size
+    extra = trak * 120
+    rebuilt = bytearray(base[:insert_at] + extra + base[insert_at:])
+    _st.pack_into(">I", rebuilt, moov_off, moov_size + len(extra))
+    m = mp4_meta(bytes(rebuilt))
+    assert m["n_tracks"] == 122
+    assert m["n_frames"] == 5  # the vide track still wins selection

@@ -114,3 +114,17 @@ def test_srt_cue_number_validated_as_integer():
     bad = b"chapter-one\n00:00:00,000 --> 00:00:01,000\nhi\n"
     with pytest.raises(ValueError, match="identifier"):
         parse_srt(bad)
+
+
+def test_srt_identifier_rejects_int_grammar_lookalikes():
+    """Review r10: int()'s lenient grammar admitted '1_0', signed,
+    padded, and unicode-digit identifiers — none are SubRip
+    framing."""
+    for ident in (b"1_0", b"-5", b"+3", "١".encode()):
+        bad = ident + b"\n00:00:00,000 --> 00:00:01,000\nhi\n"
+        with pytest.raises(ValueError):
+            parse_srt(bad)
+    # surrounding whitespace IS tolerated (the identifier line is
+    # stripped before validation, same stance as timestamp tokens)
+    ok = b" 7 \n00:00:00,000 --> 00:00:01,000\nhi\n"
+    assert parse_srt(ok) == [(0, 1000, "hi")]
