@@ -1192,12 +1192,22 @@ def media_frame_count(payload: bytes) -> dict:
         from bergloom_spark.operators.tiffcodec import tiff_page_count
 
         return {"container": "tiff", "n_frames": tiff_page_count(d)}
-    if (
-        (d[:4] == b"RIFF" and d[8:12] == b"AVI ")
-        or d[:9] == b"YUV4MPEG2"
-        or (len(d) >= 12 and d[4:8] == b"ftyp")
-    ):
-        m = video_meta(d)  # already header-only (incl. MP4, r10)
+    if len(d) >= 12 and d[4:8] == b"ftyp":
+        # straight to mp4_meta, NOT through video_meta (review r10,
+        # second pass): video_meta's all-int strictness would reject
+        # MP4s whose frame count is fully extractable but whose
+        # duration is the all-ones sentinel or whose tkhd/stts are
+        # absent — only n_frames is consumed here
+        from bergloom_spark.operators.isobmff import mp4_meta
+
+        m = mp4_meta(d)
+        if m["n_frames"] is None:
+            raise ValueError(
+                "MP4 payload has no video track with a sample count"
+            )
+        return {"container": "mp4", "n_frames": m["n_frames"]}
+    if (d[:4] == b"RIFF" and d[8:12] == b"AVI ") or d[:9] == b"YUV4MPEG2":
+        m = video_meta(d)  # already header-only
         return {"container": m["container"], "n_frames": m["n_frames"]}
     raise ValueError(
         f"unrecognized media magic {d[:4]!r}: GIF, WebP, TIFF, AVI, "

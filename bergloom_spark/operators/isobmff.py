@@ -226,14 +226,26 @@ def mp4_meta(payload: bytes) -> dict:
             f"not an ISO-BMFF payload (no ftyp box): {d[4:8]!r}"
         )
     budget = [_MAX_BOXES]
-    top = _children(d, 0, len(d), budget)
-    ftyp = _first(top, b"ftyp")
+    # The TOP level stays a lazy walk that stops at moov (review r10,
+    # second pass): materializing all top-level children re-rejected
+    # faststart files whose trailing mdat is truncated — a partially
+    # downloaded crawl object whose entire header IS present — and
+    # burned budget on post-moov boxes. "The sniff never touches
+    # mdat" includes never requiring the tail to be whole.
+    ftyp = moov = None
+    for t, b, e in _boxes(d, 0, len(d), budget):
+        if t == b"ftyp" and ftyp is None:
+            ftyp = (b, e)
+        elif t == b"moov" and moov is None:
+            moov = (b, e)
+            break
+    if ftyp is None:
+        raise ValueError("ISO-BMFF payload has no ftyp box")
     if ftyp[1] - ftyp[0] < 4:
         # slicing past the box end would read the NEXT box's size
         # bytes as the brand (review r10)
         raise ValueError("ftyp box too short to carry a major brand")
     brand = d[ftyp[0] : ftyp[0] + 4].decode("latin-1")
-    moov = _first(top, b"moov")
     if moov is None:
         raise ValueError("ISO-BMFF payload has no moov box")
     mkids = _children(d, moov[0], moov[1], budget)

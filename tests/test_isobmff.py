@@ -170,3 +170,33 @@ def test_budget_survives_legit_many_track_moov():
     m = mp4_meta(bytes(rebuilt))
     assert m["n_tracks"] == 122
     assert m["n_frames"] == 5  # the vide track still wins selection
+
+
+def test_truncated_faststart_tail_still_sniffs():
+    """Review r10 (second pass): a moov-before-mdat file whose tail
+    is truncated mid-mdat — a partially downloaded crawl object with
+    its entire header present — must sniff; the top-level walk stops
+    at moov and never requires the tail to be whole."""
+    full = make_mp4_stream(640, 360, 25, 100, mdat_bytes=256)
+    truncated = full[:-200]  # cut inside mdat
+    m = mp4_meta(truncated)
+    assert m["n_frames"] == 100
+    assert m["duration_ms"] == (100 * 1000 // 25)
+    assert video_meta(truncated)["n_frames"] == 100
+    assert media_frame_count(truncated)["n_frames"] == 100
+
+
+def test_frame_count_survives_sentinel_duration_and_bare_track():
+    """Review r10 (second pass): media_frame_count consumes only
+    n_frames, so an extractable frame count must not be rejected for
+    an undeterminable duration (all-ones sentinel) — only video_meta
+    (which returns the full all-int shape) rejects those."""
+    p = bytearray(make_mp4_stream(64, 48, 10, 5))
+    i = bytes(p).find(b"mvhd") + 4
+    dur_off = i + 4 + (4 + 4 + 4)
+    p[dur_off : dur_off + 4] = b"\xff" * 4
+    assert media_frame_count(bytes(p)) == {
+        "container": "mp4", "n_frames": 5,
+    }
+    with pytest.raises(ValueError, match="duration_ms"):
+        video_meta(bytes(p))
