@@ -1122,9 +1122,11 @@ def audio_meta(payload: bytes) -> dict:
             "duration_ms": m["duration_ms"],
         }
     if d[:4] == b"OggS":
-        from bergloom_spark.operators.oggvorbis import ogg_vorbis_meta
+        # unified Vorbis/Opus dispatch (round 10): Opus is the
+        # second-most-common Ogg audio codec in a real crawl
+        from bergloom_spark.operators.oggvorbis import ogg_meta
 
-        m = ogg_vorbis_meta(d)
+        m = ogg_meta(d)
         return {
             "container": "ogg",
             "sample_rate": m["sample_rate"],

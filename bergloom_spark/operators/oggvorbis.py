@@ -26,7 +26,13 @@ from __future__ import annotations
 
 import struct
 
-__all__ = ["ogg_vorbis_meta", "make_ogg_vorbis_stream"]
+__all__ = [
+    "ogg_vorbis_meta",
+    "ogg_opus_meta",
+    "ogg_meta",
+    "make_ogg_vorbis_stream",
+    "make_ogg_opus_stream",
+]
 
 
 def _crc_table() -> list:
@@ -87,6 +93,29 @@ def _parse_page(d: bytes, pos: int, verify_crc: bool) -> dict:
     }
 
 
+def _final_page(d: bytes, first: dict) -> tuple:
+    """Walk the remaining pages by declared sizes to the end of the
+    physical stream and return ``(final_page, n_pages)``. Only the
+    first and last pages are CRC-verified (the two the metadata
+    actually comes from); middle pages are walked by size only. The
+    final page must be EOS and carry a real granule position."""
+    pos = first["size"]
+    n_pages = 1
+    page, last_pos = first, 0
+    while pos < len(d):
+        page = _parse_page(d, pos, verify_crc=False)
+        last_pos = pos
+        n_pages += 1
+        pos += page["size"]
+    if n_pages > 1:
+        _parse_page(d, last_pos, verify_crc=True)
+    if not page["header_type"] & 0x04:
+        raise ValueError("final Ogg page is not end-of-stream (EOS)")
+    if page["granule"] == (1 << 64) - 1:  # -1: no packet boundary
+        raise ValueError("final Ogg page carries no granule position")
+    return page, n_pages
+
+
 def ogg_vorbis_meta(payload: bytes) -> dict:
     """Ogg-Vorbis bytes → corpus-triage metadata without decoding
     audio: ``{sample_rate, channels, total_samples, duration_ms,
@@ -114,25 +143,8 @@ def ogg_vorbis_meta(payload: bytes) -> dict:
     nominal = int.from_bytes(body[20:24], "little", signed=True)
     if channels == 0 or rate == 0:
         raise ValueError("Vorbis id header has zero channels/rate")
-    # walk the remaining pages by declared sizes to the end of the
-    # physical stream; only the first and last pages are CRC-verified
-    # (the two the metadata actually comes from), middle pages are
-    # walked by size only
-    pos = first["size"]
-    n_pages = 1
-    page, last_pos = first, 0
-    while pos < len(d):
-        page = _parse_page(d, pos, verify_crc=False)
-        last_pos = pos
-        n_pages += 1
-        pos += page["size"]
-    if n_pages > 1:
-        _parse_page(d, last_pos, verify_crc=True)
-    if not page["header_type"] & 0x04:
-        raise ValueError("final Ogg page is not end-of-stream (EOS)")
+    page, n_pages = _final_page(d, first)
     total = page["granule"]
-    if total == (1 << 64) - 1:  # -1: page contains no packet boundary
-        raise ValueError("final Ogg page carries no granule position")
     return {
         "sample_rate": rate,
         "channels": channels,
@@ -141,6 +153,71 @@ def ogg_vorbis_meta(payload: bytes) -> dict:
         "nominal_bitrate": nominal,
         "n_pages": n_pages,
     }
+
+
+def ogg_opus_meta(payload: bytes) -> dict:
+    """Ogg-Opus bytes (RFC 7845) → corpus-triage metadata without
+    decoding audio: ``{sample_rate, channels, pre_skip,
+    total_samples, duration_ms, n_pages}``.
+
+    The OpusHead packet on the BOS page carries channels, pre-skip,
+    and the (informational) input sample rate — 0 means unknown and
+    reports as Opus's native 48000. Granule positions count 48 kHz
+    samples INCLUDING pre-skip, so playable samples = EOS granule −
+    pre-skip and ``duration_ms = playable · 1000 // 48000`` (the
+    spec's own arithmetic, independent of the input rate). Raises
+    ValueError on anything malformed."""
+    d = payload
+    first = _parse_page(d, 0, verify_crc=True)
+    if not first["header_type"] & 0x02:
+        raise ValueError("first Ogg page is not a stream begin (BOS)")
+    body = first["body"]
+    if len(body) < 19 or body[:8] != b"OpusHead":
+        raise ValueError("first packet is not an OpusHead header")
+    if body[8] >> 4 != 0:
+        raise ValueError(f"unsupported OpusHead major version {body[8]}")
+    channels = body[9]
+    pre_skip = int.from_bytes(body[10:12], "little")
+    input_rate = int.from_bytes(body[12:16], "little")
+    if channels == 0:
+        raise ValueError("OpusHead declares zero channels")
+    page, n_pages = _final_page(d, first)
+    granule = page["granule"]
+    if granule < pre_skip:
+        raise ValueError(
+            f"EOS granule {granule} below pre-skip {pre_skip}"
+        )
+    playable = granule - pre_skip
+    return {
+        "sample_rate": input_rate or 48000,
+        "channels": channels,
+        "pre_skip": pre_skip,
+        "total_samples": playable,
+        "duration_ms": playable * 1000 // 48000,
+        "n_pages": n_pages,
+    }
+
+
+def ogg_meta(payload: bytes) -> dict:
+    """ANY Ogg audio stream → uniform triage metadata — BOS-packet
+    magic dispatch between Vorbis (``\\x01vorbis``) and Opus
+    (``OpusHead``), the two codecs that carry essentially all
+    real-world Ogg audio. Adds ``codec`` to the codec-specific
+    fields."""
+    d = payload
+    first = _parse_page(d, 0, verify_crc=True)
+    body = first["body"]
+    if body[:8] == b"OpusHead":
+        out = ogg_opus_meta(d)
+        out["codec"] = "opus"
+        return out
+    if len(body) >= 7 and body[0] == 1 and body[1:7] == b"vorbis":
+        out = ogg_vorbis_meta(d)
+        out["codec"] = "vorbis"
+        return out
+    raise ValueError(
+        f"Ogg BOS packet is neither Vorbis nor Opus: {body[:8]!r}"
+    )
 
 
 def _make_page(
@@ -212,5 +289,50 @@ def make_ogg_vorbis_stream(
         body = bytes((k % 251 + 1,)) * audio_bytes_per_page
         out += _make_page(
             body, granule, k + 1, 0x04 if is_last else 0x00
+        )
+    return bytes(out)
+
+
+def make_ogg_opus_stream(
+    channels: int,
+    playable_samples: int,
+    pre_skip: int = 312,
+    input_sample_rate: int = 48000,
+    n_audio_pages: int = 1,
+    audio_bytes_per_page: int = 64,
+) -> bytes:
+    """Synthetic Ogg-Opus container (RFC 7845 layout) for tests and
+    oracles: OpusHead on a BOS page, an OpusTags comment page
+    (granule 0, as the spec requires for header pages), then
+    ``n_audio_pages`` of opaque packet bytes with granule positions
+    rising to ``pre_skip + playable_samples`` on the EOS page."""
+    if not (1 <= channels <= 255):
+        raise ValueError("bad channel count")
+    if playable_samples < 0 or pre_skip < 0:
+        raise ValueError("negative sample counts")
+    if n_audio_pages < 1:
+        raise ValueError("need at least one audio page")
+    head = (
+        b"OpusHead"
+        + bytes((1, channels))
+        + pre_skip.to_bytes(2, "little")
+        + input_sample_rate.to_bytes(4, "little")
+        + (0).to_bytes(2, "little")  # output gain
+        + bytes((0,))                # mapping family 0
+    )
+    tags = b"OpusTags" + (5).to_bytes(4, "little") + b"synth" \
+        + (0).to_bytes(4, "little")
+    out = bytearray(_make_page(head, 0, 0, 0x02))
+    out += _make_page(tags, 0, 1, 0x00)
+    total = pre_skip + playable_samples
+    for k in range(n_audio_pages):
+        is_last = k == n_audio_pages - 1
+        granule = (
+            total if is_last
+            else pre_skip + playable_samples * (k + 1) // n_audio_pages
+        )
+        body = bytes((k % 251 + 1,)) * audio_bytes_per_page
+        out += _make_page(
+            body, granule, k + 2, 0x04 if is_last else 0x00
         )
     return bytes(out)

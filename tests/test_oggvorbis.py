@@ -136,3 +136,97 @@ def test_fuzz_point_mutations_never_crash(pos, val):
         ogg_vorbis_meta(bytes(payload))
     except ValueError:
         pass
+
+
+# ---------------------------------------------------------------------------
+# Ogg-Opus (round 10 — RFC 7845; driver row candidate r11)
+# ---------------------------------------------------------------------------
+def test_opus_roundtrip_and_duration_arithmetic():
+    from bergloom_spark.operators.oggvorbis import (
+        make_ogg_opus_stream,
+        ogg_opus_meta,
+    )
+
+    p = make_ogg_opus_stream(
+        2, playable_samples=96000, pre_skip=312,
+        input_sample_rate=44100, n_audio_pages=3,
+    )
+    m = ogg_opus_meta(p)
+    assert m == {
+        "sample_rate": 44100,
+        "channels": 2,
+        "pre_skip": 312,
+        "total_samples": 96000,
+        "duration_ms": 96000 * 1000 // 48000,
+        "n_pages": 5,  # BOS + OpusTags + 3 audio
+    }
+
+
+def test_opus_unknown_input_rate_reports_native_48k():
+    from bergloom_spark.operators.oggvorbis import (
+        make_ogg_opus_stream,
+        ogg_opus_meta,
+    )
+
+    m = ogg_opus_meta(
+        make_ogg_opus_stream(1, 4800, input_sample_rate=0)
+    )
+    assert m["sample_rate"] == 48000
+
+
+def test_ogg_meta_dispatch_and_audio_meta_route():
+    from bergloom_spark.operators.avcodec import audio_meta
+    from bergloom_spark.operators.oggvorbis import (
+        make_ogg_opus_stream,
+        make_ogg_vorbis_stream,
+        ogg_meta,
+    )
+
+    v = ogg_meta(make_ogg_vorbis_stream(44100, 2, 44100))
+    assert (v["codec"], v["sample_rate"]) == ("vorbis", 44100)
+    o = ogg_meta(make_ogg_opus_stream(6, 48000))
+    assert (o["codec"], o["channels"]) == ("opus", 6)
+    a = audio_meta(make_ogg_opus_stream(2, 24000, pre_skip=0))
+    assert a == {
+        "container": "ogg", "sample_rate": 48000, "channels": 2,
+        "duration_ms": 500,
+    }
+    import pytest
+
+    from bergloom_spark.operators.oggvorbis import _make_page
+
+    with pytest.raises(ValueError, match="neither Vorbis nor Opus"):
+        ogg_meta(_make_page(b"\x7fFLAC....", 0, 0, 0x02))
+
+
+def test_opus_rejections_and_fuzz():
+    import numpy as np
+    import pytest
+
+    from bergloom_spark.operators.oggvorbis import (
+        make_ogg_opus_stream,
+        ogg_opus_meta,
+    )
+
+    base = make_ogg_opus_stream(2, 9600, pre_skip=312)
+    # granule below pre-skip
+    bad = bytearray(make_ogg_opus_stream(2, 0, pre_skip=50000))
+    i = bytes(bad).find(b"OpusHead") + 10
+    # raise pre_skip above the EOS granule
+    bad[i : i + 2] = (60000).to_bytes(2, "little")
+    with pytest.raises(ValueError, match="CRC|pre-skip"):
+        ogg_opus_meta(bytes(bad))
+    rng = np.random.RandomState(13)
+    for cut in range(0, len(base), 3):
+        try:
+            ogg_opus_meta(base[:cut])
+        except ValueError:
+            pass
+    for _ in range(1500):
+        b = bytearray(base)
+        for _ in range(1 + rng.randint(4)):
+            b[rng.randint(len(b))] = rng.randint(256)
+        try:
+            ogg_opus_meta(bytes(b))
+        except ValueError:
+            pass

@@ -41,14 +41,18 @@ HANG_SECONDS = 30.0
 # ---------------------------------------------------------------------------
 def _seeds_ogg():
     from bergloom_spark.operators.oggvorbis import (
+        make_ogg_opus_stream,
         make_ogg_vorbis_stream,
-        ogg_vorbis_meta,
+        ogg_meta,
     )
 
-    return ogg_vorbis_meta, [
+    return ogg_meta, [
         make_ogg_vorbis_stream(44100, 2, 44100, n_audio_pages=2),
         make_ogg_vorbis_stream(8000, 1, 0, n_audio_pages=1),
         make_ogg_vorbis_stream(48000, 8, 123457, n_audio_pages=3),
+        make_ogg_opus_stream(2, 96000, pre_skip=312,
+                             input_sample_rate=44100, n_audio_pages=2),
+        make_ogg_opus_stream(1, 4800, input_sample_rate=0),
     ]
 
 
