@@ -1095,6 +1095,101 @@ def wav_meta(payload: bytes) -> dict:
     }
 
 
+def aiff_meta(payload: bytes) -> dict:
+    """Header-only AIFF/AIFF-C triage (round 10): ``{sample_rate,
+    channels, bits_per_sample, n_samples, duration_ms, compression}``
+    from the COMM chunk of an IFF FORM container — sample data (SSND)
+    is never read. The sample rate is AIFF's 80-bit IEEE 754 extended
+    float, decoded exactly via integer arithmetic on the explicit-
+    integer-bit mantissa (every real rate is an integer, so the
+    decode is bit-exact and oracle-replayable). AIFF-C reports its
+    compression fourcc; ``NONE``/``sowt`` are PCM. Raises ValueError
+    on anything malformed."""
+    d = payload
+    if d[:4] != b"FORM" or d[8:12] not in (b"AIFF", b"AIFC"):
+        raise ValueError("not an IFF FORM/AIFF payload")
+    aifc = d[8:12] == b"AIFC"
+    pos, comm = 12, None
+    while pos + 8 <= len(d):
+        cid = d[pos : pos + 4]
+        (size,) = struct.unpack_from(">I", d, pos + 4)
+        if pos + 8 + size > len(d):
+            raise ValueError(f"truncated AIFF chunk {cid!r}")
+        if cid == b"COMM":
+            if size < 18:
+                raise ValueError("COMM chunk shorter than 18 bytes")
+            comm = d[pos + 8 : pos + 8 + size]
+        pos += 8 + size + (size & 1)
+    if comm is None:
+        raise ValueError("AIFF payload has no COMM chunk")
+    channels, n_frames, bits = struct.unpack_from(">HIH", comm, 0)
+    # 80-bit extended float: 1 sign + 15 exponent + 64 mantissa with
+    # an EXPLICIT integer bit (no hidden bit)
+    exp = struct.unpack_from(">H", comm, 8)[0]
+    mant = int.from_bytes(comm[10:18], "big")
+    if exp & 0x8000:
+        raise ValueError("negative AIFF sample rate")
+    if exp == 0 and mant == 0:
+        raise ValueError("AIFF sample rate is 0 (invalid)")
+    if exp == 0x7FFF:
+        raise ValueError("AIFF sample rate is inf/NaN")
+    shift = exp - 16383 - 63
+    if not -80 <= shift <= 40:
+        raise ValueError(f"AIFF sample rate exponent {exp} out of range")
+    rate = mant << shift if shift >= 0 else mant >> -shift
+    if rate == 0 or channels == 0:
+        raise ValueError("AIFF has zero rate/channels")
+    compression = None
+    if aifc:
+        if len(comm) < 22:
+            raise ValueError("AIFF-C COMM chunk lacks compression type")
+        compression = comm[18:22].decode("latin-1")
+    return {
+        "sample_rate": rate,
+        "channels": channels,
+        "bits_per_sample": bits,
+        "n_samples": n_frames,
+        "duration_ms": n_frames * 1000 // rate,
+        "compression": compression,
+    }
+
+
+def make_aiff(
+    sample_rate: int,
+    channels: int,
+    bits_per_sample: int,
+    n_frames: int,
+    compression: str | None = None,
+    audio_bytes: int = 0,
+) -> bytes:
+    """Synthetic AIFF (or AIFF-C when ``compression`` is set) for
+    tests/oracles: a spec-layout COMM chunk (80-bit extended-float
+    rate) plus ``audio_bytes`` of opaque SSND payload the sniffer
+    must never read."""
+    if sample_rate <= 0 or channels <= 0 or n_frames < 0:
+        raise ValueError("bad AIFF parameters")
+    # integer → 80-bit extended: normalize the explicit integer bit
+    bl = sample_rate.bit_length()
+    exp = 16383 + bl - 1
+    mant = sample_rate << (64 - bl)
+    comm = struct.pack(">HIH", channels, n_frames, bits_per_sample)
+    comm += struct.pack(">H", exp) + mant.to_bytes(8, "big")
+    form_type = b"AIFF"
+    if compression is not None:
+        form_type = b"AIFC"
+        comm += compression.encode("latin-1")[:4].ljust(4, b" ")
+        comm += b"\x00\x00"  # empty pascal-string compression name
+    chunks = b"COMM" + struct.pack(">I", len(comm)) + comm
+    if len(comm) & 1:
+        chunks += b"\x00"
+    ssnd = b"\x00" * 8 + bytes(audio_bytes)
+    chunks += b"SSND" + struct.pack(">I", len(ssnd)) + ssnd
+    if len(ssnd) & 1:
+        chunks += b"\x00"
+    return b"FORM" + struct.pack(">I", 4 + len(chunks)) + form_type \
+        + chunks
+
+
 def audio_meta(payload: bytes) -> dict:
     """ANY audio container → uniform triage metadata
     ``{container, sample_rate, channels, duration_ms}`` — the audio
@@ -1133,6 +1228,14 @@ def audio_meta(payload: bytes) -> dict:
             "channels": m["channels"],
             "duration_ms": m["duration_ms"],
         }
+    if d[:4] == b"FORM" and d[8:12] in (b"AIFF", b"AIFC"):
+        m = aiff_meta(d)
+        return {
+            "container": "aiff",
+            "sample_rate": m["sample_rate"],
+            "channels": m["channels"],
+            "duration_ms": m["duration_ms"],
+        }
     if d[:3] == b"ID3" or (len(d) >= 2 and d[0] == 0xFF
                            and (d[1] & 0xE0) == 0xE0):
         m = mp3_meta(d)
@@ -1143,8 +1246,8 @@ def audio_meta(payload: bytes) -> dict:
             "duration_ms": m["duration_ms"],
         }
     raise ValueError(
-        f"unrecognized audio magic {d[:4]!r}: WAV, FLAC, Ogg-Vorbis, "
-        "and MP3 sniff"
+        f"unrecognized audio magic {d[:4]!r}: WAV, FLAC, Ogg "
+        "(Vorbis/Opus), AIFF, and MP3 sniff"
     )
 
 

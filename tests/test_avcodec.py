@@ -736,3 +736,69 @@ def test_id3v24_frame_level_unsync_and_flags():
            + bytes((0, 0, 0, len(bad3)))) + bad3
     with pytest.raises(ValueError, match="not supported"):
         id3v2_tags(t3b)
+
+
+# ---------------------------------------------------------------------------
+# AIFF/AIFF-C triage (round 10; driver row candidate r11)
+# ---------------------------------------------------------------------------
+def test_aiff_roundtrip_and_extended_float_rates():
+    from bergloom_spark.operators.avcodec import aiff_meta, make_aiff
+
+    for rate in (8000, 11025, 22050, 44100, 48000, 96000, 192000):
+        m = aiff_meta(make_aiff(rate, 2, 16, rate * 3, audio_bytes=32))
+        assert m["sample_rate"] == rate
+        assert m["duration_ms"] == 3000
+        assert m["compression"] is None
+    c = aiff_meta(make_aiff(44100, 1, 16, 44100, compression="sowt"))
+    assert (c["compression"], c["duration_ms"]) == ("sowt", 1000)
+
+
+def test_aiff_audio_meta_route_and_rejections():
+    import pytest
+
+    from bergloom_spark.operators.avcodec import (
+        aiff_meta,
+        audio_meta,
+        make_aiff,
+    )
+
+    a = audio_meta(make_aiff(22050, 4, 24, 11025))
+    assert a == {
+        "container": "aiff", "sample_rate": 22050, "channels": 4,
+        "duration_ms": 500,
+    }
+    with pytest.raises(ValueError, match="FORM"):
+        aiff_meta(b"RIFF" + bytes(20))
+    # zero rate (exp=0, mant=0)
+    bad = bytearray(make_aiff(44100, 2, 16, 100))
+    i = bytes(bad).find(b"COMM") + 8 + 8
+    bad[i : i + 10] = bytes(10)
+    with pytest.raises(ValueError, match="rate"):
+        aiff_meta(bytes(bad))
+    # inf/NaN rate (exp=0x7FFF)
+    bad[i : i + 2] = b"\x7f\xff"
+    with pytest.raises(ValueError, match="inf"):
+        aiff_meta(bytes(bad))
+
+
+def test_aiff_fuzz_contract():
+    import numpy as np
+
+    from bergloom_spark.operators.avcodec import aiff_meta, make_aiff
+
+    rng = np.random.RandomState(14)
+    base = make_aiff(44100, 2, 16, 44100, compression="NONE",
+                     audio_bytes=64)
+    for cut in range(len(base)):
+        try:
+            aiff_meta(base[:cut])
+        except ValueError:
+            pass
+    for _ in range(2000):
+        b = bytearray(base)
+        for _ in range(1 + rng.randint(4)):
+            b[rng.randint(len(b))] = rng.randint(256)
+        try:
+            aiff_meta(bytes(b))
+        except ValueError:
+            pass

@@ -210,10 +210,14 @@ def _seeds_audio_meta():
     )
     from bergloom_spark.operators.oggvorbis import make_ogg_vorbis_stream
 
+    from bergloom_spark.operators.avcodec import make_aiff
+
     return audio_meta, [
         encode_wav(np.zeros(500, np.int16), 16000),
         make_flac_stream(44100, 2, 16, 44100),
         make_ogg_vorbis_stream(48000, 2, 4800, n_audio_pages=1),
+        make_aiff(44100, 2, 16, 44100, audio_bytes=32),
+        make_aiff(48000, 1, 24, 4800, compression="NONE"),
     ]
 
 
