@@ -205,12 +205,17 @@ class _HuffDecoder:
         self.lut_len = [0] * (1 << _LUT_BITS)
         for ln in range(1, min(self.max_len, _LUT_BITS) + 1):
             c0 = self.first_code[ln]
+            span = 1 << (_LUT_BITS - ln)
+            len_fill = [ln] * span
             for k in range(self.counts[ln]):
                 base = (c0 + k) << (_LUT_BITS - ln)
                 sym = self.symbols[self.first_idx[ln] + k]
-                for slot in range(base, base + (1 << (_LUT_BITS - ln))):
-                    self.lut_sym[slot] = sym
-                    self.lut_len[slot] = ln
+                # C-speed slice fills instead of a per-slot Python
+                # loop: LUT construction was 44% of decode wall time
+                # on small frames (r10 profile) — table build cost
+                # scales with 2^LUT_BITS regardless of image size
+                self.lut_sym[base : base + span] = [sym] * span
+                self.lut_len[base : base + span] = len_fill
 
     def decode(self, br: _BitReader) -> int:
         if self.single is not None:
