@@ -116,6 +116,13 @@ def _final_page(d: bytes, first: dict) -> tuple:
     return page, n_pages
 
 
+def _bos_page(d: bytes) -> dict:
+    first = _parse_page(d, 0, verify_crc=True)
+    if not first["header_type"] & 0x02:
+        raise ValueError("first Ogg page is not a stream begin (BOS)")
+    return first
+
+
 def ogg_vorbis_meta(payload: bytes) -> dict:
     """Ogg-Vorbis bytes → corpus-triage metadata without decoding
     audio: ``{sample_rate, channels, total_samples, duration_ms,
@@ -128,10 +135,10 @@ def ogg_vorbis_meta(payload: bytes) -> dict:
     granule-position contract; -1/absent granules on the last page
     raise, as does a non-EOS final page). Raises ValueError on
     anything malformed."""
-    d = payload
-    first = _parse_page(d, 0, verify_crc=True)
-    if not first["header_type"] & 0x02:
-        raise ValueError("first Ogg page is not a stream begin (BOS)")
+    return _vorbis_meta(payload, _bos_page(payload))
+
+
+def _vorbis_meta(d: bytes, first: dict) -> dict:
     body = first["body"]
     if len(body) < 30 or body[0] != 1 or body[1:7] != b"vorbis":
         raise ValueError("first packet is not a Vorbis id header")
@@ -167,10 +174,10 @@ def ogg_opus_meta(payload: bytes) -> dict:
     pre-skip and ``duration_ms = playable · 1000 // 48000`` (the
     spec's own arithmetic, independent of the input rate). Raises
     ValueError on anything malformed."""
-    d = payload
-    first = _parse_page(d, 0, verify_crc=True)
-    if not first["header_type"] & 0x02:
-        raise ValueError("first Ogg page is not a stream begin (BOS)")
+    return _opus_meta(payload, _bos_page(payload))
+
+
+def _opus_meta(d: bytes, first: dict) -> dict:
     body = first["body"]
     if len(body) < 19 or body[:8] != b"OpusHead":
         raise ValueError("first packet is not an OpusHead header")
@@ -181,6 +188,22 @@ def ogg_opus_meta(payload: bytes) -> dict:
     input_rate = int.from_bytes(body[12:16], "little")
     if channels == 0:
         raise ValueError("OpusHead declares zero channels")
+    family = body[18]
+    # RFC 7845 §5.1.1: family 0 is restricted to mono/stereo; any
+    # other family carries a channel-mapping table of 2+channels
+    # bytes (review r10 — the writer previously emitted family-0
+    # headers for >2 channels, which no real muxer produces)
+    if family == 0:
+        if channels > 2:
+            raise ValueError(
+                f"OpusHead mapping family 0 allows 1-2 channels, "
+                f"got {channels}"
+            )
+    elif len(body) < 19 + 2 + channels:
+        raise ValueError(
+            "OpusHead mapping table truncated for family "
+            f"{family} x {channels} channels"
+        )
     page, n_pages = _final_page(d, first)
     granule = page["granule"]
     if granule < pre_skip:
@@ -203,16 +226,19 @@ def ogg_meta(payload: bytes) -> dict:
     magic dispatch between Vorbis (``\\x01vorbis``) and Opus
     (``OpusHead``), the two codecs that carry essentially all
     real-world Ogg audio. Adds ``codec`` to the codec-specific
-    fields."""
+    fields. The BOS page is parsed (and CRC-verified) ONCE and handed
+    to the codec reader — the dominant per-item cost in the triage
+    path is the pure-Python page CRC, so dispatch must not double it
+    (review r10)."""
     d = payload
-    first = _parse_page(d, 0, verify_crc=True)
+    first = _bos_page(d)
     body = first["body"]
     if body[:8] == b"OpusHead":
-        out = ogg_opus_meta(d)
+        out = _opus_meta(d, first)
         out["codec"] = "opus"
         return out
     if len(body) >= 7 and body[0] == 1 and body[1:7] == b"vorbis":
-        out = ogg_vorbis_meta(d)
+        out = _vorbis_meta(d, first)
         out["codec"] = "vorbis"
         return out
     raise ValueError(
@@ -318,8 +344,13 @@ def make_ogg_opus_stream(
         + pre_skip.to_bytes(2, "little")
         + input_sample_rate.to_bytes(4, "little")
         + (0).to_bytes(2, "little")  # output gain
-        + bytes((0,))                # mapping family 0
     )
+    if channels <= 2:
+        head += bytes((0,))  # mapping family 0 (mono/stereo only)
+    else:
+        # RFC 7845 §5.1.1: >2 channels require family 1 + a mapping
+        # table (stream count, coupled count, per-channel mapping)
+        head += bytes((1, channels, 0)) + bytes(range(channels))
     tags = b"OpusTags" + (5).to_bytes(4, "little") + b"synth" \
         + (0).to_bytes(4, "little")
     out = bytearray(_make_page(head, 0, 0, 0x02))

@@ -204,6 +204,8 @@ class _HuffDecoder:
         self.lut_sym = [0] * (1 << _LUT_BITS)
         self.lut_len = [0] * (1 << _LUT_BITS)
         for ln in range(1, min(self.max_len, _LUT_BITS) + 1):
+            if not self.counts[ln]:
+                continue  # skewed histograms: no allocs for empty rows
             c0 = self.first_code[ln]
             span = 1 << (_LUT_BITS - ln)
             len_fill = [ln] * span

@@ -209,13 +209,28 @@ def test_opus_rejections_and_fuzz():
     )
 
     base = make_ogg_opus_stream(2, 9600, pre_skip=312)
-    # granule below pre-skip
-    bad = bytearray(make_ogg_opus_stream(2, 0, pre_skip=50000))
-    i = bytes(bad).find(b"OpusHead") + 10
-    # raise pre_skip above the EOS granule
-    bad[i : i + 2] = (60000).to_bytes(2, "little")
-    with pytest.raises(ValueError, match="CRC|pre-skip"):
-        ogg_opus_meta(bytes(bad))
+    # granule below pre-skip: hand-build spec-valid pages (review
+    # r10 — mutating header bytes fails the CRC check BEFORE the
+    # pre-skip guard, leaving it uncovered)
+    from bergloom_spark.operators.oggvorbis import _make_page
+
+    head = (
+        b"OpusHead" + bytes((1, 2))
+        + (50000).to_bytes(2, "little")
+        + (48000).to_bytes(4, "little")
+        + (0).to_bytes(2, "little") + bytes((0,))
+    )
+    bad = _make_page(head, 0, 0, 0x02) + _make_page(bytes(8), 10, 1, 0x04)
+    with pytest.raises(ValueError, match="below pre-skip"):
+        ogg_opus_meta(bad)
+    # family 0 with >2 channels is RFC-7845-invalid
+    h6 = bytearray(head)
+    h6[9] = 6
+    bad6 = _make_page(bytes(h6), 0, 0, 0x02) + _make_page(
+        bytes(8), 60000, 1, 0x04
+    )
+    with pytest.raises(ValueError, match="family 0"):
+        ogg_opus_meta(bad6)
     rng = np.random.RandomState(13)
     for cut in range(0, len(base), 3):
         try:

@@ -206,11 +206,10 @@ def _seeds_audio_meta():
     from bergloom_spark.operators.avcodec import (
         audio_meta,
         encode_wav,
+        make_aiff,
         make_flac_stream,
     )
     from bergloom_spark.operators.oggvorbis import make_ogg_vorbis_stream
-
-    from bergloom_spark.operators.avcodec import make_aiff
 
     return audio_meta, [
         encode_wav(np.zeros(500, np.int16), 16000),
