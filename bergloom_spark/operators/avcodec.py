@@ -1236,6 +1236,28 @@ def audio_meta(payload: bytes) -> dict:
             "channels": m["channels"],
             "duration_ms": m["duration_ms"],
         }
+    if len(d) >= 12 and d[4:8] == b"ftyp":
+        # m4a/AAC — the most common lossy-audio container after MP3
+        # (round 10): rate/channels from the AudioSampleEntry,
+        # duration from the movie header
+        from bergloom_spark.operators.isobmff import mp4_meta
+
+        m = mp4_meta(d)
+        missing = [
+            k for k in ("audio_rate", "audio_channels", "duration_ms")
+            if m[k] is None or (k != "duration_ms" and m[k] == 0)
+        ]
+        if missing:
+            raise ValueError(
+                "MP4 payload lacks audio triage fields: "
+                + ", ".join(missing)
+            )
+        return {
+            "container": "m4a",
+            "sample_rate": m["audio_rate"],
+            "channels": m["audio_channels"],
+            "duration_ms": m["duration_ms"],
+        }
     if d[:3] == b"ID3" or (len(d) >= 2 and d[0] == 0xFF
                            and (d[1] & 0xE0) == 0xE0):
         m = mp3_meta(d)

@@ -20,7 +20,12 @@ import struct
 
 from bergloom_spark.operators.tiffcodec import _first_ifd, _ifd_entries
 
-__all__ = ["exif_meta", "make_exif_jpeg", "make_exif_tiff"]
+__all__ = [
+    "exif_meta",
+    "make_exif_jpeg",
+    "make_exif_tiff",
+    "make_exif_png",
+]
 
 _ORIENTATION = 0x0112
 _DATETIME = 0x0132
@@ -97,8 +102,26 @@ def exif_meta(payload: bytes) -> dict:
         meta = _tiff_exif(d)
         meta["container"] = "tiff"
         return meta
+    if d[:8] == b"\x89PNG\r\n\x1a\n":
+        # PNG 1.5's eXIf chunk (round 10): the raw TIFF blob inside a
+        # standard chunk walk — IDAT is never inflated
+        pos = 8
+        while pos + 8 <= len(d):
+            (clen,) = struct.unpack_from(">I", d, pos)
+            ctype = d[pos + 4 : pos + 8]
+            if pos + 12 + clen > len(d):
+                raise ValueError(f"truncated PNG chunk {ctype!r}")
+            if ctype == b"eXIf":
+                meta = _tiff_exif(d[pos + 8 : pos + 8 + clen])
+                meta["container"] = "png"
+                return meta
+            if ctype == b"IEND":
+                break
+            pos += 12 + clen  # length + type + body + CRC
+        raise ValueError("PNG carries no eXIf chunk")
     raise ValueError(
-        f"unrecognized EXIF carrier magic {d[:4]!r}: JPEG and TIFF"
+        f"unrecognized EXIF carrier magic {d[:4]!r}: JPEG, TIFF, "
+        "and PNG"
     )
 
 
@@ -168,6 +191,29 @@ def make_exif_jpeg(
     body = b"Exif\x00\x00" + blob
     seg = b"\xff\xe1" + struct.pack(">H", 2 + len(body)) + body
     return jpeg[:2] + seg + jpeg[2:]
+
+
+def make_exif_png(
+    png: bytes,
+    orientation: int = 1,
+    datetime: str = "2020:01:01 00:00:00",
+    datetime_original: str = "2020:01:01 00:00:00",
+    make: str = "synthcam",
+) -> bytes:
+    """Inject a PNG 1.5 eXIf chunk (raw TIFF blob, real chunk CRC)
+    right after IHDR — for tests and oracles."""
+    import zlib
+
+    if png[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG payload")
+    (ihdr_len,) = struct.unpack_from(">I", png, 8)
+    insert_at = 8 + 12 + ihdr_len  # after IHDR's CRC
+    blob = _build_tiff_blob(orientation, datetime, datetime_original, make)
+    chunk = (
+        struct.pack(">I", len(blob)) + b"eXIf" + blob
+        + struct.pack(">I", zlib.crc32(b"eXIf" + blob) & 0xFFFFFFFF)
+    )
+    return png[:insert_at] + chunk + png[insert_at:]
 
 
 def make_exif_tiff(

@@ -145,6 +145,7 @@ def _track_meta(d: bytes, body: int, end: int, budget: list) -> dict:
         "handler": None, "width": None, "height": None,
         "codec": None, "n_samples": None, "sample_delta": None,
         "media_timescale": None, "media_duration": None,
+        "entry_channels": None, "entry_rate": None,
     }
     kids = _children(d, body, end, budget)
     tk = _first(kids, b"tkhd")
@@ -183,6 +184,17 @@ def _track_meta(d: bytes, body: int, end: int, budget: list) -> dict:
             if p + 12 > e:
                 raise ValueError("truncated stsd sample entry")
             out["codec"] = d[p + 8 : p + 12].decode("latin-1")
+            # AudioSampleEntry (ISO 14496-12 §12.2.3): channelcount
+            # at entry+24, samplerate (16.16 fixed) at entry+32 —
+            # an m4a corpus triages rate/channels from here (r10)
+            entry = p + 4
+            if entry + 36 <= e:
+                out["entry_channels"] = struct.unpack_from(
+                    ">H", d, entry + 24
+                )[0]
+                out["entry_rate"] = (
+                    struct.unpack_from(">I", d, entry + 32)[0] >> 16
+                )
     sz = _first(skids, b"stsz")
     if sz is not None:
         b, e = sz
@@ -259,6 +271,7 @@ def mp4_meta(payload: bytes) -> dict:
         if t == b"trak"
     ]
     video = next((t for t in tracks if t["handler"] == "vide"), None)
+    audio = next((t for t in tracks if t["handler"] == "soun"), None)
     out = {
         "container": "mp4",
         "brand": brand,
@@ -271,7 +284,14 @@ def mp4_meta(payload: bytes) -> dict:
         "n_frames": None,
         "usec_per_frame": None,
         "video_codec": None,
+        "audio_codec": None,
+        "audio_rate": None,
+        "audio_channels": None,
     }
+    if audio is not None:
+        out["audio_codec"] = audio["codec"]
+        out["audio_rate"] = audio["entry_rate"]
+        out["audio_channels"] = audio["entry_channels"]
     if video is not None:
         out["width"] = video["width"]
         out["height"] = video["height"]
@@ -307,6 +327,9 @@ def make_mp4_stream(
     movie_timescale: int = 1000,
     codec: str = "avc1",
     audio_track: bool = False,
+    audio_rate: int = 48000,
+    audio_channels: int = 2,
+    video_track: bool = True,
     mdat_bytes: int = 0,
     version1: bool = False,
 ) -> bytes:
@@ -371,10 +394,20 @@ def make_mp4_stream(
             b"hdlr", 0, bytes(4) + handler + bytes(12) + b"synth\x00"
         )
         fourcc = codec.encode("latin-1") if is_video else b"mp4a"
-        # minimal sample entry: 8-byte box header + 8 reserved/index
-        entry = struct.pack(">I", 16) + fourcc + bytes(6) + struct.pack(
-            ">H", 1
-        )
+        if is_video:
+            # minimal entry: 8-byte box header + 8 reserved/index
+            entry = struct.pack(">I", 16) + fourcc + bytes(6) \
+                + struct.pack(">H", 1)
+        else:
+            # full 36-byte AudioSampleEntry (ISO 14496-12 §12.2.3):
+            # reserved(6) dri(2) reserved(8) channels(2) bits(2)
+            # predefined(2) reserved(2) samplerate 16.16(4)
+            entry = (
+                struct.pack(">I", 36) + fourcc + bytes(6)
+                + struct.pack(">H", 1) + bytes(8)
+                + struct.pack(">HHHH", audio_channels, 16, 0, 0)
+                + struct.pack(">I", audio_rate << 16)
+            )
         stsd = _full(b"stsd", 0, struct.pack(">I", 1) + entry)
         stts = _full(
             b"stts", 0, struct.pack(">III", 1, n_frames, 1)
@@ -398,7 +431,7 @@ def make_mp4_stream(
         )
 
     ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2")
-    traks = trak(b"vide", 1)
+    traks = b"" if not video_track else trak(b"vide", 1)
     if audio_track:
         traks += trak(b"soun", 2)
     moov = _box(b"moov", mvhd() + traks)

@@ -55,6 +55,10 @@ def test_rejections():
     with pytest.raises(ValueError, match="no EXIF"):
         exif_meta(_jpeg())  # plain JPEG: absent EXIF is a rejection
     with pytest.raises(ValueError, match="magic"):
+        exif_meta(b"GIF89a" + bytes(30))
+    # PNG is a carrier since r10 — one without the chunk rejects
+    # with the absent-metadata message, not unknown-magic
+    with pytest.raises(ValueError, match="no eXIf|truncated"):
         exif_meta(b"\x89PNG\r\n\x1a\n" + bytes(30))
     bad = bytearray(make_exif_tiff(orientation=5))
     # poke orientation to the out-of-spec value 9 (inline SHORT)
@@ -104,3 +108,41 @@ def test_fill_bytes_and_eoi_are_spec_valid():
     # fill bytes then EOI: same clean rejection
     with pytest.raises(ValueError, match="no EXIF"):
         exif_meta(b"\xff\xd8\xff\xff\xff\xd9\x00\x00")
+
+
+def test_png_exif_carrier_roundtrip_and_decode_transparency():
+    """Round 10: PNG 1.5 eXIf chunk carrier — chunk walk, IDAT never
+    inflated, injected chunk invisible to the pixel decoder."""
+    import numpy as np
+
+    from bergloom_spark.operators.exif import make_exif_png
+    from bergloom_spark.operators.pngcodec import decode_png, encode_png
+
+    img = np.arange(48, dtype=np.uint8).reshape(4, 4, 3) * 5
+    base = encode_png(img)
+    p = make_exif_png(
+        base, orientation=5, datetime="2022:03:04 05:06:07",
+        make="pngcam",
+    )
+    m = exif_meta(p)
+    assert (m["container"], m["orientation"], m["make"]) == (
+        "png", 5, "pngcam",
+    )
+    assert (decode_png(p) == decode_png(base)).all()
+    with pytest.raises(ValueError, match="no eXIf"):
+        exif_meta(base)
+    # fuzz contract over the PNG carrier
+    rng = np.random.RandomState(15)
+    for cut in range(0, len(p), 3):
+        try:
+            exif_meta(p[:cut])
+        except ValueError:
+            pass
+    for _ in range(600):
+        b = bytearray(p)
+        for _ in range(1 + rng.randint(3)):
+            b[rng.randint(len(b))] = rng.randint(256)
+        try:
+            exif_meta(bytes(b))
+        except ValueError:
+            pass

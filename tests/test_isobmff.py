@@ -30,6 +30,9 @@ def test_roundtrip_v0():
         "n_frames": 100,
         "usec_per_frame": 1_000_000 // 25,
         "video_codec": "avc1",
+        "audio_codec": None,
+        "audio_rate": None,
+        "audio_channels": None,
     }
 
 
@@ -200,3 +203,32 @@ def test_frame_count_survives_sentinel_duration_and_bare_track():
     }
     with pytest.raises(ValueError, match="duration_ms"):
         video_meta(bytes(p))
+
+
+def test_audio_sample_entry_and_m4a_route():
+    """Round 10: AudioSampleEntry rate/channels (ISO 14496-12
+    12.2.3) surface in mp4_meta, and audio_meta routes ftyp payloads
+    as m4a — the most common lossy-audio container after MP3."""
+    from bergloom_spark.operators.avcodec import audio_meta
+
+    p = make_mp4_stream(
+        0, 0, 10, 0, video_track=False, audio_track=True,
+        audio_rate=44100, audio_channels=6, movie_timescale=1000,
+    )
+    m = mp4_meta(p)
+    assert (m["audio_codec"], m["audio_rate"], m["audio_channels"]) \
+        == ("mp4a", 44100, 6)
+    assert m["n_frames"] is None  # no video track
+    a = audio_meta(
+        make_mp4_stream(
+            0, 0, 25, 0, video_track=False, audio_track=True,
+            audio_rate=48000, audio_channels=2,
+        )
+    )
+    assert a["container"] == "m4a"
+    assert (a["sample_rate"], a["channels"]) == (48000, 2)
+    # a video-only MP4 must reject in the AUDIO triage
+    import pytest
+
+    with pytest.raises(ValueError, match="audio"):
+        audio_meta(make_mp4_stream(64, 48, 10, 5))
