@@ -1236,10 +1236,17 @@ def audio_meta(payload: bytes) -> dict:
             "channels": m["channels"],
             "duration_ms": m["duration_ms"],
         }
-    if len(d) >= 12 and d[4:8] == b"ftyp":
+    if (
+        len(d) >= 12
+        and d[4:8] == b"ftyp"
+        and 8 <= int.from_bytes(d[:4], "big") <= len(d)
+    ):
         # m4a/AAC — the most common lossy-audio container after MP3
         # (round 10): rate/channels from the AudioSampleEntry,
-        # duration from the movie header
+        # duration from the movie header. The leading box size must
+        # be plausible so a bare-frame MP3 whose compressed bytes
+        # 4:8 spell 'ftyp' still routes to the MP3 walk below
+        # (review r10, fourth pass — repro'd misroute)
         from bergloom_spark.operators.isobmff import mp4_meta
 
         m = mp4_meta(d)
@@ -1269,7 +1276,7 @@ def audio_meta(payload: bytes) -> dict:
         }
     raise ValueError(
         f"unrecognized audio magic {d[:4]!r}: WAV, FLAC, Ogg "
-        "(Vorbis/Opus), AIFF, and MP3 sniff"
+        "(Vorbis/Opus), AIFF, MP4/m4a, and MP3 sniff"
     )
 
 

@@ -58,7 +58,7 @@ def _tiff_exif(blob: bytes) -> dict:
 
 
 def exif_meta(payload: bytes) -> dict:
-    """JPEG or TIFF bytes → ``{container, orientation, datetime,
+    """JPEG, TIFF, or PNG bytes → ``{container, orientation, datetime,
     datetime_original, make, model}`` without any pixel decode.
 
     JPEG: marker walk to the APP1 ``Exif\\0\\0`` segment (stops at
@@ -204,9 +204,11 @@ def make_exif_png(
     right after IHDR — for tests and oracles."""
     import zlib
 
-    if png[:8] != b"\x89PNG\r\n\x1a\n":
+    if png[:8] != b"\x89PNG\r\n\x1a\n" or len(png) < 16:
         raise ValueError("not a PNG payload")
     (ihdr_len,) = struct.unpack_from(">I", png, 8)
+    if png[12:16] != b"IHDR" or 8 + 12 + ihdr_len > len(png):
+        raise ValueError("PNG payload does not start with a whole IHDR")
     insert_at = 8 + 12 + ihdr_len  # after IHDR's CRC
     blob = _build_tiff_blob(orientation, datetime, datetime_original, make)
     chunk = (

@@ -186,9 +186,14 @@ def _track_meta(d: bytes, body: int, end: int, budget: list) -> dict:
             out["codec"] = d[p + 8 : p + 12].decode("latin-1")
             # AudioSampleEntry (ISO 14496-12 §12.2.3): channelcount
             # at entry+24, samplerate (16.16 fixed) at entry+32 —
-            # an m4a corpus triages rate/channels from here (r10)
+            # an m4a corpus triages rate/channels from here (r10).
+            # Bound by the FIRST entry's own declared size, not the
+            # stsd box end — a short first entry followed by a second
+            # entry otherwise leaks the neighbor's bytes into the
+            # audio fields (review r10, fourth pass)
             entry = p + 4
-            if entry + 36 <= e:
+            (esize,) = struct.unpack_from(">I", d, entry)
+            if esize >= 36 and entry + esize <= e:
                 out["entry_channels"] = struct.unpack_from(
                     ">H", d, entry + 24
                 )[0]
@@ -218,7 +223,8 @@ def _track_meta(d: bytes, body: int, end: int, budget: list) -> dict:
 
 def mp4_meta(payload: bytes) -> dict:
     """MP4/MOV bytes → ``{container, brand, width, height, n_frames,
-    usec_per_frame, duration_ms, video_codec, n_tracks}`` with no
+    usec_per_frame, duration_ms, video_codec, audio_codec,
+    audio_rate, audio_channels, n_tracks}`` with no
     packet demux (ISO/IEC 14496-12 box walk, ``moov`` subtree only).
 
     ``duration_ms`` is the movie-header quantity

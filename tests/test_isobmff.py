@@ -232,3 +232,42 @@ def test_audio_sample_entry_and_m4a_route():
 
     with pytest.raises(ValueError, match="audio"):
         audio_meta(make_mp4_stream(64, 48, 10, 5))
+
+
+def test_audio_entry_bounded_by_declared_size():
+    """Review r10 (fourth pass): a 16-byte first sample entry
+    followed by a second entry must NOT leak the neighbor's bytes
+    into channels/rate — the read is bounded by the first entry's
+    own declared size."""
+    import struct as _st
+
+    p = bytearray(
+        make_mp4_stream(
+            0, 0, 25, 0, video_track=False, audio_track=True,
+            audio_rate=44100, audio_channels=2,
+        )
+    )
+    i = bytes(p).find(b"stsd")
+    # entry count -> 2; shrink the first entry's declared size to 16
+    # and leave trailing bytes (the old parser read 0xABCD there)
+    entry = i + 4 + 4 + 4
+    _st.pack_into(">I", p, i + 8, 2)
+    _st.pack_into(">I", p, entry, 16)
+    m = mp4_meta(bytes(p))
+    assert m["audio_rate"] is None and m["audio_channels"] is None
+
+
+def test_mp3_with_ftyp_bytes_routes_to_mp3():
+    """Review r10 (fourth pass): a bare-frame MP3 whose compressed
+    bytes 4:8 spell 'ftyp' must still route to the MP3 walk — the
+    m4a branch requires a plausible leading box size."""
+    from bergloom_spark.operators.avcodec import (
+        audio_meta,
+        make_mp3_stream,
+    )
+
+    mp3 = bytearray(make_mp3_stream([128, 128], sample_rate=44100))
+    mp3[4:8] = b"ftyp"  # inside the first frame's zeroed payload
+    a = audio_meta(bytes(mp3))
+    assert a["container"] == "mp3"
+    assert a["sample_rate"] == 44100

@@ -74,12 +74,16 @@ def _seeds_exif():
     )
     from bergloom_spark.operators.jpegcodec import encode_jpeg_baseline
 
+    from bergloom_spark.operators.exif import make_exif_png
+    from bergloom_spark.operators.pngcodec import encode_png
+
     img = (np.arange(8 * 8 * 3, dtype=np.uint8).reshape(8, 8, 3) * 3)
     j = encode_jpeg_baseline(img, 90)
     return exif_meta, [
         make_exif_jpeg(j, orientation=6, make="fuzzcam"),
         make_exif_tiff(orientation=3, make="ab"),
         j[:2] + b"\xff\xff" + make_exif_jpeg(j, orientation=8)[2:],
+        make_exif_png(encode_png(img), orientation=5, make="pngcam"),
     ]
 
 
@@ -217,7 +221,17 @@ def _seeds_audio_meta():
         make_ogg_vorbis_stream(48000, 2, 4800, n_audio_pages=1),
         make_aiff(44100, 2, 16, 44100, audio_bytes=32),
         make_aiff(48000, 1, 24, 4800, compression="NONE"),
+        _m4a_seed(),
     ]
+
+
+def _m4a_seed():
+    from bergloom_spark.operators.isobmff import make_mp4_stream
+
+    return make_mp4_stream(
+        0, 0, 25, 0, video_track=False, audio_track=True,
+        audio_rate=44100, audio_channels=2, mdat_bytes=48,
+    )
 
 
 TARGETS = {
