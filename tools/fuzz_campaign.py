@@ -70,11 +70,10 @@ def _seeds_exif():
     from bergloom_spark.operators.exif import (
         exif_meta,
         make_exif_jpeg,
+        make_exif_png,
         make_exif_tiff,
     )
     from bergloom_spark.operators.jpegcodec import encode_jpeg_baseline
-
-    from bergloom_spark.operators.exif import make_exif_png
     from bergloom_spark.operators.pngcodec import encode_png
 
     img = (np.arange(8 * 8 * 3, dtype=np.uint8).reshape(8, 8, 3) * 3)
