@@ -1,0 +1,458 @@
+"""WARC (ISO 28500 / WARC 1.0-1.1) web-archive ingestion — the
+container format of Common Crawl, the single most common on-disk
+shape of a real 100 TB LLM pretraining corpus.
+
+A crawl pipeline's first Spark stage is not text cleaning — it is
+*record extraction*: split multi-record .warc / .warc.gz payloads
+into per-document rows (target URI, WARC type, HTTP status, content
+type, payload text) that every downstream operator in this repo
+(dedup, quality, lang-id, chunking) already consumes. The reference
+engine has no web-archive reader; this module exists because the
+task brief makes training-data pipeline operations first-class.
+
+Design for scale: record extraction is a map-only Arrow-batched
+kernel over the scan partitioning — archive bytes never cross a
+shuffle; one output row per record carries only header strings,
+integers, and (optionally budget-capped) body text. The gzip path
+handles the Common Crawl layout (one gzip MEMBER per record,
+members concatenated) with an absolute decompression budget so a
+crafted bomb cannot demand unbounded memory: decode or ValueError,
+never an OOM and never a hang (the corpus contract every parser in
+this repo honors — see ``tools/fuzz_campaign.py``).
+
+Spec points implemented (public ISO 28500 text):
+- record = version line ``WARC/1.x`` CRLF, named fields (token ":"
+  value, LWS continuation folding), blank CRLF line, then exactly
+  ``Content-Length`` block bytes, then CRLF CRLF record separator;
+- field names are case-insensitive; ``WARC-Type``, ``WARC-Date``,
+  ``WARC-Record-ID`` and ``Content-Length`` are mandatory;
+- ``application/http`` blocks carry an embedded HTTP/1.x message
+  whose status line and headers yield http_status /
+  http_content_type, with the entity body as the record payload.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import zlib
+
+from pyspark.sql import DataFrame
+
+__all__ = [
+    "make_http_response",
+    "make_warc_record",
+    "make_warc",
+    "split_gzip_members",
+    "parse_warc",
+    "warc_records",
+]
+
+_CRLF = b"\r\n"
+# Absolute budgets (corpus contract: reject, never allocate blindly).
+_MAX_DECOMPRESSED = 256 << 20  # 256 MiB expanded archive
+_MAX_RECORDS = 1 << 20
+_MANDATORY = ("warc-type", "warc-date", "warc-record-id",
+              "content-length")
+
+
+# ---------------------------------------------------------------------------
+# Writers (synthetic fixtures — tests and oracle recipes build WARCs
+# with these, so parse bugs break exact-value comparisons)
+# ---------------------------------------------------------------------------
+def make_http_response(
+    body: bytes,
+    status: int = 200,
+    reason: str = "OK",
+    content_type: str = "text/html",
+    extra_headers: list[tuple[str, str]] | None = None,
+) -> bytes:
+    """A minimal well-formed HTTP/1.1 response message (the block of
+    a WARC ``response`` record)."""
+    lines = [f"HTTP/1.1 {status} {reason}".encode()]
+    lines.append(f"Content-Type: {content_type}".encode())
+    lines.append(b"Content-Length: %d" % len(body))
+    for k, v in extra_headers or ():
+        lines.append(f"{k}: {v}".encode())
+    return _CRLF.join(lines) + _CRLF + _CRLF + body
+
+
+def _record_uuid(seed: str) -> str:
+    """Deterministic ``urn:uuid:`` record id (RFC 4122 textual shape
+    from a hash — fixtures must be byte-reproducible, so no
+    randomness; uniqueness within a fixture follows from distinct
+    seeds)."""
+    h = hashlib.sha1(seed.encode()).hexdigest()
+    return (
+        f"<urn:uuid:{h[:8]}-{h[8:12]}-{h[12:16]}-{h[16:20]}-"
+        f"{h[20:32]}>"
+    )
+
+
+def make_warc_record(
+    warc_type: str,
+    block: bytes,
+    *,
+    record_id: str,
+    date: str = "2025-01-01T00:00:00Z",
+    target_uri: str | None = None,
+    content_type: str | None = None,
+    version: str = "1.1",
+    extra_headers: list[tuple[str, str]] | None = None,
+) -> bytes:
+    """One spec-shaped WARC record: version line, named fields, blank
+    line, block, CRLF CRLF separator."""
+    lines = [f"WARC/{version}".encode()]
+    lines.append(f"WARC-Type: {warc_type}".encode())
+    lines.append(f"WARC-Record-ID: {record_id}".encode())
+    lines.append(f"WARC-Date: {date}".encode())
+    if target_uri is not None:
+        lines.append(f"WARC-Target-URI: {target_uri}".encode())
+    if content_type is not None:
+        lines.append(f"Content-Type: {content_type}".encode())
+    for k, v in extra_headers or ():
+        lines.append(f"{k}: {v}".encode())
+    lines.append(b"Content-Length: %d" % len(block))
+    return (
+        _CRLF.join(lines) + _CRLF + _CRLF + block + _CRLF + _CRLF
+    )
+
+
+def make_warc(
+    pages: list[dict],
+    *,
+    gzip_records: bool = False,
+    warcinfo: bool = True,
+    seed: str = "warc-fixture",
+) -> bytes:
+    """A multi-record WARC from page specs — each
+    ``{"url", "text", "status"(200), "content_type"("text/html"),
+    "date"(fixed), "conversion"(False)}`` becomes a ``response``
+    record wrapping an HTTP message (or a bare ``conversion`` record,
+    the Common Crawl WET shape, when ``conversion`` is set).
+    ``gzip_records=True`` emits one gzip member per record — the
+    exact Common Crawl .warc.gz layout."""
+    records = []
+    if warcinfo:
+        info = b"software: bergloom-spark\r\nformat: WARC File Format 1.1\r\n"
+        records.append(
+            make_warc_record(
+                "warcinfo",
+                info,
+                record_id=_record_uuid(f"{seed}:warcinfo"),
+                content_type="application/warc-fields",
+            )
+        )
+    for i, page in enumerate(pages):
+        url = page["url"]
+        body = page["text"].encode()
+        date = page.get("date", "2025-01-01T00:00:00Z")
+        rid = _record_uuid(f"{seed}:{i}:{url}")
+        if page.get("conversion"):
+            records.append(
+                make_warc_record(
+                    "conversion",
+                    body,
+                    record_id=rid,
+                    date=date,
+                    target_uri=url,
+                    content_type="text/plain",
+                )
+            )
+        else:
+            http = make_http_response(
+                body,
+                status=page.get("status", 200),
+                content_type=page.get("content_type", "text/html"),
+            )
+            records.append(
+                make_warc_record(
+                    "response",
+                    http,
+                    record_id=rid,
+                    date=date,
+                    target_uri=url,
+                    content_type=(
+                        'application/http; msgtype=response'
+                    ),
+                )
+            )
+    if gzip_records:
+        out = []
+        for rec in records:
+            co = zlib.compressobj(6, zlib.DEFLATED, 31)
+            out.append(co.compress(rec) + co.flush())
+        return b"".join(out)
+    return b"".join(records)
+
+
+# ---------------------------------------------------------------------------
+# Parsers
+# ---------------------------------------------------------------------------
+def split_gzip_members(
+    payload: bytes, max_output: int = _MAX_DECOMPRESSED
+) -> list[bytes]:
+    """Decompress a concatenated-gzip-members payload (RFC 1952
+    allows any number of members back-to-back; Common Crawl uses one
+    per record) → list of decompressed member bytes. Budgeted: total
+    expanded output beyond ``max_output`` raises ValueError (a small
+    crafted bomb must not demand GiBs — same stance as the image
+    canvas guards)."""
+    if payload[:2] != b"\x1f\x8b":
+        raise ValueError("not a gzip payload")
+    # Feed fixed-size chunks from a memoryview: slicing the whole
+    # tail per member would make zlib's unused_data copy the rest of
+    # the file every member — quadratic on a 100k-member Common
+    # Crawl archive. Chunking bounds unused_data to one chunk.
+    view = memoryview(payload)
+    chunk_size = 1 << 18
+    members, pos, total = [], 0, 0
+    while pos < len(payload):
+        if payload[pos : pos + 2] != b"\x1f\x8b":
+            raise ValueError(
+                f"garbage between gzip members at offset {pos}"
+            )
+        d = zlib.decompressobj(31)
+        mpos, parts = pos, []
+        while not d.eof:
+            if mpos >= len(payload):
+                raise ValueError("truncated gzip member")
+            chunk = view[mpos : mpos + chunk_size]
+            try:
+                out = d.decompress(chunk, max_output - total + 1)
+            except zlib.error as exc:
+                raise ValueError(
+                    f"corrupt gzip member: {exc}"
+                ) from exc
+            total += len(out)
+            if total > max_output:
+                raise ValueError(
+                    f"decompressed size exceeds the {max_output}-"
+                    "byte budget"
+                )
+            parts.append(out)
+            mpos += len(chunk)
+        mpos -= len(d.unused_data)  # bytes past this member's end
+        if mpos <= pos:  # defensive: the cursor must advance
+            raise ValueError("gzip member consumed zero bytes")
+        members.append(b"".join(parts))
+        pos = mpos
+    return members
+
+
+def _parse_http_block(block: bytes):
+    """(status, content_type, body) from an embedded HTTP/1.x
+    message; ValueError when the message is malformed."""
+    sep = block.find(b"\r\n\r\n")
+    if sep < 0:
+        raise ValueError("HTTP block lacks header terminator")
+    head, body = block[:sep], block[sep + 4 :]
+    lines = head.split(_CRLF)
+    parts = lines[0].split(b" ", 2)
+    if len(parts) < 2 or not parts[0].startswith(b"HTTP/"):
+        raise ValueError(
+            f"bad HTTP status line: {lines[0][:40]!r}"
+        )
+    try:
+        status = int(parts[1])
+    except ValueError as exc:
+        raise ValueError(
+            f"non-numeric HTTP status: {parts[1][:12]!r}"
+        ) from exc
+    ctype = None
+    for ln in lines[1:]:
+        k, _, v = ln.partition(b":")
+        if k.strip().lower() == b"content-type":
+            ctype = v.strip().decode("latin-1")
+    return status, ctype, body
+
+
+def _parse_fields(d: bytes, pos: int, end: int):
+    """Named-field block at ``pos`` → (lower-cased dict, cursor past
+    the blank line). Handles LWS continuation folding (spec §4:
+    a line starting SP/HT continues the previous value)."""
+    fields: dict[str, str] = {}
+    last = None
+    while True:
+        nl = d.find(_CRLF, pos, end)
+        if nl < 0:
+            raise ValueError("unterminated WARC header block")
+        line = d[pos:nl]
+        pos = nl + 2
+        if not line:
+            return fields, pos
+        if line[:1] in (b" ", b"\t"):
+            if last is None:
+                raise ValueError("WARC continuation before any field")
+            fields[last] += " " + line.strip().decode("latin-1")
+            continue
+        name, colon, value = line.partition(b":")
+        if not colon:
+            raise ValueError(
+                f"malformed WARC header line: {line[:40]!r}"
+            )
+        last = name.strip().lower().decode("latin-1")
+        fields[last] = value.strip().decode("latin-1")
+
+
+def parse_warc(
+    payload: bytes,
+    *,
+    max_records: int = _MAX_RECORDS,
+    max_text_bytes: int | None = None,
+) -> list[dict]:
+    """WARC bytes (plain or gzip-per-record) → one dict per record:
+    ``{offset, record_type, record_id, target_uri, warc_date,
+    content_type, content_length, http_status, http_content_type,
+    payload_len, payload_text}``.
+
+    ``payload_text`` is the UTF-8 decode of the record payload (the
+    HTTP entity body for ``application/http`` blocks, the block
+    itself otherwise), ``None`` when the bytes are not valid UTF-8 —
+    binary bodies are legal in a crawl, so that is data, not an
+    error. ``max_text_bytes`` truncates the text AFTER decoding the
+    full body (byte-truncation could split a multi-byte sequence and
+    turn a text row into a None row at one budget and not another).
+    Structural damage raises ValueError; the cursor strictly
+    advances, so no payload can hang the walk."""
+    if payload[:2] == b"\x1f\x8b":
+        payload = b"".join(split_gzip_members(payload))
+    d = payload
+    end = len(d)
+    records, pos = [], 0
+    while pos < end:
+        if len(records) >= max_records:
+            raise ValueError(
+                f"more than {max_records} WARC records"
+            )
+        offset = pos
+        nl = d.find(_CRLF, pos, end)
+        if nl < 0:
+            raise ValueError("truncated WARC version line")
+        version = d[pos:nl]
+        if not version.startswith(b"WARC/"):
+            raise ValueError(
+                f"bad WARC version line at {pos}: {version[:20]!r}"
+            )
+        vnum = version[5:].decode("latin-1")
+        if vnum not in ("0.18", "1.0", "1.1"):
+            raise ValueError(f"unsupported WARC version {vnum!r}")
+        fields, pos = _parse_fields(d, nl + 2, end)
+        missing = [m for m in _MANDATORY if m not in fields]
+        if missing:
+            raise ValueError(
+                "record missing mandatory fields: "
+                + ", ".join(missing)
+            )
+        try:
+            clen = int(fields["content-length"])
+        except ValueError as exc:
+            raise ValueError(
+                f"bad Content-Length {fields['content-length']!r}"
+            ) from exc
+        if clen < 0 or pos + clen > end:
+            raise ValueError(
+                f"Content-Length {clen} exceeds payload at {offset}"
+            )
+        block = d[pos : pos + clen]
+        pos += clen
+        if d[pos : pos + 4] != b"\r\n\r\n":
+            raise ValueError(
+                f"missing record separator after offset {offset}"
+            )
+        pos += 4
+        ctype = fields.get("content-type")
+        http_status = http_ctype = None
+        body = block
+        if ctype is not None and ctype.split(";")[0].strip().lower() == (
+            "application/http"
+        ):
+            http_status, http_ctype, body = _parse_http_block(block)
+        try:
+            text = body.decode("utf-8")
+        except UnicodeDecodeError:
+            text = None
+        if text is not None and max_text_bytes is not None:
+            text = text[:max_text_bytes]
+        records.append(
+            {
+                "offset": offset,
+                "record_type": fields["warc-type"],
+                "record_id": fields["warc-record-id"],
+                "target_uri": fields.get("warc-target-uri"),
+                "warc_date": fields["warc-date"],
+                "content_type": ctype,
+                "content_length": clen,
+                "http_status": http_status,
+                "http_content_type": http_ctype,
+                "payload_len": len(body),
+                "payload_text": text,
+            }
+        )
+    return records
+
+
+# ---------------------------------------------------------------------------
+# Spark seam
+# ---------------------------------------------------------------------------
+_RECORD_SCHEMA = (
+    "doc_id long, rec_index int, record_type string, "
+    "target_uri string, warc_date string, content_type string, "
+    "content_length long, http_status int, "
+    "http_content_type string, payload_len long, "
+    "payload_text string"
+)
+
+
+def warc_records(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    max_text_bytes: int | None = None,
+) -> DataFrame:
+    """Explode a binary WARC column into one row per archive record —
+    the crawl-ingest entry stage. Map-only Arrow-batched kernel over
+    the scan partitioning: archive bytes never shuffle; downstream
+    text operators receive plain string/int columns. Same plumbing
+    stance as :func:`bergloom_spark.operators.avcodec
+    .decode_media_frames` (plan-verified 1 shuffle = the table
+    read)."""
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                recs = parse_warc(
+                    bytes(payload), max_text_bytes=max_text_bytes
+                )
+                for i, r in enumerate(recs):
+                    rows.append(
+                        (
+                            int(doc_id),
+                            i,
+                            r["record_type"],
+                            r["target_uri"],
+                            r["warc_date"],
+                            r["content_type"],
+                            r["content_length"],
+                            r["http_status"],
+                            r["http_content_type"],
+                            r["payload_len"],
+                            r["payload_text"],
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "rec_index", "record_type",
+                    "target_uri", "warc_date", "content_type",
+                    "content_length", "http_status",
+                    "http_content_type", "payload_len",
+                    "payload_text",
+                ],
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        kernel, _RECORD_SCHEMA
+    )

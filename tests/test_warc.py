@@ -1,0 +1,224 @@
+"""WARC ingestion kernel + Spark-seam tests (round 10).
+
+The writers are the fixtures: a header-walk bug, a Content-Length
+bug, or a gzip-member bug breaks exact field comparisons here and
+the r11 oracle replay later.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import pytest
+
+from bergloom_spark.operators.warc import (
+    make_http_response,
+    make_warc,
+    make_warc_record,
+    parse_warc,
+    split_gzip_members,
+    warc_records,
+)
+
+
+def _pages(n=5):
+    return [
+        {
+            "url": f"https://example.org/page/{i}",
+            "text": f"document body {i} " + "x" * (i * 7),
+            "status": (200, 200, 404, 301, 200)[i % 5],
+            "content_type": ("text/html", "text/plain")[i % 2],
+        }
+        for i in range(n)
+    ]
+
+
+def test_roundtrip_plain():
+    pages = _pages()
+    recs = parse_warc(make_warc(pages))
+    assert recs[0]["record_type"] == "warcinfo"
+    assert recs[0]["content_type"] == "application/warc-fields"
+    body_recs = recs[1:]
+    assert len(body_recs) == len(pages)
+    for page, r in zip(pages, body_recs):
+        assert r["record_type"] == "response"
+        assert r["target_uri"] == page["url"]
+        assert r["http_status"] == page["status"]
+        assert r["http_content_type"] == page["content_type"]
+        assert r["payload_text"] == page["text"]
+        assert r["payload_len"] == len(page["text"].encode())
+        assert r["warc_date"] == "2025-01-01T00:00:00Z"
+        assert r["record_id"].startswith("<urn:uuid:")
+        # content_length covers the full HTTP message, not the body
+        assert r["content_length"] > r["payload_len"]
+
+
+def test_roundtrip_gzip_records_identical():
+    pages = _pages(7)
+    plain = parse_warc(make_warc(pages))
+    gz = parse_warc(make_warc(pages, gzip_records=True))
+    # offsets differ by construction (post-decompression they match
+    # the plain layout), everything else must be identical
+    assert gz == plain
+
+
+def test_split_gzip_members_counts_records():
+    pages = _pages(4)
+    payload = make_warc(pages, gzip_records=True)
+    members = split_gzip_members(payload)
+    assert len(members) == len(pages) + 1  # + warcinfo
+    assert b"".join(members) == make_warc(pages)
+
+
+def test_conversion_records_wet_shape():
+    pages = [
+        {"url": "https://a.example/x", "text": "extracted text",
+         "conversion": True}
+    ]
+    recs = parse_warc(make_warc(pages, warcinfo=False))
+    assert len(recs) == 1
+    r = recs[0]
+    assert r["record_type"] == "conversion"
+    assert r["http_status"] is None
+    assert r["payload_text"] == "extracted text"
+    assert r["content_length"] == r["payload_len"]
+
+
+def test_binary_body_yields_none_text():
+    http = make_http_response(
+        b"\xff\xfe\x00binary", content_type="image/png"
+    )
+    rec = make_warc_record(
+        "response", http, record_id="<urn:uuid:1>",
+        content_type="application/http; msgtype=response",
+    )
+    r = parse_warc(rec)[0]
+    assert r["payload_text"] is None
+    assert r["payload_len"] == 9
+    assert r["http_content_type"] == "image/png"
+
+
+def test_max_text_bytes_truncates_after_decode():
+    pages = [{"url": "u", "text": "abécdef", "conversion": True}]
+    recs = parse_warc(make_warc(pages, warcinfo=False),
+                      max_text_bytes=4)
+    # truncation happens on the decoded string, so the multi-byte
+    # char cannot flip the row to None
+    assert recs[0]["payload_text"] == "abéc"
+
+
+def test_header_folding_continuation():
+    rec = make_warc_record(
+        "metadata", b"x", record_id="<urn:uuid:2>",
+        extra_headers=[("WARC-Concurrent-To", "<urn:uuid:3>")],
+    )
+    folded = rec.replace(
+        b"WARC-Concurrent-To: <urn:uuid:3>",
+        b"WARC-Concurrent-To: <urn:\r\n uuid:3>",
+    )
+    r = parse_warc(folded)[0]
+    assert r["record_type"] == "metadata"
+
+
+def test_missing_mandatory_field_rejected():
+    rec = make_warc_record("response", b"x", record_id="<urn:uuid:4>")
+    broken = rec.replace(b"WARC-Date: 2025-01-01T00:00:00Z\r\n", b"")
+    with pytest.raises(ValueError, match="mandatory"):
+        parse_warc(broken)
+
+
+def test_bad_separator_rejected():
+    rec = make_warc_record("resource", b"abc", record_id="<urn:uuid:5>")
+    with pytest.raises(ValueError, match="separator"):
+        parse_warc(rec[:-1])
+
+
+def test_content_length_past_end_rejected():
+    rec = make_warc_record("resource", b"abc", record_id="<urn:uuid:6>")
+    broken = rec.replace(b"Content-Length: 3", b"Content-Length: 9999")
+    with pytest.raises(ValueError, match="Content-Length"):
+        parse_warc(broken)
+
+
+def test_unsupported_version_rejected():
+    rec = make_warc_record("resource", b"abc", record_id="<urn:uuid:7>")
+    with pytest.raises(ValueError, match="version"):
+        parse_warc(rec.replace(b"WARC/1.1", b"WARC/9.9"))
+
+
+def test_http_block_without_terminator_rejected():
+    rec = make_warc_record(
+        "response", b"HTTP/1.1 200 OK\r\nX: 1",
+        record_id="<urn:uuid:8>",
+        content_type="application/http; msgtype=response",
+    )
+    with pytest.raises(ValueError, match="terminator"):
+        parse_warc(rec)
+
+
+def test_gzip_budget_rejects_bomb():
+    co = zlib.compressobj(9, zlib.DEFLATED, 31)
+    bomb = co.compress(b"\x00" * (1 << 20)) + co.flush()
+    assert len(bomb) < 4096
+    with pytest.raises(ValueError, match="budget"):
+        split_gzip_members(bomb, max_output=1 << 16)
+
+
+def test_gzip_garbage_between_members_rejected():
+    payload = make_warc(_pages(2), gzip_records=True)
+    with pytest.raises(ValueError, match="garbage|corrupt"):
+        split_gzip_members(payload + b"JUNK")
+
+
+def test_truncated_gzip_member_rejected():
+    payload = make_warc(_pages(2), gzip_records=True)
+    with pytest.raises(ValueError, match="truncated|corrupt"):
+        split_gzip_members(payload[:-5])
+
+
+def test_empty_payload_yields_no_records():
+    assert parse_warc(b"") == []
+
+
+def test_warc_records_spark_seam(spark, sf_dir):
+    """Executor-side drive on real testdata doc_ids: binary payloads
+    cross the Arrow seam, the explosion yields exact recipe fields
+    the r11 oracle will replay."""
+    ids = [
+        r.doc_id
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id").orderBy("doc_id").limit(40).collect()
+    ]
+    rows = []
+    for doc_id in ids:
+        i = int(doc_id)
+        pages = [
+            {
+                "url": f"https://host{i % 9}.example/{i}/{j}",
+                "text": f"doc {i} rec {j} " + "y" * ((i + j) % 23),
+                "status": (200, 404, 200)[j % 3],
+            }
+            for j in range(1 + i % 3)
+        ]
+        rows.append(
+            (i, make_warc(pages, gzip_records=i % 2 == 1,
+                          seed=f"seam:{i}"))
+        )
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = warc_records(df.repartition(8)).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == {int(i) for i in ids}
+    for i, recs in by_doc.items():
+        recs.sort(key=lambda r: r.rec_index)
+        assert recs[0].record_type == "warcinfo"
+        body = recs[1:]
+        assert len(body) == 1 + i % 3
+        for j, r in enumerate(body):
+            assert r.target_uri == f"https://host{i % 9}.example/{i}/{j}"
+            assert r.http_status == (200, 404, 200)[j % 3]
+            assert r.payload_text == (
+                f"doc {i} rec {j} " + "y" * ((i + j) % 23)
+            )
+            assert r.payload_len == len(r.payload_text.encode())

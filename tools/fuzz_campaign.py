@@ -233,8 +233,26 @@ def _m4a_seed():
     )
 
 
+def _seeds_warc():
+    from bergloom_spark.operators.warc import make_warc, parse_warc
+
+    pages = [
+        {"url": f"https://ex.org/{i}", "text": f"body {i} " + "x" * i,
+         "status": (200, 404, 301)[i % 3]}
+        for i in range(4)
+    ]
+    wet = [{"url": "https://ex.org/wet", "text": "text", "conversion": True}]
+    return parse_warc, [
+        make_warc(pages),
+        make_warc(pages, gzip_records=True),
+        make_warc(wet, warcinfo=False),
+        make_warc(pages[:1], gzip_records=True, warcinfo=False),
+    ]
+
+
 TARGETS = {
     "ogg": _seeds_ogg,
+    "warc": _seeds_warc,
     "flac": _seeds_flac,
     "exif": _seeds_exif,
     "subtitles": _seeds_subtitles,
