@@ -1,0 +1,491 @@
+"""Archive-container triage + extraction (ZIP / ustar TAR / gzip) —
+the bundle formats a real training corpus arrives in.
+
+Same stance as the media triage battery (``avcodec.py``): a 100 TB
+ingest decides per payload — how many entries, how big expanded,
+which compression method — from *headers only*, before committing
+any decompression; extraction is then a map-only Arrow-batched
+kernel with an absolute expansion budget (a crafted bomb gets a
+ValueError, never an OOM). All three parsers honor the corpus
+contract: bytes → result or ValueError, cursor strictly advances,
+no hang class.
+
+Spec sources (public): PKWARE APPNOTE 6.3 (ZIP local header
+0x04034b50, central directory 0x02014b50, EOCD 0x06054b50),
+POSIX.1-1988 ustar (512-byte octal headers, space-blanked
+checksum), RFC 1952 (gzip member header flags FTEXT/FHCRC/FEXTRA/
+FNAME/FCOMMENT, MTIME, OS, ISIZE trailer).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+from pyspark.sql import DataFrame
+
+__all__ = [
+    "make_zip",
+    "zip_entries",
+    "zip_meta",
+    "zip_extract",
+    "make_tar",
+    "tar_entries",
+    "tar_meta",
+    "make_gzip",
+    "gzip_meta",
+    "archive_meta",
+    "archive_entries",
+]
+
+_EOCD_SIG = 0x06054B50
+_CD_SIG = 0x02014B50
+_LOCAL_SIG = 0x04034B50
+_MAX_EXPANSION = 256 << 20  # absolute extraction budget (bytes)
+# Fixed DOS time/date for byte-reproducible fixtures:
+# 2025-01-01 00:00:00 → date = ((2025-1980)<<9)|(1<<5)|1
+_DOS_DATE = ((2025 - 1980) << 9) | (1 << 5) | 1
+_DOS_TIME = 0
+
+
+# ---------------------------------------------------------------------------
+# ZIP
+# ---------------------------------------------------------------------------
+def make_zip(entries: list[tuple[str, bytes]], method: int = 0) -> bytes:
+    """ZIP bytes from (name, data) pairs — method 0 (store) or 8
+    (deflate, fixed level 6 so fixtures are byte-reproducible).
+    Local headers + central directory + EOCD, no zip64."""
+    if method not in (0, 8):
+        raise ValueError(f"unsupported ZIP method {method}")
+    locals_, cd, offset = [], [], 0
+    for name, data in entries:
+        nb = name.encode()
+        crc = zlib.crc32(data)
+        if method == 8:
+            co = zlib.compressobj(6, zlib.DEFLATED, -15)
+            blob = co.compress(data) + co.flush()
+        else:
+            blob = data
+        lh = struct.pack(
+            "<IHHHHHIIIHH", _LOCAL_SIG, 20, 0, method, _DOS_TIME,
+            _DOS_DATE, crc, len(blob), len(data), len(nb), 0,
+        ) + nb + blob
+        cd.append(
+            struct.pack(
+                "<IHHHHHHIIIHHHHHII", _CD_SIG, 20, 20, 0, method,
+                _DOS_TIME, _DOS_DATE, crc, len(blob), len(data),
+                len(nb), 0, 0, 0, 0, 0, offset,
+            ) + nb
+        )
+        locals_.append(lh)
+        offset += len(lh)
+    cd_blob = b"".join(cd)
+    eocd = struct.pack(
+        "<IHHHHIIH", _EOCD_SIG, 0, 0, len(entries), len(entries),
+        len(cd_blob), offset, 0,
+    )
+    return b"".join(locals_) + cd_blob + eocd
+
+
+def _find_eocd(d: bytes) -> tuple:
+    """Locate the EOCD record scanning back over a possible trailing
+    comment (≤65535 bytes per spec) → unpacked fields."""
+    if len(d) < 22:
+        raise ValueError("payload too short for a ZIP EOCD")
+    lo = max(0, len(d) - 22 - 65535)
+    pos = d.rfind(struct.pack("<I", _EOCD_SIG), lo)
+    while pos >= 0:
+        if pos + 22 <= len(d):
+            (_, disk, cd_disk, n_disk, n_total, cd_size, cd_off,
+             clen) = struct.unpack_from("<IHHHHIIH", d, pos)
+            if pos + 22 + clen == len(d):
+                if disk or cd_disk:
+                    raise ValueError("multi-disk ZIP unsupported")
+                return n_disk, n_total, cd_size, cd_off
+        pos = d.rfind(struct.pack("<I", _EOCD_SIG), lo, pos)
+    raise ValueError("no ZIP end-of-central-directory record")
+
+
+def zip_entries(payload: bytes) -> list[dict]:
+    """Central-directory walk → one dict per entry:
+    ``{name, method, compressed_size, uncompressed_size, crc32,
+    local_offset}``. Header-only (nothing is decompressed). zip64
+    markers (0xFFFF / 0xFFFFFFFF sentinel fields) are rejected
+    explicitly rather than misread."""
+    d = payload
+    n_disk, n_total, cd_size, cd_off = _find_eocd(d)
+    if n_disk != n_total:
+        raise ValueError("multi-disk ZIP unsupported")
+    if n_total == 0xFFFF or cd_off == 0xFFFFFFFF:
+        raise ValueError("zip64 archive unsupported")
+    if cd_off + cd_size > len(d):
+        raise ValueError("central directory exceeds payload")
+    out, pos = [], cd_off
+    for _ in range(n_total):
+        if pos + 46 > len(d):
+            raise ValueError("truncated central-directory entry")
+        (sig, _vmade, _vneed, flags, method, _t, _dt, crc, csize,
+         usize, nlen, elen, clen, _dsk, _ia, _ea, loff
+         ) = struct.unpack_from("<IHHHHHHIIIHHHHHII", d, pos)
+        if sig != _CD_SIG:
+            raise ValueError(
+                f"bad central-directory signature at {pos}"
+            )
+        if 0xFFFFFFFF in (csize, usize, loff):
+            raise ValueError("zip64 entry unsupported")
+        name_b = d[pos + 46 : pos + 46 + nlen]
+        if len(name_b) != nlen:
+            raise ValueError("truncated entry name")
+        # APPNOTE D.1: names are CP437 unless flag bit 11 (UTF-8)
+        name = name_b.decode(
+            "utf-8" if flags & 0x800 else "cp437", errors="strict"
+        )
+        out.append(
+            {
+                "name": name,
+                "method": method,
+                "compressed_size": csize,
+                "uncompressed_size": usize,
+                "crc32": crc,
+                "local_offset": loff,
+            }
+        )
+        pos += 46 + nlen + elen + clen
+    if pos != cd_off + cd_size:
+        raise ValueError("central directory size mismatch")
+    return out
+
+
+def zip_meta(payload: bytes) -> dict:
+    """Header-only ZIP triage: ``{n_entries, total_compressed,
+    total_uncompressed, n_deflate, n_store}`` — the
+    decide-before-extract numbers."""
+    entries = zip_entries(payload)
+    return {
+        "n_entries": len(entries),
+        "total_compressed": sum(e["compressed_size"] for e in entries),
+        "total_uncompressed": sum(
+            e["uncompressed_size"] for e in entries
+        ),
+        "n_deflate": sum(1 for e in entries if e["method"] == 8),
+        "n_store": sum(1 for e in entries if e["method"] == 0),
+    }
+
+
+def zip_extract(
+    payload: bytes, max_output: int = _MAX_EXPANSION
+) -> list[tuple[str, bytes]]:
+    """Extract all entries → (name, data) pairs. The central
+    directory's declared uncompressed total gates the work BEFORE
+    any inflate runs, then each entry's actual output is capped at
+    its declared size (a lying header cannot blow past the budget)
+    and CRC-checked."""
+    entries = zip_entries(payload)
+    declared = sum(e["uncompressed_size"] for e in entries)
+    if declared > max_output:
+        raise ValueError(
+            f"declared expansion {declared} exceeds the "
+            f"{max_output}-byte budget"
+        )
+    d, out = payload, []
+    for e in entries:
+        pos = e["local_offset"]
+        if pos + 30 > len(d):
+            raise ValueError("local header exceeds payload")
+        sig, _v, _f, method, _t, _dt, _crc, _cs, _us, nlen, elen = (
+            struct.unpack_from("<IHHHHHIIIHH", d, pos)
+        )
+        if sig != _LOCAL_SIG:
+            raise ValueError(f"bad local header signature at {pos}")
+        start = pos + 30 + nlen + elen
+        blob = d[start : start + e["compressed_size"]]
+        if len(blob) != e["compressed_size"]:
+            raise ValueError("entry data exceeds payload")
+        if method == 0:
+            data = blob
+        elif method == 8:
+            try:
+                do = zlib.decompressobj(-15)
+                # max_length=0 means UNLIMITED to zlib — a declared
+                # size of 0 must still cap the inflate, so floor the
+                # limit at 1 and let the size check below reject
+                data = do.decompress(
+                    blob, e["uncompressed_size"] or 1
+                )
+                if do.unconsumed_tail:
+                    raise ValueError(
+                        f"entry {e['name']!r} inflates past its "
+                        "declared size"
+                    )
+                if not do.eof:
+                    raise ValueError(
+                        f"truncated deflate in {e['name']!r}"
+                    )
+            except zlib.error as exc:
+                raise ValueError(
+                    f"corrupt deflate in {e['name']!r}: {exc}"
+                ) from exc
+        else:
+            raise ValueError(
+                f"unsupported ZIP method {method} in {e['name']!r}"
+            )
+        if len(data) != e["uncompressed_size"]:
+            raise ValueError(
+                f"entry {e['name']!r} size mismatch: "
+                f"{len(data)} != {e['uncompressed_size']}"
+            )
+        if zlib.crc32(data) != e["crc32"]:
+            raise ValueError(f"CRC mismatch in {e['name']!r}")
+        out.append((e["name"], data))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# TAR (POSIX.1-1988 ustar)
+# ---------------------------------------------------------------------------
+def _octal(n: int, width: int) -> bytes:
+    return (("%0" + str(width - 1) + "o") % n).encode() + b"\0"
+
+
+def make_tar(entries: list[tuple[str, bytes]]) -> bytes:
+    """ustar TAR bytes from (name, data) pairs (names ending "/"
+    become directories). Fixed mtime for reproducible fixtures."""
+    blocks = []
+    for name, data in entries:
+        nb = name.encode()
+        if len(nb) > 100:
+            raise ValueError(f"name too long for ustar: {name!r}")
+        typeflag = b"5" if name.endswith("/") else b"0"
+        hdr = bytearray(512)
+        hdr[0 : len(nb)] = nb
+        hdr[100:108] = _octal(0o644, 8)
+        hdr[108:116] = _octal(0, 8)
+        hdr[116:124] = _octal(0, 8)
+        hdr[124:136] = _octal(len(data), 12)
+        hdr[136:148] = _octal(1735689600, 12)  # 2025-01-01 UTC
+        hdr[148:156] = b" " * 8  # checksum blanked for the sum
+        hdr[156:157] = typeflag
+        hdr[257:263] = b"ustar\0"
+        hdr[263:265] = b"00"
+        chk = sum(hdr)
+        hdr[148:156] = ("%06o" % chk).encode() + b"\0 "
+        blocks.append(bytes(hdr))
+        blocks.append(data)
+        pad = -len(data) % 512
+        blocks.append(b"\0" * pad)
+    blocks.append(b"\0" * 1024)
+    return b"".join(blocks)
+
+
+def tar_entries(payload: bytes) -> list[dict]:
+    """Header walk → one dict per entry ``{name, size, typeflag,
+    offset}``. Verifies the ustar magic and the space-blanked
+    checksum on every header (the checksum is what separates a TAR
+    from 512 bytes of coincidence); stops at the two-zero-block
+    terminator or end of payload."""
+    d = payload
+    out, pos = [], 0
+    while pos + 512 <= len(d):
+        hdr = d[pos : pos + 512]
+        if hdr == b"\0" * 512:
+            break  # terminator
+        if hdr[257:262] != b"ustar":
+            raise ValueError(f"missing ustar magic at offset {pos}")
+        stored = hdr[148:156]
+        try:
+            chk = int(stored.rstrip(b"\0 ").lstrip(b" "), 8)
+        except ValueError as exc:
+            raise ValueError(
+                f"bad checksum field at offset {pos}"
+            ) from exc
+        calc = sum(hdr[:148]) + 8 * 0x20 + sum(hdr[156:])
+        if chk != calc:
+            raise ValueError(
+                f"checksum mismatch at offset {pos}: "
+                f"{chk} != {calc}"
+            )
+        name = hdr[:100].split(b"\0", 1)[0].decode("utf-8",
+                                                   errors="strict")
+        size_f = hdr[124:136].rstrip(b"\0 ").lstrip(b" ")
+        try:
+            size = int(size_f, 8) if size_f else 0
+        except ValueError as exc:
+            raise ValueError(
+                f"bad size field at offset {pos}"
+            ) from exc
+        typeflag = chr(hdr[156]) if hdr[156] else "0"
+        data_end = pos + 512 + size
+        if data_end > len(d):
+            raise ValueError(
+                f"entry {name!r} data exceeds payload"
+            )
+        out.append(
+            {"name": name, "size": size, "typeflag": typeflag,
+             "offset": pos}
+        )
+        pos = pos + 512 + size + (-size % 512)
+    return out
+
+
+def tar_meta(payload: bytes) -> dict:
+    """Header-only TAR triage: ``{n_entries, n_files, n_dirs,
+    total_size}``."""
+    entries = tar_entries(payload)
+    return {
+        "n_entries": len(entries),
+        "n_files": sum(1 for e in entries if e["typeflag"] == "0"),
+        "n_dirs": sum(1 for e in entries if e["typeflag"] == "5"),
+        "total_size": sum(e["size"] for e in entries),
+    }
+
+
+# ---------------------------------------------------------------------------
+# gzip (RFC 1952)
+# ---------------------------------------------------------------------------
+def make_gzip(
+    data: bytes, name: str | None = None, mtime: int = 1735689600
+) -> bytes:
+    """One gzip member with an optional FNAME field (zlib's wbits=31
+    writer never emits one, so the header-field parse needs its own
+    writer to be testable)."""
+    flg = 0x08 if name is not None else 0
+    head = struct.pack("<2sBBIBB", b"\x1f\x8b", 8, flg, mtime, 0, 255)
+    if name is not None:
+        head += name.encode("latin-1") + b"\0"
+    co = zlib.compressobj(6, zlib.DEFLATED, -15)
+    body = co.compress(data) + co.flush()
+    tail = struct.pack("<II", zlib.crc32(data), len(data) & 0xFFFFFFFF)
+    return head + body + tail
+
+
+def gzip_meta(
+    payload: bytes, max_output: int = _MAX_EXPANSION
+) -> dict:
+    """gzip triage: first-member header fields (mtime, os, fname,
+    ftext) + whole-payload member walk → ``{n_members, mtime, os,
+    name, total_uncompressed}``. The member walk decompresses under
+    the shared budget (ISIZE is mod-2^32 and attacker-controlled, so
+    the honest size comes from counting, not trusting the
+    trailer)."""
+    d = payload
+    if d[:2] != b"\x1f\x8b":
+        raise ValueError("not a gzip payload")
+    if len(d) < 10:
+        raise ValueError("truncated gzip header")
+    cm, flg, mtime, _xfl, os_byte = struct.unpack_from("<BBIBB", d, 2)
+    if cm != 8:
+        raise ValueError(f"unsupported gzip method {cm}")
+    if flg & 0xE0:
+        raise ValueError(f"reserved gzip FLG bits set: {flg:#x}")
+    pos = 10
+    if flg & 0x04:  # FEXTRA
+        if pos + 2 > len(d):
+            raise ValueError("truncated FEXTRA length")
+        xlen = struct.unpack_from("<H", d, pos)[0]
+        pos += 2 + xlen
+    name = None
+    if flg & 0x08:  # FNAME
+        nul = d.find(b"\0", pos)
+        if nul < 0:
+            raise ValueError("unterminated FNAME")
+        name = d[pos:nul].decode("latin-1")
+        pos = nul + 1
+    from bergloom_spark.operators.warc import split_gzip_members
+
+    members = split_gzip_members(d, max_output=max_output)
+    return {
+        "n_members": len(members),
+        "mtime": mtime,
+        "os": os_byte,
+        "name": name,
+        "ftext": bool(flg & 0x01),
+        "total_uncompressed": sum(len(m) for m in members),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Unified dispatch + Spark seam
+# ---------------------------------------------------------------------------
+def archive_meta(payload: bytes) -> dict:
+    """ANY archive container → uniform triage
+    ``{container, n_entries, total_uncompressed}`` — the bundle twin
+    of :func:`bergloom_spark.operators.avcodec.audio_meta`'s
+    dispatch. ZIP by EOCD/local magic, gzip by RFC 1952 magic, TAR
+    by the ustar magic at offset 257. Unknown magic raises
+    ValueError."""
+    d = payload
+    if d[:2] == b"PK":
+        m = zip_meta(d)
+        return {
+            "container": "zip",
+            "n_entries": m["n_entries"],
+            "total_uncompressed": m["total_uncompressed"],
+        }
+    if d[:2] == b"\x1f\x8b":
+        m = gzip_meta(d)
+        return {
+            "container": "gzip",
+            "n_entries": m["n_members"],
+            "total_uncompressed": m["total_uncompressed"],
+        }
+    if d[257:262] == b"ustar":
+        m = tar_meta(d)
+        return {
+            "container": "tar",
+            "n_entries": m["n_entries"],
+            "total_uncompressed": m["total_size"],
+        }
+    raise ValueError(
+        f"unknown archive magic: {bytes(d[:4])!r}"
+    )
+
+
+_ENTRY_SCHEMA = (
+    "doc_id long, container string, entry_index int, name string, "
+    "size long, is_dir boolean"
+)
+
+
+def archive_entries(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Explode binary ZIP/TAR columns into one row per archive entry
+    (name, declared size) — header-only, nothing decompressed, so
+    cost is independent of payload expansion. Map-only Arrow-batched
+    kernel over the scan partitioning."""
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                d = bytes(payload)
+                if d[:2] == b"PK":
+                    for i, e in enumerate(zip_entries(d)):
+                        rows.append(
+                            (int(doc_id), "zip", i, e["name"],
+                             e["uncompressed_size"],
+                             e["name"].endswith("/"))
+                        )
+                elif d[257:262] == b"ustar":
+                    for i, e in enumerate(tar_entries(d)):
+                        rows.append(
+                            (int(doc_id), "tar", i, e["name"],
+                             e["size"], e["typeflag"] == "5")
+                        )
+                else:
+                    raise ValueError(
+                        f"unknown archive magic: {d[:4]!r}"
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "container", "entry_index",
+                         "name", "size", "is_dir"],
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        kernel, _ENTRY_SCHEMA
+    )

@@ -1,0 +1,283 @@
+"""Archive triage/extraction kernel + Spark-seam tests (round 10)."""
+
+from __future__ import annotations
+
+import io
+import struct
+import tarfile
+import zipfile
+import zlib
+
+import pytest
+
+from bergloom_spark.operators.archive import (
+    archive_entries,
+    archive_meta,
+    gzip_meta,
+    make_gzip,
+    make_tar,
+    make_zip,
+    tar_entries,
+    tar_meta,
+    zip_entries,
+    zip_extract,
+    zip_meta,
+)
+
+
+def _entries(n=4):
+    return [
+        (f"dir{i}/" if i == 0 else f"dir0/file{i}.txt",
+         b"" if i == 0 else bytes(range(i * 10)) * (i + 3))
+        for i in range(n)
+    ]
+
+
+# ---------------------------------------------------------------------------
+# ZIP
+# ---------------------------------------------------------------------------
+@pytest.mark.parametrize("method", [0, 8])
+def test_zip_roundtrip(method):
+    entries = _entries()
+    payload = make_zip(entries, method=method)
+    assert zip_extract(payload) == entries
+    meta = zip_meta(payload)
+    assert meta["n_entries"] == len(entries)
+    assert meta["total_uncompressed"] == sum(
+        len(d) for _, d in entries
+    )
+    assert (meta["n_deflate"], meta["n_store"]) == (
+        (0, 4) if method == 0 else (4, 0)
+    )
+
+
+def test_zip_interoperates_with_stdlib():
+    """Our writer's output opens in ``zipfile`` and vice versa —
+    spec conformance, not self-consistency."""
+    entries = _entries()
+    with zipfile.ZipFile(io.BytesIO(make_zip(entries, method=8))) as z:
+        assert [i.filename for i in z.infolist()] == [
+            n for n, _ in entries
+        ]
+        for name, data in entries:
+            assert z.read(name) == data
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as z:
+        for name, data in entries:
+            z.writestr(name, data)
+    assert zip_extract(buf.getvalue()) == entries
+
+
+def test_zip_eocd_with_comment():
+    payload = make_zip(_entries(2))
+    commented = payload[:-2] + struct.pack("<H", 5) + b"hello"
+    assert zip_meta(commented)["n_entries"] == 2
+
+
+def test_zip_crc_mismatch_rejected():
+    payload = bytearray(make_zip([("a.txt", b"payload bytes")]))
+    payload[30 + 5] ^= 0xFF  # flip a stored data byte
+    with pytest.raises(ValueError, match="CRC"):
+        zip_extract(bytes(payload))
+
+
+def test_zip_declared_bomb_rejected_before_inflate():
+    big = b"\x00" * (1 << 20)
+    payload = make_zip([("bomb.bin", big)], method=8)
+    with pytest.raises(ValueError, match="budget"):
+        zip_extract(payload, max_output=1 << 16)
+
+
+def test_zip_lying_zero_size_rejected():
+    """An entry whose central directory declares size 0 over a real
+    deflate stream must fail closed, not inflate unbounded
+    (zlib's max_length=0 means unlimited — the exact trap)."""
+    payload = bytearray(make_zip([("z.bin", b"q" * 4096)], method=8))
+    # central directory usize field: offset = eocd.cd_off + 24
+    cd_off = struct.unpack_from("<I", payload, len(payload) - 6)[0]
+    struct.pack_into("<I", payload, cd_off + 24, 0)
+    with pytest.raises(ValueError, match="declared size|mismatch"):
+        zip_extract(bytes(payload))
+
+
+def test_zip_truncated_cd_rejected():
+    payload = make_zip(_entries(3))
+    with pytest.raises(ValueError):
+        zip_entries(payload[:40] + payload[-22:])
+
+
+def test_zip64_sentinel_rejected():
+    payload = bytearray(make_zip([("a", b"x")]))
+    cd_off = struct.unpack_from("<I", payload, len(payload) - 6)[0]
+    struct.pack_into("<I", payload, cd_off + 42, 0xFFFFFFFF)
+    with pytest.raises(ValueError, match="zip64"):
+        zip_entries(bytes(payload))
+
+
+# ---------------------------------------------------------------------------
+# TAR
+# ---------------------------------------------------------------------------
+def test_tar_roundtrip_and_meta():
+    entries = _entries()
+    payload = make_tar(entries)
+    walked = tar_entries(payload)
+    assert [e["name"] for e in walked] == [n for n, _ in entries]
+    assert [e["size"] for e in walked] == [
+        len(d) for _, d in entries
+    ]
+    meta = tar_meta(payload)
+    assert meta == {
+        "n_entries": 4, "n_files": 3, "n_dirs": 1,
+        "total_size": sum(len(d) for _, d in entries),
+    }
+
+
+def test_tar_interoperates_with_stdlib():
+    entries = _entries()
+    with tarfile.open(fileobj=io.BytesIO(make_tar(entries))) as t:
+        names = t.getnames()
+        assert names == [n.rstrip("/") for n, _ in entries]
+        for name, data in entries[1:]:
+            assert t.extractfile(name).read() == data
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w", format=tarfile.USTAR_FORMAT) as t:
+        for name, data in entries[1:]:
+            ti = tarfile.TarInfo(name)
+            ti.size = len(data)
+            t.addfile(ti, io.BytesIO(data))
+    walked = tar_entries(buf.getvalue())
+    assert [e["name"] for e in walked] == [n for n, _ in entries[1:]]
+
+
+def test_tar_checksum_mismatch_rejected():
+    payload = bytearray(make_tar(_entries(2)))
+    payload[0] ^= 0x01  # corrupt the name, keep the stored checksum
+    with pytest.raises(ValueError, match="checksum"):
+        tar_entries(bytes(payload))
+
+
+def test_tar_size_past_end_rejected():
+    payload = make_tar([("a.txt", b"abc")])
+    hdr = bytearray(payload[:512])
+    hdr[124:136] = b"77777777777\0"
+    hdr[148:156] = b" " * 8
+    chk = sum(hdr)
+    hdr[148:156] = ("%06o" % chk).encode() + b"\0 "
+    with pytest.raises(ValueError, match="exceeds"):
+        tar_entries(bytes(hdr) + payload[512:])
+
+
+# ---------------------------------------------------------------------------
+# gzip
+# ---------------------------------------------------------------------------
+def test_gzip_meta_fields():
+    payload = make_gzip(b"hello world" * 10, name="corpus.txt")
+    m = gzip_meta(payload)
+    assert m["n_members"] == 1
+    assert m["name"] == "corpus.txt"
+    assert m["mtime"] == 1735689600
+    assert m["total_uncompressed"] == 110
+
+
+def test_gzip_multi_member_count():
+    payload = make_gzip(b"a" * 100) + make_gzip(b"b" * 50, name="x")
+    m = gzip_meta(payload)
+    assert m["n_members"] == 2
+    assert m["total_uncompressed"] == 150
+    assert m["name"] is None  # first member has no FNAME
+
+
+def test_gzip_stdlib_interop():
+    import gzip as gz
+
+    assert gz.decompress(make_gzip(b"payload", name="n")) == b"payload"
+
+
+def test_gzip_reserved_flags_rejected():
+    payload = bytearray(make_gzip(b"x"))
+    payload[3] |= 0x80
+    with pytest.raises(ValueError, match="reserved"):
+        gzip_meta(bytes(payload))
+
+
+def test_gzip_budget_rejected():
+    payload = make_gzip(b"\x00" * (1 << 20))
+    with pytest.raises(ValueError, match="budget"):
+        gzip_meta(payload, max_output=1 << 10)
+
+
+# ---------------------------------------------------------------------------
+# dispatch + Spark seam
+# ---------------------------------------------------------------------------
+def test_archive_meta_dispatch():
+    entries = _entries(3)
+    total = sum(len(d) for _, d in entries)
+    assert archive_meta(make_zip(entries)) == {
+        "container": "zip", "n_entries": 3,
+        "total_uncompressed": total,
+    }
+    assert archive_meta(make_tar(entries)) == {
+        "container": "tar", "n_entries": 3,
+        "total_uncompressed": total,
+    }
+    assert archive_meta(make_gzip(b"q" * 77)) == {
+        "container": "gzip", "n_entries": 1,
+        "total_uncompressed": 77,
+    }
+    with pytest.raises(ValueError, match="magic"):
+        archive_meta(b"\x89PNG\r\n\x1a\n")
+
+
+def test_archive_entries_spark_seam(spark, sf_dir):
+    ids = [
+        r.doc_id
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id").orderBy("doc_id").limit(40).collect()
+    ]
+    rows = []
+    for doc_id in ids:
+        i = int(doc_id)
+        entries = [
+            (f"f{i}_{j}.txt", bytes([j % 256]) * ((i + j) % 97))
+            for j in range(1 + i % 4)
+        ]
+        payload = (
+            make_zip(entries, method=8) if i % 2 else make_tar(entries)
+        )
+        rows.append((i, payload))
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = archive_entries(df.repartition(8)).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == {int(i) for i in ids}
+    for i, recs in by_doc.items():
+        recs.sort(key=lambda r: r.entry_index)
+        assert len(recs) == 1 + i % 4
+        for j, r in enumerate(recs):
+            assert r.container == ("zip" if i % 2 else "tar")
+            assert r.name == f"f{i}_{j}.txt"
+            assert r.size == (i + j) % 97
+            assert r.is_dir is False
+
+
+def test_zip_store_vs_deflate_sizes():
+    data = b"compressible " * 200
+    stored = zip_meta(make_zip([("a", data)], method=0))
+    deflated = zip_meta(make_zip([("a", data)], method=8))
+    assert stored["total_compressed"] == len(data)
+    assert deflated["total_compressed"] < len(data) // 10
+    assert (
+        stored["total_uncompressed"]
+        == deflated["total_uncompressed"]
+        == len(data)
+    )
+
+
+def test_zip_utf8_flagged_names():
+    """Flag bit 11 switches the name codec to UTF-8 (APPNOTE D.1);
+    stdlib sets it when writing non-ASCII names."""
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr("héllo→.txt", b"x")
+    assert zip_entries(buf.getvalue())[0]["name"] == "héllo→.txt"

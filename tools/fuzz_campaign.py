@@ -250,9 +250,40 @@ def _seeds_warc():
     ]
 
 
+def _seeds_archive():
+    from bergloom_spark.operators.archive import (
+        archive_meta,
+        make_gzip,
+        make_tar,
+        make_zip,
+        zip_extract,
+    )
+
+    entries = [
+        ("d/", b""),
+        ("d/a.txt", b"alpha " * 40),
+        ("d/b.bin", bytes(range(256)) * 3),
+    ]
+
+    def meta_and_extract(payload: bytes):
+        m = archive_meta(payload)
+        if m["container"] == "zip":
+            zip_extract(payload, max_output=1 << 22)
+        return m
+
+    return meta_and_extract, [
+        make_zip(entries, method=0),
+        make_zip(entries, method=8),
+        make_tar(entries),
+        make_gzip(b"text body " * 30, name="doc.txt"),
+        make_gzip(b"a" * 64) + make_gzip(b"b" * 64, name="x"),
+    ]
+
+
 TARGETS = {
     "ogg": _seeds_ogg,
     "warc": _seeds_warc,
+    "archive": _seeds_archive,
     "flac": _seeds_flac,
     "exif": _seeds_exif,
     "subtitles": _seeds_subtitles,
