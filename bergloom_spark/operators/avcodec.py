@@ -40,6 +40,8 @@ __all__ = [
     "wav_meta",
     "audio_meta",
     "media_frame_count",
+    "adts_meta",
+    "make_adts_stream",
 ]
 
 
@@ -1190,6 +1192,116 @@ def make_aiff(
         + chunks
 
 
+# ADTS sampling_frequency_index table (ISO/IEC 14496-3 §1.6.3.4)
+_ADTS_RATES = (
+    96000, 88200, 64000, 48000, 44100, 32000, 24000, 22050,
+    16000, 12000, 11025, 8000, 7350,
+)
+_ADTS_PROFILES = ("Main", "LC", "SSR", "LTP")
+
+
+def _adts_header(d: bytes, pos: int):
+    """Parse one ADTS frame header at ``pos`` → (frame_bytes,
+    samples, rate, channels, profile_idx, crc_present) or None when
+    the bytes are not a valid header. Syncword is 12 ones AND the
+    layer field must be 00 (what structurally separates ADTS from an
+    MPEG-audio frame, whose valid layers are nonzero)."""
+    if pos + 7 > len(d):
+        return None
+    b1 = d[pos + 1]
+    if d[pos] != 0xFF or (b1 & 0xF6) != 0xF0:
+        return None
+    crc_present = not (b1 & 0x01)
+    b2, b3, b4, b5 = d[pos + 2], d[pos + 3], d[pos + 4], d[pos + 5]
+    profile = b2 >> 6
+    sfi = (b2 >> 2) & 0xF
+    if sfi >= len(_ADTS_RATES):
+        return None
+    channels = ((b2 & 0x1) << 2) | (b3 >> 6)
+    if channels == 0:  # PCE-defined layouts: not sniffable
+        return None
+    frame_len = ((b3 & 0x3) << 11) | (b4 << 3) | (b5 >> 5)
+    header_len = 9 if crc_present else 7
+    if frame_len < header_len:
+        return None
+    n_blocks = (d[pos + 6] & 0x3) + 1
+    return (frame_len, 1024 * n_blocks, _ADTS_RATES[sfi], channels,
+            profile, crc_present)
+
+
+def adts_meta(payload: bytes) -> dict:
+    """Raw ADTS AAC stream → corpus-triage metadata without decoding
+    audio: ``{n_frames, sample_rate, channels, profile,
+    duration_ms}`` — the bare `.aac` twin of :func:`mp3_meta`
+    (ISO/IEC 13818-7 §6.2 fixed+variable header walk). Each frame's
+    13-bit aac_frame_length chains the walk; duration accumulates
+    1024 samples per raw-data block at the frame's own rate.
+    ``sample_rate``/``channels``/``profile`` report the first frame.
+    Same stance as the MP3 walk: a frame running past the payload
+    ends the stream; zero complete frames raises ValueError."""
+    d = payload
+    pos, n_frames, duration_us, first = 0, 0, 0, None
+    while pos + 7 <= len(d):
+        fr = _adts_header(d, pos)
+        if fr is None:
+            break
+        frame_len, samples, rate, channels, profile, _crc = fr
+        if pos + frame_len > len(d):
+            break  # truncated final frame: not a whole frame
+        if first is None:
+            first = (rate, channels, profile)
+        n_frames += 1
+        duration_us += samples * 1_000_000 // rate
+        pos += frame_len
+    if n_frames == 0:
+        raise ValueError("no ADTS frame sync found")
+    rate, channels, profile = first
+    return {
+        "n_frames": n_frames,
+        "sample_rate": rate,
+        "channels": channels,
+        "profile": _ADTS_PROFILES[profile],
+        "duration_ms": duration_us // 1000,
+    }
+
+
+def make_adts_stream(
+    n_frames: int,
+    sample_rate: int = 44100,
+    channels: int = 2,
+    profile: int = 1,
+    payload_bytes: int = 16,
+    crc: bool = False,
+    blocks_per_frame: int = 1,
+) -> bytes:
+    """Synthetic ADTS framing for tests/oracles: valid headers with
+    zeroed raw-data bytes (header-walk metadata is payload-
+    independent)."""
+    if sample_rate not in _ADTS_RATES:
+        raise ValueError(f"rate {sample_rate} not in the ADTS table")
+    if not 1 <= channels <= 7:
+        raise ValueError("ADTS channel_configuration must be 1..7")
+    if not 1 <= blocks_per_frame <= 4:
+        raise ValueError("raw_data_blocks per frame must be 1..4")
+    sfi = _ADTS_RATES.index(sample_rate)
+    header_len = 9 if crc else 7
+    frame_len = header_len + payload_bytes
+    if frame_len >= 1 << 13:
+        raise ValueError("ADTS frame length exceeds 13 bits")
+    out = []
+    for _ in range(n_frames):
+        b = bytearray(header_len)
+        b[0] = 0xFF
+        b[1] = 0xF0 | (0 << 3) | (0 << 1) | (0 if crc else 1)
+        b[2] = (profile << 6) | (sfi << 2) | ((channels >> 2) & 1)
+        b[3] = ((channels & 0x3) << 6) | (frame_len >> 11)
+        b[4] = (frame_len >> 3) & 0xFF
+        b[5] = ((frame_len & 0x7) << 5) | 0x1F  # fullness hi (VBR)
+        b[6] = (0x3F << 2) | (blocks_per_frame - 1)
+        out.append(bytes(b) + b"\x00" * payload_bytes)
+    return b"".join(out)
+
+
 def audio_meta(payload: bytes) -> dict:
     """ANY audio container → uniform triage metadata
     ``{container, sample_rate, channels, duration_ms}`` — the audio
@@ -1270,6 +1382,18 @@ def audio_meta(payload: bytes) -> dict:
             "channels": m["audio_channels"],
             "duration_ms": m["duration_ms"],
         }
+    if len(d) >= 2 and d[0] == 0xFF and (d[1] & 0xF6) == 0xF0:
+        # ADTS AAC (round 10): syncword 0xFFF with layer == 00 —
+        # structurally disjoint from MP3, whose valid frames carry a
+        # nonzero layer code, so this branch MUST test before the
+        # looser MP3 sync mask below
+        m = adts_meta(d)
+        return {
+            "container": "aac",
+            "sample_rate": m["sample_rate"],
+            "channels": m["channels"],
+            "duration_ms": m["duration_ms"],
+        }
     if d[:3] == b"ID3" or (len(d) >= 2 and d[0] == 0xFF
                            and (d[1] & 0xE0) == 0xE0):
         m = mp3_meta(d)
@@ -1281,7 +1405,7 @@ def audio_meta(payload: bytes) -> dict:
         }
     raise ValueError(
         f"unrecognized audio magic {d[:4]!r}: WAV, FLAC, Ogg "
-        "(Vorbis/Opus), AIFF, MP4/m4a, and MP3 sniff"
+        "(Vorbis/Opus), AIFF, MP4/m4a, ADTS-AAC, and MP3 sniff"
     )
 
 

@@ -155,3 +155,50 @@ def test_ogg_opus_seam(spark, sf_dir):
         assert r.sample_rate == (48000, 44100, 48000)[i % 3]
         assert r.channels == 1 + i % 8
         assert r.duration_ms == ((i % 400) * 480) * 1000 // 48000
+
+
+def test_adts_meta_seam(spark, sf_dir):
+    from bergloom_spark.operators.avcodec import (
+        audio_meta,
+        make_adts_stream,
+    )
+
+    def make_and_sniff(pdf):
+        rows = []
+        for doc_id in pdf["doc_id"]:
+            i = int(doc_id)
+            rate = (96000, 48000, 44100, 22050, 8000)[i % 5]
+            p = make_adts_stream(
+                1 + i % 50,
+                sample_rate=rate,
+                channels=1 + i % 7,
+                crc=i % 2 == 0,
+                blocks_per_frame=1 + i % 4,
+            )
+            m = audio_meta(p)
+            rows.append((i, m["container"], m["sample_rate"],
+                         m["channels"], m["duration_ms"]))
+        return pd.DataFrame(
+            rows,
+            columns=["doc_id", "container", "sample_rate",
+                     "channels", "duration_ms"],
+        )
+
+    rows = _drive(
+        spark, sf_dir, make_and_sniff,
+        "doc_id long, container string, sample_rate long, "
+        "channels long, duration_ms long",
+    )
+    assert rows
+    for r in rows:
+        i = r.doc_id
+        rate = (96000, 48000, 44100, 22050, 8000)[i % 5]
+        samples = 1024 * (1 + i % 4)
+        assert r.container == "aac"
+        assert r.sample_rate == rate
+        assert r.channels == 1 + i % 7
+        # per-frame floor accumulation — the exact arithmetic the
+        # r11 oracle must replay: n * (samples*1e6 // rate) // 1000
+        assert r.duration_ms == (
+            (1 + i % 50) * (samples * 1_000_000 // rate) // 1000
+        )

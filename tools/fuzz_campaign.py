@@ -209,6 +209,7 @@ def _seeds_audio_meta():
     from bergloom_spark.operators.avcodec import (
         audio_meta,
         encode_wav,
+        make_adts_stream,
         make_aiff,
         make_flac_stream,
     )
@@ -221,6 +222,9 @@ def _seeds_audio_meta():
         make_aiff(44100, 2, 16, 44100, audio_bytes=32),
         make_aiff(48000, 1, 24, 4800, compression="NONE"),
         _m4a_seed(),
+        make_adts_stream(6, sample_rate=44100, channels=2),
+        make_adts_stream(3, sample_rate=8000, channels=1, crc=True,
+                         blocks_per_frame=2),
     ]
 
 
