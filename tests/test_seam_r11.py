@@ -202,3 +202,58 @@ def test_adts_meta_seam(spark, sf_dir):
         assert r.duration_ms == (
             (1 + i % 50) * (samples * 1_000_000 // rate) // 1000
         )
+
+
+def test_pdf_meta_seam(spark, sf_dir):
+    from bergloom_spark.operators.pdfmeta import make_pdf, pdf_meta
+
+    def make_and_sniff(pdf):
+        rows = []
+        for doc_id in pdf["doc_id"]:
+            i = int(doc_id)
+            p = make_pdf(
+                i % 12,
+                title=f"report {i}" if i % 3 else None,
+                encrypted=i % 5 == 0,
+                incremental_retitle=(
+                    f"retitled {i}" if i % 4 == 1 else None
+                ),
+            )
+            m = pdf_meta(p)
+            rows.append((i, m["n_pages"], m["n_objects"],
+                         m["encrypted"], m["title"], m["n_updates"]))
+        return pd.DataFrame(
+            rows,
+            columns=["doc_id", "n_pages", "n_objects", "encrypted",
+                     "title", "n_updates"],
+        )
+
+    rows = _drive(
+        spark, sf_dir, make_and_sniff,
+        "doc_id long, n_pages long, n_objects long, "
+        "encrypted boolean, title string, n_updates long",
+    )
+    assert rows
+    for r in rows:
+        i = r.doc_id
+        assert r.n_pages == i % 12
+        # catalog + pages + 2/page + optional info/encrypt (+1
+        # incremental retitle object counted via /Size)
+        base = 2 + 2 * (i % 12)
+        if i % 3:
+            base += 1
+        if i % 5 == 0:
+            base += 1
+        if i % 4 == 1:
+            base += 1
+        assert r.n_objects == base
+        assert r.encrypted == (i % 5 == 0)
+        if i % 5 == 0:
+            assert r.title is None
+        elif i % 4 == 1:
+            assert r.title == f"retitled {i}"
+        elif i % 3:
+            assert r.title == f"report {i}"
+        else:
+            assert r.title is None
+        assert r.n_updates == (1 if i % 4 == 1 else 0)

@@ -284,10 +284,23 @@ def _seeds_archive():
     ]
 
 
+def _seeds_pdf():
+    from bergloom_spark.operators.pdfmeta import make_pdf, pdf_meta
+
+    return pdf_meta, [
+        make_pdf(3, title="fuzz seed (one)"),
+        make_pdf(0),
+        make_pdf(2, title="enc", encrypted=True),
+        make_pdf(4, title="old", incremental_retitle="new"),
+        make_pdf(1, title=b"\xfe\xff" + "タイトル".encode("utf-16-be")),
+    ]
+
+
 TARGETS = {
     "ogg": _seeds_ogg,
     "warc": _seeds_warc,
     "archive": _seeds_archive,
+    "pdf": _seeds_pdf,
     "flac": _seeds_flac,
     "exif": _seeds_exif,
     "subtitles": _seeds_subtitles,
