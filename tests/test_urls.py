@@ -1,0 +1,179 @@
+"""URL function tests (round 10): expected values + Spark↔DuckDB
+twin parity on the same inputs — the regex-engine seam (Java vs RE2)
+is exactly where the r5 ``\\s`` divergence lived, so every function
+is driven through BOTH engines here."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from bergloom_spark.functions.urls import (
+    url_host,
+    url_host_sql,
+    url_normalize,
+    url_normalize_sql,
+    url_path,
+    url_path_sql,
+    url_query,
+    url_query_sql,
+    url_registrable_domain,
+    url_registrable_domain_sql,
+    url_scheme,
+    url_scheme_sql,
+)
+
+URLS = [
+    "https://www.Example.COM/path/to/page?a=1&b=2#frag",
+    "http://user:pw@sub.news.example.co.uk:8080/x?q=hi",
+    "https://example.org",
+    "https://example.org/",
+    "https://example.org:443/home",
+    "http://example.org:80",
+    "HTTPS://UP.EXAMPLE.NET/Mixed/Case?UTM_x=1",
+    "https://a.b/p?utm_source=tw&utm_medium=social&x=1",
+    "https://a.b/p?x=1&utm_campaign=c",
+    "https://a.b/p?utm_source=only",
+    "https://a.b/p?gclid=123&fbclid=456",
+    "ftp://files.example.com/pub/file.txt",
+    "not a url at all",
+    "https://localhost/admin",
+    "https://192.168.0.1/status?x=2",
+    "https://example.org/trail/",
+    "https://example.org/?utm_source=x",
+]
+
+EXPECTED_NORM = {
+    "https://www.Example.COM/path/to/page?a=1&b=2#frag":
+        "https://www.example.com/path/to/page?a=1&b=2",
+    "http://user:pw@sub.news.example.co.uk:8080/x?q=hi":
+        "http://user:pw@sub.news.example.co.uk:8080/x?q=hi",
+    "https://example.org": "https://example.org",
+    "https://example.org/": "https://example.org",
+    "https://example.org:443/home": "https://example.org/home",
+    "http://example.org:80": "http://example.org",
+    "HTTPS://UP.EXAMPLE.NET/Mixed/Case?UTM_x=1":
+        "https://up.example.net/Mixed/Case?UTM_x=1",  # case-sig UTM
+    "https://a.b/p?utm_source=tw&utm_medium=social&x=1":
+        "https://a.b/p?x=1",
+    "https://a.b/p?x=1&utm_campaign=c": "https://a.b/p?x=1",
+    "https://a.b/p?utm_source=only": "https://a.b/p",
+    "https://a.b/p?gclid=123&fbclid=456": "https://a.b/p",
+    "https://example.org/trail/": "https://example.org/trail/",
+    "https://example.org/?utm_source=x": "https://example.org",
+}
+
+
+@pytest.fixture(scope="module")
+def url_df(spark):
+    return spark.createDataFrame(
+        [(u,) for u in URLS], "url string"
+    ).cache()
+
+
+def _both(spark, url_df, col_fn, sql_fn):
+    got_spark = {
+        r.url: r.v
+        for r in url_df.select("url", col_fn("url").alias("v")).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE urls AS SELECT * FROM (VALUES "
+        + ",".join("(?)" for _ in URLS) + ") t(url)",
+        URLS,
+    )
+    got_duck = {
+        r[0]: r[1]
+        for r in con.execute(
+            f"SELECT url, {sql_fn('url')} FROM urls"
+        ).fetchall()
+    }
+    con.close()
+    assert got_spark == got_duck, "Spark/DuckDB twin divergence"
+    return got_spark
+
+
+def test_scheme(spark, url_df):
+    got = _both(spark, url_df, url_scheme, url_scheme_sql)
+    assert got["https://www.Example.COM/path/to/page?a=1&b=2#frag"] == "https"
+    assert got["HTTPS://UP.EXAMPLE.NET/Mixed/Case?UTM_x=1"] == "https"
+    assert got["ftp://files.example.com/pub/file.txt"] == "ftp"
+    assert got["not a url at all"] == ""
+
+
+def test_host(spark, url_df):
+    got = _both(spark, url_df, url_host, url_host_sql)
+    assert got["https://www.Example.COM/path/to/page?a=1&b=2#frag"] == (
+        "www.example.com"
+    )
+    assert got["http://user:pw@sub.news.example.co.uk:8080/x?q=hi"] == (
+        "sub.news.example.co.uk"
+    )
+    assert got["https://example.org"] == "example.org"
+    assert got["https://192.168.0.1/status?x=2"] == "192.168.0.1"
+    assert got["not a url at all"] == ""
+
+
+def test_path(spark, url_df):
+    got = _both(spark, url_df, url_path, url_path_sql)
+    assert got["https://www.Example.COM/path/to/page?a=1&b=2#frag"] == (
+        "/path/to/page"
+    )
+    assert got["https://example.org"] == ""
+    assert got["https://example.org/"] == "/"
+    assert got["https://example.org/trail/"] == "/trail/"
+
+
+def test_query(spark, url_df):
+    got = _both(spark, url_df, url_query, url_query_sql)
+    assert got["https://www.Example.COM/path/to/page?a=1&b=2#frag"] == (
+        "a=1&b=2"
+    )
+    assert got["https://example.org"] == ""
+
+
+def test_registrable_domain_default(spark, url_df):
+    got = _both(
+        spark, url_df, url_registrable_domain,
+        url_registrable_domain_sql,
+    )
+    assert got["https://www.Example.COM/path/to/page?a=1&b=2#frag"] == (
+        "example.com"
+    )
+    # last-2-labels approximation without the suffix argument:
+    assert got["http://user:pw@sub.news.example.co.uk:8080/x?q=hi"] == (
+        "co.uk"
+    )
+    assert got["https://localhost/admin"] == "localhost"
+
+
+def test_registrable_domain_extra_suffixes(spark, url_df):
+    fn = lambda c: url_registrable_domain(c, ("co.uk",))  # noqa: E731
+    fs = lambda e: url_registrable_domain_sql(e, ("co.uk",))  # noqa: E731
+    got = _both(spark, url_df, fn, fs)
+    assert got["http://user:pw@sub.news.example.co.uk:8080/x?q=hi"] == (
+        "example.co.uk"
+    )
+    assert got["https://www.Example.COM/path/to/page?a=1&b=2#frag"] == (
+        "example.com"
+    )
+
+
+def test_normalize(spark, url_df):
+    got = _both(spark, url_df, url_normalize, url_normalize_sql)
+    for url, want in EXPECTED_NORM.items():
+        assert got[url] == want, url
+
+
+def test_normalize_dedups_tracking_variants(spark):
+    variants = [
+        "https://Example.com/a?utm_source=tw",
+        "https://example.com/a?utm_campaign=x&utm_medium=y",
+        "https://example.com:443/a",
+        "https://example.com/a#section",
+    ]
+    df = spark.createDataFrame([(u,) for u in variants], "url string")
+    keys = {
+        r.v for r in df.select(url_normalize("url").alias("v")).collect()
+    }
+    assert keys == {"https://example.com/a"}
