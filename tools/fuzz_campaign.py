@@ -296,11 +296,29 @@ def _seeds_pdf():
     ]
 
 
+def _seeds_mime():
+    from bergloom_spark.operators.mime import make_eml, make_mbox, parse_mbox
+
+    msgs = [
+        make_eml("plain", "body one\nline"),
+        make_eml("qp — unicode", "naïve café ✓", cte="quoted-printable",
+                 encode_subject=True),
+        make_eml("b64", "binaryish body", cte="base64",
+                 html="<p>alt</p>"),
+    ]
+    return parse_mbox, [
+        make_mbox(msgs),
+        make_mbox(msgs[:1]),
+        make_mbox([make_eml("nest", "From line stuffing test")]),
+    ]
+
+
 TARGETS = {
     "ogg": _seeds_ogg,
     "warc": _seeds_warc,
     "archive": _seeds_archive,
     "pdf": _seeds_pdf,
+    "mime": _seeds_mime,
     "flac": _seeds_flac,
     "exif": _seeds_exif,
     "subtitles": _seeds_subtitles,
