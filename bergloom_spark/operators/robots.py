@@ -1,0 +1,267 @@
+"""Robots Exclusion Protocol (RFC 9309) + sitemaps.org parsing —
+the policy layer of a crawl corpus: which of the 100 TB of fetched
+URLs were actually allowed, which sitemap-declared pages are
+missing, and what per-host crawl delays the fetcher honored.
+
+``robots_rules`` parses the group structure (consecutive
+``User-agent`` lines share the rule block that follows);
+``robots_allowed`` evaluates a URL path with RFC 9309 semantics:
+the most-specific matching group (longest agent token, ``*``
+fallback), longest-match rule wins, allow wins length ties, ``*``
+wildcards and ``$`` end anchors. ``sitemap_urls`` walks
+``<urlset>``/``<sitemapindex>`` documents.
+
+Corpus contract throughout: bytes → result or ValueError, cursor
+strictly advances, entry caps bound allocation. Rule matching is
+pure Python because it is driver/test-side policy evaluation; the
+bulk per-URL check runs as a broadcast of the compiled rule list
+into an Arrow-batched kernel (rules are tiny; URLs are the big
+side and never shuffle)."""
+
+from __future__ import annotations
+
+import re
+
+__all__ = [
+    "robots_rules",
+    "robots_allowed",
+    "make_robots",
+    "sitemap_urls",
+    "make_sitemap",
+]
+
+_MAX_LINES = 100_000
+_MAX_URLS = 1 << 20
+
+
+# ---------------------------------------------------------------------------
+# robots.txt
+# ---------------------------------------------------------------------------
+def robots_rules(payload: bytes) -> dict:
+    """robots.txt bytes → ``{groups: [{agents, allow, disallow,
+    crawl_delay}], sitemaps: [...]}``. Lines are ``field: value``
+    with ``#`` comments; unknown fields are ignored (RFC 9309 §2.2.4
+    — forward compatibility); a rule line before any User-agent is
+    an error. Bytes must be UTF-8 (the spec's charset)."""
+    try:
+        text = payload.decode("utf-8")
+    except UnicodeDecodeError as exc:
+        raise ValueError(f"robots.txt is not UTF-8: {exc}") from exc
+    lines = text.splitlines()
+    if len(lines) > _MAX_LINES:
+        raise ValueError("robots.txt exceeds the line cap")
+    groups: list[dict] = []
+    sitemaps: list[str] = []
+    # a User-agent line OPENS a group only when the previous group
+    # already has rules; consecutive UA lines stack onto one group
+    open_group = None
+    last_was_agent = False
+    for raw in lines:
+        line = raw.split("#", 1)[0].strip()
+        if not line:
+            continue
+        field, colon, value = line.partition(":")
+        if not colon:
+            raise ValueError(f"malformed robots.txt line: {raw!r}")
+        field = field.strip().lower()
+        value = value.strip()
+        if field == "user-agent":
+            if not value:
+                raise ValueError("empty User-agent value")
+            if open_group is None or not last_was_agent:
+                open_group = {
+                    "agents": [], "allow": [], "disallow": [],
+                    "crawl_delay": None,
+                }
+                groups.append(open_group)
+            open_group["agents"].append(value.lower())
+            last_was_agent = True
+            continue
+        if field == "sitemap":
+            sitemaps.append(value)  # global, group-independent
+            continue
+        last_was_agent = False
+        if field in ("allow", "disallow"):
+            if open_group is None:
+                raise ValueError(
+                    f"{field} rule before any User-agent line"
+                )
+            if value:  # an empty Disallow means "allow all": no rule
+                open_group[field].append(value)
+        elif field == "crawl-delay":
+            if open_group is None:
+                raise ValueError(
+                    "crawl-delay before any User-agent line"
+                )
+            try:
+                open_group["crawl_delay"] = float(value)
+            except ValueError as exc:
+                raise ValueError(
+                    f"bad crawl-delay {value!r}"
+                ) from exc
+        # unknown fields: ignored
+    return {"groups": groups, "sitemaps": sitemaps}
+
+
+def _rule_regex(rule: str) -> re.Pattern:
+    """RFC 9309 §2.2.3 path pattern → anchored regex: ``*`` matches
+    any run, ``$`` at the end anchors, everything else is literal."""
+    anchored = rule.endswith("$")
+    body = rule[:-1] if anchored else rule
+    pat = "".join(
+        ".*" if ch == "*" else re.escape(ch) for ch in body
+    )
+    return re.compile("^" + pat + ("$" if anchored else ""))
+
+
+def _select_group(groups: list[dict], agent: str) -> dict | None:
+    """Most-specific group: the one whose agent token is the longest
+    substring of ``agent`` (case-insensitive); ``*`` is the
+    fallback."""
+    agent = agent.lower()
+    best, best_len = None, -1
+    star = None
+    for g in groups:
+        for tok in g["agents"]:
+            if tok == "*":
+                if star is None:
+                    star = g
+            elif tok in agent and len(tok) > best_len:
+                best, best_len = g, len(tok)
+    return best if best is not None else star
+
+
+def robots_allowed(rules: dict, agent: str, path: str) -> bool:
+    """RFC 9309 §2.2.2 evaluation: within the selected group, the
+    longest rule that matches ``path`` decides; on equal lengths
+    allow wins; no match → allowed. No group for the agent →
+    allowed."""
+    g = _select_group(rules["groups"], agent)
+    if g is None:
+        return True
+    best_len, best_allow = -1, True
+    for allow_flag, rule_list in ((True, g["allow"]),
+                                  (False, g["disallow"])):
+        for rule in rule_list:
+            if _rule_regex(rule).match(path):
+                ln = len(rule)
+                if ln > best_len or (ln == best_len and allow_flag):
+                    best_len, best_allow = ln, allow_flag
+    return best_allow
+
+
+def make_robots(
+    groups: list[dict], sitemaps: tuple[str, ...] = ()
+) -> bytes:
+    """robots.txt bytes from group specs (``{agents, allow,
+    disallow, crawl_delay}``) — the writer the tests/oracles build
+    fixtures with."""
+    out = []
+    for g in groups:
+        for a in g.get("agents", ["*"]):
+            out.append(f"User-agent: {a}")
+        for r in g.get("disallow", []):
+            out.append(f"Disallow: {r}")
+        for r in g.get("allow", []):
+            out.append(f"Allow: {r}")
+        if g.get("crawl_delay") is not None:
+            out.append(f"Crawl-delay: {g['crawl_delay']}")
+        out.append("")
+    for s in sitemaps:
+        out.append(f"Sitemap: {s}")
+    return ("\n".join(out) + "\n").encode("utf-8")
+
+
+# ---------------------------------------------------------------------------
+# sitemaps.org
+# ---------------------------------------------------------------------------
+_URL_BLOCK = re.compile(rb"<url>(.*?)</url>", re.S)
+_SM_BLOCK = re.compile(rb"<sitemap>(.*?)</sitemap>", re.S)
+_XML_ESCAPES = (
+    (b"&lt;", b"<"), (b"&gt;", b">"), (b"&quot;", b'"'),
+    (b"&apos;", b"'"), (b"&amp;", b"&"),  # &amp; last
+)
+
+
+def _tag(block: bytes, name: str) -> str | None:
+    m = re.search(
+        rb"<" + name.encode() + rb">(.*?)</" + name.encode() + rb">",
+        block, re.S,
+    )
+    if m is None:
+        return None
+    v = m.group(1).strip()
+    for ent, ch in _XML_ESCAPES:
+        v = v.replace(ent, ch)
+    try:
+        return v.decode("utf-8")
+    except UnicodeDecodeError as exc:
+        raise ValueError(f"sitemap <{name}> not UTF-8: {exc}") from exc
+
+
+def sitemap_urls(payload: bytes) -> dict:
+    """Sitemap bytes → ``{kind: "urlset"|"index", entries: [{loc,
+    lastmod, changefreq, priority}]}``. Handles both document kinds
+    of the sitemaps.org protocol; ``<loc>`` is mandatory per entry.
+    This is the protocol's fixed shape, not a general XML parser —
+    namespaced wrappers are tolerated because matching is by local
+    tag name."""
+    d = payload
+    if b"<urlset" in d[:4096]:
+        kind, blocks = "urlset", _URL_BLOCK.findall(d)
+    elif b"<sitemapindex" in d[:4096]:
+        kind, blocks = "index", _SM_BLOCK.findall(d)
+    else:
+        raise ValueError(
+            "payload has neither <urlset> nor <sitemapindex>"
+        )
+    if len(blocks) > _MAX_URLS:
+        raise ValueError("sitemap exceeds the entry cap")
+    entries = []
+    for b in blocks:
+        loc = _tag(b, "loc")
+        if loc is None:
+            raise ValueError("sitemap entry lacks <loc>")
+        prio = _tag(b, "priority")
+        if prio is not None:
+            try:
+                prio = float(prio)
+            except ValueError as exc:
+                raise ValueError(f"bad <priority> {prio!r}") from exc
+        entries.append(
+            {
+                "loc": loc,
+                "lastmod": _tag(b, "lastmod"),
+                "changefreq": _tag(b, "changefreq"),
+                "priority": prio,
+            }
+        )
+    return {"kind": kind, "entries": entries}
+
+
+def make_sitemap(
+    entries: list[dict], index: bool = False
+) -> bytes:
+    """sitemaps.org XML from entry dicts (``{loc, lastmod,
+    changefreq, priority}``; only ``loc`` required)."""
+    root = "sitemapindex" if index else "urlset"
+    item = "sitemap" if index else "url"
+    out = [
+        '<?xml version="1.0" encoding="UTF-8"?>',
+        f'<{root} xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">',
+    ]
+    for e in entries:
+        loc = e["loc"]
+        for ch, ent in ((u"&", "&amp;"), ("<", "&lt;"),
+                        (">", "&gt;")):
+            loc = loc.replace(ch, ent)
+        out.append(f"  <{item}>")
+        out.append(f"    <loc>{loc}</loc>")
+        for k in ("lastmod", "changefreq"):
+            if e.get(k) is not None:
+                out.append(f"    <{k}>{e[k]}</{k}>")
+        if e.get("priority") is not None:
+            out.append(f"    <priority>{e['priority']}</priority>")
+        out.append(f"  </{item}>")
+    out.append(f"</{root}>")
+    return ("\n".join(out) + "\n").encode("utf-8")

@@ -313,12 +313,42 @@ def _seeds_mime():
     ]
 
 
+def _seeds_robots():
+    from bergloom_spark.operators.robots import (
+        make_robots,
+        make_sitemap,
+        robots_rules,
+        sitemap_urls,
+    )
+
+    def parse_either(payload: bytes):
+        if payload[:5] == b"<?xml" or b"<urlset" in payload[:64]:
+            return sitemap_urls(payload)
+        return robots_rules(payload)
+
+    return parse_either, [
+        make_robots(
+            [{"agents": ["*"], "disallow": ["/a/", "/*.pdf$"],
+              "allow": ["/a/ok/"], "crawl_delay": 1.5},
+             {"agents": ["bot", "crawler"], "disallow": ["/b"]}],
+            sitemaps=("https://e.org/s.xml",),
+        ),
+        make_sitemap(
+            [{"loc": "https://e.org/a", "lastmod": "2025-01-01",
+              "changefreq": "daily", "priority": 0.5},
+             {"loc": "https://e.org/b&amp;c"}]
+        ),
+        make_sitemap([{"loc": "https://e.org/s1.xml"}], index=True),
+    ]
+
+
 TARGETS = {
     "ogg": _seeds_ogg,
     "warc": _seeds_warc,
     "archive": _seeds_archive,
     "pdf": _seeds_pdf,
     "mime": _seeds_mime,
+    "robots": _seeds_robots,
     "flac": _seeds_flac,
     "exif": _seeds_exif,
     "subtitles": _seeds_subtitles,
