@@ -1,0 +1,74 @@
+"""End-to-end crawl ingest composition — the stage chain a Common
+Crawl-style pipeline runs over raw archives before ANY of the
+dedup/quality/pack operators in this repo see a document:
+
+    WARC record explosion (``operators/warc.py``, map-only)
+      → keep 200-OK text/html response records
+      → URL normalization + site key (``functions/urls.py``)
+      → title + boilerplate-stripped text (``functions/html.py`` /
+        ``functions/text.py``)
+      → optional per-site aggregates
+
+Everything after the record explosion is whole-stage-codegen column
+work over the SAME map partition — the plan has exactly one shuffle
+(the table read) until ``crawl_site_stats`` adds the per-site
+aggregation, which shuffles short site keys, never page bytes."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from bergloom_spark.functions.html import html_title
+from bergloom_spark.functions.text import strip_markup
+from bergloom_spark.functions.urls import (
+    url_host,
+    url_normalize,
+    url_registrable_domain,
+)
+from bergloom_spark.operators.warc import warc_records
+
+__all__ = ["crawl_text_pipeline", "crawl_site_stats"]
+
+
+def crawl_text_pipeline(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Binary WARC column → one row per kept page:
+    ``(doc_id, rec_index, url, host, site, title, text, text_len)``.
+
+    Keeps ``response`` records with HTTP 200 and a ``text/html``
+    content type whose body decoded as UTF-8 (binary bodies carry
+    NULL text from the explosion and are dropped — they belong to
+    the multimodal pipeline, not this one)."""
+    recs = warc_records(df, payload_col=payload_col, id_col=id_col)
+    pages = recs.filter(
+        (F.col("record_type") == "response")
+        & (F.col("http_status") == 200)
+        & F.col("http_content_type").startswith("text/html")
+        & F.col("payload_text").isNotNull()
+    )
+    text = strip_markup(F.col("payload_text"))
+    return pages.select(
+        id_col,
+        "rec_index",
+        url_normalize(F.col("target_uri")).alias("url"),
+        url_host(F.col("target_uri")).alias("host"),
+        url_registrable_domain(F.col("target_uri")).alias("site"),
+        html_title(F.col("payload_text")).alias("title"),
+        text.alias("text"),
+        F.length(text).alias("text_len"),
+    )
+
+
+def crawl_site_stats(pages: DataFrame) -> DataFrame:
+    """Per-site corpus statistics over :func:`crawl_text_pipeline`
+    output: page count, distinct normalized URLs, mean text length.
+    One partial-agg shuffle on the short site key."""
+    return pages.groupBy("site").agg(
+        F.count("*").alias("n_pages"),
+        F.countDistinct("url").alias("n_urls"),
+        F.avg("text_len").alias("avg_text_len"),
+    )

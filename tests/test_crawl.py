@@ -1,0 +1,102 @@
+"""End-to-end crawl pipeline test (round 10): WARC explosion →
+URL/HTML/text column battery → site stats, driven on real testdata
+doc_ids with exact recipe assertions and a plan check (the shuffle
+posture is the point of the composition)."""
+
+from __future__ import annotations
+
+import pytest
+
+from bergloom_spark.operators.crawl import (
+    crawl_site_stats,
+    crawl_text_pipeline,
+)
+from bergloom_spark.operators.warc import make_warc
+
+
+def _payload(i: int) -> bytes:
+    pages = []
+    for j in range(1 + i % 3):
+        html = (
+            f"<html><head><title>Doc {i} page {j}</title></head>"
+            f"<body><script>var x=1;</script>"
+            f"<p>body  text {i} {j}</p></body></html>"
+        )
+        pages.append(
+            {
+                "url": (
+                    f"https://Sub.site{i % 4}.example:443/p/{j}"
+                    f"?utm_source=x&k={j}"
+                ),
+                "text": html,
+                "status": 200 if j % 3 != 2 else 404,
+                "content_type": (
+                    "text/html" if j % 3 != 1 else "image/png"
+                ),
+            }
+        )
+    return make_warc(pages, gzip_records=i % 2 == 1, seed=f"c:{i}")
+
+
+@pytest.fixture(scope="module")
+def crawl_df(spark, sf_dir):
+    ids = [
+        r.doc_id
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id").orderBy("doc_id").limit(60).collect()
+    ]
+    rows = [(int(i), _payload(int(i))) for i in ids]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    return crawl_text_pipeline(df.repartition(8)).cache()
+
+
+def test_pipeline_fields_exact(crawl_df):
+    rows = crawl_df.collect()
+    assert rows
+    for r in rows:
+        i, j = r.doc_id, r.rec_index - 1  # rec 0 is warcinfo
+        # only 200-OK text/html records survive: j % 3 == 0
+        assert j % 3 == 0
+        assert r.url == (
+            f"https://sub.site{i % 4}.example/p/{j}?k={j}"
+        )  # lowercased host, :443 and utm_source stripped
+        assert r.host == f"sub.site{i % 4}.example"
+        assert r.site == f"site{i % 4}.example"
+        assert r.title == f"Doc {i} page {j}"
+        # strip_markup keeps tag CONTENT (incl. the head title) and
+        # drops script bodies; whitespace collapsed
+        assert r.text == f"Doc {i} page {j} body text {i} {j}"
+        assert r.text_len == len(r.text)
+
+
+def test_pipeline_keeps_expected_count(crawl_df, spark, sf_dir):
+    ids = [
+        int(r.doc_id)
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id").orderBy("doc_id").limit(60).collect()
+    ]
+    # pages with j % 3 == 0 among range(1 + i % 3): j = 0 always
+    # qualifies; j = 1, 2 never do (content-type / status)
+    assert crawl_df.count() == len(ids)
+
+
+def test_site_stats(crawl_df):
+    stats = {r.site: r for r in crawl_site_stats(crawl_df).collect()}
+    assert set(stats) == {f"site{k}.example" for k in range(4)}
+    total = sum(r.n_pages for r in stats.values())
+    assert total == crawl_df.count()
+    for r in stats.values():
+        assert r.n_urls <= r.n_pages
+        assert r.avg_text_len > 0
+
+
+def test_pipeline_plan_single_shuffle(crawl_df):
+    """The page battery runs in the scan's map stage: exactly one
+    exchange before aggregation (the repartition), none between the
+    WARC kernel and the column work."""
+    plan = crawl_df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]  # AQE prints the
+    # pre-adaptive plan again below; count real exchanges only
+    assert final.count("Exchange") <= 1, final
+    assert "MapInPandas" in final
+    assert "*(" in final  # the column battery is codegen'd
