@@ -34,6 +34,8 @@ __all__ = [
     "tar_meta",
     "make_gzip",
     "gzip_meta",
+    "make_zstd_frame",
+    "zstd_meta",
     "archive_meta",
     "archive_entries",
 ]
@@ -404,6 +406,176 @@ def gzip_meta(
 
 
 # ---------------------------------------------------------------------------
+# Zstandard frames (RFC 8878) — header-only
+# ---------------------------------------------------------------------------
+_ZSTD_MAGIC = b"\x28\xb5\x2f\xfd"
+_SKIPPABLE_LO = 0x184D2A50
+
+
+def make_zstd_frame(
+    content_size: int | None,
+    n_blocks: int = 1,
+    checksum: bool = False,
+    dict_id: int = 0,
+) -> bytes:
+    """One structurally-valid zstd frame whose blocks are RAW
+    (Block_Type=0) zero bytes — no entropy coding, so the writer
+    needs no zstd library and the header fields are still the real
+    spec layout a sniffing reader must walk. ``content_size=None``
+    omits the Frame_Content_Size field (single_segment off)."""
+    fhd = 0
+    if checksum:
+        fhd |= 1 << 2
+    dict_bytes = b""
+    if dict_id:
+        did_len = 1 if dict_id < 1 << 8 else (
+            2 if dict_id < 1 << 16 else 4
+        )
+        fhd |= {1: 1, 2: 2, 4: 3}[did_len]
+        dict_bytes = dict_id.to_bytes(did_len, "little")
+    # FCS encoding (RFC 8878 §3.1.1.1.1): flag 0 = absent (or a
+    # 1-byte field when single_segment), flag 1 = 2 bytes storing
+    # size − 256, flag 2/3 = 4/8 raw bytes
+    fcs_bytes = b""
+    if content_size is not None:
+        if content_size < 256:
+            fhd |= 1 << 5  # single_segment: 1-byte FCS, no window
+            fcs_bytes = content_size.to_bytes(1, "little")
+        elif content_size - 256 < 1 << 16:
+            fhd |= 1 << 6
+            fcs_bytes = (content_size - 256).to_bytes(2, "little")
+        elif content_size < 1 << 32:
+            fhd |= 2 << 6
+            fcs_bytes = content_size.to_bytes(4, "little")
+        else:
+            fhd |= 3 << 6
+            fcs_bytes = content_size.to_bytes(8, "little")
+    window = b"" if fhd & (1 << 5) else b"\x00"  # exponent 0
+    out = _ZSTD_MAGIC + bytes([fhd]) + window + dict_bytes + fcs_bytes
+    total = content_size if content_size is not None else 1024
+    left = total
+    for i in range(n_blocks):
+        size = left // (n_blocks - i) if n_blocks - i else 0
+        left -= size
+        last = 1 if i == n_blocks - 1 else 0
+        header = last | (0 << 1) | (size << 3)  # RAW block
+        out += header.to_bytes(3, "little") + b"\x00" * size
+    if checksum:
+        out += b"\x00\x00\x00\x00"  # stub XXH64 low bytes
+    return out
+
+
+def zstd_meta(payload: bytes) -> dict:
+    """Header-only zstd triage (RFC 8878): walks every frame in the
+    payload — data frames (magic 0x28B52FFD: frame-header fields,
+    then the block chain by Block_Size to find the next frame) and
+    skippable frames (magics 0x184D2A50-5F, skipped by their length
+    field) → ``{n_frames, n_skippable, total_content_size,
+    has_checksum, dict_id, window_log}``. ``total_content_size`` is
+    None when any data frame omits Frame_Content_Size (the honest
+    answer — RAW/RLE/compressed block walks know sizes, but a
+    compressed block's decoded size is not in its header).
+    Never decompresses anything."""
+    d = payload
+    if d[:4] != _ZSTD_MAGIC and not (
+        len(d) >= 4
+        and _SKIPPABLE_LO
+        <= int.from_bytes(d[:4], "little")
+        <= _SKIPPABLE_LO + 0xF
+    ):
+        raise ValueError("not a zstd payload")
+    pos = 0
+    n_frames = n_skippable = 0
+    total: int | None = 0
+    has_checksum = False
+    dict_id = 0
+    window_log = None
+    while pos < len(d):
+        if pos + 4 > len(d):
+            raise ValueError("truncated zstd frame magic")
+        magic = int.from_bytes(d[pos : pos + 4], "little")
+        if _SKIPPABLE_LO <= magic <= _SKIPPABLE_LO + 0xF:
+            if pos + 8 > len(d):
+                raise ValueError("truncated skippable frame header")
+            size = int.from_bytes(d[pos + 4 : pos + 8], "little")
+            if pos + 8 + size > len(d):
+                raise ValueError("skippable frame exceeds payload")
+            n_skippable += 1
+            pos += 8 + size
+            continue
+        if d[pos : pos + 4] != _ZSTD_MAGIC:
+            raise ValueError(
+                f"bad zstd magic at offset {pos}"
+            )
+        pos += 4
+        if pos >= len(d):
+            raise ValueError("truncated frame header descriptor")
+        fhd = d[pos]
+        pos += 1
+        single_segment = bool(fhd & (1 << 5))
+        if fhd & (1 << 3):
+            raise ValueError("reserved FHD bit set")
+        if not single_segment:
+            if pos >= len(d):
+                raise ValueError("truncated window descriptor")
+            wd = d[pos]
+            window_log = 10 + (wd >> 3)
+            pos += 1
+        did_flag = fhd & 0x3
+        did_len = (0, 1, 2, 4)[did_flag]
+        if pos + did_len > len(d):
+            raise ValueError("truncated Dictionary_ID")
+        if did_len:
+            dict_id = int.from_bytes(d[pos : pos + did_len],
+                                     "little")
+        pos += did_len
+        fcs_flag = fhd >> 6
+        fcs_len = (1 if single_segment else 0, 2, 4, 8)[fcs_flag]
+        fcs = None
+        if fcs_len:
+            if pos + fcs_len > len(d):
+                raise ValueError("truncated Frame_Content_Size")
+            fcs = int.from_bytes(d[pos : pos + fcs_len], "little")
+            if fcs_len == 2:
+                fcs += 256
+            pos += fcs_len
+        if total is not None:
+            total = total + fcs if fcs is not None else None
+        has_checksum = has_checksum or bool(fhd & (1 << 2))
+        # block chain: 3-byte headers, Block_Size counts payload
+        # bytes for RAW/compressed, 1 for RLE
+        while True:
+            if pos + 3 > len(d):
+                raise ValueError("truncated block header")
+            bh = int.from_bytes(d[pos : pos + 3], "little")
+            last, btype, bsize = bh & 1, (bh >> 1) & 3, bh >> 3
+            if btype == 3:
+                raise ValueError("reserved block type")
+            pos += 3
+            consumed = 1 if btype == 1 else bsize
+            if pos + consumed > len(d):
+                raise ValueError("block exceeds payload")
+            pos += consumed
+            if last:
+                break
+        if fhd & (1 << 2):
+            if pos + 4 > len(d):
+                raise ValueError("truncated content checksum")
+            pos += 4
+        n_frames += 1
+        if n_frames + n_skippable > 1 << 20:
+            raise ValueError("frame count exceeds the cap")
+    return {
+        "n_frames": n_frames,
+        "n_skippable": n_skippable,
+        "total_content_size": total,
+        "has_checksum": has_checksum,
+        "dict_id": dict_id,
+        "window_log": window_log,
+    }
+
+
+# ---------------------------------------------------------------------------
 # Unified dispatch + Spark seam
 # ---------------------------------------------------------------------------
 def archive_meta(payload: bytes) -> dict:
@@ -427,6 +599,19 @@ def archive_meta(payload: bytes) -> dict:
             "container": "gzip",
             "n_entries": m["n_members"],
             "total_uncompressed": m["total_uncompressed"],
+        }
+    if d[:4] == _ZSTD_MAGIC or (
+        len(d) >= 4
+        and _SKIPPABLE_LO
+        <= int.from_bytes(d[:4], "little")
+        <= _SKIPPABLE_LO + 0xF
+    ):
+        m = zstd_meta(d)
+        return {
+            "container": "zstd",
+            "n_entries": m["n_frames"],
+            # honest None when any frame omits Frame_Content_Size
+            "total_uncompressed": m["total_content_size"],
         }
     if d[257:262] == b"ustar":
         m = tar_meta(d)

@@ -281,3 +281,102 @@ def test_zip_utf8_flagged_names():
     with zipfile.ZipFile(buf, "w") as z:
         z.writestr("héllo→.txt", b"x")
     assert zip_entries(buf.getvalue())[0]["name"] == "héllo→.txt"
+
+
+# ---------------------------------------------------------------------------
+# zstd (RFC 8878)
+# ---------------------------------------------------------------------------
+def test_zstd_basic_frame():
+    from bergloom_spark.operators.archive import make_zstd_frame, zstd_meta
+
+    m = zstd_meta(make_zstd_frame(5000, n_blocks=3))
+    assert m["n_frames"] == 1
+    assert m["total_content_size"] == 5000
+    assert m["has_checksum"] is False
+    assert m["dict_id"] == 0
+    assert m["window_log"] == 10
+
+
+def test_zstd_fcs_encodings():
+    from bergloom_spark.operators.archive import make_zstd_frame, zstd_meta
+
+    # flag 0 + single_segment (<256), flag 1 (2-byte, size-256),
+    # flag 2 (4-byte)
+    for size in (0, 17, 255, 256, 300, 65_791, 65_792, 1 << 20):
+        m = zstd_meta(make_zstd_frame(size))
+        assert m["total_content_size"] == size, size
+    # single_segment frames carry no window descriptor
+    assert zstd_meta(make_zstd_frame(100))["window_log"] is None
+
+
+def test_zstd_multi_frame_and_skippable():
+    from bergloom_spark.operators.archive import make_zstd_frame, zstd_meta
+
+    skippable = (0x184D2A53).to_bytes(4, "little") + (8).to_bytes(
+        4, "little"
+    ) + b"metadata"
+    payload = (
+        make_zstd_frame(1000, checksum=True)
+        + skippable
+        + make_zstd_frame(2000, dict_id=77)
+    )
+    m = zstd_meta(payload)
+    assert m["n_frames"] == 2
+    assert m["n_skippable"] == 1
+    assert m["total_content_size"] == 3000
+    assert m["has_checksum"] is True
+    assert m["dict_id"] == 77
+
+
+def test_zstd_unknown_content_size_is_none():
+    from bergloom_spark.operators.archive import make_zstd_frame, zstd_meta
+
+    payload = make_zstd_frame(1000) + make_zstd_frame(None)
+    assert zstd_meta(payload)["total_content_size"] is None
+
+
+def test_zstd_interop_with_real_compressor():
+    """If a zstd binding happens to exist, our sniff must read real
+    frames; otherwise the test skips (the container has no zstd)."""
+    try:
+        import zstandard  # noqa: F401
+    except ImportError:
+        pytest.skip("no zstd binding in this environment")
+    import zstandard as zstd
+
+    raw = b"interop payload " * 100
+    frame = zstd.ZstdCompressor(write_checksum=True,
+                                write_content_size=True).compress(raw)
+    from bergloom_spark.operators.archive import zstd_meta
+
+    m = zstd_meta(frame)
+    assert m["n_frames"] == 1
+    assert m["total_content_size"] == len(raw)
+    assert m["has_checksum"] is True
+
+
+def test_zstd_truncation_and_reserved_rejected():
+    from bergloom_spark.operators.archive import make_zstd_frame, zstd_meta
+
+    p = make_zstd_frame(1000)
+    with pytest.raises(ValueError):
+        zstd_meta(p[:-3])
+    broken = bytearray(p)
+    broken[4] |= 1 << 3  # reserved FHD bit
+    with pytest.raises(ValueError, match="reserved"):
+        zstd_meta(bytes(broken))
+    with pytest.raises(ValueError, match="zstd"):
+        zstd_meta(b"\x00\x01\x02\x03rest")
+
+
+def test_archive_meta_routes_zstd():
+    from bergloom_spark.operators.archive import (
+        archive_meta,
+        make_zstd_frame,
+    )
+
+    m = archive_meta(make_zstd_frame(4096) + make_zstd_frame(1))
+    assert m == {
+        "container": "zstd", "n_entries": 2,
+        "total_uncompressed": 4097,
+    }

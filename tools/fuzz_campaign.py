@@ -275,12 +275,20 @@ def _seeds_archive():
             zip_extract(payload, max_output=1 << 22)
         return m
 
+    from bergloom_spark.operators.archive import make_zstd_frame
+
+    skippable = (0x184D2A53).to_bytes(4, "little") + (4).to_bytes(
+        4, "little"
+    ) + b"meta"
     return meta_and_extract, [
         make_zip(entries, method=0),
         make_zip(entries, method=8),
         make_tar(entries),
         make_gzip(b"text body " * 30, name="doc.txt"),
         make_gzip(b"a" * 64) + make_gzip(b"b" * 64, name="x"),
+        make_zstd_frame(5000, n_blocks=3, checksum=True),
+        make_zstd_frame(100) + skippable + make_zstd_frame(None,
+                                                          dict_id=7),
     ]
 
 
