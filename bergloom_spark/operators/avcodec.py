@@ -1396,6 +1396,25 @@ def audio_meta(payload: bytes) -> dict:
         }
     if d[:3] == b"ID3" or (len(d) >= 2 and d[0] == 0xFF
                            and (d[1] & 0xE0) == 0xE0):
+        # an ID3v2 tag fronts raw AAC files as often as MP3s: peek
+        # at the first post-tag audio bytes and route on the same
+        # layer==00 disambiguation as the bare-stream branches above
+        if d[:3] == b"ID3" and len(d) >= 10:
+            size = 0
+            for i in range(6, 10):
+                if d[i] & 0x80:
+                    raise ValueError("bad ID3v2 syncsafe size")
+                size = (size << 7) | d[i]
+            audio = d[10 + size :]
+            if (len(audio) >= 2 and audio[0] == 0xFF
+                    and (audio[1] & 0xF6) == 0xF0):
+                m = adts_meta(audio)
+                return {
+                    "container": "aac",
+                    "sample_rate": m["sample_rate"],
+                    "channels": m["channels"],
+                    "duration_ms": m["duration_ms"],
+                }
         m = mp3_meta(d)
         return {
             "container": "mp3",

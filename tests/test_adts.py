@@ -91,3 +91,21 @@ def test_adts_vs_mp3_sync_disjoint():
     aac = make_adts_stream(1)
     assert (aac[1] & 0xE0) == 0xE0  # matches the loose MP3 mask...
     assert audio_meta(aac)["container"] == "aac"  # ...but routes AAC
+
+
+def test_audio_meta_routes_id3_fronted_adts():
+    from bergloom_spark.operators.avcodec import make_id3v2
+
+    tag = make_id3v2(title="aac file", artist="x", album="y")
+    p = tag + make_adts_stream(8, sample_rate=48000, channels=2)
+    m = audio_meta(p)
+    assert m["container"] == "aac"
+    assert m["sample_rate"] == 48000
+
+
+def test_audio_meta_id3_fronted_mp3_still_routes_mp3():
+    from bergloom_spark.operators.avcodec import make_id3v2
+
+    tag = make_id3v2(title="mp3 file")
+    p = tag + make_mp3_stream([128, 128], sample_rate=44100)
+    assert audio_meta(p)["container"] == "mp3"
