@@ -350,6 +350,18 @@ def _seeds_robots():
     ]
 
 
+def _seeds_csv():
+    from bergloom_spark.operators.csvmeta import csv_meta, make_csv
+
+    rows = [[str(r), f"name {r}", f"v,{r}"] for r in range(12)]
+    return csv_meta, [
+        make_csv(rows, header=["id", "name", "val"]),
+        make_csv(rows, delimiter=";", quote_all=True, crlf=True),
+        make_csv(rows, delimiter="\t"),
+        make_csv(rows, delimiter="|") + b"short,row\n",
+    ]
+
+
 TARGETS = {
     "ogg": _seeds_ogg,
     "warc": _seeds_warc,
@@ -357,6 +369,7 @@ TARGETS = {
     "pdf": _seeds_pdf,
     "mime": _seeds_mime,
     "robots": _seeds_robots,
+    "csv": _seeds_csv,
     "flac": _seeds_flac,
     "exif": _seeds_exif,
     "subtitles": _seeds_subtitles,
