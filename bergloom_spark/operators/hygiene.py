@@ -43,6 +43,10 @@ __all__ = [
     "mojibake_count",
     "mojibake_count_sql",
     "compression_ratio_milli",
+    "dedup_lines",
+    "dedup_lines_sql",
+    "dup_line_frac_milli",
+    "dup_line_frac_milli_sql",
 ]
 
 # zero-width + BOM + word-joiner + soft hyphen + bidi marks/embeds
@@ -114,6 +118,49 @@ def mojibake_count(col: Column | str) -> Column:
 def mojibake_count_sql(expr: str) -> str:
     return (
         f"len(regexp_extract_all({expr}, '{_MOJIBAKE_PAT}'))::BIGINT"
+    )
+
+
+def dedup_lines(col: Column | str) -> Column:
+    """Remove repeated lines within a document, keeping first
+    occurrences in order — the Gopher/Dolma repetition-removal
+    TRANSFORM (the quality battery only scores it). Spark's
+    ``array_distinct`` preserves first-occurrence order; pure
+    codegen split → distinct → join, zero Python."""
+    return F.array_join(
+        F.array_distinct(F.split(_c(col), "\n", -1)), "\n"
+    )
+
+
+def dedup_lines_sql(expr: str) -> str:
+    """DuckDB twin. ``list_distinct`` does NOT preserve order there,
+    so the replay filters on first-occurrence index via
+    ``list_position`` (quadratic in line count — fine for an
+    oracle, which is why the Spark side is the engine)."""
+    split = f"string_split({expr}, chr(10))"
+    return (
+        f"list_aggregate(list_filter({split}, "
+        f"(x, i) -> list_position({split}, x) = i), "
+        f"'string_agg', chr(10))"
+    )
+
+
+def dup_line_frac_milli(col: Column | str) -> Column:
+    """Per-mille of lines that are repeats of an earlier line — the
+    scoring twin of :func:`dedup_lines` (0 = no repetition)."""
+    lines = F.split(_c(col), "\n", -1)
+    n = F.size(lines)
+    return (
+        (n - F.size(F.array_distinct(lines)))
+        * F.lit(1000) / n
+    ).cast("long")
+
+
+def dup_line_frac_milli_sql(expr: str) -> str:
+    split = f"string_split({expr}, chr(10))"
+    return (
+        f"((len({split}) - len(list_distinct({split}))) * 1000 "
+        f"// len({split}))::BIGINT"
     )
 
 

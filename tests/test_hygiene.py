@@ -41,7 +41,8 @@ def text_df(spark):
     ).cache()
 
 
-def _both(text_df, col_fn, sql_fn):
+def _both(text_df, col_fn, sql_fn, texts=None):
+    texts = TEXTS if texts is None else texts
     got_spark = {
         r.i: r.v
         for r in text_df.select("i", col_fn("t").alias("v")).collect()
@@ -49,8 +50,8 @@ def _both(text_df, col_fn, sql_fn):
     con = duckdb.connect()
     con.execute(
         "CREATE TABLE txts AS SELECT * FROM (VALUES "
-        + ",".join("(?, ?)" for _ in TEXTS) + ") t(i, t)",
-        [x for pair in enumerate(TEXTS) for x in pair],
+        + ",".join("(?, ?)" for _ in texts) + ") t(i, t)",
+        [x for pair in enumerate(texts) for x in pair],
     )
     got_duck = {
         r[0]: r[1]
@@ -122,3 +123,49 @@ def test_compression_ratio_milli(spark):
     again = spark.createDataFrame([(0, "a" * 10_000)], "i long, t string") \
         .select(compression_ratio_milli("t").alias("r")).collect()
     assert again[0].r == got[0]
+
+
+DUP_TEXTS = [
+    "a\nb\na\nc\nb\na",
+    "unique\nlines\nonly",
+    "same\nsame\nsame\nsame",
+    "",
+    "one line",
+    "trail\n\n\ntrail",
+]
+
+
+@pytest.fixture(scope="module")
+def dup_df(spark):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(DUP_TEXTS)], "i long, t string"
+    ).cache()
+
+
+def test_dedup_lines(dup_df):
+    from bergloom_spark.operators.hygiene import (
+        dedup_lines,
+        dedup_lines_sql,
+    )
+
+    got = _both(dup_df, dedup_lines, dedup_lines_sql, texts=DUP_TEXTS)
+    assert got[0] == "a\nb\nc"       # first occurrences, in order
+    assert got[1] == "unique\nlines\nonly"
+    assert got[2] == "same"
+    assert got[4] == "one line"
+    assert got[5] == "trail\n"       # empty lines dedup too
+
+
+def test_dup_line_frac_milli(dup_df):
+    from bergloom_spark.operators.hygiene import (
+        dup_line_frac_milli,
+        dup_line_frac_milli_sql,
+    )
+
+    got = _both(dup_df, dup_line_frac_milli, dup_line_frac_milli_sql,
+                texts=DUP_TEXTS)
+    assert got[0] == 500   # 3 of 6 repeated
+    assert got[1] == 0
+    assert got[2] == 750   # 3 of 4
+    assert got[3] == 0
+    assert got[5] == 500   # 2 of 4 ('' and 'trail' repeats)
