@@ -34,6 +34,7 @@ __all__ = [
     "url_registrable_domain_sql",
     "url_normalize",
     "url_normalize_sql",
+    "url_resolve",
 ]
 
 # RFC 3986 shapes, engine-portable (shared by both engines verbatim)
@@ -125,6 +126,37 @@ def url_registrable_domain_sql(
             f"ELSE {out} END"
         )
     return f"CASE WHEN {out} = '' THEN {host} ELSE {out} END"
+
+
+def url_resolve(base: Column | str, ref: Column | str) -> Column:
+    """Resolve a (possibly relative) reference against a base URL —
+    RFC 3986 §5 merge via the stdlib resolver, as an Arrow-batched
+    pandas UDF (the dot-segment/authority case analysis is genuinely
+    conditional logic, not a regexp). This is the step between
+    :func:`bergloom_spark.functions.html.html_links` output and any
+    link-graph aggregation: hrefs in the wild are mostly relative.
+    NULL base or ref yields NULL. No SQL twin (DuckDB has no
+    resolver) — queries built on it register rows-only, or pin
+    absolute-URL recipes."""
+    from urllib.parse import urljoin
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import StringType
+
+    # no annotations: `from __future__ import annotations` turns
+    # them into strings pandas_udf cannot resolve against the local
+    # scope; the explicit returnType carries the contract
+    @pandas_udf(StringType())
+    def _resolve(b, r):
+        return pd.Series(
+            [
+                None if bb is None or rr is None else urljoin(bb, rr)
+                for bb, rr in zip(b, r)
+            ]
+        )
+
+    return _resolve(_c(base), _c(ref))
 
 
 def url_normalize(col: Column | str) -> Column:

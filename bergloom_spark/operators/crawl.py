@@ -19,16 +19,21 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from bergloom_spark.functions.html import html_title
+from bergloom_spark.functions.html import html_links, html_title
 from bergloom_spark.functions.text import strip_markup
 from bergloom_spark.functions.urls import (
     url_host,
     url_normalize,
     url_registrable_domain,
+    url_resolve,
 )
 from bergloom_spark.operators.warc import warc_records
 
-__all__ = ["crawl_text_pipeline", "crawl_site_stats"]
+__all__ = [
+    "crawl_text_pipeline",
+    "crawl_site_stats",
+    "crawl_link_graph",
+]
 
 
 def crawl_text_pipeline(
@@ -60,6 +65,41 @@ def crawl_text_pipeline(
         html_title(F.col("payload_text")).alias("title"),
         text.alias("text"),
         F.length(text).alias("text_len"),
+    )
+
+
+def crawl_link_graph(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Site-to-site link edges from raw WARC columns:
+    ``(src_site, dst_site, n_links)``. Links extract scan-side
+    (``html_links`` array), explode AFTER projection to the href
+    array (page text is dropped before the explode), resolve against
+    the page URL (relative hrefs are the common case), and aggregate
+    on two short site keys — the only shuffle."""
+    recs = warc_records(df, payload_col=payload_col, id_col=id_col)
+    pages = recs.filter(
+        (F.col("record_type") == "response")
+        & (F.col("http_status") == 200)
+        & F.col("http_content_type").startswith("text/html")
+        & F.col("payload_text").isNotNull()
+    ).select(
+        F.col("target_uri").alias("base"),
+        url_registrable_domain(F.col("target_uri")).alias("src_site"),
+        html_links(F.col("payload_text")).alias("hrefs"),
+    )
+    edges = pages.select(
+        "base", "src_site", F.explode("hrefs").alias("href")
+    ).select(
+        "src_site",
+        url_registrable_domain(
+            url_resolve(F.col("base"), F.col("href"))
+        ).alias("dst_site"),
+    ).filter(F.col("dst_site") != "")
+    return edges.groupBy("src_site", "dst_site").agg(
+        F.count("*").alias("n_links")
     )
 
 

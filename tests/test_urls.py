@@ -177,3 +177,64 @@ def test_normalize_dedups_tracking_variants(spark):
         r.v for r in df.select(url_normalize("url").alias("v")).collect()
     }
     assert keys == {"https://example.com/a"}
+
+
+def test_url_resolve_rfc3986_cases(spark):
+    from bergloom_spark.functions.urls import url_resolve
+
+    # RFC 3986 §5.4 normal-example battery
+    base = "http://a/b/c/d;p?q"
+    cases = {
+        "g": "http://a/b/c/g",
+        "./g": "http://a/b/c/g",
+        "/g": "http://a/g",
+        "//g": "http://g",
+        "?y": "http://a/b/c/d;p?y",
+        "g?y": "http://a/b/c/g?y",
+        "#s": "http://a/b/c/d;p?q#s",
+        "../g": "http://a/b/g",
+        "../../g": "http://a/g",
+        "http://x/y": "http://x/y",
+        "": base,
+    }
+    df = spark.createDataFrame(
+        [(base, r) for r in cases], "base string, ref string"
+    )
+    got = {
+        r.ref: r.v
+        for r in df.select(
+            "ref", url_resolve("base", "ref").alias("v")
+        ).collect()
+    }
+    for ref, want in cases.items():
+        assert got[ref] == want, ref
+
+
+def test_crawl_link_graph(spark, sf_dir):
+    from bergloom_spark.operators.crawl import crawl_link_graph
+    from bergloom_spark.operators.warc import make_warc
+
+    rows = []
+    for i in range(24):
+        html = (
+            f'<a href="/internal/{i}">x</a>'
+            f'<a href="https://ext{i % 3}.example/p">y</a>'
+        )
+        rows.append(
+            (i, make_warc([{
+                "url": f"https://src{i % 2}.example/page/{i}",
+                "text": html,
+            }], seed=f"lg:{i}"))
+        )
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    edges = {
+        (r.src_site, r.dst_site): r.n_links
+        for r in crawl_link_graph(df.repartition(4)).collect()
+    }
+    # relative hrefs resolve back to the source site
+    assert edges[("src0.example", "src0.example")] == 12
+    assert edges[("src1.example", "src1.example")] == 12
+    # externals: i%2 x i%3 lattice → each (src, ext) pair gets 4
+    for s in range(2):
+        for e in range(3):
+            assert edges[(f"src{s}.example", f"ext{e}.example")] == 4
