@@ -39,15 +39,24 @@ __all__ = [
 
 # RFC 3986 shapes, engine-portable (shared by both engines verbatim)
 _SCHEME_PAT = r"^([A-Za-z][A-Za-z0-9+.-]*)://"
-# authority: optional userinfo@, host stops at :/?#
-_HOST_PAT = r"^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)"
+# authority: optional userinfo@; host is a bracketed IPv6 literal
+# (kept whole, brackets included) or stops at :/?# (review r10: the
+# colon-terminated class alone truncated '[2001:db8::1]' to '[2001')
+_HOST_PAT = (
+    r"^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?"
+    r"(\[[^\]/?#]*\]|[^/?#:]+)"
+)
 # path: everything between the authority and ?/#
 _PATH_PAT = (
     r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(/[^?#]*)"
 )
-_QUERY_PAT = r"\?([^#]*)"
-# one tracking param (utm_*, gclid, fbclid) with its leading ? or &
-_TRACKING_PAT = r"[?&](utm_[A-Za-z0-9_]*|gclid|fbclid)=[^&#]*"
+# query must PRECEDE any '#': anchor through the non-'#' prefix so a
+# '?' inside the fragment can never fake a query (review r10)
+_QUERY_PAT = r"^[^#]*?\?([^#]*)"
+# one tracking param (utm_*, gclid, fbclid) with its leading & —
+# applied to the EXTRACTED query prefixed with '&', never to the
+# whole URL (a literal '&' in a path must not look like a separator)
+_TRACKING_PAT = r"&(utm_[A-Za-z0-9_]*|gclid|fbclid)=[^&]*"
 
 
 def _c(col: Column | str) -> Column:
@@ -165,8 +174,10 @@ def url_normalize(col: Column | str) -> Column:
 
     1. lower-case the scheme and host (path case is significant);
     2. drop the fragment;
-    3. drop tracking parameters (``utm_*``, ``gclid``, ``fbclid``),
-       re-anchoring the first survivor to ``?``;
+    3. drop tracking parameters (``utm_*``, ``gclid``, ``fbclid``)
+       INSIDE the extracted query component only — a literal ``&``
+       in the path can never be mistaken for a separator (review
+       r10: the whole-URL formulation corrupted ``/a&b`` paths);
     4. drop a now-empty ``?`` and a default port (``:80``/``:443``);
     5. drop a bare trailing ``/`` on an empty path.
 
@@ -180,16 +191,21 @@ def url_normalize(col: Column | str) -> Column:
     rest = F.regexp_replace(out, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", "")
     out = F.concat(F.lower(prefix), rest)
     out = F.regexp_replace(out, r"#.*$", "")  # 2
-    out = F.regexp_replace(out, _TRACKING_PAT, "")  # 3
-    # 3b: if the first surviving param lost its '?', restore it —
-    # anchored to the FIRST '&' only (Spark regexp_replace is
-    # always-global; a bare '&' pattern would also hit later
-    # separators)
+    # 3: split at the FIRST '?', clean the query in isolation with
+    # every param uniformly '&'-prefixed, and reassemble
+    pre_q = F.regexp_replace(out, r"\?.*$", "")
+    qs = F.regexp_extract(out, r"\?(.*)$", 1)
+    cleaned = F.regexp_replace(F.concat(F.lit("&"), qs),
+                               _TRACKING_PAT, "")
     out = F.when(
-        out.rlike(r"&") & ~out.rlike(r"\?"),
-        F.regexp_replace(out, r"^([^&]*)&", r"$1?"),
-    ).otherwise(out)
-    out = F.regexp_replace(out, r"\?$", "")  # 4a
+        ~out.rlike(r"\?"), out  # no query at all: untouched
+    ).when(
+        # query fully stripped ('' ) or was empty to begin with ('&')
+        (cleaned == "") | (cleaned == "&"), pre_q
+    ).otherwise(
+        F.concat(pre_q, F.lit("?"),
+                 cleaned.substr(F.lit(2), F.length(cleaned)))
+    )
     out = F.regexp_replace(
         out, r"^(https://[^/?#]*):443(/|\?|$)", r"$1$2"
     )
@@ -218,13 +234,16 @@ def url_normalize_sql(expr: str) -> str:
     )
     out = f"({prefix} || {rest})"
     out = f"regexp_replace({out}, '#.*$', '')"
-    out = f"regexp_replace({out}, '{_TRACKING_PAT}', '', 'g')"
-    out = (
-        f"CASE WHEN regexp_matches({out}, '&') AND NOT "
-        f"regexp_matches({out}, '\\?') THEN "
-        f"regexp_replace({out}, '^([^&]*)&', '\\1?') ELSE {out} END"
+    pre_q = f"regexp_replace({out}, '\\?.*$', '')"
+    qs = f"coalesce(regexp_extract({out}, '\\?(.*)$', 1), '')"
+    cleaned = (
+        f"regexp_replace('&' || {qs}, '{_TRACKING_PAT}', '', 'g')"
     )
-    out = f"regexp_replace({out}, '\\?$', '')"
+    out = (
+        f"CASE WHEN NOT regexp_matches({out}, '\\?') THEN {out} "
+        f"WHEN {cleaned} IN ('', '&') THEN {pre_q} "
+        f"ELSE {pre_q} || '?' || ({cleaned})[2:] END"
+    )
     out = (
         f"regexp_replace({out}, "
         f"'^(https://[^/?#]*):443(/|\\?|$)', '\\1\\2')"

@@ -1400,12 +1400,7 @@ def audio_meta(payload: bytes) -> dict:
         # at the first post-tag audio bytes and route on the same
         # layer==00 disambiguation as the bare-stream branches above
         if d[:3] == b"ID3" and len(d) >= 10:
-            size = 0
-            for i in range(6, 10):
-                if d[i] & 0x80:
-                    raise ValueError("bad ID3v2 syncsafe size")
-                size = (size << 7) | d[i]
-            audio = d[10 + size :]
+            audio = d[10 + _syncsafe(d, 6) :]
             if (len(audio) >= 2 and audio[0] == 0xFF
                     and (audio[1] & 0xF6) == 0xF0):
                 m = adts_meta(audio)

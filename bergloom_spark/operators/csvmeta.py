@@ -107,8 +107,22 @@ def csv_meta(
     A payload with no delimiter yielding ≥2 columns raises
     ValueError (single-column text is not delimited data — callers
     wanting that read it as text)."""
+    sample = payload[:sample_bytes]
+    if len(payload) > sample_bytes:
+        # the cut can land mid-codepoint on a perfectly valid file:
+        # trim trailing continuation bytes plus one lead byte before
+        # the strict decode (review r10 — a false not-UTF-8 reject)
+        drop = 0
+        while drop < 3 and drop < len(sample) and (
+            sample[-1 - drop] & 0xC0
+        ) == 0x80:
+            drop += 1
+        if drop < len(sample) and sample[-1 - drop] >= 0xC0:
+            drop += 1
+        if drop:
+            sample = sample[:-drop]
     try:
-        text = payload[:sample_bytes].decode("utf-8")
+        text = sample.decode("utf-8")
     except UnicodeDecodeError as exc:
         raise ValueError(f"CSV sample is not UTF-8: {exc}") from exc
     if not text.strip():

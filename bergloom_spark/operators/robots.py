@@ -20,6 +20,7 @@ side and never shuffle)."""
 
 from __future__ import annotations
 
+import functools
 import re
 
 __all__ = [
@@ -103,9 +104,14 @@ def robots_rules(payload: bytes) -> dict:
     return {"groups": groups, "sitemaps": sitemaps}
 
 
+@functools.lru_cache(maxsize=4096)
 def _rule_regex(rule: str) -> re.Pattern:
     """RFC 9309 §2.2.3 path pattern → anchored regex: ``*`` matches
-    any run, ``$`` at the end anchors, everything else is literal."""
+    any run, ``$`` at the end anchors, everything else is literal.
+    lru-cached: the per-URL hot loop must not recompile (review r10
+    — a fleet's distinct-rule count can exceed re's own 512-entry
+    cache; 4096 bounds memory while covering any real host set a
+    single executor sees)."""
     anchored = rule.endswith("$")
     body = rule[:-1] if anchored else rule
     pat = "".join(
@@ -115,27 +121,42 @@ def _rule_regex(rule: str) -> re.Pattern:
 
 
 def _select_group(groups: list[dict], agent: str) -> dict | None:
-    """Most-specific group: the one whose agent token is the longest
-    substring of ``agent`` (case-insensitive); ``*`` is the
-    fallback."""
+    """Most-specific matched rules: the longest agent token that is
+    a substring of ``agent`` (case-insensitive) wins, ``*`` is the
+    fallback — and ALL groups carrying the winning token are
+    COMBINED (RFC 9309 §2.2.1: rules of groups matching the same
+    agent merge; review r10 — a wild-world robots.txt frequently
+    lists the same agent in several groups)."""
     agent = agent.lower()
-    best, best_len = None, -1
-    star = None
+    best_tok = None
+    star_seen = False
     for g in groups:
         for tok in g["agents"]:
             if tok == "*":
-                if star is None:
-                    star = g
-            elif tok in agent and len(tok) > best_len:
-                best, best_len = g, len(tok)
-    return best if best is not None else star
+                star_seen = True
+            elif tok in agent and (
+                best_tok is None or len(tok) > len(best_tok)
+            ):
+                best_tok = tok
+    if best_tok is None and not star_seen:
+        return None
+    want = best_tok if best_tok is not None else "*"
+    merged = {"agents": [want], "allow": [], "disallow": [],
+              "crawl_delay": None}
+    for g in groups:
+        if want in g["agents"]:
+            merged["allow"].extend(g["allow"])
+            merged["disallow"].extend(g["disallow"])
+            if merged["crawl_delay"] is None:
+                merged["crawl_delay"] = g["crawl_delay"]
+    return merged
 
 
 def robots_allowed(rules: dict, agent: str, path: str) -> bool:
-    """RFC 9309 §2.2.2 evaluation: within the selected group, the
-    longest rule that matches ``path`` decides; on equal lengths
-    allow wins; no match → allowed. No group for the agent →
-    allowed."""
+    """RFC 9309 §2.2.2 evaluation: within the selected (merged)
+    group, the longest rule that matches ``path`` decides; on equal
+    lengths allow wins; no match → allowed. No group for the agent
+    → allowed."""
     g = _select_group(rules["groups"], agent)
     if g is None:
         return True

@@ -116,3 +116,15 @@ def test_sniff_feeds_spark_read(spark):
         assert got["7"] == ("item 7", "21")
     finally:
         os.unlink(path)
+
+
+def test_multibyte_char_straddling_sample_boundary():
+    """Review r10: a valid file whose sample cut lands inside a
+    multi-byte sequence must not be rejected as non-UTF-8."""
+    rows = [["é" * 10, str(r)] for r in range(50)]
+    payload = make_csv(rows)
+    # place the cut INSIDE one of the 2-byte 'é' sequences
+    cut = payload.index("é".encode()) + 1
+    m = csv_meta(payload, sample_bytes=cut + 40 * 2 + 1)
+    assert m["delimiter"] == ","
+    assert m["n_cols"] == 2

@@ -188,3 +188,22 @@ def test_robots_spark_seam(spark, sf_dir):
     want = (True, False, False, True, True)
     for r in rows:
         assert r.allowed == want[r.doc_id % 5], r.doc_id
+
+
+def test_duplicate_agent_groups_combine():
+    """Review r10 (RFC 9309 §2.2.1): all groups matching the same
+    agent token merge — later duplicate-agent groups must count."""
+    raw = (b"User-agent: *\nDisallow: /a\n\n"
+           b"User-agent: *\nDisallow: /b\n")
+    r = robots_rules(raw)
+    assert robots_allowed(r, "anybot", "/a") is False
+    assert robots_allowed(r, "anybot", "/b") is False
+    assert robots_allowed(r, "anybot", "/c") is True
+    # named groups merge independently of the * groups
+    raw2 = (b"User-agent: bot\nDisallow: /x\n\n"
+            b"User-agent: *\nDisallow: /y\n\n"
+            b"User-agent: bot\nDisallow: /z\n")
+    r2 = robots_rules(raw2)
+    assert robots_allowed(r2, "bot/1.0", "/x") is False
+    assert robots_allowed(r2, "bot/1.0", "/z") is False
+    assert robots_allowed(r2, "bot/1.0", "/y") is True

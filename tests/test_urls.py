@@ -238,3 +238,73 @@ def test_crawl_link_graph(spark, sf_dir):
     for s in range(2):
         for e in range(3):
             assert edges[(f"src{s}.example", f"ext{e}.example")] == 4
+
+
+def test_normalize_ampersand_path_untouched(spark, url_df):
+    """Review r10: a literal '&' in the path (or a query with no
+    tracking params) must never be rewritten."""
+    cases = {
+        "http://x.example/a&b": "http://x.example/a&b",
+        "http://x.example/a&b?utm_source=1": "http://x.example/a&b",
+        "http://x.example/a&b?k=1": "http://x.example/a&b?k=1",
+        "http://x.example/p?": "http://x.example/p",
+        "http://x.example/p?a=1&b=2": "http://x.example/p?a=1&b=2",
+    }
+    df = spark.createDataFrame([(u,) for u in cases], "url string")
+    got = {
+        r.url: r.v
+        for r in df.select("url", url_normalize("url").alias("v")).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE u2 AS SELECT * FROM (VALUES "
+        + ",".join("(?)" for _ in cases) + ") t(url)",
+        list(cases),
+    )
+    duck = {
+        r[0]: r[1]
+        for r in con.execute(
+            f"SELECT url, {url_normalize_sql('url')} FROM u2"
+        ).fetchall()
+    }
+    con.close()
+    assert got == duck
+    for url, want in cases.items():
+        assert got[url] == want, url
+
+
+def test_query_not_faked_by_fragment(spark):
+    """Review r10: '?' inside the fragment is not a query."""
+    from bergloom_spark.functions.urls import url_query, url_query_sql
+
+    df = spark.createDataFrame(
+        [("http://x/p#frag?notquery",), ("http://x/p?q=1#f?x",)],
+        "url string",
+    )
+    got = {
+        r.url: r.v
+        for r in df.select("url", url_query("url").alias("v")).collect()
+    }
+    assert got["http://x/p#frag?notquery"] == ""
+    assert got["http://x/p?q=1#f?x"] == "q=1"
+    duck = duckdb.sql(
+        f"SELECT {url_query_sql('u')} FROM (VALUES "
+        "('http://x/p#frag?notquery'), ('http://x/p?q=1#f?x')) t(u)"
+    ).fetchall()
+    assert [r[0] for r in duck] == ["", "q=1"]
+
+
+def test_ipv6_host_kept_whole(spark):
+    """Review r10: bracketed IPv6 literals pass through whole."""
+    from bergloom_spark.functions.urls import url_host, url_host_sql
+
+    df = spark.createDataFrame(
+        [("http://[2001:db8::1]:8080/x?q=1",)], "url string"
+    )
+    got = df.select(url_host("url").alias("v")).collect()[0].v
+    assert got == "[2001:db8::1]"
+    duck = duckdb.sql(
+        f"SELECT {url_host_sql('u')} FROM (VALUES "
+        "('http://[2001:db8::1]:8080/x?q=1')) t(u)"
+    ).fetchone()[0]
+    assert duck == got
