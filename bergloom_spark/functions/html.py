@@ -43,6 +43,13 @@ _CANON_PAT = (
     r"[\"']?canonical[\"']?[^>]*href[ \t\n\r]*=[ \t\n\r]*"
     r"[\"']([^\"']*)[\"']"
 )
+# href-before-rel attribute order (review r10: as common in the
+# wild as the rel-first form)
+_CANON_PAT_REV = (
+    r"(?is)<link[^>]*href[ \t\n\r]*=[ \t\n\r]*"
+    r"[\"']([^\"']*)[\"'][^>]*rel[ \t\n\r]*=[ \t\n\r]*"
+    r"[\"']?canonical[\"']?"
+)
 
 
 def _meta_pat(name: str) -> str:
@@ -122,9 +129,16 @@ def html_meta_content_sql(expr: str, name: str) -> str:
 
 def html_canonical(col: Column | str) -> Column:
     """href of ``<link rel="canonical">`` — the dedup key the page
-    itself declares; empty when absent."""
-    return F.regexp_extract(_c(col), _CANON_PAT, 1)
+    itself declares; both attribute orders; empty when absent."""
+    fwd = F.regexp_extract(_c(col), _CANON_PAT, 1)
+    rev = F.regexp_extract(_c(col), _CANON_PAT_REV, 1)
+    return F.when(fwd != "", fwd).otherwise(rev)
 
 
 def html_canonical_sql(expr: str) -> str:
-    return f"coalesce(regexp_extract({expr}, '{_q(_CANON_PAT)}', 1), '')"
+    fwd = f"coalesce(regexp_extract({expr}, '{_q(_CANON_PAT)}', 1), '')"
+    rev = (
+        f"coalesce(regexp_extract({expr}, "
+        f"'{_q(_CANON_PAT_REV)}', 1), '')"
+    )
+    return f"CASE WHEN {fwd} <> '' THEN {fwd} ELSE {rev} END"

@@ -75,12 +75,15 @@ def url_scheme_sql(expr: str) -> str:
 
 def url_host(col: Column | str) -> Column:
     """Lower-cased host from the authority (userinfo and port
-    stripped)."""
-    return F.lower(F.regexp_extract(_c(col), _HOST_PAT, 1))
+    stripped; a trailing root-dot FQDN form is normalized away —
+    ``example.com.`` and ``example.com`` are the same DNS name)."""
+    h = F.lower(F.regexp_extract(_c(col), _HOST_PAT, 1))
+    return F.regexp_replace(h, r"\.$", "")
 
 
 def url_host_sql(expr: str) -> str:
-    return f"lower(coalesce(regexp_extract({expr}, '{_HOST_PAT}', 1), ''))"
+    h = f"lower(coalesce(regexp_extract({expr}, '{_HOST_PAT}', 1), ''))"
+    return f"regexp_replace({h}, '\\.$', '')"
 
 
 def url_path(col: Column | str) -> Column:
@@ -107,10 +110,12 @@ def url_registrable_domain(
     """Last-two-labels site key (``sub.news.example.com`` →
     ``example.com``) for per-site grouping; hosts matching an entry
     of ``extra_suffixes`` (e.g. ``("co.uk", "com.au")``) keep three
-    labels. Dotless hosts (``localhost``, IPv4 literals pass through
-    whole). The per-site quota/dedup operators group on this key, so
-    it must shuffle as a short string — it does (≤ the host
-    length)."""
+    labels. Dotless hosts (``localhost``), IPv4 literals, and
+    bracketed IPv6 literals pass through whole (review r10: the
+    last-2-labels rule reduced ``192.168.0.1`` to ``0.1``, merging
+    unrelated IP-hosted sites). The per-site quota/dedup operators
+    group on this key, so it must shuffle as a short string — it
+    does (≤ the host length)."""
     host = url_host(col)
     out = F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
     for suf in extra_suffixes:
@@ -119,7 +124,8 @@ def url_registrable_domain(
             host.rlike(r"\." + suf.replace(".", r"\.") + r"$"),
             F.regexp_extract(host, pat, 1),
         ).otherwise(out)
-    return F.when(out == "", host).otherwise(out)
+    literal = host.rlike(r"^(\d+\.\d+\.\d+\.\d+|\[[^\]]*\])$")
+    return F.when(literal | (out == ""), host).otherwise(out)
 
 
 def url_registrable_domain_sql(
@@ -134,7 +140,14 @@ def url_registrable_domain_sql(
             f"THEN regexp_extract({host}, '([^.]+\\.{esc})$', 1) "
             f"ELSE {out} END"
         )
-    return f"CASE WHEN {out} = '' THEN {host} ELSE {out} END"
+    literal = (
+        f"regexp_matches({host}, "
+        "'^(\\d+\\.\\d+\\.\\d+\\.\\d+|\\[[^\\]]*\\])$')"
+    )
+    return (
+        f"CASE WHEN {literal} OR {out} = '' THEN {host} "
+        f"ELSE {out} END"
+    )
 
 
 def url_resolve(base: Column | str, ref: Column | str) -> Column:

@@ -3,8 +3,11 @@ the bundle formats a real training corpus arrives in.
 
 Same stance as the media triage battery (``avcodec.py``): a 100 TB
 ingest decides per payload — how many entries, how big expanded,
-which compression method — from *headers only*, before committing
-any decompression; extraction is then a map-only Arrow-batched
+which compression method — from *headers only* for ZIP/TAR/zstd
+(gzip alone cannot be counted without inflating — deflate has no
+length field — so its triage is budget-bounded instead;
+:func:`gzip_isize_hint` is the zero-cost advisory form), before
+committing any extraction; extraction is then a map-only Arrow-batched
 kernel with an absolute expansion budget (a crafted bomb gets a
 ValueError, never an OOM). All three parsers honor the corpus
 contract: bytes → result or ValueError, cursor strictly advances,
@@ -34,6 +37,7 @@ __all__ = [
     "tar_meta",
     "make_gzip",
     "gzip_meta",
+    "gzip_isize_hint",
     "make_zstd_frame",
     "zstd_meta",
     "archive_meta",
@@ -360,15 +364,33 @@ def make_gzip(
     return head + body + tail
 
 
+def gzip_isize_hint(payload: bytes) -> int:
+    """ADVISORY uncompressed-size hint: the final member's ISIZE
+    trailer (RFC 1952 — mod 2^32, attacker-controlled, and only the
+    LAST member's when members are concatenated, since deflate
+    streams carry no length field and member boundaries are
+    unknowable without inflating). Zero-cost; use for sizing
+    heuristics, never for allocation decisions."""
+    if payload[:2] != b"\x1f\x8b" or len(payload) < 18:
+        raise ValueError("not a gzip payload")
+    return int.from_bytes(payload[-4:], "little")
+
+
 def gzip_meta(
     payload: bytes, max_output: int = _MAX_EXPANSION
 ) -> dict:
     """gzip triage: first-member header fields (mtime, os, fname,
     ftext) + whole-payload member walk → ``{n_members, mtime, os,
-    name, total_uncompressed}``. The member walk decompresses under
-    the shared budget (ISIZE is mod-2^32 and attacker-controlled, so
-    the honest size comes from counting, not trusting the
-    trailer)."""
+    name, total_uncompressed}``.
+
+    Unlike the ZIP/TAR/zstd sniffs this is NOT header-only: deflate
+    streams carry no length field, so member boundaries — and
+    therefore an honest count and size — are unknowable without
+    inflating (ISIZE is mod-2^32, attacker-controlled, and
+    last-member-only; see :func:`gzip_isize_hint` for the zero-cost
+    advisory form). The walk runs under the absolute ``max_output``
+    budget, which bounds the triage cost a fleet pays per
+    payload."""
     d = payload
     if d[:2] != b"\x1f\x8b":
         raise ValueError("not a gzip payload")

@@ -36,6 +36,20 @@ __all__ = [
 ]
 
 
+def _kept_pages(recs: DataFrame) -> DataFrame:
+    """The ONE page-keeping policy (text pipeline and link graph
+    must agree on which pages exist — review r10): ``response``
+    records with HTTP 200 and a ``text/html`` content type whose
+    body decoded as UTF-8 (binary bodies carry NULL text from the
+    explosion and belong to the multimodal pipeline)."""
+    return recs.filter(
+        (F.col("record_type") == "response")
+        & (F.col("http_status") == 200)
+        & F.col("http_content_type").startswith("text/html")
+        & F.col("payload_text").isNotNull()
+    )
+
+
 def crawl_text_pipeline(
     df: DataFrame,
     payload_col: str = "payload",
@@ -43,18 +57,9 @@ def crawl_text_pipeline(
 ) -> DataFrame:
     """Binary WARC column → one row per kept page:
     ``(doc_id, rec_index, url, host, site, title, text, text_len)``.
-
-    Keeps ``response`` records with HTTP 200 and a ``text/html``
-    content type whose body decoded as UTF-8 (binary bodies carry
-    NULL text from the explosion and are dropped — they belong to
-    the multimodal pipeline, not this one)."""
+    Page-keeping policy: :func:`_kept_pages`."""
     recs = warc_records(df, payload_col=payload_col, id_col=id_col)
-    pages = recs.filter(
-        (F.col("record_type") == "response")
-        & (F.col("http_status") == 200)
-        & F.col("http_content_type").startswith("text/html")
-        & F.col("payload_text").isNotNull()
-    )
+    pages = _kept_pages(recs)
     text = strip_markup(F.col("payload_text"))
     return pages.select(
         id_col,
@@ -80,12 +85,7 @@ def crawl_link_graph(
     the page URL (relative hrefs are the common case), and aggregate
     on two short site keys — the only shuffle."""
     recs = warc_records(df, payload_col=payload_col, id_col=id_col)
-    pages = recs.filter(
-        (F.col("record_type") == "response")
-        & (F.col("http_status") == 200)
-        & F.col("http_content_type").startswith("text/html")
-        & F.col("payload_text").isNotNull()
-    ).select(
+    pages = _kept_pages(recs).select(
         F.col("target_uri").alias("base"),
         url_registrable_domain(F.col("target_uri")).alias("src_site"),
         html_links(F.col("payload_text")).alias("hrefs"),

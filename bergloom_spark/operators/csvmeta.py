@@ -23,18 +23,25 @@ _MAX_FIELDS = 100_000
 
 
 def split_csv(
-    text: str, delimiter: str = ",", quote: str = '"'
+    text: str,
+    delimiter: str = ",",
+    quote: str = '"',
+    discard_truncated_tail: bool = False,
 ) -> list[list[str]]:
     """RFC 4180 record split: quoted fields may contain delimiters,
     newlines, and doubled-quote escapes. CRLF and LF both terminate
     records; a trailing newline does not create an empty record.
-    An unterminated quote raises ValueError."""
+    An unterminated quote raises ValueError — unless
+    ``discard_truncated_tail`` is set (a sniffing sample cut
+    mid-payload), in which case the in-progress record is dropped
+    instead (the cut, not the data, is at fault). The field cap is
+    PER RECORD (review r10: a cumulative cap silently disqualified
+    the true delimiter on ordinary megabyte CSVs)."""
     records: list[list[str]] = []
     field: list[str] = []
     row: list[str] = []
     i, n = 0, len(text)
     in_quotes = False
-    nfields = 0
     while i < n:
         c = text[i]
         if in_quotes:
@@ -55,9 +62,8 @@ def split_csv(
         elif c == delimiter:
             row.append("".join(field))
             field = []
-            nfields += 1
-            if nfields > _MAX_FIELDS:
-                raise ValueError("CSV exceeds the field cap")
+            if len(row) > _MAX_FIELDS:
+                raise ValueError("CSV record exceeds the field cap")
             i += 1
         elif c == "\n" or c == "\r":
             if c == "\r" and text[i + 1 : i + 2] == "\n":
@@ -70,6 +76,8 @@ def split_csv(
             field.append(c)
             i += 1
     if in_quotes:
+        if discard_truncated_tail:
+            return records
         raise ValueError("unterminated quoted CSV field")
     if field or row:
         row.append("".join(field))
@@ -127,17 +135,23 @@ def csv_meta(
         raise ValueError(f"CSV sample is not UTF-8: {exc}") from exc
     if not text.strip():
         raise ValueError("empty CSV payload")
-    # drop a possibly-truncated final line (the sample boundary)
-    if len(payload) > sample_bytes:
-        cut = text.rfind("\n")
-        if cut > 0:
-            text = text[: cut + 1]
+    truncated = len(payload) > sample_bytes
     best = None  # (consistent_rows, modal_cols, -cand_idx, delim, recs)
     for idx, delim in enumerate(_DELIMS):
         try:
-            recs = split_csv(text, delimiter=delim)
+            recs = split_csv(
+                text, delimiter=delim,
+                discard_truncated_tail=truncated,
+            )
         except ValueError:
             continue
+        if truncated and recs:
+            # the cut can land mid-record WITHOUT an open quote too
+            # (half a line parses as a clean short record and skews
+            # the shape) — the state machine already dropped an
+            # open-quote tail; drop the last record unconditionally,
+            # it is suspect either way (review r10)
+            recs = recs[:-1]
         if not recs:
             continue
         counts: dict[int, int] = {}

@@ -218,7 +218,7 @@ def _decode_body(raw: bytes, headers) -> bytes:
     raise ValueError(f"unsupported Content-Transfer-Encoding {cte!r}")
 
 
-def _walk_parts(d: bytes, headers, body: bytes, out: list,
+def _walk_parts(headers, body: bytes, out: list,
                 depth: int) -> None:
     """Depth-first MIME tree walk appending leaf parts as
     (ctype, params, decoded_bytes)."""
@@ -259,7 +259,7 @@ def _walk_parts(d: bytes, headers, body: bytes, out: list,
         # already cut it); strip the trailing CRLF owned by the
         # delimiter
         pbody = re.sub(rb"\r?\n$", b"", part[ppos:])
-        _walk_parts(d, ph, pbody, out, depth + 1)
+        _walk_parts(ph, pbody, out, depth + 1)
     if not closed:
         raise ValueError(
             f"multipart body never closes boundary {boundary!r}"
@@ -281,7 +281,7 @@ def parse_eml(payload: bytes) -> dict:
         raise ValueError("message has no headers")
     body = payload[pos:]
     parts: list = []
-    _walk_parts(payload, headers, body, parts, 0)
+    _walk_parts(headers, body, parts, 0)
     text = html = None
     for ctype, params, raw in parts:
         if ctype not in ("text/plain", "text/html"):

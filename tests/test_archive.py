@@ -380,3 +380,14 @@ def test_archive_meta_routes_zstd():
         "container": "zstd", "n_entries": 2,
         "total_uncompressed": 4097,
     }
+
+
+def test_gzip_isize_hint_advisory():
+    from bergloom_spark.operators.archive import gzip_isize_hint
+
+    assert gzip_isize_hint(make_gzip(b"q" * 12345)) == 12345
+    # concatenated members: last member's ISIZE only — advisory
+    two = make_gzip(b"a" * 100) + make_gzip(b"b" * 7)
+    assert gzip_isize_hint(two) == 7
+    with pytest.raises(ValueError):
+        gzip_isize_hint(b"nope")

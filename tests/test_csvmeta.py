@@ -128,3 +128,24 @@ def test_multibyte_char_straddling_sample_boundary():
     m = csv_meta(payload, sample_bytes=cut + 40 * 2 + 1)
     assert m["delimiter"] == ","
     assert m["n_cols"] == 2
+
+
+def test_large_csv_many_short_rows_sniffs():
+    """Review r10 pass 2: the field cap is per record, so a normal
+    megabyte-scale CSV of short rows must sniff fine."""
+    rows = [[str(r), "ab"] for r in range(200_000)]
+    m = csv_meta(make_csv(rows))
+    assert m["delimiter"] == ","
+    assert m["n_cols"] == 2
+
+
+def test_quoted_newline_straddling_sample_boundary():
+    """Review r10 pass 2: a sample cut inside a quoted field with
+    newlines must not kill the true delimiter candidate."""
+    rows = [[f"line1\nline2 {r}", str(r)] for r in range(2000)]
+    payload = make_csv(rows)
+    # cut inside a quoted field near 16 KiB
+    cut = payload.index(b'"line1', 1 << 14) + 3
+    m = csv_meta(payload, sample_bytes=cut)
+    assert m["delimiter"] == ","
+    assert m["n_cols"] == 2

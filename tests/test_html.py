@@ -101,3 +101,38 @@ def test_canonical(page_df):
     assert got["full"] == "https://example.org/a"
     assert got["single_quote_canon"] == "https://e.org/c"
     assert got["empty"] == ""
+
+
+def test_canonical_href_first_order(page_df):
+    """Review r10 pass 2: href-before-rel attribute order."""
+    pages = {
+        "rev": '<link href="https://e.org/c2" rel="canonical">',
+        "none": '<link href="https://e.org/x" rel="stylesheet">',
+    }
+    import duckdb as _d
+
+    con = _d.connect()
+    con.execute(
+        "CREATE TABLE p2 AS SELECT * FROM (VALUES (?, ?), (?, ?)) "
+        "t(k, html)",
+        [x for kv in pages.items() for x in kv],
+    )
+    duck = {
+        r[0]: r[1]
+        for r in con.execute(
+            f"SELECT k, {html_canonical_sql('html')} FROM p2"
+        ).fetchall()
+    }
+    con.close()
+    assert duck["rev"] == "https://e.org/c2"
+    assert duck["none"] == ""
+
+
+def test_canonical_href_first_spark(spark):
+    df = spark.createDataFrame(
+        [('<link href="https://e.org/c2" rel="canonical">',)],
+        "html string",
+    )
+    assert df.select(
+        html_canonical("html").alias("v")
+    ).collect()[0].v == "https://e.org/c2"

@@ -308,3 +308,44 @@ def test_ipv6_host_kept_whole(spark):
         "('http://[2001:db8::1]:8080/x?q=1')) t(u)"
     ).fetchone()[0]
     assert duck == got
+
+
+def test_site_key_ip_and_trailing_dot(spark):
+    """Review r10 pass 2: IP literals pass through whole; trailing
+    root-dot FQDNs normalize."""
+    from bergloom_spark.functions.urls import (
+        url_host,
+        url_registrable_domain,
+        url_registrable_domain_sql,
+    )
+
+    urls = [
+        "http://192.168.0.1/x",
+        "http://[2001:db8::1]/x",
+        "https://example.com./y",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = {
+        r.url: (r.h, r.s)
+        for r in df.select(
+            "url",
+            url_host("url").alias("h"),
+            url_registrable_domain("url").alias("s"),
+        ).collect()
+    }
+    assert got["http://192.168.0.1/x"] == ("192.168.0.1", "192.168.0.1")
+    assert got["http://[2001:db8::1]/x"][1] == "[2001:db8::1]"
+    assert got["https://example.com./y"] == ("example.com", "example.com")
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE u3 AS SELECT * FROM (VALUES "
+        + ",".join("(?)" for _ in urls) + ") t(url)", urls,
+    )
+    duck = {
+        r[0]: r[1]
+        for r in con.execute(
+            f"SELECT url, {url_registrable_domain_sql('url')} FROM u3"
+        ).fetchall()
+    }
+    con.close()
+    assert duck == {u: got[u][1] for u in urls}
