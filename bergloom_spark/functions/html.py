@@ -111,34 +111,37 @@ def html_links_sql(expr: str) -> str:
     )
 
 
-def html_meta_content(col: Column | str, name: str) -> Column:
-    """content= of ``<meta name="...">`` (description, robots,
-    keywords…); handles both attribute orders; empty when absent."""
-    fwd = F.regexp_extract(_c(col), _meta_pat(name), 1)
-    rev = F.regexp_extract(_c(col), _meta_pat_rev(name), 1)
+def _first_nonempty(col: Column, fwd_pat: str, rev_pat: str) -> Column:
+    """Shared both-attribute-orders combinator: the forward-order
+    extract wins, the reverse-order form is the fallback."""
+    fwd = F.regexp_extract(col, fwd_pat, 1)
+    rev = F.regexp_extract(col, rev_pat, 1)
     return F.when(fwd != "", fwd).otherwise(rev)
 
 
-def html_meta_content_sql(expr: str, name: str) -> str:
-    fwd = f"coalesce(regexp_extract({expr}, '{_q(_meta_pat(name))}', 1), '')"
-    rev = (
-        f"coalesce(regexp_extract({expr}, '{_q(_meta_pat_rev(name))}', 1), '')"
-    )
+def _first_nonempty_sql(expr: str, fwd_pat: str, rev_pat: str) -> str:
+    fwd = f"coalesce(regexp_extract({expr}, '{_q(fwd_pat)}', 1), '')"
+    rev = f"coalesce(regexp_extract({expr}, '{_q(rev_pat)}', 1), '')"
     return f"CASE WHEN {fwd} <> '' THEN {fwd} ELSE {rev} END"
+
+
+def html_meta_content(col: Column | str, name: str) -> Column:
+    """content= of ``<meta name="...">`` (description, robots,
+    keywords…); handles both attribute orders; empty when absent."""
+    return _first_nonempty(_c(col), _meta_pat(name),
+                           _meta_pat_rev(name))
+
+
+def html_meta_content_sql(expr: str, name: str) -> str:
+    return _first_nonempty_sql(expr, _meta_pat(name),
+                               _meta_pat_rev(name))
 
 
 def html_canonical(col: Column | str) -> Column:
     """href of ``<link rel="canonical">`` — the dedup key the page
     itself declares; both attribute orders; empty when absent."""
-    fwd = F.regexp_extract(_c(col), _CANON_PAT, 1)
-    rev = F.regexp_extract(_c(col), _CANON_PAT_REV, 1)
-    return F.when(fwd != "", fwd).otherwise(rev)
+    return _first_nonempty(_c(col), _CANON_PAT, _CANON_PAT_REV)
 
 
 def html_canonical_sql(expr: str) -> str:
-    fwd = f"coalesce(regexp_extract({expr}, '{_q(_CANON_PAT)}', 1), '')"
-    rev = (
-        f"coalesce(regexp_extract({expr}, "
-        f"'{_q(_CANON_PAT_REV)}', 1), '')"
-    )
-    return f"CASE WHEN {fwd} <> '' THEN {fwd} ELSE {rev} END"
+    return _first_nonempty_sql(expr, _CANON_PAT, _CANON_PAT_REV)

@@ -202,7 +202,12 @@ def url_normalize(col: Column | str) -> Column:
     # the untouched remainder)
     prefix = F.regexp_extract(out, r"^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1)
     rest = F.regexp_replace(out, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", "")
-    out = F.concat(F.lower(prefix), rest)
+    # trailing root-dot FQDN normalization, same rule as url_host
+    # (review r10 pass 3: the dedup key and the site key must agree
+    # on 'example.com.' vs 'example.com'); the dot may sit before a
+    # port
+    prefix = F.regexp_replace(F.lower(prefix), r"\.(:\d+)?$", r"$1")
+    out = F.concat(prefix, rest)
     out = F.regexp_replace(out, r"#.*$", "")  # 2
     # 3: split at the FIRST '?', clean the query in isolation with
     # every param uniformly '&'-prefixed, and reassemble
@@ -245,6 +250,7 @@ def url_normalize_sql(expr: str) -> str:
         f"regexp_replace({expr}, "
         f"'^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', '')"
     )
+    prefix = f"regexp_replace({prefix}, '\\.(:\\d+)?$', '\\1')"
     out = f"({prefix} || {rest})"
     out = f"regexp_replace({out}, '#.*$', '')"
     pre_q = f"regexp_replace({out}, '\\?.*$', '')"

@@ -371,7 +371,10 @@ def gzip_isize_hint(payload: bytes) -> int:
     streams carry no length field and member boundaries are
     unknowable without inflating). Zero-cost; use for sizing
     heuristics, never for allocation decisions."""
-    if payload[:2] != b"\x1f\x8b" or len(payload) < 18:
+    # structural minimum: 10-byte header + ≥2-byte deflate + 8-byte
+    # trailer (review r10 pass 3: 18-19 bytes would read the hint
+    # from CRC/deflate bytes)
+    if payload[:2] != b"\x1f\x8b" or len(payload) < 20:
         raise ValueError("not a gzip payload")
     return int.from_bytes(payload[-4:], "little")
 

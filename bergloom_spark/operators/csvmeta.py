@@ -145,12 +145,14 @@ def csv_meta(
             )
         except ValueError:
             continue
-        if truncated and recs:
+        if truncated and len(recs) > 1:
             # the cut can land mid-record WITHOUT an open quote too
             # (half a line parses as a clean short record and skews
             # the shape) — the state machine already dropped an
-            # open-quote tail; drop the last record unconditionally,
-            # it is suspect either way (review r10)
+            # open-quote tail; drop the suspect last record UNLESS
+            # it is the only one (a first record longer than the
+            # sample still deserves a best-effort sniff — review
+            # r10 pass 3)
             recs = recs[:-1]
         if not recs:
             continue

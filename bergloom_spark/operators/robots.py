@@ -32,6 +32,12 @@ __all__ = [
 ]
 
 _MAX_LINES = 100_000
+_MAX_PAYLOAD = 1 << 20  # RFC 9309 §2.5 requires parsing ≥500 KiB;
+# beyond 1 MiB is degenerate and gets the contract ValueError
+_MAX_RULE_LEN = 4096  # bounds the compiled-pattern cache: 4096
+# entries × ≤4 KiB rules stays in the tens of MB (review r10 pass 3
+# — unbounded rule strings pinned by lru_cache are executor-lifetime
+# memory)
 _MAX_URLS = 1 << 20
 
 
@@ -44,6 +50,8 @@ def robots_rules(payload: bytes) -> dict:
     with ``#`` comments; unknown fields are ignored (RFC 9309 §2.2.4
     — forward compatibility); a rule line before any User-agent is
     an error. Bytes must be UTF-8 (the spec's charset)."""
+    if len(payload) > _MAX_PAYLOAD:
+        raise ValueError("robots.txt exceeds the payload cap")
     try:
         text = payload.decode("utf-8")
     except UnicodeDecodeError as exc:
@@ -87,6 +95,11 @@ def robots_rules(payload: bytes) -> dict:
                 raise ValueError(
                     f"{field} rule before any User-agent line"
                 )
+            if len(value) > _MAX_RULE_LEN:
+                raise ValueError(
+                    f"{field} rule exceeds the {_MAX_RULE_LEN}-char "
+                    "cap"
+                )
             if value:  # an empty Disallow means "allow all": no rule
                 open_group[field].append(value)
         elif field == "crawl-delay":
@@ -120,13 +133,11 @@ def _rule_regex(rule: str) -> re.Pattern:
     return re.compile("^" + pat + ("$" if anchored else ""))
 
 
-def _select_group(groups: list[dict], agent: str) -> dict | None:
-    """Most-specific matched rules: the longest agent token that is
-    a substring of ``agent`` (case-insensitive) wins, ``*`` is the
-    fallback — and ALL groups carrying the winning token are
-    COMBINED (RFC 9309 §2.2.1: rules of groups matching the same
-    agent merge; review r10 — a wild-world robots.txt frequently
-    lists the same agent in several groups)."""
+def _winning_token(groups: list[dict], agent: str) -> str | None:
+    """The agent token that selects rules: the longest token that is
+    a substring of ``agent`` (case-insensitive); ``*`` fallback;
+    None when nothing matches. Allocation-free (review r10 pass 3:
+    this runs once per URL in the Arrow kernel)."""
     agent = agent.lower()
     best_tok = None
     star_seen = False
@@ -138,9 +149,20 @@ def _select_group(groups: list[dict], agent: str) -> dict | None:
                 best_tok is None or len(tok) > len(best_tok)
             ):
                 best_tok = tok
-    if best_tok is None and not star_seen:
+    if best_tok is not None:
+        return best_tok
+    return "*" if star_seen else None
+
+
+def _select_group(groups: list[dict], agent: str) -> dict | None:
+    """Merged rule view for the selected agent — RFC 9309 §2.2.1:
+    ALL groups carrying the winning token combine (review r10 — a
+    wild-world robots.txt frequently lists the same agent in
+    several groups). Allocates; the per-URL hot path
+    (:func:`robots_allowed`) iterates the groups directly instead."""
+    want = _winning_token(groups, agent)
+    if want is None:
         return None
-    want = best_tok if best_tok is not None else "*"
     merged = {"agents": [want], "allow": [], "disallow": [],
               "crawl_delay": None}
     for g in groups:
@@ -153,21 +175,28 @@ def _select_group(groups: list[dict], agent: str) -> dict | None:
 
 
 def robots_allowed(rules: dict, agent: str, path: str) -> bool:
-    """RFC 9309 §2.2.2 evaluation: within the selected (merged)
-    group, the longest rule that matches ``path`` decides; on equal
-    lengths allow wins; no match → allowed. No group for the agent
-    → allowed."""
-    g = _select_group(rules["groups"], agent)
-    if g is None:
+    """RFC 9309 §2.2.2 evaluation over the combined matching groups:
+    the longest rule that matches ``path`` decides; on equal lengths
+    allow wins; no match → allowed. No group for the agent →
+    allowed. Allocation-free per call — group lists are iterated in
+    place, never merged/copied (review r10 pass 3)."""
+    groups = rules["groups"]
+    want = _winning_token(groups, agent)
+    if want is None:
         return True
     best_len, best_allow = -1, True
-    for allow_flag, rule_list in ((True, g["allow"]),
-                                  (False, g["disallow"])):
-        for rule in rule_list:
-            if _rule_regex(rule).match(path):
-                ln = len(rule)
-                if ln > best_len or (ln == best_len and allow_flag):
-                    best_len, best_allow = ln, allow_flag
+    for g in groups:
+        if want not in g["agents"]:
+            continue
+        for allow_flag, rule_list in ((True, g["allow"]),
+                                      (False, g["disallow"])):
+            for rule in rule_list:
+                if _rule_regex(rule).match(path):
+                    ln = len(rule)
+                    if ln > best_len or (
+                        ln == best_len and allow_flag
+                    ):
+                        best_len, best_allow = ln, allow_flag
     return best_allow
 
 

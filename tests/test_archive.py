@@ -391,3 +391,10 @@ def test_gzip_isize_hint_advisory():
     assert gzip_isize_hint(two) == 7
     with pytest.raises(ValueError):
         gzip_isize_hint(b"nope")
+
+
+def test_gzip_isize_hint_minimum_length():
+    from bergloom_spark.operators.archive import gzip_isize_hint
+
+    with pytest.raises(ValueError):
+        gzip_isize_hint(b"\x1f\x8b" + b"\x00" * 16)  # 18 bytes

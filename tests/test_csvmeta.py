@@ -149,3 +149,11 @@ def test_quoted_newline_straddling_sample_boundary():
     m = csv_meta(payload, sample_bytes=cut)
     assert m["delimiter"] == ","
     assert m["n_cols"] == 2
+
+
+def test_single_long_record_still_sniffs():
+    """Review r10 pass 3: a first record longer than the sample gets
+    a best-effort sniff instead of a reject."""
+    payload = ("a,b,c,d," * 100 + "end\n" + "1,2\n").encode()
+    m = csv_meta(payload, sample_bytes=40)
+    assert m["delimiter"] == ","

@@ -207,3 +207,13 @@ def test_duplicate_agent_groups_combine():
     assert robots_allowed(r2, "bot/1.0", "/x") is False
     assert robots_allowed(r2, "bot/1.0", "/z") is False
     assert robots_allowed(r2, "bot/1.0", "/y") is True
+
+
+def test_rule_and_payload_caps():
+    """Review r10 pass 3: caps bound the compiled-pattern cache."""
+    with pytest.raises(ValueError, match="rule exceeds"):
+        robots_rules(
+            b"User-agent: *\nDisallow: /" + b"x" * 5000 + b"\n"
+        )
+    with pytest.raises(ValueError, match="payload cap"):
+        robots_rules(b"#" + b"c" * (1 << 21))

@@ -349,3 +349,35 @@ def test_site_key_ip_and_trailing_dot(spark):
     }
     con.close()
     assert duck == {u: got[u][1] for u in urls}
+
+
+def test_normalize_trailing_root_dot(spark):
+    """Review r10 pass 3: the dedup key agrees with url_host on
+    FQDN root-dot forms, including with a port."""
+    urls = [
+        "http://example.com./page",
+        "http://example.com/page",
+        "http://example.com.:8080/page",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = {
+        r.url: r.v
+        for r in df.select("url", url_normalize("url").alias("v")).collect()
+    }
+    assert got["http://example.com./page"] == "http://example.com/page"
+    assert got["http://example.com.:8080/page"] == (
+        "http://example.com:8080/page"
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE u4 AS SELECT * FROM (VALUES "
+        + ",".join("(?)" for _ in urls) + ") t(url)", urls,
+    )
+    duck = {
+        r[0]: r[1]
+        for r in con.execute(
+            f"SELECT url, {url_normalize_sql('url')} FROM u4"
+        ).fetchall()
+    }
+    con.close()
+    assert duck == got
