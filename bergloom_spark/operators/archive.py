@@ -45,6 +45,8 @@ __all__ = [
 ]
 
 _EOCD_SIG = 0x06054B50
+_EOCD64_SIG = 0x06064B50
+_EOCD64_LOC_SIG = 0x07064B50
 _CD_SIG = 0x02014B50
 _LOCAL_SIG = 0x04034B50
 _MAX_EXPANSION = 256 << 20  # absolute extraction budget (bytes)
@@ -57,12 +59,21 @@ _DOS_TIME = 0
 # ---------------------------------------------------------------------------
 # ZIP
 # ---------------------------------------------------------------------------
-def make_zip(entries: list[tuple[str, bytes]], method: int = 0) -> bytes:
+def make_zip(
+    entries: list[tuple[str, bytes]],
+    method: int = 0,
+    zip64: bool = False,
+) -> bytes:
     """ZIP bytes from (name, data) pairs — method 0 (store) or 8
     (deflate, fixed level 6 so fixtures are byte-reproducible).
-    Local headers + central directory + EOCD, no zip64."""
+    Local headers + central directory + EOCD. ``zip64=True`` emits
+    the zip64 format (sentinel 32/16-bit fields + 0x0001 extended-
+    information extras + EOCD64 record/locator) — the layout any
+    >4 GiB archive uses, writable here on small fixtures so the
+    reader's zip64 path is testable without 4 GiB of disk."""
     if method not in (0, 8):
         raise ValueError(f"unsupported ZIP method {method}")
+    version = 45 if zip64 else 20
     locals_, cd, offset = [], [], 0
     for name, data in entries:
         nb = name.encode()
@@ -72,30 +83,72 @@ def make_zip(entries: list[tuple[str, bytes]], method: int = 0) -> bytes:
             blob = co.compress(data) + co.flush()
         else:
             blob = data
-        lh = struct.pack(
-            "<IHHHHHIIIHH", _LOCAL_SIG, 20, 0, method, _DOS_TIME,
-            _DOS_DATE, crc, len(blob), len(data), len(nb), 0,
-        ) + nb + blob
-        cd.append(
-            struct.pack(
-                "<IHHHHHHIIIHHHHHII", _CD_SIG, 20, 20, 0, method,
+        if zip64:
+            l_extra = struct.pack("<HHQQ", 1, 16, len(data),
+                                  len(blob))
+            lh = struct.pack(
+                "<IHHHHHIIIHH", _LOCAL_SIG, version, 0, method,
+                _DOS_TIME, _DOS_DATE, crc, 0xFFFFFFFF, 0xFFFFFFFF,
+                len(nb), len(l_extra),
+            ) + nb + l_extra + blob
+            # CD zip64 extra order (APPNOTE 4.5.3): usize, csize,
+            # local offset — each present because its 32-bit field
+            # is the sentinel
+            c_extra = struct.pack("<HHQQQ", 1, 24, len(data),
+                                  len(blob), offset)
+            cd.append(
+                struct.pack(
+                    "<IHHHHHHIIIHHHHHII", _CD_SIG, version,
+                    version, 0, method, _DOS_TIME, _DOS_DATE, crc,
+                    0xFFFFFFFF, 0xFFFFFFFF, len(nb), len(c_extra),
+                    0, 0, 0, 0, 0xFFFFFFFF,
+                ) + nb + c_extra
+            )
+        else:
+            lh = struct.pack(
+                "<IHHHHHIIIHH", _LOCAL_SIG, version, 0, method,
                 _DOS_TIME, _DOS_DATE, crc, len(blob), len(data),
-                len(nb), 0, 0, 0, 0, 0, offset,
-            ) + nb
-        )
+                len(nb), 0,
+            ) + nb + blob
+            cd.append(
+                struct.pack(
+                    "<IHHHHHHIIIHHHHHII", _CD_SIG, version,
+                    version, 0, method, _DOS_TIME, _DOS_DATE, crc,
+                    len(blob), len(data), len(nb), 0, 0, 0, 0, 0,
+                    offset,
+                ) + nb
+            )
         locals_.append(lh)
         offset += len(lh)
     cd_blob = b"".join(cd)
+    out = b"".join(locals_) + cd_blob
+    if zip64:
+        eocd64_off = offset + len(cd_blob)
+        eocd64 = struct.pack(
+            "<IQHHIIQQQQ", _EOCD64_SIG, 44, version, version, 0, 0,
+            len(entries), len(entries), len(cd_blob), offset,
+        )
+        locator = struct.pack(
+            "<IIQI", _EOCD64_LOC_SIG, 0, eocd64_off, 1
+        )
+        eocd = struct.pack(
+            "<IHHHHIIH", _EOCD_SIG, 0, 0, 0xFFFF, 0xFFFF,
+            0xFFFFFFFF, 0xFFFFFFFF, 0,
+        )
+        return out + eocd64 + locator + eocd
     eocd = struct.pack(
         "<IHHHHIIH", _EOCD_SIG, 0, 0, len(entries), len(entries),
         len(cd_blob), offset, 0,
     )
-    return b"".join(locals_) + cd_blob + eocd
+    return out + eocd
 
 
 def _find_eocd(d: bytes) -> tuple:
     """Locate the EOCD record scanning back over a possible trailing
-    comment (≤65535 bytes per spec) → unpacked fields."""
+    comment (≤65535 bytes per spec) → (n_total, cd_size, cd_off).
+    Sentinel EOCD fields route through the zip64 locator + EOCD64
+    record — >4 GiB archives are ROUTINE in a 100 TB corpus, so
+    zip64 is the format this reader must speak, not reject."""
     if len(d) < 22:
         raise ValueError("payload too short for a ZIP EOCD")
     lo = max(0, len(d) - 22 - 65535)
@@ -105,25 +158,88 @@ def _find_eocd(d: bytes) -> tuple:
             (_, disk, cd_disk, n_disk, n_total, cd_size, cd_off,
              clen) = struct.unpack_from("<IHHHHIIH", d, pos)
             if pos + 22 + clen == len(d):
+                if 0xFFFF in (n_disk, n_total) or 0xFFFFFFFF in (
+                    cd_size, cd_off
+                ):
+                    return _read_eocd64(d, pos)
                 if disk or cd_disk:
                     raise ValueError("multi-disk ZIP unsupported")
-                return n_disk, n_total, cd_size, cd_off
+                if n_disk != n_total:
+                    raise ValueError("multi-disk ZIP unsupported")
+                return n_total, cd_size, cd_off
         pos = d.rfind(struct.pack("<I", _EOCD_SIG), lo, pos)
     raise ValueError("no ZIP end-of-central-directory record")
+
+
+def _read_eocd64(d: bytes, eocd_pos: int) -> tuple:
+    """zip64: the 20-byte EOCD64 LOCATOR sits immediately before the
+    EOCD; it points at the EOCD64 record carrying the 64-bit
+    directory fields."""
+    loc_pos = eocd_pos - 20
+    if loc_pos < 0:
+        raise ValueError("zip64 EOCD without a locator")
+    sig, loc_disk, off64, n_disks = struct.unpack_from(
+        "<IIQI", d, loc_pos
+    )
+    if sig != _EOCD64_LOC_SIG:
+        raise ValueError("missing zip64 EOCD locator signature")
+    if loc_disk != 0 or n_disks > 1:
+        raise ValueError("multi-disk ZIP unsupported")
+    if off64 + 56 > len(d):
+        raise ValueError("zip64 EOCD offset exceeds payload")
+    (sig64, _size, _vm, _vn, disk, cd_disk, n_this, n_total,
+     cd_size, cd_off) = struct.unpack_from("<IQHHIIQQQQ", d, off64)
+    if sig64 != _EOCD64_SIG:
+        raise ValueError("bad zip64 EOCD signature")
+    if disk or cd_disk or n_this != n_total:
+        raise ValueError("multi-disk ZIP unsupported")
+    return n_total, cd_size, cd_off
+
+
+def _zip64_extra(extra: bytes, usize: int, csize: int,
+                 loff: int) -> tuple:
+    """Resolve sentinel CD fields from the 0x0001 zip64 extended-
+    information extra (APPNOTE 4.5.3 — values appear in fixed order,
+    each present only when its 32-bit field is the sentinel)."""
+    pos = 0
+    while pos + 4 <= len(extra):
+        xid, xlen = struct.unpack_from("<HH", extra, pos)
+        data = extra[pos + 4 : pos + 4 + xlen]
+        if len(data) != xlen:
+            raise ValueError("truncated ZIP extra field")
+        if xid == 1:
+            dp = 0
+            if usize == 0xFFFFFFFF:
+                if dp + 8 > len(data):
+                    raise ValueError("zip64 extra lacks usize")
+                usize = int.from_bytes(data[dp : dp + 8], "little")
+                dp += 8
+            if csize == 0xFFFFFFFF:
+                if dp + 8 > len(data):
+                    raise ValueError("zip64 extra lacks csize")
+                csize = int.from_bytes(data[dp : dp + 8], "little")
+                dp += 8
+            if loff == 0xFFFFFFFF:
+                if dp + 8 > len(data):
+                    raise ValueError("zip64 extra lacks offset")
+                loff = int.from_bytes(data[dp : dp + 8], "little")
+                dp += 8
+            return usize, csize, loff
+        pos += 4 + xlen
+    raise ValueError(
+        "sentinel ZIP fields without a zip64 extended-info extra"
+    )
 
 
 def zip_entries(payload: bytes) -> list[dict]:
     """Central-directory walk → one dict per entry:
     ``{name, method, compressed_size, uncompressed_size, crc32,
     local_offset}``. Header-only (nothing is decompressed). zip64
-    markers (0xFFFF / 0xFFFFFFFF sentinel fields) are rejected
-    explicitly rather than misread."""
+    sentinel fields resolve through the 0x0001 extended-info extra
+    and the EOCD64 record (round 10: >4 GiB members are routine at
+    corpus scale)."""
     d = payload
-    n_disk, n_total, cd_size, cd_off = _find_eocd(d)
-    if n_disk != n_total:
-        raise ValueError("multi-disk ZIP unsupported")
-    if n_total == 0xFFFF or cd_off == 0xFFFFFFFF:
-        raise ValueError("zip64 archive unsupported")
+    n_total, cd_size, cd_off = _find_eocd(d)
     if cd_off + cd_size > len(d):
         raise ValueError("central directory exceeds payload")
     out, pos = [], cd_off
@@ -138,7 +254,11 @@ def zip_entries(payload: bytes) -> list[dict]:
                 f"bad central-directory signature at {pos}"
             )
         if 0xFFFFFFFF in (csize, usize, loff):
-            raise ValueError("zip64 entry unsupported")
+            extra = d[pos + 46 + nlen : pos + 46 + nlen + elen]
+            if len(extra) != elen:
+                raise ValueError("truncated CD extra field")
+            usize, csize, loff = _zip64_extra(extra, usize, csize,
+                                              loff)
         name_b = d[pos + 46 : pos + 46 + nlen]
         if len(name_b) != nlen:
             raise ValueError("truncated entry name")

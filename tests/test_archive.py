@@ -106,12 +106,56 @@ def test_zip_truncated_cd_rejected():
         zip_entries(payload[:40] + payload[-22:])
 
 
-def test_zip64_sentinel_rejected():
+def test_zip64_sentinel_without_extra_rejected():
+    """A sentinel field whose zip64 extended-info extra is missing
+    must fail closed, not be misread as a 4 GiB offset."""
     payload = bytearray(make_zip([("a", b"x")]))
     cd_off = struct.unpack_from("<I", payload, len(payload) - 6)[0]
     struct.pack_into("<I", payload, cd_off + 42, 0xFFFFFFFF)
     with pytest.raises(ValueError, match="zip64"):
         zip_entries(bytes(payload))
+
+
+@pytest.mark.parametrize("method", [0, 8])
+def test_zip64_roundtrip(method):
+    """Round 10: zip64 format (EOCD64 + locator + 0x0001 extras) —
+    the layout every >4 GiB archive uses, exercised on small
+    fixtures."""
+    entries = _entries()
+    payload = make_zip(entries, method=method, zip64=True)
+    walked = zip_entries(payload)
+    assert [e["name"] for e in walked] == [n for n, _ in entries]
+    assert [e["uncompressed_size"] for e in walked] == [
+        len(d) for _, d in entries
+    ]
+    assert zip_extract(payload) == entries
+    meta = zip_meta(payload)
+    assert meta["n_entries"] == len(entries)
+
+
+def test_zip64_stdlib_interop_both_directions():
+    entries = [("big/a.bin", b"payload-a" * 40), ("b.txt", b"tiny")]
+    # ours -> stdlib
+    with zipfile.ZipFile(
+        io.BytesIO(make_zip(entries, method=8, zip64=True))
+    ) as z:
+        for name, data in entries:
+            assert z.read(name) == data
+    # stdlib (forced zip64) -> ours
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as z:
+        for name, data in entries:
+            with z.open(name, "w", force_zip64=True) as fh:
+                fh.write(data)
+    assert zip_extract(buf.getvalue()) == entries
+
+
+def test_zip64_truncated_locator_rejected():
+    payload = make_zip(_entries(2), zip64=True)
+    # chop the locator out: EOCD alone with sentinel fields
+    broken = payload[:-42] + payload[-22:]
+    with pytest.raises(ValueError, match="locator|zip64"):
+        zip_entries(broken)
 
 
 # ---------------------------------------------------------------------------
