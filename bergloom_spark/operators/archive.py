@@ -373,34 +373,87 @@ def _octal(n: int, width: int) -> bytes:
     return (("%0" + str(width - 1) + "o") % n).encode() + b"\0"
 
 
-def make_tar(entries: list[tuple[str, bytes]]) -> bytes:
+def _tar_header(name_b: bytes, size: int, typeflag: bytes) -> bytes:
+    hdr = bytearray(512)
+    hdr[0 : len(name_b)] = name_b
+    hdr[100:108] = _octal(0o644, 8)
+    hdr[108:116] = _octal(0, 8)
+    hdr[116:124] = _octal(0, 8)
+    hdr[124:136] = _octal(size, 12)
+    hdr[136:148] = _octal(1735689600, 12)  # 2025-01-01 UTC
+    hdr[148:156] = b" " * 8  # checksum blanked for the sum
+    hdr[156:157] = typeflag
+    hdr[257:263] = b"ustar\0"
+    hdr[263:265] = b"00"
+    chk = sum(hdr)
+    hdr[148:156] = ("%06o" % chk).encode() + b"\0 "
+    return bytes(hdr)
+
+
+def make_tar(
+    entries: list[tuple[str, bytes]], longnames: str = "gnu"
+) -> bytes:
     """ustar TAR bytes from (name, data) pairs (names ending "/"
-    become directories). Fixed mtime for reproducible fixtures."""
+    become directories). Fixed mtime for reproducible fixtures.
+    Names over 100 bytes emit the ``longnames`` mechanism first:
+    ``"gnu"`` = a typeflag-L ``././@LongLink`` entry, ``"pax"`` = a
+    typeflag-x extended header with a ``path=`` record — the two
+    forms real tarballs actually use."""
     blocks = []
+
+    def emit(name_b: bytes, data: bytes, typeflag: bytes) -> None:
+        blocks.append(_tar_header(name_b, len(data), typeflag))
+        blocks.append(data)
+        blocks.append(b"\0" * (-len(data) % 512))
+
     for name, data in entries:
         nb = name.encode()
         if len(nb) > 100:
-            raise ValueError(f"name too long for ustar: {name!r}")
+            if longnames == "gnu":
+                emit(b"././@LongLink", nb + b"\0", b"L")
+            elif longnames == "pax":
+                body = b" path=" + nb + b"\n"
+                # pax record length prefix counts ITSELF (POSIX.1:
+                # one fixed-point adjustment suffices)
+                total = len(body) + len(str(len(body)))
+                if len(str(total)) != len(str(len(body))):
+                    total = len(body) + len(str(total))
+                emit(b"PaxHeader", str(total).encode() + body, b"x")
+            else:
+                raise ValueError(
+                    f"unknown longnames mechanism {longnames!r}"
+                )
+            nb = nb[:100]
         typeflag = b"5" if name.endswith("/") else b"0"
-        hdr = bytearray(512)
-        hdr[0 : len(nb)] = nb
-        hdr[100:108] = _octal(0o644, 8)
-        hdr[108:116] = _octal(0, 8)
-        hdr[116:124] = _octal(0, 8)
-        hdr[124:136] = _octal(len(data), 12)
-        hdr[136:148] = _octal(1735689600, 12)  # 2025-01-01 UTC
-        hdr[148:156] = b" " * 8  # checksum blanked for the sum
-        hdr[156:157] = typeflag
-        hdr[257:263] = b"ustar\0"
-        hdr[263:265] = b"00"
-        chk = sum(hdr)
-        hdr[148:156] = ("%06o" % chk).encode() + b"\0 "
-        blocks.append(bytes(hdr))
-        blocks.append(data)
-        pad = -len(data) % 512
-        blocks.append(b"\0" * pad)
+        emit(nb, data, typeflag)
     blocks.append(b"\0" * 1024)
     return b"".join(blocks)
+
+
+def _pax_records(data: bytes) -> dict:
+    """POSIX.1 pax extended-header body → {key: value}. Each record
+    is ``"<len> <key>=<value>\\n"`` where ``len`` counts the whole
+    record including itself."""
+    out, pos = {}, 0
+    while pos < len(data):
+        sp = data.find(b" ", pos)
+        if sp < 0:
+            raise ValueError("malformed pax record (no length)")
+        try:
+            rec_len = int(data[pos:sp])
+        except ValueError as exc:
+            raise ValueError("bad pax record length") from exc
+        if rec_len <= sp - pos or pos + rec_len > len(data):
+            raise ValueError("pax record length out of range")
+        rec = data[sp + 1 : pos + rec_len]
+        if not rec.endswith(b"\n"):
+            raise ValueError("pax record lacks newline terminator")
+        key, eq, value = rec[:-1].partition(b"=")
+        if not eq:
+            raise ValueError("pax record lacks '='")
+        out[key.decode("utf-8")] = value.decode("utf-8")
+        pos += rec_len
+    return out
 
 
 def tar_entries(payload: bytes) -> list[dict]:
@@ -408,9 +461,20 @@ def tar_entries(payload: bytes) -> list[dict]:
     offset}``. Verifies the ustar magic and the space-blanked
     checksum on every header (the checksum is what separates a TAR
     from 512 bytes of coincidence); stops at the two-zero-block
-    terminator or end of payload."""
+    terminator or end of payload.
+
+    Long names resolve through all three real-world mechanisms
+    (round 10): the ustar 155-byte ``prefix`` field, GNU typeflag-L
+    ``././@LongLink`` entries, and pax typeflag-x extended headers
+    (``path=``/``size=`` records; typeflag-g globals apply to all
+    subsequent entries). Sizes in GNU base-256 form (high bit set)
+    decode too — octal caps out at 8 GiB, and corpus-scale members
+    exceed it."""
     d = payload
     out, pos = [], 0
+    pending_name: str | None = None  # from 'L' or pax path=
+    pending_size: int | None = None  # from pax size=
+    global_pax: dict = {}
     while pos + 512 <= len(d):
         hdr = d[pos : pos + 512]
         if hdr == b"\0" * 512:
@@ -432,24 +496,74 @@ def tar_entries(payload: bytes) -> list[dict]:
             )
         name = hdr[:100].split(b"\0", 1)[0].decode("utf-8",
                                                    errors="strict")
-        size_f = hdr[124:136].rstrip(b"\0 ").lstrip(b" ")
-        try:
-            size = int(size_f, 8) if size_f else 0
-        except ValueError as exc:
-            raise ValueError(
-                f"bad size field at offset {pos}"
-            ) from exc
+        if hdr[124] & 0x80:  # GNU base-256 size
+            size = int.from_bytes(hdr[124:136], "big") - (
+                0x80 << 88
+            )
+            if size < 0:
+                raise ValueError(
+                    f"negative base-256 size at offset {pos}"
+                )
+        else:
+            size_f = hdr[124:136].rstrip(b"\0 ").lstrip(b" ")
+            try:
+                size = int(size_f, 8) if size_f else 0
+            except ValueError as exc:
+                raise ValueError(
+                    f"bad size field at offset {pos}"
+                ) from exc
         typeflag = chr(hdr[156]) if hdr[156] else "0"
         data_end = pos + 512 + size
         if data_end > len(d):
             raise ValueError(
                 f"entry {name!r} data exceeds payload"
             )
+        data_next = pos + 512 + size + (-size % 512)
+        if typeflag == "L":  # GNU long name for the NEXT entry
+            pending_name = (
+                d[pos + 512 : data_end].split(b"\0", 1)[0]
+                .decode("utf-8", errors="strict")
+            )
+            pos = data_next
+            continue
+        if typeflag in ("x", "g"):  # pax extended header
+            recs = _pax_records(d[pos + 512 : data_end])
+            if typeflag == "g":
+                global_pax.update(recs)
+            else:
+                if "path" in recs:
+                    pending_name = recs["path"]
+                if "size" in recs:
+                    try:
+                        pending_size = int(recs["size"])
+                    except ValueError as exc:
+                        raise ValueError(
+                            "bad pax size record"
+                        ) from exc
+            pos = data_next
+            continue
+        # ustar prefix field (155 bytes at 345) joins with '/'
+        prefix = hdr[345:500].split(b"\0", 1)[0]
+        if prefix and pending_name is None:
+            name = prefix.decode("utf-8", errors="strict") + "/" + name
+        if pending_name is not None:
+            name = pending_name
+        elif "path" in global_pax:
+            name = global_pax["path"]
+        if pending_size is not None:
+            size = pending_size
+            data_end = pos + 512 + size
+            if data_end > len(d):
+                raise ValueError(
+                    f"entry {name!r} pax size exceeds payload"
+                )
+            data_next = pos + 512 + size + (-size % 512)
         out.append(
             {"name": name, "size": size, "typeflag": typeflag,
              "offset": pos}
         )
-        pos = pos + 512 + size + (-size % 512)
+        pending_name = pending_size = None
+        pos = data_next
     return out
 
 

@@ -442,3 +442,73 @@ def test_gzip_isize_hint_minimum_length():
 
     with pytest.raises(ValueError):
         gzip_isize_hint(b"\x1f\x8b" + b"\x00" * 16)  # 18 bytes
+
+
+# ---------------------------------------------------------------------------
+# TAR long names / big sizes (round 10)
+# ---------------------------------------------------------------------------
+LONG = "deeply/" * 20 + "very_long_file_name_beyond_100_chars.txt"
+
+
+@pytest.mark.parametrize("mech", ["gnu", "pax"])
+def test_tar_long_names_roundtrip(mech):
+    entries = [("short.txt", b"a"), (LONG, b"long content")]
+    payload = make_tar(entries, longnames=mech)
+    walked = tar_entries(payload)
+    assert [e["name"] for e in walked] == ["short.txt", LONG]
+    assert walked[1]["size"] == len(b"long content")
+    meta = tar_meta(payload)
+    assert meta["n_entries"] == 2  # L/x headers are not entries
+
+
+@pytest.mark.parametrize("mech", ["gnu", "pax"])
+def test_tar_long_names_stdlib_reads_ours(mech):
+    payload = make_tar([(LONG, b"data")], longnames=mech)
+    with tarfile.open(fileobj=io.BytesIO(payload)) as t:
+        assert t.getnames() == [LONG]
+        assert t.extractfile(LONG).read() == b"data"
+
+
+@pytest.mark.parametrize(
+    "fmt", [tarfile.GNU_FORMAT, tarfile.PAX_FORMAT]
+)
+def test_tar_long_names_we_read_stdlib(fmt):
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w", format=fmt) as t:
+        ti = tarfile.TarInfo(LONG)
+        data = b"stdlib long"
+        ti.size = len(data)
+        t.addfile(ti, io.BytesIO(data))
+    walked = tar_entries(buf.getvalue())
+    assert [e["name"] for e in walked] == [LONG]
+    assert walked[0]["size"] == len(b"stdlib long")
+
+
+def test_tar_ustar_prefix_field():
+    buf = io.BytesIO()
+    name = "p" * 120 + "/leaf.txt"  # fits prefix+name, not name
+    with tarfile.open(fileobj=buf, mode="w",
+                      format=tarfile.USTAR_FORMAT) as t:
+        ti = tarfile.TarInfo(name)
+        ti.size = 2
+        t.addfile(ti, io.BytesIO(b"ok"))
+    walked = tar_entries(buf.getvalue())
+    assert walked[0]["name"] == name
+
+
+def test_tar_base256_size():
+    """GNU base-256 size field (octal caps at 8 GiB): header-only
+    walk reads the size without materializing the data — build the
+    block layout by hand with a small actual payload and a base-256
+    field matching it."""
+    from bergloom_spark.operators.archive import _tar_header
+
+    hdr = bytearray(_tar_header(b"big.bin", 0, b"0"))
+    hdr[124] = 0x80
+    hdr[125:136] = (3000).to_bytes(11, "big")
+    hdr[148:156] = b" " * 8
+    chk = sum(hdr)
+    hdr[148:156] = ("%06o" % chk).encode() + b"\0 "
+    payload = bytes(hdr) + b"\0" * 3072 + b"\0" * 1024
+    walked = tar_entries(payload)
+    assert walked[0]["size"] == 3000

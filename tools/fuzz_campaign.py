@@ -287,6 +287,10 @@ def _seeds_archive():
         make_gzip(b"text body " * 30, name="doc.txt"),
         make_gzip(b"a" * 64) + make_gzip(b"b" * 64, name="x"),
         make_zip(entries, method=8, zip64=True),
+        make_tar([("n/" * 60 + "leaf.bin", b"xyz" * 30)],
+                 longnames="gnu"),
+        make_tar([("n/" * 60 + "leaf.bin", b"xyz" * 30)],
+                 longnames="pax"),
         make_zstd_frame(5000, n_blocks=3, checksum=True),
         make_zstd_frame(100) + skippable + make_zstd_frame(None,
                                                           dict_id=7),
