@@ -158,8 +158,11 @@ def _find_eocd(d: bytes) -> tuple:
             (_, disk, cd_disk, n_disk, n_total, cd_size, cd_off,
              clen) = struct.unpack_from("<IHHHHIIH", d, pos)
             if pos + 22 + clen == len(d):
-                if 0xFFFF in (n_disk, n_total) or 0xFFFFFFFF in (
-                    cd_size, cd_off
+                # APPNOTE 4.4.19/20: ANY of the six EOCD fields may
+                # carry its sentinel in a zip64 archive (review r10
+                # pass 4 — a sentinel disk number is legal too)
+                if 0xFFFF in (disk, cd_disk, n_disk, n_total) or (
+                    0xFFFFFFFF in (cd_size, cd_off)
                 ):
                     return _read_eocd64(d, pos)
                 if disk or cd_disk:
@@ -224,6 +227,13 @@ def _zip64_extra(extra: bytes, usize: int, csize: int,
                     raise ValueError("zip64 extra lacks offset")
                 loff = int.from_bytes(data[dp : dp + 8], "little")
                 dp += 8
+            # int64 ceiling: downstream schemas are 'long' and an
+            # Arrow cast crash is not the contract ValueError
+            # (review r10 pass 4)
+            if max(usize, csize, loff) >= 1 << 63:
+                raise ValueError(
+                    "zip64 field exceeds the int64 range"
+                )
             return usize, csize, loff
         pos += 4 + xlen
     raise ValueError(
@@ -494,8 +504,11 @@ def tar_entries(payload: bytes) -> list[dict]:
                 f"checksum mismatch at offset {pos}: "
                 f"{chk} != {calc}"
             )
-        name = hdr[:100].split(b"\0", 1)[0].decode("utf-8",
-                                                   errors="strict")
+        # name field decoded LAZILY: when a long-name mechanism
+        # overrides it, the 100-byte field may hold a byte-truncated
+        # multibyte name that must not be strict-decoded (review r10
+        # pass 4 — valid GNU/pax archives were rejected)
+        name_b = hdr[:100].split(b"\0", 1)[0]
         if hdr[124] & 0x80:  # GNU base-256 size
             size = int.from_bytes(hdr[124:136], "big") - (
                 0x80 << 88
@@ -516,7 +529,7 @@ def tar_entries(payload: bytes) -> list[dict]:
         data_end = pos + 512 + size
         if data_end > len(d):
             raise ValueError(
-                f"entry {name!r} data exceeds payload"
+                f"entry {name_b!r} data exceeds payload"
             )
         data_next = pos + 512 + size + (-size % 512)
         if typeflag == "L":  # GNU long name for the NEXT entry
@@ -524,6 +537,12 @@ def tar_entries(payload: bytes) -> list[dict]:
                 d[pos + 512 : data_end].split(b"\0", 1)[0]
                 .decode("utf-8", errors="strict")
             )
+            pos = data_next
+            continue
+        if typeflag == "K":  # GNU long LINKNAME: metadata for the
+            # next entry's linkname, which this walk does not
+            # report — consume it WITHOUT touching pending_name
+            # (review r10 pass 4: it leaked as a phantom entry)
             pos = data_next
             continue
         if typeflag in ("x", "g"):  # pax extended header
@@ -542,16 +561,30 @@ def tar_entries(payload: bytes) -> list[dict]:
                         ) from exc
             pos = data_next
             continue
-        # ustar prefix field (155 bytes at 345) joins with '/'
-        prefix = hdr[345:500].split(b"\0", 1)[0]
-        if prefix and pending_name is None:
-            name = prefix.decode("utf-8", errors="strict") + "/" + name
         if pending_name is not None:
             name = pending_name
         elif "path" in global_pax:
             name = global_pax["path"]
-        if pending_size is not None:
-            size = pending_size
+        else:
+            name = name_b.decode("utf-8", errors="strict")
+            # ustar prefix field (155 bytes at 345) joins with '/'
+            # — POSIX magic+version ONLY: GNU headers ('ustar  ')
+            # keep atime/ctime at that offset (review r10 pass 4)
+            if hdr[257:263] == b"ustar\0" and hdr[263:265] == b"00":
+                prefix = hdr[345:500].split(b"\0", 1)[0]
+                if prefix:
+                    name = (
+                        prefix.decode("utf-8", errors="strict")
+                        + "/" + name
+                    )
+        over = pending_size
+        if over is None and "size" in global_pax:
+            try:
+                over = int(global_pax["size"])
+            except ValueError as exc:
+                raise ValueError("bad pax size record") from exc
+        if over is not None:
+            size = over
             data_end = pos + 512 + size
             if data_end > len(d):
                 raise ValueError(

@@ -26,6 +26,7 @@ import re
 __all__ = [
     "robots_rules",
     "robots_allowed",
+    "robots_group",
     "make_robots",
     "sitemap_urls",
     "make_sitemap",
@@ -154,12 +155,15 @@ def _winning_token(groups: list[dict], agent: str) -> str | None:
     return "*" if star_seen else None
 
 
-def _select_group(groups: list[dict], agent: str) -> dict | None:
+def robots_group(rules: dict, agent: str) -> dict | None:
     """Merged rule view for the selected agent — RFC 9309 §2.2.1:
     ALL groups carrying the winning token combine (review r10 — a
     wild-world robots.txt frequently lists the same agent in
-    several groups). Allocates; the per-URL hot path
-    (:func:`robots_allowed`) iterates the groups directly instead."""
+    several groups). The prepared-view API: use it once per host for
+    crawl_delay and rule inspection; the per-URL hot path
+    (:func:`robots_allowed`) iterates the groups directly and never
+    allocates."""
+    groups = rules["groups"]
     want = _winning_token(groups, agent)
     if want is None:
         return None

@@ -512,3 +512,57 @@ def test_tar_base256_size():
     payload = bytes(hdr) + b"\0" * 3072 + b"\0" * 1024
     walked = tar_entries(payload)
     assert walked[0]["size"] == 3000
+
+
+def test_tar_multibyte_truncated_name_field(tmp_path):
+    """Review r10 pass 4: when a long-name mechanism overrides the
+    100-byte field, a byte-truncated multibyte name there must not
+    be strict-decoded."""
+    name = "x" + "é" * 60  # 121 UTF-8 bytes; nb[:100] splits an é
+    for mech in ("gnu", "pax"):
+        payload = make_tar([(name, b"data")], longnames=mech)
+        walked = tar_entries(payload)
+        assert [e["name"] for e in walked] == [name], mech
+        assert walked[0]["size"] == 4
+
+
+def test_tar_gnu_long_linkname_not_an_entry():
+    """Review r10 pass 4: typeflag-K metadata must not leak as a
+    phantom entry."""
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w",
+                      format=tarfile.GNU_FORMAT) as t:
+        ti = tarfile.TarInfo("link")
+        ti.type = tarfile.SYMTYPE
+        ti.linkname = "t/" * 70 + "target"
+        t.addfile(ti)
+    walked = tar_entries(buf.getvalue())
+    assert [e["name"] for e in walked] == ["link"]
+    assert walked[0]["typeflag"] == "2"
+    assert tar_meta(buf.getvalue())["n_entries"] == 1
+
+
+def test_tar_gnu_L_then_K_keeps_long_name():
+    """L-then-K ordering: the K header must not reset the pending
+    long name."""
+    long_name = "n/" * 60 + "leaf"
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w",
+                      format=tarfile.GNU_FORMAT) as t:
+        ti = tarfile.TarInfo(long_name)
+        ti.type = tarfile.SYMTYPE
+        ti.linkname = "t/" * 70 + "target"
+        t.addfile(ti)
+    walked = tar_entries(buf.getvalue())
+    assert [e["name"] for e in walked] == [long_name]
+
+
+def test_zip64_int64_overflow_rejected():
+    """Review r10 pass 4: a 2^64-1 declared size fails closed with
+    ValueError, never an Arrow cast crash."""
+    payload = bytearray(make_zip([("a", b"xy")], zip64=True))
+    # the CD zip64 extra: find its 0x0001 header after the name 'a'
+    idx = payload.rfind(struct.pack("<HH", 1, 24))
+    struct.pack_into("<Q", payload, idx + 4, 0xFFFFFFFFFFFFFFFF)
+    with pytest.raises(ValueError, match="int64"):
+        zip_entries(bytes(payload))

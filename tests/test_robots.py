@@ -217,3 +217,17 @@ def test_rule_and_payload_caps():
         )
     with pytest.raises(ValueError, match="payload cap"):
         robots_rules(b"#" + b"c" * (1 << 21))
+
+
+def test_robots_group_merged_view():
+    """Review r10 pass 4: the prepared merged view is the public
+    per-host API (crawl_delay lookup + rule inspection)."""
+    from bergloom_spark.operators.robots import robots_group
+
+    raw = (b"User-agent: bot\nDisallow: /x\nCrawl-delay: 2.5\n\n"
+           b"User-agent: bot\nDisallow: /z\nAllow: /z/ok\n")
+    g = robots_group(robots_rules(raw), "bot/1.0")
+    assert g["disallow"] == ["/x", "/z"]
+    assert g["allow"] == ["/z/ok"]
+    assert g["crawl_delay"] == 2.5
+    assert robots_group(robots_rules(raw), "other") is None
