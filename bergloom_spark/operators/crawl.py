@@ -33,6 +33,7 @@ __all__ = [
     "crawl_text_pipeline",
     "crawl_site_stats",
     "crawl_link_graph",
+    "pages_to_wet",
 ]
 
 
@@ -100,6 +101,45 @@ def crawl_link_graph(
     ).filter(F.col("dst_site") != "")
     return edges.groupBy("src_site", "dst_site").agg(
         F.count("*").alias("n_links")
+    )
+
+
+def pages_to_wet(pages: DataFrame) -> DataFrame:
+    """The SINK side: re-pack cleaned pages as WET-style archives —
+    one ``conversion``-record WARC per Arrow batch, ``(n_records,
+    payload)`` rows ready for a binary sink. This is how a cleaned
+    corpus ships back out in the shape downstream crawlers expect:
+    each partition writes its own archives independently (no
+    shuffle, no driver collection — the write stays as parallel as
+    the read). Deterministic record ids derive from the page URLs,
+    so re-running the export is idempotent byte-for-byte."""
+
+    def kernel(batches):
+        import pandas as pd
+
+        from bergloom_spark.operators.warc import make_warc
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pd.DataFrame(
+                    {"n_records": pd.Series([], dtype="int64"),
+                     "payload": pd.Series([], dtype=object)}
+                )
+                continue
+            specs = [
+                {"url": url, "text": text, "conversion": True}
+                for url, text in zip(pdf["url"], pdf["text"])
+            ]
+            payload = make_warc(
+                specs, warcinfo=True,
+                seed="wet:" + specs[0]["url"],
+            )
+            yield pd.DataFrame(
+                {"n_records": [len(specs)], "payload": [payload]}
+            )
+
+    return pages.select("url", "text").mapInPandas(
+        kernel, "n_records long, payload binary"
     )
 
 

@@ -100,3 +100,26 @@ def test_pipeline_plan_single_shuffle(crawl_df):
     assert final.count("Exchange") <= 1, final
     assert "MapInPandas" in final
     assert "*(" in final  # the column battery is codegen'd
+
+
+def test_pages_to_wet_roundtrip(crawl_df):
+    """Sink side: cleaned pages re-pack as WET conversion archives
+    that parse back to exactly the pages that went in."""
+    from bergloom_spark.operators.crawl import pages_to_wet
+    from bergloom_spark.operators.warc import parse_warc
+
+    # multiset: the fixture's URLs collide across docs by design
+    pages_in = sorted(
+        (r.url, r.text) for r in crawl_df.collect()
+    )
+    archives = pages_to_wet(crawl_df).collect()
+    assert archives
+    pages_out = []
+    for a in archives:
+        recs = parse_warc(bytes(a.payload))
+        body = [r for r in recs if r["record_type"] == "conversion"]
+        assert len(body) == a.n_records
+        pages_out.extend(
+            (r["target_uri"], r["payload_text"]) for r in body
+        )
+    assert sorted(pages_out) == pages_in
