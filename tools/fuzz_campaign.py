@@ -367,9 +367,50 @@ def _seeds_csv():
     ]
 
 
+def _seeds_triage():
+    import numpy as np
+
+    from bergloom_spark.operators.archive import make_zip, make_zstd_frame
+    from bergloom_spark.operators.avcodec import (
+        encode_y4m,
+        make_adts_stream,
+        make_mp3_stream,
+    )
+    from bergloom_spark.operators.isobmff import make_mp4_stream
+    from bergloom_spark.operators.pdfmeta import make_pdf
+    from bergloom_spark.operators.pngcodec import encode_png
+    from bergloom_spark.operators.triage import corpus_triage
+
+    def never_raises(payload: bytes):
+        # triage contract is stronger than the family parsers':
+        # ANY bytes → dict (unknown/error rows), NEVER an exception.
+        # A leaked ValueError must NOT ride the harness's
+        # rejection-path amnesty — convert it to a finding.
+        try:
+            out = corpus_triage(payload)
+        except ValueError as exc:
+            raise RuntimeError(
+                f"triage leaked ValueError: {exc}"
+            ) from exc
+        assert isinstance(out, dict)
+        return out
+
+    return never_raises, [
+        encode_png(np.zeros((6, 5, 3), np.uint8)),
+        make_adts_stream(4),
+        make_mp3_stream([128, 128]),
+        encode_y4m(np.zeros((2, 6, 4), np.uint8)),
+        make_mp4_stream(32, 24, 10, 8),
+        make_zip([("a", b"xy")]),
+        make_zstd_frame(300),
+        make_pdf(2),
+    ]
+
+
 TARGETS = {
     "ogg": _seeds_ogg,
     "warc": _seeds_warc,
+    "triage": _seeds_triage,
     "archive": _seeds_archive,
     "pdf": _seeds_pdf,
     "mime": _seeds_mime,
