@@ -874,11 +874,14 @@ def archive_meta(payload: bytes) -> dict:
     """ANY archive container → uniform triage
     ``{container, n_entries, total_uncompressed}`` — the bundle twin
     of :func:`bergloom_spark.operators.avcodec.audio_meta`'s
-    dispatch. ZIP by EOCD/local magic, gzip by RFC 1952 magic, TAR
-    by the ustar magic at offset 257. Unknown magic raises
-    ValueError."""
+    dispatch. ZIP by its full 4-byte signatures (APPNOTE 4.3.6 —
+    local PK\\x03\\x04, empty-archive EOCD PK\\x05\\x06, spanning
+    marker PK\\x07\\x08; ADVICE r10: bare ``PK`` misrouted a TAR
+    whose first entry name starts with 'PK', e.g. 'PKG/readme.txt'),
+    gzip by RFC 1952 magic, TAR by the ustar magic at offset 257.
+    Unknown magic raises ValueError."""
     d = payload
-    if d[:2] == b"PK":
+    if d[:4] in (b"PK\x03\x04", b"PK\x05\x06", b"PK\x07\x08"):
         m = zip_meta(d)
         return {
             "container": "zip",

@@ -111,13 +111,18 @@ def pages_to_wet(pages: DataFrame) -> DataFrame:
     corpus ships back out in the shape downstream crawlers expect:
     each partition writes its own archives independently (no
     shuffle, no driver collection — the write stays as parallel as
-    the read). Deterministic record ids derive from the page URLs,
-    so re-running the export is idempotent byte-for-byte."""
+    the read). Each record id derives solely from its OWN page's
+    url + content hash (ADVICE r10: a batch-level seed made ids
+    collide across batches sharing a first URL and vary with
+    partitioning), and the warcinfo id is a constant — so a record's
+    bytes are identical however the export is partitioned."""
 
     def kernel(batches):
+        import hashlib
+
         import pandas as pd
 
-        from bergloom_spark.operators.warc import make_warc
+        from bergloom_spark.operators.warc import _record_uuid, make_warc
 
         for pdf in batches:
             if len(pdf) == 0:
@@ -127,13 +132,18 @@ def pages_to_wet(pages: DataFrame) -> DataFrame:
                 )
                 continue
             specs = [
-                {"url": url, "text": text, "conversion": True}
+                {
+                    "url": url,
+                    "text": text,
+                    "conversion": True,
+                    "record_id": _record_uuid(
+                        "wet:" + url + ":"
+                        + hashlib.sha1(text.encode()).hexdigest()
+                    ),
+                }
                 for url, text in zip(pdf["url"], pdf["text"])
             ]
-            payload = make_warc(
-                specs, warcinfo=True,
-                seed="wet:" + specs[0]["url"],
-            )
+            payload = make_warc(specs, warcinfo=True, seed="wet-export")
             yield pd.DataFrame(
                 {"n_records": [len(specs)], "payload": [payload]}
             )

@@ -119,19 +119,48 @@ def robots_rules(payload: bytes) -> dict:
 
 
 @functools.lru_cache(maxsize=4096)
-def _rule_regex(rule: str) -> re.Pattern:
-    """RFC 9309 §2.2.3 path pattern → anchored regex: ``*`` matches
-    any run, ``$`` at the end anchors, everything else is literal.
-    lru-cached: the per-URL hot loop must not recompile (review r10
-    — a fleet's distinct-rule count can exceed re's own 512-entry
-    cache; 4096 bounds memory while covering any real host set a
-    single executor sees)."""
+def _rule_parts(rule: str) -> tuple[bool, tuple[str, ...]]:
+    """RFC 9309 §2.2.3 path pattern, pre-split for the linear glob
+    matcher: ``*`` matches any run, ``$`` at the very end anchors,
+    everything else is literal. ADVICE r10 (high): the previous
+    regex translation ('*' → '.*') backtracked exponentially on
+    rules like ``/a*a*a*…b`` — within the 4096-char rule cap an
+    adversarial robots.txt could hang the per-URL hot path >10 s.
+    Splitting on '*' and greedy-scanning literal segments with
+    ``str.find`` is O(len(rule)·len(path)) worst case with C-level
+    inner loops — sub-ms even on the adversarial corpus the fuzz
+    campaign now replays. lru-cached: the per-URL hot loop must not
+    re-split (rule strings are capped at _MAX_RULE_LEN, so cached
+    entries are bounded)."""
     anchored = rule.endswith("$")
     body = rule[:-1] if anchored else rule
-    pat = "".join(
-        ".*" if ch == "*" else re.escape(ch) for ch in body
-    )
-    return re.compile("^" + pat + ("$" if anchored else ""))
+    # str.split('*') keeps empty segments for '**' runs; empty
+    # middle segments cost one no-op find and preserve positions.
+    return anchored, tuple(body.split("*"))
+
+
+def _rule_match(rule: str, path: str) -> bool:
+    """Linear-time RFC 9309 pattern match (no regex, no
+    backtracking): the path must start with the first literal
+    segment; each middle segment is located greedily left-to-right
+    (greedy leftmost placement is complete for pure-'*' wildcards);
+    an anchored pattern additionally requires the final segment to
+    sit flush at the end of the path."""
+    anchored, segs = _rule_parts(rule)
+    if len(segs) == 1:  # no '*' at all
+        return path == segs[0] if anchored else path.startswith(segs[0])
+    if not path.startswith(segs[0]):
+        return False
+    pos = len(segs[0])
+    for seg in segs[1:-1]:
+        idx = path.find(seg, pos)
+        if idx < 0:
+            return False
+        pos = idx + len(seg)
+    last = segs[-1]
+    if anchored:
+        return len(path) - len(last) >= pos and path.endswith(last)
+    return path.find(last, pos) >= 0
 
 
 def _winning_token(groups: list[dict], agent: str) -> str | None:
@@ -195,7 +224,7 @@ def robots_allowed(rules: dict, agent: str, path: str) -> bool:
         for allow_flag, rule_list in ((True, g["allow"]),
                                       (False, g["disallow"])):
             for rule in rule_list:
-                if _rule_regex(rule).match(path):
+                if _rule_match(rule, path):
                     ln = len(rule)
                     if ln > best_len or (
                         ln == best_len and allow_flag

@@ -114,7 +114,12 @@ def corpus_triage(payload: bytes) -> dict:
         if d[:9] == b"YUV4MPEG2":
             fill(**_video(d))
             return out
-        if d[:2] == b"PK" or d[:2] == b"\x1f\x8b" or (
+        if d[:4] in (
+            # full ZIP signatures (APPNOTE 4.3.6) — ADVICE r10: a
+            # bare b"PK" prefix misrouted TARs whose first entry
+            # name starts with 'PK'
+            b"PK\x03\x04", b"PK\x05\x06", b"PK\x07\x08",
+        ) or d[:2] == b"\x1f\x8b" or (
             d[257:262] == b"ustar"
         ) or d[:4] == b"\x28\xb5\x2f\xfd" or (
             len(d) >= 4

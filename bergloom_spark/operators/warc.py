@@ -146,7 +146,13 @@ def make_warc(
         url = page["url"]
         body = page["text"].encode()
         date = page.get("date", "2025-01-01T00:00:00Z")
-        rid = _record_uuid(f"{seed}:{i}:{url}")
+        # A spec may pin its own record id (ADVICE r10: the WET sink
+        # derives ids solely from each page's own url+content so
+        # re-exports are stable under any partitioning); the default
+        # remains the batch-seeded sequence for fixture archives.
+        rid = page.get("record_id") or _record_uuid(
+            f"{seed}:{i}:{url}"
+        )
         if page.get("conversion"):
             records.append(
                 make_warc_record(

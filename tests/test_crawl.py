@@ -123,3 +123,32 @@ def test_pages_to_wet_roundtrip(crawl_df):
             (r["target_uri"], r["payload_text"]) for r in body
         )
     assert sorted(pages_out) == pages_in
+
+
+def test_wet_record_ids_partition_invariant(crawl_df):
+    """ADVICE r10 (low): record ids were seeded from the batch's
+    FIRST url, so ids collided across batches sharing a first URL
+    and varied with partitioning. Now each conversion record's id
+    derives solely from its own (url, content-hash): the same page
+    gets the same id however the export is partitioned, and
+    distinct pages never collide."""
+    from bergloom_spark.operators.crawl import pages_to_wet
+    from bergloom_spark.operators.warc import parse_warc
+
+    def ids_by_page(df):
+        out = {}
+        for a in pages_to_wet(df).collect():
+            for r in parse_warc(bytes(a.payload)):
+                if r["record_type"] != "conversion":
+                    continue
+                key = (r["target_uri"], r["payload_text"])
+                out.setdefault(key, set()).add(r["record_id"])
+        return out
+
+    one = ids_by_page(crawl_df.coalesce(1))
+    many = ids_by_page(crawl_df.repartition(7))
+    assert one == many
+    # every page maps to exactly one id; distinct pages → distinct ids
+    assert all(len(v) == 1 for v in one.values())
+    flat = [next(iter(v)) for v in one.values()]
+    assert len(set(flat)) == len(flat)

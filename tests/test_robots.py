@@ -61,6 +61,65 @@ def test_wildcards_and_anchors():
     assert robots_allowed(r, "b", "/searching") is True
 
 
+def test_adversarial_star_rules_are_linear_time():
+    """ADVICE r10 (high): '*'→'.*' under backtracking ``re`` hung
+    >10 s on ``/a*a*…*b`` vs a ~300-char path. The iterative glob
+    matcher must stay sub-millisecond on the same corpus — and
+    still produce RFC-correct verdicts."""
+    import time
+
+    from bergloom_spark.operators.robots import _rule_match
+
+    adversarial = [
+        "/" + "a*" * 200 + "b",          # the reported hang
+        "/" + "*a" * 500,                 # star-led repetition
+        "/" + "a*" * 1000 + "$",          # anchored variant (as /a*…a*
+        "*" * 2000 + "x",                 # star run collapse
+    ]
+    path_hit = "/" + "a" * 300
+    path_miss = "/" + "c" * 300
+    t0 = time.perf_counter()
+    for rule in adversarial:
+        r = _rules({"agents": ["*"], "disallow": [rule]})
+        for path in (path_hit, path_miss):
+            robots_allowed(r, "anybot", path)
+    assert time.perf_counter() - t0 < 0.5
+    # verdict correctness on the same shapes
+    assert _rule_match("/" + "a*" * 3 + "b", "/aaab") is True
+    assert _rule_match("/" + "a*" * 3 + "b", "/aab") is False  # needs 3 a's
+    assert _rule_match("/*a" * 1, "/xxa") is True
+    assert _rule_match("/a*" * 1 + "$", "/axxx") is True
+    assert _rule_match("/a*b$", "/a--b-") is False
+
+
+def test_glob_matcher_matches_regex_reference():
+    """Property pin: the linear matcher agrees with a (safe,
+    bounded) regex translation on a randomized rule/path grid."""
+    import random
+    import re as _re
+
+    rng = random.Random(911)
+    alphabet = "ab/."
+    for _ in range(4000):
+        rule = "".join(
+            rng.choice(alphabet + "*") for _ in range(rng.randint(0, 10))
+        )
+        if rng.random() < 0.3:
+            rule += "$"
+        path = "".join(
+            rng.choice(alphabet) for _ in range(rng.randint(0, 12))
+        )
+        anchored = rule.endswith("$")
+        body = rule[:-1] if anchored else rule
+        pat = "".join(".*" if c == "*" else _re.escape(c) for c in body)
+        want = bool(
+            _re.match("^" + pat + ("$" if anchored else ""), path)
+        )
+        from bergloom_spark.operators.robots import _rule_match
+
+        assert _rule_match(rule, path) == want, (rule, path)
+
+
 def test_agent_specificity():
     r = _rules(
         {"agents": ["*"], "disallow": ["/all/"]},

@@ -128,3 +128,32 @@ def test_triage_batch_spark_seam(spark, sf_dir):
         r = got[i]
         assert r.error is None, (name, r)
         assert (r.kind, r.container, r.n_items) == want[:3], name
+
+
+def test_tar_with_pk_prefixed_first_name_routes_to_tar():
+    """ADVICE r10 (medium): bare ``d[:2] == b'PK'`` misrouted a TAR
+    whose first entry name starts with 'PK' into the ZIP parser
+    (error row 'no ZIP end-of-central-directory record'). The full
+    4-byte APPNOTE signatures disambiguate; both archive_meta and
+    corpus_triage must agree."""
+    from bergloom_spark.operators.archive import (
+        archive_meta,
+        make_tar,
+        make_zip,
+    )
+    from bergloom_spark.operators.triage import corpus_triage
+
+    t = make_tar([("PKG/readme.txt", b"hello world"),
+                  ("PK-notes.md", b"x" * 600)])
+    assert archive_meta(t) == {
+        "container": "tar", "n_entries": 2,
+        "total_uncompressed": 611,
+    }
+    tr = corpus_triage(t)
+    assert (tr["kind"], tr["container"], tr["n_items"],
+            tr["error"]) == ("archive", "tar", 2, None)
+    # ZIPs — including the empty archive, which starts at the EOCD
+    # record (PK\x05\x06) — still route to the ZIP parser.
+    for z in (make_zip([("a.txt", b"xy")]), make_zip([])):
+        assert archive_meta(z)["container"] == "zip"
+        assert corpus_triage(z)["container"] == "zip"

@@ -334,10 +334,23 @@ def _seeds_robots():
         sitemap_urls,
     )
 
+    from bergloom_spark.operators.robots import robots_allowed
+
+    # ADVICE r10 (high): the campaign never exercised the per-URL
+    # hot path, so the '*'→'.*' ReDoS survived 1100 tests. Every
+    # successfully-parsed mutant now also drives robots_allowed
+    # against a fixed adversarial path battery — a slow (or
+    # crashing) matcher becomes a finding, not a latent hang.
+    _PATHS = ("/", "/a" * 150, "/" + "a" * 300,
+              "/a/ok/x.pdf", "/%2F..", "/?" + "&x=1" * 40)
+
     def parse_either(payload: bytes):
         if payload[:5] == b"<?xml" or b"<urlset" in payload[:64]:
             return sitemap_urls(payload)
-        return robots_rules(payload)
+        rules = robots_rules(payload)
+        for p in _PATHS:
+            robots_allowed(rules, "fuzzbot", p)
+        return rules
 
     return parse_either, [
         make_robots(
@@ -345,6 +358,11 @@ def _seeds_robots():
               "allow": ["/a/ok/"], "crawl_delay": 1.5},
              {"agents": ["bot", "crawler"], "disallow": ["/b"]}],
             sitemaps=("https://e.org/s.xml",),
+        ),
+        make_robots(
+            [{"agents": ["*"],
+              "disallow": ["/" + "a*" * 64 + "b", "/" + "*a" * 64],
+              "allow": ["/" + "a*" * 64 + "b$"]}],
         ),
         make_sitemap(
             [{"loc": "https://e.org/a", "lastmod": "2025-01-01",
