@@ -33,7 +33,9 @@ Spec points implemented (public ISO 28500 text):
 
 from __future__ import annotations
 
+import codecs
 import hashlib
+import re
 import zlib
 
 from pyspark.sql import DataFrame
@@ -144,7 +146,10 @@ def make_warc(
         )
     for i, page in enumerate(pages):
         url = page["url"]
-        body = page["text"].encode()
+        # "encoding" writes a legacy-charset body (charset-decode
+        # fixtures); content_type should carry the matching
+        # "; charset=" parameter when the fixture declares it.
+        body = page["text"].encode(page.get("encoding", "utf-8"))
         date = page.get("date", "2025-01-01T00:00:00Z")
         # A spec may pin its own record id (ADVICE r10: the WET sink
         # derives ids solely from each page's own url+content so
@@ -243,6 +248,71 @@ def split_gzip_members(
         members.append(b"".join(parts))
         pos = mpos
     return members
+
+
+# charset= parameter of a Content-Type header value (RFC 9110
+# §8.3.2) and the HTML <meta charset=…> / <meta http-equiv
+# content="…; charset=…"> declarations (WHATWG encoding sniffing,
+# first 4096 bytes participate — both meta shapes reduce to the same
+# charset= scan over ASCII-compatible prefixes).
+_CHARSET_PARAM_RE = re.compile(
+    r"charset\s*=\s*\"?\s*([A-Za-z0-9_.:\-]+)", re.I
+)
+_META_CHARSET_RE = re.compile(
+    rb"<meta[^>]{0,200}?charset\s*=\s*[\"']?\s*([A-Za-z0-9_.:\-]+)",
+    re.I,
+)
+
+
+def _declared_charset(body: bytes, http_ctype: str | None) -> str | None:
+    """The page's declared charset: HTTP ``Content-Type; charset=``
+    parameter first (authoritative per RFC 9110), else an HTML
+    ``<meta charset>`` sniff over the first 4 KiB."""
+    if http_ctype:
+        m = _CHARSET_PARAM_RE.search(http_ctype)
+        if m:
+            return m.group(1)
+    m = _META_CHARSET_RE.search(body[:4096])
+    if m:
+        return m.group(1).decode("latin-1")
+    return None
+
+
+def _decode_page(body: bytes, http_ctype: str | None):
+    """Charset-aware page decode (verdict r10 missing #2 — strict
+    UTF-8-or-drop silently lost the ~5-15% legacy-charset share of
+    a real crawl) → ``(text, charset, decode_ok)``.
+
+    Order: strict UTF-8 first, THEN the declared charset. Strict
+    multi-byte UTF-8 validity is a near-certain identity signal,
+    while single-byte legacy codecs (cp1251, latin-1, …) decode ANY
+    bytes "successfully" — declared-first would mojibake the very
+    common true-UTF-8-page-with-stale-charset-header case, whereas
+    utf-8-first recovers legacy pages identically and never
+    misroutes valid UTF-8. ``charset`` reports the encoding actually
+    used on success, or the declared-but-failed name (lowercased) so
+    the residue is measurable as data instead of a silent drop."""
+    try:
+        return body.decode("utf-8"), "utf-8", True
+    except UnicodeDecodeError:
+        pass
+    declared = _declared_charset(body, http_ctype)
+    if declared is None:
+        return None, None, False
+    try:
+        codec = codecs.lookup(declared)
+    except LookupError:
+        return None, declared.lower(), False
+    # bytes↔bytes / str↔str transform codecs (a hostile
+    # charset="base64"/"zlib"/"rot13") are not charsets: they can
+    # raise arbitrary errors (zlib.error) or return non-str.
+    if not getattr(codec, "_is_text_encoding", False):
+        return None, codec.name, False
+    try:
+        text = codec.decode(body)[0]
+    except (UnicodeDecodeError, ValueError, TypeError):
+        return None, codec.name, False
+    return text, codec.name, True
 
 
 def _parse_http_block(block: bytes):
@@ -373,10 +443,7 @@ def parse_warc(
             "application/http"
         ):
             http_status, http_ctype, body = _parse_http_block(block)
-        try:
-            text = body.decode("utf-8")
-        except UnicodeDecodeError:
-            text = None
+        text, charset, decode_ok = _decode_page(body, http_ctype)
         if text is not None and max_text_bytes is not None:
             text = text[:max_text_bytes]
         records.append(
@@ -392,6 +459,8 @@ def parse_warc(
                 "http_content_type": http_ctype,
                 "payload_len": len(body),
                 "payload_text": text,
+                "charset": charset,
+                "decode_ok": decode_ok,
             }
         )
     return records
@@ -405,7 +474,7 @@ _RECORD_SCHEMA = (
     "target_uri string, warc_date string, content_type string, "
     "content_length long, http_status int, "
     "http_content_type string, payload_len long, "
-    "payload_text string"
+    "payload_text string, charset string, decode_ok boolean"
 )
 
 
@@ -446,6 +515,8 @@ def warc_records(
                             r["http_content_type"],
                             r["payload_len"],
                             r["payload_text"],
+                            r["charset"],
+                            r["decode_ok"],
                         )
                     )
             yield pd.DataFrame(
@@ -455,7 +526,7 @@ def warc_records(
                     "target_uri", "warc_date", "content_type",
                     "content_length", "http_status",
                     "http_content_type", "payload_len",
-                    "payload_text",
+                    "payload_text", "charset", "decode_ok",
                 ],
             )
 

@@ -67,17 +67,120 @@ def test_bad_startxref_offset_rejected():
         pdf_meta(broken)
 
 
-def test_xref_stream_explicitly_gated():
-    """A PDF 1.5 xref *stream* (startxref points at an object, not
-    an xref keyword) gets the specific unsupported error, never a
-    wrong answer."""
+def test_startxref_at_non_xref_object_rejected():
+    """startxref pointing at an ordinary object (not /Type /XRef,
+    not an xref table) is a structural error, never a wrong
+    answer."""
     p = make_pdf(1)
-    # point startxref at object 1 instead of the xref table
     sx = p.rfind(b"startxref")
     hdr_len = len(b"%PDF-1.7\n") + 6
     broken = p[:sx] + b"startxref\n%d\n%%%%EOF\n" % hdr_len
-    with pytest.raises(ValueError, match="cross-reference stream"):
+    with pytest.raises(ValueError, match="not /Type /XRef"):
         pdf_meta(broken)
+
+
+class TestXrefStreams:
+    """PDF 1.5+ cross-reference streams + object streams (round 11,
+    verdict r10 missing #3): the modern layout must parse to the
+    same answers the classic layout gives for identical content."""
+
+    def test_matrix_matches_classic(self):
+        import itertools
+
+        for n, title, enc, retitle, objstm, pred in itertools.product(
+            (0, 1, 5), ("Ti tle", None), (False, True),
+            ("Re(ti)tled", None), (False, True), (False, True),
+        ):
+            classic = pdf_meta(make_pdf(
+                n, title=title, encrypted=enc,
+                incremental_retitle=retitle))
+            modern = pdf_meta(make_pdf(
+                n, title=title, encrypted=enc,
+                incremental_retitle=retitle, xref_stream=True,
+                objstm=objstm, predictor=pred))
+            # /Size legitimately differs (the xref stream and the
+            # /ObjStm container are themselves objects); everything
+            # content-derived must agree.
+            for k in ("version", "n_pages", "encrypted", "title",
+                      "n_updates"):
+                assert modern[k] == classic[k], (
+                    k, n, title, enc, retitle, objstm, pred)
+
+    def test_object_counts(self):
+        base = pdf_meta(make_pdf(3, title="t"))["n_objects"]
+        plain = pdf_meta(make_pdf(3, title="t", xref_stream=True))
+        packed = pdf_meta(make_pdf(3, title="t", xref_stream=True,
+                                   objstm=True))
+        assert plain["n_objects"] == base + 1  # + the xref stream
+        assert packed["n_objects"] == base + 2  # + /ObjStm container
+
+    def test_predictor_row_decode(self):
+        """PNG-Up-predicted xref rows reconstruct exactly."""
+        a = pdf_meta(make_pdf(7, title="p", xref_stream=True,
+                              predictor=False))
+        b = pdf_meta(make_pdf(7, title="p", xref_stream=True,
+                              predictor=True))
+        assert a == b
+
+    def test_index_subsections(self):
+        """The incremental update writes a second xref stream with
+        an explicit /Index — both sections must merge newest-first."""
+        m = pdf_meta(make_pdf(2, title="old",
+                              incremental_retitle="new",
+                              xref_stream=True, objstm=True))
+        assert m["title"] == "new" and m["n_updates"] == 1
+
+    def test_truncated_stream_rejected(self):
+        p = make_pdf(3, xref_stream=True)
+        with pytest.raises(ValueError):
+            pdf_meta(p[: len(p) // 2] + p[p.rfind(b"startxref"):])
+
+    def test_flate_bomb_bounded(self):
+        """A crafted /Length lying about a huge inflate must hit the
+        absolute budget, not allocate unboundedly."""
+        import zlib as _z
+
+        from bergloom_spark.operators.pdfmeta import (
+            _MAX_STREAM_INFLATE,
+        )
+
+        comp = _z.compress(b"\x00" * (_MAX_STREAM_INFLATE + 1024))
+        body = (
+            b"1 0 obj\n<< /Type /XRef /Size 2 /W [1 4 2] "
+            b"/Root 1 0 R /Filter /FlateDecode /Length %d >>\n"
+            b"stream\n" % len(comp) + comp + b"\nendstream\nendobj\n"
+        )
+        pdf = b"%PDF-1.5\n" + body + b"startxref\n9\n%%EOF\n"
+        with pytest.raises(ValueError):
+            pdf_meta(pdf)
+
+    def test_hybrid_xrefstm(self):
+        """A classic trailer carrying /XRefStm (hybrid-reference
+        file, §7.5.8.4) consults the supplementary stream for
+        entries the classic table lacks."""
+        # build: modern file, then graft a classic table that lists
+        # ONLY the xref-stream object, with /XRefStm pointing at the
+        # real stream — pdf_meta must still resolve the catalog.
+        p = make_pdf(2, title="h", xref_stream=True, objstm=True)
+        ref = pdf_meta(p)
+        sx = p.rfind(b"startxref")
+        stream_off = int(p[sx:].split(b"\n")[1])
+        out = bytearray(p)
+        classic_off = len(out)
+        # a real hybrid trailer duplicates /Size /Root /Info for
+        # legacy readers and adds /XRefStm for conforming ones
+        # (/Info is object 7 here: catalog 1, pages 2, 2×(content,
+        # page) = 3-6, info 7)
+        out += (
+            b"xref\n0 1\n0000000000 65535 f \n"
+            b"trailer\n<< /Size %d /Root 1 0 R /Info 7 0 R "
+            b"/XRefStm %d >>\n"
+            b"startxref\n%d\n%%%%EOF\n"
+            % (ref["n_objects"] + 1, stream_off, classic_off)
+        )
+        m = pdf_meta(bytes(out))
+        assert m["n_pages"] == 2 and m["title"] == "h"
+        assert m["n_objects"] == ref["n_objects"]
 
 
 def test_truncated_xref_rejected():

@@ -222,3 +222,86 @@ def test_warc_records_spark_seam(spark, sf_dir):
                 f"doc {i} rec {j} " + "y" * ((i + j) % 23)
             )
             assert r.payload_len == len(r.payload_text.encode())
+
+
+class TestCharsetDecode:
+    """Charset-aware page decode (verdict r10 missing #2): legacy-
+    charset pages — ~5-15% of a real crawl — must decode via the
+    declared charset instead of silently dropping, with the residue
+    measurable through (charset, decode_ok)."""
+
+    def _one(self, text, encoding=None, content_type="text/html"):
+        page = {"url": "https://e.org/x", "text": text,
+                "content_type": content_type}
+        if encoding:
+            page["encoding"] = encoding
+        recs = parse_warc(make_warc([page], seed="cs"))
+        return [r for r in recs if r["record_type"] == "response"][0]
+
+    def test_http_charset_param(self):
+        r = self._one("Привет мир", "cp1251",
+                      "text/html; charset=windows-1251")
+        assert (r["payload_text"], r["charset"], r["decode_ok"]) == (
+            "Привет мир", "cp1251", True)
+
+    def test_meta_charset_sniff(self):
+        html = ("<html><head><meta charset=koi8-r></head>"
+                "<body>мир</body></html>")
+        r = self._one(html, "koi8_r")
+        assert r["charset"] == "koi8-r" and r["decode_ok"]
+        assert "мир" in r["payload_text"]
+
+    def test_meta_http_equiv_form(self):
+        html = ('<html><head><meta http-equiv="Content-Type" '
+                'content="text/html; charset=Shift_JIS"></head>'
+                "<body>こんにちは</body></html>")
+        r = self._one(html, "shift_jis")
+        assert r["charset"] == "shift_jis" and r["decode_ok"]
+        assert "こんにちは" in r["payload_text"]
+
+    def test_utf8_wins_over_stale_declaration(self):
+        """A valid-UTF-8 body with a stale cp1251 header must NOT be
+        mojibaked through the declared codec."""
+        r = self._one("Привет utf-8", None,
+                      "text/html; charset=windows-1251")
+        assert (r["payload_text"], r["charset"]) == (
+            "Привет utf-8", "utf-8")
+
+    def test_undeclared_legacy_fails_measurably(self):
+        r = self._one("caf\xe9 \xff", "latin-1")
+        assert (r["payload_text"], r["charset"], r["decode_ok"]) == (
+            None, None, False)
+
+    def test_hostile_transform_codecs_rejected(self):
+        """charset=base64/zlib/rot13 are transform codecs, not
+        charsets — they must fail closed, never raise or emit
+        non-str."""
+        body = "x\xff".encode("latin-1")
+        for cs in ("base64", "zlib", "rot13", "hex", "bz2"):
+            http = make_http_response(
+                body, content_type=f"text/html; charset={cs}")
+            rec = make_warc_record(
+                "response", http, record_id="<urn:uuid:0>",
+                target_uri="u",
+                content_type="application/http; msgtype=response")
+            r = parse_warc(rec)[0]
+            assert r["payload_text"] is None and not r["decode_ok"]
+
+    def test_legacy_page_survives_crawl_pipeline(self, spark):
+        """End-to-end: a cp1251 page flows through
+        crawl_text_pipeline instead of vanishing."""
+        from bergloom_spark.operators.crawl import crawl_text_pipeline
+
+        w = make_warc([
+            {"url": "https://ru.example/a",
+             "text": "<html><body><p>Привет мир</p></body></html>",
+             "encoding": "cp1251",
+             "content_type": "text/html; charset=windows-1251"},
+            {"url": "https://en.example/b",
+             "text": "<html><body><p>plain page</p></body></html>"},
+        ], seed="cs-pipe")
+        df = spark.createDataFrame(
+            [(1, w)], "doc_id long, payload binary")
+        rows = {r.url: r.text for r in crawl_text_pipeline(df).collect()}
+        assert any("Привет мир" in t for t in rows.values()), rows
+        assert len(rows) == 2

@@ -306,6 +306,13 @@ def _seeds_pdf():
         make_pdf(2, title="enc", encrypted=True),
         make_pdf(4, title="old", incremental_retitle="new"),
         make_pdf(1, title=b"\xfe\xff" + "タイトル".encode("utf-16-be")),
+        # r11: the modern layouts — xref streams, predictor rows,
+        # object streams, incremental second stream
+        make_pdf(3, title="xs", xref_stream=True),
+        make_pdf(2, title="xsp", xref_stream=True, objstm=True,
+                 predictor=True),
+        make_pdf(1, title="a", incremental_retitle="b",
+                 xref_stream=True, objstm=True),
     ]
 
 
