@@ -8055,6 +8055,440 @@ _EXT_ORACLES["source_unigram_kl"] = _LM.source_unigram_kl_sql("documents")
 
 
 # ---------------------------------------------------------------------------
+# round 11: crawl-ingest driver rows (verdict r10 next-round #1 — the
+# round-10 layer was built, fuzz-pinned, and seam-tested but never
+# oracle-proven; these registrations work straight down the committed
+# SURVEY.md checklist). Every recipe below replays a seam test's exact
+# arithmetic so the oracle is integer/printf-exact.
+# ---------------------------------------------------------------------------
+
+# The parquet-footer oracle introspects the SAME files the Spark side
+# reads; the driver compares at sf0.01, driver_sim propagates its
+# SF_DIR here so both engines always enumerate one directory.
+_ORACLE_SF_DIR = os.environ.get(
+    "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"
+)
+
+
+def q_parquet_column_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet footer introspection (operators/parquetmeta.py): one
+    row per (file, row group, column chunk) over the REAL testdata
+    files — the raw material of every lake-health report, and the
+    easiest oracle in the repo: DuckDB's ``parquet_metadata()`` is an
+    independent footer reader over the same bytes. Map-only: paths
+    fan out, footers (never data pages) are read executor-side."""
+    import glob as _glob
+
+    from bergloom_spark.operators.parquetmeta import (
+        parquet_column_chunks,
+    )
+
+    paths = sorted(_glob.glob(f"{sf_dir}/*.parquet"))
+    return parquet_column_chunks(spark, paths)
+
+
+_EXT_ORACLES["parquet_column_chunks"] = f"""
+    SELECT file_name, row_group_id::BIGINT AS row_group_id,
+           column_id::BIGINT AS column_id, path_in_schema,
+           num_values::BIGINT AS num_values, compression,
+           total_compressed_size::BIGINT AS total_compressed_size,
+           total_uncompressed_size::BIGINT AS total_uncompressed_size,
+           stats_null_count::BIGINT AS null_count,
+           NULL::VARCHAR AS error
+    FROM parquet_metadata('{_ORACLE_SF_DIR}/*.parquet')
+"""
+
+
+# JSON recipe shared verbatim by both engines: three shapes cycling
+# per doc — the "id" key deliberately drifts int → string, the exact
+# schema-drift signal json_key_profile exists to surface.
+_JSON_DOC_SPARK = None  # built lazily inside the query
+
+
+def _json_doc_sql(id_expr: str = "doc_id") -> str:
+    return f"""CASE {id_expr} % 3
+      WHEN 0 THEN '{{"id": ' || {id_expr}
+        || ', "tags": ["a"], "name": "doc ' || {id_expr} || '"}}'
+      WHEN 1 THEN '{{"id": ' || {id_expr}
+        || ', "meta": {{"x": 1}}, "score": 0.5}}'
+      ELSE '{{"id": "' || {id_expr}
+        || '", "flag": true, "extra": null}}' END"""
+
+
+def q_json_key_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL schema-drift profile (operators/jsonprofile.py): depth-1
+    ``(path, type, n_docs)`` over a recipe corpus whose "id" key
+    drifts int → string across docs. Oracle: DuckDB
+    ``unnest(json_keys(...))`` + ``json_type`` over the SAME
+    recipe strings (jsonprofile.json_key_profile_oracle_sql)."""
+    from bergloom_spark.operators.jsonprofile import json_key_profile
+
+    d = TS(spark, sf_dir, "documents").select(
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.format_string(
+                '{"id": %d, "tags": ["a"], "name": "doc %d"}',
+                "doc_id", "doc_id",
+            ),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.format_string(
+                '{"id": %d, "meta": {"x": 1}, "score": 0.5}', "doc_id"
+            ),
+        )
+        .otherwise(
+            F.format_string(
+                '{"id": "%d", "flag": true, "extra": null}', "doc_id"
+            )
+        )
+        .alias("payload")
+    )
+    return json_key_profile(d, "payload")
+
+
+def _json_key_profile_oracle() -> str:
+    from bergloom_spark.operators.jsonprofile import (
+        json_key_profile_oracle_sql,
+    )
+
+    return json_key_profile_oracle_sql(
+        f"(SELECT {_json_doc_sql()} AS j0 FROM documents)", "j0"
+    )
+
+
+_EXT_ORACLES["json_key_profile"] = _json_key_profile_oracle()
+
+
+def q_csv_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV dialect sniff (operators/csvmeta.py csv_meta) over a
+    recipe grid: delimiter cycles , ; tab |, header present on even
+    docs, quote-all every 3rd, a ragged short row every 7th — the
+    sniffed dialect fields are pure recipe arithmetic the oracle
+    replays (delimiter choice, header heuristic, ragged per-mille)."""
+    import pandas as pd
+
+    from bergloom_spark.operators.csvmeta import csv_meta, make_csv
+
+    d = TS(spark, sf_dir, "documents").select("doc_id")
+
+    out_schema = (
+        "doc_id long, delimiter string, quote string, "
+        "has_header boolean, n_cols long, n_rows_sampled long, "
+        "ragged_frac_milli long"
+    )
+
+    def kernel(it):
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                n_cols = 2 + i % 3
+                n_data = 3 + i % 5
+                data = [
+                    [str(r)] + [f"v{r} {c}" for c in range(1, n_cols)]
+                    for r in range(n_data)
+                ]
+                header = (
+                    [f"h{c}" for c in range(n_cols)]
+                    if i % 2 == 0 else None
+                )
+                payload = make_csv(
+                    data,
+                    delimiter=(",", ";", "\t", "|")[i % 4],
+                    header=header,
+                    quote_all=i % 3 == 0,
+                    crlf=i % 5 == 0,
+                )
+                if i % 7 == 0:
+                    payload += b"odd\n"
+                m = csv_meta(payload)
+                rows.append(
+                    (i, m["delimiter"], m["quote"], m["has_header"],
+                     m["n_cols"], m["n_rows_sampled"],
+                     m["ragged_frac_milli"])
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "delimiter", "quote", "has_header",
+                         "n_cols", "n_rows_sampled",
+                         "ragged_frac_milli"],
+            )
+
+    return d.mapInPandas(kernel, out_schema)
+
+
+_EXT_ORACLES["csv_meta"] = """
+    WITH cfg AS (
+      SELECT doc_id,
+             CASE doc_id % 4 WHEN 0 THEN ',' WHEN 1 THEN ';'
+                  WHEN 2 THEN chr(9) ELSE '|' END AS delimiter,
+             2 + doc_id % 3 AS n_cols,
+             3 + doc_id % 5 AS n_data,
+             doc_id % 2 = 0 AS has_header,
+             doc_id % 7 = 0 AS ragged
+      FROM documents),
+    rowed AS (
+      SELECT *,
+        (n_data + CASE WHEN has_header THEN 1 ELSE 0 END
+                + CASE WHEN ragged THEN 1 ELSE 0 END) AS n_recs
+      FROM cfg)
+    SELECT doc_id, delimiter, '"' AS quote, has_header,
+           n_cols::BIGINT AS n_cols,
+           n_recs::BIGINT AS n_rows_sampled,
+           (CASE WHEN ragged THEN 1000 // n_recs
+                 ELSE 0 END)::BIGINT AS ragged_frac_milli
+    FROM rowed
+"""
+
+
+# warcinfo block make_warc always writes (payload_text of row 0)
+_WARCINFO_TEXT = (
+    "software: bergloom-spark\r\nformat: WARC File Format 1.1\r\n"
+)
+
+
+def q_warc_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC record explosion (operators/warc.py warc_records — ISO
+    28500): per doc a multi-record archive (gzip-per-record on odd
+    docs, the Common Crawl .warc.gz layout) explodes into one row
+    per record. Every 5th doc's first page is a cp1251 body with a
+    declared charset — the round-11 charset-aware decode at the
+    oracle seam. Fields are printf recipes; payload_len counts
+    BYTES under the page's encoding."""
+    import pandas as pd
+
+    from bergloom_spark.operators.warc import make_warc, warc_records
+
+    d = TS(spark, sf_dir, "documents").select("doc_id")
+
+    def make_payloads(it):
+        for pdf in it:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                pages = []
+                for j in range(1 + i % 3):
+                    if i % 5 == 0 and j == 0:
+                        pages.append(
+                            {
+                                "url": f"https://host{i % 9}.example/{i}/{j}",
+                                "text": f"Привет {i}",
+                                "encoding": "cp1251",
+                                "content_type":
+                                    "text/html; charset=windows-1251",
+                                "status": 200,
+                            }
+                        )
+                    else:
+                        pages.append(
+                            {
+                                "url": f"https://host{i % 9}.example/{i}/{j}",
+                                "text": (
+                                    f"doc {i} rec {j} "
+                                    + "y" * ((i + j) % 23)
+                                ),
+                                "status": (200, 404, 200)[j % 3],
+                            }
+                        )
+                payloads.append(
+                    make_warc(
+                        pages, gzip_records=i % 2 == 1, seed=f"r11:{i}"
+                    )
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    recs = warc_records(
+        d.mapInPandas(make_payloads, _PAYLOAD_STAGE_SCHEMA)
+    )
+    return recs.select(
+        "doc_id", "rec_index", "record_type", "target_uri",
+        "http_status", "http_content_type", "payload_len",
+        "payload_text", "charset", "decode_ok",
+    )
+
+
+_EXT_ORACLES["warc_records"] = f"""
+    WITH info AS (
+      SELECT doc_id, 0 AS rec_index, 'warcinfo' AS record_type,
+             NULL::VARCHAR AS target_uri, NULL::INT AS http_status,
+             NULL::VARCHAR AS http_content_type,
+             {len(_WARCINFO_TEXT.encode())}::BIGINT AS payload_len,
+             '{_WARCINFO_TEXT}' AS payload_text,
+             'utf-8' AS charset, true AS decode_ok
+      FROM documents),
+    pages AS (
+      SELECT doc_id, j.range AS j
+      FROM documents, range(0, 3) j
+      WHERE j.range < 1 + doc_id % 3),
+    resp AS (
+      SELECT doc_id, (1 + j)::INT AS rec_index,
+             'response' AS record_type,
+             'https://host' || (doc_id % 9) || '.example/'
+               || doc_id || '/' || j AS target_uri,
+             (CASE j % 3 WHEN 1 THEN 404 ELSE 200 END)::INT
+               AS http_status,
+             CASE WHEN doc_id % 5 = 0 AND j = 0
+                  THEN 'text/html; charset=windows-1251'
+                  ELSE 'text/html' END AS http_content_type,
+             (CASE WHEN doc_id % 5 = 0 AND j = 0
+                   THEN 7 + length(doc_id::VARCHAR)
+                   ELSE length('doc ' || doc_id || ' rec ' || j || ' ')
+                        + (doc_id + j) % 23
+              END)::BIGINT AS payload_len,
+             CASE WHEN doc_id % 5 = 0 AND j = 0
+                  THEN 'Привет ' || doc_id
+                  ELSE 'doc ' || doc_id || ' rec ' || j || ' '
+                       || repeat('y', ((doc_id + j) % 23)::INT)
+             END AS payload_text,
+             CASE WHEN doc_id % 5 = 0 AND j = 0 THEN 'cp1251'
+                  ELSE 'utf-8' END AS charset,
+             true AS decode_ok
+      FROM pages)
+    SELECT * FROM info UNION ALL SELECT * FROM resp
+"""
+
+
+def q_archive_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Archive entry explosion (operators/archive.py archive_entries
+    — APPNOTE ZIP central directory / ustar TAR headers): per doc a
+    deflated ZIP (odd) or ustar TAR (even) with a recipe entry list;
+    names/sizes replay exactly, archive bytes never shuffle."""
+    import pandas as pd
+
+    from bergloom_spark.operators.archive import (
+        archive_entries,
+        make_tar,
+        make_zip,
+    )
+
+    d = TS(spark, sf_dir, "documents").select("doc_id")
+
+    def make_payloads(it):
+        for pdf in it:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                entries = [
+                    (f"f{i}_{j}.txt",
+                     bytes([j % 256]) * ((i + j) % 97))
+                    for j in range(1 + i % 4)
+                ]
+                payloads.append(
+                    make_zip(entries, method=8) if i % 2
+                    else make_tar(entries)
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    return archive_entries(
+        d.mapInPandas(make_payloads, _PAYLOAD_STAGE_SCHEMA)
+    )
+
+
+_EXT_ORACLES["archive_entries"] = """
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 1 THEN 'zip' ELSE 'tar' END
+             AS container,
+           j.range::INT AS entry_index,
+           'f' || doc_id || '_' || j.range || '.txt' AS name,
+           ((doc_id + j.range) % 97)::BIGINT AS size,
+           false AS is_dir
+    FROM documents, range(0, 4) j
+    WHERE j.range < 1 + doc_id % 4
+"""
+
+
+def q_archive_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unified archive triage (operators/archive.py archive_meta):
+    container cycles ZIP / TAR-whose-first-name-starts-with-'PK'
+    (the ADVICE r10 sniff regression, now pinned at the oracle seam)
+    / multi-member gzip / multi-frame zstd; counts and uncompressed
+    totals are recipe arithmetic. zstd totals are real
+    Frame_Content_Size sums; every 11th doc omits FCS and reports an
+    honest NULL."""
+    import pandas as pd
+
+    from bergloom_spark.operators.archive import (
+        archive_meta,
+        make_gzip,
+        make_tar,
+        make_zip,
+        make_zstd_frame,
+    )
+
+    d = TS(spark, sf_dir, "documents").select("doc_id")
+
+    out_schema = (
+        "doc_id long, container string, n_entries long, "
+        "total_uncompressed long"
+    )
+
+    def kernel(it):
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                k = i % 4
+                if k == 0:
+                    p = make_zip(
+                        [(f"a{i}.txt", b"x" * (i % 50)),
+                         (f"b{i}.bin", b"y" * (i % 31))],
+                        method=8,
+                    )
+                elif k == 1:
+                    p = make_tar(
+                        [(f"PKG/r{i}.txt", b"z" * (i % 71))]
+                    )
+                elif k == 2:
+                    p = make_gzip(
+                        b"g" * (i % 100), name=f"g{i}.txt"
+                    ) + make_gzip(b"h" * ((i * 3) % 53))
+                else:
+                    if i % 11 == 0:
+                        p = make_zstd_frame(None)
+                    else:
+                        p = (
+                            make_zstd_frame(i % 300, n_blocks=1 + i % 3)
+                            + make_zstd_frame((i * 7) % 200)
+                        )
+                m = archive_meta(p)
+                rows.append(
+                    (i, m["container"], m["n_entries"],
+                     m["total_uncompressed"])
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "container", "n_entries",
+                         "total_uncompressed"],
+            )
+
+    return d.mapInPandas(kernel, out_schema)
+
+
+_EXT_ORACLES["archive_meta"] = """
+    SELECT doc_id,
+           CASE doc_id % 4 WHEN 0 THEN 'zip' WHEN 1 THEN 'tar'
+                WHEN 2 THEN 'gzip' ELSE 'zstd' END AS container,
+           (CASE doc_id % 4
+              WHEN 0 THEN 2 WHEN 1 THEN 1 WHEN 2 THEN 2
+              ELSE CASE WHEN doc_id % 11 = 0 THEN 1 ELSE 2 END
+            END)::BIGINT AS n_entries,
+           (CASE doc_id % 4
+              WHEN 0 THEN doc_id % 50 + doc_id % 31
+              WHEN 1 THEN doc_id % 71
+              WHEN 2 THEN doc_id % 100 + (doc_id * 3) % 53
+              ELSE CASE WHEN doc_id % 11 = 0 THEN NULL
+                        ELSE doc_id % 300 + (doc_id * 7) % 200 END
+            END)::BIGINT AS total_uncompressed
+    FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
 def entry(spark: SparkSession) -> DataFrame:
@@ -8373,6 +8807,13 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_name_features": q_part_name_features,
         "custkey_intersect": q_custkey_intersect,
         "custkey_except": q_custkey_except,
+        # round 11: crawl-ingest layer (SURVEY.md r11 checklist)
+        "parquet_column_chunks": q_parquet_column_chunks,
+        "json_key_profile": q_json_key_profile,
+        "csv_meta": q_csv_meta,
+        "warc_records": q_warc_records,
+        "archive_entries": q_archive_entries,
+        "archive_meta": q_archive_meta,
     }
 
 

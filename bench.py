@@ -333,8 +333,7 @@ def main() -> None:
                 / anchor["cpu_calibration_parallel_sec"],
                 3,
             )
-    print(
-        json.dumps(
+    full_record = (
             {
                 "metric": "headline_queries_total_runtime",
                 "value": total,
@@ -427,8 +426,23 @@ def main() -> None:
                     "neither & uniform → bisect"
                 ),
             }
-        )
     )
+    print(json.dumps(full_record))
+    # Persist the FULL record — per-query best AND median maps — to a
+    # committed file (verdict r10 missing #5: four drift episodes in
+    # five rounds had to be adjudicated from aggregates because the
+    # driver's BENCH_rN.json keeps only the compact last stdout line;
+    # the ±5% decision rule is per-query, so the per-query values must
+    # survive the round). The driver's own bench run refreshes this
+    # file and the end-of-round auto-commit lands it in git.
+    try:
+        here = os.path.dirname(os.path.abspath(__file__))
+        with open(os.path.join(here, "BENCH_full_latest.json"),
+                  "w") as fh:
+            json.dump(full_record, fh, indent=1, sort_keys=True)
+            fh.write("\n")
+    except OSError:
+        pass  # a read-only checkout must not fail the bench
     # Compact totals-only record as the VERY LAST stdout line (verdict
     # r7 #1): the driver keeps a finite tail of stdout, and the full
     # line above (24 best + 24 median entries + protocol prose) can be

@@ -119,8 +119,13 @@ def json_key_profile_oracle_sql(
     via ``unnest(json_keys(...))``, DuckDB's type names mapped onto
     the canonical set. (No ``json_tree`` in this build — depth-1 is
     the registerable contract.)"""
+    # json_type on a COLUMN document returns SQL NULL for a JSON
+    # null value (the literal-argument path returns the string
+    # 'NULL' — r11 driver registration caught the divergence); keys
+    # here come from json_keys, so the key always exists and NULL
+    # unambiguously means the JSON null type.
     type_map = (
-        "CASE json_type(j, '$.' || key) "
+        "CASE coalesce(json_type(j, '$.' || key), 'NULL') "
         "WHEN 'OBJECT' THEN 'object' "
         "WHEN 'ARRAY' THEN 'array' "
         "WHEN 'VARCHAR' THEN 'string' "
