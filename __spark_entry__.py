@@ -8488,6 +8488,380 @@ _EXT_ORACLES["archive_meta"] = """
 """
 
 
+def q_mbox_messages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mbox/EML explosion (operators/mime.py mbox_messages — RFC
+    4155/5322/2045/2047): per doc an mboxo container of 1+i%3
+    messages cycling 7bit/quoted-printable/base64 transfer encodings
+    and multipart/alternative bodies, with RFC 2047 encoded-word
+    subjects every 3rd doc. Decoded fields are printf recipes — a
+    QP table, base64 padding, boundary walk, or encoded-word bug
+    breaks the hash."""
+    import pandas as pd
+
+    from bergloom_spark.operators.mime import (
+        make_eml,
+        make_mbox,
+        mbox_messages,
+    )
+
+    d = TS(spark, sf_dir, "documents").select("doc_id")
+
+    def make_payloads(it):
+        for pdf in it:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                msgs = []
+                for j in range(1 + i % 3):
+                    enc = i % 3 == 0
+                    msgs.append(
+                        make_eml(
+                            subject=(
+                                f"Тема {i} {j}" if enc
+                                else f"subject {i} {j}"
+                            ),
+                            body_text=f"body {i} {j}\nline2",
+                            from_addr=f"user{j}@ex{i % 5}.org",
+                            message_id=f"<m{i}-{j}@ex.org>",
+                            html=(
+                                f"<p>alt {j}</p>"
+                                if (i + j) % 2 == 0 else None
+                            ),
+                            cte=("7bit", "quoted-printable",
+                                 "base64")[j % 3],
+                            encode_subject=enc,
+                        )
+                    )
+                payloads.append(
+                    make_mbox(msgs, envelope_from=f"env{i}@ex.org")
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    msgs = mbox_messages(
+        d.mapInPandas(make_payloads, _PAYLOAD_STAGE_SCHEMA)
+    )
+    return msgs.select(
+        "doc_id", "msg_index", "envelope_from", "from_addr",
+        "subject", "message_id", "content_type", "n_parts",
+        "text", "html",
+    )
+
+
+_EXT_ORACLES["mbox_messages"] = """
+    SELECT d.doc_id, j.range::INT AS msg_index,
+           'env' || d.doc_id || '@ex.org' AS envelope_from,
+           'user' || j.range || '@ex' || (d.doc_id % 5) || '.org'
+             AS from_addr,
+           CASE WHEN d.doc_id % 3 = 0
+                THEN 'Тема ' || d.doc_id || ' ' || j.range
+                ELSE 'subject ' || d.doc_id || ' ' || j.range END
+             AS subject,
+           '<m' || d.doc_id || '-' || j.range || '@ex.org>'
+             AS message_id,
+           CASE WHEN (d.doc_id + j.range) % 2 = 0
+                THEN 'multipart/alternative'
+                ELSE 'text/plain' END AS content_type,
+           (CASE WHEN (d.doc_id + j.range) % 2 = 0
+                 THEN 2 ELSE 1 END)::INT AS n_parts,
+           'body ' || d.doc_id || ' ' || j.range || chr(10)
+             || 'line2' AS text,
+           CASE WHEN (d.doc_id + j.range) % 2 = 0
+                THEN '<p>alt ' || j.range || '</p>'
+                ELSE NULL END AS html
+    FROM documents d, range(0, 3) j
+    WHERE j.range < 1 + d.doc_id % 3
+"""
+
+
+def q_pdf_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PDF triage (operators/pdfmeta.py pdf_meta) cycling CLASSIC
+    and STREAM cross-references (verdict r10 #4 done-criterion):
+    odd docs write PDF 1.5 xref streams, every 4th-mod-3 doc packs
+    the catalog/info into an /ObjStm, every 8th adds the PNG-Up
+    predictor, every 4th-mod-1 appends an incremental update —
+    /Size (n_objects) arithmetic legitimately differs per layout
+    and the oracle replays it exactly."""
+    import pandas as pd
+
+    from bergloom_spark.operators.pdfmeta import make_pdf, pdf_meta
+
+    d = TS(spark, sf_dir, "documents").select("doc_id")
+
+    out_schema = (
+        "doc_id long, n_pages long, n_objects long, "
+        "encrypted boolean, title string, n_updates long"
+    )
+
+    def kernel(it):
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                p = make_pdf(
+                    i % 12,
+                    title=f"report {i}" if i % 3 else None,
+                    encrypted=i % 5 == 0,
+                    incremental_retitle=(
+                        f"retitled {i}" if i % 4 == 1 else None
+                    ),
+                    xref_stream=i % 2 == 1,
+                    objstm=i % 4 == 3,
+                    predictor=i % 8 == 7,
+                )
+                m = pdf_meta(p)
+                rows.append(
+                    (i, m["n_pages"], m["n_objects"], m["encrypted"],
+                     m["title"], m["n_updates"])
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "n_pages", "n_objects",
+                         "encrypted", "title", "n_updates"],
+            )
+
+    return d.mapInPandas(kernel, out_schema)
+
+
+_EXT_ORACLES["pdf_meta"] = """
+    SELECT doc_id,
+           (doc_id % 12)::BIGINT AS n_pages,
+           (2 + 2 * (doc_id % 12)
+            + CASE WHEN doc_id % 3 <> 0 THEN 1 ELSE 0 END  -- /Info
+            + CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END   -- /Encrypt
+            + CASE WHEN doc_id % 4 = 1 THEN 1 ELSE 0 END   -- retitle
+            + CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END   -- xref stream obj
+            + CASE WHEN doc_id % 4 = 3 THEN 1 ELSE 0 END   -- /ObjStm container
+            + CASE WHEN doc_id % 4 = 1 AND doc_id % 2 = 1
+                   THEN 1 ELSE 0 END  -- 2nd xref stream obj
+           )::BIGINT AS n_objects,
+           doc_id % 5 = 0 AS encrypted,
+           CASE WHEN doc_id % 5 = 0 THEN NULL
+                WHEN doc_id % 4 = 1 THEN 'retitled ' || doc_id
+                WHEN doc_id % 3 <> 0 THEN 'report ' || doc_id
+                ELSE NULL END AS title,
+           (CASE WHEN doc_id % 4 = 1 THEN 1 ELSE 0 END)::BIGINT
+             AS n_updates
+    FROM documents
+"""
+
+
+def q_robots_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt evaluation battery (operators/robots.py — RFC
+    9309): per doc a recipe policy (prefix + $-anchored + allow
+    longest-match override + an adversarial star-run rule, the
+    ADVICE r10 ReDoS shape, now linear-time) evaluated against a
+    5-path battery. The verdict column is pure recipe logic the
+    oracle replays as CASE arithmetic."""
+    import pandas as pd
+
+    from bergloom_spark.operators.robots import (
+        make_robots,
+        robots_allowed,
+        robots_rules,
+    )
+
+    d = TS(spark, sf_dir, "documents").select("doc_id")
+
+    out_schema = "doc_id long, path string, allowed boolean"
+
+    def kernel(it):
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                rules = robots_rules(
+                    make_robots(
+                        [
+                            {
+                                "agents": ["*"],
+                                "disallow": [
+                                    f"/p{i % 7}/",
+                                    "/*.pdf$",
+                                    "/" + "a*" * 50 + "b",
+                                ],
+                                "allow": [f"/p{i % 7}/ok/"],
+                            }
+                        ]
+                    )
+                )
+                path = (
+                    f"/p{i % 7}/x", f"/p{i % 7}/ok/y", "/doc.pdf",
+                    "/" + "a" * 200, "/free",
+                )[i % 5]
+                rows.append(
+                    (i, path, robots_allowed(rules, "bot", path))
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "path", "allowed"]
+            )
+
+    return d.mapInPandas(kernel, out_schema)
+
+
+_EXT_ORACLES["robots_check"] = """
+    SELECT doc_id,
+           CASE doc_id % 5
+             WHEN 0 THEN '/p' || (doc_id % 7) || '/x'
+             WHEN 1 THEN '/p' || (doc_id % 7) || '/ok/y'
+             WHEN 2 THEN '/doc.pdf'
+             WHEN 3 THEN '/' || repeat('a', 200)
+             ELSE '/free' END AS path,
+           CASE doc_id % 5
+             WHEN 0 THEN false  -- /pX/ prefix disallow
+             WHEN 1 THEN true   -- allow rule is longer
+             WHEN 2 THEN false  -- $-anchored *.pdf
+             WHEN 3 THEN true   -- star rule needs trailing 'b'
+             ELSE true END AS allowed
+    FROM documents
+"""
+
+
+def q_corpus_triage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unified corpus triage (operators/triage.py — verdict r10 #2):
+    ONE kernel dispatching every family sniffer over a mixed payload
+    column cycling image/audio(aac,mp3)/video(y4m,mp4)/archive(zip,
+    PK-named tar)/document(pdf)/web(warc), plus unknown bytes every
+    11th doc and a malformed PDF every 17th — the error-as-data
+    contract at the oracle seam. Every output field is recipe
+    arithmetic."""
+    import pandas as pd
+
+    from bergloom_spark.operators.triage import triage_batch
+
+    d = TS(spark, sf_dir, "documents").select("doc_id")
+
+    def make_payloads(it):
+        import numpy as np
+
+        from bergloom_spark.operators.archive import make_tar, make_zip
+        from bergloom_spark.operators.avcodec import (
+            encode_y4m,
+            make_adts_stream,
+            make_mp3_stream,
+        )
+        from bergloom_spark.operators.isobmff import make_mp4_stream
+        from bergloom_spark.operators.pdfmeta import make_pdf
+        from bergloom_spark.operators.pngcodec import encode_png
+        from bergloom_spark.operators.warc import make_warc
+
+        for pdf in it:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                if i % 11 == 0:
+                    p = b"\x00\x01garbage bytes " + bytes(i % 32)
+                elif i % 17 == 0:
+                    p = b"%PDF-1.7\njunk with no xref\n"
+                else:
+                    k = i % 9
+                    if k == 0:
+                        p = encode_png(
+                            np.zeros(
+                                (2 + i % 5, 3 + i % 4, 3), np.uint8
+                            )
+                        )
+                    elif k == 1:
+                        p = make_adts_stream(
+                            1 + i % 5, sample_rate=48000, channels=2
+                        )
+                    elif k == 2:
+                        p = make_mp3_stream(
+                            [128] * (2 + i % 3), sample_rate=44100
+                        )
+                    elif k == 3:
+                        p = encode_y4m(
+                            np.zeros((1 + i % 4, 6, 4), np.uint8)
+                        )
+                    elif k == 4:
+                        p = make_mp4_stream(
+                            32 + (i % 4) * 16, 24 + (i % 4) * 12,
+                            25, 1 + i % 20,
+                        )
+                    elif k == 5:
+                        p = make_zip(
+                            [(f"e{j}", b"x" * ((i + j) % 40))
+                             for j in range(1 + i % 3)],
+                            method=8,
+                        )
+                    elif k == 6:
+                        p = make_tar(
+                            [(f"PKG/r{i}.txt", b"z" * (i % 71))]
+                        )
+                    elif k == 7:
+                        p = make_pdf(i % 6, xref_stream=i % 2 == 1)
+                    else:
+                        p = make_warc(
+                            [{"url": f"https://s{i % 4}.org/{i}",
+                              "text": f"page {i}"}],
+                            seed=f"tri:{i}",
+                        )
+                payloads.append(p)
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    return triage_batch(
+        d.mapInPandas(make_payloads, _PAYLOAD_STAGE_SCHEMA)
+    )
+
+
+_EXT_ORACLES["corpus_triage"] = """
+    WITH t AS (
+      SELECT doc_id,
+        CASE WHEN doc_id % 11 = 0 THEN 'unknown'
+             WHEN doc_id % 17 = 0 THEN 'error'
+             ELSE ('image,audio,audio,video,video,archive,archive,'
+                   || 'document,web')
+                  .string_split(',')[1 + doc_id % 9]
+        END AS fam
+      FROM documents)
+    SELECT doc_id,
+      CASE WHEN fam IN ('unknown', 'error') THEN 'unknown'
+           ELSE fam END AS kind,
+      CASE WHEN fam IN ('unknown', 'error') THEN NULL
+           ELSE ('png,aac,mp3,y4m,mp4,zip,tar,pdf,warc')
+                .string_split(',')[1 + doc_id % 9] END AS container,
+      (CASE WHEN fam IN ('unknown', 'error') THEN NULL
+        ELSE CASE doc_id % 9
+          WHEN 0 THEN 1
+          WHEN 1 THEN 1
+          WHEN 2 THEN 1
+          WHEN 3 THEN 1 + doc_id % 4
+          WHEN 4 THEN 1 + doc_id % 20
+          WHEN 5 THEN 1 + doc_id % 3
+          WHEN 6 THEN 1
+          WHEN 7 THEN doc_id % 6
+          ELSE 2 END
+       END)::BIGINT AS n_items,
+      (CASE WHEN fam = 'image' THEN 3 + doc_id % 4
+            WHEN fam = 'video' AND doc_id % 9 = 3 THEN 4
+            WHEN fam = 'video' AND doc_id % 9 = 4
+              THEN 32 + (doc_id % 4) * 16
+            ELSE NULL END)::BIGINT AS width,
+      (CASE WHEN fam = 'image' THEN 2 + doc_id % 5
+            WHEN fam = 'video' AND doc_id % 9 = 3 THEN 6
+            WHEN fam = 'video' AND doc_id % 9 = 4
+              THEN 24 + (doc_id % 4) * 12
+            ELSE NULL END)::BIGINT AS height,
+      (CASE WHEN fam = 'audio' AND doc_id % 9 = 1
+              THEN (1 + doc_id % 5)
+                   * (1024 * 1000000 // 48000) // 1000
+            WHEN fam = 'audio' AND doc_id % 9 = 2
+              THEN (2 + doc_id % 3)
+                   * (1152 * 1000000 // 44100) // 1000
+            WHEN fam = 'video' AND doc_id % 9 = 3
+              THEN (1 + doc_id % 4) * 40
+            WHEN fam = 'video' AND doc_id % 9 = 4
+              THEN ((1 + doc_id % 20) * 1000 // 25)
+            ELSE NULL END)::BIGINT AS duration_ms,
+      CASE WHEN fam = 'error' THEN 'missing startxref'
+           ELSE NULL END AS error
+    FROM t
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -8814,6 +9188,10 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_records": q_warc_records,
         "archive_entries": q_archive_entries,
         "archive_meta": q_archive_meta,
+        "mbox_messages": q_mbox_messages,
+        "pdf_meta": q_pdf_meta,
+        "robots_check": q_robots_check,
+        "corpus_triage": q_corpus_triage,
     }
 
 
