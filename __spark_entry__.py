@@ -8862,6 +8862,354 @@ _EXT_ORACLES["corpus_triage"] = """
 """
 
 
+def q_mkv_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matroska/WebM sniff (operators/ebml.py mkv_meta — RFC 8794
+    EBML varints + the public Matroska element IDs): per doc a
+    recipe container cycling mkv/webm doctypes, 100µs/1ms timestamp
+    scales, VP9 geometry, optional Opus audio, and the
+    unknown-segment-size streaming layout every 5th doc. Replays
+    tests/test_seam_r11.py's exact recipe."""
+    import pandas as pd
+
+    from bergloom_spark.operators.ebml import make_mkv_stream, mkv_meta
+
+    d = TS(spark, sf_dir, "documents").select("doc_id")
+
+    out_schema = (
+        "doc_id long, container string, duration_ms long, "
+        "n_tracks long, width long, height long, audio_channels long"
+    )
+
+    def kernel(it):
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                p = make_mkv_stream(
+                    (i % 500) * 20,
+                    webm=i % 2 == 1,
+                    timestamp_scale=(100_000, 1_000_000)[i % 2],
+                    video=("V_VP9", 64 + (i % 4) * 16,
+                           36 + (i % 4) * 9),
+                    audio=(
+                        ("A_OPUS", 48000, 1 + i % 8)
+                        if i % 3 else None
+                    ),
+                    unknown_segment_size=i % 5 == 0,
+                )
+                m = mkv_meta(p)
+                rows.append(
+                    (i, m["container"], m["duration_ms"],
+                     m["n_tracks"], m["width"], m["height"],
+                     m["audio_channels"])
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "container", "duration_ms",
+                         "n_tracks", "width", "height",
+                         "audio_channels"],
+            )
+
+    return d.mapInPandas(kernel, out_schema)
+
+
+_EXT_ORACLES["mkv_meta"] = """
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 1 THEN 'webm' ELSE 'mkv' END
+             AS container,
+           ((doc_id % 500) * 20)::BIGINT AS duration_ms,
+           (CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 2 END)::BIGINT
+             AS n_tracks,
+           (64 + (doc_id % 4) * 16)::BIGINT AS width,
+           (36 + (doc_id % 4) * 9)::BIGINT AS height,
+           (CASE WHEN doc_id % 3 = 0 THEN NULL
+                 ELSE 1 + doc_id % 8 END)::BIGINT AS audio_channels
+    FROM documents
+"""
+
+
+def q_id3v2_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ID3v2 text-frame read (operators/avcodec.py id3v2_tags —
+    the public id3.org spec): tags cycle majors 2.2/2.3/2.4 and all
+    four text encodings (latin-1, UTF-16 BOM, UTF-16BE, UTF-8) in
+    front of a real MP3 frame walk; decoded strings replay exactly.
+    Replays tests/test_seam_r11.py's recipe."""
+    import pandas as pd
+
+    from bergloom_spark.operators.avcodec import (
+        id3v2_tags,
+        make_id3v2,
+        make_mp3_stream,
+    )
+
+    d = TS(spark, sf_dir, "documents").select("doc_id")
+
+    out_schema = (
+        "doc_id long, version string, title string, artist string, "
+        "album string"
+    )
+
+    def kernel(it):
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                tag = make_id3v2(
+                    title=f"title {i}",
+                    artist=f"artist {i % 7}" if i % 3 else None,
+                    album=f"album {i % 5}",
+                    major=(2, 3, 4)[i % 3],
+                    encoding=(0, 1, 2, 3)[i % 4],
+                    padding=i % 17,
+                )
+                p = tag + make_mp3_stream(
+                    [128] * (1 + i % 3), sample_rate=44100
+                )
+                m = id3v2_tags(p)
+                rows.append(
+                    (i, m["version"], m["title"], m["artist"],
+                     m["album"])
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "version", "title", "artist",
+                         "album"],
+            )
+
+    return d.mapInPandas(kernel, out_schema)
+
+
+_EXT_ORACLES["id3v2_tags"] = """
+    SELECT doc_id,
+           '2.' || (CASE doc_id % 3 WHEN 0 THEN 2 WHEN 1 THEN 3
+                    ELSE 4 END) AS version,
+           'title ' || doc_id AS title,
+           CASE WHEN doc_id % 3 = 0 THEN NULL
+                ELSE 'artist ' || (doc_id % 7) END AS artist,
+           'album ' || (doc_id % 5) AS album
+    FROM documents
+"""
+
+
+def q_audio_meta_opus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ogg-Opus triage (operators/oggvorbis.py ogg_meta — RFC 7845):
+    OpusHead channel/pre-skip/input-rate fields plus granule-position
+    duration across multi-page streams; Opus always plays at 48 kHz
+    regardless of the input rate field (the RFC's explicit rule —
+    the i%3==1 docs pin it). Replays the seam recipe."""
+    import pandas as pd
+
+    from bergloom_spark.operators.oggvorbis import (
+        make_ogg_opus_stream,
+        ogg_meta,
+    )
+
+    d = TS(spark, sf_dir, "documents").select("doc_id")
+
+    out_schema = (
+        "doc_id long, codec string, sample_rate long, channels long, "
+        "duration_ms long"
+    )
+
+    def kernel(it):
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                p = make_ogg_opus_stream(
+                    1 + i % 8,
+                    playable_samples=(i % 400) * 480,
+                    pre_skip=312 if i % 2 else 0,
+                    input_sample_rate=(0, 44100, 48000)[i % 3],
+                    n_audio_pages=1 + i % 3,
+                )
+                m = ogg_meta(p)
+                rows.append(
+                    (i, m["codec"], m["sample_rate"], m["channels"],
+                     m["duration_ms"])
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "codec", "sample_rate",
+                         "channels", "duration_ms"],
+            )
+
+    return d.mapInPandas(kernel, out_schema)
+
+
+_EXT_ORACLES["audio_meta_opus"] = """
+    SELECT doc_id, 'opus' AS codec,
+           (CASE doc_id % 3 WHEN 1 THEN 44100
+                 ELSE 48000 END)::BIGINT AS sample_rate,
+           (1 + doc_id % 8)::BIGINT AS channels,
+           (((doc_id % 400) * 480) * 1000 // 48000)::BIGINT
+             AS duration_ms
+    FROM documents
+"""
+
+
+def q_audio_meta_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unified audio dispatch (operators/avcodec.py audio_meta)
+    across the three r10-built routes with no prior driver row:
+    AIFF (80-bit extended-float rate), m4a (ISO-BMFF
+    AudioSampleEntry + mvhd duration), and ADTS-AAC (per-frame floor
+    accumulation, the arithmetic the checklist flags). One row per
+    doc; container cycles i%3."""
+    import pandas as pd
+
+    from bergloom_spark.operators.avcodec import (
+        audio_meta,
+        make_adts_stream,
+        make_aiff,
+    )
+    from bergloom_spark.operators.isobmff import make_mp4_stream
+
+    d = TS(spark, sf_dir, "documents").select("doc_id")
+
+    out_schema = (
+        "doc_id long, container string, sample_rate long, "
+        "channels long, duration_ms long"
+    )
+
+    def kernel(it):
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                k = i % 3
+                if k == 0:
+                    p = make_aiff(
+                        (8000, 22050, 44100, 48000, 96000)[i % 5],
+                        1 + i % 6, 16, (i % 1000) * 7,
+                        audio_bytes=i % 16,
+                    )
+                elif k == 1:
+                    p = make_mp4_stream(
+                        0, 0, (10, 20, 25, 40, 50)[i % 5],
+                        1 + i % 120,
+                        video_track=False, audio_track=True,
+                        audio_rate=(44100, 48000)[i % 2],
+                        audio_channels=1 + i % 7,
+                        version1=i % 4 == 1,
+                    )
+                else:
+                    p = make_adts_stream(
+                        1 + i % 50,
+                        sample_rate=(96000, 48000, 44100, 22050,
+                                     8000)[i % 5],
+                        channels=1 + i % 7,
+                        crc=i % 2 == 0,
+                        blocks_per_frame=1 + i % 4,
+                    )
+                m = audio_meta(p)
+                rows.append(
+                    (i, m["container"], m["sample_rate"],
+                     m["channels"], m["duration_ms"])
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "container", "sample_rate",
+                         "channels", "duration_ms"],
+            )
+
+    return d.mapInPandas(kernel, out_schema)
+
+
+_EXT_ORACLES["audio_meta_sniff"] = """
+    WITH rates AS (
+      SELECT doc_id,
+        CASE doc_id % 5 WHEN 0 THEN 8000 WHEN 1 THEN 22050
+             WHEN 2 THEN 44100 WHEN 3 THEN 48000
+             ELSE 96000 END AS aiff_rate,
+        CASE doc_id % 5 WHEN 0 THEN 10 WHEN 1 THEN 20 WHEN 2 THEN 25
+             WHEN 3 THEN 40 ELSE 50 END AS m4a_fps,
+        CASE doc_id % 5 WHEN 0 THEN 96000 WHEN 1 THEN 48000
+             WHEN 2 THEN 44100 WHEN 3 THEN 22050
+             ELSE 8000 END AS adts_rate
+      FROM documents)
+    SELECT doc_id,
+      CASE doc_id % 3 WHEN 0 THEN 'aiff' WHEN 1 THEN 'm4a'
+           ELSE 'aac' END AS container,
+      (CASE doc_id % 3
+         WHEN 0 THEN aiff_rate
+         WHEN 1 THEN CASE doc_id % 2 WHEN 0 THEN 44100
+                          ELSE 48000 END
+         ELSE adts_rate END)::BIGINT AS sample_rate,
+      (CASE doc_id % 3 WHEN 0 THEN 1 + doc_id % 6
+            ELSE 1 + doc_id % 7 END)::BIGINT AS channels,
+      (CASE doc_id % 3
+         WHEN 0 THEN ((doc_id % 1000) * 7) * 1000 // aiff_rate
+         WHEN 1 THEN (1 + doc_id % 120) * 1000 // m4a_fps
+         ELSE (1 + doc_id % 50)
+              * ((1024 * (1 + doc_id % 4)) * 1000000 // adts_rate)
+              // 1000
+       END)::BIGINT AS duration_ms
+    FROM rates
+"""
+
+
+def q_png_exif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PNG eXIf chunk read (operators/exif.py — PNG 1.5's eXIf
+    carries a raw TIFF IFD; the r10 JPEG/TIFF exif row never
+    exercised the chunk walk + CRC). Orientation cycles the full
+    1..8 range, datetimes are printf recipes."""
+    import pandas as pd
+
+    from bergloom_spark.operators.exif import exif_meta, make_exif_png
+
+    d = TS(spark, sf_dir, "documents").select("doc_id")
+
+    out_schema = (
+        "doc_id long, container string, orientation long, "
+        "datetime string, make string"
+    )
+
+    def kernel(it):
+        import numpy as np
+
+        from bergloom_spark.operators.pngcodec import encode_png
+
+        base = encode_png(
+            (np.arange(4 * 5 * 3, dtype=np.uint8).reshape(4, 5, 3))
+        )
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                p = make_exif_png(
+                    base,
+                    orientation=1 + i % 8,
+                    datetime=(
+                        f"2021:{1 + i % 12:02d}:{1 + i % 28:02d} "
+                        f"{i % 24:02d}:{i % 60:02d}:{i * 3 % 60:02d}"
+                    ),
+                    make=f"cam{i % 6}",
+                )
+                m = exif_meta(p)
+                rows.append(
+                    (i, m["container"], m["orientation"],
+                     m["datetime"], m["make"])
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "container", "orientation",
+                         "datetime", "make"],
+            )
+
+    return d.mapInPandas(kernel, out_schema)
+
+
+_EXT_ORACLES["png_exif"] = """
+    SELECT doc_id, 'png' AS container,
+           (1 + doc_id % 8)::BIGINT AS orientation,
+           printf('2021:%02d:%02d %02d:%02d:%02d',
+                  1 + doc_id % 12, 1 + doc_id % 28, doc_id % 24,
+                  doc_id % 60, (doc_id * 3) % 60) AS datetime,
+           'cam' || (doc_id % 6) AS make
+    FROM documents
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -9192,6 +9540,11 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_meta": q_pdf_meta,
         "robots_check": q_robots_check,
         "corpus_triage": q_corpus_triage,
+        "mkv_meta": q_mkv_meta,
+        "id3v2_tags": q_id3v2_tags,
+        "audio_meta_opus": q_audio_meta_opus,
+        "audio_meta_sniff": q_audio_meta_sniff,
+        "png_exif": q_png_exif,
     }
 
 
