@@ -9211,6 +9211,348 @@ _EXT_ORACLES["png_exif"] = """
 
 
 # ---------------------------------------------------------------------------
+# r11: URL/HTML/hygiene codegen batteries + the crawl pipeline
+# compositions — every Spark function has a DuckDB `_sql` twin built
+# from the SAME pattern constants; both engines build byte-identical
+# recipe inputs and each applies its own implementation.
+# ---------------------------------------------------------------------------
+from bergloom_spark.functions import html as HX  # noqa: E402
+from bergloom_spark.functions import urls as UX  # noqa: E402
+from bergloom_spark.operators import hygiene as HY  # noqa: E402
+
+
+def _url_recipe_spark():
+    i = F.col("doc_id")
+    return (
+        F.when(
+            i % 11 == 0,
+            F.format_string("http://192.168.%d.1:80/x?y=1", i % 4),
+        )
+        .when(
+            i % 7 == 0,
+            F.format_string(
+                "HTTPS://Example%d.COM.:443/A/b?utm_source=t&q=%d#f",
+                i % 3, i,
+            ),
+        )
+        .otherwise(
+            F.format_string(
+                "HTTPS://Sub%d.Example%d.com:443/P%d/item"
+                "?a=%d&fbclid=zz%d#frag",
+                i % 4, i % 3, i % 5, i, i % 7,
+            )
+        )
+    )
+
+
+_URL_RECIPE_SQL = """CASE
+  WHEN doc_id % 11 = 0
+    THEN printf('http://192.168.%d.1:80/x?y=1', doc_id % 4)
+  WHEN doc_id % 7 = 0
+    THEN printf('HTTPS://Example%d.COM.:443/A/b?utm_source=t&q=%d#f',
+                doc_id % 3, doc_id)
+  ELSE printf('HTTPS://Sub%d.Example%d.com:443/P%d/item?a=%d&fbclid=zz%d#frag',
+              doc_id % 4, doc_id % 3, doc_id % 5, doc_id, doc_id % 7)
+  END"""
+
+
+def q_url_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL column battery (functions/urls.py — RFC 3986): scheme/
+    host/path/query extraction, registrable-domain site keys (IPv4
+    literals pass through whole, root-dot FQDNs normalize), and
+    dedup-grade normalization (case, fragment, tracking params,
+    default ports) over messy recipe URLs. Pure codegen regexp
+    chain; the oracle applies the `_sql` twins to the same
+    strings."""
+    d = TS(spark, sf_dir, "documents").select(
+        "doc_id", _url_recipe_spark().alias("u")
+    )
+    return d.select(
+        "doc_id",
+        UX.url_scheme("u").alias("scheme"),
+        UX.url_host("u").alias("host"),
+        UX.url_path("u").alias("path"),
+        UX.url_query("u").alias("query"),
+        UX.url_registrable_domain("u").alias("site"),
+        UX.url_normalize("u").alias("norm"),
+    )
+
+
+_EXT_ORACLES["url_features"] = f"""
+    WITH t AS (SELECT doc_id, {_URL_RECIPE_SQL} AS u FROM documents)
+    SELECT doc_id,
+           {UX.url_scheme_sql('u')} AS scheme,
+           {UX.url_host_sql('u')} AS host,
+           {UX.url_path_sql('u')} AS path,
+           {UX.url_query_sql('u')} AS "query",
+           {UX.url_registrable_domain_sql('u')} AS site,
+           {UX.url_normalize_sql('u')} AS norm
+    FROM t
+"""
+
+
+def _html_recipe_spark():
+    i = F.col("doc_id")
+    meta = F.when(
+        i % 2 == 1,
+        F.format_string(
+            '<meta content="desc %d" name="description">', i % 9
+        ),
+    ).otherwise(
+        F.format_string(
+            '<meta name="description" content="desc %d">', i % 9
+        )
+    )
+    canon = F.when(
+        i % 3 == 0,
+        F.format_string(
+            '<link href="https://c%d.org/p" rel="canonical">', i % 4
+        ),
+    ).otherwise(
+        F.format_string(
+            '<link rel="canonical" href="https://c%d.org/p">', i % 4
+        )
+    )
+    return F.concat(
+        F.format_string(
+            "<html><head><title> Doc  %d &amp; x </title>", i
+        ),
+        meta,
+        canon,
+        F.format_string(
+            '</head><body><a href="/r%d">one</a>'
+            "<a href='https://ext%d.com/q'>two</a></body></html>",
+            i % 3, i % 5,
+        ),
+    )
+
+
+_HTML_RECIPE_SQL = """
+  '<html><head><title> Doc  ' || doc_id || ' &amp; x </title>'
+  || CASE WHEN doc_id % 2 = 1
+       THEN '<meta content="desc ' || (doc_id % 9)
+            || '" name="description">'
+       ELSE '<meta name="description" content="desc '
+            || (doc_id % 9) || '">' END
+  || CASE WHEN doc_id % 3 = 0
+       THEN '<link href="https://c' || (doc_id % 4)
+            || '.org/p" rel="canonical">'
+       ELSE '<link rel="canonical" href="https://c'
+            || (doc_id % 4) || '.org/p">' END
+  || '</head><body><a href="/r' || (doc_id % 3) || '">one</a>'
+  || '<a href=''https://ext' || (doc_id % 5)
+  || '.com/q''>two</a></body></html>'"""
+
+
+def q_html_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML column battery (functions/html.py): title (whitespace
+    collapse), link extraction (double- AND single-quoted hrefs),
+    meta-description and canonical in BOTH attribute orders. Pure
+    codegen; oracle = the `_sql` twins over identical strings."""
+    d = TS(spark, sf_dir, "documents").select(
+        "doc_id", _html_recipe_spark().alias("h")
+    )
+    links = HX.html_links("h")
+    return d.select(
+        "doc_id",
+        HX.html_title("h").alias("title"),
+        links.alias("links"),
+        F.size(links).cast("long").alias("n_links"),
+        HX.html_meta_content("h", "description").alias("meta_desc"),
+        HX.html_canonical("h").alias("canonical"),
+    )
+
+
+_EXT_ORACLES["html_features"] = f"""
+    WITH t AS (SELECT doc_id, {_HTML_RECIPE_SQL} AS h FROM documents)
+    SELECT doc_id,
+           {HX.html_title_sql('h')} AS title,
+           {HX.html_links_sql('h')} AS links,
+           len({HX.html_links_sql('h')})::BIGINT AS n_links,
+           {HX.html_meta_content_sql('h', 'description')} AS meta_desc,
+           {HX.html_canonical_sql('h')} AS canonical
+    FROM t
+"""
+
+
+def _hygiene_recipe_spark():
+    i = F.col("doc_id")
+    nfd = F.when(i % 2 == 0, F.lit("café")).otherwise(
+        F.lit("café")
+    )
+    invis = F.when(i % 5 == 0, F.lit("x​y")).otherwise(F.lit("xy"))
+    moji = F.when(i % 3 == 0, F.lit("bad â€™ mark")).otherwise(
+        F.lit("ok mark")
+    )
+    dup = F.when(i % 4 < 2, F.format_string("doc %d", i)).otherwise(
+        F.lit("tail line")
+    )
+    return F.concat_ws(
+        "\n", F.format_string("doc %d", i), nfd, invis, moji, dup
+    )
+
+
+_HYGIENE_RECIPE_SQL = """
+  'doc ' || doc_id || chr(10)
+  || CASE WHEN doc_id % 2 = 0 THEN 'cafe' || chr(769)
+          ELSE 'caf' || chr(233) END || chr(10)
+  || CASE WHEN doc_id % 5 = 0 THEN 'x' || chr(8203) || 'y'
+          ELSE 'xy' END || chr(10)
+  || CASE WHEN doc_id % 3 = 0
+          THEN 'bad ' || chr(226) || chr(8364) || chr(8482) || ' mark'
+          ELSE 'ok mark' END || chr(10)
+  || CASE WHEN doc_id % 4 < 2 THEN 'doc ' || doc_id
+          ELSE 'tail line' END"""
+
+
+def q_hygiene_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-hygiene battery (operators/hygiene.py): Unicode NFC
+    (combining-sequence composition, Arrow-batched), invisible/bidi
+    stripping, mojibake artifact counting, first-occurrence line
+    dedup, and duplicate-line per-mille — over recipe text carrying
+    NFD sequences, zero-width chars, cp1252-mojibake bigrams, and
+    repeated lines. Oracle = the `_sql` twins (DuckDB's own
+    nfc_normalize) on identical strings."""
+    d = TS(spark, sf_dir, "documents").select(
+        "doc_id", _hygiene_recipe_spark().alias("t")
+    )
+    return d.select(
+        "doc_id",
+        HY.nfc_normalize("t").alias("nfc_text"),
+        HY.strip_invisible("t").alias("no_invisible"),
+        HY.mojibake_count("t").alias("mojibake_n"),
+        HY.dedup_lines("t").alias("deduped"),
+        HY.dup_line_frac_milli("t").alias("dup_milli"),
+    )
+
+
+_EXT_ORACLES["hygiene_normalize"] = f"""
+    WITH t AS (
+      SELECT doc_id, {_HYGIENE_RECIPE_SQL} AS t FROM documents)
+    SELECT doc_id,
+           {HY.nfc_normalize_sql('t')} AS nfc_text,
+           {HY.strip_invisible_sql('t')} AS no_invisible,
+           {HY.mojibake_count_sql('t')} AS mojibake_n,
+           {HY.dedup_lines_sql('t')} AS deduped,
+           {HY.dup_line_frac_milli_sql('t')} AS dup_milli
+    FROM t
+"""
+
+
+def _crawl_recipe_payloads(it):
+    """Shared WARC recipe for the two pipeline rows: 1+i%3 pages per
+    doc; (i+j)%5==0 pages are 404, (i+j)%4==0 pages are image/png —
+    both dropped by the pipeline's keep policy, replayed by the
+    oracle's WHERE clause."""
+    import pandas as pd
+
+    from bergloom_spark.operators.warc import make_warc
+
+    for pdf in it:
+        payloads = []
+        for doc_id in pdf["doc_id"]:
+            i = int(doc_id)
+            pages = []
+            for j in range(1 + i % 3):
+                html = (
+                    f"<html><head><title>Doc {i} page {j}</title>"
+                    f"</head><body><script>var x=1;</script>"
+                    f"<p>body  text {i} {j}</p></body></html>"
+                )
+                pages.append(
+                    {
+                        "url": (
+                            f"https://Sub.site{i % 4}.example:443"
+                            f"/p/{j}?utm_source=x&k={j}"
+                        ),
+                        "text": html,
+                        "status": 404 if (i + j) % 5 == 0 else 200,
+                        "content_type": (
+                            "image/png" if (i + j) % 4 == 0
+                            else "text/html"
+                        ),
+                    }
+                )
+            payloads.append(
+                make_warc(pages, gzip_records=i % 2 == 1,
+                          seed=f"ctp:{i}")
+            )
+        yield pd.DataFrame(
+            {"doc_id": pdf["doc_id"], "payload": payloads}
+        )
+
+
+_CRAWL_KEPT_SQL = """
+    pages AS (
+      SELECT d.doc_id, j.range AS j
+      FROM documents d, range(0, 3) j
+      WHERE j.range < 1 + d.doc_id % 3),
+    kept AS (
+      SELECT doc_id, j,
+        'https://Sub.site' || (doc_id % 4) || '.example:443/p/' || j
+          || '?utm_source=x&k=' || j AS uri,
+        '<html><head><title>Doc ' || doc_id || ' page ' || j
+          || '</title></head><body><script>var x=1;</script>'
+          || '<p>body  text ' || doc_id || ' ' || j
+          || '</p></body></html>' AS html
+      FROM pages
+      WHERE (doc_id + j) % 5 <> 0 AND (doc_id + j) % 4 <> 0)"""
+
+
+def q_crawl_text_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The crawl composition (operators/crawl.py): WARC explosion →
+    HTTP-200/text-html keep policy → URL normalization + site keys +
+    title + markup-stripped text, all in ONE stage after the scan
+    (plan-asserted in tests/test_crawl.py). The oracle rebuilds the
+    kept set and applies the url/html/text `_sql` twins."""
+    from bergloom_spark.operators.crawl import crawl_text_pipeline
+
+    d = TS(spark, sf_dir, "documents").select("doc_id")
+    w = d.mapInPandas(_crawl_recipe_payloads, _PAYLOAD_STAGE_SCHEMA)
+    return crawl_text_pipeline(w)
+
+
+_EXT_ORACLES["crawl_text_pipeline"] = f"""
+    WITH {_CRAWL_KEPT_SQL}
+    SELECT doc_id, (j + 1)::INT AS rec_index,
+           {UX.url_normalize_sql('uri')} AS url,
+           {UX.url_host_sql('uri')} AS host,
+           {UX.url_registrable_domain_sql('uri')} AS site,
+           {HX.html_title_sql('html')} AS title,
+           {TX.strip_markup_sql('html')} AS text,
+           length({TX.strip_markup_sql('html')})::INT AS text_len
+    FROM kept
+"""
+
+
+def q_crawl_site_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-site corpus stats over the pipeline (one partial-agg
+    shuffle on the short site key): page count, distinct normalized
+    URLs, mean cleaned-text length."""
+    from bergloom_spark.operators.crawl import (
+        crawl_site_stats,
+        crawl_text_pipeline,
+    )
+
+    d = TS(spark, sf_dir, "documents").select("doc_id")
+    w = d.mapInPandas(_crawl_recipe_payloads, _PAYLOAD_STAGE_SCHEMA)
+    return crawl_site_stats(crawl_text_pipeline(w))
+
+
+_EXT_ORACLES["crawl_site_stats"] = f"""
+    WITH {_CRAWL_KEPT_SQL}
+    SELECT {UX.url_registrable_domain_sql('uri')} AS site,
+           count(*)::BIGINT AS n_pages,
+           count(DISTINCT {UX.url_normalize_sql('uri')})::BIGINT
+             AS n_urls,
+           avg(length({TX.strip_markup_sql('html')}))
+             AS avg_text_len
+    FROM kept
+    GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
 def entry(spark: SparkSession) -> DataFrame:
@@ -9274,27 +9616,20 @@ def _driver_verified() -> set:
 # most of the window, and even a forgotten entry still rotates in by
 # age within a few rounds — the r3 hand-list failure mode (silent
 # permanent staleness) is structurally gone.
-_CHANGED_THIS_ROUND = [
-    # round 10 window arithmetic (verdict r9 #1-#3): 4 new
-    # registrations (subtitle_cues, subtitle_stats, exif_sniff,
-    # video_meta_mp4) + the 1 changed entry below + 45 of the 48
-    # r6-era stale rows = 50. Verdict #3's done-criterion ("no row's
-    # latest green before r7") is arithmetically unreachable
-    # alongside #1+#2: 48 stale + 4 new + 1 changed = 53 > 50 slots,
-    # so the 3 last-by-registration-order r6 rows slip exactly one
-    # round (part_name_features, custkey_intersect, custkey_except —
-    # the simplest pure-SQL analytics shapes in the registry; they
-    # lead r11's window automatically — the same deliberate,
-    # self-correcting slip the r9 verdict blessed for the
-    # subtitle/EXIF deferral). video_meta_sniff also touches a
-    # changed dispatcher (video_meta gained an MP4 branch APPENDED
-    # after the AVI/Y4M branches), but its registered path is
-    # byte-identical, pinned by unit tests and re-driven hash-equal
-    # locally this round, so it stays on pure staleness.
-    "media_frame_count",  # behavior changed: rejects VP8-only lossy
-    #                       stills (ADVICE r9 — triage must agree
-    #                       with the decoders) and accepts MP4 via
-    #                       the new ftyp dispatch branch
+_CHANGED_THIS_ROUND: list[str] = [
+    # round 11: empty — every r11 code change (robots glob matcher,
+    # archive/triage PK sniff, WET record ids, warc charset decode,
+    # PDF xref/object streams, jsonprofile null-type oracle) lands in
+    # a NEW registration (robots_check, archive_meta, corpus_triage,
+    # warc_records, pdf_meta, json_key_profile), which the staleness
+    # key already ranks first (never-verified = round 0). No
+    # previously-registered row's code path changed: the r10 media
+    # rows call sniffers this round only APPENDED to (audio_meta's
+    # dispatch gained no reordering; video_meta untouched), verified
+    # by the full local sweep. Window arithmetic: 20 new rows + 30
+    # stale slots; the 3 r6-era rows (part_name_features,
+    # custkey_intersect, custkey_except) rank immediately after the
+    # new block and refresh this round as verdict r10 #5 predicted.
 ]
 
 
@@ -9545,6 +9880,11 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_meta_opus": q_audio_meta_opus,
         "audio_meta_sniff": q_audio_meta_sniff,
         "png_exif": q_png_exif,
+        "url_features": q_url_features,
+        "html_features": q_html_features,
+        "hygiene_normalize": q_hygiene_normalize,
+        "crawl_text_pipeline": q_crawl_text_pipeline,
+        "crawl_site_stats": q_crawl_site_stats,
     }
 
 
