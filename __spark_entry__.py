@@ -9552,6 +9552,82 @@ _EXT_ORACLES["crawl_site_stats"] = f"""
 """
 
 
+def _main_content_recipe_spark():
+    i = F.col("doc_id")
+    para2 = F.when(
+        i % 3 == 0,
+        F.format_string(
+            "<p>Second body paragraph for document %d, also long "
+            "enough to be kept as content.</p>", i,
+        ),
+    ).otherwise(F.lit(""))
+    return F.concat(
+        F.format_string(
+            '<html><body><nav><a href="/">Home</a> '
+            '<a href="/s%d">Section link</a> '
+            '<a href="/c">Contact page</a></nav>'
+            "<article><p>Main article text for document %d with "
+            'enough length and one <a href="/ref%d">inline '
+            "reference</a> kept in place.</p>",
+            i % 6, i, i % 4,
+        ),
+        para2,
+        F.format_string(
+            '</article><footer><a href="/tos">Terms of service</a>'
+            ' | <a href="/priv%d">Privacy policy statement</a>'
+            "</footer><script>var x=%d;</script></body></html>",
+            i % 3, i,
+        ),
+    )
+
+
+_MAIN_CONTENT_RECIPE_SQL = """
+  '<html><body><nav><a href="/">Home</a> <a href="/s'
+  || (doc_id % 6) || '">Section link</a> '
+  || '<a href="/c">Contact page</a></nav>'
+  || '<article><p>Main article text for document ' || doc_id
+  || ' with enough length and one <a href="/ref' || (doc_id % 4)
+  || '">inline reference</a> kept in place.</p>'
+  || CASE WHEN doc_id % 3 = 0
+       THEN '<p>Second body paragraph for document ' || doc_id
+            || ', also long enough to be kept as content.</p>'
+       ELSE '' END
+  || '</article><footer><a href="/tos">Terms of service</a> | '
+  || '<a href="/priv' || (doc_id % 3)
+  || '">Privacy policy statement</a></footer>'
+  || '<script>var x=' || doc_id || ';</script></body></html>'"""
+
+
+def q_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate-aware main-content extraction (functions/html.py
+    extract_main_content — round 11, verdict r10 stretch #9): the
+    jusText-style link-density block classifier over recipe pages
+    carrying nav/footer/aside/script boilerplate around 1-2 article
+    paragraphs. One codegen stage (split → transform → filter →
+    array_join HOFs, plan-asserted in tests/test_html.py); oracle =
+    the `_sql` twin over byte-identical strings."""
+    d = TS(spark, sf_dir, "documents").select(
+        "doc_id", _main_content_recipe_spark().alias("h")
+    )
+    mc = HX.extract_main_content("h")
+    return d.select(
+        "doc_id",
+        mc.alias("content"),
+        F.length(mc).cast("long").alias("content_len"),
+    )
+
+
+_EXT_ORACLES["main_content"] = f"""
+    WITH t AS (
+      SELECT doc_id, {_MAIN_CONTENT_RECIPE_SQL} AS h FROM documents)
+    SELECT doc_id,
+           {HX.extract_main_content_sql('h')} AS content,
+           length({HX.extract_main_content_sql('h')})::BIGINT
+             AS content_len
+    FROM t
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -9885,6 +9961,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hygiene_normalize": q_hygiene_normalize,
         "crawl_text_pipeline": q_crawl_text_pipeline,
         "crawl_site_stats": q_crawl_site_stats,
+        "main_content": q_main_content,
     }
 
 

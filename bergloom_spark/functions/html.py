@@ -145,3 +145,123 @@ def html_canonical(col: Column | str) -> Column:
 
 def html_canonical_sql(expr: str) -> str:
     return _first_nonempty_sql(expr, _CANON_PAT, _CANON_PAT_REV)
+
+
+# ---------------------------------------------------------------------------
+# Main-content extraction (round 11, verdict r10 stretch #9): a
+# jusText/Arria-style block classifier — strip_markup de-tags a page;
+# this keeps only the blocks that READ like article text. Public
+# heuristics (Pomikálek's jusText thesis, boilerpipe paper): segment
+# at block-level tags, score each block by text length and LINK
+# DENSITY (boilerplate nav/footer blocks are mostly anchor text),
+# keep the good blocks. Implemented entirely with higher-order
+# functions (split → transform → filter → array_join) so the whole
+# pass is one JVM stage — no shuffle, no Python, and the DuckDB twin
+# mirrors it with list_transform/list_filter.
+# ---------------------------------------------------------------------------
+_BLOCK_SPLIT_PAT = (
+    r"(?i)</?(?:p|div|h[1-6]|li|ul|ol|td|th|tr|table|blockquote|pre|"
+    r"section|article|header|footer|nav|aside|main|figure|br)"
+    r"[^>]*>"
+)
+_ANCHOR_INNER_PAT = r"(?is)<a[^>]*>(.*?)</a>"
+_PRE_STRIP_STEPS = [
+    (r"(?is)<script[^>]*>.*?</script>", " "),
+    (r"(?is)<style[^>]*>.*?</style>", " "),
+    (r"(?s)<!--.*?-->", " "),
+]
+_TAG_PAT = r"<[^>]*>"
+_WS_RUN = r"[ \t\n\r\f]+"
+
+
+def _block_text(b: Column) -> Column:
+    """De-tagged, whitespace-collapsed text of one block."""
+    t = F.regexp_replace(b, _TAG_PAT, " ")
+    return F.trim(F.regexp_replace(t, _WS_RUN, " "))
+
+
+def _block_text_sql(expr: str) -> str:
+    t = f"regexp_replace({expr}, '{_TAG_PAT}', ' ', 'g')"
+    return f"trim(regexp_replace({t}, '{_WS_RUN}', ' ', 'g'))"
+
+
+def extract_main_content(
+    col: Column | str,
+    min_chars: int = 25,
+    max_link_density_milli: int = 330,
+) -> Column:
+    """Article text of a page: blocks with at least ``min_chars`` of
+    de-tagged text whose anchor-text share is at most
+    ``max_link_density_milli`` per mille, joined by newlines. The
+    link-density rule is the load-bearing one — navigation, footers,
+    tag clouds, and related-article boxes are mostly link text and
+    drop out; body paragraphs keep their inline links because the
+    density stays low. Integer per-mille arithmetic so both engines
+    agree exactly."""
+    raw = _c(col)
+    for pat, repl in _PRE_STRIP_STEPS:
+        raw = F.regexp_replace(raw, pat, repl)
+    blocks = F.split(raw, _BLOCK_SPLIT_PAT)
+    scored = F.transform(
+        blocks,
+        lambda b: F.struct(
+            _block_text(b).alias("txt"),
+            F.length(
+                _block_text(
+                    F.array_join(
+                        F.regexp_extract_all(
+                            b, F.lit(_ANCHOR_INNER_PAT), F.lit(1)
+                        ),
+                        " ",
+                    )
+                )
+            ).alias("link_len"),
+        ),
+    )
+    kept = F.filter(
+        scored,
+        lambda s: (F.length(s["txt"]) >= F.lit(min_chars))
+        & (
+            s["link_len"] * F.lit(1000)
+            <= F.lit(max_link_density_milli) * F.length(s["txt"])
+        ),
+    )
+    return F.array_join(
+        F.transform(kept, lambda s: s["txt"]), "\n"
+    )
+
+
+def extract_main_content_sql(
+    expr: str,
+    min_chars: int = 25,
+    max_link_density_milli: int = 330,
+) -> str:
+    """DuckDB twin — same split pattern, same per-block arithmetic,
+    same keep rule, via list higher-order functions."""
+    raw = expr
+    for pat, repl in _PRE_STRIP_STEPS:
+        raw = f"regexp_replace({raw}, '{pat}', '{repl}', 'g')"
+    blocks = f"string_split_regex({raw}, '{_q(_BLOCK_SPLIT_PAT)}')"
+    anchor_join = (
+        f"array_to_string(regexp_extract_all(b, "
+        f"'{_q(_ANCHOR_INNER_PAT)}', 1), ' ')"
+    )
+    # coalesce: regexp_extract_all inside a list lambda yields NULL
+    # (not []) for anchor-free blocks in DuckDB; Spark yields []
+    scored = (
+        f"list_transform({blocks}, b -> struct_pack("
+        f"txt := {_block_text_sql('b')}, "
+        f"link_len := coalesce("
+        f"length({_block_text_sql(anchor_join)}), 0)))"
+    )
+    kept = (
+        f"list_filter({scored}, s -> length(s.txt) >= {min_chars} "
+        f"AND s.link_len * 1000 <= "
+        f"{max_link_density_milli} * length(s.txt))"
+    )
+    # coalesce: DuckDB's array_to_string([]) is NULL; Spark's
+    # array_join([]) is '' — the no-content page must agree
+    return (
+        f"coalesce(array_to_string("
+        f"list_transform({kept}, s -> s.txt), chr(10)), '')"
+    )
