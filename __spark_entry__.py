@@ -9628,6 +9628,66 @@ _EXT_ORACLES["main_content"] = f"""
 """
 
 
+def q_wet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WET export round-trip (operators/crawl.py pages_to_wet — the
+    sink side of crawl ingest): pipeline pages re-pack as
+    conversion-record WARC archives per partition, then the archives
+    parse BACK through the independent reader and the recovered
+    (url, text) rows must equal the kept-page recipe — which is what
+    the oracle computes directly. Record ids derive from each page's
+    own (url, content-hash) (ADVICE r10), so the row set is
+    partition-invariant."""
+    from bergloom_spark.operators.crawl import (
+        crawl_text_pipeline,
+        pages_to_wet,
+    )
+
+    d = TS(spark, sf_dir, "documents").select("doc_id")
+    w = d.mapInPandas(_crawl_recipe_payloads, _PAYLOAD_STAGE_SCHEMA)
+    wet = pages_to_wet(crawl_text_pipeline(w))
+
+    def reparse(it):
+        import pandas as pd
+
+        from bergloom_spark.operators.warc import parse_warc
+
+        for pdf in it:
+            rows = []
+            for payload in pdf["payload"]:
+                for r in parse_warc(bytes(payload)):
+                    if r["record_type"] != "conversion":
+                        continue
+                    rows.append(
+                        (r["target_uri"], r["payload_text"],
+                         r["record_id"])
+                    )
+            yield pd.DataFrame(
+                rows, columns=["url", "text", "record_id"]
+            )
+
+    back = wet.mapInPandas(
+        reparse, "url string, text string, record_id string"
+    )
+    # record ids are deterministic but derive from sha1 — assert
+    # their per-(url,text) uniqueness structurally, compare the
+    # corpus content against the oracle
+    return back.groupBy("url", "text").agg(
+        F.countDistinct("record_id").alias("n_ids"),
+        F.count("*").alias("n_copies"),
+    )
+
+
+_EXT_ORACLES["wet_roundtrip"] = f"""
+    WITH {_CRAWL_KEPT_SQL}
+    SELECT {UX.url_normalize_sql('uri')} AS url,
+           {TX.strip_markup_sql('html')} AS text,
+           1::BIGINT AS n_ids,
+           count(*)::BIGINT AS n_copies
+    FROM kept
+    GROUP BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -9962,6 +10022,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_text_pipeline": q_crawl_text_pipeline,
         "crawl_site_stats": q_crawl_site_stats,
         "main_content": q_main_content,
+        "wet_roundtrip": q_wet_roundtrip,
     }
 
 
