@@ -9356,7 +9356,9 @@ def q_html_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id",
         HX.html_title("h").alias("title"),
-        links.alias("links"),
+        # serialized: the driver's pandas canonicalizer cannot sort
+        # list cells (tests/test_entry.py invariant)
+        F.array_join(links, "|").alias("links_pipe"),
         F.size(links).cast("long").alias("n_links"),
         HX.html_meta_content("h", "description").alias("meta_desc"),
         HX.html_canonical("h").alias("canonical"),
@@ -9367,7 +9369,8 @@ _EXT_ORACLES["html_features"] = f"""
     WITH t AS (SELECT doc_id, {_HTML_RECIPE_SQL} AS h FROM documents)
     SELECT doc_id,
            {HX.html_title_sql('h')} AS title,
-           {HX.html_links_sql('h')} AS links,
+           coalesce(array_to_string({HX.html_links_sql('h')}, '|'),
+                    '') AS links_pipe,
            len({HX.html_links_sql('h')})::BIGINT AS n_links,
            {HX.html_meta_content_sql('h', 'description')} AS meta_desc,
            {HX.html_canonical_sql('h')} AS canonical
