@@ -24,6 +24,14 @@ settings.load_profile(
 
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
+# __spark_entry__'s oracle strings embed a literal testdata path for
+# file-introspection oracles (parquet_metadata() cannot read from a
+# registered view); both engines must enumerate the SAME directory,
+# so the entry-conformance tests pin the oracle dir to the test SF
+# BEFORE tests/test_entry.py imports the entry module. The driver and
+# tools/driver_sim.py run with their own (sf0.01) resolution.
+os.environ.setdefault("SPARK_GRAFT_SF_DIR", SF_DIR)
+
 
 @pytest.fixture(scope="session")
 def spark():
