@@ -9691,6 +9691,167 @@ _EXT_ORACLES["wet_roundtrip"] = f"""
 """
 
 
+def q_sitemap_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap parsing (operators/robots.py sitemap_urls — the
+    sitemaps.org protocol): urlset documents (3 of 4 docs) with
+    lastmod/changefreq/priority fields and sitemapindex documents
+    (every 4th) explode into one row per entry; XML entity escaping
+    round-trips (&amp; in locs). All fields are recipe printf."""
+    import pandas as pd
+
+    from bergloom_spark.operators.robots import (
+        make_sitemap,
+        sitemap_urls,
+    )
+
+    d = TS(spark, sf_dir, "documents").select("doc_id")
+
+    out_schema = (
+        "doc_id long, entry_index int, kind string, loc string, "
+        "lastmod string, changefreq string, priority double"
+    )
+
+    def kernel(it):
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                index = i % 4 == 0
+                entries = []
+                for j in range(1 + i % 4):
+                    if index:
+                        entries.append(
+                            {
+                                "loc": f"https://s{i % 5}.org/sm/{i}/{j}",
+                                "lastmod": (
+                                    f"2025-{1 + j % 9:02d}-07"
+                                    if (i + j) % 2 == 0 else None
+                                ),
+                            }
+                        )
+                    else:
+                        entries.append(
+                            {
+                                "loc": (
+                                    f"https://s{i % 5}.org/p/{i}/{j}"
+                                    f"?a={j}&b=1"
+                                ),
+                                "lastmod": (
+                                    f"2025-{1 + j % 9:02d}-07"
+                                    if (i + j) % 2 == 0 else None
+                                ),
+                                "changefreq": (
+                                    None, "daily", "weekly"
+                                )[(i + j) % 3],
+                                "priority": (
+                                    ((i + j) % 10) / 10
+                                    if (i + j) % 4 == 0 else None
+                                ),
+                            }
+                        )
+                m = sitemap_urls(make_sitemap(entries, index=index))
+                for j, e in enumerate(m["entries"]):
+                    rows.append(
+                        (i, j, m["kind"], e["loc"], e["lastmod"],
+                         e["changefreq"], e["priority"])
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "entry_index", "kind", "loc",
+                         "lastmod", "changefreq", "priority"],
+            )
+
+    return d.mapInPandas(kernel, out_schema)
+
+
+_EXT_ORACLES["sitemap_entries"] = """
+    SELECT d.doc_id, j.range::INT AS entry_index,
+           CASE WHEN d.doc_id % 4 = 0 THEN 'index'
+                ELSE 'urlset' END AS kind,
+           CASE WHEN d.doc_id % 4 = 0
+                THEN 'https://s' || (d.doc_id % 5) || '.org/sm/'
+                     || d.doc_id || '/' || j.range
+                ELSE 'https://s' || (d.doc_id % 5) || '.org/p/'
+                     || d.doc_id || '/' || j.range
+                     || '?a=' || j.range || '&b=1' END AS loc,
+           CASE WHEN (d.doc_id + j.range) % 2 = 0
+                THEN printf('2025-%02d-07', 1 + j.range % 9)
+                ELSE NULL END AS lastmod,
+           CASE WHEN d.doc_id % 4 = 0 THEN NULL
+                ELSE CASE (d.doc_id + j.range) % 3
+                       WHEN 1 THEN 'daily' WHEN 2 THEN 'weekly'
+                       ELSE NULL END END AS changefreq,
+           CASE WHEN d.doc_id % 4 <> 0
+                 AND (d.doc_id + j.range) % 4 = 0
+                THEN ((d.doc_id + j.range) % 10) / 10.0
+                ELSE NULL END AS priority
+    FROM documents d, range(0, 4) j
+    WHERE j.range < 1 + d.doc_id % 4
+"""
+
+
+def q_site_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Site-to-site link graph (operators/crawl.py crawl_link_graph):
+    pages carry 1+i%3 absolute outbound links plus one RELATIVE
+    '/self' link that url_resolve must merge against the page URL
+    (RFC 3986 §5) back onto the source site; edges aggregate on two
+    short site keys — the only shuffle after the scan. Absolute
+    targets keep the oracle a pure range-join replay."""
+    import pandas as pd
+
+    from bergloom_spark.operators.crawl import crawl_link_graph
+    from bergloom_spark.operators.warc import make_warc
+
+    d = TS(spark, sf_dir, "documents").select("doc_id")
+
+    def make_payloads(it):
+        for pdf in it:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                links = "".join(
+                    f'<a href="https://dst{(i + j) % 4}.example/x/{j}">'
+                    f"t{j}</a>"
+                    for j in range(1 + i % 3)
+                )
+                html = (
+                    f"<html><body>{links}"
+                    f'<a href="/self">me</a></body></html>'
+                )
+                payloads.append(
+                    make_warc(
+                        [{"url": f"https://src{i % 3}.example/p/{i}",
+                          "text": html}],
+                        seed=f"lg:{i}",
+                    )
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    w = d.mapInPandas(make_payloads, _PAYLOAD_STAGE_SCHEMA)
+    return crawl_link_graph(w)
+
+
+_EXT_ORACLES["site_link_graph"] = """
+    WITH pages AS (
+      SELECT doc_id, 'src' || (doc_id % 3) || '.example' AS src_site
+      FROM documents),
+    absolute AS (
+      SELECT p.doc_id, p.src_site,
+             'dst' || ((p.doc_id + j.range) % 4) || '.example'
+               AS dst_site
+      FROM pages p, range(0, 3) j
+      WHERE j.range < 1 + p.doc_id % 3),
+    selfloop AS (
+      SELECT doc_id, src_site, src_site AS dst_site FROM pages),
+    edges AS (
+      SELECT * FROM absolute UNION ALL SELECT * FROM selfloop)
+    SELECT src_site, dst_site, count(*)::BIGINT AS n_links
+    FROM edges GROUP BY src_site, dst_site
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -10026,6 +10187,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_site_stats": q_crawl_site_stats,
         "main_content": q_main_content,
         "wet_roundtrip": q_wet_roundtrip,
+        "sitemap_entries": q_sitemap_entries,
+        "site_link_graph": q_site_link_graph,
     }
 
 
