@@ -8102,9 +8102,6 @@ _EXT_ORACLES["parquet_column_chunks"] = f"""
 # JSON recipe shared verbatim by both engines: three shapes cycling
 # per doc — the "id" key deliberately drifts int → string, the exact
 # schema-drift signal json_key_profile exists to surface.
-_JSON_DOC_SPARK = None  # built lazily inside the query
-
-
 def _json_doc_sql(id_expr: str = "doc_id") -> str:
     return f"""CASE {id_expr} % 3
       WHEN 0 THEN '{{"id": ' || {id_expr}
@@ -9566,13 +9563,15 @@ def _main_content_recipe_spark():
     ).otherwise(F.lit(""))
     return F.concat(
         F.format_string(
-            '<html><body><nav><a href="/">Home</a> '
+            "<html><head><title>Page title %d must never leak into "
+            "article text</title></head>"
+            '<body><nav><a href="/">Home</a> '
             '<a href="/s%d">Section link</a> '
             '<a href="/c">Contact page</a></nav>'
             "<article><p>Main article text for document %d with "
             'enough length and one <a href="/ref%d">inline '
             "reference</a> kept in place.</p>",
-            i % 6, i, i % 4,
+            i, i % 6, i, i % 4,
         ),
         para2,
         F.format_string(
@@ -9585,7 +9584,9 @@ def _main_content_recipe_spark():
 
 
 _MAIN_CONTENT_RECIPE_SQL = """
-  '<html><body><nav><a href="/">Home</a> <a href="/s'
+  '<html><head><title>Page title ' || doc_id
+  || ' must never leak into article text</title></head>'
+  || '<body><nav><a href="/">Home</a> <a href="/s'
   || (doc_id % 6) || '">Section link</a> '
   || '<a href="/c">Contact page</a></nav>'
   || '<article><p>Main article text for document ' || doc_id

@@ -166,6 +166,11 @@ _BLOCK_SPLIT_PAT = (
 )
 _ANCHOR_INNER_PAT = r"(?is)<a[^>]*>(.*?)</a>"
 _PRE_STRIP_STEPS = [
+    # <head> first: its text content (title, inline meta noise) is
+    # never article text, and <title>/<head> are not block-level
+    # split points — without this pre-strip every real page leaked
+    # its title as a leading "content" block (r11 self-review)
+    (r"(?is)<head[^>]*>.*?</head>", " "),
     (r"(?is)<script[^>]*>.*?</script>", " "),
     (r"(?is)<style[^>]*>.*?</style>", " "),
     (r"(?s)<!--.*?-->", " "),
@@ -259,9 +264,12 @@ def extract_main_content_sql(
         f"AND s.link_len * 1000 <= "
         f"{max_link_density_milli} * length(s.txt))"
     )
-    # coalesce: DuckDB's array_to_string([]) is NULL; Spark's
-    # array_join([]) is '' — the no-content page must agree
+    # DuckDB's array_to_string([]) is NULL while Spark's
+    # array_join([]) is '' — coalesce the EMPTY-list case only: a
+    # NULL input page must stay NULL on both sides (r11 self-review:
+    # an unconditional coalesce broke NULL-row twin parity)
     return (
+        f"CASE WHEN {expr} IS NULL THEN NULL ELSE "
         f"coalesce(array_to_string("
-        f"list_transform({kept}, s -> s.txt), chr(10)), '')"
+        f"list_transform({kept}, s -> s.txt), chr(10)), '') END"
     )

@@ -943,7 +943,12 @@ def archive_entries(
             rows = []
             for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
                 d = bytes(payload)
-                if d[:2] == b"PK":
+                # full 4-byte ZIP signatures (ADVICE r10 / r11
+                # self-review: bare b"PK" misrouted a TAR whose
+                # first entry name starts with 'PK' — here it would
+                # crash the whole stage, not just mislabel a row)
+                if d[:4] in (b"PK\x03\x04", b"PK\x05\x06",
+                             b"PK\x07\x08"):
                     for i, e in enumerate(zip_entries(d)):
                         rows.append(
                             (int(doc_id), "zip", i, e["name"],

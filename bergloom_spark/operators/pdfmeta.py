@@ -346,12 +346,23 @@ def _stream_data(d: bytes, cur: _Cursor, sdict: dict) -> bytes:
         parms = parms[0] if parms else None
     if isinstance(parms, dict):
         predictor = parms.get("Predictor", 1)
+        columns = parms.get("Columns", 1)
+        colors = parms.get("Colors", 1)
+        bpc = parms.get("BitsPerComponent", 8)
+        # hostile non-integer values must stay inside the
+        # bytes → dict-or-ValueError contract (a TypeError here
+        # would escape triage's error-as-data wrapper — r11
+        # self-review)
+        for name, v in (("Predictor", predictor),
+                        ("Columns", columns), ("Colors", colors),
+                        ("BitsPerComponent", bpc)):
+            if not isinstance(v, int) or isinstance(v, bool):
+                raise ValueError(
+                    f"non-integer /DecodeParms /{name}: {v!r}"
+                )
         if predictor >= 10:
             raw = _png_unpredict(
-                raw,
-                int(parms.get("Columns", 1)),
-                max(1, int(parms.get("Colors", 1))
-                    * int(parms.get("BitsPerComponent", 8)) // 8),
+                raw, columns, max(1, colors * bpc // 8)
             )
         elif predictor != 1:
             raise ValueError(f"unsupported /Predictor {predictor}")
@@ -396,6 +407,18 @@ def _parse_xref_stream(d: bytes, off: int):
         raise ValueError(
             f"xref stream needs {n_rows * rw} bytes, has {len(data)}"
         )
+    # Absolute row cap proportional to the RAW payload (r11
+    # self-review): Flate amplification would otherwise let a ~50 KB
+    # file demand ~33M-iteration loops and a multi-GB entries dict
+    # within the inflate budget (/W [0 1 0], /Size 2^25). The classic
+    # table is naturally bounded by 20 raw bytes per entry; a real
+    # N-object PDF carries far more than 4 bytes of body per object,
+    # so len(d)//4 rejects only bombs.
+    if n_rows > len(d) // 4 + 1024:
+        raise ValueError(
+            f"xref stream declares {n_rows} rows for a "
+            f"{len(d)}-byte file"
+        )
     entries: dict[int, object] = {}
     pos = 0
     for i in range(0, len(index), 2):
@@ -437,6 +460,23 @@ def _load_objstm(d: bytes, offsets: dict, num: int, cache: dict):
     if (not isinstance(n, int) or not isinstance(first, int)
             or n < 0 or first < 0 or n > _MAX_OBJSTM_OBJECTS):
         raise ValueError("bad /ObjStm /N or /First")
+    length = sdict.get("Length")
+    if isinstance(length, _Ref):
+        # §7.5.8.2's directness rule binds only CROSS-REFERENCE
+        # stream dictionaries; real writers routinely backpatch an
+        # object stream's /Length as a separate indirect object
+        # (r11 self-review — rejecting it error-rowed valid files).
+        # The target must itself sit at a direct byte offset.
+        loff = offsets.get(length.num)
+        if not isinstance(loff, int):
+            raise ValueError(
+                f"/ObjStm /Length object {length.num} unavailable"
+            )
+        lval = _object_body(d, loff, length.num).parse_value()
+        if not isinstance(lval, int):
+            raise ValueError(f"indirect /Length is {lval!r}")
+        sdict = dict(sdict)
+        sdict["Length"] = lval
     data = _stream_data(d, cur, sdict)
     hdr = _Cursor(data, 0)
     pairs = []

@@ -180,6 +180,11 @@ class TestMainContent:
 
         pages = [
             self.PAGE,
+            # head/title must never leak as leading content
+            # (r11 self-review)
+            "<html><head><title>Breaking news: markets rally on "
+            "rate decision</title></head><body><p>The actual body "
+            "paragraph, long enough to be kept.</p></body></html>",
             "<p>short</p>",  # below min_chars → empty result
             "<div>No tags at all but quite long plain text that "
             "should be kept as one block of content.</div>",
@@ -202,6 +207,24 @@ class TestMainContent:
                 f"SELECT {extract_main_content_sql(chr(39) + esc + chr(39))}"
             ).fetchone()[0]
             assert spark_out == duck_out, page[:60]
+
+    def test_head_title_never_leaks(self, spark):
+        from bergloom_spark.functions.html import extract_main_content
+
+        page = (
+            "<html><head><title>Breaking news: markets rally on "
+            "rate decision today</title>"
+            '<meta name="description" content="long enough meta '
+            'description text that must not leak either"></head>'
+            "<body><p>Only this body paragraph should survive the "
+            "classifier as content.</p></body></html>"
+        )
+        df = spark.createDataFrame([(page,)], "h string")
+        out = df.select(
+            extract_main_content("h").alias("mc")
+        ).collect()[0].mc
+        assert out == ("Only this body paragraph should survive "
+                       "the classifier as content.")
 
     def test_plan_is_single_codegen_stage(self, spark):
         from bergloom_spark.functions.html import extract_main_content

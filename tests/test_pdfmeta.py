@@ -240,3 +240,119 @@ def test_pypdf_style_whitespace_variants():
     )
     # startxref offset unchanged: the section starts at the same byte
     assert pdf_meta(head + tail)["n_pages"] == 2
+
+
+class TestHostileStreams:
+    """r11 self-review hardening: the corpus contract (bytes → dict
+    or ValueError, bounded work) on the modern-layout paths."""
+
+    def test_xref_row_bomb_bounded(self):
+        """/W [0 1 0] /Size 2^25 with highly-compressible data must
+        be rejected by the raw-payload-proportional row cap, never
+        loop 33M times."""
+        import time
+        import zlib as _z
+
+        comp = _z.compress(b"\x00" * (1 << 25))
+        body = (
+            b"1 0 obj\n<< /Type /XRef /Size 33554432 /W [0 1 0] "
+            b"/Root 1 0 R /Filter /FlateDecode /Length %d >>\n"
+            b"stream\n" % len(comp) + comp + b"\nendstream\nendobj\n"
+        )
+        pdf = b"%PDF-1.5\n" + body + b"startxref\n9\n%%EOF\n"
+        t0 = time.perf_counter()
+        with pytest.raises(ValueError, match="rows"):
+            pdf_meta(pdf)
+        assert time.perf_counter() - t0 < 2.0
+
+    def test_hostile_decodeparms_raise_valueerror(self):
+        """Non-integer Predictor/Columns must raise ValueError (a
+        TypeError would escape triage's error-as-data wrapper)."""
+        import zlib as _z
+
+        for parms in (b"<< /Predictor (x) >>",
+                      b"<< /Predictor 12 /Columns 2 0 R >>",
+                      b"<< /Predictor 12 /Columns true >>"):
+            comp = _z.compress(b"\x00" * 24)
+            body = (
+                b"1 0 obj\n<< /Type /XRef /Size 2 /W [1 4 2] "
+                b"/Root 1 0 R /Filter /FlateDecode /DecodeParms "
+                + parms + b" /Length %d >>\nstream\n" % len(comp)
+                + comp + b"\nendstream\nendobj\n"
+            )
+            pdf = b"%PDF-1.5\n" + body + b"startxref\n9\n%%EOF\n"
+            with pytest.raises(ValueError):
+                pdf_meta(pdf)
+        # triage agrees: error row, not a crash
+        from bergloom_spark.operators.triage import corpus_triage
+
+        t = corpus_triage(pdf)
+        assert t["error"] is not None
+
+    def test_objstm_indirect_length_resolves(self):
+        """Real writers backpatch an /ObjStm's /Length as a separate
+        indirect object — pdf_meta must resolve it, not error-row
+        the file."""
+        p = make_pdf(3, title="t", xref_stream=True, objstm=True)
+        # locate the ObjStm object and swap its direct /Length N for
+        # an indirect ref to a NEW object appended at the end, then
+        # extend the xref stream... simpler: rewrite the ObjStm dict
+        # in place with same byte length ('/Length 123' -> ref of
+        # equal text width) is brittle — instead assert on a
+        # hand-built minimal file.
+        import re as _re
+        import zlib as _z
+
+        m = pdf_meta(p)  # sanity: the base file parses
+        assert m["n_pages"] == 3
+
+        # minimal hand-built: catalog+pages in an ObjStm whose
+        # /Length is indirect (object 4)
+        body1 = b"<< /Type /Catalog /Pages 2 0 R >>"
+        body2 = b"<< /Type /Pages /Kids [] /Count 0 >>"
+        hdr = b"1 0 2 %d\n" % (len(body1) + 1)
+        data = _z.compress(hdr + body1 + b" " + body2)
+        out = bytearray(b"%PDF-1.5\n")
+        objstm_off = len(out)
+        out += (
+            b"3 0 obj\n<< /Type /ObjStm /N 2 /First %d "
+            b"/Filter /FlateDecode /Length 4 0 R >>\nstream\n"
+            % len(hdr)
+        ) + data + b"\nendstream\nendobj\n"
+        len_off = len(out)
+        out += b"4 0 obj\n%d\nendobj\n" % len(data)
+        # xref stream (object 5): 1,2 -> objstm slots; 3,4 direct
+        rows = bytearray()
+        rows += b"\x00" + (0).to_bytes(4, "big") + b"\xff\xff"
+        rows += b"\x02" + (3).to_bytes(4, "big") + (0).to_bytes(2, "big")
+        rows += b"\x02" + (3).to_bytes(4, "big") + (1).to_bytes(2, "big")
+        rows += b"\x01" + objstm_off.to_bytes(4, "big") + bytes(2)
+        rows += b"\x01" + len_off.to_bytes(4, "big") + bytes(2)
+        xoff = len(out)
+        rows += b"\x01" + xoff.to_bytes(4, "big") + bytes(2)
+        comp = _z.compress(bytes(rows))
+        out += (
+            b"5 0 obj\n<< /Type /XRef /Size 6 /W [1 4 2] "
+            b"/Root 1 0 R /Filter /FlateDecode /Length %d >>\n"
+            b"stream\n" % len(comp)
+        ) + comp + b"\nendstream\nendobj\n"
+        out += b"startxref\n%d\n%%%%EOF\n" % xoff
+        got = pdf_meta(bytes(out))
+        assert got["n_pages"] == 0 and got["n_objects"] == 5
+
+    def test_archive_entries_pk_named_tar(self, spark):
+        """archive_entries shares the full-signature ZIP sniff (the
+        third dispatch site the ADVICE repro could crash)."""
+        from bergloom_spark.operators.archive import (
+            archive_entries,
+            make_tar,
+        )
+
+        t = make_tar([("PKG/readme.txt", b"hello")])
+        df = spark.createDataFrame(
+            [(1, t)], "doc_id long, payload binary"
+        )
+        rows = archive_entries(df).collect()
+        assert len(rows) == 1
+        assert rows[0].container == "tar"
+        assert rows[0].name == "PKG/readme.txt"
