@@ -356,3 +356,20 @@ class TestHostileStreams:
         assert len(rows) == 1
         assert rows[0].container == "tar"
         assert rows[0].name == "PKG/readme.txt"
+
+
+def test_fuzz_find_decodeparms_typeerror_exact_bytes():
+    """r11 fuzz campaign find (4.9M-payload run): a mutated xref
+    stream whose /DecodeParms /Predictor became the STRING '2'
+    raised TypeError through the kernel — the exact bytes, pinned.
+    Must raise ValueError (the corpus contract) forever."""
+    import os
+
+    path = os.path.join(
+        os.path.dirname(__file__), "fixtures",
+        "fuzz_pdf_decodeparms_typeerror.bin",
+    )
+    with open(path, "rb") as fh:
+        d = fh.read()
+    with pytest.raises(ValueError):
+        pdf_meta(d)
