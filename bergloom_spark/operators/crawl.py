@@ -55,11 +55,17 @@ def crawl_text_pipeline(
     df: DataFrame,
     payload_col: str = "payload",
     id_col: str = "doc_id",
+    detect_charset: bool = False,
 ) -> DataFrame:
     """Binary WARC column → one row per kept page:
     ``(doc_id, rec_index, url, host, site, title, text, text_len)``.
-    Page-keeping policy: :func:`_kept_pages`."""
-    recs = warc_records(df, payload_col=payload_col, id_col=id_col)
+    Page-keeping policy: :func:`_kept_pages`. ``detect_charset=True``
+    additionally recovers UNDECLARED legacy-charset pages through
+    the deterministic script-range sniffer (r11, opt-in)."""
+    recs = warc_records(
+        df, payload_col=payload_col, id_col=id_col,
+        detect_charset=detect_charset,
+    )
     pages = _kept_pages(recs)
     text = strip_markup(F.col("payload_text"))
     return pages.select(

@@ -315,6 +315,97 @@ def _decode_page(body: bytes, http_ctype: str | None):
     return text, codec.name, True
 
 
+# Candidate codecs for UNDECLARED legacy pages, with the Unicode
+# script ranges a correct decode should land in. Public
+# chardet-style approach, reduced to a deterministic rule: try each
+# strict decode, score by the share of non-ASCII chars falling in
+# the codec's home script, take the best above a floor. Order is the
+# tiebreak (most-common-on-the-web first).
+# (codec, home script ranges, density gate). The density gate
+# disambiguates the single-byte pair: under ANY single-byte codec
+# every high byte decodes to a letter of that codec's home script,
+# so range hits alone cannot tell a Russian page from a French one —
+# but Cyrillic text is RUNS of high bytes (whole words) while
+# accented-Latin text is ISOLATED high bytes between ASCII letters.
+# "dense" requires ≥half the non-ASCII chars to touch another
+# non-ASCII char; "sparse" requires the opposite; None skips the
+# gate (multi-byte CJK codecs are structurally self-identifying).
+_CHARSET_CANDIDATES = [
+    ("cp1251", ((0x0400, 0x04FF),), "dense"),       # Cyrillic
+    ("shift_jis", ((0x3040, 0x30FF), (0x4E00, 0x9FFF),
+                   (0xFF61, 0xFF9F)), None),        # kana+CJK
+    ("gbk", ((0x4E00, 0x9FFF), (0x3000, 0x303F)), None),  # CJK
+    # EUC-KR is deliberately ABSENT: KS X 1001 and GB2312 share the
+    # 0xB0A1-0xF7FE double-byte plane, so a range test cannot tell
+    # Korean from Chinese — disambiguating needs byte-frequency
+    # models (what chardet ships) that are out of scope here. A
+    # Korean page without any declaration stays an honest
+    # decode_ok=False rather than a confident wrong answer.
+    ("cp1252", ((0x00C0, 0x024F), (0x2018, 0x201E),
+                (0x20AC, 0x20AC)), "sparse"),       # Latin ext
+]
+
+
+def detect_legacy_charset(body: bytes, min_score_milli: int = 600):
+    """Best-effort charset sniff for pages with NO declaration that
+    failed strict UTF-8 (the residue ``decode_ok=False`` measures) —
+    ``(codec_name, text) | (None, None)``.
+
+    Each candidate must decode strictly; among those that do, the
+    winner is the codec whose decoded NON-ASCII characters most
+    often land in its own script ranges (integer per-mille, so the
+    verdict is deterministic and engine-independent), requiring at
+    least ``min_score_milli`` and at least 4 non-ASCII chars (below
+    that there is no evidence to classify). Single-byte codecs
+    decode anything, which is exactly why the scoring step — not
+    decode success — picks the answer. Deliberately OPT-IN
+    (``parse_warc(..., detect_charset=True)``): detection is a
+    heuristic and the default pipeline reports honest None instead
+    of guessing."""
+    sample = body[:65536]
+    # byte-level run structure (codec-independent for the
+    # single-byte gate): share of high bytes adjacent to another
+    # high byte, per mille
+    hi_pos = [k for k, b in enumerate(sample) if b > 0x7F]
+    if len(hi_pos) >= 4:
+        adjacent = sum(
+            1 for k in hi_pos
+            if (k > 0 and sample[k - 1] > 0x7F)
+            or (k + 1 < len(sample) and sample[k + 1] > 0x7F)
+        )
+        adj_milli = adjacent * 1000 // len(hi_pos)
+    else:
+        adj_milli = 0
+    best = (0, None, None)
+    for name, ranges, gate in _CHARSET_CANDIDATES:
+        if gate == "dense" and adj_milli < 500:
+            continue
+        if gate == "sparse" and adj_milli >= 500:
+            continue
+        try:
+            text = sample.decode(name)
+        except (UnicodeDecodeError, ValueError):
+            continue
+        non_ascii = [c for c in text if ord(c) > 0x7F]
+        if len(non_ascii) < 4:
+            continue
+        hits = sum(
+            1 for c in non_ascii
+            if any(lo <= ord(c) <= hi for lo, hi in ranges)
+        )
+        score = hits * 1000 // len(non_ascii)
+        if score > best[0]:
+            best = (score, name, text)
+    if best[0] >= min_score_milli and best[1] is not None:
+        if len(body) <= 65536:
+            return best[1], best[2]
+        try:  # full-body decode with the winning codec
+            return best[1], body.decode(best[1])
+        except UnicodeDecodeError:
+            return None, None
+    return None, None
+
+
 def _parse_http_block(block: bytes):
     """(status, content_type, body) from an embedded HTTP/1.x
     message; ValueError when the message is malformed."""
@@ -375,19 +466,24 @@ def parse_warc(
     *,
     max_records: int = _MAX_RECORDS,
     max_text_bytes: int | None = None,
+    detect_charset: bool = False,
 ) -> list[dict]:
     """WARC bytes (plain or gzip-per-record) → one dict per record:
     ``{offset, record_type, record_id, target_uri, warc_date,
     content_type, content_length, http_status, http_content_type,
-    payload_len, payload_text}``.
+    payload_len, payload_text, charset, decode_ok}``.
 
-    ``payload_text`` is the UTF-8 decode of the record payload (the
-    HTTP entity body for ``application/http`` blocks, the block
-    itself otherwise), ``None`` when the bytes are not valid UTF-8 —
-    binary bodies are legal in a crawl, so that is data, not an
-    error. ``max_text_bytes`` truncates the text AFTER decoding the
-    full body (byte-truncation could split a multi-byte sequence and
-    turn a text row into a None row at one budget and not another).
+    ``payload_text`` decodes strict UTF-8 first, then the DECLARED
+    charset (HTTP ``Content-Type; charset=`` parameter or HTML
+    ``<meta charset>``); ``None`` when neither applies — binary
+    bodies are legal in a crawl, so that is data, not an error, and
+    ``(charset, decode_ok)`` make the residue measurable.
+    ``detect_charset=True`` additionally runs the deterministic
+    script-range sniffer (:func:`detect_legacy_charset`) on
+    undeclared non-UTF-8 bodies — opt-in because it is a heuristic.
+    ``max_text_bytes`` truncates the text AFTER decoding the full
+    body (byte-truncation could split a multi-byte sequence and turn
+    a text row into a None row at one budget and not another).
     Structural damage raises ValueError; the cursor strictly
     advances, so no payload can hang the walk."""
     if payload[:2] == b"\x1f\x8b":
@@ -444,6 +540,10 @@ def parse_warc(
         ):
             http_status, http_ctype, body = _parse_http_block(block)
         text, charset, decode_ok = _decode_page(body, http_ctype)
+        if text is None and detect_charset and charset is None:
+            det_name, det_text = detect_legacy_charset(body)
+            if det_name is not None:
+                text, charset, decode_ok = det_text, det_name, True
         if text is not None and max_text_bytes is not None:
             text = text[:max_text_bytes]
         records.append(
@@ -483,6 +583,7 @@ def warc_records(
     payload_col: str = "payload",
     id_col: str = "doc_id",
     max_text_bytes: int | None = None,
+    detect_charset: bool = False,
 ) -> DataFrame:
     """Explode a binary WARC column into one row per archive record —
     the crawl-ingest entry stage. Map-only Arrow-batched kernel over
@@ -499,7 +600,9 @@ def warc_records(
             rows = []
             for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
                 recs = parse_warc(
-                    bytes(payload), max_text_bytes=max_text_bytes
+                    bytes(payload),
+                    max_text_bytes=max_text_bytes,
+                    detect_charset=detect_charset,
                 )
                 for i, r in enumerate(recs):
                     rows.append(

@@ -152,3 +152,27 @@ def test_wet_record_ids_partition_invariant(crawl_df):
     assert all(len(v) == 1 for v in one.values())
     flat = [next(iter(v)) for v in one.values()]
     assert len(set(flat)) == len(flat)
+
+
+def test_pipeline_detect_charset_recovers_undeclared_page(spark):
+    """Opt-in detection at the pipeline level: an UNDECLARED cp1251
+    page vanishes by default and is recovered with
+    detect_charset=True."""
+    from bergloom_spark.operators.crawl import crawl_text_pipeline
+    from bergloom_spark.operators.warc import make_warc
+
+    w = make_warc([
+        {"url": "https://ru.example/a",
+         "text": "<html><body><p>Ещё одна страница на русском "
+                 "языке без объявления</p></body></html>",
+         "encoding": "cp1251", "content_type": "text/html"},
+        {"url": "https://en.example/b",
+         "text": "<html><body><p>plain page</p></body></html>"},
+    ], seed="det-pipe")
+    df = spark.createDataFrame([(1, w)], "doc_id long, payload binary")
+    default = crawl_text_pipeline(df).collect()
+    assert len(default) == 1  # undeclared legacy page dropped
+    detected = crawl_text_pipeline(df, detect_charset=True).collect()
+    assert len(detected) == 2
+    texts = {r.url: r.text for r in detected}
+    assert any("русском" in t for t in texts.values())

@@ -305,3 +305,100 @@ class TestCharsetDecode:
         rows = {r.url: r.text for r in crawl_text_pipeline(df).collect()}
         assert any("Привет мир" in t for t in rows.values()), rows
         assert len(rows) == 2
+
+
+class TestCharsetDetection:
+    """Opt-in legacy-charset sniff for UNDECLARED non-UTF-8 pages
+    (round 11): deterministic script-range scoring with a byte-run
+    density gate for the single-byte pair. Heuristic, hence
+    opt-in — the default pipeline reports honest None."""
+
+    def _detect(self, text, enc):
+        from bergloom_spark.operators.warc import detect_legacy_charset
+
+        return detect_legacy_charset(text.encode(enc))
+
+    def test_detects_the_big_four(self):
+        cases = [
+            ("Привет мир, это кириллический текст без объявления",
+             "cp1251"),
+            ("これは宣言のない日本語のページですこんにちは世界",
+             "shift_jis"),
+            ("这是一个没有声明的中文页面你好世界欢迎光临", "gbk"),
+            ("<html><body><p>Le café était délicieux — la journée "
+             "s'annonçait déjà très agréable à Orléans</p></body>"
+             "</html>", "cp1252"),
+            ("<html><body><p>Ещё одна страница на русском языке"
+             "</p></body></html>", "cp1251"),
+        ]
+        for text, enc in cases:
+            name, decoded = self._detect(text, enc)
+            assert name == enc and decoded == text, (enc, name)
+
+    def test_density_gate_separates_single_byte_pair(self):
+        """Accented-Latin bytes are VALID cp1251 — only the
+        isolated-vs-run structure tells them apart. Both directions
+        must hold."""
+        fr = ("Le café était délicieux — la journée s'annonçait "
+              "déjà très agréable à Orléans, évidemment")
+        ru = "Русский текст состоит из сплошных байтов"
+        assert self._detect(fr, "cp1252")[0] == "cp1252"
+        assert self._detect(ru, "cp1251")[0] == "cp1251"
+
+    def test_no_evidence_and_binary_stay_none(self):
+        from bergloom_spark.operators.warc import detect_legacy_charset
+
+        assert detect_legacy_charset(b"plain ascii only") == (None, None)
+        assert detect_legacy_charset(b"caf\xe9 x") == (None, None)  # 1 hi byte
+        # deterministic pseudo-binary
+        blob = bytes((k * 77 + 13) % 256 for k in range(4096))
+        name, _ = detect_legacy_charset(blob)
+        # whatever decodes must still fail the script-share floor
+        assert name is None
+
+    def test_euc_kr_is_honestly_undetected(self):
+        """KS X 1001 shares GB2312's byte plane; a range test cannot
+        tell Korean from Chinese, so Korean must be None or (known
+        ambiguity) gbk-misclassified NEVER silently — pin the
+        current honest behavior: not euc-kr, since the codec is not
+        a candidate."""
+        from bergloom_spark.operators.warc import detect_legacy_charset
+
+        name, _ = detect_legacy_charset(
+            "선언이 없는 한국어 페이지입니다 안녕하세요".encode("euc-kr")
+        )
+        assert name != "euc-kr"
+
+    def test_parse_warc_opt_in(self):
+        w = make_warc(
+            [{"url": "https://ru.example/",
+              "text": "Привет без объявления",
+              "encoding": "cp1251", "content_type": "text/html"}],
+            seed="det",
+        )
+        off = [r for r in parse_warc(w)
+               if r["record_type"] == "response"][0]
+        on = [r for r in parse_warc(w, detect_charset=True)
+              if r["record_type"] == "response"][0]
+        assert off["payload_text"] is None and not off["decode_ok"]
+        assert on["payload_text"] == "Привет без объявления"
+        assert on["charset"] == "cp1251" and on["decode_ok"]
+
+    def test_declared_charset_still_wins_over_detection(self):
+        """Detection only runs when NOTHING is declared — a declared
+        charset that fails must stay a measurable failure, not get
+        second-guessed."""
+        w = make_warc(
+            [{"url": "https://x.example/",
+              "text": "Привет мир кириллица здесь",
+              "encoding": "cp1251",
+              # declared but WRONG (body is not valid shift_jis...
+              # actually cp1251 bytes may decode under shift_jis;
+              # the point: charset is declared, so the detector must
+              # not override the declared-path verdict)
+              "content_type": "text/html; charset=no-such-cs"}],
+            seed="det2",
+        )
+        on = [r for r in parse_warc(w, detect_charset=True)
+              if r["record_type"] == "response"][0]
+        assert on["charset"] == "no-such-cs" and not on["decode_ok"]

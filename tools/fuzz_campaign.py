@@ -246,11 +246,23 @@ def _seeds_warc():
         for i in range(4)
     ]
     wet = [{"url": "https://ex.org/wet", "text": "text", "conversion": True}]
-    return parse_warc, [
+
+    def parse_both(payload: bytes):
+        # r11: the charset-detection path (script-range scorer +
+        # density gate) must honor the same no-hang/no-crash
+        # contract as the default decode
+        parse_warc(payload)
+        return parse_warc(payload, detect_charset=True)
+
+    return parse_both, [
         make_warc(pages),
         make_warc(pages, gzip_records=True),
         make_warc(wet, warcinfo=False),
         make_warc(pages[:1], gzip_records=True, warcinfo=False),
+        make_warc(
+            [{"url": "https://ru.example/", "text": "Привет мир",
+              "encoding": "cp1251", "content_type": "text/html"}]
+        ),
     ]
 
 
