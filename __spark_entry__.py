@@ -9853,6 +9853,89 @@ _EXT_ORACLES["site_link_graph"] = """
 """
 
 
+def q_charset_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opt-in legacy-charset detection (round 11 —
+    operators/warc.py detect_legacy_charset): UNDECLARED non-UTF-8
+    pages cycling Cyrillic/Japanese/Chinese/accented-Latin bodies,
+    recovered by the script-range scorer + byte-run density gate +
+    common-character frequency gate (the deterministic core of the
+    chardet approach — cross-decodes between the overlapping CJK
+    byte planes miss the target language's most frequent
+    characters); every 5th doc is plain UTF-8 (the fast path must
+    win), every 7th an undeclared EUC-KR page (the hardest case:
+    KS X 1001 shares GB2312's byte plane, so only the frequency
+    gate keeps it out of GBK). Recovered text is a printf recipe
+    the oracle replays."""
+    import pandas as pd
+
+    from bergloom_spark.operators.warc import make_warc, warc_records
+
+    d = TS(spark, sf_dir, "documents").select("doc_id")
+
+    def make_payloads(it):
+        for pdf in it:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                if i % 5 == 0:
+                    enc, text = "utf-8", f"plain utf-8 page {i}"
+                elif i % 7 == 0:
+                    enc = "euc-kr"
+                    text = f"선언이 없는 한국어 페이지입니다 {i}"
+                else:
+                    enc, text = [
+                        ("cp1251", f"Страница на русском языке {i}"),
+                        ("shift_jis", f"宣言のない日本語ページです {i}"),
+                        ("gbk", f"没有声明的中文页面你好 {i}"),
+                        ("cp1252",
+                         f"Le café était délicieux — déjà très "
+                         f"agréable à Orléans {i}"),
+                    ][i % 4]
+                page = {"url": f"https://e{i}.org/",
+                        "text": text,
+                        "content_type": "text/html"}
+                if enc != "utf-8":
+                    page["encoding"] = enc
+                payloads.append(make_warc([page], seed=f"cd:{i}"))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    recs = warc_records(
+        d.mapInPandas(make_payloads, _PAYLOAD_STAGE_SCHEMA),
+        detect_charset=True,
+    )
+    return recs.filter(F.col("record_type") == "response").select(
+        "doc_id", "charset", "decode_ok", "payload_text"
+    )
+
+
+_EXT_ORACLES["charset_detection"] = """
+    SELECT doc_id,
+      CASE WHEN doc_id % 5 = 0 THEN 'utf-8'
+           WHEN doc_id % 7 = 0 THEN 'euc-kr'
+           ELSE CASE doc_id % 4
+                  WHEN 0 THEN 'cp1251' WHEN 1 THEN 'shift_jis'
+                  WHEN 2 THEN 'gbk' ELSE 'cp1252' END
+      END AS charset,
+      true AS decode_ok,
+      CASE WHEN doc_id % 5 = 0
+             THEN 'plain utf-8 page ' || doc_id
+           WHEN doc_id % 7 = 0
+             THEN '선언이 없는 한국어 페이지입니다 ' || doc_id
+           WHEN doc_id % 4 = 0
+             THEN 'Страница на русском языке ' || doc_id
+           WHEN doc_id % 4 = 1
+             THEN '宣言のない日本語ページです ' || doc_id
+           WHEN doc_id % 4 = 2
+             THEN '没有声明的中文页面你好 ' || doc_id
+           ELSE 'Le café était délicieux — déjà très agréable à '
+                || 'Orléans ' || doc_id
+      END AS payload_text
+    FROM documents
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -10190,6 +10273,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wet_roundtrip": q_wet_roundtrip,
         "sitemap_entries": q_sitemap_entries,
         "site_link_graph": q_site_link_graph,
+        "charset_detection": q_charset_detection,
     }
 
 

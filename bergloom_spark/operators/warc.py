@@ -321,28 +321,49 @@ def _decode_page(body: bytes, http_ctype: str | None):
 # strict decode, score by the share of non-ASCII chars falling in
 # the codec's home script, take the best above a floor. Order is the
 # tiebreak (most-common-on-the-web first).
-# (codec, home script ranges, density gate). The density gate
-# disambiguates the single-byte pair: under ANY single-byte codec
+# (codec, home script ranges, density gate, common-char gate).
+#
+# Density gate — the single-byte pair: under ANY single-byte codec
 # every high byte decodes to a letter of that codec's home script,
 # so range hits alone cannot tell a Russian page from a French one —
 # but Cyrillic text is RUNS of high bytes (whole words) while
 # accented-Latin text is ISOLATED high bytes between ASCII letters.
 # "dense" requires ≥half the non-ASCII chars to touch another
-# non-ASCII char; "sparse" requires the opposite; None skips the
-# gate (multi-byte CJK codecs are structurally self-identifying).
+# non-ASCII char; "sparse" the opposite; None skips the gate.
+#
+# Common-char gate — the CJK double-byte family: KS X 1001, GB2312,
+# and Shift-JIS overlap so heavily at the byte level that text in
+# one routinely decodes STRICTLY (and range-plausibly) under the
+# others — Korean bytes read as random hanzi under GBK, Chinese
+# bytes as half-width katakana under Shift-JIS. The standard public
+# (chardet-style) answer is frequency evidence, reduced here to its
+# deterministic core: a real page in a language hits that
+# language's few dozen most frequent characters constantly, while a
+# cross-decode yields essentially RANDOM code points that miss the
+# set. A candidate with a common set must land ≥5 % of its
+# non-ASCII chars in it.
+_COMMON_HANZI = (
+    "的一是不了人我在有他这中大来上国个到说们为子和你地出道也"
+    "时年得就那要下以生会自着去之过好"
+)
+_COMMON_KANA = "のにはをたがでてとしれさあるいうです、。んか年日本"
+_COMMON_HANGUL = "이다는을에가하의고지서기를은한로도아니사있것수입니"
+# Russian letter frequency: о-е-а-и-н alone are ~35-45 % of real
+# lowercase text but only ~5-8 % of RANDOM high bytes decoded as
+# cp1251 (every high byte is some Cyrillic letter — the range test
+# is satisfied by noise, so cp1251 needs frequency evidence with a
+# higher floor than the CJK sets).
+_COMMON_CYRILLIC = "оеаин"
+# (codec, ranges, density gate, common set, common floor milli)
 _CHARSET_CANDIDATES = [
-    ("cp1251", ((0x0400, 0x04FF),), "dense"),       # Cyrillic
+    ("cp1251", ((0x0400, 0x04FF),), "dense", _COMMON_CYRILLIC, 120),
     ("shift_jis", ((0x3040, 0x30FF), (0x4E00, 0x9FFF),
-                   (0xFF61, 0xFF9F)), None),        # kana+CJK
-    ("gbk", ((0x4E00, 0x9FFF), (0x3000, 0x303F)), None),  # CJK
-    # EUC-KR is deliberately ABSENT: KS X 1001 and GB2312 share the
-    # 0xB0A1-0xF7FE double-byte plane, so a range test cannot tell
-    # Korean from Chinese — disambiguating needs byte-frequency
-    # models (what chardet ships) that are out of scope here. A
-    # Korean page without any declaration stays an honest
-    # decode_ok=False rather than a confident wrong answer.
+                   (0xFF61, 0xFF9F)), None, _COMMON_KANA, 50),
+    ("gbk", ((0x4E00, 0x9FFF), (0x3000, 0x303F)), None,
+     _COMMON_HANZI, 50),
+    ("euc-kr", ((0xAC00, 0xD7A3),), None, _COMMON_HANGUL, 50),
     ("cp1252", ((0x00C0, 0x024F), (0x2018, 0x201E),
-                (0x20AC, 0x20AC)), "sparse"),       # Latin ext
+                (0x20AC, 0x20AC)), "sparse", None, 0),  # Latin ext
 ]
 
 
@@ -377,7 +398,7 @@ def detect_legacy_charset(body: bytes, min_score_milli: int = 600):
     else:
         adj_milli = 0
     best = (0, None, None)
-    for name, ranges, gate in _CHARSET_CANDIDATES:
+    for name, ranges, gate, common, floor in _CHARSET_CANDIDATES:
         if gate == "dense" and adj_milli < 500:
             continue
         if gate == "sparse" and adj_milli >= 500:
@@ -389,6 +410,12 @@ def detect_legacy_charset(body: bytes, min_score_milli: int = 600):
         non_ascii = [c for c in text if ord(c) > 0x7F]
         if len(non_ascii) < 4:
             continue
+        if common is not None:
+            chits = sum(1 for c in non_ascii if c in common)
+            if chits * 1000 // len(non_ascii) < floor:
+                continue  # plausible ranges but no frequency
+                # evidence: a cross-decode or noise, not this
+                # language
         hits = sum(
             1 for c in non_ascii
             if any(lo <= ord(c) <= hi for lo, hi in ranges)

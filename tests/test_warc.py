@@ -318,13 +318,14 @@ class TestCharsetDetection:
 
         return detect_legacy_charset(text.encode(enc))
 
-    def test_detects_the_big_four(self):
+    def test_detects_the_big_five(self):
         cases = [
             ("Привет мир, это кириллический текст без объявления",
              "cp1251"),
             ("これは宣言のない日本語のページですこんにちは世界",
              "shift_jis"),
             ("这是一个没有声明的中文页面你好世界欢迎光临", "gbk"),
+            ("선언이 없는 한국어 페이지입니다 안녕하세요", "euc-kr"),
             ("<html><body><p>Le café était délicieux — la journée "
              "s'annonçait déjà très agréable à Orléans</p></body>"
              "</html>", "cp1252"),
@@ -356,18 +357,30 @@ class TestCharsetDetection:
         # whatever decodes must still fail the script-share floor
         assert name is None
 
-    def test_euc_kr_is_honestly_undetected(self):
-        """KS X 1001 shares GB2312's byte plane; a range test cannot
-        tell Korean from Chinese, so Korean must be None or (known
-        ambiguity) gbk-misclassified NEVER silently — pin the
-        current honest behavior: not euc-kr, since the codec is not
-        a candidate."""
+    def test_cjk_cross_decodes_never_confidently_wrong(self):
+        """KS X 1001, GB2312, and Shift-JIS overlap at the byte
+        level, so text in one decodes strictly under the others —
+        the common-character frequency gate must keep each page in
+        its OWN codec: a cross-decode yields essentially random
+        code points that miss the target language's most frequent
+        characters."""
         from bergloom_spark.operators.warc import detect_legacy_charset
 
-        name, _ = detect_legacy_charset(
-            "선언이 없는 한국어 페이지입니다 안녕하세요".encode("euc-kr")
+        ko = "선언이 없는 한국어 페이지입니다 안녕하세요"
+        zh = "这是一个没有声明的中文页面你好世界欢迎光临"
+        ja = "これは宣言のない日本語のページですこんにちは世界"
+        for text, enc in ((ko, "euc-kr"), (zh, "gbk"),
+                          (ja, "shift_jis")):
+            name, decoded = detect_legacy_charset(text.encode(enc))
+            assert (name, decoded) == (enc, text)
+        # structurally-plausible but frequency-free CJK bytes stay
+        # an honest None instead of a confident guess
+        blob = bytes(
+            b for k in range(600)
+            for b in (0xB1 + (k * 7) % 60, 0xA1 + (k * 11) % 80)
         )
-        assert name != "euc-kr"
+        name, _ = detect_legacy_charset(blob)
+        assert name is None
 
     def test_parse_warc_opt_in(self):
         w = make_warc(
