@@ -84,14 +84,22 @@ def crawl_link_graph(
     df: DataFrame,
     payload_col: str = "payload",
     id_col: str = "doc_id",
+    detect_charset: bool = False,
 ) -> DataFrame:
     """Site-to-site link edges from raw WARC columns:
     ``(src_site, dst_site, n_links)``. Links extract scan-side
     (``html_links`` array), explode AFTER projection to the href
     array (page text is dropped before the explode), resolve against
     the page URL (relative hrefs are the common case), and aggregate
-    on two short site keys — the only shuffle."""
-    recs = warc_records(df, payload_col=payload_col, id_col=id_col)
+    on two short site keys — the only shuffle. ``detect_charset``
+    must be set consistently with :func:`crawl_text_pipeline`: the
+    two views share :func:`_kept_pages`' ONE page-keeping policy,
+    so they must also share the decode that feeds it (review r11
+    pass 2)."""
+    recs = warc_records(
+        df, payload_col=payload_col, id_col=id_col,
+        detect_charset=detect_charset,
+    )
     pages = _kept_pages(recs).select(
         F.col("target_uri").alias("base"),
         url_registrable_domain(F.col("target_uri")).alias("src_site"),

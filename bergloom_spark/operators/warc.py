@@ -47,6 +47,7 @@ __all__ = [
     "split_gzip_members",
     "parse_warc",
     "warc_records",
+    "detect_legacy_charset",
 ]
 
 _CRLF = b"\r\n"
@@ -382,7 +383,14 @@ def detect_legacy_charset(body: bytes, min_score_milli: int = 600):
     decode success — picks the answer. Deliberately OPT-IN
     (``parse_warc(..., detect_charset=True)``): detection is a
     heuristic and the default pipeline reports honest None instead
-    of guessing."""
+    of guessing.
+
+    All-or-nothing on large bodies, by design: scoring runs on the
+    first 64 KiB (incrementally decoded, so a multi-byte character
+    split at the window edge never disqualifies a candidate), but
+    the RETURNED text is the strict decode of the WHOLE body — a
+    body whose tail is corrupt yields (None, None) rather than
+    silently truncated text."""
     sample = body[:65536]
     # byte-level run structure (codec-independent for the
     # single-byte gate): share of high bytes adjacent to another
@@ -404,7 +412,13 @@ def detect_legacy_charset(body: bytes, min_score_milli: int = 600):
         if gate == "sparse" and adj_milli >= 500:
             continue
         try:
-            text = sample.decode(name)
+            # incremental (final=False): a multi-byte character cut
+            # by the 64 KiB sample window buffers instead of raising
+            # (review r11 pass 2 — plain .decode() failed ~half of
+            # all large CJK pages on truncation-point byte parity)
+            text = codecs.getincrementaldecoder(name)().decode(
+                sample, False
+            )
         except (UnicodeDecodeError, ValueError):
             continue
         non_ascii = [c for c in text if ord(c) > 0x7F]
@@ -431,6 +445,22 @@ def detect_legacy_charset(body: bytes, min_score_milli: int = 600):
         except UnicodeDecodeError:
             return None, None
     return None, None
+
+
+def _textish(ctype: str | None) -> bool:
+    """Is this content type a TEXT family member? Charset detection
+    only makes sense for pages — running it on binary payloads that
+    happen to be mostly ASCII (a PDF token stream, an icc profile)
+    would mislabel them as confidently-decoded text and pollute the
+    decode_ok residue the default path keeps honest (review r11
+    pass 2)."""
+    if ctype is None:
+        return False
+    mt = ctype.split(";")[0].strip().lower()
+    return mt.startswith("text/") or mt in (
+        "application/xhtml+xml", "application/xml",
+        "application/json", "application/warc-fields",
+    )
 
 
 def _parse_http_block(block: bytes):
@@ -567,7 +597,17 @@ def parse_warc(
         ):
             http_status, http_ctype, body = _parse_http_block(block)
         text, charset, decode_ok = _decode_page(body, http_ctype)
-        if text is None and detect_charset and charset is None:
+        if (
+            text is None
+            and detect_charset
+            and charset is None
+            # text-family payloads only: HTTP records judge by the
+            # embedded Content-Type, bare records by the WARC-level
+            # one (review r11 pass 2 — mostly-ASCII binary bodies
+            # must stay an honest None, not become "cp1252 text")
+            and _textish(http_ctype if http_status is not None
+                         else ctype)
+        ):
             det_name, det_text = detect_legacy_charset(body)
             if det_name is not None:
                 text, charset, decode_ok = det_text, det_name, True

@@ -415,3 +415,80 @@ class TestCharsetDetection:
         on = [r for r in parse_warc(w, detect_charset=True)
               if r["record_type"] == "response"][0]
         assert on["charset"] == "no-such-cs" and not on["decode_ok"]
+
+
+class TestCharsetDetectionHardening:
+    """Second self-review pass findings (r11) pinned."""
+
+    def test_window_split_multibyte_still_detects(self):
+        """The 64 KiB sample window cutting a double-byte character
+        in half must not disqualify the candidate (incremental
+        decode buffers the partial char)."""
+        from bergloom_spark.operators.warc import detect_legacy_charset
+
+        body = ("这是一个没有声明的中文页面你好世界" * 4000).encode("gbk")
+        assert len(body) > 65536
+        # both byte parities at the window edge
+        assert detect_legacy_charset(body)[0] == "gbk"
+        assert detect_legacy_charset(b"x" + body)[0] == "gbk"
+
+    def test_binary_content_type_never_detected(self):
+        """A mostly-ASCII application/pdf body with a few isolated
+        high bytes must stay an honest None even with detection on —
+        the decode_ok residue measures binary share, and detection
+        is scoped to text-family payloads."""
+        from bergloom_spark.operators.warc import (
+            make_http_response,
+            make_warc_record,
+        )
+
+        pdfish = (b"%PDF-1.4 obj stream " * 50) + bytes(
+            [0xE0, 0x20, 0xE5, 0x20, 0xE9, 0x20, 0xE8]
+        )
+        http = make_http_response(
+            pdfish, content_type="application/pdf"
+        )
+        rec = make_warc_record(
+            "response", http, record_id="<urn:uuid:1>",
+            target_uri="u",
+            content_type="application/http; msgtype=response",
+        )
+        r = parse_warc(rec, detect_charset=True)[0]
+        assert r["payload_text"] is None and not r["decode_ok"]
+
+    def test_corrupt_tail_past_window_is_honest_none(self):
+        """Documented all-or-nothing: a >64 KiB body whose TAIL is
+        corrupt returns (None, None), never silently truncated
+        text."""
+        from bergloom_spark.operators.warc import detect_legacy_charset
+
+        body = ("没有声明的中文页面你好 " * 8000).encode("gbk")
+        assert len(body) > 65536
+        assert detect_legacy_charset(body + b"\x81\x00\x81")[0] is None
+
+    def test_link_graph_and_pipeline_share_detection(self, spark):
+        """The two corpus views must agree on which pages exist when
+        detection is on (the ONE page-keeping policy)."""
+        from bergloom_spark.operators.crawl import (
+            crawl_link_graph,
+            crawl_text_pipeline,
+        )
+
+        w = make_warc([
+            {"url": "https://ru.example/a",
+             "text": '<html><body><a href="https://out.example/x">'
+                     "наружу</a><p>Ещё одна страница на русском "
+                     "языке</p></body></html>",
+             "encoding": "cp1251", "content_type": "text/html"},
+        ], seed="lg-det")
+        df = spark.createDataFrame(
+            [(1, w)], "doc_id long, payload binary"
+        )
+        assert crawl_text_pipeline(df).count() == 0
+        assert crawl_link_graph(df).count() == 0
+        assert crawl_text_pipeline(df, detect_charset=True).count() == 1
+        edges = {
+            (r.src_site, r.dst_site)
+            for r in crawl_link_graph(df, detect_charset=True).collect()
+        }
+        assert ("ru.example", "out.example") in edges
