@@ -164,7 +164,11 @@ _BLOCK_SPLIT_PAT = (
     r"section|article|header|footer|nav|aside|main|figure|br)"
     r"[^>]*>"
 )
-_ANCHOR_INNER_PAT = r"(?is)<a[^>]*>(.*?)</a>"
+# Tag name must be anchored: bare `<a[^>]*>` also matched <abbr>,
+# <address>, <audio>, <area>, whose spans swallowed genuine prose into
+# the link-density numerator (ADVICE r11). `(?:\s[^>]*)?` means "end of
+# tag name or attributes", never "more name letters".
+_ANCHOR_INNER_PAT = r"(?is)<a(?:\s[^>]*)?>(.*?)</a>"
 _PRE_STRIP_STEPS = [
     # <head> first: its text content (title, inline meta noise) is
     # never article text, and <title>/<head> are not block-level

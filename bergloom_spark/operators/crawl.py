@@ -125,19 +125,26 @@ def pages_to_wet(pages: DataFrame) -> DataFrame:
     corpus ships back out in the shape downstream crawlers expect:
     each partition writes its own archives independently (no
     shuffle, no driver collection — the write stays as parallel as
-    the read). Each record id derives solely from its OWN page's
-    url + content hash (ADVICE r10: a batch-level seed made ids
-    collide across batches sharing a first URL and vary with
-    partitioning), and the warcinfo id is a constant — so a record's
-    bytes are identical however the export is partitioned."""
+    the read). Each record id derives from its OWN page's url +
+    content hash (ADVICE r10: a batch-level seed made ids collide
+    across batches sharing a first URL and vary with partitioning)
+    salted with an in-partition occurrence counter per (url, hash)
+    (ADVICE r11: two kept pages with identical url AND text would
+    otherwise emit identical WARC-Record-IDs, violating WARC's
+    record-id uniqueness requirement), and the warcinfo id is a
+    constant — so a non-duplicated record's bytes are identical
+    however the export is partitioned (the counter is 0 for every
+    first occurrence)."""
 
     def kernel(batches):
         import hashlib
+        from collections import Counter
 
         import pandas as pd
 
         from bergloom_spark.operators.warc import _record_uuid, make_warc
 
+        seen: Counter = Counter()
         for pdf in batches:
             if len(pdf) == 0:
                 yield pd.DataFrame(
@@ -145,18 +152,19 @@ def pages_to_wet(pages: DataFrame) -> DataFrame:
                      "payload": pd.Series([], dtype=object)}
                 )
                 continue
-            specs = [
-                {
+            specs = []
+            for url, text in zip(pdf["url"], pdf["text"]):
+                key = (url, hashlib.sha1(text.encode()).hexdigest())
+                n = seen[key]
+                seen[key] = n + 1
+                specs.append({
                     "url": url,
                     "text": text,
                     "conversion": True,
                     "record_id": _record_uuid(
-                        "wet:" + url + ":"
-                        + hashlib.sha1(text.encode()).hexdigest()
+                        f"wet:{url}:{key[1]}:{n}"
                     ),
-                }
-                for url, text in zip(pdf["url"], pdf["text"])
-            ]
+                })
             payload = make_warc(specs, warcinfo=True, seed="wet-export")
             yield pd.DataFrame(
                 {"n_records": [len(specs)], "payload": [payload]}

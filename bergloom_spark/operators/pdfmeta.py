@@ -303,12 +303,22 @@ def _png_unpredict(data: bytes, columns: int, bpp: int = 1) -> bytes:
     return bytes(out)
 
 
-def _stream_data(d: bytes, cur: _Cursor, sdict: dict) -> bytes:
+def _stream_data(
+    d: bytes, cur: _Cursor, sdict: dict,
+    max_inflate: int = _MAX_STREAM_INFLATE,
+) -> bytes:
     """Decoded bytes of the stream whose dictionary ``sdict`` the
     cursor just parsed: expects the ``stream`` keyword, reads a
     DIRECT integer /Length (xref/object streams must keep their
     locator fields direct, §7.5.8.2), applies /FlateDecode with an
-    absolute inflation budget, then any /DecodeParms predictor."""
+    inflation budget, then any /DecodeParms predictor.
+
+    ``max_inflate`` lets callers that KNOW the legitimate decoded
+    size (an xref stream needs exactly /W-stride x /Index-rows
+    bytes) cap the budget below the absolute default — otherwise a
+    crafted file could inflate the full budget and feed it all to
+    the per-byte predictor loop, once per /Prev section
+    (ADVICE r11)."""
     cur._skip_ws()
     m = re.match(rb"stream(\r\n|\n|\r)", d[cur.pos : cur.pos + 8])
     if not m:
@@ -331,11 +341,11 @@ def _stream_data(d: bytes, cur: _Cursor, sdict: dict) -> bytes:
     if filt == "FlateDecode":
         try:
             dec = zlib.decompressobj()
-            raw = dec.decompress(raw, _MAX_STREAM_INFLATE)
+            raw = dec.decompress(raw, max_inflate)
             if dec.unconsumed_tail:
                 raise ValueError(
                     "stream inflates past the "
-                    f"{_MAX_STREAM_INFLATE}-byte budget"
+                    f"{max_inflate}-byte budget"
                 )
         except zlib.error as exc:
             raise ValueError(f"bad Flate stream: {exc}") from exc
@@ -398,26 +408,34 @@ def _parse_xref_stream(d: bytes, off: int):
         raise ValueError(f"bad xref stream /Index {index!r}")
     if len(index) // 2 > _MAX_XREF_SECTIONS:
         raise ValueError("too many /Index subsections")
-    data = _stream_data(d, cur, sdict)
     rw = sum(w)
     if rw == 0:
         raise ValueError("xref stream /W is all-zero")
     n_rows = sum(index[i + 1] for i in range(0, len(index), 2))
-    if n_rows * rw > len(data):
-        raise ValueError(
-            f"xref stream needs {n_rows * rw} bytes, has {len(data)}"
-        )
     # Absolute row cap proportional to the RAW payload (r11
     # self-review): Flate amplification would otherwise let a ~50 KB
     # file demand ~33M-iteration loops and a multi-GB entries dict
     # within the inflate budget (/W [0 1 0], /Size 2^25). The classic
     # table is naturally bounded by 20 raw bytes per entry; a real
     # N-object PDF carries far more than 4 bytes of body per object,
-    # so len(d)//4 rejects only bombs.
+    # so len(d)//4 rejects only bombs. Checked BEFORE any inflation,
+    # and the inflate budget itself is capped to what the declared
+    # /W x /Index rows can legitimately need (one extra byte per row
+    # covers the PNG-predictor tag column) so a crafted section can
+    # never feed the full 32 MiB budget to the per-byte predictor
+    # loop, once per /Prev section (ADVICE r11).
     if n_rows > len(d) // 4 + 1024:
         raise ValueError(
             f"xref stream declares {n_rows} rows for a "
             f"{len(d)}-byte file"
+        )
+    data = _stream_data(
+        d, cur, sdict,
+        max_inflate=min(_MAX_STREAM_INFLATE, n_rows * (rw + 2) + 1024),
+    )
+    if n_rows * rw > len(data):
+        raise ValueError(
+            f"xref stream needs {n_rows * rw} bytes, has {len(data)}"
         )
     entries: dict[int, object] = {}
     pos = 0
@@ -607,9 +625,18 @@ def pdf_meta(payload: bytes) -> dict:
             # compressed-object entries legacy readers can't see
             xstm = sec_trailer.get("XRefStm")
             if isinstance(xstm, int) and 0 <= xstm < len(d):
-                stm_offsets, _ = _parse_xref_stream(d, xstm)
+                # §7.5.8.4: a hybrid reader consults the xref STREAM
+                # first, so its entries take precedence over the
+                # classic section's; and a malformed /XRefStm must
+                # not error-row a file whose classic table alone is
+                # sufficient for a conforming legacy reader
+                # (ADVICE r11).
+                try:
+                    stm_offsets, _ = _parse_xref_stream(d, xstm)
+                except ValueError:
+                    stm_offsets = {}
                 for k, v in stm_offsets.items():
-                    sec_offsets.setdefault(k, v)
+                    sec_offsets[k] = v
         else:
             sec_offsets, sec_trailer = _parse_xref_stream(d, off)
         # earlier sections must not override later updates

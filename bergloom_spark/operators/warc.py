@@ -438,9 +438,13 @@ def detect_legacy_charset(body: bytes, min_score_milli: int = 600):
         if score > best[0]:
             best = (score, name, text)
     if best[0] >= min_score_milli and best[1] is not None:
-        if len(body) <= 65536:
-            return best[1], best[2]
-        try:  # full-body decode with the winning codec
+        # ALWAYS strict-decode the whole body — the sample text from
+        # the incremental decoder (final=False) may have silently
+        # buffered a trailing partial multibyte character, so even a
+        # body <= 64 KiB must be re-decoded strictly or a truncated
+        # page would return truncated text with decode_ok=True
+        # (ADVICE r11: all-or-nothing contract).
+        try:
             return best[1], body.decode(best[1])
         except UnicodeDecodeError:
             return None, None
