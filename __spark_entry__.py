@@ -9936,6 +9936,284 @@ _EXT_ORACLES["charset_detection"] = """
 """
 
 
+def q_iceberg_roundtrip_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real-Iceberg metadata interop (round 12, verdict r11 #4):
+    build a lake table with seq-gated MoR debt (even half seq 1 →
+    eq-delete seq 2 gates ONLY it → odd half seq 3 → pos-deletes
+    seq 4 hit both), EXPORT it as an Iceberg v2 metadata tree
+    (metadata.json + Avro manifest list + manifests —
+    lake/iceberg_export.py, spec-derived writer), then IMPORT that
+    tree back through the independent Avro reader + spec parser
+    (lake/iceberg_import.py + operators/avrocodec.py, the path a
+    user's actual Iceberg table takes per compaction/mod.rs:226) and
+    read with merge_on_read. Every delete is value-derived, so the
+    oracle replays the predicates in pure SQL."""
+    from bergloom_spark.lake import LakeTable
+    from bergloom_spark.lake.iceberg_export import export_iceberg_metadata
+    from bergloom_spark.lake.iceberg_import import load_iceberg_table
+
+    li = T(spark, sf_dir, "lineitem")
+    root = os.path.join(_scratch(prefix="bergloom-iceberg-"), "li")
+    t = LakeTable.create(spark, root, li.schema)
+    t.append(li.filter(F.col("l_orderkey") % 2 == 0))  # seq 1
+    t.append_equality_deletes(  # seq 2: gates seq<2 → even half only
+        li.filter(F.col("l_suppkey") % 10 == 0)
+        .select("l_suppkey").distinct(),
+        ["l_suppkey"],
+    )
+    t.append(li.filter(F.col("l_orderkey") % 2 == 1))  # seq 3
+    hidden = t.scan_data(with_hidden=True)
+    t.append_position_deletes(  # seq 4: by (file,pos), hits both halves
+        hidden.filter(F.col("l_partkey") % 13 == 0).select(
+            F.col(mor.SYS_HIDDEN_FILE_PATH).alias("file_path"),
+            F.col(mor.SYS_HIDDEN_POS).alias("pos"),
+        )
+    )
+    mjson = export_iceberg_metadata(t.refresh().meta)
+    t2 = load_iceberg_table(spark, mjson)
+    return t2.read().select(*LI_COLS)
+
+
+_EXT_ORACLES["iceberg_roundtrip_mor"] = f"""
+    SELECT {', '.join(LI_COLS)} FROM lineitem
+    WHERE l_partkey % 13 <> 0
+      AND NOT (l_orderkey % 2 = 0 AND l_suppkey % 10 = 0)
+"""
+
+
+def q_gzip_header_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gzip member-header fields beyond the counts archive_meta
+    proves (RFC 1952 §2.3: MTIME, OS, FNAME, FTEXT — SURVEY r12
+    tail): per doc one or two members, the first carrying a recipe
+    mtime and (2 docs in 3) an FNAME; gzip_meta reports the FIRST
+    member's header plus the inflate-verified member walk."""
+    import pandas as pd
+
+    from bergloom_spark.operators.archive import gzip_meta, make_gzip
+
+    d = TS(spark, sf_dir, "documents").select("doc_id")
+
+    out_schema = (
+        "doc_id long, n_members long, mtime long, os long, "
+        "name string, ftext boolean, total_uncompressed long"
+    )
+
+    def kernel(it):
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                p = make_gzip(
+                    b"g" * (i % 100),
+                    name=(f"f{i % 17}.txt" if i % 3 else None),
+                    mtime=1735689600 + (i % 1000) * 60,
+                )
+                if i % 2:
+                    p += make_gzip(b"h" * ((i * 3) % 53))
+                m = gzip_meta(p)
+                rows.append(
+                    (i, m["n_members"], m["mtime"], m["os"],
+                     m["name"], m["ftext"], m["total_uncompressed"])
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "n_members", "mtime", "os",
+                         "name", "ftext", "total_uncompressed"],
+            )
+
+    return d.mapInPandas(kernel, out_schema)
+
+
+_EXT_ORACLES["gzip_header_fields"] = """
+    SELECT doc_id,
+           (CASE WHEN doc_id % 2 = 1 THEN 2 ELSE 1 END)::BIGINT
+             AS n_members,
+           (1735689600 + (doc_id % 1000) * 60)::BIGINT AS mtime,
+           255::BIGINT AS os,
+           CASE WHEN doc_id % 3 <> 0
+                THEN 'f' || (doc_id % 17) || '.txt' END AS name,
+           false AS ftext,
+           (doc_id % 100
+            + CASE WHEN doc_id % 2 = 1 THEN (doc_id * 3) % 53
+                   ELSE 0 END)::BIGINT AS total_uncompressed
+    FROM documents
+"""
+
+
+def q_robots_sitemap_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots → sitemap discovery COMPOSITION (SURVEY r12 tail): the
+    crawl bootstrap a fleet actually runs — parse robots.txt, take
+    its Sitemap: declarations (RFC 9309 §2.3 allows several), fetch
+    the first, classify urlset vs sitemapindex, count entries. Both
+    documents are printf recipes; the oracle replays the whole
+    composition as CASE arithmetic."""
+    import pandas as pd
+
+    from bergloom_spark.operators.robots import (
+        make_robots,
+        make_sitemap,
+        robots_rules,
+        sitemap_urls,
+    )
+
+    d = TS(spark, sf_dir, "documents").select("doc_id")
+
+    out_schema = (
+        "doc_id long, n_sitemaps long, first_sitemap string, "
+        "kind string, n_entries long, first_loc string"
+    )
+
+    def kernel(it):
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                declared = tuple(
+                    f"https://s{i % 3}.example/sm{j}.xml"
+                    for j in range(1 + i % 2)
+                )
+                rules = robots_rules(
+                    make_robots(
+                        [{"agents": ["*"], "disallow": ["/x/"]}],
+                        sitemaps=declared,
+                    )
+                )
+                sitemaps = rules["sitemaps"]
+                first = sitemaps[0]
+                index = i % 4 == 0
+                n = 1 + i % 3
+                entries = [
+                    {
+                        "loc": (
+                            f"https://s{i % 3}.example/child{j}.xml"
+                            if index
+                            else f"https://s{i % 3}.example/page{j}"
+                        )
+                    }
+                    for j in range(n)
+                ]
+                sm = sitemap_urls(make_sitemap(entries, index=index))
+                rows.append(
+                    (i, len(sitemaps), first, sm["kind"],
+                     len(sm["entries"]), sm["entries"][0]["loc"])
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "n_sitemaps", "first_sitemap",
+                         "kind", "n_entries", "first_loc"],
+            )
+
+    return d.mapInPandas(kernel, out_schema)
+
+
+_EXT_ORACLES["robots_sitemap_discovery"] = """
+    SELECT doc_id,
+           (1 + doc_id % 2)::BIGINT AS n_sitemaps,
+           'https://s' || (doc_id % 3) || '.example/sm0.xml'
+             AS first_sitemap,
+           CASE WHEN doc_id % 4 = 0 THEN 'index' ELSE 'urlset' END
+             AS kind,
+           (1 + doc_id % 3)::BIGINT AS n_entries,
+           CASE WHEN doc_id % 4 = 0
+                THEN 'https://s' || (doc_id % 3)
+                     || '.example/child0.xml'
+                ELSE 'https://s' || (doc_id % 3) || '.example/page0'
+           END AS first_loc
+    FROM documents
+"""
+
+
+def q_crawl_link_graph_rel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative-href-heavy link graph (SURVEY r12 tail, ROWS-ONLY by
+    design: url_resolve has no SQL twin). Each page lives two
+    directories deep and links via every RFC 3986 §5 reference
+    shape the merge relies on — dotted relative ('../up.html'),
+    same-dir ('./here.html'), bare name ('img.png'), root-rooted
+    ('/rooted.html'), and protocol-relative ('//cdn.example/a.js').
+    The first four must all land on the SOURCE site (one self-edge
+    bucket), the last on the cdn — 9 deterministic edges total
+    (3 sites x (self, cdn0, cdn1))."""
+    from bergloom_spark.operators.crawl import crawl_link_graph
+    from bergloom_spark.operators.warc import make_warc
+
+    import pandas as pd
+
+    d = TS(spark, sf_dir, "documents").select("doc_id")
+
+    def make_payloads(it):
+        for pdf in it:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                body = (
+                    "<html><body>"
+                    '<a href="../up.html">u</a>'
+                    '<a href="./here.html">h</a>'
+                    '<a href="img%d.png">m</a>'
+                    '<a href="/rooted.html">r</a>'
+                    '<a href="//cdn%d.example/a.js">c</a>'
+                    "</body></html>" % (i, i % 2)
+                )
+                payloads.append(
+                    make_warc(
+                        [{
+                            "url": (
+                                f"https://site{i % 3}.example"
+                                f"/dir/sub/page{i}.html"
+                            ),
+                            "text": body,
+                        }],
+                        seed=f"rel{i}",
+                    )
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    warc_df = d.mapInPandas(make_payloads, "doc_id long, payload binary")
+    return crawl_link_graph(warc_df)
+
+
+# url_resolve itself has no SQL twin, but the EXPECTED merge outcome
+# is pure arithmetic: all four relative shapes land on the source
+# site (4 self-links per page), the protocol-relative one on the cdn.
+_EXT_ORACLES["crawl_link_graph_rel"] = """
+    WITH pages AS (
+      SELECT 'site' || (doc_id % 3) || '.example' AS src_site,
+             'cdn' || (doc_id % 2) || '.example' AS cdn_site
+      FROM documents),
+    self_e AS (
+      SELECT src_site, src_site AS dst_site,
+             (4 * count(*))::BIGINT AS n_links
+      FROM pages GROUP BY src_site),
+    cdn_e AS (
+      SELECT src_site, cdn_site AS dst_site, count(*)::BIGINT AS n_links
+      FROM pages GROUP BY src_site, cdn_site)
+    SELECT * FROM self_e UNION ALL SELECT * FROM cdn_e
+"""
+
+
+def q_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deflate compressibility signal over the documents corpus
+    (operators/hygiene.py compression_ratio_milli — the Gopher-style
+    repetition flag; ROWS-ONLY by design: DuckDB has no zlib
+    scalar, so only the row contract is oracle-checkable). Integer
+    milli-ratio at pinned zlib level 6; the row also carries the
+    band bucket a curation pipeline would filter on."""
+    from bergloom_spark.operators.hygiene import compression_ratio_milli
+
+    d = TS(spark, sf_dir, "documents").select("doc_id", "text")
+    z = compression_ratio_milli(F.col("text"))
+    return d.select(
+        "doc_id",
+        z.alias("zratio_milli"),
+        F.when(z < 200, "repetitive")
+        .when(z < 700, "prose")
+        .otherwise("dense")
+        .alias("band"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -10001,7 +10279,23 @@ def _driver_verified() -> set:
 # age within a few rounds — the r3 hand-list failure mode (silent
 # permanent staleness) is structurally gone.
 _CHANGED_THIS_ROUND: list[str] = [
-    # round 11: empty — every r11 code change (robots glob matcher,
+    # round 12: the ADVICE r11 fixes changed code paths of four
+    # already-registered rows — re-verify them ahead of pure
+    # staleness: main_content (anchor tag-name anchoring),
+    # charset_detection + crawl_text_pipeline (all-or-nothing strict
+    # re-decode), wet_roundtrip (occurrence-salted record ids),
+    # pdf_meta (XRefStm precedence + pre-bound inflate budget).
+    # compact_roundtrip/mor rows: _pos_delete_frame gained a
+    # conditional URI normalization (no-op for the lake's own local
+    # paths, covered by tests + sweep) — compact_roundtrip is in the
+    # permanent bench headline anyway.
+    "main_content",
+    "charset_detection",
+    "crawl_text_pipeline",
+    "wet_roundtrip",
+    "pdf_meta",
+    # round 11 note kept for history: every r11 code change landed in
+    # a NEW registration (robots glob matcher,
     # archive/triage PK sniff, WET record ids, warc charset decode,
     # PDF xref/object streams, jsonprofile null-type oracle) lands in
     # a NEW registration (robots_check, archive_meta, corpus_triage,
@@ -10274,7 +10568,22 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_entries": q_sitemap_entries,
         "site_link_graph": q_site_link_graph,
         "charset_detection": q_charset_detection,
+        # round 12 registrations
+        "iceberg_roundtrip_mor": q_iceberg_roundtrip_mor,
+        "gzip_header_fields": q_gzip_header_fields,
+        "robots_sitemap_discovery": q_robots_sitemap_discovery,
+        "crawl_link_graph_rel": q_crawl_link_graph_rel,
+        "compression_ratio": q_compression_ratio,  # rows-only
     }
+
+
+# Registered queries with NO oracle_sql entry, each with the reason.
+# The driver records a weaker rows-only check for these; the registry
+# invariant test pins this set so a forgotten oracle is an error, not
+# a silent downgrade.
+_ROWS_ONLY: dict[str, str] = {
+    "compression_ratio": "DuckDB has no zlib/deflate scalar",
+}
 
 
 def oracle_sql() -> dict[str, str]:

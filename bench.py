@@ -12,6 +12,26 @@ import os
 import sys
 import time
 
+# Pin BLAS/OMP thread pools to 1 BEFORE numpy loads anywhere (the
+# pools size themselves at library load). Verdict r11 #8: every other
+# round a cluster of numpy-adjacent phase-2 queries drifted past the
+# contention probes' explanation band; an unpinned OpenBLAS spawns
+# its own pool in EVERY forked Python worker (32 workers × N BLAS
+# threads oversubscribes the host by an amount that varies with
+# ambient load — exactly the irreproducible confounder observed).
+# One BLAS thread per worker is also the correct 100 TB posture: the
+# parallelism budget belongs to Spark's task scheduler, not to a
+# nested pool it cannot see. setdefault so an explicit caller env
+# still wins; the EFFECTIVE values are recorded in the JSON.
+_THREAD_PINS = {
+    "OPENBLAS_NUM_THREADS": "1",
+    "OMP_NUM_THREADS": "1",
+    "MKL_NUM_THREADS": "1",
+    "NUMEXPR_NUM_THREADS": "1",
+}
+for _k, _v in _THREAD_PINS.items():
+    os.environ.setdefault(_k, _v)
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import __spark_entry__ as entry_mod  # noqa: E402
@@ -133,6 +153,21 @@ def _cpu_calibration_parallel() -> float:
         return time.monotonic() - t0
 
     return round(min(_run_once() for _ in range(3)), 3)
+
+
+def _lib_versions() -> dict:
+    """Versions of every library on the bench's hot path — a silent
+    container-image bump of numpy/pandas/pyarrow is indistinguishable
+    from code drift without this record (verdict r11 #8)."""
+    import platform
+
+    out = {"python": platform.python_version()}
+    for mod in ("numpy", "pandas", "pyarrow", "pyspark"):
+        try:
+            out[mod] = __import__(mod).__version__
+        except Exception:
+            out[mod] = None
+    return out
 
 
 def _current_round() -> int | None:
@@ -425,6 +460,15 @@ def main() -> None:
                     "parallel capacity; single-thread → host clock; "
                     "neither & uniform → bisect"
                 ),
+                # Environment record (verdict r11 #8): the effective
+                # BLAS/OMP pins and library versions, so a cross-round
+                # delta can first be checked against an environment
+                # change before any bisect. Pinned from r12 on; BENCH
+                # files ≤ r11 ran with UNPINNED BLAS pools.
+                "env_pins": {
+                    k: os.environ.get(k) for k in _THREAD_PINS
+                },
+                "lib_versions": _lib_versions(),
             }
     )
     print(json.dumps(full_record))

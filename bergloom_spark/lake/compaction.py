@@ -533,8 +533,11 @@ def remove_orphan_files(
     }
     cutoff = _time.time() - older_than_s
     removed = 0
+    from bergloom_spark.lake.fileio import strip_local_scheme
+
+    local_root = strip_local_scheme(meta.table_root)
     for sub in ("data", "deletes"):
-        pattern = os.path.join(meta.table_root, sub, "**", "*.parquet")
+        pattern = os.path.join(local_root, sub, "**", "*.parquet")
         for path in glob.glob(pattern, recursive=True):
             apath = os.path.abspath(path)
             if apath in referenced:
@@ -580,7 +583,9 @@ def expire_snapshots(table: LakeTable, keep_last: int = 1) -> int:
     # become "dead" in the clone's metadata, but physically deleting
     # them would corrupt the source table, which still references them.
     # Borrowed entries are dropped from the clone's metadata only.
-    root = os.path.abspath(meta.table_root) + os.sep
+    from bergloom_spark.lake.fileio import strip_local_scheme
+
+    root = os.path.abspath(strip_local_scheme(meta.table_root)) + os.sep
     dead_paths = {
         p
         for p in (

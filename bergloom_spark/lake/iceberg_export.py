@@ -1,0 +1,439 @@
+"""Export a lake snapshot as a REAL Apache Iceberg v2 metadata layout.
+
+The write-side twin of ``iceberg_import.py``: given a
+:class:`~bergloom_spark.lake.metadata.TableMetadata`, produce an
+Iceberg ``*.metadata.json`` + Avro manifest list + Avro manifests that
+reference the SAME physical parquet files — no data movement, only
+metadata — so an Iceberg-native engine (or the reference itself, whose
+entire input is a catalog-loaded Iceberg table,
+``core/src/compaction/mod.rs:226``) can read what this lake wrote.
+
+Everything here is implemented from the public Apache Iceberg Table
+Spec (v2) and the Avro 1.11 container/binary-encoding spec. The Avro
+writer is deliberately independent of ``operators/avrocodec.py``'s
+reader — the import/export pair cross-validates in
+``tests/test_iceberg_interop.py`` the way the MP4 seam battery pairs
+an independent second writer with the parser.
+
+Manifest entry field coverage: the required v2 core (status,
+snapshot_id, sequence numbers, data_file with content/file_path/
+file_format/partition/record_count/file_size_in_bytes/equality_ids).
+Column-stats maps (value_counts, bounds, ...) are optional per spec
+and omitted; readers that want stats fall back to parquet footers.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import struct
+import time
+import uuid
+import zlib
+
+from bergloom_spark.lake import metadata as md
+from bergloom_spark.lake.fileio import io_for
+
+# ---------------------------------------------------------------------------
+# Avro binary encoder (spec: binary encoding + object container files)
+# ---------------------------------------------------------------------------
+
+
+def _enc_long(n: int) -> bytes:
+    """Zigzag varint."""
+    n = (n << 1) ^ (n >> 63) if n >= 0 else ((-n) << 1) - 1
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _enc_bytes(b: bytes) -> bytes:
+    return _enc_long(len(b)) + b
+
+
+def _enc_str(s: str) -> bytes:
+    return _enc_bytes(s.encode("utf-8"))
+
+
+def _encode_value(schema, val) -> bytes:
+    """Schema-driven encoder for the subset of Avro the Iceberg
+    metadata schemas use (primitives, records, unions, arrays)."""
+    if isinstance(schema, str):
+        if schema == "null":
+            return b""
+        if schema == "boolean":
+            return b"\x01" if val else b"\x00"
+        if schema in ("int", "long"):
+            return _enc_long(int(val))
+        if schema == "float":
+            return struct.pack("<f", float(val))
+        if schema == "double":
+            return struct.pack("<d", float(val))
+        if schema == "bytes":
+            return _enc_bytes(val)
+        if schema == "string":
+            return _enc_str(val)
+        raise ValueError(f"avro-enc: unsupported type {schema!r}")
+    if isinstance(schema, list):  # union — null branch or the other
+        if val is None:
+            idx = schema.index("null")
+            return _enc_long(idx)
+        idx = next(i for i, s in enumerate(schema) if s != "null")
+        return _enc_long(idx) + _encode_value(schema[idx], val)
+    t = schema["type"]
+    if t == "record":
+        out = bytearray()
+        for f in schema.get("fields", []):
+            out += _encode_value(f["type"], (val or {}).get(f["name"]))
+        return bytes(out)
+    if t == "array":
+        if not val:
+            return _enc_long(0)
+        out = bytearray(_enc_long(len(val)))
+        for item in val:
+            out += _encode_value(schema["items"], item)
+        out += _enc_long(0)
+        return bytes(out)
+    if t == "map":
+        if not val:
+            return _enc_long(0)
+        out = bytearray(_enc_long(len(val)))
+        for k, v in val.items():
+            out += _enc_str(k)
+            out += _encode_value(schema["values"], v)
+        out += _enc_long(0)
+        return bytes(out)
+    raise ValueError(f"avro-enc: unsupported complex type {t!r}")
+
+
+def write_avro_ocf(
+    schema: dict, records: list[dict], codec: str = "deflate"
+) -> bytes:
+    """Records → one-block Avro Object Container File."""
+    if codec not in ("null", "deflate"):
+        raise ValueError(f"avro-enc: unsupported codec {codec!r}")
+    schema_json = json.dumps(schema).encode("utf-8")
+    # deterministic sync marker derived from content (no RNG — the
+    # export must be byte-stable for a given snapshot)
+    sync = bytes(
+        bytearray(zlib.crc32(schema_json).to_bytes(4, "big")) * 4
+    )
+    header = bytearray(b"Obj\x01")
+    header += _enc_long(2)  # metadata map: one block, two pairs
+    header += _enc_str("avro.schema") + _enc_bytes(schema_json)
+    header += _enc_str("avro.codec") + _enc_bytes(codec.encode())
+    header += _enc_long(0)  # end of map
+    header += sync
+    payload = b"".join(_encode_value(schema, r) for r in records)
+    if codec == "deflate":
+        comp = zlib.compressobj(wbits=-15)
+        payload = comp.compress(payload) + comp.flush()
+    body = _enc_long(len(records)) + _enc_long(len(payload)) + payload + sync
+    return bytes(header) + body
+
+
+# ---------------------------------------------------------------------------
+# Iceberg v2 metadata schemas (Table Spec: "Manifests", "Manifest Lists")
+# ---------------------------------------------------------------------------
+
+_MANIFEST_LIST_SCHEMA = {
+    "type": "record",
+    "name": "manifest_file",
+    "fields": [
+        {"name": "manifest_path", "type": "string", "field-id": 500},
+        {"name": "manifest_length", "type": "long", "field-id": 501},
+        {"name": "partition_spec_id", "type": "int", "field-id": 502},
+        {"name": "content", "type": "int", "field-id": 517},
+        {"name": "sequence_number", "type": "long", "field-id": 515},
+        {"name": "min_sequence_number", "type": "long", "field-id": 516},
+        {"name": "added_snapshot_id", "type": "long", "field-id": 503},
+        {"name": "added_files_count", "type": "int", "field-id": 504},
+        {"name": "existing_files_count", "type": "int", "field-id": 505},
+        {"name": "deleted_files_count", "type": "int", "field-id": 506},
+        {"name": "added_rows_count", "type": "long", "field-id": 512},
+        {"name": "existing_rows_count", "type": "long", "field-id": 513},
+        {"name": "deleted_rows_count", "type": "long", "field-id": 514},
+    ],
+}
+
+
+def _manifest_entry_schema(partition_fields: list[str]) -> dict:
+    """Entry schema; the partition record carries one optional string
+    field per identity partition column (this lake stores partition
+    values as strings in its own manifests, so the export keeps that
+    representation)."""
+    part_fields = [
+        {
+            "name": c,
+            "type": ["null", "string"],
+            "default": None,
+            "field-id": 1000 + i,
+        }
+        for i, c in enumerate(partition_fields)
+    ]
+    return {
+        "type": "record",
+        "name": "manifest_entry",
+        "fields": [
+            {"name": "status", "type": "int", "field-id": 0},
+            {"name": "snapshot_id", "type": ["null", "long"],
+             "default": None, "field-id": 1},
+            {"name": "sequence_number", "type": ["null", "long"],
+             "default": None, "field-id": 3},
+            {"name": "file_sequence_number", "type": ["null", "long"],
+             "default": None, "field-id": 4},
+            {
+                "name": "data_file",
+                "field-id": 2,
+                "type": {
+                    "type": "record",
+                    "name": "r2",
+                    "fields": [
+                        {"name": "content", "type": "int",
+                         "field-id": 134},
+                        {"name": "file_path", "type": "string",
+                         "field-id": 100},
+                        {"name": "file_format", "type": "string",
+                         "field-id": 101},
+                        {
+                            "name": "partition",
+                            "field-id": 102,
+                            "type": {
+                                "type": "record",
+                                "name": "r102",
+                                "fields": part_fields,
+                            },
+                        },
+                        {"name": "record_count", "type": "long",
+                         "field-id": 103},
+                        {"name": "file_size_in_bytes", "type": "long",
+                         "field-id": 104},
+                        {
+                            "name": "equality_ids",
+                            "field-id": 135,
+                            "default": None,
+                            "type": ["null", {
+                                "type": "array",
+                                "items": "int",
+                                "element-id": 136,
+                            }],
+                        },
+                    ],
+                },
+            },
+        ],
+    }
+
+
+# Spark StructType-JSON type → Iceberg type string.
+_SPARK_TO_ICEBERG = {
+    "boolean": "boolean",
+    "integer": "int",
+    "short": "int",
+    "byte": "int",
+    "long": "long",
+    "float": "float",
+    "double": "double",
+    "date": "date",
+    "timestamp": "timestamptz",
+    "timestamp_ntz": "timestamp",
+    "string": "string",
+    "binary": "binary",
+}
+
+
+def _iceberg_type(t, next_id) -> object:
+    if isinstance(t, str):
+        if t in _SPARK_TO_ICEBERG:
+            return _SPARK_TO_ICEBERG[t]
+        if t.startswith("decimal("):
+            return t
+        raise ValueError(f"iceberg-export: unsupported type {t!r}")
+    kind = t.get("type")
+    if kind == "struct":
+        return {
+            "type": "struct",
+            "fields": [
+                {
+                    "id": next_id(),
+                    "name": f["name"],
+                    "required": not f.get("nullable", True),
+                    "type": _iceberg_type(f["type"], next_id),
+                }
+                for f in t["fields"]
+            ],
+        }
+    if kind == "array":
+        return {
+            "type": "list",
+            "element-id": next_id(),
+            "element-required": not t.get("containsNull", True),
+            "element": _iceberg_type(t["elementType"], next_id),
+        }
+    if kind == "map":
+        return {
+            "type": "map",
+            "key-id": next_id(),
+            "value-id": next_id(),
+            "key": _iceberg_type(t["keyType"], next_id),
+            "value-required": not t.get("valueContainsNull", True),
+            "value": _iceberg_type(t["valueType"], next_id),
+        }
+    raise ValueError(f"iceberg-export: unsupported type node {t!r}")
+
+
+_CONTENT_CODE = {md.DATA: 0, md.POS_DELETE: 1, md.EQ_DELETE: 2}
+
+
+def export_iceberg_metadata(
+    meta: md.TableMetadata,
+    out_dir: str | None = None,
+    snapshot_id: int | None = None,
+) -> str:
+    """Write ``meta``'s current (or given) snapshot as an Iceberg v2
+    metadata tree under ``out_dir`` (default:
+    ``<table_root>/metadata-iceberg``) and return the
+    ``*.metadata.json`` path. Data/delete parquet files are referenced
+    in place."""
+    snap = (
+        meta.snapshot_by_id(snapshot_id)
+        if snapshot_id is not None
+        else meta.current_snapshot()
+    )
+    if snap is None:
+        raise ValueError("iceberg-export: table has no snapshot")
+    out_dir = out_dir or os.path.join(meta.table_root, "metadata-iceberg")
+    io = io_for(out_dir)
+    io.mkdirs(out_dir)
+
+    # ---- schema with assigned field ids -------------------------------
+    counter = {"n": 0}
+
+    def next_id() -> int:
+        counter["n"] += 1
+        return counter["n"]
+
+    ice_schema = _iceberg_type(meta.schema, next_id)
+    ice_schema["schema-id"] = meta.schema_id
+    name_to_id = {f["name"]: f["id"] for f in ice_schema["fields"]}
+
+    # ---- manifests: one per content kind ------------------------------
+    entry_schema = _manifest_entry_schema(meta.partition_spec)
+    manifest_rows = []
+    for kind, list_content in ((md.DATA, 0), (md.POS_DELETE, 1),
+                               (md.EQ_DELETE, 1)):
+        entries = snap.files(kind)
+        if not entries:
+            continue
+        records = [
+            {
+                "status": 1,  # ADDED
+                "snapshot_id": snap.snapshot_id,
+                "sequence_number": e.sequence_number,
+                "file_sequence_number": e.sequence_number,
+                "data_file": {
+                    "content": _CONTENT_CODE[e.content],
+                    "file_path": e.file_path,
+                    "file_format": "PARQUET",
+                    "partition": {
+                        c: e.partition.get(c)
+                        for c in meta.partition_spec
+                    },
+                    "record_count": e.record_count,
+                    "file_size_in_bytes": e.file_size_bytes,
+                    "equality_ids": (
+                        [name_to_id[c] for c in e.equality_ids]
+                        if e.equality_ids else None
+                    ),
+                },
+            }
+            for e in entries
+        ]
+        blob = write_avro_ocf(entry_schema, records)
+        mpath = os.path.join(out_dir, f"manifest-{kind}-{snap.snapshot_id}.avro")
+        io.write_bytes(mpath, blob)
+        manifest_rows.append(
+            {
+                "manifest_path": mpath,
+                "manifest_length": len(blob),
+                "partition_spec_id": 0,
+                "content": list_content,
+                "sequence_number": snap.sequence_number,
+                "min_sequence_number": min(
+                    e.sequence_number for e in entries
+                ),
+                "added_snapshot_id": snap.snapshot_id,
+                "added_files_count": len(entries),
+                "existing_files_count": 0,
+                "deleted_files_count": 0,
+                "added_rows_count": sum(e.record_count for e in entries),
+                "existing_rows_count": 0,
+                "deleted_rows_count": 0,
+            }
+        )
+
+    list_blob = write_avro_ocf(_MANIFEST_LIST_SCHEMA, manifest_rows)
+    list_path = os.path.join(
+        out_dir, f"snap-{snap.snapshot_id}-manifest-list.avro"
+    )
+    io.write_bytes(list_path, list_blob)
+
+    # ---- metadata.json -------------------------------------------------
+    doc = {
+        "format-version": 2,
+        "table-uuid": str(
+            uuid.uuid5(uuid.NAMESPACE_URL, meta.table_root)
+        ),
+        "location": meta.table_root,
+        "last-sequence-number": meta.last_sequence_number,
+        "last-updated-ms": snap.timestamp_ms or int(time.time() * 1000),
+        "last-column-id": counter["n"],
+        "current-schema-id": meta.schema_id,
+        "schemas": [ice_schema],
+        "default-spec-id": 0,
+        "partition-specs": [
+            {
+                "spec-id": 0,
+                "fields": [
+                    {
+                        "name": c,
+                        "transform": "identity",
+                        "source-id": name_to_id[c],
+                        "field-id": 1000 + i,
+                    }
+                    for i, c in enumerate(meta.partition_spec)
+                ],
+            }
+        ],
+        "last-partition-id": 1000 + max(0, len(meta.partition_spec) - 1),
+        "default-sort-order-id": 0,
+        "sort-orders": [{"order-id": 0, "fields": []}],
+        "properties": {
+            k: v
+            for k, v in meta.properties.items()
+            if not k.startswith("iceberg.")
+        },
+        "current-snapshot-id": snap.snapshot_id,
+        "snapshots": [
+            {
+                "snapshot-id": snap.snapshot_id,
+                "parent-snapshot-id": snap.parent_snapshot_id,
+                "sequence-number": snap.sequence_number,
+                "timestamp-ms": snap.timestamp_ms,
+                "summary": {"operation": snap.operation},
+                "manifest-list": list_path,
+                "schema-id": meta.schema_id,
+            }
+        ],
+    }
+    mjson = os.path.join(
+        out_dir, f"{snap.snapshot_id:05d}-export.metadata.json"
+    )
+    io.write_text(mjson, json.dumps(doc, indent=1))
+    return mjson

@@ -1,0 +1,279 @@
+"""Import a REAL Apache Iceberg table's metadata into the lake.
+
+Reference parity: BergLoom compacts any Iceberg table handed to it by
+a catalog (``core/src/compaction/mod.rs:226`` ``catalog.load_table``;
+manifest walk at ``:363-392``). The rebuild's lake speaks an
+Iceberg-*shaped* but bespoke JSON metadata format — this adapter
+closes the gap for the read side: point it at a real Iceberg
+``*.metadata.json`` and it produces a :class:`~bergloom_spark.lake.
+metadata.TableMetadata` whose entries reference the Iceberg table's
+actual parquet data/delete files, so ``scan_data`` / ``merge_on_read``
+/ ``Compaction`` planning run against it unchanged.
+
+Implemented from the public Apache Iceberg Table Spec:
+
+- ``metadata.json`` v1 + v2 (schemas / current-schema-id, snapshots,
+  manifest lists, sequence numbers);
+- manifest lists and manifest files as Avro OCFs, decoded by the
+  self-contained reader in ``operators/avrocodec.py`` (this container
+  ships no Avro library);
+- manifest-entry semantics: status (ADDED/EXISTING live, DELETED
+  skipped), sequence-number inheritance from the manifest list for
+  ADDED entries (spec: "Sequence number inheritance"), file content
+  kinds (0 data, 1 position deletes, 2 equality deletes), equality
+  field ids resolved to column names through the current schema;
+- identity partition values are carried into the entry's partition
+  dict; non-identity transforms (bucket/truncate/day/...) are skipped
+  — they only gate partition-pruning metadata here, never row
+  correctness.
+
+Limitations (documented, not silent): columns are matched by NAME at
+scan time (a table whose parquet files predate a column rename needs
+field-id resolution Spark's vanilla parquet reader does not do), and
+the import is READ-ONLY — committing through :class:`LakeTable` would
+write this lake's own metadata format next to the Iceberg table's.
+``load_iceberg_table`` therefore sets ``properties["format"] =
+"iceberg-import"`` and readers should treat the handle as a pinned
+snapshot view (exactly how the reference pins one snapshot for the
+whole compaction, ``compaction/mod.rs:269``).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from bergloom_spark.lake import metadata as md
+from bergloom_spark.lake.fileio import io_for, strip_local_scheme
+from bergloom_spark.operators.avrocodec import parse_avro
+
+# Iceberg data_file.content values (spec: "Manifests")
+_CONTENT = {0: md.DATA, 1: md.POS_DELETE, 2: md.EQ_DELETE}
+_STATUS_DELETED = 2
+
+# Iceberg primitive type string → Spark simpleString used in
+# StructType.fromJson. decimal(p,s) / fixed[n] handled separately.
+_PRIM = {
+    "boolean": "boolean",
+    "int": "integer",
+    "long": "long",
+    "float": "float",
+    "double": "double",
+    "date": "date",
+    "time": "long",  # Spark has no time-of-day type; micros since midnight
+    "timestamp": "timestamp_ntz",
+    "timestamptz": "timestamp",
+    "timestamp_ns": "timestamp_ntz",
+    "timestamptz_ns": "timestamp",
+    "string": "string",
+    "uuid": "string",
+    "binary": "binary",
+}
+
+
+def _spark_type(t) -> object:
+    """Iceberg schema type node → Spark StructType-JSON type node."""
+    if isinstance(t, str):
+        if t in _PRIM:
+            return _PRIM[t]
+        if t.startswith("decimal(") and t.endswith(")"):
+            return t  # same textual form
+        if t.startswith("fixed[") and t.endswith("]"):
+            return "binary"
+        raise ValueError(f"iceberg: unsupported primitive type {t!r}")
+    kind = t.get("type")
+    if kind == "struct":
+        return {
+            "type": "struct",
+            "fields": [
+                {
+                    "name": f["name"],
+                    "type": _spark_type(f["type"]),
+                    "nullable": not f.get("required", False),
+                    "metadata": {},
+                }
+                for f in t["fields"]
+            ],
+        }
+    if kind == "list":
+        return {
+            "type": "array",
+            "elementType": _spark_type(t["element"]),
+            "containsNull": not t.get("element-required", False),
+        }
+    if kind == "map":
+        return {
+            "type": "map",
+            "keyType": _spark_type(t["key"]),
+            "valueType": _spark_type(t["value"]),
+            "valueContainsNull": not t.get("value-required", False),
+        }
+    raise ValueError(f"iceberg: unsupported type node {t!r}")
+
+
+def _current_schema(meta: dict) -> dict:
+    if "schemas" in meta:  # v2
+        sid = meta.get("current-schema-id", 0)
+        for s in meta["schemas"]:
+            if s.get("schema-id") == sid:
+                return s
+        raise ValueError(f"iceberg: current-schema-id {sid} not found")
+    if "schema" in meta:  # v1
+        return meta["schema"]
+    raise ValueError("iceberg: metadata carries no schema")
+
+
+def _field_ids(schema: dict) -> dict[int, str]:
+    """Top-level field-id → name (equality_ids always reference
+    top-level identifier columns in practice; nested ids map through
+    their dotted path would go here if ever needed)."""
+    return {f["id"]: f["name"] for f in schema.get("fields", [])}
+
+
+def _read_avro(path: str, io) -> list[dict]:
+    data = io.read_bytes(path)
+    _, records = parse_avro(data)
+    return records
+
+
+def _identity_partition(
+    partition_rec: dict | None, spec_fields: list[dict], ids: dict[int, str]
+) -> dict[str, str]:
+    """Identity-transform partition values → {source column: str}."""
+    out: dict[str, str] = {}
+    if not isinstance(partition_rec, dict):
+        return out
+    for f in spec_fields:
+        if f.get("transform") != "identity":
+            continue
+        col = ids.get(f.get("source-id"))
+        val = partition_rec.get(f.get("name"))
+        if col is not None and val is not None:
+            out[col] = str(val)
+    return out
+
+
+def load_iceberg_metadata(metadata_path: str) -> md.TableMetadata:
+    """Parse ``metadata_path`` (an Iceberg ``*.metadata.json``) and
+    its current snapshot's manifests into a :class:`TableMetadata`
+    pinned to that snapshot."""
+    io = io_for(metadata_path)
+    meta = json.loads(io.read_text(metadata_path))
+    fv = meta.get("format-version")
+    if fv not in (1, 2):
+        raise ValueError(f"iceberg: unsupported format-version {fv!r}")
+    schema = _current_schema(meta)
+    ids = _field_ids(schema)
+    spark_schema = _spark_type(
+        {"type": "struct", "fields": schema["fields"]}
+    )
+    specs = {
+        s.get("spec-id", 0): s.get("fields", [])
+        for s in meta.get("partition-specs", [])
+    }
+    if "partition-spec" in meta and 0 not in specs:  # v1 legacy field
+        specs[0] = meta["partition-spec"]
+    cur_id = meta.get("current-snapshot-id")
+    if cur_id in (None, -1):
+        raise ValueError("iceberg: table has no current snapshot")
+    snap = next(
+        (s for s in meta.get("snapshots", []) if s["snapshot-id"] == cur_id),
+        None,
+    )
+    if snap is None:
+        raise ValueError(f"iceberg: snapshot {cur_id} not in metadata")
+    snap_seq = snap.get("sequence-number", 0)
+
+    entries: list[md.ManifestEntry] = []
+    if "manifest-list" in snap:
+        manifests = _read_avro(
+            strip_local_scheme(snap["manifest-list"]), io
+        )
+    else:  # v1 tables may inline the manifest paths
+        manifests = [
+            {"manifest_path": p, "sequence_number": snap_seq}
+            for p in snap.get("manifests", [])
+        ]
+    for mf in manifests:
+        mf_seq = mf.get("sequence_number", snap_seq)
+        spec_fields = specs.get(mf.get("partition_spec_id", 0), [])
+        for entry in _read_avro(
+            strip_local_scheme(mf["manifest_path"]), io
+        ):
+            if entry.get("status") == _STATUS_DELETED:
+                continue
+            df = entry.get("data_file") or {}
+            seq = entry.get("sequence_number")
+            if seq is None:
+                # spec: ADDED entries with null sequence number
+                # inherit the manifest's (manifest-list row's) one
+                seq = mf_seq
+            content = _CONTENT.get(df.get("content", 0))
+            if content is None:
+                raise ValueError(
+                    f"iceberg: unknown file content {df.get('content')!r}"
+                )
+            fmt = str(df.get("file_format", "")).upper()
+            if fmt and fmt != "PARQUET":
+                raise ValueError(
+                    f"iceberg: unsupported file format {fmt!r}"
+                )
+            eq_names = [
+                ids[i] for i in (df.get("equality_ids") or []) if i in ids
+            ]
+            entries.append(
+                md.ManifestEntry(
+                    content=content,
+                    file_path=strip_local_scheme(df["file_path"]),
+                    record_count=int(df.get("record_count", 0)),
+                    file_size_bytes=int(df.get("file_size_in_bytes", 0)),
+                    sequence_number=int(seq),
+                    equality_ids=eq_names,
+                    partition=_identity_partition(
+                        df.get("partition"), spec_fields, ids
+                    ),
+                )
+            )
+
+    out = md.TableMetadata(
+        table_root=strip_local_scheme(meta.get("location", os.path.dirname(metadata_path))),
+        schema=spark_schema,
+        schema_id=schema.get("schema-id", 0),
+        partition_spec=[
+            ids[f["source-id"]]
+            for f in specs.get(meta.get("default-spec-id", 0), [])
+            if f.get("transform") == "identity" and f.get("source-id") in ids
+        ],
+        properties={
+            **meta.get("properties", {}),
+            "format": "iceberg-import",
+            "iceberg.format-version": str(fv),
+            "iceberg.metadata-location": metadata_path,
+        },
+        current_snapshot_id=cur_id,
+        last_sequence_number=meta.get("last-sequence-number", snap_seq),
+        last_snapshot_id=cur_id,
+        version=0,
+        snapshots=[
+            md.Snapshot(
+                snapshot_id=cur_id,
+                sequence_number=snap_seq,
+                timestamp_ms=snap.get("timestamp-ms", 0),
+                operation=(snap.get("summary") or {}).get(
+                    "operation", "append"
+                ),
+                entries=entries,
+                parent_snapshot_id=snap.get("parent-snapshot-id"),
+            )
+        ],
+    )
+    return out
+
+
+def load_iceberg_table(spark, metadata_path: str):
+    """Real Iceberg table → read-only :class:`LakeTable` pinned to
+    the current snapshot. ``scan_data`` / ``read`` (merge-on-read
+    with pos+eq deletes and sequence gating) work unchanged."""
+    from bergloom_spark.lake.table import LakeTable
+
+    return LakeTable(spark, load_iceberg_metadata(metadata_path))

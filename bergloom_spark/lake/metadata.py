@@ -17,7 +17,6 @@ from __future__ import annotations
 
 import json
 import os
-import time
 from dataclasses import asdict, dataclass, field
 
 DATA = "data"
@@ -125,40 +124,57 @@ def version_path(table_root: str, version: int) -> str:
     return os.path.join(metadata_dir(table_root), f"v{version}.metadata.json")
 
 
-def read_current(table_root: str) -> TableMetadata:
+def read_current(table_root: str, io=None) -> TableMetadata:
+    """Load the newest metadata version under ``table_root``.
+
+    All storage access goes through a :class:`~bergloom_spark.lake.
+    fileio.FileIO` resolved from the root's scheme (verdict r11 #3 —
+    reference parity with iceberg-rs's pluggable FileIO,
+    ``core/Cargo.toml:16-19``): bare paths stay on ``os``-level I/O,
+    ``scheme://`` roots route through the JVM Hadoop FileSystem."""
+    from bergloom_spark.lake.fileio import io_for
+
+    io = io or io_for(table_root)
     mdir = metadata_dir(table_root)
     versions = [
         int(f[1:].split(".")[0])
-        for f in os.listdir(mdir)
+        for f in io.list_names(mdir)
         if f.startswith("v") and f.endswith(".metadata.json")
     ]
     if not versions:
         raise FileNotFoundError(f"no metadata versions in {mdir}")
-    with open(version_path(table_root, max(versions))) as fh:
-        return TableMetadata.from_json(fh.read())
+    return TableMetadata.from_json(
+        io.read_text(version_path(table_root, max(versions)))
+    )
 
 
 class CommitConflict(Exception):
     """Another writer committed the next version first (retryable)."""
 
 
-def write_version(meta: TableMetadata) -> None:
+def write_version(meta: TableMetadata, io=None) -> None:
     """Atomically publish ``meta`` as the next metadata version.
 
-    ``os.link`` onto the target fails with EEXIST if the version was
-    taken — the CAS the reference gets from its catalog's
-    ``commit_table`` (losers raise :class:`CommitConflict` and retry at
-    a higher level, ``compaction/mod.rs:595-611``).
+    Write-then-publish through the FileIO seam: the full JSON is
+    written to a scratch path first, then ``publish_if_absent``
+    atomically claims the target — it raises FileExistsError if the
+    version was taken (losers raise :class:`CommitConflict` and retry
+    at a higher level, ``compaction/mod.rs:595-611``). That single
+    CAS primitive is the only thing commit safety needs from
+    storage; everything else is plain reads/writes/lists.
     """
+    from bergloom_spark.lake.fileio import io_for
+
+    io = io or io_for(meta.table_root)
     mdir = metadata_dir(meta.table_root)
-    os.makedirs(mdir, exist_ok=True)
-    tmp = os.path.join(mdir, f".tmp-{os.getpid()}-{time.monotonic_ns()}.json")
-    with open(tmp, "w") as fh:
-        fh.write(meta.to_json())
+    io.mkdirs(mdir)
+    tmp = io.new_tmp_path(mdir)
+    io.write_text(tmp, meta.to_json())
     target = version_path(meta.table_root, meta.version)
     try:
-        os.link(tmp, target)
+        io.publish_if_absent(tmp, target)
     except FileExistsError as exc:
         raise CommitConflict(f"version {meta.version} already committed") from exc
     finally:
-        os.unlink(tmp)
+        if io.exists(tmp):
+            io.delete(tmp)

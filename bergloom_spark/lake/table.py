@@ -1410,9 +1410,25 @@ class LakeTable:
         files = snap.files(md.POS_DELETE)
         if not files:
             return None
-        return self.spark.read.schema(md.POS_DELETE_SCHEMA).parquet(
+        df = self.spark.read.schema(md.POS_DELETE_SCHEMA).parquet(
             *[e.file_path for e in files]
         )
+        # Our own writer stores raw local paths, but an IMPORTED
+        # Iceberg table's pos-delete files reference data files by the
+        # URI form the original writer used (file:///... with percent
+        # escapes), while sys_hidden_file_path is the normalized local
+        # path — without this conditional decode every imported
+        # pos-delete would silently miss its target rows. Raw local
+        # paths never start with "file:" so the existing lake format
+        # takes the no-op branch.
+        df = df.withColumn(
+            "file_path",
+            F.when(
+                F.col("file_path").startswith("file:"),
+                _normalize_path(F.col("file_path")),
+            ).otherwise(F.col("file_path")),
+        )
+        return df
 
     def _eq_delete_groups(self, snap: md.Snapshot) -> list[mor.EqualityDeleteGroup]:
         entries = []

@@ -122,6 +122,12 @@ def _collect_parquet_entries(
     harvest that costs more than the already-open footer."""
     import pyarrow.parquet as pq
 
+    from bergloom_spark.lake.fileio import strip_local_scheme
+
+    # A file://-scheme table root reaches here intact (Spark wrote
+    # through it); the glob/pyarrow harvest operates on the mounted
+    # local path, and manifest entries record plain absolute paths.
+    out_dir = strip_local_scheme(out_dir)
     entries = []
     pattern = os.path.join(out_dir, "**", "*.parquet")
     for path in sorted(glob.glob(pattern, recursive=True)):

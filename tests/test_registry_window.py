@@ -90,11 +90,16 @@ def test_window_not_overfull():
 
 
 def test_every_registered_query_has_an_oracle():
+    """Full-oracle coverage except the EXPLICIT rows-only set (the
+    driver records a weaker rows-only check for those; each entry in
+    entry._ROWS_ONLY documents why no SQL twin can exist). A missing
+    oracle outside that set is an error, not a silent downgrade."""
     oracles = set(entry.oracle_sql())
-    missing = [n for n in entry.queries() if n not in oracles]
-    assert not missing, (
-        f"registered without oracle_sql (driver would record err): "
-        f"{missing}"
+    missing = {n for n in entry.queries() if n not in oracles}
+    assert missing == set(entry._ROWS_ONLY), (
+        f"oracle coverage drifted: undeclared rows-only "
+        f"{missing - set(entry._ROWS_ONLY)}; declared-but-covered "
+        f"{set(entry._ROWS_ONLY) - missing}"
     )
 
 
