@@ -302,6 +302,13 @@ def main() -> None:
     # host contention window, so the drift decision rule can be
     # applied to the phase the movement occurred in.
     phase_probes: list[dict] = []
+    # Per-query shuffle/spill record (verdict r11 #6): stage-metric
+    # deltas from the listener-fed AppStatusStore, captured on each
+    # query's FIRST timed pass only (two store reads per query; later
+    # passes run uninstrumented so the best-of-N floor is clean).
+    from bergloom_spark.plans.runtime_metrics import StageMetricsCapture
+
+    queries_io: dict[str, dict] = {}
     for group in (HEADLINE_R1, rest):
         if do_warmup:
             for _ in range(warmup_iters):
@@ -331,7 +338,14 @@ def main() -> None:
             for name in order:
                 start = time.monotonic()
                 df = queries[name](spark, sf_dir)
-                df.write.format("noop").mode("overwrite").save()
+                if name not in queries_io:
+                    with StageMetricsCapture(spark) as cap:
+                        df.write.format("noop").mode(
+                            "overwrite"
+                        ).save()
+                    queries_io[name] = cap.metrics
+                else:
+                    df.write.format("noop").mode("overwrite").save()
                 elapsed = time.monotonic() - start
                 best[name] = min(best[name], elapsed)
                 samples[name].append(elapsed)
@@ -469,6 +483,13 @@ def main() -> None:
                     k: os.environ.get(k) for k in _THREAD_PINS
                 },
                 "lib_versions": _lib_versions(),
+                # Per-query stage-metric deltas (first timed pass):
+                # shuffle read/write, spill, input/output bytes,
+                # executor run time, stage count — the plan-shape
+                # record behind each timing (verdict r11 #6). A
+                # timing regression with FLAT bytes here is host/env;
+                # moving bytes means the plan changed.
+                "queries_io": queries_io,
             }
     )
     print(json.dumps(full_record))

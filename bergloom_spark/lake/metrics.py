@@ -83,4 +83,105 @@ class MetricsRegistry:
         return dict(out)
 
 
+    def prometheus_text(self) -> str:
+        """Prometheus exposition-format rendering of every metric —
+        the export surface the reference registers its counters and
+        histograms for (``core/src/common/mod.rs:19-109`` registers
+        into a prometheus registry; this is the text a scrape
+        endpoint would serve, generated without any HTTP dependency
+        so callers can mount it behind whatever server exists —
+        ``serve_prometheus`` below ships the stdlib one)."""
+        counters = [
+            ("compaction_commit_counter", "compaction_commit_counter"),
+            ("compaction_counter", "compaction_counter"),
+            ("compaction_error_counter", "compaction_error_counter"),
+            ("compaction_commit_failed_counter",
+             "compaction_commit_failed_counter"),
+            ("compaction_executor_error_counter",
+             "compaction_executor_error_counter"),
+            ("compaction_rewritten_bytes", "compaction_rewritten_bytes"),
+            ("compaction_rewritten_files_count",
+             "compaction_rewritten_files_count"),
+            ("compaction_added_files_count",
+             "compaction_added_files_count"),
+            ("compaction_added_bytes", "compaction_added_bytes"),
+        ]
+        hists = [
+            ("compaction_duration", "compaction_duration_seconds"),
+            ("compaction_commit_duration",
+             "compaction_commit_duration_seconds"),
+        ]
+
+        def esc(v: str) -> str:
+            return (
+                v.replace("\\", "\\\\").replace('"', '\\"')
+                .replace("\n", "\\n")
+            )
+
+        lines: list[str] = []
+        for attr, name in counters:
+            lines.append(f"# TYPE {name} counter")
+            for (catalog, table), m in sorted(self._metrics.items()):
+                lbl = (
+                    f'catalog_name="{esc(catalog)}",'
+                    f'table_ident="{esc(table)}"'
+                )
+                lines.append(f"{name}{{{lbl}}} {getattr(m, attr)}")
+        for attr, name in hists:
+            lines.append(f"# TYPE {name} histogram")
+            for (catalog, table), m in sorted(self._metrics.items()):
+                h: Histogram = getattr(m, attr)
+                lbl = (
+                    f'catalog_name="{esc(catalog)}",'
+                    f'table_ident="{esc(table)}"'
+                )
+                cum = 0
+                for bound, c in zip(h.buckets, h.counts):
+                    cum += c
+                    lines.append(
+                        f'{name}_bucket{{{lbl},le="{bound}"}} {cum}'
+                    )
+                lines.append(
+                    f'{name}_bucket{{{lbl},le="+Inf"}} {h.n}'
+                )
+                lines.append(f"{name}_sum{{{lbl}}} {h.total}")
+                lines.append(f"{name}_count{{{lbl}}} {h.n}")
+        return "\n".join(lines) + "\n"
+
+
+def serve_prometheus(
+    registry: "MetricsRegistry", port: int = 0
+) -> tuple:
+    """Minimal stdlib scrape endpoint serving
+    ``registry.prometheus_text()`` at ``/metrics`` on a daemon
+    thread; returns ``(server, bound_port)``. Zero dependencies —
+    the export surface the reference wires its registry into, for
+    deployments that scrape the driver."""
+    import threading
+    from http.server import BaseHTTPRequestHandler, HTTPServer
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_GET(self):  # noqa: N802 (stdlib API name)
+            if self.path.rstrip("/") not in ("", "/metrics"):
+                self.send_response(404)
+                self.end_headers()
+                return
+            body = registry.prometheus_text().encode("utf-8")
+            self.send_response(200)
+            self.send_header(
+                "Content-Type", "text/plain; version=0.0.4"
+            )
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):  # silence per-scrape stderr noise
+            pass
+
+    server = HTTPServer(("127.0.0.1", port), Handler)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    return server, server.server_address[1]
+
+
 GLOBAL_REGISTRY = MetricsRegistry()
