@@ -10214,6 +10214,65 @@ def q_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_crawl_text_heavy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-bench-only crawl variant (verdict r11 #7, r9's gif
+    lesson applied): the registered crawl rows carry ~1 KB recipe
+    pages, so their decade exponent measures per-task fixed overhead,
+    not the crawl path. This one packs THREE ~20 KB pages per doc
+    (repeated prose + markup + links), making WARC walk + HTML strip
+    + feature extraction data-dominated — the slope a 100 TB crawl
+    actually runs on. Not in queries(): no oracle value in timing
+    fixtures this large; correctness of the same code path is pinned
+    by crawl_text_pipeline/warc_records at recipe size."""
+    import pandas as pd
+
+    from bergloom_spark.operators.crawl import crawl_text_pipeline
+    from bergloom_spark.operators.warc import make_warc
+
+    d = TS(spark, sf_dir, "documents").select("doc_id")
+
+    para = (
+        "<p>The quick brown fox jumps over the lazy dog while the "
+        "crawler measures throughput of markup stripping and link "
+        'extraction with an inline <a href="/l%d">link</a> in every '
+        "paragraph of this synthetic but realistically sized page "
+        "body.</p>"
+    )
+
+    def make_payloads(it):
+        for pdf in it:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                pages = []
+                for p in range(3):
+                    body = (
+                        "<html><head><title>page %d-%d</title></head>"
+                        "<body>%s</body></html>"
+                        % (i, p, (para % i) * 80)  # ~20 KB
+                    )
+                    pages.append(
+                        {
+                            "url": (
+                                f"https://h{i % 50}.example/"
+                                f"d{i}/p{p}.html"
+                            ),
+                            "text": body,
+                        }
+                    )
+                payloads.append(make_warc(pages, seed=f"heavy{i}"))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    warc_df = d.mapInPandas(make_payloads, "doc_id long, payload binary")
+    pages = crawl_text_pipeline(warc_df)
+    return pages.groupBy("site").agg(
+        F.count("*").alias("n_pages"),
+        F.sum("text_len").alias("total_text"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------

@@ -102,39 +102,44 @@ class FileIO:
 
 
 class LocalFileIO(FileIO):
+    """``os``-level I/O. Accepts bare paths AND ``file://`` URIs
+    (stripped on entry) so it can serve as the no-JVM fallback for
+    local-scheme roots inside Python workers, where no SparkSession
+    exists for :class:`HadoopFileIO`."""
+
     def list_names(self, directory: str) -> list[str]:
-        return os.listdir(directory)
+        return os.listdir(strip_local_scheme(directory))
 
     def read_text(self, path: str) -> str:
-        with open(path) as fh:
+        with open(strip_local_scheme(path)) as fh:
             return fh.read()
 
     def read_bytes(self, path: str) -> bytes:
-        with open(path, "rb") as fh:
+        with open(strip_local_scheme(path), "rb") as fh:
             return fh.read()
 
     def write_text(self, path: str, text: str) -> None:
-        with open(path, "w") as fh:
+        with open(strip_local_scheme(path), "w") as fh:
             fh.write(text)
 
     def write_bytes(self, path: str, blob: bytes) -> None:
-        with open(path, "wb") as fh:
+        with open(strip_local_scheme(path), "wb") as fh:
             fh.write(blob)
 
     def publish_if_absent(self, src: str, dst: str) -> None:
         # hard-link CAS: link(2) fails with EEXIST when dst exists —
         # atomic on every POSIX filesystem, and the published file is
         # complete by construction (src was fully written first)
-        os.link(src, dst)
+        os.link(strip_local_scheme(src), strip_local_scheme(dst))
 
     def delete(self, path: str) -> None:
-        os.unlink(path)
+        os.unlink(strip_local_scheme(path))
 
     def exists(self, path: str) -> bool:
-        return os.path.exists(path)
+        return os.path.exists(strip_local_scheme(path))
 
     def mkdirs(self, directory: str) -> None:
-        os.makedirs(directory, exist_ok=True)
+        os.makedirs(strip_local_scheme(directory), exist_ok=True)
 
 
 class HadoopFileIO(FileIO):
@@ -231,7 +236,17 @@ def io_for(path: str) -> FileIO:
     """FileIO implementation for ``path``'s scheme: bare paths →
     :class:`LocalFileIO`; any URI scheme → :class:`HadoopFileIO`
     (``file://`` included, so the JVM path is test-exercised
-    locally)."""
-    if path_scheme(path) == "":
+    locally). A ``file://`` path WITHOUT an active SparkSession —
+    e.g. a lakestream partition reading table metadata inside a
+    Python worker — falls back to :class:`LocalFileIO`, which strips
+    the scheme itself; local means local on every host that can see
+    the path."""
+    scheme = path_scheme(path)
+    if scheme == "":
         return LocalFileIO()
+    if scheme == "file":
+        from pyspark.sql import SparkSession
+
+        if SparkSession.getActiveSession() is None:
+            return LocalFileIO()
     return HadoopFileIO()

@@ -130,8 +130,11 @@ def _field_ids(schema: dict) -> dict[int, str]:
     return {f["id"]: f["name"] for f in schema.get("fields", [])}
 
 
-def _read_avro(path: str, io) -> list[dict]:
-    data = io.read_bytes(path)
+def _read_avro(path: str) -> list[dict]:
+    # FileIO resolved PER PATH: a metadata.json read from a local
+    # checkout may reference manifests by their original object-store
+    # URIs (and vice versa after a partial mirror).
+    data = io_for(path).read_bytes(path)
     _, records = parse_avro(data)
     return records
 
@@ -186,9 +189,7 @@ def load_iceberg_metadata(metadata_path: str) -> md.TableMetadata:
 
     entries: list[md.ManifestEntry] = []
     if "manifest-list" in snap:
-        manifests = _read_avro(
-            strip_local_scheme(snap["manifest-list"]), io
-        )
+        manifests = _read_avro(strip_local_scheme(snap["manifest-list"]))
     else:  # v1 tables may inline the manifest paths
         manifests = [
             {"manifest_path": p, "sequence_number": snap_seq}
@@ -197,9 +198,7 @@ def load_iceberg_metadata(metadata_path: str) -> md.TableMetadata:
     for mf in manifests:
         mf_seq = mf.get("sequence_number", snap_seq)
         spec_fields = specs.get(mf.get("partition_spec_id", 0), [])
-        for entry in _read_avro(
-            strip_local_scheme(mf["manifest_path"]), io
-        ):
+        for entry in _read_avro(strip_local_scheme(mf["manifest_path"])):
             if entry.get("status") == _STATUS_DELETED:
                 continue
             df = entry.get("data_file") or {}
@@ -277,3 +276,31 @@ def load_iceberg_table(spark, metadata_path: str):
     from bergloom_spark.lake.table import LakeTable
 
     return LakeTable(spark, load_iceberg_metadata(metadata_path))
+
+
+def compact_iceberg_table(
+    spark, metadata_path: str, work_root: str, config=None
+):
+    """The reference's headline operation, on a REAL Iceberg table:
+    load it (``compaction/mod.rs:226``), rewrite all data files with
+    every delete applied (``:191-352``), and publish the result as a
+    new Iceberg v2 metadata tree. Returns ``(CompactionResult,
+    new_metadata_json_path)``.
+
+    Because the rebuild's commit format is its own JSON (writing it
+    into a live Iceberg table's directory would pollute it, and a
+    real catalog swap needs the catalog the sandbox doesn't have),
+    the rewrite happens on a zero-copy CLONE under ``work_root`` —
+    the import pins the source snapshot exactly as the reference pins
+    one for the whole compaction — and the output metadata tree
+    references only files under ``work_root``. A catalog-owning
+    caller would commit that tree with a RewriteFiles/CAS swap, which
+    is the one step that requires catalog credentials."""
+    from bergloom_spark.lake.compaction import Compaction
+    from bergloom_spark.lake.iceberg_export import export_iceberg_metadata
+
+    t = load_iceberg_table(spark, metadata_path)
+    clone = t.clone_to(work_root)
+    result = Compaction(clone, config).compact()
+    out_path = export_iceberg_metadata(clone.refresh().meta)
+    return result, out_path

@@ -240,6 +240,54 @@ class TestImportSpecSemantics:
         got = sorted(r.id for r in t2.read().collect())
         assert len(got) == 18  # two rows deleted by position
 
+    def test_compact_real_iceberg_table_end_to_end(
+        self, spark, tmp_path
+    ):
+        """The reference's whole job on a real Iceberg metadata tree:
+        import → rewrite with all deletes applied → export → the
+        re-imported compacted table reads identically and carries no
+        delete files."""
+        from bergloom_spark.lake.iceberg_export import (
+            export_iceberg_metadata,
+        )
+        from bergloom_spark.lake.iceberg_import import (
+            compact_iceberg_table,
+        )
+        from bergloom_spark.operators import mor
+
+        t = LakeTable.create(spark, str(tmp_path / "src"), SCHEMA)
+        t.append(seed(spark).filter("id % 2 = 0"))
+        t.append(seed(spark).filter("id % 2 = 1"))
+        hidden = t.scan_data(with_hidden=True)
+        t.append_position_deletes(
+            hidden.filter("id % 9 = 0").select(
+                F.col(mor.SYS_HIDDEN_FILE_PATH).alias("file_path"),
+                F.col(mor.SYS_HIDDEN_POS).alias("pos"),
+            )
+        )
+        t.append_equality_deletes(
+            spark.createDataFrame([("c1",)], "cat string"), ["cat"]
+        )
+        expected = sorted(
+            (r.id, r.cat, r.val) for r in t.read().collect()
+        )
+        src_iceberg = export_iceberg_metadata(t.meta)
+
+        result, out_meta = compact_iceberg_table(
+            spark, src_iceberg, str(tmp_path / "work")
+        )
+        assert result.stat.rewritten_files_count >= 2
+        t2 = load_iceberg_table(spark, out_meta)
+        got = sorted((r.id, r.cat, r.val) for r in t2.read().collect())
+        assert got == expected
+        snap = t2.meta.current_snapshot()
+        assert not snap.files(md.POS_DELETE)
+        assert not snap.files(md.EQ_DELETE)
+        # compacted output references only files under the work root
+        assert all(
+            str(tmp_path / "work") in e.file_path for e in snap.entries
+        )
+
     def test_unsupported_inputs_raise(self, spark, tmp_path):
         t = LakeTable.create(spark, str(tmp_path / "e"), SCHEMA)
         t.append(seed(spark, 5))

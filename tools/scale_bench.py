@@ -73,13 +73,45 @@ HEAVY = [
     # 128x128x12 (~196k decoded px/doc) and measures the
     # data-dominated slope of the frame-explosion path itself.
     "gif_decode_heavy",
+    # round-12: the crawl-ingest layer (verdict r11 #7) — the r11
+    # family was the only major one without a measured decade
+    # exponent. warc_records is the container walk + charset-aware
+    # decode; crawl_text_pipeline adds page policy + URL/html feature
+    # extraction + markup strip on top. Both are map-only explosions
+    # whose payloads are per-doc recipes, so the decade multiplies
+    # the doc count exactly.
+    "warc_records",
+    "crawl_text_pipeline",
+    # the data-DOMINATED crawl slope (3 × ~20 KB pages per doc): the
+    # registered rows' tiny recipe pages put fixed task overhead in
+    # the numerator (exponents 0.08/0.13 measured r12) — this is the
+    # number that predicts a real crawl's cost at 10×.
+    "crawl_text_heavy",
 ]
 
 SF01 = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# Per-query timed-pass overrides. crawl_text_heavy pushes ~3 GB of
+# 60 KB strings through the JVM per sf1 pass; r12 profiling showed its
+# per-pass time halving for ~5 consecutive passes (127 → 23 → 23 → 14
+# → 11 → 10.4 s) as the heap grows to its steady working set — a
+# best-of-2 measures GC adolescence, not the operator. Floor measured
+# r12: sf1 10.4 s / sf0.1 1.9 s → exponent 0.74.
+PASSES = {"crawl_text_heavy": 6}
+
 
 def main() -> None:
     sf1 = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sfx1"
+    # Optional subset (comma-separated names): measure only the named
+    # queries and MERGE their rows into the committed BENCH_sf1.json
+    # instead of overwriting the full record — adding one family's
+    # decade row must not force a full 25-query re-run.
+    subset = [
+        n
+        for n in os.environ.get("SPARK_GRAFT_SCALE_QUERIES", "").split(",")
+        if n
+    ]
+    heavy = [n for n in HEAVY if not subset or n in subset]
     spec = importlib.util.spec_from_file_location(
         "entry",
         os.path.join(os.path.dirname(__file__), "..", "__spark_entry__.py"),
@@ -91,6 +123,7 @@ def main() -> None:
     queries["changelog_delete_heavy"] = mod.q_changelog_delete_heavy
     queries["changelog_budget_exceeded"] = mod.q_changelog_budget_exceeded
     queries["gif_decode_heavy"] = mod.q_gif_decode_heavy
+    queries["crawl_text_heavy"] = mod.q_crawl_text_heavy
 
     spark = get_spark(app_name="scale-bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -105,14 +138,18 @@ def main() -> None:
             best = min(best, time.monotonic() - t0)
         return round(best, 3)
 
-    # warmup (JIT + caches) at the small SF
-    for name in HEAVY:
-        run(name, SF01, passes=1)
+    # warmup (JIT + caches) at the small SF. TWO passes: r12 profiled
+    # crawl_text_heavy tiering in over ~3 runs (16 s → 3.6 s → 3.1 s →
+    # 2.7 s); one warmup + best-of-2 caught it mid-compilation and the
+    # decade exponent swung 0.6-1.4 run to run. Steady-state is the
+    # quantity (the 100 TB job runs compiled code for hours).
+    for name in heavy:
+        run(name, SF01, passes=2)
 
     out = {"sf0.1": {}, "sf1": {}, "exponent": {}}
-    for name in HEAVY:
-        t_small = run(name, SF01)
-        t_big = run(name, sf1)
+    for name in heavy:
+        t_small = run(name, SF01, passes=PASSES.get(name, 2))
+        t_big = run(name, sf1, passes=PASSES.get(name, 2))
         out["sf0.1"][name] = t_small
         out["sf1"][name] = t_big
         out["exponent"][name] = round(math.log10(t_big / t_small), 3)
@@ -121,17 +158,21 @@ def main() -> None:
             f"exponent={out['exponent'][name]}"
         )
     here = os.path.join(os.path.dirname(__file__), "..", "BENCH_sf1.json")
+    doc = {
+        "metric": "heavy_queries_decade_scaling",
+        "unit": "sec",
+        "sf1_dir": sf1,
+        **out,
+    }
+    if subset and os.path.exists(here):
+        with open(here) as fh:
+            prev = json.load(fh)
+        for k in ("sf0.1", "sf1", "exponent"):
+            merged = dict(prev.get(k, {}))
+            merged.update(out[k])
+            doc[k] = merged
     with open(here, "w") as fh:
-        json.dump(
-            {
-                "metric": "heavy_queries_decade_scaling",
-                "unit": "sec",
-                "sf1_dir": sf1,
-                **out,
-            },
-            fh,
-            indent=1,
-        )
+        json.dump(doc, fh, indent=1)
     print("wrote BENCH_sf1.json")
     spark.stop()
 
