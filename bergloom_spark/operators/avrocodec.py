@@ -223,34 +223,49 @@ def parse_avro(payload: bytes):
         raise ValueError(f"avro: unsupported codec {codec!r}")
     sync = r.read_raw(16)
     names: dict = {}
-    _register_named(schema, names)
-    records: list = []
-    while r.remaining() > 0:
-        n = r.read_long()
-        size = r.read_long()
-        if n < 0 or size < 0:
-            raise ValueError("avro: negative block header")
-        block = r.read_raw(size)
-        if codec == "deflate":
-            try:
-                dec = zlib.decompressobj(-15)  # raw deflate per spec
-                block = dec.decompress(block, _MAX_INFLATE)
-                if dec.unconsumed_tail:
+    # The embedded schema is ATTACKER BYTES like everything else: a
+    # mutated-but-still-JSON document can drop required keys, swap
+    # node types, nest pathologically, or declare absurd sizes. Every
+    # structural surprise must surface as the contract's ValueError,
+    # never a KeyError/TypeError/RecursionError escaping to the
+    # caller (r12 fuzz campaign finding, first 20k-mutation run).
+    try:
+        _register_named(schema, names)
+        records: list = []
+        while r.remaining() > 0:
+            n = r.read_long()
+            size = r.read_long()
+            if n < 0 or size < 0:
+                raise ValueError("avro: negative block header")
+            block = r.read_raw(size)
+            if codec == "deflate":
+                try:
+                    dec = zlib.decompressobj(-15)  # raw deflate per spec
+                    block = dec.decompress(block, _MAX_INFLATE)
+                    if dec.unconsumed_tail:
+                        raise ValueError(
+                            f"avro: block inflates past {_MAX_INFLATE}"
+                        )
+                except zlib.error as exc:
                     raise ValueError(
-                        f"avro: block inflates past {_MAX_INFLATE}"
-                    )
-            except zlib.error as exc:
-                raise ValueError(f"avro: bad deflate block: {exc}") from exc
-        if n > len(block) + 1:
-            raise ValueError(f"avro: block claims {n} records in "
-                             f"{len(block)} bytes")
-        br = _Reader(block)
-        for _ in range(n):
-            records.append(_decode(schema, br, names))
-        if br.remaining():
-            raise ValueError(
-                f"avro: {br.remaining()} trailing bytes in block"
-            )
-        if r.read_raw(16) != sync:
-            raise ValueError("avro: sync marker mismatch")
+                        f"avro: bad deflate block: {exc}"
+                    ) from exc
+            if n > len(block) + 1:
+                raise ValueError(f"avro: block claims {n} records in "
+                                 f"{len(block)} bytes")
+            br = _Reader(block)
+            for _ in range(n):
+                records.append(_decode(schema, br, names))
+            if br.remaining():
+                raise ValueError(
+                    f"avro: {br.remaining()} trailing bytes in block"
+                )
+            if r.read_raw(16) != sync:
+                raise ValueError("avro: sync marker mismatch")
+    except (KeyError, TypeError, IndexError, AttributeError,
+            OverflowError, RecursionError, UnicodeDecodeError,
+            struct.error) as exc:
+        raise ValueError(
+            f"avro: malformed schema or payload: {exc!r}"
+        ) from exc
     return schema, records

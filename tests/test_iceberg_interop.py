@@ -88,6 +88,58 @@ class TestAvroRoundtrip:
         with pytest.raises(ValueError):
             parse_avro(b"")
 
+    def test_mutated_schema_json_is_valueerror(self):
+        """r12 fuzz finding: the embedded avro.schema is attacker
+        bytes — a still-valid-JSON mutation that drops required keys
+        ('name'/'type'/'fields') or swaps node types escaped as
+        KeyError/TypeError instead of the bytes→ValueError
+        contract."""
+        import json as _json
+
+        from bergloom_spark.lake.iceberg_export import (
+            _enc_bytes,
+            _enc_long,
+            _enc_str,
+        )
+
+        def ocf_with_schema(schema_obj) -> bytes:
+            blob = bytearray(b"Obj\x01")
+            blob += _enc_long(2)
+            blob += _enc_str("avro.schema") + _enc_bytes(
+                _json.dumps(schema_obj).encode()
+            )
+            blob += _enc_str("avro.codec") + _enc_bytes(b"null")
+            blob += _enc_long(0)
+            sync = b"S" * 16
+            blob += sync
+            payload = b"\x02" * 8  # arbitrary record bytes
+            blob += _enc_long(1) + _enc_long(len(payload)) + payload
+            blob += sync
+            return bytes(blob)
+
+        for schema in (
+            {"type": "record", "name": "r",
+             "fields": [{"type": "long"}]},          # field sans name
+            {"type": "record", "name": "r",
+             "fields": [{"name": "a"}]},             # field sans type
+            {"type": "record", "name": "r"},         # record sans fields? ok-empty
+            {"type": "fixed", "name": "f"},          # fixed sans size
+            {"type": "enum", "name": "e",
+             "symbols": "notalist"},                 # symbols wrong type
+            {"type": "array"},                       # array sans items
+            {"type": "map"},                         # map sans values
+            [[]],                                    # nested junk
+            12.5,                                    # not a schema at all
+        ):
+            try:
+                parse_avro(ocf_with_schema(schema))
+            except ValueError:
+                pass  # the contract
+            # anything else (KeyError/TypeError/...) fails the test
+            # by escaping; a silent success is fine only for shapes
+            # that legitimately decode 8 bytes (none of these do,
+            # but the contract under test is "no foreign exception")
+
 
 class TestExportImportRoundtrip:
     def _rows(self, df):

@@ -444,7 +444,60 @@ def _seeds_triage():
     ]
 
 
+def _seeds_avro():
+    from bergloom_spark.lake.iceberg_export import (
+        _MANIFEST_LIST_SCHEMA,
+        _manifest_entry_schema,
+        write_avro_ocf,
+    )
+    from bergloom_spark.operators.avrocodec import parse_avro
+
+    entry_schema = _manifest_entry_schema(["cat"])
+    entries = [
+        {
+            "status": 1,
+            "snapshot_id": 7,
+            "sequence_number": k,
+            "file_sequence_number": k,
+            "data_file": {
+                "content": k % 3,
+                "file_path": f"/t/data/f{k}.parquet",
+                "file_format": "PARQUET",
+                "partition": {"cat": f"c{k}"},
+                "record_count": 100 + k,
+                "file_size_in_bytes": 4096 * (k + 1),
+                "equality_ids": [2] if k % 3 == 2 else None,
+            },
+        }
+        for k in range(4)
+    ]
+    mrows = [
+        {
+            "manifest_path": "/t/m1.avro",
+            "manifest_length": 512,
+            "partition_spec_id": 0,
+            "content": 0,
+            "sequence_number": 3,
+            "min_sequence_number": 1,
+            "added_snapshot_id": 7,
+            "added_files_count": 4,
+            "existing_files_count": 0,
+            "deleted_files_count": 0,
+            "added_rows_count": 410,
+            "existing_rows_count": 0,
+            "deleted_rows_count": 0,
+        }
+    ]
+    return parse_avro, [
+        write_avro_ocf(entry_schema, entries, codec="deflate"),
+        write_avro_ocf(entry_schema, entries, codec="null"),
+        write_avro_ocf(_MANIFEST_LIST_SCHEMA, mrows, codec="deflate"),
+        write_avro_ocf(_MANIFEST_LIST_SCHEMA, [], codec="null"),
+    ]
+
+
 TARGETS = {
+    "avro": _seeds_avro,
     "ogg": _seeds_ogg,
     "warc": _seeds_warc,
     "triage": _seeds_triage,
