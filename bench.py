@@ -336,17 +336,22 @@ def main() -> None:
             except Exception:
                 pass
             for name in order:
+                # capture reads sit OUTSIDE the timed region (review
+                # r12: the status-store walk is ~10 py4j round trips
+                # per retained stage, growing as the bench accumulates
+                # stages — inside the clock it would inflate exactly
+                # the first-pass samples the median estimator uses)
+                cap = None
+                if name not in queries_io:
+                    cap = StageMetricsCapture(spark)
+                    cap.__enter__()
                 start = time.monotonic()
                 df = queries[name](spark, sf_dir)
-                if name not in queries_io:
-                    with StageMetricsCapture(spark) as cap:
-                        df.write.format("noop").mode(
-                            "overwrite"
-                        ).save()
-                    queries_io[name] = cap.metrics
-                else:
-                    df.write.format("noop").mode("overwrite").save()
+                df.write.format("noop").mode("overwrite").save()
                 elapsed = time.monotonic() - start
+                if cap is not None:
+                    cap.__exit__(None, None, None)
+                    queries_io[name] = cap.metrics
                 best[name] = min(best[name], elapsed)
                 samples[name].append(elapsed)
     import statistics

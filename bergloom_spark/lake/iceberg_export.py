@@ -113,9 +113,20 @@ def _encode_value(schema, val) -> bytes:
 
 
 def write_avro_ocf(
-    schema: dict, records: list[dict], codec: str = "deflate"
+    schema: dict,
+    records: list[dict],
+    codec: str = "deflate",
+    extra_meta: dict[str, bytes] | None = None,
 ) -> bytes:
-    """Records → one-block Avro Object Container File."""
+    """Records → one-block Avro Object Container File.
+
+    ``extra_meta`` lands in the OCF's key-value file metadata beside
+    ``avro.schema``/``avro.codec`` — Iceberg readers require spec
+    keys there (manifest files: "schema", "partition-spec",
+    "content", "format-version"; manifest lists: "snapshot-id",
+    "sequence-number", ... — Table Spec "Manifests"/"Manifest
+    Lists"); an export without them parses here but not in
+    Iceberg-native engines (review r12)."""
     if codec not in ("null", "deflate"):
         raise ValueError(f"avro-enc: unsupported codec {codec!r}")
     schema_json = json.dumps(schema).encode("utf-8")
@@ -124,10 +135,15 @@ def write_avro_ocf(
     sync = bytes(
         bytearray(zlib.crc32(schema_json).to_bytes(4, "big")) * 4
     )
+    meta: dict[str, bytes] = {
+        "avro.schema": schema_json,
+        "avro.codec": codec.encode(),
+        **(extra_meta or {}),
+    }
     header = bytearray(b"Obj\x01")
-    header += _enc_long(2)  # metadata map: one block, two pairs
-    header += _enc_str("avro.schema") + _enc_bytes(schema_json)
-    header += _enc_str("avro.codec") + _enc_bytes(codec.encode())
+    header += _enc_long(len(meta))
+    for k, v in meta.items():
+        header += _enc_str(k) + _enc_bytes(v)
     header += _enc_long(0)  # end of map
     header += sync
     payload = b"".join(_encode_value(schema, r) for r in records)
@@ -322,6 +338,15 @@ def export_iceberg_metadata(
     ice_schema = _iceberg_type(meta.schema, next_id)
     ice_schema["schema-id"] = meta.schema_id
     name_to_id = {f["name"]: f["id"] for f in ice_schema["fields"]}
+    spec_fields = [
+        {
+            "name": c,
+            "transform": "identity",
+            "source-id": name_to_id[c],
+            "field-id": 1000 + i,
+        }
+        for i, c in enumerate(meta.partition_spec)
+    ]
 
     # ---- manifests: one per content kind ------------------------------
     entry_schema = _manifest_entry_schema(meta.partition_spec)
@@ -355,7 +380,23 @@ def export_iceberg_metadata(
             }
             for e in entries
         ]
-        blob = write_avro_ocf(entry_schema, records)
+        blob = write_avro_ocf(
+            entry_schema,
+            records,
+            extra_meta={
+                # Table Spec "Manifests": required file metadata an
+                # Iceberg-native ManifestReader resolves the entry
+                # schema and partition spec from
+                "schema": json.dumps(ice_schema).encode(),
+                "schema-id": str(meta.schema_id).encode(),
+                "partition-spec": json.dumps(spec_fields).encode(),
+                "partition-spec-id": b"0",
+                "format-version": b"2",
+                "content": (
+                    b"data" if list_content == 0 else b"deletes"
+                ),
+            },
+        )
         mpath = os.path.join(out_dir, f"manifest-{kind}-{snap.snapshot_id}.avro")
         io.write_bytes(mpath, blob)
         manifest_rows.append(
@@ -378,7 +419,21 @@ def export_iceberg_metadata(
             }
         )
 
-    list_blob = write_avro_ocf(_MANIFEST_LIST_SCHEMA, manifest_rows)
+    list_blob = write_avro_ocf(
+        _MANIFEST_LIST_SCHEMA,
+        manifest_rows,
+        extra_meta={
+            # Table Spec "Manifest Lists" required file metadata
+            "snapshot-id": str(snap.snapshot_id).encode(),
+            "sequence-number": str(snap.sequence_number).encode(),
+            "parent-snapshot-id": str(
+                snap.parent_snapshot_id
+            ).encode()
+            if snap.parent_snapshot_id is not None
+            else b"null",
+            "format-version": b"2",
+        },
+    )
     list_path = os.path.join(
         out_dir, f"snap-{snap.snapshot_id}-manifest-list.avro"
     )
@@ -397,20 +452,7 @@ def export_iceberg_metadata(
         "current-schema-id": meta.schema_id,
         "schemas": [ice_schema],
         "default-spec-id": 0,
-        "partition-specs": [
-            {
-                "spec-id": 0,
-                "fields": [
-                    {
-                        "name": c,
-                        "transform": "identity",
-                        "source-id": name_to_id[c],
-                        "field-id": 1000 + i,
-                    }
-                    for i, c in enumerate(meta.partition_spec)
-                ],
-            }
-        ],
+        "partition-specs": [{"spec-id": 0, "fields": spec_fields}],
         "last-partition-id": 1000 + max(0, len(meta.partition_spec) - 1),
         "default-sort-order-id": 0,
         "sort-orders": [{"order-id": 0, "fields": []}],

@@ -217,9 +217,20 @@ def load_iceberg_metadata(metadata_path: str) -> md.TableMetadata:
                 raise ValueError(
                     f"iceberg: unsupported file format {fmt!r}"
                 )
-            eq_names = [
-                ids[i] for i in (df.get("equality_ids") or []) if i in ids
-            ]
+            eq_ids = df.get("equality_ids") or []
+            unresolved = [i for i in eq_ids if i not in ids]
+            if unresolved:
+                # silently dropping an id would build an EMPTY-key
+                # equality-delete group — an anti join that deletes
+                # every older row (review r12). Nested/renamed field
+                # ids need field-id resolution this importer does not
+                # do; refuse loudly like the other unsupported paths.
+                raise ValueError(
+                    f"iceberg: equality_ids {unresolved} do not "
+                    f"resolve to top-level columns of the current "
+                    f"schema"
+                )
+            eq_names = [ids[i] for i in eq_ids]
             entries.append(
                 md.ManifestEntry(
                     content=content,

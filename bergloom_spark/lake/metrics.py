@@ -58,17 +58,31 @@ class CompactionMetrics:
 
 class MetricsRegistry:
     def __init__(self):
+        import threading
+
         self._metrics: dict[tuple[str, str], CompactionMetrics] = {}
+        # registration vs render race: serve_prometheus scrapes from
+        # a daemon thread while the driver's compaction loop registers
+        # new tables — iterating the live dict would raise
+        # "dictionary changed size during iteration" mid-scrape
+        # (review r12). The lock guards registration and the snapshot
+        # copy only; metric mutation stays lock-free (single-writer).
+        self._lock = threading.Lock()
+
+    def _items(self) -> list:
+        with self._lock:
+            return list(self._metrics.items())
 
     def for_table(self, catalog: str, table: str) -> CompactionMetrics:
         key = (catalog, table)
-        if key not in self._metrics:
-            self._metrics[key] = CompactionMetrics(labels=key)
-        return self._metrics[key]
+        with self._lock:
+            if key not in self._metrics:
+                self._metrics[key] = CompactionMetrics(labels=key)
+            return self._metrics[key]
 
     def snapshot(self) -> dict[str, dict]:
         out: dict[str, dict] = defaultdict(dict)
-        for (catalog, table), m in self._metrics.items():
+        for (catalog, table), m in self._items():
             out[f"{catalog}.{table}"] = {
                 "commits": m.compaction_commit_counter,
                 "compactions": m.compaction_counter,
@@ -121,7 +135,7 @@ class MetricsRegistry:
         lines: list[str] = []
         for attr, name in counters:
             lines.append(f"# TYPE {name} counter")
-            for (catalog, table), m in sorted(self._metrics.items()):
+            for (catalog, table), m in sorted(self._items()):
                 lbl = (
                     f'catalog_name="{esc(catalog)}",'
                     f'table_ident="{esc(table)}"'
@@ -129,7 +143,7 @@ class MetricsRegistry:
                 lines.append(f"{name}{{{lbl}}} {getattr(m, attr)}")
         for attr, name in hists:
             lines.append(f"# TYPE {name} histogram")
-            for (catalog, table), m in sorted(self._metrics.items()):
+            for (catalog, table), m in sorted(self._items()):
                 h: Histogram = getattr(m, attr)
                 lbl = (
                     f'catalog_name="{esc(catalog)}",'

@@ -41,11 +41,28 @@ _PRIMITIVES = {
 
 
 class _Reader:
-    __slots__ = ("d", "pos")
+    __slots__ = ("d", "pos", "items")
 
     def __init__(self, d: bytes, pos: int = 0):
         self.d = d
         self.pos = pos
+        # Decoded-item budget (review r12): schemas whose items decode
+        # to ZERO bytes (empty record, "null") defeat every
+        # bytes-remaining count check — a 64 KB deflate block claiming
+        # 64M empty records would allocate gigabytes "within bounds".
+        # Every container construction (record, array item, map entry,
+        # top-level record) spends one unit; the budget is
+        # bytes-proportional, so real data never notices while a
+        # zero-byte bomb dies at ~4x its own payload size.
+        self.items = 4 * len(d) + 4096
+
+    def spend_item(self) -> None:
+        self.items -= 1
+        if self.items < 0:
+            raise ValueError(
+                "avro: decoded item count exceeds the payload-"
+                "proportional budget (zero-byte-item bomb)"
+            )
 
     def remaining(self) -> int:
         return len(self.d) - self.pos
@@ -141,6 +158,7 @@ def _decode(schema, r: _Reader, names: dict):
         raise ValueError(f"avro: malformed schema node {schema!r}")
     t = schema["type"]
     if t == "record":
+        r.spend_item()
         return {
             f["name"]: _decode(f["type"], r, names)
             for f in schema.get("fields", [])
@@ -163,6 +181,7 @@ def _decode(schema, r: _Reader, names: dict):
             if n > r.remaining() + 1:
                 raise ValueError(f"avro: array count {n} exceeds payload")
             for _ in range(n):
+                r.spend_item()
                 out.append(_decode(schema["items"], r, names))
         return out
     if t == "map":
@@ -177,6 +196,7 @@ def _decode(schema, r: _Reader, names: dict):
             if n > r.remaining() + 1:
                 raise ValueError(f"avro: map count {n} exceeds payload")
             for _ in range(n):
+                r.spend_item()
                 key = r.read_string()
                 out[key] = _decode(schema["values"], r, names)
         return out
@@ -203,8 +223,11 @@ def _read_meta_map(r: _Reader) -> dict[str, bytes]:
     return out
 
 
-def parse_avro(payload: bytes):
-    """OCF ``payload`` → ``(schema: dict|list|str, records: list)``.
+def parse_avro(payload: bytes, with_meta: bool = False):
+    """OCF ``payload`` → ``(schema: dict|list|str, records: list)``,
+    or ``(schema, records, file_metadata: dict[str, bytes])`` with
+    ``with_meta=True`` (Iceberg manifests carry required spec keys in
+    the OCF file metadata).
 
     Raises ValueError on any malformed input (never returns partial
     records)."""
@@ -268,4 +291,6 @@ def parse_avro(payload: bytes):
         raise ValueError(
             f"avro: malformed schema or payload: {exc!r}"
         ) from exc
+    if with_meta:
+        return schema, records, meta
     return schema, records

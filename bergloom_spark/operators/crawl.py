@@ -121,30 +121,42 @@ def crawl_link_graph(
 def pages_to_wet(pages: DataFrame) -> DataFrame:
     """The SINK side: re-pack cleaned pages as WET-style archives —
     one ``conversion``-record WARC per Arrow batch, ``(n_records,
-    payload)`` rows ready for a binary sink. This is how a cleaned
-    corpus ships back out in the shape downstream crawlers expect:
-    each partition writes its own archives independently (no
-    shuffle, no driver collection — the write stays as parallel as
-    the read). Each record id derives from its OWN page's url +
-    content hash (ADVICE r10: a batch-level seed made ids collide
-    across batches sharing a first URL and vary with partitioning)
-    salted with an in-partition occurrence counter per (url, hash)
-    (ADVICE r11: two kept pages with identical url AND text would
-    otherwise emit identical WARC-Record-IDs, violating WARC's
-    record-id uniqueness requirement), and the warcinfo id is a
-    constant — so a non-duplicated record's bytes are identical
-    however the export is partitioned (the counter is 0 for every
-    first occurrence)."""
+    payload)`` rows ready for a binary sink; no driver collection.
+
+    Record-id scheme (ADVICE r10 + r11, review r12): each id derives
+    from the page's url + content hash, salted with the page's
+    GLOBAL occurrence number among identical (url, hash) pages —
+    computed with one window over the duplicate key, so duplicates
+    get distinct WARC-Record-IDs regardless of which partition they
+    land in (a per-partition counter still collided across
+    partitions). Non-duplicated pages (the corpus norm) always get
+    occurrence 1, so their record bytes are partitioning-independent;
+    for the duplicates the SET of emitted ids is deterministic (the
+    rows are bytewise identical, so which physical row takes which
+    occurrence is unobservable). Cost: the one shuffle the uniqueness
+    guarantee needs — on (url, content-hash), the key any global
+    counter must group by; page bodies ride it once at export time.
+    The warcinfo id is a constant."""
+    from pyspark.sql import Window
+
+    keyed = pages.select(
+        "url",
+        "text",
+        F.sha1(F.encode(F.col("text"), "UTF-8")).alias("__h"),
+    ).withColumn(
+        "__occ",
+        F.row_number().over(
+            Window.partitionBy("url", "__h").orderBy(
+                F.monotonically_increasing_id()
+            )
+        ),
+    )
 
     def kernel(batches):
-        import hashlib
-        from collections import Counter
-
         import pandas as pd
 
         from bergloom_spark.operators.warc import _record_uuid, make_warc
 
-        seen: Counter = Counter()
         for pdf in batches:
             if len(pdf) == 0:
                 yield pd.DataFrame(
@@ -152,25 +164,25 @@ def pages_to_wet(pages: DataFrame) -> DataFrame:
                      "payload": pd.Series([], dtype=object)}
                 )
                 continue
-            specs = []
-            for url, text in zip(pdf["url"], pdf["text"]):
-                key = (url, hashlib.sha1(text.encode()).hexdigest())
-                n = seen[key]
-                seen[key] = n + 1
-                specs.append({
+            specs = [
+                {
                     "url": url,
                     "text": text,
                     "conversion": True,
                     "record_id": _record_uuid(
-                        f"wet:{url}:{key[1]}:{n}"
+                        f"wet:{url}:{h}:{occ}"
                     ),
-                })
+                }
+                for url, text, h, occ in zip(
+                    pdf["url"], pdf["text"], pdf["__h"], pdf["__occ"]
+                )
+            ]
             payload = make_warc(specs, warcinfo=True, seed="wet-export")
             yield pd.DataFrame(
                 {"n_records": [len(specs)], "payload": [payload]}
             )
 
-    return pages.select("url", "text").mapInPandas(
+    return keyed.mapInPandas(
         kernel, "n_records long, payload binary"
     )
 

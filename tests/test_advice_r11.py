@@ -182,9 +182,12 @@ class TestWetRecordIdUniqueness:
 
         rows = [("https://dup.example/p", "identical body text")] * 3
         rows.append(("https://other.example/q", "other body"))
+        # duplicates deliberately SPREAD across partitions (review
+        # r12: a per-partition counter passed the coalesce(1) version
+        # of this test while still colliding across partitions)
         df = spark.createDataFrame(
             rows, "url string, text string"
-        ).coalesce(1)
+        ).repartition(4)
         payloads = [r.payload for r in pages_to_wet(df).collect()]
         ids = [
             rec["record_id"]

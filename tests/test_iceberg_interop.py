@@ -191,6 +191,43 @@ class TestExportImportRoundtrip:
         ]
         assert eq and all(e.equality_ids == ["cat"] for e in eq)
 
+    def test_exported_manifests_carry_spec_file_metadata(
+        self, spark, tmp_path
+    ):
+        """Table Spec 'Manifests'/'Manifest Lists': Iceberg-native
+        readers resolve the entry schema and partition spec from the
+        OCF key-value file metadata — an export without those keys
+        parses here but not in a real engine (review r12)."""
+        import json as _json
+
+        t = LakeTable.create(
+            spark, str(tmp_path / "fm"), SCHEMA, partition_spec=["cat"]
+        )
+        t.append(seed(spark, 20))
+        mjson = export_iceberg_metadata(t.meta)
+        doc = _json.loads(open(mjson).read())
+        snap = doc["snapshots"][0]
+        _, mrows, list_meta = parse_avro(
+            open(snap["manifest-list"], "rb").read(), with_meta=True
+        )
+        assert list_meta["format-version"] == b"2"
+        assert int(list_meta["snapshot-id"]) == snap["snapshot-id"]
+        assert int(list_meta["sequence-number"]) == snap["sequence-number"]
+        for mrow in mrows:
+            _, _, mmeta = parse_avro(
+                open(mrow["manifest_path"], "rb").read(), with_meta=True
+            )
+            assert mmeta["format-version"] == b"2"
+            assert mmeta["content"] in (b"data", b"deletes")
+            assert mmeta["partition-spec-id"] == b"0"
+            schema = _json.loads(mmeta["schema"])
+            assert [f["name"] for f in schema["fields"]] == [
+                "id", "cat", "val"
+            ]
+            spec = _json.loads(mmeta["partition-spec"])
+            assert [f["name"] for f in spec] == ["cat"]
+            assert all(f["transform"] == "identity" for f in spec)
+
     def test_partitioned_identity_spec(self, spark, tmp_path):
         t = LakeTable.create(
             spark, str(tmp_path / "p"), SCHEMA, partition_spec=["cat"]

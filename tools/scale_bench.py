@@ -111,6 +111,15 @@ def main() -> None:
         for n in os.environ.get("SPARK_GRAFT_SCALE_QUERIES", "").split(",")
         if n
     ]
+    unknown = set(subset) - set(HEAVY)
+    if unknown:
+        # a typo'd name silently running NOTHING while still printing
+        # "wrote BENCH_sf1.json" would read as a re-measurement that
+        # never happened (review r12)
+        sys.exit(
+            f"unknown SPARK_GRAFT_SCALE_QUERIES {sorted(unknown)}; "
+            f"known: {sorted(HEAVY)}"
+        )
     heavy = [n for n in HEAVY if not subset or n in subset]
     spec = importlib.util.spec_from_file_location(
         "entry",
