@@ -156,10 +156,15 @@ def _identity_partition(
     return out
 
 
-def load_iceberg_metadata(metadata_path: str) -> md.TableMetadata:
+def load_iceberg_metadata(
+    metadata_path: str, snapshot_id: int | None = None
+) -> md.TableMetadata:
     """Parse ``metadata_path`` (an Iceberg ``*.metadata.json``) and
-    its current snapshot's manifests into a :class:`TableMetadata`
-    pinned to that snapshot."""
+    ONE snapshot's manifests into a :class:`TableMetadata` pinned to
+    that snapshot — the current one by default, or ``snapshot_id``
+    for time travel (SQL ``VERSION AS OF``; the reference pins a
+    snapshot the same way for the whole compaction,
+    ``compaction/mod.rs:269``)."""
     io = io_for(metadata_path)
     meta = json.loads(io.read_text(metadata_path))
     fv = meta.get("format-version")
@@ -176,7 +181,11 @@ def load_iceberg_metadata(metadata_path: str) -> md.TableMetadata:
     }
     if "partition-spec" in meta and 0 not in specs:  # v1 legacy field
         specs[0] = meta["partition-spec"]
-    cur_id = meta.get("current-snapshot-id")
+    cur_id = (
+        snapshot_id
+        if snapshot_id is not None
+        else meta.get("current-snapshot-id")
+    )
     if cur_id in (None, -1):
         raise ValueError("iceberg: table has no current snapshot")
     snap = next(
@@ -280,13 +289,71 @@ def load_iceberg_metadata(metadata_path: str) -> md.TableMetadata:
     return out
 
 
-def load_iceberg_table(spark, metadata_path: str):
+def _check_name_resolution(
+    entries: list[md.ManifestEntry], ids: dict[int, str]
+) -> None:
+    """Renamed-column guardrail: this importer resolves columns by
+    NAME at scan time, but Iceberg's contract is field-id resolution
+    — a table whose parquet files predate a column rename would
+    silently read NULLs for the renamed column. One sample data
+    file's footer (driver-side, bounded) is checked: if a file
+    field's ``PARQUET:field_id`` matches a schema field id under a
+    DIFFERENT name, the import refuses loudly instead of corrupting
+    silently. Files without field-id metadata (non-Iceberg writers)
+    carry no rename evidence and pass."""
+    data_entries = [e for e in entries if e.content == md.DATA]
+    if not data_entries:
+        return
+    try:
+        import pyarrow.parquet as pq
+
+        arrow_schema = pq.read_schema(data_entries[0].file_path)
+    except Exception:
+        return  # not locally readable here — the scan will surface it
+    file_name_by_id: dict[int, str] = {}
+    for f in arrow_schema:
+        meta = f.metadata or {}
+        fid = meta.get(b"PARQUET:field_id")
+        if fid is not None:
+            try:
+                file_name_by_id[int(fid)] = f.name
+            except ValueError:
+                continue
+    renamed = {
+        fid: (file_name_by_id[fid], name)
+        for fid, name in ids.items()
+        if fid in file_name_by_id and file_name_by_id[fid] != name
+    }
+    if renamed:
+        raise ValueError(
+            "iceberg: column rename detected (field-id -> file name "
+            f"vs schema name: {renamed}); this importer resolves "
+            "columns by name and would read NULLs for these — "
+            "rewrite the files or use an engine with field-id "
+            "resolution"
+        )
+
+
+def load_iceberg_table(
+    spark, metadata_path: str, snapshot_id: int | None = None
+):
     """Real Iceberg table → read-only :class:`LakeTable` pinned to
-    the current snapshot. ``scan_data`` / ``read`` (merge-on-read
-    with pos+eq deletes and sequence gating) work unchanged."""
+    the current (or given) snapshot. ``scan_data`` / ``read``
+    (merge-on-read with pos+eq deletes and sequence gating) work
+    unchanged."""
     from bergloom_spark.lake.table import LakeTable
 
-    return LakeTable(spark, load_iceberg_metadata(metadata_path))
+    meta = load_iceberg_metadata(metadata_path, snapshot_id)
+    snap = meta.current_snapshot()
+    ids = {
+        f["id"]: f["name"]
+        for f in _current_schema(
+            json.loads(io_for(metadata_path).read_text(metadata_path))
+        )["fields"]
+    }
+    if snap is not None:
+        _check_name_resolution(snap.entries, ids)
+    return LakeTable(spark, meta)
 
 
 def compact_iceberg_table(

@@ -377,6 +377,102 @@ class TestImportSpecSemantics:
             str(tmp_path / "work") in e.file_path for e in snap.entries
         )
 
+    def test_time_travel_snapshot_id(self, spark, tmp_path):
+        """A non-current snapshot imports via snapshot_id (VERSION AS
+        OF) — the metadata doc lists both snapshots; pin the old one
+        and read the pre-append state."""
+        import json as _json
+
+        t = LakeTable.create(spark, str(tmp_path / "tt"), SCHEMA)
+        t.append(seed(spark, 10))
+        old_meta = export_iceberg_metadata(t.meta)
+        old_doc = _json.loads(open(old_meta).read())
+        old_snap = old_doc["snapshots"][0]
+        t.append(seed(spark, 10).withColumn("id", F.col("id") + 100))
+        new_meta = export_iceberg_metadata(
+            t.meta, out_dir=str(tmp_path / "tt" / "mi2")
+        )
+        # splice the old snapshot into the new doc (a real metadata
+        # json carries the full snapshot log)
+        doc = _json.loads(open(new_meta).read())
+        doc["snapshots"].append(old_snap)
+        open(new_meta, "w").write(_json.dumps(doc))
+        t_old = load_iceberg_table(
+            spark, new_meta, snapshot_id=old_snap["snapshot-id"]
+        )
+        assert t_old.read().count() == 10
+        t_new = load_iceberg_table(spark, new_meta)
+        assert t_new.read().count() == 20
+
+    def test_v1_inline_manifests(self, spark, tmp_path):
+        """Format-version 1: legacy 'schema' + inline snapshot
+        'manifests' list, no sequence numbers (all inherit 0)."""
+        import json as _json
+
+        t = LakeTable.create(spark, str(tmp_path / "v1"), SCHEMA)
+        t.append(seed(spark, 15))
+        mjson = export_iceberg_metadata(t.meta)
+        doc = _json.loads(open(mjson).read())
+        snap = doc["snapshots"][0]
+        _, mrows = parse_avro(open(snap["manifest-list"], "rb").read())
+        v1 = {
+            "format-version": 1,
+            "location": doc["location"],
+            "schema": doc["schemas"][0],
+            "partition-spec": [],
+            "current-snapshot-id": snap["snapshot-id"],
+            "snapshots": [
+                {
+                    "snapshot-id": snap["snapshot-id"],
+                    "timestamp-ms": snap["timestamp-ms"],
+                    "summary": {"operation": "append"},
+                    "manifests": [
+                        m["manifest_path"] for m in mrows
+                    ],
+                }
+            ],
+        }
+        v1_path = str(tmp_path / "v1.metadata.json")
+        open(v1_path, "w").write(_json.dumps(v1))
+        t1 = load_iceberg_table(spark, v1_path)
+        assert t1.read().count() == 15
+        assert {
+            e.sequence_number
+            for e in t1.meta.current_snapshot().entries
+        } == {1}  # entry-level seq from the v2-written manifest
+
+    def test_renamed_column_guardrail(self, spark, tmp_path):
+        """A parquet file whose PARQUET:field_id maps a schema id to
+        a DIFFERENT name must refuse to import (name-resolution
+        would silently read NULLs)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        t = LakeTable.create(spark, str(tmp_path / "rn"), SCHEMA)
+        t.append(seed(spark, 5))
+        # overwrite the data file with one carrying field ids whose
+        # id=2 ('cat' in export order id:1,cat:2,val:3) is named
+        # 'category' — the pre-rename name
+        entry = t.meta.current_snapshot().files(md.DATA)[0]
+        fields = [
+            pa.field("id", pa.int64(),
+                     metadata={b"PARQUET:field_id": b"1"}),
+            pa.field("category", pa.string(),
+                     metadata={b"PARQUET:field_id": b"2"}),
+            pa.field("val", pa.float64(),
+                     metadata={b"PARQUET:field_id": b"3"}),
+        ]
+        tbl = pa.table(
+            {"id": pa.array([1], pa.int64()),
+             "category": pa.array(["x"]),
+             "val": pa.array([1.0])},
+            schema=pa.schema(fields),
+        )
+        pq.write_table(tbl, entry.file_path)
+        mjson = export_iceberg_metadata(t.meta)
+        with pytest.raises(ValueError, match="rename"):
+            load_iceberg_table(spark, mjson)
+
     def test_unsupported_inputs_raise(self, spark, tmp_path):
         t = LakeTable.create(spark, str(tmp_path / "e"), SCHEMA)
         t.append(seed(spark, 5))
