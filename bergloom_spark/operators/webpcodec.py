@@ -795,6 +795,15 @@ def _decode_webp_frames_unchecked(
             f"{_MAX_DECODED_BYTES >> 20} MiB decode budget"
         )
     canvas = np.zeros((ch, cw, 4), dtype=np.uint8)  # RGBA, transparent
+    # Running FLATTENED canvas (rgb·a/255 over black), maintained
+    # per-subrect: the flatten is pixel-local and each ANMF step only
+    # mutates its frame rectangle (composite + optional dispose), so
+    # re-flattening the whole canvas per frame — O(canvas·frames)
+    # uint16 arithmetic — did work proportional to the BUDGETED
+    # output even for 1-px frames on a huge canvas (r12 fuzz: a
+    # 1.6 KB payload spent 11 s inside the 512 MiB budget). Now each
+    # snapshot is one memcpy; the arithmetic is O(frame px).
+    flat = np.zeros((ch, cw, 3), dtype=np.uint8)
     out = []
     for body in anmf:
         if len(body) < 16:
@@ -819,18 +828,19 @@ def _decode_webp_frames_unchecked(
             region[:] = frame
         else:
             _blend_over(region, frame)
-        # snapshot flattened over black: rgb·a/255 (exact for the
-        # binary alpha every oracle here uses; floor otherwise).
-        # uint16 keeps the flatten temporaries at 2 bytes/value —
-        # 255·255 fits — instead of int64's 8 (advice r8).
-        a = canvas[:, :, 3].astype(np.uint16)
-        out.append(
-            (
-                canvas[:, :, :3].astype(np.uint16) * a[:, :, None] // 255
-            ).astype(np.uint8)
-        )
+        # flatten ONLY the changed subrect over black: rgb·a/255
+        # (exact for the binary alpha every oracle here uses; floor
+        # otherwise). uint16 keeps the flatten temporaries at
+        # 2 bytes/value — 255·255 fits — instead of int64's 8
+        # (advice r8).
+        a = region[:, :, 3].astype(np.uint16)
+        flat[fy : fy + fh, fx : fx + fw] = (
+            region[:, :, :3].astype(np.uint16) * a[:, :, None] // 255
+        ).astype(np.uint8)
+        out.append(flat.copy())
         if dispose_bg:
             region[:] = 0
+            flat[fy : fy + fh, fx : fx + fw] = 0
         if first_only:
             break
     return out
