@@ -9981,6 +9981,46 @@ _EXT_ORACLES["iceberg_roundtrip_mor"] = f"""
 """
 
 
+def q_iceberg_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot pinning through the Iceberg import (round 12):
+    export after the FIRST append, export again after the second,
+    splice the old snapshot into the newer metadata's snapshot log
+    (what a real metadata.json carries), then import with
+    ``snapshot_id`` pinned to the old snapshot — SQL ``VERSION AS
+    OF`` semantics, the same pin the reference holds for a whole
+    compaction (compaction/mod.rs:269). The pinned read must see
+    exactly the first append."""
+    import json as _json
+
+    from bergloom_spark.lake import LakeTable
+    from bergloom_spark.lake.iceberg_export import export_iceberg_metadata
+    from bergloom_spark.lake.iceberg_import import load_iceberg_table
+
+    li = T(spark, sf_dir, "lineitem")
+    root = os.path.join(_scratch(prefix="bergloom-icetravel-"), "li")
+    t = LakeTable.create(spark, root, li.schema)
+    t.append(li.filter(F.col("l_orderkey") % 2 == 0))
+    m1 = export_iceberg_metadata(t.meta)
+    old_snap = _json.loads(open(m1).read())["snapshots"][0]
+    t.append(li.filter(F.col("l_orderkey") % 2 == 1))
+    m2 = export_iceberg_metadata(
+        t.meta, out_dir=os.path.join(root, "metadata-iceberg-2")
+    )
+    doc = _json.loads(open(m2).read())
+    doc["snapshots"].append(old_snap)
+    with open(m2, "w") as fh:
+        fh.write(_json.dumps(doc))
+    pinned = load_iceberg_table(
+        spark, m2, snapshot_id=old_snap["snapshot-id"]
+    )
+    return pinned.read().select(*LI_COLS)
+
+
+_EXT_ORACLES["iceberg_time_travel"] = f"""
+    SELECT {', '.join(LI_COLS)} FROM lineitem WHERE l_orderkey % 2 = 0
+"""
+
+
 def q_gzip_header_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
     """gzip member-header fields beyond the counts archive_meta
     proves (RFC 1952 §2.3: MTIME, OS, FNAME, FTEXT — SURVEY r12
@@ -10629,6 +10669,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "charset_detection": q_charset_detection,
         # round 12 registrations
         "iceberg_roundtrip_mor": q_iceberg_roundtrip_mor,
+        "iceberg_time_travel": q_iceberg_time_travel,
         "gzip_header_fields": q_gzip_header_fields,
         "robots_sitemap_discovery": q_robots_sitemap_discovery,
         "crawl_link_graph_rel": q_crawl_link_graph_rel,
