@@ -10393,6 +10393,13 @@ _CHANGED_THIS_ROUND: list[str] = [
     "crawl_text_pipeline",
     "wet_roundtrip",
     "pdf_meta",
+    # r12 late-session changes: ANMF compositing switched to a
+    # running per-subrect flatten (webpcodec), and _pos_delete_frame
+    # gained the conditional URI normalization — re-verify the rows
+    # that run those exact paths
+    "webp_decode_frames",
+    "multimodal_decode_webp",
+    "mor_pos_delete",
     # round 11 note kept for history: every r11 code change landed in
     # a NEW registration (robots glob matcher,
     # archive/triage PK sniff, WET record ids, warc charset decode,

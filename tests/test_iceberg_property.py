@@ -1,0 +1,188 @@
+"""Property-based Iceberg interop testing (round 12): for randomized
+values and entry layouts, export → import must be the identity on
+everything the lake's scan semantics read. Pure-Python layers only
+(the Avro codec pair and the metadata mapping), so hundreds of
+examples run in seconds — the Spark-side read equivalence is pinned
+separately by tests/test_iceberg_interop.py's end-to-end cases.
+"""
+
+from __future__ import annotations
+
+import os
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import types as T
+
+from bergloom_spark.lake import metadata as md
+from bergloom_spark.lake.iceberg_export import (
+    export_iceberg_metadata,
+    write_avro_ocf,
+)
+from bergloom_spark.lake.iceberg_import import load_iceberg_metadata
+from bergloom_spark.operators.avrocodec import parse_avro
+
+# ---------------------------------------------------------------------------
+# Avro value roundtrip
+# ---------------------------------------------------------------------------
+
+VALUE_SCHEMA = {
+    "type": "record",
+    "name": "r",
+    "fields": [
+        {"name": "l", "type": "long"},
+        {"name": "s", "type": "string"},
+        {"name": "u", "type": ["null", "long"], "default": None},
+        {"name": "b", "type": "boolean"},
+        {"name": "arr", "type": {"type": "array", "items": "long"}},
+        {"name": "m", "type": {"type": "map", "values": "string"}},
+        {"name": "nested", "type": {
+            "type": "record", "name": "n",
+            "fields": [
+                {"name": "x", "type": "double"},
+                {"name": "y", "type": ["null", "string"],
+                 "default": None},
+            ],
+        }},
+    ],
+}
+
+RECORD = st.fixed_dictionaries(
+    {
+        "l": st.integers(min_value=-(2**62), max_value=2**62),
+        "s": st.text(max_size=40),
+        "u": st.none() | st.integers(min_value=0, max_value=2**40),
+        "b": st.booleans(),
+        "arr": st.lists(
+            st.integers(min_value=-(2**31), max_value=2**31),
+            max_size=8,
+        ),
+        "m": st.dictionaries(
+            st.text(max_size=8), st.text(max_size=12), max_size=5
+        ),
+        "nested": st.fixed_dictionaries(
+            {
+                # finite doubles only: NaN != NaN would fail equality
+                # for a value the container encodes faithfully
+                "x": st.floats(
+                    allow_nan=False, allow_infinity=False, width=64
+                ),
+                "y": st.none() | st.text(max_size=10),
+            }
+        ),
+    }
+)
+
+
+@settings(max_examples=120, deadline=None)
+@given(
+    records=st.lists(RECORD, max_size=12),
+    codec=st.sampled_from(["null", "deflate"]),
+)
+def test_avro_value_roundtrip(records, codec):
+    blob = write_avro_ocf(VALUE_SCHEMA, records, codec=codec)
+    schema, got = parse_avro(blob)
+    assert got == records
+    assert schema["name"] == "r"
+
+
+# ---------------------------------------------------------------------------
+# Metadata export → import identity
+# ---------------------------------------------------------------------------
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType(), False),
+        T.StructField("cat", T.StringType(), True),
+        T.StructField("val", T.DoubleType(), True),
+    ]
+)
+
+ENTRY = st.builds(
+    lambda content, n, size, seq, eq, part: md.ManifestEntry(
+        content=content,
+        file_path=f"/t/data/f-{n}-{size}.parquet",
+        record_count=n,
+        file_size_bytes=size,
+        sequence_number=seq,
+        equality_ids=(["cat"] if eq else [])
+        if content == md.EQ_DELETE
+        else [],
+        partition={"cat": part} if part is not None else {},
+    ),
+    content=st.sampled_from([md.DATA, md.POS_DELETE, md.EQ_DELETE]),
+    n=st.integers(min_value=0, max_value=10**9),
+    size=st.integers(min_value=0, max_value=2**40),
+    seq=st.integers(min_value=0, max_value=2**31),
+    eq=st.booleans(),
+    part=st.none() | st.text(
+        alphabet=st.characters(
+            codec="utf-8", exclude_characters="\x00"
+        ),
+        max_size=12,
+    ),
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    entries=st.lists(ENTRY, max_size=10),
+    snap_id=st.integers(min_value=1, max_value=2**62),
+    seq=st.integers(min_value=0, max_value=2**31),
+    ts=st.integers(min_value=0, max_value=2**41),
+)
+def test_metadata_export_import_identity(
+    tmp_path_factory, entries, snap_id, seq, ts
+):
+    # distinct file paths (a real snapshot never lists one file twice)
+    seen: set[str] = set()
+    uniq = []
+    for e in entries:
+        if e.file_path in seen:
+            continue
+        seen.add(e.file_path)
+        uniq.append(e)
+    root = str(tmp_path_factory.mktemp("ice"))
+    meta = md.TableMetadata(
+        table_root=root,
+        schema=SCHEMA.jsonValue(),
+        partition_spec=["cat"],
+        current_snapshot_id=snap_id,
+        last_sequence_number=seq,
+        last_snapshot_id=snap_id,
+        snapshots=[
+            md.Snapshot(
+                snapshot_id=snap_id,
+                sequence_number=seq,
+                timestamp_ms=ts,
+                operation="append",
+                entries=uniq,
+            )
+        ],
+    )
+    mjson = export_iceberg_metadata(
+        meta, out_dir=os.path.join(root, "mi")
+    )
+    got = load_iceberg_metadata(mjson)
+    assert got.current_snapshot_id == snap_id
+    assert got.last_sequence_number == seq
+    gsnap = got.current_snapshot()
+    assert gsnap.sequence_number == seq
+    assert gsnap.timestamp_ms == ts
+    # everything scan semantics read survives the roundtrip
+    want = sorted(
+        (e.content, e.file_path, e.record_count, e.file_size_bytes,
+         e.sequence_number, tuple(e.equality_ids),
+         tuple(sorted(e.partition.items())))
+        for e in uniq
+    )
+    have = sorted(
+        (e.content, e.file_path, e.record_count, e.file_size_bytes,
+         e.sequence_number, tuple(e.equality_ids),
+         tuple(sorted(e.partition.items())))
+        for e in gsnap.entries
+    )
+    assert have == want
+    # schema names/types survive
+    assert T.StructType.fromJson(got.schema) == SCHEMA
+    assert got.partition_spec == ["cat"]
