@@ -179,6 +179,93 @@ _MANIFEST_LIST_SCHEMA = {
 }
 
 
+# Iceberg single-value serialization (Table Spec Appendix D) for the
+# bound maps: little-endian fixed widths; temporal values as
+# days/micros since epoch. Strings are deliberately NOT exported —
+# this lake's own skipping policy drops string bounds (parquet
+# writers may truncate them, understating the max), so exporting
+# them would hand a native engine pruning evidence we ourselves
+# refuse to trust.
+_EPOCH_DATE = None  # lazy datetime import
+
+
+def _serialize_bound(ice_type: str, v) -> bytes | None:
+    import datetime as _dt
+    import struct as _struct
+
+    try:
+        if ice_type == "int":
+            return _struct.pack("<i", int(v))
+        if ice_type == "long":
+            return _struct.pack("<q", int(v))
+        if ice_type == "float":
+            return _struct.pack("<f", float(v))
+        if ice_type == "double":
+            return _struct.pack("<d", float(v))
+        if ice_type == "boolean":
+            return b"\x01" if v else b"\x00"
+        if ice_type == "date":
+            d = _dt.date.fromisoformat(str(v)[:10])
+            return _struct.pack(
+                "<i", (d - _dt.date(1970, 1, 1)).days
+            )
+        if ice_type in ("timestamp", "timestamptz"):
+            t = _dt.datetime.fromisoformat(str(v))
+            if t.tzinfo is None:
+                epoch = _dt.datetime(1970, 1, 1)
+            else:
+                epoch = _dt.datetime(
+                    1970, 1, 1, tzinfo=_dt.timezone.utc
+                )
+            return _struct.pack(
+                "<q", int((t - epoch).total_seconds() * 1_000_000)
+            )
+    except (ValueError, OverflowError, _struct.error):
+        return None
+    return None  # string/binary/decimal: not exported (see above)
+
+
+def _deserialize_bound(ice_type: str, b: bytes):
+    import datetime as _dt
+    import struct as _struct
+
+    try:
+        if ice_type == "int":
+            return _struct.unpack("<i", b)[0]
+        if ice_type == "long":
+            return _struct.unpack("<q", b)[0]
+        if ice_type == "float":
+            return _struct.unpack("<f", b)[0]
+        if ice_type == "double":
+            return _struct.unpack("<d", b)[0]
+        if ice_type == "boolean":
+            return bool(b[0]) if b else None
+        if ice_type == "date":
+            days = _struct.unpack("<i", b)[0]
+            return (
+                _dt.date(1970, 1, 1) + _dt.timedelta(days=days)
+            ).isoformat()
+        if ice_type in ("timestamp", "timestamptz"):
+            us = _struct.unpack("<q", b)[0]
+            return (
+                _dt.datetime(1970, 1, 1)
+                + _dt.timedelta(microseconds=us)
+            ).isoformat()
+    except (ValueError, OverflowError, _struct.error, IndexError):
+        return None
+    return None
+
+
+_BOUNDS_ITEM = {
+    "type": "record",
+    "name": "k126_v127",
+    "fields": [
+        {"name": "key", "type": "int", "field-id": 126},
+        {"name": "value", "type": "bytes", "field-id": 127},
+    ],
+}
+
+
 def _manifest_entry_schema(partition_fields: list[str]) -> dict:
     """Entry schema; the partition record carries one optional string
     field per identity partition column (this lake stores partition
@@ -238,6 +325,37 @@ def _manifest_entry_schema(partition_fields: list[str]) -> dict:
                                 "type": "array",
                                 "items": "int",
                                 "element-id": 136,
+                            }],
+                        },
+                        # spec field 125/128: per-column bound maps,
+                        # encoded as Iceberg does (array of key/value
+                        # records — Avro maps key on strings only)
+                        {
+                            "name": "lower_bounds",
+                            "field-id": 125,
+                            "default": None,
+                            "type": ["null", {
+                                "type": "array",
+                                "items": _BOUNDS_ITEM,
+                            }],
+                        },
+                        {
+                            "name": "upper_bounds",
+                            "field-id": 128,
+                            "default": None,
+                            "type": ["null", {
+                                "type": "array",
+                                "items": {
+                                    "type": "record",
+                                    "name": "k129_v130",
+                                    "fields": [
+                                        {"name": "key", "type": "int",
+                                         "field-id": 129},
+                                        {"name": "value",
+                                         "type": "bytes",
+                                         "field-id": 130},
+                                    ],
+                                },
                             }],
                         },
                     ],
@@ -338,6 +456,24 @@ def export_iceberg_metadata(
     ice_schema = _iceberg_type(meta.schema, next_id)
     ice_schema["schema-id"] = meta.schema_id
     name_to_id = {f["name"]: f["id"] for f in ice_schema["fields"]}
+    type_by_name = {
+        f["name"]: f["type"]
+        for f in ice_schema["fields"]
+        if isinstance(f["type"], str)  # bounds: primitives only
+    }
+
+    def _bounds(e, idx: int):
+        """column_stats → spec bound map (list of {key, value}), or
+        None when nothing serializes. idx 0 = lower, 1 = upper."""
+        items = []
+        for col, lo_hi in sorted((e.column_stats or {}).items()):
+            t = type_by_name.get(col)
+            if t is None or col not in name_to_id:
+                continue
+            blob = _serialize_bound(t, lo_hi[idx])
+            if blob is not None:
+                items.append({"key": name_to_id[col], "value": blob})
+        return items or None
     spec_fields = [
         {
             "name": c,
@@ -375,6 +511,12 @@ def export_iceberg_metadata(
                     "equality_ids": (
                         [name_to_id[c] for c in e.equality_ids]
                         if e.equality_ids else None
+                    ),
+                    "lower_bounds": (
+                        _bounds(e, 0) if kind == md.DATA else None
+                    ),
+                    "upper_bounds": (
+                        _bounds(e, 1) if kind == md.DATA else None
                     ),
                 },
             }

@@ -130,6 +130,44 @@ def _field_ids(schema: dict) -> dict[int, str]:
     return {f["id"]: f["name"] for f in schema.get("fields", [])}
 
 
+def _column_stats_from_bounds(
+    df: dict, ids: dict[int, str], types_by_id: dict[int, str]
+) -> dict[str, list]:
+    """Manifest bound maps (spec fields 125/128, Appendix-D encoded)
+    → this lake's ``column_stats`` {col: [min, max]}, so an IMPORTED
+    Iceberg table gets manifest data-skipping (lake/skipping.py)
+    without touching a footer. Only columns with BOTH bounds and a
+    prunable type survive — strings are skipped on purpose (parquet
+    writers may truncate string maxima; this lake's own harvest
+    refuses them too, skipping.py stat_value)."""
+    from bergloom_spark.lake.iceberg_export import _deserialize_bound
+
+    def as_map(field):
+        out = {}
+        for item in df.get(field) or []:
+            if isinstance(item, dict):
+                out[item.get("key")] = item.get("value")
+        return out
+
+    lower, upper = as_map("lower_bounds"), as_map("upper_bounds")
+    stats: dict[str, list] = {}
+    for fid, lo_raw in lower.items():
+        hi_raw = upper.get(fid)
+        name = ids.get(fid)
+        t = types_by_id.get(fid)
+        if hi_raw is None or name is None or t is None:
+            continue
+        if not isinstance(lo_raw, (bytes, bytearray)) or not isinstance(
+            hi_raw, (bytes, bytearray)
+        ):
+            continue
+        lo = _deserialize_bound(t, bytes(lo_raw))
+        hi = _deserialize_bound(t, bytes(hi_raw))
+        if lo is not None and hi is not None:
+            stats[name] = [lo, hi]
+    return stats
+
+
 def _read_avro(path: str) -> list[dict]:
     # FileIO resolved PER PATH: a metadata.json read from a local
     # checkout may reference manifests by their original object-store
@@ -172,6 +210,11 @@ def load_iceberg_metadata(
         raise ValueError(f"iceberg: unsupported format-version {fv!r}")
     schema = _current_schema(meta)
     ids = _field_ids(schema)
+    types_by_id = {
+        f["id"]: f["type"]
+        for f in schema.get("fields", [])
+        if isinstance(f["type"], str)
+    }
     spark_schema = _spark_type(
         {"type": "struct", "fields": schema["fields"]}
     )
@@ -250,6 +293,11 @@ def load_iceberg_metadata(
                     equality_ids=eq_names,
                     partition=_identity_partition(
                         df.get("partition"), spec_fields, ids
+                    ),
+                    column_stats=(
+                        _column_stats_from_bounds(df, ids, types_by_id)
+                        if content == md.DATA
+                        else {}
                     ),
                 )
             )

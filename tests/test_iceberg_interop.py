@@ -377,6 +377,41 @@ class TestImportSpecSemantics:
             str(tmp_path / "work") in e.file_path for e in snap.entries
         )
 
+    def test_column_bounds_roundtrip_and_prune(self, spark, tmp_path):
+        """Spec fields 125/128 (lower/upper bound maps, Appendix-D
+        single-value encoding): the exporter writes the lake's
+        harvested column_stats so native engines can prune our
+        files, and the importer reads a real table's bounds back so
+        IMPORTED tables get this lake's manifest data-skipping.
+        Strings are excluded both ways (truncation hazard — same
+        policy as skipping.stat_value)."""
+        from bergloom_spark.lake import skipping as sk
+
+        t = LakeTable.create(spark, str(tmp_path / "cb"), SCHEMA)
+        # two files with disjoint id ranges → prunable
+        t.append(seed(spark, 50).filter("id < 25"))
+        t.append(seed(spark, 50).filter("id >= 25"))
+        orig = {
+            e.file_path: e.column_stats
+            for e in t.meta.current_snapshot().files(md.DATA)
+        }
+        assert all("id" in s and "val" in s for s in orig.values())
+        assert all("cat" not in s for s in orig.values())  # string
+        mjson = export_iceberg_metadata(t.meta)
+        t2 = load_iceberg_table(spark, mjson)
+        got = {
+            e.file_path: e.column_stats
+            for e in t2.meta.current_snapshot().files(md.DATA)
+        }
+        assert got == orig
+        # the imported stats actually prune: id >= 25 keeps one file
+        entries = t2.meta.current_snapshot().files(md.DATA)
+        kept = sk.prune_entries(entries, [("id", ">=", 25)])
+        assert len(kept) < len(entries)
+        # and the filtered scan still returns exactly the right rows
+        n = t2.scan_data(filters=[("id", ">=", 25)]).count()
+        assert n == 25
+
     def test_time_travel_snapshot_id(self, spark, tmp_path):
         """A non-current snapshot imports via snapshot_id (VERSION AS
         OF) — the metadata doc lists both snapshots; pin the old one
