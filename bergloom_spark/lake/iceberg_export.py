@@ -186,9 +186,6 @@ _MANIFEST_LIST_SCHEMA = {
 # writers may truncate them, understating the max), so exporting
 # them would hand a native engine pruning evidence we ourselves
 # refuse to trust.
-_EPOCH_DATE = None  # lazy datetime import
-
-
 def _serialize_bound(ice_type: str, v) -> bytes | None:
     import datetime as _dt
     import struct as _struct
@@ -235,9 +232,11 @@ def _deserialize_bound(ice_type: str, b: bytes):
         if ice_type == "long":
             return _struct.unpack("<q", b)[0]
         if ice_type == "float":
-            return _struct.unpack("<f", b)[0]
+            v = _struct.unpack("<f", b)[0]
+            return None if v != v else v  # NaN: anti-conservative
         if ice_type == "double":
-            return _struct.unpack("<d", b)[0]
+            v = _struct.unpack("<d", b)[0]
+            return None if v != v else v
         if ice_type == "boolean":
             return bool(b[0]) if b else None
         if ice_type == "date":
@@ -245,10 +244,21 @@ def _deserialize_bound(ice_type: str, b: bytes):
             return (
                 _dt.date(1970, 1, 1) + _dt.timedelta(days=days)
             ).isoformat()
-        if ice_type in ("timestamp", "timestamptz"):
+        if ice_type == "timestamp":
             us = _struct.unpack("<q", b)[0]
             return (
                 _dt.datetime(1970, 1, 1)
+                + _dt.timedelta(microseconds=us)
+            ).isoformat()
+        if ice_type == "timestamptz":
+            # the stored micros are a UTC instant — a NAIVE string
+            # here would compare as wall time against session-local
+            # predicate literals and prune matching files (review
+            # r12 pass 2); tz-aware strings make the comparison
+            # raise instead, which skipping treats as "cannot prune"
+            us = _struct.unpack("<q", b)[0]
+            return (
+                _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)
                 + _dt.timedelta(microseconds=us)
             ).isoformat()
     except (ValueError, OverflowError, _struct.error, IndexError):
@@ -263,6 +273,14 @@ _BOUNDS_ITEM = {
         {"name": "key", "type": "int", "field-id": 126},
         {"name": "value", "type": "bytes", "field-id": 127},
     ],
+}
+# spec Appendix A: "Maps with non-string keys must use an array
+# representation with the map logical type" — native readers resolve
+# field 125/128 against map<int,binary> through this annotation
+_BOUNDS_ARRAY_LOWER = {
+    "type": "array",
+    "items": _BOUNDS_ITEM,
+    "logicalType": "map",
 }
 
 
@@ -334,10 +352,7 @@ def _manifest_entry_schema(partition_fields: list[str]) -> dict:
                             "name": "lower_bounds",
                             "field-id": 125,
                             "default": None,
-                            "type": ["null", {
-                                "type": "array",
-                                "items": _BOUNDS_ITEM,
-                            }],
+                            "type": ["null", _BOUNDS_ARRAY_LOWER],
                         },
                         {
                             "name": "upper_bounds",
@@ -345,6 +360,7 @@ def _manifest_entry_schema(partition_fields: list[str]) -> dict:
                             "default": None,
                             "type": ["null", {
                                 "type": "array",
+                                "logicalType": "map",
                                 "items": {
                                     "type": "record",
                                     "name": "k129_v130",

@@ -316,6 +316,12 @@ def load_iceberg_metadata(
             "format": "iceberg-import",
             "iceberg.format-version": str(fv),
             "iceberg.metadata-location": metadata_path,
+            # field-id -> name map, threaded so load_iceberg_table's
+            # rename guard never re-reads/re-parses the metadata JSON
+            # (doubled object-store GETs per load — review r12 pass 2)
+            "iceberg.field-ids": json.dumps(
+                {str(k): v for k, v in ids.items()}
+            ),
         },
         current_snapshot_id=cur_id,
         last_sequence_number=meta.get("last-sequence-number", snap_seq),
@@ -352,26 +358,37 @@ def _check_name_resolution(
     data_entries = [e for e in entries if e.content == md.DATA]
     if not data_entries:
         return
-    try:
-        import pyarrow.parquet as pq
+    # Sample across the table's HISTORY, not just one file: a rename
+    # mid-history leaves post-rename files that pass a single-file
+    # check while pre-rename files still read NULLs (review r12
+    # pass 2). One file per distinct sequence number (oldest-first,
+    # capped) brackets every write epoch at bounded driver cost.
+    by_seq: dict[int, md.ManifestEntry] = {}
+    for e in data_entries:
+        by_seq.setdefault(e.sequence_number, e)
+    samples = [by_seq[s] for s in sorted(by_seq)][:8]
+    if by_seq[max(by_seq)] not in samples:
+        samples.append(by_seq[max(by_seq)])
+    import pyarrow.parquet as pq
 
-        arrow_schema = pq.read_schema(data_entries[0].file_path)
-    except Exception:
-        return  # not locally readable here — the scan will surface it
-    file_name_by_id: dict[int, str] = {}
-    for f in arrow_schema:
-        meta = f.metadata or {}
-        fid = meta.get(b"PARQUET:field_id")
-        if fid is not None:
+    renamed: dict[int, tuple] = {}
+    for entry in samples:
+        try:
+            arrow_schema = pq.read_schema(entry.file_path)
+        except Exception:
+            continue  # not locally readable — the scan will surface it
+        for f in arrow_schema:
+            meta = f.metadata or {}
+            fid = meta.get(b"PARQUET:field_id")
+            if fid is None:
+                continue
             try:
-                file_name_by_id[int(fid)] = f.name
+                fid = int(fid)
             except ValueError:
                 continue
-    renamed = {
-        fid: (file_name_by_id[fid], name)
-        for fid, name in ids.items()
-        if fid in file_name_by_id and file_name_by_id[fid] != name
-    }
+            name = ids.get(fid)
+            if name is not None and f.name != name:
+                renamed[fid] = (f.name, name)
     if renamed:
         raise ValueError(
             "iceberg: column rename detected (field-id -> file name "
@@ -394,10 +411,10 @@ def load_iceberg_table(
     meta = load_iceberg_metadata(metadata_path, snapshot_id)
     snap = meta.current_snapshot()
     ids = {
-        f["id"]: f["name"]
-        for f in _current_schema(
-            json.loads(io_for(metadata_path).read_text(metadata_path))
-        )["fields"]
+        int(k): v
+        for k, v in json.loads(
+            meta.properties.get("iceberg.field-ids", "{}")
+        ).items()
     }
     if snap is not None:
         _check_name_resolution(snap.entries, ids)

@@ -596,10 +596,19 @@ class LakeTable:
         for the column (strings never have them — parquet truncation).
 
         Valid because file-level [min, max] are exact bounds attained
-        by some row in the file; the fold over files is exact.
+        by some row in the file; the fold over files is exact. That
+        exactness holds only for stats THIS lake harvested from
+        parquet footers — an IMPORTED Iceberg table's manifest bounds
+        are merely bounds per the spec (writers may widen them, and
+        NaN is excluded), so the metadata-only answer is refused
+        there and the caller falls back to a real aggregate (review
+        r12 pass 2). Imported bounds still serve pruning, which only
+        needs bound semantics.
         """
         snap = self._snapshot(snapshot_id)
         if snap is None:
+            return None
+        if self.meta.properties.get("format") == "iceberg-import":
             return None
         if any(e.content != md.DATA for e in snap.entries):
             return None
