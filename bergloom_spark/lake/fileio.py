@@ -54,7 +54,19 @@ def strip_local_scheme(path: str) -> str:
     boundary where a local-scheme table root becomes one."""
     if path.startswith("file://"):
         rest = path[len("file://"):]
-        # file:///abs/path and file:/abs/path both normalize to /abs/path
+        # file:///abs/path and file:/abs/path both normalize to
+        # /abs/path. A NON-EMPTY authority (file://host/path) names a
+        # remote host; silently folding it into the local path would
+        # point reads at /host/path (ADVICE r12) — fail loudly unless
+        # it's the localhost spelling.
+        if not rest.startswith("/"):
+            authority, sep, tail = rest.partition("/")
+            if authority.lower() not in ("", "localhost"):
+                raise ValueError(
+                    f"file:// URI has non-local authority "
+                    f"{authority!r}: {path}"
+                )
+            rest = sep + tail
         return rest if rest.startswith("/") else "/" + rest
     if path.startswith("file:/"):
         return path[len("file:"):]
@@ -216,8 +228,22 @@ class HadoopFileIO(FileIO):
         # exist atomically server-side; the exists() pre-check is a
         # fast path only. The src file is already fully written, so
         # the winner's publish is all-or-nothing.
-        if fs.exists(jdst) or not fs.rename(jsrc, jdst):
+        if fs.exists(jdst):
             raise FileExistsError(dst)
+        if not fs.rename(jsrc, jdst):
+            # rename() returning false is ambiguous: destination
+            # already present (a genuine version race, retryable) OR
+            # a permanent storage problem (missing parent, missing
+            # src, object-store quirk). Only the former may surface
+            # as FileExistsError — write_version converts that to
+            # CommitConflict and retries; masking a permanent error
+            # as a race would spin the committer (ADVICE r12).
+            if fs.exists(jdst):
+                raise FileExistsError(dst)
+            raise IOError(
+                f"rename {src} -> {dst} failed but destination does "
+                f"not exist (src exists: {bool(fs.exists(jsrc))})"
+            )
 
     def delete(self, path: str) -> None:
         fs, jpath = self._fs_path(path)

@@ -208,16 +208,18 @@ def _serialize_bound(ice_type: str, v) -> bytes | None:
             )
         if ice_type in ("timestamp", "timestamptz"):
             t = _dt.datetime.fromisoformat(str(v))
+            # Normalize to UTC-aware before subtracting so a stat
+            # string whose tz-awareness disagrees with the declared
+            # type can never raise a naive/aware TypeError
+            # (ADVICE r12); a naive stat is treated as UTC, which is
+            # what the parquet writer meant for both temporal kinds.
             if t.tzinfo is None:
-                epoch = _dt.datetime(1970, 1, 1)
-            else:
-                epoch = _dt.datetime(
-                    1970, 1, 1, tzinfo=_dt.timezone.utc
-                )
+                t = t.replace(tzinfo=_dt.timezone.utc)
+            epoch = _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)
             return _struct.pack(
                 "<q", int((t - epoch).total_seconds() * 1_000_000)
             )
-    except (ValueError, OverflowError, _struct.error):
+    except (ValueError, TypeError, OverflowError, _struct.error):
         return None
     return None  # string/binary/decimal: not exported (see above)
 

@@ -32,6 +32,10 @@ import zlib
 
 _MAGIC = b"Obj\x01"
 _MAX_INFLATE = 64 << 20  # absolute per-block inflate budget
+# Records that decode to ZERO payload bytes (empty record, bare
+# "null") are legal Avro but unbounded-allocation fuel; allow a few,
+# never millions (ADVICE r12).
+_ZERO_BYTE_RECORD_ALLOWANCE = 4096
 # A count (array/map/blocked collection) may not exceed the bytes
 # that could possibly encode it (1 byte per item minimum).
 _PRIMITIVES = {
@@ -255,6 +259,15 @@ def parse_avro(payload: bytes, with_meta: bool = False):
     try:
         _register_named(schema, names)
         records: list = []
+        zero_byte_records = 0
+        # Global amplification bound: however well the blocks deflate,
+        # a file may not decode to more records than a generous
+        # multiple of its own (compressed) size — 64 records per
+        # payload byte covers any real writer (records are ≥1 byte
+        # inflated and deflate tops out near 1032:1 only on
+        # pathological constant runs) while capping a 64 KB bomb at
+        # ~4M items instead of the inflate cap's 64M.
+        record_cap = 64 * len(r.d) + 65536
         while r.remaining() > 0:
             n = r.read_long()
             size = r.read_long()
@@ -273,12 +286,32 @@ def parse_avro(payload: bytes, with_meta: bool = False):
                     raise ValueError(
                         f"avro: bad deflate block: {exc}"
                     ) from exc
-            if n > len(block) + 1:
+            if n > len(block) + _ZERO_BYTE_RECORD_ALLOWANCE:
                 raise ValueError(f"avro: block claims {n} records in "
                                  f"{len(block)} bytes")
             br = _Reader(block)
             for _ in range(n):
+                before = br.pos
                 records.append(_decode(schema, br, names))
+                # ADVICE r12: the decoded-item budget is proportional
+                # to the INFLATED block, so a 64 KB deflate bomb
+                # inflating to the 64 MiB cap with a zero-byte record
+                # schema allocated ~64M dicts before the trailing-
+                # bytes check fired. Charge records against actual
+                # cursor progress: a record that consumed 0 payload
+                # bytes draws from a small fixed allowance instead.
+                if br.pos == before:
+                    zero_byte_records += 1
+                    if zero_byte_records > _ZERO_BYTE_RECORD_ALLOWANCE:
+                        raise ValueError(
+                            "avro: too many zero-byte records "
+                            "(payload-amplification bomb)"
+                        )
+                if len(records) > record_cap:
+                    raise ValueError(
+                        "avro: decoded record count exceeds the "
+                        "compressed-payload-proportional cap"
+                    )
             if br.remaining():
                 raise ValueError(
                     f"avro: {br.remaining()} trailing bytes in block"

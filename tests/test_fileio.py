@@ -54,6 +54,12 @@ class TestSchemeRouting:
         assert strip_local_scheme("file:/tmp/t") == "/tmp/t"
         assert strip_local_scheme("/tmp/t") == "/tmp/t"
         assert strip_local_scheme("s3a://b/t") == "s3a://b/t"
+        # localhost authority is the one legal non-empty spelling
+        assert strip_local_scheme("file://localhost/tmp/t") == "/tmp/t"
+        # a remote authority must fail loudly, never fold into the
+        # path as /host/tmp/t (ADVICE r12)
+        with pytest.raises(ValueError, match="authority"):
+            strip_local_scheme("file://nas01/tmp/t")
 
     def test_io_for(self, spark):
         assert isinstance(io_for("/tmp/x"), LocalFileIO)

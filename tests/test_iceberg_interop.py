@@ -88,6 +88,50 @@ class TestAvroRoundtrip:
         with pytest.raises(ValueError):
             parse_avro(b"")
 
+    def test_zero_byte_record_bomb_block_cap(self):
+        """ADVICE r12: a deflate block inflating under the 64 MiB cap
+        with an empty-record schema allocated millions of dicts before
+        the trailing-bytes check — the decoded-item budget was
+        proportional to the INFLATED block. The block-header record
+        cap must kill a 200k-empty-record claim instantly."""
+        import time as _time
+
+        empty = {"type": "record", "name": "E", "fields": []}
+        blob = write_avro_ocf(empty, [{}] * 200_000, codec="deflate")
+        t0 = _time.monotonic()
+        with pytest.raises(ValueError):
+            parse_avro(blob)
+        assert _time.monotonic() - t0 < 2.0
+
+    def test_zero_byte_record_allowance_in_loop(self):
+        """Variant where the block DOES carry bytes (so the header cap
+        passes) but every record consumes zero of them: the in-loop
+        cursor-progress allowance must fire, bounded, before the
+        claimed count allocates."""
+        import time as _time
+
+        from bergloom_spark.lake.iceberg_export import _enc_long
+
+        empty = {"type": "record", "name": "E", "fields": []}
+        base = write_avro_ocf(empty, [], codec="null")
+        sync = base[-16:]
+        header = base[:-18]  # strip the empty block (n=0, size=0) + sync
+        payload = b"\x00" * 8192  # junk the zero-byte records never consume
+        n = 8192 + 2000  # within the header cap (len(block)+allowance)
+        body = _enc_long(n) + _enc_long(len(payload)) + payload + sync
+        t0 = _time.monotonic()
+        with pytest.raises(ValueError, match="zero-byte"):
+            parse_avro(header + body)
+        assert _time.monotonic() - t0 < 2.0
+
+    def test_legit_empty_record_file_still_parses(self):
+        """A few zero-byte records are legal Avro — the allowance must
+        not reject a small legitimate file."""
+        empty = {"type": "record", "name": "E", "fields": []}
+        blob = write_avro_ocf(empty, [{}] * 100, codec="null")
+        _, records = parse_avro(blob)
+        assert records == [{}] * 100
+
     def test_mutated_schema_json_is_valueerror(self):
         """r12 fuzz finding: the embedded avro.schema is attacker
         bytes — a still-valid-JSON mutation that drops required keys
