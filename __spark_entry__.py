@@ -10021,6 +10021,71 @@ _EXT_ORACLES["iceberg_time_travel"] = f"""
 """
 
 
+def q_iceberg_catalog_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog-routed compaction lifecycle (round 13, verdict r12
+    Missing #1): the reference's full loop — resolve a table IDENT
+    through a ``Catalog`` (``compaction/mod.rs:226``), rewrite all
+    data files with every delete applied (``:191-352``), and commit
+    the new tree back THROUGH the catalog with a CAS swap
+    (``:569``; retry loop ``:595-611``). The catalog here is the
+    HadoopCatalog-style ``FilesystemCatalog`` (version-hint + CAS'd
+    ``v<N>.metadata.json`` copies); the table carries the same
+    seq-gated MoR debt as ``iceberg_roundtrip_mor``, so the oracle
+    replays the delete predicates in pure SQL. The query itself
+    asserts the catalog landed at v2 and the compacted snapshot is
+    delete-free — a silent no-op commit cannot pass."""
+    from bergloom_spark.lake import LakeTable
+    from bergloom_spark.lake import metadata as lmd
+    from bergloom_spark.lake.catalog import (
+        FilesystemCatalog,
+        compact_catalog_table,
+    )
+    from bergloom_spark.lake.iceberg_export import export_iceberg_metadata
+
+    li = T(spark, sf_dir, "lineitem")
+    scratch = _scratch(prefix="bergloom-icecat-")
+    root = os.path.join(scratch, "li")
+    t = LakeTable.create(spark, root, li.schema)
+    t.append(li.filter(F.col("l_orderkey") % 2 == 0))  # seq 1
+    t.append_equality_deletes(  # seq 2: gates ONLY the even half
+        li.filter(F.col("l_suppkey") % 10 == 0)
+        .select("l_suppkey").distinct(),
+        ["l_suppkey"],
+    )
+    t.append(li.filter(F.col("l_orderkey") % 2 == 1))  # seq 3
+    hidden = t.scan_data(with_hidden=True)
+    t.append_position_deletes(  # seq 4: by (file,pos), both halves
+        hidden.filter(F.col("l_partkey") % 13 == 0).select(
+            F.col(mor.SYS_HIDDEN_FILE_PATH).alias("file_path"),
+            F.col(mor.SYS_HIDDEN_POS).alias("pos"),
+        )
+    )
+
+    cat = FilesystemCatalog(os.path.join(scratch, "warehouse"))
+    cat.register_table(
+        "analytics.lineitem", export_iceberg_metadata(t.refresh().meta)
+    )
+    result, committed = compact_catalog_table(
+        spark, cat, "analytics.lineitem", os.path.join(scratch, "work")
+    )
+    if not committed.endswith("/v2.metadata.json"):
+        raise AssertionError(f"catalog did not advance to v2: {committed}")
+    if result.stat.rewritten_files_count < 1:
+        raise AssertionError("compaction rewrote nothing")
+    t2 = cat.load_table(spark, "analytics.lineitem")
+    snap = t2.meta.current_snapshot()
+    if snap.files(lmd.POS_DELETE) or snap.files(lmd.EQ_DELETE):
+        raise AssertionError("committed snapshot still carries deletes")
+    return t2.read().select(*LI_COLS)
+
+
+_EXT_ORACLES["iceberg_catalog_compact"] = f"""
+    SELECT {', '.join(LI_COLS)} FROM lineitem
+    WHERE l_partkey % 13 <> 0
+      AND NOT (l_orderkey % 2 = 0 AND l_suppkey % 10 = 0)
+"""
+
+
 def q_gzip_header_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
     """gzip member-header fields beyond the counts archive_meta
     proves (RFC 1952 §2.3: MTIME, OS, FNAME, FTEXT — SURVEY r12
@@ -10378,28 +10443,14 @@ def _driver_verified() -> set:
 # age within a few rounds — the r3 hand-list failure mode (silent
 # permanent staleness) is structurally gone.
 _CHANGED_THIS_ROUND: list[str] = [
-    # round 12: the ADVICE r11 fixes changed code paths of four
-    # already-registered rows — re-verify them ahead of pure
-    # staleness: main_content (anchor tag-name anchoring),
-    # charset_detection + crawl_text_pipeline (all-or-nothing strict
-    # re-decode), wet_roundtrip (occurrence-salted record ids),
-    # pdf_meta (XRefStm precedence + pre-bound inflate budget).
-    # compact_roundtrip/mor rows: _pos_delete_frame gained a
-    # conditional URI normalization (no-op for the lake's own local
-    # paths, covered by tests + sweep) — compact_roundtrip is in the
-    # permanent bench headline anyway.
-    "main_content",
-    "charset_detection",
-    "crawl_text_pipeline",
-    "wet_roundtrip",
-    "pdf_meta",
-    # r12 late-session changes: ANMF compositing switched to a
-    # running per-subrect flatten (webpcodec), and _pos_delete_frame
-    # gained the conditional URI normalization — re-verify the rows
-    # that run those exact paths
-    "webp_decode_frames",
-    "multimodal_decode_webp",
-    "mor_pos_delete",
+    # round 13: the ADVICE r12 fixes changed the Avro decode loop
+    # (zero-byte-record budget) and the export bound serializer
+    # (tz normalization + TypeError) — re-verify the two rows that
+    # run those exact paths. Kept deliberately short: verdict r12
+    # "wrong #3" requires the r8-era staleness tail to occupy the
+    # rest of this round's window.
+    "iceberg_roundtrip_mor",
+    "iceberg_time_travel",
     # round 11 note kept for history: every r11 code change landed in
     # a NEW registration (robots glob matcher,
     # archive/triage PK sniff, WET record ids, warc charset decode,
@@ -10677,6 +10728,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round 12 registrations
         "iceberg_roundtrip_mor": q_iceberg_roundtrip_mor,
         "iceberg_time_travel": q_iceberg_time_travel,
+        "iceberg_catalog_compact": q_iceberg_catalog_compact,
         "gzip_header_fields": q_gzip_header_fields,
         "robots_sitemap_discovery": q_robots_sitemap_discovery,
         "crawl_link_graph_rel": q_crawl_link_graph_rel,

@@ -18,5 +18,25 @@ Maps to the reference's catalog + manifest machinery
 
 from bergloom_spark.lake.table import LakeTable
 from bergloom_spark.lake.compaction import Compaction, RewriteFilesStat
+from bergloom_spark.lake.catalog import (
+    Catalog,
+    CatalogCommitConflict,
+    FilesystemCatalog,
+    MemoryCatalog,
+    NoSuchTableError,
+    TableAlreadyExistsError,
+    compact_catalog_table,
+)
 
-__all__ = ["LakeTable", "Compaction", "RewriteFilesStat"]
+__all__ = [
+    "LakeTable",
+    "Compaction",
+    "RewriteFilesStat",
+    "Catalog",
+    "CatalogCommitConflict",
+    "FilesystemCatalog",
+    "MemoryCatalog",
+    "NoSuchTableError",
+    "TableAlreadyExistsError",
+    "compact_catalog_table",
+]

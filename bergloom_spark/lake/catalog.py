@@ -1,0 +1,344 @@
+"""Catalog adapters: load tables by IDENT, commit new metadata trees by CAS.
+
+The reference resolves every table through a ``dyn Catalog`` — the
+compaction proxy holds one and calls ``catalog.load_table(&ident)``
+before planning and ``txn.commit(catalog)`` after rewriting
+(``core/src/compaction/mod.rs:226``, ``:358``, ``:530``, ``:569``;
+the memory-catalog example wires one up end-to-end,
+``examples/memory-catalog/src/main.rs:21-60``). Until this module,
+the rebuild's Iceberg interop took a raw ``metadata.json`` path
+(`lake/iceberg_import.py:load_iceberg_table`), leaving the final
+swap-back commit of ``compact_iceberg_table`` with no interface to
+target.
+
+Two implementations, both testable in-sandbox:
+
+- :class:`MemoryCatalog` — dict + lock, mirroring the reference's
+  ``iceberg_catalog_memory::MemoryCatalog`` usage shape.
+- :class:`FilesystemCatalog` — HadoopCatalog-style layout: the
+  catalog OWNS a copy of each committed ``metadata.json`` under
+  ``<warehouse>/<namespace>/<table>/metadata/v<N>.metadata.json``
+  plus a ``version-hint.text``. The commit primitive is the same
+  single CAS the lake already trusts (``FileIO.publish_if_absent``
+  of the next ``v<N>`` file — losers get a retryable conflict);
+  the hint is advisory and readers fall back to a max-version scan,
+  exactly the Hadoop catalog's recovery story. Copying the JSON is
+  sound because an exported tree references manifests and data
+  files by absolute location (Iceberg spec: "Table Metadata" —
+  locations are full URIs), so the catalog copy and the original
+  resolve identically.
+
+Concurrency contract (mirrors ``RewriteFilesCommitManager``): a
+committer resolves the current location, prepares a new tree, then
+``commit_swap(ident, new, expected=current)``. If another committer
+landed in between, the CAS raises :class:`CatalogCommitConflict`
+and the caller re-resolves, re-validates, and retries — the same
+loop as ``compaction/mod.rs:595-611``.
+"""
+
+from __future__ import annotations
+
+import itertools
+import json
+import os
+import re
+import threading
+
+from bergloom_spark.lake.fileio import FileIO, io_for
+
+
+class NoSuchTableError(Exception):
+    """Ident not present in the catalog."""
+
+
+class TableAlreadyExistsError(Exception):
+    """register/create on an ident the catalog already holds."""
+
+
+class CatalogCommitConflict(Exception):
+    """CAS lost: the table moved past ``expected`` (retryable)."""
+
+
+def parse_ident(ident: str) -> tuple[str, str]:
+    """``"namespace.table"`` → ``(namespace, table)``. A bare name
+    lands in the ``"default"`` namespace; deeper namespaces keep
+    their dots (only the LAST segment is the table name, matching
+    ``TableIdent::new(namespace, name)``)."""
+    ident = ident.strip()
+    if not ident or ident.endswith(".") or ident.startswith("."):
+        raise ValueError(f"bad table ident {ident!r}")
+    ns, _, name = ident.rpartition(".")
+    return (ns or "default", name)
+
+
+class Catalog:
+    """Interface; see module docstring for the CAS contract."""
+
+    # -- abstract storage primitives ---------------------------------
+    def resolve_metadata_location(self, ident: str) -> str:
+        """Current ``metadata.json`` location for ``ident``.
+        Raises :class:`NoSuchTableError`."""
+        raise NotImplementedError
+
+    def register_table(self, ident: str, metadata_path: str) -> None:
+        """Point the catalog at an EXISTING metadata tree (Iceberg's
+        ``registerTable``). Raises :class:`TableAlreadyExistsError`."""
+        raise NotImplementedError
+
+    def commit_swap(
+        self, ident: str, new_metadata_path: str, expected_metadata_path: str
+    ) -> None:
+        """CAS: make ``new_metadata_path`` current iff the table still
+        resolves to ``expected_metadata_path``. Raises
+        :class:`CatalogCommitConflict` on a lost race and
+        :class:`NoSuchTableError` for unknown idents."""
+        raise NotImplementedError
+
+    def drop_table(self, ident: str) -> None:
+        raise NotImplementedError
+
+    def list_tables(self, namespace: str = "default") -> list[str]:
+        raise NotImplementedError
+
+    # -- shared conveniences ------------------------------------------
+    def table_exists(self, ident: str) -> bool:
+        try:
+            self.resolve_metadata_location(ident)
+            return True
+        except NoSuchTableError:
+            return False
+
+    def load_table(self, spark, ident: str, snapshot_id: int | None = None):
+        """``catalog.load_table(&ident)`` (``compaction/mod.rs:226``):
+        resolve the current metadata location and import it as a
+        read-only :class:`LakeTable` pinned to a snapshot."""
+        from bergloom_spark.lake.iceberg_import import load_iceberg_table
+
+        return load_iceberg_table(
+            spark, self.resolve_metadata_location(ident), snapshot_id
+        )
+
+
+class MemoryCatalog(Catalog):
+    """Ident → metadata-location map with real CAS semantics; the
+    in-process twin of the reference example's memory catalog
+    (``examples/memory-catalog/src/main.rs:21``)."""
+
+    def __init__(self) -> None:
+        self._tables: dict[tuple[str, str], str] = {}
+        self._lock = threading.Lock()
+
+    def resolve_metadata_location(self, ident: str) -> str:
+        key = parse_ident(ident)
+        with self._lock:
+            try:
+                return self._tables[key]
+            except KeyError:
+                raise NoSuchTableError(ident) from None
+
+    def register_table(self, ident: str, metadata_path: str) -> None:
+        key = parse_ident(ident)
+        with self._lock:
+            if key in self._tables:
+                raise TableAlreadyExistsError(ident)
+            self._tables[key] = metadata_path
+
+    def commit_swap(
+        self, ident: str, new_metadata_path: str, expected_metadata_path: str
+    ) -> None:
+        key = parse_ident(ident)
+        with self._lock:
+            current = self._tables.get(key)
+            if current is None:
+                raise NoSuchTableError(ident)
+            if current != expected_metadata_path:
+                raise CatalogCommitConflict(
+                    f"{ident}: at {current}, expected {expected_metadata_path}"
+                )
+            self._tables[key] = new_metadata_path
+
+    def drop_table(self, ident: str) -> None:
+        key = parse_ident(ident)
+        with self._lock:
+            if self._tables.pop(key, None) is None:
+                raise NoSuchTableError(ident)
+
+    def list_tables(self, namespace: str = "default") -> list[str]:
+        with self._lock:
+            return sorted(
+                name for ns, name in self._tables if ns == namespace
+            )
+
+
+_VERSION_RE = re.compile(r"^v(\d+)\.metadata\.json$")
+_tmp_counter = itertools.count()
+
+
+class FilesystemCatalog(Catalog):
+    """HadoopCatalog-style warehouse directory over the FileIO seam.
+
+    Layout per table::
+
+        <warehouse>/<namespace>/<table>/metadata/v<N>.metadata.json
+        <warehouse>/<namespace>/<table>/metadata/version-hint.text
+
+    Commit = ``publish_if_absent`` of the next version file (the
+    single CAS primitive shared with the native lake's
+    ``write_version``, ``lake/metadata.py:155``); the hint is
+    rewritten after and is ONLY a hint — resolution falls back to
+    scanning for the max committed version, so a crash between CAS
+    and hint write loses nothing.
+    """
+
+    def __init__(self, warehouse: str, io: FileIO | None = None) -> None:
+        self.warehouse = warehouse.rstrip("/")
+        self.io = io or io_for(warehouse)
+        self.io.mkdirs(self.warehouse)
+
+    # -- layout --------------------------------------------------------
+    def _metadata_dir(self, ident: str) -> str:
+        ns, name = parse_ident(ident)
+        return f"{self.warehouse}/{ns}/{name}/metadata"
+
+    def _current_version(self, mdir: str) -> int:
+        """Max committed version, 0 if none. The hint short-circuits
+        the scan when fresh; a stale/missing hint degrades to the
+        listing (HadoopCatalog recovery semantics)."""
+        hinted = 0
+        hint = f"{mdir}/version-hint.text"
+        if self.io.exists(hint):
+            try:
+                hinted = int(self.io.read_text(hint).strip())
+            except ValueError:
+                hinted = 0
+        # The hint may lag a committed-but-unhinted version by one
+        # (crash window) or more (another committer's hint write
+        # lost). Trust it only as a floor; confirm by probing
+        # forward, falling back to a listing when the dir is gone.
+        if hinted and not self.io.exists(
+            f"{mdir}/v{hinted}.metadata.json"
+        ):
+            hinted = 0
+        v = hinted
+        while self.io.exists(f"{mdir}/v{v + 1}.metadata.json"):
+            v += 1
+        if v:
+            return v
+        try:
+            names = self.io.list_names(mdir)
+        except Exception:
+            return 0
+        versions = [
+            int(m.group(1))
+            for m in (_VERSION_RE.match(n) for n in names)
+            if m
+        ]
+        return max(versions, default=0)
+
+    # -- Catalog API -----------------------------------------------------
+    def resolve_metadata_location(self, ident: str) -> str:
+        mdir = self._metadata_dir(ident)
+        v = self._current_version(mdir)
+        if v == 0:
+            raise NoSuchTableError(ident)
+        return f"{mdir}/v{v}.metadata.json"
+
+    def register_table(self, ident: str, metadata_path: str) -> None:
+        if self.table_exists(ident):
+            raise TableAlreadyExistsError(ident)
+        self._publish_version(ident, metadata_path, next_version=1)
+
+    def commit_swap(
+        self, ident: str, new_metadata_path: str, expected_metadata_path: str
+    ) -> None:
+        current = self.resolve_metadata_location(ident)
+        if current != expected_metadata_path:
+            raise CatalogCommitConflict(
+                f"{ident}: at {current}, expected {expected_metadata_path}"
+            )
+        m = _VERSION_RE.match(os.path.basename(current))
+        self._publish_version(
+            ident, new_metadata_path, next_version=int(m.group(1)) + 1
+        )
+
+    def _publish_version(
+        self, ident: str, metadata_path: str, next_version: int
+    ) -> None:
+        """Copy the metadata JSON into the catalog as ``v<N>`` via the
+        write-then-CAS idiom (`lake/metadata.py:write_version`). The
+        source tree's manifests/data files are referenced by absolute
+        location inside the JSON, so the copy resolves identically."""
+        content = io_for(metadata_path).read_text(metadata_path)
+        json.loads(content)  # refuse to catalog a non-JSON pointer
+        mdir = self._metadata_dir(ident)
+        self.io.mkdirs(mdir)
+        tmp = f"{mdir}/.tmp-{os.getpid()}-{next(_tmp_counter)}.json"
+        self.io.write_text(tmp, content)
+        target = f"{mdir}/v{next_version}.metadata.json"
+        try:
+            self.io.publish_if_absent(tmp, target)
+        except FileExistsError as exc:
+            raise CatalogCommitConflict(
+                f"{ident}: version {next_version} already committed"
+            ) from exc
+        finally:
+            if self.io.exists(tmp):
+                self.io.delete(tmp)
+        # Advisory fast path only; resolution never depends on it.
+        self.io.write_text(f"{mdir}/version-hint.text", str(next_version))
+
+    def drop_table(self, ident: str) -> None:
+        mdir = self._metadata_dir(ident)
+        v = self._current_version(mdir)
+        if v == 0:
+            raise NoSuchTableError(ident)
+        for name in self.io.list_names(mdir):
+            self.io.delete(f"{mdir}/{name}")
+
+    def list_tables(self, namespace: str = "default") -> list[str]:
+        ns_dir = f"{self.warehouse}/{namespace}"
+        try:
+            names = self.io.list_names(ns_dir)
+        except Exception:
+            return []
+        out = []
+        for name in names:
+            if self._current_version(f"{ns_dir}/{name}/metadata"):
+                out.append(name)
+        return sorted(out)
+
+
+def compact_catalog_table(
+    spark, catalog: Catalog, ident: str, work_root: str, config=None,
+    max_retries: int = 3,
+):
+    """The reference's full catalog-routed lifecycle
+    (``compaction/mod.rs:226`` load → ``:191-352`` rewrite → ``:569``
+    commit-through-catalog): resolve ``ident``, compact with every
+    delete applied, export the result as an Iceberg v2 tree, and CAS
+    the catalog pointer to it. On a lost race the loop re-resolves
+    and re-compacts the NEW current tree (``:595-611``'s retry), so
+    the committed tree always derives from the state it replaced.
+
+    Returns ``(CompactionResult, committed_metadata_path)``.
+    """
+    from bergloom_spark.lake.iceberg_import import compact_iceberg_table
+
+    last: Exception | None = None
+    for attempt in range(max_retries):
+        src = catalog.resolve_metadata_location(ident)
+        result, out_path = compact_iceberg_table(
+            spark,
+            src,
+            os.path.join(work_root, f"attempt-{attempt}"),
+            config,
+        )
+        try:
+            catalog.commit_swap(ident, out_path, expected_metadata_path=src)
+        except CatalogCommitConflict as exc:
+            last = exc
+            continue
+        return result, catalog.resolve_metadata_location(ident)
+    raise CatalogCommitConflict(
+        f"{ident}: lost the swap {max_retries} times"
+    ) from last
