@@ -443,6 +443,40 @@ def _iceberg_type(t, next_id) -> object:
 _CONTENT_CODE = {md.DATA: 0, md.POS_DELETE: 1, md.EQ_DELETE: 2}
 
 
+def _schemas_with_history(meta, ice_schema: dict) -> list[dict]:
+    """Current schema plus HISTORICAL schema versions reconstructed
+    from the lake's ``column_renames`` property, so an exported table
+    whose files span a rename carries the evidence a field-id-aware
+    reader (including this repo's own importer,
+    ``iceberg_import._rename_history_from_schemas``) needs to resolve
+    pre-rename files — Iceberg keeps every schema version in
+    ``schemas`` for exactly this (spec "Table Metadata"). The exact
+    interleaving of multi-column rename timelines is not recoverable
+    from per-column lists and does not matter: readers union names
+    per field id across versions."""
+    import copy as _copy
+    import json as _json
+
+    hist = _json.loads(meta.properties.get("column_renames", "") or "{}")
+    if not hist:
+        return [ice_schema]
+    depth = max(len(v) for v in hist.values())
+    schemas: list[dict] = []
+    for d in range(depth, 0, -1):  # oldest first
+        hist_id = ice_schema["schema-id"] - d
+        if hist_id < 0:
+            continue  # unreconstructable id space; current alone
+        s = _copy.deepcopy(ice_schema)
+        s["schema-id"] = hist_id
+        for f in s["fields"]:
+            names = hist.get(f["name"])
+            if names and len(names) >= d:
+                f["name"] = names[-d]
+        schemas.append(s)
+    schemas.append(ice_schema)
+    return schemas
+
+
 def export_iceberg_metadata(
     meta: md.TableMetadata,
     out_dir: str | None = None,
@@ -610,7 +644,7 @@ def export_iceberg_metadata(
         "last-updated-ms": snap.timestamp_ms or int(time.time() * 1000),
         "last-column-id": counter["n"],
         "current-schema-id": meta.schema_id,
-        "schemas": [ice_schema],
+        "schemas": _schemas_with_history(meta, ice_schema),
         "default-spec-id": 0,
         "partition-specs": [{"spec-id": 0, "fields": spec_fields}],
         "last-partition-id": 1000 + max(0, len(meta.partition_spec) - 1),

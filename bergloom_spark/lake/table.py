@@ -1441,15 +1441,38 @@ class LakeTable:
 
     def _eq_delete_groups(self, snap: md.Snapshot) -> list[mor.EqualityDeleteGroup]:
         entries = []
+        renames = self._rename_history()
         for e in snap.files(md.EQ_DELETE):
             # Eq-delete files contain exactly the equality_ids columns
             # (writer projects them, writer.py:200); reading with that
             # schema skips the per-file schema-inference job a bare
-            # spark.read.parquet would launch.
-            file_schema = T.StructType(
-                [f for f in self.schema.fields if f.name in set(e.equality_ids)]
+            # spark.read.parquet would launch. Imported files written
+            # BEFORE a column rename carry the historical name — read
+            # those too (NULL where absent) and coalesce, mirroring
+            # _scan_file_group's data-file handling (native tables
+            # never hit this: rename_column refuses with live
+            # eq-deletes on the column).
+            key_set = set(e.equality_ids)
+            file_fields: list[T.StructField] = []
+            for f in self.schema.fields:
+                if f.name not in key_set:
+                    continue
+                file_fields.append(f)
+                for h in renames.get(f.name, []):
+                    file_fields.append(T.StructField(h, f.dataType, True))
+            frame = self.spark.read.schema(T.StructType(file_fields)).parquet(
+                e.file_path
             )
-            frame = self.spark.read.schema(file_schema).parquet(e.file_path)
+            for f in self.schema.fields:
+                hs = renames.get(f.name, [])
+                if hs and f.name in key_set:
+                    frame = frame.withColumn(
+                        f.name,
+                        F.coalesce(
+                            F.col(f.name), *[F.col(h) for h in reversed(hs)]
+                        ),
+                    )
+            frame = frame.select(*e.equality_ids)
             entries.append((frame, e.equality_ids, e.sequence_number))
         return mor.group_equality_deletes(entries)
 
