@@ -4001,13 +4001,22 @@ def q_ngram_jaccard_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXACT corpus-wide n-gram Jaccard pairs (round 4) — the
-    ground-truth twin of minhash_lsh_pairs: inverted shingle-posting
-    self-join counts intersections, so only 16-byte (hash, id) rows
-    shuffle and no candidate can be missed (a τ>0 pair shares ≥1
-    shingle). The oracle recomputes every pair brute-force."""
+    """EXACT corpus-wide n-gram Jaccard pairs (round 4; re-pointed
+    round 13 at the capped configuration per verdict r12 wrong #1) —
+    the ground-truth twin of minhash_lsh_pairs: inverted
+    shingle-posting self-join counts intersections, so only 16-byte
+    (hash, id) rows shuffle and no candidate can be missed (a τ>0
+    pair shares ≥1 kept shingle). The REGISTERED plan carries the
+    stop-shingle cut (max_doc_freq="auto": df-cap at 1% of corpus,
+    floor 64 — dedup.auto_stop_shingle_cap), so a boilerplate
+    shingle in M docs can never contribute M² candidate rows at
+    100×; the posting table is cached so the md5-per-shingle pass
+    runs once, not once per join side. The oracle replays the SAME
+    capped semantics (hot-shingle anti join, sizes over the pruned
+    universe) pair-exactly."""
     return dedup.ngram_jaccard_pairs(
-        TS(spark, sf_dir, "documents"), "text", "doc_id", threshold=0.2
+        TS(spark, sf_dir, "documents"), "text", "doc_id", threshold=0.2,
+        max_doc_freq="auto",
     )
 
 
@@ -7610,22 +7619,37 @@ _EXT_ORACLES = {
     """,
     "minhash_lsh_pairs": _MINHASH_PAIRS_SQL,
     "incremental_dedup_index": _INCREMENTAL_INDEX_SQL,
-    # Brute-force ground truth: every doc pair's exact Jaccard over
-    # distinct shingle hashes (the same 60-bit md5 hash both engines
-    # share), rounded before the threshold compare like the Spark side.
+    # Ground truth for the CAPPED configuration the row registers
+    # (r13): same distinct 60-bit md5 shingle hashes both engines
+    # share, hot shingles (doc freq > greatest(64, n_docs//100) =
+    # dedup.auto_stop_shingle_cap) anti-joined away BEFORE pairing,
+    # sizes recomputed over the pruned universe, rounded before the
+    # threshold compare like the Spark side.
     "ngram_jaccard_pairs": f"""
-        WITH sh AS (
+        WITH cap AS (
+          SELECT greatest(64, count(*) // 100) AS c FROM documents),
+        sh AS (
           SELECT doc_id,
                  list_distinct(list_transform({TX.shingles_sql('text', 3)},
                    s -> {hash64_sql('s')} % {dedup.MINHASH_PRIME})) AS hs
           FROM documents),
-        sized AS (SELECT doc_id, hs, len(hs) AS n FROM sh WHERE len(hs) > 0)
+        post AS (SELECT doc_id, unnest(hs) AS h FROM sh),
+        kept AS (
+          SELECT doc_id, h FROM post
+          WHERE h NOT IN (
+            SELECT h FROM post GROUP BY h
+            HAVING count(*) > (SELECT c FROM cap))),
+        sized AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+          FROM kept a JOIN kept b ON a.h = b.h AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
         SELECT * FROM (
-          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                 round(len(list_intersect(a.hs, b.hs))::DOUBLE /
-                       (a.n + b.n - len(list_intersect(a.hs, b.hs))),
-                       6) AS jaccard
-          FROM sized a JOIN sized b ON a.doc_id < b.doc_id)
+          SELECT id_a, id_b,
+                 round(i::DOUBLE / (na.n + nb.n - i), 6) AS jaccard
+          FROM inter
+          JOIN sized na ON na.doc_id = id_a
+          JOIN sized nb ON nb.doc_id = id_b)
         WHERE jaccard >= 0.2
     """,
     # LSH candidates (the minhash_lsh_pairs plan at est 0.25) refined
@@ -10501,6 +10525,9 @@ _CHANGED_THIS_ROUND: list[str] = [
     # rest of this round's window.
     "iceberg_roundtrip_mor",
     "iceberg_time_travel",
+    # r13: registered plan re-pointed at the capped+cached
+    # configuration (stop-shingle cut; verdict r12 wrong #1)
+    "ngram_jaccard_pairs",
     # round 11 note kept for history: every r11 code change landed in
     # a NEW registration (robots glob matcher,
     # archive/triage PK sniff, WET record ids, warc charset decode,

@@ -115,7 +115,7 @@ def test_ngram_jaccard_pairs_exact_and_verified_recall(spark, sf_dir):
     exact = {
         (r.id_a, r.id_b): r.jaccard
         for r in dedup.ngram_jaccard_pairs(
-            docs, "text", "doc_id", threshold=0.5
+            docs, "text", "doc_id", threshold=0.5, max_doc_freq=None
         ).collect()
     }
     # brute force over collected shingle sets
@@ -540,3 +540,73 @@ def test_hard_negatives_reduce_to_knn_when_labels_unique(spark):
         for r in sim.knn_bruteforce(emb, probes, k=4).collect()
     }
     assert hn == knn  # all-unique labels: every neighbor is a negative
+
+
+def test_ngram_jaccard_auto_cap_binds_on_boilerplate(spark):
+    """Boilerplate-skewed corpus (r13, verdict r12 wrong #1): a
+    license-header shingle shared by EVERY doc would contribute M²
+    candidate rows uncapped. With the auto cap (1% of corpus, floor
+    64) the hot shingles drop before pairing; the result must equal a
+    Python reference computed over the same pruned universe, and must
+    DIFFER from the unpruned ground truth (the cut binds)."""
+    import random
+
+    rng = random.Random(7)
+    header = "this software is provided as is without warranty of any kind"
+    vocab = [f"tok{i}" for i in range(50)]
+    docs = {}
+    for i in range(200):
+        body = " ".join(rng.choice(vocab) for _ in range(10))
+        docs[i] = f"{header} {body}"
+    df = spark.createDataFrame(
+        list(docs.items()), "doc_id long, text string"
+    )
+
+    from bergloom_spark.operators.dedup import (
+        auto_stop_shingle_cap,
+        ngram_jaccard_pairs,
+    )
+
+    cap = auto_stop_shingle_cap(len(docs))
+    assert cap == 64  # floor at this size; header shingles are in 200
+
+    def py_pairs(max_df):
+        def shingles(t):
+            w = t.split()
+            return {" ".join(w[k:k + 3]) for k in range(len(w) - 2)}
+
+        sets = {i: shingles(t) for i, t in docs.items()}
+        if max_df is not None:
+            from collections import Counter
+
+            freq = Counter(s for ss in sets.values() for s in ss)
+            sets = {
+                i: {s for s in ss if freq[s] <= max_df}
+                for i, ss in sets.items()
+            }
+        out = {}
+        ids = sorted(sets)
+        for x, a in enumerate(ids):
+            for b in ids[x + 1:]:
+                inter = len(sets[a] & sets[b])
+                if not inter:
+                    continue
+                j = round(
+                    inter / (len(sets[a]) + len(sets[b]) - inter), 6
+                )
+                if j >= 0.2:
+                    out[(a, b)] = j
+        return out
+
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(
+            df, "text", "doc_id", threshold=0.2, max_doc_freq="auto"
+        ).collect()
+    }
+    assert got == py_pairs(cap)
+    # every doc shares the 10 header shingles: unpruned Jaccard floors
+    # near 10/(n_a+n_b-10) ≈ 0.3 → hundreds of boilerplate-only pairs
+    # the cut must remove
+    uncapped = py_pairs(None)
+    assert len(uncapped) > len(got)
