@@ -57,14 +57,19 @@ HEADLINE_R1 = [
 ]
 
 # Round-2/3 operator surface (perf regression tracking, VERDICT r2 #6).
-# bpe_token_stats (the iterative learner) left the driver registry in
-# round 4 (no SQL oracle exists for an N-merge learn loop) but stays a
-# timed headline — resolved from the module directly below.
+# r13 (verdict r12 wrong #2): the benched BPE shape is the PRODUCTION
+# pipeline (bpe_pipeline_fast: one distributed vocab agg + O(vocab)
+# driver merge loop + distributed encode) — the per-merge-job learner
+# bpe_token_stats measured driver-loop latency (48 stages for 10
+# merges), not corpus throughput; it stays module-resolvable and
+# parity-pinned in tests/test_bpe.py. Neither is in the driver
+# registry (no SQL oracle for an N-merge learn loop) — both resolve
+# from the module directly below.
 HEADLINE = HEADLINE_R1 + [
     "quality_classifier",
     "dedup_remove_spans",
     "embedding_dedup",
-    "bpe_token_stats",
+    "bpe_pipeline_fast",
     "hard_negatives_ivf",
     "multimodal_decode_real",
     # round-4 operator surface
@@ -254,7 +259,7 @@ def main() -> None:
     calibration_parallel = _cpu_calibration_parallel()
     spark = get_spark(app_name="bergloom-bench")
     queries = dict(entry_mod.queries())
-    queries.setdefault("bpe_token_stats", entry_mod.q_bpe_token_stats)
+    queries.setdefault("bpe_pipeline_fast", entry_mod.q_bpe_pipeline_fast)
     # JMH-style warmup at the smallest SF: compiles/JITs every query's
     # generated code once so the timed section measures steady-state
     # throughput (what a 100 TB run is made of), not one-time Janino +
