@@ -153,6 +153,12 @@ class RewriteFilesCommitManager:
                 partition=dict(e.partition),
                 column_stats=dict(e.column_stats),
                 column_blooms=dict(getattr(e, "column_blooms", {}) or {}),
+                column_value_counts=dict(
+                    getattr(e, "column_value_counts", {}) or {}
+                ),
+                column_null_counts=dict(
+                    getattr(e, "column_null_counts", {}) or {}
+                ),
             )
             for e in add_entries
         ]

@@ -373,15 +373,22 @@ class SortCompaction(Compaction):
             # leading-column order when column domains differ in width.
             ranges = []
             for c in self.sort_cols:
+                # numeric stats only: string columns now carry
+                # truncate-contract bounds (skipping.py) that cannot
+                # range-normalize a z-value
                 los = [
                     e.column_stats[c][0]
                     for e in snap.files(md.DATA)
                     if c in (e.column_stats or {})
+                    and isinstance(e.column_stats[c][0], (int, float))
+                    and not isinstance(e.column_stats[c][0], bool)
                 ]
                 his = [
                     e.column_stats[c][1]
                     for e in snap.files(md.DATA)
                     if c in (e.column_stats or {})
+                    and isinstance(e.column_stats[c][1], (int, float))
+                    and not isinstance(e.column_stats[c][1], bool)
                 ]
                 if los and len(los) == len(snap.files(md.DATA)):
                     ranges.append((float(min(los)), float(max(his))))

@@ -181,16 +181,31 @@ _MANIFEST_LIST_SCHEMA = {
 
 # Iceberg single-value serialization (Table Spec Appendix D) for the
 # bound maps: little-endian fixed widths; temporal values as
-# days/micros since epoch. Strings are deliberately NOT exported —
-# this lake's own skipping policy drops string bounds (parquet
-# writers may truncate them, understating the max), so exporting
-# them would hand a native engine pruning evidence we ourselves
-# refuse to trust.
-def _serialize_bound(ice_type: str, v) -> bytes | None:
+# days/micros since epoch; strings as UTF-8 under the truncate(16)
+# contract (r13, verdict r12 Missing #3a — lower: code-point prefix,
+# ≤ every value; upper: incremented prefix, ≥ every value, or dropped
+# when unincrementable). ``side`` selects which truncation keeps the
+# bound valid; the lake's own harvest (skipping.footer_column_stats)
+# already stores strings this way, so re-applying is idempotent.
+def _serialize_bound(ice_type: str, v, side: str = "lower") -> bytes | None:
     import datetime as _dt
     import struct as _struct
 
+    from bergloom_spark.lake.skipping import (
+        utf8_truncate_lower,
+        utf8_truncate_upper,
+    )
+
     try:
+        if ice_type == "string":
+            if not isinstance(v, str):
+                return None
+            s = (
+                utf8_truncate_upper(v)
+                if side == "upper"
+                else utf8_truncate_lower(v)
+            )
+            return None if s is None else s.encode("utf-8")
         if ice_type == "int":
             return _struct.pack("<i", int(v))
         if ice_type == "long":
@@ -229,6 +244,8 @@ def _deserialize_bound(ice_type: str, b: bytes):
     import struct as _struct
 
     try:
+        if ice_type == "string":
+            return b.decode("utf-8")  # bad UTF-8 → skip the bound
         if ice_type == "int":
             return _struct.unpack("<i", b)[0]
         if ice_type == "long":
@@ -345,6 +362,49 @@ def _manifest_entry_schema(partition_fields: list[str]) -> dict:
                                 "type": "array",
                                 "items": "int",
                                 "element-id": 136,
+                            }],
+                        },
+                        # spec fields 109/110: per-column value and
+                        # null counts (same array-of-k/v encoding as
+                        # the bound maps)
+                        {
+                            "name": "value_counts",
+                            "field-id": 109,
+                            "default": None,
+                            "type": ["null", {
+                                "type": "array",
+                                "logicalType": "map",
+                                "items": {
+                                    "type": "record",
+                                    "name": "k119_v120",
+                                    "fields": [
+                                        {"name": "key", "type": "int",
+                                         "field-id": 119},
+                                        {"name": "value",
+                                         "type": "long",
+                                         "field-id": 120},
+                                    ],
+                                },
+                            }],
+                        },
+                        {
+                            "name": "null_value_counts",
+                            "field-id": 110,
+                            "default": None,
+                            "type": ["null", {
+                                "type": "array",
+                                "logicalType": "map",
+                                "items": {
+                                    "type": "record",
+                                    "name": "k121_v122",
+                                    "fields": [
+                                        {"name": "key", "type": "int",
+                                         "field-id": 121},
+                                        {"name": "value",
+                                         "type": "long",
+                                         "field-id": 122},
+                                    ],
+                                },
                             }],
                         },
                         # spec field 125/128: per-column bound maps,
@@ -522,9 +582,21 @@ def export_iceberg_metadata(
             t = type_by_name.get(col)
             if t is None or col not in name_to_id:
                 continue
-            blob = _serialize_bound(t, lo_hi[idx])
+            blob = _serialize_bound(
+                t, lo_hi[idx], side="upper" if idx else "lower"
+            )
             if blob is not None:
                 items.append({"key": name_to_id[col], "value": blob})
+        return items or None
+
+    def _counts(e, attr: str):
+        """Per-column count map (spec fields 109/110) for columns the
+        current schema resolves."""
+        items = [
+            {"key": name_to_id[col], "value": int(n)}
+            for col, n in sorted((getattr(e, attr, {}) or {}).items())
+            if col in name_to_id
+        ]
         return items or None
     spec_fields = [
         {
@@ -563,6 +635,14 @@ def export_iceberg_metadata(
                     "equality_ids": (
                         [name_to_id[c] for c in e.equality_ids]
                         if e.equality_ids else None
+                    ),
+                    "value_counts": (
+                        _counts(e, "column_value_counts")
+                        if kind == md.DATA else None
+                    ),
+                    "null_value_counts": (
+                        _counts(e, "column_null_counts")
+                        if kind == md.DATA else None
                     ),
                     "lower_bounds": (
                         _bounds(e, 0) if kind == md.DATA else None

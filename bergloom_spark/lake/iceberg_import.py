@@ -130,6 +130,14 @@ def _field_ids(schema: dict) -> dict[int, str]:
     return {f["id"]: f["name"] for f in schema.get("fields", [])}
 
 
+def _as_id_map(df: dict, field: str) -> dict:
+    out = {}
+    for item in df.get(field) or []:
+        if isinstance(item, dict):
+            out[item.get("key")] = item.get("value")
+    return out
+
+
 def _column_stats_from_bounds(
     df: dict, ids: dict[int, str], types_by_id: dict[int, str]
 ) -> dict[str, list]:
@@ -137,19 +145,16 @@ def _column_stats_from_bounds(
     → this lake's ``column_stats`` {col: [min, max]}, so an IMPORTED
     Iceberg table gets manifest data-skipping (lake/skipping.py)
     without touching a footer. Only columns with BOTH bounds and a
-    prunable type survive — strings are skipped on purpose (parquet
-    writers may truncate string maxima; this lake's own harvest
-    refuses them too, skipping.py stat_value)."""
+    prunable type survive. Strings (r13, verdict r12 Missing #3a)
+    carry the STRING_BOUND_MARKER: per spec they are truncate(16)
+    BOUNDS, not attained extremes — valid for pruning, excluded from
+    metadata-only MIN/MAX (which refuses imported tables wholesale
+    anyway)."""
     from bergloom_spark.lake.iceberg_export import _deserialize_bound
+    from bergloom_spark.lake.skipping import STRING_BOUND_MARKER
 
-    def as_map(field):
-        out = {}
-        for item in df.get(field) or []:
-            if isinstance(item, dict):
-                out[item.get("key")] = item.get("value")
-        return out
-
-    lower, upper = as_map("lower_bounds"), as_map("upper_bounds")
+    lower = _as_id_map(df, "lower_bounds")
+    upper = _as_id_map(df, "upper_bounds")
     stats: dict[str, list] = {}
     for fid, lo_raw in lower.items():
         hi_raw = upper.get(fid)
@@ -164,8 +169,22 @@ def _column_stats_from_bounds(
         lo = _deserialize_bound(t, bytes(lo_raw))
         hi = _deserialize_bound(t, bytes(hi_raw))
         if lo is not None and hi is not None:
-            stats[name] = [lo, hi]
+            stats[name] = (
+                [lo, hi, STRING_BOUND_MARKER]
+                if t == "string"
+                else [lo, hi]
+            )
     return stats
+
+
+def _column_counts(df: dict, ids: dict[int, str], field: str) -> dict[str, int]:
+    """Manifest count maps (spec fields 109/110) → {col: count}."""
+    out: dict[str, int] = {}
+    for fid, n in _as_id_map(df, field).items():
+        name = ids.get(fid)
+        if name is not None and isinstance(n, int) and n >= 0:
+            out[name] = n
+    return out
 
 
 def _read_avro(path: str) -> list[dict]:
@@ -353,6 +372,16 @@ def load_iceberg_metadata(
                     ),
                     column_stats=(
                         _column_stats_from_bounds(df, ids, types_by_id)
+                        if content == md.DATA
+                        else {}
+                    ),
+                    column_value_counts=(
+                        _column_counts(df, ids, "value_counts")
+                        if content == md.DATA
+                        else {}
+                    ),
+                    column_null_counts=(
+                        _column_counts(df, ids, "null_value_counts")
                         if content == md.DATA
                         else {}
                     ),

@@ -46,6 +46,11 @@ class ManifestEntry:
     # written only for columns named by the table property
     # "write.bloom-filter-columns"; defaulted for older metadata.
     column_blooms: dict[str, str] = field(default_factory=dict)
+    # Per-column value counts INCLUDING nulls and per-column null
+    # counts (Iceberg manifest fields 109/110) — all-null pruning +
+    # interop; defaulted for pre-r13 metadata versions.
+    column_value_counts: dict[str, int] = field(default_factory=dict)
+    column_null_counts: dict[str, int] = field(default_factory=dict)
 
 
 @dataclass

@@ -103,8 +103,8 @@ Filters = Iterable[tuple[str, str, Any]]
 
 def stat_value(v: Any) -> Any:
     """JSON-safe footer stat, or None when the type can't prune safely
-    (notably strings/bytes: parquet writers may truncate them, and a
-    truncated max understates the true range)."""
+    (strings route through the truncate-contract handling in
+    :func:`footer_column_stats` instead — see STRING_BOUND_MARKER)."""
     if isinstance(v, bool) or isinstance(v, (int, float)):
         return v
     if isinstance(v, (datetime.datetime, datetime.date)):
@@ -112,10 +112,59 @@ def stat_value(v: Any) -> Any:
     return None
 
 
+# String column_stats entries are [lo, hi, STRING_BOUND_MARKER]: the
+# third element marks them as BOUNDS under Iceberg's truncate(16)
+# contract (lo ≤ every value, hi ≥ every value — NOT attained
+# extremes), valid for pruning but never for metadata-only MIN/MAX
+# answers (table.fast_min_max skips them). Numeric/temporal stats stay
+# 2-element exact extremes.
+STRING_BOUND_MARKER = "bound"
+STRING_BOUND_WIDTH = 16
+
+
+def utf8_truncate_lower(s: str, width: int = STRING_BOUND_WIDTH) -> str:
+    """Iceberg ``truncate(width)`` for LOWER bounds: a code-point
+    prefix is ≤ the value it truncates, so it stays a valid lower
+    bound (Table Spec Appendix B)."""
+    return s[:width]
+
+
+def utf8_truncate_upper(
+    s: str, width: int = STRING_BOUND_WIDTH
+) -> str | None:
+    """Iceberg truncated UPPER bound: the ``width``-code-point prefix
+    with its last code point incremented, which is ≥ every string
+    sharing (or below) the prefix — so ≥ the original value. Carries
+    left past the surrogate range and U+10FFFF; None when no
+    incrementable prefix exists (the spec's "drop the bound" case)."""
+    if len(s) <= width:
+        return s  # exact value is its own (attained) upper bound
+    cps = [ord(c) for c in s[:width]]
+    while cps:
+        cp = cps[-1]
+        nxt = cp + 1
+        if 0xD800 <= nxt <= 0xDFFF:
+            nxt = 0xE000
+        if nxt <= 0x10FFFF:
+            return "".join(map(chr, cps[:-1])) + chr(nxt)
+        cps.pop()  # last cp was U+10FFFF: carry left
+    return None
+
+
 def footer_column_stats(meta) -> dict[str, list]:
     """Aggregate per-column [min, max] across all row groups of one
     parquet footer (``pyarrow.parquet.FileMetaData``). A column drops
-    out entirely if ANY row group lacks usable min/max."""
+    out entirely if ANY row group lacks usable min/max.
+
+    Strings (r13, verdict r12 Missing #3): harvested as truncate(16)
+    BOUNDS — ``[prefix(min), incremented_prefix(max),
+    STRING_BOUND_MARKER]`` — which stay valid whether or not the
+    parquet writer itself truncated (a writer-truncated min is a
+    prefix of the true min, so OUR prefix of it is still ≤ every
+    value; conforming writers increment truncated maxima, and
+    :func:`utf8_truncate_upper` of an incremented max is still ≥
+    every value). Bound-not-extreme semantics are what the marker
+    records."""
     valid: dict[str, list] = {}
     invalid: set[str] = set()
     for rg in range(meta.num_row_groups):
@@ -130,17 +179,57 @@ def footer_column_stats(meta) -> dict[str, list]:
                 invalid.add(name)
                 valid.pop(name, None)
                 continue
+            if isinstance(st.min, str) and isinstance(st.max, str):
+                lo = utf8_truncate_lower(st.min)
+                hi = utf8_truncate_upper(st.max)
+                if hi is None:
+                    invalid.add(name)
+                    valid.pop(name, None)
+                    continue
+                if name in valid:
+                    plo, phi = valid[name][0], valid[name][1]
+                    lo, hi = min(plo, lo), max(phi, hi)
+                valid[name] = [lo, hi, STRING_BOUND_MARKER]
+                continue
             lo, hi = stat_value(st.min), stat_value(st.max)
             if lo is None or hi is None:
                 invalid.add(name)
                 valid.pop(name, None)
                 continue
             if name in valid:
-                plo, phi = valid[name]
+                plo, phi = valid[name][0], valid[name][1]
                 valid[name] = [min(plo, lo), max(phi, hi)]
             else:
                 valid[name] = [lo, hi]
     return valid
+
+
+def footer_column_counts(meta) -> tuple[dict[str, int], dict[str, int]]:
+    """Per-column (value_counts, null_value_counts) aggregated across
+    one footer's row groups — Iceberg manifest fields 109/110.
+    ``value_counts`` includes nulls (spec: "number of values in the
+    column, including null"); a column drops from the null map if any
+    row group omits ``null_count``. Zero extra I/O: the same footer
+    the min/max harvest already holds."""
+    values: dict[str, int] = {}
+    nulls: dict[str, int] = {}
+    no_nulls: set[str] = set()
+    for rg in range(meta.num_row_groups):
+        row = meta.row_group(rg)
+        for ci in range(row.num_columns):
+            col = row.column(ci)
+            name = col.path_in_schema
+            if "." in name:
+                continue
+            values[name] = values.get(name, 0) + int(col.num_values)
+            st = col.statistics
+            nc = None if st is None else st.null_count
+            if nc is None:
+                no_nulls.add(name)
+                nulls.pop(name, None)
+            elif name not in no_nulls:
+                nulls[name] = nulls.get(name, 0) + int(nc)
+    return values, nulls
 
 
 def _align(value: Any, stored_lo: Any) -> Any:
@@ -169,16 +258,34 @@ def entry_may_match(entry, col: str, op: str, value: Any) -> bool:
         bloom = blooms.get(col)
         if bloom and not bloom_may_contain(bloom, value):
             return False
+    # All-null column (manifest value/null counts agree and are
+    # nonzero): NULL satisfies no comparison predicate — prune without
+    # consulting ranges (r13, the null_value_counts consumer).
+    vcs = getattr(entry, "column_value_counts", None) or {}
+    ncs = getattr(entry, "column_null_counts", None) or {}
+    if col in vcs and vcs[col] > 0 and vcs[col] == ncs.get(col):
+        return False
     rng = getattr(entry, "column_stats", None) or {}
     stored = rng.get(col)
     if not stored:
         return True
-    lo, hi = stored
+    lo, hi = stored[0], stored[1]
+    is_string_bound = (
+        len(stored) > 2 and stored[2] == STRING_BOUND_MARKER
+    )
     try:
-        if isinstance(lo, str):
+        if is_string_bound:
+            # truncate(16)-contract bounds compare lexicographically
+            # against string literals only; lo ≤ every value and
+            # hi ≥ every value make each branch below conservative.
+            if not isinstance(value, str):
+                return True
+        elif isinstance(lo, str):
             lo = datetime.datetime.fromisoformat(lo)
             hi = datetime.datetime.fromisoformat(hi)
-        value = _align(value, stored[0])
+            value = _align(value, stored[0])
+        else:
+            value = _align(value, stored[0])
         if op == "=":
             return lo <= value <= hi
         if op == "<":

@@ -617,11 +617,42 @@ class LakeTable:
             stored = (e.column_stats or {}).get(col)
             if not stored:
                 return None
+            if len(stored) > 2:
+                # STRING_BOUND_MARKER (skipping.py): truncate(16)
+                # BOUNDS, not attained extremes — valid for pruning,
+                # never for a metadata-only MIN/MAX answer.
+                return None
             los.append(stored[0])
             his.append(stored[1])
         if not los:
             return None
         return min(los), max(his)
+
+    def fast_null_count(
+        self, col: str, snapshot_id: int | None = None
+    ) -> int | None:
+        """Number of NULLs in ``col`` answered from manifest
+        null_value_counts (r13 — the counts consumer beside
+        :meth:`fast_min_max`): exact because the writer harvested the
+        parquet footers' null_count per file. Refuses (None) when the
+        snapshot carries live delete files (a delete may remove null
+        rows), when any data file lacks the count (pre-r13 metadata),
+        or on imported tables (spec counts may be estimates for some
+        writers — same posture as fast_min_max)."""
+        snap = self._snapshot(snapshot_id)
+        if snap is None:
+            return 0
+        if self.meta.properties.get("format") == "iceberg-import":
+            return None
+        if any(e.content != md.DATA for e in snap.entries):
+            return None
+        total = 0
+        for e in snap.entries:
+            ncs = getattr(e, "column_null_counts", None) or {}
+            if col not in ncs:
+                return None
+            total += ncs[col]
+        return total
 
     # ------------------------------------------------------------------
     # schema evolution (the reference's roadmap item, README.md:52-54;

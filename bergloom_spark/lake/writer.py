@@ -29,7 +29,10 @@ from bergloom_spark.config import (
     ROLL_SOFT_FRACTION,
 )
 from bergloom_spark.lake.metadata import ManifestEntry
-from bergloom_spark.lake.skipping import footer_column_stats
+from bergloom_spark.lake.skipping import (
+    footer_column_counts,
+    footer_column_stats,
+)
 
 
 def need_build_new_file(written: int, incoming: int, target: int) -> bool:
@@ -168,6 +171,8 @@ def _collect_parquet_entries(
                     bloom = build_bloom(tbl.column(c).to_pylist())
                     if bloom is not None:
                         column_blooms[c] = bloom
+        # Footer already in hand — min/max + count harvests are free.
+        value_counts, null_counts = footer_column_counts(meta)
         entries.append(
             ManifestEntry(
                 content=content,
@@ -177,9 +182,10 @@ def _collect_parquet_entries(
                 sequence_number=sequence_number,
                 equality_ids=list(equality_ids or []),
                 partition=partition,
-                # Footer already in hand — min/max harvest is free.
                 column_stats=footer_column_stats(meta),
                 column_blooms=column_blooms,
+                column_value_counts=value_counts,
+                column_null_counts=null_counts,
             )
         )
     return entries

@@ -98,8 +98,33 @@ SCHEMA = T.StructType(
     ]
 )
 
-ENTRY = st.builds(
-    lambda content, n, size, seq, eq, part: md.ManifestEntry(
+def _mk_entry(content, n, size, seq, eq, part, id_stats, cat_lohi, nulls):
+    """Entry shaped like the writer's harvest: numeric stats exact,
+    string stats as truncate(16)-contract bounds with the marker,
+    counts with value_counts ≥ null_counts (r13)."""
+    from bergloom_spark.lake.skipping import (
+        STRING_BOUND_MARKER,
+        utf8_truncate_lower,
+        utf8_truncate_upper,
+    )
+
+    stats = {}
+    counts = {}
+    nullc = {}
+    if content == md.DATA:
+        if id_stats is not None:
+            lo, hi = sorted(id_stats)
+            stats["id"] = [lo, hi]
+        if cat_lohi is not None:
+            lo, hi = sorted(cat_lohi)
+            hi_t = utf8_truncate_upper(hi)
+            if hi_t is not None:
+                stats["cat"] = [
+                    utf8_truncate_lower(lo), hi_t, STRING_BOUND_MARKER
+                ]
+        counts = {"id": n, "cat": n, "val": n}
+        nullc = {"val": min(nulls, n)}
+    return md.ManifestEntry(
         content=content,
         file_path=f"/t/data/f-{n}-{size}.parquet",
         record_count=n,
@@ -109,7 +134,14 @@ ENTRY = st.builds(
         if content == md.EQ_DELETE
         else [],
         partition={"cat": part} if part is not None else {},
-    ),
+        column_stats=stats,
+        column_value_counts=counts,
+        column_null_counts=nullc,
+    )
+
+
+ENTRY = st.builds(
+    _mk_entry,
     content=st.sampled_from([md.DATA, md.POS_DELETE, md.EQ_DELETE]),
     n=st.integers(min_value=0, max_value=10**9),
     size=st.integers(min_value=0, max_value=2**40),
@@ -121,6 +153,25 @@ ENTRY = st.builds(
         ),
         max_size=12,
     ),
+    id_stats=st.none() | st.tuples(
+        st.integers(min_value=-2**62, max_value=2**62),
+        st.integers(min_value=-2**62, max_value=2**62),
+    ),
+    cat_lohi=st.none() | st.tuples(
+        st.text(
+            alphabet=st.characters(
+                codec="utf-8", exclude_characters="\x00"
+            ),
+            max_size=30,
+        ),
+        st.text(
+            alphabet=st.characters(
+                codec="utf-8", exclude_characters="\x00"
+            ),
+            max_size=30,
+        ),
+    ),
+    nulls=st.integers(min_value=0, max_value=10**9),
 )
 
 
@@ -169,20 +220,52 @@ def test_metadata_export_import_identity(
     gsnap = got.current_snapshot()
     assert gsnap.sequence_number == seq
     assert gsnap.timestamp_ms == ts
-    # everything scan semantics read survives the roundtrip
-    want = sorted(
-        (e.content, e.file_path, e.record_count, e.file_size_bytes,
-         e.sequence_number, tuple(e.equality_ids),
-         tuple(sorted(e.partition.items())))
-        for e in uniq
-    )
-    have = sorted(
-        (e.content, e.file_path, e.record_count, e.file_size_bytes,
-         e.sequence_number, tuple(e.equality_ids),
-         tuple(sorted(e.partition.items())))
-        for e in gsnap.entries
-    )
+    # everything scan semantics read survives the roundtrip —
+    # including stats bounds and value/null counts (r13)
+    def key(e):
+        return (e.content, e.file_path, e.record_count,
+                e.file_size_bytes, e.sequence_number,
+                tuple(e.equality_ids),
+                tuple(sorted(e.partition.items())),
+                tuple(sorted(
+                    (c, tuple(v)) for c, v in e.column_stats.items()
+                )),
+                tuple(sorted(e.column_value_counts.items())),
+                tuple(sorted(e.column_null_counts.items())))
+
+    want = sorted(key(e) for e in uniq)
+    have = sorted(key(e) for e in gsnap.entries)
     assert have == want
     # schema names/types survive
     assert T.StructType.fromJson(got.schema) == SCHEMA
     assert got.partition_spec == ["cat"]
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    s=st.text(
+        alphabet=st.characters(codec="utf-8", exclude_characters="\x00"),
+        max_size=48,
+    ),
+    side=st.sampled_from(["lower", "upper"]),
+)
+def test_string_bound_serialization_law(s, side):
+    """Appendix-D string bound law (r13): a serialized lower bound
+    deserializes to a value ≤ the original; an upper bound to ≥; a
+    None upper means the spec's drop-the-bound case (only reachable
+    from unincrementable prefixes)."""
+    from bergloom_spark.lake.iceberg_export import (
+        _deserialize_bound,
+        _serialize_bound,
+    )
+
+    blob = _serialize_bound("string", s, side=side)
+    if blob is None:
+        assert side == "upper"
+        return
+    v = _deserialize_bound("string", blob)
+    assert isinstance(v, str)
+    if side == "lower":
+        assert v <= s
+    else:
+        assert v >= s

@@ -467,6 +467,21 @@ def _seeds_avro():
                 "record_count": 100 + k,
                 "file_size_in_bytes": 4096 * (k + 1),
                 "equality_ids": [2] if k % 3 == 2 else None,
+                # r13 surface: count maps + truncate-contract string
+                # bounds ride in the seeds so mutations exercise them
+                "value_counts": [
+                    {"key": 1, "value": 100 + k},
+                    {"key": 2, "value": 100 + k},
+                ],
+                "null_value_counts": [{"key": 2, "value": k}],
+                "lower_bounds": [
+                    {"key": 1, "value": b"\x01\x00\x00\x00\x00\x00\x00\x00"},
+                    {"key": 2, "value": "appleappleapplea".encode()},
+                ],
+                "upper_bounds": [
+                    {"key": 1, "value": b"\xff\x00\x00\x00\x00\x00\x00\x00"},
+                    {"key": 2, "value": "zebrazebrazebraz".encode()},
+                ],
             },
         }
         for k in range(4)
