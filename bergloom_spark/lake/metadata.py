@@ -51,6 +51,11 @@ class ManifestEntry:
     # interop; defaulted for pre-r13 metadata versions.
     column_value_counts: dict[str, int] = field(default_factory=dict)
     column_null_counts: dict[str, int] = field(default_factory=dict)
+    # bucket[N]-transform partition evidence from IMPORTED Iceberg
+    # specs: {source column: [N, bucket_value]} — equality pruning
+    # via Appendix-B murmur3 (skipping.iceberg_bucket); never written
+    # by the native lake (identity partitioning only).
+    column_buckets: dict[str, list] = field(default_factory=dict)
 
 
 @dataclass

@@ -101,6 +101,73 @@ def bloom_may_contain(bloom_hex: str, value: Any) -> bool:
 Filters = Iterable[tuple[str, str, Any]]
 
 
+def murmur3_x86_32(data: bytes, seed: int = 0) -> int:
+    """32-bit Murmur3 (x86 variant) — the hash Iceberg's ``bucket[N]``
+    transform is specified against (Table Spec Appendix B). Returns a
+    SIGNED 32-bit int, matching the spec's published test vectors."""
+    c1, c2 = 0xCC9E2D51, 0x1B873593
+    h = seed & 0xFFFFFFFF
+    n = len(data)
+    rounded = n - (n & 3)
+    for i in range(0, rounded, 4):
+        k = int.from_bytes(data[i:i + 4], "little")
+        k = (k * c1) & 0xFFFFFFFF
+        k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+        k = (k * c2) & 0xFFFFFFFF
+        h ^= k
+        h = ((h << 13) | (h >> 19)) & 0xFFFFFFFF
+        h = (h * 5 + 0xE6546B64) & 0xFFFFFFFF
+    k = 0
+    tail = data[rounded:]
+    if len(tail) >= 3:
+        k ^= tail[2] << 16
+    if len(tail) >= 2:
+        k ^= tail[1] << 8
+    if len(tail) >= 1:
+        k ^= tail[0]
+        k = (k * c1) & 0xFFFFFFFF
+        k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+        k = (k * c2) & 0xFFFFFFFF
+        h ^= k
+    h ^= n
+    h ^= h >> 16
+    h = (h * 0x85EBCA6B) & 0xFFFFFFFF
+    h ^= h >> 13
+    h = (h * 0xC2B2AE35) & 0xFFFFFFFF
+    h ^= h >> 16
+    return h - (1 << 32) if h & (1 << 31) else h
+
+
+def iceberg_bucket(value: Any, n: int) -> int | None:
+    """``bucket[n]`` of ``value`` per Iceberg Appendix B: int/long/
+    date/time/timestamp hash as the 64-bit little-endian long they
+    widen to; strings as UTF-8 bytes. None for types the spec does
+    not bucket (floats, bools) or unknown ones — callers must treat
+    None as "cannot prune"."""
+    if isinstance(value, bool):
+        return None
+    if isinstance(value, int):
+        b = (value & ((1 << 64) - 1)).to_bytes(8, "little")
+    elif isinstance(value, str):
+        b = value.encode("utf-8")
+    elif isinstance(value, datetime.datetime):
+        if value.tzinfo is not None:
+            value = value.astimezone(datetime.timezone.utc).replace(
+                tzinfo=None
+            )
+        us = int(
+            (value - datetime.datetime(1970, 1, 1)).total_seconds()
+            * 1_000_000
+        )
+        b = (us & ((1 << 64) - 1)).to_bytes(8, "little")
+    elif isinstance(value, datetime.date):
+        days = (value - datetime.date(1970, 1, 1)).days
+        b = (days & ((1 << 64) - 1)).to_bytes(8, "little")
+    else:
+        return None
+    return (murmur3_x86_32(b) & 0x7FFFFFFF) % n
+
+
 def stat_value(v: Any) -> Any:
     """JSON-safe footer stat, or None when the type can't prune safely
     (strings route through the truncate-contract handling in
@@ -258,6 +325,15 @@ def entry_may_match(entry, col: str, op: str, value: Any) -> bool:
         bloom = blooms.get(col)
         if bloom and not bloom_may_contain(bloom, value):
             return False
+        # bucket[N]-partitioned file (imported Iceberg spec): every
+        # row's source value hashes to the file's bucket — a literal
+        # hashing elsewhere cannot be in this file (r13).
+        buckets = getattr(entry, "column_buckets", None) or {}
+        bk = buckets.get(col)
+        if bk:
+            probe = iceberg_bucket(value, int(bk[0]))
+            if probe is not None and probe != int(bk[1]):
+                return False
     # All-null column (manifest value/null counts agree and are
     # nonzero): NULL satisfies no comparison predicate — prune without
     # consulting ranges (r13, the null_value_counts consumer).
