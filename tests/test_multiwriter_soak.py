@@ -323,3 +323,89 @@ def test_overwrite_conflict_validation_is_precise(spark, tmp_path):
     assert rows == {(1, k) for k in range(100, 105)} | {
         (2, k) for k in range(50, 53)
     }
+
+
+def test_racing_catalog_committers_soak(spark, tmp_path):
+    """r13 (verdict r12 #1 done-criterion): two catalog committers
+    race compact-and-swap rounds against one FilesystemCatalog ident.
+    Each round both resolve the same current pointer; exactly one CAS
+    lands per version, losers retry through compact_catalog_table's
+    re-resolve loop. Invariants: contiguous v1..vN version files, the
+    final tree reads the full expected row set, and every committed
+    version parses."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from bergloom_spark.lake.catalog import (
+        CatalogCommitConflict,
+        FilesystemCatalog,
+        compact_catalog_table,
+    )
+    from bergloom_spark.lake.iceberg_export import export_iceberg_metadata
+    from bergloom_spark.lake.iceberg_import import load_iceberg_metadata
+
+    root = str(tmp_path / "src")
+    t = LakeTable.create(spark, root, _schema())
+    t.append(
+        spark.range(200).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 3).alias("writer"),
+            (F.col("id") * 7).alias("v"),
+        )
+    )
+    expected = sorted(
+        (r.k, r.writer, r.v) for r in t.read().collect()
+    )
+    warehouse = str(tmp_path / "warehouse")
+    FilesystemCatalog(warehouse).register_table(
+        "soak.t", export_iceberg_metadata(t.meta)
+    )
+    barrier = threading.Barrier(2)
+    errors: list[BaseException] = []
+    wins = [0, 0]
+
+    def committer(i: int):
+        try:
+            cat = FilesystemCatalog(warehouse)  # own handle, as a process
+            for rnd in range(3):
+                barrier.wait()
+                try:
+                    compact_catalog_table(
+                        spark,
+                        cat,
+                        "soak.t",
+                        str(tmp_path / f"work-{i}-{rnd}"),
+                        max_retries=4,
+                    )
+                    wins[i] += 1
+                except CatalogCommitConflict:
+                    pass  # starved through max_retries: legal, rare
+        except BaseException as exc:  # noqa: BLE001
+            errors.append(exc)
+
+    threads = [
+        threading.Thread(target=committer, args=(i,)) for i in (0, 1)
+    ]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errors, errors
+    assert sum(wins) >= 3  # both made progress across 3 rounds
+    cat = FilesystemCatalog(warehouse)
+    mdir = cat._metadata_dir("soak.t")
+    versions = sorted(
+        int(os.path.basename(p)[1:].split(".")[0])
+        for p in glob.glob(os.path.join(mdir, "v*.metadata.json"))
+    )
+    # contiguous chain from the register's v1
+    assert versions == list(range(1, len(versions) + 1))
+    assert len(versions) >= 1 + sum(wins)
+    # every committed version parses as a loadable Iceberg tree
+    for v in versions:
+        load_iceberg_metadata(os.path.join(mdir, f"v{v}.metadata.json"))
+    final = cat.load_table(spark, "soak.t")
+    got = sorted((r.k, r.writer, r.v) for r in final.read().collect())
+    assert got == expected
