@@ -4041,6 +4041,31 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ngram_jaccard_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decade-scaling fixture for the capped exact-pairs plan (r13,
+    verdict r12 wrong #1 done-criterion): every document gets the
+    SAME license header prepended, so ~17 shingles have document
+    frequency N — the exact M² posting-join hazard. The registered
+    configuration's auto stop-shingle cut (df > max(64, N/100)) drops
+    them before pairing; tools/scale_bench.py measures this query's
+    decade exponent, i.e. the capped plan's growth on the corpus
+    shape that blows the uncapped plan up. Bench-only (the skew is
+    synthetic); the capped SEMANTICS are oracle-checked by the
+    registered ngram_jaccard_pairs row and the boilerplate unit test
+    (tests/test_dedup_similarity.py)."""
+    header = (
+        "this software is provided as is without warranty of any kind "
+        "express or implied including but not limited to the implied "
+        "warranties of merchantability "
+    )
+    d = TS(spark, sf_dir, "documents").select(
+        "doc_id", F.concat(F.lit(header), F.col("text")).alias("text")
+    )
+    return dedup.ngram_jaccard_pairs(
+        d, "text", "doc_id", threshold=0.2, max_doc_freq="auto"
+    )
+
+
 def q_dedup_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The production near-dup pipeline (round 4): banded-LSH
     candidate generation + exact n-gram Jaccard verification — output

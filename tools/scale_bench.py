@@ -30,6 +30,10 @@ HEAVY = [
     "bpe_token_stats",
     # round-4 additions
     "ngram_jaccard_pairs",
+    # round-13: the capped plan's exponent on a boilerplate-skewed
+    # corpus (every doc shares a license header — the M² posting
+    # hazard the auto stop-shingle cut exists to bound)
+    "ngram_jaccard_boilerplate",
     "dedup_verified_pairs",
     "audio_features_real",
     "video_frames_real",
@@ -129,6 +133,7 @@ def main() -> None:
     spec.loader.exec_module(mod)
     queries = dict(mod.queries())
     queries["bpe_token_stats"] = mod.q_bpe_token_stats
+    queries["ngram_jaccard_boilerplate"] = mod.q_ngram_jaccard_boilerplate
     queries["changelog_delete_heavy"] = mod.q_changelog_delete_heavy
     queries["changelog_budget_exceeded"] = mod.q_changelog_budget_exceeded
     queries["gif_decode_heavy"] = mod.q_gif_decode_heavy
