@@ -4031,13 +4031,21 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     stop-shingle cut (max_doc_freq="auto": df-cap at 1% of corpus,
     floor 64 — dedup.auto_stop_shingle_cap), so a boilerplate
     shingle in M docs can never contribute M² candidate rows at
-    100×; the posting table is cached so the md5-per-shingle pass
-    runs once, not once per join side. The oracle replays the SAME
-    capped semantics (hot-shingle anti join, sizes over the pruned
-    universe) pair-exactly."""
+    100×; the single-exchange posting-list formulation (group by
+    hash once, cut = free size filter, pairs + sizes both derive
+    above the SAME shuffle) runs the md5-per-shingle pass once, not
+    once per join side. The oracle replays the SAME capped semantics
+    (hot-shingle cut, sizes over the pruned universe) pair-exactly."""
+    cap = dedup.auto_stop_shingle_cap(
+        T(spark, sf_dir, "documents").count()
+        # bare-table count: answered from parquet statistics, so the
+        # cap derivation never pays the spread shuffle the "auto"
+        # convenience path would (it can only count the frame it is
+        # handed) — ~1 s/pass at sf0.1, measured r13
+    )
     return dedup.ngram_jaccard_pairs(
         TS(spark, sf_dir, "documents"), "text", "doc_id", threshold=0.2,
-        max_doc_freq="auto",
+        max_doc_freq=cap,
     )
 
 
@@ -4058,11 +4066,14 @@ def q_ngram_jaccard_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "express or implied including but not limited to the implied "
         "warranties of merchantability "
     )
+    cap = dedup.auto_stop_shingle_cap(
+        T(spark, sf_dir, "documents").count()  # metadata-only count
+    )
     d = TS(spark, sf_dir, "documents").select(
         "doc_id", F.concat(F.lit(header), F.col("text")).alias("text")
     )
     return dedup.ngram_jaccard_pairs(
-        d, "text", "doc_id", threshold=0.2, max_doc_freq="auto"
+        d, "text", "doc_id", threshold=0.2, max_doc_freq=cap
     )
 
 
