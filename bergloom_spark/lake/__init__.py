@@ -24,6 +24,7 @@ from bergloom_spark.lake.catalog import (
     FilesystemCatalog,
     MemoryCatalog,
     NoSuchTableError,
+    SqlCatalog,
     TableAlreadyExistsError,
     compact_catalog_table,
 )
@@ -37,6 +38,7 @@ __all__ = [
     "FilesystemCatalog",
     "MemoryCatalog",
     "NoSuchTableError",
+    "SqlCatalog",
     "TableAlreadyExistsError",
     "compact_catalog_table",
 ]

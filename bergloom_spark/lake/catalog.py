@@ -11,7 +11,7 @@ the rebuild's Iceberg interop took a raw ``metadata.json`` path
 swap-back commit of ``compact_iceberg_table`` with no interface to
 target.
 
-Two implementations, both testable in-sandbox:
+Three implementations, all testable in-sandbox:
 
 - :class:`MemoryCatalog` — dict + lock, mirroring the reference's
   ``iceberg_catalog_memory::MemoryCatalog`` usage shape.
@@ -27,6 +27,10 @@ Two implementations, both testable in-sandbox:
   files by absolute location (Iceberg spec: "Table Metadata" —
   locations are full URIs), so the catalog copy and the original
   resolve identically.
+- :class:`SqlCatalog` — the Iceberg JdbcCatalog's public
+  ``iceberg_tables`` schema over DB-API (sqlite here,
+  Postgres/MySQL in production); CAS is a rowcount-checked UPDATE,
+  atomic across processes.
 
 Concurrency contract (mirrors ``RewriteFilesCommitManager``): a
 committer resolves the current location, prepares a new tree, then
@@ -342,3 +346,111 @@ def compact_catalog_table(
     raise CatalogCommitConflict(
         f"{ident}: lost the swap {max_retries} times"
     ) from last
+
+
+class SqlCatalog(Catalog):
+    """Iceberg JdbcCatalog-style SQL catalog over DB-API (sqlite in
+    the sandbox; the schema is the public JdbcCatalog layout —
+    ``iceberg_tables(catalog_name, table_namespace, table_name,
+    metadata_location, previous_metadata_location)`` — so a real
+    deployment points the same code at Postgres/MySQL via any DB-API
+    driver). The CAS is the JdbcCatalog's own: one ``UPDATE ... WHERE
+    metadata_location = <expected>`` whose rowcount decides the race
+    — atomic under the database's transaction isolation, safe across
+    PROCESSES (the filesystem catalog's link(2) CAS equivalent, a
+    different storage substrate for the same
+    ``compaction/mod.rs:595-611`` retry contract)."""
+
+    def __init__(self, db_path: str, catalog_name: str = "bergloom") -> None:
+        import sqlite3
+
+        self.db_path = db_path
+        self.catalog_name = catalog_name
+        self._connect = lambda: sqlite3.connect(db_path, timeout=30)
+        with self._connect() as con:
+            con.execute(
+                "CREATE TABLE IF NOT EXISTS iceberg_tables ("
+                " catalog_name TEXT NOT NULL,"
+                " table_namespace TEXT NOT NULL,"
+                " table_name TEXT NOT NULL,"
+                " metadata_location TEXT,"
+                " previous_metadata_location TEXT,"
+                " PRIMARY KEY (catalog_name, table_namespace, table_name))"
+            )
+
+    def resolve_metadata_location(self, ident: str) -> str:
+        ns, name = parse_ident(ident)
+        with self._connect() as con:
+            row = con.execute(
+                "SELECT metadata_location FROM iceberg_tables"
+                " WHERE catalog_name=? AND table_namespace=? AND table_name=?",
+                (self.catalog_name, ns, name),
+            ).fetchone()
+        if row is None or row[0] is None:
+            raise NoSuchTableError(ident)
+        return row[0]
+
+    def register_table(self, ident: str, metadata_path: str) -> None:
+        import sqlite3
+
+        ns, name = parse_ident(ident)
+        try:
+            with self._connect() as con:
+                con.execute(
+                    "INSERT INTO iceberg_tables (catalog_name,"
+                    " table_namespace, table_name, metadata_location,"
+                    " previous_metadata_location)"
+                    " VALUES (?, ?, ?, ?, NULL)",
+                    (self.catalog_name, ns, name, metadata_path),
+                )
+        except sqlite3.IntegrityError as exc:
+            raise TableAlreadyExistsError(ident) from exc
+
+    def commit_swap(
+        self, ident: str, new_metadata_path: str, expected_metadata_path: str
+    ) -> None:
+        ns, name = parse_ident(ident)
+        with self._connect() as con:
+            cur = con.execute(
+                "UPDATE iceberg_tables"
+                " SET metadata_location=?, previous_metadata_location=?"
+                " WHERE catalog_name=? AND table_namespace=?"
+                " AND table_name=? AND metadata_location=?",
+                (new_metadata_path, expected_metadata_path,
+                 self.catalog_name, ns, name, expected_metadata_path),
+            )
+            if cur.rowcount == 1:
+                return
+            # rowcount 0: unknown ident, or the pointer moved — the
+            # JdbcCatalog disambiguates exactly this way
+            row = con.execute(
+                "SELECT metadata_location FROM iceberg_tables"
+                " WHERE catalog_name=? AND table_namespace=? AND table_name=?",
+                (self.catalog_name, ns, name),
+            ).fetchone()
+        if row is None:
+            raise NoSuchTableError(ident)
+        raise CatalogCommitConflict(
+            f"{ident}: at {row[0]}, expected {expected_metadata_path}"
+        )
+
+    def drop_table(self, ident: str) -> None:
+        ns, name = parse_ident(ident)
+        with self._connect() as con:
+            cur = con.execute(
+                "DELETE FROM iceberg_tables WHERE catalog_name=?"
+                " AND table_namespace=? AND table_name=?",
+                (self.catalog_name, ns, name),
+            )
+        if cur.rowcount == 0:
+            raise NoSuchTableError(ident)
+
+    def list_tables(self, namespace: str = "default") -> list[str]:
+        with self._connect() as con:
+            rows = con.execute(
+                "SELECT table_name FROM iceberg_tables"
+                " WHERE catalog_name=? AND table_namespace=?"
+                " ORDER BY table_name",
+                (self.catalog_name, namespace),
+            ).fetchall()
+        return [r[0] for r in rows]

@@ -322,3 +322,90 @@ class TestCompactCatalogTable:
             compact_catalog_table(
                 spark, cat, "t", str(tmp_path / "work"), max_retries=2
             )
+
+
+class TestSqlCatalog:
+    """JdbcCatalog-style SQL catalog (r13): the public iceberg_tables
+    schema over sqlite; CAS = UPDATE ... WHERE metadata_location =
+    expected, rowcount-decided — atomic across PROCESSES."""
+
+    def _cat(self, tmp_path, **kw):
+        from bergloom_spark.lake.catalog import SqlCatalog
+
+        return SqlCatalog(str(tmp_path / "catalog.db"), **kw)
+
+    def test_lifecycle(self, tmp_path):
+        c = self._cat(tmp_path)
+        with pytest.raises(NoSuchTableError):
+            c.resolve_metadata_location("ns.t")
+        c.register_table("ns.t", "/w/m1.json")
+        with pytest.raises(TableAlreadyExistsError):
+            c.register_table("ns.t", "/w/other.json")
+        assert c.resolve_metadata_location("ns.t") == "/w/m1.json"
+        assert c.list_tables("ns") == ["t"]
+        c.commit_swap("ns.t", "/w/m2.json", "/w/m1.json")
+        assert c.resolve_metadata_location("ns.t") == "/w/m2.json"
+        with pytest.raises(CatalogCommitConflict):
+            c.commit_swap("ns.t", "/w/m3.json", "/w/m1.json")
+        with pytest.raises(NoSuchTableError):
+            c.commit_swap("ns.missing", "/w/x.json", "/w/m1.json")
+        c.drop_table("ns.t")
+        with pytest.raises(NoSuchTableError):
+            c.drop_table("ns.t")
+
+    def test_catalog_name_scoping(self, tmp_path):
+        a = self._cat(tmp_path, catalog_name="a")
+        b = self._cat(tmp_path, catalog_name="b")
+        a.register_table("t", "/a/m.json")
+        assert not b.table_exists("t")
+        b.register_table("t", "/b/m.json")
+        assert a.resolve_metadata_location("t") == "/a/m.json"
+        assert b.resolve_metadata_location("t") == "/b/m.json"
+
+    def test_racing_swaps_single_winner_across_connections(self, tmp_path):
+        """Each thread gets its OWN SqlCatalog handle (own sqlite
+        connection) — the CAS must arbitrate in the database, not in
+        a Python lock."""
+        self._cat(tmp_path).register_table("t", "/m/v1.json")
+        outcomes = []
+        barrier = threading.Barrier(6)
+
+        def swap(i):
+            cat = self._cat(tmp_path)
+            barrier.wait()
+            try:
+                cat.commit_swap("t", f"/m/new{i}.json", "/m/v1.json")
+                outcomes.append("win")
+            except CatalogCommitConflict:
+                outcomes.append("lose")
+
+        threads = [
+            threading.Thread(target=swap, args=(i,)) for i in range(6)
+        ]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join()
+        assert outcomes.count("win") == 1
+        assert outcomes.count("lose") == 5
+
+    def test_compact_through_sql_catalog(self, spark, tmp_path):
+        from bergloom_spark.lake.catalog import SqlCatalog
+
+        t = _mor_table(spark, str(tmp_path / "src"))
+        expected = sorted((r.id, r.cat, r.val) for r in t.read().collect())
+        cat = SqlCatalog(str(tmp_path / "cat.db"))
+        cat.register_table("db.sales", export_iceberg_metadata(t.meta))
+        result, committed = compact_catalog_table(
+            spark, cat, "db.sales", str(tmp_path / "work")
+        )
+        assert result.stat.rewritten_files_count >= 2
+        assert cat.resolve_metadata_location("db.sales") == committed
+        got = sorted(
+            (r.id, r.cat, r.val)
+            for r in cat.load_table(spark, "db.sales").read().collect()
+        )
+        assert got == expected
+        snap = cat.load_table(spark, "db.sales").meta.current_snapshot()
+        assert not snap.files(md.POS_DELETE)
+        assert not snap.files(md.EQ_DELETE)
