@@ -26,6 +26,7 @@ from bergloom_spark.lake.catalog import (
     NoSuchTableError,
     SqlCatalog,
     TableAlreadyExistsError,
+    catalog_for,
     compact_catalog_table,
 )
 
@@ -40,5 +41,6 @@ __all__ = [
     "NoSuchTableError",
     "SqlCatalog",
     "TableAlreadyExistsError",
+    "catalog_for",
     "compact_catalog_table",
 ]

@@ -42,6 +42,7 @@ loop as ``compaction/mod.rs:595-611``.
 
 from __future__ import annotations
 
+import contextlib
 import itertools
 import json
 import os
@@ -362,11 +363,8 @@ class SqlCatalog(Catalog):
     ``compaction/mod.rs:595-611`` retry contract)."""
 
     def __init__(self, db_path: str, catalog_name: str = "bergloom") -> None:
-        import sqlite3
-
         self.db_path = db_path
         self.catalog_name = catalog_name
-        self._connect = lambda: sqlite3.connect(db_path, timeout=30)
         with self._connect() as con:
             con.execute(
                 "CREATE TABLE IF NOT EXISTS iceberg_tables ("
@@ -377,6 +375,25 @@ class SqlCatalog(Catalog):
                 " previous_metadata_location TEXT,"
                 " PRIMARY KEY (catalog_name, table_namespace, table_name))"
             )
+
+    @contextlib.contextmanager
+    def _connect(self):
+        """sqlite3's own context manager only commits/rolls back — it
+        never closes, so a per-call ``with sqlite3.connect(...)``
+        leaks a file handle per catalog operation (r13 self-review).
+        This one commits on success, rolls back on error, and ALWAYS
+        closes."""
+        import sqlite3
+
+        con = sqlite3.connect(self.db_path, timeout=30)
+        try:
+            yield con
+            con.commit()
+        except BaseException:
+            con.rollback()
+            raise
+        finally:
+            con.close()
 
     def resolve_metadata_location(self, ident: str) -> str:
         ns, name = parse_ident(ident)
@@ -437,12 +454,12 @@ class SqlCatalog(Catalog):
     def drop_table(self, ident: str) -> None:
         ns, name = parse_ident(ident)
         with self._connect() as con:
-            cur = con.execute(
+            deleted = con.execute(
                 "DELETE FROM iceberg_tables WHERE catalog_name=?"
                 " AND table_namespace=? AND table_name=?",
                 (self.catalog_name, ns, name),
-            )
-        if cur.rowcount == 0:
+            ).rowcount
+        if deleted == 0:
             raise NoSuchTableError(ident)
 
     def list_tables(self, namespace: str = "default") -> list[str]:
@@ -454,3 +471,32 @@ class SqlCatalog(Catalog):
                 (self.catalog_name, namespace),
             ).fetchall()
         return [r[0] for r in rows]
+
+
+def catalog_for(uri: str) -> Catalog:
+    """Catalog from a connection URI — the one-liner a pipeline config
+    carries (the reference's builder takes the equivalent
+    ``with_catalog(...)``, ``compaction/mod.rs:89``):
+
+    - ``memory:``                    → :class:`MemoryCatalog`
+    - ``sqlite:///path/to/cat.db``   → :class:`SqlCatalog`
+    - ``hadoop:///warehouse/dir``    → :class:`FilesystemCatalog`
+    - a bare directory path          → :class:`FilesystemCatalog`
+    """
+    if uri == "memory:":
+        return MemoryCatalog()
+    if uri.startswith("sqlite:///"):
+        return SqlCatalog("/" + uri[len("sqlite:///"):].lstrip("/"))
+    if uri.startswith("hadoop://"):
+        rest = uri[len("hadoop://"):]
+        # hadoop:///abs/path → local warehouse dir; a non-empty
+        # authority names a remote filesystem this factory cannot
+        # resolve — fail loudly (same posture as strip_local_scheme)
+        if rest.startswith("/"):
+            return FilesystemCatalog(
+                rest[1:] if rest.startswith("//") else rest
+            )
+        raise ValueError(f"unsupported hadoop catalog authority: {uri}")
+    if "://" not in uri and uri:
+        return FilesystemCatalog(uri)
+    raise ValueError(f"unsupported catalog uri: {uri}")

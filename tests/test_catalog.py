@@ -409,3 +409,28 @@ class TestSqlCatalog:
         snap = cat.load_table(spark, "db.sales").meta.current_snapshot()
         assert not snap.files(md.POS_DELETE)
         assert not snap.files(md.EQ_DELETE)
+
+
+class TestCatalogFor:
+    def test_dispatch(self, tmp_path):
+        from bergloom_spark.lake.catalog import (
+            FilesystemCatalog as FS,
+            MemoryCatalog as Mem,
+            SqlCatalog as Sql,
+            catalog_for,
+        )
+
+        assert isinstance(catalog_for("memory:"), Mem)
+        sq = catalog_for(f"sqlite:///{tmp_path}/c.db")
+        assert isinstance(sq, Sql)
+        sq.register_table("t", "/m.json")  # the db actually works
+        assert isinstance(
+            catalog_for(f"hadoop://{tmp_path}/wh"), FS
+        )
+        assert isinstance(catalog_for(str(tmp_path / "wh2")), FS)
+        with pytest.raises(ValueError):
+            catalog_for("rest://somewhere")
+        with pytest.raises(ValueError):
+            catalog_for("hadoop://remotehost/wh")
+        with pytest.raises(ValueError):
+            catalog_for("")
