@@ -269,3 +269,36 @@ def test_string_bound_serialization_law(s, side):
         assert v <= s
     else:
         assert v >= s
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    transform=st.sampled_from(["day", "month", "year", "hour"]),
+    v=st.integers(min_value=-20_000, max_value=40_000),
+    offset_us=st.integers(min_value=0, max_value=10**12),
+)
+def test_temporal_transform_range_law(transform, v, offset_us):
+    """Partition-transform range law (r13): every timestamp whose
+    transform value is v lies inside the derived [lo, hi] bounds, and
+    timestamps in the NEXT period lie outside."""
+    import datetime as dt
+
+    from bergloom_spark.lake.iceberg_import import _temporal_range
+
+    if transform == "year" and not (-1960 <= v <= 6000):
+        return  # datetime year range
+    if transform == "month" and not (-23000 <= v <= 40000):
+        return
+    rng = _temporal_range(transform, v)
+    assert rng is not None
+    lo, hi = rng
+    assert lo <= hi
+    # a point inside the period, derived independently
+    width_us = int((hi - lo).total_seconds() * 1e6) + 1
+    inside = lo + dt.timedelta(microseconds=offset_us % width_us)
+    assert lo <= inside <= hi
+    # period boundaries are exclusive upward: hi + 1µs is the next
+    # period's first microsecond
+    nxt = _temporal_range(transform, v + 1)
+    assert nxt is not None
+    assert hi + dt.timedelta(microseconds=1) == nxt[0]
