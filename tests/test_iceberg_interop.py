@@ -1131,3 +1131,46 @@ class TestTransformPartitionPruning:
                 types2,
             )
             assert st2["ts"] == [lo, hi], (tr, st2)
+
+    def test_day_transform_prunes_through_rename(self, spark, tmp_path):
+        """Interaction (r13): the day-partitioned table's source
+        column was RENAMED after the files were written — the spec's
+        source-id resolves to the CURRENT name, the alias map
+        resolves the files' old name, and pruning + values both
+        survive."""
+        import copy
+        import datetime as dt
+        import json as _json
+
+        from bergloom_spark.lake import skipping as sk
+
+        mjson = self._day_tree(spark, tmp_path)
+        doc = _json.loads(open(mjson).read())
+        old_schema = doc["schemas"][0]
+        new_schema = copy.deepcopy(old_schema)
+        new_schema["schema-id"] = 1
+        for f in new_schema["fields"]:
+            if f["name"] == "ts":
+                f["name"] = "event_time"
+        doc["schemas"] = [old_schema, new_schema]
+        doc["current-schema-id"] = 1
+        open(mjson, "w").write(_json.dumps(doc))
+
+        t = load_iceberg_table(spark, mjson)
+        assert "event_time" in [f.name for f in t.schema.fields]
+        entries = t.meta.current_snapshot().files(md.DATA)
+        # derived day evidence lands on the CURRENT name
+        assert all("event_time" in e.column_stats for e in entries)
+        cut = dt.datetime(2024, 3, 3)
+        kept = sk.prune_entries(entries, [("event_time", ">=", cut)])
+        assert len(kept) == 2
+        got = sorted(
+            r.id
+            for r in t.scan_data(
+                filters=[("event_time", ">=", cut)]
+            ).collect()
+        )
+        assert got == sorted(d * 100 + i for d in (2, 3) for i in range(50))
+        # the values themselves resolve through the alias (not NULL)
+        row = t.scan_data().filter("id = 310").select("event_time").first()
+        assert row.event_time == dt.datetime(2024, 3, 4, 10)
