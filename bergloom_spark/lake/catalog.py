@@ -326,6 +326,12 @@ def compact_catalog_table(
     the committed tree always derives from the state it replaced.
 
     Returns ``(CompactionResult, committed_metadata_path)``.
+
+    Lifetime: the committed tree's manifests and data files live
+    under ``work_root`` (the compaction clone) — after a successful
+    swap, ``work_root`` IS the table storage, not scratch; only the
+    unsuccessful ``attempt-N`` subtrees of lost races are safe to
+    reap.
     """
     from bergloom_spark.lake.iceberg_import import compact_iceberg_table
 
