@@ -23,14 +23,19 @@ Implemented from the public Apache Iceberg Table Spec:
   kinds (0 data, 1 position deletes, 2 equality deletes), equality
   field ids resolved to column names through the current schema;
 - identity partition values are carried into the entry's partition
-  dict; non-identity transforms (bucket/truncate/day/...) are skipped
-  — they only gate partition-pruning metadata here, never row
-  correctness.
+  dict; non-identity transforms become PLAN-TIME pruning evidence on
+  the source column (r13): ``day``/``month``/``year``/``hour`` and
+  ``truncate[W]`` derive bound ranges, ``bucket[N]`` derives an
+  Appendix-B murmur3 equality probe — they gate partition pruning
+  only, never row correctness;
+- renamed-column histories resolve by FIELD ID (r13): per-column
+  alias maps derived from the metadata's full schema history thread
+  through the scan's rename-coalesce, so pre-rename files read their
+  name-at-write-time; the footer guardrail still refuses names no
+  schema version covers, and name SWAPS as ambiguous.
 
-Limitations (documented, not silent): columns are matched by NAME at
-scan time (a table whose parquet files predate a column rename needs
-field-id resolution Spark's vanilla parquet reader does not do), and
-the import is READ-ONLY — committing through :class:`LakeTable` would
+Limitation (documented, not silent): the import is READ-ONLY —
+committing through :class:`LakeTable` would
 write this lake's own metadata format next to the Iceberg table's.
 ``load_iceberg_table`` therefore sets ``properties["format"] =
 "iceberg-import"`` and readers should treat the handle as a pinned
@@ -284,13 +289,18 @@ def _transform_pruning_evidence(
         t = types_by_id.get(f.get("source-id"))
         if col is None or val is None or transform == "identity":
             continue
-        rng = (
-            _temporal_range(transform, val)
-            if isinstance(val, int) and t in (
-                "date", "timestamp", "timestamptz"
-            )
-            else None
-        )
+        rng = None
+        if (
+            isinstance(val, int)
+            and not isinstance(val, bool)
+            and t in ("date", "timestamp", "timestamptz")
+        ):
+            try:
+                rng = _temporal_range(transform, val)
+            except (OverflowError, ValueError, OSError):
+                # hostile/corrupt partition value outside datetime's
+                # representable range: no evidence, never an escape
+                rng = None
         if rng is not None:
             lo, hi = rng
             if t == "date":

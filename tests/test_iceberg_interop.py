@@ -1174,3 +1174,34 @@ class TestTransformPartitionPruning:
         # the values themselves resolve through the alias (not NULL)
         row = t.scan_data().filter("id = 310").select("event_time").first()
         assert row.event_time == dt.datetime(2024, 3, 4, 10)
+
+    def test_hostile_transform_values_never_escape(self):
+        """Partition values are attacker bytes (they ride in Avro
+        manifests): out-of-range time transform values must yield NO
+        evidence, never an OverflowError escaping the import."""
+        from bergloom_spark.lake.iceberg_import import (
+            _transform_pruning_evidence,
+        )
+
+        ids, types = {1: "ts"}, {1: "timestamp"}
+        for tr in ("day", "month", "year", "hour"):
+            for v in (10**15, -(10**15), 10**9):
+                stats, buckets = _transform_pruning_evidence(
+                    {"p": v},
+                    [{"name": "p", "transform": tr, "source-id": 1}],
+                    ids,
+                    types,
+                )
+                assert buckets == {}
+                # either valid evidence or none — lo <= hi when present
+                if "ts" in stats:
+                    assert stats["ts"][0] <= stats["ts"][1]
+        # junk value types: silently no evidence
+        for junk in ("x", True, None, 1.5, [1]):
+            stats, _ = _transform_pruning_evidence(
+                {"p": junk},
+                [{"name": "p", "transform": "day", "source-id": 1}],
+                ids,
+                types,
+            )
+            assert stats == {}
