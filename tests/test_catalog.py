@@ -434,3 +434,76 @@ class TestCatalogFor:
             catalog_for("hadoop://remotehost/wh")
         with pytest.raises(ValueError):
             catalog_for("")
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+# op = (kind, table-index, path-index, expected-path-index)
+_OPS = st.lists(
+    st.tuples(
+        st.sampled_from(["register", "swap", "drop", "resolve", "list"]),
+        st.integers(min_value=0, max_value=2),
+        st.integers(min_value=0, max_value=3),
+        st.integers(min_value=0, max_value=3),
+    ),
+    max_size=25,
+)
+
+
+@settings(max_examples=40, deadline=None)
+@given(ops=_OPS)
+def test_catalogs_agree_with_memory_model(tmp_path_factory, ops):
+    """Model-based contract test (r13): FilesystemCatalog and
+    SqlCatalog must produce the SAME outcome (success or exception
+    type, and the same resolve/list views) as MemoryCatalog for any
+    operation sequence — the three substrates implement one
+    contract."""
+    from bergloom_spark.lake.catalog import MemoryCatalog, SqlCatalog
+
+    base = tmp_path_factory.mktemp("model")
+    paths = []
+    for i in range(4):
+        p = base / f"m{i}.metadata.json"
+        p.write_text('{"v": %d}' % i)
+        paths.append(str(p))
+    tables = ["a.t0", "a.t1", "b.t2"]
+    model = MemoryCatalog()
+    subjects = [
+        FilesystemCatalog(str(base / "wh")),
+        SqlCatalog(str(base / "cat.db")),
+    ]
+
+    def run(cat, kind, t, p, e):
+        """Outcome: ("ok", value) or the exception class name."""
+        try:
+            if kind == "register":
+                return ("ok", cat.register_table(tables[t], paths[p]))
+            if kind == "swap":
+                # matching case: each catalog's OWN resolve (the
+                # filesystem catalog's current is its own v-file
+                # copy); stale case: a sentinel no catalog can be at
+                if e % 2:
+                    expected = "/definitely/stale.metadata.json"
+                else:
+                    expected = cat.resolve_metadata_location(tables[t])
+                return ("ok", cat.commit_swap(
+                    tables[t], paths[p], expected))
+            if kind == "drop":
+                return ("ok", cat.drop_table(tables[t]))
+            if kind == "resolve":
+                cat.resolve_metadata_location(tables[t])
+                return ("ok", "resolved")
+            return ("ok", tuple(cat.list_tables("a")))
+        except Exception as exc:  # noqa: BLE001
+            return (type(exc).__name__,)
+
+    for kind, t, p, e in ops:
+        want = run(model, kind, t, p, e)
+        for cat in subjects:
+            got = run(cat, kind, t, p, e)
+            assert got[0] == want[0], (kind, t, p, e, got, want)
+        # after every op, the three views of namespace "a" agree
+        want_list = model.list_tables("a")
+        for cat in subjects:
+            assert cat.list_tables("a") == want_list
