@@ -503,9 +503,37 @@ def _seeds_avro():
             "deleted_rows_count": 0,
         }
     ]
+    # r13: a day-transform spec's manifest (int partition field) —
+    # the write_iceberg_tree shape the transform-pruning import reads
+    day_schema = _manifest_entry_schema(
+        ["ts_day"],
+        partition_avro_fields=[
+            {"name": "ts_day", "type": ["null", "int"],
+             "default": None, "field-id": 1000}
+        ],
+    )
+    day_entries = [
+        {
+            "status": 1,
+            "snapshot_id": 9,
+            "sequence_number": 1,
+            "file_sequence_number": 1,
+            "data_file": {
+                "content": 0,
+                "file_path": f"/t/data/d{k}.parquet",
+                "file_format": "PARQUET",
+                "partition": {"ts_day": 19783 + k},
+                "record_count": 50,
+                "file_size_in_bytes": 2048,
+                "equality_ids": None,
+            },
+        }
+        for k in range(3)
+    ]
     return parse_avro, [
         write_avro_ocf(entry_schema, entries, codec="deflate"),
         write_avro_ocf(entry_schema, entries, codec="null"),
+        write_avro_ocf(day_schema, day_entries, codec="deflate"),
         write_avro_ocf(_MANIFEST_LIST_SCHEMA, mrows, codec="deflate"),
         write_avro_ocf(_MANIFEST_LIST_SCHEMA, [], codec="null"),
     ]
