@@ -7678,13 +7678,15 @@ _EXT_ORACLES = {
     "incremental_dedup_index": _INCREMENTAL_INDEX_SQL,
     # Ground truth for the CAPPED configuration the row registers
     # (r13): same distinct 60-bit md5 shingle hashes both engines
-    # share, hot shingles (doc freq > greatest(64, n_docs//100) =
-    # dedup.auto_stop_shingle_cap) anti-joined away BEFORE pairing,
+    # share, hot shingles (doc freq > least(10000, greatest(64,
+    # n_docs//100)) = dedup.auto_stop_shingle_cap) anti-joined away
+    # BEFORE pairing,
     # sizes recomputed over the pruned universe, rounded before the
     # threshold compare like the Spark side.
     "ngram_jaccard_pairs": f"""
         WITH cap AS (
-          SELECT greatest(64, count(*) // 100) AS c FROM documents),
+          SELECT least(10000, greatest(64, count(*) // 100)) AS c
+          FROM documents),
         sh AS (
           SELECT doc_id,
                  list_distinct(list_transform({TX.shingles_sql('text', 3)},

@@ -92,11 +92,16 @@ class Catalog:
 
     def commit_swap(
         self, ident: str, new_metadata_path: str, expected_metadata_path: str
-    ) -> None:
+    ) -> str:
         """CAS: make ``new_metadata_path`` current iff the table still
-        resolves to ``expected_metadata_path``. Raises
-        :class:`CatalogCommitConflict` on a lost race and
-        :class:`NoSuchTableError` for unknown idents."""
+        resolves to ``expected_metadata_path``. Returns the location
+        the catalog actually committed (catalogs that copy the
+        metadata — e.g. the filesystem catalog's ``v<N>`` file —
+        return the internal copy, so callers must use the RETURN
+        value, never re-resolve: a concurrent committer landing
+        between swap and re-resolve would hand back someone else's
+        tree, ADVICE r13). Raises :class:`CatalogCommitConflict` on a
+        lost race and :class:`NoSuchTableError` for unknown idents."""
         raise NotImplementedError
 
     def drop_table(self, ident: str) -> None:
@@ -150,7 +155,7 @@ class MemoryCatalog(Catalog):
 
     def commit_swap(
         self, ident: str, new_metadata_path: str, expected_metadata_path: str
-    ) -> None:
+    ) -> str:
         key = parse_ident(ident)
         with self._lock:
             current = self._tables.get(key)
@@ -161,6 +166,7 @@ class MemoryCatalog(Catalog):
                     f"{ident}: at {current}, expected {expected_metadata_path}"
                 )
             self._tables[key] = new_metadata_path
+        return new_metadata_path
 
     def drop_table(self, ident: str) -> None:
         key = parse_ident(ident)
@@ -206,29 +212,15 @@ class FilesystemCatalog(Catalog):
         return f"{self.warehouse}/{ns}/{name}/metadata"
 
     def _current_version(self, mdir: str) -> int:
-        """Max committed version, 0 if none. The hint short-circuits
-        the scan when fresh; a stale/missing hint degrades to the
-        listing (HadoopCatalog recovery semantics)."""
-        hinted = 0
-        hint = f"{mdir}/version-hint.text"
-        if self.io.exists(hint):
-            try:
-                hinted = int(self.io.read_text(hint).strip())
-            except ValueError:
-                hinted = 0
-        # The hint may lag a committed-but-unhinted version by one
-        # (crash window) or more (another committer's hint write
-        # lost). Trust it only as a floor; confirm by probing
-        # forward, falling back to a listing when the dir is gone.
-        if hinted and not self.io.exists(
-            f"{mdir}/v{hinted}.metadata.json"
-        ):
-            hinted = 0
-        v = hinted
-        while self.io.exists(f"{mdir}/v{v + 1}.metadata.json"):
-            v += 1
-        if v:
-            return v
+        """Max committed version, 0 if none — ALWAYS the listing max.
+
+        An earlier probe-forward-from-hint resolver returned the first
+        contiguous version, so a gap left by a partially-failed
+        file-by-file ``drop_table`` (v2 gone, v3 present) silently
+        resurrected the stale lower version (ADVICE r13). One LIST of
+        the metadata dir is a single call on any store and cannot be
+        fooled by gaps; the hint file is still written for
+        HadoopCatalog interop but resolution never trusts it."""
         try:
             names = self.io.list_names(mdir)
         except Exception:
@@ -255,20 +247,20 @@ class FilesystemCatalog(Catalog):
 
     def commit_swap(
         self, ident: str, new_metadata_path: str, expected_metadata_path: str
-    ) -> None:
+    ) -> str:
         current = self.resolve_metadata_location(ident)
         if current != expected_metadata_path:
             raise CatalogCommitConflict(
                 f"{ident}: at {current}, expected {expected_metadata_path}"
             )
         m = _VERSION_RE.match(os.path.basename(current))
-        self._publish_version(
+        return self._publish_version(
             ident, new_metadata_path, next_version=int(m.group(1)) + 1
         )
 
     def _publish_version(
         self, ident: str, metadata_path: str, next_version: int
-    ) -> None:
+    ) -> str:
         """Copy the metadata JSON into the catalog as ``v<N>`` via the
         write-then-CAS idiom (`lake/metadata.py:write_version`). The
         source tree's manifests/data files are referenced by absolute
@@ -289,15 +281,23 @@ class FilesystemCatalog(Catalog):
         finally:
             if self.io.exists(tmp):
                 self.io.delete(tmp)
-        # Advisory fast path only; resolution never depends on it.
+        # Interop-advisory only; resolution never reads it.
         self.io.write_text(f"{mdir}/version-hint.text", str(next_version))
+        return target
 
     def drop_table(self, ident: str) -> None:
         mdir = self._metadata_dir(ident)
         v = self._current_version(mdir)
         if v == 0:
             raise NoSuchTableError(ident)
-        for name in self.io.list_names(mdir):
+        # Version files go HIGHEST-FIRST so a crash mid-drop leaves a
+        # contiguous prefix, never a gap a resolver could misread
+        # (belt to _current_version's listing-max braces, ADVICE r13).
+        names = self.io.list_names(mdir)
+        def _order(name: str) -> int:
+            m = _VERSION_RE.match(name)
+            return -int(m.group(1)) if m else -(1 << 62)
+        for name in sorted(names, key=_order):
             self.io.delete(f"{mdir}/{name}")
 
     def list_tables(self, namespace: str = "default") -> list[str]:
@@ -345,11 +345,17 @@ def compact_catalog_table(
             config,
         )
         try:
-            catalog.commit_swap(ident, out_path, expected_metadata_path=src)
+            committed = catalog.commit_swap(
+                ident, out_path, expected_metadata_path=src
+            )
         except CatalogCommitConflict as exc:
             last = exc
             continue
-        return result, catalog.resolve_metadata_location(ident)
+        # commit_swap's return IS the committed location; re-resolving
+        # here could observe a concurrent committer's later swap and
+        # hand the caller a tree this compaction did not produce
+        # (ADVICE r13).
+        return result, committed
     raise CatalogCommitConflict(
         f"{ident}: lost the swap {max_retries} times"
     ) from last
@@ -431,7 +437,7 @@ class SqlCatalog(Catalog):
 
     def commit_swap(
         self, ident: str, new_metadata_path: str, expected_metadata_path: str
-    ) -> None:
+    ) -> str:
         ns, name = parse_ident(ident)
         with self._connect() as con:
             cur = con.execute(
@@ -443,7 +449,7 @@ class SqlCatalog(Catalog):
                  self.catalog_name, ns, name, expected_metadata_path),
             )
             if cur.rowcount == 1:
-                return
+                return new_metadata_path
             # rowcount 0: unknown ident, or the pointer moved — the
             # JdbcCatalog disambiguates exactly this way
             row = con.execute(

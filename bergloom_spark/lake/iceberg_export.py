@@ -233,8 +233,16 @@ def _serialize_bound(ice_type: str, v, side: str = "lower") -> bytes | None:
             if t.tzinfo is None:
                 t = t.replace(tzinfo=_dt.timezone.utc)
             epoch = _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)
+            # Exact integer micros — the float total_seconds() path
+            # truncates 1us low on ~1.2% of values, which on an UPPER
+            # bound understates the true max and lets import-side
+            # pruning drop a file whose max equals the predicate
+            # literal (ADVICE r13).
+            d = t - epoch
             return _struct.pack(
-                "<q", int((t - epoch).total_seconds() * 1_000_000)
+                "<q",
+                (d.days * 86400 + d.seconds) * 1_000_000
+                + d.microseconds,
             )
     except (ValueError, TypeError, OverflowError, _struct.error):
         return None

@@ -138,6 +138,19 @@ def murmur3_x86_32(data: bytes, seed: int = 0) -> int:
     return h - (1 << 32) if h & (1 << 31) else h
 
 
+def timestamp_to_micros(value: datetime.datetime) -> int:
+    """Exact microseconds-since-epoch for a (naive-UTC) datetime.
+
+    ``total_seconds() * 1e6`` goes through a float and truncates one
+    microsecond low on ~1.2% of microsecond-precision values (ADVICE
+    r13) — for bucket hashing or bound serialization that silently
+    changes the bucket / understates an upper bound, i.e. wrong-row
+    pruning. Integer arithmetic from the timedelta components is exact
+    over the full datetime range."""
+    d = value - datetime.datetime(1970, 1, 1)
+    return (d.days * 86400 + d.seconds) * 1_000_000 + d.microseconds
+
+
 def iceberg_bucket(value: Any, n: int) -> int | None:
     """``bucket[n]`` of ``value`` per Iceberg Appendix B: int/long/
     date/time/timestamp hash as the 64-bit little-endian long they
@@ -155,10 +168,7 @@ def iceberg_bucket(value: Any, n: int) -> int | None:
             value = value.astimezone(datetime.timezone.utc).replace(
                 tzinfo=None
             )
-        us = int(
-            (value - datetime.datetime(1970, 1, 1)).total_seconds()
-            * 1_000_000
-        )
+        us = timestamp_to_micros(value)
         b = (us & ((1 << 64) - 1)).to_bytes(8, "little")
     elif isinstance(value, datetime.date):
         days = (value - datetime.date(1970, 1, 1)).days

@@ -131,6 +131,81 @@ class TestFilesystemCatalog:
         cat.drop_table("ns.t")
         assert not cat.table_exists("ns.t")
 
+    def test_gap_resolves_to_max_not_stale_prefix(self, tmp_path):
+        """ADVICE r13: a partially-failed drop can leave v2 deleted
+        while v3 survives; a probe-forward-from-hint resolver then
+        resurrected stale v1. Resolution must always be the listing
+        MAX, whatever gaps exist."""
+        import os
+
+        cat, paths = _registered_fs_catalog(tmp_path, n_meta=3)
+        cat.commit_swap(
+            "ns.t", paths[1], cat.resolve_metadata_location("ns.t")
+        )
+        cat.commit_swap(
+            "ns.t", paths[2], cat.resolve_metadata_location("ns.t")
+        )
+        mdir = cat._metadata_dir("ns.t")
+        os.unlink(os.path.join(mdir, "v2.metadata.json"))
+        # also stale the hint below the gap — still must not matter
+        with open(os.path.join(mdir, "version-hint.text"), "w") as f:
+            f.write("1")
+        assert cat.resolve_metadata_location("ns.t").endswith(
+            "/v3.metadata.json"
+        )
+        cat2 = FilesystemCatalog(str(tmp_path / "warehouse"))
+        assert cat2.resolve_metadata_location("ns.t").endswith(
+            "/v3.metadata.json"
+        )
+
+    def test_drop_deletes_versions_highest_first(self, tmp_path):
+        """A crash mid-drop must leave a contiguous version prefix
+        (no gap), because version files are deleted highest-first."""
+        cat, paths = _registered_fs_catalog(tmp_path, n_meta=3)
+        cat.commit_swap(
+            "ns.t", paths[1], cat.resolve_metadata_location("ns.t")
+        )
+        cat.commit_swap(
+            "ns.t", paths[2], cat.resolve_metadata_location("ns.t")
+        )
+        real_delete = cat.io.delete
+        deleted = []
+
+        def crashy_delete(path):
+            deleted.append(path)
+            if path.endswith("/v2.metadata.json"):
+                raise OSError("simulated crash mid-drop")
+            real_delete(path)
+
+        cat.io.delete = crashy_delete
+        with pytest.raises(OSError):
+            cat.drop_table("ns.t")
+        cat.io.delete = real_delete
+        # non-version files first, then v3 before v2: the survivor
+        # set {v1, v2} is a contiguous prefix — no gap — and resolves
+        # to its max
+        version_order = [p for p in deleted if p.endswith(".metadata.json")]
+        assert version_order[0].endswith("/v3.metadata.json")
+        assert cat.resolve_metadata_location("ns.t").endswith(
+            "/v2.metadata.json"
+        )
+
+    def test_commit_swap_returns_committed_copy(self, tmp_path):
+        """ADVICE r13: callers must get the catalog-internal committed
+        location from commit_swap itself — re-resolving could observe
+        a CONCURRENT later commit. The filesystem catalog returns the
+        v<N> copy it just published."""
+        cat, paths = _registered_fs_catalog(tmp_path, n_meta=2)
+        committed = cat.commit_swap(
+            "ns.t", paths[1], cat.resolve_metadata_location("ns.t")
+        )
+        assert committed.endswith("/v2.metadata.json")
+        assert cat.resolve_metadata_location("ns.t") == committed
+        # memory + sql return the path verbatim (they store pointers)
+        mem = MemoryCatalog()
+        mem.register_table("t", "/m/v1.json")
+        assert mem.commit_swap("t", "/m/v2.json", "/m/v1.json") == "/m/v2.json"
+
     def test_rejects_non_json_pointer(self, tmp_path):
         bad = tmp_path / "not-json.txt"
         bad.write_text("hello")

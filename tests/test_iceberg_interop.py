@@ -1016,6 +1016,64 @@ class TestTransformPartitionPruning:
             files,
         )
 
+    def test_timestamp_micros_exact_integer_arithmetic(self):
+        """ADVICE r13 (high): ``total_seconds() * 1e6`` truncates one
+        microsecond low on ~1.2% of microsecond-precision values,
+        silently changing the bucket — equality queries on imported
+        bucket[N] timestamp partitions then drop matching rows. The
+        advisor's repro value pins the fix, and a sweep checks exact
+        integer agreement where float math disagrees."""
+        import datetime as dt
+
+        from bergloom_spark.lake.skipping import (
+            iceberg_bucket,
+            murmur3_x86_32,
+            timestamp_to_micros,
+        )
+
+        v = dt.datetime(2005, 3, 28, 19, 42, 50, 536110)
+        us = timestamp_to_micros(v)
+        assert us == 1112038970536110  # exact; float path gave ...109
+        assert iceberg_bucket(v, 8) == 1  # float path gave 7
+        # exactness law across a deterministic sweep, incl. values
+        # where the float path is provably wrong
+        base = dt.datetime(2003, 7, 1)
+        for k in range(2000):
+            t = base + dt.timedelta(
+                days=k * 37 % 9000, seconds=k * 7919 % 86400,
+                microseconds=k * 104729 % 1_000_000,
+            )
+            d = t - dt.datetime(1970, 1, 1)
+            want = (
+                d.days * 86_400_000_000
+                + d.seconds * 1_000_000
+                + d.microseconds
+            )
+            assert timestamp_to_micros(t) == want
+            assert iceberg_bucket(t, 97) == (
+                murmur3_x86_32(
+                    (want & ((1 << 64) - 1)).to_bytes(8, "little")
+                ) & 0x7FFFFFFF
+            ) % 97
+
+    def test_serialize_bound_timestamp_exact(self):
+        """ADVICE r13 (medium): the exported timestamp bound must be
+        the exact integer micros — a 1us-low UPPER bound understates
+        the max and lets import-side pruning drop a file whose true
+        max equals the predicate literal."""
+        import struct
+
+        from bergloom_spark.lake.iceberg_export import _serialize_bound
+
+        b = _serialize_bound(
+            "timestamp", "2005-03-28T19:42:50.536110", side="upper"
+        )
+        assert struct.unpack("<q", b)[0] == 1112038970536110
+        b = _serialize_bound(
+            "timestamptz", "2005-03-28T19:42:50.536110+00:00", side="upper"
+        )
+        assert struct.unpack("<q", b)[0] == 1112038970536110
+
     def test_day_transform_prunes_imported_files(self, spark, tmp_path):
         """The verdict's done-criterion: a day-partitioned fixture
         scans fewer files under a timestamp predicate, hash-equal

