@@ -23,6 +23,7 @@ from bergloom_spark.lake.catalog import (
     CatalogCommitConflict,
     FilesystemCatalog,
     MemoryCatalog,
+    RestCatalog,
     NoSuchTableError,
     SqlCatalog,
     TableAlreadyExistsError,
@@ -38,6 +39,7 @@ __all__ = [
     "CatalogCommitConflict",
     "FilesystemCatalog",
     "MemoryCatalog",
+    "RestCatalog",
     "NoSuchTableError",
     "SqlCatalog",
     "TableAlreadyExistsError",

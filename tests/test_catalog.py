@@ -486,6 +486,207 @@ class TestSqlCatalog:
         assert not snap.files(md.EQ_DELETE)
 
 
+def _rest_server(tmp_path):
+    from bergloom_spark.lake.restserver import RestCatalogServer
+
+    srv = RestCatalogServer(str(tmp_path / "spool"))
+    uri = srv.start()
+    return srv, uri
+
+
+def _real_meta(tmp_path, name, snap_id, uuid="11111111-2222-3333-4444-555555555555"):
+    """Minimal but REALISTIC metadata tree: uuid + one snapshot +
+    main ref — the fields the REST CAS token is built from."""
+    import json as _json
+
+    md_doc = {
+        "format-version": 2,
+        "table-uuid": uuid,
+        "location": f"/tbl/{name}",
+        "current-snapshot-id": snap_id,
+        "snapshots": [
+            {"snapshot-id": snap_id, "sequence-number": 1,
+             "timestamp-ms": 1, "manifest-list": f"/tbl/{name}/ml.avro",
+             "summary": {"operation": "append"}}
+        ],
+        "refs": {"main": {"snapshot-id": snap_id, "type": "branch"}},
+        "schemas": [{"type": "struct", "schema-id": 0, "fields": []}],
+        "current-schema-id": 0,
+    }
+    p = tmp_path / f"{name}.metadata.json"
+    p.write_text(_json.dumps(md_doc))
+    return str(p)
+
+
+class TestRestCatalog:
+    def test_lifecycle(self, tmp_path):
+        from bergloom_spark.lake.catalog import RestCatalog
+
+        srv, uri = _rest_server(tmp_path)
+        try:
+            cat = RestCatalog(uri)
+            m0 = _real_meta(tmp_path, "m0", snap_id=100)
+            m1 = _real_meta(tmp_path, "m1", snap_id=200)
+            assert not cat.table_exists("ns.t")
+            with pytest.raises(NoSuchTableError):
+                cat.resolve_metadata_location("ns.t")
+            cat.register_table("ns.t", m0)
+            with pytest.raises(TableAlreadyExistsError):
+                cat.register_table("ns.t", m1)
+            assert cat.resolve_metadata_location("ns.t") == m0
+            assert cat.list_tables("ns") == ["t"]
+            committed = cat.commit_swap("ns.t", m1, m0)
+            # the server owns the committed copy (spool path)
+            assert committed != m1
+            assert cat.resolve_metadata_location("ns.t") == committed
+            # stale expected conflicts (fast pre-check path)
+            with pytest.raises(CatalogCommitConflict):
+                cat.commit_swap("ns.t", m1, m0)
+            # the committed tree carries the new snapshot as current
+            import json as _json
+
+            doc = _json.loads(open(committed).read())
+            assert doc["current-snapshot-id"] == 200
+            assert doc["refs"]["main"]["snapshot-id"] == 200
+            cat.drop_table("ns.t")
+            assert not cat.table_exists("ns.t")
+            with pytest.raises(NoSuchTableError):
+                cat.drop_table("ns.t")
+        finally:
+            srv.stop()
+
+    def test_rejects_non_json_pointer(self, tmp_path):
+        from bergloom_spark.lake.catalog import RestCatalog
+
+        srv, uri = _rest_server(tmp_path)
+        try:
+            bad = tmp_path / "not-json.txt"
+            bad.write_text("hello")
+            with pytest.raises(ValueError):
+                RestCatalog(uri).register_table("t", str(bad))
+        finally:
+            srv.stop()
+
+    def test_racing_committers_single_winner(self, tmp_path):
+        """Six clients race the SAME expected state to six different
+        new trees; the server-side requirements CAS must let exactly
+        one through — the others 409 into CatalogCommitConflict.
+        Mirrors the filesystem/sql race tests: the race is decided
+        AFTER every client passed its local pre-check."""
+        from bergloom_spark.lake.catalog import RestCatalog
+
+        srv, uri = _rest_server(tmp_path)
+        try:
+            base = _real_meta(tmp_path, "base", snap_id=1)
+            news = [
+                _real_meta(tmp_path, f"new{i}", snap_id=10 + i)
+                for i in range(6)
+            ]
+            setup = RestCatalog(uri)
+            setup.register_table("t", base)
+            barrier = threading.Barrier(6)
+            outcomes = []
+
+            def swap(i):
+                cat = RestCatalog(uri)  # own connection per committer
+                cat.resolve_metadata_location("t")  # pre-check passes
+                barrier.wait()
+                try:
+                    cat.commit_swap("t", news[i], base)
+                    outcomes.append("win")
+                except CatalogCommitConflict:
+                    outcomes.append("lose")
+
+            threads = [
+                threading.Thread(target=swap, args=(i,)) for i in range(6)
+            ]
+            for th in threads:
+                th.start()
+            for th in threads:
+                th.join()
+            assert outcomes.count("win") == 1
+            assert outcomes.count("lose") == 5
+        finally:
+            srv.stop()
+
+    def test_compact_through_rest_catalog(self, spark, tmp_path):
+        """Verdict r13 #2 done-criterion: compact_catalog_table
+        end-to-end through RestCatalog — load by ident, rewrite,
+        requirements+updates commit, re-load the SERVER-rebuilt
+        metadata; rows identical, delete debt gone."""
+        from bergloom_spark.lake.catalog import RestCatalog
+
+        srv, uri = _rest_server(tmp_path)
+        try:
+            t = _mor_table(spark, str(tmp_path / "src"))
+            expected = sorted(
+                (r.id, r.cat, r.val) for r in t.read().collect()
+            )
+            cat = RestCatalog(uri)
+            cat.register_table("ns.sales", export_iceberg_metadata(t.meta))
+            result, committed = compact_catalog_table(
+                spark, cat, "ns.sales", str(tmp_path / "work")
+            )
+            assert result.stat.rewritten_files_count >= 2
+            assert cat.resolve_metadata_location("ns.sales") == committed
+            t2 = cat.load_table(spark, "ns.sales")
+            got = sorted(
+                (r.id, r.cat, r.val) for r in t2.read().collect()
+            )
+            assert got == expected
+            snap = t2.meta.current_snapshot()
+            assert not snap.files(md.POS_DELETE)
+            assert not snap.files(md.EQ_DELETE)
+        finally:
+            srv.stop()
+
+    def test_lost_race_recompacts_from_new_state(self, spark, tmp_path):
+        """An interloper lands a new snapshot between our resolve and
+        commit; the server 409s the stale commit and the retry loop
+        re-resolves + re-compacts the NEW tree (the
+        compaction/mod.rs:595-611 contract, REST flavor)."""
+        from bergloom_spark.lake.catalog import RestCatalog
+
+        srv, uri = _rest_server(tmp_path)
+        try:
+            t = _mor_table(spark, str(tmp_path / "src"))
+            expected = sorted(
+                (r.id, r.cat, r.val) for r in t.read().collect()
+            )
+            cat = RestCatalog(uri)
+            first_meta = export_iceberg_metadata(t.meta)
+            cat.register_table("t", first_meta)
+
+            calls = {"n": 0}
+            real_swap = cat.commit_swap
+
+            def racy_swap(ident, new_path, expected_metadata_path):
+                if calls["n"] == 0:
+                    calls["n"] += 1
+                    # interloper: re-commit the same tree content —
+                    # same table-uuid but the server rebuilds, and
+                    # our stale expected must now 409
+                    real_swap(
+                        ident,
+                        first_meta,
+                        cat.resolve_metadata_location(ident),
+                    )
+                return real_swap(ident, new_path, expected_metadata_path)
+
+            cat.commit_swap = racy_swap
+            result, committed = compact_catalog_table(
+                spark, cat, "t", str(tmp_path / "work")
+            )
+            assert cat.resolve_metadata_location("t") == committed
+            got = sorted(
+                (r.id, r.cat, r.val)
+                for r in cat.load_table(spark, "t").read().collect()
+            )
+            assert got == expected
+        finally:
+            srv.stop()
+
+
 class TestCatalogFor:
     def test_dispatch(self, tmp_path):
         from bergloom_spark.lake.catalog import (
@@ -503,6 +704,11 @@ class TestCatalogFor:
             catalog_for(f"hadoop://{tmp_path}/wh"), FS
         )
         assert isinstance(catalog_for(str(tmp_path / "wh2")), FS)
+        from bergloom_spark.lake.catalog import RestCatalog as Rest
+
+        # constructor is lazy (no network until first call)
+        assert isinstance(catalog_for("http://127.0.0.1:1/cat"), Rest)
+        assert isinstance(catalog_for("https://cat.example/api"), Rest)
         with pytest.raises(ValueError):
             catalog_for("rest://somewhere")
         with pytest.raises(ValueError):
@@ -536,17 +742,26 @@ def test_catalogs_agree_with_memory_model(tmp_path_factory, ops):
     contract."""
     from bergloom_spark.lake.catalog import MemoryCatalog, SqlCatalog
 
+    from bergloom_spark.lake.catalog import RestCatalog
+    from bergloom_spark.lake.restserver import RestCatalogServer
+
     base = tmp_path_factory.mktemp("model")
-    paths = []
-    for i in range(4):
-        p = base / f"m{i}.metadata.json"
-        p.write_text('{"v": %d}' % i)
-        paths.append(str(p))
+    # realistic minimal trees (uuid + snapshot + main ref) so the
+    # REST CAS token is meaningful; the other catalogs treat the
+    # content as opaque JSON, exactly as before
+    paths = [
+        _real_meta(base, f"m{i}", snap_id=100 + i,
+                   uuid=f"00000000-0000-0000-0000-00000000000{i}")
+        for i in range(4)
+    ]
     tables = ["a.t0", "a.t1", "b.t2"]
     model = MemoryCatalog()
+    srv = RestCatalogServer(str(base / "spool"))
+    uri = srv.start()
     subjects = [
         FilesystemCatalog(str(base / "wh")),
         SqlCatalog(str(base / "cat.db")),
+        RestCatalog(uri),
     ]
 
     def run(cat, kind, t, p, e):
@@ -573,12 +788,15 @@ def test_catalogs_agree_with_memory_model(tmp_path_factory, ops):
         except Exception as exc:  # noqa: BLE001
             return (type(exc).__name__,)
 
-    for kind, t, p, e in ops:
-        want = run(model, kind, t, p, e)
-        for cat in subjects:
-            got = run(cat, kind, t, p, e)
-            assert got[0] == want[0], (kind, t, p, e, got, want)
-        # after every op, the three views of namespace "a" agree
-        want_list = model.list_tables("a")
-        for cat in subjects:
-            assert cat.list_tables("a") == want_list
+    try:
+        for kind, t, p, e in ops:
+            want = run(model, kind, t, p, e)
+            for cat in subjects:
+                got = run(cat, kind, t, p, e)
+                assert got[0] == want[0], (kind, t, p, e, got, want)
+            # after every op, the four views of namespace "a" agree
+            want_list = model.list_tables("a")
+            for cat in subjects:
+                assert cat.list_tables("a") == want_list
+    finally:
+        srv.stop()
