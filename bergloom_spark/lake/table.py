@@ -1447,12 +1447,19 @@ class LakeTable:
         )
 
     def _pos_delete_frame(self, snap: md.Snapshot) -> DataFrame | None:
-        files = snap.files(md.POS_DELETE)
-        if not files:
+        all_files = snap.files(md.POS_DELETE)
+        if not all_files:
             return None
+        files = [e for e in all_files if e.dv_referenced_file is None]
+        dvs = [e for e in all_files if e.dv_referenced_file is not None]
+        dv_df = self._dv_positions_frame(dvs) if dvs else None
+        if not files:
+            return dv_df  # already normalized local paths
         df = self.spark.read.schema(md.POS_DELETE_SCHEMA).parquet(
             *[e.file_path for e in files]
         )
+        if dv_df is not None:
+            df = df.unionByName(dv_df)
         # Our own writer stores raw local paths, but an IMPORTED
         # Iceberg table's pos-delete files reference data files by the
         # URI form the original writer used (file:///... with percent
@@ -1469,6 +1476,48 @@ class LakeTable:
             ).otherwise(F.col("file_path")),
         )
         return df
+
+    def _dv_positions_frame(self, dvs: list[md.ManifestEntry]) -> DataFrame:
+        """Iceberg v3 deletion vectors → a ``(file_path, pos)`` frame
+        shaped exactly like a parquet position-delete scan, so the
+        MoR anti-join (`operators/mor.py:91`) needs no new code path.
+
+        Decode is DISTRIBUTED: one descriptor row per DV (puffin
+        path + blob byte range + referenced data file) fans out over
+        ``mapInPandas``, and each task range-reads ONLY its blob and
+        emits the roaring-decoded positions — at 100 TB a snapshot
+        can carry one DV per data file, so positions never
+        materialize on the driver and a single hot DV costs one
+        task, not a collect. Descriptor count is manifest-sized
+        (thousands), so ``parallelize``-style skew is a non-issue."""
+        from bergloom_spark.lake import puffin
+
+        rows = [
+            (e.file_path, int(e.dv_offset), int(e.dv_size),
+             e.dv_referenced_file)
+            for e in dvs
+        ]
+        desc = self.spark.createDataFrame(
+            rows,
+            "puffin_path string, offset long, size long, referenced string",
+        ).repartition(min(len(rows), 64))
+
+        def decode(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                for r in pdf.itertuples(index=False):
+                    with open(r.puffin_path, "rb") as f:
+                        f.seek(r.offset)
+                        blob = f.read(r.size)
+                    pos = puffin.decode_deletion_vector(blob)
+                    if len(pos) == 0:
+                        continue  # empty DV: nothing deleted
+                    yield pd.DataFrame(
+                        {"file_path": r.referenced, "pos": pos}
+                    )
+
+        return desc.mapInPandas(decode, schema=md.POS_DELETE_SCHEMA)
 
     def _eq_delete_groups(self, snap: md.Snapshot) -> list[mor.EqualityDeleteGroup]:
         entries = []

@@ -539,8 +539,46 @@ def _seeds_avro():
     ]
 
 
+def _seeds_puffin():
+    """Puffin footer + deletion-vector blob parsing (r14): the whole
+    file is attacker bytes — footer JSON, blob ranges, roaring
+    container headers, run lengths, CRC framing. The harness parses
+    the footer, then decodes every declared deletion-vector blob;
+    contract is clean ValueError on anything structurally wrong."""
+    from bergloom_spark.lake import puffin
+
+    def parse_all(payload: bytes):
+        meta = puffin.read_file_metadata(payload)
+        for b in meta.get("blobs", []):
+            if b.get("type") == puffin.DELETION_VECTOR_V1:
+                puffin.decode_deletion_vector(
+                    puffin.blob_bytes(
+                        payload, b["offset"], b["length"]
+                    )
+                )
+
+    f1, _ = puffin.write_puffin_dvs(
+        {"/t/a.parquet": [1, 2, 3, 100, 65536],
+         "/t/b.parquet": list(range(0, 9000))}  # run container
+    )
+    f2, _ = puffin.write_puffin_dvs(
+        {"/t/c.parquet":
+         sorted({(i * 2654435761) % (1 << 20) for i in range(5000)}),
+         # >4096 distinct lows inside one 64 Ki range → a BITMAP
+         # container rides in the seeds
+         "/t/e.parquet":
+         sorted({(i * 40503) % 65536 for i in range(6000)})}
+    )
+    f3, _ = puffin.write_puffin_dvs(
+        {"/t/d.parquet": [2**33, 2**33 + 1, 2**34 + 7]}  # buckets
+    )
+    f4, _ = puffin.write_puffin_dvs({})
+    return parse_all, [f1, f2, f3, f4]
+
+
 TARGETS = {
     "avro": _seeds_avro,
+    "puffin": _seeds_puffin,
     "ogg": _seeds_ogg,
     "warc": _seeds_warc,
     "triage": _seeds_triage,
