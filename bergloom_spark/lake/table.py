@@ -735,6 +735,21 @@ class LakeTable:
         raw = self.meta.properties.get("column_renames", "")
         return _json.loads(raw) if raw else {}
 
+    def _field_id_read_map(self) -> dict[str, int] | None:
+        """{current name: parquet field id} when the table requires
+        pure field-id column resolution (imported Iceberg tables with
+        a swap-shaped rename history, ``iceberg.field-id-read`` set
+        by `iceberg_import.load_iceberg_table`); None for name-based
+        tables — everything the native lake writes."""
+        import json as _json
+
+        if self.meta.properties.get("iceberg.field-id-read") != "true":
+            return None
+        ids = _json.loads(
+            self.meta.properties.get("iceberg.field-ids", "{}")
+        )
+        return {name: int(fid) for fid, name in ids.items()}
+
     def rename_column(self, old: str, new: str) -> None:
         """Rename a column — metadata-only, no file rewrite (Iceberg's
         ``rename_column``). This format matches columns BY NAME, so the
@@ -1342,29 +1357,55 @@ class LakeTable:
     ) -> DataFrame:
         """Scan files sharing one virtualized-column set; returns user
         columns + hidden file_path/pos."""
-        renames = self._rename_history()
-        file_fields: list[T.StructField] = []
-        for f in self.schema.fields:
-            if f.name in set(part_cols):
-                continue
-            file_fields.append(f)
-            # Files written before a rename store the column under a
-            # historical name; read those too (NULL where absent) and
-            # coalesce below — each file has exactly one of the names.
-            for h in renames.get(f.name, []):
-                file_fields.append(T.StructField(h, f.dataType, True))
-        df = self.spark.read.schema(T.StructType(file_fields)).parquet(
-            *[e.file_path for e in data_files]
-        )
-        for f in self.schema.fields:
-            hs = renames.get(f.name, [])
-            if hs and f.name not in set(part_cols):
-                df = df.withColumn(
-                    f.name,
-                    F.coalesce(
-                        F.col(f.name), *[F.col(h) for h in reversed(hs)]
-                    ),
+        field_ids = self._field_id_read_map()
+        if field_ids is not None:
+            # Pure field-id resolution (imported tables whose rename
+            # history is a name SWAP — names are unusable): the read
+            # schema carries parquet.field.id metadata and Spark's
+            # native fieldId reader matches columns by id, the
+            # iceberg-rs posture. Files without ids fail loudly in
+            # the reader (never a silent null read); no
+            # rename-coalesce applies.
+            self.spark.conf.set(
+                "spark.sql.parquet.fieldId.read.enabled", "true"
+            )
+            file_fields = [
+                T.StructField(
+                    f.name, f.dataType, True,
+                    {"parquet.field.id": field_ids[f.name]},
                 )
+                for f in self.schema.fields
+                if f.name not in set(part_cols)
+                and f.name in field_ids
+            ]
+            df = self.spark.read.schema(
+                T.StructType(file_fields)
+            ).parquet(*[e.file_path for e in data_files])
+        else:
+            renames = self._rename_history()
+            file_fields = []
+            for f in self.schema.fields:
+                if f.name in set(part_cols):
+                    continue
+                file_fields.append(f)
+                # Files written before a rename store the column
+                # under a historical name; read those too (NULL
+                # where absent) and coalesce below — each file has
+                # exactly one of the names.
+                for h in renames.get(f.name, []):
+                    file_fields.append(T.StructField(h, f.dataType, True))
+            df = self.spark.read.schema(T.StructType(file_fields)).parquet(
+                *[e.file_path for e in data_files]
+            )
+            for f in self.schema.fields:
+                hs = renames.get(f.name, [])
+                if hs and f.name not in set(part_cols):
+                    df = df.withColumn(
+                        f.name,
+                        F.coalesce(
+                            F.col(f.name), *[F.col(h) for h in reversed(hs)]
+                        ),
+                    )
         # Per-file dictionary: resolve the URI→path mapping ONCE per
         # file on the driver instead of regex+url-decoding a ~100-byte
         # string per ROW (that decode is ~0.4 s/M rows of pure
@@ -1522,7 +1563,30 @@ class LakeTable:
     def _eq_delete_groups(self, snap: md.Snapshot) -> list[mor.EqualityDeleteGroup]:
         entries = []
         renames = self._rename_history()
+        field_ids = self._field_id_read_map()
         for e in snap.files(md.EQ_DELETE):
+            if field_ids is not None:
+                # field-id table (swap history): eq-delete files
+                # store keys under names of THEIR write epoch; only
+                # id resolution reads them safely (a name read would
+                # see NULL keys and silently delete nothing).
+                self.spark.conf.set(
+                    "spark.sql.parquet.fieldId.read.enabled", "true"
+                )
+                key_fields = [
+                    T.StructField(
+                        f.name, f.dataType, True,
+                        {"parquet.field.id": field_ids[f.name]},
+                    )
+                    for f in self.schema.fields
+                    if f.name in set(e.equality_ids)
+                    and f.name in field_ids
+                ]
+                frame = self.spark.read.schema(
+                    T.StructType(key_fields)
+                ).parquet(e.file_path).select(*e.equality_ids)
+                entries.append((frame, e.equality_ids, e.sequence_number))
+                continue
             # Eq-delete files contain exactly the equality_ids columns
             # (writer projects them, writer.py:200); reading with that
             # schema skips the per-file schema-inference job a bare

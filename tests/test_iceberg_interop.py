@@ -758,8 +758,68 @@ class TestRenamedHistoryImport:
         doc["schemas"] = [old, new]
         doc["current-schema-id"] = new["schema-id"]
         open(mjson, "w").write(_json.dumps(doc))
+        # r14: metadata load only MARKS the ambiguity; the refusal
+        # decision moved to load_iceberg_table, which still refuses
+        # here because the lake-written files carry no field ids
+        meta = load_iceberg_metadata(mjson)
+        assert "iceberg.rename-ambiguous" in meta.properties
         with pytest.raises(ValueError, match="ambiguous"):
-            load_iceberg_metadata(mjson)
+            load_iceberg_table(spark, mjson)
+        with pytest.raises(ValueError, match="field_id"):
+            load_iceberg_table(spark, mjson)
+
+    def test_name_swap_resolves_by_field_id(self, spark, tmp_path):
+        """Verdict r13 Missing #3 done-criterion: when every data
+        file footer carries PARQUET:field_id for every column, an
+        A<->B name swap resolves purely by id — values follow their
+        ids, never their names."""
+        import glob
+        import json as _json
+
+        from bergloom_spark.lake.iceberg_export import write_iceberg_tree
+
+        # id-stamped parquet: Spark writes PARQUET:field_id when the
+        # schema metadata carries parquet.field.id
+        df = spark.range(40).select(
+            F.col("id").alias("x"), (F.col("id") * 10).alias("y")
+        )
+        stamped = T.StructType([
+            T.StructField("x", T.LongType(), True, {"parquet.field.id": 1}),
+            T.StructField("y", T.LongType(), True, {"parquet.field.id": 2}),
+        ])
+        ddir = str(tmp_path / "data")
+        spark.createDataFrame(df.collect(), stamped).coalesce(
+            1
+        ).write.parquet(ddir)
+        fpath = glob.glob(ddir + "/part-*.parquet")[0]
+        # tree whose CURRENT schema swaps the names: id 1 is now
+        # called "y", id 2 is now called "x"
+        mjson = write_iceberg_tree(
+            str(tmp_path / "tree"),
+            [
+                {"id": 1, "name": "y", "type": "long", "required": False},
+                {"id": 2, "name": "x", "type": "long", "required": False},
+            ],
+            [],
+            [{"file_path": fpath, "record_count": 40,
+              "file_size_in_bytes": os.path.getsize(fpath)}],
+        )
+        doc = _json.loads(open(mjson).read())
+        doc["schemas"] = [
+            {"type": "struct", "schema-id": 0, "fields": [
+                {"id": 1, "name": "x", "type": "long", "required": False},
+                {"id": 2, "name": "y", "type": "long", "required": False},
+            ]},
+            doc["schemas"][0] | {"schema-id": 1},
+        ]
+        doc["current-schema-id"] = 1
+        open(mjson, "w").write(_json.dumps(doc))
+        t = load_iceberg_table(spark, mjson)
+        assert t.meta.properties.get("iceberg.field-id-read") == "true"
+        rows = sorted((r.x, r.y) for r in t.read().collect())
+        # column "y" (id 1) carries the ORIGINAL x values; column
+        # "x" (id 2) the original y values
+        assert rows == sorted((i * 10, i) for i in range(40))
 
     def test_rename_with_type_change_not_aliased(self, spark, tmp_path):
         """A rename that ALSO changed the primitive type is excluded
