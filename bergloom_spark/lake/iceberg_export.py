@@ -566,6 +566,60 @@ def _schemas_with_history(meta, ice_schema: dict) -> list[dict]:
     return schemas
 
 
+def _sort_order_doc(
+    meta: md.TableMetadata, name_to_id: dict[str, int]
+) -> dict:
+    """``sort-orders`` + ``default-sort-order-id`` for the metadata
+    doc (Table Spec "Sort Orders"; verdict r13 Missing #4). A LINEAR
+    sort (``SortCompaction``'s property, identity transforms,
+    asc/nulls-first — the clustering the rewrite actually produced)
+    exports as a real sort order a native engine can act on. A
+    Z-ORDER layout has NO spec transform — the spec's sort orders
+    cannot express Morton interleaves — so the table keeps the
+    unsorted order 0 and the ``sort_order`` property (exported
+    verbatim) carries the claim for engines that understand it;
+    inventing a pseudo-transform would make conforming readers
+    reject the metadata."""
+    import json as _json
+
+    unsorted = {
+        "default-sort-order-id": 0,
+        "sort-orders": [{"order-id": 0, "fields": []}],
+    }
+    raw = meta.properties.get("sort_order", "")
+    if not raw:
+        return unsorted
+    try:
+        so = _json.loads(raw)
+    except (ValueError, TypeError):
+        return unsorted
+    cols = so.get("columns") or []
+    if (
+        so.get("kind") != "linear"
+        or not cols
+        or not all(c in name_to_id for c in cols)
+    ):
+        return unsorted
+    return {
+        "default-sort-order-id": 1,
+        "sort-orders": [
+            {"order-id": 0, "fields": []},
+            {
+                "order-id": 1,
+                "fields": [
+                    {
+                        "transform": "identity",
+                        "source-id": name_to_id[c],
+                        "direction": "asc",
+                        "null-order": "nulls-first",
+                    }
+                    for c in cols
+                ],
+            },
+        ],
+    }
+
+
 def export_iceberg_metadata(
     meta: md.TableMetadata,
     out_dir: str | None = None,
@@ -757,8 +811,7 @@ def export_iceberg_metadata(
         "default-spec-id": 0,
         "partition-specs": [{"spec-id": 0, "fields": spec_fields}],
         "last-partition-id": 1000 + max(0, len(meta.partition_spec) - 1),
-        "default-sort-order-id": 0,
-        "sort-orders": [{"order-id": 0, "fields": []}],
+        **_sort_order_doc(meta, name_to_id),
         "properties": {
             k: v
             for k, v in meta.properties.items()

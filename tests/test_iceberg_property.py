@@ -368,3 +368,99 @@ def test_deletion_vector_bitflip_never_escapes(pos, flip):
             puffin.decode_deletion_vector(fixed)
         except ValueError:
             pass
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    cols=st.lists(
+        st.sampled_from(["id", "cat", "val"]), min_size=1, max_size=3,
+        unique=True,
+    ),
+    kind=st.sampled_from(["linear", "zorder"]),
+    snap_id=st.integers(min_value=1, max_value=2**40),
+)
+def test_sort_order_export_import_roundtrip_law(
+    tmp_path_factory, cols, kind, snap_id
+):
+    """Verdict r13 Missing #4 done-criterion: a committed sort_order
+    claim survives export → import for any column subset and both
+    kinds. Linear rides as REAL spec sort-orders (identity fields,
+    order-id 1 default); z-order (no spec transform exists) rides as
+    the property — either way the re-import sees the same claim."""
+    import json as _json
+
+    root = str(tmp_path_factory.mktemp("so"))
+    claim = {"kind": kind, "columns": cols}
+    meta = md.TableMetadata(
+        table_root=root,
+        schema=SCHEMA.jsonValue(),
+        properties={"sort_order": _json.dumps(claim)},
+        current_snapshot_id=snap_id,
+        last_sequence_number=1,
+        last_snapshot_id=snap_id,
+        snapshots=[
+            md.Snapshot(
+                snapshot_id=snap_id, sequence_number=1,
+                timestamp_ms=0, operation="append", entries=[],
+            )
+        ],
+    )
+    mjson = export_iceberg_metadata(meta, out_dir=os.path.join(root, "mi"))
+    doc = _json.loads(open(mjson).read())
+    if kind == "linear":
+        assert doc["default-sort-order-id"] == 1
+        order = next(
+            o for o in doc["sort-orders"] if o["order-id"] == 1
+        )
+        assert [f["transform"] for f in order["fields"]] == (
+            ["identity"] * len(cols)
+        )
+    else:
+        assert doc["default-sort-order-id"] == 0  # spec can't say zorder
+    got = load_iceberg_metadata(mjson)
+    assert _json.loads(got.properties["sort_order"]) == claim
+
+
+def test_sort_order_import_from_native_spec_orders(tmp_path):
+    """A tree whose sort order exists ONLY as spec metadata (a native
+    engine's write.sort-order — no property) derives the property on
+    import; non-identity transforms carry no claim."""
+    import json as _json
+
+    root = str(tmp_path)
+    meta = md.TableMetadata(
+        table_root=root,
+        schema=SCHEMA.jsonValue(),
+        current_snapshot_id=5,
+        last_sequence_number=1,
+        last_snapshot_id=5,
+        snapshots=[
+            md.Snapshot(
+                snapshot_id=5, sequence_number=1, timestamp_ms=0,
+                operation="append", entries=[],
+            )
+        ],
+    )
+    mjson = export_iceberg_metadata(meta, out_dir=os.path.join(root, "mi"))
+    doc = _json.loads(open(mjson).read())
+    # field ids assigned in schema order: id=1, cat=2, val=3
+    doc["default-sort-order-id"] = 7
+    doc["sort-orders"] = [
+        {"order-id": 0, "fields": []},
+        {"order-id": 7, "fields": [
+            {"transform": "identity", "source-id": 2,
+             "direction": "asc", "null-order": "nulls-first"},
+            {"transform": "identity", "source-id": 1,
+             "direction": "asc", "null-order": "nulls-first"},
+        ]},
+    ]
+    open(mjson, "w").write(_json.dumps(doc))
+    got = load_iceberg_metadata(mjson)
+    assert _json.loads(got.properties["sort_order"]) == {
+        "kind": "linear", "columns": ["cat", "id"],
+    }
+    # bucket-transform order: no identity claim derivable
+    doc["sort-orders"][1]["fields"][0]["transform"] = "bucket[4]"
+    open(mjson, "w").write(_json.dumps(doc))
+    got = load_iceberg_metadata(mjson)
+    assert "sort_order" not in got.properties
