@@ -344,6 +344,41 @@ def q_rewrite_pos_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.read()
 
 
+def q_dv_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deletion-vector maintenance (round 14): fold parquet
+    positional-delete files into Iceberg-v3-style per-file roaring
+    DELETION VECTORS (`lake/puffin.py`) — the rewrite the modern
+    Iceberg write path converges to. Three delete commits leave
+    three parquet pos-delete files; ``rewrite_deletes_to_vectors``
+    builds one DV per referenced data file DISTRIBUTED
+    (``applyInPandas`` per file — each task serializes its bitmap
+    and writes its own Puffin file; no position list ever lands on
+    the driver) and commits them through the same retrying CAS. The
+    query asserts every surviving pos-delete entry IS a DV, and the
+    oracle proves the visible rows unchanged — delete maintenance
+    can never change results."""
+    from bergloom_spark.lake import LakeTable
+    from bergloom_spark.lake import metadata as lmd
+    from bergloom_spark.lake.compaction import rewrite_deletes_to_vectors
+
+    base = T(spark, sf_dir, "lineitem").select(*LI_COLS)
+    root = os.path.join(_scratch(prefix="bergloom-dvmaint-"), "li")
+    t = LakeTable.create(spark, root, base.schema)
+    t.append(base)
+    t.delete_where(F.col("l_suppkey") % 11 == 0)
+    t.delete_where(F.col("l_partkey") % 13 == 0)
+    t.delete_where(F.col("l_quantity") > 45)
+    if len(t.meta.current_snapshot().files(lmd.POS_DELETE)) != 3:
+        raise AssertionError("expected 3 parquet pos-delete files")
+    rewrite_deletes_to_vectors(t)
+    pos = t.meta.current_snapshot().files(lmd.POS_DELETE)
+    if not pos or not all(e.dv_referenced_file for e in pos):
+        raise AssertionError(
+            "pos deletes were not folded into deletion vectors"
+        )
+    return t.read()
+
+
 def q_dml_upsert_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-level MoR DML: MERGE-style upsert (equality-delete + append,
     the reference's EqualityDeltaWriter pattern) followed by a
@@ -444,6 +479,12 @@ def q_pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _MOR_ORACLES = {
+    "dv_maintenance": f"""
+        SELECT {', '.join(LI_COLS)} FROM lineitem
+        WHERE l_suppkey % 11 <> 0
+          AND l_partkey % 13 <> 0
+          AND l_quantity <= 45
+    """,
     "compact_partitioned": f"""
         SELECT {', '.join(LI_COLS)}, l_returnflag FROM lineitem l
         WHERE l_orderkey NOT IN (
@@ -11153,6 +11194,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_catalog_compact": q_iceberg_catalog_compact,
         "iceberg_rest_catalog_compact": q_iceberg_rest_catalog_compact,
         "iceberg_dv_read": q_iceberg_dv_read,
+        "dv_maintenance": q_dv_maintenance,
         "iceberg_renamed_import": q_iceberg_renamed_import,
         "iceberg_day_partition_prune": q_iceberg_day_partition_prune,
         "gzip_header_fields": q_gzip_header_fields,

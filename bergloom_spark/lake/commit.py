@@ -165,6 +165,12 @@ class RewriteFilesCommitManager:
                 column_buckets=dict(
                     getattr(e, "column_buckets", {}) or {}
                 ),
+                # deletion-vector fields (r14): dropping them here
+                # would silently turn a DV entry into a "parquet
+                # pos-delete" pointing at a Puffin file
+                dv_referenced_file=getattr(e, "dv_referenced_file", None),
+                dv_offset=getattr(e, "dv_offset", None),
+                dv_size=getattr(e, "dv_size", None),
             )
             for e in add_entries
         ]

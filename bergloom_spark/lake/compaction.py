@@ -14,6 +14,8 @@ Reference: ``Compaction::{compact,full_compact}``
 
 from __future__ import annotations
 
+import hashlib
+import os
 import time
 from dataclasses import dataclass, field
 
@@ -21,6 +23,7 @@ from bergloom_spark.config import CompactionConfig
 from bergloom_spark.lake import metadata as md
 from bergloom_spark.lake import writer as wr
 from bergloom_spark.lake.commit import RetryConfig, RewriteFilesCommitManager
+from bergloom_spark.lake.fileio import io_for, strip_local_scheme
 from bergloom_spark.lake.metrics import GLOBAL_REGISTRY, MetricsRegistry
 from bergloom_spark.lake.table import LakeTable
 from bergloom_spark.lake.validator import validate_compaction
@@ -526,6 +529,121 @@ def rewrite_position_deletes(
             rewritten_bytes=sum(
                 e.file_size_bytes for e in pos_entries
             ),
+        ),
+        snapshot_id=table.meta.current_snapshot_id,
+    )
+
+
+def rewrite_deletes_to_vectors(
+    table: LakeTable, config: CompactionConfig | None = None
+) -> CompactionResult:
+    """Fold the snapshot's positional deletes into Iceberg-v3-style
+    DELETION VECTORS: one roaring bitmap per referenced data file,
+    packed into Puffin files (`lake/puffin.py`) and committed as DV
+    manifest entries the scan already reads
+    (`table._dv_positions_frame`). This is the v3 sibling of
+    :func:`rewrite_position_deletes` — the shape modern Iceberg
+    writers converge to, because per-file bitmaps make the MoR
+    anti-join input proportional to the DELETED rows of the files a
+    task actually scans, with one blob read per file instead of a
+    scatter of parquet delete files.
+
+    Scale shape: dangling deletes drop against a broadcast live-path
+    list; the DV build is ``applyInPandas`` per referenced file —
+    each task serializes ITS file's bitmap and writes its own Puffin
+    file under ``<root>/deletes/``, so no position list ever lands
+    on the driver; only the descriptor rows (one per referenced
+    file, manifest-sized like every entry list here) are collected
+    for the commit. Existing DV entries are folded in too (the read
+    path unions both kinds), so repeated runs converge to one DV per
+    referenced file. Committed with the same retrying CAS; readers
+    see identical rows before and after (oracle: the
+    ``dv_maintenance`` driver row)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from bergloom_spark.lake import puffin
+
+    config = config or CompactionConfig()
+    table.refresh()
+    snap = table.meta.current_snapshot()
+    if snap is None:
+        return CompactionResult()
+    pos_entries = snap.files(md.POS_DELETE)
+    if not pos_entries:
+        return CompactionResult(snapshot_id=snap.snapshot_id)
+    spark = table.spark
+    data_entries = snap.files(md.DATA)
+    deletes = table._pos_delete_frame(snap)  # parquet + existing DVs
+    live_paths = spark.createDataFrame(
+        [(e.file_path,) for e in data_entries], "file_path string"
+    )
+    kept = deletes.join(
+        F.broadcast(live_paths), "file_path", "left_semi"
+    ).dropDuplicates(["file_path", "pos"])
+
+    out_dir = os.path.join(table.meta.table_root, "deletes")
+    io_for(out_dir).mkdirs(out_dir)
+
+    def build_dv(key, pdf):
+        referenced = key[0]
+        positions = pdf["pos"].to_numpy()
+        blob_file, metas = puffin.write_puffin_dvs(
+            {referenced: positions}
+        )
+        b = metas[0]
+        name = hashlib.sha1(referenced.encode()).hexdigest()[:16]
+        path = os.path.join(out_dir, f"dv-{name}.puffin")
+        with open(path, "wb") as f:
+            f.write(blob_file)
+        return pd.DataFrame(
+            {
+                "puffin_path": [path],
+                "referenced": [referenced],
+                "offset": [b["offset"]],
+                "length": [b["length"]],
+                "cardinality": [int(b["properties"]["cardinality"])],
+                "file_size": [len(blob_file)],
+            }
+        )
+
+    descs = (
+        kept.groupBy("file_path")
+        .applyInPandas(
+            build_dv,
+            "puffin_path string, referenced string, offset long, "
+            "length long, cardinality long, file_size long",
+        )
+        .collect()
+    )
+    add_entries = [
+        md.ManifestEntry(
+            content=md.POS_DELETE,
+            file_path=r.puffin_path,
+            record_count=int(r.cardinality),
+            file_size_bytes=int(r.file_size),
+            sequence_number=snap.sequence_number,
+            dv_referenced_file=r.referenced,
+            dv_offset=int(r.offset),
+            dv_size=int(r.length),
+        )
+        for r in descs
+    ]
+    remove_paths = {e.file_path for e in pos_entries}
+    manager = RewriteFilesCommitManager(
+        table_root=table.meta.table_root,
+        starting_schema_id=table.meta.schema_id,
+        starting_sequence_number=snap.sequence_number,
+        use_starting_sequence_number=config.use_starting_sequence_number,
+        retry=RetryConfig.from_compaction(config),
+    )
+    manager.rewrite_files(add_entries, remove_paths)
+    table.refresh()
+    return CompactionResult(
+        stat=RewriteFilesStat(
+            rewritten_files_count=len(pos_entries),
+            added_files_count=len(add_entries),
+            rewritten_bytes=sum(e.file_size_bytes for e in pos_entries),
         ),
         snapshot_id=table.meta.current_snapshot_id,
     )

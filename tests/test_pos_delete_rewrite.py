@@ -101,3 +101,59 @@ def test_noop_when_no_deletes(spark, tmp_path):
     v = t.meta.version
     rewrite_position_deletes(t)
     assert t.meta.version == v
+
+
+def test_rewrite_deletes_to_vectors(spark, tmp_path):
+    """r14: parquet pos-deletes fold into per-file deletion vectors;
+    rows identical, every surviving pos entry is a DV, and a second
+    run (DV → DV) converges without changing rows."""
+    from pyspark.sql import functions as F
+
+    from bergloom_spark.lake import LakeTable
+    from bergloom_spark.lake import metadata as md
+    from bergloom_spark.lake.compaction import rewrite_deletes_to_vectors
+    from bergloom_spark.operators import mor
+
+    df = spark.range(2000).select(
+        F.col("id"), (F.col("id") % 7).alias("k")
+    )
+    t = LakeTable.create(spark, str(tmp_path / "t"), df.schema)
+    t.append(df.where("id % 2 = 0"))
+    t.append(df.where("id % 2 = 1"))
+    hidden = t.scan_data(with_hidden=True)
+    t.append_position_deletes(
+        hidden.filter("id % 5 = 0").select(
+            F.col(mor.SYS_HIDDEN_FILE_PATH).alias("file_path"),
+            F.col(mor.SYS_HIDDEN_POS).alias("pos"),
+        )
+    )
+    before = sorted(r.id for r in t.read().collect())
+    assert len(before) == 1600
+    result = rewrite_deletes_to_vectors(t)
+    assert result.stat.added_files_count >= 1
+    t.refresh()
+    pos = t.meta.current_snapshot().files(md.POS_DELETE)
+    assert pos and all(e.dv_referenced_file for e in pos)
+    assert all(e.file_path.endswith(".puffin") for e in pos)
+    assert sorted(r.id for r in t.read().collect()) == before
+    # converges: DV entries re-fold without row changes
+    rewrite_deletes_to_vectors(t)
+    t.refresh()
+    assert sorted(r.id for r in t.read().collect()) == before
+    # metadata roundtrips through the native JSON (new DV fields)
+    t2 = LakeTable(spark, md.read_current(t.meta.table_root))
+    assert sorted(r.id for r in t2.read().collect()) == before
+
+
+def test_rewrite_deletes_to_vectors_noop_without_deletes(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from bergloom_spark.lake import LakeTable
+    from bergloom_spark.lake.compaction import rewrite_deletes_to_vectors
+
+    df = spark.range(50).select(F.col("id"))
+    t = LakeTable.create(spark, str(tmp_path / "t"), df.schema)
+    t.append(df)
+    snap_before = t.meta.current_snapshot_id
+    result = rewrite_deletes_to_vectors(t)
+    assert result.snapshot_id == snap_before  # no empty commit
