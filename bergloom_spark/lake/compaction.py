@@ -499,9 +499,10 @@ def rewrite_position_deletes(
     remove_paths = {e.file_path for e in dangling_eq}
     if pos_entries:
         spark = table.spark
-        deletes = spark.read.schema(md.POS_DELETE_SCHEMA).parquet(
-            *[e.file_path for e in pos_entries]
-        )
+        # _pos_delete_frame, not a bare parquet read: pos entries may
+        # be DELETION VECTORS (puffin blobs, r14) — this is also the
+        # DV → parquet downgrade path (e.g. before a v2 export).
+        deletes = table._pos_delete_frame(snap)
         live_paths = spark.createDataFrame(
             [(e.file_path,) for e in data_entries], "file_path string"
         )

@@ -637,6 +637,17 @@ def export_iceberg_metadata(
     )
     if snap is None:
         raise ValueError("iceberg-export: table has no snapshot")
+    if any(
+        getattr(e, "dv_referenced_file", None) for e in snap.entries
+    ):
+        # A v2 tree cannot carry deletion vectors; silently labeling
+        # a Puffin blob "PARQUET" would corrupt every native reader.
+        raise ValueError(
+            "iceberg-export: snapshot carries deletion vectors, "
+            "which format-version 2 cannot express; run "
+            "rewrite_position_deletes first (it folds DVs back into "
+            "parquet position-delete files) or compact"
+        )
     out_dir = out_dir or os.path.join(meta.table_root, "metadata-iceberg")
     io = io_for(out_dir)
     io.mkdirs(out_dir)

@@ -157,3 +157,43 @@ def test_rewrite_deletes_to_vectors_noop_without_deletes(spark, tmp_path):
     snap_before = t.meta.current_snapshot_id
     result = rewrite_deletes_to_vectors(t)
     assert result.snapshot_id == snap_before  # no empty commit
+
+
+def test_dv_downgrade_and_export_guard(spark, tmp_path):
+    """rewrite_position_deletes folds DVs BACK into parquet (the v2
+    downgrade path), and export refuses a DV-carrying snapshot
+    loudly instead of labeling Puffin blobs PARQUET."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from bergloom_spark.lake import LakeTable
+    from bergloom_spark.lake import metadata as md
+    from bergloom_spark.lake.compaction import (
+        rewrite_deletes_to_vectors,
+        rewrite_position_deletes,
+    )
+    from bergloom_spark.lake.iceberg_export import export_iceberg_metadata
+    from bergloom_spark.operators import mor
+
+    df = spark.range(600).select(F.col("id"))
+    t = LakeTable.create(spark, str(tmp_path / "t"), df.schema)
+    t.append(df)
+    hidden = t.scan_data(with_hidden=True)
+    t.append_position_deletes(
+        hidden.filter("id % 3 = 0").select(
+            F.col(mor.SYS_HIDDEN_FILE_PATH).alias("file_path"),
+            F.col(mor.SYS_HIDDEN_POS).alias("pos"),
+        )
+    )
+    before = sorted(r.id for r in t.read().collect())
+    rewrite_deletes_to_vectors(t)
+    t.refresh()
+    with pytest.raises(ValueError, match="deletion vectors"):
+        export_iceberg_metadata(t.meta)
+    rewrite_position_deletes(t)
+    t.refresh()
+    pos = t.meta.current_snapshot().files(md.POS_DELETE)
+    assert pos and all(e.dv_referenced_file is None for e in pos)
+    assert sorted(r.id for r in t.read().collect()) == before
+    # downgraded table exports cleanly
+    export_iceberg_metadata(t.meta)
