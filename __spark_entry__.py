@@ -376,7 +376,20 @@ def q_dv_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise AssertionError(
             "pos deletes were not folded into deletion vectors"
         )
-    return t.read()
+    # close the v3 loop: export the DV snapshot as a real v3 tree
+    # (spec fields 143-145 in the delete manifest) and return the
+    # RE-IMPORTED read — both the native and imported DV decode
+    # paths sit under the oracle
+    from bergloom_spark.lake.iceberg_export import export_iceberg_metadata
+    from bergloom_spark.lake.iceberg_import import load_iceberg_table
+
+    t2 = load_iceberg_table(
+        spark, export_iceberg_metadata(t.meta, format_version=3)
+    )
+    pos2 = t2.meta.current_snapshot().files(lmd.POS_DELETE)
+    if not pos2 or not all(e.dv_referenced_file for e in pos2):
+        raise AssertionError("v3 export/import lost the DV entries")
+    return t2.read().select(*LI_COLS)
 
 
 def q_dml_upsert_delete(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -624,12 +624,16 @@ def export_iceberg_metadata(
     meta: md.TableMetadata,
     out_dir: str | None = None,
     snapshot_id: int | None = None,
+    format_version: int = 2,
 ) -> str:
-    """Write ``meta``'s current (or given) snapshot as an Iceberg v2
+    """Write ``meta``'s current (or given) snapshot as an Iceberg
     metadata tree under ``out_dir`` (default:
     ``<table_root>/metadata-iceberg``) and return the
-    ``*.metadata.json`` path. Data/delete parquet files are referenced
-    in place."""
+    ``*.metadata.json`` path. Data/delete files are referenced in
+    place. ``format_version=2`` (default) refuses deletion-vector
+    snapshots; ``format_version=3`` exports DV entries with the spec
+    143-145 fields, closing the v3 roundtrip
+    (import → maintenance → export → import)."""
     snap = (
         meta.snapshot_by_id(snapshot_id)
         if snapshot_id is not None
@@ -637,7 +641,11 @@ def export_iceberg_metadata(
     )
     if snap is None:
         raise ValueError("iceberg-export: table has no snapshot")
-    if any(
+    if format_version not in (2, 3):
+        raise ValueError(
+            f"iceberg-export: unsupported format-version {format_version}"
+        )
+    if format_version == 2 and any(
         getattr(e, "dv_referenced_file", None) for e in snap.entries
     ):
         # A v2 tree cannot carry deletion vectors; silently labeling
@@ -646,7 +654,8 @@ def export_iceberg_metadata(
             "iceberg-export: snapshot carries deletion vectors, "
             "which format-version 2 cannot express; run "
             "rewrite_position_deletes first (it folds DVs back into "
-            "parquet position-delete files) or compact"
+            "parquet position-delete files), compact, or export with "
+            "format_version=3"
         )
     out_dir = out_dir or os.path.join(meta.table_root, "metadata-iceberg")
     io = io_for(out_dir)
@@ -704,12 +713,17 @@ def export_iceberg_metadata(
 
     # ---- manifests: one per content kind ------------------------------
     entry_schema = _manifest_entry_schema(meta.partition_spec)
+    # v3 delete manifests carry the deletion-vector fields (143-145)
+    dv_entry_schema = _manifest_entry_schema(
+        meta.partition_spec, dv_fields=True
+    )
     manifest_rows = []
     for kind, list_content in ((md.DATA, 0), (md.POS_DELETE, 1),
                                (md.EQ_DELETE, 1)):
         entries = snap.files(kind)
         if not entries:
             continue
+        use_dv_schema = format_version >= 3 and kind == md.POS_DELETE
         records = [
             {
                 "status": 1,  # ADDED
@@ -719,7 +733,16 @@ def export_iceberg_metadata(
                 "data_file": {
                     "content": _CONTENT_CODE[e.content],
                     "file_path": e.file_path,
-                    "file_format": "PARQUET",
+                    "file_format": (
+                        "PUFFIN"
+                        if getattr(e, "dv_referenced_file", None)
+                        else "PARQUET"
+                    ),
+                    **({
+                        "referenced_data_file": e.dv_referenced_file,
+                        "content_offset": e.dv_offset,
+                        "content_size_in_bytes": e.dv_size,
+                    } if use_dv_schema else {}),
                     "partition": {
                         c: e.partition.get(c)
                         for c in meta.partition_spec
@@ -749,7 +772,7 @@ def export_iceberg_metadata(
             for e in entries
         ]
         blob = write_avro_ocf(
-            entry_schema,
+            dv_entry_schema if use_dv_schema else entry_schema,
             records,
             extra_meta={
                 # Table Spec "Manifests": required file metadata an
@@ -759,7 +782,7 @@ def export_iceberg_metadata(
                 "schema-id": str(meta.schema_id).encode(),
                 "partition-spec": json.dumps(spec_fields).encode(),
                 "partition-spec-id": b"0",
-                "format-version": b"2",
+                "format-version": str(format_version).encode(),
                 "content": (
                     b"data" if list_content == 0 else b"deletes"
                 ),
@@ -799,7 +822,7 @@ def export_iceberg_metadata(
             ).encode()
             if snap.parent_snapshot_id is not None
             else b"null",
-            "format-version": b"2",
+            "format-version": str(format_version).encode(),
         },
     )
     list_path = os.path.join(
@@ -809,7 +832,7 @@ def export_iceberg_metadata(
 
     # ---- metadata.json -------------------------------------------------
     doc = {
-        "format-version": 2,
+        "format-version": format_version,
         "table-uuid": str(
             uuid.uuid5(uuid.NAMESPACE_URL, meta.table_root)
         ),

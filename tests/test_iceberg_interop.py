@@ -1536,3 +1536,49 @@ class TestDeletionVectors:
                 puffin.decode_deletion_vector(blob)
             except ValueError:
                 pass  # structured refusal is the contract
+
+
+class TestV3ExportRoundtrip:
+    def test_dv_snapshot_exports_as_v3_and_reimports(self, spark, tmp_path):
+        """r14: native DV snapshot → real v3 tree (PUFFIN entries
+        with spec fields 143-145) → import reads identical rows; the
+        v2 default still refuses."""
+        from bergloom_spark.lake.compaction import (
+            rewrite_deletes_to_vectors,
+        )
+        from bergloom_spark.operators import mor
+
+        t = LakeTable.create(spark, str(tmp_path / "t"), SCHEMA)
+        t.append(seed(spark, 200))
+        hidden = t.scan_data(with_hidden=True)
+        t.append_position_deletes(
+            hidden.filter("id % 3 = 0").select(
+                F.col(mor.SYS_HIDDEN_FILE_PATH).alias("file_path"),
+                F.col(mor.SYS_HIDDEN_POS).alias("pos"),
+            )
+        )
+        before = sorted(r.id for r in t.read().collect())
+        rewrite_deletes_to_vectors(t)
+        t.refresh()
+        with pytest.raises(ValueError, match="deletion vectors"):
+            export_iceberg_metadata(t.meta)  # v2 default refuses
+        mjson = export_iceberg_metadata(t.meta, format_version=3)
+        import json as _json
+
+        doc = _json.loads(open(mjson).read())
+        assert doc["format-version"] == 3
+        t2 = load_iceberg_table(spark, mjson)
+        assert sorted(r.id for r in t2.read().collect()) == before
+        pos = t2.meta.current_snapshot().files(md.POS_DELETE)
+        assert pos and all(e.dv_referenced_file for e in pos)
+
+    def test_v3_export_without_dvs_reads_as_plain_table(
+        self, spark, tmp_path
+    ):
+        """format_version=3 on a DV-free table is still a valid tree
+        (v3 is a superset)."""
+        t = LakeTable.create(spark, str(tmp_path / "t"), SCHEMA)
+        t.append(seed(spark, 60))
+        mjson = export_iceberg_metadata(t.meta, format_version=3)
+        t2 = load_iceberg_table(spark, mjson)
+        assert t2.read().count() == 60
