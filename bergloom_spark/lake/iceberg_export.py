@@ -566,6 +566,40 @@ def _schemas_with_history(meta, ice_schema: dict) -> list[dict]:
     return schemas
 
 
+def _statistics_doc(meta: md.TableMetadata, snap) -> dict:
+    """``statistics`` metadata field (Table Spec "Table statistics")
+    from the native ``statistics_file`` property (written by
+    `lake/statistics.compute_table_statistics`): the Puffin file of
+    ``apache-datasketches-theta-v1`` blobs whose ``ndv`` properties
+    engines feed their CBO. Emitted only when the stats were computed
+    for the EXPORTED snapshot — stale stats are worse than none."""
+    path = meta.properties.get("statistics_file")
+    snap_id = meta.properties.get("statistics_snapshot_id")
+    if not path or str(snap.snapshot_id) != str(snap_id):
+        return {}
+    try:
+        from bergloom_spark.lake import puffin as _puffin
+
+        with open(path, "rb") as f:
+            raw = f.read()
+        file_meta = _puffin.read_file_metadata(raw)
+    except (OSError, ValueError):
+        return {}  # unreadable stats: export the table without them
+    (payload_len,) = struct.unpack_from("<I", raw, len(raw) - 12)
+    return {
+        "statistics": [
+            {
+                "snapshot-id": snap.snapshot_id,
+                "statistics-path": path,
+                "file-size-in-bytes": len(raw),
+                # start Magic + payload + size(4) + flags(4) + Magic
+                "file-footer-size-in-bytes": payload_len + 16,
+                "blob-metadata": file_meta.get("blobs", []),
+            }
+        ]
+    }
+
+
 def _sort_order_doc(
     meta: md.TableMetadata, name_to_id: dict[str, int]
 ) -> dict:
@@ -846,6 +880,7 @@ def export_iceberg_metadata(
         "partition-specs": [{"spec-id": 0, "fields": spec_fields}],
         "last-partition-id": 1000 + max(0, len(meta.partition_spec) - 1),
         **_sort_order_doc(meta, name_to_id),
+        **_statistics_doc(meta, snap),
         "properties": {
             k: v
             for k, v in meta.properties.items()

@@ -392,6 +392,26 @@ def _rename_history_from_schemas(
     return hist
 
 
+def _statistics_properties(meta: dict, snapshot_id) -> dict:
+    """``statistics`` metadata field → the native
+    ``statistics_file`` property (r14): the entry matching the
+    loaded snapshot, if any, so `LakeTable.ndv_stats()` reads the
+    SAME Puffin theta sketches a native engine's CBO consumes."""
+    for s in meta.get("statistics", []) or []:
+        if (
+            isinstance(s, dict)
+            and s.get("snapshot-id") == snapshot_id
+            and s.get("statistics-path")
+        ):
+            return {
+                "statistics_file": strip_local_scheme(
+                    str(s["statistics-path"])
+                ),
+                "statistics_snapshot_id": str(snapshot_id),
+            }
+    return {}
+
+
 def _sort_order_property(meta: dict, ids: dict[int, str]) -> dict:
     """Iceberg ``sort-orders``/``default-sort-order-id`` → the
     native ``sort_order`` table property (verdict r13 Missing #4), so
@@ -633,6 +653,7 @@ def load_iceberg_metadata(
             # verdict r12 Missing #2).
             **_rename_properties(meta, schema, types_by_id),
             **_sort_order_property(meta, ids),
+            **_statistics_properties(meta, cur_id),
             # field-id -> name map, threaded so load_iceberg_table's
             # rename guard never re-reads/re-parses the metadata JSON
             # (doubled object-store GETs per load — review r12 pass 2)

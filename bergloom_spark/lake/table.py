@@ -537,6 +537,23 @@ class LakeTable:
             return None
         return so if isinstance(so, dict) and so.get("columns") else None
 
+    def ndv_stats(self) -> dict[str, int] | None:
+        """{column: NDV} from the table's Puffin statistics file
+        (`lake/statistics.py` theta sketches, Iceberg's
+        ``statistics`` metadata on import), or None when no stats
+        were computed FOR THE CURRENT SNAPSHOT — stale stats are
+        surfaced as absent, never as truth."""
+        path = self.meta.properties.get("statistics_file")
+        snap_id = self.meta.properties.get("statistics_snapshot_id")
+        if not path or str(self.meta.current_snapshot_id) != str(snap_id):
+            return None
+        from bergloom_spark.lake.statistics import read_ndv_stats
+
+        try:
+            return read_ndv_stats(path)
+        except (OSError, ValueError):
+            return None
+
     def files_df(self, snapshot_id: int | None = None) -> DataFrame:
         snap = self._snapshot(snapshot_id)
         entries = snap.entries if snap else []
