@@ -528,6 +528,10 @@ def q_pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _MOR_ORACLES = {
+    "partition_statistics_file": """
+        SELECT l_returnflag, count(*) AS data_record_count
+        FROM lineitem GROUP BY l_returnflag
+    """,
     "table_statistics": """
         SELECT 'l_linenumber' AS column_name,
                count(DISTINCT l_linenumber) AS ndv FROM lineitem
@@ -1461,6 +1465,53 @@ def q_partition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.partitions_df().select(
         F.col("l_returnflag"), F.col("n_rows")
     )
+
+
+def q_partition_statistics_file(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Iceberg PARTITION STATISTICS file (round 14, Table Spec
+    "Partition Statistics"): per-partition record/file/byte counts
+    written as a real parquet stats file
+    (`lake/statistics.compute_partition_statistics` — pyarrow-direct,
+    the stats are manifest-sized so a Spark job would be pure
+    overhead), committed SNAPSHOT-LESSLY, exported as the
+    ``partition-statistics`` metadata field, and re-imported. The
+    returned counts come from the RE-IMPORTED table's stats file;
+    the oracle recomputes them from the source rows, so a count
+    drift anywhere in the loop hash-mismatches."""
+    from bergloom_spark.lake import LakeTable
+    from bergloom_spark.lake.iceberg_export import export_iceberg_metadata
+    from bergloom_spark.lake.iceberg_import import load_iceberg_table
+    from bergloom_spark.lake.statistics import (
+        compute_partition_statistics,
+    )
+
+    li = T(spark, sf_dir, "lineitem").select(*LI_COLS, "l_returnflag")
+    root = os.path.join(_scratch(prefix="bergloom-pstatf-"), "li")
+    t = LakeTable.create(
+        spark, root, li.schema, partition_spec=["l_returnflag"]
+    )
+    t.append(li)
+    compute_partition_statistics(t)
+    t2 = load_iceberg_table(
+        spark, export_iceberg_metadata(t.refresh().meta)
+    )
+    stats = t2.partition_stats_df()
+    if stats is None:
+        raise AssertionError("partition stats lost in export/import")
+    if stats.where(
+        F.col("data_file_count") < 1
+    ).count() > 0 or stats.where(
+        F.col("total_data_file_size_in_bytes") <= 0
+    ).count() > 0:
+        raise AssertionError("implausible file/byte counts")
+    # record counts are the SQL-checkable slice; file/byte counts are
+    # manifest-internal (asserted above + in tests)
+    return stats.select(
+        F.col("partition.l_returnflag").alias("l_returnflag"),
+        F.col("data_record_count"),
+    ).where(F.col("l_returnflag").isNotNull())
 
 
 def q_rename_column_read(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -11254,6 +11305,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_dv_read": q_iceberg_dv_read,
         "dv_maintenance": q_dv_maintenance,
         "table_statistics": q_table_statistics,
+        "partition_statistics_file": q_partition_statistics_file,
         "iceberg_renamed_import": q_iceberg_renamed_import,
         "iceberg_day_partition_prune": q_iceberg_day_partition_prune,
         "gzip_header_fields": q_gzip_header_fields,

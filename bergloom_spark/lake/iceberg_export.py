@@ -600,6 +600,30 @@ def _statistics_doc(meta: md.TableMetadata, snap) -> dict:
     }
 
 
+def _partition_statistics_doc(meta: md.TableMetadata, snap) -> dict:
+    """``partition-statistics`` metadata field (Table Spec
+    "Partition Statistics") from the native
+    ``partition_statistics_file`` property, emitted only for the
+    exported snapshot."""
+    path = meta.properties.get("partition_statistics_file")
+    snap_id = meta.properties.get("partition_statistics_snapshot_id")
+    if not path or str(snap.snapshot_id) != str(snap_id):
+        return {}
+    try:
+        size = os.path.getsize(path)
+    except OSError:
+        return {}
+    return {
+        "partition-statistics": [
+            {
+                "snapshot-id": snap.snapshot_id,
+                "statistics-path": path,
+                "file-size-in-bytes": size,
+            }
+        ]
+    }
+
+
 def _sort_order_doc(
     meta: md.TableMetadata, name_to_id: dict[str, int]
 ) -> dict:
@@ -881,6 +905,7 @@ def export_iceberg_metadata(
         "last-partition-id": 1000 + max(0, len(meta.partition_spec) - 1),
         **_sort_order_doc(meta, name_to_id),
         **_statistics_doc(meta, snap),
+        **_partition_statistics_doc(meta, snap),
         "properties": {
             k: v
             for k, v in meta.properties.items()

@@ -397,19 +397,30 @@ def _statistics_properties(meta: dict, snapshot_id) -> dict:
     ``statistics_file`` property (r14): the entry matching the
     loaded snapshot, if any, so `LakeTable.ndv_stats()` reads the
     SAME Puffin theta sketches a native engine's CBO consumes."""
+    out: dict = {}
     for s in meta.get("statistics", []) or []:
         if (
             isinstance(s, dict)
             and s.get("snapshot-id") == snapshot_id
             and s.get("statistics-path")
         ):
-            return {
-                "statistics_file": strip_local_scheme(
-                    str(s["statistics-path"])
-                ),
-                "statistics_snapshot_id": str(snapshot_id),
-            }
-    return {}
+            out["statistics_file"] = strip_local_scheme(
+                str(s["statistics-path"])
+            )
+            out["statistics_snapshot_id"] = str(snapshot_id)
+            break
+    for s in meta.get("partition-statistics", []) or []:
+        if (
+            isinstance(s, dict)
+            and s.get("snapshot-id") == snapshot_id
+            and s.get("statistics-path")
+        ):
+            out["partition_statistics_file"] = strip_local_scheme(
+                str(s["statistics-path"])
+            )
+            out["partition_statistics_snapshot_id"] = str(snapshot_id)
+            break
+    return out
 
 
 def _sort_order_property(meta: dict, ids: dict[int, str]) -> dict:

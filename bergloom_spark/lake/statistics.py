@@ -245,6 +245,83 @@ def _commit_properties(table, props: dict[str, str]) -> None:
     raise md.CommitConflict("statistics: property commit lost 5 races")
 
 
+def compute_partition_statistics(table) -> str:
+    """Write the Iceberg PARTITION STATISTICS file for the current
+    snapshot (Table Spec "Partition Statistics": one parquet row per
+    partition of the default spec — fields 1-9: partition struct,
+    spec_id, data record/file/byte counts, position- and
+    equality-delete record/file counts) and commit its location
+    snapshot-lessly as ``partition_statistics_file``. Counts come
+    straight from the manifest entries (metadata-sized, no table
+    scan); deletion-vector entries count as position deletes with
+    their cardinality. Returns the parquet path.
+
+    The file is written with pyarrow directly — partition stats are
+    manifest-sized, and a Spark job to write one small parquet file
+    would be pure overhead."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from bergloom_spark.lake import metadata as md
+
+    table.refresh()
+    snap = table.meta.current_snapshot()
+    if snap is None:
+        raise ValueError("partition statistics: table has no snapshot")
+    part_cols = list(table.meta.partition_spec or [])
+    agg: dict[tuple, dict[str, int]] = {}
+    zero = {
+        "data_record_count": 0, "data_file_count": 0,
+        "total_data_file_size_in_bytes": 0,
+        "position_delete_record_count": 0,
+        "position_delete_file_count": 0,
+        "equality_delete_record_count": 0,
+        "equality_delete_file_count": 0,
+    }
+    for e in snap.entries:
+        key = tuple(e.partition.get(c) for c in part_cols)
+        row = agg.setdefault(key, dict(zero))
+        if e.content == md.DATA:
+            row["data_record_count"] += e.record_count
+            row["data_file_count"] += 1
+            row["total_data_file_size_in_bytes"] += e.file_size_bytes
+        elif e.content == md.POS_DELETE:
+            row["position_delete_record_count"] += e.record_count
+            row["position_delete_file_count"] += 1
+        elif e.content == md.EQ_DELETE:
+            row["equality_delete_record_count"] += e.record_count
+            row["equality_delete_file_count"] += 1
+    keys = sorted(agg, key=lambda k: tuple(x or "" for x in k))
+    partition_struct = pa.StructArray.from_arrays(
+        [
+            pa.array([k[i] for k in keys], type=pa.string())
+            for i in range(len(part_cols))
+        ] or [pa.nulls(len(keys), pa.string())],
+        names=part_cols or ["__unpartitioned"],
+    )
+    cols = {
+        "partition": partition_struct,
+        "spec_id": pa.array([0] * len(keys), pa.int32()),
+    }
+    for f in zero:
+        cols[f] = pa.array([agg[k][f] for k in keys], pa.int64())
+    out_dir = os.path.join(table.meta.table_root, "stats")
+    io_for(out_dir).mkdirs(out_dir)
+    path = os.path.join(
+        out_dir, f"partition-stats-{snap.snapshot_id}.parquet"
+    )
+    pq.write_table(pa.table(cols), path)
+    _commit_properties(
+        table,
+        {
+            "partition_statistics_file": path,
+            "partition_statistics_snapshot_id": str(snap.snapshot_id),
+        },
+    )
+    table.refresh()
+    return path
+
+
 def read_ndv_stats(puffin_path: str) -> dict[str, int]:
     """{column: ndv} from a statistics Puffin file — validates each
     blob's framing and RE-DERIVES the estimate from the sketch, so a

@@ -554,6 +554,19 @@ class LakeTable:
         except (OSError, ValueError):
             return None
 
+    def partition_stats_df(self) -> DataFrame | None:
+        """The committed Iceberg partition-statistics file
+        (`lake/statistics.compute_partition_statistics`) as a
+        DataFrame, or None when absent/stale for the current
+        snapshot."""
+        path = self.meta.properties.get("partition_statistics_file")
+        snap_id = self.meta.properties.get(
+            "partition_statistics_snapshot_id"
+        )
+        if not path or str(self.meta.current_snapshot_id) != str(snap_id):
+            return None
+        return self.spark.read.parquet(path)
+
     def files_df(self, snapshot_id: int | None = None) -> DataFrame:
         snap = self._snapshot(snapshot_id)
         entries = snap.entries if snap else []

@@ -161,3 +161,70 @@ class TestLakeStatistics:
         open(tp, "wb").write(tampered)
         with pytest.raises(ValueError, match="disagrees"):
             read_ndv_stats(tp)
+
+
+class TestPartitionStatistics:
+    def test_partitioned_counts_and_roundtrip(self, spark, tmp_path):
+        from bergloom_spark.lake.iceberg_export import (
+            export_iceberg_metadata,
+        )
+        from bergloom_spark.lake.iceberg_import import load_iceberg_table
+        from bergloom_spark.lake.statistics import (
+            compute_partition_statistics,
+        )
+
+        df = spark.range(300).select(
+            F.col("id"), (F.col("id") % 3).cast("string").alias("p")
+        )
+        t = LakeTable.create(
+            spark, str(tmp_path / "t"), df.schema, partition_spec=["p"]
+        )
+        t.append(df)
+        t.append_equality_deletes(
+            spark.createDataFrame([(7,)], "id long"), ["id"]
+        )
+        compute_partition_statistics(t)
+        t.refresh()
+        stats = {
+            r.partition.p: r for r in t.partition_stats_df().collect()
+            if r.partition.p is not None
+        }
+        assert set(stats) == {"0", "1", "2"}
+        assert all(s.data_record_count == 100 for s in stats.values())
+        assert all(s.data_file_count >= 1 for s in stats.values())
+        assert all(
+            s.total_data_file_size_in_bytes > 0 for s in stats.values()
+        )
+        # the unpartitioned eq-delete entry lands under the null key
+        null_rows = [
+            r for r in t.partition_stats_df().collect()
+            if r.partition.p is None
+        ]
+        assert null_rows and (
+            null_rows[0].equality_delete_file_count == 1
+        )
+        # export → import keeps the pointer
+        t2 = load_iceberg_table(
+            spark, export_iceberg_metadata(t.meta)
+        )
+        got = sorted(
+            (r.partition.p, r.data_record_count)
+            for r in t2.partition_stats_df().collect()
+            if r.partition.p is not None
+        )
+        assert got == [("0", 100), ("1", 100), ("2", 100)]
+
+    def test_stale_partition_stats_absent(self, spark, tmp_path):
+        from bergloom_spark.lake.statistics import (
+            compute_partition_statistics,
+        )
+
+        df = spark.range(20).select(F.col("id"))
+        t = LakeTable.create(spark, str(tmp_path / "t"), df.schema)
+        t.append(df)
+        compute_partition_statistics(t)
+        t.refresh()
+        assert t.partition_stats_df() is not None
+        t.append(df.select((F.col("id") + 20).alias("id")))
+        t.refresh()
+        assert t.partition_stats_df() is None
