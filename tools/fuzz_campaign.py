@@ -576,9 +576,92 @@ def _seeds_puffin():
     return parse_all, [f1, f2, f3, f4]
 
 
+def _seeds_theta_stats():
+    """Statistics Puffin files: footer + theta blob parsing with the
+    ndv-consistency check (r14). read_ndv_stats re-derives ndv from
+    the payload, so mutations attack both the framing and the
+    property/payload agreement; contract is clean ValueError."""
+    import struct as _struct
+
+    import numpy as np
+
+    from bergloom_spark.lake import puffin
+    from bergloom_spark.lake.statistics import (
+        _MAX_HASH,
+        THETA_BLOB_TYPE,
+        deserialize_theta,
+        serialize_theta,
+        theta_estimate,
+    )
+
+    def build(sketches):
+        parts = [puffin.MAGIC]
+        offset = len(puffin.MAGIC)
+        blobs = []
+        for col, (hs, theta) in sketches.items():
+            blob = serialize_theta(hs, theta)
+            blobs.append({
+                "type": THETA_BLOB_TYPE, "fields": [1],
+                "snapshot-id": 1, "sequence-number": 1,
+                "offset": offset, "length": len(blob),
+                "properties": {
+                    "ndv": str(int(round(
+                        theta_estimate(len(hs), theta)))),
+                    "column": col,
+                    "hash-universe": "spark-xxhash64",
+                },
+            })
+            parts.append(blob)
+            offset += len(blob)
+        import json as _json
+
+        payload = _json.dumps(
+            {"blobs": blobs, "properties": {}}
+        ).encode()
+        parts += [puffin.MAGIC, payload,
+                  _struct.pack("<I", len(payload)),
+                  b"\x00\x00\x00\x00", puffin.MAGIC]
+        return b"".join(parts)
+
+    def parse(payload: bytes):
+        meta = puffin.read_file_metadata(payload)
+        for b in meta.get("blobs", []):
+            if b.get("type") == THETA_BLOB_TYPE:
+                hs, theta = deserialize_theta(
+                    puffin.blob_bytes(payload, b["offset"], b["length"])
+                )
+                props = b.get("properties") or {}
+                claimed = props.get("ndv")
+                derived = int(round(theta_estimate(len(hs), theta)))
+                if claimed is not None:
+                    try:
+                        ok = int(claimed) == derived
+                    except (TypeError, ValueError) as exc:
+                        raise ValueError(
+                            f"bad ndv property: {exc}"
+                        ) from exc
+                    if not ok:
+                        raise ValueError("ndv disagrees with sketch")
+
+    rng = np.random.default_rng(7)
+    exact = np.sort(rng.integers(1, _MAX_HASH, 200, dtype=np.int64))
+    big = np.sort(
+        np.unique(rng.integers(1, _MAX_HASH, 5000, dtype=np.int64))
+    )[:4096]
+    return parse, [
+        build({"a": (exact, _MAX_HASH)}),
+        build({
+            "a": (exact, _MAX_HASH),
+            "b": (big, int(big[-1]) + 1),
+        }),
+        build({"empty": (np.empty(0, np.int64), _MAX_HASH)}),
+    ]
+
+
 TARGETS = {
     "avro": _seeds_avro,
     "puffin": _seeds_puffin,
+    "theta_stats": _seeds_theta_stats,
     "ogg": _seeds_ogg,
     "warc": _seeds_warc,
     "triage": _seeds_triage,
