@@ -3486,6 +3486,51 @@ def q_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.fingerprint_dedup_groups(TS(spark, sf_dir, "documents"), "text", "doc_id")
 
 
+def q_dedup_delete_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus curation MEETS the lake's v3 delete path (round 14):
+    exact-duplicate losers (content-fingerprint keep-first, the
+    dedup layer's decision) are removed from a lake table via
+    ``delete_matching(..., as_vectors=True)`` — the MERGE-DELETE
+    shape: the loser id set stays DISTRIBUTED (semi-join against the
+    hidden scan resolves physical positions; no driver id list), and
+    the deletes commit as per-file roaring DELETION VECTORS
+    (`lake/writer.write_deletion_vector_files`) the MoR read decodes
+    back. This is the 100 TB curation primitive: marking millions of
+    dedup losers deleted costs delete-set-sized I/O, not a corpus
+    rewrite. The oracle replays keep-first in SQL over the shared
+    fingerprint; the query asserts the deletes really landed as
+    DVs, so a silent parquet fallback cannot pass."""
+    from bergloom_spark.lake import LakeTable
+    from bergloom_spark.lake import metadata as lmd
+
+    base = TS(spark, sf_dir, "documents").select("doc_id", "text")
+    # guarantee losers at every SF: clone every 10th doc under a new
+    # id range (the testdata's organic dup rate is 0 at sf0.01)
+    docs = base.unionByName(
+        base.where(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 10_000_000).alias("doc_id"), "text"
+        )
+    )
+    root = os.path.join(_scratch(prefix="bergloom-dedupdv-"), "docs")
+    t = LakeTable.create(spark, root, docs.schema)
+    t.append(docs)
+    groups = dedup.fingerprint_dedup_groups(t.read(), "text", "doc_id")
+    losers = (
+        t.read()
+        .select("doc_id", TX.fingerprint64("text").alias("fp"))
+        .join(groups.select("fp", "keeper_id"), "fp")
+        .where(F.col("doc_id") != F.col("keeper_id"))
+        .select("doc_id")
+    )
+    snap = t.delete_matching(losers, ["doc_id"], as_vectors=True)
+    if snap is None:
+        raise AssertionError("cloned duplicates produced no losers")
+    pos = t.refresh().meta.current_snapshot().files(lmd.POS_DELETE)
+    if not pos or not all(e.dv_referenced_file for e in pos):
+        raise AssertionError("losers did not land as DVs")
+    return t.read().select("doc_id", F.length("text").alias("n_chars"))
+
+
 def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = TS(spark, sf_dir, "documents")
     toked = d.select("doc_id", "text", TX.tokens("text").alias("__toks"))
@@ -7684,6 +7729,20 @@ _EXT_ORACLES = {
                count(*) AS copies
         FROM documents GROUP BY text
     """,
+    "dedup_delete_vectors": f"""
+        WITH corpus AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 10000000, text FROM documents
+          WHERE doc_id % 10 = 0),
+        f AS (
+          SELECT doc_id, length(text) AS n_chars,
+                 {TX.fingerprint64_sql('text')} AS fp
+          FROM corpus),
+        keep AS (SELECT fp, min(doc_id) AS k FROM f GROUP BY fp)
+        SELECT f.doc_id, f.n_chars
+        FROM f JOIN keep ON f.fp = keep.fp AND f.doc_id = keep.k
+    """,
     "dedup_fingerprint": f"""
         SELECT {hash64_sql('text')} AS fp, min(doc_id) AS keeper_id,
                count(*) AS copies
@@ -11008,21 +11067,18 @@ def _driver_verified() -> set:
 # age within a few rounds — the r3 hand-list failure mode (silent
 # permanent staleness) is structurally gone.
 _CHANGED_THIS_ROUND: list[str] = [
-    # round 14 — kept to 2 entries so the full 42-row r9 staleness
-    # tail fits the window beside the 6 never-verified rows
-    # (verdict r13 #4):
+    # round 14 — kept to ONE entry so the full 42-row r9 staleness
+    # tail fits the window beside the 7 never-verified rows
+    # (7 + 1 + 42 = 50; verdict r13 #4):
     # count-first stop-shingle cut + absolute cap ceiling (verdict
     # r13 wrong #1/#2) restructured the registered plan and the
     # oracle's cap formula
     "ngram_jaccard_pairs",
-    # sort-order metadata now committed by SortCompaction and
-    # asserted through export→import inside the row (Missing #4).
-    # compact_zorder / iceberg_catalog_compact changed internally
-    # too but their registered row semantics did not; the full
-    # SWEEP_r14 covers them — keeping them out leaves exactly the
-    # 42 slots the r9 staleness tail needs (6 never + 2 changed +
-    # 42 = 50).
-    "compact_sorted",
+    # compact_sorted / compact_zorder / iceberg_catalog_compact
+    # changed internally too (sort-order claims, catalog return
+    # contract) and compact_sorted gained in-row assertions; the
+    # full SWEEP_r14 covers them — keeping them out of the changed
+    # list leaves exactly the 42 slots the r9 staleness tail needs.
     # round 11 note kept for history: every r11 code change landed in
     # a NEW registration (robots glob matcher,
     # archive/triage PK sniff, WET record ids, warc charset decode,
@@ -11179,6 +11235,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_canonical": q_dedup_canonical,
         "dedup_fingerprint": q_dedup_fingerprint,
+        "dedup_delete_vectors": q_dedup_delete_vectors,
         "text_token_stats": q_text_token_stats,
         "lang_id": q_lang_id,
         "text_quality": q_text_quality,

@@ -14,7 +14,6 @@ Reference: ``Compaction::{compact,full_compact}``
 
 from __future__ import annotations
 
-import hashlib
 import os
 import time
 from dataclasses import dataclass, field
@@ -23,7 +22,7 @@ from bergloom_spark.config import CompactionConfig
 from bergloom_spark.lake import metadata as md
 from bergloom_spark.lake import writer as wr
 from bergloom_spark.lake.commit import RetryConfig, RewriteFilesCommitManager
-from bergloom_spark.lake.fileio import io_for, strip_local_scheme
+from bergloom_spark.lake.fileio import strip_local_scheme
 from bergloom_spark.lake.metrics import GLOBAL_REGISTRY, MetricsRegistry
 from bergloom_spark.lake.table import LakeTable
 from bergloom_spark.lake.validator import validate_compaction
@@ -560,10 +559,7 @@ def rewrite_deletes_to_vectors(
     referenced file. Committed with the same retrying CAS; readers
     see identical rows before and after (oracle: the
     ``dv_maintenance`` driver row)."""
-    import pandas as pd
     from pyspark.sql import functions as F
-
-    from bergloom_spark.lake import puffin
 
     config = config or CompactionConfig()
     table.refresh()
@@ -582,54 +578,9 @@ def rewrite_deletes_to_vectors(
     kept = deletes.join(
         F.broadcast(live_paths), "file_path", "left_semi"
     ).dropDuplicates(["file_path", "pos"])
-
-    out_dir = os.path.join(table.meta.table_root, "deletes")
-    io_for(out_dir).mkdirs(out_dir)
-
-    def build_dv(key, pdf):
-        referenced = key[0]
-        positions = pdf["pos"].to_numpy()
-        blob_file, metas = puffin.write_puffin_dvs(
-            {referenced: positions}
-        )
-        b = metas[0]
-        name = hashlib.sha1(referenced.encode()).hexdigest()[:16]
-        path = os.path.join(out_dir, f"dv-{name}.puffin")
-        with open(path, "wb") as f:
-            f.write(blob_file)
-        return pd.DataFrame(
-            {
-                "puffin_path": [path],
-                "referenced": [referenced],
-                "offset": [b["offset"]],
-                "length": [b["length"]],
-                "cardinality": [int(b["properties"]["cardinality"])],
-                "file_size": [len(blob_file)],
-            }
-        )
-
-    descs = (
-        kept.groupBy("file_path")
-        .applyInPandas(
-            build_dv,
-            "puffin_path string, referenced string, offset long, "
-            "length long, cardinality long, file_size long",
-        )
-        .collect()
+    add_entries = wr.write_deletion_vector_files(
+        kept, table.meta.table_root, snap.sequence_number
     )
-    add_entries = [
-        md.ManifestEntry(
-            content=md.POS_DELETE,
-            file_path=r.puffin_path,
-            record_count=int(r.cardinality),
-            file_size_bytes=int(r.file_size),
-            sequence_number=snap.sequence_number,
-            dv_referenced_file=r.referenced,
-            dv_offset=int(r.offset),
-            dv_size=int(r.length),
-        )
-        for r in descs
-    ]
     remove_paths = {e.file_path for e in pos_entries}
     manager = RewriteFilesCommitManager(
         table_root=table.meta.table_root,

@@ -983,6 +983,77 @@ class LakeTable:
             return None
         return self._commit_with_retry("delete", entries)
 
+    def delete_where_as_vectors(self, predicate) -> md.Snapshot | None:
+        """Row-level DELETE committed as DELETION VECTORS (r14): the
+        v3 sibling of :meth:`delete_where` — matching rows' (file,
+        pos) become one roaring bitmap per data file inside Puffin
+        files (`lake/writer.write_deletion_vector_files`;
+        per-file tasks, no driver position lists), read back through
+        the scan's DV decode. Per-file bitmaps keep the MoR
+        anti-join input proportional to the scanned files' deleted
+        rows — the layout modern Iceberg writers emit by default.
+        Stacked DVs for one file union their positions (this lake's
+        additive delete semantics); ``rewrite_deletes_to_vectors``
+        folds the stack to one DV per file. Returns the new
+        snapshot, or None when nothing matched."""
+        from pyspark.sql import functions as F
+
+        hidden = self.scan_data(with_hidden=True)
+        matches = hidden.filter(predicate).select(
+            F.col(mor.SYS_HIDDEN_FILE_PATH).alias("file_path"),
+            F.col(mor.SYS_HIDDEN_POS).alias("pos"),
+        )
+        entries = wr.write_deletion_vector_files(
+            matches, self.meta.table_root,
+            self.meta.last_sequence_number + 1,
+        )
+        if not entries:
+            return None  # nothing matched: nothing written
+        return self._commit_with_retry("delete", entries)
+
+    def delete_matching(
+        self, keys: DataFrame, on: list[str], as_vectors: bool = False
+    ) -> md.Snapshot | None:
+        """Row-level DELETE of rows matching ``keys`` on ``on`` — the
+        ``MERGE ... WHEN MATCHED THEN DELETE`` shape, resolved to
+        physical positions by a semi-join against the hidden scan
+        (so unlike an equality delete it pins EXACTLY the rows that
+        matched at delete time; later appends with the same keys
+        stay). The key set stays distributed end to end — this is
+        the curation primitive for "remove these N million dedup
+        losers" where a predicate cannot express membership and a
+        driver-side id list cannot hold it. ``as_vectors`` commits
+        v3-style deletion vectors instead of a parquet pos-delete
+        file. Returns the new snapshot, or None if nothing
+        matched."""
+        hidden = self.scan_data(with_hidden=True)
+        import os
+
+        matches = hidden.join(
+            keys.select(*on).dropDuplicates(), on, "left_semi"
+        ).select(
+            F.col(mor.SYS_HIDDEN_FILE_PATH).alias("file_path"),
+            F.col(mor.SYS_HIDDEN_POS).alias("pos"),
+        )
+        if as_vectors:
+            entries = wr.write_deletion_vector_files(
+                matches, self.meta.table_root,
+                self.meta.last_sequence_number + 1,
+            )
+            if not entries:
+                return None
+            return self._commit_with_retry("delete", entries)
+        entries = wr.write_position_delete_files(
+            matches, self.meta.table_root,
+            self.meta.last_sequence_number + 1,
+        )
+        if sum(e.record_count for e in entries) == 0:
+            for e in entries:
+                if os.path.exists(e.file_path):
+                    os.unlink(e.file_path)
+            return None
+        return self._commit_with_retry("delete", entries)
+
     def overwrite_partitions(
         self, df: DataFrame, target_file_size: int = 128 * 1024 * 1024
     ) -> md.Snapshot:

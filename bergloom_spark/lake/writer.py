@@ -28,7 +28,8 @@ from bergloom_spark.config import (
     ROLL_MIN_FRACTION,
     ROLL_SOFT_FRACTION,
 )
-from bergloom_spark.lake.metadata import ManifestEntry
+from bergloom_spark.lake.fileio import io_for
+from bergloom_spark.lake.metadata import POS_DELETE, ManifestEntry
 from bergloom_spark.lake.skipping import (
     footer_column_counts,
     footer_column_stats,
@@ -325,6 +326,78 @@ def write_position_delete_files(
         .parquet(out_dir)
     )
     return _collect_parquet_entries(out_dir, "pos_delete", sequence_number)
+
+
+def write_deletion_vector_files(
+    df: DataFrame, table_root: str, sequence_number: int
+) -> list[ManifestEntry]:
+    """Write ``(file_path, pos)`` rows as Iceberg-v3-style DELETION
+    VECTORS: one roaring bitmap per referenced data file, each task
+    packing ITS file's bitmap into its own Puffin file under
+    ``<root>/deletes/`` (`lake/puffin.py`) — the distributed shape:
+    no position list ever lands on the driver; only the
+    descriptor rows (one per referenced file, manifest-sized) are
+    collected into :class:`ManifestEntry` values the scan's DV
+    decode path reads back. The v2 sibling is
+    :func:`write_position_delete_files`; additive union semantics
+    (multiple DVs for one file union their positions, like stacked
+    pos-delete files) match this lake's scan."""
+    import hashlib as _hashlib
+
+    import pandas as pd
+
+    from bergloom_spark.lake import puffin
+
+    out_dir = os.path.join(table_root, "deletes")
+    io_for(out_dir).mkdirs(out_dir)
+    tag = uuid.uuid4().hex[:12]
+
+    def build_dv(key, pdf):
+        referenced = key[0]
+        blob_file, metas = puffin.write_puffin_dvs(
+            {referenced: pdf["pos"].to_numpy()}
+        )
+        b = metas[0]
+        name = _hashlib.sha1(
+            f"{referenced}:{tag}".encode()
+        ).hexdigest()[:16]
+        path = os.path.join(out_dir, f"dv-{name}.puffin")
+        with open(path, "wb") as f:
+            f.write(blob_file)
+        return pd.DataFrame(
+            {
+                "puffin_path": [path],
+                "referenced": [referenced],
+                "offset": [b["offset"]],
+                "length": [b["length"]],
+                "cardinality": [int(b["properties"]["cardinality"])],
+                "file_size": [len(blob_file)],
+            }
+        )
+
+    descs = (
+        df.select(F.col("file_path"), F.col("pos").cast("long"))
+        .groupBy("file_path")
+        .applyInPandas(
+            build_dv,
+            "puffin_path string, referenced string, offset long, "
+            "length long, cardinality long, file_size long",
+        )
+        .collect()
+    )
+    return [
+        ManifestEntry(
+            content=POS_DELETE,
+            file_path=r.puffin_path,
+            record_count=int(r.cardinality),
+            file_size_bytes=int(r.file_size),
+            sequence_number=sequence_number,
+            dv_referenced_file=r.referenced,
+            dv_offset=int(r.offset),
+            dv_size=int(r.length),
+        )
+        for r in descs
+    ]
 
 
 def write_equality_delete_files(

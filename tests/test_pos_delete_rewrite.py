@@ -197,3 +197,58 @@ def test_dv_downgrade_and_export_guard(spark, tmp_path):
     assert sorted(r.id for r in t.read().collect()) == before
     # downgraded table exports cleanly
     export_iceberg_metadata(t.meta)
+
+
+def test_delete_matching_and_vectors(spark, tmp_path):
+    """delete_matching pins EXACTLY the rows matching the key set at
+    delete time (later appends with the same keys stay), in both the
+    parquet and deletion-vector flavors."""
+    from pyspark.sql import functions as F
+
+    from bergloom_spark.lake import LakeTable
+    from bergloom_spark.lake import metadata as md
+
+    df = spark.range(500).select(F.col("id"), (F.col("id") % 9).alias("k"))
+    t = LakeTable.create(spark, str(tmp_path / "t"), df.schema)
+    t.append(df)
+    losers = spark.range(500).select(F.col("id")).where("id % 4 = 0")
+    snap = t.delete_matching(losers, ["id"], as_vectors=True)
+    assert snap is not None
+    t.refresh()
+    pos = t.meta.current_snapshot().files(md.POS_DELETE)
+    assert pos and all(e.dv_referenced_file for e in pos)
+    kept = sorted(r.id for r in t.read().collect())
+    assert kept == [i for i in range(500) if i % 4 != 0]
+    # positional semantics: re-appending a deleted key resurrects it
+    t.append(spark.createDataFrame([(0, 0)], "id long, k long"))
+    assert sorted(r.id for r in t.read().collect()) == sorted(kept + [0])
+    # parquet flavor + empty-match no-op
+    t2 = LakeTable.create(spark, str(tmp_path / "t2"), df.schema)
+    t2.append(df)
+    assert t2.delete_matching(
+        spark.createDataFrame([(9999,)], "id long"), ["id"]
+    ) is None
+    t2.delete_matching(losers, ["id"])  # parquet pos-delete flavor
+    assert sorted(r.id for r in t2.read().collect()) == [
+        i for i in range(500) if i % 4 != 0
+    ]
+
+
+def test_delete_where_as_vectors(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from bergloom_spark.lake import LakeTable
+    from bergloom_spark.lake import metadata as md
+
+    df = spark.range(300).select(F.col("id"))
+    t = LakeTable.create(spark, str(tmp_path / "t"), df.schema)
+    t.append(df)
+    assert t.delete_where_as_vectors(F.col("id") > 10_000) is None
+    snap = t.delete_where_as_vectors(F.col("id") % 3 == 0)
+    assert snap is not None
+    t.refresh()
+    pos = t.meta.current_snapshot().files(md.POS_DELETE)
+    assert pos and all(e.dv_referenced_file for e in pos)
+    assert sorted(r.id for r in t.read().collect()) == [
+        i for i in range(300) if i % 3 != 0
+    ]
