@@ -575,16 +575,29 @@ class _DeleteFileCache:
         out = None
         cause = self._read_gate(entry)
         if cause is None:
-            import pyarrow.parquet as pq
-
             try:
-                dd = pq.read_table(
-                    path, columns=["file_path", "pos"]
-                ).to_pandas()
-                out = {
-                    fp: grp.to_numpy(dtype="int64", copy=True)
-                    for fp, grp in dd.groupby("file_path")["pos"]
-                }
+                if getattr(entry, "dv_referenced_file", None):
+                    # v3 deletion vector (r14): the "file" is a
+                    # Puffin blob range; decode the roaring bitmap
+                    from bergloom_spark.lake import puffin
+
+                    with open(path, "rb") as f:
+                        f.seek(entry.dv_offset)
+                        blob = f.read(entry.dv_size)
+                    out = {
+                        entry.dv_referenced_file:
+                            puffin.decode_deletion_vector(blob)
+                    }
+                else:
+                    import pyarrow.parquet as pq
+
+                    dd = pq.read_table(
+                        path, columns=["file_path", "pos"]
+                    ).to_pandas()
+                    out = {
+                        fp: grp.to_numpy(dtype="int64", copy=True)
+                        for fp, grp in dd.groupby("file_path")["pos"]
+                    }
                 # read budget caps driver memory/IO; shipping is
                 # charged separately per attachment (review r6)
                 self._read_budget -= sum(a.nbytes for a in out.values())
@@ -710,10 +723,22 @@ def read_change_partition(partition: _ChangePartition):
                 pos = pos[(pos >= 0) & (pos < n)]
                 hit[pos] = True
             for p in paths:
-                dd = pq.read_table(p).to_pandas()
-                pos = dd.loc[
-                    dd["file_path"] == partition.file_path, "pos"
-                ].to_numpy()
+                if isinstance(p, (tuple, list)) and p and p[0] == "dv":
+                    # deletion-vector fallback: range-read the blob
+                    _, dv_path, off, size, referenced = p
+                    if referenced != partition.file_path:
+                        continue
+                    from bergloom_spark.lake import puffin
+
+                    with open(dv_path, "rb") as f:
+                        f.seek(off)
+                        blob = f.read(size)
+                    pos = puffin.decode_deletion_vector(blob)
+                else:
+                    dd = pq.read_table(p).to_pandas()
+                    pos = dd.loc[
+                        dd["file_path"] == partition.file_path, "pos"
+                    ].to_numpy()
                 pos = pos[(pos >= 0) & (pos < n)].astype(int)
                 hit[pos] = True
             return hit
@@ -808,11 +833,27 @@ class _LakeChangelogReader(_LakeStreamReader):
             for e in entries:
                 sl = cache.pos_slices(e)
                 if sl is None:
-                    paths.append(e.file_path)
+                    if getattr(e, "dv_referenced_file", None):
+                        # executor fallback must know it's a Puffin
+                        # blob range, not a parquet file
+                        paths.append((
+                            "dv", e.file_path, int(e.dv_offset),
+                            int(e.dv_size), e.dv_referenced_file,
+                        ))
+                    else:
+                        paths.append(e.file_path)
                     continue
+                origin = (
+                    (
+                        "dv", e.file_path, int(e.dv_offset),
+                        int(e.dv_size), e.dv_referenced_file,
+                    )
+                    if getattr(e, "dv_referenced_file", None)
+                    else e.file_path
+                )
                 for fp, arr in sl.items():
                     merged.setdefault(fp, []).append(arr)
-                    origins.setdefault(fp, []).append(e.file_path)
+                    origins.setdefault(fp, []).append(origin)
             return (
                 {
                     fp: arrs[0] if len(arrs) == 1 else np.concatenate(arrs)

@@ -408,3 +408,28 @@ def test_batch_read_changes_matches_streaming_feed(spark, tmp_path):
         if s1.snapshot_id < r["_commit_snapshot_id"] <= s_del.snapshot_id
     ]
     assert sorted(map(key, mid)) == sorted(map(key, full_mid))
+
+
+def test_changelog_over_deletion_vector_commits(spark, tmp_path):
+    """r14: a delete committed as DELETION VECTORS must stream the
+    same delete events as its parquet twin — the changelog's
+    pos-delete evidence decodes Puffin blobs instead of crashing on
+    a parquet read of a .puffin path."""
+    from pyspark.sql import functions as F
+
+    from bergloom_spark.lake import LakeTable
+
+    df = spark.range(200).select(F.col("id"))
+    root = str(tmp_path / "t")
+    t = LakeTable.create(spark, root, df.schema)
+    t.append(df)
+    t.delete_where_as_vectors(F.col("id") % 5 == 0)
+    rows = _drain(spark, root, str(tmp_path / "ckpt"))
+    deleted = sorted(
+        r["id"] for r in rows if r["_change_type"] == "delete"
+    )
+    assert deleted == [i for i in range(200) if i % 5 == 0]
+    state = _replay(rows)
+    assert sorted(k[0] for k in state) == [
+        i for i in range(200) if i % 5 != 0
+    ]
