@@ -33,7 +33,7 @@ from bergloom_spark.operators.multimodal import (  # noqa: E402
 )
 
 from bergloom_spark.io import load_table as T  # noqa: E402
-from bergloom_spark.io import spread  # noqa: E402
+from bergloom_spark.io import spread, table_bytes, table_rows  # noqa: E402
 
 
 _SCRATCH_KEEP = 8
@@ -71,7 +71,7 @@ def TS(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     a bare scan is ONE task; per-row-heavy operators (text hashing,
     vector math) must spread across cores first. No-op when the input
     already has enough splits (the 100 TB case)."""
-    return spread(T(spark, sf_dir, name))
+    return spread(T(spark, sf_dir, name), input_bytes=table_bytes(sf_dir, name))
 
 # Stable value-column subset for MoR queries (raw values pass through
 # both engines bit-identically — no float math involved).
@@ -148,22 +148,48 @@ def q_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bergloom_spark.config import CompactionConfig
     from bergloom_spark.lake import Compaction, LakeTable
 
+    from concurrent.futures import ThreadPoolExecutor
+
     li = T(spark, sf_dir, "lineitem")
     root = os.path.join(_scratch(prefix="bergloom-entry-"), "li")
     t = LakeTable.create(spark, root, li.schema)
-    t.append(li.filter(F.col("l_orderkey") % 2 == 0))
-    t.append(li.filter(F.col("l_orderkey") % 2 == 1))
+    # Optimization r14 (guide §2.6 — overlap independent jobs): the
+    # two append WRITE jobs are independent (distinct row halves);
+    # LakeTable's commit lock serializes only the metadata CAS, so
+    # the expensive Spark writes back-fill each other's stragglers.
+    # Final table state is order-independent: the later delete
+    # commits sit above BOTH data snapshots whichever lands first,
+    # so the oracle rows are bit-identical to the sequential form.
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        for f in [
+            pool.submit(t.append, li.filter(F.col("l_orderkey") % 2 == 0)),
+            pool.submit(t.append, li.filter(F.col("l_orderkey") % 2 == 1)),
+        ]:
+            f.result()
     hidden = t.scan_data(with_hidden=True)
-    t.append_position_deletes(
-        hidden.filter(F.col("l_partkey") % 13 == 0).select(
-            F.col(mor.SYS_HIDDEN_FILE_PATH).alias("file_path"),
-            F.col(mor.SYS_HIDDEN_POS).alias("pos"),
-        )
-    )
-    t.append_equality_deletes(
-        hidden.filter(F.col("l_suppkey") % 10 == 0).select("l_orderkey").distinct(),
-        ["l_orderkey"],
-    )
+    # Same overlap for the two delete writes: positional deletes key
+    # on (file, pos) and equality deletes apply to all data files
+    # with a lower sequence number — both data snapshots precede
+    # both delete snapshots in either commit order, so the MoR read
+    # (and the compacted result) is identical.
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        for f in [
+            pool.submit(
+                t.append_position_deletes,
+                hidden.filter(F.col("l_partkey") % 13 == 0).select(
+                    F.col(mor.SYS_HIDDEN_FILE_PATH).alias("file_path"),
+                    F.col(mor.SYS_HIDDEN_POS).alias("pos"),
+                ),
+            ),
+            pool.submit(
+                t.append_equality_deletes,
+                hidden.filter(F.col("l_suppkey") % 10 == 0)
+                .select("l_orderkey")
+                .distinct(),
+                ["l_orderkey"],
+            ),
+        ]:
+            f.result()
     # Validation off here, matching the reference default
     # (config/mod.rs:25,46-47); the driver's oracle IS the external
     # validation, and tests/test_lake.py exercises the validator.
@@ -4233,6 +4259,19 @@ def q_ngram_jaccard_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _documents_count(spark: SparkSession, sf_dir: str) -> int:
+    """count(*) of the documents table for the stop-shingle cap.
+    Optimization r14 (guide §1): the footer ``num_rows`` IS count(*)
+    — read driver-side for ~0.5 ms instead of paying a ~0.5 s count()
+    job inside the timed query; falls back to the job if the footer
+    cannot be read. The cap value is bit-identical either way (the
+    oracle's own ``count(*)`` replays the same number)."""
+    n = table_rows(sf_dir, "documents")
+    if n is not None:
+        return n
+    return T(spark, sf_dir, "documents").count()
+
+
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT corpus-wide n-gram Jaccard pairs (round 4; re-pointed
     round 13 at the capped configuration per verdict r12 wrong #1) —
@@ -4248,13 +4287,7 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     above the SAME shuffle) runs the md5-per-shingle pass once, not
     once per join side. The oracle replays the SAME capped semantics
     (hot-shingle cut, sizes over the pruned universe) pair-exactly."""
-    cap = dedup.auto_stop_shingle_cap(
-        T(spark, sf_dir, "documents").count()
-        # bare-table count: answered from parquet statistics, so the
-        # cap derivation never pays the spread shuffle the "auto"
-        # convenience path would (it can only count the frame it is
-        # handed) — ~1 s/pass at sf0.1, measured r13
-    )
+    cap = dedup.auto_stop_shingle_cap(_documents_count(spark, sf_dir))
     return dedup.ngram_jaccard_pairs(
         TS(spark, sf_dir, "documents"), "text", "doc_id", threshold=0.2,
         max_doc_freq=cap,
@@ -4278,9 +4311,7 @@ def q_ngram_jaccard_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "express or implied including but not limited to the implied "
         "warranties of merchantability "
     )
-    cap = dedup.auto_stop_shingle_cap(
-        T(spark, sf_dir, "documents").count()  # metadata-only count
-    )
+    cap = dedup.auto_stop_shingle_cap(_documents_count(spark, sf_dir))
     d = TS(spark, sf_dir, "documents").select(
         "doc_id", F.concat(F.lit(header), F.col("text")).alias("text")
     )
@@ -4496,7 +4527,11 @@ def q_knn_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     # worker the startup dominates the matmul, so small inputs fan out
     # to 8 workers; real-scale inputs already have ≥8 splits (no-op).
     return similarity.knn_bruteforce_vectorized(
-        spread(T(spark, sf_dir, "embeddings"), min_partitions=8),
+        spread(
+            T(spark, sf_dir, "embeddings"),
+            min_partitions=8,
+            input_bytes=table_bytes(sf_dir, "embeddings"),
+        ),
         probe_ids=list(range(10)), k=5
     ).withColumn("rank", F.col("rank").cast("long"))
 

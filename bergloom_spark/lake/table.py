@@ -125,6 +125,16 @@ class LakeTable:
     def __init__(self, spark: SparkSession, meta: md.TableMetadata):
         self.spark = spark
         self.meta = meta
+        # Serializes the commit section (metadata CAS + self.meta
+        # swap) so callers may overlap the EXPENSIVE halves of
+        # independent write operations — the Spark write jobs — from
+        # driver threads (guide §2.6) while commits stay sequential.
+        # Cross-process safety is unchanged (the CAS in write_version
+        # is the real guard); this lock only makes one LakeTable
+        # object thread-safe for same-process overlap.
+        import threading
+
+        self._commit_lock = threading.Lock()
 
     # ------------------------------------------------------------------
     # lifecycle
@@ -221,16 +231,30 @@ class LakeTable:
         rewritten files — so if any data file live at build time
         vanished from the refreshed base, the retry raises
         CommitFailed and the caller must re-run the delete."""
-        import random as _random
-
-        from bergloom_spark.lake.commit import CommitFailed
-
         if properties_update and SORT_ORDER_PROP in properties_update:
             # Validate at the write site — a typo'd column would
             # otherwise commit cleanly and then fail every later
             # maintenance run far from its cause.
             parse_sort_order(properties_update[SORT_ORDER_PROP], self.schema)
         has_pos = any(e.content == md.POS_DELETE for e in new_entries)
+        with self._commit_lock:
+            return self._commit_locked(
+                operation, new_entries, properties_update, max_retries,
+                has_pos,
+            )
+
+    def _commit_locked(
+        self,
+        operation: str,
+        new_entries: list,
+        properties_update: dict[str, str] | None,
+        max_retries: int,
+        has_pos: bool,
+    ) -> md.Snapshot:
+        import random as _random
+
+        from bergloom_spark.lake.commit import CommitFailed
+
         cur = self.meta.current_snapshot()
         base_data = {
             e.file_path
@@ -1380,24 +1404,31 @@ class LakeTable:
         results are exactly the unpruned scan + filter, only cheaper.
         """
         snap = self._snapshot(snapshot_id)
+
         # Empty scans must still carry the hidden columns when asked:
         # a snapshot can legally hold delete files but ZERO data files
         # (delete-only history on an empty table, or every file
         # pruned), and the MoR anti-joins downstream reference the
-        # hidden seq/path/pos columns unconditionally.
-        empty = self.spark.createDataFrame([], self.schema)
-        if with_hidden:
-            empty = (
-                empty.withColumn(
-                    mor.SYS_HIDDEN_FILE_PATH, F.lit(None).cast("string")
+        # hidden seq/path/pos columns unconditionally. Built LAZILY
+        # (optimization r14, guide §1): createDataFrame([], schema)
+        # costs ~0.13 s of driver latency, and the common scan path
+        # never needs it.
+        def empty() -> DataFrame:
+            e = self.spark.createDataFrame([], self.schema)
+            if with_hidden:
+                e = (
+                    e.withColumn(
+                        mor.SYS_HIDDEN_FILE_PATH, F.lit(None).cast("string")
+                    )
+                    .withColumn(mor.SYS_HIDDEN_POS, F.lit(None).cast("long"))
+                    .withColumn(
+                        mor.SYS_HIDDEN_SEQ_NUM, F.lit(None).cast("long")
+                    )
                 )
-                .withColumn(mor.SYS_HIDDEN_POS, F.lit(None).cast("long"))
-                .withColumn(
-                    mor.SYS_HIDDEN_SEQ_NUM, F.lit(None).cast("long")
-                )
-            )
+            return e
+
         if snap is None:
-            return self._apply_filters(empty, filters)
+            return self._apply_filters(empty(), filters)
         data_files = snap.files(md.DATA)
         if data_paths is not None:
             keep = set(data_paths)
@@ -1405,7 +1436,7 @@ class LakeTable:
         if filters:
             data_files = sk.prune_entries(data_files, filters)
         if not data_files:
-            return self._apply_filters(empty, filters)
+            return self._apply_filters(empty(), filters)
         # Which columns live in directory names (not file bodies) is a
         # PER-FILE property recorded by each manifest entry's partition
         # dict — after partition evolution a snapshot legally mixes

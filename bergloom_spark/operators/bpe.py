@@ -191,14 +191,20 @@ def bpe_learn_fast(
     Beyond the cap, pre-filter the corpus or raise the cap knowingly.
     """
     vocab_df = _word_vocab(df, text_col)
-    n_vocab = vocab_df.count()
-    if n_vocab > max_vocab_rows:
+    # Bounded single-action guard (optimization r14, guide §1.2 —
+    # don't compute things twice): ``limit(cap + 1).collect()`` never
+    # materializes more than cap+1 vocabulary rows on the driver, and
+    # replaces the former count()-then-collect() pair, which ran the
+    # full word-count aggregation TWICE (two jobs, two shuffles of the
+    # same data). Overflow still raises before the unbounded set could
+    # ever land.
+    rows = vocab_df.limit(max_vocab_rows + 1).collect()
+    if len(rows) > max_vocab_rows:
         raise ValueError(
-            f"word vocabulary has {n_vocab} rows "
-            f"(> max_vocab_rows={max_vocab_rows}); filter the corpus "
-            "or raise the cap (driver memory is O(vocab))"
+            f"word vocabulary exceeds max_vocab_rows={max_vocab_rows}; "
+            "filter the corpus or raise the cap (driver memory is "
+            "O(vocab))"
         )
-    rows = vocab_df.collect()
     words: list[list[str]] = []
     counts: list[int] = []
     for r in rows:

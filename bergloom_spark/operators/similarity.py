@@ -214,18 +214,26 @@ def embedding_dedup_pairs_matmul(
     import pandas as pd
 
     spark = embeddings.sparkSession
-    # Guard BEFORE collecting: the count is one cheap distributed job,
-    # whereas a toPandas() of an over-cap corpus would OOM the driver
-    # before any post-hoc check could fire (review r4).
-    n = embeddings.count()
-    if n > max_resident_rows:
+    # Bounded single-action guard (optimization r14, guide §1.2): the
+    # former count()-then-toPandas() pair ran the input subtree twice
+    # (two jobs). ``limit(cap + 1)`` keeps the driver-OOM protection
+    # the count provided — at most cap+1 rows can ever materialize on
+    # the driver (review r4's concern) — while collecting in ONE job;
+    # at or under the cap the limit is a row-preserving no-op, and the
+    # matmul result is row-order-independent (pairs are emitted by id
+    # comparison, not by position).
+    rows_pdf = (
+        embeddings.select(id_col, vec_col)
+        .limit(max_resident_rows + 1)
+        .toPandas()
+    )
+    if len(rows_pdf) > max_resident_rows:
         raise ValueError(
             f"embedding_dedup_pairs_matmul broadcasts the corpus and got "
-            f"{n} rows (> max_resident_rows={max_resident_rows}); use "
+            f"more than max_resident_rows={max_resident_rows} rows; use "
             "embedding_dedup_pairs_blocked (high threshold) or the "
             "minhash/IVF approximate paths at this scale"
         )
-    rows_pdf = embeddings.select(id_col, vec_col).toPandas()
     all_ids = rows_pdf[id_col].to_numpy(dtype=np.int64)
     M = np.stack(rows_pdf[vec_col].to_numpy()).astype(np.float64)
     M /= np.linalg.norm(M, axis=1, keepdims=True)

@@ -99,22 +99,32 @@ def duplicate_spans(
     dup_span_frac), where a span is duplicated iff its hash occurs in
     ≥ ``min_docs`` DISTINCT docs. Docs with zero spans report 0/0/0.
 
-    Plan: span scan (map) → distinct-doc count per hash (combinable
-    shuffle #1, 8-byte keys) → semi-join spans against hot hashes →
-    per-doc count (combinable shuffle #2). The doc text stays in the
-    scan stage; nothing row-sized crosses an exchange."""
+    Plan (r14 single-consumer restructure, guide §2.4): span scan
+    (map) → ONE (h, doc_id) aggregation with map-side partial agg
+    (shuffle #1, 8-byte keys + counts) → window count over h gives
+    the distinct-doc frequency on the already-aggregated rows →
+    per-doc sum (combinable shuffle #2). The expensive tokenize+hash
+    scan has exactly ONE consumer by construction — the old
+    count-distinct + semi-join form gave it two (the aggregation and
+    the join probe each re-executed the scan; exchange reuse did not
+    canonicalize across the differing projections, measured 2× the
+    dominant per-task compute). The doc text stays in the scan stage;
+    nothing row-sized crosses an exchange."""
     spans = span_hashes(df, text_col, id_col, window, stride)
-    hot = (
-        spans.select("h", "doc_id")
-        .groupBy("h")
-        .agg(F.count_distinct("doc_id").alias("__nd"))
-        .filter(F.col("__nd") >= min_docs)
-        .select("h")
+    per_hd = spans.groupBy("h", "doc_id").agg(
+        F.count(F.lit(1)).alias("__c")
     )
+    # per_hd holds one row per DISTINCT (h, doc_id): a plain window
+    # count over h is exactly count_distinct(doc_id) — on rows already
+    # reduced by the aggregation, so the per-key window buffer holds
+    # aggregate rows, not raw span occurrences.
     dup_counts = (
-        spans.join(hot, "h", "left_semi")
+        per_hd.withColumn(
+            "__nd", F.count(F.lit(1)).over(Window.partitionBy("h"))
+        )
+        .filter(F.col("__nd") >= min_docs)
         .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_dup_spans"))
+        .agg(F.sum("__c").alias("n_dup_spans"))
     )
     toks = TX.tokens(text_col)
     max_start = F.size(toks) - (window - 1)
@@ -244,16 +254,28 @@ def remove_duplicate_spans(
             )
         ).alias("__s"),
     ).select("doc_id", F.col("__s.start").alias("start"), F.col("__s.h").alias("h"))
-    hot = (
-        spans.groupBy("h")
-        .agg(F.count_distinct("doc_id").alias("__nd"))
-        .filter(F.col("__nd") >= min_docs)
-        .select("h")
+    # r14 single-consumer restructure (guide §2.4, same shape as
+    # duplicate_spans): ONE (h, doc_id) aggregation consumes the
+    # expensive block-hash scan, the hot-hash test is a window count
+    # over the aggregated rows (one row per distinct (h, doc_id), so
+    # count == count_distinct(doc_id)), and the per-doc removed-start
+    # sets are the union of the per-(h, doc) sets. Each (doc, start)
+    # maps to exactly one h, so the union equals the old
+    # collect_set(start) over semi-joined raw spans.
+    per_hd = spans.groupBy("h", "doc_id").agg(
+        F.collect_set("start").alias("__ss")
     )
     removed = (
-        spans.join(hot, "h", "left_semi")
+        per_hd.withColumn(
+            "__nd", F.count(F.lit(1)).over(Window.partitionBy("h"))
+        )
+        .filter(F.col("__nd") >= min_docs)
         .groupBy("doc_id")
-        .agg(F.sort_array(F.collect_set("start")).alias("__rs"))
+        .agg(
+            F.sort_array(
+                F.array_distinct(F.flatten(F.collect_list("__ss")))
+            ).alias("__rs")
+        )
     )
     toks2 = TX.tokens(F.col("__text"))
     starts2 = _block_starts(toks2, window)

@@ -35,6 +35,18 @@ def get_spark(
     cpus = cpus if cpus is not None else default_cpus()
     shuffle_partitions = shuffle_partitions or cpus
     driver_memory = driver_memory or os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g")
+    # Heap floor = heap ceiling (optimization r14, guide §5/§9 posture):
+    # without -Xms, a full GC lets G1 UNCOMMIT the heap down to the
+    # ~1.3 GB default floor (measured: committed 6.8 G → 1.5 G at every
+    # System.gc()), and the next allocation-heavy stage re-faults the
+    # gigabytes back through the kernel across all 32 task threads —
+    # caught red-handed as ~1000 core-s of *system* time (5,106 user
+    # vs 101,098 sys jiffies) turning a 2 s query into a 57 s one.
+    # Pinning Xms=Xmx is the standard production posture (pages are
+    # still faulted lazily, so RSS only ever reaches what the workload
+    # actually touches — but once touched, never uncommitted/refaulted).
+    # Override with SPARK_GRAFT_DRIVER_XMS (a size, or "off").
+    xms = os.environ.get("SPARK_GRAFT_DRIVER_XMS", driver_memory)
 
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
@@ -52,6 +64,10 @@ def get_spark(
         # long (nanos) under this flag — io.load_table converts back.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
+    if xms and xms.lower() != "off":
+        builder = builder.config(
+            "spark.driver.extraJavaOptions", f"-Xms{xms}"
+        )
     for key, value in (extra_conf or {}).items():
         builder = builder.config(key, value)
     spark = builder.getOrCreate()

@@ -322,3 +322,51 @@ def test_hidden_scan_join_fallback_above_map_cap(spark, tmp_path, monkeypatch):
     plan = scan._jdf.queryExecution().executedPlan().toString()
     assert "ExistingRDD" in plan
     assert sorted(map(tuple, t.read().collect())) == expected
+
+
+def test_concurrent_appends_thread_safe(spark, tmp_path):
+    """Optimization r14 (guide §2.6): independent write jobs may be
+    submitted from driver threads; the commit lock serializes only the
+    metadata CAS. All rows land, snapshots chain linearly, and the
+    final row set equals the sequential result regardless of which
+    thread commits first."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    t = make_users(spark, tmp_path)
+    halves = [
+        spark.createDataFrame([(i, f"u{i}") for i in range(0, 50, 2)], USERS_SCHEMA),
+        spark.createDataFrame([(i, f"u{i}") for i in range(1, 50, 2)], USERS_SCHEMA),
+    ]
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        for f in [pool.submit(t.append, h) for h in halves]:
+            f.result()
+    assert rows(t.read()) == sorted((i, f"u{i}") for i in range(50))
+    # linear history: two snapshots, distinct sequence numbers 1 and 2,
+    # child's parent is the other snapshot
+    snaps = t.meta.snapshots
+    assert sorted(s.sequence_number for s in snaps) == [1, 2]
+    by_seq = {s.sequence_number: s for s in snaps}
+    assert by_seq[2].parent_snapshot_id == by_seq[1].snapshot_id
+
+
+def test_concurrent_delete_appends_thread_safe(spark, tmp_path):
+    """Positional + equality delete writes submitted concurrently land
+    as two delete snapshots above the data in either order, with the
+    same MoR result as the sequential form."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    t = make_users(spark, tmp_path)
+    t.append(seed_df(spark))
+    hidden = t.scan_data(with_hidden=True)
+    pos = hidden.filter(F.col("id") == 1).select(
+        F.col(mor.SYS_HIDDEN_FILE_PATH).alias("file_path"),
+        F.col(mor.SYS_HIDDEN_POS).alias("pos"),
+    )
+    eq = spark.createDataFrame([(2,)], "id: int")
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        for f in [
+            pool.submit(t.append_position_deletes, pos),
+            pool.submit(t.append_equality_deletes, eq, ["id"]),
+        ]:
+            f.result()
+    assert rows(t.read()) == [(3, "Charlie")]

@@ -482,38 +482,45 @@ def test_ngram_jaccard_pairs_posting_join_no_text_in_exchange(spark):
 
 
 def test_ngram_overcap_hash_never_reaches_list_aggregation(spark):
-    """Verdict r13 wrong #2 done-criterion: the stop-shingle cut must
-    be COUNT-FIRST — over-cap hashes are anti-joined away before the
-    collect_list, so a hot hash never funnels its M-element id array
-    through one task. Pinned structurally: the plan's LeftAnti join
-    sits BELOW the list aggregation (appears deeper in the tree), and
-    the list aggregate's input is the join output, not raw postings.
-    The shingle scan is materialized once (ReusedExchange)."""
+    """Verdict r13 wrong #2 done-criterion, r14 single-consumer form:
+    the stop-shingle cut must be COUNT-FIRST — over-cap postings are
+    dropped BEFORE the collect_list, so a hot hash never funnels its
+    M-element id array through one task. In the r14 shape the per-hash
+    document frequency is a WINDOW count over the single hash exchange
+    (its per-key buffer is Spark's spillable row array), and the
+    ``Filter (__df <= cap)`` consumes the window output below the list
+    aggregation. The r14-build's anti-join form is gone: it broke
+    exchange-reuse canonicalization (ENSURE_REQUIREMENTS vs
+    REPARTITION_BY_COL) and re-executed the interpreted shingle scan."""
     from bergloom_spark.operators.dedup import ngram_jaccard_pairs
 
     docs = load_table(spark, SF, "documents")
     df = ngram_jaccard_pairs(
         docs, "text", "doc_id", threshold=0.2, max_doc_freq=64
     )
-    df.collect()  # AQE: reuse only materializes in the FINAL plan
+    df.collect()  # AQE: the executed plan is the evidence
     plan = X.executed_plan(df)
     assert "isFinalPlan=true" in plan
-    assert "LeftAnti" in plan
-    # collect_list appears only in aggregate nodes ABOVE the anti
-    # join: every ObjectHashAggregate(collect_list) line must come
-    # before (shallower than) the first LeftAnti line in explain
-    # output ordering, i.e. the aggregate consumes the join output.
+    # no anti-join in the cut any more
     lines = plan.splitlines()
-    agg_idx = [
-        i for i, l in enumerate(lines) if "collect_list" in l
+    agg_idx = [i for i, l in enumerate(lines) if "collect_list" in l]
+    win_idx = [
+        i for i, l in enumerate(lines) if "windowspecdefinition" in l
     ]
-    anti_idx = [i for i, l in enumerate(lines) if "LeftAnti" in l]
-    assert agg_idx and anti_idx
-    assert min(agg_idx) < min(anti_idx), (
-        "collect_list must sit above (consume) the anti join"
+    flt_idx = [i for i, l in enumerate(lines) if "__df" in l and "Filter" in l]
+    assert agg_idx and win_idx and flt_idx
+    # the list aggregation consumes the cap filter's output: the
+    # window + filter sit DEEPER in the tree (later explain lines
+    # within the branch) than the first collect_list aggregate
+    assert min(agg_idx) < min(flt_idx) < max(win_idx) + 1, (
+        "collect_list must sit above (consume) the window-count cut"
     )
-    # single materialization of the shingle scan
-    assert "ReusedExchange" in plan
+    # the observe barrier keeps the expensive shingle HOF out of any
+    # pushed-down filter: no Filter line may contain the HOF pipeline
+    for line in lines:
+        if "Filter" in line and "CollectMetrics" not in line:
+            assert "array_distinct(transform" not in line, line
+    assert "CollectMetrics" in plan  # the barrier is present
 
 
 def test_av_kernels_no_shuffle(spark):
