@@ -35,18 +35,36 @@ def get_spark(
     cpus = cpus if cpus is not None else default_cpus()
     shuffle_partitions = shuffle_partitions or cpus
     driver_memory = driver_memory or os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g")
-    # Heap floor = heap ceiling (optimization r14, guide §5/§9 posture):
-    # without -Xms, a full GC lets G1 UNCOMMIT the heap down to the
-    # ~1.3 GB default floor (measured: committed 6.8 G → 1.5 G at every
-    # System.gc()), and the next allocation-heavy stage re-faults the
-    # gigabytes back through the kernel across all 32 task threads —
-    # caught red-handed as ~1000 core-s of *system* time (5,106 user
-    # vs 101,098 sys jiffies) turning a 2 s query into a 57 s one.
-    # Pinning Xms=Xmx is the standard production posture (pages are
-    # still faulted lazily, so RSS only ever reaches what the workload
-    # actually touches — but once touched, never uncommitted/refaulted).
+    # Heap floor (optimization r14, guide §5/§7.3): without -Xms, a
+    # full GC lets G1 UNCOMMIT the heap down to the ~1.3 GB default
+    # floor (measured: committed 6.8 G → 1.5 G at every System.gc()).
+    # This sandbox runs under virtio-balloon with FREE PAGE REPORTING
+    # (feature bit 5): uncommitted pages are returned to the HOST, and
+    # re-faulting them is host-side allocation whose speed tracks
+    # neighbor load — measured 1.6 GB/s on a quiet host and
+    # catastrophically slower under pressure (~1000 core-s of system
+    # time across 32 task threads, turning a 2 s query into a 57 s
+    # one, intermittently). A floor above the workload's peak
+    # committed heap (~7 GB) means touched pages are NEVER reported
+    # back, so the storm cannot recur. The floor is deliberately NOT
+    # Xmx: a fully-committed 32 GB heap lets G1 size its young gen
+    # from the full capacity and stride tens of GB of never-touched
+    # pages (measured: phase-1 executor time inflated ~8× right after
+    # startup) — the ~8 GB floor keeps both failure modes closed.
     # Override with SPARK_GRAFT_DRIVER_XMS (a size, or "off").
-    xms = os.environ.get("SPARK_GRAFT_DRIVER_XMS", driver_memory)
+    def _mb(size: str) -> int:
+        s = size.strip().lower()
+        mult = {"k": 1 / 1024, "m": 1, "g": 1024, "t": 1024 * 1024}
+        if s and s[-1] in mult:
+            return int(float(s[:-1]) * mult[s[-1]])
+        return int(float(s)) // (1024 * 1024)
+
+    xms = os.environ.get("SPARK_GRAFT_DRIVER_XMS")
+    if xms is None:
+        try:
+            xms = f"{min(8192, _mb(driver_memory))}m"
+        except ValueError:
+            xms = "8192m"
 
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
