@@ -570,8 +570,11 @@ def ngram_jaccard_pairs(
     size mark (a, NULL) per member and a candidate pair (a, b) per
     ordered pair, and a single groupBy(a, b) yields per-doc kept-set
     sizes (b IS NULL) and pair intersections (b IS NOT NULL) from
-    the same exchange. Only 16-byte (hash, id) rows and bounded
-    (≤ cap) id lists ever shuffle — text never does.
+    the same exchange — a CollectMetrics barrier above that
+    aggregation stops the group-key filters from pushing through it,
+    which would re-run the O(k²) pair generator once per branch.
+    Only 16-byte (hash, id) rows and bounded (≤ cap) id lists ever
+    shuffle — text never does.
 
     The hazard is shingle document frequency: a boilerplate shingle
     in M docs contributes M² candidate rows. ``max_doc_freq`` drops
@@ -666,6 +669,21 @@ def ngram_jaccard_pairs(
     agg = exploded.groupBy(
         F.col("__p.a").alias("__a"), F.col("__p.b").alias("__b")
     ).agg(F.count(F.lit(1)).alias("__c"))
+    # Second optimization barrier (r14): the inter/sizes filters on
+    # __b are GROUP-KEY predicates, so Catalyst pushes each THROUGH
+    # the aggregation — each branch then carries its own copy of the
+    # generator + partial agg + exchange, and the O(k²) pair
+    # flattening executes once per branch (measured: two stages, each
+    # running the full generator and discarding the complementary
+    # half). A CollectMetrics ABOVE the aggregation stops the push,
+    # so every branch's aggregate subtree below it is IDENTICAL and
+    # exchange reuse materializes the generator + partial aggregation
+    # exactly once; the per-branch residue is a cheap final count-sum
+    # over the reused shuffle files.
+    agg = agg.observe(
+        f"__ngram_pairs_barrier_{_ngram_barrier_seq}",
+        F.count(F.lit(1)).alias("rows"),
+    )
     inter = agg.filter(F.col("__b").isNotNull()).select(
         F.col("__a").alias("id_a"),
         F.col("__b").alias("id_b"),
