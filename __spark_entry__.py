@@ -11102,12 +11102,27 @@ def _driver_verified() -> set:
 # age within a few rounds — the r3 hand-list failure mode (silent
 # permanent staleness) is structurally gone.
 _CHANGED_THIS_ROUND: list[str] = [
-    # round 14 — kept to ONE entry so the full 42-row r9 staleness
-    # tail fits the window beside the 7 never-verified rows
-    # (7 + 1 + 42 = 50; verdict r13 #4):
-    # count-first stop-shingle cut + absolute cap ceiling (verdict
-    # r13 wrong #1/#2) restructured the registered plan and the
-    # oracle's cap formula
+    # round 15 (verdict r14 next-round #2): every query whose code
+    # path the r14 optimization half touched but that the r14 driver
+    # window never saw — the r14 list was set during the build half
+    # and not updated after the optimizer landed (verdict r14 hygiene
+    # gap). compact_roundtrip leads: it now runs concurrent commit
+    # writes and has only builder-run evidence.
+    "compact_roundtrip",
+    "duplicate_spans",
+    "dedup_remove_spans",
+    "embedding_dedup",
+    # bpe_pipeline_fast also changed in r14 but is bench-only (not in
+    # the registry — no SQL oracle for the merge-loop learner); its
+    # guard is tests/test_bpe.py parity, not a driver row.
+    "knn_vectorized",
+    "dedup_verified_pairs",
+    "minhash_lsh_pairs",
+    "mor_pos_delete",
+    "pipeline_clean_corpus",
+    # r14 entry, retained: driver-verified in the r14 window but the
+    # round-15 optimizer may touch it again (window-cut skew work);
+    # an extra fresh check is cheap and the list stays ≤ the cap.
     "ngram_jaccard_pairs",
     # compact_sorted / compact_zorder / iceberg_catalog_compact
     # changed internally too (sort-order claims, catalog return

@@ -255,6 +255,9 @@ def _calibration_anchor() -> dict | None:
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from bergloom_spark.session import default_cpus
+
+    _effective_cpus = default_cpus()
     calibration = _cpu_calibration()
     calibration_parallel = _cpu_calibration_parallel()
     spark = get_spark(app_name="bergloom-bench")
@@ -404,6 +407,7 @@ def main() -> None:
                 # stalls; if they agree, the delta is real.
                 "queries_median": medians,
                 "total_median": round(sum(medians.values()), 3),
+                "cpus": _effective_cpus,
                 "sf": float(sf) if sf else None,
                 # apples-to-apples vs BENCH_r01/r02 (their 14-query set)
                 "r1_comparable_total": r1_total,
@@ -518,18 +522,24 @@ def main() -> None:
             fh.write("\n")
     except OSError:
         pass  # a read-only checkout must not fail the bench
-    # Compact totals-only record as the VERY LAST stdout line (verdict
-    # r7 #1): the driver keeps a finite tail of stdout, and the full
-    # line above (24 best + 24 median entries + protocol prose) can be
-    # cut mid-line, losing the headline "value". This duplicate line
-    # is small enough to always survive the tail buffer; per-query
-    # timings live in the full line above.
+    # Compact record as the VERY LAST stdout line (verdict r7 #1): the
+    # driver keeps a finite tail of stdout, and the full line above
+    # (best + median maps + protocol prose + per-query IO) can be cut
+    # mid-line, losing the headline "value". This duplicate line is
+    # small enough to always survive the tail buffer. From r15 it ALSO
+    # carries the per-query best map and the core count (verdict r14
+    # what's-wrong #1 / next-round #1: PERF_r14 had per_query: {} and
+    # an empty scaling table because the driver parses ONLY this last
+    # line — the 24-entry map is ~0.9 KB, safely inside the tail
+    # buffer, and is an addition: every pre-existing key is unchanged).
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_runtime",
                 "value": total,
                 "unit": "sec",
+                "queries": timings,
+                "cpus": _effective_cpus,
                 "sf": float(sf) if sf else None,
                 "total_median": round(sum(medians.values()), 3),
                 "r1_comparable_total": r1_total,
