@@ -443,7 +443,14 @@ def main() -> None:
                     "r8, 0.86-1.04 vs r7) with the per-phase probes "
                     "flat across phases — the r8 movement was host "
                     "contention, same as the r6 episode; no bisect "
-                    "needed."
+                    "needed. Caveat (advice r14): drift normalization "
+                    "divides by the probe ratio vs the NEWEST prior "
+                    "round's file — when that anchor window was itself "
+                    "contended (e.g. r13, probes 1.72x/3.02x its own "
+                    "prior), the normalized totals are inflated and "
+                    "can read as a regression; ratios vs a committed "
+                    "QUIET-window anchor are the meaningful "
+                    "cross-round comparison in that case."
                 ),
                 # Single-thread CPU probe timed before Spark started:
                 # the r3->r4 r1-comparable drift reproduced in round 5
