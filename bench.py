@@ -213,7 +213,16 @@ def _calibration_anchor() -> dict | None:
         glob.glob(os.path.join(here, "BENCH_r*.json")), reverse=True
     ):
         m = re.search(r"BENCH_r(\d+)\.json$", path)
-        if cur is not None and m and int(m.group(1)) >= cur:
+        # Only the main per-round records anchor the clock: side
+        # records like BENCH_r14_c8.json (the driver's low-core run)
+        # don't match the strict name, so before this guard the
+        # reverse sort made one of them the anchor — and its round
+        # number was invisible to the current-round exclusion
+        # (inherited r15 fix; test_bench_anchor_excludes_current_round
+        # caught it).
+        if m is None:
+            continue
+        if cur is not None and int(m.group(1)) >= cur:
             continue
         try:
             with open(path) as f:

@@ -81,6 +81,19 @@ def get_spark(
         # events.parquet carries TIMESTAMP(NANOS); Spark reads it as a
         # long (nanos) under this flag — io.load_table converts back.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Optimization r15 (guide §4, the Python boundary): PySpark's
+        # DataFrame debugging wrapper (on by default) adds THREE py4j
+        # round trips to EVERY wrapped DataFrame/Column API call — an
+        # uncached conf.get of stackTracesInDataFrameContext plus
+        # PySparkCurrentOrigin.set/clear — and a Python stack walk,
+        # purely to enrich error messages with user call sites.
+        # Measured on this workload: query construction makes 109-779
+        # round trips with it on, 59-~340 with it off; construct time
+        # -20..55% (events_hourly 0.069→0.031 s). The cost is per
+        # driver API call, so a 100 TB job's driver pays it the same.
+        # Trade-off: AnalysisExceptions lose the "user code line"
+        # fragment; plans and results are identical.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
     )
     if xms and xms.lower() != "off":
         builder = builder.config(
