@@ -67,8 +67,9 @@ def make_docs(spark, n_docs: int, hot: bool):
 
 
 def stage_straggler(spark, pre_stages):
-    """(max_task_ms, median_task_ms, stage_id) of the heaviest new
-    stage by executor run time."""
+    """The heaviest new stage by executor run time, plus its per-task
+    duration spread (max vs median) — max/median >> 1 on the window
+    stage IS the funnel straggler."""
     sc = spark.sparkContext
     store = sc._jsc.sc().statusStore()
     jvm = sc._jvm
@@ -77,16 +78,32 @@ def stage_straggler(spark, pre_stages):
         jvm.java.util.ArrayList(), False, False,
         gw.new_array(gw.jvm.double, 0), jvm.java.util.ArrayList(),
     )
-    heaviest = None
+    stages = []
     it = lst.iterator()
     while it.hasNext():
         s = it.next()
         key = (s.stageId(), s.attemptId())
         if key in pre_stages:
             continue
-        if heaviest is None or s.executorRunTime() > heaviest.executorRunTime():
-            heaviest = s
-    return heaviest
+        stages.append(s)
+    out = []
+    for s in stages:
+        durs = []
+        tl = store.taskList(s.stageId(), s.attemptId(), 10000)
+        it = tl.iterator()
+        while it.hasNext():
+            t = it.next()
+            try:
+                durs.append(t.duration().get())
+            except Exception:
+                pass
+        durs.sort()
+        mx = durs[-1] if durs else 0
+        med = durs[len(durs) // 2] if durs else 0
+        out.append((s.stageId(), s.numCompleteTasks(), int(s.executorRunTime()),
+                    int(s.shuffleReadBytes()), mx, med))
+    out.sort(key=lambda r: -r[2])
+    return out
 
 
 def run(spark, n_docs: int, hot: bool, cap: int):
@@ -97,22 +114,25 @@ def run(spark, n_docs: int, hot: bool, cap: int):
     with StageMetricsCapture(spark) as cap_m:
         t0 = time.monotonic()
         out = dedup.ngram_jaccard_pairs(
-            docs, "text", "doc_id", shingle_n=5,
+            docs, "text", "doc_id", threshold=0.5, shingle_n=5,
             max_doc_freq=cap, cache=False,
         )
         out.write.format("noop").mode("overwrite").save()
         wall = time.monotonic() - t0
-    heaviest = stage_straggler(spark, pre)
+    rows = stage_straggler(spark, pre)
     label = "hot" if hot else "control"
     print(
         f"N={n_docs} {label}: wall {wall:.2f}s cap {cap} "
         f"exec_ms {cap_m.metrics['executor_run_time_ms']} "
         f"spill_mem {cap_m.metrics['memory_spill_bytes']} "
-        f"spill_disk {cap_m.metrics['disk_spill_bytes']} "
-        f"heaviest stage {heaviest.stageId()}: "
-        f"tasks {heaviest.numCompleteTasks()} "
-        f"stage_exec_ms {heaviest.executorRunTime()}"
+        f"spill_disk {cap_m.metrics['disk_spill_bytes']}"
     )
+    for sid, ntasks, ems, srb, mx, med in rows[:4]:
+        print(
+            f"    stage {sid}: tasks {ntasks} exec_ms {ems} "
+            f"shuffle_read {srb} task_max_ms {mx} "
+            f"task_median_ms {med} straggler {mx / max(med, 1):.1f}"
+        )
     return wall
 
 
