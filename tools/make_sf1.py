@@ -35,7 +35,7 @@ from pyspark.sql import functions as F  # noqa: E402
 from bergloom_spark.session import get_spark  # noqa: E402
 
 SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-COPIES = 10
+COPIES = int(os.environ.get("SPARK_GRAFT_SF_COPIES", "10"))
 
 
 def _cipher(col, shift: int):
