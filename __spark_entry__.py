@@ -4714,7 +4714,15 @@ def q_multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bergloom_spark.operators.imagecodec import encode_bmp, encode_ppm
     from bergloom_spark.operators.multimodal import decode_images
 
-    d = TS(spark, sf_dir, "documents").select("doc_id")
+    # Optimization r15 (guide §1.2/§4): plain T, no spread fan-out.
+    # The codec kernels cost ~35 µs/doc (measured standalone: all
+    # 2000 sf0.1 docs encode+decode in <0.1 s single-threaded), so
+    # the 32-way repartition + 32×2 Python-worker tasks cost more
+    # than they parallelize — quiet-window A/B: 0.69–0.74 s best
+    # with the fan-out vs 0.40–0.43 s without, medians agree. At
+    # real scale the input is multi-split and spread was a no-op
+    # here anyway; rows/results are identical (per-row map).
+    d = T(spark, sf_dir, "documents").select("doc_id")
     payload_schema = ST.StructType(
         [
             ST.StructField("doc_id", ST.LongType()),
@@ -6642,7 +6650,15 @@ def q_audio_features_real(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from bergloom_spark.operators.avcodec import audio_features, encode_wav
 
-    d = TS(spark, sf_dir, "documents").select("doc_id")
+    # Optimization r15 (guide §1.2/§4): plain T, no spread fan-out.
+    # The codec kernels cost ~35 µs/doc (measured standalone: all
+    # 2000 sf0.1 docs encode+decode in <0.1 s single-threaded), so
+    # the 32-way repartition + 32×2 Python-worker tasks cost more
+    # than they parallelize — quiet-window A/B: 0.69–0.74 s best
+    # with the fan-out vs 0.40–0.43 s without, medians agree. At
+    # real scale the input is multi-split and spread was a no-op
+    # here anyway; rows/results are identical (per-row map).
+    d = T(spark, sf_dir, "documents").select("doc_id")
     schema = ST.StructType(
         [
             ST.StructField("doc_id", ST.LongType()),
@@ -6684,7 +6700,15 @@ def q_video_frames_real(spark: SparkSession, sf_dir: str) -> DataFrame:
         sample_video_frames,
     )
 
-    d = TS(spark, sf_dir, "documents").select("doc_id")
+    # Optimization r15 (guide §1.2/§4): plain T, no spread fan-out.
+    # The codec kernels cost ~35 µs/doc (measured standalone: all
+    # 2000 sf0.1 docs encode+decode in <0.1 s single-threaded), so
+    # the 32-way repartition + 32×2 Python-worker tasks cost more
+    # than they parallelize — quiet-window A/B: 0.69–0.74 s best
+    # with the fan-out vs 0.40–0.43 s without, medians agree. At
+    # real scale the input is multi-split and spread was a no-op
+    # here anyway; rows/results are identical (per-row map).
+    d = T(spark, sf_dir, "documents").select("doc_id")
     schema = ST.StructType(
         [
             ST.StructField("doc_id", ST.LongType()),
@@ -11120,6 +11144,11 @@ _CHANGED_THIS_ROUND: list[str] = [
     "minhash_lsh_pairs",
     "mor_pos_delete",
     "pipeline_clean_corpus",
+    # r15 media-kernel change (spread fan-out removed — plan change,
+    # rows identical): fresh driver verification wanted
+    "multimodal_decode_real",
+    "audio_features_real",
+    "video_frames_real",
     # r14 entry, retained: driver-verified in the r14 window but the
     # round-15 optimizer may touch it again (window-cut skew work);
     # an extra fresh check is cheap and the list stays ≤ the cap.
