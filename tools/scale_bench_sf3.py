@@ -3,10 +3,15 @@ restructured dedup-family shapes plus the boilerplate skew fixture,
 timed at sf1 (/tmp/sfx1, 10x) AND sf3 (/tmp/sfx3, 30x — build with
 SPARK_GRAFT_SF_COPIES=30 python tools/make_sf1.py /tmp/sfx3).
 
-Writes BENCH_sf3.json with per-query times at sf0.1 / sf1 / sf3, the
-sf1->sf3 exponent (log base 3 of the ratio) and the full-span sf0.1->
-sf3 exponent (log base 30), plus the CPU probes sampled before and
-after the run so the window can be judged against the quiet anchor.
+Writes BENCH_sf3.json with per-query times at sf0.1 / sf1 / the big
+step, exponents normalized by the MEASURED document-count ratio of
+each pair (read from the parquet footers — the copy count is capped
+at 26 because make_sf1's per-copy Caesar cipher has only 26 distinct
+rotations; past that, copies repeat earlier copies' text verbatim and
+the dup-sensitive queries measure that artifact, which is exactly
+what the 30-copy first attempt showed), plus the CPU probes sampled
+before and after the run so the window can be judged against the
+quiet anchor.
 
 Usage: python tools/scale_bench_sf3.py [sf1_dir [sf3_dir]]
 """
@@ -42,6 +47,11 @@ def main() -> None:
     import bench
 
     probes_before = (bench._cpu_calibration(), bench._cpu_calibration_parallel())
+    from bergloom_spark.io import table_rows
+
+    n01 = table_rows(SF01, "documents")
+    n1 = table_rows(sf1, "documents")
+    n3 = table_rows(sf3, "documents")
 
     spec = importlib.util.spec_from_file_location(
         "entry",
@@ -76,11 +86,13 @@ def main() -> None:
         out["sf0.1"][name] = t01
         out["sf1"][name] = t1
         out["sf3"][name] = t3
-        # per-decade exponents: data grows 3x from sf1 to sf3 and 30x
-        # across the full span, so normalize each log-ratio by the
-        # log of its growth factor.
-        out["exp_sf1_sf3"][name] = round(math.log(t3 / t1) / math.log(3), 3)
-        out["exp_full_span"][name] = round(math.log(t3 / t01) / math.log(30), 3)
+        # exponents normalized by the measured data-growth factor
+        out["exp_sf1_sf3"][name] = round(
+            math.log(t3 / t1) / math.log(n3 / n1), 3
+        )
+        out["exp_full_span"][name] = round(
+            math.log(t3 / t01) / math.log(n3 / n01), 3
+        )
         print(
             f"{name}: sf0.1={t01}s sf1={t1}s sf3={t3}s "
             f"exp(sf1->sf3)={out['exp_sf1_sf3'][name]} "
@@ -96,6 +108,7 @@ def main() -> None:
                 "unit": "sec",
                 "sf1_dir": sf1,
                 "sf3_dir": sf3,
+                "doc_counts": {"sf0.1": n01, "sf1": n1, "sf_big": n3},
                 "cpu_probes_before": probes_before,
                 "cpu_probes_after": probes_after,
                 **out,
